@@ -3,8 +3,11 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+All queries live in ``flink_psl_spark.queries`` (one named entry per
+implemented operator from SURVEY.md §2 + the LLM-pipeline operators);
+this module just re-exports that registry.
 """
 
 from __future__ import annotations
@@ -14,25 +17,50 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _configure(spark: SparkSession) -> None:
+    """Apply the engine's session conf to a driver-provided session."""
+    conf = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # events.ts is parquet TIMESTAMP(NANOS): unreadable without this —
+        # the catalog converts the raw long to a µs timestamp (catalog.py)
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+    }
+    for k, v in conf.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable at runtime on some builds — session default wins
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1-style pricing summary) on sf0.001."""
+    _configure(spark)
+    from flink_psl_spark.queries import QUERIES
+
+    return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from flink_psl_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, fn in QUERIES.items():
+
+        def wrapped(spark: SparkSession, sf_dir: str, _fn=fn) -> DataFrame:
+            _configure(spark)
+            return _fn(spark, sf_dir)
+
+        out[name] = wrapped
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL oracle per query (omissions → rows-only)."""
+    from flink_psl_spark.queries import ORACLES
+
+    return dict(ORACLES)

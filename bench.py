@@ -1,0 +1,73 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs each headline query to full materialization (noop sink — no driver
+collect) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family (agg, multi-join, window fn, window
+# TVF, dedup, as-of join, set op, LLM dedup exact+minhash, ANN search).
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_multiway_revenue",
+    "join_broadcast_dim",
+    "wf_topn_per_group",
+    "wf_running_rows_frame",
+    "tumble_window_agg",
+    "session_window_agg",
+    "dedup_keep_last",
+    "asof_join",
+    "interval_join_batch",
+    "setop_except_all",
+    "llm_exact_dedup",
+    "llm_minhash_dedup",
+    "llm_text_stats",
+    "llm_cosine_topk",
+]
+
+
+def main() -> int:
+    from flink_psl_spark import get_spark
+    from flink_psl_spark.queries import QUERIES
+
+    spark = get_spark(app_name="flink_psl_spark_bench")
+    # one warm-up action so JVM/codegen startup doesn't land on query 1
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        per_query[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,159 @@
+"""Reference built-in functions that need a shim on Spark.
+
+Each function documents the reference definition it mirrors
+(reference: flink-table/flink-table-api-java/src/main/java/org/apache/flink/
+table/functions/BuiltInFunctionDefinitions.java and
+flink-table-planner/.../functions/sql/FlinkSqlOperatorTable.java; runtime
+semantics in flink-table/flink-table-runtime/.../functions/SqlFunctionUtils.java).
+
+Design rule: every shim is a composition of built-in Column expressions so it
+stays inside whole-stage codegen — the 100 TB hot path never crosses into
+Python. ``register_sql_compat`` additionally exposes the shims to SQL texts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def split_index(s: Column | str, delimiter: str, index: int) -> Column:
+    """SPLIT_INDEX(str, delim, index) — zero-based field extract.
+
+    Reference: SqlFunctionUtils.java ``splitIndex`` (zero-based, NULL when
+    out of range). Spark: ``split`` + element_at (1-based) with null-safe
+    bounds via try_element_at.
+    """
+    return F.try_element_at(F.split(_col(s), delimiter), F.lit(index + 1))
+
+
+def to_base64(s: Column | str) -> Column:
+    """TO_BASE64 (BuiltInFunctionDefinitions: toBase64) → Spark base64."""
+    return F.base64(_col(s).cast("binary"))
+
+
+def from_base64(s: Column | str) -> Column:
+    """FROM_BASE64 → Spark unbase64 (returns binary, as the reference does)."""
+    return F.unbase64(_col(s))
+
+
+def json_value(s: Column | str, path: str) -> Column:
+    """JSON_VALUE(json, path) — scalar JSON extraction.
+
+    Reference: SqlJsonUtils.java JSON_VALUE. Spark: get_json_object covers
+    the RETURNING VARCHAR default; callers cast for typed returns.
+    """
+    return F.get_json_object(_col(s), path)
+
+
+def truncate(x: Column | str, d: int = 0) -> Column:
+    """TRUNCATE(x, d) — truncate toward zero to d decimal places.
+
+    Reference: SqlFunctionUtils.java ``struncate``. Spark has no numeric
+    truncate; build it from floor on |x| to keep toward-zero semantics.
+    """
+    c = _col(x)
+    p = F.lit(10.0) ** F.lit(d)
+    return F.signum(c) * F.floor(F.abs(c) * p) / p
+
+
+def is_digit(s: Column | str) -> Column:
+    """IS_DIGIT (FlinkSqlOperatorTable.java:276-294)."""
+    return _col(s).rlike("^[0-9]+$")
+
+
+def is_alpha(s: Column | str) -> Column:
+    """IS_ALPHA."""
+    return _col(s).rlike("^[a-zA-Z]+$")
+
+
+def is_decimal(s: Column | str) -> Column:
+    """IS_DECIMAL — parseable as a number."""
+    return _col(s).try_cast("decimal(38,18)").isNotNull()
+
+
+def if_then_else(cond: Column, t: Column, f: Column) -> Column:
+    """IF(cond, t, f) (BuiltInFunctionDefinitions: ifThenElse)."""
+    return F.when(cond, t).otherwise(f)
+
+
+def str_to_map(s: Column | str, pair_delim: str = ",", kv_delim: str = "=") -> Column:
+    """STR_TO_MAP — same built-in exists in Spark; kept for API parity."""
+    return F.str_to_map(_col(s), F.lit(pair_delim), F.lit(kv_delim))
+
+
+def parse_url(url: Column | str, part: str, key: str | None = None) -> Column:
+    """PARSE_URL — same built-in exists in Spark; kept for API parity."""
+    if key is None:
+        return F.parse_url(_col(url), F.lit(part))
+    return F.parse_url(_col(url), F.lit(part), F.lit(key))
+
+
+def locate(substr: Column | str, s: Column | str, pos: int = 1) -> Column:
+    """LOCATE(substr, str[, pos]) — 1-based, 0 when absent (reference semantics)."""
+    return F.locate(substr if isinstance(substr, str) else substr, _col(s), pos)
+
+
+def instr(s: Column | str, substr: str) -> Column:
+    """INSTR(str, substr) — 1-based position."""
+    return F.instr(_col(s), substr)
+
+
+def chr_(n: Column | str) -> Column:
+    """CHR(n) — code point to string."""
+    return F.chr(_col(n))
+
+
+def regexp(s: Column | str, pattern: str) -> Column:
+    """REGEXP(str, pattern) — partial-match boolean (reference REGEXP)."""
+    return _col(s).rlike(pattern)
+
+
+def listagg(col: Column | str, sep: str = ",", *, sort: bool = True) -> Column:
+    """LISTAGG(expr [, sep]) aggregate.
+
+    Reference: functions/aggregate/ListAggFunction.java. Spark:
+    array_join(collect_list). ``sort=True`` makes the result deterministic
+    under distributed aggregation (the reference's accumulation order is
+    arrival order, which is nondeterministic in any parallel engine).
+    """
+    collected = F.collect_list(_col(col))
+    if sort:
+        collected = F.array_sort(collected)
+    return F.array_join(collected, sep)
+
+
+_SQL_COMPAT_DECLS = (
+    # (name, params, return type, body) — SQL scalar UDFs (Spark ≥4.0):
+    # pure expressions, inlined by Catalyst, zero Python round-trips.
+    ("SPLIT_INDEX", "s STRING, d STRING, i INT", "STRING",
+     "try_element_at(split(s, d), i + 1)"),
+    ("TO_BASE64", "s STRING", "STRING", "base64(CAST(s AS BINARY))"),
+    ("FROM_BASE64", "s STRING", "BINARY", "unbase64(s)"),
+    ("JSON_VALUE", "j STRING, p STRING", "STRING", "get_json_object(j, p)"),
+    ("TRUNCATE", "x DOUBLE, d INT", "DOUBLE",
+     "sign(x) * floor(abs(x) * power(10, d)) / power(10, d)"),
+    ("IS_DIGIT", "s STRING", "BOOLEAN", "s RLIKE '^[0-9]+$'"),
+    ("IS_ALPHA", "s STRING", "BOOLEAN", "s RLIKE '^[a-zA-Z]+$'"),
+    ("IS_DECIMAL", "s STRING", "BOOLEAN",
+     "try_cast(s AS DECIMAL(38,18)) IS NOT NULL"),
+    ("HASH_CODE", "s STRING", "INT", "hash(s)"),
+)
+
+
+def register_sql_compat(spark: SparkSession) -> None:
+    """Expose the compat surface to SQL texts (SELECT SPLIT_INDEX(...) ...).
+
+    Registered as SQL scalar functions (CREATE TEMPORARY FUNCTION ... RETURN
+    expr) so they are inlined into the plan and stay inside whole-stage
+    codegen — no Python UDF round-trip on the hot path.
+    """
+    for name, params, ret, body in _SQL_COMPAT_DECLS:
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({params}) "
+            f"RETURNS {ret} RETURN {body}"
+        )

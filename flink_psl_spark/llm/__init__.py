@@ -1,0 +1,32 @@
+"""Large-scale training-data pipeline operators (SURVEY §7 M5).
+
+Beyond the reference's own surface: deduplication (exact, MinHash-LSH,
+SimHash, n-gram Jaccard), similarity search over embeddings (brute-force
+cosine top-k + LSH-bucketed ANN), text analysis (language ID, quality
+scoring, token counting, fingerprinting), and multimodal column plumbing.
+
+Everything is built for 100 TB: banded LSH turns the O(n²) pair space into
+per-bucket joins, joins are self-equi-joins on band hashes (AQE-skew-safe),
+and all text feature extraction is expression-only (whole-stage codegen).
+"""
+
+from flink_psl_spark.llm.dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    minhash_dedup,
+    simhash,
+    simhash_dedup,
+    ngram_jaccard_pairs,
+)
+from flink_psl_spark.llm.similarity import (  # noqa: F401
+    cosine_topk,
+    lsh_cosine_topk,
+)
+from flink_psl_spark.llm.text import (  # noqa: F401
+    tokenize,
+    token_count,
+    quality_score,
+    language_id,
+    fingerprint,
+)

@@ -1,0 +1,303 @@
+"""Document deduplication: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Scale design
+------------
+The naive near-dup formulation is an O(n²) pair comparison — a non-starter
+at 100 TB. Every operator here follows the banded-LSH shape instead:
+
+1. per-row signature (expression-only or Arrow-batched — embarrassingly
+   parallel, no shuffle);
+2. explode into (band_id, band_hash) keys — row-local;
+3. self-equi-join on the band key (one hash shuffle; AQE skew-join splits
+   hot buckets such as boilerplate-heavy bands);
+4. exact verification of candidate pairs only (Jaccard / Hamming), so the
+   output is exact w.r.t. the threshold given LSH recall.
+
+Hash functions are seeded and engine-deterministic (xxhash64), so results
+are reproducible across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_psl_spark.llm.text import tokenize
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    normalize: bool = True,
+) -> DataFrame:
+    """Exact dedup: one survivor (min id) per identical text.
+
+    Hash-groupBy on the text (optionally whitespace/case-normalized) — a
+    single shuffle whose key is the fingerprint, not the full text, keeping
+    exchange payloads small at scale.
+    """
+    from flink_psl_spark.llm.text import fingerprint
+
+    key = fingerprint(text_col) if normalize else F.md5(_col(text_col))
+    return (
+        df.withColumn("__fp", key)
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .drop("__fp")
+    )
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingle set (distinct array<string>)."""
+    toks = tokenize(text)
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """MinHash signature (array<bigint> of length ``num_hashes``).
+
+    Each hash family member is xxhash64(shingle, seed=i); the signature
+    component is the min over the document's shingle set. Expression-only
+    (higher-order functions) — no Python, no shuffle.
+    """
+    sh = shingles(text_col, shingle_n)
+
+    def hash_with_seed(i: int):
+        # NB: a 1-arg lambda is required — pyspark binds extra lambda params
+        # (even defaulted ones) to higher-order-function arguments.
+        return lambda s: F.xxhash64(s, F.lit(i))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, hash_with_seed(i)))
+            for i in range(num_hashes)
+        ]
+    )
+    return df.withColumn(out_col, sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    *,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate pairs from banded LSH over MinHash signatures.
+
+    Splits each signature into ``bands`` bands of r = len/bands rows, hashes
+    each band, and self-joins on (band_id, band_hash). Returns distinct
+    (a, b) id pairs with a < b. One shuffle on the band hash.
+    """
+    n = df.select(F.size(sig_col)).first()[0]
+    if n % bands != 0:
+        raise ValueError(f"num_hashes {n} not divisible by bands {bands}")
+    r = n // bands
+    banded = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(sig_col, b * r + 1, r),
+                                lambda x: x.cast("string"),
+                            ),
+                            "_",
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__band", "__bh"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.__band") == F.col("r.__band"))
+            & (F.col("l.__bh") == F.col("r.__bh"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(F.col("l.__id").alias("a"), F.col("r.__id").alias("b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Pairs with exact n-gram Jaccard similarity >= threshold.
+
+    With ``candidates`` (e.g. from ``minhash_lsh_pairs``) this verifies only
+    the candidate set — the 100 TB path. Without it, it verifies all pairs
+    (testing / small data only).
+    """
+    docs = df.select(
+        F.col(id_col).alias("__id"), shingles(text_col, shingle_n).alias("__sh")
+    )
+    if candidates is None:
+        pairs = (
+            docs.alias("l")
+            .join(docs.alias("r"), F.col("l.__id") < F.col("r.__id"))
+            .select(
+                F.col("l.__id").alias("a"),
+                F.col("r.__id").alias("b"),
+                F.col("l.__sh").alias("sha"),
+                F.col("r.__sh").alias("shb"),
+            )
+        )
+    else:
+        pairs = (
+            candidates.join(docs.alias("l"), candidates["a"] == F.col("l.__id"))
+            .join(docs.alias("r"), candidates["b"] == F.col("r.__id"))
+            .select("a", "b", F.col("l.__sh").alias("sha"), F.col("r.__sh").alias("shb"))
+        )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size(F.array_union("sha", "shb"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup survivors: drop docs Jaccard-similar (>= threshold) to a
+    lower-id doc, using MinHash-LSH candidates + exact verification.
+
+    Union-find-free formulation: a doc is dropped iff it appears as the
+    greater id in any verified pair — deterministic, one pass, no iteration.
+    (Full connected-components clustering is available via repeated
+    pair-joins; at pipeline scale the drop-greater rule is the standard
+    dedup policy.)
+    """
+    with_sig = minhash_signatures(
+        df, text_col, num_hashes=num_hashes, shingle_n=shingle_n
+    )
+    cand = minhash_lsh_pairs(with_sig, id_col, "minhash", bands=bands)
+    verified = ngram_jaccard_pairs(
+        df, text_col, id_col, shingle_n=shingle_n,
+        threshold=threshold, candidates=cand,
+    )
+    dropped = verified.select(F.col("b").alias(id_col)).distinct()
+    return df.join(dropped, on=id_col, how="left_anti")
+
+
+def simhash(text: Column | str, *, bits: int = 64, shingle_n: int = 2) -> Column:
+    """SimHash (BIGINT): sign-aggregated per-bit vote over shingle hashes.
+
+    Classic Charikar construction: every shingle votes +1/-1 on each of the
+    64 bits of its xxhash64; the fingerprint bit is 1 where the vote sum is
+    positive. Expression-only.
+    """
+    sh = shingles(text, shingle_n)
+    hashed = F.transform(sh, lambda s: F.xxhash64(s))
+
+    def vote_for_bit(b: int):
+        # 2-arg lambda required (see hash_with_seed note above)
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_exprs = []
+    for b in range(bits):
+        votes = F.aggregate(hashed, F.lit(0).cast("bigint"), vote_for_bit(b))
+        bit_exprs.append(
+            F.when(votes > 0, F.lit(1).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+            * F.lit(2 ** b if b < 63 else -(2 ** 63)).cast("bigint")
+        )
+    return sum(bit_exprs[1:], bit_exprs[0])
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 3,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Near-dup survivors under SimHash Hamming distance <= max_hamming.
+
+    Candidate generation uses the standard block-permutation trick: split
+    the 64-bit fingerprint into max_hamming+1 blocks — any pair within the
+    distance budget must agree exactly on at least one block (pigeonhole).
+    Self-join per block key, verify with bit_count. One shuffle.
+    """
+    blocks = max_hamming + 1
+    width = 64 // blocks
+    fp = df.select(
+        F.col(id_col).alias("__id"),
+        simhash(text_col, shingle_n=shingle_n).alias("__fp"),
+    )
+    banded = fp.select(
+        "__id",
+        "__fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("__fp"), i * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("__blk", "__bh"),
+    )
+    pairs = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.__blk") == F.col("r.__blk"))
+            & (F.col("l.__bh") == F.col("r.__bh"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .where(hamming64(F.col("l.__fp"), F.col("r.__fp")) <= max_hamming)
+        .select(F.col("r.__id").alias(id_col))
+        .distinct()
+    )
+    return df.join(pairs, on=id_col, how="left_anti")

@@ -1,0 +1,182 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``     — exact brute-force top-k: the correctness baseline.
+- ``lsh_cosine_topk`` — random-hyperplane LSH bucketing: the scale path.
+
+Scale design
+------------
+Brute force is a query×corpus join: broadcast the (small) query set, keep
+the corpus partitioned — a map-side-only plan, no corpus shuffle; the top-k
+is a windowed group-limit per query (WindowGroupLimit pushes k into the
+sort). LSH replaces the full cross product with an equi-join on bucket
+signatures (multi-probe via multiple tables), trading recall for a ~B×
+candidate reduction. The dot products are expression-only (zip_with +
+aggregate) and stay in codegen; for very wide vectors a pandas-UDF BLAS
+path is the drop-in alternative.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_psl_spark.operators.ranking import top_n
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two array columns (double)."""
+    return F.aggregate(
+        F.zip_with(_col(a), _col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(
+        F.aggregate(_col(a), F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, cos_sim, rank). The query side is
+    broadcast — at 100 TB the corpus never moves; ties broken by neighbor
+    id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    joined = c.join(F.broadcast(q), how="cross")
+    if not include_self:
+        joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        cosine("__qv", "__cv").alias("cos_sim"),
+    )
+    return top_n(
+        scored,
+        "query_id",
+        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure-python LCG —
+    reproducible across numpy versions and workers)."""
+    state = seed & 0x7FFFFFFF or 1
+    planes = []
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            # Park–Miller LCG → uniform(-1, 1); Box–Muller not needed for
+            # hyperplane LSH (any symmetric distribution works).
+            state = (state * 48271) % 2147483647
+            v.append(state / 2147483647 * 2 - 1)
+        norm = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / norm for x in v])
+    return planes
+
+
+def lsh_bucket(
+    vec: Column | str, planes: list[list[float]]
+) -> Column:
+    """Random-hyperplane signature: one bit per plane (sign of the dot)."""
+    v = _col(vec)
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    v, F.array(*[F.lit(x) for x in p]), lambda a, b: a * b
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        * (1 << i)
+        for i, p in enumerate(planes)
+    ]
+    return sum(bits[1:], bits[0]).cast("int")
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    include_self: bool = False,
+) -> DataFrame:
+    """Approximate cosine top-k via multi-table hyperplane LSH.
+
+    Candidates = corpus rows sharing a bucket with the query in ANY of the
+    ``n_tables`` hash tables (multi-probe recall boost), then exact cosine +
+    top-k over candidates only. The join is an equi-join on (table, bucket):
+    a single shuffle whose width is the candidate set, not the corpus.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    tables = [
+        _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
+
+    def with_buckets(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            _col(vec_col).cast("array<double>").alias(vec_alias),
+            F.posexplode(
+                F.array(*[lsh_bucket(vec_col, planes) for planes in tables])
+            ).alias("__tbl", "__bkt"),
+        )
+
+    cq = with_buckets(queries, "query_id", "__qv")
+    cc = with_buckets(corpus, "neighbor_id", "__cv")
+    cand = (
+        cc.join(cq, on=["__tbl", "__bkt"])
+        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .distinct()
+    )
+    if not include_self:
+        cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine("__qv", "__cv").alias("cos_sim")
+    )
+    return top_n(
+        scored,
+        "query_id",
+        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")

@@ -1,0 +1,140 @@
+"""Text analysis for training-data pipelines.
+
+All functions are pure Column expressions (no Python UDFs): tokenization,
+quality heuristics, n-gram language ID and fingerprinting run inside
+whole-stage codegen, so a 100 TB corpus pays only the parquet scan + the
+expression evaluation — no Arrow hops, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+_WS = r"\s+"
+
+
+def tokenize(text: Column | str) -> Column:
+    """Whitespace tokenization → array<string> (empty array for blank text)."""
+    t = F.trim(_col(text))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, _WS)
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (BIGINT)."""
+    return F.size(tokenize(text)).cast("bigint")
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token estimate: word-piece regex split.
+
+    Approximates a BPE tokenizer's granularity by splitting on transitions
+    (letters / digits / punctuation) — the standard cheap proxy when the
+    real tokenizer can't run in the engine.
+    """
+    pieces = F.regexp_extract_all(
+        _col(text), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+    )
+    return F.size(pieces).cast("bigint")
+
+
+# a small english stopword core — enough for ratio features and lang-ID
+EN_STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that for on "
+    "with as at by from not no"
+).split()
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are stopwords (0.0 for empty docs)."""
+    sw = F.array(*[F.lit(w) for w in (stopwords or EN_STOPWORDS)])
+    toks = tokenize(F.lower(_col(text)))
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0)).cast("double")
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Punctuation chars / total chars (0.0 for empty)."""
+    t = _col(text)
+    n = F.length(t)
+    p = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]-]", ""))
+    return F.when(n > 0, p / n).otherwise(F.lit(0.0)).cast("double")
+
+
+def mean_word_length(text: Column | str) -> Column:
+    toks = tokenize(_col(text))
+    n = F.size(toks)
+    total = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(n > 0, total / n).otherwise(F.lit(0.0)).cast("double")
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic document quality in [0, 1].
+
+    Combines the classic cheap signals (Gopher/C4-style rules): token count
+    band, mean word length band, stopword presence, punctuation sanity.
+    Deterministic and expression-only.
+    """
+    toks = token_count(text)
+    mwl = mean_word_length(text)
+    sw = stopword_ratio(text)
+    pr = punct_ratio(text)
+    checks = [
+        (toks >= 10) & (toks <= 100000),
+        (mwl >= 2.0) & (mwl <= 12.0),
+        sw >= 0.05,
+        pr <= 0.3,
+    ]
+    score = sum(F.when(c, F.lit(0.25)).otherwise(F.lit(0.0)) for c in checks)
+    return score.cast("double")
+
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+_LANG_PROFILES = {
+    "en": EN_STOPWORDS,
+    "fr": "le la les de des un une et est dans pour que qui sur au du".split(),
+    "de": "der die das und ist ein eine nicht mit für von auf dem den".split(),
+    "es": "el la los las de un una y es en que por para con del".split(),
+}
+
+
+def language_id(text: Column | str, threshold: float = 0.03) -> Column:
+    """Stopword-profile language ID → 'en'/'fr'/'de'/'es'/'und' (undetermined).
+
+    Scores each language by its stopword hit-ratio over the document's
+    tokens and picks the argmax if above ``threshold``. The standard cheap
+    heuristic when fastText/CLD can't ship with the engine; swap in a pandas
+    UDF classifier for production accuracy.
+    """
+    toks = tokenize(F.lower(_col(text)))
+    n = F.size(toks)
+    best_lang = F.lit("und")
+    best_score = F.lit(threshold).cast("double")
+    for lang, words in _LANG_PROFILES.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        score = F.when(n > 0, hits / n).otherwise(F.lit(0.0)).cast("double")
+        take = score > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, score).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic 128-bit content fingerprint (hex string).
+
+    md5 over whitespace-normalized, lowercased text — the canonical
+    content-defined document ID for exact dedup joins across runs.
+    """
+    norm = F.lower(F.trim(F.regexp_replace(_col(text), _WS, " ")))
+    return F.md5(norm)

@@ -1,0 +1,21 @@
+"""Batch relational operators the reference has but Spark lacks as primitives.
+
+Everything here is a composition of DataFrame operations (window functions,
+unions, explodes) — declarative plans Catalyst can optimize — never
+driver-side loops. See each module for the reference operator it mirrors.
+"""
+
+from flink_psl_spark.operators.joins import asof_join, interval_join  # noqa: F401
+from flink_psl_spark.operators.ranking import top_n, deduplicate  # noqa: F401
+from flink_psl_spark.operators.windows import (  # noqa: F401
+    tumble,
+    hop,
+    cumulate,
+    session,
+)
+from flink_psl_spark.operators.changelog import (  # noqa: F401
+    ROWKIND_COL,
+    changelog_normalize,
+    drop_update_before,
+    to_changelog,
+)

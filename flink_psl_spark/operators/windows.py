@@ -1,0 +1,142 @@
+"""Window table-valued functions (reference §2.4 window TVFs).
+
+Reference: TUMBLE/HOP/CUMULATE window table functions
+(flink-table-planner/.../functions/sql/SqlTumbleTableFunction.java:37,
+SqlHopTableFunction.java:38, SqlCumulateTableFunction.java:37; runtime slice
+sharing in flink-table-runtime/.../operators/window/slicing/SliceAssigners.java:44)
+and DataStream session windows
+(flink-streaming-java/.../windowing/assigners/EventTimeSessionWindows.java).
+
+Semantics (identical to the reference):
+- window_start inclusive, window_end exclusive;
+- TUMBLE(t, size): start = floor(t / size) * size;
+- HOP(t, slide, size): every row lands in size/slide windows;
+- CUMULATE(t, step, max): growing windows [start, start+step),
+  [start, start+2*step) ... [start, start+max), all sharing
+  start = floor(t / max) * max;
+- SESSION(t, gap): windows merge while the gap between consecutive events
+  is < gap; window_end = last_ts + gap.
+
+Spark construction: tumble/hop map to the built-in ``window()``;
+cumulate explodes each row into its covering slices (a deterministic
+row-local computation — no shuffle added beyond the downstream groupBy);
+session maps to the built-in ``session_window()`` (batch + streaming).
+Each helper returns the input plus ``window_start`` / ``window_end``
+columns, mirroring the TVF's appended columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _flatten(df: DataFrame, wcol: str = "__w") -> DataFrame:
+    return (
+        df.withColumn("window_start", F.col(f"{wcol}.start"))
+        .withColumn("window_end", F.col(f"{wcol}.end"))
+        .drop(wcol)
+    )
+
+
+def tumble(df: DataFrame, time_col: str, size: str) -> DataFrame:
+    """TUMBLE(data, DESCRIPTOR(t), INTERVAL size)."""
+    return _flatten(df.withColumn("__w", F.window(F.col(time_col), size)))
+
+
+def hop(df: DataFrame, time_col: str, slide: str, size: str) -> DataFrame:
+    """HOP(data, DESCRIPTOR(t), INTERVAL slide, INTERVAL size).
+
+    Spark's window(t, size, slide) assigns every covering window — exactly
+    the HOP TVF's row multiplication.
+    """
+    return _flatten(df.withColumn("__w", F.window(F.col(time_col), size, slide)))
+
+
+def cumulate(df: DataFrame, time_col: str, step: str, max_size: str) -> DataFrame:
+    """CUMULATE(data, DESCRIPTOR(t), INTERVAL step, INTERVAL max_size).
+
+    No Spark primitive — built by exploding each row into its covering
+    growing windows. A row at offset o inside its max_size window belongs to
+    windows ending at ceil((o+1)/step)*step ... max_size, i.e.
+    (max/step - floor(o/step)) windows. Row-local explode: stays in the
+    scan stage, no extra shuffle; the multiplication factor is max/step
+    (bounded, chosen by the query author) — same state/output cost the
+    reference pays in SliceAssigners (one slice per step).
+    """
+    step_us = F.lit(_interval_us(step))
+    max_us = F.lit(_interval_us(max_size))
+    t_us = F.unix_micros(F.col(time_col))
+    # all-integer arithmetic: float division on epoch-µs loses precision
+    off = t_us % max_us
+    start_us = t_us - off  # floor to the max-size window
+    first_end = (F.floor(off / step_us).cast("long") + 1) * step_us
+    ends = F.sequence(start_us + first_end, start_us + max_us, step_us)
+    return (
+        df.withColumn("__ends", ends)
+        .withColumn("__end", F.explode("__ends"))
+        .withColumn("window_start", F.timestamp_micros(start_us))
+        .withColumn("window_end", F.timestamp_micros(F.col("__end")))
+        .drop("__ends", "__end")
+    )
+
+
+def session(
+    df: DataFrame, time_col: str, gap: str, partition_by: str | list[str] | None = None
+) -> DataFrame:
+    """SESSION windows (gap-merged). Returns per-row session start/end.
+
+    Uses Spark's built-in ``session_window`` under a groupBy when an
+    aggregation follows; this helper instead annotates rows (TVF semantics)
+    via the gaps-and-islands construction so downstream ops can group by
+    (keys, window_start). One shuffle on the partition keys.
+    """
+    from pyspark.sql.window import Window
+
+    keys = (
+        []
+        if partition_by is None
+        else [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col(time_col))
+    gap_us = _interval_us(gap)
+    t_us = F.unix_micros(F.col(time_col))
+    prev = F.lag(t_us).over(w)
+    new_session = F.when(
+        prev.isNull() | ((t_us - prev) >= gap_us), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess_id = F.sum(new_session).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    annotated = df.withColumn("__sess", sess_id)
+    w2 = Window.partitionBy(*keys, "__sess")
+    return (
+        annotated.withColumn("window_start", F.min(F.col(time_col)).over(w2))
+        .withColumn(
+            "window_end",
+            F.timestamp_micros(F.max(t_us).over(w2) + F.lit(gap_us)),
+        )
+        .drop("__sess")
+    )
+
+
+_UNIT_US = {
+    "microsecond": 1,
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60 * 1_000_000,
+    "hour": 3_600 * 1_000_000,
+    "day": 86_400 * 1_000_000,
+}
+
+
+def _interval_us(spec: str) -> int:
+    """Parse '10 minutes' / '1 hour' into microseconds."""
+    parts = spec.strip().split()
+    if len(parts) != 2:
+        raise ValueError(f"interval spec must be '<n> <unit>', got {spec!r}")
+    n, unit = parts
+    unit = unit.lower().rstrip("s")
+    if unit not in _UNIT_US:
+        raise ValueError(f"unsupported interval unit {unit!r} in {spec!r}")
+    return int(n) * _UNIT_US[unit]

@@ -1,0 +1,214 @@
+"""LLM-data-pipeline query inventory (SURVEY §7 M5; driver north star).
+
+Dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity search
+(brute-force + LSH ANN), and text analysis over the documents/embeddings
+fixtures. Oracles replicate the deterministic parts in DuckDB SQL; the
+sketch-based operators (MinHash/SimHash/LSH) register rows-only checks with
+their exactness asserted against brute force in tests/test_llm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_psl_spark.queries.registry import query, tables
+
+
+@query(
+    "llm_exact_dedup",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))
+    """,
+)
+def llm_exact_dedup(spark, sf_dir):
+    """Exact dedup via content fingerprint hash-groupBy."""
+    from flink_psl_spark.llm import exact_dedup
+
+    t = tables(spark, sf_dir)
+    return exact_dedup(t["documents"])
+
+
+@query(
+    "llm_ngram_jaccard_pairs",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT([array_to_string(words[i:i+2], ' ')
+                            FOR i IN RANGE(1, GREATEST(LEN(words) - 2, 0) + 1)]) AS s
+      FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words
+            FROM documents WHERE doc_id < 200))
+    SELECT l.doc_id AS a, r.doc_id AS b,
+           ROUND(LEN(LIST_INTERSECT(l.s, r.s)) * 1.0 /
+                 LEN(LIST_DISTINCT(LIST_CONCAT(l.s, r.s))), 6) AS jaccard
+    FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+    WHERE LEN(LIST_INTERSECT(l.s, r.s)) * 1.0 /
+          LEN(LIST_DISTINCT(LIST_CONCAT(l.s, r.s))) >= 0.2
+    """,
+)
+def llm_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram (3-shingle) Jaccard similarity pairs >= 0.2 over a
+    document subset — the verification stage of near-dup dedup."""
+    from flink_psl_spark.llm import ngram_jaccard_pairs
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"].where(F.col("doc_id") < 200)
+    return ngram_jaccard_pairs(docs, threshold=0.2)
+
+
+@query("llm_minhash_dedup")  # sketch-based: rows-only check; exactness in tests
+def llm_minhash_dedup(spark, sf_dir):
+    """MinHash-LSH near-dup dedup: shingle → 64-hash signature → 16-band LSH
+    → exact Jaccard verify ≥ 0.8 → drop higher doc_id of each pair."""
+    from flink_psl_spark.llm import minhash_dedup
+
+    t = tables(spark, sf_dir)
+    return minhash_dedup(t["documents"]).select("doc_id", "lang", "source")
+
+
+@query("llm_simhash_dedup")  # sketch-based: rows-only check; exactness in tests
+def llm_simhash_dedup(spark, sf_dir):
+    """SimHash near-dup dedup: 64-bit fingerprint, Hamming ≤ 3 via
+    block-permutation candidate join."""
+    from flink_psl_spark.llm import simhash_dedup
+
+    t = tables(spark, sf_dir)
+    return simhash_dedup(t["documents"]).select("doc_id", "lang", "source")
+
+
+@query(
+    "llm_text_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens,
+           MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) AS fp,
+           ROUND(LEN(REGEXP_REPLACE(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) * 1.0
+                 / LEN(text), 6) AS punct_ratio,
+           ROUND(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'),
+                 x -> LIST_CONTAINS(['the','a','an','and','or','of','to','in','is',
+                                     'are','was','were','be','been','it','this',
+                                     'that','for','on','with','as','at','by',
+                                     'from','not','no'], x))) * 1.0
+                 / LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')), 6) AS stop_ratio
+    FROM documents
+    """,
+)
+def llm_text_stats(spark, sf_dir):
+    """Text analysis: token count, content fingerprint, punctuation and
+    stopword ratios — expression-only feature extraction."""
+    from flink_psl_spark.llm.text import (
+        fingerprint,
+        punct_ratio,
+        stopword_ratio,
+        token_count,
+    )
+
+    t = tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        fingerprint("text").alias("fp"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(stopword_ratio("text"), 6).alias("stop_ratio"),
+    )
+
+
+@query("llm_language_id")  # multi-profile argmax: accuracy asserted in tests
+def llm_language_id(spark, sf_dir):
+    """Stopword-profile language identification vs the fixture's lang label."""
+    from flink_psl_spark.llm import language_id
+
+    t = tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select("lang", language_id("text").alias("pred"))
+        .groupBy("lang", "pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "llm_quality_filter",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id,
+             LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS toks,
+             LEN(REGEXP_REPLACE(text, '\\s', '', 'g')) * 1.0
+               / LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS mwl
+      FROM documents)
+    SELECT doc_id FROM feats
+    WHERE toks >= 10 AND toks <= 100000 AND mwl >= 2.0 AND mwl <= 12.0
+    """,
+)
+def llm_quality_filter(spark, sf_dir):
+    """Quality filtering: keep docs passing token-count and mean-word-length
+    bands (C4/Gopher-style heuristics)."""
+    from flink_psl_spark.llm.text import mean_word_length, token_count
+
+    t = tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .where(
+            token_count("text").between(10, 100000)
+            & mean_word_length("text").between(2.0, 12.0)
+        )
+        .select("doc_id")
+    )
+
+
+@query(
+    "llm_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v
+               FROM embeddings),
+         scored AS (
+           SELECT q.query_id, c.neighbor_id,
+                  LIST_COSINE_SIMILARITY(q.v, c.v) AS sim
+           FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, sim,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rank
+           FROM scored)
+    SELECT query_id, neighbor_id, ROUND(sim, 6) AS cos_sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def llm_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for 10 query vectors — the exact
+    ANN baseline (broadcast queries; corpus never shuffles)."""
+    from flink_psl_spark.llm import cosine_topk
+
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+@query("llm_lsh_ann_topk")  # approximate: recall vs brute force in tests
+def llm_lsh_ann_topk(spark, sf_dir):
+    """LSH-bucketed approximate nearest neighbors (random hyperplanes,
+    multi-table) — the 100 TB scale path for similarity search."""
+    from flink_psl_spark.llm import lsh_cosine_topk
+
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"]
+    # the fixture's similarity structure is weak (max cosine ≈ 0.35), so the
+    # operating point favors recall: few planes, many tables (recall ≈ 0.9
+    # vs brute force — asserted in tests/test_llm.py)
+    return lsh_cosine_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, n_planes=4, n_tables=16
+    )
+
+
+@query("llm_multimodal_features")  # binary plumbing: rows-only check
+def llm_multimodal_features(spark, sf_dir):
+    """Multimodal column plumbing: binary payload + metadata → mapInPandas
+    feature extraction (codec stubbed, plumbing real — see llm.multimodal)."""
+    from flink_psl_spark.llm.multimodal import extract_features, synthetic_media
+
+    t = tables(spark, sf_dir)
+    media = synthetic_media(spark, t["documents"])
+    return extract_features(media)

@@ -1,0 +1,779 @@
+"""Batch relational query inventory (SURVEY §2.2–§2.4, §2.6–§2.8).
+
+Where the Spark SQL and DuckDB dialects agree, one SQL text serves as both
+query and oracle (``sql_query``). Dialect-divergent cases register separate
+texts; DataFrame-API operators register a Python callable + SQL oracle.
+
+Float discipline: every aggregate over doubles is ROUNDed identically on
+both sides so summation-order differences below the rounding grain can't
+flip the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_psl_spark.queries.registry import query, sql_query, tables
+
+# ---------------------------------------------------------------------------
+# Calc (fused project+filter) — reference StreamExecCalc.java:49
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "calc_project_filter",
+    """
+    SELECT l_orderkey, l_linenumber,
+           -- price(2dp) × discount(2dp) is an exact 4-decimal quantity: round
+           -- through DECIMAL so half-way ties break identically everywhere
+           CAST(ROUND(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)), 2)
+                AS DOUBLE) AS disc_price,
+           CAST(ROUND(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                AS DECIMAL(18,6)), 2) AS DOUBLE) AS charge
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_quantity BETWEEN 10 AND 20
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Aggregations — reference BatchExecHashAggregate.java:52 & friends
+# ---------------------------------------------------------------------------
+
+# TPC-H Q1-style pricing summary: the flagship aggregation
+sql_query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                    AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                               AS avg_price,
+           ROUND(AVG(l_discount), 4)                                    AS avg_disc,
+           COUNT(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+sql_query(
+    "agg_distinct",
+    """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS uniq_cust,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+
+sql_query(
+    "agg_stats",
+    """
+    SELECT l_returnflag,
+           ROUND(AVG(l_quantity), 6)          AS avg_q,
+           ROUND(STDDEV_SAMP(l_quantity), 6)  AS sd_q,
+           ROUND(VAR_SAMP(l_quantity), 6)     AS var_q,
+           ROUND(STDDEV_POP(l_discount), 6)   AS sdp_d,
+           MIN(l_quantity)                    AS min_q,
+           MAX(l_quantity)                    AS max_q
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+
+sql_query(
+    "agg_rollup",
+    """
+    SELECT r_name, n_name,
+           CAST(GROUPING(r_name) AS INT) AS g_r, CAST(GROUPING(n_name) AS INT) AS g_n,
+           COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+
+sql_query(
+    "agg_cube",
+    """
+    SELECT c_mktsegment, o_orderpriority,
+           CAST(GROUPING(c_mktsegment) AS INT) AS g_m, CAST(GROUPING(o_orderpriority) AS INT) AS g_p,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE(c_mktsegment, o_orderpriority)
+    """,
+)
+
+sql_query(
+    "agg_grouping_sets",
+    """
+    SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """,
+)
+
+
+@query(
+    "agg_listagg",
+    oracle="""
+    SELECT r_regionkey, STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_regionkey
+    """,
+)
+def agg_listagg(spark, sf_dir):
+    """LISTAGG (reference ListAggFunction.java) via flink_psl_spark.functions.listagg."""
+    from flink_psl_spark.functions import listagg
+
+    t = tables(spark, sf_dir)
+    return (
+        t["nation"]
+        .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_regionkey")
+        .agg(listagg("n_name", ",").alias("nations"))
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT n_regionkey, LIST_SORT(LIST(DISTINCT n_nationkey)) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_collect(spark, sf_dir):
+    """COLLECT multiset agg (reference CollectAggFunction.java) — sorted set."""
+    t = tables(spark, sf_dir)
+    return (
+        t["nation"]
+        .groupBy("n_regionkey")
+        .agg(F.sort_array(F.collect_set("n_nationkey")).alias("nations"))
+    )
+
+
+@query("agg_approx_distinct")  # no oracle: HLL sketches differ per engine
+def agg_approx_distinct(spark, sf_dir):
+    """APPROX_COUNT_DISTINCT (reference BatchApproxCountDistinctAggFunctions.java:55,
+    HyperLogLog) → Spark approx_count_distinct (HLL++). Rows-only check; the
+    exact-vs-approx accuracy assertion lives in tests/test_relational.py."""
+    t = tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins — reference §2.3 (hash/sort-merge/nested-loop; all join types)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "join_multiway_revenue",
+    """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+
+sql_query(
+    "join_left_agg",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_rows,
+           COUNT(o_orderkey) AS n_orders,
+           COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_no_order
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+
+sql_query(
+    "join_full_outer",
+    """
+    SELECT COALESCE(s.nk, c.nk) AS nationkey, s.s_cnt, c.c_cnt
+    FROM (SELECT s_nationkey AS nk, COUNT(*) AS s_cnt
+          FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey) s
+    FULL JOIN (SELECT c_nationkey AS nk, COUNT(*) AS c_cnt
+               FROM customer WHERE c_acctbal < 0 GROUP BY c_nationkey) c
+    ON s.nk = c.nk
+    """,
+)
+
+sql_query(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+)
+
+sql_query(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+
+sql_query(
+    "join_theta_nonequi",
+    """
+    SELECT n1.n_name AS nation_a, n2.n_name AS nation_b, n1.n_regionkey AS rk
+    FROM nation n1 JOIN nation n2
+      ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+    """,
+)
+
+sql_query(
+    "join_cross",
+    """
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+
+
+@query(
+    "join_broadcast_dim",
+    oracle="""
+    SELECT r_name, COUNT(*) AS n_cust, ROUND(AVG(c_acctbal), 4) AS avg_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def join_broadcast_dim(spark, sf_dir):
+    """Explicit broadcast-hash join of small dims (reference
+    BatchExecHashJoin.java:55 broadcast distribution) — at 100 TB the dims
+    stay map-side; no fact-table shuffle before aggregation."""
+    t = tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations — reference §2.7
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "setop_union_all",
+    """
+    SELECT c_nationkey AS nk, 'c' AS side FROM customer WHERE c_acctbal > 9000
+    UNION ALL
+    SELECT s_nationkey AS nk, 's' AS side FROM supplier WHERE s_acctbal > 9000
+    """,
+)
+
+sql_query(
+    "setop_union_distinct",
+    """
+    SELECT c_nationkey AS nk FROM customer
+    UNION
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+
+sql_query(
+    "setop_intersect",
+    """
+    SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9900
+    INTERSECT
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+
+sql_query(
+    "setop_except",
+    """
+    SELECT c_nationkey AS nk FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+
+sql_query(
+    "setop_intersect_all",
+    """
+    SELECT l_suppkey AS sk FROM lineitem WHERE l_quantity < 3
+    INTERSECT ALL
+    SELECT l_suppkey AS sk FROM lineitem WHERE l_quantity > 48
+    """,
+)
+
+sql_query(
+    "setop_except_all",
+    """
+    SELECT l_suppkey AS sk FROM lineitem WHERE l_quantity < 3
+    EXCEPT ALL
+    SELECT l_suppkey AS sk FROM lineitem WHERE l_quantity > 48
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Subqueries — reference §2.7 (decorrelation)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "subquery_scalar",
+    """
+    SELECT COUNT(*) AS n_above
+    FROM lineitem
+    WHERE l_quantity > (SELECT AVG(l_quantity) FROM lineitem)
+    """,
+)
+
+sql_query(
+    "subquery_in",
+    """
+    SELECT COUNT(*) AS n
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    """,
+)
+
+sql_query(
+    "subquery_correlated",
+    """
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_suppkey = s_suppkey AND l_quantity >= 50)
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Sort / limit — reference BatchExecSortLimit.java:48
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "orderby_limit",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# UNNEST / explode — reference LogicalUnnestRule.scala, Correlate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "explode_words",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents) t
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+)
+def explode_words(spark, sf_dir):
+    """UNNEST/explode (reference $UNNEST_ROWS$1, CorrelateCodeGenerator) —
+    word frequency over documents."""
+    t = tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(20)
+    )
+
+
+@query(
+    "pivot_event_counts",
+    oracle="""
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END)    AS click,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END)     AS view,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END)    AS error,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END)   AS signup
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_counts(spark, sf_dir):
+    """PIVOT (Table API pivot pattern) — per-user event-type matrix."""
+    t = tables(spark, sf_dir)
+    out = (
+        t["events"]
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "error", "signup"])
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot yields NULL for absent combos; the conditional-agg oracle yields 0
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+          for c in ["click", "view", "purchase", "error", "signup"]],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface — reference §2.8
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "string_functions",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS up, LOWER(c_name) AS lo,
+           SUBSTR(c_name, 1, 8) AS sub,
+           LENGTH(c_name) AS len,
+           CONCAT_WS('|', c_name, c_mktsegment) AS cw,
+           LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS pad,
+           REPLACE(c_name, '#', '-') AS rep,
+           REVERSE(c_mktsegment) AS rev,
+           SPLIT_PART(c_name, '#', 2) AS tok,
+           POSITION('#' IN c_name) AS pos,
+           TRIM(c_mktsegment) AS tr,
+           LEFT(c_mktsegment, 3) AS l3,
+           RIGHT(c_mktsegment, 3) AS r3,
+           ASCII(c_mktsegment) AS asc_,
+           REPEAT('ab', 3) AS rep3
+    FROM customer WHERE c_custkey <= 200
+    """,
+)
+def string_functions(spark, sf_dir):
+    """String surface (BuiltInFunctionDefinitions.java:501-935) incl. the
+    SPLIT_INDEX compat shim (zero-based — oracle's SPLIT_PART is 1-based)."""
+    from flink_psl_spark.functions import split_index
+
+    t = tables(spark, sf_dir)
+    c = t["customer"].where(F.col("c_custkey") <= 200)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lower("c_name").alias("lo"),
+        F.substring("c_name", 1, 8).alias("sub"),
+        F.length("c_name").alias("len"),
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("cw"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("pad"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("rep"),
+        F.reverse("c_mktsegment").alias("rev"),
+        F.coalesce(split_index("c_name", "#", 1), F.lit("")).alias("tok"),
+        F.instr("c_name", "#").alias("pos"),
+        F.trim("c_mktsegment").alias("tr"),
+        F.substring("c_mktsegment", 1, 3).alias("l3"),
+        F.substring("c_mktsegment", -3, 3).alias("r3"),
+        F.ascii("c_mktsegment").alias("asc_"),
+        F.repeat(F.lit("ab"), 3).alias("rep3"),
+    )
+
+
+@query(
+    "math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_discount - 0.05) AS a,
+           CAST(CEIL(l_quantity / 7) AS BIGINT) AS c,
+           CAST(FLOOR(l_quantity / 7) AS BIGINT) AS f,
+           ROUND(l_extendedprice / 1000, 3) AS r,
+           MOD(CAST(l_quantity AS BIGINT), 5) AS m,
+           ROUND(POWER(l_quantity, 0.5), 6) AS pw,
+           ROUND(SQRT(l_extendedprice), 6) AS sq,
+           ROUND(LN(l_extendedprice), 6) AS lg,
+           ROUND(LOG10(l_extendedprice), 6) AS l10,
+           CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS sg,
+           GREATEST(l_quantity, 25.0) AS gr,
+           LEAST(l_quantity, 25.0) AS le,
+           SIGN(l_tax) * FLOOR(ABS(l_tax) * POWER(10, 1)) / POWER(10, 1) AS trunc1
+    FROM lineitem WHERE l_orderkey <= 400
+    """,
+)
+def math_functions(spark, sf_dir):
+    """Math surface (BuiltInFunctionDefinitions.java:960-1411) incl. the
+    TRUNCATE compat shim (SqlFunctionUtils.struncate semantics)."""
+    from flink_psl_spark.functions import truncate
+
+    t = tables(spark, sf_dir)
+    li = t["lineitem"].where(F.col("l_orderkey") <= 400)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("a"),
+        F.ceil(F.col("l_quantity") / 7).alias("c"),
+        F.floor(F.col("l_quantity") / 7).alias("f"),
+        F.round(F.col("l_extendedprice") / 1000, 3).alias("r"),
+        (F.col("l_quantity").cast("bigint") % 5).alias("m"),
+        F.round(F.pow(F.col("l_quantity"), F.lit(0.5)), 6).alias("pw"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sq"),
+        F.round(F.log("l_extendedprice"), 6).alias("lg"),
+        F.round(F.log10("l_extendedprice"), 6).alias("l10"),
+        F.signum(F.col("l_discount") - 0.05).alias("sg"),
+        F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("gr"),
+        F.least(F.col("l_quantity"), F.lit(25.0)).alias("le"),
+        truncate("l_tax", 1).alias("trunc1"),
+    )
+
+
+@query(
+    "temporal_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)  AS y,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
+           CAST(EXTRACT(DAY FROM o_orderdate) AS INT)   AS d,
+           CAST(EXTRACT(HOUR FROM o_orderdate) AS INT)  AS h,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS mstart,
+           o_orderdate + INTERVAL '30' DAY              AS plus30,
+           CAST(DATE_DIFF('day', TIMESTAMP '2024-01-01', o_orderdate) AS INT) AS dd,
+           STRFTIME(o_orderdate, '%Y-%m')               AS ym,
+           CAST(DAYOFWEEK(o_orderdate) + 1 AS INT)      AS dow
+    FROM orders WHERE o_orderkey <= 500
+    """,
+)
+def temporal_functions(spark, sf_dir):
+    """Temporal surface (BuiltInFunctionDefinitions.java:1439-1560):
+    extract/date_trunc/interval arithmetic/date_format/datediff/dayofweek.
+    Oracle adjusts DuckDB's 0-based dayofweek to Spark's 1-based."""
+    t = tables(spark, sf_dir)
+    o = t["orders"].where(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.hour("o_orderdate").alias("h"),
+        F.date_trunc("month", "o_orderdate").alias("mstart"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("plus30"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("dd"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.dayofweek("o_orderdate").alias("dow"),
+    )
+
+
+@query(
+    "hash_functions",
+    oracle="""
+    SELECT c_custkey, MD5(c_name) AS h_md5, SHA256(c_name) AS h_sha256
+    FROM customer WHERE c_custkey <= 100
+    """,
+)
+def hash_functions(spark, sf_dir):
+    """Hash surface (BuiltInFunctionDefinitions.java:1641-1689)."""
+    t = tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .where(F.col("c_custkey") <= 100)
+        .select(
+            "c_custkey",
+            F.md5("c_name").alias("h_md5"),
+            F.sha2("c_name", 256).alias("h_sha256"),
+        )
+    )
+
+
+@query(
+    "json_functions",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(CASE WHEN CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) > 50
+                 THEN 1 END) AS n_big
+    FROM events GROUP BY event_type
+    """,
+)
+def json_functions(spark, sf_dir):
+    """JSON surface (SqlJsonUtils.java JSON_VALUE) via get_json_object."""
+    from flink_psl_spark.functions import json_value
+
+    t = tables(spark, sf_dir)
+    k = json_value("props", "$.k").cast("bigint")
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.count(F.when(k > 50, 1)).alias("n_big"),
+        )
+    )
+
+
+sql_query(
+    "case_conditional",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END AS bucket,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status,
+           GREATEST(o_totalprice, 50000.0) AS floor_price,
+           LEAST(CAST(o_custkey AS BIGINT), 1000) AS capped
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Dedup + changelog operators (reference §2.6) — DataFrame API + SQL oracle
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_keep_first",
+    oracle="""
+    SELECT user_id, event_id, event_type, value FROM (
+      SELECT user_id, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_first(spark, sf_dir):
+    """Keep-first dedup (reference RowTimeDeduplicateFunction keepLastRow=false)."""
+    from flink_psl_spark.operators import deduplicate
+
+    t = tables(spark, sf_dir)
+    return deduplicate(
+        t["events"], "user_id", ["ts", "event_id"], keep="first"
+    ).select("user_id", "event_id", "event_type", "value")
+
+
+@query(
+    "dedup_keep_last",
+    oracle="""
+    SELECT user_id, event_id, event_type, value FROM (
+      SELECT user_id, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_last(spark, sf_dir):
+    """Keep-last dedup (reference keepLastRow=true)."""
+    from flink_psl_spark.operators import deduplicate
+
+    t = tables(spark, sf_dir)
+    return deduplicate(
+        t["events"], "user_id", ["ts", "event_id"], keep="last"
+    ).select("user_id", "event_id", "event_type", "value")
+
+
+@query(
+    "changelog_normalize",
+    oracle="""
+    SELECT user_id, event_id, value FROM (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM events WHERE event_type IN ('click', 'purchase', 'error')) t
+    WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def changelog_normalize_q(spark, sf_dir):
+    """ChangelogNormalize (reference StreamExecChangelogNormalize.java:74):
+    treat events as a keyed changelog ('error' = delete) and collapse to the
+    current image per key."""
+    from flink_psl_spark.operators import changelog_normalize
+
+    t = tables(spark, sf_dir)
+    cdc = (
+        t["events"]
+        .where(F.col("event_type").isin("click", "purchase", "error"))
+        .withColumn(
+            "__op",
+            F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")),
+        )
+    )
+    return changelog_normalize(cdc, "user_id", ["ts", "event_id"]).select(
+        "user_id", "event_id", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval / as-of joins (reference §2.3) — DataFrame API + SQL oracle
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "interval_join_batch",
+    oracle="""
+    SELECT e1.user_id, e1.event_id AS click_id, e2.event_id AS purchase_id
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL '10' MINUTE
+    WHERE e1.event_type = 'click' AND e2.event_type = 'purchase'
+    """,
+)
+def interval_join_batch(spark, sf_dir):
+    """Interval join (reference TimeIntervalJoin.java:51): purchases within
+    10 minutes after a click, per user."""
+    from flink_psl_spark.operators import interval_join
+
+    t = tables(spark, sf_dir)
+    clicks = t["events"].where(F.col("event_type") == "click")
+    purchases = t["events"].where(F.col("event_type") == "purchase")
+    joined = interval_join(
+        clicks, purchases, "user_id", "ts", "ts", "'0' SECOND", "'10' MINUTE"
+    )
+    return joined.select(
+        F.col("__l.user_id").alias("user_id"),
+        F.col("__l.event_id").alias("click_id"),
+        F.col("__r.event_id").alias("purchase_id"),
+    )
+
+
+@query(
+    "asof_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, c.value AS r_value, c.event_id AS r_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_join_q(spark, sf_dir):
+    """Temporal/as-of join (reference TemporalRowTimeJoinOperator.java:78):
+    each purchase joins the latest prior click of the same user. Oracle:
+    DuckDB's native ASOF JOIN."""
+    from flink_psl_spark.operators import asof_join
+
+    t = tables(spark, sf_dir)
+    purchases = t["events"].where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = t["events"].where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", F.col("event_id").alias("click_event_id")
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_time="ts", right_time="ts",
+        how="left", right_prefix="r_",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("r_value").alias("r_value"),
+        F.col("r_click_event_id").alias("r_event_id"),
+    )

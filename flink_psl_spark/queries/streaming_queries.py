@@ -1,0 +1,124 @@
+"""Streaming query inventory (SURVEY §2.9 / M2).
+
+Each query replays the bounded events table as a file-source stream
+(Trigger.AvailableNow), runs a watermarked Structured Streaming program to
+completion, and returns the materialized result — so the driver's batch
+oracle can check streaming semantics end-to-end.
+
+Modes: aggregations run in complete mode (final state == batch result);
+dedup/joins run in append mode (their streaming output is already
+append-only and equals the batch equivalent once the stream drains).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_psl_spark.queries.registry import query
+from flink_psl_spark.streaming import (
+    run_to_memory_table,
+    stream_from_parquet,
+    streaming_dedup,
+    streaming_tumble_agg,
+)
+
+
+def _events_stream(spark, sf_dir):
+    return stream_from_parquet(spark, f"{sf_dir}/events.parquet", ts_col="ts")
+
+
+@query(
+    "stream_tumble_agg",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumble_agg(spark, sf_dir):
+    """Watermarked tumbling-window streaming aggregation (reference
+    StreamExecWindowAggregate.java:86) replayed to completion."""
+    ev = _events_stream(spark, sf_dir)
+    agg = streaming_tumble_agg(
+        ev,
+        ts_col="ts",
+        size="1 hour",
+        delay="10 minutes",
+        group_by=["event_type"],
+        aggs=[F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")],
+    )
+    return run_to_memory_table(agg, output_mode="complete")
+
+
+@query(
+    "stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup(spark, sf_dir):
+    """Streaming dropDuplicates on (user_id, event_type) (reference
+    StreamExecDeduplicate.java:85) — emits each key once."""
+    ev = _events_stream(spark, sf_dir)
+    out = streaming_dedup(ev, ["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    return run_to_memory_table(out, output_mode="append")
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+    SELECT e1.user_id, e1.event_id AS click_id, e2.event_id AS purchase_id
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL '10' MINUTE
+    WHERE e1.event_type = 'click' AND e2.event_type = 'purchase'
+    """,
+)
+def stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join (reference StreamExecIntervalJoin.java:82):
+    native watermarked join; state bounded by the range condition."""
+    clicks = _events_stream(spark, sf_dir).where(F.col("event_type") == "click")
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    # distinct column names keep the two-stream join unambiguous
+    l = clicks.withWatermark("ts", "10 minutes")
+    r = purchases.withWatermark("p_ts", "10 minutes")
+    joined = l.join(
+        r,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("ts"))
+        & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select("user_id", F.col("event_id").alias("click_id"), "purchase_id")
+    return run_to_memory_table(joined, output_mode="append")
+
+
+@query("stream_keyed_top3")  # stateful custom op: rows-only check (final
+# per-key top-3 asserted against batch in tests/test_streaming.py)
+def stream_keyed_top3(spark, sf_dir):
+    """Streaming Top-N via applyInPandasWithState (reference
+    StreamExecRank.java:83, AppendOnlyTopNFunction.java:52): per-user top-3
+    values as an update stream; final state equals the batch Top-N."""
+    from flink_psl_spark.streaming import keyed_top_n
+    from flink_psl_spark.operators import deduplicate
+
+    ev = _events_stream(spark, sf_dir)
+    updates = keyed_top_n(
+        ev, "user_id", "value", 3, payload_cols=["event_id"], descending=True
+    )
+    mem = run_to_memory_table(updates, output_mode="update")
+    # the memory sink accumulates every update; the operator's contract is
+    # "latest emission per key wins" — materialize that view
+    return deduplicate(
+        mem.withColumn("__seq", F.monotonically_increasing_id()),
+        ["user_id", "rank"],
+        ["__seq"],
+        keep="last",
+    ).select("user_id", "rank", "value", "event_id")

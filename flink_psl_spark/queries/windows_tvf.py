@@ -1,0 +1,131 @@
+"""Window TVF inventory (SURVEY §2.4): TUMBLE / HOP / CUMULATE / SESSION
+over the events table, evaluated in batch (the streaming forms live in
+streaming_queries.py / flink_psl_spark.streaming).
+
+Oracles reconstruct the window assignment in DuckDB with time_bucket /
+generate_series / gaps-and-islands SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_psl_spark.queries.registry import query, tables
+
+
+@query(
+    "tumble_window_agg",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def tumble_window_agg(spark, sf_dir):
+    """TUMBLE TVF agg (reference SqlTumbleTableFunction.java:37)."""
+    from flink_psl_spark.operators import tumble
+
+    t = tables(spark, sf_dir)
+    return (
+        tumble(t["events"], "ts", "1 hour")
+        .groupBy("window_start", "window_end", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
+@query(
+    "hop_window_agg",
+    oracle="""
+    SELECT ws AS window_start, ws + INTERVAL '1 hour' AS window_end,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM events,
+         UNNEST([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS t(ws)
+    WHERE ts >= ws AND ts < ws + INTERVAL '1 hour'
+    GROUP BY 1, 2
+    """,
+)
+def hop_window_agg(spark, sf_dir):
+    """HOP TVF agg (reference SqlHopTableFunction.java:38): 1h windows
+    sliding every 30m — each row lands in 2 windows."""
+    from flink_psl_spark.operators import hop
+
+    t = tables(spark, sf_dir)
+    return (
+        hop(t["events"], "ts", "30 minutes", "1 hour")
+        .groupBy("window_start", "window_end")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
+@query(
+    "cumulate_window_agg",
+    oracle="""
+    SELECT time_bucket(INTERVAL '2 hours', ts) AS window_start,
+           we AS window_end,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM events,
+         UNNEST(generate_series(
+             time_bucket(INTERVAL '30 minutes', ts) + INTERVAL '30 minutes',
+             time_bucket(INTERVAL '2 hours', ts) + INTERVAL '2 hours',
+             INTERVAL '30 minutes')) AS t(we)
+    GROUP BY 1, 2
+    """,
+)
+def cumulate_window_agg(spark, sf_dir):
+    """CUMULATE TVF agg (reference SqlCumulateTableFunction.java:37):
+    growing 30m…2h windows — no Spark primitive; see operators.windows.cumulate."""
+    from flink_psl_spark.operators import cumulate
+
+    t = tables(spark, sf_dir)
+    return (
+        cumulate(t["events"], "ts", "30 minutes", "2 hours")
+        .groupBy("window_start", "window_end")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
+@query(
+    "session_window_agg",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL '10 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM flagged)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '10 minutes' AS session_end,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM sessions
+    GROUP BY user_id, sess_id
+    """,
+)
+def session_window_agg(spark, sf_dir):
+    """SESSION windows (reference Session.java:42 /
+    EventTimeSessionWindows): Spark's native session_window in batch mode;
+    gap = 10 minutes. Oracle: gaps-and-islands."""
+    t = tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.session_window("ts", "10 minutes"), "user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n",
+            "total",
+        )
+    )

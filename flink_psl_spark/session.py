@@ -1,0 +1,83 @@
+"""SparkSession factory.
+
+The reference engine exposes its runtime knobs through
+``ExecutionConfigOptions`` / ``OptimizerConfigOptions`` (reference:
+flink-table/flink-table-api-java/src/main/java/org/apache/flink/table/api/config/).
+Our counterpart is a SparkSession preconfigured for the same goals:
+adaptive runtime re-planning (≈ Flink's runtime-mode + join-reorder flags),
+partial aggregation (≈ two-stage agg), and Arrow-batched Python execution
+(≈ PyFlink's pandas UDF path).
+
+All settings are chosen to survive a 1000-executor / 100 TB deployment:
+AQE handles skew and partition coalescing at runtime, shuffle partitions
+default to cluster parallelism, and nothing here assumes local mode except
+the ``master`` argument used by tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "flink_psl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    ``master=None`` leaves master resolution to spark-submit / the cluster
+    manager — local[] is only forced when explicitly requested or when no
+    master is configured at all (dev/test convenience).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if master is not None:
+        builder = builder.master(master)
+
+    conf = {
+        # AQE: runtime re-plan — skew-join splitting, partition coalescing,
+        # broadcast-join conversion from runtime stats. Non-negotiable at scale.
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": str(
+            shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+        ),
+        # Deterministic time semantics (reference TIMESTAMP is naive; we pin UTC).
+        "spark.sql.session.timeZone": "UTC",
+        # Arrow batching for every pandas UDF / applyInPandas hop.
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # CBO so join reorder kicks in when stats exist (ANALYZE TABLE).
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.cbo.joinReorder.enabled": "true",
+        # Streaming state store: RocksDB — the reference fork's whole point is
+        # a pluggable remote keyed-state backend (SURVEY §0); in Spark that is
+        # spark.sql.streaming.stateStore.providerClass, and RocksDB is the
+        # scalable disk-backed default choice.
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+        # testdata events.ts is parquet TIMESTAMP(NANOS); Spark has no ns
+        # timestamp — read as long, catalog converts to µs TimestampType
+        # (DuckDB likewise truncates ns → µs, keeping the oracle aligned).
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.ui.enabled": "false",
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,167 @@
+"""Core streaming constructions.
+
+``stream_from_parquet`` replays a bounded parquet table as a file-source
+stream (the standard way to drive deterministic streaming tests — reference
+ITCases do the same with bounded collections). ``run_to_memory_table``
+executes a streaming DataFrame to completion with Trigger.AvailableNow and
+returns the materialized result — bounded replay of the unbounded program.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_from_parquet(
+    spark: SparkSession,
+    path: str,
+    *,
+    ts_col: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Open a parquet file (or dir) as a streaming source with its batch schema.
+
+    Spark's file stream source requires a *directory*; a single-file path is
+    exposed through a symlinked temp dir. Applies the same ns→µs timestamp
+    normalization as the batch catalog when ``ts_col`` arrives as raw nanos
+    (see catalog.load_table).
+    """
+    schema = spark.read.parquet(path).schema
+    if os.path.isfile(path):
+        d = tempfile.mkdtemp(prefix="fps_stream_src_")
+        os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
+        path = d
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    if ts_col and dict(df.dtypes).get(ts_col) == "bigint":
+        df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    return df
+
+
+def run_to_memory_table(
+    stream_df: DataFrame,
+    *,
+    output_mode: str = "append",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Run a streaming DataFrame to completion (AvailableNow) into a memory
+    sink; return the materialized batch DataFrame.
+
+    Checkpoints go to a throwaway temp dir — callers running production
+    pipelines should use ``writeStream`` directly with a durable location.
+    """
+    spark = stream_df.sparkSession
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="fps_ckpt_"), name)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(f"streaming query {name} exceeded {timeout_sec}s")
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
+
+
+def streaming_tumble_agg(
+    events: DataFrame,
+    *,
+    ts_col: str,
+    size: str,
+    delay: str,
+    group_by: list[str],
+    aggs: list,
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (reference: window TVF agg,
+    StreamExecWindowAggregate.java:86).
+
+    Emits (window_start, window_end, keys, aggs). Append-mode-safe: results
+    finalize when the watermark passes window end.
+    """
+    agged = (
+        events.withWatermark(ts_col, delay)
+        .groupBy(F.window(F.col(ts_col), size), *group_by)
+        .agg(*aggs)
+    )
+    rest = [c for c in agged.columns if c != "window"]
+    return agged.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *rest,
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str],
+    *,
+    ts_col: str | None = None,
+    delay: str | None = None,
+    within_watermark: bool = False,
+) -> DataFrame:
+    """Streaming keep-first deduplication (reference:
+    StreamExecDeduplicate.java:85, keep-first variants).
+
+    ``within_watermark=True`` bounds state by the watermark
+    (dropDuplicatesWithinWatermark) — the production configuration: state
+    for a key is dropped once the watermark passes, exactly the reference's
+    idle-state retention (table.exec.state.ttl).
+    """
+    df = events
+    if ts_col and delay:
+        df = df.withWatermark(ts_col, delay)
+    if within_watermark:
+        return df.dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | tuple[str, str] | None,
+    *,
+    left_ts: str,
+    right_ts: str,
+    lower: str,
+    upper: str,
+    left_delay: str,
+    right_delay: str,
+    how: str = "inner",
+    key_cond: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Stream-stream interval join (reference: StreamExecIntervalJoin.java:82).
+
+    Native in Spark: both sides watermarked, range condition bounds state —
+    the engine purges rows once they can no longer match (same cleanup the
+    reference drives from watermarks in TimeIntervalJoin.java).
+
+    ``on`` is a column name shared by both sides, or a (left_col, right_col)
+    pair when the key columns are named differently (``key_cond`` is an
+    alias for the pair form).
+    """
+    l = left.withWatermark(left_ts, left_delay).alias("l")
+    r = right.withWatermark(right_ts, right_delay).alias("r")
+    cond = (
+        (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {lower}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}"))
+    )
+    pair = key_cond or (on if isinstance(on, tuple) else None)
+    if pair is not None:
+        cond = cond & (F.col(f"l.{pair[0]}") == F.col(f"r.{pair[1]}"))
+    elif on is not None:
+        cond = cond & (F.col(f"l.{on}") == F.col(f"r.{on}"))
+    return l.join(r, cond, how)

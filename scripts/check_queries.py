@@ -1,0 +1,51 @@
+"""Run every registered query against its DuckDB oracle — dev loop helper.
+
+Usage: python scripts/check_queries.py [sf_dir] [name_filter...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
+
+from flink_psl_spark import get_spark
+from flink_psl_spark.queries import QUERIES, ORACLES
+from _oracle import duck_connection, compare
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    filters = sys.argv[2:]
+    spark = get_spark(master="local[8]", extra_conf={"spark.driver.memory": "8g"})
+    con = duck_connection(sf_dir)
+    failures = []
+    for name, fn in QUERIES.items():
+        if filters and not any(f in name for f in filters):
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            if name in ORACLES:
+                ok, msg = compare(df, con, ORACLES[name])
+            else:
+                n = df.count()
+                ok, msg = n >= 0, f"rows-only: {n} rows"
+        except Exception as e:
+            ok, msg = False, f"EXC {type(e).__name__}: {e}"
+            traceback.print_exc()
+        status = "PASS" if ok else "FAIL"
+        print(f"{status} {name:32s} {time.time() - t0:6.1f}s  {msg[:300]}")
+        if not ok:
+            failures.append(name)
+    print(f"\n{len(QUERIES) - len(failures)}/{len(QUERIES)} pass")
+    if failures:
+        print("failures:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

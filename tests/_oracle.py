@@ -1,0 +1,66 @@
+"""Local Spark-vs-DuckDB comparison harness (mirrors the driver's t2 check:
+row count + schema-insensitive, order-insensitive value comparison)."""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+
+import duckdb
+
+from flink_psl_spark.catalog import TABLES
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _norm(v):
+    """Exact comparison (bit-level for floats): what passes here passes any
+    reasonable hash-based driver check. Queries are responsible for rounding
+    discipline — the harness adds no tolerance."""
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return 0.0 if v == 0.0 else v  # collapse -0.0
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None)
+    return v
+
+
+def rows_key(rows, colnames):
+    """Order-insensitive canonical form: columns sorted by name, rows sorted."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for r in rows:
+        vals = tuple(_norm(r[i]) for i in order)
+        out.append(tuple(repr(v) for v in vals))
+    return sorted(out)
+
+
+def compare(spark_df, con, oracle_sql: str) -> tuple[bool, str]:
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    rel = con.sql(oracle_sql)
+    d_cols = rel.columns
+    d_rows = rel.fetchall()
+    if sorted(s_cols) != sorted(c.lower() for c in d_cols) and sorted(
+        c.lower() for c in s_cols
+    ) != sorted(c.lower() for c in d_cols):
+        return False, f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}"
+    if len(s_rows) != len(d_rows):
+        return False, f"row count: spark={len(s_rows)} duck={len(d_rows)}"
+    sk = rows_key(s_rows, [c.lower() for c in s_cols])
+    dk = rows_key(d_rows, [c.lower() for c in d_cols])
+    if sk != dk:
+        diff = [(a, b) for a, b in zip(sk, dk) if a != b][:3]
+        return False, f"values differ; first diffs: {diff}"
+    return True, "ok"

@@ -1,0 +1,263 @@
+"""Operator-harness tests (SURVEY §5.3 analogue): drive each custom operator
+with small hand-built inputs and assert exact outputs."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+TS = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+
+
+# ---------------------------------------------------------------------------
+# as-of join (reference TemporalRowTimeJoinOperator.java:78)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def rates(spark):
+    return spark.createDataFrame(
+        [
+            ("EUR", TS("2024-01-01 00:00:00"), 1.10),
+            ("EUR", TS("2024-01-01 12:00:00"), 1.20),
+            ("EUR", TS("2024-01-02 00:00:00"), 1.30),
+            ("GBP", TS("2024-01-01 06:00:00"), 1.50),
+        ],
+        "ccy string, rt timestamp, rate double",
+    )
+
+
+@pytest.fixture(scope="module")
+def txns(spark):
+    return spark.createDataFrame(
+        [
+            (1, "EUR", TS("2024-01-01 00:00:00")),  # exact match → 1.10
+            (2, "EUR", TS("2024-01-01 11:59:59")),  # before 12:00 → 1.10
+            (3, "EUR", TS("2024-01-03 00:00:00")),  # after all → 1.30
+            (4, "GBP", TS("2024-01-01 00:00:00")),  # before any GBP → NULL
+            (5, "JPY", TS("2024-01-01 00:00:00")),  # key absent → NULL
+        ],
+        "txn_id long, ccy string, tt timestamp",
+    )
+
+
+def test_asof_join_backward(spark, rates, txns):
+    from flink_psl_spark.operators import asof_join
+
+    out = asof_join(
+        txns, rates, on="ccy", left_time="tt", right_time="rt", how="left"
+    )
+    got = {r["txn_id"]: r["r_rate"] for r in out.collect()}
+    assert got == {1: 1.10, 2: 1.10, 3: 1.30, 4: None, 5: None}
+
+
+def test_asof_join_inner_and_tolerance(spark, rates, txns):
+    from flink_psl_spark.operators import asof_join
+
+    inner = asof_join(
+        txns, rates, on="ccy", left_time="tt", right_time="rt", how="inner"
+    )
+    assert {r["txn_id"] for r in inner.collect()} == {1, 2, 3}
+
+    tol = asof_join(
+        txns, rates, on="ccy", left_time="tt", right_time="rt",
+        how="left", tolerance="12 HOURS",
+    )
+    got = {r["txn_id"]: r["r_rate"] for r in tol.collect()}
+    # txn 3 is 24h after the last rate → outside tolerance
+    assert got == {1: 1.10, 2: 1.10, 3: None, 4: None, 5: None}
+
+
+def test_asof_join_forward(spark, rates, txns):
+    from flink_psl_spark.operators import asof_join
+
+    out = asof_join(
+        txns, rates, on="ccy", left_time="tt", right_time="rt",
+        how="left", direction="forward",
+    )
+    got = {r["txn_id"]: r["r_rate"] for r in out.collect()}
+    # forward: nearest rate at-or-after the txn time
+    assert got == {1: 1.10, 2: 1.20, 3: None, 4: 1.50, 5: None}
+
+
+# ---------------------------------------------------------------------------
+# interval join (reference TimeIntervalJoin.java:51)
+# ---------------------------------------------------------------------------
+
+
+def test_interval_join(spark):
+    from flink_psl_spark.operators import interval_join
+
+    l = spark.createDataFrame(
+        [(1, "k", TS("2024-01-01 00:00:00"))], "lid long, k string, lt timestamp"
+    )
+    r = spark.createDataFrame(
+        [
+            (10, "k", TS("2023-12-31 23:59:00")),  # before window
+            (11, "k", TS("2024-01-01 00:05:00")),  # inside
+            (12, "k", TS("2024-01-01 00:10:00")),  # boundary (inclusive)
+            (13, "k", TS("2024-01-01 00:10:01")),  # outside
+            (14, "x", TS("2024-01-01 00:05:00")),  # wrong key
+        ],
+        "rid long, k string, rt timestamp",
+    )
+    out = interval_join(l, r, "k", "lt", "rt", "'0' SECOND", "'10' MINUTE")
+    assert sorted(row["rid"] for row in out.select("__r.rid").collect()) == [11, 12]
+
+
+# ---------------------------------------------------------------------------
+# top-n / dedup (reference StreamExecRank.java:83 / StreamExecDeduplicate.java:85)
+# ---------------------------------------------------------------------------
+
+
+def test_top_n(spark):
+    from flink_psl_spark.operators import top_n
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 3), ("a", 2), ("b", 9)], "k string, v int"
+    )
+    out = top_n(df, "k", [F.col("v").desc()], 2)
+    got = sorted((r["k"], r["v"], r["rn"]) for r in out.collect())
+    assert got == [("a", 2, 2), ("a", 3, 1), ("b", 9, 1)]
+
+
+def test_deduplicate_first_last(spark):
+    from flink_psl_spark.operators import deduplicate
+
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 2, "y"), ("b", 5, "z")], "k string, seq int, p string"
+    )
+    first = deduplicate(df, "k", "seq", keep="first")
+    last = deduplicate(df, "k", "seq", keep="last")
+    assert {(r["k"], r["p"]) for r in first.collect()} == {("a", "x"), ("b", "z")}
+    assert {(r["k"], r["p"]) for r in last.collect()} == {("a", "y"), ("b", "z")}
+
+
+# ---------------------------------------------------------------------------
+# window TVFs (reference SqlTumble/Hop/CumulateTableFunction)
+# ---------------------------------------------------------------------------
+
+
+def test_tumble_assignment(spark):
+    from flink_psl_spark.operators import tumble
+
+    df = spark.createDataFrame(
+        [(TS("2024-01-01 00:25:00"),), (TS("2024-01-01 01:05:00"),)], "ts timestamp"
+    )
+    out = tumble(df, "ts", "1 hour").select("window_start", "window_end").collect()
+    assert {(str(r[0]), str(r[1])) for r in out} == {
+        ("2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+        ("2024-01-01 01:00:00", "2024-01-01 02:00:00"),
+    }
+
+
+def test_hop_assignment(spark):
+    from flink_psl_spark.operators import hop
+
+    df = spark.createDataFrame([(TS("2024-01-01 00:45:00"),)], "ts timestamp")
+    out = hop(df, "ts", "30 minutes", "1 hour").select("window_start").collect()
+    # a row at 00:45 is in windows starting 00:00 and 00:30
+    assert sorted(str(r[0]) for r in out) == [
+        "2024-01-01 00:00:00",
+        "2024-01-01 00:30:00",
+    ]
+
+
+def test_cumulate_assignment(spark):
+    from flink_psl_spark.operators import cumulate
+
+    df = spark.createDataFrame([(TS("2024-01-01 00:40:00"),)], "ts timestamp")
+    out = cumulate(df, "ts", "30 minutes", "2 hours")
+    rows = out.select("window_start", "window_end").collect()
+    # row at 00:40 belongs to growing windows ending 01:00, 01:30, 02:00
+    assert {(str(a), str(b)) for a, b in rows} == {
+        ("2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+        ("2024-01-01 00:00:00", "2024-01-01 01:30:00"),
+        ("2024-01-01 00:00:00", "2024-01-01 02:00:00"),
+    }
+
+
+def test_session_tvf(spark):
+    from flink_psl_spark.operators import session
+
+    df = spark.createDataFrame(
+        [
+            ("u", TS("2024-01-01 00:00:00")),
+            ("u", TS("2024-01-01 00:05:00")),
+            ("u", TS("2024-01-01 01:00:00")),  # new session (gap 55m >= 10m)
+        ],
+        "k string, ts timestamp",
+    )
+    out = session(df, "ts", "10 minutes", partition_by="k")
+    starts = sorted(str(r["window_start"]) for r in out.collect())
+    assert starts == [
+        "2024-01-01 00:00:00",
+        "2024-01-01 00:00:00",
+        "2024-01-01 01:00:00",
+    ]
+
+
+# ---------------------------------------------------------------------------
+# changelog (reference StreamExecChangelogNormalize.java:74)
+# ---------------------------------------------------------------------------
+
+
+def test_changelog_normalize(spark):
+    from flink_psl_spark.operators import changelog_normalize, to_changelog
+
+    rows = spark.createDataFrame(
+        [
+            ("k1", 1, 10.0, "I"),
+            ("k1", 2, 20.0, "-U"),  # update-before: ignored
+            ("k1", 3, 30.0, "U"),
+            ("k2", 1, 5.0, "I"),
+            ("k2", 2, 0.0, "D"),  # deleted key disappears
+        ],
+        "k string, seq int, v double, __op string",
+    )
+    out = changelog_normalize(rows, "k", "seq")
+    assert {(r["k"], r["v"]) for r in out.collect()} == {("k1", 30.0)}
+    assert "__op" in to_changelog(rows.drop("__op")).columns
+
+
+# ---------------------------------------------------------------------------
+# compat functions (reference SqlFunctionUtils.java)
+# ---------------------------------------------------------------------------
+
+
+def test_compat_functions(spark):
+    from flink_psl_spark.functions import (
+        is_alpha,
+        is_decimal,
+        is_digit,
+        split_index,
+        truncate,
+    )
+
+    df = spark.createDataFrame([("a,b,c", "12", "ab", "1.5", -1.259)],
+                               "s string, d string, a string, dec string, x double")
+    row = df.select(
+        split_index("s", ",", 1).alias("si"),
+        split_index("s", ",", 9).alias("si_oob"),
+        is_digit("d").alias("dig"),
+        is_alpha("a").alias("alp"),
+        is_decimal("dec").alias("dec_ok"),
+        truncate("x", 1).alias("tr"),
+    ).first()
+    assert row["si"] == "b"
+    assert row["si_oob"] is None
+    assert row["dig"] and row["alp"] and row["dec_ok"]
+    assert row["tr"] == -1.2  # toward zero, not floor
+
+
+def test_sql_compat_registration(spark):
+    from flink_psl_spark.functions import register_sql_compat
+
+    register_sql_compat(spark)
+    got = spark.sql(
+        "SELECT SPLIT_INDEX('x|y', '|', 0) AS a, TRUNCATE(-2.78, 1) AS b, "
+        "IS_DIGIT('123') AS c"
+    ).first()
+    assert (got["a"], got["b"], got["c"]) == ("x", -2.7, True)

@@ -1,0 +1,147 @@
+"""Streaming tests: replay-to-completion programs must match their batch
+equivalents (SURVEY §5.2/§5.3 analogue — ITCase + harness style)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir):
+    from flink_psl_spark.streaming import stream_from_parquet
+
+    def make():
+        return stream_from_parquet(spark, f"{sf_dir}/events.parquet", ts_col="ts")
+
+    return make
+
+
+def test_stream_tumble_agg_matches_batch(spark, sf_dir, events_stream, t):
+    from flink_psl_spark.streaming import run_to_memory_table, streaming_tumble_agg
+
+    agg = streaming_tumble_agg(
+        events_stream(),
+        ts_col="ts",
+        size="1 hour",
+        delay="10 minutes",
+        group_by=["event_type"],
+        aggs=[F.count("*").alias("n")],
+    )
+    got = run_to_memory_table(agg, output_mode="complete")
+
+    batch = (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stream_dedup_matches_batch(spark, events_stream, t):
+    from flink_psl_spark.streaming import run_to_memory_table, streaming_dedup
+
+    out = streaming_dedup(events_stream(), ["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    got = run_to_memory_table(out, output_mode="append")
+    batch = t["events"].select("user_id", "event_type").distinct()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stream_dedup_within_watermark(spark, events_stream):
+    from flink_psl_spark.streaming import run_to_memory_table, streaming_dedup
+
+    out = streaming_dedup(
+        events_stream(),
+        ["user_id", "event_type"],
+        ts_col="ts",
+        delay="1 hour",
+        within_watermark=True,
+    ).select("user_id", "event_type")
+    got = run_to_memory_table(out, output_mode="append")
+    # bounded replay arrives as one batch → exactly the distinct set
+    assert got.count() == got.select("user_id", "event_type").distinct().count()
+
+
+def test_streaming_interval_join(spark, events_stream, t):
+    from flink_psl_spark.streaming import run_to_memory_table, streaming_interval_join
+
+    clicks = events_stream().where(F.col("event_type") == "click")
+    purchases = (
+        events_stream()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = streaming_interval_join(
+        clicks.select("user_id", F.col("event_id").alias("click_id"), "ts"),
+        purchases,
+        on=None,
+        left_ts="ts",
+        right_ts="p_ts",
+        lower="'0' SECOND",
+        upper="'10' MINUTE",
+        left_delay="10 minutes",
+        right_delay="10 minutes",
+        key_cond=("user_id", "p_user_id"),
+    )
+    got = run_to_memory_table(
+        joined.select("user_id", "click_id", "purchase_id"), output_mode="append"
+    )
+
+    ev = t["events"]
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    batch = c.join(
+        p,
+        (F.col("user_id") == F.col("pu"))
+        & (F.col("pts") >= F.col("ts"))
+        & (F.col("pts") <= F.col("ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select("user_id", "click_id", "purchase_id")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_keyed_top_n_state_matches_batch(spark, events_stream, t):
+    """Streaming Top-N final state == batch top-n (reference
+    AppendOnlyTopNFunction semantics)."""
+    from flink_psl_spark.operators import deduplicate, top_n
+    from flink_psl_spark.streaming import keyed_top_n, run_to_memory_table
+
+    updates = keyed_top_n(
+        events_stream(), "user_id", "value", 3,
+        payload_cols=["event_id"], descending=True,
+    )
+    mem = run_to_memory_table(updates, output_mode="update")
+    final = deduplicate(
+        mem.withColumn("__seq", F.monotonically_increasing_id()),
+        ["user_id", "rank"],
+        ["__seq"],
+        keep="last",
+    ).select("user_id", "rank", "value", "event_id")
+
+    batch = top_n(
+        t["events"],
+        "user_id",
+        [F.col("value").desc(), F.col("event_id")],
+        3,
+        rank_col="rank",
+    ).select("user_id", "rank", "value", "event_id")
+
+    got = {(r["user_id"], r["rank"], r["value"]) for r in final.collect()}
+    want = {(r["user_id"], r["rank"], r["value"]) for r in batch.collect()}
+    assert got == want
