@@ -16,6 +16,7 @@ from flink_psl_spark.llm.dedup import (  # noqa: F401
     minhash_lsh_pairs,
     minhash_dedup,
     simhash,
+    simhash_fingerprints,
     simhash_dedup,
     ngram_jaccard_pairs,
 )

