@@ -1,0 +1,253 @@
+"""CEP / MATCH_RECOGNIZE: pattern matching over ordered event sequences.
+
+Reference: flink-libraries/flink-cep (Pattern.java:55, nfa/NFA.java,
+CepOperator.java:82) and SQL MATCH_RECOGNIZE
+(flink-table-planner/.../exec/stream/StreamExecMatch.java:59). This module
+is the batch form (SURVEY §7 M3: "batch first"): per-key sorted sequences
+driven through an NFA with quantified steps, greedy/reluctant matching,
+AFTER MATCH skip policies, measures, and a WITHIN clause.
+
+Spark construction
+------------------
+``match_recognize`` groups by the partition keys and runs the NFA inside
+``applyInPandas``: predicates are evaluated VECTORIZED per step over the
+whole partition (pandas eval of Column-like exprs compiled from Spark SQL
+via a projected boolean column — no per-row Python predicate calls), and
+only the index-level backtracking runs in Python. One shuffle on the
+partition key — the same cost shape as the reference's keyed CepOperator.
+
+Scale notes: state per key is the key's row block (same as the reference's
+per-key NFA buffer). Hot keys are bounded by the partition key choice —
+identical to the reference's contract. Matching is O(rows) for the
+patterns this API admits except adversarial backtracking, which the
+quantifier structure (contiguous, non-overlapping steps) keeps rare.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@dataclass
+class Step:
+    """One pattern variable: a named, quantified predicate.
+
+    ``predicate`` is a Spark SQL boolean expression over the input columns
+    (e.g. ``"event_type = 'click'"``). Quantifier (min_times, max_times)
+    mirrors the reference's Quantifier (Pattern.times/oneOrMore/optional;
+    flink-cep/.../pattern/Quantifier.java): max_times=None means unbounded.
+    ``greedy`` follows the reference's default (greedy quantifiers).
+    """
+
+    name: str
+    predicate: str
+    min_times: int = 1
+    max_times: int | None = 1
+    greedy: bool = True
+
+    @staticmethod
+    def once(name: str, predicate: str) -> "Step":
+        return Step(name, predicate, 1, 1)
+
+    @staticmethod
+    def one_or_more(name: str, predicate: str, *, greedy: bool = True) -> "Step":
+        return Step(name, predicate, 1, None, greedy)
+
+    @staticmethod
+    def zero_or_more(name: str, predicate: str, *, greedy: bool = True) -> "Step":
+        return Step(name, predicate, 0, None, greedy)
+
+    @staticmethod
+    def optional(name: str, predicate: str) -> "Step":
+        return Step(name, predicate, 0, 1)
+
+    @staticmethod
+    def times(name: str, predicate: str, n: int, m: int | None = None) -> "Step":
+        """Exactly ``n`` times, or between ``n`` and ``m`` (Pattern.times)."""
+        return Step(name, predicate, n, m if m is not None else n)
+
+    @staticmethod
+    def at_least(name: str, predicate: str, n: int, *, greedy: bool = True) -> "Step":
+        """``n`` or more times (Pattern.timesOrMore)."""
+        return Step(name, predicate, n, None, greedy)
+
+
+@dataclass
+class Measure:
+    """Output column: ``fn`` over column ``col`` of the rows bound to step
+    ``step`` (FIRST/LAST/MIN/MAX/SUM/AVG/COUNT — the reference's measure
+    aggregates, flink-table-runtime match/ dir)."""
+
+    out_name: str
+    step: str
+    fn: str  # first|last|min|max|sum|avg|count
+    col: str | None = None  # not needed for count
+
+
+# AFTER MATCH strategies (reference: cep/nfa/aftermatch/)
+SKIP_PAST_LAST_ROW = "skip_past_last_row"
+SKIP_TO_NEXT_ROW = "skip_to_next_row"
+
+
+def match_recognize(
+    df: DataFrame,
+    partition_by: str | list[str],
+    order_by: str | list[str],
+    pattern: list[Step],
+    measures: list[Measure],
+    *,
+    after_match: str = SKIP_PAST_LAST_ROW,
+    within: str | None = None,
+    time_col: str | None = None,
+) -> DataFrame:
+    """MATCH_RECOGNIZE over a bounded DataFrame.
+
+    Contiguous-row semantics per partition (the SQL standard / reference
+    behavior): pattern variables bind consecutive rows in ``order_by``
+    order. Returns one row per match: partition keys + ``match_seq`` +
+    measures.
+
+    ``within``: optional max span (e.g. ``'30 minutes'``) between the
+    first and last matched row, measured on ``time_col`` (reference:
+    Pattern.within, interval-clipped NFA state).
+    """
+    keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    order = [order_by] if isinstance(order_by, str) else list(order_by)
+    if within is not None and time_col is None:
+        raise ValueError("within requires time_col")
+    names = [s.name for s in pattern]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate step names: {names}")
+
+    # vectorized predicate evaluation: one boolean column per step, computed
+    # by Spark (codegen) BEFORE the python hop — python sees only bools.
+    pred_cols = {s.name: f"__p_{s.name}" for s in pattern}
+    prepared = df.select(
+        "*", *[F.expr(s.predicate).alias(pred_cols[s.name]) for s in pattern]
+    )
+
+    in_schema = dict(prepared.dtypes)
+    within_td = pd.Timedelta(within) if within is not None else None
+
+    out_fields = [T.StructField(k, df.schema[k].dataType) for k in keys]
+    out_fields.append(T.StructField("match_seq", T.LongType()))
+    for m in measures:
+        out_fields.append(T.StructField(m.out_name, _measure_type(df, m)))
+    out_schema = T.StructType(out_fields)
+
+    spec = [(s.name, s.min_times, s.max_times, s.greedy) for s in pattern]
+    meas = [(m.out_name, m.step, m.fn.lower(), m.col) for m in measures]
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        preds = {
+            name: pdf[c].fillna(False).to_numpy(dtype=bool)
+            for name, c in pred_cols.items()
+        }
+        times = pdf[time_col] if time_col else None
+        out_rows = []
+        match_seq = 0
+        start = 0
+        while start < n:
+            bindings = _match_at(preds, spec, start, n)
+            if bindings is not None:
+                lo = min(i for idxs in bindings.values() for i in idxs)
+                hi = max(i for idxs in bindings.values() for i in idxs)
+                if within_td is not None and (
+                    times.iloc[hi] - times.iloc[lo] > within_td
+                ):
+                    start += 1
+                    continue
+                row = {k: pdf[k].iloc[0] for k in keys}
+                row["match_seq"] = match_seq
+                for out_name, step, fn, col in meas:
+                    idxs = bindings.get(step, [])
+                    row[out_name] = _eval_measure(pdf, idxs, fn, col)
+                out_rows.append(row)
+                match_seq += 1
+                start = (
+                    hi + 1 if after_match == SKIP_PAST_LAST_ROW else lo + 1
+                )
+            else:
+                start += 1
+        if not out_rows:
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in out_schema}
+            )
+        return pd.DataFrame(out_rows)
+
+    return prepared.groupBy(*keys).applyInPandas(run, out_schema)
+
+
+def _match_at(preds, spec, start, n):
+    """Backtracking NFA: try to bind the pattern starting exactly at
+    ``start``. Returns {step_name: [row indices]} or None."""
+
+    def rec(step_i: int, pos: int, acc: dict):
+        if step_i == len(spec):
+            return acc if pos > start else None  # refuse fully-empty match
+        name, lo, hi, greedy = spec[step_i]
+        p = preds[name]
+        # count how many consecutive rows from pos satisfy this step
+        max_take = 0
+        while (
+            pos + max_take < n
+            and p[pos + max_take]
+            and (hi is None or max_take < hi)
+        ):
+            max_take += 1
+        if max_take < lo:
+            return None
+        counts = (
+            range(max_take, lo - 1, -1) if greedy else range(lo, max_take + 1)
+        )
+        for take in counts:
+            nxt = dict(acc)
+            if take:
+                nxt[name] = list(range(pos, pos + take))
+            res = rec(step_i + 1, pos + take, nxt)
+            if res is not None:
+                return res
+        return None
+
+    return rec(0, start, {})
+
+
+def _eval_measure(pdf: pd.DataFrame, idxs, fn: str, col: str | None):
+    if fn == "count":
+        return len(idxs)
+    if not idxs:
+        return None
+    vals = pdf[col].iloc[idxs]
+    if fn == "first":
+        return vals.iloc[0]
+    if fn == "last":
+        return vals.iloc[-1]
+    if fn == "min":
+        return vals.min()
+    if fn == "max":
+        return vals.max()
+    if fn == "sum":
+        return vals.sum()
+    if fn == "avg":
+        return vals.mean()
+    raise ValueError(f"unknown measure fn {fn}")
+
+
+def _measure_type(df: DataFrame, m: Measure) -> T.DataType:
+    if m.fn.lower() == "count":
+        return T.LongType()
+    base = df.schema[m.col].dataType
+    if m.fn.lower() == "avg":
+        return T.DoubleType()
+    if m.fn.lower() == "sum" and isinstance(base, (T.IntegerType, T.ShortType)):
+        return T.LongType()
+    return base

@@ -1,0 +1,177 @@
+"""CEP NFA tests (reference flink-cep NFATest-style harness cases):
+quantifiers, greedy vs reluctant, after-match skip, within, empty matches."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from flink_psl_spark.cep import (
+    SKIP_TO_NEXT_ROW,
+    Measure,
+    Step,
+    match_recognize,
+)
+
+TS = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+
+
+@pytest.fixture(scope="module")
+def seq(spark):
+    #  u1: c c c p c p     u2: p c c
+    rows = [
+        ("u1", 1, "c", TS(0), 1.0),
+        ("u1", 2, "c", TS(1), 2.0),
+        ("u1", 3, "c", TS(2), 3.0),
+        ("u1", 4, "p", TS(3), 10.0),
+        ("u1", 5, "c", TS(4), 4.0),
+        ("u1", 6, "p", TS(5), 20.0),
+        ("u2", 7, "p", TS(0), 30.0),
+        ("u2", 8, "c", TS(1), 5.0),
+        ("u2", 9, "c", TS(2), 6.0),
+    ]
+    return spark.createDataFrame(
+        rows, "u string, eid long, et string, ts timestamp, v double"
+    )
+
+
+def _pat(greedy=True):
+    return [
+        Step.one_or_more("A", "et = 'c'", greedy=greedy),
+        Step.once("B", "et = 'p'"),
+    ]
+
+
+def test_greedy_one_or_more(spark, seq):
+    out = match_recognize(
+        seq, "u", ["ts", "eid"], _pat(),
+        [Measure("n", "A", "count"), Measure("pid", "B", "first", "eid")],
+    )
+    got = {(r["u"], r["n"], r["pid"]) for r in out.collect()}
+    # u1: (ccc)p and (c)p; u2: leading p has no clicks before it → no match
+    assert got == {("u1", 3, 4), ("u1", 1, 6)}
+
+
+def test_measures(spark, seq):
+    out = match_recognize(
+        seq, "u", ["ts", "eid"], _pat(),
+        [
+            Measure("s", "A", "sum", "v"),
+            Measure("avg_v", "A", "avg", "v"),
+            Measure("f", "A", "first", "eid"),
+            Measure("l", "A", "last", "eid"),
+            Measure("mx", "A", "max", "v"),
+        ],
+    )
+    first = {r["f"]: r for r in out.collect()}
+    m = first[1]
+    assert (m["s"], m["avg_v"], m["l"], m["mx"]) == (6.0, 2.0, 3, 3.0)
+
+
+def test_times_quantifier(spark, seq):
+    out = match_recognize(
+        seq, "u", ["ts", "eid"],
+        [Step.at_least("A", "et = 'c'", 2), Step.once("B", "et = 'p'")],
+        [Measure("n", "A", "count")],
+    )
+    # only the ccc-run qualifies (>=2 clicks before p)
+    assert [(r["u"], r["n"]) for r in out.collect()] == [("u1", 3)]
+
+
+def test_optional_and_zero_or_more(spark, seq):
+    out = match_recognize(
+        seq, "u", ["ts", "eid"],
+        [Step.zero_or_more("A", "et = 'c'"), Step.once("B", "et = 'p'")],
+        [Measure("n", "A", "count"), Measure("pid", "B", "first", "eid")],
+    )
+    got = {(r["u"], r["n"], r["pid"]) for r in out.collect()}
+    # u2's leading p now matches with an empty A
+    assert got == {("u1", 3, 4), ("u1", 1, 6), ("u2", 0, 7)}
+
+
+def test_after_match_policies(spark):
+    rows = [
+        ("k", 1, "c", TS(0), 1.0),
+        ("k", 2, "c", TS(1), 1.0),
+        ("k", 3, "p", TS(2), 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "u string, eid long, et string, ts timestamp, v double"
+    )
+    past_last = match_recognize(
+        df, "u", ["ts", "eid"], _pat(), [Measure("n", "A", "count")]
+    )
+    assert [r["n"] for r in past_last.collect()] == [2]
+    nxt = match_recognize(
+        df, "u", ["ts", "eid"], _pat(), [Measure("n", "A", "count")],
+        after_match=SKIP_TO_NEXT_ROW,
+    )
+    # restart from row 2: (cc)p and (c)p both match
+    assert sorted(r["n"] for r in nxt.collect()) == [1, 2]
+
+
+def test_reluctant_quantifier(spark):
+    rows = [
+        ("k", 1, "c", TS(0), 1.0),
+        ("k", 2, "c", TS(1), 1.0),
+        ("k", 3, "c", TS(2), 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "u string, eid long, et string, ts timestamp, v double"
+    )
+    pat = [
+        Step.one_or_more("A", "et = 'c'", greedy=False),
+        Step.once("B", "et = 'c'"),
+    ]
+    out = match_recognize(df, "u", ["ts", "eid"], pat, [Measure("n", "A", "count")])
+    # reluctant A+ takes 1 row, B the next; skip past last → matches (c)(c)
+    assert [r["n"] for r in out.collect()] == [1]
+
+
+def test_within_clause(spark):
+    rows = [
+        ("k", 1, "e", TS(0), 1.0),
+        ("k", 2, "e", TS(1), 1.0),
+        ("k", 3, "e", TS(50), 1.0),  # 50 min after start → outside within
+        ("k", 4, "e", TS(51), 1.0),
+        ("k", 5, "e", TS(52), 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "u string, eid long, et string, ts timestamp, v double"
+    )
+    out = match_recognize(
+        df, "u", ["ts", "eid"],
+        [Step.at_least("E", "et = 'e'", 3)],
+        [Measure("n", "E", "count"), Measure("s", "E", "first", "eid")],
+        within="30 minutes", time_col="ts",
+    )
+    got = {(r["s"], r["n"]) for r in out.collect()}
+    # greedy 5-row match spans 52min → rejected; retry at row 2 (4 rows,
+    # 51min) → rejected; at row 3: rows 3-5 span 2min → match
+    assert got == {(3, 3)}
+
+
+def test_no_matches_empty_schema(spark, seq):
+    out = match_recognize(
+        seq, "u", ["ts", "eid"],
+        [Step.once("Z", "et = 'zzz'")],
+        [Measure("n", "Z", "count")],
+    )
+    assert out.count() == 0
+    assert out.columns == ["u", "match_seq", "n"]
+
+
+def test_cep_query_vs_oracle(spark, sf_dir):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from _oracle import compare, duck_connection
+
+    from flink_psl_spark.queries import ORACLES, QUERIES
+
+    con = duck_connection(sf_dir)
+    df = QUERIES["cep_clicks_then_purchase"](spark, sf_dir)
+    ok, msg = compare(df, con, ORACLES["cep_clicks_then_purchase"])
+    con.close()
+    assert ok, msg
