@@ -1,0 +1,162 @@
+"""CDC ingestion + upsert materialization (SURVEY §7 M4).
+
+Reference: the CDC JSON formats (flink-formats/flink-json/.../debezium/
+DebeziumJsonDeserializationSchema.java, canal/CanalJsonDeserializationSchema
+.java, maxwell/MaxwellJsonDeserializationSchema.java) turn change messages
+into Flink changelog rows (+I/-U/+U/-D, RowKind.java:25); upsert sinks
+consume them keyed by primary key.
+
+Our engine's changelog rows are explicit data — an ``__op`` column with
+values 'I' / 'U' / 'D' (+ '-U' for update-before, dropped on ingest; see
+operators/changelog.py). Parsers here are pure expression pipelines
+(from_json → explode of envelope fields), so CDC decoding runs inside
+whole-stage codegen at scan parallelism; ``upsert_into_parquet`` is the
+``foreachBatch`` MERGE strategy for sinks without native upsert.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_psl_spark.operators.changelog import ROWKIND_COL, changelog_normalize
+
+
+def parse_debezium(raw: DataFrame, value_schema: str, json_col: str = "value") -> DataFrame:
+    """Debezium envelope: {"before": {...}, "after": {...}, "op": "c|u|d|r",
+    "ts_ms": ...}. Emits the after-image (before-image for deletes) with
+    ``__op`` ∈ I/U/D and ``__ts_ms``.
+
+    op mapping (DebeziumJsonDeserializationSchema.java): c/r → insert,
+    u → update (we keep only the after-image ⇒ drop the implicit -U),
+    d → delete.
+    """
+    env = F.from_json(
+        F.col(json_col),
+        f"struct<before: {value_schema}, after: {value_schema}, "
+        "op: string, ts_ms: bigint>",
+    )
+    parsed = raw.select(env.alias("__env")).select(
+        F.when(F.col("__env.op") == "d", F.col("__env.before"))
+        .otherwise(F.col("__env.after"))
+        .alias("__row"),
+        F.when(F.col("__env.op").isin("c", "r"), F.lit("I"))
+        .when(F.col("__env.op") == "u", F.lit("U"))
+        .when(F.col("__env.op") == "d", F.lit("D"))
+        .alias(ROWKIND_COL),
+        F.col("__env.ts_ms").alias("__ts_ms"),
+    )
+    return parsed.select("__row.*", ROWKIND_COL, "__ts_ms")
+
+
+def parse_canal(raw: DataFrame, value_schema: str, json_col: str = "value") -> DataFrame:
+    """Canal envelope: {"data": [{...}...], "old": [...], "type":
+    "INSERT|UPDATE|DELETE", "ts": ...} — ``data`` is an ARRAY of rows
+    (CanalJsonDeserializationSchema.java), exploded here."""
+    env = F.from_json(
+        F.col(json_col),
+        f"struct<data: array<{value_schema}>, type: string, ts: bigint>",
+    )
+    parsed = (
+        raw.select(env.alias("__env"))
+        .select(
+            F.explode("__env.data").alias("__row"),
+            F.when(F.col("__env.type") == "INSERT", F.lit("I"))
+            .when(F.col("__env.type") == "UPDATE", F.lit("U"))
+            .when(F.col("__env.type") == "DELETE", F.lit("D"))
+            .alias(ROWKIND_COL),
+            F.col("__env.ts").alias("__ts_ms"),
+        )
+    )
+    return parsed.select("__row.*", ROWKIND_COL, "__ts_ms")
+
+
+def parse_maxwell(raw: DataFrame, value_schema: str, json_col: str = "value") -> DataFrame:
+    """Maxwell envelope: {"data": {...}, "type": "insert|update|delete",
+    "ts": ...} (MaxwellJsonDeserializationSchema.java)."""
+    env = F.from_json(
+        F.col(json_col),
+        f"struct<data: {value_schema}, type: string, ts: bigint>",
+    )
+    parsed = raw.select(env.alias("__env")).select(
+        F.col("__env.data").alias("__row"),
+        F.when(F.col("__env.type") == "insert", F.lit("I"))
+        .when(F.col("__env.type") == "update", F.lit("U"))
+        .when(F.col("__env.type") == "delete", F.lit("D"))
+        .alias(ROWKIND_COL),
+        F.col("__env.ts").alias("__ts_ms"),
+    )
+    return parsed.select("__row.*", ROWKIND_COL, "__ts_ms")
+
+
+def merge_upsert(
+    current: DataFrame | None,
+    changes: DataFrame,
+    keys: str | list[str],
+    version_by: str | list[str],
+) -> DataFrame:
+    """Pure MERGE: apply a keyed changelog batch onto the current table
+    image (both DataFrames) and return the new image.
+
+    current rows are treated as inserts with version -∞ (they lose to any
+    change for the same key); the result is the normalized latest image
+    with deletes applied. This is the per-batch body of
+    ``upsert_into_parquet`` and is directly usable inside ``foreachBatch``
+    against Delta's ``MERGE`` when available.
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    vers = [version_by] if isinstance(version_by, str) else list(version_by)
+    ch = changes
+    if current is not None:
+        base = current
+        for c in [ROWKIND_COL, *vers]:
+            if c not in base.columns:
+                base = base.withColumn(
+                    c,
+                    F.lit("I") if c == ROWKIND_COL
+                    else F.lit(None).cast(dict(ch.dtypes)[c]),
+                )
+        # nulls-first ordering makes existing rows older than any change
+        ch = base.select(ch.columns).unionByName(ch)
+    return changelog_normalize(ch, key_list, vers)
+
+
+def upsert_into_parquet(
+    changes_stream: DataFrame,
+    path: str,
+    keys: str | list[str],
+    version_by: str | list[str],
+    *,
+    checkpoint: str,
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """Streaming upsert sink: foreachBatch MERGE into a parquet table.
+
+    Each micro-batch reads the current image, merges the batch's changelog
+    rows, and atomically rewrites (write-new + swap via overwrite). With a
+    transactional table format (Delta/Iceberg) the body becomes a native
+    MERGE INTO; parquet keeps the engine dependency-free here.
+
+    Scale note: full-image rewrite is O(table) per batch — correct but only
+    for small/medium dimensions. Large tables should partition ``path`` by
+    a key prefix and rewrite only partitions containing batch keys, or use
+    Delta MERGE; the per-batch logic (merge_upsert) is identical.
+    """
+    spark = changes_stream.sparkSession
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        try:
+            current = spark.read.parquet(path)
+        except Exception:
+            current = None
+        out = merge_upsert(current, batch, keys, version_by)
+        out.persist()
+        out.count()  # materialize before overwriting the input path
+        out.write.mode("overwrite").parquet(path)
+        out.unpersist()
+
+    return (
+        changes_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )

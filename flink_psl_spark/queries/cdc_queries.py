@@ -1,0 +1,107 @@
+"""CDC / changelog query inventory (SURVEY §7 M4; reference debezium/canal/
+maxwell JSON formats + ChangelogNormalize).
+
+Each query SERIALIZES the events fixture into the real CDC envelope (JSON
+text), parses it back with the format parser, and materializes the upsert
+image — so the parser, the op-mapping, and the normalize step are all under
+oracle check. The oracle reconstructs the same image directly from events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_psl_spark.cdc import parse_canal, parse_debezium, parse_maxwell
+from flink_psl_spark.operators.changelog import changelog_normalize
+from flink_psl_spark.queries.registry import query, tables
+
+_PAYLOAD = "struct<user_id: bigint, event_id: bigint, value: double>"
+
+_IMAGE_ORACLE = """
+    SELECT user_id, event_id, value FROM (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM events) t
+    WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def _payload_struct():
+    return F.struct(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("value").alias("value"),
+    )
+
+
+@query("cdc_debezium_roundtrip", oracle=_IMAGE_ORACLE)
+def cdc_debezium_roundtrip(spark, sf_dir):
+    """events → Debezium JSON envelope → parse_debezium → normalized image.
+    op mapping: signup→c (insert), error→d (delete), else u (update)."""
+    t = tables(spark, sf_dir)
+    raw = t["events"].select(
+        F.to_json(
+            F.struct(
+                F.when(F.col("event_type") == "error", _payload_struct())
+                .alias("before"),
+                F.when(F.col("event_type") != "error", _payload_struct())
+                .alias("after"),
+                F.when(F.col("event_type") == "signup", F.lit("c"))
+                .when(F.col("event_type") == "error", F.lit("d"))
+                .otherwise(F.lit("u"))
+                .alias("op"),
+                F.unix_millis("ts").alias("ts_ms"),
+            )
+        ).alias("value")
+    )
+    changes = parse_debezium(raw, _PAYLOAD)
+    return changelog_normalize(
+        changes, "user_id", ["__ts_ms", "event_id"]
+    ).select("user_id", "event_id", "value")
+
+
+@query("cdc_canal_roundtrip", oracle=_IMAGE_ORACLE)
+def cdc_canal_roundtrip(spark, sf_dir):
+    """events → Canal JSON envelope (data is an array) → parse_canal →
+    normalized image."""
+    t = tables(spark, sf_dir)
+    raw = t["events"].select(
+        F.to_json(
+            F.struct(
+                F.array(_payload_struct()).alias("data"),
+                F.when(F.col("event_type") == "signup", F.lit("INSERT"))
+                .when(F.col("event_type") == "error", F.lit("DELETE"))
+                .otherwise(F.lit("UPDATE"))
+                .alias("type"),
+                F.unix_millis("ts").alias("ts"),
+            )
+        ).alias("value")
+    )
+    changes = parse_canal(raw, _PAYLOAD)
+    return changelog_normalize(
+        changes, "user_id", ["__ts_ms", "event_id"]
+    ).select("user_id", "event_id", "value")
+
+
+@query("cdc_maxwell_roundtrip", oracle=_IMAGE_ORACLE)
+def cdc_maxwell_roundtrip(spark, sf_dir):
+    """events → Maxwell JSON envelope → parse_maxwell → normalized image."""
+    t = tables(spark, sf_dir)
+    raw = t["events"].select(
+        F.to_json(
+            F.struct(
+                _payload_struct().alias("data"),
+                F.when(F.col("event_type") == "signup", F.lit("insert"))
+                .when(F.col("event_type") == "error", F.lit("delete"))
+                .otherwise(F.lit("update"))
+                .alias("type"),
+                F.unix_millis("ts").alias("ts"),
+            )
+        ).alias("value")
+    )
+    changes = parse_maxwell(raw, _PAYLOAD)
+    return changelog_normalize(
+        changes, "user_id", ["__ts_ms", "event_id"]
+    ).select("user_id", "event_id", "value")

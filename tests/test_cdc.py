@@ -1,0 +1,123 @@
+"""CDC layer tests: envelope parsers, pure MERGE, streaming upsert sink."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+SCHEMA = "struct<id: bigint, v: string>"
+
+
+def test_parse_debezium(spark):
+    msgs = [
+        ('{"before": null, "after": {"id": 1, "v": "a"}, "op": "c", "ts_ms": 10}',),
+        ('{"before": {"id": 1, "v": "a"}, "after": {"id": 1, "v": "b"}, "op": "u", "ts_ms": 20}',),
+        ('{"before": {"id": 1, "v": "b"}, "after": null, "op": "d", "ts_ms": 30}',),
+        ('{"before": null, "after": {"id": 2, "v": "x"}, "op": "r", "ts_ms": 5}',),
+    ]
+    from flink_psl_spark.cdc import parse_debezium
+
+    raw = spark.createDataFrame(msgs, "value string")
+    out = parse_debezium(raw, SCHEMA).collect()
+    got = {(r["id"], r["v"], r["__op"], r["__ts_ms"]) for r in out}
+    assert got == {
+        (1, "a", "I", 10),
+        (1, "b", "U", 20),
+        (1, "b", "D", 30),  # delete carries the before-image
+        (2, "x", "I", 5),
+    }
+
+
+def test_parse_canal_multi_row(spark):
+    msgs = [
+        ('{"data": [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}], '
+         '"type": "INSERT", "ts": 1}',),
+        ('{"data": [{"id": 1, "v": "z"}], "type": "DELETE", "ts": 2}',),
+    ]
+    from flink_psl_spark.cdc import parse_canal
+
+    raw = spark.createDataFrame(msgs, "value string")
+    got = {(r["id"], r["v"], r["__op"]) for r in parse_canal(raw, SCHEMA).collect()}
+    assert got == {(1, "a", "I"), (2, "b", "I"), (1, "z", "D")}
+
+
+def test_parse_maxwell(spark):
+    msgs = [
+        ('{"data": {"id": 7, "v": "m"}, "type": "insert", "ts": 1}',),
+        ('{"data": {"id": 7, "v": "n"}, "type": "update", "ts": 2}',),
+    ]
+    from flink_psl_spark.cdc import parse_maxwell
+
+    raw = spark.createDataFrame(msgs, "value string")
+    got = {(r["id"], r["v"], r["__op"]) for r in parse_maxwell(raw, SCHEMA).collect()}
+    assert got == {(7, "m", "I"), (7, "n", "U")}
+
+
+def test_merge_upsert(spark):
+    from flink_psl_spark.cdc import merge_upsert
+
+    current = spark.createDataFrame(
+        [(1, "old"), (2, "keep")], "id bigint, v string"
+    )
+    changes = spark.createDataFrame(
+        [(1, "new", "U", 100), (3, "ins", "I", 100), (2, None, "D", 100)],
+        "id bigint, v string, __op string, __ts_ms bigint",
+    )
+    out = merge_upsert(current, changes, "id", "__ts_ms")
+    got = {(r["id"], r["v"]) for r in out.select("id", "v").collect()}
+    assert got == {(1, "new"), (3, "ins")}  # 2 deleted, 1 updated, 3 inserted
+
+
+def test_merge_upsert_no_current(spark):
+    from flink_psl_spark.cdc import merge_upsert
+
+    changes = spark.createDataFrame(
+        [(1, "a", "I", 1), (1, "b", "U", 2)],
+        "id bigint, v string, __op string, __ts_ms bigint",
+    )
+    out = merge_upsert(None, changes, "id", "__ts_ms")
+    assert [(r["id"], r["v"]) for r in out.select("id", "v").collect()] == [(1, "b")]
+
+
+def test_upsert_into_parquet_stream(spark):
+    """foreachBatch MERGE sink: stream a changelog, check the final image."""
+    from flink_psl_spark.cdc import upsert_into_parquet
+
+    d = tempfile.mkdtemp(prefix="fps_cdc_")
+    src, table, ckpt = f"{d}/src", f"{d}/table", f"{d}/ckpt"
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "a", "I", 1), (2, "b", "I", 1), (1, "a2", "U", 2), (2, None, "D", 2)],
+        "id bigint, v string, __op string, __ts_ms bigint",
+    ).write.parquet(src, mode="overwrite")
+
+    stream = (
+        spark.readStream.schema("id bigint, v string, __op string, __ts_ms bigint")
+        .parquet(src)
+    )
+    q = upsert_into_parquet(stream, table, "id", "__ts_ms", checkpoint=ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    img = spark.read.parquet(table)
+    assert {(r["id"], r["v"]) for r in img.select("id", "v").collect()} == {(1, "a2")}
+
+
+def test_cdc_queries_vs_oracle(spark, sf_dir):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from _oracle import compare, duck_connection
+
+    from flink_psl_spark.queries import ORACLES, QUERIES
+
+    con = duck_connection(sf_dir)
+    for name in ["cdc_debezium_roundtrip", "cdc_canal_roundtrip",
+                 "cdc_maxwell_roundtrip"]:
+        df = QUERIES[name](spark, sf_dir)
+        ok, msg = compare(df, con, ORACLES[name])
+        assert ok, f"{name}: {msg}"
+    con.close()
