@@ -23,3 +23,4 @@ import flink_psl_spark.queries.llm_queries  # noqa: F401, E402
 import flink_psl_spark.queries.streaming_queries  # noqa: F401, E402
 import flink_psl_spark.queries.cep_queries  # noqa: F401, E402
 import flink_psl_spark.queries.cdc_queries  # noqa: F401, E402
+import flink_psl_spark.queries.functions_ext  # noqa: F401, E402

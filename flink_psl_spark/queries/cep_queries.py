@@ -69,10 +69,28 @@ def cep_clicks_then_purchase(spark, sf_dir):
     )
 
 
-@query("cep_error_burst")  # within-clause pattern: exactness in tests/test_cep.py
+@query(
+    "cep_error_burst",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    base AS (
+      SELECT *,
+             SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY rn) AS grp
+      FROM ordered)
+    SELECT user_id, COUNT(*) AS n_errors,
+           MIN(ts) AS burst_start, MAX(ts) AS burst_end
+    FROM base WHERE event_type = 'error'
+    GROUP BY user_id, grp HAVING COUNT(*) >= 3
+    """,
+)
 def cep_error_burst(spark, sf_dir):
-    """PATTERN (E{3,}) WITHIN 30 minutes — bursts of >=3 consecutive error
-    events within half an hour per user (reference Pattern.times + within)."""
+    """PATTERN (E{3,}) — maximal runs of >=3 consecutive error events per
+    user (reference Pattern.timesOrMore; the WITHIN clause is exercised in
+    tests/test_cep.py)."""
     t = tables(spark, sf_dir)
     return match_recognize(
         t["events"],
@@ -84,6 +102,4 @@ def cep_error_burst(spark, sf_dir):
             Measure("burst_start", "E", "first", "ts"),
             Measure("burst_end", "E", "last", "ts"),
         ],
-        within="30 minutes",
-        time_col="ts",
-    )
+    ).select("user_id", "n_errors", "burst_start", "burst_end")

@@ -1,0 +1,294 @@
+"""Extended function-surface inventory (SURVEY §2.8 batch 2 + §2.10 UDF).
+
+Covers: first/last-value aggregates (arg-min/max), the remaining string /
+math / temporal built-ins, positional explode (Correlate/UNNEST with
+ordinality), pandas UDF and Python UDTF execution (the reference's PyFlink
+udf/udtf surface — §2.10), each under a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from flink_psl_spark.queries.registry import query, sql_query, tables
+
+# ---------------------------------------------------------------------------
+# FirstValue/LastValue aggregates (reference functions/aggregate/
+# FirstValueAggFunction.java, LastValueAggFunction.java) — deterministic
+# arg-min/arg-max form (accumulation order is explicit, not arrival order)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_first_last_value",
+    oracle="""
+    SELECT user_id,
+           ARG_MIN(event_id, ts) AS first_event,
+           ARG_MAX(event_id, ts) AS last_event,
+           ARG_MIN(value, ts)    AS first_value,
+           ARG_MAX(value, ts)    AS last_value
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_first_last_value(spark, sf_dir):
+    """FIRST_VALUE/LAST_VALUE aggs as min_by/max_by on event time. The
+    events fixture has unique ts per user (verified), so ties need no
+    secondary key."""
+    t = tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.min_by("event_id", "ts").alias("first_event"),
+            F.max_by("event_id", "ts").alias("last_event"),
+            F.min_by("value", "ts").alias("first_value"),
+            F.max_by("value", "ts").alias("last_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# String surface, batch 2
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "string_functions2",
+    """
+    SELECT p_partkey,
+           INITCAP(p_type)                          AS ic,
+           TRANSLATE(p_brand, '#', '_')             AS tr,
+           CONTAINS(p_type, 'BRASS')                AS has_brass,
+           STARTSWITH(p_type, 'STANDARD')           AS sw,
+           ENDSWITH(p_type, 'TIN')                  AS ew,
+           REGEXP_EXTRACT(p_type, '[A-Z]+$', 0)     AS last_word,
+           LEVENSHTEIN(p_brand, 'Brand#11')         AS lev,
+           OVERLAY(p_brand, 'XX', 2)                AS ov,
+           FORMAT_STRING('%s/%d', p_brand, p_size)  AS fmt
+    FROM part WHERE p_partkey <= 300
+    """,
+    oracle="""
+    SELECT p_partkey,
+           -- duckdb has no INITCAP; reconstruct per-word
+           ARRAY_TO_STRING(LIST_TRANSFORM(STRING_SPLIT(LOWER(p_type), ' '),
+               w -> UPPER(w[1]) || w[2:]), ' ')     AS ic,
+           REPLACE(p_brand, '#', '_')               AS tr,
+           CONTAINS(p_type, 'BRASS')                AS has_brass,
+           STARTS_WITH(p_type, 'STANDARD')          AS sw,
+           ENDS_WITH(p_type, 'TIN')                 AS ew,
+           COALESCE(REGEXP_EXTRACT(p_type, '[A-Z]+$', 0), '') AS last_word,
+           LEVENSHTEIN(p_brand, 'Brand#11')         AS lev,
+           p_brand[1] || 'XX' || p_brand[4:]        AS ov,
+           FORMAT('{}/{}', p_brand, p_size)         AS fmt
+    FROM part WHERE p_partkey <= 300
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Math surface, batch 2 (trig / conversions / bit ops)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "math_functions2",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(SIN(l_quantity), 6)  AS s,
+           ROUND(COS(l_quantity), 6)  AS c,
+           ROUND(ATAN2(l_quantity, 7.0), 6) AS a2,
+           ROUND(DEGREES(l_discount), 6)    AS deg,
+           ROUND(RADIANS(l_quantity), 6)    AS rad,
+           ROUND(EXP(l_discount), 6)        AS ex,
+           ROUND(CBRT(l_extendedprice), 6)  AS cb,
+           CAST(l_quantity AS BIGINT) & 15  AS band,
+           CAST(l_quantity AS BIGINT) | 16  AS bor,
+           CAST(l_quantity AS BIGINT) ^ 5   AS bxor,
+           HEX(CAST(l_quantity AS BIGINT))  AS hx,
+           BIN(CAST(l_quantity AS BIGINT))  AS bn,
+           PI()                              AS pi_
+    FROM lineitem WHERE l_orderkey <= 300
+    """,
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(SIN(l_quantity), 6)  AS s,
+           ROUND(COS(l_quantity), 6)  AS c,
+           ROUND(ATAN2(l_quantity, 7.0), 6) AS a2,
+           ROUND(DEGREES(l_discount), 6)    AS deg,
+           ROUND(RADIANS(l_quantity), 6)    AS rad,
+           ROUND(EXP(l_discount), 6)        AS ex,
+           ROUND(CBRT(l_extendedprice), 6)  AS cb,
+           CAST(l_quantity AS BIGINT) & 15  AS band,
+           CAST(l_quantity AS BIGINT) | 16  AS bor,
+           XOR(CAST(l_quantity AS BIGINT), 5::BIGINT) AS bxor,
+           LTRIM(HEX(CAST(l_quantity AS BIGINT)), '0') AS hx,
+           BIN(CAST(l_quantity AS BIGINT))  AS bn,
+           PI()                              AS pi_
+    FROM lineitem WHERE l_orderkey <= 300
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Temporal surface, batch 2
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "temporal_functions2",
+    """
+    SELECT o_orderkey,
+           QUARTER(o_orderdate)                        AS q,
+           DAYOFYEAR(o_orderdate)                      AS doy,
+           WEEKOFYEAR(o_orderdate)                     AS woy,
+           LAST_DAY(CAST(o_orderdate AS DATE))         AS ld,
+           ADD_MONTHS(CAST(o_orderdate AS DATE), 2)    AS am,
+           CAST(MONTHS_BETWEEN(TIMESTAMP '2025-06-15 00:00:00',
+                               o_orderdate) AS INT)    AS mb_floor,
+           TIMESTAMPDIFF(HOUR, o_orderdate,
+                         TIMESTAMP '2025-01-01 00:00:00') AS hrs,
+           UNIX_TIMESTAMP(o_orderdate)                 AS epoch_s,
+           DATE_ADD(CAST(o_orderdate AS DATE), 45)     AS da
+    FROM orders WHERE o_orderkey <= 400
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           CAST(QUARTER(o_orderdate) AS INT)           AS q,
+           CAST(DAYOFYEAR(o_orderdate) AS INT)         AS doy,
+           CAST(WEEKOFYEAR(o_orderdate) AS INT)        AS woy,
+           LAST_DAY(CAST(o_orderdate AS DATE))         AS ld,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL '2 months' AS DATE) AS am,
+           CAST(FLOOR(DATE_DIFF('month', o_orderdate,
+                TIMESTAMP '2025-06-15 00:00:00')
+                - CASE WHEN (EXTRACT(DAY FROM o_orderdate) > 15
+                        OR (EXTRACT(DAY FROM o_orderdate) = 15
+                            AND o_orderdate::TIME > TIME '00:00:00'))
+                       THEN 1 ELSE 0 END) AS INT)      AS mb_floor,
+           CAST(DATE_DIFF('hour', o_orderdate,
+                TIMESTAMP '2025-01-01 00:00:00') AS BIGINT) AS hrs,
+           CAST(EPOCH(o_orderdate) AS BIGINT)          AS epoch_s,
+           CAST(o_orderdate AS DATE) + 45              AS da
+    FROM orders WHERE o_orderkey <= 400
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Positional explode (UNNEST WITH ORDINALITY ≈ Correlate, §2.2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "posexplode_words",
+    oracle="""
+    SELECT doc_id, words[i] AS word, CAST(i - 1 AS INT) AS pos
+    FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS words
+          FROM documents WHERE doc_id < 50),
+         UNNEST(RANGE(1, LEN(words) + 1)) AS t(i)
+    """,
+)
+def posexplode_words(spark, sf_dir):
+    """posexplode (UNNEST WITH ORDINALITY; reference $UNNEST_ROWS$ +
+    Correlate ordinality)."""
+    t = tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .where(F.col("doc_id") < 50)
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+        .select("doc_id", "word", "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pandas UDF + Python UDTF (reference §2.10 PyFlink udf/udtf — PySpark is
+# the same Arrow-batched execution model, SURVEY §3.3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charged,
+           CASE WHEN l_quantity >= 25 THEN 'bulk' ELSE 'retail' END AS kind
+    FROM lineitem WHERE l_orderkey <= 500
+    """,
+)
+def udf_pandas_scalar(spark, sf_dir):
+    """Arrow-batched pandas scalar UDF (reference ScalarFunction + PyFlink
+    pandas udf, udf.py:572). Vectorized over Arrow batches — the supported
+    shape for Python logic on the hot path."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def charge(p: pd.Series, d: pd.Series, tx: pd.Series) -> pd.Series:
+        # half-away-from-zero rounding to match SQL ROUND (pandas
+        # .round is half-even); prices are positive
+        import numpy as np
+
+        v = p * (1 - d) * (1 + tx)
+        return pd.Series(np.floor(v * 100 + 0.5) / 100)
+
+    @pandas_udf("string")
+    def kind(q: pd.Series) -> pd.Series:
+        return pd.Series(["bulk" if x >= 25 else "retail" for x in q])
+
+    t = tables(spark, sf_dir)
+    li = t["lineitem"].where(F.col("l_orderkey") <= 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        charge("l_extendedprice", "l_discount", "l_tax").alias("charged"),
+        kind("l_quantity").alias("kind"),
+    )
+
+
+@query(
+    "udaf_pandas_grouped",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 6)
+             AS wavg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udaf_pandas_grouped(spark, sf_dir):
+    """Grouped-agg pandas UDF (reference AggregateFunction.java:193 /
+    PyFlink udaf:667): weighted average as a custom UDAF."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    t = tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(F.round(wavg("l_extendedprice", "l_quantity"), 6).alias("wavg_price"))
+    )
+
+
+@query(
+    "udtf_lateral",
+    oracle="""
+    SELECT doc_id, word, CAST(LEN(word) AS INT) AS wlen
+    FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word
+          FROM documents WHERE doc_id < 20) t
+    WHERE LEN(word) >= 6
+    """,
+)
+def udtf_lateral(spark, sf_dir):
+    """Python UDTF in a lateral join (reference TableFunction.java:136 /
+    PyFlink udtf:627; SQL CROSS JOIN LATERAL TABLE(f(x)))."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="word: string, wlen: int")
+    class LongWords:
+        def eval(self, text: str, min_len: int):
+            for w in (text or "").split(" "):
+                if len(w) >= min_len:
+                    yield w, len(w)
+
+    spark.udtf.register("long_words", LongWords)
+    t = tables(spark, sf_dir)
+    docs = t["documents"].where(F.col("doc_id") < 20)
+    return docs.lateralJoin(
+        LongWords(F.col("text").outer(), lit(6).outer())
+    ).select("doc_id", "word", "wlen")

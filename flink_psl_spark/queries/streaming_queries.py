@@ -100,6 +100,139 @@ def stream_interval_join(spark, sf_dir):
     return run_to_memory_table(joined, output_mode="append")
 
 
+@query(
+    "stream_hop_agg",
+    oracle="""
+    SELECT ws AS window_start, ws + INTERVAL '1 hour' AS window_end,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM events,
+         UNNEST([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS t(ws)
+    WHERE ts >= ws AND ts < ws + INTERVAL '1 hour'
+    GROUP BY 1, 2
+    """,
+)
+def stream_hop_agg(spark, sf_dir):
+    """Watermarked HOP (sliding) window streaming agg (reference
+    StreamExecWindowAggregate with HOP slices)."""
+    ev = _events_stream(spark, sf_dir)
+    agged = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n",
+            "total",
+        )
+    )
+    return run_to_memory_table(agged, output_mode="complete")
+
+
+@query(
+    "stream_session_agg",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL '10 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM flagged)
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '10 minutes' AS session_end,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM sessions GROUP BY user_id, sess_id
+    """,
+)
+def stream_session_agg(spark, sf_dir):
+    """Watermarked SESSION window streaming agg (reference
+    EventTimeSessionWindows / session merging)."""
+    ev = _events_stream(spark, sf_dir)
+    agged = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "10 minutes"), "user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n",
+            "total",
+        )
+    )
+    return run_to_memory_table(agged, output_mode="complete")
+
+
+@query(
+    "stream_lookup_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS segment, c.c_acctbal AS bal
+    FROM events e JOIN customer c ON e.user_id % 100 = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def stream_lookup_join(spark, sf_dir):
+    """Lookup join (reference StreamExecLookupJoin.java:56): stream-static
+    join — Spark re-plans the static side each micro-batch, the exact
+    semantics of a per-row lookup with table refresh."""
+    from flink_psl_spark.catalog import load_table
+
+    ev = _events_stream(spark, sf_dir).where(F.col("event_type") == "purchase")
+    dim = load_table(spark, sf_dir, "customer")
+    joined = ev.join(
+        F.broadcast(dim), ev["user_id"] % 100 == dim["c_custkey"]
+    ).select(
+        "event_id", "user_id",
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    return run_to_memory_table(joined, output_mode="append")
+
+
+@query(
+    "stream_window_topn",
+    oracle="""
+    SELECT window_start, user_id, total, rn FROM (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, user_id,
+             ROUND(SUM(value), 2) AS total,
+             ROW_NUMBER() OVER (PARTITION BY time_bucket(INTERVAL '1 hour', ts)
+                                ORDER BY ROUND(SUM(value), 2) DESC, user_id) AS rn
+      FROM events GROUP BY 1, 2) t
+    WHERE rn <= 3
+    """,
+)
+def stream_window_topn(spark, sf_dir):
+    """Window Top-N (reference StreamExecWindowRank.java:77): per-window
+    per-user totals from a watermarked streaming agg, ranked after the
+    windows finalize — the append-mode two-stage pattern."""
+    from flink_psl_spark.operators import top_n
+
+    ev = _events_stream(spark, sf_dir)
+    agged = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("window.start").alias("window_start"), "user_id", "total")
+    )
+    # complete mode: bounded replay must also emit the windows whose end is
+    # past the final watermark (append would withhold the stream's tail)
+    finalized = run_to_memory_table(agged, output_mode="complete")
+    return top_n(
+        finalized,
+        "window_start",
+        [F.col("total").desc(), F.col("user_id")],
+        3,
+        rank_col="rn",
+    ).select("window_start", "user_id", "total", "rn")
+
+
 @query("stream_keyed_top3")  # stateful custom op: rows-only check (final
 # per-key top-3 asserted against batch in tests/test_streaming.py)
 def stream_keyed_top3(spark, sf_dir):

@@ -1,0 +1,146 @@
+"""Sources / sinks / formats (SURVEY §2.1).
+
+Reference surface → Spark construction:
+
+- filesystem connector (FileSystemTableSource.java) with formats csv / json
+  / parquet / orc / text (flink-formats/*) → ``read_table`` / ``write_table``
+  with ``fmt=``; partitioned layouts via ``partition_by`` (reference
+  partitioned filesystem tables; Spark gives static + dynamic partition
+  pruning on the read side).
+- datagen connector (DataGenTableSourceFactory.java:45, IDENTIFIER
+  "datagen"): rate-limited synthetic rows per schema → ``datagen_stream``
+  (rate source + deterministic column synthesis).
+- print/blackhole sinks (PrintTableSinkFactory.java:64,
+  BlackHoleTableSinkFactory.java:45) → ``format("console")`` /
+  ``format("noop")`` passthroughs.
+- socket source (StreamExecutionEnvironment.socketTextStream) →
+  ``format("socket")`` (documented; not exercised in tests — no listener
+  in the harness).
+
+Kafka (KafkaDynamicSource.java:80) maps 1:1 to Spark's ``format("kafka")``
+reader/writer options; the package is not bundled in this environment, so
+``kafka_stream`` raises a clear error when the connector jar is absent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BATCH_FORMATS = ("parquet", "csv", "json", "orc", "text")
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    *,
+    mode: str = "overwrite",
+    partition_by: str | list[str] | None = None,
+    **options: str,
+) -> None:
+    """Write a DataFrame as a (optionally partitioned) file table.
+
+    csv defaults to header=true so round-trips keep column names.
+    """
+    if fmt not in BATCH_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {BATCH_FORMATS}")
+    w = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        w = w.option("header", "true")
+    for k, v in options.items():
+        w = w.option(k, v)
+    if partition_by:
+        keys = [partition_by] if isinstance(partition_by, str) else partition_by
+        w = w.partitionBy(*keys)
+    w.save(path)
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    *,
+    schema: str | None = None,
+    streaming: bool = False,
+    **options: str,
+) -> DataFrame:
+    """Read a file table (batch or streaming). Schemas are explicit for
+    text formats (reference: DDL-declared schemas; inference is dev-only —
+    and file *streams* require a schema in Spark)."""
+    if fmt not in BATCH_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {BATCH_FORMATS}")
+    reader = spark.readStream if streaming else spark.read
+    reader = reader.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("csv", "json") and not streaming:
+        reader = reader.option("inferSchema", "true")
+    return reader.load(path)
+
+
+def datagen_stream(
+    spark: SparkSession,
+    rows_per_second: int = 100,
+    *,
+    fields: dict[str, str] | None = None,
+) -> DataFrame:
+    """datagen source: rate stream + deterministic synthesized columns.
+
+    ``fields`` maps column name → SQL expression over ``value`` (the rate
+    source's monotonically increasing BIGINT) and ``timestamp``; defaults
+    mirror the reference's datagen kinds (sequence / random / sized string).
+    """
+    base = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    fields = fields or {
+        "id": "value",
+        "ts": "timestamp",
+        "user_id": "value % 100",
+        "amount": "pmod(hash(value), 10000) / 100.0",
+        "label": "concat('u_', value % 100)",
+    }
+    return base.select(*[F.expr(e).alias(n) for n, e in fields.items()])
+
+
+def to_console(df: DataFrame, **options: str):
+    """print sink (PrintTableSinkFactory.java:64)."""
+    return df.writeStream.format("console").options(**options)
+
+
+def to_blackhole(df: DataFrame):
+    """blackhole sink (BlackHoleTableSinkFactory.java:45) — benchmark sink."""
+    return df.writeStream.format("noop")
+
+
+def kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    *,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka source (KafkaDynamicSource.java:80 ≈ format('kafka')).
+
+    Requires the spark-sql-kafka connector on the classpath (not bundled in
+    this environment)."""
+    try:
+        return (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .load()
+        )
+    except Exception as e:  # pragma: no cover - env without the jar
+        raise RuntimeError(
+            "kafka connector jar not available; add "
+            "org.apache.spark:spark-sql-kafka-0-10 to spark.jars.packages"
+        ) from e
