@@ -20,6 +20,10 @@ from flink_psl_spark.llm.dedup import (  # noqa: F401
     simhash_dedup,
     ngram_jaccard_pairs,
 )
+from flink_psl_spark.llm.clustering import (  # noqa: F401
+    connected_components,
+    dedup_clusters,
+)
 from flink_psl_spark.llm.similarity import (  # noqa: F401
     cosine_topk,
     lsh_cosine_topk,

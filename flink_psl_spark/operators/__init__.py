@@ -13,6 +13,11 @@ from flink_psl_spark.operators.windows import (  # noqa: F401
     cumulate,
     session,
 )
+from flink_psl_spark.operators.misc import (  # noqa: F401
+    async_lookup,
+    side_outputs,
+    write_side_outputs,
+)
 from flink_psl_spark.operators.changelog import (  # noqa: F401
     ROWKIND_COL,
     changelog_normalize,

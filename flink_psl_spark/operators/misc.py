@@ -1,0 +1,104 @@
+"""Side outputs + async lookup (SURVEY §2.2 'side outputs', §2.9 'Async I/O').
+
+- ``side_outputs``: the reference's OutputTag split-stream
+  (flink-streaming-java/.../SideOutputDataStream.java; ProcessFunction
+  Context.output). Spark has no multi-output operator; the equivalent is N
+  filters over one cached pass — Catalyst reuses the scan, and
+  ``write_side_outputs`` performs the one-pass multi-write inside
+  ``foreachBatch`` (each batch cached once, written N times).
+- ``async_lookup``: AsyncDataStream.orderedWait (AsyncDataStream.java:165)
+  — per-record async calls into an external service with bounded
+  concurrency. Spark shape: ``mapInPandas`` with a thread pool per Arrow
+  batch — I/O overlaps within the batch, results stay in input order
+  (ordered-wait semantics), and concurrency is bounded per task so
+  executor memory stays flat.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from concurrent.futures import ThreadPoolExecutor
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+
+
+def side_outputs(
+    df: DataFrame, tags: dict[str, Column], *, rest_tag: str | None = None
+) -> dict[str, DataFrame]:
+    """Split one DataFrame into tagged outputs (≈ OutputTag side outputs).
+
+    ``tags`` maps name → boolean Column; ``rest_tag`` (optional) collects
+    rows matching none of the tags. Filters may overlap (a row can go to
+    several outputs) — same as the reference, where an element can be
+    emitted to any number of side outputs.
+    """
+    out = {name: df.where(cond) for name, cond in tags.items()}
+    if rest_tag is not None:
+        none_match = None
+        for cond in tags.values():
+            none_match = ~cond if none_match is None else none_match & ~cond
+        out[rest_tag] = df.where(none_match)
+    return out
+
+
+def write_side_outputs(
+    stream_df: DataFrame,
+    tags: dict[str, Column],
+    writer: Callable[[str, DataFrame, int], None],
+    *,
+    checkpoint: str,
+    rest_tag: str | None = None,
+):
+    """Streaming multi-write: one pass, N sinks, via foreachBatch.
+
+    ``writer(tag, batch_df, batch_id)`` performs the per-sink write. The
+    batch is persisted once so the source is read once per trigger
+    regardless of the number of outputs.
+    """
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        batch.persist()
+        try:
+            for tag, part in side_outputs(batch, tags, rest_tag=rest_tag).items():
+                writer(tag, part, batch_id)
+        finally:
+            batch.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def async_lookup(
+    df: DataFrame,
+    fn: Callable[[dict], dict],
+    out_schema: str,
+    *,
+    key_cols: list[str] | None = None,
+    max_concurrency: int = 16,
+) -> DataFrame:
+    """Ordered async enrichment: call ``fn(row_dict) -> dict`` for every row
+    with up to ``max_concurrency`` in-flight calls per task; append the
+    returned fields. Result order matches input order within each partition
+    (AsyncDataStream.orderedWait semantics).
+
+    ``out_schema`` is the FULL output schema DDL (input cols + appended).
+    ``fn`` runs in worker threads — it must be thread-safe and is expected
+    to be I/O-bound (an RPC/HTTP call); CPU-bound work belongs in a plain
+    pandas UDF instead.
+    """
+    key_cols = key_cols or list(df.columns)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+            for pdf in batches:
+                reqs = pdf[key_cols].to_dict("records")
+                results = list(pool.map(fn, reqs))
+                extra = pd.DataFrame(results, index=pdf.index)
+                yield pd.concat([pdf, extra], axis=1)
+
+    return df.mapInPandas(run, out_schema)

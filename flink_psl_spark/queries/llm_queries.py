@@ -78,6 +78,93 @@ def llm_simhash_dedup(spark, sf_dir):
 
 
 @query(
+    "llm_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT([array_to_string(words[i:i+2], ' ')
+                            FOR i IN RANGE(1, GREATEST(LEN(words) - 2, 0) + 1)]) AS s
+      FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words
+            FROM documents WHERE doc_id < 200)),
+    pairs AS (
+      SELECT l.doc_id AS a, r.doc_id AS b
+      FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+      WHERE LEN(LIST_INTERSECT(l.s, r.s)) * 1.0 /
+            LEN(LIST_DISTINCT(LIST_CONCAT(l.s, r.s))) >= 0.2),
+    und AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs),
+    walk(node, label) AS (
+      SELECT s, s FROM und
+      UNION
+      SELECT u.d, w.label FROM walk w JOIN und u ON u.s = w.node)
+    SELECT node AS doc_id, MIN(label) AS cluster_id
+    FROM walk GROUP BY node
+    """,
+)
+def llm_dedup_clusters(spark, sf_dir):
+    """Duplicate-group clustering: exact 3-shingle Jaccard >= 0.2 pairs on a
+    doc subset → connected components (min-label propagation; the Gelly
+    ConnectedComponents surface). Oracle: recursive-CTE transitive closure."""
+    from flink_psl_spark.llm import dedup_clusters, ngram_jaccard_pairs
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"].where(F.col("doc_id") < 200)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2)
+    return dedup_clusters(pairs)
+
+
+@query(
+    "llm_bpe_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_pieces
+    FROM documents
+    """,
+)
+def llm_bpe_token_count(spark, sf_dir):
+    """BPE-ish sub-word token estimate (word/number/punct piece split)."""
+    from flink_psl_spark.llm.text import bpe_ish_token_count
+
+    t = tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id", bpe_ish_token_count("text").alias("n_pieces")
+    )
+
+
+@query(
+    "llm_quality_score",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS toks,
+             LEN(REGEXP_REPLACE(text, '\\s', '', 'g')) * 1.0
+               / LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS mwl,
+             LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'),
+                 x -> LIST_CONTAINS(['the','a','an','and','or','of','to','in',
+                     'is','are','was','were','be','been','it','this','that',
+                     'for','on','with','as','at','by','from','not','no'], x)))
+               * 1.0 / LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS sw,
+             LEN(REGEXP_REPLACE(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) * 1.0
+               / LEN(text) AS pr
+      FROM documents)
+    SELECT doc_id,
+           CAST(CASE WHEN toks BETWEEN 10 AND 100000 THEN 0.25 ELSE 0 END
+              + CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0 END
+              + CASE WHEN sw >= 0.05 THEN 0.25 ELSE 0 END
+              + CASE WHEN pr <= 0.3 THEN 0.25 ELSE 0 END AS DOUBLE) AS q
+    FROM f
+    """,
+)
+def llm_quality_score(spark, sf_dir):
+    """Composite quality score (Gopher/C4-style band checks)."""
+    from flink_psl_spark.llm.text import quality_score
+
+    t = tables(spark, sf_dir)
+    return t["documents"].select("doc_id", quality_score("text").alias("q"))
+
+
+@query(
     "llm_text_stats",
     oracle="""
     SELECT doc_id,

@@ -233,6 +233,73 @@ def stream_window_topn(spark, sf_dir):
     ).select("window_start", "user_id", "total", "rn")
 
 
+@query(
+    "stream_count_window",
+    oracle="""
+    WITH numbered AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+      FROM events)
+    SELECT user_id,
+           rn // 5 AS window_seq,
+           CAST(COUNT(*) AS INT) AS n,
+           ROUND(SUM(value), 3) AS sum_v,
+           ROUND(MIN(value), 3) AS min_v,
+           ROUND(MAX(value), 3) AS max_v
+    FROM numbered
+    GROUP BY user_id, rn // 5
+    HAVING COUNT(*) = 5
+    """,
+)
+def stream_count_window(spark, sf_dir):
+    """Count tumbling window, size 5 (reference KeyedStream.countWindow —
+    no Spark primitive; applyInPandasWithState op). Bounded single-batch
+    replay makes the processing order the event-time order, so the batch
+    oracle (complete groups of 5 per user) is exact."""
+    from flink_psl_spark.streaming import keyed_count_window
+
+    ev = _events_stream(spark, sf_dir)
+    out = keyed_count_window(ev, "user_id", "ts", "value", 5)
+    mem = run_to_memory_table(out, output_mode="append")
+    return mem.select(
+        "user_id", "window_seq", "n",
+        F.round("sum_v", 3).alias("sum_v"),
+        F.round("min_v", 3).alias("min_v"),
+        F.round("max_v", 3).alias("max_v"),
+    )
+
+
+@query(
+    "stream_rows_over",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(SUM(value) OVER w, 3) AS run_sum,
+           ROUND(AVG(value) OVER w, 3) AS run_avg,
+           CAST(COUNT(*) OVER w AS INT) AS run_cnt
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def stream_rows_over(spark, sf_dir):
+    """Streaming OVER aggregate, ROWS 2 PRECEDING (reference
+    StreamExecOverAggregate.java:91 — no Spark streaming OVER; stateful
+    bounded-buffer op)."""
+    from flink_psl_spark.streaming import streaming_rows_over
+
+    ev = _events_stream(spark, sf_dir)
+    out = streaming_rows_over(
+        ev, "user_id", "ts", "value", 2, payload_cols=["event_id"]
+    )
+    mem = run_to_memory_table(out, output_mode="append")
+    return mem.select(
+        "user_id", "event_id",
+        F.round("run_sum", 3).alias("run_sum"),
+        F.round("run_avg", 3).alias("run_avg"),
+        "run_cnt",
+    )
+
+
 @query("stream_keyed_top3")  # stateful custom op: rows-only check (final
 # per-key top-3 asserted against batch in tests/test_streaming.py)
 def stream_keyed_top3(spark, sf_dir):

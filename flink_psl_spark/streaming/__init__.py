@@ -18,4 +18,8 @@ from flink_psl_spark.streaming.core import (  # noqa: F401
     streaming_dedup,
     streaming_interval_join,
 )
-from flink_psl_spark.streaming.stateful import keyed_top_n  # noqa: F401
+from flink_psl_spark.streaming.stateful import (  # noqa: F401
+    keyed_count_window,
+    keyed_top_n,
+    streaming_rows_over,
+)

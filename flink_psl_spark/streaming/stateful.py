@@ -101,3 +101,147 @@ def keyed_top_n(
 
 def _dt(df: DataFrame, col: str) -> str:
     return dict(df.dtypes)[col]
+
+
+def keyed_count_window(
+    events: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    size: int,
+) -> DataFrame:
+    """Count-based tumbling windows (reference:
+    flink-streaming-java/.../windowing/assigners — countWindow(size) on
+    KeyedStream; no Spark primitive, SURVEY §2.9 'count windows').
+
+    Buffers rows per key; every ``size`` rows (in ``order_col`` order within
+    the buffered prefix) emits one aggregate row (n, sum, min, max) and
+    drops them from state. Incomplete tails stay in state across batches —
+    state is bounded at ``size - 1`` rows per key.
+
+    Ordering contract: rows are processed in (arrival batch, order_col)
+    order — the reference's processing-time count window; with a
+    single-batch bounded replay this equals global event-time order.
+    """
+    src = events.select(key_col, order_col, value_col)
+    k_dt, o_dt, v_dt = (_dt(src, c) for c in (key_col, order_col, value_col))
+    out_fields = (
+        f"{key_col} {k_dt}, window_seq bigint, n int, "
+        f"sum_v double, min_v double, max_v double"
+    )
+    state_fields = f"seq bigint, ord array<{o_dt}>, vals array<{v_dt}>"
+
+    def fn(key, batches: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            seq, ords, vals = state.get
+            buf = pd.DataFrame({order_col: list(ords), value_col: list(vals)})
+        else:
+            seq = 0
+            buf = pd.DataFrame({order_col: [], value_col: []})
+        outs = []
+        for b in batches:
+            b = b.sort_values(order_col, kind="mergesort")
+            buf = pd.concat([buf, b[[order_col, value_col]]], ignore_index=True)
+            while len(buf) >= size:
+                win, buf = buf.iloc[:size], buf.iloc[size:]
+                outs.append(
+                    {
+                        key_col: key[0],
+                        "window_seq": seq,
+                        "n": size,
+                        "sum_v": float(win[value_col].sum()),
+                        "min_v": float(win[value_col].min()),
+                        "max_v": float(win[value_col].max()),
+                    }
+                )
+                seq += 1
+        state.update(
+            (seq, buf[order_col].tolist(), buf[value_col].tolist())
+        )
+        if outs:
+            yield pd.DataFrame(outs)
+        else:
+            yield pd.DataFrame(
+                {key_col: [], "window_seq": [], "n": [],
+                 "sum_v": [], "min_v": [], "max_v": []}
+            )
+
+    return src.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_fields,
+        stateStructType=state_fields,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_rows_over(
+    events: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    preceding: int,
+    *,
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming OVER aggregate, ROWS BETWEEN ``preceding`` PRECEDING AND
+    CURRENT ROW (reference: StreamExecOverAggregate.java:91,
+    ProcTimeRowsBoundedPrecedingFunction.java — Spark has no streaming
+    OVER; SURVEY §2.5).
+
+    Emits one row per input row with running (sum, avg, cnt) over the last
+    ``preceding``+1 rows of the same key. State is exactly the last
+    ``preceding`` (order, value) pairs per key — bounded by construction.
+
+    Ordering contract: same as ``keyed_count_window`` (processing order
+    within key; event-time order under single-batch replay — the
+    reference's proc-time variant semantics).
+    """
+    payload_cols = payload_cols or []
+    src = events.select(key_col, order_col, value_col, *payload_cols)
+    k_dt, o_dt, v_dt = (_dt(src, c) for c in (key_col, order_col, value_col))
+    pay_out = "".join(
+        f", {c} {_dt(src, c)}" for c in payload_cols
+    )
+    out_fields = (
+        f"{key_col} {k_dt}, {order_col} {o_dt}, {value_col} {v_dt}{pay_out}, "
+        f"run_sum double, run_avg double, run_cnt int"
+    )
+    state_fields = f"ord array<{o_dt}>, vals array<{v_dt}>"
+
+    def fn(key, batches: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            ords, vals = state.get
+            tail = pd.DataFrame({order_col: list(ords), value_col: list(vals)})
+        else:
+            tail = pd.DataFrame({order_col: [], value_col: []})
+        for b in batches:
+            b = b.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+            hist = pd.concat(
+                [tail, b[[order_col, value_col]]], ignore_index=True
+            )
+            n_tail = len(tail)
+            out = b.copy()
+            sums, avgs, cnts = [], [], []
+            vals_np = hist[value_col].to_numpy()
+            for i in range(len(b)):
+                hi = n_tail + i + 1
+                lo = max(0, hi - (preceding + 1))
+                w = vals_np[lo:hi]
+                sums.append(float(w.sum()))
+                avgs.append(float(w.mean()))
+                cnts.append(len(w))
+            out["run_sum"] = sums
+            out["run_avg"] = avgs
+            out["run_cnt"] = cnts
+            tail = hist.iloc[max(0, len(hist) - preceding):]
+            yield out
+        state.update((tail[order_col].tolist(), tail[value_col].tolist()))
+
+    return src.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_fields,
+        stateStructType=state_fields,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,150 @@
+"""Side outputs, async lookup, count windows, streaming OVER, clustering."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_side_outputs(spark, t):
+    from flink_psl_spark.operators import side_outputs
+
+    outs = side_outputs(
+        t["events"],
+        {
+            "clicks": F.col("event_type") == "click",
+            "big": F.col("value") > 90,
+        },
+        rest_tag="other",
+    )
+    total = t["events"].count()
+    n_click = outs["clicks"].count()
+    n_big = outs["big"].count()
+    n_other = outs["other"].count()
+    overlap = t["events"].where(
+        (F.col("event_type") == "click") & (F.col("value") > 90)
+    ).count()
+    assert n_click + n_big + n_other - overlap == total
+    assert outs["clicks"].select("event_type").distinct().collect()[0][0] == "click"
+
+
+def test_write_side_outputs_stream(spark, sf_dir):
+    from flink_psl_spark.operators import write_side_outputs
+    from flink_psl_spark.streaming import stream_from_parquet
+
+    d = tempfile.mkdtemp(prefix="fps_side_")
+    ev = stream_from_parquet(spark, f"{sf_dir}/events.parquet", ts_col="ts")
+    written = {}
+
+    def writer(tag, batch, batch_id):
+        path = f"{d}/{tag}"
+        batch.write.mode("append").parquet(path)
+        written[tag] = path
+
+    q = write_side_outputs(
+        ev,
+        {"clicks": F.col("event_type") == "click"},
+        writer,
+        checkpoint=f"{d}/ckpt",
+        rest_tag="other",
+    )
+    q.processAllAvailable()
+    q.stop()
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want_clicks = batch.where(F.col("event_type") == "click").count()
+    assert spark.read.parquet(written["clicks"]).count() == want_clicks
+    assert spark.read.parquet(written["other"]).count() == batch.count() - want_clicks
+
+
+def test_async_lookup_ordered(spark):
+    from flink_psl_spark.operators import async_lookup
+
+    df = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(100)], "id long, name string"
+    ).repartition(4)
+
+    def service(req: dict) -> dict:
+        import time
+
+        time.sleep(0.001 * (req["id"] % 3))  # variable latency
+        return {"enriched": f"{req['name']}:{req['id'] * 2}"}
+
+    out = async_lookup(
+        df, service, "id long, name string, enriched string", max_concurrency=8
+    )
+    rows = out.collect()
+    assert len(rows) == 100
+    assert all(r["enriched"] == f"{r['name']}:{r['id'] * 2}" for r in rows)
+
+
+def test_connected_components(spark):
+    from flink_psl_spark.llm import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 4)],
+        "a long, b long",
+    )
+    cc = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_count_window_state_across_batches(spark):
+    """Two-file replay: incomplete window tails must carry across batches."""
+    import os
+
+    from flink_psl_spark.streaming import keyed_count_window, run_to_memory_table
+
+    d = tempfile.mkdtemp(prefix="fps_cw_")
+    rows1 = [("k", i, float(i)) for i in range(3)]  # 3 rows: no window yet
+    rows2 = [("k", i, float(i)) for i in range(3, 7)]  # +4 → windows [0-4]
+    spark.createDataFrame(rows1, "k string, o long, v double").coalesce(
+        1
+    ).write.parquet(f"{d}/src")
+    spark.createDataFrame(rows2, "k string, o long, v double").coalesce(
+        1
+    ).write.mode("append").parquet(f"{d}/src")
+    assert len([f for f in os.listdir(f"{d}/src") if f.endswith(".parquet")]) == 2
+
+    st = (
+        spark.readStream.schema("k string, o long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/src")
+    )
+    out = keyed_count_window(st, "k", "o", "v", 5)
+    mem = run_to_memory_table(out, output_mode="append")
+    got = [(r["window_seq"], r["n"], r["sum_v"]) for r in mem.collect()]
+    # exactly one complete window (rows 0..4 → sum 10); tail (5,6) unemitted
+    assert got == [(0, 5, 10.0)]
+
+
+def test_streaming_rows_over_matches_batch(spark, sf_dir, t):
+    from flink_psl_spark.streaming import (
+        run_to_memory_table,
+        stream_from_parquet,
+        streaming_rows_over,
+    )
+    from pyspark.sql.window import Window
+
+    ev = stream_from_parquet(spark, f"{sf_dir}/events.parquet", ts_col="ts")
+    out = streaming_rows_over(
+        ev, "user_id", "ts", "value", 2, payload_cols=["event_id"]
+    )
+    mem = run_to_memory_table(out, output_mode="append")
+    got = {
+        (r["event_id"], round(r["run_sum"], 6), r["run_cnt"])
+        for r in mem.collect()
+    }
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    batch = t["events"].select(
+        "event_id",
+        F.round(F.sum("value").over(w), 6).alias("s"),
+        F.count("*").over(w).alias("c"),
+    )
+    want = {(r["event_id"], r["s"], r["c"]) for r in batch.collect()}
+    assert got == want
