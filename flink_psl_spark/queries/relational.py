@@ -637,6 +637,41 @@ sql_query(
     """,
 )
 
+@query(
+    "agg_json",
+    oracle="""
+    SELECT r_regionkey,
+           CAST(TO_JSON(LIST_SORT(LIST(n_name))) AS VARCHAR) AS names_json,
+           CAST(TO_JSON(MAP_FROM_ENTRIES(LIST_SORT(LIST(
+                struct_pack(key := n_name, value := n_nationkey)))))
+                AS VARCHAR) AS kv_json
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_regionkey
+    """,
+)
+def agg_json(spark, sf_dir):
+    """JSON_ARRAYAGG / JSON_OBJECTAGG (reference JsonArrayAggFunction /
+    JsonObjectAggFunction) via to_json over sorted collect_list — the
+    deterministic distributed form."""
+    t = tables(spark, sf_dir)
+    j = (
+        t["nation"]
+        .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_regionkey")
+        .agg(
+            F.to_json(F.array_sort(F.collect_list("n_name"))).alias("names_json"),
+            F.to_json(
+                F.map_from_entries(
+                    F.array_sort(
+                        F.collect_list(F.struct("n_name", "n_nationkey"))
+                    )
+                )
+            ).alias("kv_json"),
+        )
+    )
+    return j
+
+
 # ---------------------------------------------------------------------------
 # Dedup + changelog operators (reference §2.6) — DataFrame API + SQL oracle
 # ---------------------------------------------------------------------------

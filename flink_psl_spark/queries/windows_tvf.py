@@ -90,6 +90,67 @@ def cumulate_window_agg(spark, sf_dir):
 
 
 @query(
+    "window_dedup",
+    oracle="""
+    SELECT user_id, window_start, event_id FROM (
+      SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id,
+                                time_bucket(INTERVAL '1 hour', ts)
+                                ORDER BY ts, event_id) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+)
+def window_dedup(spark, sf_dir):
+    """Window deduplication (reference StreamExecWindowDeduplicate.java:69):
+    first event per (user, tumbling hour window)."""
+    from flink_psl_spark.operators import deduplicate, tumble
+
+    t = tables(spark, sf_dir)
+    windowed = tumble(t["events"], "ts", "1 hour")
+    return deduplicate(
+        windowed, ["user_id", "window_start"], ["ts", "event_id"], keep="first"
+    ).select("user_id", "window_start", "event_id")
+
+
+@query(
+    "window_join",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id, time_bucket(INTERVAL '1 hour', ts) AS w
+               FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, event_id, time_bucket(INTERVAL '1 hour', ts) AS w
+               FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id, c.w AS window_start,
+           c.event_id AS click_id, p.event_id AS purchase_id
+    FROM c JOIN p ON c.user_id = p.user_id AND c.w = p.w
+    """,
+)
+def window_join(spark, sf_dir):
+    """Window join (reference StreamExecWindowJoin.java:69,
+    WindowJoinOperator.java:66): clicks and purchases of the same user in
+    the same tumbling hour window — equi-join on (key, window)."""
+    from flink_psl_spark.operators import tumble
+
+    t = tables(spark, sf_dir)
+    c = tumble(
+        t["events"].where(F.col("event_type") == "click"), "ts", "1 hour"
+    ).select("user_id", F.col("event_id").alias("click_id"), "window_start")
+    p = tumble(
+        t["events"].where(F.col("event_type") == "purchase"), "ts", "1 hour"
+    ).select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("window_start").alias("p_ws"),
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("window_start") == F.col("p_ws")),
+    ).select("user_id", "window_start", "click_id", "purchase_id")
+
+
+@query(
     "session_window_agg",
     oracle="""
     WITH flagged AS (
