@@ -34,6 +34,10 @@ HEADLINE = [
     "llm_minhash_dedup",
     "llm_text_stats",
     "llm_cosine_topk",
+    "window_join",
+    "cep_clicks_then_purchase",
+    "cdc_debezium_roundtrip",
+    "udf_pandas_scalar",
 ]
 
 
