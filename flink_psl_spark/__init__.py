@@ -26,3 +26,4 @@ __version__ = "0.1.0"
 
 from flink_psl_spark.session import get_spark  # noqa: F401
 from flink_psl_spark.catalog import register_tables, TABLES  # noqa: F401
+from flink_psl_spark.api import TableEnvironment  # noqa: F401

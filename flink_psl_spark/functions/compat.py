@@ -25,10 +25,14 @@ def split_index(s: Column | str, delimiter: str, index: int) -> Column:
     """SPLIT_INDEX(str, delim, index) — zero-based field extract.
 
     Reference: SqlFunctionUtils.java ``splitIndex`` (zero-based, NULL when
-    out of range). Spark: ``split`` + element_at (1-based) with null-safe
-    bounds via try_element_at.
+    out of range, separator is a LITERAL string — splitByWholeSeparator).
+    Spark's ``split`` is regex-based, so the delimiter is regex-escaped.
     """
-    return F.try_element_at(F.split(_col(s), delimiter), F.lit(index + 1))
+    import re
+
+    return F.try_element_at(
+        F.split(_col(s), re.escape(delimiter)), F.lit(index + 1)
+    )
 
 
 def to_base64(s: Column | str) -> Column:
@@ -130,8 +134,9 @@ def listagg(col: Column | str, sep: str = ",", *, sort: bool = True) -> Column:
 _SQL_COMPAT_DECLS = (
     # (name, params, return type, body) — SQL scalar UDFs (Spark ≥4.0):
     # pure expressions, inlined by Catalyst, zero Python round-trips.
+    # the delimiter is literal in the reference; escape regex metachars
     ("SPLIT_INDEX", "s STRING, d STRING, i INT", "STRING",
-     "try_element_at(split(s, d), i + 1)"),
+     r"try_element_at(split(s, regexp_replace(d, '([^a-zA-Z0-9])', '\\\\$1')), i + 1)"),
     ("TO_BASE64", "s STRING", "STRING", "base64(CAST(s AS BINARY))"),
     ("FROM_BASE64", "s STRING", "BINARY", "unbase64(s)"),
     ("JSON_VALUE", "j STRING, p STRING", "STRING", "get_json_object(j, p)"),

@@ -19,6 +19,7 @@ from flink_psl_spark.streaming.core import (  # noqa: F401
     streaming_interval_join,
 )
 from flink_psl_spark.streaming.stateful import (  # noqa: F401
+    connect_keyed,
     keyed_count_window,
     keyed_top_n,
     streaming_rows_over,

@@ -17,12 +17,13 @@ cardinalities; the state store (RocksDB) spills to disk.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 from typing import Any
 
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -101,6 +102,71 @@ def keyed_top_n(
 
 def _dt(df: DataFrame, col: str) -> str:
     return dict(df.dtypes)[col]
+
+
+def connect_keyed(
+    data: DataFrame,
+    control: DataFrame,
+    key_col: str,
+    order_col: str,
+    process: "Callable[[object, pd.DataFrame, dict], tuple[pd.DataFrame | None, dict]]",
+    out_schema: str,
+    state_schema: str = "state_json string",
+) -> DataFrame:
+    """connect / CoProcessFunction (reference: DataStream.connect:253,
+    ConnectedStreams + broadcast state pattern; SURVEY §2.9 — Spark has no
+    two-input operator, so the two streams are unioned with a discriminator
+    column and processed by one stateful op).
+
+    ``data`` and ``control`` must share ``key_col`` and ``order_col``; their
+    remaining columns are carried in a JSON payload (schema-agnostic glue —
+    typed fast paths should write a dedicated applyInPandasWithState op).
+
+    ``process(key, rows, state_dict) -> (emit_df | None, new_state_dict)``
+    sees each micro-batch's rows for one key, ordered by (order_col, side)
+    with control rows first at equal timestamps — the reference's
+    recommended control-priority convention. ``state_dict`` is an arbitrary
+    JSON-serializable dict (≈ ValueState).
+    """
+    import json as _json
+
+    d = data.select(
+        F.col(key_col).alias("__k"),
+        F.col(order_col).alias("__o"),
+        F.lit(1).alias("__side"),
+        F.to_json(F.struct(*[c for c in data.columns])).alias("__payload"),
+    )
+    c = control.select(
+        F.col(key_col).alias("__k"),
+        F.col(order_col).alias("__o"),
+        F.lit(0).alias("__side"),
+        F.to_json(F.struct(*[c for c in control.columns])).alias("__payload"),
+    )
+    unioned = d.unionByName(c)
+
+    def fn(key, batches: Iterator[pd.DataFrame], state: GroupState):
+        st = _json.loads(state.get[0]) if state.exists else {}
+        for b in batches:
+            b = b.sort_values(["__o", "__side"], kind="mergesort")
+            rows = pd.DataFrame(
+                {
+                    "side": b["__side"].map({0: "control", 1: "data"}),
+                    "order": b["__o"],
+                    "payload": [_json.loads(p) for p in b["__payload"]],
+                }
+            )
+            emit, st = process(key[0], rows, st)
+            if emit is not None and len(emit):
+                yield emit
+        state.update((_json.dumps(st),))
+
+    return unioned.groupBy("__k").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 def keyed_count_window(
