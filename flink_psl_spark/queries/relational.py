@@ -57,6 +57,68 @@ sql_query(
     """,
 )
 
+# TPC-H-shaped suite (reference flink-end-to-end-tests/flink-tpch-test):
+# Q3/Q6/Q14/Q18 adapted to the fixture's column subset
+
+sql_query(
+    "q3_shipping_priority",
+    """
+    SELECT o_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+
+sql_query(
+    "q6_forecast_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+
+sql_query(
+    "q14_promo_effect",
+    """
+    SELECT ROUND(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                    THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+           / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+
+sql_query(
+    "q18_large_volume",
+    """
+    SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+           ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 350)
+    GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+
 sql_query(
     "agg_distinct",
     """

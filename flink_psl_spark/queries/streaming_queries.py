@@ -300,6 +300,93 @@ def stream_rows_over(spark, sf_dir):
     )
 
 
+@query(
+    "stream_running_agg",
+    oracle="""
+    SELECT user_id, COUNT(*) AS cnt, ROUND(SUM(value), 3) AS total,
+           ROUND(MIN(value), 3) AS min_v, ROUND(MAX(value), 3) AS max_v
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_running_agg(spark, sf_dir):
+    """Streaming group aggregation as an update stream via
+    transformWithStateInPandas + TTL'd ValueState (reference
+    StreamExecGroupAggregate + table.exec.state.ttl). Latest update per key
+    after bounded replay equals the batch aggregate."""
+    from flink_psl_spark.operators import deduplicate
+    from flink_psl_spark.streaming import keyed_running_agg
+
+    ev = _events_stream(spark, sf_dir)
+    updates = keyed_running_agg(ev, "user_id", "value", ttl_ms=3_600_000)
+    mem = run_to_memory_table(updates, output_mode="update")
+    latest = deduplicate(
+        mem.withColumn("__seq", F.monotonically_increasing_id()),
+        ["user_id"],
+        ["cnt", "__seq"],
+        keep="last",
+    )
+    return latest.select(
+        "user_id", "cnt",
+        F.round("total", 3).alias("total"),
+        F.round("min_v", 3).alias("min_v"),
+        F.round("max_v", 3).alias("max_v"),
+    )
+
+
+@query(
+    "stream_asof_enrich",
+    oracle="""
+    SELECT p.event_id, p.user_id, c.event_id AS last_click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def stream_asof_enrich(spark, sf_dir):
+    """Streaming temporal/as-of enrichment (reference
+    StreamExecTemporalJoin FOR SYSTEM_TIME AS OF): each purchase in the
+    stream joins the latest prior click from the versioned (static) side —
+    the stream-static point-in-time lookup pattern, executed per
+    micro-batch with our batch as-of operator inside foreachBatch
+    semantics (run via mapping over the micro-batch)."""
+    from flink_psl_spark.catalog import load_table
+    from flink_psl_spark.operators import asof_join
+
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    clicks = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .select("user_id", "ts", F.col("event_id").alias("click_id"))
+    )
+
+    import tempfile
+    import uuid
+
+    name = f"asof_{uuid.uuid4().hex[:10]}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    def apply_batch(batch, batch_id):
+        out = asof_join(
+            batch, clicks, on="user_id", left_time="ts", right_time="ts",
+            how="left", right_prefix="r_",
+        ).select("event_id", "user_id", F.col("r_click_id").alias("last_click_id"))
+        out.write.mode("append").saveAsTable(name)
+
+    ckpt = tempfile.mkdtemp(prefix="fps_asof_ckpt_")
+    q = (
+        purchases.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 @query("stream_keyed_top3")  # stateful custom op: rows-only check (final
 # per-key top-3 asserted against batch in tests/test_streaming.py)
 def stream_keyed_top3(spark, sf_dir):

@@ -21,6 +21,7 @@ from flink_psl_spark.streaming.core import (  # noqa: F401
 from flink_psl_spark.streaming.stateful import (  # noqa: F401
     connect_keyed,
     keyed_count_window,
+    keyed_running_agg,
     keyed_top_n,
     streaming_rows_over,
 )

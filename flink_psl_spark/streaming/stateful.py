@@ -104,6 +104,109 @@ def _dt(df: DataFrame, col: str) -> str:
     return dict(df.dtypes)[col]
 
 
+def keyed_running_agg(
+    events: DataFrame,
+    key_col: str,
+    value_col: str,
+    *,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Per-key running aggregate (cnt, sum, min, max) as an update stream —
+    the reference's streaming group aggregation (StreamExecGroupAggregate
+    .java:81, GroupAggFunction.java) with idle-state retention
+    (``table.exec.state.ttl`` ≈ ``ttl_ms``, StateTtlConfig).
+
+    Built on ``transformWithStateInPandas`` (Spark 4 stateful processor API)
+    with a TTL'd ValueState — the engine-level counterpart of the PSL
+    fork's pluggable keyed state (SURVEY §0): the state lives in the
+    configured state-store provider (RocksDB here) and expires per key
+    after ``ttl_ms`` of no updates.
+
+    The transformWithState protocol needs the ``protobuf`` package; where
+    it is absent the operator falls back to an equivalent
+    ``applyInPandasWithState`` implementation (GroupState has no per-state
+    TTL — ``ttl_ms`` is then ignored; production TTL uses the primary path
+    or a GroupStateTimeout sweep).
+    """
+    src = events.select(key_col, value_col)
+    k_dt = _dt(src, key_col)
+    out_schema = (
+        f"{key_col} {k_dt}, cnt bigint, total double, min_v double, max_v double"
+    )
+
+    try:
+        import google.protobuf  # noqa: F401  (transformWithState transport)
+
+        _tws_available = True
+    except ImportError:
+        _tws_available = False
+
+    if not _tws_available:
+        state_fields = "cnt bigint, total double, min_v double, max_v double"
+
+        def fn(key, batches: Iterator[pd.DataFrame], state: GroupState):
+            cnt, total, mn, mx = state.get if state.exists else (0, 0.0, None, None)
+            for pdf in batches:
+                v = pdf[value_col]
+                if len(v):
+                    cnt += len(v)
+                    total += float(v.sum())
+                    mn = float(v.min()) if mn is None else min(mn, float(v.min()))
+                    mx = float(v.max()) if mx is None else max(mx, float(v.max()))
+            state.update((cnt, total, mn, mx))
+            yield pd.DataFrame(
+                {key_col: [key[0]], "cnt": [cnt], "total": [total],
+                 "min_v": [mn], "max_v": [mx]}
+            )
+
+        return src.groupBy(key_col).applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_fields,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningAgg(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "agg", "cnt bigint, total double, min_v double, max_v double",
+                ttlDurationMs=ttl_ms,
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._st.exists():
+                cnt, total, mn, mx = self._st.get()
+            else:
+                cnt, total, mn, mx = 0, 0.0, None, None
+            for pdf in rows:
+                v = pdf[value_col]
+                cnt += len(v)
+                total += float(v.sum())
+                mn = float(v.min()) if mn is None else min(mn, float(v.min()))
+                mx = float(v.max()) if mx is None else max(mx, float(v.max()))
+            self._st.update((cnt, total, mn, mx))
+            yield pd.DataFrame(
+                {key_col: [key[0]], "cnt": [cnt], "total": [total],
+                 "min_v": [mn], "max_v": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return src.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=RunningAgg(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def connect_keyed(
     data: DataFrame,
     control: DataFrame,
