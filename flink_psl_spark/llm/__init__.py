@@ -26,6 +26,7 @@ from flink_psl_spark.llm.clustering import (  # noqa: F401
 )
 from flink_psl_spark.llm.similarity import (  # noqa: F401
     cosine_topk,
+    embedding_dedup,
     lsh_cosine_topk,
 )
 from flink_psl_spark.llm.text import (  # noqa: F401

@@ -128,6 +128,71 @@ def lsh_bucket(
     return sum(bits[1:], bits[0]).cast("int")
 
 
+def embedding_dedup(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate removal: drop each row whose vector
+    is cosine-similar (>= threshold) to a lower-id row.
+
+    ``exact=True`` verifies every pair (O(n²) — testing / small corpora,
+    and the SQL-oracle-checkable configuration); the default uses
+    hyperplane-LSH candidate generation (the 100 TB path: candidates =
+    bucket-collision pairs, one equi-join shuffle).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("__id"),
+        _col(vec_col).cast("array<double>").alias("__v"),
+    )
+    if exact:
+        pairs = (
+            c.alias("l")
+            .join(c.alias("r"), F.col("l.__id") < F.col("r.__id"))
+            .select(
+                F.col("r.__id").alias("__dup"),
+                cosine(F.col("l.__v"), F.col("r.__v")).alias("__sim"),
+            )
+        )
+    else:
+        dim = len(corpus.select(vec_col).first()[0])
+        tables = [
+            _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+        ]
+        banded = c.select(
+            "__id",
+            "__v",
+            F.posexplode(
+                F.array(*[lsh_bucket("__v", planes) for planes in tables])
+            ).alias("__tbl", "__bkt"),
+        )
+        pairs = (
+            banded.alias("l")
+            .join(
+                banded.alias("r"),
+                (F.col("l.__tbl") == F.col("r.__tbl"))
+                & (F.col("l.__bkt") == F.col("r.__bkt"))
+                & (F.col("l.__id") < F.col("r.__id")),
+            )
+            .select(
+                F.col("r.__id").alias("__dup"),
+                cosine(F.col("l.__v"), F.col("r.__v")).alias("__sim"),
+            )
+        )
+    dropped = (
+        pairs.where(F.col("__sim") >= threshold)
+        .select(F.col("__dup").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(dropped, on=id_col, how="left_anti")
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

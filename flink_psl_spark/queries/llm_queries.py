@@ -290,6 +290,71 @@ def llm_lsh_ann_topk(spark, sf_dir):
     )
 
 
+@query(
+    "llm_embedding_dedup",
+    oracle="""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dropped AS (
+      SELECT DISTINCT r.vec_id
+      FROM c l JOIN c r ON l.vec_id < r.vec_id
+      WHERE LIST_COSINE_SIMILARITY(l.v, r.v) >= 0.2)
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+)
+def llm_embedding_dedup(spark, sf_dir):
+    """Embedding-cosine near-dup removal, exact-verification configuration
+    (threshold 0.2 — the fixture's similarity ceiling is ~0.35). The LSH
+    candidate path is exercised in tests/test_llm.py."""
+    from flink_psl_spark.llm import embedding_dedup
+
+    t = tables(spark, sf_dir)
+    return embedding_dedup(t["embeddings"], threshold=0.2, exact=True).select(
+        "vec_id", "label"
+    )
+
+
+@query(
+    "salted_agg_skew",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice), 2) AS total_price,
+           COUNT(*) AS n,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           MIN(l_quantity) AS min_q, MAX(l_quantity) AS max_q,
+           COUNT(DISTINCT l_partkey) AS uniq_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def salted_agg_skew(spark, sf_dir):
+    """Salted two-stage aggregation (reference SplitAggregateRule /
+    distinct-agg split): l_returnflag has only 3 values — exactly the hot
+    GROUP BY key shape — so each runs over 32 salt buckets before the
+    final merge, including an exact two-level count distinct."""
+    from flink_psl_spark.operators.skew import salted_agg
+
+    t = tables(spark, sf_dir)
+    out = salted_agg(
+        t["lineitem"],
+        "l_returnflag",
+        {
+            "total_price": ("sum", "l_extendedprice"),
+            "n": ("count", "l_linenumber"),
+            "avg_qty": ("avg", "l_quantity"),
+            "min_q": ("min", "l_quantity"),
+            "max_q": ("max", "l_quantity"),
+            "uniq_parts": ("count_distinct", "l_partkey"),
+        },
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("total_price", 2).alias("total_price"),
+        "n",
+        F.round("avg_qty", 6).alias("avg_qty"),
+        "min_q", "max_q", "uniq_parts",
+    )
+
+
 @query("llm_multimodal_features")  # binary plumbing: rows-only check
 def llm_multimodal_features(spark, sf_dir):
     """Multimodal column plumbing: binary payload + metadata → mapInPandas
