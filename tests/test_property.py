@@ -1,0 +1,190 @@
+"""Property-based tests (hypothesis): custom operators vs independent
+reference models — pandas merge_asof for the as-of join, a pure-python
+window model for CUMULATE, a brute-force matcher for the CEP NFA."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+BASE = dt.datetime(2024, 1, 1)
+
+_SETTINGS = dict(
+    max_examples=12,  # each example runs Spark jobs — keep the count sane
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+keys = st.sampled_from(["a", "b"])
+times = st.integers(min_value=0, max_value=50)
+
+
+@st.composite
+def asof_case(draw):
+    left = draw(
+        st.lists(st.tuples(keys, times), min_size=1, max_size=12, unique=True)
+    )
+    right = draw(
+        st.lists(
+            st.tuples(keys, times, st.integers(0, 100)),
+            min_size=0,
+            max_size=12,
+            unique_by=lambda r: (r[0], r[1]),
+        )
+    )
+    return left, right
+
+
+@given(asof_case())
+@settings(**_SETTINGS)
+def test_asof_join_matches_merge_asof(spark, case):
+    from flink_psl_spark.operators import asof_join
+
+    left_rows, right_rows = case
+    l = spark.createDataFrame(
+        [(k, BASE + dt.timedelta(minutes=m), i) for i, (k, m) in enumerate(left_rows)],
+        "k string, t timestamp, lid int",
+    )
+    r = spark.createDataFrame(
+        [(k, BASE + dt.timedelta(minutes=m), v) for k, m, v in right_rows],
+        "k string, t timestamp, v int",
+    ) if right_rows else spark.createDataFrame([], "k string, t timestamp, v int")
+
+    out = asof_join(l, r, on="k", left_time="t", right_time="t", how="left")
+    got = {row["lid"]: row["r_v"] for row in out.collect()}
+
+    lp = pd.DataFrame(
+        [(k, BASE + dt.timedelta(minutes=m), i) for i, (k, m) in enumerate(left_rows)],
+        columns=["k", "t", "lid"],
+    ).sort_values("t", kind="mergesort")
+    rp = pd.DataFrame(
+        [(k, BASE + dt.timedelta(minutes=m), v) for k, m, v in right_rows],
+        columns=["k", "t", "v"],
+    ).sort_values("t", kind="mergesort")
+    if len(rp):
+        merged = pd.merge_asof(lp, rp, on="t", by="k", direction="backward")
+        want = {
+            int(row.lid): (None if pd.isna(row.v) else int(row.v))
+            for row in merged.itertuples()
+        }
+    else:
+        want = {int(row.lid): None for row in lp.itertuples()}
+    assert got == want
+
+
+@given(
+    st.lists(st.integers(0, 7199), min_size=1, max_size=20),
+    st.sampled_from([(15, 60), (30, 120), (10, 30)]),
+)
+@settings(**_SETTINGS)
+def test_cumulate_matches_model(spark, offsets_s, spec):
+    from flink_psl_spark.operators import cumulate
+
+    step_min, max_min = spec
+    df = spark.createDataFrame(
+        [(BASE + dt.timedelta(seconds=s),) for s in offsets_s], "ts timestamp"
+    )
+    out = cumulate(df, "ts", f"{step_min} minutes", f"{max_min} minutes")
+    got = sorted(
+        (r["ts"], r["window_start"], r["window_end"])
+        for r in out.collect()
+    )
+
+    want = []
+    step, mx = step_min * 60, max_min * 60
+    for s in offsets_s:
+        t = BASE + dt.timedelta(seconds=s)
+        start_s = (s // mx) * mx
+        off = s - start_s
+        first_end = ((off // step) + 1) * step
+        for end in range(first_end, mx + 1, step):
+            want.append(
+                (
+                    t,
+                    BASE + dt.timedelta(seconds=start_s),
+                    BASE + dt.timedelta(seconds=start_s + end),
+                )
+            )
+    assert got == sorted(want)
+
+
+@st.composite
+def cep_case(draw):
+    # sequence over alphabet {c, p, x}; pattern: c+ p
+    return draw(
+        st.lists(st.sampled_from(["c", "p", "x"]), min_size=1, max_size=16)
+    )
+
+
+def _brute_matches(seq: list[str]):
+    """Greedy c+ p with SKIP PAST LAST ROW, scanning left to right."""
+    out, i, n = [], 0, len(seq)
+    while i < n:
+        j = i
+        while j < n and seq[j] == "c":
+            j += 1
+        if j > i and j < n and seq[j] == "p":
+            out.append((i, j))  # (first c idx, count of c) with p at j
+            i = j + 1
+        else:
+            i += 1
+    return [(a, b - a) for a, b in out]
+
+
+@given(cep_case())
+@settings(**_SETTINGS)
+def test_cep_matches_brute_force(spark, seq):
+    from flink_psl_spark.cep import Measure, Step, match_recognize
+
+    df = spark.createDataFrame(
+        [("k", i, s) for i, s in enumerate(seq)], "k string, i long, et string"
+    )
+    out = match_recognize(
+        df,
+        "k",
+        "i",
+        [Step.one_or_more("A", "et = 'c'"), Step.once("B", "et = 'p'")],
+        [Measure("first_i", "A", "first", "i"), Measure("n", "A", "count")],
+    )
+    got = sorted((r["first_i"], r["n"]) for r in out.collect())
+    assert got == sorted(_brute_matches(seq))
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 30), st.integers(0, 9)),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+    st.sampled_from([(0, 5), (2, 8), (-3, 3)]),
+)
+@settings(**_SETTINGS)
+def test_interval_join_matches_model(spark, rows, band):
+    from flink_psl_spark.operators import interval_join
+
+    lo, hi = band
+    df = spark.createDataFrame(
+        [(k, BASE + dt.timedelta(minutes=m), v) for k, m, v in rows],
+        "k string, t timestamp, v int",
+    )
+    out = interval_join(
+        df, df, "k", "t", "t", f"'{lo}' MINUTE", f"'{hi}' MINUTE"
+    ).select(
+        "__l.k",
+        "__l.t",
+        "__r.v",
+        "__l.v",
+    )
+    got = sorted(map(tuple, out.collect()))
+
+    want = []
+    for k1, m1, v1 in rows:
+        for k2, m2, v2 in rows:
+            if k1 == k2 and m1 + lo <= m2 <= m1 + hi:
+                want.append((k1, BASE + dt.timedelta(minutes=m1), v2, v1))
+    assert got == sorted(want)
