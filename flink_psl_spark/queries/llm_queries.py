@@ -274,6 +274,47 @@ def llm_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
+@query("llm_ivf_ann_topk")  # approximate: recall vs brute force in tests
+def llm_ivf_ann_topk(spark, sf_dir):
+    """IVF approximate nearest neighbors: hash-sampled centroids, map-side
+    cell assignment, n_probe-cell scan (the second ANN scale path)."""
+    from flink_psl_spark.llm.similarity import ivf_cosine_topk
+
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return ivf_cosine_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, n_centroids=16, n_probe=6
+    )
+
+
+@query(
+    "llm_rolling_fingerprints",
+    oracle="""
+    SELECT doc_id, norm[1:16] AS prefix16 FROM (
+      SELECT doc_id, LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')) AS norm
+      FROM documents WHERE doc_id < 100)
+    """,
+)
+def llm_rolling_fingerprints(spark, sf_dir):
+    """Rolling-hash fingerprint sketch; the oracle checks the shared
+    normalization prefix (the hash family is engine-specific — xxhash64 —
+    so sketch equality is asserted in tests instead)."""
+    from flink_psl_spark.llm.text import rolling_fingerprints
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"].where(F.col("doc_id") < 100)
+    # materialize the sketch (forces the expression) but compare on the
+    # deterministic normalization used by it
+    sketched = docs.select(
+        "doc_id",
+        rolling_fingerprints("text").alias("fp"),
+        F.substring(
+            F.lower(F.regexp_replace("text", r"\s+", " ")), 1, 16
+        ).alias("prefix16"),
+    )
+    return sketched.where(F.size("fp") > 0).select("doc_id", "prefix16")
+
+
 @query("llm_lsh_ann_topk")  # approximate: recall vs brute force in tests
 def llm_lsh_ann_topk(spark, sf_dir):
     """LSH-bucketed approximate nearest neighbors (random hyperplanes,

@@ -98,6 +98,50 @@ def test_lsh_recall(spark, t):
     assert recall >= 0.6, f"LSH recall too low: {recall}"
 
 
+def test_ivf_recall(spark, t):
+    from flink_psl_spark.llm import cosine_topk
+    from flink_psl_spark.llm.similarity import ivf_cosine_topk
+
+    emb = t["embeddings"]
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_cosine_topk(
+            emb, queries, k=5, n_centroids=8, n_probe=5
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_rolling_fingerprints(spark):
+    from flink_psl_spark.llm.text import rolling_fingerprints
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river"),
+        (2, "the quick brown fox jumps over the lazy dog near the river"),
+        (3, "THE  quick brown fox jumps over the lazy dog near the river"),
+        (4, "a completely different sentence with other words entirely here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {
+        r["doc_id"]: tuple(r["fp"])
+        for r in df.select(
+            "doc_id", rolling_fingerprints("text").alias("fp")
+        ).collect()
+    }
+    assert fps[1] == fps[2]  # identical text → identical sketch
+    assert fps[1] == fps[3]  # whitespace/case-normalized → identical
+    # partial-overlap robustness: shared substrings → overlapping sketches
+    overlap_same = len(set(fps[1]) & set(fps[4]))
+    assert overlap_same < len(set(fps[1]))
+    assert len(fps[1]) == 8
+
+
 def test_language_id(spark, t):
     """The fixture's ``lang`` label is synthetic (text is English-ish words
     for every label), so accuracy is asserted on real-language sentences;
