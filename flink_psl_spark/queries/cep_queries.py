@@ -70,6 +70,79 @@ def cep_clicks_then_purchase(spark, sf_dir):
 
 
 @query(
+    "stream_cep_clicks_then_purchase",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    base AS (
+      SELECT *,
+             SUM(CASE WHEN event_type <> 'click' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY rn) AS grp
+      FROM ordered)
+    SELECT CAST(c.user_id AS VARCHAR) AS user_id, c.n_clicks,
+           p.event_id AS purchase_id
+    FROM (SELECT user_id, grp, COUNT(*) AS n_clicks
+          FROM base WHERE event_type = 'click' GROUP BY user_id, grp) c
+    JOIN (SELECT user_id, grp, event_id, event_type FROM base
+          WHERE event_type <> 'click') p
+      ON c.user_id = p.user_id AND c.grp = p.grp - 1
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def stream_cep_clicks_then_purchase(spark, sf_dir):
+    """STREAMING MATCH_RECOGNIZE (reference CepOperator.java:82): the same
+    A+ B pattern as the batch query, run as a watermarked stateful stream —
+    rows buffer per key, the NFA fires on the watermark-finalized prefix,
+    event-time timers flush tails. A far-future sentinel row (separate key)
+    advances the final watermark so every real match finalizes; results
+    must equal the batch islands oracle."""
+    import datetime as dt
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.cep import Measure, Step
+    from flink_psl_spark.streaming import run_to_memory_table
+    from flink_psl_spark.streaming.cep_stream import streaming_match_recognize
+
+    t = tables(spark, sf_dir)
+    ev = t["events"].select(
+        F.col("user_id").cast("string").alias("u"),
+        F.col("event_id").alias("eid"),
+        F.when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .otherwise("x")
+        .alias("et"),
+        "ts",
+    )
+    d = tempfile.mkdtemp(prefix="fps_scep_q_")
+    ev.coalesce(4).write.parquet(f"{d}/src")
+    far = ev.select(F.max("ts")).first()[0] + dt.timedelta(days=30)
+    spark.createDataFrame(
+        [("__sentinel__", 0, "x", far)], "u string, eid long, et string, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(f"{d}/src")
+
+    st = (
+        spark.readStream.schema("u string, eid long, et string, ts timestamp")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(f"{d}/src")
+    )
+    out = streaming_match_recognize(
+        st,
+        "u",
+        "ts",
+        [Step.one_or_more("A", "et = 'c'"), Step.once("B", "et = 'p'")],
+        [Measure("n_clicks", "A", "count"), Measure("purchase_id", "B", "first", "eid")],
+        delay="5 minutes",
+        tiebreak_col="eid",
+    )
+    mem = run_to_memory_table(out, output_mode="append")
+    return mem.select(F.col("u").alias("user_id"), "n_clicks", "purchase_id")
+
+
+@query(
     "cep_error_burst",
     oracle="""
     WITH ordered AS (

@@ -1,0 +1,154 @@
+"""Streaming CEP / MATCH_RECOGNIZE (reference: CepOperator.java:82 — keyed
+NFA over a watermarked stream; SQL StreamExecMatch.java:59).
+
+Semantics: rows buffer per key; the NFA runs over the prefix of the buffer
+that the watermark has FINALIZED (event time <= watermark — no later-arriving
+row can land inside that prefix, so its contiguity is stable). Completed
+matches are emitted exactly once (append stream) and consumed per the
+AFTER MATCH policy; the unconsumed tail + unfinalized rows stay in state.
+
+Emission without new per-key data uses event-time timeouts: every update
+registers a timeout just past the newest buffered row's time, so when the
+watermark passes it the key is woken (hasTimedOut) and finalized matches
+flush — the same watermark-driven trigger the reference's CepOperator uses.
+
+State bound: the buffer holds only rows newer than the last emitted match
+(plus the unfinalized suffix). A ``horizon`` prunes rows older than
+watermark - horizon for patterns whose matches are time-bounded (reference
+Pattern.within) — mandatory for unbounded streams with non-matching rows.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from flink_psl_spark.cep import Measure, Step, _eval_measure, _match_at, _measure_type
+
+
+def streaming_match_recognize(
+    events: DataFrame,
+    partition_by: str,
+    ts_col: str,
+    pattern: list[Step],
+    measures: list[Measure],
+    *,
+    delay: str = "10 minutes",
+    horizon_ms: int | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """MATCH_RECOGNIZE over a watermarked stream (append output).
+
+    Returns one row per completed match: (key, match_seq, measures...).
+    ``delay`` is the watermark delay; ``horizon_ms`` bounds state for
+    patterns with a known max span (≈ Pattern.within).
+    """
+    names = [s.name for s in pattern]
+    pred_cols = {s.name: f"__p_{s.name}" for s in pattern}
+    wm = events.withWatermark(ts_col, delay)
+    carry_cols = sorted(
+        {
+            ts_col,
+            *(m.col for m in measures if m.col is not None),
+            *([tiebreak_col] if tiebreak_col else []),
+        }
+    )
+    prepared = wm.select(
+        partition_by,
+        *carry_cols,
+        *[F.expr(s.predicate).alias(pred_cols[s.name]) for s in pattern],
+    )
+
+    out_fields = [
+        T.StructField(partition_by, events.schema[partition_by].dataType),
+        T.StructField("match_seq", T.LongType()),
+    ]
+    for m in measures:
+        out_fields.append(T.StructField(m.out_name, _measure_type(events, m)))
+    out_schema = T.StructType(out_fields)
+    out_names = [f.name for f in out_fields]
+
+    spec = [(s.name, s.min_times, s.max_times, s.greedy) for s in pattern]
+    meas = [(m.out_name, m.step, m.fn.lower(), m.col) for m in measures]
+    sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def fn(key, batches: Iterator[pd.DataFrame], state: GroupState):
+        buf = (
+            pd.read_json(state.get[0], orient="records", convert_dates=False)
+            if state.exists
+            else pd.DataFrame()
+        )
+        seq = state.get[1] if state.exists else 0
+        new = [b for b in batches]
+        if new:
+            incoming = pd.concat(new, ignore_index=True)
+            incoming = incoming.drop(columns=[partition_by])
+            # epoch ms regardless of the arrow-side datetime64 unit
+            incoming[ts_col] = (
+                incoming[ts_col].values.astype("datetime64[ms]").astype("int64")
+            )
+            buf = pd.concat([buf, incoming], ignore_index=True)
+        wm_ms = state.getCurrentWatermarkMs()
+        emitted = []
+        if len(buf):
+            buf = buf.sort_values(sort_cols, kind="mergesort").reset_index(
+                drop=True
+            )
+            final = buf[buf[ts_col] <= wm_ms].reset_index(drop=True)
+            preds = {
+                name: final[c].fillna(False).to_numpy(dtype=bool)
+                if c in final
+                else pd.Series([], dtype=bool).to_numpy()
+                for name, c in pred_cols.items()
+            }
+            n, start, consumed_upto = len(final), 0, 0
+            while start < n:
+                b = _match_at(preds, spec, start, n)
+                if b is not None:
+                    hi = max(i for idxs in b.values() for i in idxs)
+                    row = {partition_by: key[0], "match_seq": seq}
+                    for out_name, step, fnm, col in meas:
+                        idxs = b.get(step, [])
+                        v = _eval_measure(final, idxs, fnm, col)
+                        if col == ts_col and v is not None:
+                            v = pd.to_datetime(int(v), unit="ms")
+                        row[out_name] = v
+                    emitted.append(row)
+                    seq += 1
+                    start = hi + 1
+                    consumed_upto = hi + 1
+                else:
+                    start += 1
+            # retain: unconsumed finalized suffix + all unfinalized rows
+            keep_final = final.iloc[consumed_upto:]
+            pending = buf[buf[ts_col] > wm_ms]
+            buf = pd.concat([keep_final, pending], ignore_index=True)
+            if horizon_ms is not None and wm_ms > 0:
+                buf = buf[buf[ts_col] >= wm_ms - horizon_ms]
+        state.update((buf.to_json(orient="records"), seq))
+        if len(buf):
+            # wake when the watermark first passes a buffered row — the
+            # earliest moment more of the buffer finalizes (must be strictly
+            # beyond the current watermark or registration is rejected)
+            state.setTimeoutTimestamp(
+                max(int(buf[ts_col].min()) + 1, wm_ms + 1)
+            )
+        if emitted:
+            yield pd.DataFrame(emitted)[out_names]
+        else:
+            yield pd.DataFrame({c: [] for c in out_names})
+
+    return prepared.groupBy(partition_by).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="buf string, seq bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -1,0 +1,153 @@
+"""Streaming CEP tests: watermark-finalized emission, cross-batch buffering,
+exactly-once match output, agreement with batch match_recognize."""
+
+from __future__ import annotations
+
+import datetime as dt
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_psl_spark.cep import Measure, Step
+
+TS = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+
+SCHEMA = "u string, eid long, et string, ts timestamp"
+
+
+def _pattern():
+    return [
+        Step.one_or_more("A", "et = 'c'"),
+        Step.once("B", "et = 'p'"),
+    ]
+
+
+def _measures():
+    return [
+        Measure("n_c", "A", "count"),
+        Measure("first_c", "A", "first", "eid"),
+        Measure("p_id", "B", "first", "eid"),
+    ]
+
+
+def _run(spark, files: list[list[tuple]], delay="5 minutes", horizon_ms=None):
+    from flink_psl_spark.streaming import run_to_memory_table
+    from flink_psl_spark.streaming.cep_stream import streaming_match_recognize
+
+    d = tempfile.mkdtemp(prefix="fps_scep_")
+    for rows in files:
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{d}/src")
+    st = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/src")
+    )
+    out = streaming_match_recognize(
+        st, "u", "ts", _pattern(), _measures(),
+        delay=delay, horizon_ms=horizon_ms, tiebreak_col="eid",
+    )
+    return run_to_memory_table(out, output_mode="append")
+
+
+def test_streaming_cep_basic(spark):
+    """ccp + later watermark-advancing rows → exactly one match emitted."""
+    mem = _run(
+        spark,
+        [
+            [("k", 1, "c", TS(0)), ("k", 2, "c", TS(1)), ("k", 3, "p", TS(2))],
+            # second batch advances the watermark past TS(2) + delay
+            [("k", 9, "x", TS(30))],
+        ],
+    )
+    got = [(r["n_c"], r["first_c"], r["p_id"]) for r in mem.collect()]
+    assert got == [(2, 1, 3)]
+
+
+def test_streaming_cep_match_spans_batches(spark):
+    """clicks in batch 1, purchase in batch 2 → buffered state completes the
+    match across the batch boundary."""
+    mem = _run(
+        spark,
+        [
+            [("k", 1, "c", TS(0)), ("k", 2, "c", TS(1))],
+            [("k", 3, "p", TS(2))],
+            [("k", 9, "x", TS(30))],
+        ],
+    )
+    got = [(r["n_c"], r["first_c"], r["p_id"]) for r in mem.collect()]
+    assert got == [(2, 1, 3)]
+
+
+def test_streaming_cep_no_premature_emission(spark):
+    """without watermark advance past the match, nothing is emitted —
+    matches finalize only when no earlier row can still arrive."""
+    mem = _run(
+        spark,
+        [[("k", 1, "c", TS(0)), ("k", 2, "p", TS(1))]],
+    )
+    assert mem.count() == 0
+
+
+def test_streaming_cep_late_row_lands_inside(spark):
+    """a late-but-within-watermark click arriving in batch 2 lands BETWEEN
+    buffered rows and changes the match — buffering by event time, not
+    arrival order."""
+    mem = _run(
+        spark,
+        [
+            [("k", 1, "c", TS(0)), ("k", 3, "p", TS(4))],
+            [("k", 2, "c", TS(2))],  # late arrival, ts between the two
+            [("k", 9, "x", TS(30))],
+        ],
+    )
+    got = [(r["n_c"], r["first_c"], r["p_id"]) for r in mem.collect()]
+    assert got == [(2, 1, 3)]
+
+
+def test_streaming_cep_matches_batch_on_fixture(spark, sf_dir, t):
+    """Full-fixture agreement: streaming CEP (with a final watermark-advancing
+    sentinel) equals batch match_recognize on the same prefix."""
+    from flink_psl_spark.cep import match_recognize
+    from flink_psl_spark.streaming import run_to_memory_table
+    from flink_psl_spark.streaming.cep_stream import streaming_match_recognize
+
+    d = tempfile.mkdtemp(prefix="fps_scep_fx_")
+    ev = t["events"].select(
+        F.col("user_id").cast("string").alias("u"),
+        F.col("event_id").alias("eid"),
+        F.when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .otherwise("x")
+        .alias("et"),
+        "ts",
+    )
+    ev.coalesce(1).write.parquet(f"{d}/src")
+    far = ev.select(F.max("ts")).first()[0] + dt.timedelta(days=30)
+    spark.createDataFrame([("zz", 0, "x", far)], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{d}/src")
+
+    st = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/src")
+    )
+    out = streaming_match_recognize(
+        st, "u", "ts", _pattern(), _measures(), delay="5 minutes",
+        tiebreak_col="eid",
+    )
+    mem = run_to_memory_table(out, output_mode="append")
+    got = sorted(
+        (r["u"], r["n_c"], r["first_c"], r["p_id"]) for r in mem.collect()
+    )
+
+    batch = match_recognize(
+        ev, "u", ["ts", "eid"], _pattern(), _measures()
+    )
+    want = sorted(
+        (r["u"], r["n_c"], r["first_c"], r["p_id"]) for r in batch.collect()
+    )
+    assert got == want
