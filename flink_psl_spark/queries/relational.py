@@ -700,6 +700,39 @@ sql_query(
 )
 
 @query(
+    "agg_multiset",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(TO_JSON(HISTOGRAM(CAST(l_quantity AS BIGINT) // 10))
+                AS VARCHAR) AS qty_decile_counts
+    FROM lineitem WHERE l_orderkey <= 2000
+    GROUP BY l_returnflag
+    """,
+)
+def agg_multiset(spark, sf_dir):
+    """COLLECT → MULTISET (reference CollectAggFunction, MultisetType ≈
+    value→count map, SURVEY §1.2): histogram as a sorted count map."""
+    t = tables(spark, sf_dir)
+    li = t["lineitem"].where(F.col("l_orderkey") <= 2000)
+    bucket = (F.col("l_quantity").cast("bigint") / 10).cast("bigint")
+    counts = (
+        li.select("l_returnflag", bucket.alias("__b"))
+        .groupBy("l_returnflag", "__b")
+        .agg(F.count("*").alias("__c"))
+    )
+    return (
+        counts.groupBy("l_returnflag")
+        .agg(
+            F.to_json(
+                F.map_from_entries(
+                    F.array_sort(F.collect_list(F.struct("__b", "__c")))
+                )
+            ).alias("qty_decile_counts")
+        )
+    )
+
+
+@query(
     "agg_json",
     oracle="""
     SELECT r_regionkey,

@@ -1,0 +1,85 @@
+"""DataStream facade tests (PyFlink DataStream API parity)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from flink_psl_spark.datastream import DataStream
+
+
+def test_map_filter_expression_path(spark):
+    ds = DataStream.from_collection(
+        spark, [(1, 2), (3, 4), (5, 6)], "a int, b int"
+    )
+    out = (
+        ds.map([F.col("a"), (F.col("a") + F.col("b")).alias("s")])
+        .filter("s > 3")
+        .execute_and_collect()
+    )
+    assert sorted((r["a"], r["s"]) for r in out) == [(3, 7), (5, 11)]
+
+
+def test_map_flatmap_callable_path(spark):
+    ds = DataStream.from_collection(spark, [("a b",), ("c",)], "line string")
+
+    def splitter(row):
+        for w in row["line"].split():
+            yield {"word": w, "n": 1}
+
+    words = ds.flat_map(splitter, "word string, n int")
+    got = sorted(r["word"] for r in words.execute_and_collect())
+    assert got == ["a", "b", "c"]
+
+    mapped = words.map(
+        lambda r: {"word": r["word"].upper(), "n": r["n"] * 2},
+        "word string, n int",
+    )
+    assert {(r["word"], r["n"]) for r in mapped.execute_and_collect()} == {
+        ("A", 2), ("B", 2), ("C", 2)
+    }
+
+
+def test_keyed_reduce_and_aggs(spark):
+    ds = DataStream.from_collection(
+        spark,
+        [("k", 1, 10.0), ("k", 2, 5.0), ("j", 1, 7.0)],
+        "k string, seq int, v double",
+    )
+
+    def take_latest_sum(acc, row):
+        return {"k": acc["k"], "seq": row["seq"], "v": acc["v"] + row["v"]}
+
+    red = ds.key_by("k").reduce(take_latest_sum, order_by="seq")
+    got = {(r["k"], r["seq"], r["v"]) for r in red.execute_and_collect()}
+    assert got == {("k", 2, 15.0), ("j", 1, 7.0)}
+
+    s = ds.key_by("k").sum("v")
+    assert {(r["k"], r["v"]) for r in s.execute_and_collect()} == {
+        ("k", 15.0), ("j", 7.0)
+    }
+    mb = ds.key_by("k").max_by("v", "seq")
+    assert {(r["k"], r["seq"]) for r in mb.execute_and_collect()} == {
+        ("k", 1), ("j", 1)
+    }
+
+
+def test_union_sequence_sink(spark):
+    a = DataStream.from_sequence(spark, 1, 3)
+    b = DataStream.from_sequence(spark, 10, 11)
+    u = a.union(b)
+    assert sorted(r["value"] for r in u.execute_and_collect()) == [1, 2, 3, 10, 11]
+    d = tempfile.mkdtemp(prefix="fps_ds_")
+    u.write_to(d, "parquet")
+    assert spark.read.parquet(d).count() == 5
+
+
+def test_broadcast_join(spark, t):
+    ds = DataStream(t["nation"])
+    out = ds.broadcast_join(
+        t["region"], F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert out.df.count() == t["nation"].count()
