@@ -17,6 +17,7 @@ from flink_psl_spark.streaming.core import (  # noqa: F401
     streaming_tumble_agg,
     streaming_dedup,
     streaming_interval_join,
+    late_data_split,
 )
 from flink_psl_spark.streaming.stateful import (  # noqa: F401
     connect_keyed,

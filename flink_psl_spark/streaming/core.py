@@ -129,6 +129,57 @@ def streaming_dedup(
     return df.dropDuplicates(keys)
 
 
+def late_data_split(
+    events: DataFrame,
+    ts_col: str,
+    delay: str,
+    writer: "Callable[[DataFrame, DataFrame, int], None]",
+    *,
+    checkpoint: str,
+):
+    """Late-data side channel (reference WindowedStream.sideOutputLateData:
+    124 — SURVEY §2.9 'Late data': Spark silently drops late rows, so the
+    capture happens BEFORE the watermark, in foreachBatch).
+
+    Tracks the running max event time across batches (the watermark's
+    input); rows arriving after ``max_seen - delay`` has passed their
+    timestamp are routed late. ``writer(on_time_df, late_df, batch_id)``
+    receives both partitions of every batch. The main pipeline should
+    consume ``on_time_df`` with its own ``withWatermark`` as usual.
+    """
+    from pyspark.sql import functions as FF
+
+    delay_expr = f"INTERVAL {delay}"
+    state = {"max_ts": None}
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        batch.persist()
+        try:
+            cutoff = state["max_ts"]
+            if cutoff is not None:
+                late = batch.where(
+                    FF.col(ts_col) < FF.lit(cutoff) - FF.expr(delay_expr)
+                )
+                on_time = batch.where(
+                    ~(FF.col(ts_col) < FF.lit(cutoff) - FF.expr(delay_expr))
+                )
+            else:
+                late = batch.limit(0)
+                on_time = batch
+            writer(on_time, late, batch_id)
+            mx = batch.agg(FF.max(ts_col)).first()[0]
+            if mx is not None and (cutoff is None or mx > cutoff):
+                state["max_ts"] = mx
+        finally:
+            batch.unpersist()
+
+    return (
+        events.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def streaming_interval_join(
     left: DataFrame,
     right: DataFrame,

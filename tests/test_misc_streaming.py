@@ -148,3 +148,54 @@ def test_streaming_rows_over_matches_batch(spark, sf_dir, t):
     )
     want = {(r["event_id"], r["s"], r["c"]) for r in batch.collect()}
     assert got == want
+
+
+def test_late_data_split(spark):
+    """Rows behind the running watermark input route to the late channel."""
+    import datetime as dt
+
+    from flink_psl_spark.streaming import late_data_split
+
+    TS = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    d = tempfile.mkdtemp(prefix="fps_late_")
+    b1 = [(1, TS(0)), (2, TS(30))]
+    b2 = [(3, TS(5)), (4, TS(29)), (5, TS(31))]  # 3 is >delay behind max=30
+    spark.createDataFrame(b1, "id long, ts timestamp").coalesce(1).write.parquet(
+        f"{d}/src"
+    )
+    spark.createDataFrame(b2, "id long, ts timestamp").coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{d}/src")
+
+    seen = {"on_time": [], "late": []}
+
+    def writer(on_time, late, batch_id):
+        seen["on_time"] += [r["id"] for r in on_time.collect()]
+        seen["late"] += [r["id"] for r in late.collect()]
+
+    st = (
+        spark.readStream.schema("id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/src")
+    )
+    q = late_data_split(st, "ts", "10 minutes", writer, checkpoint=f"{d}/ckpt")
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(seen["late"]) == [3]
+    assert sorted(seen["on_time"]) == [1, 2, 4, 5]
+
+
+def test_cbo_stats_enable_broadcast(spark, t):
+    """ANALYZE TABLE feeds CBO row counts (reference FlinkRelMd* statistics
+    surface) — statistics must be recorded and visible."""
+    import uuid
+
+    name = f"nation_stats_{uuid.uuid4().hex[:8]}"
+    try:
+        t["nation"].write.mode("overwrite").saveAsTable(name)
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+        desc = spark.sql(f"DESCRIBE EXTENDED {name}").collect()
+        stats = [r for r in desc if r["col_name"] == "Statistics"]
+        assert stats and "rows" in stats[0]["data_type"]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
