@@ -169,6 +169,28 @@ sql_query(
     """,
 )
 
+sql_query(
+    "try_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           TRY_DIVIDE(l_extendedprice, l_quantity - 25) AS td,
+           TRY_CAST(CONCAT('x', CAST(l_linenumber AS STRING)) AS INT) AS bad_int,
+           TRY_CAST(CAST(CAST(l_quantity AS BIGINT) AS STRING) AS INT) AS ok_int,
+           TRY_TO_NUMBER(CAST(CAST(l_quantity AS BIGINT) AS STRING), '99') AS tn
+    FROM lineitem WHERE l_orderkey <= 300
+    """,
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity = 25 THEN NULL
+                ELSE l_extendedprice / (l_quantity - 25) END AS td,
+           TRY_CAST(CONCAT('x', CAST(l_linenumber AS VARCHAR)) AS INT) AS bad_int,
+           TRY_CAST(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS INT) AS ok_int,
+           CASE WHEN l_quantity < 100
+                THEN CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(2,0)) END AS tn
+    FROM lineitem WHERE l_orderkey <= 300
+    """,
+)
+
 # ---------------------------------------------------------------------------
 # Positional explode (UNNEST WITH ORDINALITY ≈ Correlate, §2.2)
 # ---------------------------------------------------------------------------

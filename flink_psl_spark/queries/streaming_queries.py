@@ -301,6 +301,74 @@ def stream_rows_over(spark, sf_dir):
 
 
 @query(
+    "stream_interval_join_outer",
+    oracle="""
+    SELECT e1.user_id, e1.event_id AS click_id, e2.event_id AS purchase_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') e1
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL '10' MINUTE
+    """,
+)
+def stream_interval_join_outer(spark, sf_dir):
+    """LEFT OUTER stream-stream interval join (reference StreamExecJoin /
+    StreamExecIntervalJoin outer variants): null-padded results emit once
+    the watermark proves no match can arrive. A far-future sentinel pair
+    advances the final watermark so every pending left row resolves."""
+    import datetime as dt
+    import tempfile
+
+    ev = load_events = None  # noqa: F841 (clarity below)
+    from flink_psl_spark.catalog import load_table
+
+    base = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    far = base.select(F.max("ts")).first()[0] + dt.timedelta(days=30)
+    d = tempfile.mkdtemp(prefix="fps_oij_")
+    base.coalesce(4).write.parquet(f"{d}/src")
+    spark.createDataFrame(
+        [(-1, -1, "click", far), (-2, -1, "purchase", far)],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(f"{d}/src")
+
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+
+    def src():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 5)
+            .parquet(f"{d}/src")
+        )
+
+    clicks = (
+        src()
+        .where(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), "ts")
+        .withWatermark("ts", "10 minutes")
+    )
+    purchases = (
+        src()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("ts"))
+        & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 10 MINUTES")),
+        "leftOuter",
+    ).select("user_id", "click_id", "purchase_id")
+    mem = run_to_memory_table(joined, output_mode="append")
+    return mem.where(F.col("click_id") >= 0)
+
+
+@query(
     "stream_running_agg",
     oracle="""
     SELECT user_id, COUNT(*) AS cnt, ROUND(SUM(value), 3) AS total,
