@@ -224,6 +224,91 @@ def posexplode_words(spark, sf_dir):
 
 
 @query(
+    "cogroup_user_summary",
+    oracle="""
+    WITH c AS (SELECT user_id, COUNT(*) AS n_clicks, ROUND(SUM(value), 3) AS click_v
+               FROM events WHERE event_type = 'click' GROUP BY user_id),
+         p AS (SELECT user_id, COUNT(*) AS n_purch, ROUND(SUM(value), 3) AS purch_v
+               FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           COALESCE(n_clicks, 0) AS n_clicks,
+           COALESCE(click_v, 0.0) AS click_v,
+           COALESCE(n_purch, 0) AS n_purch,
+           COALESCE(purch_v, 0.0) AS purch_v
+    FROM c FULL JOIN p ON c.user_id = p.user_id
+    """,
+)
+def cogroup_user_summary(spark, sf_dir):
+    """co-group (reference DataStream.coGroup:720 / CoGroupedStreams):
+    both keyed sides of a key visit one function together — Spark's
+    ``cogroup(...).applyInPandas`` two-DataFrame form."""
+    t = tables(spark, sf_dir)
+    clicks = t["events"].where(F.col("event_type") == "click").select(
+        "user_id", "value"
+    )
+    purchases = t["events"].where(F.col("event_type") == "purchase").select(
+        "user_id", "value"
+    )
+
+    def summarize(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        uid = left["user_id"].iloc[0] if len(left) else right["user_id"].iloc[0]
+        return pd.DataFrame(
+            [{
+                "user_id": uid,
+                "n_clicks": len(left),
+                "click_v": round(float(left["value"].sum()), 3) if len(left) else 0.0,
+                "n_purch": len(right),
+                "purch_v": round(float(right["value"].sum()), 3) if len(right) else 0.0,
+            }]
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            summarize,
+            "user_id long, n_clicks long, click_v double, "
+            "n_purch long, purch_v double",
+        )
+    )
+
+
+@query(
+    "udtaf_top2_per_group",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal, CAST(rk AS INT) AS rk FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rk
+      FROM customer) t
+    WHERE rk <= 2
+    """,
+)
+def udtaf_top2_per_group(spark, sf_dir):
+    """Table aggregate / UDTAF (reference TableAggregateFunction.java:157,
+    Top2Accumulator example; PyFlink udtaf:709): a group aggregate that
+    EMITS MULTIPLE ROWS per group — applyInPandas group→many-rows."""
+    t = tables(spark, sf_dir)
+
+    def top2(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.sort_values(
+            ["c_acctbal", "c_custkey"], ascending=[False, True], kind="mergesort"
+        ).head(2)
+        out = out.reset_index(drop=True)
+        out["rk"] = range(1, len(out) + 1)
+        return out[["c_nationkey", "c_custkey", "c_acctbal", "rk"]]
+
+    return (
+        t["customer"]
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+        .groupBy("c_nationkey")
+        .applyInPandas(
+            top2, "c_nationkey int, c_custkey long, c_acctbal double, rk int"
+        )
+    )
+
+
+@query(
     "udf_pandas_scalar",
     oracle="""
     SELECT l_orderkey, l_linenumber,
