@@ -153,6 +153,7 @@ def match_recognize(
             for name, c in pred_cols.items()
         }
         times = pdf[time_col] if time_col else None
+        key_vals = {k: pdf[k].iloc[0] for k in keys}  # constant per group
         out_rows = []
         match_seq = 0
         start = 0
@@ -166,7 +167,7 @@ def match_recognize(
                 ):
                     start += 1
                     continue
-                row = {k: pdf[k].iloc[0] for k in keys}
+                row = dict(key_vals)
                 row["match_seq"] = match_seq
                 for out_name, step, fn, col in meas:
                     idxs = bindings.get(step, [])
