@@ -29,6 +29,11 @@ from flink_psl_spark.llm.similarity import (  # noqa: F401
     embedding_dedup,
     lsh_cosine_topk,
 )
+from flink_psl_spark.llm.sampling import (  # noqa: F401
+    deterministic_sample,
+    mix_datasets,
+    stratified_sample,
+)
 from flink_psl_spark.llm.text import (  # noqa: F401
     tokenize,
     token_count,

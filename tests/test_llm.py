@@ -219,3 +219,45 @@ def test_decode_stub_raises(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_deterministic_sampling(spark, t):
+    from flink_psl_spark.llm import deterministic_sample, mix_datasets, stratified_sample
+
+    docs = t["documents"]
+    s1 = deterministic_sample(docs, 0.3, key_cols=["doc_id"])
+    s2 = deterministic_sample(docs, 0.3, key_cols=["doc_id"])
+    ids1 = {r["doc_id"] for r in s1.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in s2.select("doc_id").collect()}
+    assert ids1 == ids2  # reproducible
+    frac = len(ids1) / docs.count()
+    assert 0.2 < frac < 0.4, frac
+    # monotone: a larger fraction strictly contains a smaller one (same seed)
+    ids_half = {
+        r["doc_id"]
+        for r in deterministic_sample(docs, 0.6, key_cols=["doc_id"])
+        .select("doc_id").collect()
+    }
+    assert ids1 <= ids_half
+
+    strat = stratified_sample(
+        docs, "lang", {"en": 1.0, "fr": 0.5}, key_cols=["doc_id"]
+    )
+    got = {r["lang"]: r["n"] for r in
+           strat.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    n_en = docs.where(F.col("lang") == "en").count()
+    n_fr = docs.where(F.col("lang") == "fr").count()
+    assert got.get("en") == n_en  # keep-all stratum intact
+    assert 0.25 * n_fr < got.get("fr", 0) < 0.75 * n_fr
+    assert set(got) == {"en", "fr"}  # default fraction drops other strata
+
+    mixed = mix_datasets(
+        [(docs.where(F.col("lang") == "en"), 1.0),
+         (docs.where(F.col("lang") != "en"), 0.25)],
+        key_cols=["doc_id"],
+    )
+    per_src = {r["__mix_source"]: r["n"] for r in
+               mixed.groupBy("__mix_source").agg(F.count("*").alias("n")).collect()}
+    assert per_src[0] == n_en
+    n_rest = docs.where(F.col("lang") != "en").count()
+    assert 0.1 * n_rest < per_src.get(1, 0) < 0.45 * n_rest
