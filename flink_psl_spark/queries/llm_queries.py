@@ -396,6 +396,70 @@ def salted_agg_skew(spark, sf_dir):
     )
 
 
+@query("llm_stratified_sample")  # hash family is engine-specific: rows-only
+def llm_stratified_sample(spark, sf_dir):
+    """Deterministic per-language quota sampling (training-mix curation);
+    quota adherence asserted in tests/test_llm.py."""
+    from flink_psl_spark.llm import stratified_sample
+
+    t = tables(spark, sf_dir)
+    langs = [r[0] for r in t["documents"].select("lang").distinct().collect()]
+    fractions = {lg: (1.0 if lg == "en" else 0.5) for lg in langs}
+    return stratified_sample(
+        t["documents"], "lang", fractions, key_cols=["doc_id"]
+    ).select("doc_id", "lang")
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS p90,
+           ROUND(MEDIAN(l_quantity), 4) AS med_q
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark, sf_dir):
+    """Exact percentile aggregates (continuous interpolation — matches
+    QUANTILE_CONT)."""
+    t = tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("med_q"),
+        )
+    )
+
+
+@query("agg_hll_sketch")  # sketch bytes are engine-specific: rows-only +
+# accuracy assertion in tests (approx vs exact)
+def agg_hll_sketch(spark, sf_dir):
+    """Explicit HLL sketch aggregate + merge (reference
+    BatchApproxCountDistinctAggFunctions.java:55 HllBuffer): per-group
+    sketches merged across groups via hll_union_agg — the mergeable-sketch
+    workflow a 100 TB rollup uses (partial sketches per partition/day,
+    union at query time)."""
+    t = tables(spark, sf_dir)
+    per_flag = (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(F.hll_sketch_agg("l_partkey").alias("sk"))
+    )
+    merged = per_flag.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_total")
+    )
+    return per_flag.select(
+        "l_returnflag", F.hll_sketch_estimate("sk").alias("approx_parts")
+    ).unionByName(
+        merged.select(F.lit("ALL").alias("l_returnflag"),
+                      F.col("approx_total").alias("approx_parts"))
+    )
+
+
 @query("llm_multimodal_features")  # binary plumbing: rows-only check
 def llm_multimodal_features(spark, sf_dir):
     """Multimodal column plumbing: binary payload + metadata → mapInPandas

@@ -261,3 +261,15 @@ def test_deterministic_sampling(spark, t):
     assert per_src[0] == n_en
     n_rest = docs.where(F.col("lang") != "en").count()
     assert 0.1 * n_rest < per_src.get(1, 0) < 0.45 * n_rest
+
+
+def test_hll_sketch_accuracy(spark, sf_dir):
+    from flink_psl_spark.queries import QUERIES
+
+    rows = {r["l_returnflag"]: r["approx_parts"]
+            for r in QUERIES["agg_hll_sketch"](spark, sf_dir).collect()}
+    from flink_psl_spark.queries.registry import tables
+
+    t = tables(spark, sf_dir)
+    exact_total = t["lineitem"].select("l_partkey").distinct().count()
+    assert abs(rows["ALL"] - exact_total) / exact_total < 0.05
