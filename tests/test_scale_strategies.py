@@ -110,3 +110,43 @@ def test_aqe_session_settings(spark):
     assert (
         "RocksDB" in spark.conf.get("spark.sql.streaming.stateStore.providerClass")
     )
+
+
+def test_join_strategy_hints(spark, t):
+    """Join strategy hints (reference FlinkHints BROADCAST / SHUFFLE_HASH /
+    SHUFFLE_MERGE / NEST_LOOP — same names in Spark)."""
+    t["orders"].createOrReplaceTempView("o_h")
+    t["lineitem"].createOrReplaceTempView("l_h")
+
+    merge = spark.sql(
+        "SELECT /*+ MERGE(l_h) */ COUNT(*) AS n FROM o_h "
+        "JOIN l_h ON o_orderkey = l_orderkey"
+    )
+    assert "SortMergeJoin" in merge._jdf.queryExecution().executedPlan().toString()
+
+    shash = spark.sql(
+        "SELECT /*+ SHUFFLE_HASH(l_h) */ COUNT(*) AS n FROM o_h "
+        "JOIN l_h ON o_orderkey = l_orderkey"
+    )
+    assert "ShuffledHashJoin" in shash._jdf.queryExecution().executedPlan().toString()
+
+    bcast = spark.sql(
+        "SELECT /*+ BROADCAST(o_h) */ COUNT(*) AS n FROM o_h "
+        "JOIN l_h ON o_orderkey = l_orderkey"
+    )
+    assert "BroadcastHashJoin" in bcast._jdf.queryExecution().executedPlan().toString()
+    n = t["orders"].join(
+        t["lineitem"], t["orders"]["o_orderkey"] == t["lineitem"]["l_orderkey"]
+    ).count()
+    assert merge.first()["n"] == shash.first()["n"] == bcast.first()["n"] == n
+
+
+def test_nonequi_join_is_broadcast_nlj(spark, t):
+    """Theta joins plan as BroadcastNestedLoopJoin (reference
+    BatchExecNestedLoopJoin.java:46)."""
+    df = t["nation"].alias("a").join(
+        t["nation"].alias("b"),
+        F.expr("a.n_nationkey < b.n_nationkey"),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
