@@ -120,6 +120,60 @@ def to_blackhole(df: DataFrame):
     return df.writeStream.format("noop")
 
 
+def jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    driver: str | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """JDBC source (reference JdbcDynamicTableFactory, ID "jdbc").
+
+    Filters and projections push into the database (SupportsFilterPushDown
+    parity); pass partition_column + bounds for parallel range reads — the
+    scale knob that turns one cursor into ``num_partitions`` concurrent
+    queries. Works out of the box against Spark's bundled Derby
+    (``org.apache.derby.jdbc.EmbeddedDriver``); other databases need their
+    driver jar on the classpath.
+    """
+    r = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if driver:
+        r = r.option("driver", driver)
+    if partition_column is not None:
+        r = (
+            r.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def write_jdbc_table(
+    df: DataFrame,
+    url: str,
+    table: str,
+    *,
+    driver: str | None = None,
+    mode: str = "overwrite",
+    **options: str,
+) -> None:
+    """JDBC sink (reference jdbc connector sink side)."""
+    w = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    if driver:
+        w = w.option("driver", driver)
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.mode(mode).save()
+
+
 def kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
