@@ -1,0 +1,58 @@
+"""Example 3 — training-data pipeline: quality filter → dedup → mix → ANN.
+
+Run: python examples/llm_data_pipeline.py [sf_dir]
+"""
+
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from flink_psl_spark import get_spark, register_tables
+from flink_psl_spark.llm import (
+    cosine_topk,
+    exact_dedup,
+    minhash_dedup,
+    mix_datasets,
+    stratified_sample,
+)
+from flink_psl_spark.llm.text import quality_score, token_count
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    t = register_tables(spark, sf_dir)
+
+    # 1. quality filtering (expression-only, codegen'd)
+    docs = t["documents"].withColumn("q", quality_score("text"))
+    kept = docs.where((F.col("q") >= 0.5) & (token_count("text") >= 5))
+    print("quality filter:", docs.count(), "→", kept.count())
+
+    # 2. near-duplicate removal (MinHash-LSH + exact verify)
+    deduped = minhash_dedup(kept, threshold=0.8)
+    print("minhash dedup →", deduped.count())
+    exact_dedup(kept).select("doc_id", "dup_count").orderBy(
+        F.col("dup_count").desc()
+    ).show(3)
+
+    # 3. deterministic language-stratified training mix
+    mixed = mix_datasets(
+        [
+            (deduped.where(F.col("lang") == "en"), 1.0),
+            (deduped.where(F.col("lang") != "en"), 0.5),
+        ],
+        key_cols=["doc_id"],
+    )
+    mixed.groupBy("__mix_source").count().show()
+    stratified_sample(
+        deduped, "lang", {"en": 1.0, "fr": 0.5}, key_cols=["doc_id"]
+    ).groupBy("lang").count().show()
+
+    # 4. similarity search over embeddings (broadcast queries, corpus stays)
+    emb = t["embeddings"]
+    cosine_topk(emb, emb.where(F.col("vec_id") < 3), k=3).show()
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

@@ -121,3 +121,33 @@ def test_cdc_queries_vs_oracle(spark, sf_dir):
         ok, msg = compare(df, con, ORACLES[name])
         assert ok, f"{name}: {msg}"
     con.close()
+
+
+def test_upsert_restart_idempotent(spark):
+    """Restarting the upsert sink with the same checkpoint must not
+    re-apply processed batches (checkpoint + idempotent MERGE ≈ the
+    reference's exactly-once sink contract)."""
+    from flink_psl_spark.cdc import upsert_into_parquet
+
+    d = tempfile.mkdtemp(prefix="fps_cdc_restart_")
+    src, table, ckpt = f"{d}/src", f"{d}/table", f"{d}/ckpt"
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "a", "I", 1), (1, "b", "U", 2)],
+        "id bigint, v string, __op string, __ts_ms bigint",
+    ).write.parquet(src, mode="overwrite")
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "id bigint, v string, __op string, __ts_ms bigint"
+        ).parquet(src)
+        q = upsert_into_parquet(stream, table, "id", "__ts_ms", checkpoint=ckpt)
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    first = sorted(map(tuple, spark.read.parquet(table).collect()))
+    run_once()  # same checkpoint, no new files → no reprocessing
+    second = sorted(map(tuple, spark.read.parquet(table).collect()))
+    assert first == second
+    assert [(r[0], r[1]) for r in first] == [(1, "b")]
