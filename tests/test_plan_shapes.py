@@ -1,0 +1,83 @@
+"""Plan-shape tests for custom operators (SURVEY §5.1 golden-plan analogue:
+assert the INVARIANTS of the physical plan — shuffle counts, operator
+choices — not brittle full-text snapshots)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _exchanges(df) -> int:
+    return _plan(df).count("Exchange hashpartitioning")
+
+
+def test_cumulate_stays_row_local(spark, t):
+    """cumulate explodes slices in the scan stage; the only shuffle is the
+    downstream aggregation's."""
+    from flink_psl_spark.operators import cumulate
+
+    agged = (
+        cumulate(t["events"], "ts", "30 minutes", "2 hours")
+        .groupBy("window_start", "window_end")
+        .agg(F.count("*").alias("n"))
+    )
+    assert _exchanges(agged) == 1
+    assert "Generate explode" in _plan(agged)
+
+
+def test_session_tvf_single_shuffle(spark, t):
+    """session TVF = gaps-and-islands over one key partitioning — the two
+    window passes and final agg reuse a single exchange."""
+    from flink_psl_spark.operators import session
+
+    out = (
+        session(t["events"], "ts", "10 minutes", partition_by="user_id")
+        .groupBy("user_id", "window_start")
+        .agg(F.count("*").alias("n"))
+    )
+    assert _exchanges(out) == 1
+
+
+def test_dedup_uses_window_group_limit(spark, t):
+    from flink_psl_spark.operators import deduplicate
+
+    out = deduplicate(t["events"], "user_id", ["ts", "event_id"], keep="last")
+    assert "WindowGroupLimit" in _plan(out)
+    assert _exchanges(out) == 1
+
+
+def test_interval_join_single_join(spark, t):
+    from flink_psl_spark.operators import interval_join
+
+    clicks = t["events"].where(F.col("event_type") == "click")
+    purchases = t["events"].where(F.col("event_type") == "purchase")
+    out = interval_join(
+        clicks, purchases, "user_id", "ts", "ts", "'0' SECOND", "'10' MINUTE"
+    )
+    p = _plan(out)
+    # equi-join on the key with the range as join condition — not a
+    # nested-loop cross product
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    )
+
+
+def test_minhash_signature_shuffle_payload(spark, t):
+    """minhash signatures: exactly one aggregation exchange (64 longs per
+    doc cross the wire), no join in the signature stage."""
+    from flink_psl_spark.llm import minhash_signatures
+
+    sig = minhash_signatures(t["documents"])
+    assert _exchanges(sig) == 1
+    assert "Join" not in _plan(sig)
+
+
+def test_exact_dedup_single_shuffle(spark, t):
+    from flink_psl_spark.llm import exact_dedup
+
+    assert _exchanges(exact_dedup(t["documents"])) == 1
