@@ -64,6 +64,19 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def shingle_hashes(text: Column | str, n: int = 3) -> Column:
+    """Hashed word n-gram shingles (array<bigint>) — hashes each token-array
+    slice directly (xxhash64 over array<string>), skipping the string
+    concatenation ``shingles`` pays. Duplicates are kept: MinHash is
+    duplicate-insensitive, so no distinct pass either."""
+    toks = tokenize(text)
+    k = F.size(toks) - (n - 1)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+        lambda i: F.xxhash64(F.slice(toks, i, n)),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -89,8 +102,8 @@ def minhash_signatures(
     """
     ex = df.select(
         F.col(id_col),
-        F.explode_outer(shingles(text_col, shingle_n)).alias("__s"),
-    ).withColumn("__h", F.xxhash64("__s"))
+        F.explode_outer(shingle_hashes(text_col, shingle_n)).alias("__h"),
+    )
     aggs = [
         F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__m{i}")
         for i in range(num_hashes)
@@ -161,10 +174,20 @@ def ngram_jaccard_pairs(
     """Pairs with exact n-gram Jaccard similarity >= threshold.
 
     With ``candidates`` (e.g. from ``minhash_lsh_pairs``) this verifies only
-    the candidate set — the 100 TB path. Without it, it verifies all pairs
+    the candidate set — the 100 TB path: docs are first semi-joined to the
+    candidate ids so the shingle expression runs only on docs that appear
+    in some pair, not the whole corpus. Without it, it verifies all pairs
     (testing / small data only).
     """
-    docs = df.select(
+    base = df
+    if candidates is not None:
+        ids = (
+            candidates.select(F.col("a").alias("__cid"))
+            .union(candidates.select(F.col("b").alias("__cid")))
+            .distinct()
+        )
+        base = df.join(ids, df[id_col] == F.col("__cid"), "left_semi")
+    docs = base.select(
         F.col(id_col).alias("__id"), shingles(text_col, shingle_n).alias("__sh")
     )
     if candidates is None:
