@@ -171,6 +171,36 @@ def stream_session_agg(spark, sf_dir):
 
 
 @query(
+    "stream_cumulate_agg",
+    oracle="""
+    SELECT time_bucket(INTERVAL '2 hours', ts) AS window_start,
+           we AS window_end,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM events,
+         UNNEST(generate_series(
+             time_bucket(INTERVAL '30 minutes', ts) + INTERVAL '30 minutes',
+             time_bucket(INTERVAL '2 hours', ts) + INTERVAL '2 hours',
+             INTERVAL '30 minutes')) AS t(we)
+    GROUP BY 1, 2
+    """,
+)
+def stream_cumulate_agg(spark, sf_dir):
+    """Streaming CUMULATE windows (reference SqlCumulateTableFunction /
+    sliced window agg): the row-local slice explode composes directly with
+    a watermarked streaming aggregation — the same operator tree as batch,
+    executed incrementally."""
+    from flink_psl_spark.operators import cumulate
+
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agged = (
+        cumulate(ev, "ts", "30 minutes", "2 hours")
+        .groupBy("window_start", "window_end")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    return run_to_memory_table(agged, output_mode="complete")
+
+
+@query(
     "stream_lookup_join",
     oracle="""
     SELECT e.event_id, e.user_id, c.c_mktsegment AS segment, c.c_acctbal AS bal
