@@ -399,6 +399,47 @@ def stream_interval_join_outer(spark, sf_dir):
 
 
 @query(
+    "stream_semi_join",
+    oracle="""
+    SELECT c.event_id, c.user_id
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND EXISTS (SELECT 1 FROM events p
+                  WHERE p.event_type = 'purchase'
+                    AND p.user_id = c.user_id
+                    AND p.ts >= c.ts
+                    AND p.ts <= c.ts + INTERVAL '10' MINUTE)
+    """,
+)
+def stream_semi_join(spark, sf_dir):
+    """Stream-stream LEFT SEMI join (reference
+    StreamingSemiAntiJoinOperator.java:34): clicks with a purchase within
+    10 minutes — emitted once per click, no right-side columns."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", "10 minutes")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts")
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("ts"))
+        & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left_semi",
+    ).select("event_id", "user_id")
+    return run_to_memory_table(joined, output_mode="append")
+
+
+@query(
     "stream_running_agg",
     oracle="""
     SELECT user_id, COUNT(*) AS cnt, ROUND(SUM(value), 3) AS total,
