@@ -440,6 +440,80 @@ def stream_semi_join(spark, sf_dir):
 
 
 @query(
+    "stream_anti_join",
+    oracle="""
+    SELECT c.event_id, c.user_id
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND NOT EXISTS (SELECT 1 FROM events p
+                      WHERE p.event_type = 'purchase'
+                        AND p.user_id = c.user_id
+                        AND p.ts >= c.ts
+                        AND p.ts <= c.ts + INTERVAL '10' MINUTE)
+    """,
+)
+def stream_anti_join(spark, sf_dir):
+    """Stream-stream ANTI join (reference StreamingSemiAntiJoinOperator NOT
+    EXISTS side). Spark has no streaming left_anti — the standard
+    construction is LEFT OUTER + IS NULL filter: a click is anti-joined
+    exactly when the watermark proves no purchase can arrive. Sentinel rows
+    advance the final watermark in bounded replay."""
+    import datetime as dt
+    import tempfile
+
+    from flink_psl_spark.catalog import load_table
+
+    base = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    far = base.select(F.max("ts")).first()[0] + dt.timedelta(days=30)
+    d = tempfile.mkdtemp(prefix="fps_aj_")
+    base.coalesce(4).write.parquet(f"{d}/src")
+    spark.createDataFrame(
+        [(-1, -1, "click", far), (-2, -1, "purchase", far)],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(f"{d}/src")
+
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+
+    def src():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 5)
+            .parquet(f"{d}/src")
+        )
+
+    clicks = (
+        src().where(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), "ts")
+        .withWatermark("ts", "10 minutes")
+    )
+    purchases = (
+        src().where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("ts"))
+        & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 10 MINUTES")),
+        "leftOuter",
+    )
+    mem = run_to_memory_table(
+        joined.select("user_id", "click_id", "purchase_id"), output_mode="append"
+    )
+    return (
+        mem.where(F.col("purchase_id").isNull() & (F.col("click_id") >= 0))
+        .select(F.col("click_id").alias("event_id"), "user_id")
+    )
+
+
+@query(
     "stream_running_agg",
     oracle="""
     SELECT user_id, COUNT(*) AS cnt, ROUND(SUM(value), 3) AS total,
