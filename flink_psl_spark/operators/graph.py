@@ -1,0 +1,108 @@
+"""Graph algorithms on DataFrames (SURVEY §1.1 Graph row — Gelly parity).
+
+Reference: flink-libraries/flink-gelly (Graph.java:85) ships vertex-centric
+iterations with library algorithms (library/PageRank.java,
+library/ConnectedComponents.java, library/TriangleEnumerator.java). Spark has
+no streaming/native iteration (SURVEY §2.9 'Iterations' gap); the idiomatic
+batch form is a driver-side loop of declarative DataFrame rounds — each round
+is a join + agg pair (two key-partitioned shuffles, AQE-coalesced), with
+``localCheckpoint`` truncating lineage so plans stay flat at any iteration
+count. Connected components lives in ``flink_psl_spark.llm.clustering``.
+
+Scale notes: at 100 TB the edge table is the fact side — every round shuffles
+edges by src then dst only (ranks/degrees are node-sized, orders of magnitude
+smaller, and Catalyst broadcast-joins them when they fit). Convergence state
+stays distributed; nothing but the loop condition touches the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def undirect(edges: DataFrame, src: str = "s", dst: str = "d") -> DataFrame:
+    """Symmetrize + dedup an edge list → columns (s, d)."""
+    return (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+    )
+
+
+def degrees(edges: DataFrame, src: str = "s", dst: str = "d") -> DataFrame:
+    """Vertex degree of the undirected graph → (node, degree).
+
+    Gelly: Graph.getDegrees() (flink-gelly Graph.java).
+    """
+    und = undirect(edges, src, dst)
+    return und.groupBy(F.col("s").alias("node")).agg(
+        F.count("*").alias("degree")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "s",
+    dst: str = "d",
+    *,
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank on the symmetrized graph → (node, rank).
+
+    Gelly: library/PageRank.java (vertex-centric scatter-gather). Each
+    iteration: contributions = rank/degree scattered along edges, gathered by
+    destination; rank' = (1-d)/N + d * sum(contribs). Fixed ``iters`` keeps
+    the result deterministic (and SQL-oracle-able by unrolling).
+
+    Degree-zero isolates can't occur (nodes exist only via edges); dangling
+    nodes can't occur either (symmetrized graph ⇒ outdeg = deg ≥ 1), so no
+    dangling-mass redistribution term is needed.
+    """
+    und = undirect(edges, src, dst).localCheckpoint(eager=True)
+    deg = und.groupBy(F.col("s").alias("dnode")).agg(F.count("*").alias("deg"))
+    nodes = und.select(F.col("s").alias("node")).distinct()
+    n = nodes.count()
+    if n == 0:  # empty graph: no nodes, no ranks (avoid 1/0 below)
+        return nodes.withColumn("rank", F.lit(0.0))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        contribs = (
+            und.join(ranks, und["s"] == ranks["node"])
+            .join(deg, und["s"] == F.col("dnode"))
+            .groupBy(und["d"].alias("cnode"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == F.col("cnode"), "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "s", dst: str = "d") -> DataFrame:
+    """Global triangle count of the undirected simple graph → (n_triangles).
+
+    Gelly: library/TriangleEnumerator.java. Canonical a<b<c orientation: each
+    triangle is counted exactly once; the two joins shuffle the oriented edge
+    list by vertex (degree-ordered orientation would further bound skew at
+    scale — the fixture graphs are near-uniform so plain id order is used).
+    """
+    e = undirect(edges, src, dst).where(F.col("s") < F.col("d"))
+    e1 = e.select(F.col("s").alias("a"), F.col("d").alias("b"))
+    e2 = e.select(F.col("s").alias("b2"), F.col("d").alias("c"))
+    e3 = e.select(F.col("s").alias("a3"), F.col("d").alias("c3"))
+    wedges = e1.join(e2, e1["b"] == e2["b2"])
+    tris = wedges.join(
+        e3, (wedges["a"] == e3["a3"]) & (wedges["c"] == e3["c3"])
+    )
+    return tris.agg(F.count("*").alias("n_triangles"))

@@ -17,6 +17,7 @@ from flink_psl_spark.queries.registry import (  # noqa: F401
 
 # registration side effects
 import flink_psl_spark.queries.relational  # noqa: F401, E402
+import flink_psl_spark.queries.tpch_suite  # noqa: F401, E402
 import flink_psl_spark.queries.window_fns  # noqa: F401, E402
 import flink_psl_spark.queries.windows_tvf  # noqa: F401, E402
 import flink_psl_spark.queries.llm_queries  # noqa: F401, E402
@@ -24,3 +25,4 @@ import flink_psl_spark.queries.streaming_queries  # noqa: F401, E402
 import flink_psl_spark.queries.cep_queries  # noqa: F401, E402
 import flink_psl_spark.queries.cdc_queries  # noqa: F401, E402
 import flink_psl_spark.queries.functions_ext  # noqa: F401, E402
+import flink_psl_spark.queries.graph_queries  # noqa: F401, E402

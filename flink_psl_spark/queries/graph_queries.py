@@ -1,0 +1,114 @@
+"""Graph query inventory (SURVEY §1.1 Graph row — the Gelly surface).
+
+Reference: flink-libraries/flink-gelly Graph.java:85 + library algorithms
+(PageRank.java, ConnectedComponents.java, TriangleEnumerator.java). Connected
+components is exercised by ``llm_dedup_clusters`` (llm_queries.py); here the
+remaining Gelly library surface runs on a derived co-supply graph: suppliers
+are linked when they both ship the same part in low-quantity lines (a
+deterministic, sparse, multi-component graph at every scale factor).
+
+PageRank is iterative (no single-SQL form), so its oracle unrolls the exact
+fixed iteration count as chained CTEs — exact math, no recursion needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_psl_spark.queries.registry import query, sql_query, tables
+
+# Shared edge derivation (SQL text used verbatim inside each oracle).
+_EDGES_SQL = """
+    SELECT DISTINCT l1.l_suppkey AS s, l2.l_suppkey AS d
+    FROM lineitem l1
+    JOIN lineitem l2
+      ON l1.l_partkey = l2.l_partkey AND l1.l_suppkey < l2.l_suppkey
+    WHERE l1.l_quantity < 3 AND l2.l_quantity < 3
+"""
+
+
+def _edges(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    l1 = t["lineitem"].where(F.col("l_quantity") < 3).alias("l1")
+    l2 = t["lineitem"].where(F.col("l_quantity") < 3).alias("l2")
+    return (
+        l1.join(
+            l2,
+            (F.col("l1.l_partkey") == F.col("l2.l_partkey"))
+            & (F.col("l1.l_suppkey") < F.col("l2.l_suppkey")),
+        )
+        .select(
+            F.col("l1.l_suppkey").alias("s"), F.col("l2.l_suppkey").alias("d")
+        )
+        .distinct()
+    )
+
+
+@query(
+    "graph_degree",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    und AS (SELECT s, d FROM edges UNION SELECT d AS s, s AS d FROM edges)
+    SELECT s AS node, COUNT(*) AS degree FROM und GROUP BY s
+    """,
+)
+def graph_degree(spark, sf_dir):
+    """Vertex degrees of the co-supply graph (Gelly Graph.getDegrees)."""
+    from flink_psl_spark.operators.graph import degrees
+
+    return degrees(_edges(spark, sf_dir))
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL})
+    SELECT COUNT(*) AS n_triangles
+    FROM edges e1
+    JOIN edges e2 ON e1.d = e2.s
+    JOIN edges e3 ON e3.s = e1.s AND e3.d = e2.d
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Triangle count (Gelly TriangleEnumerator): canonical a<b<c joins."""
+    from flink_psl_spark.operators.graph import triangle_count
+
+    return triangle_count(_edges(spark, sf_dir))
+
+
+_PR_ITER = """
+    r{k} AS (
+      SELECT n.node,
+             0.15 / (SELECT c FROM nn)
+               + 0.85 * COALESCE(SUM(r.rank / g.dg), 0.0) AS rank
+      FROM nodes n
+      LEFT JOIN und e ON e.d = n.node
+      LEFT JOIN r{p} r ON r.node = e.s
+      LEFT JOIN deg g ON g.node = e.s
+      GROUP BY n.node)
+"""
+
+
+@query(
+    "graph_pagerank",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    und AS (SELECT s, d FROM edges UNION SELECT d AS s, s AS d FROM edges),
+    deg AS (SELECT s AS node, COUNT(*) AS dg FROM und GROUP BY s),
+    nodes AS (SELECT DISTINCT s AS node FROM und),
+    nn AS (SELECT COUNT(*) AS c FROM nodes),
+    r0 AS (SELECT node, 1.0 / (SELECT c FROM nn) AS rank FROM nodes),
+    {_PR_ITER.format(k=1, p=0)},
+    {_PR_ITER.format(k=2, p=1)},
+    {_PR_ITER.format(k=3, p=2)}
+    SELECT node, CAST(ROUND(rank, 8) AS DOUBLE) AS rank FROM r3
+    """,
+)
+def graph_pagerank(spark, sf_dir):
+    """3-iteration PageRank (Gelly library/PageRank.java scatter-gather);
+    oracle = the same three iterations unrolled as CTEs. Ranks rounded to
+    8 dp (double association noise ~1e-16, far below the grain)."""
+    from flink_psl_spark.operators.graph import pagerank
+
+    pr = pagerank(_edges(spark, sf_dir), iters=3)
+    return pr.select("node", F.round("rank", 8).alias("rank"))

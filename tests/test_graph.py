@@ -1,0 +1,70 @@
+"""Graph algorithms (Gelly parity — SURVEY §1.1): hand-built graphs with
+known answers, plus numpy power-iteration cross-check for PageRank."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "s long, d long")
+
+
+def test_degrees(spark):
+    from flink_psl_spark.operators.graph import degrees
+
+    # path 1-2-3 plus isolated edge 4-5
+    e = _edges(spark, [(1, 2), (2, 3), (4, 5)])
+    got = {r["node"]: r["degree"] for r in degrees(e).collect()}
+    assert got == {1: 1, 2: 2, 3: 1, 4: 1, 5: 1}
+
+
+def test_triangle_count(spark):
+    from flink_psl_spark.operators.graph import triangle_count
+
+    # K4 has 4 triangles; plus a dangling edge and a duplicate/reversed edge
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    e = _edges(spark, k4 + [(4, 9), (2, 1), (3, 2)])
+    assert triangle_count(e).collect()[0]["n_triangles"] == 4
+
+
+def test_triangle_count_none(spark):
+    from flink_psl_spark.operators.graph import triangle_count
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4)])  # path: no triangles
+    assert triangle_count(e).collect()[0]["n_triangles"] == 0
+
+
+def test_pagerank_vs_power_iteration(spark):
+    np = pytest.importorskip("numpy")
+    from flink_psl_spark.operators.graph import pagerank
+
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (1, 5), (6, 7)]
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(_edges(spark, pairs), iters=4).collect()
+    }
+
+    # reference: dense power iteration on the symmetrized graph
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    adj = np.zeros((n, n))
+    for a, b in pairs:
+        adj[idx[a]][idx[b]] = adj[idx[b]][idx[a]] = 1.0
+    out = adj.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(4):
+        r = 0.15 / n + 0.85 * (adj.T @ (r / out))
+    for v in nodes:
+        assert got[v] == pytest.approx(r[idx[v]], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_symmetric_graph_uniform(spark):
+    from flink_psl_spark.operators.graph import pagerank
+
+    # ring: every node identical by symmetry → uniform ranks
+    ring = [(i, (i + 1) % 6) for i in range(6)]
+    ranks = [r["rank"] for r in pagerank(_edges(spark, ring), iters=3).collect()]
+    assert all(r == pytest.approx(1.0 / 6, abs=1e-12) for r in ranks)

@@ -23,6 +23,9 @@ SAMPLE = [
     "agg_rollup",
     "agg_listagg",
     "join_multiway_revenue",
+    "q5_local_supplier_volume",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
     "join_semi",
     "join_anti",
     "setop_except_all",
