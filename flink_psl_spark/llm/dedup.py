@@ -100,6 +100,11 @@ def minhash_signatures(
     MinHash is duplicate-insensitive (min over a multiset == min over its
     set), so no distinct pass is needed before aggregation.
     """
+    from flink_psl_spark.parallelism import ensure_parallelism
+
+    # heavy map stage (shingle explode + hash family): under-parallel scans
+    # serialize it — fan out on the id key the groupBy below reuses
+    df = ensure_parallelism(df, id_col)
     ex = df.select(
         F.col(id_col),
         F.explode_outer(shingle_hashes(text_col, shingle_n)).alias("__h"),
@@ -242,6 +247,10 @@ def minhash_dedup(
     cand = minhash_lsh_pairs(
         with_sig, id_col, "minhash", bands=bands, num_hashes=num_hashes
     )
+    # materialize the (tiny) candidate set: the verify stage references it
+    # from several branches (id union + both pair joins) and would otherwise
+    # recompute the whole signature+LSH pipeline once per branch
+    cand = cand.localCheckpoint(eager=True)
     verified = ngram_jaccard_pairs(
         df, text_col, id_col, shingle_n=shingle_n,
         threshold=threshold, candidates=cand,
@@ -292,6 +301,9 @@ def simhash_fingerprints(
     each once, then one groupBy computing the 64 per-bit vote sums with
     map-side partial aggregation — the shuffle carries 64 longs per doc.
     """
+    from flink_psl_spark.parallelism import ensure_parallelism
+
+    df = ensure_parallelism(df, id_col)
     ex = df.select(
         F.col(id_col),
         F.explode_outer(shingles(text_col, shingle_n)).alias("__s"),
