@@ -40,6 +40,11 @@ HEADLINE = [
     "udf_pandas_scalar",
     "q5_local_supplier_volume",
     "graph_pagerank",
+    # streaming (real Structured Streaming runs, AvailableNow replay of the
+    # events table): window agg, stream-stream join, custom stateful op
+    "stream_tumble_agg",
+    "stream_interval_join",
+    "stream_keyed_top3",
 ]
 
 

