@@ -105,3 +105,33 @@ def cdc_maxwell_roundtrip(spark, sf_dir):
     return changelog_normalize(
         changes, "user_id", ["__ts_ms", "event_id"]
     ).select("user_id", "event_id", "value")
+
+
+@query(
+    "cdc_drop_update_before",
+    # retract stream: view rows model -U (update-before), purchase +U,
+    # signup I, error D; DropUpdateBefore keeps everything except -U
+    oracle="""
+    SELECT event_id, user_id,
+           CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D'
+                           ELSE '+U' END AS __op
+    FROM events
+    WHERE event_type IN ('signup', 'error', 'purchase', 'click')
+    """,
+)
+def cdc_drop_update_before(spark, sf_dir):
+    """Retract-stream handling (reference StreamExecDropUpdateBefore.java:55):
+    strip -U rows from an explicit ±U changelog; I/+U/D pass through."""
+    from flink_psl_spark.operators.changelog import drop_update_before
+
+    t = tables(spark, sf_dir)
+    changelog = t["events"].select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_type") == "signup", F.lit("I"))
+        .when(F.col("event_type") == "error", F.lit("D"))
+        .when(F.col("event_type") == "view", F.lit("-U"))
+        .otherwise(F.lit("+U"))
+        .alias("__op"),
+    )
+    return drop_update_before(changelog)

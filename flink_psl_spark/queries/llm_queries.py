@@ -201,7 +201,53 @@ def llm_text_stats(spark, sf_dir):
     )
 
 
-@query("llm_language_id")  # multi-profile argmax: accuracy asserted in tests
+@query(
+    "llm_language_id",
+    # exact oracle: per-language stopword hit-ratio, sequential argmax with
+    # strict > (ties keep the earlier language in en,fr,de,es order),
+    # threshold 0.03 → 'und'. Ratios are single divisions of identical int
+    # operands on both engines, so the comparisons are bit-reproducible.
+    oracle="""
+    WITH sc AS (
+      SELECT lang,
+             STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS toks
+      FROM documents),
+    r AS (
+      SELECT lang,
+             CASE WHEN LEN(toks) = 0 THEN 0.0 ELSE
+               LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(['the','a','an','and',
+                 'or','of','to','in','is','are','was','were','be','been','it',
+                 'this','that','for','on','with','as','at','by','from','not',
+                 'no'], t))) * 1.0 / LEN(toks) END AS s_en,
+             CASE WHEN LEN(toks) = 0 THEN 0.0 ELSE
+               LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(['le','la','les','de',
+                 'des','un','une','et','est','dans','pour','que','qui','sur',
+                 'au','du'], t))) * 1.0 / LEN(toks) END AS s_fr,
+             CASE WHEN LEN(toks) = 0 THEN 0.0 ELSE
+               LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(['der','die','das',
+                 'und','ist','ein','eine','nicht','mit','für','von','auf',
+                 'dem','den'], t))) * 1.0 / LEN(toks) END AS s_de,
+             CASE WHEN LEN(toks) = 0 THEN 0.0 ELSE
+               LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(['el','la','los','las',
+                 'de','un','una','y','es','en','que','por','para','con',
+                 'del'], t))) * 1.0 / LEN(toks) END AS s_es
+      FROM sc),
+    p AS (
+      SELECT lang,
+             CASE
+               WHEN s_en > 0.03 AND s_en >= s_fr AND s_en >= s_de
+                    AND s_en >= s_es THEN 'en'
+               WHEN s_fr > 0.03 AND s_fr > s_en AND s_fr >= s_de
+                    AND s_fr >= s_es THEN 'fr'
+               WHEN s_de > 0.03 AND s_de > s_en AND s_de > s_fr
+                    AND s_de >= s_es THEN 'de'
+               WHEN s_es > 0.03 AND s_es > s_en AND s_es > s_fr
+                    AND s_es > s_de THEN 'es'
+               ELSE 'und' END AS pred
+      FROM r)
+    SELECT lang, pred, COUNT(*) AS n FROM p GROUP BY lang, pred
+    """,
+)
 def llm_language_id(spark, sf_dir):
     """Stopword-profile language identification vs the fixture's lang label."""
     from flink_psl_spark.llm import language_id
