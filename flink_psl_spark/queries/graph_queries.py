@@ -112,3 +112,26 @@ def graph_pagerank(spark, sf_dir):
 
     pr = pagerank(_edges(spark, sf_dir), iters=3)
     return pr.select("node", F.round("rank", 8).alias("rank"))
+
+
+@query(
+    "graph_connected_components",
+    oracle=f"""
+    WITH RECURSIVE
+    edges AS ({_EDGES_SQL}),
+    und AS (SELECT s, d FROM edges UNION SELECT d AS s, s AS d FROM edges),
+    walk(node, label) AS (
+      SELECT s, s FROM und
+      UNION
+      SELECT u.d, w.label FROM walk w JOIN und u ON u.s = w.node)
+    SELECT node, MIN(label) AS component
+    FROM walk GROUP BY node
+    """,
+)
+def graph_connected_components(spark, sf_dir):
+    """Connected components of the co-supply graph (Gelly
+    library/ConnectedComponents.java): min-label propagation rounds;
+    oracle = recursive-CTE transitive closure."""
+    from flink_psl_spark.llm.clustering import connected_components
+
+    return connected_components(_edges(spark, sf_dir), "s", "d")
