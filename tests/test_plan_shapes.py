@@ -81,3 +81,25 @@ def test_exact_dedup_single_shuffle(spark, t):
     from flink_psl_spark.llm import exact_dedup
 
     assert _exchanges(exact_dedup(t["documents"])) == 1
+
+
+def test_cep_single_shuffle_wide_python_stage(spark, t):
+    """batch CEP: exactly one exchange (the key repartition, pinned to
+    defaultParallelism so AQE can't coalesce the Python stage narrow),
+    sort within partitions, one mapInPandas — no per-group FlatMapGroups."""
+    from flink_psl_spark.cep import Measure, Step, match_recognize
+
+    out = match_recognize(
+        t["events"],
+        partition_by="user_id",
+        order_by=["ts", "event_id"],
+        pattern=[
+            Step.one_or_more("A", "event_type = 'click'"),
+            Step.once("B", "event_type = 'purchase'"),
+        ],
+        measures=[Measure("n_clicks", "A", "count")],
+    )
+    plan = _plan(out)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
