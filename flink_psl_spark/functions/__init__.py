@@ -22,6 +22,7 @@ from flink_psl_spark.functions.compat import (  # noqa: F401
     instr,
     chr_,
     regexp,
+    temporal_overlaps,
     listagg,
     register_sql_compat,
 )

@@ -131,6 +131,28 @@ def listagg(col: Column | str, sep: str = ",", *, sort: bool = True) -> Column:
     return F.array_join(collected, sep)
 
 
+def temporal_overlaps(
+    l_start: Column | str,
+    l_end: Column | str,
+    r_start: Column | str,
+    r_end: Column | str,
+) -> Column:
+    """TEMPORAL_OVERLAPS(lt, lend, rt, rend) → do [lt,lend] and [rt,rend]
+    share any point (inclusive)?
+
+    Reference: BuiltInFunctionDefinitions.TEMPORAL_OVERLAPS planned by
+    TemporalOverlapsConverter.java (standard OVERLAPS conversion): endpoints
+    are normalized (swapped if reversed) then tested (e0 >= s1) AND
+    (e1 >= s0). Interval second arguments are expressed by the caller as
+    ``col + INTERVAL ...`` — Spark has no interval-typed parameters here.
+    """
+    ls, le = _col(l_start), _col(l_end)
+    rs, re_ = _col(r_start), _col(r_end)
+    s0, e0 = F.least(ls, le), F.greatest(ls, le)
+    s1, e1 = F.least(rs, re_), F.greatest(rs, re_)
+    return (e0 >= s1) & (e1 >= s0)
+
+
 _SQL_COMPAT_DECLS = (
     # (name, params, return type, body) — SQL scalar UDFs (Spark ≥4.0):
     # pure expressions, inlined by Catalyst, zero Python round-trips.
@@ -147,6 +169,9 @@ _SQL_COMPAT_DECLS = (
     ("IS_DECIMAL", "s STRING", "BOOLEAN",
      "try_cast(s AS DECIMAL(38,18)) IS NOT NULL"),
     ("HASH_CODE", "s STRING", "INT", "hash(s)"),
+    ("TEMPORAL_OVERLAPS",
+     "ls TIMESTAMP, le TIMESTAMP, rs TIMESTAMP, re TIMESTAMP", "BOOLEAN",
+     "least(ls, le) <= greatest(rs, re) AND least(rs, re) <= greatest(ls, le)"),
 )
 
 

@@ -399,3 +399,45 @@ def udtf_lateral(spark, sf_dir):
     return docs.lateralJoin(
         LongWords(F.col("text").outer(), lit(6).outer())
     ).select("doc_id", "word", "wlen")
+
+
+# ---------------------------------------------------------------------------
+# TEMPORAL_OVERLAPS (reference BuiltInFunctionDefinitions.temporalOverlaps,
+# planned via TemporalOverlapsConverter.java: normalize endpoints then
+# (e0 >= s1) AND (e1 >= s0), inclusive)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "temporal_overlaps_fn",
+    oracle="""
+    SELECT o_orderkey,
+           (GREATEST(o_orderdate, o_orderdate + INTERVAL '30 days')
+              >= LEAST(TIMESTAMP '1997-03-01 00:00:00',
+                       TIMESTAMP '1997-06-01 00:00:00')
+            AND GREATEST(TIMESTAMP '1997-03-01 00:00:00',
+                         TIMESTAMP '1997-06-01 00:00:00')
+              >= LEAST(o_orderdate, o_orderdate + INTERVAL '30 days'))
+             AS hits_q2_window
+    FROM orders WHERE o_orderkey <= 500
+    """,
+)
+def temporal_overlaps_fn(spark, sf_dir):
+    """TEMPORAL_OVERLAPS via both surfaces: the Column shim builds the
+    predicate; the SQL-registered function is exercised in tests."""
+    from flink_psl_spark.functions import temporal_overlaps
+
+    t = tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .where(F.col("o_orderkey") <= 500)
+        .select(
+            "o_orderkey",
+            temporal_overlaps(
+                F.col("o_orderdate"),
+                F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+                F.lit("1997-03-01 00:00:00").cast("timestamp"),
+                F.lit("1997-06-01 00:00:00").cast("timestamp"),
+            ).alias("hits_q2_window"),
+        )
+    )

@@ -261,3 +261,28 @@ def test_sql_compat_registration(spark):
         "IS_DIGIT('123') AS c"
     ).first()
     assert (got["a"], got["b"], got["c"]) == ("x", -2.7, True)
+
+
+def test_temporal_overlaps_semantics(spark):
+    """Reference TemporalOverlapsConverter: inclusive, endpoint-normalized."""
+    from flink_psl_spark.functions import register_sql_compat
+
+    register_sql_compat(spark)
+    got = spark.sql(
+        "SELECT "
+        # touching endpoints overlap (inclusive)
+        "TEMPORAL_OVERLAPS(TIMESTAMP '2024-01-01 00:00:00', "
+        " TIMESTAMP '2024-01-02 00:00:00', TIMESTAMP '2024-01-02 00:00:00', "
+        " TIMESTAMP '2024-01-03 00:00:00') AS touching, "
+        # disjoint
+        "TEMPORAL_OVERLAPS(TIMESTAMP '2024-01-01 00:00:00', "
+        " TIMESTAMP '2024-01-02 00:00:00', TIMESTAMP '2024-01-03 00:00:00', "
+        " TIMESTAMP '2024-01-04 00:00:00') AS disjoint, "
+        # reversed endpoints are normalized before the test
+        "TEMPORAL_OVERLAPS(TIMESTAMP '2024-01-05 00:00:00', "
+        " TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-02 00:00:00', "
+        " TIMESTAMP '2024-01-03 00:00:00') AS reversed"
+    ).first()
+    assert got["touching"] is True
+    assert got["disjoint"] is False
+    assert got["reversed"] is True
