@@ -441,3 +441,45 @@ def temporal_overlaps_fn(spark, sf_dir):
             ).alias("hits_q2_window"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar surface, batch 3: the stragglers (reference
+# BuiltInFunctionDefinitions: TYPEOF :104, IFNULL :122, rpad :!, cot :1296)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "string_functions3",
+    """
+    SELECT p_partkey,
+           RPAD(p_brand, 12, '*')                     AS padded,
+           IFNULL(NULLIF(p_type, 'PROMO'), 'n/a')     AS type_or_na,
+           ROUND(COT(CAST(p_size AS DOUBLE)), 6)      AS cot_size
+    FROM part WHERE p_partkey <= 300
+    """,
+    oracle="""
+    SELECT p_partkey,
+           RPAD(p_brand, 12, '*')                     AS padded,
+           COALESCE(NULLIF(p_type, 'PROMO'), 'n/a')   AS type_or_na,
+           ROUND(COT(CAST(p_size AS DOUBLE)), 6)      AS cot_size
+    FROM part WHERE p_partkey <= 300
+    """,
+)
+
+
+@query("typeof_fn")  # type names are engine-specific strings: rows-only;
+# exact values asserted in tests/test_operators.py
+def typeof_fn(spark, sf_dir):
+    """TYPEOF (reference BuiltInFunctionDefinitions :104): runtime type
+    string of an expression."""
+    t = tables(spark, sf_dir)
+    return (
+        t["part"]
+        .where(F.col("p_partkey") <= 10)
+        .select(
+            F.expr("typeof(p_partkey)").alias("t_key"),
+            F.expr("typeof(p_brand)").alias("t_brand"),
+            F.expr("typeof(p_retailprice)").alias("t_price"),
+        )
+        .distinct()
+    )

@@ -286,3 +286,13 @@ def test_temporal_overlaps_semantics(spark):
     assert got["touching"] is True
     assert got["disjoint"] is False
     assert got["reversed"] is True
+
+
+def test_typeof_values(spark, sf_dir):
+    from flink_psl_spark.queries import QUERIES
+
+    rows = QUERIES["typeof_fn"](spark, sf_dir).collect()
+    assert len(rows) == 1
+    assert (rows[0]["t_key"], rows[0]["t_brand"], rows[0]["t_price"]) == (
+        "bigint", "string", "double",
+    )
