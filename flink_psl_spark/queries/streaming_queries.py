@@ -622,3 +622,34 @@ def stream_keyed_top3(spark, sf_dir):
         ["__seq"],
         keep="last",
     ).select("user_id", "rank", "value", "event_id")
+
+@query(
+    "stream_range_over",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(SUM(value) OVER w, 3) AS run_sum,
+           ROUND(AVG(value) OVER w, 3) AS run_avg,
+           CAST(COUNT(*) OVER w AS INT) AS run_cnt
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '10 minutes' PRECEDING
+                           AND CURRENT ROW)
+    """,
+)
+def stream_range_over(spark, sf_dir):
+    """Streaming OVER aggregate, RANGE 10-minute PRECEDING (reference
+    RowTimeRangeBoundedPrecedingFunction.java:55 — time-based frame with
+    peer rows; stateful trailing-interval buffer)."""
+    from flink_psl_spark.streaming import streaming_range_over
+
+    ev = _events_stream(spark, sf_dir)
+    out = streaming_range_over(
+        ev, "user_id", "ts", "value", "10 minutes", payload_cols=["event_id"]
+    )
+    mem = run_to_memory_table(out, output_mode="append")
+    return mem.select(
+        "user_id", "event_id",
+        F.round("run_sum", 3).alias("run_sum"),
+        F.round("run_avg", 3).alias("run_avg"),
+        "run_cnt",
+    )

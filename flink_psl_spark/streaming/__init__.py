@@ -25,4 +25,5 @@ from flink_psl_spark.streaming.stateful import (  # noqa: F401
     keyed_running_agg,
     keyed_top_n,
     streaming_rows_over,
+    streaming_range_over,
 )

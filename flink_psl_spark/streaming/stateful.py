@@ -414,3 +414,89 @@ def streaming_rows_over(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_range_over(
+    events: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    preceding: str,
+    *,
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming OVER aggregate, RANGE BETWEEN INTERVAL ``preceding``
+    PRECEDING AND CURRENT ROW (reference: StreamExecOverAggregate.java:91,
+    RowTimeRangeBoundedPrecedingFunction.java:55).
+
+    Value-based frame: each output row aggregates every row of the same key
+    whose ``order_col`` lies in [t - preceding, t] — including equal-time
+    peers, matching SQL RANGE semantics (the reference fires per timestamp,
+    emitting all peers together). State is the (order, value) tail within
+    the trailing interval of the newest row — bounded by the time span ×
+    per-key rate, exactly the reference's retained-rows contract.
+
+    Ordering contract: same as ``streaming_rows_over`` (event-time order
+    under single-batch replay; peers split across micro-batches join only
+    forward).
+    """
+    payload_cols = payload_cols or []
+    src = events.select(key_col, order_col, value_col, *payload_cols)
+    k_dt, o_dt, v_dt = (_dt(src, c) for c in (key_col, order_col, value_col))
+    pay_out = "".join(f", {c} {_dt(src, c)}" for c in payload_cols)
+    out_fields = (
+        f"{key_col} {k_dt}, {order_col} {o_dt}, {value_col} {v_dt}{pay_out}, "
+        f"run_sum double, run_avg double, run_cnt int"
+    )
+    state_fields = f"ord array<{o_dt}>, vals array<{v_dt}>"
+    delta = pd.Timedelta(preceding)
+
+    def fn(key, batches: Iterator[pd.DataFrame], state: GroupState):
+        import numpy as np
+
+        if state.exists:
+            ords, vals = state.get
+            tail = pd.DataFrame({order_col: list(ords), value_col: list(vals)})
+        else:
+            tail = pd.DataFrame({order_col: [], value_col: []})
+        for b in batches:
+            b = b.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+            hist = (
+                pd.concat([tail, b[[order_col, value_col]]], ignore_index=True)
+                .sort_values(order_col, kind="mergesort")
+                .reset_index(drop=True)
+            )
+            # empty/state-rehydrated tails arrive object-dtyped: normalize to
+            # datetime64/float64 so searchsorted compares homogeneously
+            ords_np = pd.to_datetime(hist[order_col]).to_numpy()
+            vals_np = hist[value_col].to_numpy(dtype="float64")
+            out = b.copy()
+            sums, avgs, cnts = [], [], []
+            b_ords = pd.to_datetime(b[order_col]).to_numpy()
+            np_delta = np.timedelta64(delta)
+            for t in b_ords:
+                lo = np.searchsorted(ords_np, t - np_delta, side="left")
+                hi = np.searchsorted(ords_np, t, side="right")
+                w = vals_np[lo:hi]
+                sums.append(float(w.sum()))
+                avgs.append(float(w.mean()))
+                cnts.append(int(hi - lo))
+            out["run_sum"] = sums
+            out["run_avg"] = avgs
+            out["run_cnt"] = cnts
+            cutoff = ords_np[-1] - np_delta if len(ords_np) else None
+            tail = (
+                hist[hist[order_col] >= cutoff]
+                if cutoff is not None
+                else hist
+            )
+            yield out
+        state.update((tail[order_col].tolist(), tail[value_col].tolist()))
+
+    return src.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_fields,
+        stateStructType=state_fields,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -199,3 +199,40 @@ def test_cbo_stats_enable_broadcast(spark, t):
         assert stats and "rows" in stats[0]["data_type"]
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_streaming_range_over_state_across_batches(spark):
+    """Two-file replay: the trailing-interval buffer must rehydrate from
+    state — rows in batch 2 see batch-1 rows within their 10-min frame."""
+    import datetime
+    import os
+
+    from flink_psl_spark.streaming import run_to_memory_table, streaming_range_over
+
+    d = tempfile.mkdtemp(prefix="fps_ro_")
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    rows1 = [("k", ts(0), 1.0), ("k", ts(5), 2.0)]
+    rows2 = [("k", ts(12), 4.0), ("k", ts(30), 8.0)]
+    schema = "k string, ts timestamp, v double"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(f"{d}/src")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{d}/src")
+    assert len([f for f in os.listdir(f"{d}/src") if f.endswith(".parquet")]) == 2
+
+    st = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/src")
+    )
+    out = streaming_range_over(st, "k", "ts", "v", "10 minutes")
+    mem = run_to_memory_table(out, output_mode="append")
+    got = {r["ts"]: (r["run_sum"], r["run_cnt"]) for r in mem.collect()}
+    assert got[ts(0)] == (1.0, 1)
+    assert got[ts(5)] == (3.0, 2)   # 0' + 5'
+    assert got[ts(12)] == (6.0, 2)  # 5' (from state) + 12'; 0' aged out
+    assert got[ts(30)] == (8.0, 1)  # everything aged out
