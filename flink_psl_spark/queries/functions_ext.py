@@ -483,3 +483,51 @@ def typeof_fn(spark, sf_dir):
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Python Data Source (FLIP-27 Source parity — sources_v2.py): deterministic
+# generation means DuckDB generate_series reproduces the output exactly
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pysource_datagen_agg",
+    oracle="""
+    SELECT key, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM (
+      SELECT 'k' || CAST(i % 7 AS VARCHAR) AS key,
+             (i * 7 % 1000) / 10.0 AS value
+      FROM generate_series(0, 1999) t(i))
+    GROUP BY key
+    """,
+)
+def pysource_datagen_agg(spark, sf_dir):
+    """Batch read through the custom Python data source → aggregate.
+    (reference: FLIP-27 Source.java + datagen connector)."""
+    from flink_psl_spark.sources_v2 import register_python_sources
+
+    register_python_sources(spark)
+    df = spark.read.format("pydatagen").option("n", 2000).load()
+    return df.groupBy("key").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+
+
+@query(
+    "pysource_datagen_pushdown",
+    oracle="""
+    SELECT CAST(i AS BIGINT) AS id, (i * 7 % 1000) / 10.0 AS value
+    FROM generate_series(500, 599) t(i)
+    """,
+)
+def pysource_datagen_pushdown(spark, sf_dir):
+    """Filter-pushdown path of the Python data source: the id range is
+    absorbed into generation bounds (SupportsFilterPushDown.java:63)."""
+    from flink_psl_spark.sources_v2 import register_python_sources
+
+    register_python_sources(spark)
+    df = spark.read.format("pydatagen").option("n", 100000).load()
+    return df.where((F.col("id") >= 500) & (F.col("id") < 600)).select(
+        "id", "value"
+    )

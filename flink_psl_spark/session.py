@@ -55,6 +55,9 @@ def get_spark(
         "spark.sql.session.timeZone": "UTC",
         # Arrow batching for every pandas UDF / applyInPandas hop.
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Python Data Source API: let custom sources absorb filters
+        # (DSv2 SupportsFilterPushDown for sources_v2.py)
+        "spark.sql.python.filterPushdown.enabled": "true",
         # CBO so join reorder kicks in when stats exist (ANALYZE TABLE).
         "spark.sql.cbo.enabled": "true",
         "spark.sql.cbo.joinReorder.enabled": "true",

@@ -1,0 +1,101 @@
+"""Python Data Source API (FLIP-27 Source parity, SURVEY §2.1): batch splits,
+filter pushdown, and offset-tracked streaming."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+
+def _register(spark):
+    from flink_psl_spark.sources_v2 import register_python_sources
+
+    register_python_sources(spark)
+
+
+def test_batch_read_deterministic(spark):
+    _register(spark)
+    df = spark.read.format("pydatagen").option("n", 50).load()
+    rows = sorted(df.collect(), key=lambda r: r["id"])
+    assert len(rows) == 50
+    assert rows[10]["key"] == "k3" and rows[10]["value"] == 7.0  # 10*7%1000/10
+    assert rows[10]["ts"].minute == 10
+
+
+def test_batch_partition_count(spark):
+    _register(spark)
+    df = (
+        spark.read.format("pydatagen")
+        .option("n", 100)
+        .option("numPartitions", 5)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    assert df.count() == 100
+
+
+def test_filter_pushdown_prunes_generation(spark):
+    _register(spark)
+    df = spark.read.format("pydatagen").option("n", 1000).load()
+    flt = df.where((F.col("id") >= 100) & (F.col("id") < 110))
+    got = sorted(r["id"] for r in flt.collect())
+    assert got == list(range(100, 110))
+    # the id bounds are absorbed by pushFilters: no post-scan range
+    # comparison remains in the plan (only the residual isnotnull guard)
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    assert ">= 100" not in plan and "< 110" not in plan
+
+
+def test_unsupported_filter_still_correct(spark):
+    _register(spark)
+    df = spark.read.format("pydatagen").option("n", 100).load()
+    got = df.where("key = 'k3' AND id < 20").collect()
+    assert sorted(r["id"] for r in got) == [3, 10, 17]
+
+
+def test_stream_available_now_reads_everything(spark):
+    from flink_psl_spark.streaming import run_to_memory_table
+
+    _register(spark)
+    st = spark.readStream.format("pydatagen").option("n", 300).load()
+    mem = run_to_memory_table(
+        st.groupBy("key").agg(F.count("*").alias("n")), output_mode="complete"
+    )
+    assert sum(r["n"] for r in mem.collect()) == 300
+
+
+def test_stream_rate_limited_multi_batch(spark):
+    """rowsPerBatch paces a processing-time trigger; every batch's committed
+    offset range is read in full (no silent skips)."""
+    import tempfile
+    import uuid
+
+    _register(spark)
+    st = (
+        spark.readStream.format("pydatagen")
+        .option("n", 250)
+        .option("rowsPerBatch", 100)
+        .load()
+    )
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        st.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fps_pds_"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table(name).count() >= 250:
+                break
+            time.sleep(0.5)
+        got = spark.table(name).count()
+    finally:
+        q.stop()
+    assert got == 250
+    batches = q.recentProgress
+    assert len([p for p in batches if p["numInputRows"] > 0]) >= 3
