@@ -31,6 +31,8 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
+    WriterCommitMessage,
     DataSourceStreamReader,
     EqualTo,
     Filter,
@@ -175,3 +177,82 @@ class PyDatagenSource(DataSource):
 def register_python_sources(spark) -> None:
     """Register the custom Python data sources on a session."""
     spark.dataSource.register(PyDatagenSource)
+    spark.dataSource.register(PyJsonlSink)
+
+
+# ---------------------------------------------------------------------------
+# Two-phase-commit sink (reference: Sink API with TwoPhaseCommittingSink /
+# exactly-once file sinks, flink-connector-files FileSink): tasks write
+# side files and report them in commit messages; the driver's commit()
+# atomically publishes, abort() discards — no partial output ever visible.
+# ---------------------------------------------------------------------------
+
+
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, tmp_path: str, rows: int):
+        self.tmp_path = tmp_path
+        self.rows = rows
+
+
+class PyJsonlTpcWriter(DataSourceWriter):
+    """Batch writer: each task streams rows to a ``.inprogress`` JSONL side
+    file; driver commit renames all of them into place plus a _SUCCESS
+    manifest (the classic two-phase publish)."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pyjsonl sink requires a path option")
+        self.overwrite = overwrite
+
+    def write(self, rows) -> _FileCommit:
+        import json as _json
+        import os
+        import uuid as _uuid
+
+        from pyspark import TaskContext
+
+        os.makedirs(self.path, exist_ok=True)
+        pid = TaskContext.get().partitionId()
+        tmp = os.path.join(
+            self.path, f".part-{pid:05d}-{_uuid.uuid4().hex}.inprogress"
+        )
+        n = 0
+        with open(tmp, "w") as f:
+            for row in rows:
+                f.write(_json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _FileCommit(tmp, n)
+
+    def commit(self, messages) -> None:
+        import json as _json
+        import os
+
+        total = 0
+        for m in messages:
+            final = os.path.join(
+                os.path.dirname(m.tmp_path),
+                os.path.basename(m.tmp_path)[1:].replace(".inprogress", ".jsonl"),
+            )
+            os.rename(m.tmp_path, final)
+            total += m.rows
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write(_json.dumps({"rows": total}))
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+class PyJsonlSink(DataSource):
+    """`format("pyjsonl")` two-phase-commit JSONL directory sink."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pyjsonl"
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return PyJsonlTpcWriter(self.options, overwrite)

@@ -99,3 +99,29 @@ def test_stream_rate_limited_multi_batch(spark):
     assert got == 250
     batches = q.recentProgress
     assert len([p for p in batches if p["numInputRows"] > 0]) >= 3
+
+
+def test_jsonl_two_phase_commit_sink(spark, tmp_path):
+    import json
+    import os
+
+    _register(spark)
+    out = str(tmp_path / "sinkout")
+    df = spark.read.format("pydatagen").option("n", 120).load()
+    df.repartition(3).write.format("pyjsonl").option("path", out).mode(
+        "append"
+    ).save()
+
+    files = sorted(os.listdir(out))
+    assert "_SUCCESS" in files
+    assert not [f for f in files if f.endswith(".inprogress")]
+    parts = [f for f in files if f.endswith(".jsonl")]
+    assert len(parts) == 3
+    rows = []
+    for p in parts:
+        with open(os.path.join(out, p)) as fh:
+            rows += [json.loads(line) for line in fh]
+    assert len(rows) == 120
+    assert sorted(r["id"] for r in rows) == list(range(120))
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest["rows"] == 120
