@@ -89,6 +89,30 @@ def parse_maxwell(raw: DataFrame, value_schema: str, json_col: str = "value") ->
     return parsed.select("__row.*", ROWKIND_COL, "__ts_ms")
 
 
+def parse_ogg(raw: DataFrame, value_schema: str, json_col: str = "value") -> DataFrame:
+    """Oracle GoldenGate (OGG) envelope: {"before": {...}, "after": {...},
+    "op_type": "I|U|D", "op_ts": "..."} (OggJsonDeserializationSchema.java:
+    59-61 op codes; 111-113 envelope fields). Updates carry both images —
+    the reference emits -U then +U; per our changelog design the after-image
+    is kept and the implicit -U dropped (operators/changelog.py)."""
+    env = F.from_json(
+        F.col(json_col),
+        f"struct<before: {value_schema}, after: {value_schema}, "
+        "op_type: string, op_ts: string>",
+    )
+    parsed = raw.select(env.alias("__env")).select(
+        F.when(F.col("__env.op_type") == "D", F.col("__env.before"))
+        .otherwise(F.col("__env.after"))
+        .alias("__row"),
+        F.when(F.col("__env.op_type") == "I", F.lit("I"))
+        .when(F.col("__env.op_type") == "U", F.lit("U"))
+        .when(F.col("__env.op_type") == "D", F.lit("D"))
+        .alias(ROWKIND_COL),
+        F.unix_millis(F.to_timestamp(F.col("__env.op_ts"))).alias("__ts_ms"),
+    )
+    return parsed.select("__row.*", ROWKIND_COL, "__ts_ms")
+
+
 def merge_upsert(
     current: DataFrame | None,
     changes: DataFrame,

@@ -135,3 +135,29 @@ def cdc_drop_update_before(spark, sf_dir):
         .alias("__op"),
     )
     return drop_update_before(changelog)
+
+
+@query("cdc_ogg_roundtrip", oracle=_IMAGE_ORACLE)
+def cdc_ogg_roundtrip(spark, sf_dir):
+    """events → Oracle GoldenGate JSON envelope → parse_ogg → normalized
+    image (reference OggJsonDeserializationSchema.java)."""
+    from flink_psl_spark.cdc import parse_ogg
+
+    t = tables(spark, sf_dir)
+    raw = t["events"].select(
+        F.to_json(
+            F.struct(
+                _payload_struct().alias("before"),
+                _payload_struct().alias("after"),
+                F.when(F.col("event_type") == "signup", F.lit("I"))
+                .when(F.col("event_type") == "error", F.lit("D"))
+                .otherwise(F.lit("U"))
+                .alias("op_type"),
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSS").alias("op_ts"),
+            )
+        ).alias("value")
+    )
+    changes = parse_ogg(raw, _PAYLOAD)
+    return changelog_normalize(
+        changes, "user_id", ["__ts_ms", "event_id"]
+    ).select("user_id", "event_id", "value")
