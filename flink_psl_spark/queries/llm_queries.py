@@ -515,3 +515,22 @@ def llm_multimodal_features(spark, sf_dir):
     t = tables(spark, sf_dir)
     media = synthetic_media(spark, t["documents"])
     return extract_features(media)
+
+
+@query("llm_dataset_mix")  # hash family is engine-specific: rows-only;
+# weight adherence asserted in tests/test_llm.py
+def llm_dataset_mix(spark, sf_dir):
+    """Weighted training-corpus mix: per-source deterministic downsampling +
+    provenance tag (the standard corpus-mixing step of a data pipeline)."""
+    from flink_psl_spark.llm import mix_datasets
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"]
+    en = docs.where(F.col("lang") == "en")
+    rest = docs.where(F.col("lang") != "en")
+    mixed = mix_datasets(
+        [(en, 1.0), (rest, 0.25)], key_cols=["doc_id"]
+    )
+    return mixed.groupBy("lang", "__mix_source").agg(
+        F.count("*").alias("n")
+    )
