@@ -14,8 +14,8 @@ Reference surface → Spark construction:
   BlackHoleTableSinkFactory.java:45) → ``format("console")`` /
   ``format("noop")`` passthroughs.
 - socket source (StreamExecutionEnvironment.socketTextStream) →
-  ``format("socket")`` (documented; not exercised in tests — no listener
-  in the harness).
+  ``format("socket")`` (exercised in tests/test_sources.py against an
+  in-process TCP listener).
 
 Kafka (KafkaDynamicSource.java:80) maps 1:1 to Spark's ``format("kafka")``
 reader/writer options; the package is not bundled in this environment, so

@@ -101,3 +101,55 @@ def test_unsupported_format_raises(spark, sample):
 
     with pytest.raises(ValueError):
         write_table(sample, "/tmp/x", "avrox")
+
+
+def test_socket_source_stream(spark):
+    """DataStream socketTextStream parity (SURVEY §2.1): format('socket')
+    against an in-process TCP listener."""
+    import socket
+    import tempfile
+    import threading
+    import time
+    import uuid
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    lines = [f"msg-{i}" for i in range(5)]
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            conn.sendall(("\n".join(lines) + "\n").encode())
+            time.sleep(8)  # keep the stream open while batches drain
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    st = (
+        spark.readStream.format("socket")
+        .option("host", "127.0.0.1")
+        .option("port", port)
+        .load()
+    )
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        st.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fps_sock_"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.table(name).count() >= len(lines):
+                break
+            time.sleep(0.5)
+        got = sorted(r["value"] for r in spark.table(name).collect())
+    finally:
+        q.stop()
+        srv.close()
+    assert got == sorted(lines)
