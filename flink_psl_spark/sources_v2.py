@@ -31,6 +31,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
     DataSourceStreamReader,
@@ -247,6 +248,55 @@ class PyJsonlTpcWriter(DataSourceWriter):
                 os.remove(m.tmp_path)
 
 
+class PyJsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming writer: same side-file protocol, committed per epoch —
+    batchId goes into the published filename, so replaying an epoch after a
+    failure overwrites (idempotent rename) instead of duplicating: the
+    exactly-once contract of the reference's streaming FileSink."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pyjsonl sink requires a path option")
+
+    def write(self, iterator) -> _FileCommit:
+        import json as _json
+        import os
+        import uuid as _uuid
+
+        from pyspark import TaskContext
+
+        os.makedirs(self.path, exist_ok=True)
+        pid = TaskContext.get().partitionId()
+        tmp = os.path.join(
+            self.path, f".part-{pid:05d}-{_uuid.uuid4().hex}.inprogress"
+        )
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _FileCommit(tmp, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import os
+
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            final = os.path.join(
+                self.path, f"epoch-{batchId:010d}-part-{i:05d}.jsonl"
+            )
+            os.replace(m.tmp_path, final)
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
 class PyJsonlSink(DataSource):
     """`format("pyjsonl")` two-phase-commit JSONL directory sink."""
 
@@ -256,3 +306,6 @@ class PyJsonlSink(DataSource):
 
     def writer(self, schema, overwrite: bool) -> DataSourceWriter:
         return PyJsonlTpcWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:
+        return PyJsonlStreamWriter(self.options)

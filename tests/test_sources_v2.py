@@ -125,3 +125,31 @@ def test_jsonl_two_phase_commit_sink(spark, tmp_path):
     assert sorted(r["id"] for r in rows) == list(range(120))
     manifest = json.load(open(os.path.join(out, "_SUCCESS")))
     assert manifest["rows"] == 120
+
+
+def test_jsonl_stream_writer_epoch_commit(spark, tmp_path):
+    import json
+    import os
+
+    _register(spark)
+    out = str(tmp_path / "streamout")
+    st = spark.readStream.format("pydatagen").option("n", 80).load()
+    import tempfile
+
+    q = (
+        st.writeStream.format("pyjsonl")
+        .option("path", out)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fps_sw_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    files = sorted(os.listdir(out))
+    parts = [f for f in files if f.endswith(".jsonl")]
+    assert parts and all(f.startswith("epoch-") for f in parts)
+    assert not [f for f in files if f.endswith(".inprogress")]
+    rows = []
+    for p in parts:
+        with open(os.path.join(out, p)) as fh:
+            rows += [json.loads(line) for line in fh]
+    assert sorted(r["id"] for r in rows) == list(range(80))
