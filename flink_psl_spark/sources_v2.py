@@ -143,9 +143,17 @@ class PyDatagenStreamReader(DataSourceStreamReader):
         return {"pos": self._pos}
 
     def partitions(self, start: dict, end: dict):
-        # one split per micro-batch is enough for the fixture scale; a
-        # production source would subdivide [start, end) like the batch side
-        return [_RangePartition(start["pos"], max(start["pos"], end["pos"]))]
+        # subdivide the offset range like the batch side — a single split
+        # would serialize the whole micro-batch on one task
+        s, e = start["pos"], max(start["pos"], end["pos"])
+        if s >= e:
+            return [_RangePartition(s, s)]
+        chunk = max(1, (e - s) // 8)
+        parts = []
+        while s < e:
+            parts.append(_RangePartition(s, min(e, s + chunk)))
+            s += chunk
+        return parts
 
     def read(self, partition: _RangePartition):
         for i in range(partition.start, partition.end):
