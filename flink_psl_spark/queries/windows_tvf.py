@@ -190,3 +190,29 @@ def session_window_agg(spark, sf_dir):
             "total",
         )
     )
+
+
+@query(
+    "window_tvf_projection",
+    oracle="""
+    SELECT event_id,
+           time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def window_tvf_projection(spark, sf_dir):
+    """Window TVF as a pure projection (reference
+    StreamExecWindowTableFunction.java:51 — TUMBLE(...) as a table function
+    adds window_start/window_end columns without aggregating)."""
+    t = tables(spark, sf_dir)
+    return (
+        t["events"]
+        .where(F.col("event_type") == "click")
+        .select("event_id", F.window("ts", "1 hour").alias("w"))
+        .select(
+            "event_id",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+        )
+    )
