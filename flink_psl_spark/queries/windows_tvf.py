@@ -216,3 +216,58 @@ def window_tvf_projection(spark, sf_dir):
             F.col("w.end").alias("window_end"),
         )
     )
+
+
+@query(
+    "session_window_dynamic_gap",
+    # oracle: interval-merge via running MAX of (ts + per-row gap) — a new
+    # session starts when a row's ts exceeds every earlier row's window end.
+    # Session end = MAX(ts + gap) over the session (Spark's dynamic-gap
+    # semantics). The running max over ts-sorted rows is tie-order
+    # insensitive, so no secondary sort key is needed.
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts,
+             CASE WHEN event_type = 'click' THEN INTERVAL '5 minutes'
+                  ELSE INTERVAL '15 minutes' END AS gap
+      FROM events),
+    w AS (
+      SELECT *, MAX(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_end
+      FROM e),
+    b AS (
+      SELECT *, CASE WHEN prev_max_end IS NULL OR ts >= prev_max_end
+                     THEN 1 ELSE 0 END AS brk
+      FROM w),
+    s AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM b)
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts + gap) AS session_end,
+           COUNT(*) AS n
+    FROM s GROUP BY user_id, sess
+    """,
+)
+def session_window_dynamic_gap(spark, sf_dir):
+    """Dynamic-gap session windows (reference
+    DynamicEventTimeSessionWindows / SessionWindowTimeGapExtractor): the
+    gap is a per-row expression — clicks close after 5 minutes, everything
+    else after 15."""
+    t = tables(spark, sf_dir)
+    # duration STRINGS, not ANSI interval literals: session_window requires
+    # CalendarIntervalType and ANSI literals are DayTimeIntervalType
+    gap = F.when(F.col("event_type") == "click", F.lit("5 minutes")).otherwise(
+        F.lit("15 minutes")
+    )
+    return (
+        t["events"]
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n",
+        )
+    )
