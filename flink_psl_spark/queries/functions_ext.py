@@ -531,3 +531,20 @@ def pysource_datagen_pushdown(spark, sf_dir):
     return df.where((F.col("id") >= 500) & (F.col("id") < 600)).select(
         "id", "value"
     )
+
+
+sql_query(
+    "encode_decode_fn",
+    """
+    SELECT p_partkey,
+           DECODE(ENCODE(p_brand, 'UTF-8'), 'UTF-8') AS roundtrip,
+           ASCII(p_brand) AS first_code
+    FROM part WHERE p_partkey <= 200
+    """,
+    oracle="""
+    SELECT p_partkey,
+           DECODE(ENCODE(p_brand)) AS roundtrip,
+           ASCII(p_brand) AS first_code
+    FROM part WHERE p_partkey <= 200
+    """,
+)
