@@ -548,3 +548,44 @@ sql_query(
     FROM part WHERE p_partkey <= 200
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Array / map / row constructors + higher-order functions (reference
+# BuiltInFunctionDefinitions :1560-1622 at/cardinality/array/element/map/row/
+# flatten + ARRAY_CONTAINS :154; higher-order: transform/filter/aggregate)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "array_map_row_fn",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ARRAY_CONTAINS(ARRAY(l_returnflag, l_linestatus), 'N')  AS has_n,
+           ELEMENT_AT(ARRAY(l_quantity, l_discount, l_tax), 1)    AS first_elem,
+           SIZE(ARRAY(l_quantity, l_discount, l_tax))             AS card,
+           FLATTEN(ARRAY(ARRAY(l_quantity), ARRAY(l_discount)))   AS flat,
+           ELEMENT_AT(MAP('q', l_quantity, 'd', l_discount), 'd') AS map_d,
+           NAMED_STRUCT('f', l_returnflag, 's', l_linestatus).f   AS sf,
+           TRANSFORM(ARRAY(l_quantity, l_discount), x -> x * 2)   AS doubled,
+           FILTER(ARRAY(l_quantity, l_discount, l_tax),
+                  x -> x > 0.04)                                  AS pos,
+           AGGREGATE(ARRAY(l_quantity, l_discount),
+                     CAST(0 AS DOUBLE), (a, x) -> a + x)          AS tot
+    FROM lineitem WHERE l_orderkey <= 200
+    """,
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           list_contains([l_returnflag, l_linestatus], 'N')       AS has_n,
+           ([l_quantity, l_discount, l_tax])[1]                   AS first_elem,
+           CAST(LEN([l_quantity, l_discount, l_tax]) AS INT)      AS card,
+           FLATTEN([[l_quantity], [l_discount]])                  AS flat,
+           (MAP(['q','d'], [l_quantity, l_discount])['d'])[1]     AS map_d,
+           {'f': l_returnflag, 's': l_linestatus}.f               AS sf,
+           list_transform([l_quantity, l_discount], x -> x * 2)   AS doubled,
+           list_filter([l_quantity, l_discount, l_tax],
+                       x -> x > 0.04)                             AS pos,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       [l_quantity, l_discount]), (a, x) -> a + x) AS tot
+    FROM lineitem WHERE l_orderkey <= 200
+    """,
+)
