@@ -102,3 +102,36 @@ def async_lookup(
                 yield pd.concat([pdf, extra], axis=1)
 
     return df.mapInPandas(run, out_schema)
+
+
+def async_lookup_with_retry(
+    df: DataFrame,
+    fn: Callable[[dict], dict],
+    out_schema: str,
+    *,
+    key_cols: list[str] | None = None,
+    max_concurrency: int = 16,
+    max_retries: int = 3,
+    backoff_s: float = 0.05,
+) -> DataFrame:
+    """``async_lookup`` with bounded exponential-backoff retries per element
+    (reference: AsyncDataStream.orderedWaitWithRetry + the fixed-delay /
+    exponential-backoff AsyncRetryStrategies). The last failure re-raises —
+    matching the reference's exhausted-retry semantics (task failure, not
+    silent nulls)."""
+    import time as _time
+
+    def wrapped(req: dict) -> dict:
+        for attempt in range(max_retries + 1):
+            try:
+                return fn(req)
+            except Exception:
+                if attempt == max_retries:
+                    raise
+                _time.sleep(backoff_s * (2**attempt))
+        raise AssertionError("unreachable")
+
+    return async_lookup(
+        df, wrapped, out_schema,
+        key_cols=key_cols, max_concurrency=max_concurrency,
+    )

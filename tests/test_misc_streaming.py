@@ -236,3 +236,26 @@ def test_streaming_range_over_state_across_batches(spark):
     assert got[ts(5)] == (3.0, 2)   # 0' + 5'
     assert got[ts(12)] == (6.0, 2)  # 5' (from state) + 12'; 0' aged out
     assert got[ts(30)] == (8.0, 1)  # everything aged out
+
+
+def test_async_lookup_with_retry(spark):
+    """Flaky service: first call per key fails, retry succeeds — ordered
+    results, no silent nulls (AsyncDataStream.orderedWaitWithRetry)."""
+    from flink_psl_spark.operators import async_lookup_with_retry
+
+    df = spark.createDataFrame([(i,) for i in range(20)], "k long").coalesce(1)
+
+    def flaky(req):
+        # per-process attempt tracking: fail each key exactly once
+        seen = getattr(flaky, "_seen", set())
+        flaky._seen = seen
+        if req["k"] not in seen:
+            seen.add(req["k"])
+            raise RuntimeError("transient")
+        return {"v": req["k"] * 10}
+
+    out = async_lookup_with_retry(
+        df, flaky, "k long, v long", max_retries=2, backoff_s=0.001
+    )
+    rows = out.collect()
+    assert [(r["k"], r["v"]) for r in rows] == [(i, i * 10) for i in range(20)]
