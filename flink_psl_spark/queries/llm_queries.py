@@ -534,3 +534,27 @@ def llm_dataset_mix(spark, sf_dir):
     return mixed.groupBy("lang", "__mix_source").agg(
         F.count("*").alias("n")
     )
+
+
+@query(
+    "llm_multimodal_stats",
+    # the byte-level half of the multimodal featurization is exactly
+    # checkable: payload = utf-8 text bytes, so n_bytes/sha reproduce in SQL
+    oracle="""
+    SELECT doc_id AS media_id, 'image' AS media_type,
+           CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+           SHA256(text) AS sha
+    FROM documents
+    """,
+)
+def llm_multimodal_stats(spark, sf_dir):
+    """Multimodal byte-stat extraction (the exactly-checkable projection of
+    extract_features; the fake feature vector stays under the rows-only
+    llm_multimodal_features check)."""
+    from flink_psl_spark.llm.multimodal import extract_features, synthetic_media
+
+    t = tables(spark, sf_dir)
+    media = synthetic_media(spark, t["documents"])
+    return extract_features(media).select(
+        "media_id", "media_type", "n_bytes", "sha"
+    )
