@@ -653,3 +653,54 @@ def stream_range_over(spark, sf_dir):
         F.round("run_avg", 3).alias("run_avg"),
         "run_cnt",
     )
+
+
+@query(
+    "stream_event_time_sort",
+    # emit_seq makes orderedness value-checkable: the k-th emission per key
+    # must be the k-th row in (ts, event_id) event-time order
+    oracle="""
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) - 1 AS BIGINT)
+             AS emit_seq,
+           ts, event_id, value
+    FROM events
+    """,
+)
+def stream_event_time_sort(spark, sf_dir):
+    """Event-time streaming sort (reference StreamExecTemporalSort.java:64,
+    RowTimeSortOperator.java): watermark-finalized in-order emission with a
+    per-key emission sequence. A far-future sentinel row advances the final
+    watermark so the stream's tail finalizes in bounded replay."""
+    import datetime as dt
+    import tempfile
+
+    from flink_psl_spark.catalog import load_table
+    from flink_psl_spark.streaming import streaming_event_time_sort
+
+    base = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    far = base.select(F.max("ts")).first()[0] + dt.timedelta(days=30)
+    d = tempfile.mkdtemp(prefix="fps_ets_")
+    base.coalesce(4).write.parquet(f"{d}/src")
+    spark.createDataFrame(
+        [(-1, far, -1, 0.0)],
+        "user_id long, ts timestamp, event_id long, value double",
+    ).coalesce(1).write.mode("append").parquet(f"{d}/src")
+
+    ev = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 5)
+        .parquet(f"{d}/src")
+        .withWatermark("ts", "10 minutes")
+    )
+    out = streaming_event_time_sort(
+        ev, "user_id", "ts", payload_cols=["event_id", "value"],
+        tiebreak_col="event_id",
+    )
+    mem = run_to_memory_table(out, output_mode="append")
+    return mem.where(F.col("user_id") >= 0)

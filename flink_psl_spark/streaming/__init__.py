@@ -26,4 +26,5 @@ from flink_psl_spark.streaming.stateful import (  # noqa: F401
     keyed_top_n,
     streaming_rows_over,
     streaming_range_over,
+    streaming_event_time_sort,
 )

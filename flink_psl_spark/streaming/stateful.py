@@ -500,3 +500,99 @@ def streaming_range_over(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_event_time_sort(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    payload_cols: list[str] | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Event-time streaming sort (reference StreamExecTemporalSort.java:64,
+    RowTimeSortOperator.java): buffer per key, emit rows in (ts, tiebreak)
+    order once the watermark finalizes them — late rows can no longer land
+    inside an emitted prefix. ``emit_seq`` numbers the emission order per
+    key, making orderedness value-checkable downstream (an order-insensitive
+    result compare still proves the sort via the sequence column).
+
+    Input must be watermarked on ``ts_col``. State holds only unfinalized
+    rows; event-time timeouts wake keys when the watermark passes their
+    oldest buffered row (same trigger pattern as streaming CEP).
+    """
+    payload_cols = payload_cols or []
+    sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    src = events.select(
+        key_col, ts_col, *dict.fromkeys(payload_cols + ([tiebreak_col] if tiebreak_col else []))
+    )
+    k_dt = _dt(src, key_col)
+    pay_cols = list(dict.fromkeys(payload_cols + ([tiebreak_col] if tiebreak_col else [])))
+    pay_out = "".join(f", {c} {_dt(src, c)}" for c in pay_cols)
+    out_fields = f"{key_col} {k_dt}, emit_seq bigint, {ts_col} {_dt(src, ts_col)}{pay_out}"
+    out_names = [key_col, "emit_seq", ts_col, *pay_cols]
+    # typed array state, NOT json: pandas read_json (ujson) parses doubles
+    # with last-ulp error, which the exact value compare would catch
+    state_fields = ", ".join(
+        [f"{ts_col} array<bigint>"]
+        + [f"{c} array<{_dt(src, c)}>" for c in pay_cols]
+        + ["seq bigint"]
+    )
+
+    def fn(key, batches: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            stored = state.get
+            buf = pd.DataFrame(
+                {ts_col: list(stored[0]),
+                 **{c: list(stored[i + 1]) for i, c in enumerate(pay_cols)}}
+            )
+            seq = stored[len(pay_cols) + 1]
+        else:
+            buf = pd.DataFrame()
+            seq = 0
+        new = [b for b in batches]
+        if new:
+            incoming = pd.concat(new, ignore_index=True)
+            incoming = incoming.drop(columns=[key_col])
+            # keep MICROsecond precision in state (events carry sub-ms
+            # timestamps; a ms cast would truncate emitted values)
+            incoming[ts_col] = (
+                incoming[ts_col].values.astype("datetime64[us]").astype("int64")
+            )
+            buf = pd.concat([buf, incoming], ignore_index=True)
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        emitted = None
+        if len(buf):
+            buf = buf.sort_values(sort_cols, kind="mergesort").reset_index(
+                drop=True
+            )
+            final = buf[buf[ts_col] <= wm_us]
+            if len(final):
+                emitted = final.copy()
+                emitted[key_col] = key[0]
+                emitted["emit_seq"] = range(seq, seq + len(final))
+                emitted[ts_col] = pd.to_datetime(emitted[ts_col], unit="us")
+                seq += len(final)
+                buf = buf[buf[ts_col] > wm_us]
+        if len(buf):
+            state.update(
+                (buf[ts_col].tolist(),
+                 *[buf[c].tolist() for c in pay_cols], seq)
+            )
+            state.setTimeoutTimestamp(
+                max(int(buf[ts_col].min()) // 1000 + 1, wm_us // 1000 + 1)
+            )
+        else:
+            state.update(([], *[[] for _ in pay_cols], seq))
+        if emitted is not None:
+            yield emitted[out_names]
+        else:
+            yield pd.DataFrame({c: [] for c in out_names})
+
+    return src.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_fields,
+        stateStructType=state_fields,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
