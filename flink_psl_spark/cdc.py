@@ -161,9 +161,10 @@ def upsert_into_parquet(
     MERGE INTO; parquet keeps the engine dependency-free here.
 
     Scale note: full-image rewrite is O(table) per batch — correct but only
-    for small/medium dimensions. Large tables should partition ``path`` by
-    a key prefix and rewrite only partitions containing batch keys, or use
-    Delta MERGE; the per-batch logic (merge_upsert) is identical.
+    for small/medium dimensions. Large tables use
+    ``upsert_into_partitioned_parquet`` (rewrites only the key-buckets a
+    batch touches) or Delta MERGE; the per-batch logic (merge_upsert) is
+    identical.
     """
     spark = changes_stream.sparkSession
 
@@ -177,6 +178,96 @@ def upsert_into_parquet(
         out.count()  # materialize before overwriting the input path
         out.write.mode("overwrite").parquet(path)
         out.unpersist()
+
+    return (
+        changes_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )
+
+
+BUCKET_COL = "__bucket"
+
+
+def key_bucket(keys: str | list[str], num_buckets: int) -> Column:
+    """Deterministic key → partition-bucket assignment (hash mod buckets)."""
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    # int, not bigint: partition-directory values read back as IntegerType,
+    # and merge_upsert unions the current image with the batch by name
+    return F.pmod(
+        F.xxhash64(*[F.col(k) for k in key_list]), F.lit(num_buckets)
+    ).cast("int")
+
+
+def upsert_into_partitioned_parquet(
+    changes_stream: DataFrame,
+    path: str,
+    keys: str | list[str],
+    version_by: str | list[str],
+    *,
+    checkpoint: str,
+    num_buckets: int = 16,
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """Partition-pruned streaming upsert sink: the reference's upsert-sink
+    semantics (upsert-kafka changelog mode, KafkaDynamicSource.java:80)
+    landed on files WITHOUT the O(table)-per-batch rewrite.
+
+    The table is laid out as ``path/__bucket=N/`` with N = hash(keys) %
+    num_buckets. Each micro-batch:
+
+    1. computes the set of buckets its keys fall in (≤ num_buckets values —
+       a bounded driver-side collect);
+    2. reads ONLY those partitions back (partition pruning on the bucket
+       filter — untouched buckets are never scanned);
+    3. merges the batch changelog onto that slice (merge_upsert);
+    4. publishes via dynamic partition overwrite — Spark replaces exactly
+       the partitions present in the written data, leaving every untouched
+       bucket's files byte-identical on disk.
+
+    Cost per batch is O(touched buckets), not O(table): at 100 TB with
+    date+bucket partitioning, a batch touching 0.1% of keys rewrites ~0.1%
+    of files. num_buckets sizes the rewrite granularity — more buckets =
+    finer rewrites but more small files; a production table also
+    partitions by a time column so old data never rewrites.
+    """
+    spark = changes_stream.sparkSession
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        bucketed = batch.withColumn(BUCKET_COL, key_bucket(key_list, num_buckets))
+        bucketed.persist()
+        touched = [
+            r[0] for r in bucketed.select(BUCKET_COL).distinct().collect()
+        ]
+        if not touched:
+            bucketed.unpersist()
+            return
+        try:
+            # bucket filter on the partition column → partition pruning:
+            # untouched buckets' files are never even scanned
+            current = spark.read.parquet(path).where(
+                F.col(BUCKET_COL).isin(touched)
+            )
+            current.schema  # force existence check now, not at the merge
+        except Exception:
+            current = None
+        out = merge_upsert(current, bucketed, key_list, version_by)
+        out.persist()
+        out.count()  # materialize before overwriting the partitions it read
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
+        finally:
+            if prev_mode is not None:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev_mode
+                )
+            else:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        out.unpersist()
+        bucketed.unpersist()
 
     return (
         changes_stream.writeStream.foreachBatch(apply_batch)

@@ -195,7 +195,9 @@ def match_recognize(
         carry: pd.DataFrame | None = None
 
         def process(chunk: pd.DataFrame) -> Iterator[pd.DataFrame]:
-            for _, g in chunk.groupby(keys, sort=False):
+            # dropna=False: null partition keys form a group like Spark's
+            # groupBy does — silently skipping them would emit no matches
+            for _, g in chunk.groupby(keys, sort=False, dropna=False):
                 res = run(g.reset_index(drop=True))
                 if len(res):
                     yield res
@@ -209,7 +211,13 @@ def match_recognize(
             # may continue in the next batch — hold them back
             same_last = pd.Series(True, index=pdf.index)
             for k in keys:
-                same_last &= pdf[k] == pdf[k].iloc[-1]
+                last = pdf[k].iloc[-1]
+                # null-safe equality: NaN == NaN is False in pandas, which
+                # would otherwise cut null-key runs out of the carry
+                if pd.isna(last):
+                    same_last &= pdf[k].isna()
+                else:
+                    same_last &= pdf[k] == last
             cut = len(pdf) - int(same_last.iloc[::-1].cumprod().sum())
             carry = pdf.iloc[cut:]
             yield from process(pdf.iloc[:cut])

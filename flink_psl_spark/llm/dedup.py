@@ -331,7 +331,7 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_dedup(
+def simhash_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -339,12 +339,14 @@ def simhash_dedup(
     max_hamming: int = 3,
     shingle_n: int = 2,
 ) -> DataFrame:
-    """Near-dup survivors under SimHash Hamming distance <= max_hamming.
+    """Distinct (a, b) pairs with SimHash Hamming distance <= max_hamming.
 
     Candidate generation uses the standard block-permutation trick: split
     the 64-bit fingerprint into max_hamming+1 blocks — any pair within the
-    distance budget must agree exactly on at least one block (pigeonhole).
-    Self-join per block key, verify with bit_count. One shuffle.
+    distance budget must agree exactly on at least one block (pigeonhole;
+    blocks need not cover all 64 bits for the guarantee to hold — uncovered
+    bits only widen the candidate set). Self-join per block key, verify
+    with bit_count. One shuffle.
     """
     blocks = max_hamming + 1
     width = 64 // blocks
@@ -365,7 +367,7 @@ def simhash_dedup(
             )
         ).alias("__blk", "__bh"),
     )
-    pairs = (
+    return (
         banded.alias("l")
         .join(
             banded.alias("r"),
@@ -374,7 +376,37 @@ def simhash_dedup(
             & (F.col("l.__id") < F.col("r.__id")),
         )
         .where(hamming64(F.col("l.__fp"), F.col("r.__fp")) <= max_hamming)
-        .select(F.col("r.__id").alias(id_col))
+        .select(F.col("l.__id").alias("a"), F.col("r.__id").alias("b"))
         .distinct()
     )
-    return df.join(pairs, on=id_col, how="left_anti")
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 3,
+    shingle_n: int = 2,
+    verify_threshold: float | None = None,
+    verify_shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup survivors under SimHash Hamming distance <= max_hamming.
+
+    With ``verify_threshold``, SimHash only generates candidates (use a
+    generous ``max_hamming`` for recall) and each candidate pair is verified
+    with exact n-gram Jaccard — the sketch-for-candidates / exact-for-output
+    shape ``minhash_dedup`` uses, whose result is exact w.r.t. the Jaccard
+    threshold whenever the Hamming budget captures every true pair.
+    """
+    cand = simhash_candidate_pairs(
+        df, text_col, id_col, max_hamming=max_hamming, shingle_n=shingle_n
+    )
+    if verify_threshold is not None:
+        cand = cand.localCheckpoint(eager=True)
+        cand = ngram_jaccard_pairs(
+            df, text_col, id_col, shingle_n=verify_shingle_n,
+            threshold=verify_threshold, candidates=cand,
+        )
+    dropped = cand.select(F.col("b").alias(id_col)).distinct()
+    return df.join(dropped, on=id_col, how="left_anti")

@@ -6,6 +6,13 @@ the pipeline — or retrying a failed task — selects the same rows, which is
 what makes sampled training mixes reproducible at 100 TB. Each helper is a
 single narrow transformation (a filter on a hash) — no shuffle, no driver
 involvement, fully pushdown-friendly.
+
+The bucket hash is MD5-derived (first 6 hex digits of
+``md5(concat_ws('|', keys..., seed))``) rather than xxhash64: md5 is
+available in every engine, so the *exact row selection* reproduces in
+DuckDB/Trino/Snowflake — auditable sampled corpora, not just stable ones.
+md5 on a short key string costs nanoseconds per row; selection stays a
+narrow pushdown-friendly filter.
 """
 
 from __future__ import annotations
@@ -13,11 +20,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_HASH_BUCKETS = 1_000_000
+_HASH_BUCKETS = 16**6  # bucket = first 6 hex digits of md5 → [0, 16^6)
 
 
 def _bucket(cols: list[str], seed: int) -> Column:
-    return F.pmod(F.xxhash64(*[F.col(c) for c in cols], F.lit(seed)), F.lit(_HASH_BUCKETS))
+    """Uniform bucket in [0, 16^6): parse the first 6 hex chars of
+    md5('key1|key2|...|seed'). Cross-engine SQL equivalent (DuckDB):
+    ``CAST('0x' || SUBSTR(MD5(CONCAT_WS('|', keys..., 'seed')), 1, 6) AS BIGINT)``.
+    """
+    s = F.concat_ws(
+        "|", *[F.col(c).cast("string") for c in cols], F.lit(str(seed))
+    )
+    return F.conv(F.substring(F.md5(s), 1, 6), 16, 10).cast("bigint")
 
 
 def deterministic_sample(

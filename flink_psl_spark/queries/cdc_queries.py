@@ -36,12 +36,21 @@ def _payload_struct():
     )
 
 
+def _events_src(spark, sf_dir):
+    """events fixture, fanned out for the serialize→parse CPU stage: the
+    fixture parquet is a single row group (1 scan partition), which would
+    run the double-JSON work on one core. Partitioning on user_id lets the
+    changelog_normalize window downstream reuse the exchange."""
+    from flink_psl_spark.parallelism import ensure_parallelism
+
+    return ensure_parallelism(tables(spark, sf_dir)["events"], "user_id")
+
+
 @query("cdc_debezium_roundtrip", oracle=_IMAGE_ORACLE)
 def cdc_debezium_roundtrip(spark, sf_dir):
     """events → Debezium JSON envelope → parse_debezium → normalized image.
     op mapping: signup→c (insert), error→d (delete), else u (update)."""
-    t = tables(spark, sf_dir)
-    raw = t["events"].select(
+    raw = _events_src(spark, sf_dir).select(
         F.to_json(
             F.struct(
                 F.when(F.col("event_type") == "error", _payload_struct())
@@ -66,8 +75,7 @@ def cdc_debezium_roundtrip(spark, sf_dir):
 def cdc_canal_roundtrip(spark, sf_dir):
     """events → Canal JSON envelope (data is an array) → parse_canal →
     normalized image."""
-    t = tables(spark, sf_dir)
-    raw = t["events"].select(
+    raw = _events_src(spark, sf_dir).select(
         F.to_json(
             F.struct(
                 F.array(_payload_struct()).alias("data"),
@@ -88,8 +96,7 @@ def cdc_canal_roundtrip(spark, sf_dir):
 @query("cdc_maxwell_roundtrip", oracle=_IMAGE_ORACLE)
 def cdc_maxwell_roundtrip(spark, sf_dir):
     """events → Maxwell JSON envelope → parse_maxwell → normalized image."""
-    t = tables(spark, sf_dir)
-    raw = t["events"].select(
+    raw = _events_src(spark, sf_dir).select(
         F.to_json(
             F.struct(
                 _payload_struct().alias("data"),
@@ -124,8 +131,7 @@ def cdc_drop_update_before(spark, sf_dir):
     strip -U rows from an explicit ±U changelog; I/+U/D pass through."""
     from flink_psl_spark.operators.changelog import drop_update_before
 
-    t = tables(spark, sf_dir)
-    changelog = t["events"].select(
+    changelog = _events_src(spark, sf_dir).select(
         "event_id",
         "user_id",
         F.when(F.col("event_type") == "signup", F.lit("I"))
@@ -143,8 +149,7 @@ def cdc_ogg_roundtrip(spark, sf_dir):
     image (reference OggJsonDeserializationSchema.java)."""
     from flink_psl_spark.cdc import parse_ogg
 
-    t = tables(spark, sf_dir)
-    raw = t["events"].select(
+    raw = _events_src(spark, sf_dir).select(
         F.to_json(
             F.struct(
                 _payload_struct().alias("before"),

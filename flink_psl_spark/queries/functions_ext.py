@@ -467,19 +467,35 @@ sql_query(
 )
 
 
-@query("typeof_fn")  # type names are engine-specific strings: rows-only;
-# exact values asserted in tests/test_operators.py
+@query(
+    "typeof_fn",
+    # both engines' runtime type names collapse onto a shared canonical
+    # vocabulary (lowercase, varchar→string), making the check exact
+    oracle="""
+    SELECT DISTINCT
+      REPLACE(LOWER(TYPEOF(p_partkey)), 'varchar', 'string') AS t_key,
+      REPLACE(LOWER(TYPEOF(p_brand)), 'varchar', 'string') AS t_brand,
+      REPLACE(LOWER(TYPEOF(p_retailprice)), 'varchar', 'string') AS t_price
+    FROM part WHERE p_partkey <= 10
+    """,
+)
 def typeof_fn(spark, sf_dir):
     """TYPEOF (reference BuiltInFunctionDefinitions :104): runtime type
-    string of an expression."""
+    string of an expression, normalized to a cross-engine vocabulary."""
     t = tables(spark, sf_dir)
+
+    def norm(c: str):
+        return F.regexp_replace(
+            F.lower(F.expr(f"typeof({c})")), "varchar", "string"
+        )
+
     return (
         t["part"]
         .where(F.col("p_partkey") <= 10)
         .select(
-            F.expr("typeof(p_partkey)").alias("t_key"),
-            F.expr("typeof(p_brand)").alias("t_brand"),
-            F.expr("typeof(p_retailprice)").alias("t_price"),
+            norm("p_partkey").alias("t_key"),
+            norm("p_brand").alias("t_brand"),
+            norm("p_retailprice").alias("t_price"),
         )
         .distinct()
     )
@@ -563,12 +579,17 @@ sql_query(
            ARRAY_CONTAINS(ARRAY(l_returnflag, l_linestatus), 'N')  AS has_n,
            ELEMENT_AT(ARRAY(l_quantity, l_discount, l_tax), 1)    AS first_elem,
            SIZE(ARRAY(l_quantity, l_discount, l_tax))             AS card,
-           FLATTEN(ARRAY(ARRAY(l_quantity), ARRAY(l_discount)))   AS flat,
+           ARRAY_JOIN(TRANSFORM(
+               FLATTEN(ARRAY(ARRAY(l_quantity), ARRAY(l_discount))),
+               x -> CAST(CAST(x AS DECIMAL(12,2)) AS STRING)), ',') AS flat,
            ELEMENT_AT(MAP('q', l_quantity, 'd', l_discount), 'd') AS map_d,
            NAMED_STRUCT('f', l_returnflag, 's', l_linestatus).f   AS sf,
-           TRANSFORM(ARRAY(l_quantity, l_discount), x -> x * 2)   AS doubled,
-           FILTER(ARRAY(l_quantity, l_discount, l_tax),
-                  x -> x > 0.04)                                  AS pos,
+           ARRAY_JOIN(TRANSFORM(
+               TRANSFORM(ARRAY(l_quantity, l_discount), x -> x * 2),
+               x -> CAST(CAST(x AS DECIMAL(12,2)) AS STRING)), ',') AS doubled,
+           ARRAY_JOIN(TRANSFORM(
+               FILTER(ARRAY(l_quantity, l_discount, l_tax), x -> x > 0.04),
+               x -> CAST(CAST(x AS DECIMAL(12,2)) AS STRING)), ',') AS pos,
            AGGREGATE(ARRAY(l_quantity, l_discount),
                      CAST(0 AS DOUBLE), (a, x) -> a + x)          AS tot
     FROM lineitem WHERE l_orderkey <= 200
@@ -578,12 +599,17 @@ sql_query(
            list_contains([l_returnflag, l_linestatus], 'N')       AS has_n,
            ([l_quantity, l_discount, l_tax])[1]                   AS first_elem,
            CAST(LEN([l_quantity, l_discount, l_tax]) AS INT)      AS card,
-           FLATTEN([[l_quantity], [l_discount]])                  AS flat,
+           array_to_string(list_transform(
+               FLATTEN([[l_quantity], [l_discount]]),
+               x -> CAST(CAST(x AS DECIMAL(12,2)) AS VARCHAR)), ',') AS flat,
            (MAP(['q','d'], [l_quantity, l_discount])['d'])[1]     AS map_d,
            {'f': l_returnflag, 's': l_linestatus}.f               AS sf,
-           list_transform([l_quantity, l_discount], x -> x * 2)   AS doubled,
-           list_filter([l_quantity, l_discount, l_tax],
-                       x -> x > 0.04)                             AS pos,
+           array_to_string(list_transform(
+               list_transform([l_quantity, l_discount], x -> x * 2),
+               x -> CAST(CAST(x AS DECIMAL(12,2)) AS VARCHAR)), ',') AS doubled,
+           array_to_string(list_transform(
+               list_filter([l_quantity, l_discount, l_tax], x -> x > 0.04),
+               x -> CAST(CAST(x AS DECIMAL(12,2)) AS VARCHAR)), ',') AS pos,
            list_reduce(list_prepend(CAST(0 AS DOUBLE),
                        [l_quantity, l_discount]), (a, x) -> a + x) AS tot
     FROM lineitem WHERE l_orderkey <= 200

@@ -57,24 +57,56 @@ def llm_ngram_jaccard_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(docs, threshold=0.2)
 
 
-@query("llm_minhash_dedup")  # sketch-based: rows-only check; exactness in tests
+# All-pairs ground truth for near-dup survivors: docs NOT appearing as the
+# greater id of any pair with exact 3-shingle Jaccard >= 0.8. Both sketch
+# dedup queries verify candidates with this exact Jaccard, so their output
+# equals this truth whenever candidate recall is 1 — which the oracle now
+# *proves* per run instead of a pytest spot-check.
+_NEARDUP_SURVIVORS_SQL = """
+    WITH sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT([array_to_string(words[i:i+2], ' ')
+                            FOR i IN RANGE(1, GREATEST(LEN(words) - 2, 0) + 1)]) AS s
+      FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words
+            FROM documents)),
+    dropped AS (
+      SELECT DISTINCT r.doc_id
+      FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+      WHERE ROUND(LEN(LIST_INTERSECT(l.s, r.s)) * 1.0 /
+                  LEN(LIST_DISTINCT(LIST_CONCAT(l.s, r.s))), 6) >= 0.8)
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    """
+
+
+@query("llm_minhash_dedup", oracle=_NEARDUP_SURVIVORS_SQL)
 def llm_minhash_dedup(spark, sf_dir):
     """MinHash-LSH near-dup dedup: shingle → 64-hash signature → 16-band LSH
-    → exact Jaccard verify ≥ 0.8 → drop higher doc_id of each pair."""
+    → exact Jaccard verify ≥ 0.8 → drop higher doc_id of each pair.
+
+    Exact oracle: all-pairs Jaccard ground truth — a hash-match means LSH
+    candidate recall was 1 AND the verify threshold agreed, end to end."""
     from flink_psl_spark.llm import minhash_dedup
 
     t = tables(spark, sf_dir)
     return minhash_dedup(t["documents"]).select("doc_id", "lang", "source")
 
 
-@query("llm_simhash_dedup")  # sketch-based: rows-only check; exactness in tests
+@query("llm_simhash_dedup", oracle=_NEARDUP_SURVIVORS_SQL)
 def llm_simhash_dedup(spark, sf_dir):
-    """SimHash near-dup dedup: 64-bit fingerprint, Hamming ≤ 3 via
-    block-permutation candidate join."""
+    """SimHash near-dup dedup as candidates + exact verify: 64-bit
+    fingerprint, Hamming ≤ 10 block-permutation candidate join (recall-1
+    budget on this corpus: dup pairs measure ≤ 10, nearest non-dups ≥ 12),
+    then exact 3-shingle Jaccard ≥ 0.8 verification — same sketch-for-
+    candidates / exact-for-output shape as minhash_dedup, so the same
+    all-pairs oracle applies. The tight production setting (Hamming ≤ 3,
+    no verify) is exercised in tests/test_llm.py."""
     from flink_psl_spark.llm import simhash_dedup
 
     t = tables(spark, sf_dir)
-    return simhash_dedup(t["documents"]).select("doc_id", "lang", "source")
+    return simhash_dedup(
+        t["documents"], max_hamming=10, verify_threshold=0.8
+    ).select("doc_id", "lang", "source")
 
 
 @query(
@@ -320,16 +352,52 @@ def llm_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
-@query("llm_ivf_ann_topk")  # approximate: recall vs brute force in tests
-def llm_ivf_ann_topk(spark, sf_dir):
-    """IVF approximate nearest neighbors: hash-sampled centroids, map-side
-    cell assignment, n_probe-cell scan (the second ANN scale path)."""
-    from flink_psl_spark.llm.similarity import ivf_cosine_topk
+def _ann_recall_check(spark, sf_dir, ann_fn, min_hits: int):
+    """Shared oracle-able restatement for approximate top-k: per query, the
+    invariant is |ANN top-5 ∩ exact top-5| >= min_hits (deterministic —
+    seeded hyperplanes/centroids, no rand()). The oracle side is the fixed
+    truth `SELECT vec_id, TRUE`; the Spark side computes both ANN and the
+    brute-force baseline and emits the measured boolean."""
+    from flink_psl_spark.llm import cosine_topk
 
     t = tables(spark, sf_dir)
     emb = t["embeddings"]
-    return ivf_cosine_topk(
-        emb, emb.where(F.col("vec_id") < 10), k=5, n_centroids=16, n_probe=6
+    q = emb.where(F.col("vec_id") < 10)
+    ann = ann_fn(emb, q).select("query_id", "neighbor_id")
+    exact = cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    hits = (
+        ann.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("__hits"))
+    )
+    return (
+        q.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce("__hits", F.lit(0)) >= min_hits).alias("recall_ok"),
+        )
+    )
+
+
+_ANN_RECALL_ORACLE = """
+    SELECT vec_id AS query_id, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """
+
+
+@query("llm_ivf_ann_topk", oracle=_ANN_RECALL_ORACLE)
+def llm_ivf_ann_topk(spark, sf_dir):
+    """IVF approximate nearest neighbors: hash-sampled centroids, map-side
+    cell assignment, n_probe-cell scan (the second ANN scale path).
+    Oracle-able invariant: every query recovers ≥ 2/5 of its exact top-5
+    (measured ≥ 3/5 at sf0.001 and sf0.01 with probe 10/16)."""
+    from flink_psl_spark.llm.similarity import ivf_cosine_topk
+
+    return _ann_recall_check(
+        spark, sf_dir,
+        lambda emb, q: ivf_cosine_topk(emb, q, k=5, n_centroids=16, n_probe=10),
+        min_hits=2,
     )
 
 
@@ -361,19 +429,20 @@ def llm_rolling_fingerprints(spark, sf_dir):
     return sketched.where(F.size("fp") > 0).select("doc_id", "prefix16")
 
 
-@query("llm_lsh_ann_topk")  # approximate: recall vs brute force in tests
+@query("llm_lsh_ann_topk", oracle=_ANN_RECALL_ORACLE)
 def llm_lsh_ann_topk(spark, sf_dir):
     """LSH-bucketed approximate nearest neighbors (random hyperplanes,
-    multi-table) — the 100 TB scale path for similarity search."""
+    multi-table) — the 100 TB scale path for similarity search.
+    The fixture's similarity structure is weak (max cosine ≈ 0.35), so the
+    operating point favors recall: few planes, many tables. Oracle-able
+    invariant: every query recovers ≥ 3/5 of its exact top-5 (measured
+    ≥ 4/5 at sf0.001 and sf0.01 with 4 planes × 24 tables)."""
     from flink_psl_spark.llm import lsh_cosine_topk
 
-    t = tables(spark, sf_dir)
-    emb = t["embeddings"]
-    # the fixture's similarity structure is weak (max cosine ≈ 0.35), so the
-    # operating point favors recall: few planes, many tables (recall ≈ 0.9
-    # vs brute force — asserted in tests/test_llm.py)
-    return lsh_cosine_topk(
-        emb, emb.where(F.col("vec_id") < 10), k=5, n_planes=4, n_tables=16
+    return _ann_recall_check(
+        spark, sf_dir,
+        lambda emb, q: lsh_cosine_topk(emb, q, k=5, n_planes=4, n_tables=24),
+        min_hits=3,
     )
 
 
@@ -442,10 +511,21 @@ def salted_agg_skew(spark, sf_dir):
     )
 
 
-@query("llm_stratified_sample")  # hash family is engine-specific: rows-only
+@query(
+    "llm_stratified_sample",
+    # the sampler's md5-derived bucket reproduces exactly in DuckDB, so the
+    # oracle replays the very same row selection: first 6 hex digits of
+    # md5('<doc_id>|42') < 0.5 * 16^6 for non-en strata (en keeps all)
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE lang = 'en'
+       OR CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|42'), 1, 6)
+               AS BIGINT) < 8388608
+    """,
+)
 def llm_stratified_sample(spark, sf_dir):
-    """Deterministic per-language quota sampling (training-mix curation);
-    quota adherence asserted in tests/test_llm.py."""
+    """Deterministic per-language quota sampling (training-mix curation):
+    keep all English docs, a reproducible half of every other language."""
     from flink_psl_spark.llm import stratified_sample
 
     t = tables(spark, sf_dir)
@@ -481,32 +561,73 @@ def agg_percentiles(spark, sf_dir):
     )
 
 
-@query("agg_hll_sketch")  # sketch bytes are engine-specific: rows-only +
-# accuracy assertion in tests (approx vs exact)
+@query(
+    "agg_hll_sketch",
+    # sketch bytes are engine-specific, so the oracle-able invariant is the
+    # datasketches accuracy contract: every per-group estimate AND the
+    # cross-group union land within ±5% of the exact distinct count
+    # (lgConfigK=12 → rsd ≈ 1.6%, so 5% has wide margin)
+    oracle="""
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'ALL', COUNT(DISTINCT l_partkey), TRUE FROM lineitem
+    """,
+)
 def agg_hll_sketch(spark, sf_dir):
     """Explicit HLL sketch aggregate + merge (reference
     BatchApproxCountDistinctAggFunctions.java:55 HllBuffer): per-group
     sketches merged across groups via hll_union_agg — the mergeable-sketch
     workflow a 100 TB rollup uses (partial sketches per partition/day,
-    union at query time)."""
+    union at query time). Exact counts anchor the hash; the booleans carry
+    the estimate-accuracy check for both the per-group and merged paths."""
     t = tables(spark, sf_dir)
+    li = t["lineitem"]
     per_flag = (
-        t["lineitem"]
-        .groupBy("l_returnflag")
-        .agg(F.hll_sketch_agg("l_partkey").alias("sk"))
+        li.groupBy("l_returnflag")
+        .agg(
+            F.hll_sketch_agg("l_partkey").alias("sk"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
     )
-    merged = per_flag.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_total")
+    flag_rows = per_flag.select(
+        "l_returnflag",
+        "exact_parts",
+        F.hll_sketch_estimate("sk")
+        .between(F.col("exact_parts") * 0.95, F.col("exact_parts") * 1.05)
+        .alias("within_5pct"),
     )
-    return per_flag.select(
-        "l_returnflag", F.hll_sketch_estimate("sk").alias("approx_parts")
-    ).unionByName(
-        merged.select(F.lit("ALL").alias("l_returnflag"),
-                      F.col("approx_total").alias("approx_parts"))
+    all_row = (
+        per_flag.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__est")
+        )
+        .crossJoin(li.agg(F.countDistinct("l_partkey").alias("exact_parts")))
+        .select(
+            F.lit("ALL").alias("l_returnflag"),
+            "exact_parts",
+            F.col("__est")
+            .between(F.col("exact_parts") * 0.95, F.col("exact_parts") * 1.05)
+            .alias("within_5pct"),
+        )
     )
+    return flag_rows.unionByName(all_row)
 
 
-@query("llm_multimodal_features")  # binary plumbing: rows-only check
+@query(
+    "llm_multimodal_features",
+    # byte-level half (n_bytes, sha over the utf-8 payload) reproduces in
+    # SQL exactly; the fake feature vector is projected to scalar
+    # invariants (dimension + value range) so every column is oracle-able
+    # and the harness canonicalizer never sees an array cell
+    oracle="""
+    SELECT doc_id AS media_id, 'image' AS media_type,
+           CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+           SHA256(text) AS sha,
+           8 AS feature_dim, TRUE AS feature_ok
+    FROM documents
+    """,
+)
 def llm_multimodal_features(spark, sf_dir):
     """Multimodal column plumbing: binary payload + metadata → mapInPandas
     feature extraction (codec stubbed, plumbing real — see llm.multimodal)."""
@@ -514,11 +635,33 @@ def llm_multimodal_features(spark, sf_dir):
 
     t = tables(spark, sf_dir)
     media = synthetic_media(spark, t["documents"])
-    return extract_features(media)
+    return extract_features(media).select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        "sha",
+        F.size("feature").alias("feature_dim"),
+        F.forall("feature", lambda x: (x >= 0) & (x < 1)).alias("feature_ok"),
+    )
 
 
-@query("llm_dataset_mix")  # hash family is engine-specific: rows-only;
-# weight adherence asserted in tests/test_llm.py
+@query(
+    "llm_dataset_mix",
+    # md5-derived sampling replays exactly in DuckDB: source 0 (en, w=1.0)
+    # keeps everything at seed 42; source 1 (rest, w=0.25) keeps buckets
+    # below 0.25 * 16^6 at seed 43
+    oracle="""
+    SELECT lang, 0 AS __mix_source, COUNT(*) AS n
+    FROM documents WHERE lang = 'en' GROUP BY lang
+    UNION ALL
+    SELECT lang, 1 AS __mix_source, COUNT(*) AS n
+    FROM documents
+    WHERE lang <> 'en'
+      AND CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|43'), 1, 6)
+              AS BIGINT) < 4194304
+    GROUP BY lang
+    """,
+)
 def llm_dataset_mix(spark, sf_dir):
     """Weighted training-corpus mix: per-source deterministic downsampling +
     provenance tag (the standard corpus-mixing step of a data pipeline)."""

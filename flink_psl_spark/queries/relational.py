@@ -204,32 +204,61 @@ def agg_listagg(spark, sf_dir):
 @query(
     "agg_collect",
     oracle="""
-    SELECT n_regionkey, LIST_SORT(LIST(DISTINCT n_nationkey)) AS nations
+    SELECT n_regionkey,
+           ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT n_nationkey)), ',') AS nations
     FROM nation GROUP BY n_regionkey
     """,
 )
 def agg_collect(spark, sf_dir):
-    """COLLECT multiset agg (reference CollectAggFunction.java) — sorted set."""
+    """COLLECT multiset agg (reference CollectAggFunction.java) — sorted set.
+
+    The sorted set is projected through array_join to a scalar string so the
+    harness's row canonicalizer (pandas sort/hash) never sees an array cell.
+    """
     t = tables(spark, sf_dir)
     return (
         t["nation"]
         .groupBy("n_regionkey")
-        .agg(F.sort_array(F.collect_set("n_nationkey")).alias("nations"))
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("n_nationkey")).cast("array<string>"),
+                ",",
+            ).alias("nations")
+        )
     )
 
 
-@query("agg_approx_distinct")  # no oracle: HLL sketches differ per engine
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS within_10pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark, sf_dir):
     """APPROX_COUNT_DISTINCT (reference BatchApproxCountDistinctAggFunctions.java:55,
-    HyperLogLog) → Spark approx_count_distinct (HLL++). Rows-only check; the
-    exact-vs-approx accuracy assertion lives in tests/test_relational.py."""
+    HyperLogLog) → Spark approx_count_distinct (HLL++).
+
+    The sketch itself is engine-specific, so the oracle-able invariant is the
+    HLL++ accuracy contract: the estimate lands within ±10% of the exact
+    count (default rsd 0.05 → far tighter in practice). Exact counts anchor
+    the hash; the boolean carries the approx check."""
     t = tables(spark, sf_dir)
     return (
         t["lineitem"]
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
             F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey").alias("__approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            F.col("__approx").between(
+                F.col("exact_parts") * 0.9, F.col("exact_parts") * 1.1
+            ).alias("within_10pct"),
         )
     )
 

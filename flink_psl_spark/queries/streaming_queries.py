@@ -600,8 +600,19 @@ def stream_asof_enrich(spark, sf_dir):
     return spark.table(name)
 
 
-@query("stream_keyed_top3")  # stateful custom op: rows-only check (final
-# per-key top-3 asserted against batch in tests/test_streaming.py)
+@query(
+    "stream_keyed_top3",
+    # event_id tie-break makes the top-3 a total order, so the final state
+    # compares exactly against the batch ROW_NUMBER formulation
+    oracle="""
+    SELECT user_id, CAST(rn AS INT) AS rank, value, event_id FROM (
+      SELECT user_id, value, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events) t
+    WHERE rn <= 3
+    """,
+)
 def stream_keyed_top3(spark, sf_dir):
     """Streaming Top-N via applyInPandasWithState (reference
     StreamExecRank.java:83, AppendOnlyTopNFunction.java:52): per-user top-3
@@ -611,7 +622,8 @@ def stream_keyed_top3(spark, sf_dir):
 
     ev = _events_stream(spark, sf_dir)
     updates = keyed_top_n(
-        ev, "user_id", "value", 3, payload_cols=["event_id"], descending=True
+        ev, "user_id", "value", 3, payload_cols=["event_id"],
+        descending=True, tiebreak_cols=["event_id"],
     )
     mem = run_to_memory_table(updates, output_mode="update")
     # the memory sink accumulates every update; the operator's contract is
@@ -704,3 +716,146 @@ def stream_event_time_sort(spark, sf_dir):
     )
     mem = run_to_memory_table(out, output_mode="append")
     return mem.where(F.col("user_id") >= 0)
+
+
+@query(
+    "stream_early_fire_agg",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def stream_early_fire_agg(spark, sf_dir):
+    """Early-firing windowed aggregation (reference windowing/triggers/ —
+    ContinuousEventTimeTrigger / early-fire emit strategy,
+    table.exec.emit.early-fire.enabled): update output mode re-emits every
+    refreshed window per micro-batch instead of waiting for the watermark.
+
+    The replay forces multiple micro-batches (maxFilesPerTrigger=1 over a
+    4-file copy of events), so windows genuinely fire early with partial
+    results; the view below keeps each window's LAST emission, which must
+    equal the batch aggregate — verifying both the early firings and their
+    convergence. No watermark: files are user_id-partitioned, not
+    time-ordered, so event time regresses across batches (the reference's
+    late-arrival case) and every update must still land."""
+    import tempfile
+
+    from flink_psl_spark.catalog import load_table
+    from flink_psl_spark.operators import deduplicate
+
+    base = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value"
+    )
+    d = tempfile.mkdtemp(prefix="fps_early_")
+    base.repartition(4, "event_type").write.mode("overwrite").parquet(d)
+
+    ev = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type", "n", "total",
+        )
+    )
+    mem = run_to_memory_table(agg, output_mode="update")
+    return deduplicate(
+        mem.withColumn("__seq", F.monotonically_increasing_id()),
+        ["window_start", "event_type"],
+        ["__seq"],
+        keep="last",
+    ).select("window_start", "window_end", "event_type", "n", "total")
+
+
+@query(
+    "stream_count_window_evict",
+    oracle="""
+    WITH numbered AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS total
+      FROM events)
+    SELECT user_id,
+           rn // 5 AS window_seq,
+           CAST(COUNT(*) AS INT) AS n,
+           ROUND(SUM(value), 3) AS sum_v,
+           ROUND(MIN(value), 3) AS min_v,
+           ROUND(MAX(value), 3) AS max_v
+    FROM numbered
+    WHERE rn % 5 >= 3 AND (rn // 5 + 1) * 5 <= total
+    GROUP BY user_id, rn // 5
+    """,
+)
+def stream_count_window_evict(spark, sf_dir):
+    """Count window (size 5) with CountEvictor.of(2) (reference
+    windowing/evictors/CountEvictor.java): each fired window aggregates
+    only its LAST 2 elements — the evictor runs between trigger firing and
+    the window function. Oracle keeps positions 3,4 of each complete
+    5-window."""
+    from flink_psl_spark.streaming import keyed_count_window
+
+    ev = _events_stream(spark, sf_dir)
+    out = keyed_count_window(
+        ev, "user_id", "ts", "value", 5, evictor=("count", 2)
+    )
+    mem = run_to_memory_table(out, output_mode="append")
+    return mem.select(
+        "user_id", "window_seq", "n",
+        F.round("sum_v", 3).alias("sum_v"),
+        F.round("min_v", 3).alias("min_v"),
+        F.round("max_v", 3).alias("max_v"),
+    )
+
+
+@query(
+    "stream_count_window_delta_evict",
+    oracle="""
+    WITH numbered AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS total
+      FROM events),
+    w AS (
+      SELECT user_id, value, rn // 5 AS wseq,
+             LAST_VALUE(value) OVER (
+                 PARTITION BY user_id, rn // 5 ORDER BY rn
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING) AS lastv
+      FROM numbered WHERE (rn // 5 + 1) * 5 <= total)
+    SELECT user_id, wseq AS window_seq, CAST(COUNT(*) AS INT) AS n,
+           ROUND(SUM(value), 3) AS sum_v,
+           ROUND(MIN(value), 3) AS min_v,
+           ROUND(MAX(value), 3) AS max_v
+    FROM w
+    WHERE ABS(value - lastv) <= 25
+    GROUP BY user_id, wseq
+    """,
+)
+def stream_count_window_delta_evict(spark, sf_dir):
+    """Count window (size 5) with DeltaEvictor.of(25, |v - last|) (reference
+    windowing/evictors/DeltaEvictor.java): evicts elements whose value
+    differs from the window's last element by more than the threshold
+    before aggregating."""
+    from flink_psl_spark.streaming import keyed_count_window
+
+    ev = _events_stream(spark, sf_dir)
+    out = keyed_count_window(
+        ev, "user_id", "ts", "value", 5, evictor=("delta", 25.0)
+    )
+    mem = run_to_memory_table(out, output_mode="append")
+    return mem.select(
+        "user_id", "window_seq", "n",
+        F.round("sum_v", 3).alias("sum_v"),
+        F.round("min_v", 3).alias("min_v"),
+        F.round("max_v", 3).alias("max_v"),
+    )

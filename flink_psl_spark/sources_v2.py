@@ -143,8 +143,12 @@ class PyDatagenStreamReader(DataSourceStreamReader):
         return {"pos": self._pos}
 
     def partitions(self, start: dict, end: dict):
-        # subdivide the offset range like the batch side — a single split
-        # would serialize the whole micro-batch on one task
+        # on restart from a checkpoint this instance is fresh (_pos = 0)
+        # while the engine resumes from the committed offset: fast-forward
+        # the rate-limit cursor so latestOffset never regresses behind the
+        # restart point (pacing correctness; data was never at risk — the
+        # clamp below already forces end >= start)
+        self._pos = max(self._pos, start["pos"])
         s, e = start["pos"], max(start["pos"], end["pos"])
         if s >= e:
             return [_RangePartition(s, s)]
@@ -194,6 +198,14 @@ def register_python_sources(spark) -> None:
 # exactly-once file sinks, flink-connector-files FileSink): tasks write
 # side files and report them in commit messages; the driver's commit()
 # atomically publishes, abort() discards — no partial output ever visible.
+#
+# SCOPE: driver and executors must share one filesystem (local mode, or a
+# mounted NFS/FUSE path). Tasks write via open()/os.makedirs on executors
+# and the driver renames the same paths — on a multi-node cluster with
+# node-local disks, commit would FileNotFoundError. The multi-node
+# equivalent routes these paths through a shared object store / HDFS client;
+# the protocol (side files + rename publish + per-epoch idempotence) is
+# unchanged.
 # ---------------------------------------------------------------------------
 
 
@@ -234,9 +246,19 @@ class PyJsonlTpcWriter(DataSourceWriter):
         return _FileCommit(tmp, n)
 
     def commit(self, messages) -> None:
+        import glob as _glob
         import json as _json
         import os
 
+        if self.overwrite:
+            # two-phase overwrite: old part files stay visible until every
+            # new side file is safely on disk, then vanish in commit —
+            # readers never see the directory half-written
+            for old in _glob.glob(os.path.join(self.path, "*.jsonl")):
+                os.remove(old)
+            success = os.path.join(self.path, "_SUCCESS")
+            if os.path.exists(success):
+                os.remove(success)
         total = 0
         for m in messages:
             final = os.path.join(

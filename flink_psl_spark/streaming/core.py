@@ -105,10 +105,14 @@ def run_to_memory_table(
             if q.isActive:
                 q.stop()
     finally:
-        if prev_prov is not None:
-            spark.conf.set(prov_key, prev_prov)
-        if prev_parts is not None:
-            spark.conf.set(part_key, prev_parts)
+        # a previous value of None means the key was never set on this
+        # session — unset it, or the pinned provider/partition-count leaks
+        # into every later query on the session
+        for key, prev in ((prov_key, prev_prov), (part_key, prev_parts)):
+            if prev is not None:
+                spark.conf.set(key, prev)
+            else:
+                spark.conf.unset(key)
     return spark.table(name)
 
 

@@ -35,14 +35,22 @@ def keyed_top_n(
     *,
     payload_cols: list[str] | None = None,
     descending: bool = True,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Streaming Top-N per key over an append stream.
 
     Returns an update stream with schema
     (key, rank, order_value, *payload) — each micro-batch re-emits the
     refreshed top-n for keys whose top-n changed.
+
+    ``tiebreak_cols`` (a subset of ``payload_cols``, sorted ascending) make
+    equal ``order_col`` values rank deterministically instead of by arrival
+    order — required for cross-engine comparison of the final top-n.
     """
     payload_cols = payload_cols or []
+    tiebreak_cols = tiebreak_cols or []
+    if not set(tiebreak_cols) <= set(payload_cols):
+        raise ValueError("tiebreak_cols must be a subset of payload_cols")
     in_cols = [key_col, order_col, *payload_cols]
     src = events.select(*in_cols)
 
@@ -71,7 +79,9 @@ def keyed_top_n(
             buf = pd.DataFrame({order_col: [], **{c: [] for c in payload_cols}})
         new = pd.concat([buf] + [b[[order_col, *payload_cols]] for b in batches])
         new = new.sort_values(
-            order_col, ascending=not descending, kind="mergesort"
+            [order_col, *tiebreak_cols],
+            ascending=[not descending] + [True] * len(tiebreak_cols),
+            kind="mergesort",
         ).head(n)
         changed = len(new) != len(buf) or not new.reset_index(drop=True).equals(
             buf.reset_index(drop=True)
@@ -278,6 +288,8 @@ def keyed_count_window(
     order_col: str,
     value_col: str,
     size: int,
+    *,
+    evictor: tuple | None = None,
 ) -> DataFrame:
     """Count-based tumbling windows (reference:
     flink-streaming-java/.../windowing/assigners — countWindow(size) on
@@ -288,10 +300,23 @@ def keyed_count_window(
     drops them from state. Incomplete tails stay in state across batches —
     state is bounded at ``size - 1`` rows per key.
 
+    ``evictor`` applies the reference's pre-aggregation eviction inside
+    each fired window (windowing/evictors/):
+
+    - ``("count", m)`` — CountEvictor.of(m): keep only the LAST m elements;
+    - ``("delta", thr)`` — DeltaEvictor.of(thr, delta): evict elements
+      whose |value - last element's value| > thr.
+
+    The window still fires on ``size`` buffered rows; eviction only shapes
+    what the aggregate sees — exactly the reference contract (evictors run
+    between trigger firing and the window function).
+
     Ordering contract: rows are processed in (arrival batch, order_col)
     order — the reference's processing-time count window; with a
     single-batch bounded replay this equals global event-time order.
     """
+    if evictor is not None and evictor[0] not in ("count", "delta"):
+        raise ValueError(f"unknown evictor {evictor[0]!r}")
     src = events.select(key_col, order_col, value_col)
     k_dt, o_dt, v_dt = (_dt(src, c) for c in (key_col, order_col, value_col))
     out_fields = (
@@ -313,11 +338,18 @@ def keyed_count_window(
             buf = pd.concat([buf, b[[order_col, value_col]]], ignore_index=True)
             while len(buf) >= size:
                 win, buf = buf.iloc[:size], buf.iloc[size:]
+                if evictor is not None:
+                    kind, arg = evictor
+                    if kind == "count":
+                        win = win.iloc[-int(arg):]
+                    else:  # delta vs the window's last element
+                        last = win[value_col].iloc[-1]
+                        win = win[(win[value_col] - last).abs() <= arg]
                 outs.append(
                     {
                         key_col: key[0],
                         "window_seq": seq,
-                        "n": size,
+                        "n": len(win),
                         "sum_v": float(win[value_col].sum()),
                         "min_v": float(win[value_col].min()),
                         "max_v": float(win[value_col].max()),

@@ -29,6 +29,23 @@ def main() -> int:
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
+            # the driver's canonicalizer (pandas sort_values over result
+            # rows) cannot sort array/map/struct/binary cells — any query
+            # emitting one would record an err row, so fail it here first
+            from pyspark.sql import types as T
+
+            bad_cols = [
+                f.name
+                for f in df.schema.fields
+                if isinstance(
+                    f.dataType,
+                    (T.ArrayType, T.MapType, T.StructType, T.BinaryType),
+                )
+            ]
+            if bad_cols:
+                print(f"FAIL {name:32s} non-scalar result columns: {bad_cols}")
+                failures.append(name)
+                continue
             if name in ORACLES:
                 ok, msg = compare(df, con, ORACLES[name])
             else:

@@ -106,6 +106,71 @@ def test_upsert_into_parquet_stream(spark):
     assert {(r["id"], r["v"]) for r in img.select("id", "v").collect()} == {(1, "a2")}
 
 
+def test_upsert_into_partitioned_parquet_prunes(spark):
+    """Partition-pruned upsert: only buckets containing batch keys are
+    rewritten; untouched buckets' files stay byte-identical on disk."""
+    from flink_psl_spark.cdc import key_bucket, upsert_into_partitioned_parquet
+
+    d = tempfile.mkdtemp(prefix="fps_cdcp_")
+    src, table, ckpt = f"{d}/src", f"{d}/table", f"{d}/ckpt"
+    os.makedirs(src)
+    n_buckets = 8
+
+    # seed the table image across all buckets
+    seed = spark.range(0, 64).select(
+        F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("v"),
+        F.lit("I").alias("__op"), F.lit(1).alias("__ts_ms").cast("bigint"),
+    )
+    (seed.withColumn("__bucket", key_bucket("id", n_buckets))
+     .write.partitionBy("__bucket").parquet(table, mode="overwrite"))
+
+    def snapshot():
+        out = {}
+        for root, _, files in os.walk(table):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = snapshot()
+
+    # one batch touching exactly two keys
+    spark.createDataFrame(
+        [(3, "updated", "U", 2), (64, "new", "I", 2)],
+        "id bigint, v string, __op string, __ts_ms bigint",
+    ).write.parquet(src, mode="overwrite")
+    stream = (
+        spark.readStream.schema("id bigint, v string, __op string, __ts_ms bigint")
+        .parquet(src)
+    )
+    q = upsert_into_partitioned_parquet(
+        stream, table, "id", "__ts_ms", checkpoint=ckpt, num_buckets=n_buckets
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    after = snapshot()
+    touched_buckets = {
+        r[0]
+        for r in spark.createDataFrame([(3,), (64,)], "id bigint")
+        .select(key_bucket("id", n_buckets))
+        .collect()
+    }
+    untouched_before = {
+        p: m for p, m in before.items()
+        if not any(f"__bucket={b}/" in p for b in touched_buckets)
+    }
+    # untouched bucket files survive the batch unmodified
+    for p, mtime in untouched_before.items():
+        assert p in after and after[p] == mtime, f"untouched file rewritten: {p}"
+    # and the image itself is the correct merge result
+    img = spark.read.parquet(table)
+    rows = {r["id"]: r["v"] for r in img.select("id", "v").collect()}
+    assert rows[3] == "updated" and rows[64] == "new" and rows[5] == "v5"
+    assert len(rows) == 65
+
+
 def test_cdc_queries_vs_oracle(spark, sf_dir):
     import sys
 

@@ -162,6 +162,25 @@ def test_no_matches_empty_schema(spark, seq):
     assert out.columns == ["u", "match_seq", "n"]
 
 
+def test_null_partition_key(spark):
+    # null keys form a group like Spark groupBy: matches must still emit
+    rows = [
+        (None, 1, "c", TS(0), 1.0),
+        (None, 2, "p", TS(1), 10.0),
+        ("u1", 3, "c", TS(0), 2.0),
+        ("u1", 4, "p", TS(1), 20.0),
+    ]
+    seq = spark.createDataFrame(
+        rows, "u string, eid long, et string, ts timestamp, v double"
+    )
+    out = match_recognize(
+        seq, "u", ["ts", "eid"], _pat(),
+        [Measure("n", "A", "count"), Measure("pid", "B", "first", "eid")],
+    )
+    got = {(r["u"], r["n"], r["pid"]) for r in out.collect()}
+    assert got == {(None, 1, 2), ("u1", 1, 4)}
+
+
 def test_cep_query_vs_oracle(spark, sf_dir):
     import sys
 
