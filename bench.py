@@ -93,6 +93,7 @@ def main() -> int:
                 "metric": "headline_total",
                 "value": total,
                 "unit": "sec",
+                "n": 2,
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -245,3 +245,57 @@ sql_query(
     ORDER BY cntrycode
     """,
 )
+
+# Q12 — shipping-mode / priority class counts. The fixture has no
+# l_shipmode or commit/receipt dates, so the classification groups by
+# l_linestatus and "late" means shipped >60 days after the order date —
+# the same join + conditional-aggregation shape as the original.
+sql_query(
+    "q12_shipping_priority_class",
+    """
+    SELECT l_linestatus,
+           COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_line_count,
+           COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL '60' DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+
+# Q21 — suppliers who kept orders waiting: the only supplier that shipped
+# late on a multi-supplier finalized order. commit/receipt dates are absent,
+# so "late" is shipped >60 days after the order date (as in Q4/Q12). The
+# EXISTS keeps multi-supplier orders; the NOT EXISTS (anti-join after
+# decorrelation — the subquery self-joins lineitem to orders so the
+# correlation stays on l_orderkey/l_suppkey only) demands every OTHER
+# supplier shipped on time.
+sql_query(
+    "q21_suppliers_kept_waiting",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders   ON o_orderkey = l1.l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL '60' DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o3.o_orderdate + INTERVAL '60' DAY)
+      AND n_name IN ('NATION_3', 'NATION_7')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)

@@ -103,3 +103,41 @@ def test_cep_single_shuffle_wide_python_stage(spark, t):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "MapInPandas" in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_q8_dims_broadcast_no_cartesian(spark, sf_dir):
+    """TPC-H Q8 (7-way join): every dimension side (part, nation, region,
+    supplier, customer at sf) must broadcast — no cartesian product, and the
+    p_type filter must reach the part scan as a pushed filter."""
+    from flink_psl_spark.queries import QUERIES
+
+    df = QUERIES["q8_market_share"](spark, sf_dir)
+    p = _plan(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
+    # p_type predicate pushed into the part parquet scan
+    assert "PushedFilters" in p and "p_type" in p.split("PushedFilters", 1)[1][:2000]
+
+
+def test_q9_broadcast_and_pushdown(spark, sf_dir):
+    from flink_psl_spark.queries import QUERIES
+
+    df = QUERIES["q9_product_profit"](spark, sf_dir)
+    p = _plan(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
+    # LIKE '%widget%' pushes as a string-contains filter on the part scan
+    assert "PushedFilters" in p
+
+
+def test_q18_no_cartesian_single_agg_exchange(spark, sf_dir):
+    """Q18 (large-volume customers): the semi-join against the HAVING
+    subquery must stay an equi-join; lineitem aggregates shuffle once."""
+    from flink_psl_spark.queries import QUERIES
+
+    df = QUERIES["q18_large_volume"](spark, sf_dir)
+    p = _plan(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    )
