@@ -62,16 +62,23 @@ def llm_ngram_jaccard_pairs(spark, sf_dir):
 # dedup queries verify candidates with this exact Jaccard, so their output
 # equals this truth whenever candidate recall is 1 — which the oracle now
 # *proves* per run instead of a pytest spot-check.
+# Cost shaping (the harness pays for oracle SQL too): shingles are hashed
+# to 64-bit ints (set ops on ints, not strings; Jaccard unchanged barring a
+# ~2^-64 collision), and pairs are pre-pruned by the lossless size bound
+# J >= 0.8 ⟹ 5·min(|A|,|B|) >= 4·max(|A|,|B|). 12.3s → 1.1s at sf0.01.
 _NEARDUP_SURVIVORS_SQL = """
     WITH sh AS (
       SELECT doc_id,
-             LIST_DISTINCT([array_to_string(words[i:i+2], ' ')
+             LIST_DISTINCT([hash(array_to_string(words[i:i+2], ' '))
                             FOR i IN RANGE(1, GREATEST(LEN(words) - 2, 0) + 1)]) AS s
       FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words
             FROM documents)),
+    sized AS (SELECT doc_id, s, LEN(s) AS n FROM sh),
     dropped AS (
       SELECT DISTINCT r.doc_id
-      FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+      FROM sized l JOIN sized r
+        ON l.doc_id < r.doc_id
+       AND r.n * 5 >= l.n * 4 AND l.n * 5 >= r.n * 4
       WHERE ROUND(LEN(LIST_INTERSECT(l.s, r.s)) * 1.0 /
                   LEN(LIST_DISTINCT(LIST_CONCAT(l.s, r.s))), 6) >= 0.8)
     SELECT doc_id, lang, source FROM documents
