@@ -128,6 +128,34 @@ def lsh_bucket(
     return sum(bits[1:], bits[0]).cast("int")
 
 
+def lsh_buckets(vec: Column | str, tables: list[list[list[float]]]) -> Column:
+    """All tables' bucket signatures in one Arrow-batched BLAS matmul.
+
+    Semantically identical to ``array(lsh_bucket(v, t) for t in tables)``
+    but computed as a single (batch × dim) @ (dim × tables·planes) product
+    per Arrow batch instead of tables·planes interpreted ``aggregate``
+    higher-order expressions — at 24 tables × 4 planes the expression form
+    is ~20× slower and dominates Catalyst compile time. Bit convention
+    matches ``lsh_bucket`` (dot ≥ 0 → 1, plane i → bit i).
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_tables, n_planes = len(tables), len(tables[0])
+    mat = np.array(
+        [p for planes in tables for p in planes], dtype="float64"
+    ).T  # dim × (tables·planes)
+    weights = 1 << np.arange(n_planes, dtype="int64")
+
+    def _buckets(s):
+        v = np.array(s.tolist(), dtype="float64")  # batch × dim
+        bits = (v @ mat) >= 0
+        b = bits.reshape(len(v), n_tables, n_planes) @ weights
+        return pd.Series(list(b.astype("int32")))
+
+    return F.pandas_udf(_buckets, "array<int>")(_col(vec).cast("array<double>"))
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -169,39 +197,45 @@ def ivf_cosine_topk(
         )
     )
 
-    # assign corpus rows to nearest centroid (broadcast, map-side)
-    assigned = (
-        c.join(F.broadcast(cents))
-        .withColumn("__sim", cosine("__cv", "__centv"))
-        .drop("__centv")
+    # Nearest-cell routing as one Arrow-batched matmul against the centroid
+    # matrix (kmeans/faiss style: centers live on every worker). The collect
+    # is bounded by n_centroids·dim doubles — an index parameter, not data
+    # scale — and replaces a corpus×centroids join (n_centroids× row
+    # amplification, interpreted HOF cosines) plus two window top-ns.
+    import numpy as np
+    import pandas as pd
+
+    crows = cents.orderBy("__cent_id").collect()
+    cent_ids = np.array([r["__cent_id"] for r in crows], dtype="int64")
+    cmat = np.array([r["__centv"] for r in crows], dtype="float64")
+    # cosine ordering per fixed v == dot ordering against unit centroids
+    cmat = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-300)
+
+    def _cells_udf(n: int) -> Column:
+        def _cells(s):
+            v = np.array(s.tolist(), dtype="float64")
+            sims = v @ cmat.T  # batch × n_centroids
+            # ties broken by centroid id asc (matches the expression form's
+            # [__sim desc, __cent_id asc] ordering); lexsort is stable
+            order = np.lexsort((np.broadcast_to(cent_ids, sims.shape), -sims))
+            return pd.Series(list(cent_ids[order[:, :n]]))
+
+        return F.pandas_udf(_cells, "array<bigint>")
+
+    cell = c.withColumn(
+        "__cent_id", F.element_at(_cells_udf(1)("__cv"), 1)
     )
-    from flink_psl_spark.operators.ranking import top_n
 
-    cell = top_n(
-        assigned,
-        "neighbor_id",
-        [F.col("__sim").desc(), F.col("__cent_id")],
-        1,
-        rank_col=None,
-    ).select("neighbor_id", "__cv", "__cent_id")
-
-    # probe: each query picks its n_probe nearest centroids
+    # probe: each query scans its n_probe nearest cells
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _col(vec_col).cast("array<double>").alias("__qv"),
     )
-    probed = (
-        q.join(F.broadcast(cents))
-        .withColumn("__sim", cosine("__qv", "__centv"))
-        .drop("__centv")
+    probes = q.select(
+        "query_id", "__qv",
+        F.explode(_cells_udf(n_probe)("__qv")).alias("__cent_id"),
     )
-    probes = top_n(
-        probed,
-        "query_id",
-        [F.col("__sim").desc(), F.col("__cent_id")],
-        n_probe,
-        rank_col=None,
-    ).select("query_id", "__qv", "__cent_id")
+    from flink_psl_spark.operators.ranking import top_n
 
     cand = probes.join(cell, on="__cent_id")
     if not include_self:
@@ -258,9 +292,7 @@ def embedding_dedup(
         banded = c.select(
             "__id",
             "__v",
-            F.posexplode(
-                F.array(*[lsh_bucket("__v", planes) for planes in tables])
-            ).alias("__tbl", "__bkt"),
+            F.posexplode(lsh_buckets("__v", tables)).alias("__tbl", "__bkt"),
         )
         pairs = (
             banded.alias("l")
@@ -311,9 +343,7 @@ def lsh_cosine_topk(
         return df.select(
             F.col(id_col).alias(id_alias),
             _col(vec_col).cast("array<double>").alias(vec_alias),
-            F.posexplode(
-                F.array(*[lsh_bucket(vec_col, planes) for planes in tables])
-            ).alias("__tbl", "__bkt"),
+            F.posexplode(lsh_buckets(vec_col, tables)).alias("__tbl", "__bkt"),
         )
 
     cq = with_buckets(queries, "query_id", "__qv")
