@@ -1,8 +1,10 @@
 """Extended TPC-H-shaped suite (reference flink-end-to-end-tests/flink-tpch-test,
 TpchDataGenerator.java:45; query set mirrors the classic 22 adapted to the
 fixture's column subset — no partsupp / commitdate / receiptdate / phone, so
-Q2/Q11/Q12/Q16/Q20/Q21 have no faithful adaptation and are omitted, and Q4/Q9/
-Q22 substitute equivalent predicates over available columns).
+Q2/Q11/Q16/Q20 derive the part-supplier catalog from lineitem, Q12/Q21 define
+"late" as shipped >60 days after the order date, and Q4/Q9/Q22 substitute
+equivalent predicates over available columns; every adaptation preserves the
+original's plan shape. All 22 TPC-H queries are registered.)
 
 Complements q1/q3/q6/q14/q18 in relational.py. One SQL text serves as both the
 Spark query and the DuckDB oracle wherever the dialects agree.
@@ -297,5 +299,105 @@ sql_query(
       AND n_name IN ('NATION_3', 'NATION_7')
     GROUP BY s_name
     ORDER BY numwait DESC, s_name
+    """,
+)
+
+# Q2 — minimum-cost supplier. partsupp is absent, so the part-supplier
+# catalog is derived from lineitem: supplycost = the cheapest observed unit
+# price (l_extendedprice / l_quantity) a supplier ever charged for the part.
+# Keeps the original's correlated-MIN scalar subquery (decorrelated by
+# Catalyst to an aggregate join) over a region-filtered catalog.
+sql_query(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(ROUND(l_extendedprice / l_quantity, 2)) AS supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey)
+    SELECT ROUND(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey,
+           supplycost
+    FROM part
+    JOIN ps ON p_partkey = ps.l_partkey
+    JOIN supplier ON s_suppkey = ps.l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND p_type = 'PROMO' AND p_size = 5
+      AND supplycost = (
+        SELECT MIN(ps2.supplycost)
+        FROM ps ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE ps2.l_partkey = p_partkey AND r2.r_name = 'ASIA')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+
+# Q11 — important stock identification. Stock value per part = lineitem
+# revenue through one nation's suppliers (partsupp value proxy); the HAVING
+# threshold stays a scalar subquery over the same aggregate. DECIMAL
+# accumulation keeps the threshold comparison association-independent.
+sql_query(
+    "q11_important_stock",
+    """
+    SELECT l_partkey AS ps_partkey,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS part_value
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+    GROUP BY l_partkey
+    HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,4))) > (
+      SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,4))) * 0.001
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3')
+    ORDER BY part_value DESC, ps_partkey
+    """,
+)
+
+# Q16 — part/supplier relationship count. The catalog is the distinct
+# (part, supplier) pairs observed in lineitem; "complaint" suppliers are
+# those with negative account balance (no s_comment in the fixture). Same
+# distinct-agg + NOT IN anti-join shape as the original.
+sql_query(
+    "q16_part_supplier_count",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = ps.l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND ps.l_suppkey NOT IN
+        (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+
+# Q20 — potential part promotion. partsupp.ps_availqty is absent, so
+# "holds excess stock" becomes "shipped more than 50 units of one widget
+# part in the year" — the nested IN + GROUP/HAVING subquery shape of the
+# original (semi-join after decorrelation).
+sql_query(
+    "q20_potential_promotion",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_7')
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE '%widget%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(l_quantity) > 50)
+    ORDER BY s_suppkey
     """,
 )
