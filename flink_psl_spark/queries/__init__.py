@@ -61,6 +61,8 @@ _PRIORITY_WINDOW = [
     "graph_pagerank", "graph_connected_components", "graph_triangle_count",
     "graph_degree", "q8_market_share", "q9_product_profit",
     "q13_customer_distribution", "q15_top_supplier",
+    "q2_min_cost_supplier", "q11_important_stock",
+    "q16_part_supplier_count", "q20_potential_promotion",
 ]
 
 
