@@ -21,7 +21,8 @@ Reference method → here:
   keyBy → key_by · KeyedStream.reduce:743 → KeyedStream.reduce ·
   sum/min/max:767-835 → KeyedStream.sum/min/max · union:227 → union ·
   connect:253 → connect (streaming.connect_keyed) · process:647 →
-  process (mapInPandas) · print:934 → print_ · sinkTo → write_to
+  process (mapInPandas) · print:934 → print_ · sinkTo → write_to ·
+  iterate:530 → iterate (bounded driver-side round loop)
 """
 
 from __future__ import annotations
@@ -115,6 +116,47 @@ class DataStream:
     def broadcast_join(self, dim: DataFrame, on, how: str = "inner") -> "DataStream":
         """broadcast (DataStream.java:434) pattern: map-side dim join."""
         return DataStream(self.df.join(F.broadcast(dim), on, how))
+
+    def iterate(
+        self,
+        body: Callable[["DataStream"], "DataStream"],
+        feedback: str | Column,
+        max_iterations: int = 100,
+    ) -> "DataStream":
+        """Bounded iteration (DataStream.iterate, DataStream.java:530).
+
+        Flink's IterativeStream feeds part of each step's output back into
+        the loop head: ``closeWith`` routes rows matching the feedback
+        condition back, everything else leaves the loop. Spark's DAG has no
+        cycles, so the loop runs as a driver-side round loop — the same
+        strategy as the graph library (operators/graph.py): each round
+        applies ``body`` once to the in-flight rows, emits the rows that
+        fail ``feedback``, and re-enters the rest. ``localCheckpoint``
+        cuts lineage so plans don't grow with the iteration count, which is
+        what makes this survive at scale; the per-round driver sync is the
+        cost Flink's native cyclic dataflow avoids (documented gap for
+        unbounded/low-latency loops — SURVEY §2 row 62).
+
+        The loop stops when no rows re-enter or after ``max_iterations``
+        (Flink's bounded-iteration configuration).
+        """
+        fb = F.expr(feedback) if isinstance(feedback, str) else feedback
+        cur = self.df
+        emitted: DataFrame | None = None
+        for _ in range(max_iterations):
+            stepped = body(DataStream(cur)).df.localCheckpoint(eager=True)
+            out = stepped.where(~fb)
+            emitted = out if emitted is None else emitted.unionByName(out)
+            cur = stepped.where(fb)
+            if cur.isEmpty():
+                break
+        else:
+            # iteration budget exhausted: remaining in-flight rows leave the
+            # loop (Flink drains the feedback edge on termination)
+            emitted = (
+                cur if emitted is None else emitted.unionByName(cur)
+            )
+        return DataStream(emitted)
 
     # -- sinks -------------------------------------------------------------
 

@@ -83,3 +83,28 @@ def test_broadcast_join(spark, t):
     plan = out.df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert out.df.count() == t["nation"].count()
+
+def test_iterate_bounded_loop(spark):
+    # Flink's canonical iterate example: subtract 1 until non-positive;
+    # rows leave the loop the round they fail the feedback condition.
+    ds = DataStream.from_collection(
+        spark, [(5,), (2,), (0,)], "value int"
+    )
+    out = ds.iterate(
+        body=lambda s: s.map([(F.col("value") - F.lit(1)).alias("value")]),
+        feedback="value > 0",
+        max_iterations=50,
+    )
+    # every row converges to exactly 0 or below after its first failing step
+    assert sorted(r["value"] for r in out.execute_and_collect()) == [-1, 0, 0]
+
+
+def test_iterate_budget_exhausted_drains(spark):
+    # max_iterations caps the loop; in-flight rows drain to the output.
+    ds = DataStream.from_collection(spark, [(10,)], "value int")
+    out = ds.iterate(
+        body=lambda s: s.map([(F.col("value") - F.lit(1)).alias("value")]),
+        feedback="value > 0",
+        max_iterations=3,
+    )
+    assert [r["value"] for r in out.execute_and_collect()] == [7]
