@@ -141,3 +141,34 @@ def test_q18_no_cartesian_single_agg_exchange(spark, sf_dir):
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
         "BroadcastHashJoin" in p
     )
+
+
+def test_q2_broadcast_dims_and_pushdown(spark, sf_dir):
+    """Q2 adaptation: dims broadcast, the p_size/p_type filters reach the
+    part scan, and the correlated MIN decorrelates to an aggregate join
+    (no nested-loop re-scan per row)."""
+    from flink_psl_spark.queries import QUERIES
+
+    df = QUERIES["q2_min_cost_supplier"](spark, sf_dir)
+    p = _plan(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
+    assert "PushedFilters" in p and "p_size" in p.split("PushedFilters", 1)[1][:2000]
+
+
+def test_q16_distinct_agg_no_cartesian(spark, sf_dir):
+    from flink_psl_spark.queries import QUERIES
+
+    df = QUERIES["q16_part_supplier_count"](spark, sf_dir)
+    p = _plan(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_q20_semi_join_shape(spark, sf_dir):
+    """Q20 adaptation: the IN subquery must become a semi/equi join."""
+    from flink_psl_spark.queries import QUERIES
+
+    df = QUERIES["q20_potential_promotion"](spark, sf_dir)
+    p = _plan(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "LeftSemi" in p or "SortMergeJoin" in p or "BroadcastHashJoin" in p
