@@ -45,6 +45,7 @@ _PRIORITY_WINDOW = [
     "stream_running_agg", "stream_event_time_sort", "stream_range_over",
     "stream_window_topn", "stream_lookup_join", "stream_anti_join",
     "stream_count_window", "stream_asof_enrich", "stream_early_fire_agg",
+    "stream_allowed_lateness_agg",
     "stream_count_window_evict", "stream_count_window_delta_evict",
     # CEP + CDC
     "cep_clicks_then_purchase", "stream_cep_clicks_then_purchase",

@@ -859,3 +859,99 @@ def stream_count_window_delta_evict(spark, sf_dir):
         F.round("min_v", 3).alias("min_v"),
         F.round("max_v", 3).alias("max_v"),
     )
+
+@query(
+    "stream_allowed_lateness_agg",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_allowed_lateness_agg(spark, sf_dir):
+    """Allowed-lateness re-emission (reference
+    WindowedStream.allowedLateness:108): window state outlives the
+    watermark by a grace budget — late arrivals inside the grace re-fire
+    the window with a corrected result; arrivals beyond it are dropped.
+
+    Spark emulation: watermark delay = disorder bound + lateness grace
+    (state retention = Flink's end + allowedLateness), update output mode
+    (each refinement re-emits — Flink's late firing).
+
+    Deterministic three-batch replay (maxFilesPerTrigger=1, files written
+    in order): batch 0 sees everything except a one-hour slice before the
+    midpoint, raising the watermark to max(ts) - grace; batch 1 is a
+    single filtered-out nudge row whose commit EVICTS pre-watermark window
+    state (Spark's watermark is a lower bound on dropping — late rows
+    merge into still-live state, so the drop only becomes deterministic
+    once eviction has run); batch 2 delivers (a) the held-back slice —
+    event time far behind the seen maximum but inside the grace, so its
+    windows re-fire — and (b) replayed duplicates of rows whose windows
+    closed beyond the grace, which hit evicted state and drop. The final
+    per-window emission must equal the batch aggregate with every original
+    row counted exactly once — proving both the re-fire and the drop: the
+    duplicates landing would double-count, the held-back slice dropping
+    would under-count."""
+    import datetime as dt
+    import tempfile
+
+    from flink_psl_spark.catalog import load_table
+    from flink_psl_spark.operators import deduplicate
+
+    base = load_table(spark, sf_dir, "events").select("ts", "value")
+    lo, hi = base.select(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    held_back = base.where(
+        (F.col("ts") >= F.lit(mid - dt.timedelta(hours=1)))
+        & (F.col("ts") < F.lit(mid))
+    )
+    on_time = base.where(
+        (F.col("ts") < F.lit(mid - dt.timedelta(hours=1)))
+        | (F.col("ts") >= F.lit(mid))
+    )
+    # grace: the replay watermark = hi - grace sits 1h below the held-back
+    # slice's windows (they re-fire) and 1h above the replayed early rows'
+    # windows (they drop)
+    grace = (hi - mid) + dt.timedelta(hours=3)
+    too_late_replay = base.where(
+        F.col("ts") < F.lit(hi - grace - dt.timedelta(hours=2))
+    )
+
+    d = tempfile.mkdtemp(prefix="fps_lateness_")
+    on_time.coalesce(1).write.parquet(f"{d}/src")
+    # eviction nudge: ts = hi keeps the watermark unchanged; the NULL value
+    # is filtered out below, so no real window's aggregate moves
+    spark.createDataFrame(
+        [(hi, None)], "ts timestamp, value double"
+    ).coalesce(1).write.mode("append").parquet(f"{d}/src")
+    held_back.unionByName(too_late_replay).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{d}/src")
+
+    ev = (
+        spark.readStream.schema("ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/src")
+        .withWatermark("ts", f"{int(grace.total_seconds())} seconds")
+        .where(F.col("value").isNotNull())
+    )
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n", "total",
+        )
+    )
+    mem = run_to_memory_table(agg, output_mode="update")
+    return deduplicate(
+        mem.withColumn("__seq", F.monotonically_increasing_id()),
+        ["window_start"],
+        ["__seq"],
+        keep="last",
+    ).select("window_start", "window_end", "n", "total")
