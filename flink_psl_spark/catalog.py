@@ -37,13 +37,20 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table as a DataFrame (plain parquet scan — prunable)."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long (see session.py); truncate to µs
-        # exactly like DuckDB does, so oracles agree to the microsecond.
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
         from pyspark.sql import functions as F
 
-        # integer div — float division would lose precision on 1.7e18 ns
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) read as long (see session.py); truncate to µs
+            # exactly like DuckDB does, so oracles agree to the microsecond.
+            # Integer div — float division would lose precision on 1.7e18 ns.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # timestamp[us] with isAdjustedToUTC=false reads as TIMESTAMP_NTZ;
+            # session tz is pinned UTC, so the cast is value-preserving and
+            # keeps tz-sensitive fns (unix_millis, window TVFs) working.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -40,8 +40,16 @@ def stream_from_parquet(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    if ts_col and dict(df.dtypes).get(ts_col) == "bigint":
-        df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    if ts_col:
+        ts_type = dict(df.dtypes).get(ts_col)
+        if ts_type == "bigint":
+            df = df.withColumn(
+                ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+            )
+        elif ts_type == "timestamp_ntz":
+            # watermarks require TIMESTAMP (with local tz); session tz is
+            # pinned UTC so the cast is value-preserving (see catalog.load_table)
+            df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
 
 
