@@ -41,3 +41,13 @@ from flink_psl_spark.llm.text import (  # noqa: F401
     language_id,
     fingerprint,
 )
+from flink_psl_spark.llm.repetition import (  # noqa: F401
+    duplicate_segment_fraction,
+    duplicate_token_fraction,
+    ngram_repetition_stats,
+    repetition_filter,
+)
+from flink_psl_spark.llm.chunking import (  # noqa: F401
+    chunk_documents,
+    pack_sequences,
+)

@@ -1,0 +1,109 @@
+"""Document chunking and sequence packing for training-data preparation.
+
+Two standard pre-training transforms:
+
+- **Chunking**: split each document into fixed-size token windows with a
+  stride (overlap) — the unit a tokenizer/encoder consumes. Pure expression
+  work (split → sequence → slice → posexplode); no shuffle at all — chunks
+  are emitted in the scan stage, so 100 TB chunks at scan speed.
+- **Packing**: assign documents to fixed-capacity training sequences
+  ("concat-and-split" packing, the GPT-style scheme where the corpus is
+  concatenated in a deterministic order and cut every ``max_len`` tokens;
+  documents may span a boundary). Expressed as a running-sum window — one
+  shuffle on the shard key. Packing is per-shard (``partition_col``) by
+  design: a single global ordering would serialize the window into one
+  partition at 100 TB, while per-shard packing is embarrassingly parallel
+  and is how real pipelines shard anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_psl_spark.llm.text import token_count, tokenize
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping fixed-size token windows per document.
+
+    Window starts at token 1, 1+stride, 1+2·stride, … (1-based); each chunk
+    takes up to ``chunk_tokens`` tokens; tail chunks may be shorter. Emits
+    (id, chunk_id, start_token, n_tokens, chunk_text), skipping empty
+    windows (blank documents produce no chunks).
+    """
+    if stride <= 0:
+        raise ValueError("stride must be positive")
+    toks = tokenize(F.col(text_col))
+    df = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride))
+        ).alias("start_token"),
+        toks.alias("_toks"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("start_token"), chunk_tokens)
+    return (
+        df.select(
+            F.col(id_col),
+            ((F.col("start_token") - 1) / stride).cast("bigint").alias("chunk_id"),
+            F.col("start_token").cast("bigint"),
+            F.size(chunk).cast("bigint").alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+        .where(F.col("n_tokens") > 0)
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_len: int = 512,
+    partition_col: str = "source",
+) -> DataFrame:
+    """Concat-and-split sequence packing: deterministic document → training
+    sequence assignment.
+
+    Within each shard (``partition_col``), documents are laid out in
+    ``id_col`` order and the token stream is cut every ``max_len`` tokens.
+    Emits per document: the first/last sequence index it lands in, its token
+    offset inside the first sequence, and how many sequences it spans.
+    Oracle-exact: every output is integer arithmetic over a running sum.
+    """
+    if max_len <= 0:
+        raise ValueError("max_len must be positive")
+    tc = token_count(F.col(text_col))
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(tc).over(w), F.lit(0).cast("bigint"))
+    df = docs.select(
+        F.col(partition_col).alias("shard"),
+        F.col(id_col),
+        tc.alias("n_tokens"),
+        cum_before.alias("_cum"),
+    )
+    first_seq = F.expr(f"_cum div {max_len}")
+    last_seq = F.when(
+        F.col("n_tokens") > 0,
+        F.expr(f"(_cum + n_tokens - 1) div {max_len}"),
+    ).otherwise(first_seq)
+    return df.select(
+        "shard",
+        id_col,
+        "n_tokens",
+        first_seq.alias("first_seq"),
+        (F.col("_cum") % max_len).alias("seq_offset"),
+        (last_seq - first_seq + 1).cast("bigint").alias("seqs_spanned"),
+    )

@@ -708,3 +708,159 @@ def llm_multimodal_stats(spark, sf_dir):
     return extract_features(media).select(
         "media_id", "media_type", "n_bytes", "sha"
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition filtering / chunking / packing (training-data curation)
+# ---------------------------------------------------------------------------
+
+# blank-safe tokenization shared by the curation oracles (Spark's tokenize()
+# returns [] for blank text; DuckDB's split of '' returns [''])
+_TOKS = (
+    "CASE WHEN TRIM(text) = '' THEN []::VARCHAR[] "
+    "ELSE STRING_SPLIT_REGEX(TRIM(text), '\\s+') END"
+)
+
+
+@query(
+    "llm_repetition_stats",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS} AS w,
+             LIST_FILTER(LIST_TRANSFORM(STRING_SPLIT(text, chr(10)),
+                                        s -> TRIM(s)), s -> s <> '') AS segs
+      FROM documents)
+    SELECT doc_id,
+           ROUND(CASE WHEN LEN(w) > 0
+                 THEN (LEN(w) - LEN(LIST_DISTINCT(w))) * 1.0 / LEN(w)
+                 ELSE 0.0 END, 6) AS dup_token_frac,
+           ROUND(CASE WHEN LEN(segs) > 0
+                 THEN (LEN(segs) - LEN(LIST_DISTINCT(segs))) * 1.0 / LEN(segs)
+                 ELSE 0.0 END, 6) AS dup_segment_frac,
+           ROUND(CASE WHEN COALESCE(LIST_SUM(LIST_TRANSFORM(segs, s -> LENGTH(s))), 0) > 0
+                 THEN (LIST_SUM(LIST_TRANSFORM(segs, s -> LENGTH(s)))
+                       - LIST_SUM(LIST_TRANSFORM(LIST_DISTINCT(segs), s -> LENGTH(s))))
+                      * 1.0 / LIST_SUM(LIST_TRANSFORM(segs, s -> LENGTH(s)))
+                 ELSE 0.0 END, 6) AS dup_segment_char_frac
+    FROM d
+    """,
+)
+def llm_repetition_stats(spark, sf_dir):
+    """Expression-only repetition signals (Gopher duplicate-line family):
+    duplicate token / segment / segment-char fractions per document."""
+    from flink_psl_spark.llm.repetition import (
+        duplicate_segment_char_fraction,
+        duplicate_segment_fraction,
+        duplicate_token_fraction,
+    )
+    from flink_psl_spark.parallelism import ensure_parallelism
+
+    t = tables(spark, sf_dir)
+    return ensure_parallelism(t["documents"]).select(
+        "doc_id",
+        F.round(duplicate_token_fraction("text"), 6).alias("dup_token_frac"),
+        F.round(duplicate_segment_fraction("text"), 6).alias("dup_segment_frac"),
+        F.round(duplicate_segment_char_fraction("text"), 6).alias(
+            "dup_segment_char_frac"
+        ),
+    )
+
+
+@query(
+    "llm_repetition_filter",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    g2 AS (
+      SELECT doc_id, UNNEST(
+        CASE WHEN LEN(w) >= 2
+        THEN [ARRAY_TO_STRING(w[i:i+1], ' ') FOR i IN RANGE(1, LEN(w) - 2 + 2)]
+        ELSE []::VARCHAR[] END) AS gram
+      FROM d),
+    c2 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g2 GROUP BY doc_id, gram),
+    s2 AS (SELECT doc_id, MAX(cnt * LENGTH(gram)) AS top_chars,
+                  SUM(cnt * LENGTH(gram)) AS tot
+           FROM c2 GROUP BY doc_id),
+    g5 AS (
+      SELECT doc_id, UNNEST(
+        CASE WHEN LEN(w) >= 5
+        THEN [ARRAY_TO_STRING(w[i:i+4], ' ') FOR i IN RANGE(1, LEN(w) - 5 + 2)]
+        ELSE []::VARCHAR[] END) AS gram
+      FROM d),
+    c5 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g5 GROUP BY doc_id, gram),
+    s5 AS (SELECT doc_id,
+                  SUM(CASE WHEN cnt >= 2 THEN cnt * LENGTH(gram) ELSE 0 END) AS dup_chars,
+                  SUM(cnt * LENGTH(gram)) AS tot
+           FROM c5 GROUP BY doc_id),
+    r AS (
+      SELECT d.doc_id,
+             ROUND(COALESCE(s2.top_chars * 1.0 / s2.tot, 0.0), 6) AS top_2gram_char_frac,
+             ROUND(COALESCE(s5.dup_chars * 1.0 / s5.tot, 0.0), 6) AS dup_5gram_char_frac
+      FROM d LEFT JOIN s2 USING (doc_id) LEFT JOIN s5 USING (doc_id))
+    SELECT doc_id, top_2gram_char_frac, dup_5gram_char_frac,
+           (top_2gram_char_frac <= 0.20 AND dup_5gram_char_frac <= 0.15) AS keep
+    FROM r
+    """,
+)
+def llm_repetition_filter(spark, sf_dir):
+    """Gopher-style n-gram repetition verdict: top-2-gram char fraction +
+    duplicate-5-gram char fraction → keep/drop flag per document."""
+    from flink_psl_spark.llm.repetition import repetition_filter
+    from flink_psl_spark.parallelism import ensure_parallelism
+
+    t = tables(spark, sf_dir)
+    return repetition_filter(ensure_parallelism(t["documents"], "doc_id"))
+
+
+@query(
+    "llm_doc_chunking",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    s AS (SELECT doc_id, w,
+                 UNNEST(GENERATE_SERIES(1, GREATEST(LEN(w), 1), 48)) AS start_token
+          FROM d)
+    SELECT doc_id,
+           CAST((start_token - 1) // 48 AS BIGINT) AS chunk_id,
+           CAST(start_token AS BIGINT) AS start_token,
+           CAST(LEN(w[start_token:start_token + 63]) AS BIGINT) AS n_tokens,
+           ARRAY_TO_STRING(w[start_token:start_token + 63], ' ') AS chunk_text
+    FROM s WHERE LEN(w[start_token:start_token + 63]) > 0
+    """,
+)
+def llm_doc_chunking(spark, sf_dir):
+    """Overlapping token-window chunking (64-token chunks, stride 48) —
+    shuffle-free explode in the scan stage."""
+    from flink_psl_spark.llm.chunking import chunk_documents
+
+    t = tables(spark, sf_dir)
+    return chunk_documents(
+        t["documents"], chunk_tokens=64, stride=48
+    )
+
+
+@query(
+    "llm_sequence_packing",
+    oracle=f"""
+    WITH d AS (
+      SELECT source AS shard, doc_id,
+             CAST(LEN({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (SELECT shard, doc_id, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM d)
+    SELECT shard, doc_id, n_tokens,
+           cum // 512 AS first_seq,
+           cum % 512 AS seq_offset,
+           (CASE WHEN n_tokens > 0 THEN (cum + n_tokens - 1) // 512
+                 ELSE cum // 512 END) - cum // 512 + 1 AS seqs_spanned
+    FROM c
+    """,
+)
+def llm_sequence_packing(spark, sf_dir):
+    """Concat-and-split sequence packing (512-token sequences) per source
+    shard — deterministic document → training-sequence assignment."""
+    from flink_psl_spark.llm.chunking import pack_sequences
+
+    t = tables(spark, sf_dir)
+    return pack_sequences(t["documents"], max_len=512, partition_col="source")

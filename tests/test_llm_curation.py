@@ -1,0 +1,215 @@
+"""Repetition filtering, chunking, and sequence packing (llm.repetition /
+llm.chunking) — hand-computed expectations on synthetic docs plus
+brute-force replicas on the fixture corpus."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+
+
+# ---------------------------------------------------------------------------
+# repetition signals
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_token_fraction_known_values(spark):
+    from flink_psl_spark.llm.repetition import duplicate_token_fraction
+
+    df = _docs(
+        spark,
+        [
+            (0, "s", "a b c d"),        # no dups -> 0
+            (1, "s", "a a a a"),        # 3 of 4 are repeats -> 0.75
+            (2, "s", "x y x"),          # 1 of 3 -> 1/3
+            (3, "s", "   "),            # blank -> 0
+        ],
+    )
+    got = {
+        r["doc_id"]: r["f"]
+        for r in df.select(
+            "doc_id", duplicate_token_fraction("text").alias("f")
+        ).collect()
+    }
+    assert got[0] == 0.0
+    assert got[1] == 0.75
+    assert abs(got[2] - 1 / 3) < 1e-12
+    assert got[3] == 0.0
+
+
+def test_duplicate_segment_fractions(spark):
+    from flink_psl_spark.llm.repetition import (
+        duplicate_segment_char_fraction,
+        duplicate_segment_fraction,
+    )
+
+    # 4 lines, one exact repeat ("hello world"), one blank line dropped
+    text = "hello world\nother line\n\nhello world"
+    df = _docs(spark, [(0, "s", text)])
+    row = df.select(
+        duplicate_segment_fraction("text").alias("f"),
+        duplicate_segment_char_fraction("text").alias("cf"),
+    ).first()
+    assert abs(row["f"] - 1 / 3) < 1e-12  # 3 non-empty segments, 1 repeat
+    # chars: hello world(11)*2 + other line(10) = 32 total, 11 duplicated
+    assert abs(row["cf"] - 11 / 32) < 1e-12
+
+
+def test_ngram_repetition_stats_known_values(spark):
+    from flink_psl_spark.llm.repetition import ngram_repetition_stats
+
+    # doc 0: "a b a b a" -> 2-grams: [a b, b a, a b, b a] -> top cnt 2, len 3
+    #   top = 2*3 / (4*3) = 0.5 ; dup = (2*3 + 2*3)/12 = 1.0
+    # doc 1: all distinct 2-grams -> top = 3/(3*3)=1/3, dup = 0
+    # doc 2: single token -> no 2-grams -> 0/0 -> 0.0
+    df = _docs(
+        spark, [(0, "s", "a b a b a"), (1, "s", "x y z w"), (2, "s", "q")]
+    )
+    got = {
+        r["doc_id"]: (r["top_ngram_char_frac"], r["dup_ngram_char_frac"])
+        for r in ngram_repetition_stats(df, n=2).collect()
+    }
+    assert got[0] == (0.5, 1.0)
+    assert got[1] == (round(1 / 3, 6), 0.0)
+    assert got[2] == (0.0, 0.0)
+
+
+def test_repetition_filter_brute_force(spark, t):
+    """repetition_filter vs a pure-python replica on 80 fixture docs."""
+    from flink_psl_spark.llm.repetition import repetition_filter
+
+    docs = t["documents"].where(F.col("doc_id") < 80)
+    got = {r["doc_id"]: r for r in repetition_filter(docs).collect()}
+    rows = docs.select("doc_id", "text").collect()
+    assert len(got) == len(rows)
+
+    def stats(words, n):
+        grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+        if not grams:
+            return 0.0, 0.0
+        cnt = {}
+        for g in grams:
+            cnt[g] = cnt.get(g, 0) + 1
+        tot = sum(c * len(g) for g, c in cnt.items())
+        top = max(c * len(g) for g, c in cnt.items())
+        dup = sum(c * len(g) for g, c in cnt.items() if c >= 2)
+        return top / tot, dup / tot
+
+    for r in rows:
+        words = r["text"].split()
+        top2, _ = stats(words, 2)
+        _, dup5 = stats(words, 5)
+        g = got[r["doc_id"]]
+        assert g["top_2gram_char_frac"] == round(top2, 6)
+        assert g["dup_5gram_char_frac"] == round(dup5, 6)
+        assert g["keep"] == (top2 <= 0.20 and dup5 <= 0.15)
+
+
+# ---------------------------------------------------------------------------
+# chunking
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_shapes_and_overlap(spark):
+    from flink_psl_spark.llm.chunking import chunk_documents
+
+    words = [f"w{i}" for i in range(10)]
+    df = _docs(spark, [(0, "s", " ".join(words)), (1, "s", "")])
+    out = chunk_documents(df, chunk_tokens=4, stride=3).collect()
+    by_id = sorted(
+        ((r["chunk_id"], r["start_token"], r["n_tokens"], r["chunk_text"]) for r in out)
+    )
+    # starts at 1,4,7,10 -> chunks of 4,4,4,1 tokens
+    assert by_id == [
+        (0, 1, 4, "w0 w1 w2 w3"),
+        (1, 4, 4, "w3 w4 w5 w6"),
+        (2, 7, 4, "w6 w7 w8 w9"),
+        (3, 10, 1, "w9"),
+    ]
+    assert all(r["doc_id"] == 0 for r in out)  # blank doc 1 emits nothing
+
+
+def test_chunk_documents_no_overlap_reconstructs(spark, t):
+    """stride == chunk_tokens partitions the doc: concatenation round-trips."""
+    from flink_psl_spark.llm.chunking import chunk_documents
+
+    docs = t["documents"].where(F.col("doc_id") < 40)
+    out = chunk_documents(docs, chunk_tokens=16, stride=16)
+    rebuilt = (
+        out.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_id", "chunk_text"))
+                ).chunk_text,
+                " ",
+            ).alias("rebuilt")
+        )
+    )
+    joined = docs.select(
+        "doc_id", F.array_join(F.split(F.trim("text"), r"\s+"), " ").alias("norm")
+    ).join(rebuilt, "doc_id")
+    assert joined.where(F.col("norm") != F.col("rebuilt")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_brute_force(spark):
+    from flink_psl_spark.llm.chunking import pack_sequences
+
+    rows = [
+        (i, f"shard{i % 2}", " ".join(["tok"] * n))
+        for i, n in enumerate([100, 300, 250, 0, 512, 700, 1, 511])
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(
+            _docs(spark, rows), max_len=256, partition_col="source"
+        ).collect()
+    }
+    # replicate: per shard, docs in doc_id order, running token offset
+    by_shard: dict[str, int] = {}
+    for doc_id, shard, text in rows:
+        n = len(text.split())
+        cum = by_shard.get(shard, 0)
+        first = cum // 256
+        last = (cum + n - 1) // 256 if n > 0 else first
+        r = out[doc_id]
+        assert r["shard"] == shard
+        assert r["n_tokens"] == n
+        assert r["first_seq"] == first
+        assert r["seq_offset"] == cum % 256
+        assert r["seqs_spanned"] == last - first + 1
+        by_shard[shard] = cum + n
+
+
+def test_pack_sequences_invariants_on_fixture(spark, t):
+    from flink_psl_spark.llm.chunking import pack_sequences
+
+    out = pack_sequences(t["documents"], max_len=512).cache()
+    try:
+        assert out.where((F.col("seq_offset") < 0) | (F.col("seq_offset") >= 512)).count() == 0
+        assert out.where(F.col("seqs_spanned") < 1).count() == 0
+        # spanned sequences bounded by ceil((offset + n_tokens)/512)
+        bad = out.where(
+            F.col("seqs_spanned")
+            > F.ceil((F.col("seq_offset") + F.greatest("n_tokens", F.lit(1))) / 512)
+        )
+        assert bad.count() == 0
+        # total sequences per shard ≈ total tokens / 512
+        agg = out.groupBy("shard").agg(
+            F.sum("n_tokens").alias("tok"), F.max(F.col("first_seq")).alias("mx")
+        )
+        for r in agg.collect():
+            assert r["mx"] <= math.ceil(r["tok"] / 512)
+    finally:
+        out.unpersist()
