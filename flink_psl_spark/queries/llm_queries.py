@@ -864,3 +864,83 @@ def llm_sequence_packing(spark, sf_dir):
 
     t = tables(spark, sf_dir)
     return pack_sequences(t["documents"], max_len=512, partition_col="source")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal decode pipeline (codec-gated; deterministic fake in-container)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_image_decode",
+    # the decode -> resize pipeline's shape invariants + payload hash are
+    # exactly checkable in SQL (payload = utf-8 text bytes); pixel values
+    # are pinned by tests/test_llm.py::test_decode_resize_stats_pipeline
+    oracle="""
+    SELECT doc_id AS media_id,
+           32 AS width, 32 AS height,
+           CAST(3072 AS BIGINT) AS n_px,
+           SHA256(text) AS payload_sha
+    FROM documents
+    """,
+)
+def llm_image_decode(spark, sf_dir):
+    """Image pipeline (decode → resize → stats) over mapInPandas; projects
+    the SQL-checkable invariant columns (shape + content hash)."""
+    from flink_psl_spark.llm.multimodal import decode_resize_stats, synthetic_media
+    from flink_psl_spark.parallelism import ensure_parallelism
+
+    t = tables(spark, sf_dir)
+    media = ensure_parallelism(synthetic_media(spark, t["documents"]))
+    return decode_resize_stats(media, out_w=32, out_h=32).select(
+        "media_id", "width", "height", "n_px", "payload_sha"
+    )
+
+
+@query(
+    "llm_frame_sample",
+    # codec-free frame extraction is byte arithmetic, fully replayable in
+    # SQL on the ASCII fixture (byte offsets == char offsets); TRUNC
+    # mirrors Spark's toward-zero int() cast
+    oracle="""
+    WITH s AS (
+      SELECT doc_id AS media_id, text,
+             UNNEST(GENERATE_SERIES(0,
+               GREATEST(CAST(TRUNC((OCTET_LENGTH(ENCODE(text)) - 32) / 64.0) AS INT) + 1,
+                        0) - 1)) AS frame_idx
+      FROM documents)
+    SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           SUBSTRING(text, CAST(frame_idx * 64 + 1 AS INT), 32) AS frame_text
+    FROM s WHERE LENGTH(SUBSTRING(text, CAST(frame_idx * 64 + 1 AS INT), 32)) > 0
+    """,
+)
+def llm_frame_sample(spark, sf_dir):
+    """Fixed-stride frame sampling with payloads (expression-only byte
+    windows; real `av` decode slots in behind the same schema)."""
+    from flink_psl_spark.llm.multimodal import sample_frame_payloads, synthetic_media
+
+    t = tables(spark, sf_dir)
+    vids = synthetic_media(spark, t["documents"], media_type="video")
+    return sample_frame_payloads(vids, frame_len=32, stride=64).select(
+        "media_id",
+        "frame_idx",
+        F.decode("frame_bytes", "utf-8").alias("frame_text"),
+    )
+
+
+@query(
+    "llm_audio_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(OCTET_LENGTH(ENCODE(text)) // 2 AS BIGINT) AS n_samples,
+           ROUND((OCTET_LENGTH(ENCODE(text)) // 2) / 16000.0, 6) AS duration_s
+    FROM documents
+    """,
+)
+def llm_audio_stats(spark, sf_dir):
+    """Audio sample/duration stats (16-bit PCM model, expression-only)."""
+    from flink_psl_spark.llm.multimodal import audio_stats, synthetic_media
+
+    t = tables(spark, sf_dir)
+    auds = synthetic_media(spark, t["documents"], media_type="audio")
+    return audio_stats(auds, sample_rate=16000)

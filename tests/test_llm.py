@@ -214,11 +214,90 @@ def test_multimodal_plumbing(spark, t):
     assert fr.count() > 0
 
 
-def test_decode_stub_raises(spark):
-    from flink_psl_spark.llm.multimodal import decode_image
+def test_decode_image_fallback_deterministic(spark):
+    """Without PIL the decode is the deterministic fake; with PIL a junk
+    payload also falls back. Either way: stable uint8 H×W×3 output."""
+    import numpy as np
 
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+    from flink_psl_spark.llm.multimodal import decode_image, fake_decode_image
+
+    a = decode_image(b"\x89PNG-not-really-an-image")
+    b = decode_image(b"\x89PNG-not-really-an-image")
+    assert a.dtype == np.uint8 and a.ndim == 3 and a.shape[2] == 3
+    assert np.array_equal(a, b)
+    # metadata-shaped fake decode tiles payload bytes exactly
+    img = fake_decode_image(b"\x01\x02\x03\x04", width=2, height=2)
+    assert img.shape == (2, 2, 3)
+    assert img.flatten().tolist() == [1, 2, 3, 4, 1, 2, 3, 4, 1, 2, 3, 4]
+
+
+def test_resize_image_nearest_neighbor():
+    import numpy as np
+
+    from flink_psl_spark.llm.multimodal import resize_image
+
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    half = resize_image(img, 2, 2)
+    assert half.shape == (2, 2, 3)
+    assert np.array_equal(half, img[[0, 2]][:, [0, 2]])
+    up = resize_image(half, 4, 4)
+    assert up.shape == (4, 4, 3)
+
+
+def test_decode_resize_stats_pipeline(spark, t):
+    """decode → resize → stats via mapInPandas matches a driver-side numpy
+    recompute on the same payloads."""
+    import hashlib
+
+    import numpy as np
+
+    from flink_psl_spark.llm.multimodal import (
+        decode_image,
+        decode_resize_stats,
+        resize_image,
+        synthetic_media,
+    )
+
+    docs = t["documents"].limit(10)
+    media = synthetic_media(spark, docs)
+    got = {r["media_id"]: r for r in decode_resize_stats(media, out_w=8, out_h=8).collect()}
+    for row in docs.collect():
+        payload = row["text"].encode()
+        small = resize_image(decode_image(payload), 8, 8)
+        means = small.reshape(-1, 3).mean(axis=0)
+        g = got[row["doc_id"]]
+        assert (g["width"], g["height"], g["n_px"]) == (8, 8, 8 * 8 * 3)
+        assert g["payload_sha"] == hashlib.sha256(payload).hexdigest()
+        assert np.allclose([g["mean_r"], g["mean_g"], g["mean_b"]], means)
+
+
+def test_sample_frame_payloads_reconstructs(spark, t):
+    """Codec-free frame extraction: fixed-stride byte windows reproduce the
+    payload slices exactly (expression-only, no Python)."""
+    from flink_psl_spark.llm.multimodal import sample_frame_payloads, synthetic_media
+
+    docs = t["documents"].limit(5)
+    vids = synthetic_media(spark, docs, media_type="video")
+    frames = sample_frame_payloads(vids, frame_len=16, stride=24).collect()
+    payloads = {r["doc_id"]: r["text"].encode() for r in docs.collect()}
+    assert frames
+    for fr in frames:
+        p = payloads[fr["media_id"]]
+        off = fr["frame_idx"] * 24
+        assert bytes(fr["frame_bytes"]) == p[off : off + 16]
+
+
+def test_audio_stats(spark, t):
+    from flink_psl_spark.llm.multimodal import audio_stats, synthetic_media
+
+    docs = t["documents"].limit(5)
+    auds = synthetic_media(spark, docs, media_type="audio")
+    got = {r["media_id"]: r for r in audio_stats(auds, sample_rate=8000).collect()}
+    for row in docs.collect():
+        n = len(row["text"].encode()) // 2
+        g = got[row["doc_id"]]
+        assert g["n_samples"] == n
+        assert g["duration_s"] == round(n / 8000, 6)
 
 
 def test_deterministic_sampling(spark, t):
