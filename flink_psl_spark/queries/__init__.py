@@ -40,6 +40,10 @@ _PRIORITY_WINDOW = [
     "llm_multimodal_features", "llm_dataset_mix", "llm_exact_dedup",
     "llm_dedup_clusters", "llm_cosine_topk", "llm_language_id",
     "llm_embedding_dedup", "salted_agg_skew", "llm_multimodal_stats",
+    # round-2 additions: repetition/chunking/packing + decode pipeline
+    "llm_repetition_filter", "llm_doc_chunking", "llm_sequence_packing",
+    "llm_image_decode", "llm_frame_sample", "llm_repetition_stats",
+    "llm_audio_stats",
     # streaming stateful operators
     "stream_keyed_top3", "stream_tumble_agg", "stream_interval_join",
     "stream_running_agg", "stream_event_time_sort", "stream_range_over",
