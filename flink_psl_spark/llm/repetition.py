@@ -140,22 +140,56 @@ def repetition_filter(
 ) -> DataFrame:
     """Combined Gopher-style repetition verdict per document.
 
-    Joins the 2-gram and 5-gram frequency statistics (both shuffled on
-    ``id_col`` — co-partitioned, no extra exchange) and emits the keep/drop
-    flag a curation pipeline filters on.
+    Single-pass formulation: both n-gram families come out of ONE text scan
+    and ONE Generate — 2-grams and 5-grams are emitted tagged with their
+    ``n`` and separated again by conditional aggregation (pivot-style), so
+    the corpus text is read once instead of once per statistic. Only a slim
+    ``id_col``-only scan is added to keep documents too short for any
+    n-gram (their fractions are 0). Shuffle shape is unchanged: partial-agg
+    map-side, two reduce stages keyed on the doc id.
     """
-    g2 = ngram_repetition_stats(docs, n=2, id_col=id_col, text_col=text_col)
-    g5 = ngram_repetition_stats(docs, n=5, id_col=id_col, text_col=text_col)
+    tagged = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.concat(
+                F.transform(
+                    word_ngrams(F.col(text_col), 2),
+                    lambda g: F.struct(F.lit(2).alias("n"), g.alias("gram")),
+                ),
+                F.transform(
+                    word_ngrams(F.col(text_col), 5),
+                    lambda g: F.struct(F.lit(5).alias("n"), g.alias("gram")),
+                ),
+            )
+        ).alias("t"),
+    ).select(id_col, F.col("t.n").alias("n"), F.col("t.gram").alias("gram"))
+    per_gram = tagged.groupBy(id_col, "n", "gram").agg(F.count("*").alias("cnt"))
+    chars = F.col("cnt") * F.length("gram")
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.max(F.when(F.col("n") == 2, chars)).alias("top2"),
+        F.sum(F.when(F.col("n") == 2, chars).otherwise(0)).alias("tot2"),
+        F.sum(
+            F.when((F.col("n") == 5) & (F.col("cnt") >= 2), chars).otherwise(0)
+        ).alias("dup5"),
+        F.sum(F.when(F.col("n") == 5, chars).otherwise(0)).alias("tot5"),
+    )
+    top2_frac = F.round(
+        F.coalesce(F.col("top2") / F.nullif(F.col("tot2"), F.lit(0)), F.lit(0.0)), 6
+    )
+    dup5_frac = F.round(
+        F.coalesce(F.col("dup5") / F.nullif(F.col("tot5"), F.lit(0)), F.lit(0.0)), 6
+    )
     return (
-        g2.select(id_col, "top_ngram_char_frac")
-        .join(g5.select(id_col, "dup_ngram_char_frac"), id_col)
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
         .select(
             F.col(id_col),
-            F.col("top_ngram_char_frac").alias("top_2gram_char_frac"),
-            F.col("dup_ngram_char_frac").alias("dup_5gram_char_frac"),
-            (
-                (F.col("top_ngram_char_frac") <= max_top_2gram)
-                & (F.col("dup_ngram_char_frac") <= max_dup_5gram)
-            ).alias("keep"),
+            F.coalesce(top2_frac, F.lit(0.0)).alias("top_2gram_char_frac"),
+            F.coalesce(dup5_frac, F.lit(0.0)).alias("dup_5gram_char_frac"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("top_2gram_char_frac") <= max_top_2gram)
+            & (F.col("dup_5gram_char_frac") <= max_dup_5gram),
         )
     )
