@@ -172,3 +172,49 @@ def test_q20_semi_join_shape(spark, sf_dir):
     p = _plan(df)
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "LeftSemi" in p or "SortMergeJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_frame_sample_no_shuffle_full_codegen(spark, t):
+    """Codec-free frame extraction is pure expression work: zero exchanges,
+    Generate riding the scan stage, no Python evals."""
+    from flink_psl_spark.llm.multimodal import sample_frame_payloads, synthetic_media
+
+    out = sample_frame_payloads(
+        synthetic_media(spark, t["documents"], media_type="video")
+    )
+    p = _plan(out)
+    assert _exchanges(out) == 0
+    assert "posexplode" in p
+    assert "Eval" not in p  # no BatchEvalPython / ArrowEvalPython
+
+
+def test_sequence_packing_single_exchange(spark, t):
+    """Concat-and-split packing = one shuffle on the shard key feeding sort +
+    window; everything else is projection."""
+    from flink_psl_spark.llm.chunking import pack_sequences
+
+    out = pack_sequences(t["documents"], max_len=512)
+    assert _exchanges(out) == 1
+    assert "Window" in _plan(out)
+
+
+def test_chunking_no_shuffle(spark, t):
+    from flink_psl_spark.llm.chunking import chunk_documents
+
+    out = chunk_documents(t["documents"])
+    assert _exchanges(out) == 0
+
+
+def test_repetition_filter_single_text_scan(spark, t):
+    """Single-pass formulation: the text column is scanned once (plus one
+    slim id-only scan for short docs)."""
+    from flink_psl_spark.llm.repetition import repetition_filter
+
+    p = _plan(repetition_filter(t["documents"]))
+    assert p.count("text#") > 0
+    # exactly one scan reads the text column
+    import re
+
+    scans = re.findall(r"FileScan parquet.*?ReadSchema: [^\n]*", p)
+    text_scans = [s for s in scans if "text" in s.split("ReadSchema:")[-1]]
+    assert len(text_scans) == 1, text_scans
