@@ -56,3 +56,31 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
 
 if __name__ == "__main__":
     main(*sys.argv[1:])
+
+
+def curation_extras(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    """Round-2 additions: repetition filtering, chunking, packing, and the
+    codec-gated multimodal decode pipeline."""
+    from flink_psl_spark.llm.chunking import chunk_documents, pack_sequences
+    from flink_psl_spark.llm.multimodal import (
+        decode_resize_stats,
+        synthetic_media,
+    )
+    from flink_psl_spark.llm.repetition import repetition_filter
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    t = register_tables(spark, sf_dir)
+    docs = t["documents"]
+
+    # 5. Gopher-style repetition filtering (single text scan)
+    verdicts = repetition_filter(docs)
+    verdicts.groupBy("keep").count().show()
+
+    # 6. overlapping token chunks -> packed training sequences
+    chunk_documents(docs, chunk_tokens=64, stride=48).show(3)
+    pack_sequences(docs, max_len=512).show(3)
+
+    # 7. image decode -> resize -> channel stats (deterministic fake decode
+    # in-container; PIL takes over transparently when installed)
+    media = synthetic_media(spark, docs.limit(50))
+    decode_resize_stats(media, out_w=32, out_h=32).show(3)

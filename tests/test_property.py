@@ -188,3 +188,66 @@ def test_interval_join_matches_model(spark, rows, band):
             if k1 == k2 and m1 + lo <= m2 <= m1 + hi:
                 want.append((k1, BASE + dt.timedelta(minutes=m1), v2, v1))
     assert got == sorted(want)
+
+
+@st.composite
+def doc_corpus(draw):
+    words = st.sampled_from(["alpha", "b", "cc", "dd d".replace(" ", ""), "e"])
+    docs = draw(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["s0", "s1"]),
+                st.lists(words, min_size=0, max_size=30),
+            ),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    return [(i, src, " ".join(ws)) for i, (src, ws) in enumerate(docs)]
+
+
+@given(doc_corpus(), st.integers(2, 8), st.integers(1, 8))
+@settings(**_SETTINGS)
+def test_chunking_matches_python_model(spark, rows, chunk, stride):
+    """chunk_documents vs a pure-python sliding-window model: same chunk
+    ids, boundaries, and text for arbitrary docs/chunk/stride."""
+    from flink_psl_spark.llm.chunking import chunk_documents
+
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["start_token"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(
+            df, chunk_tokens=chunk, stride=stride
+        ).collect()
+    )
+    want = []
+    for doc_id, _, text in rows:
+        toks = text.split()
+        for start in range(1, max(len(toks), 1) + 1, stride):
+            piece = toks[start - 1 : start - 1 + chunk]
+            if piece:
+                want.append(
+                    (doc_id, (start - 1) // stride, start, len(piece), " ".join(piece))
+                )
+    assert got == sorted(want)
+
+
+@given(doc_corpus(), st.integers(1, 16))
+@settings(**_SETTINGS)
+def test_packing_matches_python_model(spark, rows, max_len):
+    """pack_sequences vs a pure-python running-offset model per shard."""
+    from flink_psl_spark.llm.chunking import pack_sequences
+
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    got = {
+        r["doc_id"]: (r["shard"], r["n_tokens"], r["first_seq"], r["seq_offset"], r["seqs_spanned"])
+        for r in pack_sequences(df, max_len=max_len).collect()
+    }
+    cum: dict[str, int] = {}
+    for doc_id, src, text in rows:  # doc_id order == generation order
+        n = len(text.split())
+        c = cum.get(src, 0)
+        first = c // max_len
+        last = (c + n - 1) // max_len if n else first
+        assert got[doc_id] == (src, n, first, c % max_len, last - first + 1)
+        cum[src] = c + n
