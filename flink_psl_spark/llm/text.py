@@ -20,8 +20,9 @@ _WS = r"\s+"
 
 
 def tokenize(text: Column | str) -> Column:
-    """Whitespace tokenization → array<string> (empty array for blank text)."""
-    t = F.trim(_col(text))
+    """Whitespace tokenization → array<string> (empty array for blank or
+    NULL text, so token counts and downstream running sums stay non-null)."""
+    t = F.trim(F.coalesce(_col(text), F.lit("")))
     return F.when(t == "", F.array().cast("array<string>")).otherwise(
         F.split(t, _WS)
     )

@@ -213,3 +213,27 @@ def test_pack_sequences_invariants_on_fixture(spark, t):
             assert r["mx"] <= math.ceil(r["tok"] / 512)
     finally:
         out.unpersist()
+
+
+def test_degenerate_inputs(spark):
+    """Empty frames and NULL text flow through every curation op without
+    nulls or errors."""
+    from flink_psl_spark.llm.chunking import chunk_documents, pack_sequences
+    from flink_psl_spark.llm.repetition import repetition_filter
+
+    empty = spark.createDataFrame([], "doc_id bigint, source string, text string")
+    assert chunk_documents(empty).count() == 0
+    assert pack_sequences(empty).count() == 0
+    assert repetition_filter(empty).count() == 0
+
+    nulls = spark.createDataFrame(
+        [(1, "s", None), (2, "s", "a b")],
+        "doc_id bigint, source string, text string",
+    )
+    packed = {r["doc_id"]: r for r in pack_sequences(nulls, max_len=4).collect()}
+    assert packed[1]["n_tokens"] == 0 and packed[1]["seqs_spanned"] == 1
+    assert packed[2]["n_tokens"] == 2 and packed[2]["seq_offset"] == 0
+    assert chunk_documents(nulls).count() > 0  # doc 2 chunks, doc 1 silent
+    v = {r["doc_id"]: r["keep"] for r in repetition_filter(nulls).collect()}
+    # doc 2 ("a b"): its single 2-gram covers 100% of chars -> correctly dropped
+    assert v == {1: True, 2: False}
