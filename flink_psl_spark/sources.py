@@ -198,3 +198,86 @@ def kafka_stream(
             "kafka connector jar not available; add "
             "org.apache.spark:spark-sql-kafka-0-10 to spark.jars.packages"
         ) from e
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction (reference: FileSink compaction,
+# flink-connector-files .../file/sink/compactor/FileCompactStrategy.java +
+# ConcatFileCompactor.java — sinks concatenate undersized files once a
+# size/count trigger fires). Spark-first shape: compaction is a maintenance
+# pass over the sink directory — read, re-bucket to the target file size,
+# two-phase swap — run post-hoc or from foreachBatch on a cadence.
+# ---------------------------------------------------------------------------
+
+
+def compaction_plan(
+    path: str, *, target_file_bytes: int = 128 * 1024 * 1024, min_files: int = 2
+) -> dict:
+    """Inspect a file-table directory and decide whether/how to compact.
+
+    Mirrors FileCompactStrategy's triggers: compaction fires when more than
+    ``min_files`` data files exist AND at least one is under the target
+    size. Returns {should_compact, n_files, total_bytes, target_files}.
+    """
+    import math
+    import os
+
+    sizes = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue  # _SUCCESS, hidden/in-progress files
+            sizes.append(os.path.getsize(os.path.join(root, f)))
+    total = sum(sizes)
+    target_files = max(1, math.ceil(total / target_file_bytes))
+    return {
+        # target < current makes compaction a fixpoint: once file count
+        # reaches the target, the trigger can never re-fire on its output
+        "should_compact": len(sizes) > min_files
+        and any(s < target_file_bytes for s in sizes)
+        and target_files < len(sizes),
+        "n_files": len(sizes),
+        "total_bytes": total,
+        "target_files": target_files,
+    }
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+    schema: str | None = None,
+) -> dict:
+    """Compact a file table's small files to ~``target_file_bytes`` each.
+
+    Scale shape: ``coalesce`` (not repartition) merges input splits without
+    a shuffle — the reference's ConcatFileCompactor cost model (read +
+    concatenated rewrite, no redistribution). The rewrite lands in a
+    ``.compact-tmp`` sibling and is swapped in whole (write-temp → move —
+    readers see old files or new files, never a mix), matching the sink's
+    hidden-until-committed protocol. Returns the (possibly no-op) plan.
+
+    Local/shared-filesystem scope for the swap step, same as the 2PC sink
+    (sources_v2.py): object-store deployments route the swap through their
+    atomic-rename/manifest primitive.
+    """
+    import os
+    import shutil
+
+    plan = compaction_plan(
+        path, target_file_bytes=target_file_bytes, min_files=min_files
+    )
+    if not plan["should_compact"]:
+        return plan
+    tmp = path.rstrip("/") + ".compact-tmp"
+    df = read_table(spark, path, fmt, schema=schema)
+    df.coalesce(plan["target_files"]).write.mode("overwrite").format(fmt).save(tmp)
+    old = path.rstrip("/") + ".compact-old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    plan["compacted"] = True
+    return plan

@@ -153,3 +153,45 @@ def test_socket_source_stream(spark):
         q.stop()
         srv.close()
     assert got == sorted(lines)
+
+
+def test_compact_table_merges_small_files(spark, t, tmp_path):
+    """FileSink-compaction parity: many small files -> ~target-sized few,
+    same rows; under-threshold dirs are left untouched."""
+    import os
+
+    from flink_psl_spark.sources import compact_table, compaction_plan
+
+    path = str(tmp_path / "li")
+    t["lineitem"].select("l_orderkey", "l_partkey", "l_quantity").repartition(
+        40
+    ).write.parquet(path)
+
+    def data_files():
+        return [
+            f
+            for _r, _d, fs in os.walk(path)
+            for f in fs
+            if not f.startswith(("_", "."))
+        ]
+
+    n_before = len(data_files())
+    assert n_before >= 40
+    before = spark.read.parquet(path)
+    rows = before.count()
+    chk = before.agg(F.sum("l_quantity")).first()[0]
+
+    plan = compact_table(spark, path, target_file_bytes=1 << 20)
+    assert plan["should_compact"] and plan["compacted"]
+    assert len(data_files()) == plan["target_files"] < n_before
+
+    after = spark.read.parquet(path)
+    assert after.count() == rows
+    assert after.agg(F.sum("l_quantity")).first()[0] == chk
+
+    # already-compacted dir: trigger does not fire, files untouched
+    plan2 = compaction_plan(path, target_file_bytes=1 << 20)
+    n = len(data_files())
+    compact_table(spark, path, target_file_bytes=1 << 20)
+    assert len(data_files()) == n
+    assert plan2["n_files"] == n
