@@ -281,3 +281,48 @@ def compact_table(
     shutil.rmtree(old)
     plan["compacted"] = True
     return plan
+
+
+def compact_partitioned_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+    schema: str | None = None,
+) -> dict:
+    """Per-partition compaction for ``key=value``-partitioned tables.
+
+    The 100 TB shape of compaction: a streaming sink leaves small files in
+    the partitions it recently touched, so the maintenance pass walks
+    leaf partition directories, evaluates the FileCompactStrategy trigger
+    per partition, and rewrites ONLY the partitions that fire — untouched
+    partitions are never read, never rewritten (same pruning idea as the
+    partition-pruned upsert sink, cdc.py). Returns
+    {scanned, compacted, skipped, partitions: {relpath: plan}}.
+    """
+    import os
+
+    # leaf dirs = directories containing at least one data file
+    leaves = []
+    for root, _dirs, files in os.walk(path):
+        if any(not f.startswith(("_", ".")) for f in files):
+            leaves.append(root)
+    out = {"scanned": len(leaves), "compacted": 0, "skipped": 0, "partitions": {}}
+    for leaf in sorted(leaves):
+        plan = compact_table(
+            spark,
+            leaf,
+            fmt,
+            target_file_bytes=target_file_bytes,
+            min_files=min_files,
+            schema=schema,
+        )
+        rel = os.path.relpath(leaf, path)
+        out["partitions"][rel] = plan
+        if plan.get("compacted"):
+            out["compacted"] += 1
+        else:
+            out["skipped"] += 1
+    return out

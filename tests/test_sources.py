@@ -195,3 +195,33 @@ def test_compact_table_merges_small_files(spark, t, tmp_path):
     compact_table(spark, path, target_file_bytes=1 << 20)
     assert len(data_files()) == n
     assert plan2["n_files"] == n
+
+
+def test_compact_partitioned_table_touches_only_firing_partitions(spark, t, tmp_path):
+    import os
+
+    from flink_psl_spark.sources import compact_partitioned_table
+
+    path = str(tmp_path / "orders_p")
+    orders = t["orders"].select("o_orderkey", "o_totalprice", "o_orderpriority")
+    # partition 1-URGENT fragmented (20 files), others single-file
+    frag = orders.where(F.col("o_orderpriority") == "1-URGENT").repartition(20)
+    rest = orders.where(F.col("o_orderpriority") != "1-URGENT").coalesce(1)
+    frag.unionByName(rest).write.partitionBy("o_orderpriority").parquet(path)
+
+    def files_in(part):
+        d = os.path.join(path, f"o_orderpriority={part}")
+        return sorted(
+            (f, os.path.getsize(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if not f.startswith(("_", "."))
+        )
+
+    before_other = files_in("3-MEDIUM")
+    rows = spark.read.parquet(path).count()
+
+    res = compact_partitioned_table(spark, path, target_file_bytes=1 << 20)
+    assert res["compacted"] == 1  # only the fragmented partition fired
+    assert len(files_in("1-URGENT")) == 1
+    assert files_in("3-MEDIUM") == before_other  # byte-identical, untouched
+    assert spark.read.parquet(path).count() == rows
