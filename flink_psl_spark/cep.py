@@ -51,6 +51,14 @@ class Step:
     min_times: int = 1
     max_times: int | None = 1
     greedy: bool = True
+    # contiguity/negation mode (reference Pattern.java combinators):
+    #   strict          — next(): binds consecutive rows (default)
+    #   relaxed         — followedBy(): skips non-matching rows first
+    #   not_next        — notNext(): the immediately-following row must NOT
+    #                     match (zero-width)
+    #   not_followed_by — notFollowedBy(): no matching row may occur before
+    #                     the next step's match (or partition end when last)
+    mode: str = "strict"
 
     @staticmethod
     def once(name: str, predicate: str) -> "Step":
@@ -77,6 +85,35 @@ class Step:
     def at_least(name: str, predicate: str, n: int, *, greedy: bool = True) -> "Step":
         """``n`` or more times (Pattern.timesOrMore)."""
         return Step(name, predicate, n, None, greedy)
+
+    @staticmethod
+    def followed_by(
+        name: str,
+        predicate: str,
+        *,
+        min_times: int = 1,
+        max_times: int | None = 1,
+        greedy: bool = True,
+    ) -> "Step":
+        """Relaxed contiguity (Pattern.followedBy): skip any non-matching
+        rows, then bind the quantified block at the first viable position
+        (later positions explored on backtrack — followedByAny-style)."""
+        return Step(name, predicate, min_times, max_times, greedy, "relaxed")
+
+    @staticmethod
+    def not_next(name: str, predicate: str) -> "Step":
+        """Negative lookahead (Pattern.notNext): match fails if the row
+        immediately after the previous step satisfies the predicate.
+        Zero-width — binds no rows."""
+        return Step(name, predicate, 0, 0, True, "not_next")
+
+    @staticmethod
+    def not_followed_by(name: str, predicate: str) -> "Step":
+        """Negative gap (Pattern.notFollowedBy): match fails if any row
+        satisfying the predicate occurs before the NEXT step's match starts
+        (the next step scans forward, relaxed); as the final step, no such
+        row may occur through the end of the scan. Zero-width."""
+        return Step(name, predicate, 0, 0, True, "not_followed_by")
 
 
 @dataclass
@@ -125,6 +162,7 @@ def match_recognize(
     names = [s.name for s in pattern]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate step names: {names}")
+    _validate_modes(pattern)
 
     # vectorized predicate evaluation: one boolean column per step, computed
     # by Spark (codegen) BEFORE the python hop — python sees only bools.
@@ -142,7 +180,7 @@ def match_recognize(
         out_fields.append(T.StructField(m.out_name, _measure_type(df, m)))
     out_schema = T.StructType(out_fields)
 
-    spec = [(s.name, s.min_times, s.max_times, s.greedy) for s in pattern]
+    spec = [(s.name, s.min_times, s.max_times, s.greedy, s.mode) for s in pattern]
     meas = [(m.out_name, m.step, m.fn.lower(), m.col) for m in measures]
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -234,22 +272,34 @@ def match_recognize(
     return sorted_part.mapInPandas(run_partition, out_schema)
 
 
+def _validate_modes(pattern) -> None:
+    """Mode composition rules (mirror the reference's Pattern API checks:
+    a NOT pattern can't open the sequence, and two NOTs can't chain)."""
+    for i, s in enumerate(pattern):
+        if s.mode not in ("strict", "relaxed", "not_next", "not_followed_by"):
+            raise ValueError(f"unknown step mode {s.mode!r} on {s.name!r}")
+        if s.mode in ("not_next", "not_followed_by"):
+            if i == 0:
+                raise ValueError("pattern cannot begin with a NOT step")
+            if pattern[i - 1].mode in ("not_next", "not_followed_by"):
+                raise ValueError("two consecutive NOT steps are not allowed")
+
+
 def _match_at(preds, spec, start, n):
     """Backtracking NFA: try to bind the pattern starting exactly at
-    ``start``. Returns {step_name: [row indices]} or None."""
+    ``start``. Returns {step_name: [row indices]} or None.
 
-    def rec(step_i: int, pos: int, acc: dict):
-        if step_i == len(spec):
-            return acc if pos > start else None  # refuse fully-empty match
-        name, lo, hi, greedy = spec[step_i]
+    Spec entries are (name, lo, hi, greedy, mode); negative modes bind no
+    rows and act as zero-width assertions over the gap/lookahead."""
+
+    def block_at(step_i: int, q: int, acc: dict, min_take: int):
+        """Bind spec[step_i]'s quantified block of consecutive rows starting
+        exactly at ``q``, then continue with the rest of the pattern."""
+        name, lo, hi, greedy, _mode = spec[step_i]
         p = preds[name]
-        # count how many consecutive rows from pos satisfy this step
+        lo = max(lo, min_take)
         max_take = 0
-        while (
-            pos + max_take < n
-            and p[pos + max_take]
-            and (hi is None or max_take < hi)
-        ):
+        while q + max_take < n and p[q + max_take] and (hi is None or max_take < hi):
             max_take += 1
         if max_take < lo:
             return None
@@ -259,11 +309,45 @@ def _match_at(preds, spec, start, n):
         for take in counts:
             nxt = dict(acc)
             if take:
-                nxt[name] = list(range(pos, pos + take))
-            res = rec(step_i + 1, pos + take, nxt)
+                nxt[name] = list(range(q, q + take))
+            res = rec(step_i + 1, q + take, nxt)
             if res is not None:
                 return res
         return None
+
+    def rec(step_i: int, pos: int, acc: dict):
+        if step_i == len(spec):
+            return acc if pos > start else None  # refuse fully-empty match
+        name, lo, hi, greedy, mode = spec[step_i]
+        p = preds[name]
+        if mode == "not_next":
+            if pos < n and p[pos]:
+                return None
+            return rec(step_i + 1, pos, acc)
+        if mode == "not_followed_by":
+            if step_i == len(spec) - 1:
+                # terminal NOT: clean through end of scan
+                if p[pos:n].any():
+                    return None
+                return acc if pos > start else None
+            # gap must stay clean until the next (positive) step binds; the
+            # next step scans forward from pos (relaxed by construction)
+            for s2 in range(pos, n):
+                res = block_at(step_i + 1, s2, acc, 1)
+                if res is not None:
+                    return res
+                if p[s2]:
+                    return None  # negative event occurred before a match
+            return None
+        if mode == "relaxed":
+            for s2 in range(pos, n):
+                res = block_at(step_i, s2, acc, 1)
+                if res is not None:
+                    return res
+            if lo == 0:  # optional relaxed step: skip it entirely
+                return rec(step_i + 1, pos, acc)
+            return None
+        return block_at(step_i, pos, acc, 0)
 
     return rec(0, start, {})
 

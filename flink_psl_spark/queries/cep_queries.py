@@ -176,3 +176,100 @@ def cep_error_burst(spark, sf_dir):
             Measure("burst_end", "E", "last", "ts"),
         ],
     ).select("user_id", "n_errors", "burst_start", "burst_end")
+
+
+@query(
+    "cep_unconverted_clicks",
+    # terminal notFollowedBy: a click matches iff NO later purchase exists
+    # in the user's ordered sequence — NOT EXISTS over the (ts, event_id)
+    # order replicates the NFA exactly
+    oracle="""
+    SELECT c.user_id, COUNT(*) AS n_unconverted
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+          AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id)))
+    GROUP BY c.user_id
+    """,
+)
+def cep_unconverted_clicks(spark, sf_dir):
+    """PATTERN (click notFollowedBy purchase) — clicks never converted for
+    the rest of the user's history (reference Pattern.notFollowedBy,
+    flink-cep/.../pattern/Pattern.java notFollowedBy; negative patterns in
+    NFACompiler)."""
+    t = tables(spark, sf_dir)
+    matches = match_recognize(
+        t["events"],
+        partition_by="user_id",
+        order_by=["ts", "event_id"],
+        pattern=[
+            Step.once("click", "event_type = 'click'"),
+            Step.not_followed_by("np", "event_type = 'purchase'"),
+        ],
+        measures=[Measure("click_id", "click", "first", "event_id")],
+    )
+    from pyspark.sql import functions as F
+
+    return matches.groupBy("user_id").agg(
+        F.count("*").alias("n_unconverted")
+    )
+
+
+@query(
+    "cep_session_no_logout_purchase",
+    # middle notFollowedBy: signup, then a purchase with no error between
+    # them (next purchase scans forward; an intervening error kills the
+    # match). Replica: for each signup, the FIRST later purchase/error
+    # decides; after a match the scan resumes past the purchase.
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type IN ('signup', 'purchase', 'error')),
+    nxt AS (
+      SELECT s.user_id, s.rn AS srn,
+             MIN(CASE WHEN e.event_type = 'purchase' THEN e.rn END) AS prn,
+             MIN(CASE WHEN e.event_type = 'error' THEN e.rn END) AS ern
+      FROM ordered s JOIN ordered e
+        ON e.user_id = s.user_id AND e.rn > s.rn
+      WHERE s.event_type = 'signup'
+      GROUP BY s.user_id, s.rn),
+    matched AS (
+      SELECT user_id, srn, prn FROM nxt
+      WHERE prn IS NOT NULL AND (ern IS NULL OR prn < ern)),
+    -- skip_past_last_row: drop signups inside a previous match's span
+    kept AS (
+      SELECT m.user_id, m.srn, m.prn FROM matched m
+      WHERE NOT EXISTS (
+        SELECT 1 FROM matched m2
+        WHERE m2.user_id = m.user_id AND m2.srn < m.srn AND m2.prn >= m.srn))
+    SELECT user_id, COUNT(*) AS n_clean_conversions
+    FROM kept GROUP BY user_id
+    """,
+)
+def cep_session_no_logout_purchase(spark, sf_dir):
+    """PATTERN (signup notFollowedBy error, then purchase) over the
+    signup/purchase/error event stream — conversions untainted by an error
+    in between (reference Pattern.notFollowedBy mid-pattern)."""
+    from pyspark.sql import functions as F
+
+    t = tables(spark, sf_dir)
+    ev = t["events"].where(
+        F.col("event_type").isin("signup", "purchase", "error")
+    )
+    matches = match_recognize(
+        ev,
+        partition_by="user_id",
+        order_by=["ts", "event_id"],
+        pattern=[
+            Step.once("s", "event_type = 'signup'"),
+            Step.not_followed_by("ne", "event_type = 'error'"),
+            Step.once("p", "event_type = 'purchase'"),
+        ],
+        measures=[Measure("purchase_id", "p", "first", "event_id")],
+    )
+    return matches.groupBy("user_id").agg(
+        F.count("*").alias("n_clean_conversions")
+    )

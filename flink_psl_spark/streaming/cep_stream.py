@@ -30,7 +30,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from flink_psl_spark.cep import Measure, Step, _eval_measure, _match_at, _measure_type
+from flink_psl_spark.cep import (
+    Measure,
+    Step,
+    _eval_measure,
+    _match_at,
+    _measure_type,
+    _validate_modes,
+)
 
 
 def streaming_match_recognize(
@@ -51,6 +58,7 @@ def streaming_match_recognize(
     patterns with a known max span (≈ Pattern.within).
     """
     names = [s.name for s in pattern]
+    _validate_modes(pattern)
     pred_cols = {s.name: f"__p_{s.name}" for s in pattern}
     wm = events.withWatermark(ts_col, delay)
     carry_cols = sorted(
@@ -75,7 +83,7 @@ def streaming_match_recognize(
     out_schema = T.StructType(out_fields)
     out_names = [f.name for f in out_fields]
 
-    spec = [(s.name, s.min_times, s.max_times, s.greedy) for s in pattern]
+    spec = [(s.name, s.min_times, s.max_times, s.greedy, s.mode) for s in pattern]
     meas = [(m.out_name, m.step, m.fn.lower(), m.col) for m in measures]
     sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
 

@@ -6,6 +6,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+from pyspark.sql import functions as F
 
 from flink_psl_spark.cep import (
     SKIP_TO_NEXT_ROW,
@@ -194,3 +195,156 @@ def test_cep_query_vs_oracle(spark, sf_dir):
     ok, msg = compare(df, con, ORACLES["cep_clicks_then_purchase"])
     con.close()
     assert ok, msg
+
+
+# ---------------------------------------------------------------------------
+# negation + relaxed contiguity (Pattern.followedBy / notNext / notFollowedBy)
+# ---------------------------------------------------------------------------
+
+
+def _seq(spark, types):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            ("k", base + dt.timedelta(minutes=i), t, float(i))
+            for i, t in enumerate(types)
+        ],
+        "k string, ts timestamp, et string, v double",
+    )
+
+
+def _match_counts(df, pattern, spark):
+    from flink_psl_spark.cep import Measure, match_recognize
+
+    out = match_recognize(
+        df,
+        "k",
+        "ts",
+        pattern,
+        [Measure("n", pattern[0].name, "count")],
+    )
+    return out.count()
+
+
+def test_cep_not_next(spark):
+    from flink_psl_spark.cep import Step
+
+    # a NOT-immediately-followed-by b
+    pat = [Step.once("a", "et = 'a'"), Step.not_next("nb", "et = 'b'")]
+    assert _match_counts(_seq(spark, ["a", "c"]), pat, spark) == 1
+    assert _match_counts(_seq(spark, ["a", "b"]), pat, spark) == 0
+    assert _match_counts(_seq(spark, ["a"]), pat, spark) == 1  # end of data
+
+
+def test_cep_followed_by_skips_gap(spark):
+    from flink_psl_spark.cep import Step
+
+    # strict: a then immediately b — gap breaks it
+    strict = [Step.once("a", "et = 'a'"), Step.once("b", "et = 'b'")]
+    relaxed = [Step.once("a", "et = 'a'"), Step.followed_by("b", "et = 'b'")]
+    gap = _seq(spark, ["a", "x", "x", "b"])
+    assert _match_counts(gap, strict, spark) == 0
+    assert _match_counts(gap, relaxed, spark) == 1
+
+
+def test_cep_not_followed_by_middle_and_terminal(spark):
+    from flink_psl_spark.cep import Step
+
+    # login (no logout in between) purchase
+    mid = [
+        Step.once("login", "et = 'login'"),
+        Step.not_followed_by("nl", "et = 'logout'"),
+        Step.once("buy", "et = 'buy'"),
+    ]
+    assert _match_counts(_seq(spark, ["login", "x", "buy"]), mid, spark) == 1
+    assert _match_counts(_seq(spark, ["login", "logout", "buy"]), mid, spark) == 0
+    # terminal NOT: click with no later purchase
+    term = [
+        Step.once("click", "et = 'click'"),
+        Step.not_followed_by("np", "et = 'buy'"),
+    ]
+    assert _match_counts(_seq(spark, ["click", "x", "x"]), term, spark) == 1
+    assert _match_counts(_seq(spark, ["click", "x", "buy"]), term, spark) == 0
+
+
+def test_cep_mode_validation(spark):
+    import pytest as _pytest
+
+    from flink_psl_spark.cep import Measure, Step, match_recognize
+
+    df = _seq(spark, ["a"])
+    with _pytest.raises(ValueError, match="begin with a NOT"):
+        match_recognize(
+            df, "k", "ts",
+            [Step.not_next("n", "et = 'b'"), Step.once("a", "et = 'a'")],
+            [Measure("n", "a", "count")],
+        )
+    with _pytest.raises(ValueError, match="consecutive NOT"):
+        match_recognize(
+            df, "k", "ts",
+            [
+                Step.once("a", "et = 'a'"),
+                Step.not_next("n1", "et = 'b'"),
+                Step.not_followed_by("n2", "et = 'c'"),
+            ],
+            [Measure("n", "a", "count")],
+        )
+
+
+def test_cep_negation_brute_force(spark):
+    """login notFollowedBy logout, then buy — NFA vs a python replica over
+    random-ish sequences."""
+    import itertools
+
+    from flink_psl_spark.cep import Measure, Step, match_recognize
+
+    import datetime as dt
+
+    alphabet = ["login", "logout", "buy", "x"]
+    pat = [
+        Step.once("login", "et = 'login'"),
+        Step.not_followed_by("nl", "et = 'logout'"),
+        Step.once("buy", "et = 'buy'"),
+    ]
+    # all 256 sequences ride ONE DataFrame, one partition key per sequence
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    cases = list(itertools.product(alphabet, repeat=4))
+    for ci, types in enumerate(cases):
+        rows += [
+            (f"s{ci}", base + dt.timedelta(minutes=i), t, float(i))
+            for i, t in enumerate(types)
+        ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, et string, v double")
+    got = {
+        r["k"]: r["cnt"]
+        for r in match_recognize(
+            df, "k", "ts", pat, [Measure("n", "login", "count")]
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+
+    for ci, types in enumerate(cases):
+        # replica: scan for login; then first buy before any logout
+        want, i, n = 0, 0, len(types)
+        while i < n:
+            if types[i] == "login":
+                j = i + 1
+                matched_end = None
+                while j < n:
+                    if types[j] == "buy":
+                        matched_end = j
+                        break
+                    if types[j] == "logout":
+                        break
+                    j += 1
+                if matched_end is not None:
+                    want += 1
+                    i = matched_end + 1  # skip_past_last_row
+                    continue
+            i += 1
+        assert got.get(f"s{ci}", 0) == want, (types, want)
