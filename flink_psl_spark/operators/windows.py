@@ -39,18 +39,38 @@ def _flatten(df: DataFrame, wcol: str = "__w") -> DataFrame:
     )
 
 
-def tumble(df: DataFrame, time_col: str, size: str) -> DataFrame:
-    """TUMBLE(data, DESCRIPTOR(t), INTERVAL size)."""
-    return _flatten(df.withColumn("__w", F.window(F.col(time_col), size)))
+def tumble(
+    df: DataFrame, time_col: str, size: str, *, offset: str | None = None
+) -> DataFrame:
+    """TUMBLE(data, DESCRIPTOR(t), INTERVAL size [, INTERVAL offset]).
+
+    ``offset`` shifts window alignment (reference: the window TVFs' optional
+    offset argument, e.g. day windows starting at 08:00) — maps to Spark
+    ``window``'s startTime."""
+    w = (
+        F.window(F.col(time_col), size)
+        if offset is None
+        else F.window(F.col(time_col), size, size, offset)
+    )
+    return _flatten(df.withColumn("__w", w))
 
 
-def hop(df: DataFrame, time_col: str, slide: str, size: str) -> DataFrame:
-    """HOP(data, DESCRIPTOR(t), INTERVAL slide, INTERVAL size).
+def hop(
+    df: DataFrame,
+    time_col: str,
+    slide: str,
+    size: str,
+    *,
+    offset: str | None = None,
+) -> DataFrame:
+    """HOP(data, DESCRIPTOR(t), INTERVAL slide, INTERVAL size [, offset]).
 
-    Spark's window(t, size, slide) assigns every covering window — exactly
-    the HOP TVF's row multiplication.
+    Spark's window(t, size, slide[, startTime]) assigns every covering
+    window — exactly the HOP TVF's row multiplication.
     """
-    return _flatten(df.withColumn("__w", F.window(F.col(time_col), size, slide)))
+    return _flatten(
+        df.withColumn("__w", F.window(F.col(time_col), size, slide, offset))
+    )
 
 
 def cumulate(df: DataFrame, time_col: str, step: str, max_size: str) -> DataFrame:

@@ -271,3 +271,28 @@ def session_window_dynamic_gap(spark, sf_dir):
             "n",
         )
     )
+
+
+@query(
+    "tumble_window_offset_agg",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts, INTERVAL '15 minutes') AS window_start,
+           time_bucket(INTERVAL '1 hour', ts, INTERVAL '15 minutes')
+             + INTERVAL '1 hour' AS window_end,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tumble_window_offset_agg(spark, sf_dir):
+    """TUMBLE TVF with alignment offset (reference window TVF optional
+    offset arg, SqlTumbleTableFunction.java) — hour windows starting at
+    :15, via Spark window startTime."""
+    from flink_psl_spark.operators import tumble
+
+    t = tables(spark, sf_dir)
+    return (
+        tumble(t["events"], "ts", "1 hour", offset="15 minutes")
+        .groupBy("window_start", "window_end")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
