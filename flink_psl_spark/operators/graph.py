@@ -106,3 +106,92 @@ def triangle_count(edges: DataFrame, src: str = "s", dst: str = "d") -> DataFram
         e3, (wedges["a"] == e3["a3"]) & (wedges["c"] == e3["c3"])
     )
     return tris.agg(F.count("*").alias("n_triangles"))
+
+
+def sssp(
+    edges: DataFrame,
+    src_node=None,
+    *,
+    iters: int = 4,
+    src: str = "s",
+    dst: str = "d",
+) -> DataFrame:
+    """Unit-weight single-source shortest paths, bounded at ``iters`` hops
+    → (node, dist). Gelly: library/SingleSourceShortestPaths.java
+    (scatter-gather min-distance relaxation).
+
+    Driver loop of Bellman-Ford rounds: each round relaxes every edge once
+    (join on the frontier's node set) and folds with min — after k rounds
+    every node within k hops holds its exact distance. Same shuffle shape
+    as pagerank (edges by src per round; distance table is node-sized).
+    ``src_node=None`` starts from the smallest node id (one bounded driver
+    scalar, like the strata-key collect in sampling).
+    """
+    und = undirect(edges, src, dst)
+    und.persist()
+    try:
+        if src_node is None:
+            src_node = und.agg(F.min("s")).first()[0]
+        dist = (
+            und.select(F.col("s").alias("node"))
+            .where(F.col("s") == src_node)
+            .distinct()
+            .withColumn("dist", F.lit(0).cast("bigint"))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(iters):
+            relaxed = (
+                dist.join(und, dist["node"] == und["s"])
+                .select(und["d"].alias("node"), (dist["dist"] + 1).alias("dist"))
+            )
+            dist = (
+                dist.unionByName(relaxed)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+        return dist
+    finally:
+        und.unpersist()
+
+
+def label_propagation(
+    edges: DataFrame, *, iters: int = 2, src: str = "s", dst: str = "d"
+) -> DataFrame:
+    """Community detection by synchronous label propagation → (node, label).
+    Gelly: library/LabelPropagation.java (most-frequent neighbor label,
+    ties broken toward the smaller label — deterministic, so SQL-oracle-able
+    by unrolling the fixed iteration count).
+
+    Each round: one shuffle of the (node-sized) label table onto edges, one
+    count aggregation, one argmax per node via ``max_by`` over the
+    (count, -label) struct.
+    """
+    und = undirect(edges, src, dst)
+    und.persist()
+    try:
+        labels = (
+            und.select(F.col("s").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(iters):
+            counts = (
+                und.join(labels, und["d"] == labels["node"])
+                .select(und["s"].alias("node"), "label")
+                .groupBy("node", "label")
+                .agg(F.count("*").alias("c"))
+            )
+            labels = (
+                counts.groupBy("node")
+                .agg(
+                    F.max_by(
+                        "label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                    ).alias("label")
+                )
+                .localCheckpoint(eager=True)
+            )
+        return labels
+    finally:
+        und.unpersist()

@@ -135,3 +135,51 @@ def graph_connected_components(spark, sf_dir):
     from flink_psl_spark.llm.clustering import connected_components
 
     return connected_components(_edges(spark, sf_dir), "s", "d")
+
+
+@query(
+    "graph_sssp",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    und AS (SELECT s, d FROM edges UNION SELECT d, s FROM edges),
+    walk(node, dist) AS (
+      SELECT (SELECT MIN(s) FROM und), 0
+      UNION
+      SELECT u.d, w.dist + 1
+      FROM walk w JOIN und u ON u.s = w.node
+      WHERE w.dist < 4)
+    SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+    FROM walk GROUP BY node
+    """,
+)
+def graph_sssp(spark, sf_dir):
+    """Single-source shortest paths (unit weights, 4-hop bound) from the
+    smallest supplier node (Gelly library/SingleSourceShortestPaths.java)."""
+    from flink_psl_spark.operators.graph import sssp
+
+    return sssp(_edges(spark, sf_dir), iters=4)
+
+
+@query(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    und AS (SELECT s, d FROM edges UNION SELECT d, s FROM edges),
+    l0 AS (SELECT DISTINCT s AS node, s AS label FROM und),
+    n1 AS (SELECT u.s AS node, l.label, COUNT(*) AS c
+           FROM und u JOIN l0 l ON u.d = l.node GROUP BY 1, 2),
+    l1 AS (SELECT node, (LIST(label ORDER BY c DESC, label ASC))[1] AS label
+           FROM n1 GROUP BY node),
+    n2 AS (SELECT u.s AS node, l.label, COUNT(*) AS c
+           FROM und u JOIN l1 l ON u.d = l.node GROUP BY 1, 2),
+    l2 AS (SELECT node, (LIST(label ORDER BY c DESC, label ASC))[1] AS label
+           FROM n2 GROUP BY node)
+    SELECT node, label FROM l2
+    """,
+)
+def graph_label_propagation(spark, sf_dir):
+    """Two-round synchronous label propagation, min-label tie-break (Gelly
+    library/LabelPropagation.java); oracle unrolls both rounds exactly."""
+    from flink_psl_spark.operators.graph import label_propagation
+
+    return label_propagation(_edges(spark, sf_dir), iters=2)

@@ -68,3 +68,36 @@ def test_pagerank_symmetric_graph_uniform(spark):
     ring = [(i, (i + 1) % 6) for i in range(6)]
     ranks = [r["rank"] for r in pagerank(_edges(spark, ring), iters=3).collect()]
     assert all(r == pytest.approx(1.0 / 6, abs=1e-12) for r in ranks)
+
+
+def test_sssp_hand_graph(spark):
+    from flink_psl_spark.operators.graph import sssp
+
+    # path 1-2-3-4 plus shortcut 1-4' (5): distances from 1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 5), (5, 4)], "s bigint, d bigint"
+    )
+    got = {r["node"]: r["dist"] for r in sssp(edges, iters=4).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 5: 1, 4: 2}
+
+    # hop bound: iters=1 only reaches direct neighbors
+    got1 = {r["node"]: r["dist"] for r in sssp(edges, iters=1).collect()}
+    assert got1 == {1: 0, 2: 1, 5: 1}
+
+    # explicit source
+    got3 = {r["node"]: r["dist"] for r in sssp(edges, src_node=3, iters=4).collect()}
+    assert got3[3] == 0 and got3[1] == 2 and got3[4] == 1
+
+
+def test_label_propagation_two_cliques(spark):
+    from flink_psl_spark.operators.graph import label_propagation
+
+    # two triangles joined by one bridge edge; labels converge to the min
+    # node of each triangle (bridge can't outvote the clique)
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    edges = spark.createDataFrame(tri1 + tri2 + [(3, 10)], "s bigint, d bigint")
+    got = {r["node"]: r["label"] for r in label_propagation(edges, iters=4).collect()}
+    assert got[1] == got[2] == got[3]
+    assert got[10] == got[11] == got[12]
+    assert got[1] != got[10]
