@@ -195,3 +195,98 @@ def label_propagation(
         return labels
     finally:
         und.unpersist()
+
+
+def local_clustering_coefficient(
+    edges: DataFrame, src: str = "s", dst: str = "d"
+) -> DataFrame:
+    """Local clustering coefficient per node → (node, degree, lcc).
+
+    Gelly: library/clustering/undirected/LocalClusteringCoefficient.java.
+    lcc = 2·triangles(node) / (deg·(deg−1)); 0 for degree < 2. One wedge
+    self-join (edges by shared endpoint) + one closing-edge semi-join —
+    the standard triangle-local shape, everything partial-aggregated.
+    """
+    und = undirect(edges, src, dst)
+    deg = und.groupBy(F.col("s").alias("node")).agg(F.count("*").alias("degree"))
+    # wedges centered at u: neighbor pair (v, w), v < w
+    e1 = und.select(F.col("s").alias("u"), F.col("d").alias("v"))
+    e2 = und.select(F.col("s").alias("u2"), F.col("d").alias("w"))
+    wedges = e1.join(
+        e2, (F.col("u") == F.col("u2")) & (F.col("v") < F.col("w"))
+    ).select("u", "v", "w")
+    closing = und.select(F.col("s").alias("v"), F.col("d").alias("w"))
+    tri = (
+        wedges.join(closing, ["v", "w"], "left_semi")
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.count("*").alias("tri"))
+    )
+    return deg.join(tri, "node", "left").select(
+        "node",
+        "degree",
+        F.round(
+            F.when(
+                F.col("degree") >= 2,
+                2.0 * F.coalesce(F.col("tri"), F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("lcc"),
+    )
+
+
+def jaccard_index(edges: DataFrame, src: str = "s", dst: str = "d") -> DataFrame:
+    """Neighbor-set Jaccard similarity for node pairs with ≥1 common
+    neighbor → (a, b, jaccard). Gelly: library/similarity/JaccardIndex.java.
+
+    Wedge-generated candidate pairs (only pairs with a common neighbor ever
+    materialize — never the O(n²) pair space), counts folded per pair, then
+    a node-sized degree join.
+    """
+    und = undirect(edges, src, dst)
+    deg = und.groupBy(F.col("s").alias("node")).agg(F.count("*").alias("degree"))
+    e1 = und.select(F.col("d").alias("a"), F.col("s").alias("w"))
+    e2 = und.select(F.col("d").alias("b"), F.col("s").alias("w2"))
+    common = (
+        e1.join(e2, (F.col("w") == F.col("w2")) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("db"))
+    return (
+        common.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("common")
+                / (F.col("da") + F.col("db") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def adamic_adar(edges: DataFrame, src: str = "s", dst: str = "d") -> DataFrame:
+    """Adamic-Adar link-prediction score per candidate pair → (a, b, score):
+    Σ over common neighbors w of 1/ln(degree(w)).
+    Gelly: library/similarity/AdamicAdar.java.
+
+    Same wedge shape as ``jaccard_index`` but weighted at the shared
+    neighbor: each wedge contributes 1/ln(deg(center)). A common neighbor
+    always has degree ≥ 2, so ln() never hits zero.
+    """
+    und = undirect(edges, src, dst)
+    deg = und.groupBy(F.col("s").alias("w")).agg(F.count("*").alias("degree"))
+    weighted = deg.select("w", (1.0 / F.log(F.col("degree"))).alias("inv_log"))
+    e1 = und.select(F.col("d").alias("a"), F.col("s").alias("w"))
+    e2 = und.select(F.col("d").alias("b"), F.col("s").alias("w"))
+    return (
+        e1.join(e2, "w")
+        .where(F.col("a") < F.col("b"))
+        .join(weighted, "w")
+        .groupBy("a", "b")
+        .agg(F.round(F.sum("inv_log"), 6).alias("score"))
+    )

@@ -183,3 +183,75 @@ def graph_label_propagation(spark, sf_dir):
     from flink_psl_spark.operators.graph import label_propagation
 
     return label_propagation(_edges(spark, sf_dir), iters=2)
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    und AS (SELECT s, d FROM edges UNION SELECT d, s FROM edges),
+    deg AS (SELECT s AS node, COUNT(*) AS degree FROM und GROUP BY s),
+    tri AS (
+      SELECT e1.s AS node, COUNT(*) AS t
+      FROM und e1 JOIN und e2 ON e1.s = e2.s AND e1.d < e2.d
+      WHERE EXISTS (SELECT 1 FROM und c WHERE c.s = e1.d AND c.d = e2.d)
+      GROUP BY e1.s)
+    SELECT deg.node, deg.degree,
+           ROUND(CASE WHEN deg.degree >= 2
+                 THEN 2.0 * COALESCE(tri.t, 0) / (deg.degree * (deg.degree - 1))
+                 ELSE 0.0 END, 6) AS lcc
+    FROM deg LEFT JOIN tri ON deg.node = tri.node
+    """,
+)
+def graph_clustering_coefficient(spark, sf_dir):
+    """Local clustering coefficient per node (Gelly
+    library/clustering/undirected/LocalClusteringCoefficient.java)."""
+    from flink_psl_spark.operators.graph import local_clustering_coefficient
+
+    return local_clustering_coefficient(_edges(spark, sf_dir))
+
+
+@query(
+    "graph_jaccard_index",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    und AS (SELECT s, d FROM edges UNION SELECT d, s FROM edges),
+    deg AS (SELECT s AS node, COUNT(*) AS degree FROM und GROUP BY s),
+    common AS (
+      SELECT e1.d AS a, e2.d AS b, COUNT(*) AS c
+      FROM und e1 JOIN und e2 ON e1.s = e2.s AND e1.d < e2.d
+      GROUP BY 1, 2)
+    SELECT a, b, ROUND(c * 1.0 / (da.degree + db.degree - c), 6) AS jaccard
+    FROM common
+    JOIN deg da ON da.node = a
+    JOIN deg db ON db.node = b
+    """,
+)
+def graph_jaccard_index(spark, sf_dir):
+    """Neighbor-set Jaccard similarity over wedge-generated pairs (Gelly
+    library/similarity/JaccardIndex.java)."""
+    from flink_psl_spark.operators.graph import jaccard_index
+
+    return jaccard_index(_edges(spark, sf_dir))
+
+
+@query(
+    "graph_adamic_adar",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    und AS (SELECT s, d FROM edges UNION SELECT d, s FROM edges),
+    deg AS (SELECT s AS w, COUNT(*) AS degree FROM und GROUP BY s)
+    SELECT e1.d AS a, e2.d AS b,
+           ROUND(SUM(1.0 / LN(deg.degree)), 6) AS score
+    FROM und e1
+    JOIN und e2 ON e1.s = e2.s AND e1.d < e2.d
+    JOIN deg ON deg.w = e1.s
+    GROUP BY 1, 2
+    """,
+)
+def graph_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction over wedge-generated pairs (Gelly
+    library/similarity/AdamicAdar.java)."""
+    from flink_psl_spark.operators.graph import adamic_adar
+
+    return adamic_adar(_edges(spark, sf_dir))

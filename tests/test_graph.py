@@ -101,3 +101,35 @@ def test_label_propagation_two_cliques(spark):
     assert got[1] == got[2] == got[3]
     assert got[10] == got[11] == got[12]
     assert got[1] != got[10]
+
+
+def test_clustering_coefficient_hand_graph(spark):
+    from flink_psl_spark.operators.graph import local_clustering_coefficient
+
+    # triangle 1-2-3 plus pendant 3-4
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "s bigint, d bigint"
+    )
+    got = {r["node"]: (r["degree"], r["lcc"]) for r in
+           local_clustering_coefficient(edges).collect()}
+    assert got[1] == (2, 1.0) and got[2] == (2, 1.0)
+    assert got[3] == (3, round(1 / 3, 6))  # one closed pair of three
+    assert got[4] == (1, 0.0)
+
+
+def test_jaccard_and_adamic_adar_hand_graph(spark):
+    import math
+
+    from flink_psl_spark.operators.graph import adamic_adar, jaccard_index
+
+    # N(1)={2,3}, N(4)={2,3}: jac(1,4) = 2/(2+2-2) = 1.0
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 2), (4, 3)], "s bigint, d bigint"
+    )
+    jac = {(r["a"], r["b"]): r["jaccard"] for r in jaccard_index(edges).collect()}
+    assert jac[(1, 4)] == 1.0
+    assert jac[(2, 3)] == 1.0  # symmetric structure
+
+    aa = {(r["a"], r["b"]): r["score"] for r in adamic_adar(edges).collect()}
+    # common neighbors of (1,4): 2 and 3, each degree 2 -> 2/ln(2)
+    assert aa[(1, 4)] == round(2 / math.log(2), 6)
