@@ -225,3 +225,46 @@ def test_compact_partitioned_table_touches_only_firing_partitions(spark, t, tmp_
     assert len(files_in("1-URGENT")) == 1
     assert files_in("3-MEDIUM") == before_other  # byte-identical, untouched
     assert spark.read.parquet(path).count() == rows
+
+
+def test_sql_script_client(spark, sf_dir, tmp_path):
+    """sql-client -f parity: statement splitting, SET/RESET, DDL + DML +
+    query over the registered fixture tables."""
+    from flink_psl_spark.sql_client import run_script_file, split_statements
+
+    assert split_statements(
+        "SELECT 1; -- trailing comment; with semicolon\n"
+        "SELECT ';' AS semi;\nSET 'a.b' = 'c;d';"
+    ) == ["SELECT 1", "SELECT ';' AS semi", "SET 'a.b' = 'c;d'"]
+
+    out_dir = tmp_path / "script_out"
+    script = f"""
+    -- session config, reference SET syntax
+    SET 'my.pipeline.flag' = 'on';
+
+    CREATE OR REPLACE TEMPORARY VIEW big_orders AS
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000;
+
+    CREATE TABLE script_sink USING parquet LOCATION '{out_dir}'
+      AS SELECT COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+         FROM big_orders;
+
+    SELECT n, total FROM script_sink;
+
+    RESET 'my.pipeline.flag';
+    """
+    p = tmp_path / "job.sql"
+    p.write_text(script)
+    results = run_script_file(spark, str(p), sf_dir=sf_dir)
+    kinds = [r.kind for r in results]
+    assert kinds == ["set", "query", "query", "query", "reset"]
+
+    row = results[3].df.first()
+    expected = (
+        spark.table("orders")
+        .where(F.col("o_totalprice") > 100000)
+        .agg(F.count("*"), F.round(F.sum("o_totalprice"), 2))
+        .first()
+    )
+    assert (row["n"], row["total"]) == (expected[0], expected[1])
+    spark.sql("DROP TABLE script_sink")
