@@ -290,3 +290,144 @@ def adamic_adar(edges: DataFrame, src: str = "s", dst: str = "d") -> DataFrame:
         .groupBy("a", "b")
         .agg(F.round(F.sum("inv_log"), 6).alias("score"))
     )
+
+
+def summarize(
+    edges: DataFrame,
+    vertex_values: DataFrame,
+    *,
+    src: str = "s",
+    dst: str = "d",
+    node_col: str = "node",
+    value_col: str = "value",
+) -> DataFrame:
+    """Graph summarization: collapse vertices by value; edges become
+    group-to-group with multiplicity → (src_value, dst_value, edge_count).
+    Gelly: library/Summarization.java (vertex groups + edge group counts).
+
+    Two broadcast-or-shuffle joins of the (node-sized) value table onto the
+    edge list, one aggregation — fully declarative.
+    """
+    sv = vertex_values.select(
+        F.col(node_col).alias("__sn"), F.col(value_col).alias("src_value")
+    )
+    dv = vertex_values.select(
+        F.col(node_col).alias("__dn"), F.col(value_col).alias("dst_value")
+    )
+    return (
+        edges.join(sv, edges[src] == F.col("__sn"))
+        .join(dv, edges[dst] == F.col("__dn"))
+        .groupBy("src_value", "dst_value")
+        .agg(F.count("*").alias("edge_count"))
+    )
+
+
+def triadic_census(edges: DataFrame, src: str = "s", dst: str = "d") -> DataFrame:
+    """Undirected triadic census → one row (empty, one_edge, wedge, triangle):
+    how many node triples form each isomorphism class.
+    Gelly: library/clustering/undirected/TriadicCensus.java.
+
+    Pure aggregate arithmetic — no triple enumeration: from n (nodes),
+    m (edges), w (wedges = Σ deg·(deg−1)/2) and t (triangles),
+      triangle = t, wedge = w − 3t, one_edge = m·(n−2) − 2(w − 3t) − 3t·? …
+    derived exactly as in the reference's formula-based census.
+    """
+    und = undirect(edges, src, dst)
+    deg = und.groupBy("s").agg(F.count("*").alias("deg"))
+    stats = deg.agg(
+        F.count("*").alias("n"),
+        (F.sum("deg") / 2).cast("bigint").alias("m"),
+        F.sum(F.expr("deg * (deg - 1) div 2")).alias("w"),
+    )
+    # triangles: canonical-order wedge + closing edge (same shape as
+    # local_clustering_coefficient, counted once per triangle)
+    e1 = und.select(F.col("s").alias("u"), F.col("d").alias("v"))
+    e2 = und.select(F.col("s").alias("u2"), F.col("d").alias("w2"))
+    tri = (
+        e1.join(e2, (F.col("u") == F.col("u2")) & (F.col("v") < F.col("w2")))
+        .join(
+            und.select(F.col("s").alias("v"), F.col("d").alias("w2")),
+            ["v", "w2"],
+            "left_semi",
+        )
+        .where(F.col("u") < F.col("v"))
+        .agg(F.count("*").alias("t"))
+    )
+    return stats.crossJoin(tri).select(
+        (
+            F.expr("n * (n - 1) * (n - 2) div 6")
+            - (
+                F.col("m") * (F.col("n") - 2)
+                - 2 * (F.col("w") - 3 * F.col("t"))
+                - 3 * F.col("t")
+            )
+            - (F.col("w") - 3 * F.col("t"))
+            - F.col("t")
+        ).alias("empty"),
+        (
+            F.col("m") * (F.col("n") - 2)
+            - 2 * (F.col("w") - 3 * F.col("t"))
+            - 3 * F.col("t")
+        ).alias("one_edge"),
+        (F.col("w") - 3 * F.col("t")).alias("wedge"),
+        F.col("t").alias("triangle"),
+    )
+
+
+def hits(
+    edges: DataFrame, *, iters: int = 2, src: str = "s", dst: str = "d"
+) -> DataFrame:
+    """HITS hubs & authorities on the DIRECTED edge list, fixed iterations
+    with a single final max-normalization → (node, hub, authority).
+    Gelly: library/linkanalysis/HITS.java.
+
+    Unnormalized updates keep every intermediate value an exact integer
+    (path counts), so the fixed unroll is SQL-oracle-able; one final
+    division by the max yields the conventional [0, 1] scores. Per round:
+    two shuffles (edges by dst for authority, by src for hub) over a
+    node-sized score table.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    scores = nodes.select(
+        "node",
+        F.lit(1).cast("bigint").alias("hub"),
+        F.lit(1).cast("bigint").alias("auth"),
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        # authority(v) = Σ hub(u) over edges u→v
+        auth = (
+            edges.join(scores, edges[src] == scores["node"])
+            .groupBy(edges[dst].alias("node"))
+            .agg(F.sum("hub").alias("auth"))
+        )
+        auth_full = nodes.join(auth, "node", "left").select(
+            "node", F.coalesce("auth", F.lit(0)).alias("auth")
+        )
+        # hub(u) = Σ authority(v) over edges u→v (fresh authorities)
+        hub = (
+            edges.join(auth_full, edges[dst] == auth_full["node"])
+            .groupBy(edges[src].alias("node"))
+            .agg(F.sum("auth").alias("hub"))
+        )
+        scores = (
+            nodes.join(hub, "node", "left")
+            .join(auth_full, "node", "left")
+            .select(
+                "node",
+                F.coalesce("hub", F.lit(0)).alias("hub"),
+                F.coalesce("auth", F.lit(0)).alias("auth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    mx = scores.agg(
+        F.max("hub").alias("mh"), F.max("auth").alias("ma")
+    )
+    return scores.crossJoin(mx).select(
+        "node",
+        F.round(F.col("hub") / F.greatest("mh", F.lit(1)), 6).alias("hub"),
+        F.round(F.col("auth") / F.greatest("ma", F.lit(1)), 6).alias("authority"),
+    )

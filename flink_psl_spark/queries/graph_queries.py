@@ -255,3 +255,96 @@ def graph_adamic_adar(spark, sf_dir):
     from flink_psl_spark.operators.graph import adamic_adar
 
     return adamic_adar(_edges(spark, sf_dir))
+
+
+@query(
+    "graph_summarization",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    vv AS (SELECT s_suppkey AS node, s_nationkey AS value FROM supplier)
+    SELECT sv.value AS src_value, dv.value AS dst_value, COUNT(*) AS edge_count
+    FROM edges e
+    JOIN vv sv ON e.s = sv.node
+    JOIN vv dv ON e.d = dv.node
+    GROUP BY 1, 2
+    """,
+)
+def graph_summarization(spark, sf_dir):
+    """Graph summarization by supplier nation: vertices collapse to their
+    nation, edges to nation-pair multiplicities (Gelly
+    library/Summarization.java)."""
+    from flink_psl_spark.operators.graph import summarize
+
+    t = tables(spark, sf_dir)
+    vv = t["supplier"].select(
+        F.col("s_suppkey").alias("node"), F.col("s_nationkey").alias("value")
+    )
+    return summarize(_edges(spark, sf_dir), vv)
+
+
+@query(
+    "graph_triadic_census",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    und AS (SELECT s, d FROM edges UNION SELECT d, s FROM edges),
+    deg AS (SELECT s, COUNT(*) AS deg FROM und GROUP BY s),
+    stats AS (SELECT COUNT(*) AS n, CAST(SUM(deg) // 2 AS BIGINT) AS m,
+                     CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS w
+              FROM deg),
+    tri AS (
+      SELECT COUNT(*) AS t
+      FROM und e1 JOIN und e2 ON e1.s = e2.s AND e1.d < e2.d
+      WHERE e1.s < e1.d
+        AND EXISTS (SELECT 1 FROM und c WHERE c.s = e1.d AND c.d = e2.d))
+    SELECT CAST(n * (n-1) * (n-2) // 6
+                - (m * (n-2) - 2 * (w - 3*t) - 3*t)
+                - (w - 3*t) - t AS BIGINT) AS empty,
+           CAST(m * (n-2) - 2 * (w - 3*t) - 3*t AS BIGINT) AS one_edge,
+           CAST(w - 3*t AS BIGINT) AS wedge,
+           CAST(t AS BIGINT) AS triangle
+    FROM stats, tri
+    """,
+)
+def graph_triadic_census(spark, sf_dir):
+    """Undirected triadic census via exact aggregate arithmetic — no triple
+    enumeration (Gelly library/clustering/undirected/TriadicCensus.java)."""
+    from flink_psl_spark.operators.graph import triadic_census
+
+    return triadic_census(_edges(spark, sf_dir))
+
+
+@query(
+    "graph_hits",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    nodes AS (SELECT s AS node FROM edges UNION SELECT d FROM edges),
+    a1 AS (SELECT d AS node, COUNT(*) AS auth FROM edges GROUP BY d),
+    a1f AS (SELECT n.node, COALESCE(a1.auth, 0) AS auth
+            FROM nodes n LEFT JOIN a1 ON a1.node = n.node),
+    h1 AS (SELECT e.s AS node, SUM(a1f.auth) AS hub
+           FROM edges e JOIN a1f ON a1f.node = e.d GROUP BY e.s),
+    h1f AS (SELECT n.node, COALESCE(h1.hub, 0) AS hub
+            FROM nodes n LEFT JOIN h1 ON h1.node = n.node),
+    a2 AS (SELECT e.d AS node, SUM(h1f.hub) AS auth
+           FROM edges e JOIN h1f ON h1f.node = e.s GROUP BY e.d),
+    a2f AS (SELECT n.node, COALESCE(a2.auth, 0) AS auth
+            FROM nodes n LEFT JOIN a2 ON a2.node = n.node),
+    h2 AS (SELECT e.s AS node, SUM(a2f.auth) AS hub
+           FROM edges e JOIN a2f ON a2f.node = e.d GROUP BY e.s),
+    h2f AS (SELECT n.node, COALESCE(h2.hub, 0) AS hub
+            FROM nodes n LEFT JOIN h2 ON h2.node = n.node),
+    mx AS (SELECT GREATEST(MAX(hub), 1) AS mh FROM h2f),
+    ma AS (SELECT GREATEST(MAX(auth), 1) AS maxa FROM a2f)
+    SELECT h2f.node,
+           ROUND(h2f.hub * 1.0 / mx.mh, 6) AS hub,
+           ROUND(a2f.auth * 1.0 / ma.maxa, 6) AS authority
+    FROM h2f JOIN a2f ON a2f.node = h2f.node, mx, ma
+    """,
+)
+def graph_hits(spark, sf_dir):
+    """HITS hubs/authorities, 2 exact integer iterations + single final
+    max-normalization (Gelly library/linkanalysis/HITS.java); oracle
+    unrolls both rounds."""
+    from flink_psl_spark.operators.graph import hits
+
+    return hits(_edges(spark, sf_dir), iters=2)

@@ -133,3 +133,39 @@ def test_jaccard_and_adamic_adar_hand_graph(spark):
     aa = {(r["a"], r["b"]): r["score"] for r in adamic_adar(edges).collect()}
     # common neighbors of (1,4): 2 and 3, each degree 2 -> 2/ln(2)
     assert aa[(1, 4)] == round(2 / math.log(2), 6)
+
+
+def test_triadic_census_hand_graph(spark):
+    from flink_psl_spark.operators.graph import triadic_census
+
+    # triangle 1-2-3 + pendant 3-4: triples {123}=tri, {124}=one edge,
+    # {134},{234}=wedges, none empty
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "s bigint, d bigint"
+    )
+    row = triadic_census(edges).first()
+    assert (row["empty"], row["one_edge"], row["wedge"], row["triangle"]) == (
+        0, 1, 2, 1,
+    )
+
+
+def test_hits_star_graph(spark):
+    from flink_psl_spark.operators.graph import hits
+
+    # star: 1->2, 1->3, 1->4 — node 1 is the only hub, leaves are equal
+    # authorities
+    edges = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "s bigint, d bigint")
+    got = {r["node"]: (r["hub"], r["authority"]) for r in hits(edges, iters=2).collect()}
+    assert got[1] == (1.0, 0.0)
+    assert got[2] == got[3] == got[4] == (0.0, 1.0)
+
+
+def test_summarize_hand_graph(spark):
+    from flink_psl_spark.operators.graph import summarize
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (1, 3), (3, 4)], "s bigint, d bigint")
+    vv = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b")], "node bigint, value string"
+    )
+    got = sorted(map(tuple, summarize(edges, vv).collect()))
+    assert got == [("a", "a", 1), ("a", "b", 2), ("b", "b", 1)]
