@@ -348,3 +348,56 @@ def graph_hits(spark, sf_dir):
     from flink_psl_spark.operators.graph import hits
 
     return hits(_edges(spark, sf_dir), iters=2)
+
+
+@query(
+    "graph_global_clustering",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    und AS (SELECT s, d FROM edges UNION SELECT d, s FROM edges),
+    deg AS (SELECT s AS node, COUNT(*) AS degree FROM und GROUP BY s),
+    w AS (SELECT CAST(SUM(degree * (degree - 1) // 2) AS BIGINT) AS wedges FROM deg),
+    tri AS (
+      SELECT COUNT(*) AS t
+      FROM und e1 JOIN und e2 ON e1.s = e2.s AND e1.d < e2.d
+      WHERE e1.s < e1.d
+        AND EXISTS (SELECT 1 FROM und c WHERE c.s = e1.d AND c.d = e2.d)),
+    lcc AS (
+      SELECT deg.node, deg.degree,
+             ROUND(CASE WHEN deg.degree >= 2
+                   THEN 2.0 * COALESCE(nt.t, 0) / (deg.degree * (deg.degree - 1))
+                   ELSE 0.0 END, 6) AS lcc
+      FROM deg LEFT JOIN (
+        SELECT e1.s AS node, COUNT(*) AS t
+        FROM und e1 JOIN und e2 ON e1.s = e2.s AND e1.d < e2.d
+        WHERE EXISTS (SELECT 1 FROM und c WHERE c.s = e1.d AND c.d = e2.d)
+        GROUP BY e1.s) nt ON nt.node = deg.node)
+    SELECT ROUND(3.0 * tri.t / w.wedges, 6) AS global_cc,
+           (SELECT ROUND(AVG(lcc), 6) FROM lcc) AS average_cc,
+           w.wedges, CAST(tri.t AS BIGINT) AS triangles
+    FROM w, tri
+    """,
+)
+def graph_global_clustering(spark, sf_dir):
+    """Global + average clustering coefficient in one row (Gelly
+    library/clustering/undirected/{Global,Average}ClusteringCoefficient.java):
+    global = 3·triangles / wedges; average = mean of per-node lcc."""
+    from flink_psl_spark.operators.graph import (
+        local_clustering_coefficient,
+        triadic_census,
+        undirect,
+    )
+
+    edges = _edges(spark, sf_dir)
+    census = triadic_census(edges)  # carries exact wedge/triangle counts
+    lcc_avg = local_clustering_coefficient(edges).agg(
+        F.round(F.avg("lcc"), 6).alias("average_cc")
+    )
+    return census.crossJoin(lcc_avg).select(
+        F.round(
+            3.0 * F.col("triangle") / (F.col("wedge") + 3 * F.col("triangle")), 6
+        ).alias("global_cc"),
+        "average_cc",
+        (F.col("wedge") + 3 * F.col("triangle")).alias("wedges"),
+        F.col("triangle").alias("triangles"),
+    )
