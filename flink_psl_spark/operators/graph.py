@@ -431,3 +431,68 @@ def hits(
         F.round(F.col("hub") / F.greatest("mh", F.lit(1)), 6).alias("hub"),
         F.round(F.col("auth") / F.greatest("ma", F.lit(1)), 6).alias("authority"),
     )
+
+
+def community_detection(
+    edges: DataFrame,
+    *,
+    iters: int = 2,
+    delta: float = 0.5,
+    src: str = "s",
+    dst: str = "d",
+) -> DataFrame:
+    """Community detection with hop-attenuated label scores → (node, label,
+    score). Gelly: library/CommunityDetection.java (Leung et al.,
+    arXiv:0808.2633): each round a vertex receives (label, score) from every
+    neighbor, adopts the label with the highest summed score (ties → the
+    smaller label), takes that label's highest single received score, and
+    pays a delta/superstep penalty when switching.
+
+    Same shuffle shape as ``label_propagation`` with a score column along
+    for the ride. With the default delta=0.5, every score is an exact
+    binary fraction, so fixed unrolls are float-safe to oracle.
+    """
+    und = undirect(edges, src, dst)
+    und.persist()
+    try:
+        state = (
+            und.select(F.col("s").alias("node"))
+            .distinct()
+            .select(
+                "node",
+                F.col("node").alias("label"),
+                F.lit(1.0).alias("score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        for step in range(1, iters + 1):
+            msgs = und.join(state, und["d"] == state["node"]).select(
+                und["s"].alias("node"), "label", "score"
+            )
+            agg = msgs.groupBy("node", "label").agg(
+                F.sum("score").alias("ssum"), F.max("score").alias("smax")
+            )
+            pick = agg.groupBy("node").agg(
+                F.max_by(
+                    F.struct("label", "smax"),
+                    F.struct(F.col("ssum"), (-F.col("label")).alias("nl")),
+                ).alias("p")
+            )
+            prev = state.select("node", F.col("label").alias("__old"))
+            state = (
+                pick.join(prev, "node")
+                .select(
+                    "node",
+                    F.col("p.label").alias("label"),
+                    (
+                        F.col("p.smax")
+                        - F.when(
+                            F.col("p.label") != F.col("__old"), delta / step
+                        ).otherwise(0.0)
+                    ).alias("score"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return state.select("node", "label", F.round("score", 6).alias("score"))
+    finally:
+        und.unpersist()

@@ -401,3 +401,43 @@ def graph_global_clustering(spark, sf_dir):
         (F.col("wedge") + 3 * F.col("triangle")).alias("wedges"),
         F.col("triangle").alias("triangles"),
     )
+
+
+@query(
+    "graph_community_detection",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    und AS (SELECT s, d FROM edges UNION SELECT d, s FROM edges),
+    l0 AS (SELECT DISTINCT s AS node, s AS label, 1.0 AS score FROM und),
+    m1 AS (SELECT u.s AS node, l.label, l.score
+           FROM und u JOIN l0 l ON l.node = u.d),
+    a1 AS (SELECT node, label, SUM(score) AS ssum, MAX(score) AS smax
+           FROM m1 GROUP BY 1, 2),
+    p1 AS (SELECT node,
+                  (LIST(label ORDER BY ssum DESC, label ASC))[1] AS label,
+                  (LIST(smax ORDER BY ssum DESC, label ASC))[1] AS smax
+           FROM a1 GROUP BY node),
+    l1 AS (SELECT p1.node, p1.label,
+                  p1.smax - CASE WHEN p1.label <> l0.label THEN 0.5 ELSE 0 END AS score
+           FROM p1 JOIN l0 ON l0.node = p1.node),
+    m2 AS (SELECT u.s AS node, l.label, l.score
+           FROM und u JOIN l1 l ON l.node = u.d),
+    a2 AS (SELECT node, label, SUM(score) AS ssum, MAX(score) AS smax
+           FROM m2 GROUP BY 1, 2),
+    p2 AS (SELECT node,
+                  (LIST(label ORDER BY ssum DESC, label ASC))[1] AS label,
+                  (LIST(smax ORDER BY ssum DESC, label ASC))[1] AS smax
+           FROM a2 GROUP BY node),
+    l2 AS (SELECT p2.node, p2.label,
+                  p2.smax - CASE WHEN p2.label <> l1.label THEN 0.25 ELSE 0 END AS score
+           FROM p2 JOIN l1 ON l1.node = p2.node)
+    SELECT node, label, ROUND(score, 6) AS score FROM l2
+    """,
+)
+def graph_community_detection(spark, sf_dir):
+    """Hop-attenuated community detection, 2 rounds, delta=0.5 (Gelly
+    library/CommunityDetection.java — Leung et al. real-time community
+    detection); oracle unrolls both rounds exactly (dyadic-exact scores)."""
+    from flink_psl_spark.operators.graph import community_detection
+
+    return community_detection(_edges(spark, sf_dir), iters=2, delta=0.5)

@@ -169,3 +169,24 @@ def test_summarize_hand_graph(spark):
     )
     got = sorted(map(tuple, summarize(edges, vv).collect()))
     assert got == [("a", "a", 1), ("a", "b", 2), ("b", "b", 1)]
+
+
+def test_community_detection_two_cliques(spark):
+    from flink_psl_spark.operators.graph import community_detection
+
+    # disconnected triangles: communities must converge and stay distinct
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    edges = spark.createDataFrame(tri1 + tri2, "s bigint, d bigint")
+    got = {r["node"]: r for r in community_detection(edges, iters=3).collect()}
+    assert got[1]["label"] == got[2]["label"] == got[3]["label"]
+    assert got[10]["label"] == got[11]["label"] == got[12]["label"]
+    assert got[1]["label"] != got[10]["label"]
+    assert all(r["score"] <= 3.0 for r in got.values())
+
+    # bridged cliques: labels still converge within each clique (the min
+    # label may legitimately flood across the bridge)
+    bridged = spark.createDataFrame(tri1 + tri2 + [(3, 10)], "s bigint, d bigint")
+    got_b = {r["node"]: r["label"] for r in community_detection(bridged, iters=3).collect()}
+    assert got_b[1] == got_b[2] == got_b[3]
+    assert got_b[11] == got_b[12]
