@@ -69,6 +69,7 @@ _PRIORITY_WINDOW = [
     "graph_clustering_coefficient", "graph_jaccard_index",
     "graph_adamic_adar", "graph_summarization", "graph_triadic_census",
     "graph_hits", "graph_global_clustering", "graph_community_detection",
+    "graph_vertex_metrics",
     "tumble_window_offset_agg", "q8_market_share", "q9_product_profit",
     "q13_customer_distribution", "q15_top_supplier",
     "q2_min_cost_supplier", "q11_important_stock",

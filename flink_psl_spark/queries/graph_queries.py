@@ -441,3 +441,34 @@ def graph_community_detection(spark, sf_dir):
     from flink_psl_spark.operators.graph import community_detection
 
     return community_detection(_edges(spark, sf_dir), iters=2, delta=0.5)
+
+
+@query(
+    "graph_vertex_metrics",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    und AS (SELECT s, d FROM edges UNION SELECT d, s FROM edges),
+    deg AS (SELECT s AS node, COUNT(*) AS degree FROM und GROUP BY s)
+    SELECT COUNT(*) AS vertex_count,
+           CAST(SUM(degree) // 2 AS BIGINT) AS edge_count,
+           ROUND(AVG(degree), 6) AS average_degree,
+           CAST(MAX(degree) AS BIGINT) AS maximum_degree,
+           CAST(SUM(degree * (degree - 1) // 2) AS BIGINT) AS triplet_count
+    FROM deg
+    """,
+)
+def graph_vertex_metrics(spark, sf_dir):
+    """Undirected vertex metrics: vertex/edge counts, average + maximum
+    degree, triplet count (Gelly library/metric/undirected/VertexMetrics.java)
+    — one degree aggregation."""
+    from flink_psl_spark.operators.graph import undirect
+
+    und = undirect(_edges(spark, sf_dir))
+    deg = und.groupBy("s").agg(F.count("*").alias("degree"))
+    return deg.agg(
+        F.count("*").alias("vertex_count"),
+        F.expr("sum(degree) div 2").alias("edge_count"),
+        F.round(F.avg("degree"), 6).alias("average_degree"),
+        F.max("degree").cast("bigint").alias("maximum_degree"),
+        F.sum(F.expr("degree * (degree - 1) div 2")).alias("triplet_count"),
+    )
