@@ -59,6 +59,17 @@ def streaming_match_recognize(
     """
     names = [s.name for s in pattern]
     _validate_modes(pattern)
+    if pattern[-1].mode == "not_followed_by":
+        # a terminal NOT asserts over the unbounded future; the streaming
+        # matcher only sees the watermark-finalized prefix, so it would
+        # emit matches later events could invalidate. The reference has the
+        # same restriction (notFollowedBy cannot end a pattern without a
+        # within bound); express the bound as a positive step or run batch.
+        raise ValueError(
+            "streaming match_recognize cannot end with not_followed_by "
+            "(unbounded-future negation): bound it with a following step "
+            "or use the batch matcher"
+        )
     pred_cols = {s.name: f"__p_{s.name}" for s in pattern}
     wm = events.withWatermark(ts_col, delay)
     carry_cols = sorted(

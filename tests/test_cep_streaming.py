@@ -151,3 +151,64 @@ def test_streaming_cep_matches_batch_on_fixture(spark, sf_dir, t):
         (r["u"], r["n_c"], r["first_c"], r["p_id"]) for r in batch.collect()
     )
     assert got == want
+
+
+def test_streaming_rejects_terminal_not_followed_by(spark, t):
+    """Unbounded-future negation can't finalize on a stream prefix — the
+    reference imposes the same 'notFollowedBy cannot be last without
+    within' restriction."""
+    import pytest as _pytest
+
+    from flink_psl_spark.streaming.cep_stream import streaming_match_recognize
+
+    with _pytest.raises(ValueError, match="not_followed_by"):
+        streaming_match_recognize(
+            t["events"],
+            "user_id",
+            "ts",
+            [
+                Step.once("c", "event_type = 'click'"),
+                Step.not_followed_by("np", "event_type = 'purchase'"),
+            ],
+            [Measure("n", "c", "count")],
+        )
+
+
+def test_streaming_mid_pattern_negation_matches_batch(spark, t, sf_dir):
+    """Mid-pattern notFollowedBy finalizes with the closing positive step —
+    streaming bounded replay must equal the batch NFA."""
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.cep import Measure, Step, match_recognize
+    from flink_psl_spark.streaming.cep_stream import streaming_match_recognize
+    from flink_psl_spark.streaming.core import run_to_memory_table, stream_from_parquet
+
+    pattern = [
+        Step.once("s", "event_type = 'signup'"),
+        Step.not_followed_by("ne", "event_type = 'error'"),
+        Step.once("p", "event_type = 'purchase'"),
+    ]
+    measures = [Measure("pid", "p", "first", "event_id")]
+
+    batch_ev = t["events"].where(
+        F.col("event_type").isin("signup", "purchase", "error")
+    )
+    expected = {
+        (r["user_id"], r["pid"])
+        for r in match_recognize(
+            batch_ev, "user_id", ["ts", "event_id"], pattern, measures
+        ).collect()
+    }
+
+    stream_ev = stream_from_parquet(
+        spark, f"{sf_dir}/events.parquet", ts_col="ts"
+    ).where(F.col("event_type").isin("signup", "purchase", "error"))
+    out = streaming_match_recognize(
+        stream_ev, "user_id", "ts", pattern, measures,
+        tiebreak_col="event_id",
+    )
+    got = {
+        (r["user_id"], r["pid"])
+        for r in run_to_memory_table(out).collect()
+    }
+    assert got == expected
