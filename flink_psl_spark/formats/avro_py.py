@@ -1,0 +1,197 @@
+"""Pure-Python Avro binary codec (record-of-primitives subset).
+
+Reference surface: flink-formats/flink-avro (AvroRowDataDeserializationSchema
+/ factory ID "avro"). Spark's native path is `from_avro`/`to_avro`
+(spark-avro jar, absent in this environment — see ARCHITECTURE gaps), so
+this module provides a dependency-free fallback implementing the Avro
+BINARY ENCODING from the public specification
+(https://avro.apache.org/docs/1.11.1/specification/#binary-encoding):
+
+- int/long: zigzag-encoded variable-length integers,
+- float/double: little-endian IEEE-754,
+- boolean: single byte, null: zero bytes,
+- string/bytes: long-prefixed payloads,
+- unions: zigzag branch index + value (the common ["null", T] nullable),
+- records: field-order concatenation.
+
+Scope is flat records of the above (the CDC/event shapes the test tables
+use). DataFrame integration is Arrow-batched mapInPandas — bytes move once
+per batch; with the spark-avro jar present, `from_avro`/`to_avro` drop in
+with no schema changes.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# spec primitives
+# ---------------------------------------------------------------------------
+
+
+def zigzag_encode(n: int) -> bytes:
+    """Avro long: zigzag then base-128 varint, little-endian groups."""
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+def _encode_value(typ: Any, v: Any, out: bytearray) -> None:
+    if isinstance(typ, list):  # union — branch index, then value
+        if v is None and "null" in typ:
+            out += zigzag_encode(typ.index("null"))
+            return
+        branch = next(i for i, t in enumerate(typ) if t != "null")
+        out += zigzag_encode(branch)
+        _encode_value(typ[branch], v, out)
+        return
+    if typ == "null":
+        return
+    if typ == "boolean":
+        out.append(1 if v else 0)
+    elif typ in ("int", "long"):
+        out += zigzag_encode(int(v))
+    elif typ == "float":
+        out += struct.pack("<f", float(v))
+    elif typ == "double":
+        out += struct.pack("<d", float(v))
+    elif typ == "string":
+        b = str(v).encode("utf-8")
+        out += zigzag_encode(len(b)) + b
+    elif typ == "bytes":
+        b = bytes(v)
+        out += zigzag_encode(len(b)) + b
+    else:
+        raise ValueError(f"unsupported avro type {typ!r}")
+
+
+def _decode_value(typ: Any, buf: bytes, pos: int) -> tuple[Any, int]:
+    if isinstance(typ, list):
+        branch, pos = zigzag_decode(buf, pos)
+        return _decode_value(typ[branch], buf, pos)
+    if typ == "null":
+        return None, pos
+    if typ == "boolean":
+        return buf[pos] == 1, pos + 1
+    if typ in ("int", "long"):
+        return zigzag_decode(buf, pos)
+    if typ == "float":
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if typ == "double":
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if typ in ("string", "bytes"):
+        n, pos = zigzag_decode(buf, pos)
+        raw = buf[pos : pos + n]
+        return (raw.decode("utf-8") if typ == "string" else raw), pos + n
+    raise ValueError(f"unsupported avro type {typ!r}")
+
+
+def encode_record(schema: dict, row: dict) -> bytes:
+    """Binary-encode one record per the writer schema (field order)."""
+    out = bytearray()
+    for f in schema["fields"]:
+        _encode_value(f["type"], row.get(f["name"]), out)
+    return bytes(out)
+
+
+def decode_record(schema: dict, buf: bytes) -> dict:
+    pos = 0
+    row = {}
+    for f in schema["fields"]:
+        row[f["name"]], pos = _decode_value(f["type"], buf, pos)
+    return row
+
+
+# ---------------------------------------------------------------------------
+# DataFrame integration
+# ---------------------------------------------------------------------------
+
+_AVRO_TO_SPARK = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+    "bytes": T.BinaryType(),
+}
+
+
+def _spark_type(typ: Any) -> T.DataType:
+    if isinstance(typ, list):  # nullable union
+        inner = next(t for t in typ if t != "null")
+        return _spark_type(inner)
+    return _AVRO_TO_SPARK[typ]
+
+
+def schema_to_struct(schema: dict) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(f["name"], _spark_type(f["type"]), True)
+            for f in schema["fields"]
+        ]
+    )
+
+
+def to_avro_py(df: DataFrame, schema: dict, *, out_col: str = "avro") -> DataFrame:
+    """Encode each row to Avro binary → (out_col binary). mapInPandas —
+    one Arrow hop, constant memory."""
+    cols = [f["name"] for f in schema["fields"]]
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    out_col: [
+                        encode_record(
+                            schema, {c: (None if pd.isna(r[c]) else r[c]) for c in cols}
+                        )
+                        for r in pdf.to_dict("records")
+                    ]
+                }
+            )
+
+    return df.select(*cols).mapInPandas(
+        run, T.StructType([T.StructField(out_col, T.BinaryType(), False)])
+    )
+
+
+def from_avro_py(df: DataFrame, schema: dict, *, in_col: str = "avro") -> DataFrame:
+    """Decode an Avro-binary column back to typed columns (reader schema ==
+    writer schema; resolution rules are out of scope for the fallback)."""
+    out_schema = schema_to_struct(schema)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [decode_record(schema, bytes(b)) for b in pdf[in_col]]
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.select(in_col).mapInPandas(run, out_schema)

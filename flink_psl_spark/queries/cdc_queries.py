@@ -166,3 +166,35 @@ def cdc_ogg_roundtrip(spark, sf_dir):
     return changelog_normalize(
         changes, "user_id", ["__ts_ms", "event_id"]
     ).select("user_id", "event_id", "value")
+
+
+@query(
+    "avro_py_roundtrip",
+    # encode -> decode is identity on the selected columns, so the plain
+    # projection is an exact oracle for the pure-Python Avro binary codec
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+    """,
+)
+def avro_py_roundtrip(spark, sf_dir):
+    """Avro binary format fallback (reference flink-formats/flink-avro,
+    factory ID "avro"): rows → spec-conformant Avro binary → rows via the
+    dependency-free codec (formats/avro_py.py). With the spark-avro jar
+    present, from_avro/to_avro replace this path unchanged."""
+    from flink_psl_spark.formats.avro_py import from_avro_py, to_avro_py
+    from flink_psl_spark.parallelism import ensure_parallelism
+
+    schema = {
+        "type": "record",
+        "name": "order",
+        "fields": [
+            {"name": "o_orderkey", "type": "long"},
+            {"name": "o_totalprice", "type": "double"},
+            {"name": "o_orderpriority", "type": ["null", "string"]},
+        ],
+    }
+    t = tables(spark, sf_dir)
+    src = ensure_parallelism(
+        t["orders"].select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+    return from_avro_py(to_avro_py(src, schema), schema)
