@@ -56,6 +56,7 @@ _PRIORITY_WINDOW = [
     "cep_error_burst", "cep_unconverted_clicks",
     "cep_session_no_logout_purchase", "cdc_debezium_roundtrip",
     "cdc_drop_update_before", "cdc_ogg_roundtrip", "avro_py_roundtrip",
+    "protobuf_py_roundtrip",
     # window functions + window TVFs
     "wf_range_frame", "wf_lag_lead", "wf_ntile_percentiles",
     "wf_dataframe_api", "tumble_window_agg", "session_window_dynamic_gap",

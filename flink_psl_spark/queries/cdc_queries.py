@@ -198,3 +198,32 @@ def avro_py_roundtrip(spark, sf_dir):
         t["orders"].select("o_orderkey", "o_totalprice", "o_orderpriority")
     )
     return from_avro_py(to_avro_py(src, schema), schema)
+
+
+@query(
+    "protobuf_py_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+    """,
+)
+def protobuf_py_roundtrip(spark, sf_dir):
+    """Protobuf wire-format fallback (reference flink-formats/flink-protobuf,
+    factory ID "protobuf"): rows → wire bytes → rows via the dependency-free
+    codec (formats/protobuf_py.py); from_protobuf/to_protobuf replace this
+    path when the spark-protobuf jar is present."""
+    from flink_psl_spark.formats.protobuf_py import (
+        from_protobuf_py,
+        to_protobuf_py,
+    )
+    from flink_psl_spark.parallelism import ensure_parallelism
+
+    fields = [
+        ("o_orderkey", 1, "int64"),
+        ("o_totalprice", 2, "double"),
+        ("o_orderpriority", 3, "string"),
+    ]
+    t = tables(spark, sf_dir)
+    src = ensure_parallelism(
+        t["orders"].select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+    return from_protobuf_py(to_protobuf_py(src, fields), fields)

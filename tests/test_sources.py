@@ -329,3 +329,51 @@ def test_avro_py_dataframe_roundtrip(spark, t):
     assert a.keys() == b.keys()
     for k in a:
         assert a[k] == b[k]
+
+
+def test_protobuf_py_codec_spec_vectors():
+    """Wire-format vectors from the public protobuf encoding guide."""
+    from flink_psl_spark.formats.protobuf_py import (
+        decode_message,
+        encode_message,
+        varint_encode,
+    )
+
+    # docs example: message Test1 { int32 a = 1; } with a=150 -> 08 96 01
+    f1 = [("a", 1, "int32")]
+    assert encode_message(f1, {"a": 150}) == b"\x08\x96\x01"
+    # docs example: string b = 2 with "testing" -> 12 07 "testing"
+    f2 = [("b", 2, "string")]
+    assert encode_message(f2, {"b": "testing"}) == b"\x12\x07testing"
+    # negative int64 is 10-byte two's-complement varint
+    assert len(varint_encode(-1)) == 10
+
+    fields = [
+        ("k", 1, "int64"),
+        ("price", 2, "double"),
+        ("name", 3, "string"),
+        ("neg", 4, "sint64"),
+        ("flag", 5, "bool"),
+    ]
+    for rec in (
+        {"k": 150, "price": 3.5, "name": "testing", "neg": -2, "flag": True},
+        {"k": -7, "price": 0.0, "name": "", "neg": 0, "flag": False},
+    ):
+        assert decode_message(fields, encode_message(fields, rec)) == rec
+
+
+def test_protobuf_py_dataframe_roundtrip(spark, t):
+    from flink_psl_spark.formats.protobuf_py import from_protobuf_py, to_protobuf_py
+
+    fields = [
+        ("o_orderkey", 1, "int64"),
+        ("o_totalprice", 2, "double"),
+        ("o_orderpriority", 3, "string"),
+    ]
+    src = t["orders"].select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).limit(500)
+    back = from_protobuf_py(to_protobuf_py(src, fields), fields)
+    a = {r["o_orderkey"]: r for r in src.collect()}
+    b = {r["o_orderkey"]: r for r in back.collect()}
+    assert a == b
