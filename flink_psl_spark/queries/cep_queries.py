@@ -273,3 +273,90 @@ def cep_session_no_logout_purchase(spark, sf_dir):
     return matches.groupBy("user_id").agg(
         F.count("*").alias("n_clean_conversions")
     )
+
+
+@query(
+    "stream_cep_clean_conversion",
+    # same replica as the batch cep_session_no_logout_purchase oracle —
+    # streaming (watermark-finalized NFA over bounded replay) must agree
+    # with the batch semantics exactly
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type IN ('signup', 'purchase', 'error')),
+    nxt AS (
+      SELECT s.user_id, s.rn AS srn,
+             MIN(CASE WHEN e.event_type = 'purchase' THEN e.rn END) AS prn,
+             MIN(CASE WHEN e.event_type = 'error' THEN e.rn END) AS ern
+      FROM ordered s JOIN ordered e
+        ON e.user_id = s.user_id AND e.rn > s.rn
+      WHERE s.event_type = 'signup'
+      GROUP BY s.user_id, s.rn),
+    matched AS (
+      SELECT user_id, srn, prn FROM nxt
+      WHERE prn IS NOT NULL AND (ern IS NULL OR prn < ern)),
+    kept AS (
+      SELECT m.user_id, m.srn, m.prn FROM matched m
+      WHERE NOT EXISTS (
+        SELECT 1 FROM matched m2
+        WHERE m2.user_id = m.user_id AND m2.srn < m.srn AND m2.prn >= m.srn))
+    SELECT CAST(user_id AS VARCHAR) AS user_id,
+           COUNT(*) AS n_clean_conversions
+    FROM kept GROUP BY user_id
+    """,
+)
+def stream_cep_clean_conversion(spark, sf_dir):
+    """STREAMING mid-pattern negation (signup notFollowedBy error, then
+    purchase): the negative gap finalizes with its closing positive step
+    inside the watermark-finalized prefix, so streaming emission equals the
+    batch NFA (reference CepOperator + Pattern.notFollowedBy)."""
+    import datetime as dt
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.cep import Measure, Step
+    from flink_psl_spark.streaming import run_to_memory_table
+    from flink_psl_spark.streaming.cep_stream import streaming_match_recognize
+
+    t = tables(spark, sf_dir)
+    ev = (
+        t["events"]
+        .where(F.col("event_type").isin("signup", "purchase", "error"))
+        .select(
+            F.col("user_id").cast("string").alias("u"),
+            F.col("event_id").alias("eid"),
+            F.col("event_type").alias("et"),
+            "ts",
+        )
+    )
+    d = tempfile.mkdtemp(prefix="fps_scep_neg_")
+    ev.coalesce(4).write.parquet(f"{d}/src")
+    far = ev.select(F.max("ts")).first()[0] + dt.timedelta(days=30)
+    spark.createDataFrame(
+        [("__sentinel__", 0, "x", far)], "u string, eid long, et string, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(f"{d}/src")
+
+    st = (
+        spark.readStream.schema("u string, eid long, et string, ts timestamp")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(f"{d}/src")
+    )
+    out = streaming_match_recognize(
+        st,
+        "u",
+        "ts",
+        [
+            Step.once("s", "et = 'signup'"),
+            Step.not_followed_by("ne", "et = 'error'"),
+            Step.once("p", "et = 'purchase'"),
+        ],
+        [Measure("purchase_id", "p", "first", "eid")],
+        delay="5 minutes",
+        tiebreak_col="eid",
+    )
+    mem = run_to_memory_table(out, output_mode="append")
+    return mem.groupBy(F.col("u").alias("user_id")).agg(
+        F.count("*").alias("n_clean_conversions")
+    )
