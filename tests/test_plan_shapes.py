@@ -218,3 +218,26 @@ def test_repetition_filter_single_text_scan(spark, t):
     scans = re.findall(r"FileScan parquet.*?ReadSchema: [^\n]*", p)
     text_scans = [s for s in scans if "text" in s.split("ReadSchema:")[-1]]
     assert len(text_scans) == 1, text_scans
+
+
+def test_q21_self_joins_no_cartesian(spark, sf_dir):
+    """Q21 (suppliers who kept orders waiting): three lineitem self-joins +
+    exists/not-exists — all must stay equi-joins (semi/anti), no cartesian,
+    with the supplier/nation dims broadcast."""
+    from flink_psl_spark.queries import QUERIES
+
+    df = QUERIES["q21_suppliers_kept_waiting"](spark, sf_dir)
+    p = _plan(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_new_format_roundtrips_are_arrow_batched(spark, sf_dir):
+    """avro/protobuf fallback codecs ride mapInPandas (Arrow), never
+    row-at-a-time Python UDFs."""
+    from flink_psl_spark.queries import QUERIES
+
+    for name in ("avro_py_roundtrip", "protobuf_py_roundtrip"):
+        p = _plan(QUERIES[name](spark, sf_dir))
+        assert "MapInPandas" in p
+        assert "BatchEvalPython" not in p
