@@ -190,12 +190,15 @@ def match_recognize(
             for name, c in pred_cols.items()
         }
         times = pdf[time_col] if time_col else None
+        # int64-ns view for the bounded terminal-NOT scan (cheap, vectorized)
+        times_ns = times.astype("int64").to_numpy() if times is not None else None
+        within_ns = within_td.value if within_td is not None else None
         key_vals = {k: pdf[k].iloc[0] for k in keys}  # constant per group
         out_rows = []
         match_seq = 0
         start = 0
         while start < n:
-            bindings = _match_at(preds, spec, start, n)
+            bindings = _match_at(preds, spec, start, n, times_ns, within_ns)
             if bindings is not None:
                 lo = min(i for idxs in bindings.values() for i in idxs)
                 hi = max(i for idxs in bindings.values() for i in idxs)
@@ -285,12 +288,17 @@ def _validate_modes(pattern) -> None:
                 raise ValueError("two consecutive NOT steps are not allowed")
 
 
-def _match_at(preds, spec, start, n):
+def _match_at(preds, spec, start, n, times=None, within_ns=None):
     """Backtracking NFA: try to bind the pattern starting exactly at
     ``start``. Returns {step_name: [row indices]} or None.
 
     Spec entries are (name, lo, hi, greedy, mode); negative modes bind no
-    rows and act as zero-width assertions over the gap/lookahead."""
+    rows and act as zero-width assertions over the gap/lookahead.
+
+    ``times``/``within_ns`` bound a TERMINAL not_followed_by to the WITHIN
+    window measured from the match start (the reference's only legal form
+    of a trailing NOT: Pattern.notFollowedBy requires within) — without
+    them the negative scan extends to the end of the partition."""
 
     def block_at(step_i: int, q: int, acc: dict, min_take: int):
         """Bind spec[step_i]'s quantified block of consecutive rows starting
@@ -326,7 +334,15 @@ def _match_at(preds, spec, start, n):
             return rec(step_i + 1, pos, acc)
         if mode == "not_followed_by":
             if step_i == len(spec) - 1:
-                # terminal NOT: clean through end of scan
+                # terminal NOT: clean through end of scan, or through the
+                # WITHIN window from the match start when one is set
+                if times is not None and within_ns is not None:
+                    j = pos
+                    while j < n and times[j] - times[start] <= within_ns:
+                        if p[j]:
+                            return None
+                        j += 1
+                    return acc if pos > start else None
                 if p[pos:n].any():
                     return None
                 return acc if pos > start else None

@@ -55,6 +55,7 @@ _PRIORITY_WINDOW = [
     "cep_clicks_then_purchase", "stream_cep_clicks_then_purchase",
     "cep_error_burst", "cep_unconverted_clicks",
     "cep_session_no_logout_purchase", "stream_cep_clean_conversion",
+    "cep_no_conversion_within",
     "cdc_debezium_roundtrip",
     "cdc_drop_update_before", "cdc_ogg_roundtrip", "avro_py_roundtrip",
     "protobuf_py_roundtrip",

@@ -360,3 +360,41 @@ def stream_cep_clean_conversion(spark, sf_dir):
     return mem.groupBy(F.col("u").alias("user_id")).agg(
         F.count("*").alias("n_clean_conversions")
     )
+
+
+@query(
+    "cep_no_conversion_within",
+    # bounded terminal negation: a click matches iff no purchase occurs
+    # after it (in (ts, event_id) order) within one hour of the click
+    oracle="""
+    SELECT c.user_id, COUNT(*) AS n_unconverted
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+          AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
+          AND p.ts <= c.ts + INTERVAL 1 HOUR)
+    GROUP BY c.user_id
+    """,
+)
+def cep_no_conversion_within(spark, sf_dir):
+    """PATTERN (click notFollowedBy purchase) WITHIN 1 hour — the
+    conversion-timeout pattern (reference: trailing Pattern.notFollowedBy
+    is legal only with a within bound; NFACompiler + Pattern.within)."""
+    from pyspark.sql import functions as F
+
+    t = tables(spark, sf_dir)
+    matches = match_recognize(
+        t["events"],
+        partition_by="user_id",
+        order_by=["ts", "event_id"],
+        pattern=[
+            Step.once("click", "event_type = 'click'"),
+            Step.not_followed_by("np", "event_type = 'purchase'"),
+        ],
+        measures=[Measure("click_id", "click", "first", "event_id")],
+        within="1 hour",
+        time_col="ts",
+    )
+    return matches.groupBy("user_id").agg(F.count("*").alias("n_unconverted"))

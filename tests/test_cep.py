@@ -348,3 +348,38 @@ def test_cep_negation_brute_force(spark):
                     continue
             i += 1
         assert got.get(f"s{ci}", 0) == want, (types, want)
+
+
+def test_cep_terminal_negation_bounded_by_within(spark):
+    """click notFollowedBy purchase WITHIN 10 minutes — the reference's only
+    legal trailing-NOT form: purchases outside the window don't kill the
+    match; purchases inside do."""
+    from flink_psl_spark.cep import Measure, Step, match_recognize
+
+    def run(types_minutes):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [
+                ("k", base + dt.timedelta(minutes=m), t, float(i))
+                for i, (t, m) in enumerate(types_minutes)
+            ],
+            "k string, ts timestamp, et string, v double",
+        )
+        return match_recognize(
+            df, "k", "ts",
+            [
+                Step.once("c", "et = 'click'"),
+                Step.not_followed_by("np", "et = 'buy'"),
+            ],
+            [Measure("n", "c", "count")],
+            within="10 minutes", time_col="ts",
+        ).count()
+
+    assert run([("click", 0), ("buy", 5)]) == 0       # inside window
+    assert run([("click", 0), ("buy", 15)]) == 1      # outside window
+    assert run([("click", 0), ("x", 5), ("buy", 9)]) == 0
+    assert run([("click", 0)]) == 1                   # nothing after
+    # boundary: delta == within is still inside (<=)
+    assert run([("click", 0), ("buy", 10)]) == 0
