@@ -78,7 +78,7 @@ sql_query(
            STARTS_WITH(p_type, 'STANDARD')          AS sw,
            ENDS_WITH(p_type, 'TIN')                 AS ew,
            COALESCE(REGEXP_EXTRACT(p_type, '[A-Z]+$', 0), '') AS last_word,
-           LEVENSHTEIN(p_brand, 'Brand#11')         AS lev,
+           CAST(LEVENSHTEIN(p_brand, 'Brand#11') AS INTEGER) AS lev,
            p_brand[1] || 'XX' || p_brand[4:]        AS ov,
            FORMAT('{}/{}', p_brand, p_size)         AS fmt
     FROM part WHERE p_partkey <= 300

@@ -431,7 +431,7 @@ def graph_global_clustering(spark, sf_dir):
     l2 AS (SELECT p2.node, p2.label,
                   p2.smax - CASE WHEN p2.label <> l1.label THEN 0.25 ELSE 0 END AS score
            FROM p2 JOIN l1 ON l1.node = p2.node)
-    SELECT node, label, ROUND(score, 6) AS score FROM l2
+    SELECT node, label, CAST(ROUND(score, 6) AS DOUBLE) AS score FROM l2
     """,
 )
 def graph_community_detection(spark, sf_dir):

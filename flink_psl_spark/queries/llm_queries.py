@@ -850,10 +850,11 @@ def llm_doc_chunking(spark, sf_dir):
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
           FROM d)
     SELECT shard, doc_id, n_tokens,
-           cum // 512 AS first_seq,
-           cum % 512 AS seq_offset,
-           (CASE WHEN n_tokens > 0 THEN (cum + n_tokens - 1) // 512
-                 ELSE cum // 512 END) - cum // 512 + 1 AS seqs_spanned
+           CAST(cum // 512 AS BIGINT) AS first_seq,
+           CAST(cum % 512 AS BIGINT) AS seq_offset,
+           CAST((CASE WHEN n_tokens > 0 THEN (cum + n_tokens - 1) // 512
+                      ELSE cum // 512 END) - cum // 512 + 1
+                AS BIGINT) AS seqs_spanned
     FROM c
     """,
 )

@@ -541,13 +541,13 @@ def pivot_event_counts(spark, sf_dir):
     SELECT c_custkey,
            UPPER(c_name) AS up, LOWER(c_name) AS lo,
            SUBSTR(c_name, 1, 8) AS sub,
-           LENGTH(c_name) AS len,
+           CAST(LENGTH(c_name) AS INTEGER) AS len,
            CONCAT_WS('|', c_name, c_mktsegment) AS cw,
            LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS pad,
            REPLACE(c_name, '#', '-') AS rep,
            REVERSE(c_mktsegment) AS rev,
            SPLIT_PART(c_name, '#', 2) AS tok,
-           POSITION('#' IN c_name) AS pos,
+           CAST(POSITION('#' IN c_name) AS INTEGER) AS pos,
            TRIM(c_mktsegment) AS tr,
            LEFT(c_mktsegment, 3) AS l3,
            RIGHT(c_mktsegment, 3) AS r3,

@@ -229,7 +229,7 @@ def stream_lookup_join(spark, sf_dir):
 @query(
     "stream_window_topn",
     oracle="""
-    SELECT window_start, user_id, total, rn FROM (
+    SELECT window_start, user_id, total, CAST(rn AS INTEGER) AS rn FROM (
       SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, user_id,
              ROUND(SUM(value), 2) AS total,
              ROW_NUMBER() OVER (PARTITION BY time_bucket(INTERVAL '1 hour', ts)

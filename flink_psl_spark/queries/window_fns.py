@@ -18,8 +18,9 @@ sql_query(
     """
     SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
       SELECT c_mktsegment, o_orderkey, o_totalprice,
-             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey)
+                  AS INTEGER) AS rn
       FROM orders JOIN customer ON o_custkey = c_custkey) t
     WHERE rn <= 3
     """,
@@ -29,8 +30,8 @@ sql_query(
     "wf_rank_dense_rank",
     """
     SELECT p_brand, p_partkey, p_size,
-           RANK() OVER w AS rk,
-           DENSE_RANK() OVER w AS drk
+           CAST(RANK() OVER w AS INTEGER) AS rk,
+           CAST(DENSE_RANK() OVER w AS INTEGER) AS drk
     FROM part
     WHERE p_partkey <= 500
     WINDOW w AS (PARTITION BY p_brand ORDER BY p_size, p_partkey)
@@ -79,7 +80,7 @@ sql_query(
     "wf_ntile_percentiles",
     """
     SELECT c_custkey,
-           NTILE(4) OVER w AS quartile,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
            ROUND(PERCENT_RANK() OVER w, 6) AS pr,
            ROUND(CUME_DIST() OVER w, 6) AS cd
     FROM customer
@@ -108,8 +109,9 @@ sql_query(
     "wf_dataframe_api",
     oracle="""
     SELECT o_orderkey, o_custkey,
-           ROW_NUMBER() OVER (PARTITION BY o_custkey
-                              ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey)
+                AS INTEGER) AS rn,
            ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
                  ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend
