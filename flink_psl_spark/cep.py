@@ -286,6 +286,18 @@ def _validate_modes(pattern) -> None:
                 raise ValueError("pattern cannot begin with a NOT step")
             if pattern[i - 1].mode in ("not_next", "not_followed_by"):
                 raise ValueError("two consecutive NOT steps are not allowed")
+        if s.mode == "not_followed_by" and i + 1 < len(pattern):
+            # the gap-clean scan requires the next step to bind >= 1 row; an
+            # optional next step cannot express that — the reference rejects
+            # NOT-before-optional at compile time (NFACompiler's
+            # malformed-pattern check) rather than silently dropping
+            # optionality
+            if pattern[i + 1].min_times == 0:
+                raise ValueError(
+                    f"not_followed_by step {s.name!r} cannot be followed by "
+                    f"optional step {pattern[i + 1].name!r} (min_times=0): "
+                    "the negative gap needs a mandatory next match"
+                )
 
 
 def _match_at(preds, spec, start, n, times=None, within_ns=None):
@@ -335,10 +347,15 @@ def _match_at(preds, spec, start, n, times=None, within_ns=None):
         if mode == "not_followed_by":
             if step_i == len(spec) - 1:
                 # terminal NOT: clean through end of scan, or through the
-                # WITHIN window from the match start when one is set
+                # WITHIN window when one is set. The window anchors at the
+                # FIRST BOUND ROW, not the match-attempt origin: a relaxed
+                # first step may bind well after ``start``, and the span
+                # check in ``run`` measures from that same first bound row.
                 if times is not None and within_ns is not None:
+                    bound = [i for idxs in acc.values() for i in idxs]
+                    anchor = min(bound) if bound else start
                     j = pos
-                    while j < n and times[j] - times[start] <= within_ns:
+                    while j < n and times[j] - times[anchor] <= within_ns:
                         if p[j]:
                             return None
                         j += 1

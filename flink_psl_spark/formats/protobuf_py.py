@@ -51,7 +51,12 @@ def varint_encode(n: int) -> bytes:
 
 def varint_decode(buf: bytes, pos: int) -> tuple[int, int]:
     shift = acc = 0
+    end = pos + 10  # a valid varint is at most 10 bytes (70 bits > 64)
     while True:
+        if pos >= len(buf):
+            raise ValueError("truncated varint")
+        if pos >= end:
+            raise ValueError("malformed varint exceeds 10 bytes")
         b = buf[pos]
         pos += 1
         acc |= (b & 0x7F) << shift
@@ -95,6 +100,22 @@ def decode_message(fields: list[tuple[str, int, str]], buf: bytes) -> dict:
     while pos < n:
         tag, pos = varint_decode(buf, pos)
         number, wire = tag >> 3, tag & 7
+        if number not in by_number:
+            # unknown field (writer schema ahead of ours): skip the value
+            # per wire type, as the protobuf spec requires, instead of
+            # failing the whole message
+            if wire == 0:
+                _u, pos = varint_decode(buf, pos)
+            elif wire == 1:
+                pos += 8
+            elif wire == 5:
+                pos += 4
+            elif wire == 2:
+                ln, pos = varint_decode(buf, pos)
+                pos += ln
+            else:
+                raise ValueError(f"unsupported wire type {wire}")
+            continue
         name, typ = by_number[number]
         if wire == 0:
             u, pos = varint_decode(buf, pos)

@@ -250,19 +250,27 @@ def compact_table(
     target_file_bytes: int = 128 * 1024 * 1024,
     min_files: int = 2,
     schema: str | None = None,
+    work_dir: str | None = None,
 ) -> dict:
     """Compact a file table's small files to ~``target_file_bytes`` each.
 
     Scale shape: ``coalesce`` (not repartition) merges input splits without
     a shuffle — the reference's ConcatFileCompactor cost model (read +
-    concatenated rewrite, no redistribution). The rewrite lands in a
-    ``.compact-tmp`` sibling and is swapped in whole (write-temp → move —
-    readers see old files or new files, never a mix), matching the sink's
-    hidden-until-committed protocol. Returns the (possibly no-op) plan.
+    concatenated rewrite, no redistribution). The rewrite lands whole in a
+    work directory OUTSIDE the table path and is swapped in via two
+    directory renames. Readers never see a mix of old and new files, but
+    the swap is NOT atomic: between the two renames the table path briefly
+    does not exist, so a reader listing at exactly that instant can fail
+    and must retry. Deployments needing a zero-window swap should route
+    this through a catalog/manifest pointer or an object store's
+    atomic-rename primitive (same scope note as the 2PC sink,
+    sources_v2.py). Returns the (possibly no-op) plan.
 
-    Local/shared-filesystem scope for the swap step, same as the 2PC sink
-    (sources_v2.py): object-store deployments route the swap through their
-    atomic-rename/manifest primitive.
+    ``work_dir``: where the transient tmp/old directories live; defaults to
+    a ``<path>.compact-work`` sibling. Must NOT be inside a partitioned
+    table's root, or concurrent partition discovery would pick it up —
+    ``compact_partitioned_table`` routes every leaf's work dir outside the
+    table root for exactly that reason.
     """
     import os
     import shutil
@@ -272,13 +280,15 @@ def compact_table(
     )
     if not plan["should_compact"]:
         return plan
-    tmp = path.rstrip("/") + ".compact-tmp"
+    base = work_dir if work_dir else path.rstrip("/") + ".compact-work"
+    tmp = os.path.join(base, "tmp")
+    old = os.path.join(base, "old")
+    os.makedirs(base, exist_ok=True)
     df = read_table(spark, path, fmt, schema=schema)
     df.coalesce(plan["target_files"]).write.mode("overwrite").format(fmt).save(tmp)
-    old = path.rstrip("/") + ".compact-old"
     os.rename(path, old)
     os.rename(tmp, path)
-    shutil.rmtree(old)
+    shutil.rmtree(base)
     plan["compacted"] = True
     return plan
 
@@ -299,7 +309,10 @@ def compact_partitioned_table(
     leaf partition directories, evaluates the FileCompactStrategy trigger
     per partition, and rewrites ONLY the partitions that fire — untouched
     partitions are never read, never rewritten (same pruning idea as the
-    partition-pruned upsert sink, cdc.py). Returns
+    partition-pruned upsert sink, cdc.py). Transient tmp/old directories
+    live under a ``<root>.compact-work`` sibling of the TABLE ROOT (keyed
+    by partition relpath), never inside it, so concurrent readers' partition
+    discovery over the root can't trip on them. Returns
     {scanned, compacted, skipped, partitions: {relpath: plan}}.
     """
     import os
@@ -309,6 +322,7 @@ def compact_partitioned_table(
     for root, _dirs, files in os.walk(path):
         if any(not f.startswith(("_", ".")) for f in files):
             leaves.append(root)
+    work_root = path.rstrip("/") + ".compact-work"
     out = {"scanned": len(leaves), "compacted": 0, "skipped": 0, "partitions": {}}
     for leaf in sorted(leaves):
         plan = compact_table(
@@ -318,6 +332,7 @@ def compact_partitioned_table(
             target_file_bytes=target_file_bytes,
             min_files=min_files,
             schema=schema,
+            work_dir=os.path.join(work_root, os.path.relpath(leaf, path)),
         )
         rel = os.path.relpath(leaf, path)
         out["partitions"][rel] = plan
@@ -325,4 +340,8 @@ def compact_partitioned_table(
             out["compacted"] += 1
         else:
             out["skipped"] += 1
+    if os.path.isdir(work_root):
+        import shutil
+
+        shutil.rmtree(work_root, ignore_errors=True)
     return out

@@ -128,10 +128,22 @@ def streaming_match_recognize(
                 for name, c in pred_cols.items()
             }
             n, start, consumed_upto = len(final), 0, 0
+            terminal_not_next = spec[-1][4] == "not_next"
             while start < n:
                 b = _match_at(preds, spec, start, n)
                 if b is not None:
                     hi = max(i for idxs in b.values() for i in idxs)
+                    if terminal_not_next and hi + 1 == n:
+                        # the trailing notNext asserted at the finalized-
+                        # prefix boundary (pos == n): a future row could
+                        # still land there and satisfy the negated
+                        # predicate, so the assertion is unconfirmed.
+                        # Defer — leave the rows unconsumed and re-run
+                        # when the watermark finalizes the next row
+                        # (append-mode emission is irrevocable, so a
+                        # vacuous pass here would emit matches the batch
+                        # matcher rejects).
+                        break
                     row = {partition_by: key[0], "match_seq": seq}
                     for out_name, step, fnm, col in meas:
                         idxs = b.get(step, [])

@@ -383,3 +383,62 @@ def test_cep_terminal_negation_bounded_by_within(spark):
     assert run([("click", 0)]) == 1                   # nothing after
     # boundary: delta == within is still inside (<=)
     assert run([("click", 0), ("buy", 10)]) == 0
+
+
+def test_cep_within_anchor_is_first_bound_row(spark):
+    """The WITHIN window of a terminal notFollowedBy measures from the first
+    BOUND row, not the match-attempt origin: a relaxed first step can bind
+    well after the origin, and negated events inside the true window (from
+    the binding) must still kill the match."""
+    import datetime as dt
+
+    from flink_psl_spark.cep import Measure, Step, match_recognize
+
+    def run(types_minutes):
+        base = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [
+                ("k", base + dt.timedelta(minutes=m), t, float(i))
+                for i, (t, m) in enumerate(types_minutes)
+            ],
+            "k string, ts timestamp, et string, v double",
+        )
+        return match_recognize(
+            df, "k", "ts",
+            [
+                Step.followed_by("c", "et = 'click'"),
+                Step.not_followed_by("np", "et = 'buy'"),
+            ],
+            [Measure("n", "c", "count")],
+            within="10 minutes", time_col="ts",
+        ).count()
+
+    # click binds 5 min after the scan origin; buy@12 is 7 min after the
+    # click — inside the true window (an origin-anchored scan would stop at
+    # minute 10 and emit a false match)
+    assert run([("x", 0), ("click", 5), ("buy", 12)]) == 0
+    # buy 12 min after the click — outside the window, match survives
+    assert run([("x", 0), ("click", 5), ("buy", 17)]) == 1
+    # boundary: exactly 10 min after the click is still inside (<=)
+    assert run([("x", 0), ("click", 5), ("buy", 15)]) == 0
+
+
+def test_cep_not_before_optional_rejected(spark):
+    """notFollowedBy before an optional step is malformed (the negative gap
+    requires the next step to bind) — reject at compile time like the
+    reference's NFACompiler instead of silently dropping optionality."""
+    import pytest as _pytest
+
+    from flink_psl_spark.cep import Measure, Step, match_recognize
+
+    df = _seq(spark, ["a"])
+    with _pytest.raises(ValueError, match="optional"):
+        match_recognize(
+            df, "k", "ts",
+            [
+                Step.once("a", "et = 'a'"),
+                Step.not_followed_by("nb", "et = 'b'"),
+                Step.optional("c", "et = 'c'"),
+            ],
+            [Measure("n", "a", "count")],
+        )

@@ -174,6 +174,78 @@ def test_streaming_rejects_terminal_not_followed_by(spark, t):
         )
 
 
+def _run_pattern(spark, files, pattern, measures, delay="5 minutes"):
+    from flink_psl_spark.streaming import run_to_memory_table
+    from flink_psl_spark.streaming.cep_stream import streaming_match_recognize
+
+    d = tempfile.mkdtemp(prefix="fps_scep_nn_")
+    for rows in files:
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{d}/src")
+    st = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/src")
+    )
+    out = streaming_match_recognize(
+        st, "u", "ts", pattern, measures, delay=delay, tiebreak_col="eid"
+    )
+    return run_to_memory_table(out, output_mode="append")
+
+
+def test_streaming_terminal_not_next_defers_at_prefix_boundary(spark):
+    """A terminal notNext asserting at the end of the finalized prefix is
+    unconfirmed — a future row can still land there. Emission must wait for
+    the next finalized row; when that row satisfies the negated predicate,
+    the match (which a vacuous boundary pass would have emitted) is
+    correctly rejected, matching the batch NFA."""
+    pattern = [
+        Step.once("a", "et = 'a'"),
+        Step.not_next("nb", "et = 'b'"),
+    ]
+    measures = [Measure("aid", "a", "first", "eid")]
+    mem = _run_pattern(
+        spark,
+        [
+            [("k", 1, "a", TS(0))],
+            # advances the watermark past a@0 while b@6 hasn't arrived:
+            # the finalized prefix ends at the 'a' and the old vacuous
+            # check would emit here
+            [("k", 8, "x", TS(10))],
+            # the row right after 'a' turns out to satisfy the negation
+            [("k", 2, "b", TS(6))],
+            [("k", 9, "x", TS(30))],
+        ],
+        pattern,
+        measures,
+    )
+    assert mem.count() == 0
+
+
+def test_streaming_terminal_not_next_resolves_when_confirmed(spark):
+    """Same boundary deferral, but the next finalized row does NOT satisfy
+    the negated predicate — the deferred match emits exactly once."""
+    pattern = [
+        Step.once("a", "et = 'a'"),
+        Step.not_next("nb", "et = 'b'"),
+    ]
+    measures = [Measure("aid", "a", "first", "eid")]
+    mem = _run_pattern(
+        spark,
+        [
+            [("k", 1, "a", TS(0))],
+            [("k", 8, "x", TS(10))],
+            [("k", 2, "x", TS(6))],
+            [("k", 9, "x", TS(30))],
+        ],
+        pattern,
+        measures,
+    )
+    got = [r["aid"] for r in mem.collect()]
+    assert got == [1]
+
+
 def test_streaming_mid_pattern_negation_matches_batch(spark, t, sf_dir):
     """Mid-pattern notFollowedBy finalizes with the closing positive step —
     streaming bounded replay must equal the batch NFA."""

@@ -362,6 +362,42 @@ def test_protobuf_py_codec_spec_vectors():
         assert decode_message(fields, encode_message(fields, rec)) == rec
 
 
+def test_protobuf_py_unknown_fields_and_malformed_varints():
+    """Spec behavior: unknown field numbers are skipped per wire type (a
+    newer writer's extra fields degrade gracefully); malformed/truncated
+    varints fail cleanly instead of over-reading."""
+    import pytest as _pytest
+
+    from flink_psl_spark.formats.protobuf_py import (
+        decode_message,
+        encode_message,
+        varint_decode,
+    )
+
+    reader = [("a", 1, "int32"), ("name", 3, "string")]
+    writer = [
+        ("a", 1, "int32"),
+        ("extra_d", 2, "double"),    # wire 1 (8 bytes)
+        ("name", 3, "string"),
+        ("extra_s", 4, "string"),    # wire 2 (len-delimited)
+        ("extra_f", 5, "float"),     # wire 5 (4 bytes)
+        ("extra_v", 6, "int64"),     # wire 0 (varint)
+    ]
+    payload = encode_message(
+        writer,
+        {"a": 7, "extra_d": 1.5, "name": "x", "extra_s": "zz",
+         "extra_f": 2.5, "extra_v": -3},
+    )
+    assert decode_message(reader, payload) == {"a": 7, "name": "x"}
+
+    # truncated varint: continuation bit set at end of buffer
+    with _pytest.raises(ValueError, match="truncated"):
+        varint_decode(b"\xff\xff", 0)
+    # >10 continuation bytes cannot be a valid 64-bit varint
+    with _pytest.raises(ValueError, match="10 bytes"):
+        varint_decode(b"\xff" * 11 + b"\x00", 0)
+
+
 def test_protobuf_py_dataframe_roundtrip(spark, t):
     from flink_psl_spark.formats.protobuf_py import from_protobuf_py, to_protobuf_py
 
