@@ -128,9 +128,51 @@ class Measure:
     col: str | None = None  # not needed for count
 
 
-# AFTER MATCH strategies (reference: cep/nfa/aftermatch/)
+# AFTER MATCH strategies (reference: cep/nfa/aftermatch/ — NoSkipStrategy,
+# SkipToNextStrategy, SkipPastLastStrategy, SkipToFirstStrategy,
+# SkipToLastStrategy). The two MATCH_RECOGNIZE defaults are plain constants;
+# the variable-relative strategies are built by skip_to_first/skip_to_last.
 SKIP_PAST_LAST_ROW = "skip_past_last_row"
 SKIP_TO_NEXT_ROW = "skip_to_next_row"
+NO_SKIP = "no_skip"
+
+
+def skip_to_first(var: str) -> str:
+    """AFTER MATCH SKIP TO FIRST <var>: resume the scan AT the first row
+    bound to ``var`` (that row may open the next match). Reference
+    SkipToFirstStrategy.java; rejected when ``var`` is the first pattern
+    variable (it would loop, as in the reference)."""
+    return f"skip_to_first:{var}"
+
+
+def skip_to_last(var: str) -> str:
+    """AFTER MATCH SKIP TO LAST <var>: resume the scan AT the last row
+    bound to ``var``. Reference SkipToLastStrategy.java. When the resume
+    position equals the match start (single-row first variable), the scan
+    advances one row instead of looping."""
+    return f"skip_to_last:{var}"
+
+
+def _parse_after_match(after_match: str, pattern: list["Step"]) -> tuple[str, str | None]:
+    strategy, _, var = after_match.partition(":")
+    if strategy in (SKIP_PAST_LAST_ROW, SKIP_TO_NEXT_ROW, NO_SKIP):
+        return strategy, None
+    if strategy in ("skip_to_first", "skip_to_last"):
+        names = [s.name for s in pattern]
+        if var not in names:
+            raise ValueError(
+                f"AFTER MATCH skip variable {var!r} is not a pattern step "
+                f"(have {names})"
+            )
+        if strategy == "skip_to_first" and var == pattern[0].name:
+            # resuming at the first row of the first variable re-opens the
+            # same match forever — the reference throws the same way
+            raise ValueError(
+                "SKIP TO FIRST of the first pattern variable would loop on "
+                "every match (reference SkipToFirstStrategy behavior)"
+            )
+        return strategy, var
+    raise ValueError(f"unknown after_match strategy {after_match!r}")
 
 
 def match_recognize(
@@ -151,6 +193,12 @@ def match_recognize(
     order. Returns one row per match: partition keys + ``match_seq`` +
     measures.
 
+    ``after_match`` (reference cep/nfa/aftermatch/): SKIP_PAST_LAST_ROW
+    (default), SKIP_TO_NEXT_ROW, NO_SKIP (every solution from every start
+    position — relaxed steps enumerate all viable positions,
+    followedByAny-style), or ``skip_to_first(var)`` / ``skip_to_last(var)``
+    which resume the scan AT the first/last row bound to ``var``.
+
     ``within``: optional max span (e.g. ``'30 minutes'``) between the
     first and last matched row, measured on ``time_col`` (reference:
     Pattern.within, interval-clipped NFA state).
@@ -163,6 +211,7 @@ def match_recognize(
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate step names: {names}")
     _validate_modes(pattern)
+    strategy, skip_var = _parse_after_match(after_match, pattern)
 
     # vectorized predicate evaluation: one boolean column per step, computed
     # by Spark (codegen) BEFORE the python hop — python sees only bools.
@@ -197,28 +246,67 @@ def match_recognize(
         out_rows = []
         match_seq = 0
         start = 0
+        # NO_SKIP enumerates every solution from every start; identical
+        # bindings reachable from several attempt positions (relaxed first
+        # steps) are emitted once
+        seen: set = set()
+
+        def emit(bindings) -> None:
+            nonlocal match_seq
+            row = dict(key_vals)
+            row["match_seq"] = match_seq
+            for out_name, step, fn, col in meas:
+                idxs = bindings.get(step, [])
+                row[out_name] = _eval_measure(pdf, idxs, fn, col)
+            out_rows.append(row)
+            match_seq += 1
+
+        def span_ok(bindings) -> bool:
+            if within_td is None:
+                return True
+            lo = min(i for idxs in bindings.values() for i in idxs)
+            hi = max(i for idxs in bindings.values() for i in idxs)
+            return times.iloc[hi] - times.iloc[lo] <= within_td
+
         while start < n:
-            bindings = _match_at(preds, spec, start, n, times_ns, within_ns)
-            if bindings is not None:
-                lo = min(i for idxs in bindings.values() for i in idxs)
-                hi = max(i for idxs in bindings.values() for i in idxs)
-                if within_td is not None and (
-                    times.iloc[hi] - times.iloc[lo] > within_td
+            if strategy == NO_SKIP:
+                for bindings in _iter_matches_at(
+                    preds, spec, start, n, times_ns, within_ns
                 ):
-                    start += 1
-                    continue
-                row = dict(key_vals)
-                row["match_seq"] = match_seq
-                for out_name, step, fn, col in meas:
-                    idxs = bindings.get(step, [])
-                    row[out_name] = _eval_measure(pdf, idxs, fn, col)
-                out_rows.append(row)
-                match_seq += 1
-                start = (
-                    hi + 1 if after_match == SKIP_PAST_LAST_ROW else lo + 1
-                )
-            else:
+                    if not span_ok(bindings):
+                        continue
+                    sig = tuple(
+                        sorted((k, tuple(v)) for k, v in bindings.items())
+                    )
+                    if sig in seen:
+                        continue
+                    seen.add(sig)
+                    emit(bindings)
                 start += 1
+                continue
+            bindings = _match_at(preds, spec, start, n, times_ns, within_ns)
+            if bindings is None or not span_ok(bindings):
+                start += 1
+                continue
+            lo = min(i for idxs in bindings.values() for i in idxs)
+            hi = max(i for idxs in bindings.values() for i in idxs)
+            emit(bindings)
+            if strategy == SKIP_PAST_LAST_ROW:
+                start = hi + 1
+            elif strategy == SKIP_TO_NEXT_ROW:
+                start = lo + 1
+            else:  # skip_to_first / skip_to_last
+                idxs = bindings.get(skip_var)
+                if not idxs:
+                    raise ValueError(
+                        f"AFTER MATCH skip variable {skip_var!r} bound no "
+                        "rows in a match (optional skip targets are "
+                        "malformed, as in the reference)"
+                    )
+                tgt = min(idxs) if strategy == "skip_to_first" else max(idxs)
+                # resume AT the variable's row; guarantee progress when the
+                # target equals the attempt position (single-row first var)
+                start = tgt if tgt > start else start + 1
         if not out_rows:
             return pd.DataFrame(
                 {f.name: pd.Series(dtype="object") for f in out_schema}
@@ -300,17 +388,20 @@ def _validate_modes(pattern) -> None:
                 )
 
 
-def _match_at(preds, spec, start, n, times=None, within_ns=None):
-    """Backtracking NFA: try to bind the pattern starting exactly at
-    ``start``. Returns {step_name: [row indices]} or None.
+def _iter_matches_at(preds, spec, start, n, times=None, within_ns=None):
+    """Backtracking NFA: yield every binding {step_name: [row indices]} of
+    the pattern starting exactly at ``start``, in preference order (greedy
+    takes first, earlier relaxed positions first) — the first yield is the
+    single preferred match; the full stream is the NO_SKIP solution set
+    (relaxed steps enumerate all viable positions, followedByAny-style).
 
     Spec entries are (name, lo, hi, greedy, mode); negative modes bind no
     rows and act as zero-width assertions over the gap/lookahead.
 
     ``times``/``within_ns`` bound a TERMINAL not_followed_by to the WITHIN
-    window measured from the match start (the reference's only legal form
-    of a trailing NOT: Pattern.notFollowedBy requires within) — without
-    them the negative scan extends to the end of the partition."""
+    window measured from the first bound row (the reference's only legal
+    form of a trailing NOT: Pattern.notFollowedBy requires within) —
+    without them the negative scan extends to the end of the partition."""
 
     def block_at(step_i: int, q: int, acc: dict, min_take: int):
         """Bind spec[step_i]'s quantified block of consecutive rows starting
@@ -322,7 +413,7 @@ def _match_at(preds, spec, start, n, times=None, within_ns=None):
         while q + max_take < n and p[q + max_take] and (hi is None or max_take < hi):
             max_take += 1
         if max_take < lo:
-            return None
+            return
         counts = (
             range(max_take, lo - 1, -1) if greedy else range(lo, max_take + 1)
         )
@@ -330,20 +421,20 @@ def _match_at(preds, spec, start, n, times=None, within_ns=None):
             nxt = dict(acc)
             if take:
                 nxt[name] = list(range(q, q + take))
-            res = rec(step_i + 1, q + take, nxt)
-            if res is not None:
-                return res
-        return None
+            yield from rec(step_i + 1, q + take, nxt)
 
     def rec(step_i: int, pos: int, acc: dict):
         if step_i == len(spec):
-            return acc if pos > start else None  # refuse fully-empty match
+            if pos > start:  # refuse fully-empty match
+                yield acc
+            return
         name, lo, hi, greedy, mode = spec[step_i]
         p = preds[name]
         if mode == "not_next":
             if pos < n and p[pos]:
-                return None
-            return rec(step_i + 1, pos, acc)
+                return
+            yield from rec(step_i + 1, pos, acc)
+            return
         if mode == "not_followed_by":
             if step_i == len(spec) - 1:
                 # terminal NOT: clean through end of scan, or through the
@@ -357,32 +448,40 @@ def _match_at(preds, spec, start, n, times=None, within_ns=None):
                     j = pos
                     while j < n and times[j] - times[anchor] <= within_ns:
                         if p[j]:
-                            return None
+                            return
                         j += 1
-                    return acc if pos > start else None
+                    if pos > start:
+                        yield acc
+                    return
                 if p[pos:n].any():
-                    return None
-                return acc if pos > start else None
+                    return
+                if pos > start:
+                    yield acc
+                return
             # gap must stay clean until the next (positive) step binds; the
-            # next step scans forward from pos (relaxed by construction)
+            # next step scans forward from pos (relaxed by construction).
+            # A row can both open the next step and satisfy the negation —
+            # binding wins at the same position (checked first), matching
+            # the single-match semantics.
             for s2 in range(pos, n):
-                res = block_at(step_i + 1, s2, acc, 1)
-                if res is not None:
-                    return res
+                yield from block_at(step_i + 1, s2, acc, 1)
                 if p[s2]:
-                    return None  # negative event occurred before a match
-            return None
+                    return  # negative event occurred before a match
+            return
         if mode == "relaxed":
             for s2 in range(pos, n):
-                res = block_at(step_i, s2, acc, 1)
-                if res is not None:
-                    return res
+                yield from block_at(step_i, s2, acc, 1)
             if lo == 0:  # optional relaxed step: skip it entirely
-                return rec(step_i + 1, pos, acc)
-            return None
-        return block_at(step_i, pos, acc, 0)
+                yield from rec(step_i + 1, pos, acc)
+            return
+        yield from block_at(step_i, pos, acc, 0)
 
-    return rec(0, start, {})
+    yield from rec(0, start, {})
+
+
+def _match_at(preds, spec, start, n, times=None, within_ns=None):
+    """First (preferred) match of the pattern at ``start``, or None."""
+    return next(_iter_matches_at(preds, spec, start, n, times, within_ns), None)
 
 
 def _eval_measure(pdf: pd.DataFrame, idxs, fn: str, col: str | None):

@@ -58,14 +58,15 @@ _PRIORITY_WINDOW = [
     "wf_lag_lead", "wf_ntile_percentiles", "wf_dataframe_api",
     "wf_topn_per_group", "wf_rank_dense_rank", "wf_running_rows_frame",
     "wf_first_last_value",
-    # batch window TVFs (8) — never driver-checked
+    # batch window TVFs (7) — never driver-checked
     "tumble_window_agg", "hop_window_agg", "session_window_agg",
     "session_window_dynamic_gap", "cumulate_window_agg",
-    "tumble_window_offset_agg", "window_join", "window_tvf_projection",
+    "window_join", "window_tvf_projection",
     # CDC formats (2) — never driver-checked
     "cdc_canal_roundtrip", "cdc_maxwell_roundtrip",
-    # LLM text/quality (3) — never driver-checked
-    "llm_text_stats", "llm_quality_filter", "llm_ngram_jaccard_pairs",
+    # new this round: CEP after-match skip strategies (4)
+    "cep_skip_to_next_click_runs", "cep_no_skip_conversion_pairs",
+    "cep_skip_to_last_error_runs", "cep_skip_to_first_purchase_chain",
 ]
 
 

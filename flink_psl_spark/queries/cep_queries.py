@@ -363,6 +363,213 @@ def stream_cep_clean_conversion(spark, sf_dir):
 
 
 @query(
+    "cep_skip_to_next_click_runs",
+    # AFTER MATCH SKIP TO NEXT ROW over A+ B emits every SUFFIX of a click
+    # run that ends in a purchase (the scan resumes one row after each
+    # match's start). Replica: a click matches iff its next non-click row
+    # (in (ts, event_id) order) is a purchase; n_clicks = distance to it.
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    nc AS (
+      SELECT c.user_id, c.rn, c.event_id AS first_click_id,
+             MIN(e.rn) AS nrn
+      FROM ordered c JOIN ordered e
+        ON e.user_id = c.user_id AND e.rn > c.rn AND e.event_type <> 'click'
+      WHERE c.event_type = 'click'
+      GROUP BY c.user_id, c.rn, c.event_id)
+    SELECT nc.user_id, nc.first_click_id,
+           CAST(nc.nrn - nc.rn AS BIGINT) AS n_clicks,
+           p.event_id AS purchase_id
+    FROM nc JOIN ordered p
+      ON p.user_id = nc.user_id AND p.rn = nc.nrn
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def cep_skip_to_next_click_runs(spark, sf_dir):
+    """PATTERN (A+ B) AFTER MATCH SKIP TO NEXT ROW (reference
+    SkipToNextStrategy.java) — overlapping suffix-run matches that the
+    default SKIP PAST LAST ROW would consume."""
+    from flink_psl_spark.cep import SKIP_TO_NEXT_ROW
+
+    t = tables(spark, sf_dir)
+    return match_recognize(
+        t["events"],
+        partition_by="user_id",
+        order_by=["ts", "event_id"],
+        pattern=[
+            Step.one_or_more("A", "event_type = 'click'"),
+            Step.once("B", "event_type = 'purchase'"),
+        ],
+        measures=[
+            Measure("first_click_id", "A", "first", "event_id"),
+            Measure("n_clicks", "A", "count"),
+            Measure("purchase_id", "B", "first", "event_id"),
+        ],
+        after_match=SKIP_TO_NEXT_ROW,
+    ).select("user_id", "first_click_id", "n_clicks", "purchase_id")
+
+
+@query(
+    "cep_no_skip_conversion_pairs",
+    # NO_SKIP (reference NoSkipStrategy.java) enumerates EVERY solution from
+    # every start: click followed (relaxed, followedByAny-style) by each
+    # purchase within 30 minutes -> the full set of ordered (click,
+    # purchase) pairs inside the window
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def cep_no_skip_conversion_pairs(spark, sf_dir):
+    """PATTERN (click -> purchase) WITHIN 30 min, AFTER MATCH NO SKIP —
+    every attribution pair, overlapping matches included (reference
+    NoSkipStrategy.java; relaxed steps enumerate all viable positions)."""
+    from flink_psl_spark.cep import NO_SKIP
+
+    t = tables(spark, sf_dir)
+    return match_recognize(
+        t["events"],
+        partition_by="user_id",
+        order_by=["ts", "event_id"],
+        pattern=[
+            Step.once("A", "event_type = 'click'"),
+            Step.followed_by("B", "event_type = 'purchase'"),
+        ],
+        measures=[
+            Measure("click_id", "A", "first", "event_id"),
+            Measure("purchase_id", "B", "first", "event_id"),
+        ],
+        after_match=NO_SKIP,
+        within="30 minutes",
+        time_col="ts",
+    ).select("user_id", "click_id", "purchase_id")
+
+
+@query(
+    "cep_skip_to_last_error_runs",
+    # SKIP TO LAST A (reference SkipToLastStrategy.java) resumes AT the last
+    # error of each matched run: a k-error run before a purchase emits the
+    # full-run match plus (k >= 2) a single-error match on its last error
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type IN ('error', 'purchase')),
+    base AS (
+      SELECT *,
+             SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY rn) AS grp
+      FROM ordered),
+    runs AS (
+      SELECT user_id, grp, COUNT(*) AS k,
+             ARG_MIN(event_id, rn) AS first_error_id,
+             ARG_MAX(event_id, rn) AS last_error_id
+      FROM base WHERE event_type = 'error' GROUP BY user_id, grp),
+    m AS (
+      SELECT r.user_id, r.k, r.first_error_id, r.last_error_id,
+             p.event_id AS purchase_id
+      FROM runs r JOIN base p
+        ON p.user_id = r.user_id AND p.grp = r.grp + 1
+      WHERE p.event_type = 'purchase')
+    SELECT user_id, CAST(k AS BIGINT) AS n_errors,
+           first_error_id, purchase_id
+    FROM m
+    UNION ALL
+    SELECT user_id, CAST(1 AS BIGINT) AS n_errors,
+           last_error_id AS first_error_id, purchase_id
+    FROM m WHERE k >= 2
+    """,
+)
+def cep_skip_to_last_error_runs(spark, sf_dir):
+    """PATTERN (E+ P) AFTER MATCH SKIP TO LAST E over the error/purchase
+    subsequence — the retry-then-convert shape where the last failed attempt
+    is re-examined as its own match (reference SkipToLastStrategy.java)."""
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.cep import skip_to_last
+
+    t = tables(spark, sf_dir)
+    ev = t["events"].where(F.col("event_type").isin("error", "purchase"))
+    return match_recognize(
+        ev,
+        partition_by="user_id",
+        order_by=["ts", "event_id"],
+        pattern=[
+            Step.one_or_more("E", "event_type = 'error'"),
+            Step.once("P", "event_type = 'purchase'"),
+        ],
+        measures=[
+            Measure("n_errors", "E", "count"),
+            Measure("first_error_id", "E", "first", "event_id"),
+            Measure("purchase_id", "P", "first", "event_id"),
+        ],
+        after_match=skip_to_last("E"),
+    ).select("user_id", "n_errors", "first_error_id", "purchase_id")
+
+
+@query(
+    "cep_skip_to_first_purchase_chain",
+    # SKIP TO FIRST C (reference SkipToFirstStrategy.java) resumes AT each
+    # match's closing purchase, which then OPENS the next match: purchase ->
+    # clicks -> purchase chains share their boundary purchases. Replica:
+    # every consecutive purchase pair (on the click/purchase subsequence)
+    # with at least one click between them.
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    p AS (
+      SELECT user_id, event_id, rn,
+             LEAD(event_id) OVER w AS next_id,
+             LEAD(rn) OVER w AS next_rn
+      FROM ordered WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn))
+    SELECT user_id, event_id AS open_purchase_id,
+           next_id AS close_purchase_id,
+           CAST(next_rn - rn - 1 AS BIGINT) AS n_clicks
+    FROM p WHERE next_rn IS NOT NULL AND next_rn - rn >= 2
+    """,
+)
+def cep_skip_to_first_purchase_chain(spark, sf_dir):
+    """PATTERN (P1 C+ P2) AFTER MATCH SKIP TO FIRST P2 — session chains
+    where each conversion opens the next browse-to-buy window; the default
+    skip would drop every other chain link (reference
+    SkipToFirstStrategy.java)."""
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.cep import skip_to_first
+
+    t = tables(spark, sf_dir)
+    ev = t["events"].where(F.col("event_type").isin("click", "purchase"))
+    return match_recognize(
+        ev,
+        partition_by="user_id",
+        order_by=["ts", "event_id"],
+        pattern=[
+            Step.once("P1", "event_type = 'purchase'"),
+            Step.one_or_more("C", "event_type = 'click'"),
+            Step.once("P2", "event_type = 'purchase'"),
+        ],
+        measures=[
+            Measure("open_purchase_id", "P1", "first", "event_id"),
+            Measure("close_purchase_id", "P2", "first", "event_id"),
+            Measure("n_clicks", "C", "count"),
+        ],
+        after_match=skip_to_first("P2"),
+    ).select(
+        "user_id", "open_purchase_id", "close_purchase_id", "n_clicks"
+    )
+
+
+@query(
     "cep_no_conversion_within",
     # bounded terminal negation: a click matches iff no purchase occurs
     # after it (in (ts, event_id) order) within one hour of the click

@@ -31,11 +31,15 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from flink_psl_spark.cep import (
+    NO_SKIP,
+    SKIP_PAST_LAST_ROW,
+    SKIP_TO_NEXT_ROW,
     Measure,
     Step,
     _eval_measure,
     _match_at,
     _measure_type,
+    _parse_after_match,
     _validate_modes,
 )
 
@@ -47,6 +51,7 @@ def streaming_match_recognize(
     pattern: list[Step],
     measures: list[Measure],
     *,
+    after_match: str = SKIP_PAST_LAST_ROW,
     delay: str = "10 minutes",
     horizon_ms: int | None = None,
     tiebreak_col: str | None = None,
@@ -56,9 +61,23 @@ def streaming_match_recognize(
     Returns one row per completed match: (key, match_seq, measures...).
     ``delay`` is the watermark delay; ``horizon_ms`` bounds state for
     patterns with a known max span (≈ Pattern.within).
+
+    ``after_match``: SKIP_PAST_LAST_ROW (default), SKIP_TO_NEXT_ROW,
+    skip_to_first(var), skip_to_last(var). NO_SKIP is rejected: its
+    all-solutions semantics keep every attempt position live against the
+    unbounded future (relaxed steps may bind ever-later rows), so no
+    finalized prefix ever confirms the full solution set — same class of
+    restriction as the terminal not_followed_by guard below.
     """
     names = [s.name for s in pattern]
     _validate_modes(pattern)
+    strategy, skip_var = _parse_after_match(after_match, pattern)
+    if strategy == NO_SKIP:
+        raise ValueError(
+            "streaming match_recognize does not support NO_SKIP "
+            "(all-solutions over an unbounded future cannot finalize); "
+            "use the batch matcher or a skip strategy"
+        )
     if pattern[-1].mode == "not_followed_by":
         # a terminal NOT asserts over the unbounded future; the streaming
         # matcher only sees the watermark-finalized prefix, so it would
@@ -132,6 +151,7 @@ def streaming_match_recognize(
             while start < n:
                 b = _match_at(preds, spec, start, n)
                 if b is not None:
+                    lo = min(i for idxs in b.values() for i in idxs)
                     hi = max(i for idxs in b.values() for i in idxs)
                     if terminal_not_next and hi + 1 == n:
                         # the trailing notNext asserted at the finalized-
@@ -153,8 +173,26 @@ def streaming_match_recognize(
                         row[out_name] = v
                     emitted.append(row)
                     seq += 1
-                    start = hi + 1
-                    consumed_upto = hi + 1
+                    if strategy == SKIP_PAST_LAST_ROW:
+                        start = hi + 1
+                    elif strategy == SKIP_TO_NEXT_ROW:
+                        start = lo + 1
+                    else:  # skip_to_first / skip_to_last
+                        idxs = b.get(skip_var)
+                        if not idxs:
+                            raise ValueError(
+                                f"AFTER MATCH skip variable {skip_var!r} "
+                                "bound no rows in a match"
+                            )
+                        tgt = (
+                            min(idxs)
+                            if strategy == "skip_to_first"
+                            else max(idxs)
+                        )
+                        start = tgt if tgt > start else start + 1
+                    # rows before the resume position can never join a
+                    # future match under the chosen strategy — prune them
+                    consumed_upto = start
                 else:
                     start += 1
             # retain: unconsumed finalized suffix + all unfinalized rows

@@ -423,6 +423,103 @@ def test_cep_within_anchor_is_first_bound_row(spark):
     assert run([("x", 0), ("click", 5), ("buy", 15)]) == 0
 
 
+def _am_run(spark, types, pattern, am, meas, **kw):
+    import datetime as dt
+
+    from flink_psl_spark.cep import match_recognize
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            ("k", i, t, base + dt.timedelta(minutes=i))
+            for i, t in enumerate(types)
+        ],
+        "k string, eid long, et string, ts timestamp",
+    )
+    out = match_recognize(
+        df, "k", ["ts", "eid"], pattern, meas, after_match=am, **kw
+    )
+    return sorted(tuple(r[m.out_name] for m in meas) for r in out.collect())
+
+
+def test_after_match_all_five_strategies(spark):
+    """Reference aftermatch/ parity: the five skip strategies produce their
+    distinct match sets on overlap-heavy fixtures (NFATest-style)."""
+    from flink_psl_spark.cep import (
+        NO_SKIP,
+        SKIP_PAST_LAST_ROW,
+        SKIP_TO_NEXT_ROW,
+        Measure,
+        Step,
+        skip_to_first,
+        skip_to_last,
+    )
+
+    # A+ B strict on "cccp": suffix runs overlap
+    pat = [Step.one_or_more("A", "et = 'c'"), Step.once("B", "et = 'p'")]
+    m = [Measure("a1", "A", "first", "eid"), Measure("n", "A", "count")]
+    assert _am_run(spark, "cccp", pat, SKIP_PAST_LAST_ROW, m) == [(0, 3)]
+    assert _am_run(spark, "cccp", pat, SKIP_TO_NEXT_ROW, m) == [
+        (0, 3), (1, 2), (2, 1),
+    ]
+    # skip to last A: full run, then its last row as a 1-run
+    assert _am_run(spark, "cccp", pat, skip_to_last("A"), m) == [
+        (0, 3), (2, 1),
+    ]
+
+    # NO_SKIP with a relaxed step enumerates ALL later bindings
+    # (followedByAny-style), which SKIP_TO_NEXT's preferred-match scan
+    # cannot reach: c x p p
+    pat2 = [Step.once("A", "et = 'c'"), Step.followed_by("B", "et = 'p'")]
+    m2 = [Measure("cid", "A", "first", "eid"), Measure("pid", "B", "first", "eid")]
+    assert _am_run(spark, "cxpp", pat2, NO_SKIP, m2) == [(0, 2), (0, 3)]
+    assert _am_run(spark, "cxpp", pat2, SKIP_TO_NEXT_ROW, m2) == [(0, 2)]
+
+    # skip to first C: the closing purchase opens the next chain link
+    pat3 = [
+        Step.once("A", "et = 'p'"),
+        Step.one_or_more("B", "et = 'c'"),
+        Step.once("C", "et = 'p'"),
+    ]
+    m3 = [Measure("o", "A", "first", "eid"), Measure("c", "C", "first", "eid")]
+    assert _am_run(spark, "pccpcp", pat3, skip_to_first("C"), m3) == [
+        (0, 3), (3, 5),
+    ]
+    assert _am_run(spark, "pccpcp", pat3, SKIP_PAST_LAST_ROW, m3) == [(0, 3)]
+
+
+def test_after_match_validation(spark):
+    import pytest as _pytest
+
+    from flink_psl_spark.cep import Measure, Step, skip_to_first
+
+    pat = [Step.once("A", "et = 'c'"), Step.once("B", "et = 'p'")]
+    m = [Measure("n", "A", "count")]
+    # SKIP TO FIRST of the first variable loops — compile-time rejection
+    with _pytest.raises(ValueError, match="would loop"):
+        _am_run(spark, "cp", pat, skip_to_first("A"), m)
+    with _pytest.raises(ValueError, match="not a pattern step"):
+        _am_run(spark, "cp", pat, skip_to_first("Z"), m)
+    with _pytest.raises(ValueError, match="unknown after_match"):
+        _am_run(spark, "cp", pat, "bogus_strategy", m)
+
+
+def test_streaming_rejects_no_skip(spark):
+    import pytest as _pytest
+
+    from flink_psl_spark.cep import NO_SKIP, Measure, Step
+    from flink_psl_spark.streaming.cep_stream import streaming_match_recognize
+
+    df = _seq(spark, ["a"])
+    with _pytest.raises(ValueError, match="NO_SKIP"):
+        streaming_match_recognize(
+            df, "k", "ts",
+            [Step.once("a", "et = 'a'"), Step.once("b", "et = 'b'")],
+            [Measure("n", "a", "count")],
+            after_match=NO_SKIP,
+        )
+
+
 def test_cep_not_before_optional_rejected(spark):
     """notFollowedBy before an optional step is malformed (the negative gap
     requires the next step to bind) — reject at compile time like the
