@@ -570,6 +570,110 @@ def cep_skip_to_first_purchase_chain(spark, sf_dir):
 
 
 @query(
+    "match_recognize_sql_clicks",
+    # same islands replica as cep_clicks_then_purchase (reduced measures)
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    base AS (
+      SELECT *,
+             SUM(CASE WHEN event_type <> 'click' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY rn) AS grp
+      FROM ordered)
+    SELECT c.user_id, c.n_clicks, c.first_click_ts, p.event_id AS purchase_id
+    FROM (SELECT user_id, grp, COUNT(*) AS n_clicks, MIN(ts) AS first_click_ts
+          FROM base WHERE event_type = 'click' GROUP BY user_id, grp) c
+    JOIN (SELECT user_id, grp, event_id, event_type FROM base
+          WHERE event_type <> 'click') p
+      ON c.user_id = p.user_id AND c.grp = p.grp - 1
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def match_recognize_sql_clicks(spark, sf_dir):
+    """The SQL-standard MATCH_RECOGNIZE clause text, parsed and executed
+    (reference StreamExecMatch.java:59 — its users write this SQL, not the
+    library API)."""
+    from flink_psl_spark.match_recognize_sql import match_recognize_sql
+
+    t = tables(spark, sf_dir)
+    out = match_recognize_sql(
+        t["events"],
+        """
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES
+                COUNT(A.*) AS n_clicks,
+                FIRST(A.ts) AS first_click_ts,
+                FIRST(B.event_id) AS purchase_id
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A+ B)
+            DEFINE
+                A AS A.event_type = 'click',
+                B AS B.event_type = 'purchase'
+        )
+        """,
+    )
+    return out.select("user_id", "n_clicks", "first_click_ts", "purchase_id")
+
+
+@query(
+    "match_recognize_sql_skip_chain",
+    # same consecutive-purchase-pair replica as cep_skip_to_first_purchase_chain
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    p AS (
+      SELECT user_id, event_id, rn,
+             LEAD(event_id) OVER w AS next_id,
+             LEAD(rn) OVER w AS next_rn
+      FROM ordered WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn))
+    SELECT user_id, event_id AS open_purchase_id,
+           next_id AS close_purchase_id,
+           CAST(next_rn - rn - 1 AS BIGINT) AS n_clicks
+    FROM p WHERE next_rn IS NOT NULL AND next_rn - rn >= 2
+    """,
+)
+def match_recognize_sql_skip_chain(spark, sf_dir):
+    """AFTER MATCH SKIP TO FIRST through the SQL clause front-end — parses
+    the variable-relative skip strategy and the quantified pattern."""
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.match_recognize_sql import match_recognize_sql
+
+    t = tables(spark, sf_dir)
+    ev = t["events"].where(F.col("event_type").isin("click", "purchase"))
+    out = match_recognize_sql(
+        ev,
+        """
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES
+                FIRST(P1.event_id) AS open_purchase_id,
+                FIRST(P2.event_id) AS close_purchase_id,
+                COUNT(C.*) AS n_clicks
+            AFTER MATCH SKIP TO FIRST P2
+            PATTERN (P1 C+ P2)
+            DEFINE
+                P1 AS P1.event_type = 'purchase',
+                C AS C.event_type = 'click',
+                P2 AS P2.event_type = 'purchase'
+        )
+        """,
+    )
+    return out.select(
+        "user_id", "open_purchase_id", "close_purchase_id", "n_clicks"
+    )
+
+
+@query(
     "cep_no_conversion_within",
     # bounded terminal negation: a click matches iff no purchase occurs
     # after it (in (ts, event_id) order) within one hour of the click

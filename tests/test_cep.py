@@ -520,6 +520,110 @@ def test_streaming_rejects_no_skip(spark):
         )
 
 
+def test_match_recognize_sql_equals_library(spark, seq):
+    """The SQL clause front-end compiles to the same matches as the library
+    API (quantifier, measures, defines, default skip)."""
+    from flink_psl_spark.cep import Measure, Step, match_recognize
+    from flink_psl_spark.match_recognize_sql import match_recognize_sql
+
+    sql_out = match_recognize_sql(
+        seq,
+        """
+        MATCH_RECOGNIZE (
+            PARTITION BY u
+            ORDER BY ts, eid
+            MEASURES COUNT(A.*) AS n, FIRST(B.eid) AS pid,
+                     MAX(A.v) AS topv
+            PATTERN (A+ B)
+            DEFINE A AS A.et = 'c', B AS B.et = 'p'
+        )
+        """,
+    )
+    lib_out = match_recognize(
+        seq, "u", ["ts", "eid"],
+        [Step.one_or_more("A", "et = 'c'"), Step.once("B", "et = 'p'")],
+        [
+            Measure("n", "A", "count"),
+            Measure("pid", "B", "first", "eid"),
+            Measure("topv", "A", "max", "v"),
+        ],
+    )
+    key = lambda rows: sorted(  # noqa: E731
+        (r["u"], r["n"], r["pid"], r["topv"]) for r in rows
+    )
+    assert key(sql_out.collect()) == key(lib_out.collect())
+
+
+def test_match_recognize_sql_quantifiers_within_reluctant(spark):
+    from flink_psl_spark.match_recognize_sql import match_recognize_sql
+
+    df = _seq(spark, ["a", "a", "a", "b"])
+    out = match_recognize_sql(
+        df,
+        """
+        MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY ts
+            MEASURES COUNT(A.*) AS n, FIRST(B.v) AS bv
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A{1,2} B?)
+            WITHIN INTERVAL '30' MINUTE
+            DEFINE A AS A.et = 'a', B AS B.et = 'b'
+        )
+        """,
+    )
+    # greedy {1,2}: matches at 0 (a0 a1), 1 (a1 a2), 2 (a2 + b)
+    assert sorted(r["n"] for r in out.collect()) == [1, 2, 2]
+    # reluctant +? takes the minimum
+    out2 = match_recognize_sql(
+        df,
+        """
+        MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY ts
+            MEASURES COUNT(A.*) AS n
+            PATTERN (A+?)
+            DEFINE A AS A.et = 'a'
+        )
+        """,
+    )
+    assert sorted(r["n"] for r in out2.collect()) == [1, 1, 1]
+
+
+def test_match_recognize_sql_rejections(spark):
+    import pytest as _pytest
+
+    from flink_psl_spark.match_recognize_sql import match_recognize_sql
+
+    df = _seq(spark, ["a", "b"])
+    base = """
+        MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY ts
+            MEASURES COUNT(A.*) AS n
+            PATTERN {pat}
+            DEFINE {define}
+        )
+    """
+    with _pytest.raises(ValueError, match="alternation"):
+        match_recognize_sql(
+            df, base.format(pat="(A | B)", define="A AS A.et = 'a'")
+        )
+    with _pytest.raises(ValueError, match="cross-variable"):
+        match_recognize_sql(
+            df,
+            base.format(pat="(A B)", define="A AS A.et = 'a', B AS A.et = 'b'"),
+        )
+    with _pytest.raises(ValueError, match="missing PARTITION BY"):
+        match_recognize_sql(
+            df,
+            """MATCH_RECOGNIZE (ORDER BY ts MEASURES COUNT(A.*) AS n
+               PATTERN (A) DEFINE A AS A.et = 'a')""",
+        )
+    with _pytest.raises(ValueError, match="not in PATTERN"):
+        match_recognize_sql(
+            df,
+            base.format(pat="(A)", define="A AS A.et = 'a', Z AS Z.et = 'b'"),
+        )
+
+
 def test_cep_not_before_optional_rejected(spark):
     """notFollowedBy before an optional step is malformed (the negative gap
     requires the next step to bind) — reject at compile time like the
