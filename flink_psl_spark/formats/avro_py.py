@@ -12,12 +12,15 @@ BINARY ENCODING from the public specification
 - boolean: single byte, null: zero bytes,
 - string/bytes: long-prefixed payloads,
 - unions: zigzag branch index + value (the common ["null", T] nullable),
-- records: field-order concatenation.
+- records: field-order concatenation (nested records supported),
+- arrays/maps: block encoding (count-prefixed blocks, zero terminator;
+  negative block counts with byte sizes accepted on read per the spec),
+- enums: zigzag symbol index; fixed: raw size bytes.
 
-Scope is flat records of the above (the CDC/event shapes the test tables
-use). DataFrame integration is Arrow-batched mapInPandas — bytes move once
-per batch; with the spark-avro jar present, `from_avro`/`to_avro` drop in
-with no schema changes.
+DataFrame integration is Arrow-batched mapInPandas — bytes move once per
+batch; nested values map to Spark StructType/ArrayType/MapType columns.
+With the spark-avro jar present, `from_avro`/`to_avro` drop in with no
+schema changes.
 """
 
 from __future__ import annotations
@@ -69,6 +72,46 @@ def _encode_value(typ: Any, v: Any, out: bytearray) -> None:
         out += zigzag_encode(branch)
         _encode_value(typ[branch], v, out)
         return
+    if isinstance(typ, dict):  # complex types
+        t = typ["type"]
+        if t == "record":
+            out += encode_record(typ, v if v is not None else {})
+            return
+        if t == "array":
+            items = list(v) if v is not None else []
+            if items:
+                out += zigzag_encode(len(items))
+                for it in items:
+                    _encode_value(typ["items"], it, out)
+            out += zigzag_encode(0)
+            return
+        if t == "map":
+            pairs = (
+                list(v.items()) if isinstance(v, dict)
+                else [tuple(p) for p in v] if v is not None
+                else []
+            )
+            if pairs:
+                out += zigzag_encode(len(pairs))
+                for k, val in pairs:
+                    kb = str(k).encode("utf-8")
+                    out += zigzag_encode(len(kb)) + kb
+                    _encode_value(typ["values"], val, out)
+            out += zigzag_encode(0)
+            return
+        if t == "enum":
+            out += zigzag_encode(typ["symbols"].index(v))
+            return
+        if t == "fixed":
+            b = bytes(v)
+            if len(b) != typ["size"]:
+                raise ValueError(
+                    f"fixed {typ.get('name', '')} expects {typ['size']} "
+                    f"bytes, got {len(b)}"
+                )
+            out += b
+            return
+        raise ValueError(f"unsupported avro complex type {t!r}")
     if typ == "null":
         return
     if typ == "boolean":
@@ -93,6 +136,46 @@ def _decode_value(typ: Any, buf: bytes, pos: int) -> tuple[Any, int]:
     if isinstance(typ, list):
         branch, pos = zigzag_decode(buf, pos)
         return _decode_value(typ[branch], buf, pos)
+    if isinstance(typ, dict):
+        t = typ["type"]
+        if t == "record":
+            row = {}
+            for f in typ["fields"]:
+                row[f["name"]], pos = _decode_value(f["type"], buf, pos)
+            return row, pos
+        if t == "array":
+            items = []
+            while True:
+                count, pos = zigzag_decode(buf, pos)
+                if count == 0:
+                    return items, pos
+                if count < 0:  # spec: |count| items preceded by byte size
+                    _size, pos = zigzag_decode(buf, pos)
+                    count = -count
+                for _ in range(count):
+                    it, pos = _decode_value(typ["items"], buf, pos)
+                    items.append(it)
+        if t == "map":
+            m = {}
+            while True:
+                count, pos = zigzag_decode(buf, pos)
+                if count == 0:
+                    return m, pos
+                if count < 0:
+                    _size, pos = zigzag_decode(buf, pos)
+                    count = -count
+                for _ in range(count):
+                    kl, pos = zigzag_decode(buf, pos)
+                    k = buf[pos : pos + kl].decode("utf-8")
+                    pos += kl
+                    m[k], pos = _decode_value(typ["values"], buf, pos)
+        if t == "enum":
+            idx, pos = zigzag_decode(buf, pos)
+            return typ["symbols"][idx], pos
+        if t == "fixed":
+            n = typ["size"]
+            return buf[pos : pos + n], pos + n
+        raise ValueError(f"unsupported avro complex type {t!r}")
     if typ == "null":
         return None, pos
     if typ == "boolean":
@@ -145,7 +228,47 @@ def _spark_type(typ: Any) -> T.DataType:
     if isinstance(typ, list):  # nullable union
         inner = next(t for t in typ if t != "null")
         return _spark_type(inner)
+    if isinstance(typ, dict):
+        t = typ["type"]
+        if t == "record":
+            return T.StructType(
+                [
+                    T.StructField(f["name"], _spark_type(f["type"]), True)
+                    for f in typ["fields"]
+                ]
+            )
+        if t == "array":
+            return T.ArrayType(_spark_type(typ["items"]))
+        if t == "map":
+            return T.MapType(T.StringType(), _spark_type(typ["values"]))
+        if t == "enum":
+            return T.StringType()
+        if t == "fixed":
+            return T.BinaryType()
+        raise ValueError(f"unsupported avro complex type {t!r}")
     return _AVRO_TO_SPARK[typ]
+
+
+def _clean_cell(v: Any) -> Any:
+    """Arrow->pandas cells to plain python: numpy scalars/arrays unwrap,
+    NaN -> None, struct dicts / map pairs recurse."""
+    import math
+
+    import numpy as np
+
+    if v is None:
+        return None
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    if isinstance(v, np.generic):
+        return v.item()
+    if isinstance(v, np.ndarray):
+        return [_clean_cell(x) for x in v.tolist()]
+    if isinstance(v, (list, tuple)):
+        return [_clean_cell(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _clean_cell(x) for k, x in v.items()}
+    return v
 
 
 def schema_to_struct(schema: dict) -> T.StructType:
@@ -170,7 +293,7 @@ def to_avro_py(df: DataFrame, schema: dict, *, out_col: str = "avro") -> DataFra
                 {
                     out_col: [
                         encode_record(
-                            schema, {c: (None if pd.isna(r[c]) else r[c]) for c in cols}
+                            schema, {c: _clean_cell(r[c]) for c in cols}
                         )
                         for r in pdf.to_dict("records")
                     ]

@@ -9,11 +9,19 @@ absent here) — this fallback implements the public protobuf wire format
   sint32/sint64 zigzag),
 - 64-bit (double) and 32-bit (float) fixed fields, little-endian,
 - length-delimited string/bytes,
+- nested messages: type ("message", [subfields]) — length-delimited
+  submessage payloads, recursive,
+- repeated fields: type ("repeated", inner) — numeric inners use proto3
+  packed encoding on write and accept both packed and expanded on read;
+  string/bytes/message inners repeat their tag per element,
 - tag = (field_number << 3) | wire_type; proto3 default-value omission on
-  encode, defaults restored on decode (null ≡ default, per proto3).
+  encode, defaults restored on decode (null ≡ default, repeated ≡ [],
+  absent message ≡ null, per proto3); unknown field numbers are skipped
+  by wire type.
 
 Schema shape: ordered field specs (name, number, type). DataFrame
-integration mirrors formats/avro_py.py (Arrow-batched mapInPandas).
+integration mirrors formats/avro_py.py (Arrow-batched mapInPandas);
+messages map to StructType, repeated to ArrayType.
 """
 
 from __future__ import annotations
@@ -69,33 +77,93 @@ def _to_signed64(u: int) -> int:
     return u - (1 << 64) if u >= (1 << 63) else u
 
 
-def encode_message(fields: list[tuple[str, int, str]], row: dict) -> bytes:
-    """Encode one flat message; proto3 semantics (defaults/None omitted)."""
+_PACKABLE = ("int32", "int64", "sint32", "sint64", "bool", "double", "float")
+
+
+def _encode_scalar(typ: str, v: Any) -> bytes:
+    if typ in ("int32", "int64"):
+        return varint_encode(int(v))
+    if typ in ("sint32", "sint64"):
+        return varint_encode((int(v) << 1) ^ (int(v) >> 63))
+    if typ == "bool":
+        return varint_encode(1 if v else 0)
+    if typ == "double":
+        return struct.pack("<d", float(v))
+    if typ == "float":
+        return struct.pack("<f", float(v))
+    raise ValueError(f"not a scalar numeric type {typ!r}")
+
+
+def encode_message(fields: list[tuple[str, int, Any]], row: dict) -> bytes:
+    """Encode one message; proto3 semantics (defaults/None/[] omitted)."""
     out = bytearray()
+    row = row or {}
     for name, number, typ in fields:
         v = row.get(name)
+        if isinstance(typ, tuple) and typ[0] == "message":
+            if v is None:
+                continue
+            sub = encode_message(typ[1], v)
+            out += varint_encode((number << 3) | 2)
+            out += varint_encode(len(sub)) + sub
+            continue
+        if isinstance(typ, tuple) and typ[0] == "repeated":
+            items = list(v) if v is not None else []
+            if not items:
+                continue
+            inner = typ[1]
+            if isinstance(inner, tuple) and inner[0] == "message":
+                for it in items:
+                    sub = encode_message(inner[1], it)
+                    out += varint_encode((number << 3) | 2)
+                    out += varint_encode(len(sub)) + sub
+            elif inner in _PACKABLE:
+                payload = b"".join(_encode_scalar(inner, it) for it in items)
+                out += varint_encode((number << 3) | 2)
+                out += varint_encode(len(payload)) + payload
+            else:  # string / bytes repeat their tag
+                for it in items:
+                    b = (
+                        str(it).encode("utf-8")
+                        if inner == "string"
+                        else bytes(it)
+                    )
+                    out += varint_encode((number << 3) | 2)
+                    out += varint_encode(len(b)) + b
+            continue
         if v is None or v == _DEFAULTS[typ]:
             continue
         out += varint_encode((number << 3) | _WIRE[typ])
-        if typ in ("int32", "int64"):
-            out += varint_encode(int(v))
-        elif typ in ("sint32", "sint64"):
-            out += varint_encode((int(v) << 1) ^ (int(v) >> 63))
-        elif typ == "bool":
-            out += varint_encode(1)
-        elif typ == "double":
-            out += struct.pack("<d", float(v))
-        elif typ == "float":
-            out += struct.pack("<f", float(v))
-        elif typ in ("string", "bytes"):
+        if typ in ("string", "bytes"):
             b = str(v).encode("utf-8") if typ == "string" else bytes(v)
             out += varint_encode(len(b)) + b
+        else:
+            out += _encode_scalar(typ, v)
     return bytes(out)
 
 
-def decode_message(fields: list[tuple[str, int, str]], buf: bytes) -> dict:
+def _decode_scalar_at(typ: str, buf: bytes, pos: int) -> tuple[Any, int]:
+    if typ == "double":
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if typ == "float":
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    u, pos = varint_decode(buf, pos)
+    if typ in ("sint32", "sint64"):
+        return (u >> 1) ^ -(u & 1), pos
+    if typ == "bool":
+        return u == 1, pos
+    return _to_signed64(u), pos
+
+
+def _default_for(typ: Any) -> Any:
+    if isinstance(typ, tuple):
+        return [] if typ[0] == "repeated" else None  # repeated / message
+    return _DEFAULTS[typ]
+
+
+def decode_message(fields: list[tuple[str, int, Any]], buf: bytes) -> dict:
     by_number = {number: (name, typ) for name, number, typ in fields}
-    row = {name: _DEFAULTS[typ] for name, _n, typ in fields}
+    row = {name: _default_for(typ) for name, _n, typ in fields}
     pos, n = 0, len(buf)
     while pos < n:
         tag, pos = varint_decode(buf, pos)
@@ -117,25 +185,47 @@ def decode_message(fields: list[tuple[str, int, str]], buf: bytes) -> dict:
                 raise ValueError(f"unsupported wire type {wire}")
             continue
         name, typ = by_number[number]
-        if wire == 0:
-            u, pos = varint_decode(buf, pos)
-            if typ in ("sint32", "sint64"):
-                row[name] = (u >> 1) ^ -(u & 1)
-            elif typ == "bool":
-                row[name] = u == 1
-            else:
-                row[name] = _to_signed64(u)
-        elif wire == 1:
-            row[name] = struct.unpack_from("<d", buf, pos)[0]
-            pos += 8
-        elif wire == 5:
-            row[name] = struct.unpack_from("<f", buf, pos)[0]
-            pos += 4
-        elif wire == 2:
+        if isinstance(typ, tuple) and typ[0] == "message":
+            if wire != 2:
+                raise ValueError(f"message field {name} with wire {wire}")
+            ln, pos = varint_decode(buf, pos)
+            row[name] = decode_message(typ[1], buf[pos : pos + ln])
+            pos += ln
+            continue
+        if isinstance(typ, tuple) and typ[0] == "repeated":
+            inner = typ[1]
+            if isinstance(inner, tuple) and inner[0] == "message":
+                if wire != 2:
+                    raise ValueError(f"repeated message {name} wire {wire}")
+                ln, pos = varint_decode(buf, pos)
+                row[name].append(decode_message(inner[1], buf[pos : pos + ln]))
+                pos += ln
+            elif inner in ("string", "bytes"):
+                if wire != 2:
+                    raise ValueError(f"repeated {inner} {name} wire {wire}")
+                ln, pos = varint_decode(buf, pos)
+                raw = buf[pos : pos + ln]
+                pos += ln
+                row[name].append(
+                    raw.decode("utf-8") if inner == "string" else raw
+                )
+            elif wire == 2:  # packed numerics
+                ln, pos = varint_decode(buf, pos)
+                end = pos + ln
+                while pos < end:
+                    v, pos = _decode_scalar_at(inner, buf, pos)
+                    row[name].append(v)
+            else:  # expanded numeric element
+                v, pos = _decode_scalar_at(inner, buf, pos)
+                row[name].append(v)
+            continue
+        if wire == 2:
             ln, pos = varint_decode(buf, pos)
             raw = buf[pos : pos + ln]
             pos += ln
             row[name] = raw.decode("utf-8") if typ == "string" else raw
+        elif wire in (0, 1, 5):
+            row[name], pos = _decode_scalar_at(typ, buf, pos)
         else:
             raise ValueError(f"unsupported wire type {wire}")
     return row
@@ -150,9 +240,19 @@ _PB_TO_SPARK = {
 }
 
 
-def fields_to_struct(fields: list[tuple[str, int, str]]) -> T.StructType:
+def _pb_spark_type(typ: Any) -> T.DataType:
+    if isinstance(typ, tuple):
+        if typ[0] == "message":
+            return fields_to_struct(typ[1])
+        if typ[0] == "repeated":
+            return T.ArrayType(_pb_spark_type(typ[1]))
+        raise ValueError(f"unsupported protobuf type {typ!r}")
+    return _PB_TO_SPARK[typ]
+
+
+def fields_to_struct(fields: list[tuple[str, int, Any]]) -> T.StructType:
     return T.StructType(
-        [T.StructField(name, _PB_TO_SPARK[typ], True) for name, _n, typ in fields]
+        [T.StructField(name, _pb_spark_type(typ), True) for name, _n, typ in fields]
     )
 
 
@@ -164,13 +264,15 @@ def to_protobuf_py(
     def run(batches):
         import pandas as pd
 
+        from flink_psl_spark.formats.avro_py import _clean_cell
+
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     out_col: [
                         encode_message(
                             fields,
-                            {c: (None if pd.isna(r[c]) else r[c]) for c in cols},
+                            {c: _clean_cell(r[c]) for c in cols},
                         )
                         for r in pdf.to_dict("records")
                     ]

@@ -227,3 +227,127 @@ def protobuf_py_roundtrip(spark, sf_dir):
         t["orders"].select("o_orderkey", "o_totalprice", "o_orderpriority")
     )
     return from_protobuf_py(to_protobuf_py(src, fields), fields)
+
+
+@query(
+    "avro_py_nested_roundtrip",
+    # encode -> decode is identity; the oracle recomputes the flattened
+    # projection of the nested record (struct / array / map columns) in SQL
+    oracle="""
+    SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS total,
+           STRING_SPLIT(o_orderpriority, '-')[2] AS prio_word,
+           CAST(LEN(STRING_SPLIT(o_orderpriority, '-')) AS INTEGER) AS n_parts,
+           CAST(o_custkey AS VARCHAR) AS cust
+    FROM orders
+    """,
+)
+def avro_py_nested_roundtrip(spark, sf_dir):
+    """Nested Avro: record-in-record + array + map through the binary codec
+    (reference flink-formats/flink-avro supports the full complex-type
+    lattice — AvroSchemaConverter). Flattened after decode so the driver
+    can hash scalar columns."""
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.formats.avro_py import from_avro_py, to_avro_py
+    from flink_psl_spark.parallelism import ensure_parallelism
+
+    schema = {
+        "type": "record",
+        "name": "order_doc",
+        "fields": [
+            {"name": "o_orderkey", "type": "long"},
+            {
+                "name": "meta",
+                "type": {
+                    "type": "record",
+                    "name": "meta_t",
+                    "fields": [
+                        {"name": "status", "type": "string"},
+                        {"name": "total", "type": "double"},
+                    ],
+                },
+            },
+            {"name": "prio_parts", "type": {"type": "array", "items": "string"}},
+            {"name": "attrs", "type": {"type": "map", "values": "string"}},
+        ],
+    }
+    t = tables(spark, sf_dir)
+    src = ensure_parallelism(
+        t["orders"].select(
+            "o_orderkey",
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_totalprice").alias("total"),
+            ).alias("meta"),
+            F.split(F.col("o_orderpriority"), "-").alias("prio_parts"),
+            F.create_map(
+                F.lit("cust"), F.col("o_custkey").cast("string")
+            ).alias("attrs"),
+        )
+    )
+    dec = from_avro_py(to_avro_py(src, schema), schema)
+    return dec.select(
+        "o_orderkey",
+        F.col("meta.status").alias("status"),
+        F.col("meta.total").alias("total"),
+        F.element_at("prio_parts", 2).alias("prio_word"),
+        F.size("prio_parts").alias("n_parts"),
+        F.element_at("attrs", F.lit("cust")).alias("cust"),
+    )
+
+
+@query(
+    "protobuf_py_nested_roundtrip",
+    oracle="""
+    SELECT event_id, user_id AS uid, event_type AS etype,
+           STRING_SPLIT(event_type, '_')[1] AS tag1,
+           CAST(LEN(STRING_SPLIT(event_type, '_')) AS INTEGER) AS n_tags,
+           event_id % 100 AS num2
+    FROM events
+    """,
+)
+def protobuf_py_nested_roundtrip(spark, sf_dir):
+    """Nested protobuf: submessage + repeated string + packed repeated
+    int64 through the wire codec (reference flink-formats/flink-protobuf
+    supports nested/repeated via its row converters). Flattened after decode
+    for scalar hashing."""
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.formats.protobuf_py import (
+        from_protobuf_py,
+        to_protobuf_py,
+    )
+    from flink_psl_spark.parallelism import ensure_parallelism
+
+    fields = [
+        ("event_id", 1, "int64"),
+        (
+            "who",
+            2,
+            ("message", [("uid", 1, "int64"), ("etype", 2, "string")]),
+        ),
+        ("tags", 3, ("repeated", "string")),
+        ("nums", 4, ("repeated", "int64")),
+    ]
+    t = tables(spark, sf_dir)
+    src = ensure_parallelism(
+        t["events"].select(
+            "event_id",
+            F.struct(
+                F.col("user_id").alias("uid"),
+                F.col("event_type").alias("etype"),
+            ).alias("who"),
+            F.split(F.col("event_type"), "_").alias("tags"),
+            F.array(F.col("user_id"), F.col("event_id") % 100).alias("nums"),
+        ),
+        "event_id",
+    )
+    dec = from_protobuf_py(to_protobuf_py(src, fields), fields)
+    return dec.select(
+        "event_id",
+        F.col("who.uid").alias("uid"),
+        F.col("who.etype").alias("etype"),
+        F.element_at("tags", 1).alias("tag1"),
+        F.size("tags").alias("n_tags"),
+        F.element_at("nums", 2).alias("num2"),
+    )

@@ -362,6 +362,76 @@ def test_protobuf_py_codec_spec_vectors():
         assert decode_message(fields, encode_message(fields, rec)) == rec
 
 
+def test_avro_py_nested_complex_types():
+    """Nested record + array + map + enum + fixed roundtrip, plus the
+    spec's array block-encoding byte vector."""
+    from flink_psl_spark.formats.avro_py import decode_record, encode_record
+
+    sch = {
+        "type": "record", "name": "R", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "meta", "type": {
+                "type": "record", "name": "M", "fields": [
+                    {"name": "s", "type": "string"},
+                    {"name": "x", "type": ["null", "double"]}]}},
+            {"name": "words", "type": {"type": "array", "items": "string"}},
+            {"name": "attrs", "type": {"type": "map", "values": "long"}},
+            {"name": "color", "type": {
+                "type": "enum", "name": "C", "symbols": ["RED", "GREEN"]}},
+            {"name": "fx", "type": {"type": "fixed", "name": "F", "size": 3}},
+        ],
+    }
+    for rec in (
+        {"id": 7, "meta": {"s": "hi", "x": None}, "words": ["a", "bb", ""],
+         "attrs": {"k1": 1, "k2": -5}, "color": "GREEN", "fx": b"abc"},
+        {"id": 0, "meta": {"s": "", "x": 2.5}, "words": [], "attrs": {},
+         "color": "RED", "fx": b"xyz"},
+    ):
+        assert decode_record(sch, encode_record(sch, rec)) == rec
+    # spec vector: array [3, 27] of long -> count 2, zigzag 3, zigzag 27, 0
+    asch = {"type": "record", "name": "A", "fields": [
+        {"name": "a", "type": {"type": "array", "items": "long"}}]}
+    assert encode_record(asch, {"a": [3, 27]}) == bytes(
+        [0x04, 0x06, 0x36, 0x00]
+    )
+    # block-with-size form (negative count) accepted on read
+    blocky = bytes([0x03, 0x04, 0x06, 0x36, 0x00])  # -2 items, 2 bytes
+    assert decode_record(asch, blocky) == {"a": [3, 27]}
+
+
+def test_protobuf_py_nested_repeated():
+    """Submessages, repeated strings/messages, packed numerics (encoding
+    guide vector), expanded-form read compatibility, proto3 defaults."""
+    from flink_psl_spark.formats.protobuf_py import (
+        decode_message,
+        encode_message,
+    )
+
+    pf = [
+        ("id", 1, "int64"),
+        ("user", 2, ("message", [("uid", 1, "int64"), ("name", 2, "string")])),
+        ("tags", 3, ("repeated", "string")),
+        ("vals", 4, ("repeated", "int64")),
+        ("pts", 5, ("repeated", ("message", [("x", 1, "double")]))),
+    ]
+    msg = {"id": 5, "user": {"uid": 9, "name": "bob"},
+           "tags": ["a", "b"], "vals": [3, 270, -1],
+           "pts": [{"x": 1.5}, {"x": 0.0}]}
+    assert decode_message(pf, encode_message(pf, msg)) == msg
+    # docs packed example: repeated int32 [3, 270, 86942] as field 4
+    pf2 = [("f", 4, ("repeated", "int32"))]
+    assert encode_message(pf2, {"f": [3, 270, 86942]}) == bytes.fromhex(
+        "2206038E029EA705"
+    )
+    # the same values written expanded (one varint tag per element)
+    expanded = bytes.fromhex("2003" + "208E02" + "209EA705")
+    assert decode_message(pf2, expanded) == {"f": [3, 270, 86942]}
+    # proto3 defaults: absent message -> None, absent repeated -> []
+    assert decode_message(pf, b"") == {
+        "id": 0, "user": None, "tags": [], "vals": [], "pts": [],
+    }
+
+
 def test_protobuf_py_unknown_fields_and_malformed_varints():
     """Spec behavior: unknown field numbers are skipped per wire type (a
     newer writer's extra fields degrade gracefully); malformed/truncated
