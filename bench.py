@@ -72,10 +72,11 @@ def main() -> int:
         F.sum(_warm(F.col("id")))
     ).collect()
 
-    # two passes, min per query: steady-state cost (first pass absorbs the
-    # per-shape codegen/JIT; single-run attribution is ±5s noisy under GC)
+    # three passes, min per query: steady-state cost (first pass absorbs the
+    # per-shape codegen/JIT; single-run attribution is ±5s noisy under GC,
+    # and n=3 separates real regressions from scheduler jitter)
     per_query: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in HEADLINE:
             fn = QUERIES[name]
             t0 = time.time()
@@ -93,7 +94,7 @@ def main() -> int:
                 "metric": "headline_total",
                 "value": total,
                 "unit": "sec",
-                "n": 2,
+                "n": 3,
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -120,20 +120,114 @@ def fake_decode_image(
     return np.tile(buf, reps)[:need].reshape(height, width, 3)
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Minimal stdlib-only PNG decoder → H×W×3 uint8 RGB.
+
+    Implements the public PNG specification (RFC 2083 / W3C PNG): chunk
+    walk, zlib inflate of IDAT, per-row unfiltering (None/Sub/Up/Average/
+    Paeth), for 8-bit greyscale (0), RGB (2), grey+alpha (4) and RGBA (6),
+    non-interlaced. Alpha is dropped, grey replicated to RGB. Palette and
+    interlaced images raise (→ caller falls back). This keeps a REAL
+    image-decode branch exercisable without PIL in the container.
+    """
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = None
+    color_type = bit_depth = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if bit_depth != 8:
+                raise ValueError(f"unsupported bit depth {bit_depth}")
+            if color_type not in (0, 2, 4, 6):
+                raise ValueError(f"unsupported color type {color_type}")
+            if interlace:
+                raise ValueError("interlaced PNG not supported")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        raise ValueError("truncated PNG data")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
+        pos += stride + 1
+        if ftype == 1:  # Sub: add left (per channel) — sequential in x
+            for x in range(channels, stride):
+                row[x] = (int(row[x]) + int(row[x - channels])) & 0xFF
+        elif ftype == 2:  # Up
+            row += prev
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = int(row[x - channels]) if x >= channels else 0
+                row[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = int(row[x - channels]) if x >= channels else 0
+                b = int(prev[x])
+                c = int(prev[x - channels]) if x >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else b if pb <= pc else c
+                row[x] = (int(row[x]) + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y] = row
+        prev = row
+    px = out.reshape(height, width, channels)
+    if color_type == 0:
+        return np.repeat(px, 3, axis=2)
+    if color_type == 2:
+        return px
+    if color_type == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]  # RGBA → RGB
+
+
 def decode_image(
     payload: bytes | None, *, width: int | None = None, height: int | None = None
 ) -> np.ndarray:
     """Decode an image payload to an H×W×3 uint8 RGB array.
 
-    Real path (PIL present) decodes the actual bytes; fallback is the
-    deterministic fake above, keeping the pipeline runnable codec-free.
+    Real paths: PIL when present (any format), else the stdlib PNG decoder
+    for PNG payloads; fallback is the deterministic fake above, keeping the
+    pipeline runnable codec-free for non-PNG payloads.
     """
-    if _HAVE_PIL and payload:
-        try:
-            img = _PILImage.open(io.BytesIO(payload)).convert("RGB")
-            return np.asarray(img, dtype=np.uint8)
-        except Exception:
-            pass  # not a decodable image → deterministic fallback
+    if payload:
+        if _HAVE_PIL:
+            try:
+                img = _PILImage.open(io.BytesIO(payload)).convert("RGB")
+                return np.asarray(img, dtype=np.uint8)
+            except Exception:
+                pass  # not a decodable image → deterministic fallback
+        elif bytes(payload[:8]) == _PNG_MAGIC:
+            try:
+                return decode_png(bytes(payload))
+            except Exception:
+                pass
     return fake_decode_image(payload, width, height)
 
 

@@ -231,6 +231,105 @@ def test_decode_image_fallback_deterministic(spark):
     assert img.flatten().tolist() == [1, 2, 3, 4, 1, 2, 3, 4, 1, 2, 3, 4]
 
 
+def _encode_png(px, color_type, filter_type=0):
+    """Stdlib PNG writer (spec chunks + chosen per-row filter) for tests."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = px.shape
+    flat = px.reshape(h, w * c).astype(np.int16)
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body)
+        )
+
+    lines = bytearray()
+    prev = np.zeros(w * c, dtype=np.int16)
+    for y in range(h):
+        row = flat[y]
+        if filter_type == 0:
+            enc = row
+        elif filter_type == 1:  # Sub
+            left = np.concatenate([np.zeros(c, dtype=np.int16), row[:-c]])
+            enc = row - left
+        elif filter_type == 2:  # Up
+            enc = row - prev
+        elif filter_type == 3:  # Average
+            left = np.concatenate([np.zeros(c, dtype=np.int16), row[:-c]])
+            enc = row - ((left + prev) >> 1)
+        else:  # Paeth
+            left = np.concatenate([np.zeros(c, dtype=np.int16), row[:-c]])
+            upleft = np.concatenate([np.zeros(c, dtype=np.int16), prev[:-c]])
+            p = left + prev - upleft
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = row - pred
+        lines.append(filter_type)
+        lines += (enc & 0xFF).astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_real_pixels_all_filters():
+    """The stdlib PNG decode branch reproduces exact pixels for every
+    filter type and color type (public PNG spec vectors built in-test)."""
+    import numpy as np
+
+    from flink_psl_spark.llm.multimodal import decode_image, decode_png
+
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    for f in range(5):
+        payload = _encode_png(rgb, color_type=2, filter_type=f)
+        assert np.array_equal(decode_png(payload), rgb), f"filter {f}"
+    # greyscale replicates to RGB; RGBA drops alpha
+    grey = rng.randint(0, 256, size=(3, 6, 1), dtype=np.uint8)
+    out = decode_png(_encode_png(grey, color_type=0))
+    assert np.array_equal(out, np.repeat(grey, 3, axis=2))
+    rgba = rng.randint(0, 256, size=(4, 4, 4), dtype=np.uint8)
+    out = decode_png(_encode_png(rgba, color_type=6, filter_type=4))
+    assert np.array_equal(out, rgba[:, :, :3])
+    # decode_image dispatches PNG payloads to the real decoder (PIL or the
+    # stdlib path) — never the byte-tiling fake
+    assert np.array_equal(decode_image(_encode_png(rgb, 2, 1)), rgb)
+
+
+def test_decode_resize_stats_on_real_png(spark):
+    """The Spark decode pipeline over an actual PNG payload produces stats
+    from the REAL pixels (non-fake branch end-to-end)."""
+    import numpy as np
+
+    from flink_psl_spark.llm.multimodal import (
+        decode_resize_stats,
+        resize_image,
+    )
+
+    rng = np.random.RandomState(11)
+    rgb = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    payload = _encode_png(rgb, color_type=2, filter_type=2)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload), None)],
+        "media_id long, media_type string, payload binary, "
+        "meta map<string,string>",
+    )
+    row = decode_resize_stats(media, out_w=8, out_h=8).collect()[0]
+    small = resize_image(rgb, 8, 8)
+    means = small.reshape(-1, 3).mean(axis=0)
+    assert np.allclose([row["mean_r"], row["mean_g"], row["mean_b"]], means)
+
+
 def test_resize_image_nearest_neighbor():
     import numpy as np
 
