@@ -520,6 +520,91 @@ def test_streaming_rejects_no_skip(spark):
         )
 
 
+def test_after_match_strategies_brute_force(spark):
+    """Exhaustive check over all 3^5 sequences: NO_SKIP and SKIP_TO_LAST
+    vs independent python replicas (overlap semantics, not just counts)."""
+    import datetime as dt
+    import itertools
+
+    from flink_psl_spark.cep import (
+        NO_SKIP,
+        Measure,
+        Step,
+        match_recognize,
+        skip_to_last,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    cases = list(itertools.product("abx", repeat=5))
+    rows = [
+        (f"s{ci}", i, t, base + dt.timedelta(minutes=i))
+        for ci, types in enumerate(cases)
+        for i, t in enumerate(types)
+    ]
+    df = spark.createDataFrame(rows, "k string, eid long, et string, ts timestamp")
+    pat = [Step.one_or_more("A", "et = 'a'"), Step.once("B", "et = 'b'")]
+    meas = [Measure("a1", "A", "first", "eid"), Measure("n", "A", "count")]
+
+    def collect(am, pattern=pat):
+        out = match_recognize(df, "k", ["ts", "eid"], pattern, meas, after_match=am)
+        got: dict[str, set] = {}
+        for r in out.collect():
+            got.setdefault(r["k"], set()).add((r["a1"], r["n"]))
+        return got
+
+    # NO_SKIP on strict A+ B: every contiguous a-block whose next row is b
+    got = collect(NO_SKIP)
+    for ci, types in enumerate(cases):
+        want = {
+            (i, j - i + 1)
+            for i in range(5)
+            for j in range(i, 5)
+            if all(t == "a" for t in types[i : j + 1])
+            and j + 1 < 5
+            and types[j + 1] == "b"
+        }
+        assert got.get(f"s{ci}", set()) == want, (types, want)
+
+    # NO_SKIP on A followedBy B: every (a_i, b_j) pair with j > i
+    pat2 = [Step.once("A", "et = 'a'"), Step.followed_by("B", "et = 'b'")]
+    out2 = match_recognize(
+        df, "k", ["ts", "eid"], pat2,
+        [Measure("ai", "A", "first", "eid"), Measure("bj", "B", "first", "eid")],
+        after_match=NO_SKIP,
+    )
+    got2: dict[str, set] = {}
+    for r in out2.collect():
+        got2.setdefault(r["k"], set()).add((r["ai"], r["bj"]))
+    for ci, types in enumerate(cases):
+        want = {
+            (i, j)
+            for i in range(5)
+            for j in range(i + 1, 5)
+            if types[i] == "a" and types[j] == "b"
+        }
+        assert got2.get(f"s{ci}", set()) == want, (types, want)
+
+    # SKIP_TO_LAST(A) on strict A+ B: per maximal a-run followed by b,
+    # the full run plus (len >= 2) its last element as a 1-run
+    got3 = collect(skip_to_last("A"))
+    for ci, types in enumerate(cases):
+        want = set()
+        i = 0
+        while i < 5:
+            if types[i] == "a":
+                j = i
+                while j + 1 < 5 and types[j + 1] == "a":
+                    j += 1
+                if j + 1 < 5 and types[j + 1] == "b":
+                    want.add((i, j - i + 1))
+                    if j > i:
+                        want.add((j, 1))
+                i = j + 1
+            else:
+                i += 1
+        assert got3.get(f"s{ci}", set()) == want, (types, want)
+
+
 def test_match_recognize_sql_equals_library(spark, seq):
     """The SQL clause front-end compiles to the same matches as the library
     API (quantifier, measures, defines, default skip)."""
