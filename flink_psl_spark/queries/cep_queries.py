@@ -674,6 +674,75 @@ def match_recognize_sql_skip_chain(spark, sf_dir):
 
 
 @query(
+    "stream_cep_no_conversion_within",
+    # same replica as the batch cep_no_conversion_within: a click matches
+    # iff no purchase follows it (in (ts, event_id) order) within one hour
+    oracle="""
+    SELECT CAST(c.user_id AS VARCHAR) AS user_id, COUNT(*) AS n_unconverted
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+          AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
+          AND p.ts <= c.ts + INTERVAL 1 HOUR)
+    GROUP BY c.user_id
+    """,
+)
+def stream_cep_no_conversion_within(spark, sf_dir):
+    """STREAMING trailing notFollowedBy bounded by WITHIN — the reference's
+    only legal trailing-NOT form (Pattern.notFollowedBy + within), emitted
+    when the watermark closes each match's window (CepOperator timer
+    timeout). Must equal the batch NFA / NOT EXISTS replica."""
+    import datetime as dt
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.cep import Measure, Step
+    from flink_psl_spark.streaming import run_to_memory_table
+    from flink_psl_spark.streaming.cep_stream import streaming_match_recognize
+
+    t = tables(spark, sf_dir)
+    ev = t["events"].select(
+        F.col("user_id").cast("string").alias("u"),
+        F.col("event_id").alias("eid"),
+        F.col("event_type").alias("et"),
+        "ts",
+    )
+    d = tempfile.mkdtemp(prefix="fps_scep_nfbw_")
+    ev.coalesce(4).write.parquet(f"{d}/src")
+    far = ev.select(F.max("ts")).first()[0] + dt.timedelta(days=30)
+    spark.createDataFrame(
+        [("__sentinel__", 0, "x", far)],
+        "u string, eid long, et string, ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(f"{d}/src")
+
+    st = (
+        spark.readStream.schema("u string, eid long, et string, ts timestamp")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(f"{d}/src")
+    )
+    out = streaming_match_recognize(
+        st,
+        "u",
+        "ts",
+        [
+            Step.once("click", "et = 'click'"),
+            Step.not_followed_by("np", "et = 'purchase'"),
+        ],
+        [Measure("click_id", "click", "first", "eid")],
+        delay="5 minutes",
+        tiebreak_col="eid",
+        within="1 hour",
+    )
+    mem = run_to_memory_table(out, output_mode="append")
+    return mem.groupBy(F.col("u").alias("user_id")).agg(
+        F.count("*").alias("n_unconverted")
+    )
+
+
+@query(
     "cep_no_conversion_within",
     # bounded terminal negation: a click matches iff no purchase occurs
     # after it (in (ts, event_id) order) within one hour of the click

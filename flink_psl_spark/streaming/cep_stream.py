@@ -55,6 +55,7 @@ def streaming_match_recognize(
     delay: str = "10 minutes",
     horizon_ms: int | None = None,
     tiebreak_col: str | None = None,
+    within: str | None = None,
 ) -> DataFrame:
     """MATCH_RECOGNIZE over a watermarked stream (append output).
 
@@ -62,12 +63,20 @@ def streaming_match_recognize(
     ``delay`` is the watermark delay; ``horizon_ms`` bounds state for
     patterns with a known max span (≈ Pattern.within).
 
+    ``within``: max span (e.g. ``'30 minutes'``) between a match's first
+    and last bound row, as in the batch matcher (reference Pattern.within).
+    A WITHIN bound also legalizes a TERMINAL not_followed_by on streams —
+    the reference's exact rule (a trailing notFollowedBy requires a within
+    interval): the negative scan closes once the watermark passes
+    first_bound_row + within, so emission defers until then and never
+    asserts over the unbounded future.
+
     ``after_match``: SKIP_PAST_LAST_ROW (default), SKIP_TO_NEXT_ROW,
     skip_to_first(var), skip_to_last(var). NO_SKIP is rejected: its
     all-solutions semantics keep every attempt position live against the
     unbounded future (relaxed steps may bind ever-later rows), so no
     finalized prefix ever confirms the full solution set — same class of
-    restriction as the terminal not_followed_by guard below.
+    restriction as the unbounded terminal not_followed_by guard below.
     """
     names = [s.name for s in pattern]
     _validate_modes(pattern)
@@ -78,16 +87,20 @@ def streaming_match_recognize(
             "(all-solutions over an unbounded future cannot finalize); "
             "use the batch matcher or a skip strategy"
         )
-    if pattern[-1].mode == "not_followed_by":
-        # a terminal NOT asserts over the unbounded future; the streaming
-        # matcher only sees the watermark-finalized prefix, so it would
-        # emit matches later events could invalidate. The reference has the
-        # same restriction (notFollowedBy cannot end a pattern without a
-        # within bound); express the bound as a positive step or run batch.
+    within_ms = (
+        int(pd.Timedelta(within).value // 1_000_000) if within is not None else None
+    )
+    if pattern[-1].mode == "not_followed_by" and within_ms is None:
+        # an UNBOUNDED terminal NOT asserts over the unbounded future; the
+        # streaming matcher only sees the watermark-finalized prefix, so it
+        # would emit matches later events could invalidate. The reference
+        # has the same restriction (notFollowedBy cannot end a pattern
+        # without a within bound) — pass ``within`` to enable it.
         raise ValueError(
             "streaming match_recognize cannot end with not_followed_by "
-            "(unbounded-future negation): bound it with a following step "
-            "or use the batch matcher"
+            "without a within bound (unbounded-future negation): pass "
+            "within=..., bound it with a following step, or use the batch "
+            "matcher"
         )
     pred_cols = {s.name: f"__p_{s.name}" for s in pattern}
     wm = events.withWatermark(ts_col, delay)
@@ -148,11 +161,20 @@ def streaming_match_recognize(
             }
             n, start, consumed_upto = len(final), 0, 0
             terminal_not_next = spec[-1][4] == "not_next"
+            terminal_nfb = spec[-1][4] == "not_followed_by"
+            times_arr = (
+                final[ts_col].to_numpy() if within_ms is not None else None
+            )
             while start < n:
-                b = _match_at(preds, spec, start, n)
+                b = _match_at(preds, spec, start, n, times_arr, within_ms)
                 if b is not None:
                     lo = min(i for idxs in b.values() for i in idxs)
                     hi = max(i for idxs in b.values() for i in idxs)
+                    if within_ms is not None and (
+                        times_arr[hi] - times_arr[lo] > within_ms
+                    ):
+                        start += 1
+                        continue
                     if terminal_not_next and hi + 1 == n:
                         # the trailing notNext asserted at the finalized-
                         # prefix boundary (pos == n): a future row could
@@ -163,6 +185,14 @@ def streaming_match_recognize(
                         # (append-mode emission is irrevocable, so a
                         # vacuous pass here would emit matches the batch
                         # matcher rejects).
+                        break
+                    if terminal_nfb and int(times_arr[lo]) + within_ms > wm_ms:
+                        # the trailing notFollowedBy's window (anchored at
+                        # the first bound row) still reaches past the
+                        # watermark: a future row inside it could satisfy
+                        # the negation. Defer until the watermark closes
+                        # the window — the reference's timer-driven
+                        # pattern-timeout emission.
                         break
                     row = {partition_by: key[0], "match_seq": seq}
                     for out_name, step, fnm, col in meas:

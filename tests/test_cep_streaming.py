@@ -174,7 +174,7 @@ def test_streaming_rejects_terminal_not_followed_by(spark, t):
         )
 
 
-def _run_pattern(spark, files, pattern, measures, delay="5 minutes"):
+def _run_pattern(spark, files, pattern, measures, delay="5 minutes", **kw):
     from flink_psl_spark.streaming import run_to_memory_table
     from flink_psl_spark.streaming.cep_stream import streaming_match_recognize
 
@@ -189,7 +189,7 @@ def _run_pattern(spark, files, pattern, measures, delay="5 minutes"):
         .parquet(f"{d}/src")
     )
     out = streaming_match_recognize(
-        st, "u", "ts", pattern, measures, delay=delay, tiebreak_col="eid"
+        st, "u", "ts", pattern, measures, delay=delay, tiebreak_col="eid", **kw
     )
     return run_to_memory_table(out, output_mode="append")
 
@@ -244,6 +244,55 @@ def test_streaming_terminal_not_next_resolves_when_confirmed(spark):
     )
     got = [r["aid"] for r in mem.collect()]
     assert got == [1]
+
+
+def test_streaming_terminal_nfb_with_within(spark):
+    """A WITHIN bound legalizes the trailing notFollowedBy on streams:
+    emission waits for the watermark to close each match's window, so an
+    in-window purchase arriving later still kills the match, and a clean
+    window emits exactly once."""
+    pattern = [
+        Step.once("c", "et = 'c'"),
+        Step.not_followed_by("np", "et = 'p'"),
+    ]
+    measures = [Measure("cid", "c", "first", "eid")]
+    # purchase lands inside the 1h window but AFTER the watermark first
+    # passed the click — the deferred match must be rejected
+    mem = _run_pattern(
+        spark,
+        [
+            [("k", 1, "c", TS(0))],
+            [("k", 8, "x", TS(10))],   # wm advances past the click
+            [("k", 2, "p", TS(30))],   # in-window purchase, late batch
+            [("k", 9, "x", dt.datetime(2024, 1, 1, 3, 0))],
+        ],
+        pattern,
+        measures,
+        within="1 hour",
+    )
+    assert mem.count() == 0
+    # clean window: emitted once the watermark passes click + 1h
+    mem2 = _run_pattern(
+        spark,
+        [
+            [("k", 1, "c", TS(0))],
+            [("k", 8, "x", TS(10))],
+            [("k", 9, "x", dt.datetime(2024, 1, 1, 3, 0))],
+        ],
+        pattern,
+        measures,
+        within="1 hour",
+    )
+    assert [r["cid"] for r in mem2.collect()] == [1]
+    # without within the trailing NOT still rejects
+    import pytest as _pytest
+
+    from flink_psl_spark.streaming.cep_stream import streaming_match_recognize
+
+    with _pytest.raises(ValueError, match="within"):
+        streaming_match_recognize(
+            spark.createDataFrame([], SCHEMA), "u", "ts", pattern, measures
+        )
 
 
 def test_streaming_mid_pattern_negation_matches_batch(spark, t, sf_dir):
