@@ -59,6 +59,12 @@ class Step:
     #   not_followed_by — notFollowedBy(): no matching row may occur before
     #                     the next step's match (or partition end when last)
     mode: str = "strict"
+    # quantified subpattern (reference GroupPattern.java): when set, this
+    # step matches the sub-steps in sequence, repeated per the quantifier,
+    # iterations contiguous with each other; ``predicate`` is unused. Each
+    # iteration appends its rows to the sub-steps' bindings (measures over a
+    # sub-variable aggregate across iterations, as in the reference).
+    sub: list["Step"] | None = None
 
     @staticmethod
     def once(name: str, predicate: str) -> "Step":
@@ -99,6 +105,33 @@ class Step:
         rows, then bind the quantified block at the first viable position
         (later positions explored on backtrack — followedByAny-style)."""
         return Step(name, predicate, min_times, max_times, greedy, "relaxed")
+
+    @staticmethod
+    def group(
+        name: str,
+        sub: list["Step"],
+        n: int,
+        m: int | None = None,
+        *,
+        greedy: bool = True,
+        mode: str = "strict",
+    ) -> "Step":
+        """Quantified subpattern (reference GroupPattern.java:44 —
+        Pattern.begin(subPattern).times/oneOrMore): the sub-steps match in
+        sequence ``n`` times (or ``n``..``m``; ``m=None`` with ``n`` kept =
+        exactly ``n``; use ``group_at_least`` for unbounded). ``mode``
+        'relaxed' scans forward for the first iteration (followedBy group).
+        Sub-steps may not be NOT steps, and at least one must bind a row.
+        """
+        return Step(name, "true", n, m if m is not None else n, greedy, mode, sub)
+
+    @staticmethod
+    def group_at_least(
+        name: str, sub: list["Step"], n: int, *, greedy: bool = True,
+        mode: str = "strict",
+    ) -> "Step":
+        """``n`` or more subpattern iterations (GroupPattern timesOrMore)."""
+        return Step(name, "true", n, None, greedy, mode, sub)
 
     @staticmethod
     def not_next(name: str, predicate: str) -> "Step":
@@ -158,13 +191,17 @@ def _parse_after_match(after_match: str, pattern: list["Step"]) -> tuple[str, st
     if strategy in (SKIP_PAST_LAST_ROW, SKIP_TO_NEXT_ROW, NO_SKIP):
         return strategy, None
     if strategy in ("skip_to_first", "skip_to_last"):
-        names = [s.name for s in pattern]
+        names = [s.name for s in _leaf_steps(pattern)]
         if var not in names:
             raise ValueError(
                 f"AFTER MATCH skip variable {var!r} is not a pattern step "
                 f"(have {names})"
             )
-        if strategy == "skip_to_first" and var == pattern[0].name:
+        first_leaves = _leaf_steps(pattern[:1])
+        if strategy == "skip_to_first" and (
+            var == pattern[0].name
+            or (first_leaves and var == first_leaves[0].name)
+        ):
             # resuming at the first row of the first variable re-opens the
             # same match forever — the reference throws the same way
             raise ValueError(
@@ -207,17 +244,19 @@ def match_recognize(
     order = [order_by] if isinstance(order_by, str) else list(order_by)
     if within is not None and time_col is None:
         raise ValueError("within requires time_col")
-    names = [s.name for s in pattern]
+    leaves = _leaf_steps(pattern)
+    names = _all_names(pattern)
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate step names: {names}")
     _validate_modes(pattern)
     strategy, skip_var = _parse_after_match(after_match, pattern)
 
-    # vectorized predicate evaluation: one boolean column per step, computed
-    # by Spark (codegen) BEFORE the python hop — python sees only bools.
-    pred_cols = {s.name: f"__p_{s.name}" for s in pattern}
+    # vectorized predicate evaluation: one boolean column per leaf step,
+    # computed by Spark (codegen) BEFORE the python hop — python sees only
+    # bools. Groups carry no predicate of their own.
+    pred_cols = {s.name: f"__p_{s.name}" for s in leaves}
     prepared = df.select(
-        "*", *[F.expr(s.predicate).alias(pred_cols[s.name]) for s in pattern]
+        "*", *[F.expr(s.predicate).alias(pred_cols[s.name]) for s in leaves]
     )
 
     in_schema = dict(prepared.dtypes)
@@ -229,7 +268,7 @@ def match_recognize(
         out_fields.append(T.StructField(m.out_name, _measure_type(df, m)))
     out_schema = T.StructType(out_fields)
 
-    spec = [(s.name, s.min_times, s.max_times, s.greedy, s.mode) for s in pattern]
+    spec = _to_spec(pattern)
     meas = [(m.out_name, m.step, m.fn.lower(), m.col) for m in measures]
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -363,12 +402,70 @@ def match_recognize(
     return sorted_part.mapInPandas(run_partition, out_schema)
 
 
+def _leaf_steps(pattern: list["Step"]) -> list["Step"]:
+    """All predicate-bearing steps, groups flattened recursively."""
+    out: list[Step] = []
+    for s in pattern:
+        if s.sub is not None:
+            out.extend(_leaf_steps(s.sub))
+        else:
+            out.append(s)
+    return out
+
+
+def _all_names(pattern: list["Step"]) -> list[str]:
+    out: list[str] = []
+    for s in pattern:
+        out.append(s.name)
+        if s.sub is not None:
+            out.extend(_all_names(s.sub))
+    return out
+
+
+def _to_spec(pattern: list["Step"]):
+    return [
+        (
+            s.name,
+            s.min_times,
+            s.max_times,
+            s.greedy,
+            s.mode,
+            _to_spec(s.sub) if s.sub is not None else None,
+        )
+        for s in pattern
+    ]
+
+
+def _consumes_row(s: "Step") -> bool:
+    if s.mode not in ("strict", "relaxed") or s.min_times < 1:
+        return False
+    if s.sub is not None:
+        return any(_consumes_row(t) for t in s.sub)
+    return True
+
+
 def _validate_modes(pattern) -> None:
     """Mode composition rules (mirror the reference's Pattern API checks:
     a NOT pattern can't open the sequence, and two NOTs can't chain)."""
     for i, s in enumerate(pattern):
         if s.mode not in ("strict", "relaxed", "not_next", "not_followed_by"):
             raise ValueError(f"unknown step mode {s.mode!r} on {s.name!r}")
+        if s.sub is not None:
+            if s.mode in ("not_next", "not_followed_by"):
+                raise ValueError(
+                    f"group {s.name!r} cannot be a NOT step"
+                )
+            if any(t.mode in ("not_next", "not_followed_by") for t in s.sub):
+                raise ValueError(
+                    f"group {s.name!r} may not contain NOT steps (bound the "
+                    "negation at the outer pattern level)"
+                )
+            if not any(_consumes_row(t) for t in s.sub):
+                raise ValueError(
+                    f"group {s.name!r} subpattern can match zero rows — at "
+                    "least one sub-step must have min_times >= 1"
+                )
+            _validate_modes(s.sub)
         if s.mode in ("not_next", "not_followed_by"):
             if i == 0:
                 raise ValueError("pattern cannot begin with a NOT step")
@@ -395,18 +492,29 @@ def _iter_matches_at(preds, spec, start, n, times=None, within_ns=None):
     single preferred match; the full stream is the NO_SKIP solution set
     (relaxed steps enumerate all viable positions, followedByAny-style).
 
-    Spec entries are (name, lo, hi, greedy, mode); negative modes bind no
-    rows and act as zero-width assertions over the gap/lookahead.
+    Spec entries are (name, lo, hi, greedy, mode, sub); negative modes bind
+    no rows and act as zero-width assertions over the gap/lookahead; a
+    non-None ``sub`` is a quantified subpattern (GroupPattern) whose
+    iterations run contiguously, each appending to its sub-steps' bindings.
+
+    Continuation-passing: ``seq(spec_, i, pos, acc, cont)`` matches
+    ``spec_[i:]`` from ``pos`` and hands (end_pos, bindings) to ``cont`` —
+    which is the parent pattern's remainder for subpatterns, or the final
+    yield for the root.
 
     ``times``/``within_ns`` bound a TERMINAL not_followed_by to the WITHIN
     window measured from the first bound row (the reference's only legal
     form of a trailing NOT: Pattern.notFollowedBy requires within) —
     without them the negative scan extends to the end of the partition."""
+    root = spec
 
-    def block_at(step_i: int, q: int, acc: dict, min_take: int):
-        """Bind spec[step_i]'s quantified block of consecutive rows starting
-        exactly at ``q``, then continue with the rest of the pattern."""
-        name, lo, hi, greedy, _mode = spec[step_i]
+    def bind_at(spec_, i, q, acc, min_take, cont):
+        """Bind spec_[i]'s quantified block (or group) starting exactly at
+        ``q``, then continue with the rest of spec_."""
+        name, lo, hi, greedy, _mode, sub = spec_[i]
+        if sub is not None:
+            yield from group_at(spec_, i, q, acc, cont, max(lo, min_take))
+            return
         p = preds[name]
         lo = max(lo, min_take)
         max_take = 0
@@ -420,43 +528,67 @@ def _iter_matches_at(preds, spec, start, n, times=None, within_ns=None):
         for take in counts:
             nxt = dict(acc)
             if take:
-                nxt[name] = list(range(q, q + take))
-            yield from rec(step_i + 1, q + take, nxt)
+                nxt[name] = acc.get(name, []) + list(range(q, q + take))
+            yield from seq(spec_, i + 1, q + take, nxt, cont)
 
-    def rec(step_i: int, pos: int, acc: dict):
-        if step_i == len(spec):
-            if pos > start:  # refuse fully-empty match
-                yield acc
+    def group_at(spec_, i, q, acc, cont, lo_eff):
+        """Iterate spec_[i]'s subpattern from exactly ``q``; each iteration
+        starts where the previous ended (contiguous iterations)."""
+        _name, _lo, hi, greedy, _mode, sub = spec_[i]
+
+        def iter_group(count, pos2, acc2):
+            def more():
+                if hi is None or count < hi:
+                    yield from seq(
+                        sub, 0, pos2, acc2,
+                        lambda p3, a3: iter_group(count + 1, p3, a3),
+                    )
+
+            def stop():
+                if count >= lo_eff:
+                    yield from seq(spec_, i + 1, pos2, acc2, cont)
+
+            if greedy:
+                yield from more()
+                yield from stop()
+            else:
+                yield from stop()
+                yield from more()
+
+        yield from iter_group(0, q, acc)
+
+    def seq(spec_, i, pos, acc, cont):
+        if i == len(spec_):
+            yield from cont(pos, acc)
             return
-        name, lo, hi, greedy, mode = spec[step_i]
-        p = preds[name]
+        name, lo, hi, greedy, mode, sub = spec_[i]
         if mode == "not_next":
+            p = preds[name]
             if pos < n and p[pos]:
                 return
-            yield from rec(step_i + 1, pos, acc)
+            yield from seq(spec_, i + 1, pos, acc, cont)
             return
         if mode == "not_followed_by":
-            if step_i == len(spec) - 1:
+            p = preds[name]
+            if spec_ is root and i == len(spec_) - 1:
                 # terminal NOT: clean through end of scan, or through the
                 # WITHIN window when one is set. The window anchors at the
                 # FIRST BOUND ROW, not the match-attempt origin: a relaxed
                 # first step may bind well after ``start``, and the span
                 # check in ``run`` measures from that same first bound row.
                 if times is not None and within_ns is not None:
-                    bound = [i for idxs in acc.values() for i in idxs]
+                    bound = [j for idxs in acc.values() for j in idxs]
                     anchor = min(bound) if bound else start
                     j = pos
                     while j < n and times[j] - times[anchor] <= within_ns:
                         if p[j]:
                             return
                         j += 1
-                    if pos > start:
-                        yield acc
+                    yield from cont(pos, acc)
                     return
                 if p[pos:n].any():
                     return
-                if pos > start:
-                    yield acc
+                yield from cont(pos, acc)
                 return
             # gap must stay clean until the next (positive) step binds; the
             # next step scans forward from pos (relaxed by construction).
@@ -464,19 +596,23 @@ def _iter_matches_at(preds, spec, start, n, times=None, within_ns=None):
             # binding wins at the same position (checked first), matching
             # the single-match semantics.
             for s2 in range(pos, n):
-                yield from block_at(step_i + 1, s2, acc, 1)
+                yield from bind_at(spec_, i + 1, s2, acc, 1, cont)
                 if p[s2]:
                     return  # negative event occurred before a match
             return
         if mode == "relaxed":
             for s2 in range(pos, n):
-                yield from block_at(step_i, s2, acc, 1)
-            if lo == 0:  # optional relaxed step: skip it entirely
-                yield from rec(step_i + 1, pos, acc)
+                yield from bind_at(spec_, i, s2, acc, 1, cont)
+            if lo == 0:  # optional relaxed step/group: skip it entirely
+                yield from seq(spec_, i + 1, pos, acc, cont)
             return
-        yield from block_at(step_i, pos, acc, 0)
+        yield from bind_at(spec_, i, pos, acc, 0, cont)
 
-    yield from rec(0, start, {})
+    def root_cont(pos, acc):
+        if pos > start:  # refuse fully-empty match
+            yield acc
+
+    yield from seq(root, 0, start, {}, root_cont)
 
 
 def _match_at(preds, spec, start, n, times=None, within_ns=None):

@@ -23,7 +23,9 @@ alternation — which the reference also rejects):
 Measure expressions: FIRST(V.c), LAST(V.c), MIN/MAX/SUM/AVG(V.c),
 COUNT(V.*) / COUNT(V.c), or bare V.c (≡ FIRST). Quantifiers: ``V``,
 ``V?``, ``V*``, ``V+``, ``V{n}``, ``V{n,}``, ``V{n,m}``, each with an
-optional reluctant ``?`` suffix. DEFINE conditions are Spark SQL boolean
+optional reluctant ``?`` suffix; parenthesized groups with quantifiers —
+``(A B){2}`` — compile to quantified subpatterns (reference
+GroupPattern). DEFINE conditions are Spark SQL boolean
 expressions over the input columns; ``V.col`` self-references are
 rewritten to ``col`` (cross-variable references like ``LAST(A.x)`` inside
 DEFINE are not supported — same class of restriction the reference
@@ -175,21 +177,91 @@ def _parse_quantified(tok: str) -> tuple[str, int, int | None, bool]:
     return name, lo, hi, greedy
 
 
+def _parse_quant_suffix(s: str, i: int) -> tuple[int, int | None, bool, int]:
+    """Parse an optional quantifier at s[i:] — {n}/{n,}/{n,m}/*/+/? plus an
+    optional reluctant '?' — returning (lo, hi, greedy, next_i)."""
+    lo, hi = 1, 1
+    if i < len(s) and s[i] in "{*+?":
+        if s[i] == "{":
+            j = s.index("}", i)
+            inner = s[i + 1 : j].replace(" ", "")
+            if "," in inner:
+                a, b = inner.split(",", 1)
+                lo, hi = int(a), (int(b) if b else None)
+            else:
+                lo = hi = int(inner)
+            i = j + 1
+        elif s[i] == "*":
+            lo, hi = 0, None
+            i += 1
+        elif s[i] == "+":
+            lo, hi = 1, None
+            i += 1
+        else:  # '?'
+            lo, hi = 0, 1
+            i += 1
+    greedy = True
+    if i < len(s) and s[i] == "?" and (lo, hi) != (1, 1):
+        greedy = False
+        i += 1
+    return lo, hi, greedy, i
+
+
 def _parse_pattern(text: str, defines: dict[str, str]) -> list[Step]:
+    """Recursive-descent pattern parser: variables with quantifiers plus
+    parenthesized groups ``(A B){2}`` (reference GroupPattern)."""
     text = text.strip()
     if not (text.startswith("(") and text.endswith(")")):
         raise ValueError("PATTERN must be parenthesized")
-    inner = text[1:-1].strip()
+    inner = text[1:-1]
     if "|" in inner:
         raise ValueError(
             "pattern alternation '|' is not supported "
             "(the reference's MATCH_RECOGNIZE rejects it as well)"
         )
-    steps: list[Step] = []
-    for tok in inner.split():
-        name, lo, hi, greedy = _parse_quantified(tok)
-        pred = defines.get(name.upper(), "true")
-        steps.append(Step(name, pred, lo, hi, greedy))
+    counter = [0]
+
+    def parse_seq(s: str, i: int) -> tuple[list[Step], int]:
+        steps: list[Step] = []
+        while i < len(s):
+            if s[i].isspace():
+                i += 1
+                continue
+            if s[i] == ")":
+                break
+            if s[i] == "(":
+                sub, i = parse_seq(s, i + 1)
+                if i >= len(s) or s[i] != ")":
+                    raise ValueError("unbalanced parentheses in PATTERN")
+                i += 1
+                lo, hi, greedy, i = _parse_quant_suffix(s, i)
+                if not sub:
+                    raise ValueError("empty group in PATTERN")
+                counter[0] += 1
+                steps.append(
+                    Step(f"__g{counter[0]}", "true", lo, hi, greedy, "strict", sub)
+                )
+                continue
+            j = i
+            while j < len(s) and not s[j].isspace() and s[j] not in "()":
+                if s[j] == "{":  # quantifier braces ride with the token
+                    j = s.index("}", j) + 1
+                    # a trailing reluctant '?' belongs to this token too
+                    if j < len(s) and s[j] == "?":
+                        j += 1
+                    break
+                j += 1
+            # '?'/'*'/'+' suffixes (and reluctant '?') are not space-broken,
+            # so the whole token is in s[i:j]
+            name, lo, hi, greedy = _parse_quantified(s[i:j])
+            pred = defines.get(name.upper(), "true")
+            steps.append(Step(name, pred, lo, hi, greedy))
+            i = j
+        return steps, i
+
+    steps, end = parse_seq(inner, 0)
+    if end != len(inner) and inner[end:].strip():
+        raise ValueError(f"trailing PATTERN content {inner[end:]!r}")
     if not steps:
         raise ValueError("empty PATTERN")
     return steps
@@ -285,15 +357,13 @@ def match_recognize_sql(df: DataFrame, sql: str) -> DataFrame:
     order_by = [c.strip() for c in sections["ORDER BY"].split(",")]
 
     # pattern vars are needed before DEFINE parsing (cross-ref rejection),
-    # and DEFINE predicates before Step construction — two passes
+    # and DEFINE predicates before Step construction — parse the structure
+    # once with empty defines to learn the leaf variable names
+    from flink_psl_spark.cep import _leaf_steps
+
     pat_text = sections["PATTERN"]
-    var_names = []
-    inner = pat_text.strip()
-    if inner.startswith("(") and inner.endswith(")"):
-        for tok in inner[1:-1].split():
-            m = _QUANT_RE.match(tok)
-            if m:
-                var_names.append(m.group("name"))
+    skeleton = _parse_pattern(pat_text, {})
+    var_names = [s.name for s in _leaf_steps(skeleton)]
     defines = _parse_defines(sections["DEFINE"], var_names)
     unknown = set(defines) - {v.upper() for v in var_names}
     if unknown:

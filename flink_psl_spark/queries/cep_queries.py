@@ -674,6 +674,58 @@ def match_recognize_sql_skip_chain(spark, sf_dir):
 
 
 @query(
+    "cep_group_pattern_double_conversion",
+    # (click purchase){2} on the click/purchase subsequence with NO SKIP:
+    # every position i whose next four rows are click,purchase,click,purchase
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type IN ('click', 'purchase'))
+    SELECT a.user_id, a.event_id AS first_click_id,
+           d.event_id AS last_purchase_id
+    FROM ordered a
+    JOIN ordered b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+    JOIN ordered c ON c.user_id = a.user_id AND c.rn = a.rn + 2
+    JOIN ordered d ON d.user_id = a.user_id AND d.rn = a.rn + 3
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+      AND c.event_type = 'click' AND d.event_type = 'purchase'
+    """,
+)
+def cep_group_pattern_double_conversion(spark, sf_dir):
+    """PATTERN ((C P){2}) — quantified subpattern (reference
+    GroupPattern.java: Pattern.begin(sub).times(2)) over the click/purchase
+    subsequence, NO SKIP so every overlapping double-conversion window is
+    emitted."""
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.cep import NO_SKIP
+
+    t = tables(spark, sf_dir)
+    ev = t["events"].where(F.col("event_type").isin("click", "purchase"))
+    return match_recognize(
+        ev,
+        partition_by="user_id",
+        order_by=["ts", "event_id"],
+        pattern=[
+            Step.group(
+                "G",
+                [
+                    Step.once("C", "event_type = 'click'"),
+                    Step.once("P", "event_type = 'purchase'"),
+                ],
+                2,
+            )
+        ],
+        measures=[
+            Measure("first_click_id", "C", "first", "event_id"),
+            Measure("last_purchase_id", "P", "last", "event_id"),
+        ],
+        after_match=NO_SKIP,
+    ).select("user_id", "first_click_id", "last_purchase_id")
+
+
+@query(
     "stream_cep_no_conversion_within",
     # same replica as the batch cep_no_conversion_within: a click matches
     # iff no purchase follows it (in (ts, event_id) order) within one hour

@@ -37,9 +37,11 @@ from flink_psl_spark.cep import (
     Measure,
     Step,
     _eval_measure,
+    _leaf_steps,
     _match_at,
     _measure_type,
     _parse_after_match,
+    _to_spec,
     _validate_modes,
 )
 
@@ -78,7 +80,8 @@ def streaming_match_recognize(
     finalized prefix ever confirms the full solution set — same class of
     restriction as the unbounded terminal not_followed_by guard below.
     """
-    names = [s.name for s in pattern]
+    leaves = _leaf_steps(pattern)
+    names = [s.name for s in leaves]
     _validate_modes(pattern)
     strategy, skip_var = _parse_after_match(after_match, pattern)
     if strategy == NO_SKIP:
@@ -102,7 +105,7 @@ def streaming_match_recognize(
             "within=..., bound it with a following step, or use the batch "
             "matcher"
         )
-    pred_cols = {s.name: f"__p_{s.name}" for s in pattern}
+    pred_cols = {s.name: f"__p_{s.name}" for s in leaves}
     wm = events.withWatermark(ts_col, delay)
     carry_cols = sorted(
         {
@@ -114,7 +117,7 @@ def streaming_match_recognize(
     prepared = wm.select(
         partition_by,
         *carry_cols,
-        *[F.expr(s.predicate).alias(pred_cols[s.name]) for s in pattern],
+        *[F.expr(s.predicate).alias(pred_cols[s.name]) for s in leaves],
     )
 
     out_fields = [
@@ -126,7 +129,7 @@ def streaming_match_recognize(
     out_schema = T.StructType(out_fields)
     out_names = [f.name for f in out_fields]
 
-    spec = [(s.name, s.min_times, s.max_times, s.greedy, s.mode) for s in pattern]
+    spec = _to_spec(pattern)
     meas = [(m.out_name, m.step, m.fn.lower(), m.col) for m in measures]
     sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
 

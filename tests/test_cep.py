@@ -605,6 +605,87 @@ def test_after_match_strategies_brute_force(spark):
         assert got3.get(f"s{ci}", set()) == want, (types, want)
 
 
+def test_group_patterns(spark):
+    """Quantified subpatterns (reference GroupPattern.java): contiguous
+    iterations, greedy/reluctant group quantifiers, groups composed with
+    following steps, quantifiers inside the group, relaxed groups."""
+    from flink_psl_spark.cep import Measure, NO_SKIP, Step
+
+    m = [
+        Measure("a1", "A", "first", "eid"),
+        Measure("na", "A", "count"),
+        Measure("b2", "B", "last", "eid"),
+    ]
+    g2 = [Step.group("G", [Step.once("A", "et = 'c'"), Step.once("B", "et = 'p'")], 2)]
+    # two consecutive click/purchase pairs; iterations must be contiguous
+    assert _am_run(spark, "cpcp", g2, "skip_past_last_row", m) == [(0, 2, 3)]
+    assert _am_run(spark, "cpxcp", g2, "skip_past_last_row", m) == []
+    # greedy {1,2} takes both pairs; reluctant takes one at a time
+    g12 = [Step.group("G", [Step.once("A", "et = 'c'"), Step.once("B", "et = 'p'")], 1, 2)]
+    g12r = [
+        Step.group(
+            "G", [Step.once("A", "et = 'c'"), Step.once("B", "et = 'p'")],
+            1, 2, greedy=False,
+        )
+    ]
+    assert _am_run(spark, "cpcp", g12, "skip_past_last_row", m) == [(0, 2, 3)]
+    assert _am_run(spark, "cpcp", g12r, "skip_past_last_row", m) == [
+        (0, 1, 1), (2, 1, 3),
+    ]
+    # NO_SKIP enumerates the overlapping group solutions
+    assert _am_run(spark, "cpcp", g12, NO_SKIP, m) == [
+        (0, 1, 1), (0, 2, 3), (2, 1, 3),
+    ]
+    # group followed by a step; quantified sub-steps inside the group
+    gc = [
+        Step.group_at_least(
+            "G", [Step.once("A", "et = 'c'"), Step.once("B", "et = 'p'")], 1
+        ),
+        Step.once("C", "et = 'x'"),
+    ]
+    mc = [Measure("na", "A", "count"), Measure("cx", "C", "first", "eid")]
+    assert _am_run(spark, "cpcpx", gc, "skip_past_last_row", mc) == [(2, 4)]
+    gq = [
+        Step.group(
+            "G", [Step.one_or_more("A", "et = 'c'"), Step.once("B", "et = 'p'")], 2
+        )
+    ]
+    assert _am_run(spark, "ccpcp", gq, "skip_past_last_row", m) == [(0, 3, 4)]
+    # relaxed group scans forward for its first iteration
+    gr = [
+        Step.once("S", "et = 's'"),
+        Step.group(
+            "G", [Step.once("A", "et = 'c'"), Step.once("B", "et = 'p'")],
+            2, mode="relaxed",
+        ),
+    ]
+    ms = [Measure("na", "A", "count"), Measure("s1", "S", "first", "eid")]
+    assert _am_run(spark, "sxxcpcp", gr, "skip_past_last_row", ms) == [(2, 0)]
+
+
+def test_group_pattern_validation(spark):
+    import pytest as _pytest
+
+    from flink_psl_spark.cep import Measure, Step
+
+    m = [Measure("n", "A", "count")]
+    with _pytest.raises(ValueError, match="zero rows"):
+        _am_run(
+            spark, "cp",
+            [Step.group("G", [Step.optional("A", "et = 'c'")], 1)],
+            "skip_past_last_row", m,
+        )
+    with _pytest.raises(ValueError, match="NOT steps"):
+        _am_run(
+            spark, "cp",
+            [Step.group("G", [
+                Step.once("A", "et = 'c'"),
+                Step.not_next("N", "et = 'p'"),
+            ], 1)],
+            "skip_past_last_row", m,
+        )
+
+
 def test_match_recognize_sql_equals_library(spark, seq):
     """The SQL clause front-end compiles to the same matches as the library
     API (quantifier, measures, defines, default skip)."""
@@ -671,6 +752,27 @@ def test_match_recognize_sql_quantifiers_within_reluctant(spark):
         """,
     )
     assert sorted(r["n"] for r in out2.collect()) == [1, 1, 1]
+
+
+def test_match_recognize_sql_group_pattern(spark):
+    """Parenthesized group quantifiers in the SQL clause compile to
+    GroupPattern subpatterns."""
+    from flink_psl_spark.match_recognize_sql import match_recognize_sql
+
+    df = _seq(spark, ["a", "b", "a", "b", "a"])
+    out = match_recognize_sql(
+        df,
+        """
+        MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY ts
+            MEASURES COUNT(A.*) AS na, LAST(B.v) AS bl
+            PATTERN ((A B){2})
+            DEFINE A AS A.et = 'a', B AS B.et = 'b'
+        )
+        """,
+    )
+    rows = [(r["na"], r["bl"]) for r in out.collect()]
+    assert rows == [(2, 3.0)]
 
 
 def test_match_recognize_sql_rejections(spark):
