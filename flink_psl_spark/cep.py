@@ -48,6 +48,10 @@ class Step:
 
     name: str
     predicate: str
+    # Quantified blocks bind CONSECUTIVE rows (SQL row-pattern semantics,
+    # ≡ the reference's Pattern.consecutive()). The reference's default
+    # relaxed-internal oneOrMore (gaps allowed between the A's) is
+    # expressible as Step.group_at_least("G", [Step.followed_by("A", p)], 1).
     min_times: int = 1
     max_times: int | None = 1
     greedy: bool = True

@@ -246,6 +246,31 @@ def test_streaming_terminal_not_next_resolves_when_confirmed(spark):
     assert got == [1]
 
 
+def test_streaming_group_pattern_matches_batch(spark):
+    """Group patterns run unchanged on the streaming matcher (shared spec):
+    (A B){2} over a replayed stream equals the batch result."""
+    pattern = [
+        Step.group(
+            "G", [Step.once("A", "et = 'a'"), Step.once("B", "et = 'b'")], 2
+        )
+    ]
+    measures = [
+        Measure("a1", "A", "first", "eid"),
+        Measure("nb", "B", "count"),
+    ]
+    mem = _run_pattern(
+        spark,
+        [
+            [("k", 1, "a", TS(0)), ("k", 2, "b", TS(1))],
+            [("k", 3, "a", TS(2)), ("k", 4, "b", TS(3))],
+            [("k", 9, "x", TS(30))],
+        ],
+        pattern,
+        measures,
+    )
+    assert [(r["a1"], r["nb"]) for r in mem.collect()] == [(1, 2)]
+
+
 def test_streaming_terminal_nfb_with_within(spark):
     """A WITHIN bound legalizes the trailing notFollowedBy on streams:
     emission waits for the watermark to close each match's window, so an
