@@ -131,6 +131,87 @@ def language_id(text: Column | str, threshold: float = 0.03) -> Column:
     return best_lang
 
 
+def ngrams(text: Column | str, n: int) -> Column:
+    """Word n-grams as array<string> (space-joined), expression-only.
+
+    Empty array when the document has fewer than ``n`` tokens (guarded —
+    Spark's ``sequence(1, 0)`` would otherwise count DOWN).
+    """
+    toks = tokenize(text)
+    count = F.size(toks) - (n - 1)
+    return F.when(count < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+#: (label, regex, replacement) — applied in order; email first so its local
+#: part's digits can't be half-eaten by the phone pattern. Patterns stay in
+#: the RE2 ∩ Java-regex common subset so Spark and SQL oracles agree.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+]
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-category PII match counts (before scrubbing)."""
+    c = _col(text)
+    return {label: F.regexp_count(c, F.lit(pat)) for label, pat, _r in PII_PATTERNS}
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Redact emails, IPv4 addresses and phone-like digit runs with typed
+    placeholders — expression-only (regexp_replace chain), zero Python in
+    the scan stage, the standard pre-training scrub pass."""
+    c = _col(text)
+    for _label, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def benchmark_contamination(
+    docs,
+    benchmark,
+    *,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Benchmark-contamination check: flag corpus documents sharing any
+    word ``n``-gram with a benchmark/eval set (the standard decontamination
+    pass before training).
+
+    Scale shape: benchmark gram sets are tiny next to the corpus, so the
+    distinct benchmark grams are BROADCAST and the corpus side never
+    shuffles its grams — the only exchange is the per-doc hit-count
+    aggregation (map-side combined). Returns (id_col, n_hits,
+    contaminated) for every doc in ``docs``.
+    """
+    g = docs.select(id_col, F.explode(ngrams(F.col(text_col), n)).alias("gram"))
+    bg = (
+        benchmark.select(F.explode(ngrams(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    hits = (
+        g.join(F.broadcast(bg), "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def rolling_fingerprints(
     text: Column | str, *, window: int = 16, keep: int = 8
 ) -> Column:

@@ -723,6 +723,105 @@ _TOKS = (
 
 
 @query(
+    "llm_pii_scrub",
+    # deterministic PII synthesized from doc_id, then the same regex chain
+    # replayed in DuckDB (RE2 ∩ Java-regex common subset, 'g' flag)
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-'
+                  || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.' || CAST(doc_id % 100 AS VARCHAR) AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(LEN(REGEXP_EXTRACT_ALL(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER)
+             AS n_emails,
+           CAST(LEN(REGEXP_EXTRACT_ALL(t,
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INTEGER)
+             AS n_ips,
+           REGEXP_REPLACE(
+             REGEXP_REPLACE(
+               REGEXP_REPLACE(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+             '\\+?\\d[\\d\\- ]{7,}\\d', '<PHONE>', 'g') AS scrubbed
+    FROM s
+    """,
+)
+def llm_pii_scrub(spark, sf_dir):
+    """PII scrubbing pass (emails / IPv4 / phone-like runs → typed
+    placeholders) — expression-only regexp chain in the scan stage; the
+    standard pre-training redaction step."""
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.llm.text import pii_counts, scrub_pii
+
+    t = tables(spark, sf_dir)
+    synth = t["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") % 100).cast("string"),
+        ).alias("t"),
+    )
+    counts = pii_counts(F.col("t"))
+    return synth.select(
+        "doc_id",
+        counts["email"].alias("n_emails"),
+        counts["ipv4"].alias("n_ips"),
+        scrub_pii(F.col("t")).alias("scrubbed"),
+    )
+
+
+@query(
+    "llm_contamination_check",
+    # benchmark set = docs with doc_id % 7 == 0; a corpus doc is
+    # contaminated iff it shares any word 5-gram with any benchmark doc
+    # (the fixture's near-duplicate pairs straddle the split, so both the
+    # hit and clean paths are exercised)
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    g AS (
+      SELECT doc_id, ARRAY_TO_STRING(w[i:i+4], ' ') AS gram
+      FROM d, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(w) - 4, 0))) AS t(i)),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0),
+    hits AS (
+      SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_hits
+      FROM g JOIN bench USING (gram)
+      WHERE g.doc_id % 7 <> 0
+      GROUP BY g.doc_id)
+    SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+           COALESCE(h.n_hits, 0) > 0 AS contaminated
+    FROM d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 7 <> 0
+    """,
+)
+def llm_contamination_check(spark, sf_dir):
+    """Benchmark decontamination (5-gram overlap vs an eval set): broadcast
+    the benchmark's distinct grams, corpus grams never shuffle — the only
+    exchange is the per-doc hit count. 100 TB-safe by construction."""
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.llm.text import benchmark_contamination
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"].where(F.col("doc_id") % 7 != 0)
+    bench = t["documents"].where(F.col("doc_id") % 7 == 0)
+    return benchmark_contamination(docs, bench, n=5)
+
+
+@query(
     "llm_repetition_stats",
     oracle=f"""
     WITH d AS (

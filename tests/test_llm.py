@@ -214,6 +214,60 @@ def test_multimodal_plumbing(spark, t):
     assert fr.count() > 0
 
 
+def test_scrub_pii_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.llm.text import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "server 192.168.0.1 answered"),
+            (3, "call +1-555-123 4567 today"),
+            (4, "clean text with no identifiers"),
+        ],
+        "id long, t string",
+    )
+    out = df.select(
+        "id",
+        scrub_pii(F.col("t")).alias("s"),
+        *[v.alias(k) for k, v in pii_counts(F.col("t")).items()],
+    )
+    got = {r["id"]: r for r in out.collect()}
+    assert got[1]["s"] == "mail <EMAIL> now" and got[1]["email"] == 1
+    assert got[2]["s"] == "server <IP> answered" and got[2]["ipv4"] == 1
+    assert got[3]["s"] == "call <PHONE> today" and got[3]["phone"] == 1
+    assert got[4]["s"] == "clean text with no identifiers"
+    assert got[4]["email"] == got[4]["ipv4"] == got[4]["phone"] == 0
+
+
+def test_benchmark_contamination(spark):
+    from flink_psl_spark.llm.text import benchmark_contamination
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # shares a 5-gram
+            (2, "one two three four five six"),           # clean
+            (3, "alpha beta gamma delta epsilon"),        # exact 5-gram hit
+            (4, "too short"),                             # < n tokens
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "prefix alpha beta gamma delta epsilon suffix")],
+        "doc_id long, text string",
+    )
+    out = benchmark_contamination(docs, bench, n=5)
+    got = {r["doc_id"]: (r["n_hits"], r["contaminated"]) for r in out.collect()}
+    assert got[1] == (1, True)
+    assert got[2] == (0, False)
+    assert got[3] == (1, True)
+    assert got[4] == (0, False)
+    # scale shape: the benchmark gram set is broadcast, never shuffled
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_decode_image_fallback_deterministic(spark):
     """Without PIL the decode is the deterministic fake; with PIL a junk
     payload also falls back. Either way: stable uint8 H×W×3 output."""
