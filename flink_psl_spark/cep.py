@@ -69,6 +69,17 @@ class Step:
     # iteration appends its rows to the sub-steps' bindings (measures over a
     # sub-variable aggregate across iterations, as in the reference).
     sub: list["Step"] | None = None
+    # stop condition for looping quantifiers (reference Pattern.until:692):
+    # block extension stops BEFORE the first row satisfying this predicate
+    # (the stopping row is not bound and stays available to later steps).
+    until_pred: str | None = None
+
+    def until(self, predicate: str) -> "Step":
+        """Stop condition (Pattern.until): the quantified block stops
+        accepting rows at the first row satisfying ``predicate``."""
+        from dataclasses import replace
+
+        return replace(self, until_pred=predicate)
 
     @staticmethod
     def once(name: str, predicate: str) -> "Step":
@@ -255,12 +266,13 @@ def match_recognize(
     _validate_modes(pattern)
     strategy, skip_var = _parse_after_match(after_match, pattern)
 
-    # vectorized predicate evaluation: one boolean column per leaf step,
-    # computed by Spark (codegen) BEFORE the python hop — python sees only
-    # bools. Groups carry no predicate of their own.
-    pred_cols = {s.name: f"__p_{s.name}" for s in leaves}
+    # vectorized predicate evaluation: one boolean column per leaf step
+    # (plus one per until-condition), computed by Spark (codegen) BEFORE
+    # the python hop — python sees only bools. Groups carry no predicate.
+    pexprs = _pred_exprs(leaves)
+    pred_cols = {key: alias for key, (alias, _e) in pexprs.items()}
     prepared = df.select(
-        "*", *[F.expr(s.predicate).alias(pred_cols[s.name]) for s in leaves]
+        "*", *[F.expr(e).alias(alias) for alias, e in pexprs.values()]
     )
 
     in_schema = dict(prepared.dtypes)
@@ -435,9 +447,20 @@ def _to_spec(pattern: list["Step"]):
             s.greedy,
             s.mode,
             _to_spec(s.sub) if s.sub is not None else None,
+            f"__until__{s.name}" if s.until_pred else None,
         )
         for s in pattern
     ]
+
+
+def _pred_exprs(leaves: list["Step"]):
+    """(preds-key -> (column alias, sql expr)) for every leaf predicate and
+    until-condition — shared by the batch and streaming matchers."""
+    out = {s.name: (f"__p_{s.name}", s.predicate) for s in leaves}
+    for s in leaves:
+        if s.until_pred:
+            out[f"__until__{s.name}"] = (f"__pu_{s.name}", s.until_pred)
+    return out
 
 
 def _consumes_row(s: "Step") -> bool:
@@ -469,7 +492,14 @@ def _validate_modes(pattern) -> None:
                     f"group {s.name!r} subpattern can match zero rows — at "
                     "least one sub-step must have min_times >= 1"
                 )
+            if s.until_pred:
+                raise ValueError(
+                    f"until() applies to leaf looping steps, not group "
+                    f"{s.name!r} (put it on a sub-step)"
+                )
             _validate_modes(s.sub)
+        elif s.until_pred and s.mode in ("not_next", "not_followed_by"):
+            raise ValueError(f"until() is meaningless on NOT step {s.name!r}")
         if s.mode in ("not_next", "not_followed_by"):
             if i == 0:
                 raise ValueError("pattern cannot begin with a NOT step")
@@ -496,10 +526,12 @@ def _iter_matches_at(preds, spec, start, n, times=None, within_ns=None):
     single preferred match; the full stream is the NO_SKIP solution set
     (relaxed steps enumerate all viable positions, followedByAny-style).
 
-    Spec entries are (name, lo, hi, greedy, mode, sub); negative modes bind
-    no rows and act as zero-width assertions over the gap/lookahead; a
-    non-None ``sub`` is a quantified subpattern (GroupPattern) whose
-    iterations run contiguously, each appending to its sub-steps' bindings.
+    Spec entries are (name, lo, hi, greedy, mode, sub, until_key); negative
+    modes bind no rows and act as zero-width assertions over the
+    gap/lookahead; a non-None ``sub`` is a quantified subpattern
+    (GroupPattern) whose iterations run contiguously, each appending to its
+    sub-steps' bindings; ``until_key`` indexes a stop-condition bool array
+    in ``preds`` (Pattern.until) that halts block extension.
 
     Continuation-passing: ``seq(spec_, i, pos, acc, cont)`` matches
     ``spec_[i:]`` from ``pos`` and hands (end_pos, bindings) to ``cont`` —
@@ -515,14 +547,20 @@ def _iter_matches_at(preds, spec, start, n, times=None, within_ns=None):
     def bind_at(spec_, i, q, acc, min_take, cont):
         """Bind spec_[i]'s quantified block (or group) starting exactly at
         ``q``, then continue with the rest of spec_."""
-        name, lo, hi, greedy, _mode, sub = spec_[i]
+        name, lo, hi, greedy, _mode, sub, until_key = spec_[i]
         if sub is not None:
             yield from group_at(spec_, i, q, acc, cont, max(lo, min_take))
             return
         p = preds[name]
+        u = preds[until_key] if until_key else None
         lo = max(lo, min_take)
         max_take = 0
-        while q + max_take < n and p[q + max_take] and (hi is None or max_take < hi):
+        while (
+            q + max_take < n
+            and p[q + max_take]
+            and (hi is None or max_take < hi)
+            and (u is None or not u[q + max_take])
+        ):
             max_take += 1
         if max_take < lo:
             return
@@ -538,7 +576,7 @@ def _iter_matches_at(preds, spec, start, n, times=None, within_ns=None):
     def group_at(spec_, i, q, acc, cont, lo_eff):
         """Iterate spec_[i]'s subpattern from exactly ``q``; each iteration
         starts where the previous ended (contiguous iterations)."""
-        _name, _lo, hi, greedy, _mode, sub = spec_[i]
+        _name, _lo, hi, greedy, _mode, sub, _until = spec_[i]
 
         def iter_group(count, pos2, acc2):
             def more():
@@ -565,7 +603,7 @@ def _iter_matches_at(preds, spec, start, n, times=None, within_ns=None):
         if i == len(spec_):
             yield from cont(pos, acc)
             return
-        name, lo, hi, greedy, mode, sub = spec_[i]
+        name, lo, hi, greedy, mode, sub, _until = spec_[i]
         if mode == "not_next":
             p = preds[name]
             if pos < n and p[pos]:

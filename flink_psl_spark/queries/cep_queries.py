@@ -726,6 +726,49 @@ def cep_group_pattern_double_conversion(spark, sf_dir):
 
 
 @query(
+    "cep_until_stop_condition",
+    # A+ (any row) UNTIL purchase, then the purchase: with SKIP PAST LAST
+    # ROW this segments each user's history at purchases — one match per
+    # purchase with >= 1 preceding row since the previous purchase
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    p AS (
+      SELECT user_id, event_id, rn,
+             LAG(rn, 1, 0) OVER (PARTITION BY user_id ORDER BY rn) AS prev_rn
+      FROM ordered WHERE event_type = 'purchase')
+    SELECT user_id, event_id AS purchase_id,
+           CAST(rn - prev_rn - 1 AS BIGINT) AS n_before
+    FROM p WHERE rn - prev_rn >= 2
+    """,
+)
+def cep_until_stop_condition(spark, sf_dir):
+    """Pattern.until (reference Pattern.java:692): a looping any-row block
+    stops extending at the first purchase (the stopping row is not bound),
+    then the purchase closes the match — per-purchase session segmentation."""
+    from flink_psl_spark.cep import Measure, Step, match_recognize
+
+    t = tables(spark, sf_dir)
+    return match_recognize(
+        t["events"],
+        partition_by="user_id",
+        order_by=["ts", "event_id"],
+        pattern=[
+            Step.one_or_more("A", "event_id IS NOT NULL").until(
+                "event_type = 'purchase'"
+            ),
+            Step.once("B", "event_type = 'purchase'"),
+        ],
+        measures=[
+            Measure("n_before", "A", "count"),
+            Measure("purchase_id", "B", "first", "event_id"),
+        ],
+    ).select("user_id", "purchase_id", "n_before")
+
+
+@query(
     "stream_cep_no_conversion_within",
     # same replica as the batch cep_no_conversion_within: a click matches
     # iff no purchase follows it (in (ts, event_id) order) within one hour

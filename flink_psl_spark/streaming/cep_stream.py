@@ -41,6 +41,7 @@ from flink_psl_spark.cep import (
     _match_at,
     _measure_type,
     _parse_after_match,
+    _pred_exprs,
     _to_spec,
     _validate_modes,
 )
@@ -105,7 +106,8 @@ def streaming_match_recognize(
             "within=..., bound it with a following step, or use the batch "
             "matcher"
         )
-    pred_cols = {s.name: f"__p_{s.name}" for s in leaves}
+    pexprs = _pred_exprs(leaves)
+    pred_cols = {key: alias for key, (alias, _e) in pexprs.items()}
     wm = events.withWatermark(ts_col, delay)
     carry_cols = sorted(
         {
@@ -117,7 +119,7 @@ def streaming_match_recognize(
     prepared = wm.select(
         partition_by,
         *carry_cols,
-        *[F.expr(s.predicate).alias(pred_cols[s.name]) for s in leaves],
+        *[F.expr(e).alias(alias) for alias, e in pexprs.values()],
     )
 
     out_fields = [

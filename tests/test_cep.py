@@ -663,6 +663,52 @@ def test_group_patterns(spark):
     assert _am_run(spark, "sxxcpcp", gr, "skip_past_last_row", ms) == [(2, 0)]
 
 
+def test_until_stop_condition(spark):
+    """Pattern.until: block extension halts BEFORE the first stopping row;
+    the stopping row stays available to the next step."""
+    from flink_psl_spark.cep import Measure, Step
+
+    pat = [
+        Step.one_or_more("A", "et <> ''").until("et = 'p'"),
+        Step.once("B", "et = 'p'"),
+    ]
+    m = [Measure("n", "A", "count"), Measure("b", "B", "first", "eid")]
+    # any-rows absorb until the purchase; purchase closes the match
+    assert _am_run(spark, "xxcp", pat, "skip_past_last_row", m) == [(3, 3)]
+    # consecutive purchases: second has no preceding unconsumed row
+    assert _am_run(spark, "xpp", pat, "skip_past_last_row", m) == [(1, 1)]
+    # without until, greedy A+ would swallow the purchase and the
+    # backtracker still finds the match — until changes which rows A binds
+    pat_nountil = [
+        Step.one_or_more("A", "et <> ''"),
+        Step.once("B", "et = 'p'"),
+    ]
+    assert _am_run(spark, "xpxp", pat_nountil, "skip_past_last_row", m) == [
+        (3, 3)
+    ]
+    assert _am_run(spark, "xpxp", pat, "skip_past_last_row", m) == [
+        (1, 1), (1, 3),
+    ]
+    # validation: until on NOT steps / groups is rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="meaningless"):
+        _am_run(
+            spark, "xp",
+            [
+                Step.once("A", "et = 'x'"),
+                Step.not_next("N", "et = 'p'").until("et = 'x'"),
+            ],
+            "skip_past_last_row", [Measure("n", "A", "count")],
+        )
+    with _pytest.raises(ValueError, match="leaf looping"):
+        _am_run(
+            spark, "xp",
+            [Step.group("G", [Step.once("A", "et = 'x'")], 1).until("et = 'p'")],
+            "skip_past_last_row", [Measure("n", "A", "count")],
+        )
+
+
 def test_group_pattern_validation(spark):
     import pytest as _pytest
 
