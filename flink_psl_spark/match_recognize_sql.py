@@ -380,3 +380,63 @@ def match_recognize_sql(df: DataFrame, sql: str) -> DataFrame:
     return match_recognize(
         df, partition_by, order_by, pattern, measures, **kwargs
     )
+
+
+def streaming_match_recognize_sql(
+    events: DataFrame,
+    sql: str,
+    *,
+    delay: str = "10 minutes",
+    horizon_ms: int | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Run a SQL MATCH_RECOGNIZE clause on a watermarked stream (reference
+    StreamExecMatch.java:59 — the planner's streaming entry point).
+
+    Single partition column and a single ORDER BY time column (the stream's
+    event-time attribute), as the reference requires for streaming
+    MATCH_RECOGNIZE; ``tiebreak_col`` breaks equal-timestamp order. WITHIN
+    and AFTER MATCH translate directly (a WITHIN bound legalizes a trailing
+    NOT, as in the library API).
+    """
+    from flink_psl_spark.streaming.cep_stream import streaming_match_recognize
+
+    body = _extract_body(sql)
+    sections = _split_sections(body)
+    partition_by = [c.strip() for c in sections["PARTITION BY"].split(",")]
+    order_by = [c.strip() for c in sections["ORDER BY"].split(",")]
+    if len(partition_by) != 1:
+        raise ValueError(
+            "streaming MATCH_RECOGNIZE takes exactly one PARTITION BY column"
+        )
+    if len(order_by) != 1:
+        raise ValueError(
+            "streaming MATCH_RECOGNIZE orders by the event-time column only "
+            "(pass tiebreak_col for deterministic equal-timestamp order)"
+        )
+    from flink_psl_spark.cep import _leaf_steps
+
+    skeleton = _parse_pattern(sections["PATTERN"], {})
+    var_names = [s.name for s in _leaf_steps(skeleton)]
+    defines = _parse_defines(sections["DEFINE"], var_names)
+    unknown = set(defines) - {v.upper() for v in var_names}
+    if unknown:
+        raise ValueError(f"DEFINE for variables not in PATTERN: {sorted(unknown)}")
+    pattern = _parse_pattern(sections["PATTERN"], defines)
+    measures = _parse_measures(sections["MEASURES"])
+    kwargs = {}
+    if "AFTER MATCH" in sections:
+        kwargs["after_match"] = _parse_after_match(sections["AFTER MATCH"])
+    if "WITHIN" in sections:
+        kwargs["within"] = _parse_within(sections["WITHIN"])
+    return streaming_match_recognize(
+        events,
+        partition_by[0],
+        order_by[0],
+        pattern,
+        measures,
+        delay=delay,
+        horizon_ms=horizon_ms,
+        tiebreak_col=tiebreak_col,
+        **kwargs,
+    )

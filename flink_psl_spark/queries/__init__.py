@@ -68,6 +68,12 @@ _PRIORITY_WINDOW = [
     "cep_skip_to_next_click_runs", "cep_no_skip_conversion_pairs",
     "cep_skip_to_last_error_runs", "cep_skip_to_first_purchase_chain",
 ]
+# ROUND-4 ROTATION: the never-driver-checked remainder to promote into the
+# next window (everything in `middle` below — 29 carried from rounds 1-3
+# plus this round's additions: match_recognize_sql_*, *_nested_roundtrip,
+# stream_cep_no_conversion_within, cep_group_pattern_double_conversion,
+# cep_until_stop_condition, llm_pii_scrub, llm_contamination_check).
+# Compute it with: [n for n in QUERIES if n not in r1|r2|r3 green rows].
 
 
 def _reorder() -> None:

@@ -271,6 +271,46 @@ def test_streaming_group_pattern_matches_batch(spark):
     assert [(r["a1"], r["nb"]) for r in mem.collect()] == [(1, 2)]
 
 
+def test_streaming_match_recognize_sql(spark):
+    """The SQL clause front-end drives the streaming matcher: same matches
+    as the library API over a replayed stream."""
+    import tempfile
+
+    from flink_psl_spark.match_recognize_sql import streaming_match_recognize_sql
+    from flink_psl_spark.streaming import run_to_memory_table
+
+    d = tempfile.mkdtemp(prefix="fps_scep_sql_")
+    files = [
+        [("k", 1, "c", TS(0)), ("k", 2, "c", TS(1)), ("k", 3, "p", TS(2))],
+        [("k", 9, "x", TS(30))],
+    ]
+    for rows in files:
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{d}/src")
+    st = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/src")
+    )
+    out = streaming_match_recognize_sql(
+        st,
+        """
+        MATCH_RECOGNIZE (
+            PARTITION BY u
+            ORDER BY ts
+            MEASURES COUNT(A.*) AS n_c, FIRST(B.eid) AS p_id
+            PATTERN (A+ B)
+            DEFINE A AS A.et = 'c', B AS B.et = 'p'
+        )
+        """,
+        delay="5 minutes",
+        tiebreak_col="eid",
+    )
+    mem = run_to_memory_table(out, output_mode="append")
+    assert [(r["n_c"], r["p_id"]) for r in mem.collect()] == [(2, 3)]
+
+
 def test_streaming_terminal_nfb_with_within(spark):
     """A WITHIN bound legalizes the trailing notFollowedBy on streams:
     emission waits for the watermark to close each match's window, so an
