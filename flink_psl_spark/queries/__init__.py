@@ -26,6 +26,7 @@ import flink_psl_spark.queries.cep_queries  # noqa: F401, E402
 import flink_psl_spark.queries.cdc_queries  # noqa: F401, E402
 import flink_psl_spark.queries.functions_ext  # noqa: F401, E402
 import flink_psl_spark.queries.graph_queries  # noqa: F401, E402
+import flink_psl_spark.queries.datastream_queries  # noqa: F401, E402
 
 # Driver-visibility ordering: the verify harness checks queries in
 # registration order and may truncate (rounds 1 and 2 each stopped at the
