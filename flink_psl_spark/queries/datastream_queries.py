@@ -109,3 +109,136 @@ def datastream_map_filter(spark, sf_dir):
         .filter("v2 > 10")
     )
     return ds.df
+
+
+@query(
+    "values_inline_rows",
+    # inline VALUES relation aggregated — independent of the fixture tables
+    oracle="""
+    SELECT k, ROUND(SUM(CAST(v AS DOUBLE)), 2) AS sv, COUNT(*) AS n
+    FROM (VALUES (1, 'a', 1.5), (2, 'b', 2.5), (3, 'a', 0.5),
+                 (4, 'b', 4.0), (5, 'a', 3.25)) AS t(id, k, v)
+    GROUP BY k
+    """,
+)
+def values_inline_rows(spark, sf_dir):
+    """Values source (reference TableEnvironment.fromValues /
+    StreamExecValues): inline rows through the DataStream facade, then a
+    keyed aggregate."""
+    from flink_psl_spark.datastream import DataStream
+
+    ds = DataStream.from_collection(
+        spark,
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "a", 0.5), (4, "b", 4.0), (5, "a", 3.25)],
+        "id long, k string, v double",
+    )
+    return ds.df.groupBy("k").agg(
+        F.round(F.sum("v"), 2).alias("sv"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "filesystem_partitioned_roundtrip",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sv
+    FROM events GROUP BY event_type
+    """,
+)
+def filesystem_partitioned_roundtrip(spark, sf_dir):
+    """Filesystem connector roundtrip (reference FileSystemTableSource /
+    Sink with partition keys): write the events table partitioned by
+    event_type, read it back off disk, aggregate — partition values must
+    survive the directory encoding exactly."""
+    import tempfile
+
+    t = tables(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="fps_fs_part_")
+    t["events"].write.partitionBy("event_type").mode("overwrite").parquet(d)
+    back = spark.read.parquet(d)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv")
+    )
+
+
+@query(
+    "jdbc_roundtrip_agg",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey <= 5000 GROUP BY o_orderstatus
+    """,
+)
+def jdbc_roundtrip_agg(spark, sf_dir):
+    """JDBC connector (reference JdbcDynamicTableFactory, ID "jdbc")
+    against Spark's bundled embedded Derby: write a slice of orders, read
+    it back with a pushed-down filter, aggregate."""
+    import uuid
+
+    from flink_psl_spark.sources import jdbc_table
+
+    t = tables(spark, sf_dir)
+    url = f"jdbc:derby:memory:fpsq_{uuid.uuid4().hex[:8]};create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    (
+        t["orders"]
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "orders_slice")
+        .option("driver", driver)
+        .mode("overwrite")
+        .save()
+    )
+    back = jdbc_table(spark, url, "orders_slice", driver=driver).where(
+        F.col("o_orderkey") <= 5000
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "datastream_broadcast_join",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n
+    FROM events e JOIN customer c ON e.user_id % 100 = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def datastream_broadcast_join(spark, sf_dir):
+    """DataStream broadcast-dim join (reference DataStream.broadcast:434):
+    the dim side ships to every task, no shuffle on the fact side."""
+    from flink_psl_spark.datastream import DataStream
+
+    t = tables(spark, sf_dir)
+    ds = DataStream(t["events"]).broadcast_join(
+        t["customer"], F.col("user_id") % 100 == F.col("c_custkey")
+    )
+    return ds.df.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "async_lookup_enrich",
+    # the async fn is deterministic arithmetic, so the oracle replays it;
+    # ordered-wait semantics leave row identity untouched
+    oracle="""
+    SELECT event_id, user_id, user_id * 3 + 1 AS enriched FROM events
+    """,
+)
+def async_lookup_enrich(spark, sf_dir):
+    """Async I/O enrichment (reference AsyncDataStream.orderedWait:165):
+    thread-pooled per-row lookups inside one Arrow batch hop."""
+    from flink_psl_spark.operators.misc import async_lookup
+
+    t = tables(spark, sf_dir)
+    src = t["events"].select("event_id", "user_id")
+
+    def lookup(row):
+        return {"enriched": row["user_id"] * 3 + 1}
+
+    return async_lookup(
+        src,
+        lookup,
+        "event_id long, user_id long, enriched long",
+        key_cols=["user_id"],
+    )
