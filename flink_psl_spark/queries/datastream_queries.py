@@ -242,3 +242,65 @@ def async_lookup_enrich(spark, sf_dir):
         "event_id long, user_id long, enriched long",
         key_cols=["user_id"],
     )
+
+
+@query(
+    "file_compaction_roundtrip",
+    # compaction must preserve the data exactly — the aggregate over the
+    # compacted table equals the aggregate over the source table
+    oracle="""
+    SELECT COUNT(*) AS n, ROUND(SUM(value), 2) AS sv,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM events
+    """,
+)
+def file_compaction_roundtrip(spark, sf_dir):
+    """File-sink compaction (reference FileCompactStrategy +
+    ConcatFileCompactor): scatter events into many small files, compact to
+    the target size, read the compacted table back — contents must be
+    byte-for-byte preserved and the file count must shrink."""
+    import os
+    import tempfile
+
+    from flink_psl_spark.sources import compact_table
+
+    t = tables(spark, sf_dir)
+    d = os.path.join(tempfile.mkdtemp(prefix="fps_compactq_"), "tbl")
+    t["events"].repartition(16).write.parquet(d)
+    plan = compact_table(spark, d, target_file_bytes=512 * 1024 * 1024)
+    assert plan["compacted"], plan  # the trigger must fire on 16 small files
+    back = spark.read.parquet(d)
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sv"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+@query(
+    "sql_client_script",
+    # the script's final SELECT over the view it created
+    oracle="""
+    SELECT event_type, COUNT(*) AS n FROM events
+    WHERE value > 5 GROUP BY event_type
+    """,
+)
+def sql_client_script(spark, sf_dir):
+    """SQL client script mode (reference sql-client -f): SET options, a
+    view-creating DDL statement, and a final query — the last statement's
+    DataFrame is the script result (sql_client.run_script)."""
+    from flink_psl_spark.sql_client import run_script
+
+    results = run_script(
+        spark,
+        """
+        SET 'spark.sql.shuffle.partitions' = '8';
+        CREATE OR REPLACE TEMP VIEW hot_events AS
+          SELECT * FROM events WHERE value > 5;
+        SELECT event_type, COUNT(*) AS n FROM hot_events GROUP BY event_type;
+        """,
+        sf_dir=sf_dir,
+    )
+    return results[-1].df
