@@ -304,3 +304,41 @@ def sql_client_script(spark, sf_dir):
         sf_dir=sf_dir,
     )
     return results[-1].df
+
+
+@query(
+    "sql_gateway_rest",
+    # what the gateway executed and paged back over HTTP
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sv
+    FROM events GROUP BY event_type
+    """,
+)
+def sql_gateway_rest(spark, sf_dir):
+    """SQL gateway REST roundtrip (reference flink-sql-gateway
+    SqlGateway.java:46, ExecuteStatementHeaders / FetchResultsHeaders):
+    open a session over HTTP, execute an aggregate statement, follow
+    nextResultUri pages (page size 2 forces pagination), rebuild the result
+    as a DataFrame. Control-plane surface: the rows that transit REST here
+    are the aggregated output, not the scan."""
+    from flink_psl_spark.gateway import GatewayClient, SqlGateway
+
+    for name, df in tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+    gw = SqlGateway(spark).start()
+    try:
+        client = GatewayClient(gw.url)
+        h = client.open_session()
+        op = client.execute(
+            h,
+            "SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sv "
+            "FROM events GROUP BY event_type",
+        )
+        assert client.status(h, op) == "FINISHED"
+        cols, rows = client.fetch_all(h, op, page_size=2)
+        client.close_session(h)
+    finally:
+        gw.stop()
+    return spark.createDataFrame(
+        [tuple(r) for r in rows], schema="event_type string, n bigint, sv double"
+    )

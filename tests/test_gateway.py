@@ -1,0 +1,122 @@
+"""SQL Gateway REST service tests (reference: flink-sql-gateway
+SqlGatewayServiceITCase / SqlGatewayRestEndpointStatementITCase)."""
+
+from __future__ import annotations
+
+import json
+from urllib.error import HTTPError
+from urllib.request import Request, urlopen
+
+import pytest
+
+from flink_psl_spark.gateway import FINISHED, GatewayClient, SqlGateway
+
+
+@pytest.fixture(scope="module")
+def gateway(spark):
+    gw = SqlGateway(spark).start()
+    yield gw
+    gw.stop()
+
+
+@pytest.fixture(scope="module")
+def client(gateway):
+    return GatewayClient(gateway.url)
+
+
+def test_info_and_versions(gateway):
+    with urlopen(gateway.url + "/v1/info") as r:
+        info = json.loads(r.read())
+    assert "productName" in info
+    with urlopen(gateway.url + "/api_versions") as r:
+        assert "V2" in json.loads(r.read())["versions"]
+
+
+def test_session_lifecycle(client):
+    h = client.open_session({"k": "v"})
+    cfg = client._call("GET", f"/sessions/{h}")["properties"]
+    assert cfg.get("k") == "v"
+    client._call("POST", f"/sessions/{h}/heartbeat")
+    client.close_session(h)
+    with pytest.raises(HTTPError) as ei:
+        client._call("GET", f"/sessions/{h}")
+    assert ei.value.code == 404
+
+
+def test_statement_roundtrip(client):
+    h = client.open_session()
+    op = client.execute(h, "SELECT 1 AS one, 'x' AS s")
+    assert client.status(h, op) == FINISHED
+    cols, rows = client.fetch_all(h, op)
+    assert cols == ["one", "s"]
+    assert rows == [[1, "x"]]
+    client.close_session(h)
+
+
+def test_pagination_follows_next_result_uri(client):
+    h = client.open_session()
+    op = client.execute(
+        h, "SELECT id FROM range(10) ORDER BY id"
+    )
+    cols, rows = client.fetch_all(h, op, page_size=3)
+    assert [r[0] for r in rows] == list(range(10))
+    # raw first page carries a nextResultUri
+    body = client._call(
+        "GET", f"/sessions/{h}/operations/{op}/result/0?maxRows=3"
+    )
+    assert body["nextResultUri"].endswith("/result/1")
+    assert len(body["results"]["data"]) == 3
+    client.close_session(h)
+
+
+def test_set_reset_scoped_to_session(client, spark):
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    h = client.open_session()
+    op = client.execute(h, "SET 'spark.sql.shuffle.partitions' = '7'")
+    assert client.status(h, op) == FINISHED
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    client.close_session(h)  # close restores the overridden conf
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_error_statement_reports_error_status(client):
+    h = client.open_session()
+    op = client.execute(h, "SELECT * FROM nonexistent_table_xyz")
+    assert client.status(h, op) == "ERROR"
+    with pytest.raises(HTTPError) as ei:
+        client._call("GET", f"/sessions/{h}/operations/{op}/result/0")
+    assert ei.value.code == 500
+    client.close_session(h)
+
+
+def test_ddl_and_query_over_views(client, spark, t):
+    t["nation"].createOrReplaceTempView("nation")
+    h = client.open_session()
+    op = client.execute(
+        h,
+        "SELECT n_regionkey, COUNT(*) AS n FROM nation "
+        "GROUP BY n_regionkey ORDER BY n_regionkey",
+    )
+    cols, rows = client.fetch_all(h, op)
+    assert cols == ["n_regionkey", "n"]
+    assert len(rows) == 5 and sum(r[1] for r in rows) == 25
+    client.close_session(h)
+
+
+def test_cancel_and_close_operation(client):
+    h = client.open_session()
+    op = client.execute(h, "SELECT 1")
+    # finished ops are not cancellable (terminal status preserved)
+    client._call("POST", f"/sessions/{h}/operations/{op}/cancel")
+    assert client.status(h, op) == FINISHED
+    client._call("DELETE", f"/sessions/{h}/operations/{op}/close")
+    with pytest.raises(HTTPError):
+        client.status(h, op)
+    client.close_session(h)
+
+
+def test_unknown_route_404(gateway):
+    req = Request(gateway.url + "/v2/bogus")
+    with pytest.raises(HTTPError) as ei:
+        urlopen(req)
+    assert ei.value.code == 404
