@@ -11,6 +11,7 @@ and all text feature extraction is expression-only (whole-stage codegen).
 """
 
 from flink_psl_spark.llm.dedup import (  # noqa: F401
+    segment_dedup,
     exact_dedup,
     minhash_signatures,
     minhash_lsh_pairs,
@@ -31,8 +32,10 @@ from flink_psl_spark.llm.similarity import (  # noqa: F401
 )
 from flink_psl_spark.llm.sampling import (  # noqa: F401
     deterministic_sample,
+    deterministic_shuffle,
     mix_datasets,
     stratified_sample,
+    temperature_mix,
 )
 from flink_psl_spark.llm.text import (  # noqa: F401
     tokenize,

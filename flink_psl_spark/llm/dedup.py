@@ -410,3 +410,73 @@ def simhash_dedup(
         )
     dropped = cand.select(F.col("b").alias(id_col)).distinct()
     return df.join(dropped, on=id_col, how="left_anti")
+
+
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    segment_tokens: int = 16,
+) -> DataFrame:
+    """Segment-level corpus-wide exact dedup (the line-level dedup of
+    C4/CCNet-style curation, applied to fixed token segments).
+
+    Each document is cut into consecutive ``segment_tokens``-token segments
+    (row-local, emitted in the scan stage like ``chunk_documents``); a
+    segment is kept only for its first occurrence in the corpus (ordered by
+    (id, position) — deterministic under retries), and every document is
+    reassembled from its surviving segments.
+
+    Scale shape: segments shuffle once keyed by their md5 (16-byte key, not
+    the text) for the keep-first window, then once by document id for
+    reassembly — no all-pairs work, no driver involvement. Returns
+    (id, n_segments, n_kept, clean_text) for every input document (documents
+    whose segments all duplicate earlier ones come back with n_kept = 0 and
+    an empty clean_text).
+    """
+    from pyspark.sql import Window
+
+    toks = tokenize(F.col(text_col))
+    seg = df.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(segment_tokens)
+            )
+        ).alias("_s"),
+        toks.alias("_toks"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("_s"), segment_tokens)
+    seg = seg.select(
+        F.col(id_col),
+        ((F.col("_s") - 1) / segment_tokens).cast("bigint").alias("seg_no"),
+        F.array_join(piece, " ").alias("seg"),
+    ).where(F.size(piece) > 0)
+    w = Window.partitionBy(F.md5("seg")).orderBy(id_col, "seg_no")
+    tagged = seg.withColumn("_keep", F.row_number().over(w) == 1)
+    # one pass per document: totals + survivors together (collect_list drops
+    # the nulls the non-kept segments map to), so the reassembly costs a
+    # single doc-keyed shuffle
+    kept_struct = F.when(F.col("_keep"), F.struct("seg_no", "seg"))
+    rebuilt = tagged.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_segments"),
+        F.sum(F.col("_keep").cast("long")).cast("bigint").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda x: x["seg"]
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        df.select(id_col)
+        .distinct()
+        .join(rebuilt, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_segments", F.lit(0)).cast("bigint").alias("n_segments"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

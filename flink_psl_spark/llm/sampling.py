@@ -91,3 +91,74 @@ def mix_datasets(
         ).withColumn("__mix_source", F.lit(i))
         out = sampled if out is None else out.unionByName(sampled)
     return out
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    n_shards: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic training-order shuffle: assign every row a (shard,
+    pos) coordinate that is pseudorandom but fully reproducible.
+
+    Shard = hash bucket mod ``n_shards`` (one narrow projection); position =
+    rank within the shard under an independent hash ordering (per-shard
+    window — the sort never exceeds one shard, so there is no global sort to
+    serialize at 100 TB; shards are the parallel unit a training job reads).
+    Two independent md5 derivations (seed, seed+1) decorrelate shard
+    assignment from intra-shard order.
+    """
+    from pyspark.sql import Window
+
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    order_key = F.md5(
+        F.concat_ws(
+            "|", *[F.col(c).cast("string") for c in key_cols], F.lit(str(seed + 1))
+        )
+    )
+    w = Window.partitionBy("shard").orderBy("_ord", *key_cols)
+    return (
+        df.withColumn("shard", (_bucket(key_cols, seed) % n_shards).cast("bigint"))
+        .withColumn("_ord", order_key)
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("bigint"))
+        .drop("_ord")
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    *,
+    alpha: float = 0.5,
+    key_cols: list[str],
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual sampling scheme
+    of public multilingual-LM recipes): sampled size per source ∝ p_i^alpha,
+    where p_i is the source's corpus share.
+
+    Keep-rate r_i ∝ p_i^(alpha-1), scaled so max r_i = 1 — with alpha < 1
+    the distribution flattens (small sources keep everything, large sources
+    are downsampled); alpha = 1 is a no-op. Selection is the deterministic
+    md5-threshold filter, so the mix reproduces exactly across engines and
+    retries. Per-source rates come from a #sources-row aggregate (tiny,
+    broadcast back into the filter) — the scan-side work stays a narrow
+    filter. Output rows carry ``__mix_rate`` (the applied keep-rate).
+    """
+    from pyspark.sql import Window
+
+    everything = Window.partitionBy()
+    rates = (
+        df.groupBy(source_col)
+        .agg(F.count("*").alias("__n"))
+        .withColumn("__p", F.col("__n") / F.sum("__n").over(everything))
+        .withColumn("__rr", F.pow("__p", F.lit(alpha - 1.0)))
+        .withColumn("__mix_rate", F.col("__rr") / F.max("__rr").over(everything))
+        .select(source_col, "__mix_rate")
+    )
+    joined = df.join(F.broadcast(rates), on=source_col)
+    thresh = (F.col("__mix_rate") * _HASH_BUCKETS).cast("bigint")
+    return joined.where(_bucket(key_cols, seed) < thresh)

@@ -1044,3 +1044,110 @@ def llm_audio_stats(spark, sf_dir):
     t = tables(spark, sf_dir)
     auds = synthetic_media(spark, t["documents"], media_type="audio")
     return audio_stats(auds, sample_rate=16000)
+
+
+@query(
+    "llm_segment_dedup",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    seg0 AS (
+      SELECT doc_id, w,
+             UNNEST(GENERATE_SERIES(1, GREATEST(LEN(w), 1), 16)) AS s
+      FROM d),
+    seg AS (
+      SELECT doc_id, CAST((s - 1) // 16 AS BIGINT) AS seg_no,
+             ARRAY_TO_STRING(w[s:s + 15], ' ') AS seg
+      FROM seg0 WHERE LEN(w[s:s + 15]) > 0),
+    k AS (SELECT doc_id, seg_no, seg,
+                 ROW_NUMBER() OVER (PARTITION BY MD5(seg)
+                                    ORDER BY doc_id, seg_no) AS rn
+          FROM seg),
+    tot AS (SELECT doc_id, COUNT(*) AS n_segments FROM seg GROUP BY doc_id),
+    kp AS (SELECT doc_id, COUNT(*) AS n_kept,
+                  STRING_AGG(seg, ' ' ORDER BY seg_no) AS clean_text
+           FROM k WHERE rn = 1 GROUP BY doc_id)
+    SELECT d0.doc_id,
+           CAST(COALESCE(tot.n_segments, 0) AS BIGINT) AS n_segments,
+           CAST(COALESCE(kp.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(kp.clean_text, '') AS clean_text
+    FROM (SELECT DISTINCT doc_id FROM documents) d0
+    LEFT JOIN tot USING (doc_id) LEFT JOIN kp USING (doc_id)
+    """,
+)
+def llm_segment_dedup(spark, sf_dir):
+    """Segment-level corpus-wide exact dedup (C4/CCNet line dedup on
+    16-token segments): keep-first by (doc, position), reassemble docs from
+    surviving segments."""
+    from flink_psl_spark.llm import segment_dedup
+
+    t = tables(spark, sf_dir)
+    return segment_dedup(t["documents"], segment_tokens=16)
+
+
+@query(
+    "llm_deterministic_shuffle",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             CAST('0x' || SUBSTR(MD5(CONCAT_WS('|', CAST(doc_id AS VARCHAR),
+                                               '42')), 1, 6) AS BIGINT)
+               % 8 AS shard,
+             MD5(CONCAT_WS('|', CAST(doc_id AS VARCHAR), '43')) AS ord
+      FROM documents)
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+                - 1 AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def llm_deterministic_shuffle(spark, sf_dir):
+    """Deterministic training-order shuffle: reproducible pseudorandom
+    (shard, pos) assignment; per-shard rank windows, no global sort."""
+    from flink_psl_spark.llm import deterministic_shuffle
+
+    t = tables(spark, sf_dir)
+    return deterministic_shuffle(
+        t["documents"], key_cols=["doc_id"], n_shards=8, seed=42
+    ).select("doc_id", "shard", "pos")
+
+
+@query(
+    "llm_temperature_mix",
+    # alpha = 0.5: rate_i = (p_i)^(-1/2) scaled to max 1 — replayed in
+    # DuckDB with the same double arithmetic and md5-threshold selection
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    r AS (SELECT source, n,
+                 POWER(n * 1.0 / SUM(n) OVER (), -0.5) AS rr
+          FROM c),
+    r2 AS (SELECT source, n, rr / MAX(rr) OVER () AS rate FROM r),
+    sel AS (
+      SELECT d.source, r2.n, r2.rate
+      FROM documents d JOIN r2 USING (source)
+      WHERE CAST('0x' || SUBSTR(MD5(CONCAT_WS('|', CAST(d.doc_id AS VARCHAR),
+                                              '42')), 1, 6) AS BIGINT)
+            < CAST(r2.rate * 16777216 AS BIGINT))
+    SELECT source, CAST(MIN(n) AS BIGINT) AS n_total,
+           COUNT(*) AS n_kept, ROUND(MIN(rate), 6) AS rate
+    FROM sel GROUP BY source
+    """,
+)
+def llm_temperature_mix(spark, sf_dir):
+    """Temperature-scaled source mixing (sampled size ∝ p^alpha, alpha=0.5):
+    per-source keep-rates from a tiny broadcast aggregate, deterministic
+    md5-threshold selection; projects per-source totals for the oracle."""
+    from flink_psl_spark.llm import temperature_mix
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"]
+    totals = docs.groupBy("source").agg(F.count("*").alias("n_total"))
+    kept = temperature_mix(docs, "source", alpha=0.5, key_cols=["doc_id"], seed=42)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.round(F.min("__mix_rate"), 6).alias("rate"),
+        )
+        .join(F.broadcast(totals), on="source")
+        .select("source", "n_total", "n_kept", "rate")
+    )

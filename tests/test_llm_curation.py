@@ -237,3 +237,94 @@ def test_degenerate_inputs(spark):
     v = {r["doc_id"]: r["keep"] for r in repetition_filter(nulls).collect()}
     # doc 2 ("a b"): its single 2-gram covers 100% of chars -> correctly dropped
     assert v == {1: True, 2: False}
+
+
+# ---------------------------------------------------------------------------
+# segment-level dedup / deterministic shuffle / temperature mix
+# ---------------------------------------------------------------------------
+
+
+def test_segment_dedup_drops_repeat_segments(spark):
+    from flink_psl_spark.llm import segment_dedup
+
+    df = _docs(
+        spark,
+        [
+            (0, "s", "a b c d"),   # first occurrence of both segments
+            (1, "s", "a b x y"),   # 'a b' repeats doc 0's segment
+            (2, "s", "a b c d"),   # everything repeats -> empty survivor
+            (3, "s", "   "),       # blank doc: zero segments
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in segment_dedup(df, segment_tokens=2).collect()
+    }
+    assert (out[0]["n_segments"], out[0]["n_kept"]) == (2, 2)
+    assert out[0]["clean_text"] == "a b c d"
+    assert (out[1]["n_segments"], out[1]["n_kept"]) == (2, 1)
+    assert out[1]["clean_text"] == "x y"
+    assert (out[2]["n_segments"], out[2]["n_kept"]) == (2, 0)
+    assert out[2]["clean_text"] == ""
+    assert (out[3]["n_segments"], out[3]["n_kept"]) == (0, 0)
+
+
+def test_segment_dedup_keeps_tail_and_order(spark):
+    from flink_psl_spark.llm import segment_dedup
+
+    # 5 tokens with segment_tokens=2 -> segments 'a b', 'c d', 'e' (tail)
+    df = _docs(spark, [(0, "s", "a b c d e")])
+    row = segment_dedup(df, segment_tokens=2).collect()[0]
+    assert row["n_segments"] == 3
+    assert row["clean_text"] == "a b c d e"  # reassembled in position order
+
+
+def test_deterministic_shuffle_properties(spark):
+    from flink_psl_spark.llm import deterministic_shuffle
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    out = deterministic_shuffle(df, key_cols=["doc_id"], n_shards=4, seed=7)
+    rows = out.collect()
+    assert len(rows) == 500
+    shards = {r["shard"] for r in rows}
+    assert shards <= set(range(4)) and len(shards) == 4
+    # positions are a 0-based dense sequence within each shard
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    # deterministic: a rerun yields the identical assignment
+    again = deterministic_shuffle(df, key_cols=["doc_id"], n_shards=4, seed=7)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+    # a different seed produces a different order
+    other = deterministic_shuffle(df, key_cols=["doc_id"], n_shards=4, seed=8)
+    assert sorted(map(tuple, rows)) != sorted(map(tuple, other.collect()))
+
+
+def test_temperature_mix_alpha_one_is_identity(spark):
+    from flink_psl_spark.llm import temperature_mix
+
+    df = _docs(
+        spark,
+        [(i, "big" if i < 90 else "small", f"t {i}") for i in range(100)],
+    )
+    out = temperature_mix(df, "source", alpha=1.0, key_cols=["doc_id"])
+    assert out.count() == 100  # rate 1.0 everywhere
+
+
+def test_temperature_mix_flattens_distribution(spark):
+    from flink_psl_spark.llm import temperature_mix
+
+    df = _docs(
+        spark,
+        [(i, "big" if i < 900 else "small", f"t {i}") for i in range(1000)],
+    )
+    out = temperature_mix(df, "source", alpha=0.5, key_cols=["doc_id"])
+    kept = {r["source"]: r["n"] for r in
+            out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # the smallest source keeps everything (rate scaled to max 1)
+    assert kept["small"] == 100
+    # the big source is downsampled toward sqrt-proportionality:
+    # expected rate = sqrt(p_small/p_big) = sqrt(1/9) = 1/3
+    assert 200 < kept["big"] < 400
