@@ -201,12 +201,173 @@ def encode_record(schema: dict, row: dict) -> bytes:
     return bytes(out)
 
 
-def decode_record(schema: dict, buf: bytes) -> dict:
+def decode_record(schema: dict, buf: bytes, reader_schema: dict | None = None) -> dict:
+    if reader_schema is not None and reader_schema is not schema:
+        row, _pos = _resolve_value(schema, reader_schema, buf, 0)
+        return row
     pos = 0
     row = {}
     for f in schema["fields"]:
         row[f["name"]], pos = _decode_value(f["type"], buf, pos)
     return row
+
+
+# ---------------------------------------------------------------------------
+# schema resolution (reader != writer — Avro spec "Schema Resolution")
+# ---------------------------------------------------------------------------
+
+# writer type -> reader types it may be promoted to
+_PROMOTIONS = {
+    "int": {"long", "float", "double"},
+    "long": {"float", "double"},
+    "float": {"double"},
+    "string": {"bytes"},
+    "bytes": {"string"},
+}
+
+
+def _type_tag(typ: Any) -> str:
+    if isinstance(typ, list):
+        return "union"
+    if isinstance(typ, dict):
+        return typ["type"]
+    return typ
+
+
+def _names(typ: Any) -> set[str]:
+    """Record/enum/fixed full-name set: name + aliases."""
+    if not isinstance(typ, dict):
+        return set()
+    return {typ.get("name", "")} | set(typ.get("aliases", []))
+
+
+def _compatible(writer: Any, reader: Any) -> bool:
+    """May a value written as ``writer`` be read as ``reader``? (Used for
+    union branch matching; shallow per the spec — nested mismatches still
+    raise during resolution.)"""
+    wt, rt = _type_tag(writer), _type_tag(reader)
+    if rt == "union":
+        return any(_compatible(writer, r) for r in reader)
+    if wt == "union":
+        return True  # branch checked at read time against the reader
+    if wt == rt:
+        if wt in ("record", "enum", "fixed"):
+            return bool(_names(writer) & _names(reader)) or not _names(reader)
+        return True
+    return rt in _PROMOTIONS.get(wt, ())
+
+
+def _skip_value(typ: Any, buf: bytes, pos: int) -> int:
+    """Advance past a value of ``typ`` without materializing it (spec: a
+    writer field absent from the reader record is ignored)."""
+    _v, pos = _decode_value(typ, buf, pos)
+    return pos
+
+
+def _promote(v: Any, wt: str, rt: str) -> Any:
+    if wt == rt:
+        return v
+    if rt in ("long",):
+        return int(v)
+    if rt in ("float", "double"):
+        return float(v)
+    if wt == "string" and rt == "bytes":
+        return v.encode("utf-8") if isinstance(v, str) else bytes(v)
+    if wt == "bytes" and rt == "string":
+        return v.decode("utf-8") if isinstance(v, (bytes, bytearray)) else str(v)
+    raise ValueError(f"cannot promote {wt!r} to {rt!r}")
+
+
+def _resolve_value(writer: Any, reader: Any, buf: bytes, pos: int) -> tuple[Any, int]:
+    """Decode per the writer schema while coercing into the reader schema
+    (Avro spec schema-resolution rules: name matching with aliases, reader
+    defaults, primitive promotions, union re-matching)."""
+    if isinstance(writer, list):  # writer union: decode branch, re-resolve
+        branch, pos = zigzag_decode(buf, pos)
+        return _resolve_value(writer[branch], reader, buf, pos)
+    if isinstance(reader, list):  # reader union: first matching branch
+        for r in reader:
+            if _compatible(writer, r):
+                return _resolve_value(writer, r, buf, pos)
+        raise ValueError(
+            f"writer type {_type_tag(writer)!r} matches no reader union branch"
+        )
+    wt, rt = _type_tag(writer), _type_tag(reader)
+    if wt == "record" and rt == "record":
+        if _names(reader) and _names(writer) and not (
+            _names(writer) & _names(reader)
+        ):
+            raise ValueError(
+                f"record name mismatch: {writer.get('name')} vs {reader.get('name')}"
+            )
+        by_name: dict[str, dict] = {}
+        for rf in reader["fields"]:
+            by_name[rf["name"]] = rf
+            for a in rf.get("aliases", []):
+                by_name[a] = rf
+        row: dict[str, Any] = {}
+        seen: set[str] = set()
+        for wf in writer["fields"]:
+            rf = by_name.get(wf["name"])
+            if rf is None:
+                pos = _skip_value(wf["type"], buf, pos)  # ignored field
+                continue
+            row[rf["name"]], pos = _resolve_value(wf["type"], rf["type"], buf, pos)
+            seen.add(rf["name"])
+        for rf in reader["fields"]:  # reader-only fields take defaults
+            if rf["name"] in seen:
+                continue
+            if "default" not in rf:
+                raise ValueError(
+                    f"reader field {rf['name']!r} absent from writer and has "
+                    "no default"
+                )
+            row[rf["name"]] = rf["default"]
+        return row, pos
+    if wt == "array" and rt == "array":
+        items = []
+        while True:
+            count, pos = zigzag_decode(buf, pos)
+            if count == 0:
+                return items, pos
+            if count < 0:
+                _size, pos = zigzag_decode(buf, pos)
+                count = -count
+            for _ in range(count):
+                it, pos = _resolve_value(writer["items"], reader["items"], buf, pos)
+                items.append(it)
+    if wt == "map" and rt == "map":
+        m: dict[str, Any] = {}
+        while True:
+            count, pos = zigzag_decode(buf, pos)
+            if count == 0:
+                return m, pos
+            if count < 0:
+                _size, pos = zigzag_decode(buf, pos)
+                count = -count
+            for _ in range(count):
+                kl, pos = zigzag_decode(buf, pos)
+                k = buf[pos : pos + kl].decode("utf-8")
+                pos += kl
+                m[k], pos = _resolve_value(
+                    writer["values"], reader["values"], buf, pos
+                )
+    if wt == "enum" and rt == "enum":
+        idx, pos = zigzag_decode(buf, pos)
+        sym = writer["symbols"][idx]
+        if sym in reader["symbols"]:
+            return sym, pos
+        if "default" in reader:
+            return reader["default"], pos
+        raise ValueError(f"enum symbol {sym!r} not in reader schema, no default")
+    if wt == "fixed" and rt == "fixed":
+        if writer["size"] != reader["size"]:
+            raise ValueError("fixed size mismatch")
+        return _decode_value(writer, buf, pos)
+    if wt == rt or rt in _PROMOTIONS.get(wt, ()):
+        v, pos = _decode_value(writer, buf, pos)
+        return _promote(v, wt, rt), pos
+    raise ValueError(f"cannot resolve writer {wt!r} against reader {rt!r}")
 
 
 # ---------------------------------------------------------------------------
@@ -305,16 +466,31 @@ def to_avro_py(df: DataFrame, schema: dict, *, out_col: str = "avro") -> DataFra
     )
 
 
-def from_avro_py(df: DataFrame, schema: dict, *, in_col: str = "avro") -> DataFrame:
-    """Decode an Avro-binary column back to typed columns (reader schema ==
-    writer schema; resolution rules are out of scope for the fallback)."""
-    out_schema = schema_to_struct(schema)
+def from_avro_py(
+    df: DataFrame,
+    schema: dict,
+    *,
+    in_col: str = "avro",
+    reader_schema: dict | None = None,
+) -> DataFrame:
+    """Decode an Avro-binary column back to typed columns.
+
+    With ``reader_schema``, full spec schema resolution applies (evolution:
+    added fields take reader defaults, removed fields are skipped, fields
+    match by name/alias regardless of order, int→long→float→double and
+    string↔bytes promotions, union re-matching, enum defaults) — the same
+    contract the reference's Avro format honors via the Avro library."""
+    out = reader_schema if reader_schema is not None else schema
+    out_schema = schema_to_struct(out)
 
     def run(batches):
         import pandas as pd
 
         for pdf in batches:
-            rows = [decode_record(schema, bytes(b)) for b in pdf[in_col]]
+            rows = [
+                decode_record(schema, bytes(b), reader_schema=reader_schema)
+                for b in pdf[in_col]
+            ]
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return df.select(in_col).mapInPandas(run, out_schema)

@@ -351,3 +351,52 @@ def protobuf_py_nested_roundtrip(spark, sf_dir):
         F.size("tags").alias("n_tags"),
         F.element_at("nums", 2).alias("num2"),
     )
+
+
+@query(
+    "avro_schema_evolution",
+    # resolution is deterministic: promoted ints read back as the same
+    # values, the renamed field maps through its alias, the dropped writer
+    # field vanishes, and the reader-only field takes its default
+    oracle="""
+    SELECT o_orderkey, o_totalprice AS total, 'web' AS channel FROM orders
+    """,
+)
+def avro_schema_evolution(spark, sf_dir):
+    """Avro schema evolution (reference flink-formats/flink-avro resolves
+    reader vs writer schemas through the Avro library; spec 'Schema
+    Resolution'): payloads written with schema v1 are decoded under an
+    evolved v2 reader — int→long promotion on the key, a field renamed via
+    reader alias, a dropped writer field skipped on read, and a new reader
+    field filled from its default."""
+    from flink_psl_spark.formats.avro_py import from_avro_py, to_avro_py
+    from flink_psl_spark.parallelism import ensure_parallelism
+    from pyspark.sql import functions as F
+
+    writer = {
+        "type": "record",
+        "name": "order",
+        "fields": [
+            {"name": "o_orderkey", "type": "int"},
+            {"name": "o_orderpriority", "type": "string"},  # dropped in v2
+            {"name": "o_totalprice", "type": "double"},
+        ],
+    }
+    reader = {
+        "type": "record",
+        "name": "order",
+        "fields": [
+            {"name": "o_orderkey", "type": "long"},  # int -> long
+            {"name": "total", "aliases": ["o_totalprice"], "type": "double"},
+            {"name": "channel", "type": "string", "default": "web"},
+        ],
+    }
+    t = tables(spark, sf_dir)
+    src = ensure_parallelism(
+        t["orders"].select(
+            F.col("o_orderkey").cast("int").alias("o_orderkey"),
+            "o_orderpriority",
+            "o_totalprice",
+        )
+    )
+    return from_avro_py(to_avro_py(src, writer), writer, reader_schema=reader)
