@@ -14,14 +14,16 @@ absent here) — this fallback implements the public protobuf wire format
 - repeated fields: type ("repeated", inner) — numeric inners use proto3
   packed encoding on write and accept both packed and expanded on read;
   string/bytes/message inners repeat their tag per element,
+- map fields: type ("map", key, value) — wire-identical to a repeated
+  entry message {key = 1; value = 2} per the spec,
 - tag = (field_number << 3) | wire_type; proto3 default-value omission on
   encode, defaults restored on decode (null ≡ default, repeated ≡ [],
-  absent message ≡ null, per proto3); unknown field numbers are skipped
-  by wire type.
+  map ≡ {}, absent message ≡ null, per proto3); unknown field numbers are
+  skipped by wire type.
 
 Schema shape: ordered field specs (name, number, type). DataFrame
 integration mirrors formats/avro_py.py (Arrow-batched mapInPandas);
-messages map to StructType, repeated to ArrayType.
+messages map to StructType, repeated to ArrayType, map to MapType.
 """
 
 from __future__ import annotations
@@ -107,6 +109,19 @@ def encode_message(fields: list[tuple[str, int, Any]], row: dict) -> bytes:
             out += varint_encode((number << 3) | 2)
             out += varint_encode(len(sub)) + sub
             continue
+        if isinstance(typ, tuple) and typ[0] == "map":
+            # proto map<K,V> ≡ repeated message { K key = 1; V value = 2; }
+            pairs = (
+                list(v.items()) if isinstance(v, dict)
+                else [tuple(p) for p in v] if v is not None
+                else []
+            )
+            entry = _map_entry_fields(typ)
+            for k, val in pairs:
+                sub = encode_message(entry, {"key": k, "value": val})
+                out += varint_encode((number << 3) | 2)
+                out += varint_encode(len(sub)) + sub
+            continue
         if isinstance(typ, tuple) and typ[0] == "repeated":
             items = list(v) if v is not None else []
             if not items:
@@ -157,8 +172,18 @@ def _decode_scalar_at(typ: str, buf: bytes, pos: int) -> tuple[Any, int]:
 
 def _default_for(typ: Any) -> Any:
     if isinstance(typ, tuple):
-        return [] if typ[0] == "repeated" else None  # repeated / message
+        if typ[0] == "repeated":
+            return []
+        if typ[0] == "map":
+            return {}
+        return None  # message
     return _DEFAULTS[typ]
+
+
+def _map_entry_fields(typ: tuple) -> list[tuple[str, int, Any]]:
+    """The synthetic entry message of a ("map", K, V) field (spec: maps are
+    wire-identical to repeated entry messages with key=1, value=2)."""
+    return [("key", 1, typ[1]), ("value", 2, typ[2])]
 
 
 def decode_message(fields: list[tuple[str, int, Any]], buf: bytes) -> dict:
@@ -185,6 +210,14 @@ def decode_message(fields: list[tuple[str, int, Any]], buf: bytes) -> dict:
                 raise ValueError(f"unsupported wire type {wire}")
             continue
         name, typ = by_number[number]
+        if isinstance(typ, tuple) and typ[0] == "map":
+            if wire != 2:
+                raise ValueError(f"map field {name} with wire {wire}")
+            ln, pos = varint_decode(buf, pos)
+            entry = decode_message(_map_entry_fields(typ), buf[pos : pos + ln])
+            row[name][entry["key"]] = entry["value"]
+            pos += ln
+            continue
         if isinstance(typ, tuple) and typ[0] == "message":
             if wire != 2:
                 raise ValueError(f"message field {name} with wire {wire}")
@@ -246,6 +279,8 @@ def _pb_spark_type(typ: Any) -> T.DataType:
             return fields_to_struct(typ[1])
         if typ[0] == "repeated":
             return T.ArrayType(_pb_spark_type(typ[1]))
+        if typ[0] == "map":
+            return T.MapType(_pb_spark_type(typ[1]), _pb_spark_type(typ[2]))
         raise ValueError(f"unsupported protobuf type {typ!r}")
     return _PB_TO_SPARK[typ]
 

@@ -400,3 +400,47 @@ def avro_schema_evolution(spark, sf_dir):
         )
     )
     return from_avro_py(to_avro_py(src, writer), writer, reader_schema=reader)
+
+
+@query(
+    "protobuf_py_map_roundtrip",
+    # encode -> decode is identity on the map entries; the oracle rebuilds
+    # the projected entries straight from the source columns
+    oracle="""
+    SELECT o_orderkey, o_orderstatus AS status, o_orderpriority AS priority,
+           CAST(2 AS INTEGER) AS n_attrs
+    FROM orders
+    """,
+)
+def protobuf_py_map_roundtrip(spark, sf_dir):
+    """Protobuf map fields (proto map<K,V>, wire-identical to repeated
+    {key,value} entry messages): a MapType column survives the encode →
+    decode roundtrip; projects entries back out for the exact oracle."""
+    from flink_psl_spark.formats.protobuf_py import (
+        from_protobuf_py,
+        to_protobuf_py,
+    )
+    from flink_psl_spark.parallelism import ensure_parallelism
+    from pyspark.sql import functions as F
+
+    fields = [
+        ("o_orderkey", 1, "int64"),
+        ("attrs", 2, ("map", "string", "string")),
+    ]
+    t = tables(spark, sf_dir)
+    src = ensure_parallelism(
+        t["orders"].select(
+            "o_orderkey",
+            F.create_map(
+                F.lit("status"), F.col("o_orderstatus"),
+                F.lit("priority"), F.col("o_orderpriority"),
+            ).alias("attrs"),
+        )
+    )
+    back = from_protobuf_py(to_protobuf_py(src, fields), fields)
+    return back.select(
+        "o_orderkey",
+        F.col("attrs")["status"].alias("status"),
+        F.col("attrs")["priority"].alias("priority"),
+        F.size("attrs").alias("n_attrs"),
+    )

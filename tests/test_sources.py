@@ -614,3 +614,47 @@ def test_avro_py_dataframe_evolution_roundtrip(spark):
     assert [tuple(r) for r in out.collect()] == [
         (1, 0.5, "n/a"), (2, 1.25, "n/a"),
     ]
+
+
+def test_protobuf_py_map_fields(spark):
+    """proto map<K,V> — wire-compatible with repeated entry messages."""
+    from flink_psl_spark.formats.protobuf_py import (
+        decode_message,
+        encode_message,
+        from_protobuf_py,
+        to_protobuf_py,
+    )
+
+    fields = [
+        ("id", 1, "int64"),
+        ("attrs", 2, ("map", "string", "int64")),
+        ("scores", 3, ("map", "string", "double")),
+    ]
+    row = {"id": 9, "attrs": {"a": 1, "b": 2}, "scores": {"x": 0.5}}
+    buf = encode_message(fields, row)
+    assert decode_message(fields, buf) == row
+    # empty / absent maps decode to {}
+    assert decode_message(fields, encode_message(fields, {"id": 1}))["attrs"] == {}
+
+    # a map field and its repeated-entry-message formulation are
+    # byte-identical on the wire (the spec's equivalence)
+    entry = ("message", [("key", 1, "string"), ("value", 2, "int64")])
+    as_repeated = [
+        ("id", 1, "int64"),
+        ("attrs", 2, ("repeated", entry)),
+        ("scores", 3, ("map", "string", "double")),
+    ]
+    row2 = dict(row, attrs=[{"key": "a", "value": 1}, {"key": "b", "value": 2}])
+    assert encode_message(as_repeated, row2) == buf
+    got = decode_message(as_repeated, buf)
+    assert got["attrs"] == row2["attrs"]
+
+    # DataFrame roundtrip: MapType column through the codec
+    df = spark.createDataFrame(
+        [(9, {"a": 1, "b": 2}, {"x": 0.5}), (10, {}, {})],
+        "id long, attrs map<string,bigint>, scores map<string,double>",
+    )
+    back = from_protobuf_py(to_protobuf_py(df, fields), fields).orderBy("id")
+    rows = back.collect()
+    assert rows[0]["attrs"] == {"a": 1, "b": 2} and rows[0]["scores"] == {"x": 0.5}
+    assert rows[1]["attrs"] == {} and rows[1]["scores"] == {}
