@@ -342,3 +342,53 @@ def sql_gateway_rest(spark, sf_dir):
     return spark.createDataFrame(
         [tuple(r) for r in rows], schema="event_type string, n bigint, sv double"
     )
+
+
+@query(
+    "bucketed_join_agg",
+    # bucketing changes the physical layout only — results equal the plain
+    # join+aggregate
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def bucketed_join_agg(spark, sf_dir):
+    """Bucketed-table co-located join (reference: the batch planner's
+    exchange-removal over pre-partitioned inputs; Spark primitive:
+    bucketBy): both sides are written bucketed on the join key, the join +
+    per-key aggregate then run with ZERO exchanges (asserted on the plan —
+    the 100 TB path for repeatedly-joined fact tables)."""
+    from flink_psl_spark.operators.bucketing import cobucketed_join, write_bucketed
+
+    t = tables(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(
+            t["orders"].select(
+                F.col("o_custkey").alias("custkey"), "o_totalprice"
+            ),
+            "q_b_orders", bucket_cols=["custkey"], num_buckets=8,
+            sort_cols=["custkey"],
+        )
+        write_bucketed(
+            t["customer"].select(
+                F.col("c_custkey").alias("custkey"), "c_mktsegment"
+            ),
+            "q_b_customer", bucket_cols=["custkey"], num_buckets=8,
+            sort_cols=["custkey"],
+        )
+        joined = cobucketed_join(spark, "q_b_orders", "q_b_customer", on=["custkey"])
+        # the join itself is exchange-free (both sides co-bucketed); the
+        # final segment rollup then shuffles 5 aggregate rows, nothing more
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "bucketed join must be shuffle-free"
+        return joined.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
