@@ -392,3 +392,31 @@ def bucketed_join_agg(spark, sf_dir):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+@query(
+    "metadata_columns_read",
+    # the fixture table is a single parquet file named events.parquet, so
+    # the metadata-derived file name is a checkable constant; row counts
+    # prove every row carried the metadata projection
+    oracle="""
+    SELECT 'events.parquet' AS src_file, event_type, COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def metadata_columns_read(spark, sf_dir):
+    """Connector metadata columns (reference SupportsReadingMetadata.java:65,
+    DDL `METADATA FROM 'file.name' VIRTUAL`): scan-time _metadata projection
+    joined into an aggregate — zero extra I/O, constant per file."""
+    import os
+
+    from flink_psl_spark.sources import read_with_metadata
+
+    df = read_with_metadata(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        metadata={"src_file": "file.name"},
+    )
+    return df.groupBy("src_file", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -345,3 +345,53 @@ def compact_partitioned_table(
 
         shutil.rmtree(work_root, ignore_errors=True)
     return out
+
+
+# Flink metadata key (SupportsReadingMetadata / DDL `METADATA FROM ...
+# VIRTUAL`, file connector keys in FileSystemTableSource) -> Spark
+# `_metadata` struct subfield
+FILE_METADATA_KEYS = {
+    "file.path": "file_path",
+    "file.name": "file_name",
+    "file.size": "file_size",
+    "file.modification-time": "file_modification_time",
+}
+
+
+def read_with_metadata(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    *,
+    metadata: dict[str, str] | list[str] | None = None,
+    schema: str | None = None,
+    streaming: bool = False,
+    **options: str,
+) -> DataFrame:
+    """File read with connector metadata columns (reference:
+    `SupportsReadingMetadata.java:65`; DDL ``name TYPE METADATA FROM
+    'file.path' VIRTUAL``; file-connector keys in FileSystemTableSource).
+
+    ``metadata`` maps output column name -> Flink metadata key (or a list
+    of keys, each surfaced under its Spark field name). Spark's hidden
+    ``_metadata`` struct supplies the values at scan time — a constant per
+    file, so projecting it costs nothing and the scan stays fully
+    vectorized/pushdown-capable.
+    """
+    df = read_table(
+        spark, path, fmt, schema=schema, streaming=streaming, **options
+    )
+    if not metadata:
+        return df
+    if isinstance(metadata, list):
+        metadata = {FILE_METADATA_KEYS[k]: k for k in metadata}
+    cols = [F.col(c) for c in df.columns]
+    for out_name, key in metadata.items():
+        try:
+            field = FILE_METADATA_KEYS[key]
+        except KeyError:
+            raise ValueError(
+                f"unknown metadata key {key!r}; one of {sorted(FILE_METADATA_KEYS)}"
+            ) from None
+        cols.append(F.col(f"_metadata.{field}").alias(out_name))
+    return df.select(*cols)

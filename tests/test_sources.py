@@ -658,3 +658,29 @@ def test_protobuf_py_map_fields(spark):
     rows = back.collect()
     assert rows[0]["attrs"] == {"a": 1, "b": 2} and rows[0]["scores"] == {"x": 0.5}
     assert rows[1]["attrs"] == {} and rows[1]["scores"] == {}
+
+
+def test_read_with_metadata_columns(spark, sf_dir):
+    """Connector metadata columns (reference SupportsReadingMetadata /
+    METADATA VIRTUAL DDL) via Spark's _metadata struct."""
+    import os
+
+    from flink_psl_spark.sources import read_with_metadata
+
+    path = os.path.join(sf_dir, "nation.parquet")
+    df = read_with_metadata(
+        spark, path,
+        metadata={"src_file": "file.name", "src_size": "file.size",
+                  "src_path": "file.path"},
+    )
+    rows = df.collect()
+    assert len(rows) == 25
+    assert all(r["src_file"] == "nation.parquet" for r in rows)
+    assert all(r["src_path"].endswith("nation.parquet") for r in rows)
+    assert rows[0]["src_size"] == os.path.getsize(path)
+    # list form surfaces spark field names
+    df2 = read_with_metadata(spark, path, metadata=["file.name"])
+    assert "file_name" in df2.columns
+    # unknown keys are rejected
+    with pytest.raises(ValueError, match="unknown metadata key"):
+        read_with_metadata(spark, path, metadata={"x": "kafka.offset"})
