@@ -57,7 +57,9 @@ class Step:
     greedy: bool = True
     # contiguity/negation mode (reference Pattern.java combinators):
     #   strict          — next(): binds consecutive rows (default)
-    #   relaxed         — followedBy(): skips non-matching rows first
+    #   relaxed         — followedBy(): skips non-matching rows, binds at
+    #                     the next occurrence only (ignore edge ¬condition)
+    #   relaxed_any     — followedByAny(): every later occurrence branches
     #   not_next        — notNext(): the immediately-following row must NOT
     #                     match (zero-width)
     #   not_followed_by — notFollowedBy(): no matching row may occur before
@@ -116,10 +118,27 @@ class Step:
         max_times: int | None = 1,
         greedy: bool = True,
     ) -> "Step":
-        """Relaxed contiguity (Pattern.followedBy): skip any non-matching
-        rows, then bind the quantified block at the first viable position
-        (later positions explored on backtrack — followedByAny-style)."""
+        """Relaxed contiguity (Pattern.followedBy): skip non-matching rows
+        until the NEXT occurrence of the predicate and bind there. As in the
+        reference's NFA (the ignore edge carries ¬condition), a matching row
+        cannot be skipped — later occurrences are not alternatives; use
+        ``followed_by_any`` for that."""
         return Step(name, predicate, min_times, max_times, greedy, "relaxed")
+
+    @staticmethod
+    def followed_by_any(
+        name: str,
+        predicate: str,
+        *,
+        min_times: int = 1,
+        max_times: int | None = 1,
+        greedy: bool = True,
+    ) -> "Step":
+        """Non-deterministic relaxed contiguity (Pattern.followedByAny):
+        every later occurrence of the predicate is a viable binding — under
+        NO_SKIP each one yields its own match; under single-match strategies
+        the nearest is preferred, so it behaves like ``followed_by``."""
+        return Step(name, predicate, min_times, max_times, greedy, "relaxed_any")
 
     @staticmethod
     def group(
@@ -464,18 +483,42 @@ def _pred_exprs(leaves: list["Step"]):
 
 
 def _consumes_row(s: "Step") -> bool:
-    if s.mode not in ("strict", "relaxed") or s.min_times < 1:
+    if s.mode not in ("strict", "relaxed", "relaxed_any") or s.min_times < 1:
         return False
     if s.sub is not None:
         return any(_consumes_row(t) for t in s.sub)
     return True
 
 
+def _strict_opening_names(entry) -> list[str] | None:
+    """Predicate names a spec entry can open on at a FIXED position, or
+    None when the opening is indeterminate (a relaxed sub-step scans
+    forward inside the group, so no single row decides 'could have bound
+    here'). Used for the followedBy ignore-edge cut; None disables the cut
+    (conservative: behaves like followedByAny for those groups)."""
+    name, lo, _hi, _greedy, mode, sub, _until = entry
+    if sub is None:
+        return [name]
+    out: list[str] = []
+    for e in sub:
+        if e[4] not in ("strict",) and e[5] is None:
+            return None  # relaxed leaf inside: opening position is fuzzy
+        opening = _strict_opening_names(e)
+        if opening is None:
+            return None
+        out.extend(opening)
+        if e[1] >= 1:  # first mandatory sub-step closes the opening set
+            return out
+    return out
+
+
 def _validate_modes(pattern) -> None:
     """Mode composition rules (mirror the reference's Pattern API checks:
     a NOT pattern can't open the sequence, and two NOTs can't chain)."""
     for i, s in enumerate(pattern):
-        if s.mode not in ("strict", "relaxed", "not_next", "not_followed_by"):
+        if s.mode not in (
+            "strict", "relaxed", "relaxed_any", "not_next", "not_followed_by"
+        ):
             raise ValueError(f"unknown step mode {s.mode!r} on {s.name!r}")
         if s.sub is not None:
             if s.mode in ("not_next", "not_followed_by"):
@@ -523,8 +566,10 @@ def _iter_matches_at(preds, spec, start, n, times=None, within_ns=None):
     """Backtracking NFA: yield every binding {step_name: [row indices]} of
     the pattern starting exactly at ``start``, in preference order (greedy
     takes first, earlier relaxed positions first) — the first yield is the
-    single preferred match; the full stream is the NO_SKIP solution set
-    (relaxed steps enumerate all viable positions, followedByAny-style).
+    single preferred match; the full stream is the NO_SKIP solution set.
+    ``relaxed`` (followedBy) steps bind only at the next occurrence (the
+    ignore edge carries ¬condition, as in the reference's NFACompiler);
+    ``relaxed_any`` (followedByAny) enumerates every later occurrence.
 
     Spec entries are (name, lo, hi, greedy, mode, sub, until_key); negative
     modes bind no rows and act as zero-width assertions over the
@@ -636,15 +681,36 @@ def _iter_matches_at(preds, spec, start, n, times=None, within_ns=None):
             # next step scans forward from pos (relaxed by construction).
             # A row can both open the next step and satisfy the negation —
             # binding wins at the same position (checked first), matching
-            # the single-match semantics.
+            # the single-match semantics. Unless the next step is
+            # relaxed_any, its first openable position is also the last
+            # (followedBy ignore-edge, as in the plain relaxed scan).
+            nxt_open = (
+                None
+                if spec_[i + 1][4] == "relaxed_any"
+                else _strict_opening_names(spec_[i + 1])
+            )
             for s2 in range(pos, n):
                 yield from bind_at(spec_, i + 1, s2, acc, 1, cont)
                 if p[s2]:
                     return  # negative event occurred before a match
+                if nxt_open is not None and any(
+                    preds[nm][s2] for nm in nxt_open
+                ):
+                    return
             return
-        if mode == "relaxed":
+        if mode in ("relaxed", "relaxed_any"):
+            # followedBy (relaxed): the ignore edge carries ¬condition — the
+            # scan stops at the first row the step could open on; later
+            # occurrences are only reachable via followedByAny (relaxed_any)
+            open_names = (
+                _strict_opening_names(spec_[i]) if mode == "relaxed" else None
+            )
             for s2 in range(pos, n):
                 yield from bind_at(spec_, i, s2, acc, 1, cont)
+                if open_names is not None and any(
+                    preds[nm][s2] for nm in open_names
+                ):
+                    break
             if lo == 0:  # optional relaxed step/group: skip it entirely
                 yield from seq(spec_, i + 1, pos, acc, cont)
             return

@@ -430,7 +430,8 @@ def cep_skip_to_next_click_runs(spark, sf_dir):
 def cep_no_skip_conversion_pairs(spark, sf_dir):
     """PATTERN (click -> purchase) WITHIN 30 min, AFTER MATCH NO SKIP —
     every attribution pair, overlapping matches included (reference
-    NoSkipStrategy.java; relaxed steps enumerate all viable positions)."""
+    NoSkipStrategy.java + Pattern.followedByAny: each later purchase is its
+    own branch)."""
     from flink_psl_spark.cep import NO_SKIP
 
     t = tables(spark, sf_dir)
@@ -440,7 +441,7 @@ def cep_no_skip_conversion_pairs(spark, sf_dir):
         order_by=["ts", "event_id"],
         pattern=[
             Step.once("A", "event_type = 'click'"),
-            Step.followed_by("B", "event_type = 'purchase'"),
+            Step.followed_by_any("B", "event_type = 'purchase'"),
         ],
         measures=[
             Measure("click_id", "A", "first", "event_id"),
@@ -873,3 +874,48 @@ def cep_no_conversion_within(spark, sf_dir):
         time_col="ts",
     )
     return matches.groupBy("user_id").agg(F.count("*").alias("n_unconverted"))
+
+
+@query(
+    "cep_followed_by_nearest",
+    # followedBy (ignore edge carries NOT condition): each click binds only
+    # its NEAREST later purchase within the window, even under NO SKIP —
+    # the separation from followedByAny's all-pairs enumeration
+    oracle="""
+    WITH pairs AS (
+      SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.user_id, c.event_id
+               ORDER BY p.ts, p.event_id) AS rn
+      FROM events c JOIN events p
+        ON p.user_id = c.user_id
+       AND c.event_type = 'click' AND p.event_type = 'purchase'
+       AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
+       AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+    SELECT user_id, click_id, purchase_id FROM pairs WHERE rn = 1
+    """,
+)
+def cep_followed_by_nearest(spark, sf_dir):
+    """PATTERN (click -> purchase) WITHIN 30 min, NO SKIP, with plain
+    followedBy (reference NFACompiler ignore edge = ¬condition): a matching
+    purchase cannot be skipped, so each click yields exactly its nearest
+    purchase — contrast with cep_no_skip_conversion_pairs (followedByAny)."""
+    from flink_psl_spark.cep import NO_SKIP
+
+    t = tables(spark, sf_dir)
+    return match_recognize(
+        t["events"],
+        partition_by="user_id",
+        order_by=["ts", "event_id"],
+        pattern=[
+            Step.once("A", "event_type = 'click'"),
+            Step.followed_by("B", "event_type = 'purchase'"),
+        ],
+        measures=[
+            Measure("click_id", "A", "first", "event_id"),
+            Measure("purchase_id", "B", "first", "event_id"),
+        ],
+        after_match=NO_SKIP,
+        within="30 minutes",
+        time_col="ts",
+    ).select("user_id", "click_id", "purchase_id")

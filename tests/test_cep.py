@@ -467,13 +467,16 @@ def test_after_match_all_five_strategies(spark):
         (0, 3), (2, 1),
     ]
 
-    # NO_SKIP with a relaxed step enumerates ALL later bindings
-    # (followedByAny-style), which SKIP_TO_NEXT's preferred-match scan
-    # cannot reach: c x p p
-    pat2 = [Step.once("A", "et = 'c'"), Step.followed_by("B", "et = 'p'")]
+    # followedByAny + NO_SKIP enumerates ALL later bindings, which
+    # SKIP_TO_NEXT's preferred-match scan cannot reach: c x p p.
+    # Plain followedBy stops at the first occurrence (the NFA's ignore edge
+    # carries ¬condition) even under NO_SKIP.
+    pat2 = [Step.once("A", "et = 'c'"), Step.followed_by_any("B", "et = 'p'")]
     m2 = [Measure("cid", "A", "first", "eid"), Measure("pid", "B", "first", "eid")]
     assert _am_run(spark, "cxpp", pat2, NO_SKIP, m2) == [(0, 2), (0, 3)]
     assert _am_run(spark, "cxpp", pat2, SKIP_TO_NEXT_ROW, m2) == [(0, 2)]
+    pat2n = [Step.once("A", "et = 'c'"), Step.followed_by("B", "et = 'p'")]
+    assert _am_run(spark, "cxpp", pat2n, NO_SKIP, m2) == [(0, 2)]
 
     # skip to first C: the closing purchase opens the next chain link
     pat3 = [
@@ -565,8 +568,8 @@ def test_after_match_strategies_brute_force(spark):
         }
         assert got.get(f"s{ci}", set()) == want, (types, want)
 
-    # NO_SKIP on A followedBy B: every (a_i, b_j) pair with j > i
-    pat2 = [Step.once("A", "et = 'a'"), Step.followed_by("B", "et = 'b'")]
+    # NO_SKIP on A followedByAny B: every (a_i, b_j) pair with j > i
+    pat2 = [Step.once("A", "et = 'a'"), Step.followed_by_any("B", "et = 'b'")]
     out2 = match_recognize(
         df, "k", ["ts", "eid"], pat2,
         [Measure("ai", "A", "first", "eid"), Measure("bj", "B", "first", "eid")],
@@ -583,6 +586,26 @@ def test_after_match_strategies_brute_force(spark):
             if types[i] == "a" and types[j] == "b"
         }
         assert got2.get(f"s{ci}", set()) == want, (types, want)
+
+    # NO_SKIP on A followedBy B (ignore edge = ¬condition): only the
+    # NEAREST b after each a
+    pat2n = [Step.once("A", "et = 'a'"), Step.followed_by("B", "et = 'b'")]
+    out2n = match_recognize(
+        df, "k", ["ts", "eid"], pat2n,
+        [Measure("ai", "A", "first", "eid"), Measure("bj", "B", "first", "eid")],
+        after_match=NO_SKIP,
+    )
+    got2n: dict[str, set] = {}
+    for r in out2n.collect():
+        got2n.setdefault(r["k"], set()).add((r["ai"], r["bj"]))
+    for ci, types in enumerate(cases):
+        want = {
+            (i, min(j for j in range(i + 1, 5) if types[j] == "b"))
+            for i in range(5)
+            if types[i] == "a"
+            and any(types[j] == "b" for j in range(i + 1, 5))
+        }
+        assert got2n.get(f"s{ci}", set()) == want, (types, want)
 
     # SKIP_TO_LAST(A) on strict A+ B: per maximal a-run followed by b,
     # the full run plus (len >= 2) its last element as a 1-run
