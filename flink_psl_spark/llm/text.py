@@ -241,3 +241,94 @@ def fingerprint(text: Column | str) -> Column:
     """
     norm = F.lower(F.trim(F.regexp_replace(_col(text), _WS, " ")))
     return F.md5(norm)
+
+
+def ngram_lm_scores(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+    ref=None,
+):
+    """Word-bigram language-model fluency scores (the lightweight stand-in
+    for CCNet-style KenLM perplexity filtering): score each document by the
+    add-alpha-smoothed average log-probability of its word bigrams under a
+    model counted from ``ref`` (default: the scored corpus itself).
+
+    Determinism: per-bigram log-probs are quantized to 1e-6 BEFORE the
+    per-document sum, so the aggregate is an exact integer sum — immune to
+    floating-point addition order across partitions/engines.
+
+    Scale shape: bigram extraction is a row-local explode; model counts are
+    two hash aggregations keyed by the bigram/context; scoring is two
+    count-joins plus one doc-keyed aggregate — all standard shuffle shapes.
+    The vocabulary size is a single scalar (one bounded driver collect,
+    like the IVF centroid count).
+
+    Output: (id, n_bigrams, avg_logprob, ppl_proxy) — ``ppl_proxy`` =
+    exp(-avg_logprob); documents with fewer than 2 tokens score NULL.
+    """
+    src = ref if ref is not None else docs
+
+    def bigrams(df, with_id: bool):
+        w = tokenize(F.col(text_col))
+        cols = [F.col(id_col)] if with_id else []
+        pairs = F.expr(
+            f"transform(sequence(1, greatest(size({'_w'}), 2) - 1), "
+            "i -> struct(_w[i-1] as w1, _w[i] as w2))"
+        )
+        return (
+            df.select(*cols, w.alias("_w"))
+            .where(F.size("_w") >= 2)
+            .select(*cols, F.explode(pairs).alias("_p"))
+            .select(*cols, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+        )
+
+    model_bg = bigrams(src, with_id=False)
+    cnt2 = model_bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    cnt1 = model_bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    # vocabulary of continuations — one scalar, bounded driver collect
+    vocab = model_bg.select("w2").distinct().count()
+
+    scored = (
+        bigrams(docs, with_id=True)
+        .join(cnt2, on=["w1", "w2"], how="left")
+        .join(cnt1, on="w1", how="left")
+        .select(
+            id_col,
+            F.round(
+                F.log(
+                    (F.coalesce("c12", F.lit(0)) + F.lit(float(alpha)))
+                    / (F.coalesce("c1", F.lit(0)) + F.lit(float(alpha) * vocab))
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("_s"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("_s").alias("_sum"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round(F.col("_sum") / F.col("n_bigrams") / 1e6, 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+    out = (
+        docs.select(id_col)
+        .distinct()
+        .join(scored, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            "avg_logprob",
+            F.round(F.exp(-F.col("avg_logprob")), 4).alias("ppl_proxy"),
+        )
+    )
+    return out

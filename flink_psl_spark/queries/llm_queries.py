@@ -1151,3 +1151,44 @@ def llm_temperature_mix(spark, sf_dir):
         .join(F.broadcast(totals), on="source")
         .select("source", "n_total", "n_kept", "rate")
     )
+
+
+@query(
+    "llm_bigram_lm_score",
+    # per-bigram log-probs quantized to 1e-6 before the per-doc sum make
+    # the aggregate an exact integer sum — addition-order-proof, so the
+    # DuckDB replica matches bit-for-bit after the final rounding
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    bg AS (
+      SELECT doc_id, UNNEST(w[1:LEN(w) - 1]) AS w1, UNNEST(w[2:LEN(w)]) AS w2
+      FROM d WHERE LEN(w) >= 2),
+    cnt2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+    cnt1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT w2) AS vs FROM bg),
+    sc AS (
+      SELECT bg.doc_id,
+             CAST(ROUND(LN((c12 + 1.0) / (c1 + 1.0 * vs)) * 1000000)
+                  AS BIGINT) AS s
+      FROM bg JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1) CROSS JOIN v),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             ROUND(SUM(s) * 1.0 / COUNT(*) / 1000000, 6) AS avg_logprob
+      FROM sc GROUP BY doc_id)
+    SELECT d0.doc_id,
+           CAST(COALESCE(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           agg.avg_logprob,
+           ROUND(EXP(-agg.avg_logprob), 4) AS ppl_proxy
+    FROM (SELECT DISTINCT doc_id FROM documents) d0
+    LEFT JOIN agg USING (doc_id)
+    """,
+)
+def llm_bigram_lm_score(spark, sf_dir):
+    """Bigram LM fluency scoring (CCNet-style perplexity filtering with a
+    corpus-trained add-1 bigram model): avg log-prob + perplexity proxy per
+    document; quantized-integer aggregation for cross-engine exactness."""
+    from flink_psl_spark.llm.text import ngram_lm_scores
+    from flink_psl_spark.parallelism import ensure_parallelism
+
+    t = tables(spark, sf_dir)
+    return ngram_lm_scores(ensure_parallelism(t["documents"], "doc_id"))

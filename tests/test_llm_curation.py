@@ -328,3 +328,29 @@ def test_temperature_mix_flattens_distribution(spark):
     # the big source is downsampled toward sqrt-proportionality:
     # expected rate = sqrt(p_small/p_big) = sqrt(1/9) = 1/3
     assert 200 < kept["big"] < 400
+
+
+def test_bigram_lm_scores_known_model(spark):
+    import math
+
+    from flink_psl_spark.llm.text import ngram_lm_scores
+
+    # corpus: "a b" x2, "a c", "z" (no bigram)
+    df = _docs(
+        spark,
+        [(0, "s", "a b"), (1, "s", "a b"), (2, "s", "a c"), (3, "s", "z")],
+    )
+    rows = {r["doc_id"]: r for r in ngram_lm_scores(df).collect()}
+    # model: c(a,b)=2, c(a,c)=1, c(a)=3, V={b,c}=2
+    lp_ab = round(round(math.log((2 + 1) / (3 + 2)) * 1e6) / 1e6, 6)
+    lp_ac = round(round(math.log((1 + 1) / (3 + 2)) * 1e6) / 1e6, 6)
+    assert rows[0]["n_bigrams"] == 1 and rows[0]["avg_logprob"] == lp_ab
+    assert rows[1]["avg_logprob"] == lp_ab
+    assert rows[2]["avg_logprob"] == lp_ac
+    assert rows[3]["n_bigrams"] == 0 and rows[3]["avg_logprob"] is None
+    assert rows[0]["ppl_proxy"] == round(math.exp(-lp_ab), 4)
+    # unseen bigrams under a separate reference corpus get the floor prob
+    ref = _docs(spark, [(10, "s", "x y")])
+    got = {r["doc_id"]: r for r in ngram_lm_scores(df, ref=ref).collect()}
+    lp_floor = round(round(math.log(1 / (0 + 1)) * 1e6) / 1e6, 6)  # = 0.0
+    assert got[0]["avg_logprob"] == lp_floor

@@ -241,3 +241,23 @@ def test_new_format_roundtrips_are_arrow_batched(spark, sf_dir):
         p = _plan(QUERIES[name](spark, sf_dir))
         assert "MapInPandas" in p
         assert "BatchEvalPython" not in p
+
+
+def test_dynamic_partition_pruning_fires(spark, t):
+    """A partitioned fact joined to a selectively-filtered dim must prune
+    fact partitions at runtime (DPP) — the scan carries a dynamic pruning
+    expression instead of reading every partition."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix="fps_dpp_")
+    t["events"].write.partitionBy("event_type").mode("overwrite").parquet(d)
+    fact = spark.read.parquet(d)
+    dim = spark.createDataFrame(
+        [("click", 1), ("purchase", 2), ("error", 3), ("view", 4), ("login", 5)],
+        "event_type string, w int",
+    ).where(F.col("w") == 2)
+    joined = fact.join(dim, on="event_type").agg(F.count(F.lit(1)).alias("n"))
+    plan = joined._jdf.queryExecution().executedPlan().toString().lower()
+    assert "dynamicpruning" in plan, plan
