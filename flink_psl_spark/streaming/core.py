@@ -263,3 +263,118 @@ def streaming_interval_join(
     elif on is not None:
         cond = cond & (F.col(f"l.{on}") == F.col(f"r.{on}"))
     return l.join(r, cond, how)
+
+
+def streaming_iterate(
+    spark: SparkSession,
+    source: DataFrame,
+    body,
+    feedback: str,
+    *,
+    schema: str,
+    work_dir: str | None = None,
+    trigger_seconds: float = 0.5,
+):
+    """UNBOUNDED streaming iteration (reference DataStream.iterate:530 /
+    IterativeStream.closeWith — the cyclic streaming dataflow Spark's DAG
+    cannot express directly).
+
+    The loop edge is realized as a filesystem feedback channel: the query
+    reads ``source`` UNION a feedback file stream; each micro-batch applies
+    ``body`` (DataFrame -> DataFrame, same ``schema``), splits the result on
+    the ``feedback`` predicate — matching rows are appended to the feedback
+    directory (re-entering the loop on a later trigger), the rest append to
+    the output directory. This is Flink's iterate semantics with the loop
+    latency quantized to the trigger interval; rows in flight on the
+    feedback edge are durable files, so a restart resumes the loop from its
+    checkpoint instead of losing the edge (stronger than the reference,
+    which documents possible feedback loss on failure).
+
+    Returns (query, handle) where ``handle.output()`` reads the emitted
+    rows and ``handle.drained(idle_triggers)`` polls completion for bounded
+    inputs (production loops run forever; this is for tests/draining).
+    """
+    import glob
+    import time as _time
+
+    base = work_dir or tempfile.mkdtemp(prefix="fps_iter_")
+    fb_dir = os.path.join(base, "feedback")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(fb_dir, exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)
+    fb_expr = F.expr(feedback)
+
+    fb_stream = spark.readStream.schema(schema).parquet(fb_dir)
+    combined = source.unionByName(fb_stream)
+
+    state = {"emitted": 0, "fed_back": 0}
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        stepped = body(batch)
+        stepped.persist()
+        try:
+            fb = stepped.where(fb_expr)
+            out = stepped.where(~fb_expr)
+            n_fb = fb.count()
+            n_out = out.count()
+            if n_fb:
+                fb.write.mode("append").parquet(fb_dir)
+            if n_out:
+                out.write.mode("append").parquet(out_dir)
+            state["fed_back"] += n_fb
+            state["emitted"] += n_out
+        finally:
+            stepped.unpersist()
+
+    query = (
+        combined.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+    class Handle:
+        def output(self) -> DataFrame:
+            files = glob.glob(os.path.join(out_dir, "*.parquet"))
+            if not files:
+                return spark.createDataFrame([], schema)
+            return spark.read.schema(schema).parquet(out_dir)
+
+        def drain(self, *, timeout_sec: float = 120.0) -> DataFrame:
+            """Wait until the loop is quiescent — the engine has processed
+            several consecutive batches with zero input rows (all feedback
+            consumed) and the emit counters stopped moving — then stop the
+            query and return the emitted rows. For bounded test inputs only.
+            Quiescence is judged on lastProgress batch evidence, not wall
+            time, so a slow first batch can't fake an early drain."""
+            deadline = _time.time() + timeout_sec
+            last_counts = None
+            stable = 0
+            need = max(5, int(3.0 / trigger_seconds))
+            while _time.time() < deadline:
+                if not query.isActive:
+                    if query.exception() is not None:
+                        raise query.exception()
+                    break
+                p = query.lastProgress
+                st = query.status
+                counts = (state["emitted"], state["fed_back"])
+                if counts != last_counts:
+                    stable, last_counts = 0, counts
+                elif (
+                    p is not None  # at least one batch has run
+                    and not st["isTriggerActive"]  # none running right now
+                    and not st["isDataAvailable"]  # nothing waiting
+                ):
+                    stable += 1
+                    if stable >= need:
+                        break
+                _time.sleep(trigger_seconds)
+            else:
+                query.stop()
+                raise TimeoutError("streaming_iterate did not drain")
+            query.stop()
+            return self.output()
+
+    return query, Handle()

@@ -145,3 +145,36 @@ def test_keyed_top_n_state_matches_batch(spark, events_stream, t):
     got = {(r["user_id"], r["rank"], r["value"]) for r in final.collect()}
     want = {(r["user_id"], r["rank"], r["value"]) for r in batch.collect()}
     assert got == want
+
+
+def test_streaming_iterate_unbounded_loop(spark):
+    """Unbounded iteration via the filesystem feedback edge (reference
+    DataStream.iterate / IterativeStream.closeWith): countdown rows re-enter
+    the loop until they hit zero, then emit."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.streaming.core import streaming_iterate
+
+    base = tempfile.mkdtemp(prefix="fps_iter_t_")
+    src_dir = os.path.join(base, "src")
+    schema = "k long, v long"
+    spark.createDataFrame(
+        [(i, i % 4) for i in range(12)], schema
+    ).coalesce(1).write.parquet(src_dir)
+    source = spark.readStream.schema(schema).parquet(src_dir)
+
+    def body(batch):
+        return batch.select("k", (F.col("v") - 1).alias("v"))
+
+    query, handle = streaming_iterate(
+        spark, source, body, "v >= 0",
+        schema=schema, work_dir=base, trigger_seconds=0.3,
+    )
+    out = handle.drain(timeout_sec=180)
+    rows = sorted((r["k"], r["v"]) for r in out.collect())
+    # every row decrements until it leaves at v = -1; each k exactly once
+    assert rows == [(k, -1) for k in range(12)]
+    assert not query.isActive
