@@ -378,3 +378,104 @@ def streaming_iterate(
             return self.output()
 
     return query, Handle()
+
+
+def multi_source_watermarks(
+    sources: dict[str, DataFrame],
+    ts_col: str,
+    delay: str,
+    writer,
+    *,
+    idle_batches: int | None = None,
+    checkpoint: str | None = None,
+    trigger_available_now: bool = False,
+):
+    """Per-source watermark combination with idleness (reference
+    WatermarkStrategy.withIdleness / WatermarksWithIdleness.java; combined
+    watermark = MIN over ACTIVE sources, IndexedCombinedWatermarkStatus).
+
+    Spark computes ONE global watermark for a union (max event time seen
+    anywhere − delay): a stalled source never holds the watermark back, the
+    opposite failure mode of the reference's min-combine, where an idle
+    source stalls all progress unless marked idle. For pipelines that need
+    the reference semantics (manual window finalization, cross-source
+    completeness gates), this operator reproduces them at the library
+    level: per micro-batch it tracks each source's max event time, marks a
+    source idle after ``idle_batches`` consecutive batches without rows
+    (None = never, the reference's default), and calls
+    ``writer(batch_df, combined_wm, per_source, batch_id)`` where
+    ``combined_wm`` is min over active sources' (max_ts − delay) — None
+    until every non-idle source has produced data, and frozen at its last
+    value while ALL sources are idle (the reference holds the watermark in
+    that state too).
+    """
+    tagged = None
+    for name, df in sources.items():
+        part = df.withColumn("__src", F.lit(name))
+        tagged = part if tagged is None else tagged.unionByName(part)
+
+    # driver-side per-source status (the combiner state is tiny: one
+    # (max_ts, idle_count) pair per source, exactly the reference's
+    # IndexedCombinedWatermarkStatus)
+    status = {
+        name: {"max_ts": None, "no_data": 0} for name in sources
+    }
+    last_wm = {"wm": None}
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        batch.persist()
+        try:
+            per_src = {
+                r["__src"]: r["mx"]
+                for r in batch.groupBy("__src").agg(
+                    F.max(ts_col).alias("mx")
+                ).collect()
+            }
+            for name, st in status.items():
+                mx = per_src.get(name)
+                if mx is None:
+                    st["no_data"] += 1
+                else:
+                    st["no_data"] = 0
+                    if st["max_ts"] is None or mx > st["max_ts"]:
+                        st["max_ts"] = mx
+            def active(st):
+                return idle_batches is None or st["no_data"] < idle_batches
+            actives = [st for st in status.values() if active(st)]
+            if actives and all(st["max_ts"] is not None for st in actives):
+                import datetime as _dt
+
+                secs = _parse_interval_seconds(delay)
+                wm = min(st["max_ts"] for st in actives) - _dt.timedelta(
+                    seconds=secs
+                )
+                if last_wm["wm"] is None or wm > last_wm["wm"]:
+                    last_wm["wm"] = wm  # watermarks never regress
+            snapshot = {
+                name: {
+                    "max_ts": st["max_ts"],
+                    "idle": not active(st),
+                }
+                for name, st in status.items()
+            }
+            writer(batch.drop("__src"), last_wm["wm"], snapshot, batch_id)
+        finally:
+            batch.unpersist()
+
+    w = tagged.writeStream.foreachBatch(process)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def _parse_interval_seconds(delay: str) -> float:
+    """'10 seconds' / '5 minutes' / '2 hours' / '1 day' -> seconds."""
+    qty, unit = delay.split()
+    mult = {
+        "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+        "millisecond": 0.001, "milliseconds": 0.001,
+    }[unit.lower()]
+    return float(qty) * mult

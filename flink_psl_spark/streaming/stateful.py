@@ -628,3 +628,57 @@ def streaming_event_time_sort(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def with_current_watermark(
+    events: DataFrame,
+    ts_col: str,
+    delay: str,
+    key_col: str,
+    *,
+    wm_col: str = "current_watermark",
+) -> DataFrame:
+    """CURRENT_WATERMARK() parity (reference
+    BuiltInFunctionDefinitions.java:1754 — SQL ``CURRENT_WATERMARK(rowtime)``
+    annotates rows with the operator's watermark at processing time).
+
+    Spark exposes no expression-level watermark, but the stateful-processing
+    API does (``GroupState.getCurrentWatermarkMs``) — so the annotation runs
+    as a pass-through ``applyInPandasWithState`` op: rows stream through
+    unchanged plus a ``wm_col`` timestamp column (NULL while the watermark
+    is still unset, exactly the reference's nullable CURRENT_WATERMARK).
+    ``key_col`` only sets the parallelism of the pass-through (the watermark
+    is global per query, as in Spark's model; Flink's is per-operator).
+    Typical uses carried over from the reference: routing late-but-accepted
+    rows, debugging watermark lag, gating emission in custom operators.
+    """
+    cols = list(events.columns)
+    out_fields = ", ".join(f"{c} {t}" for c, t in events.dtypes)
+    out_schema = f"{out_fields}, {wm_col} timestamp"
+
+    def fn(key, batches: Iterator[pd.DataFrame], state: GroupState):
+        wm_ms = state.getCurrentWatermarkMs()
+        # state must be touched for the engine to track the group; store the
+        # last seen watermark (useful for debugging, not read back)
+        state.update((int(wm_ms),))
+        wm = (
+            pd.Timestamp(wm_ms, unit="ms")
+            if wm_ms > 0
+            else pd.NaT  # unset watermark -> NULL, as in the reference
+        )
+        for pdf in batches:
+            out = pdf[cols].copy()
+            out[wm_col] = wm
+            yield out
+
+    return (
+        events.withWatermark(ts_col, delay)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType="wm_ms bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

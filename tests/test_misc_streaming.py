@@ -259,3 +259,104 @@ def test_async_lookup_with_retry(spark):
     )
     rows = out.collect()
     assert [(r["k"], r["v"]) for r in rows] == [(i, i * 10) for i in range(20)]
+
+
+def test_with_current_watermark_two_batches(spark):
+    """CURRENT_WATERMARK parity: batch 1 sees the unset watermark (NULL);
+    batch 2 sees max(batch-1 event time) - delay."""
+    import datetime as dt
+    import os
+    import tempfile
+    import time
+
+    from flink_psl_spark.streaming import run_to_memory_table
+    from flink_psl_spark.streaming.stateful import with_current_watermark
+
+    base = tempfile.mkdtemp(prefix="fps_wm_")
+    schema = "k long, ts timestamp"
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # two files -> two AvailableNow batches (maxFilesPerTrigger=1);
+    # distinct mtimes pin the file order the source uses
+    spark.createDataFrame(
+        [(1, t0), (2, t0 + dt.timedelta(minutes=10))], schema
+    ).coalesce(1).write.parquet(os.path.join(base, "f1"))
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(3, t0 + dt.timedelta(minutes=20))], schema
+    ).coalesce(1).write.parquet(os.path.join(base, "f2"))
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(base, "*"))
+    )
+    out = with_current_watermark(src, "ts", "5 minutes", "k")
+    got = {
+        r["k"]: r["current_watermark"]
+        for r in run_to_memory_table(out, output_mode="append").collect()
+    }
+    assert got[1] is None and got[2] is None  # watermark unset in batch 1
+    # batch 2: wm = (t0 + 10min) - 5min
+    assert got[3] == t0 + dt.timedelta(minutes=5)
+
+
+def test_multi_source_watermarks_idleness(spark):
+    """WatermarksWithIdleness parity: the combined watermark is the MIN
+    over active sources; a source with no data for idle_batches batches is
+    marked idle and stops holding the watermark back."""
+    import datetime as dt
+    import os
+    import tempfile
+    import time
+
+    from flink_psl_spark.streaming.core import multi_source_watermarks
+
+    base = tempfile.mkdtemp(prefix="fps_msw_")
+    schema = "k long, ts timestamp"
+    t0 = dt.datetime(2024, 1, 1)
+
+    def write(src, i, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(base, src, f"f{i}")
+        )
+        time.sleep(1.05)  # distinct mtimes pin per-source file order
+
+    # source a: advances every batch; source b: only the first file
+    write("a", 1, [(1, t0 + dt.timedelta(minutes=10))])
+    write("b", 1, [(2, t0 + dt.timedelta(minutes=2))])
+    write("a", 2, [(3, t0 + dt.timedelta(minutes=20))])
+    write("a", 3, [(4, t0 + dt.timedelta(minutes=30))])
+    write("a", 4, [(5, t0 + dt.timedelta(minutes=40))])
+
+    def read(src):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(base, src, "*"))
+        )
+
+    seen = []
+
+    def writer(batch, wm, per_source, batch_id):
+        seen.append((batch_id, wm, {s: v["idle"] for s, v in per_source.items()}))
+
+    q = multi_source_watermarks(
+        {"a": read("a"), "b": read("b")},
+        "ts",
+        "1 minutes",
+        writer,
+        idle_batches=2,
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    wm_by_batch = {b: (wm, idle) for b, wm, idle in seen}
+    m = dt.timedelta(minutes=1)
+    # batch 0: both sources produced -> min(a=10, b=2) - 1m
+    assert wm_by_batch[0][0] == t0 + dt.timedelta(minutes=2) - m
+    assert wm_by_batch[0][1] == {"a": False, "b": False}
+    # batch 1: b has no data but is not yet idle -> watermark held at b's
+    assert wm_by_batch[1][0] == t0 + dt.timedelta(minutes=2) - m
+    # batch 2: b idle (2 dataless batches) -> combined follows a (30 - 1m)
+    assert wm_by_batch[2][1]["b"] is True
+    assert wm_by_batch[2][0] == t0 + dt.timedelta(minutes=30) - m
+    # batch 3: still only a active
+    assert wm_by_batch[3][0] == t0 + dt.timedelta(minutes=40) - m
