@@ -73,7 +73,12 @@ _PRIORITY_WINDOW = [
 # next window (everything in `middle` below — 29 carried from rounds 1-3
 # plus this round's additions: match_recognize_sql_*, *_nested_roundtrip,
 # stream_cep_no_conversion_within, cep_group_pattern_double_conversion,
-# cep_until_stop_condition, llm_pii_scrub, llm_contamination_check).
+# cep_until_stop_condition, llm_pii_scrub, llm_contamination_check,
+# sql_gateway_rest, avro_schema_evolution, protobuf_py_map_roundtrip,
+# bucketed_join_agg, metadata_columns_read, llm_segment_dedup,
+# llm_deterministic_shuffle, llm_temperature_mix, llm_bigram_lm_score,
+# cep_followed_by_nearest, stream_current_watermark, datastream_*,
+# connector/compaction/sql-client rows).
 # Compute it with: [n for n in QUERIES if n not in r1|r2|r3 green rows].
 
 

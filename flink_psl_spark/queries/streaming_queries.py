@@ -955,3 +955,53 @@ def stream_allowed_lateness_agg(spark, sf_dir):
         ["__seq"],
         keep="last",
     ).select("window_start", "window_end", "n", "total")
+
+
+@query(
+    "stream_current_watermark",
+    # deterministic two-batch replay: batch 1 (event_id < 5000) sees the
+    # unset watermark (NULL); batch 2 rows are stamped with
+    # max(batch-1 ts) - 10 minutes — replayed exactly in SQL
+    oracle="""
+    WITH cut AS (
+      -- the engine tracks watermarks in milliseconds (getCurrentWatermarkMs)
+      SELECT DATE_TRUNC('milliseconds', MAX(ts)) - INTERVAL 10 MINUTE AS wm
+      FROM events WHERE event_id < 5000)
+    SELECT e.event_id,
+           CASE WHEN e.event_id < 5000 THEN NULL ELSE cut.wm END
+             AS current_watermark
+    FROM events e CROSS JOIN cut
+    """,
+)
+def stream_current_watermark(spark, sf_dir):
+    """CURRENT_WATERMARK() (reference BuiltInFunctionDefinitions.java:1754):
+    rows annotated with the operator watermark at processing time via the
+    stateful pass-through (streaming/stateful.with_current_watermark). Two
+    pinned files -> two AvailableNow batches: the first sees the unset
+    watermark (NULL, as the reference's nullable CURRENT_WATERMARK), the
+    second sees max(first batch's ts) - delay."""
+    import os
+    import tempfile
+    import time
+
+    from flink_psl_spark.queries.registry import tables
+    from flink_psl_spark.streaming.stateful import with_current_watermark
+
+    t = tables(spark, sf_dir)
+    ev = t["events"].select("event_id", "user_id", "ts")
+    base = tempfile.mkdtemp(prefix="fps_cwq_")
+    ev.where(F.col("event_id") < 5000).coalesce(1).write.parquet(
+        os.path.join(base, "b1")
+    )
+    time.sleep(1.05)  # distinct mtimes pin the batch order
+    ev.where(F.col("event_id") >= 5000).coalesce(1).write.parquet(
+        os.path.join(base, "b2")
+    )
+    src = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(base, "*"))
+    )
+    out = with_current_watermark(src, "ts", "10 minutes", "user_id")
+    mem = run_to_memory_table(out, output_mode="append")
+    return mem.select("event_id", "current_watermark")
