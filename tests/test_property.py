@@ -251,3 +251,41 @@ def test_packing_matches_python_model(spark, rows, max_len):
         last = (c + n - 1) // max_len if n else first
         assert got[doc_id] == (src, n, first, c % max_len, last - first + 1)
         cum[src] = c + n
+
+
+@st.composite
+def seg_corpus(draw):
+    # small vocab maximizes segment collisions across docs
+    words = st.sampled_from(["a", "b", "c"])
+    doc = st.lists(words, min_size=0, max_size=9).map(" ".join)
+    return draw(st.lists(doc, min_size=1, max_size=6))
+
+
+@given(seg_corpus())
+@settings(**_SETTINGS)
+def test_segment_dedup_matches_python_model(spark, texts):
+    from flink_psl_spark.llm import segment_dedup
+
+    seg_tokens = 2
+    df = spark.createDataFrame(
+        [(i, "s", t) for i, t in enumerate(texts)],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_segments"], r["n_kept"], r["clean_text"])
+        for r in segment_dedup(df, segment_tokens=seg_tokens).collect()
+    }
+    # python replica: keep-first by (doc_id, seg_no) corpus-wide
+    seen: set = set()
+    for i, t in enumerate(texts):
+        w = t.split()
+        segs = [
+            " ".join(w[s : s + seg_tokens])
+            for s in range(0, len(w), seg_tokens)
+        ]
+        kept = []
+        for seg in segs:
+            if seg not in seen:
+                seen.add(seg)
+                kept.append(seg)
+        assert got[i] == (len(segs), len(kept), " ".join(kept)), (i, texts)

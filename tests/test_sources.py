@@ -684,3 +684,38 @@ def test_read_with_metadata_columns(spark, sf_dir):
     # unknown keys are rejected
     with pytest.raises(ValueError, match="unknown metadata key"):
         read_with_metadata(spark, path, metadata={"x": "kafka.offset"})
+
+
+def test_sql_client_analyze_table_statistics(spark, t):
+    """ANALYZE TABLE (reference FLIP-240 `ANALYZE TABLE ... COMPUTE
+    STATISTICS`) passes through the script client to Spark's native
+    implementation on managed tables; stats land in the catalog for CBO."""
+    from flink_psl_spark.operators.bucketing import drop_table
+    from flink_psl_spark.sql_client import run_script
+
+    drop_table(spark, "stats_nation")
+    try:
+        t["nation"].write.saveAsTable("stats_nation")
+        run_script(
+            spark,
+            """
+            ANALYZE TABLE stats_nation COMPUTE STATISTICS;
+            ANALYZE TABLE stats_nation COMPUTE STATISTICS
+              FOR COLUMNS n_nationkey, n_regionkey;
+            """,
+        )
+        detail = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql("DESCRIBE TABLE EXTENDED stats_nation").collect()
+        }
+        assert "25 rows" in detail.get("Statistics", "")
+        col = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql(
+                "DESCRIBE EXTENDED stats_nation n_regionkey"
+            ).collect()
+        }
+        assert col.get("distinct_count") == "5"
+        assert col.get("max") == "4"
+    finally:
+        drop_table(spark, "stats_nation")
