@@ -261,3 +261,28 @@ def test_dynamic_partition_pruning_fires(spark, t):
     joined = fact.join(dim, on="event_type").agg(F.count(F.lit(1)).alias("n"))
     plan = joined._jdf.queryExecution().executedPlan().toString().lower()
     assert "dynamicpruning" in plan, plan
+
+
+def test_new_curation_ops_plan_shapes(spark, sf_dir):
+    """Scale-shape guards for the round-3 curation operators."""
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.queries import QUERIES
+
+    # deterministic shuffle: exactly one exchange (hash by shard), no
+    # global single-partition sort
+    p = _plan(QUERIES["llm_deterministic_shuffle"](spark, sf_dir))
+    assert p.count("Exchange") == 1 and "SinglePartition" not in p
+
+    # temperature mix: per-source rates broadcast back; no cartesian
+    p = _plan(QUERIES["llm_temperature_mix"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
+
+    # segment dedup: keep-first window + one doc-keyed reassembly, no
+    # cartesian, no single-partition window
+    p = _plan(QUERIES["llm_segment_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in p and "SinglePartition" not in p
+
+    # bigram LM: count-joins stay equi-joins; no per-row Python
+    p = _plan(QUERIES["llm_bigram_lm_score"](spark, sf_dir))
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
