@@ -181,7 +181,11 @@ class SqlGatewayService:
                     ]
                     op.rows = [["OK"]]
                 else:
-                    df = self.spark.sql(stmt)
+                    from flink_psl_spark.temporal_sql import (
+                        rewrite_system_time_joins,
+                    )
+
+                    df = self.spark.sql(rewrite_system_time_joins(stmt))
                     op.is_query = bool(df.schema.fields)
                     op.columns = [
                         {

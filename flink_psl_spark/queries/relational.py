@@ -936,3 +936,56 @@ def asof_join_q(spark, sf_dir):
         F.col("r_value").alias("r_value"),
         F.col("r_click_event_id").alias("r_event_id"),
     )
+
+
+@query(
+    "temporal_join_sql",
+    # DuckDB's native ASOF JOIN is the oracle for the Flink SQL
+    # FOR SYSTEM_TIME AS OF clause (same latest-version-at-ts semantics)
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, ts, ROUND(MAX(value), 2) AS rate
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+    SELECT p.event_id, p.user_id, d.rate
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN dim d ON p.user_id = d.user_id AND p.ts >= d.ts
+    """,
+)
+def temporal_join_sql(spark, sf_dir):
+    """Flink SQL temporal join (`JOIN dim FOR SYSTEM_TIME AS OF fact.ts`,
+    reference StreamExecTemporalJoin.java:57 + FlinkLogicalSnapshot):
+    the clause is rewritten to a validity-interval join
+    (temporal_sql.rewrite_system_time_joins) and run through the script
+    client; each purchase sees the click-rate version in force at its
+    timestamp."""
+    from flink_psl_spark.sql_client import run_script
+    from flink_psl_spark.temporal_sql import (
+        clear_versioned_tables,
+        register_versioned_table,
+    )
+
+    t = tables(spark, sf_dir)
+    t["events"].where(F.col("event_type") == "click").groupBy(
+        "user_id", "ts"
+    ).agg(F.round(F.max("value"), 2).alias("rate")).createOrReplaceTempView(
+        "click_rates_v"
+    )
+    t["events"].where(
+        F.col("event_type") == "purchase"
+    ).createOrReplaceTempView("purchases_v")
+    register_versioned_table(
+        "click_rates_v", time_col="ts", primary_key="user_id"
+    )
+    try:
+        res = run_script(
+            spark,
+            """
+            SELECT p.event_id, p.user_id, d.rate
+            FROM purchases_v p
+            LEFT JOIN click_rates_v FOR SYSTEM_TIME AS OF p.ts AS d
+              ON d.user_id = p.user_id;
+            """,
+        )[-1].df
+    finally:
+        clear_versioned_tables()
+    return res

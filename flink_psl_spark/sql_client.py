@@ -100,7 +100,14 @@ def run_script(
                 pass  # resetting a never-set key is a no-op, like the client
             results.append(StatementResult(stmt, "reset"))
             continue
-        results.append(StatementResult(stmt, "query", spark.sql(stmt)))
+        # Flink SQL temporal-join clause -> standard SQL (no-op without it)
+        from flink_psl_spark.temporal_sql import rewrite_system_time_joins
+
+        results.append(
+            StatementResult(
+                stmt, "query", spark.sql(rewrite_system_time_joins(stmt))
+            )
+        )
     return results
 
 

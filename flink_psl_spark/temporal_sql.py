@@ -1,0 +1,103 @@
+"""FOR SYSTEM_TIME AS OF — Flink SQL's temporal-join clause on Spark SQL.
+
+Reference: event-time temporal join SQL (`JOIN versioned_table FOR
+SYSTEM_TIME AS OF fact.rowtime AS v ON v.k = fact.k` — planned by
+StreamExecTemporalJoin.java:57; the version table must declare a PRIMARY
+KEY and a rowtime, FlinkLogicalSnapshot). Spark SQL has no FOR SYSTEM_TIME
+clause, so this module rewrites it into standard SQL before ``spark.sql``:
+the versioned table becomes a validity-interval subquery
+
+    SELECT *, LEAD(<time>) OVER (PARTITION BY <pk> ORDER BY <time>)
+        AS __valid_to FROM <table>
+
+and the join condition gains ``fact.ts >= v.<time> AND (v.__valid_to IS
+NULL OR fact.ts < v.__valid_to)`` — each fact row sees exactly the version
+in force at its timestamp, the reference's semantics. The rewrite is a
+declarative SQL-to-SQL transform: Catalyst still plans the join (the
+interval predicate typically executes as a range-bounded sort-merge join).
+
+Versioned-table metadata mirrors the reference's requirements and is
+declared once per table via ``register_versioned_table(name, time_col=...,
+primary_key=[...])``.
+
+Scope: one or more `[LEFT] JOIN t FOR SYSTEM_TIME AS OF expr [AS alias]
+ON cond` clauses per statement; the ON condition is taken up to the next
+top-level clause keyword. ``SELECT *`` will surface the synthesized
+``__valid_to`` column — project explicit columns in temporal queries.
+"""
+
+from __future__ import annotations
+
+import re
+
+_REGISTRY: dict[str, dict] = {}
+
+
+def register_versioned_table(
+    name: str, *, time_col: str, primary_key: list[str] | str
+) -> None:
+    """Declare a table as versioned (reference: PRIMARY KEY + rowtime on
+    the version table). Required before FOR SYSTEM_TIME AS OF can target
+    it."""
+    pk = [primary_key] if isinstance(primary_key, str) else list(primary_key)
+    if not pk:
+        raise ValueError("primary_key must name at least one column")
+    _REGISTRY[name.lower()] = {"time_col": time_col, "primary_key": pk}
+
+
+def clear_versioned_tables() -> None:
+    _REGISTRY.clear()
+
+
+_TEMPORAL_RE = re.compile(
+    r"(?P<how>LEFT\s+(?:OUTER\s+)?JOIN|INNER\s+JOIN|JOIN)\s+"
+    r"(?P<tbl>[A-Za-z_][\w.]*)\s+"
+    r"FOR\s+SYSTEM_TIME\s+AS\s+OF\s+(?P<ts>[A-Za-z_][\w.]*)\s*"
+    r"(?:AS\s+(?P<alias>[A-Za-z_]\w*)\s+)?"
+    r"ON\s+(?P<on>.*?)"
+    r"(?=\s+(?:LEFT|RIGHT|FULL|INNER|CROSS|JOIN|WHERE|GROUP|ORDER|HAVING|"
+    r"LIMIT|UNION|EXCEPT|INTERSECT)\b|\s*$|\s*\))",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def rewrite_system_time_joins(sql: str) -> str:
+    """Rewrite every FOR SYSTEM_TIME AS OF join in ``sql`` to standard SQL.
+
+    Raises ValueError when the clause targets a table that was not
+    registered as versioned (the reference likewise rejects temporal joins
+    against tables without a primary key / rowtime)."""
+    if "system_time" not in sql.lower():
+        return sql
+
+    def repl(m: re.Match) -> str:
+        tbl = m.group("tbl")
+        meta = _REGISTRY.get(tbl.lower())
+        if meta is None:
+            raise ValueError(
+                f"table {tbl!r} is not registered as versioned — call "
+                "register_versioned_table(name, time_col=..., "
+                "primary_key=[...]) first"
+            )
+        alias = m.group("alias") or tbl.split(".")[-1]
+        ts = m.group("ts")
+        time_col = meta["time_col"]
+        pk = ", ".join(meta["primary_key"])
+        on = m.group("on").strip()
+        versioned = (
+            f"(SELECT *, LEAD({time_col}) OVER (PARTITION BY {pk} "
+            f"ORDER BY {time_col}) AS __valid_to FROM {tbl})"
+        )
+        cond = (
+            f"({on}) AND {ts} >= {alias}.{time_col} "
+            f"AND ({alias}.__valid_to IS NULL OR {ts} < {alias}.__valid_to)"
+        )
+        return f"{m.group('how')} {versioned} AS {alias} ON {cond}"
+
+    out, n = _TEMPORAL_RE.subn(repl, sql)
+    if "system_time" in out.lower():
+        raise ValueError(
+            "unsupported FOR SYSTEM_TIME AS OF form (supported: "
+            "'[LEFT] JOIN tbl FOR SYSTEM_TIME AS OF fact.ts [AS a] ON …')"
+        )
+    return out

@@ -1,0 +1,95 @@
+"""FOR SYSTEM_TIME AS OF rewrite (temporal_sql.py) — clause parsing,
+registration validation, and end-to-end semantics vs a brute-force model."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from flink_psl_spark.temporal_sql import (
+    clear_versioned_tables,
+    register_versioned_table,
+    rewrite_system_time_joins,
+)
+
+
+@pytest.fixture(autouse=True)
+def _clean_registry():
+    clear_versioned_tables()
+    yield
+    clear_versioned_tables()
+
+
+def test_rewrite_shapes():
+    register_versioned_table("rates", time_col="valid_from", primary_key="cur")
+    out = rewrite_system_time_joins(
+        "SELECT o.id, r.rate FROM orders o "
+        "JOIN rates FOR SYSTEM_TIME AS OF o.ts AS r ON r.cur = o.cur "
+        "WHERE o.id > 0"
+    )
+    assert "FOR SYSTEM_TIME" not in out.upper()
+    assert "LEAD(valid_from) OVER (PARTITION BY cur ORDER BY valid_from)" in out
+    assert "o.ts >= r.valid_from" in out
+    assert "r.__valid_to IS NULL OR o.ts < r.__valid_to" in out
+    assert out.rstrip().endswith("WHERE o.id > 0")
+    # LEFT JOIN form keeps its join type; default alias = table name
+    out2 = rewrite_system_time_joins(
+        "SELECT * FROM o LEFT JOIN rates FOR SYSTEM_TIME AS OF o.ts "
+        "ON rates.cur = o.cur"
+    )
+    assert out2.upper().startswith("SELECT * FROM O LEFT JOIN (SELECT")
+    # statements without the clause pass through untouched
+    assert rewrite_system_time_joins("SELECT 1") == "SELECT 1"
+
+
+def test_rewrite_rejects_unregistered_and_unsupported():
+    with pytest.raises(ValueError, match="not registered as versioned"):
+        rewrite_system_time_joins(
+            "SELECT * FROM o JOIN dim FOR SYSTEM_TIME AS OF o.ts AS d "
+            "ON d.k = o.k"
+        )
+    register_versioned_table("dim", time_col="vt", primary_key=["k"])
+    with pytest.raises(ValueError, match="unsupported"):
+        # no ON clause -> the regex can't consume it
+        rewrite_system_time_joins(
+            "SELECT * FROM o JOIN dim FOR SYSTEM_TIME AS OF o.ts"
+        )
+    with pytest.raises(ValueError, match="at least one column"):
+        register_versioned_table("x", time_col="t", primary_key=[])
+
+
+def test_temporal_join_end_to_end(spark):
+    """Each fact row sees the version in force at its timestamp."""
+    from flink_psl_spark.sql_client import run_script
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(h):
+        return t0 + dt.timedelta(hours=h)
+
+    spark.createDataFrame(
+        [("eur", ts(0), 1.0), ("eur", ts(10), 2.0), ("usd", ts(5), 7.0)],
+        "cur string, valid_from timestamp, rate double",
+    ).createOrReplaceTempView("rates_v")
+    spark.createDataFrame(
+        [(1, "eur", ts(1)), (2, "eur", ts(10)), (3, "eur", ts(23)),
+         (4, "usd", ts(6)), (5, "usd", ts(2))],
+        "id long, cur string, ts timestamp",
+    ).createOrReplaceTempView("orders_v")
+    register_versioned_table(
+        "rates_v", time_col="valid_from", primary_key="cur"
+    )
+    res = run_script(
+        spark,
+        """
+        SELECT o.id, r.rate
+        FROM orders_v o
+        LEFT JOIN rates_v FOR SYSTEM_TIME AS OF o.ts AS r ON r.cur = o.cur
+        ORDER BY o.id;
+        """,
+    )[-1].df
+    got = [(r["id"], r["rate"]) for r in res.collect()]
+    # id 1: eur@1h -> 1.0; id 2: eur@10h -> 2.0 (boundary: >=); id 3: 2.0;
+    # id 4: usd@6h -> 7.0; id 5: usd@2h precedes every version -> NULL
+    assert got == [(1, 1.0), (2, 2.0), (3, 2.0), (4, 7.0), (5, None)]
