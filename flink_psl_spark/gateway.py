@@ -181,11 +181,9 @@ class SqlGatewayService:
                     ]
                     op.rows = [["OK"]]
                 else:
-                    from flink_psl_spark.temporal_sql import (
-                        rewrite_system_time_joins,
-                    )
+                    from flink_psl_spark.temporal_sql import rewrite_flink_sql
 
-                    df = self.spark.sql(rewrite_system_time_joins(stmt))
+                    df = self.spark.sql(rewrite_flink_sql(stmt))
                     op.is_query = bool(df.schema.fields)
                     op.columns = [
                         {

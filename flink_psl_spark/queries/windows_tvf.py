@@ -296,3 +296,32 @@ def tumble_window_offset_agg(spark, sf_dir):
         .groupBy("window_start", "window_end")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
     )
+
+
+@query(
+    "window_tvf_sql",
+    # the same tumbling rollup as tumble_window_agg, but entered through
+    # the Flink SQL TVF clause and rewritten to window() SQL
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def window_tvf_sql(spark, sf_dir):
+    """Window TVF SQL syntax (reference SqlTumbleTableFunction.java:37 —
+    `FROM TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '1' HOUR))`):
+    the clause is rewritten to a window()-projecting subquery
+    (temporal_sql.rewrite_window_tvfs) and run through the script client."""
+    from flink_psl_spark.sql_client import run_script
+
+    return run_script(
+        spark,
+        """
+        SELECT window_start, event_type, COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS total
+        FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        GROUP BY window_start, event_type;
+        """,
+        sf_dir=sf_dir,
+    )[-1].df

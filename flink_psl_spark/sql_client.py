@@ -100,13 +100,11 @@ def run_script(
                 pass  # resetting a never-set key is a no-op, like the client
             results.append(StatementResult(stmt, "reset"))
             continue
-        # Flink SQL temporal-join clause -> standard SQL (no-op without it)
-        from flink_psl_spark.temporal_sql import rewrite_system_time_joins
+        # Flink SQL clause rewrites (temporal joins, window TVFs) -> standard SQL
+        from flink_psl_spark.temporal_sql import rewrite_flink_sql
 
         results.append(
-            StatementResult(
-                stmt, "query", spark.sql(rewrite_system_time_joins(stmt))
-            )
+            StatementResult(stmt, "query", spark.sql(rewrite_flink_sql(stmt)))
         )
     return results
 

@@ -101,3 +101,60 @@ def rewrite_system_time_joins(sql: str) -> str:
             "'[LEFT] JOIN tbl FOR SYSTEM_TIME AS OF fact.ts [AS a] ON …')"
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Window TVF SQL syntax (reference SqlTumbleTableFunction / SqlHopTableFunction
+# — `FROM TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '1' HOUR))`).
+# Spark's window() function expresses the same assignment; the rewrite turns
+# the TVF call into a subquery projecting window_start / window_end, which
+# the surrounding GROUP BY consumes exactly as in the reference.
+# ---------------------------------------------------------------------------
+
+_IVL = r"INTERVAL\s+'([\d.]+)'\s+(\w+)"
+_TUMBLE_RE = re.compile(
+    r"TABLE\s*\(\s*TUMBLE\s*\(\s*TABLE\s+(?P<tbl>[\w.]+)\s*,\s*"
+    rf"DESCRIPTOR\s*\(\s*(?P<ts>\w+)\s*\)\s*,\s*{_IVL}\s*\)\s*\)",
+    re.IGNORECASE,
+)
+_HOP_RE = re.compile(
+    r"TABLE\s*\(\s*HOP\s*\(\s*TABLE\s+(?P<tbl>[\w.]+)\s*,\s*"
+    rf"DESCRIPTOR\s*\(\s*(?P<ts>\w+)\s*\)\s*,\s*{_IVL}\s*,\s*{_IVL}\s*\)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _win_subquery(tbl: str, ts: str, size: str, slide: str | None) -> str:
+    args = f"{ts}, '{size}'" + (f", '{slide}'" if slide else "")
+    return (
+        f"(SELECT * EXCEPT (__w), __w.start AS window_start, "
+        f"__w.end AS window_end "
+        f"FROM (SELECT *, window({args}) AS __w FROM {tbl}))"
+    )
+
+
+def rewrite_window_tvfs(sql: str) -> str:
+    """Rewrite TUMBLE/HOP window-TVF calls to window()-projecting
+    subqueries. SESSION and CUMULATE TVFs are intentionally not SQL-mapped
+    (session_window is aggregation-position-only in Spark; CUMULATE is the
+    library operator `operators.windows.cumulate`)."""
+
+    def tumble_repl(m: re.Match) -> str:
+        size = f"{m.group(3)} {m.group(4)}"
+        return _win_subquery(m.group("tbl"), m.group("ts"), size, None)
+
+    def hop_repl(m: re.Match) -> str:
+        # Flink argument order: slide first, then size
+        slide = f"{m.group(3)} {m.group(4)}"
+        size = f"{m.group(5)} {m.group(6)}"
+        return _win_subquery(m.group("tbl"), m.group("ts"), size, slide)
+
+    sql = _TUMBLE_RE.sub(tumble_repl, sql)
+    sql = _HOP_RE.sub(hop_repl, sql)
+    return sql
+
+
+def rewrite_flink_sql(sql: str) -> str:
+    """All Flink-SQL-to-Spark-SQL clause rewrites this engine supports:
+    FOR SYSTEM_TIME AS OF temporal joins + TUMBLE/HOP window TVFs."""
+    return rewrite_window_tvfs(rewrite_system_time_joins(sql))

@@ -93,3 +93,49 @@ def test_temporal_join_end_to_end(spark):
     # id 1: eur@1h -> 1.0; id 2: eur@10h -> 2.0 (boundary: >=); id 3: 2.0;
     # id 4: usd@6h -> 7.0; id 5: usd@2h precedes every version -> NULL
     assert got == [(1, 1.0), (2, 2.0), (3, 2.0), (4, 7.0), (5, None)]
+
+
+def test_window_tvf_rewrite_shapes():
+    from flink_psl_spark.temporal_sql import rewrite_window_tvfs
+
+    out = rewrite_window_tvfs(
+        "SELECT window_start, window_end, COUNT(*) FROM "
+        "TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR)) "
+        "GROUP BY window_start, window_end"
+    )
+    assert "TUMBLE" not in out.upper()
+    assert "window(ts, '1 HOUR')" in out
+    assert "__w.start AS window_start" in out
+    # HOP: Flink order is (slide, size) -> window(ts, size, slide)
+    out2 = rewrite_window_tvfs(
+        "SELECT * FROM TABLE(HOP(TABLE t, DESCRIPTOR(ts), "
+        "INTERVAL '30' MINUTE, INTERVAL '1' HOUR))"
+    )
+    assert "window(ts, '1 HOUR', '30 MINUTE')" in out2
+    # untouched without TVFs
+    assert rewrite_window_tvfs("SELECT 1") == "SELECT 1"
+
+
+def test_window_tvf_sql_end_to_end(spark):
+    import datetime as dt
+
+    from flink_psl_spark.sql_client import run_script
+
+    t0 = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=5), 2.0),
+         (2, t0 + dt.timedelta(minutes=25), 3.0),
+         (3, t0 + dt.timedelta(minutes=26), 5.0)],
+        "id long, ts timestamp, v double",
+    ).createOrReplaceTempView("tvf_events")
+    res = run_script(
+        spark,
+        """
+        SELECT window_start, window_end, SUM(v) AS sv
+        FROM TABLE(TUMBLE(TABLE tvf_events, DESCRIPTOR(ts),
+                          INTERVAL '10' MINUTE))
+        GROUP BY window_start, window_end ORDER BY window_start;
+        """,
+    )[-1].df
+    got = [(r["window_start"], r["sv"]) for r in res.collect()]
+    assert got == [(t0, 2.0), (t0 + dt.timedelta(minutes=20), 8.0)]
