@@ -325,3 +325,30 @@ def window_tvf_sql(spark, sf_dir):
         """,
         sf_dir=sf_dir,
     )[-1].df
+
+
+@query(
+    "group_window_sql",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS we,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def group_window_sql(spark, sf_dir):
+    """Legacy group-window SQL (reference FlinkSqlOperatorTable.java:940 —
+    `GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)` + TUMBLE_START/TUMBLE_END):
+    rewritten to GROUP BY window() (temporal_sql.rewrite_group_windows)."""
+    from flink_psl_spark.sql_client import run_script
+
+    return run_script(
+        spark,
+        """
+        SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS ws,
+               TUMBLE_END(ts, INTERVAL '1' HOUR) AS we,
+               event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+        FROM events GROUP BY TUMBLE(ts, INTERVAL '1' HOUR), event_type;
+        """,
+        sf_dir=sf_dir,
+    )[-1].df

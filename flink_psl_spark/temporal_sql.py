@@ -156,5 +156,82 @@ def rewrite_window_tvfs(sql: str) -> str:
 
 def rewrite_flink_sql(sql: str) -> str:
     """All Flink-SQL-to-Spark-SQL clause rewrites this engine supports:
-    FOR SYSTEM_TIME AS OF temporal joins + TUMBLE/HOP window TVFs."""
-    return rewrite_window_tvfs(rewrite_system_time_joins(sql))
+    FOR SYSTEM_TIME AS OF temporal joins, TUMBLE/HOP window TVFs, and the
+    legacy GROUP BY TUMBLE/HOP/SESSION group-window family."""
+    sql = rewrite_system_time_joins(sql)
+    sql = rewrite_window_tvfs(sql)  # must run before the legacy rewrite --
+    # the TVF form contains bare TUMBLE(/HOP( tokens the legacy regexes
+    # would otherwise half-rewrite
+    return rewrite_group_windows(sql)
+
+
+# ---------------------------------------------------------------------------
+# Legacy group-window SQL syntax (reference FlinkSqlOperatorTable.java:940-1005
+# — `GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)` with TUMBLE_START/TUMBLE_END
+# auxiliary projections; HOP/SESSION likewise). Spark's window() /
+# session_window() are legal in GROUP BY and expose .start/.end on the
+# grouped struct, so the rewrite is positional text substitution.
+# ---------------------------------------------------------------------------
+
+def _ivl_arg(n: str, unit: str) -> str:
+    return f"'{n} {unit}'"
+
+
+_GW_TUMBLE = re.compile(
+    rf"\bTUMBLE\s*\(\s*(\w+)\s*,\s*{_IVL}\s*\)", re.IGNORECASE
+)
+_GW_HOP = re.compile(
+    rf"\bHOP\s*\(\s*(\w+)\s*,\s*{_IVL}\s*,\s*{_IVL}\s*\)", re.IGNORECASE
+)
+_GW_SESSION = re.compile(
+    rf"\bSESSION\s*\(\s*(\w+)\s*,\s*{_IVL}\s*\)", re.IGNORECASE
+)
+_GW_AUX = re.compile(
+    r"\b(?P<fn>TUMBLE|HOP|SESSION)_(?P<edge>START|END|ROWTIME)\s*\("
+    r"[^()]*\)",
+    re.IGNORECASE,
+)
+
+
+def rewrite_group_windows(sql: str) -> str:
+    """Rewrite the legacy group-window clause family.
+
+    - ``GROUP BY TUMBLE(ts, INTERVAL 'n' U)`` → ``window(ts, 'n U')``
+    - ``HOP(ts, slide, size)`` → ``window(ts, 'size', 'slide')``
+    - ``SESSION(ts, gap)`` → ``session_window(ts, 'gap')``
+    - ``TUMBLE_START/END(…)`` → ``window.start`` / ``window.end``
+      (HOP_* likewise; SESSION_* → ``session_window.start/.end``);
+      ``*_ROWTIME`` → ``window.end - INTERVAL 1 MILLISECOND`` (the
+      reference's rowtime attribute is end − 1 ms).
+    """
+    def aux_repl(m: re.Match) -> str:
+        struct = (
+            "session_window" if m.group("fn").upper() == "SESSION" else "window"
+        )
+        edge = m.group("edge").upper()
+        if edge == "START":
+            return f"{struct}.start"
+        if edge == "END":
+            return f"{struct}.end"
+        return f"{struct}.end - INTERVAL 1 MILLISECOND"  # ROWTIME
+
+    sql = _GW_AUX.sub(aux_repl, sql)
+    sql = _GW_TUMBLE.sub(
+        lambda m: f"window({m.group(1)}, {_ivl_arg(m.group(2), m.group(3))})",
+        sql,
+    )
+    sql = _GW_HOP.sub(
+        lambda m: (
+            f"window({m.group(1)}, {_ivl_arg(m.group(4), m.group(5))}, "
+            f"{_ivl_arg(m.group(2), m.group(3))})"
+        ),
+        sql,
+    )
+    sql = _GW_SESSION.sub(
+        lambda m: (
+            f"session_window({m.group(1)}, "
+            f"{_ivl_arg(m.group(2), m.group(3))})"
+        ),
+        sql,
+    )
+    return sql

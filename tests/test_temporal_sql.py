@@ -139,3 +139,73 @@ def test_window_tvf_sql_end_to_end(spark):
     )[-1].df
     got = [(r["window_start"], r["sv"]) for r in res.collect()]
     assert got == [(t0, 2.0), (t0 + dt.timedelta(minutes=20), 8.0)]
+
+
+def test_group_window_rewrite_shapes():
+    from flink_psl_spark.temporal_sql import rewrite_group_windows
+
+    out = rewrite_group_windows(
+        "SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS ws, "
+        "TUMBLE_END(ts, INTERVAL '1' HOUR) AS we, COUNT(*) "
+        "FROM t GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)"
+    )
+    assert out == (
+        "SELECT window.start AS ws, window.end AS we, COUNT(*) "
+        "FROM t GROUP BY window(ts, '1 HOUR')"
+    )
+    out2 = rewrite_group_windows(
+        "SELECT HOP_START(ts, INTERVAL '30' MINUTE, INTERVAL '1' HOUR) "
+        "FROM t GROUP BY HOP(ts, INTERVAL '30' MINUTE, INTERVAL '1' HOUR), k"
+    )
+    assert "window(ts, '1 HOUR', '30 MINUTE'), k" in out2
+    assert out2.startswith("SELECT window.start ")
+    out3 = rewrite_group_windows(
+        "SELECT SESSION_END(ts, INTERVAL '5' MINUTE) "
+        "FROM t GROUP BY SESSION(ts, INTERVAL '5' MINUTE)"
+    )
+    assert "session_window(ts, '5 MINUTE')" in out3
+    assert "session_window.end" in out3
+    # rowtime attribute = end - 1 ms
+    out4 = rewrite_group_windows(
+        "SELECT TUMBLE_ROWTIME(ts, INTERVAL '1' HOUR) FROM t "
+        "GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)"
+    )
+    assert "window.end - INTERVAL 1 MILLISECOND" in out4
+
+
+def test_group_window_sql_end_to_end(spark):
+    import datetime as dt
+
+    from flink_psl_spark.sql_client import run_script
+
+    t0 = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=5), 2.0),
+         (2, t0 + dt.timedelta(minutes=25), 3.0),
+         (3, t0 + dt.timedelta(minutes=26), 5.0)],
+        "id long, ts timestamp, v double",
+    ).createOrReplaceTempView("gw_events")
+    res = run_script(
+        spark,
+        """
+        SELECT TUMBLE_START(ts, INTERVAL '10' MINUTE) AS ws,
+               SUM(v) AS sv
+        FROM gw_events GROUP BY TUMBLE(ts, INTERVAL '10' MINUTE)
+        ORDER BY ws;
+        """,
+    )[-1].df
+    assert [(r["ws"], r["sv"]) for r in res.collect()] == [
+        (t0, 2.0), (t0 + dt.timedelta(minutes=20), 8.0),
+    ]
+    # session windows through the legacy clause
+    res2 = run_script(
+        spark,
+        """
+        SELECT SESSION_START(ts, INTERVAL '5' MINUTE) AS ws, SUM(v) AS sv
+        FROM gw_events GROUP BY SESSION(ts, INTERVAL '5' MINUTE) ORDER BY ws;
+        """,
+    )[-1].df
+    assert [(r["ws"], r["sv"]) for r in res2.collect()] == [
+        (t0 + dt.timedelta(minutes=5), 2.0),
+        (t0 + dt.timedelta(minutes=25), 8.0),
+    ]
