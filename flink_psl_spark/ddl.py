@@ -1,0 +1,167 @@
+"""Flink DDL dialect — `CREATE TABLE … WITH ('connector' = …)` on Spark.
+
+Reference: SQL DDL planned through `SqlCreateTable` → `CatalogTable` with
+connector options (`FactoryUtil.java` resolves 'connector'/'format'/'path');
+schema clauses Spark's DDL lacks: ``WATERMARK FOR ts AS ts - INTERVAL …``
+(StreamExecWatermarkAssigner) and ``PRIMARY KEY (…) NOT ENFORCED``.
+
+The rewrite keeps the semantics and drops nothing silently:
+
+- filesystem connector → ``CREATE TABLE … USING <format> LOCATION <path>``
+  (Spark-native external table; Catalyst handles pushdown/pruning),
+- the WATERMARK clause is lifted out of the DDL and recorded in a registry
+  (``watermark_spec(table)``) that streaming helpers consume as their
+  ``withWatermark`` arguments — Spark attaches watermarks per-query, not
+  per-table, so the table-level declaration becomes library metadata,
+- PRIMARY KEY NOT ENFORCED is recorded likewise; a table declaring BOTH a
+  primary key and a watermark is auto-registered as a versioned table, so
+  ``FOR SYSTEM_TIME AS OF`` works directly against it (the reference's
+  requirement for version tables is exactly this pair),
+- Flink-only types are normalized (TIMESTAMP(3)/TIMESTAMP_LTZ(3) →
+  TIMESTAMP, ROW<…> → STRUCT<…>),
+- other connectors raise with the library-level equivalent named (datagen →
+  ``sources.datagen_stream``, print/blackhole → console/noop sinks, kafka →
+  jar-gated ``sources.kafka_stream``) rather than creating a broken table.
+"""
+
+from __future__ import annotations
+
+import re
+
+_WATERMARKS: dict[str, tuple[str, str]] = {}
+_PRIMARY_KEYS: dict[str, list[str]] = {}
+
+
+def watermark_spec(table: str) -> tuple[str, str] | None:
+    """(ts_col, delay) declared by the table's DDL, e.g. ("ts", "5 seconds")."""
+    return _WATERMARKS.get(table.lower())
+
+
+def primary_key(table: str) -> list[str] | None:
+    return _PRIMARY_KEYS.get(table.lower())
+
+
+def clear_ddl_metadata() -> None:
+    _WATERMARKS.clear()
+    _PRIMARY_KEYS.clear()
+
+
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>[\w.`]+)\s*\((?P<body>.*)\)\s*"
+    r"(?:COMMENT\s+'[^']*'\s*)?"
+    r"WITH\s*\((?P<opts>.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_WM_RE = re.compile(
+    r"WATERMARK\s+FOR\s+(?P<col>\w+)\s+AS\s+\w+\s*-\s*"
+    r"INTERVAL\s+'(?P<n>[\d.]+)'\s+(?P<unit>\w+)",
+    re.IGNORECASE,
+)
+_PK_RE = re.compile(
+    r"PRIMARY\s+KEY\s*\((?P<cols>[^)]*)\)\s*(?:NOT\s+ENFORCED)?",
+    re.IGNORECASE,
+)
+_OPT_RE = re.compile(r"'(?P<k>[^']+)'\s*=\s*'(?P<v>[^']*)'")
+
+_CONNECTOR_HINTS = {
+    "datagen": "use sources.datagen_stream (rate source + column synthesis)",
+    "print": "use sources.to_console / writeStream.format('console')",
+    "blackhole": "use sources.to_blackhole / format('noop')",
+    "kafka": "use sources.kafka_stream (requires the spark-sql-kafka jar)",
+    "upsert-kafka": "use sources.kafka_stream + cdc.merge_upsert",
+    "jdbc": "use sources.jdbc_table / write_jdbc_table",
+}
+
+
+def _split_columns(body: str) -> list[str]:
+    """Split the schema body on top-level commas (ROW<...> and (...) nест
+    safely)."""
+    parts, depth, buf = [], 0, []
+    for ch in body:
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def _normalize_type(col_def: str) -> str:
+    out = re.sub(
+        r"\bTIMESTAMP(?:_LTZ)?\s*\(\s*\d+\s*\)", "TIMESTAMP", col_def,
+        flags=re.IGNORECASE,
+    )
+    out = re.sub(r"\bROW\s*<", "STRUCT<", out, flags=re.IGNORECASE)
+    return out
+
+
+def rewrite_create_table(sql: str) -> str:
+    """Rewrite one Flink `CREATE TABLE … WITH (…)` statement to Spark DDL;
+    statements without a WITH(...) clause pass through untouched."""
+    m = _CREATE_RE.match(sql)
+    if m is None:
+        return sql
+    name = m.group("name").strip("`")
+    opts = {
+        om.group("k").lower(): om.group("v")
+        for om in _OPT_RE.finditer(m.group("opts"))
+    }
+    connector = opts.get("connector", "")
+    if connector != "filesystem":
+        hint = _CONNECTOR_HINTS.get(
+            connector, "no Spark-native mapping for this connector"
+        )
+        raise ValueError(
+            f"connector {connector!r} has no DDL mapping — {hint}"
+        )
+    path = opts.get("path")
+    if not path:
+        raise ValueError("filesystem connector requires a 'path' option")
+    fmt = opts.get("format", "parquet")
+
+    cols: list[str] = []
+    for part in _split_columns(m.group("body")):
+        wm = _WM_RE.match(part)
+        if wm:
+            _WATERMARKS[name.lower()] = (
+                wm.group("col"),
+                f"{wm.group('n')} {wm.group('unit').lower()}",
+            )
+            continue
+        pk = _PK_RE.match(part)
+        if pk:
+            _PRIMARY_KEYS[name.lower()] = [
+                c.strip(" `") for c in pk.group("cols").split(",")
+            ]
+            continue
+        if re.match(r"^\s*\w+\s+AS\s+", part, re.IGNORECASE):
+            raise ValueError(
+                f"computed column {part.split()[0]!r} is not supported in "
+                "the DDL mapping — express it as a view over the table"
+            )
+        cols.append(_normalize_type(part))
+
+    if name.lower() in _PRIMARY_KEYS and name.lower() in _WATERMARKS:
+        # PK + rowtime = a version table; make FOR SYSTEM_TIME AS OF work
+        # against it out of the box
+        from flink_psl_spark.temporal_sql import register_versioned_table
+
+        register_versioned_table(
+            name,
+            time_col=_WATERMARKS[name.lower()][0],
+            primary_key=_PRIMARY_KEYS[name.lower()],
+        )
+
+    col_list = ", ".join(cols)
+    return (
+        f"CREATE TABLE IF NOT EXISTS {name} ({col_list}) "
+        f"USING {fmt} LOCATION '{path}'"
+    )

@@ -158,6 +158,9 @@ def rewrite_flink_sql(sql: str) -> str:
     """All Flink-SQL-to-Spark-SQL clause rewrites this engine supports:
     FOR SYSTEM_TIME AS OF temporal joins, TUMBLE/HOP window TVFs, and the
     legacy GROUP BY TUMBLE/HOP/SESSION group-window family."""
+    from flink_psl_spark.ddl import rewrite_create_table
+
+    sql = rewrite_create_table(sql)
     sql = rewrite_system_time_joins(sql)
     sql = rewrite_window_tvfs(sql)  # must run before the legacy rewrite --
     # the TVF form contains bare TUMBLE(/HOP( tokens the legacy regexes

@@ -1,0 +1,118 @@
+"""Flink DDL dialect mapping (ddl.py): CREATE TABLE ... WITH (...) ->
+Spark DDL, WATERMARK/PRIMARY KEY metadata capture, versioned-table
+auto-registration, connector guidance errors."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_psl_spark.ddl import (
+    clear_ddl_metadata,
+    primary_key,
+    rewrite_create_table,
+    watermark_spec,
+)
+from flink_psl_spark.temporal_sql import clear_versioned_tables
+
+
+@pytest.fixture(autouse=True)
+def _clean():
+    clear_ddl_metadata()
+    clear_versioned_tables()
+    yield
+    clear_ddl_metadata()
+    clear_versioned_tables()
+
+
+def test_filesystem_ddl_rewrite():
+    out = rewrite_create_table(
+        """CREATE TABLE rates (
+             cur STRING,
+             rate DOUBLE,
+             valid_from TIMESTAMP(3),
+             WATERMARK FOR valid_from AS valid_from - INTERVAL '5' SECOND,
+             PRIMARY KEY (cur) NOT ENFORCED
+           ) WITH (
+             'connector' = 'filesystem',
+             'path' = '/tmp/rates',
+             'format' = 'parquet'
+           )"""
+    )
+    assert out == (
+        "CREATE TABLE IF NOT EXISTS rates (cur STRING, rate DOUBLE, "
+        "valid_from TIMESTAMP) USING parquet LOCATION '/tmp/rates'"
+    )
+    assert watermark_spec("rates") == ("valid_from", "5 second")
+    assert primary_key("rates") == ["cur"]
+    # PK + watermark -> auto-registered as a version table
+    from flink_psl_spark.temporal_sql import rewrite_system_time_joins
+
+    rewritten = rewrite_system_time_joins(
+        "SELECT * FROM o JOIN rates FOR SYSTEM_TIME AS OF o.ts AS r "
+        "ON r.cur = o.cur"
+    )
+    assert "LEAD(valid_from)" in rewritten
+
+
+def test_ddl_type_normalization_and_row():
+    out = rewrite_create_table(
+        "CREATE TABLE t (ts TIMESTAMP_LTZ(3), nested ROW<a INT, b STRING>) "
+        "WITH ('connector' = 'filesystem', 'path' = '/tmp/t')"
+    )
+    assert "ts TIMESTAMP" in out and "STRUCT<a INT, b STRING>" in out
+    assert "USING parquet" in out  # format defaults to parquet
+
+
+def test_ddl_connector_guidance():
+    with pytest.raises(ValueError, match="datagen_stream"):
+        rewrite_create_table(
+            "CREATE TABLE g (id BIGINT) WITH ('connector' = 'datagen')"
+        )
+    with pytest.raises(ValueError, match="requires a 'path'"):
+        rewrite_create_table(
+            "CREATE TABLE t (id BIGINT) WITH ('connector' = 'filesystem')"
+        )
+    with pytest.raises(ValueError, match="computed column"):
+        rewrite_create_table(
+            "CREATE TABLE t (id BIGINT, d AS id * 2) "
+            "WITH ('connector' = 'filesystem', 'path' = '/tmp/x')"
+        )
+    # non-WITH statements pass through
+    assert rewrite_create_table("CREATE TABLE t (id BIGINT)") == (
+        "CREATE TABLE t (id BIGINT)"
+    )
+
+
+def test_ddl_end_to_end_script(spark, tmp_path):
+    """DDL -> insert -> temporal join, all through the script client."""
+    import datetime as dt
+
+    from flink_psl_spark.sql_client import run_script
+
+    path = str(tmp_path / "rates_tbl")
+    spark.sql("DROP TABLE IF EXISTS rates_ddl")
+    t0 = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [("eur", 1.0, t0), ("eur", 2.0, t0 + dt.timedelta(hours=10))],
+        "cur string, rate double, valid_from timestamp",
+    ).write.parquet(path)
+    try:
+        res = run_script(
+            spark,
+            f"""
+            CREATE TABLE rates_ddl (
+              cur STRING, rate DOUBLE, valid_from TIMESTAMP(3),
+              WATERMARK FOR valid_from AS valid_from - INTERVAL '5' SECOND,
+              PRIMARY KEY (cur) NOT ENFORCED
+            ) WITH ('connector' = 'filesystem', 'path' = '{path}',
+                    'format' = 'parquet');
+            SELECT o.id, r.rate
+            FROM (SELECT 1 AS id, 'eur' AS cur,
+                         TIMESTAMP '2024-01-01 12:00:00' AS ts) o
+            JOIN rates_ddl FOR SYSTEM_TIME AS OF o.ts AS r
+              ON r.cur = o.cur;
+            """,
+        )[-1].df
+        assert [(r["id"], r["rate"]) for r in res.collect()] == [(1, 2.0)]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS rates_ddl")
