@@ -65,8 +65,48 @@ _RESET_RE = re.compile(r"^RESET\s+'?(?P<key>[^'\s]+)'?\s*$", re.IGNORECASE)
 @dataclass
 class StatementResult:
     statement: str
-    kind: str  # set | reset | query
+    kind: str  # set | reset | query | statement_set
     df: DataFrame | None = None
+
+
+_STMT_SET_OPEN = re.compile(
+    r"^(?:EXECUTE\s+)?STATEMENT\s+SET\s+BEGIN\b(?P<first>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _group_statement_sets(stmts: list[str]) -> list[str | list[str]]:
+    """Reassemble `EXECUTE STATEMENT SET BEGIN …; …; END` blocks that the
+    ';' splitter separated (reference: the client's statement-set mode —
+    multiple INSERTs submitted as one job). A grouped entry is the list of
+    inner statements."""
+    out: list[str | list[str]] = []
+    i = 0
+    while i < len(stmts):
+        m = _STMT_SET_OPEN.match(stmts[i])
+        if not m:
+            out.append(stmts[i])
+            i += 1
+            continue
+        inner: list[str] = []
+        first = m.group("first").strip()
+        if first:
+            inner.append(first)
+        i += 1
+        while i < len(stmts) and stmts[i].strip().upper() != "END":
+            inner.append(stmts[i])
+            i += 1
+        if i == len(stmts):
+            raise ValueError("STATEMENT SET block is missing its END")
+        i += 1  # consume END
+        for s in inner:
+            if not re.match(r"^\s*INSERT\b", s, re.IGNORECASE):
+                raise ValueError(
+                    "only INSERT statements are allowed inside a STATEMENT "
+                    f"SET (got {s.split()[0]!r}), as in the reference"
+                )
+        out.append(inner)
+    return out
 
 
 def run_script(
@@ -86,7 +126,20 @@ def run_script(
         for name, df in tables(spark, sf_dir).items():
             df.createOrReplaceTempView(name)
     results: list[StatementResult] = []
-    for stmt in split_statements(script):
+    for stmt in _group_statement_sets(split_statements(script)):
+        if isinstance(stmt, list):
+            # statement set: the reference compiles the INSERTs into ONE job
+            # (shared sources dedup'd); Spark plans per action, so they run
+            # sequentially with identical results — the single-job fusion is
+            # an optimization the engine does not replicate
+            from flink_psl_spark.temporal_sql import rewrite_flink_sql
+
+            for inner in stmt:
+                spark.sql(rewrite_flink_sql(inner))
+            results.append(
+                StatementResult("; ".join(stmt), "statement_set")
+            )
+            continue
         m = _SET_RE.match(stmt)
         if m:
             spark.conf.set(m.group("key"), m.group("val"))

@@ -209,3 +209,48 @@ def test_group_window_sql_end_to_end(spark):
         (t0 + dt.timedelta(minutes=5), 2.0),
         (t0 + dt.timedelta(minutes=25), 8.0),
     ]
+
+
+def test_statement_set_block(spark, tmp_path):
+    """EXECUTE STATEMENT SET BEGIN ...; ...; END runs every inner INSERT
+    (the reference fuses them into one job; results are identical)."""
+    from flink_psl_spark.sql_client import run_script
+
+    a, b = str(tmp_path / "sink_a"), str(tmp_path / "sink_b")
+    spark.sql("DROP TABLE IF EXISTS ss_a")
+    spark.sql("DROP TABLE IF EXISTS ss_b")
+    try:
+        res = run_script(
+            spark,
+            f"""
+            CREATE TABLE ss_a (id BIGINT) USING parquet LOCATION '{a}';
+            CREATE TABLE ss_b (id BIGINT) USING parquet LOCATION '{b}';
+            EXECUTE STATEMENT SET
+            BEGIN
+              INSERT INTO ss_a SELECT id FROM range(5);
+              INSERT INTO ss_b SELECT id * 10 AS id FROM range(3);
+            END;
+            SELECT COUNT(*) AS n FROM ss_a;
+            """,
+        )
+        kinds = [r.kind for r in res]
+        assert kinds == ["query", "query", "statement_set", "query"]
+        assert res[-1].df.first()["n"] == 5
+        assert spark.table("ss_b").count() == 3
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ss_a")
+        spark.sql("DROP TABLE IF EXISTS ss_b")
+
+
+def test_statement_set_validation(spark):
+    import pytest as _pytest
+
+    from flink_psl_spark.sql_client import run_script
+
+    with _pytest.raises(ValueError, match="missing its END"):
+        run_script(spark, "EXECUTE STATEMENT SET BEGIN INSERT INTO x SELECT 1;")
+    with _pytest.raises(ValueError, match="only INSERT"):
+        run_script(
+            spark,
+            "EXECUTE STATEMENT SET BEGIN SELECT 1; END;",
+        )
