@@ -36,6 +36,7 @@ from flink_psl_spark.llm.sampling import (  # noqa: F401
     mix_datasets,
     stratified_sample,
     temperature_mix,
+    token_budget_mix,
 )
 from flink_psl_spark.llm.text import (  # noqa: F401
     tokenize,

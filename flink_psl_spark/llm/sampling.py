@@ -162,3 +162,64 @@ def temperature_mix(
     joined = df.join(F.broadcast(rates), on=source_col)
     thresh = (F.col("__mix_rate") * _HASH_BUCKETS).cast("bigint")
     return joined.where(_bucket(key_cols, seed) < thresh)
+
+
+def token_budget_mix(
+    df: DataFrame,
+    source_col: str,
+    budgets: dict,
+    *,
+    token_count_col: str | None = None,
+    text_col: str = "text",
+    key_cols: list[str],
+    seed: int = 42,
+    default_budget: int | None = None,
+) -> DataFrame:
+    """Cap each source at a token budget (the per-domain token caps of
+    public corpus recipes): documents are taken in deterministic
+    pseudorandom order (md5 of the keys) until the source's budget is
+    reached; the document that crosses the budget line is INCLUDED (caps
+    are approximate in corpus building; truncating mid-document is a
+    chunking concern, not a sampling one).
+
+    One window per source partition (ordered by the hash — a per-source
+    sort, never global) computes the running token sum; the filter is a
+    narrow comparison. Sources without a budget keep everything unless
+    ``default_budget`` is set. Output rows carry ``__cum_tokens`` (the
+    running sum inclusive of the row) for auditability.
+    """
+    from pyspark.sql import Window
+
+    from flink_psl_spark.llm.text import token_count
+
+    toks = (
+        F.col(token_count_col)
+        if token_count_col
+        else token_count(F.col(text_col))
+    )
+    order = F.md5(
+        F.concat_ws(
+            "|", *[F.col(c).cast("string") for c in key_cols], F.lit(str(seed))
+        )
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy("__ord", *key_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    budget = F.lit(None).cast("bigint")
+    for src, b in budgets.items():
+        budget = F.when(F.col(source_col) == src, F.lit(int(b))).otherwise(budget)
+    if default_budget is not None:
+        budget = F.coalesce(budget, F.lit(int(default_budget)))
+    return (
+        df.withColumn("__ord", order)
+        .withColumn("__n_tokens", toks.cast("bigint"))
+        .withColumn("__cum_tokens", F.sum("__n_tokens").over(w))
+        .withColumn("__budget", budget)
+        .where(
+            F.col("__budget").isNull()
+            | (F.col("__cum_tokens") - F.col("__n_tokens") < F.col("__budget"))
+        )
+        .drop("__ord", "__budget")
+    )

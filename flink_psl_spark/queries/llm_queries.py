@@ -1192,3 +1192,46 @@ def llm_bigram_lm_score(spark, sf_dir):
 
     t = tables(spark, sf_dir)
     return ngram_lm_scores(ensure_parallelism(t["documents"], "doc_id"))
+
+
+@query(
+    "llm_token_budget_mix",
+    # the per-source hash-ordered running sum is replayed exactly: a doc is
+    # kept while the budget line hasn't been crossed BEFORE it
+    oracle=f"""
+    WITH d AS (
+      SELECT source, doc_id,
+             CAST(LEN({_TOKS}) AS BIGINT) AS n_tokens,
+             MD5(CONCAT_WS('|', CAST(doc_id AS VARCHAR), '42')) AS ord
+      FROM documents),
+    c AS (
+      SELECT source, doc_id, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY ord, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM d),
+    kept AS (
+      SELECT * FROM c WHERE cum - n_tokens < 5000)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MAX(cum) AS BIGINT) AS max_cum
+    FROM kept GROUP BY source
+    """,
+)
+def llm_token_budget_mix(spark, sf_dir):
+    """Per-source token-budget capping (public corpus-recipe domain caps):
+    deterministic hash-ordered take until 5000 tokens per source — one
+    per-source window, no global sort."""
+    from flink_psl_spark.llm import token_budget_mix
+
+    t = tables(spark, sf_dir)
+    srcs = [r[0] for r in t["documents"].select("source").distinct().collect()]
+    kept = token_budget_mix(
+        t["documents"], "source",
+        {s: 5000 for s in srcs}, key_cols=["doc_id"], seed=42,
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__n_tokens").cast("bigint").alias("total_tokens"),
+        F.max("__cum_tokens").cast("bigint").alias("max_cum"),
+    )

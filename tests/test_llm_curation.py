@@ -354,3 +354,29 @@ def test_bigram_lm_scores_known_model(spark):
     got = {r["doc_id"]: r for r in ngram_lm_scores(df, ref=ref).collect()}
     lp_floor = round(round(math.log(1 / (0 + 1)) * 1e6) / 1e6, 6)  # = 0.0
     assert got[0]["avg_logprob"] == lp_floor
+
+
+def test_token_budget_mix_semantics(spark):
+    from flink_psl_spark.llm import token_budget_mix
+
+    # 4 docs of 3 tokens each per source; budget 7 -> docs kept while the
+    # running sum BEFORE the doc is < 7: cum 3, 6, 9 -> the third doc
+    # crosses the line and is included; the fourth is excluded
+    df = _docs(
+        spark,
+        [(i, "a" if i < 4 else "b", "x y z") for i in range(8)],
+    )
+    out = token_budget_mix(
+        df, "source", {"a": 7}, key_cols=["doc_id"]
+    )
+    by_src = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by_src["a"] == 3
+    assert by_src["b"] == 4  # no budget -> keep all
+    # default_budget applies to unlisted sources
+    out2 = token_budget_mix(
+        df, "source", {"a": 7}, key_cols=["doc_id"], default_budget=3
+    )
+    by2 = {r["source"]: r["n"] for r in
+           out2.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by2["b"] == 1  # first doc crosses a 3-token budget, included
