@@ -120,3 +120,21 @@ def test_unknown_route_404(gateway):
     with pytest.raises(HTTPError) as ei:
         urlopen(req)
     assert ei.value.code == 404
+
+
+def test_concurrent_sessions_and_statements(client):
+    """The gateway serves overlapping sessions/statements (ThreadingHTTPServer
+    + per-service lock on the session map; Spark SQL is thread-safe)."""
+    import concurrent.futures as cf
+
+    def one(i):
+        h = client.open_session()
+        op = client.execute(h, f"SELECT {i} AS i, COUNT(*) AS n FROM range({i + 1})")
+        assert client.status(h, op) == "FINISHED"
+        cols, rows = client.fetch_all(h, op)
+        client.close_session(h)
+        return rows[0]
+
+    with cf.ThreadPoolExecutor(max_workers=6) as ex:
+        got = sorted(tuple(r) for r in ex.map(one, range(12)))
+    assert got == [(i, i + 1) for i in range(12)]
