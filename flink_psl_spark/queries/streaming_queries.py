@@ -1005,3 +1005,87 @@ def stream_current_watermark(spark, sf_dir):
     out = with_current_watermark(src, "ts", "10 minutes", "user_id")
     mem = run_to_memory_table(out, output_mode="append")
     return mem.select("event_id", "current_watermark")
+
+
+@query(
+    "stream_connect_threshold_filter",
+    # the control stream (login rows, aggregated to one threshold per
+    # (user, ts)) gates the data stream (purchases): a purchase passes if
+    # its value exceeds the latest threshold at-or-before its timestamp
+    # (control-first at ties, the CoProcess priority convention) — ASOF
+    # replay in SQL
+    oracle="""
+    WITH ctrl AS (
+      SELECT user_id, ts, MAX(value) AS thr FROM events
+      WHERE event_type = 'login' GROUP BY user_id, ts),
+    p AS (SELECT * FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, ROUND(p.value, 2) AS value,
+           ROUND(COALESCE(c.thr, 0.0), 2) AS threshold
+    FROM p ASOF LEFT JOIN ctrl c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    WHERE p.value > COALESCE(c.thr, 0.0)
+    """,
+)
+def stream_connect_threshold_filter(spark, sf_dir):
+    """connect / CoProcessFunction with keyed state (reference
+    DataStream.connect:253 + ConnectedStreams; the broadcast-rule pattern
+    keyed per user): the control stream updates a per-key threshold in
+    state, the data stream is filtered against the latest threshold —
+    control rows sort first at equal timestamps."""
+    import pandas as pd
+
+    from flink_psl_spark.streaming import run_to_memory_table
+    from flink_psl_spark.streaming.core import stream_from_parquet
+    from flink_psl_spark.streaming.stateful import connect_keyed
+
+    ev = stream_from_parquet(spark, f"{sf_dir}/events.parquet", ts_col="ts")
+    control = (
+        stream_from_parquet(spark, f"{sf_dir}/events.parquet", ts_col="ts")
+        .where(F.col("event_type") == "login")
+        .select("user_id", "ts", F.col("value").alias("thr"))
+    )
+    data = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+
+    def process(key, rows, st):
+        out = []
+        thr = st.get("thr", 0.0)
+        for r in rows.itertuples(index=False):
+            if r.side == "control":
+                # same-(user, ts) control rows: apply the max (the batch
+                # pre-aggregation the oracle replays)
+                if r.payload["ts"] == st.get("at"):
+                    thr = max(thr, r.payload["thr"])
+                else:
+                    thr = r.payload["thr"]
+                st["at"] = r.payload["ts"]
+                st["thr"] = thr
+            else:
+                if r.payload["value"] > thr:
+                    out.append(
+                        (
+                            r.payload["event_id"],
+                            key,
+                            round(r.payload["value"], 2),
+                            round(thr, 2),
+                        )
+                    )
+        emit = (
+            pd.DataFrame(
+                out, columns=["event_id", "user_id", "value", "threshold"]
+            )
+            if out
+            else None
+        )
+        return emit, st
+
+    out = connect_keyed(
+        data,
+        control,
+        "user_id",
+        "ts",
+        process,
+        "event_id long, user_id long, value double, threshold double",
+    )
+    return run_to_memory_table(out, output_mode="append")
