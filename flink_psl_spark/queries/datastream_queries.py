@@ -420,3 +420,31 @@ def metadata_columns_read(spark, sf_dir):
     return df.groupBy("src_file", "event_type").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@query(
+    "datastream_iterate_countdown",
+    # the loop's fixpoint is closed-form: v0 = event_id % 7 decremented by
+    # 2 per round until negative -> final v = (v0 % 2) - 2
+    oracle="""
+    SELECT event_id,
+           CAST((event_id % 7) % 2 - 2 AS BIGINT) AS v
+    FROM events
+    """,
+)
+def datastream_iterate_countdown(spark, sf_dir):
+    """Bounded iteration (reference DataStream.iterate / closeWith): rows
+    re-enter the loop while the feedback predicate holds; every emitted row
+    left the loop the first time its value went negative."""
+    from flink_psl_spark.datastream import DataStream
+
+    t = tables(spark, sf_dir)
+    src = t["events"].select(
+        "event_id", (F.col("event_id") % 7).cast("bigint").alias("v")
+    )
+    out = DataStream(src).iterate(
+        lambda d: DataStream(d.df.select("event_id", (F.col("v") - 2).alias("v"))),
+        "v >= 0",
+        max_iterations=10,
+    )
+    return out.df
