@@ -448,3 +448,44 @@ def datastream_iterate_countdown(spark, sf_dir):
         max_iterations=10,
     )
     return out.df
+
+
+@query(
+    "twophase_sink_roundtrip",
+    # the 2PC publish is all-or-nothing: once committed, the JSONL payload
+    # equals the source slice exactly
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS price
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def twophase_sink_roundtrip(spark, sf_dir):
+    """Two-phase-commit custom sink (reference Sink API / FileSink's
+    .inprogress -> publish protocol; sources_v2.PyJsonlTpcWriter): rows
+    stream to side files, the driver commit renames them into place with a
+    _SUCCESS manifest; reading back the published files reproduces the
+    source slice exactly."""
+    import os
+    import tempfile
+
+    from flink_psl_spark.sources_v2 import register_python_sources
+
+    register_python_sources(spark)
+    t = tables(spark, sf_dir)
+    out = os.path.join(tempfile.mkdtemp(prefix="fps_tpc_q_"), "sink")
+    src = (
+        t["orders"]
+        .where(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey", "o_orderstatus",
+            F.round("o_totalprice", 2).alias("price"),
+        )
+    )
+    src.repartition(4).write.format("pyjsonl").option("path", out).mode(
+        "append"
+    ).save()
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    back = spark.read.schema(
+        "o_orderkey long, o_orderstatus string, price double"
+    ).json(os.path.join(out, "*.jsonl"))
+    return back
