@@ -77,8 +77,10 @@ _PRIORITY_WINDOW = [
 # sql_gateway_rest, avro_schema_evolution, protobuf_py_map_roundtrip,
 # bucketed_join_agg, metadata_columns_read, llm_segment_dedup,
 # llm_deterministic_shuffle, llm_temperature_mix, llm_bigram_lm_score,
-# cep_followed_by_nearest, stream_current_watermark, datastream_*,
-# connector/compaction/sql-client rows).
+# llm_token_budget_mix, cep_followed_by_nearest, stream_current_watermark,
+# stream_connect_threshold_filter, temporal_join_sql, window_tvf_sql,
+# group_window_sql, datastream_iterate_countdown, twophase_sink_roundtrip,
+# datastream_*, connector/compaction/sql-client rows).
 # Compute it with: [n for n in QUERIES if n not in r1|r2|r3 green rows].
 
 
