@@ -153,3 +153,35 @@ def test_jsonl_stream_writer_epoch_commit(spark, tmp_path):
         with open(os.path.join(out, p)) as fh:
             rows += [json.loads(line) for line in fh]
     assert sorted(r["id"] for r in rows) == list(range(80))
+
+
+def test_jsonl_sink_abort_publishes_nothing(spark, tmp_path):
+    """2PC abort path: a failing task must leave the sink unpublished — no
+    .jsonl part becomes visible and no _SUCCESS manifest is written (the
+    all-or-nothing half of the protocol)."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    _register(spark)
+    out = str(tmp_path / "abortout")
+    df = spark.read.format("pydatagen").option("n", 120).load()
+    poisoned = df.select(
+        F.when(
+            F.col("id") == 77,
+            F.expr("CAST(raise_error('sink abort test') AS BIGINT)"),
+        )
+        .otherwise(F.col("id"))
+        .alias("id"),
+        "ts",
+        "key",
+        "value",
+    )
+    with _pytest.raises(Exception, match="sink abort test"):
+        poisoned.repartition(3).write.format("pyjsonl").option(
+            "path", out
+        ).mode("append").save()
+    files = os.listdir(out) if os.path.isdir(out) else []
+    assert not [f for f in files if f.endswith(".jsonl")]
+    assert "_SUCCESS" not in files
