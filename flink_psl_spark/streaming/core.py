@@ -285,10 +285,14 @@ def streaming_iterate(
     the ``feedback`` predicate — matching rows are appended to the feedback
     directory (re-entering the loop on a later trigger), the rest append to
     the output directory. This is Flink's iterate semantics with the loop
-    latency quantized to the trigger interval; rows in flight on the
-    feedback edge are durable files, so a restart resumes the loop from its
-    checkpoint instead of losing the edge (stronger than the reference,
-    which documents possible feedback loss on failure).
+    latency quantized to the trigger interval.
+
+    Failure semantics: rows in flight on the feedback edge are durable
+    files, so a restart never LOSES them (the reference documents possible
+    feedback-record loss on failure); a batch replayed after a crash can
+    however re-append its feedback/output — at-least-once on the loop
+    edge. Loop bodies needing exactly-once should emit idempotent keys and
+    dedup at the sink (the standard foreachBatch discipline).
 
     Returns (query, handle) where ``handle.output()`` reads the emitted
     rows and ``handle.drained(idle_triggers)`` polls completion for bounded
