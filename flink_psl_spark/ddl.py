@@ -46,13 +46,39 @@ def clear_ddl_metadata() -> None:
     _PRIMARY_KEYS.clear()
 
 
-_CREATE_RE = re.compile(
+_CREATE_HEAD_RE = re.compile(
     r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-    r"(?P<name>[\w.`]+)\s*\((?P<body>.*)\)\s*"
-    r"(?:COMMENT\s+'[^']*'\s*)?"
+    r"(?P<name>[\w.`]+)\s*\(",
+    re.IGNORECASE,
+)
+_TAIL_RE = re.compile(
+    r"^\s*(?:COMMENT\s+'[^']*'\s*)?"
+    r"(?:PARTITIONED\s+BY\s*\((?P<parts>[^)]*)\)\s*)?"
     r"WITH\s*\((?P<opts>.*)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _match_create(sql: str):
+    """Split a CREATE TABLE … ( <body> ) <tail> statement on the BALANCED
+    closing paren (the schema body itself contains parens: PRIMARY KEY,
+    types), then parse the tail for COMMENT / PARTITIONED BY / WITH."""
+    head = _CREATE_HEAD_RE.match(sql)
+    if head is None:
+        return None
+    depth, i = 1, head.end()
+    while i < len(sql) and depth:
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        return None
+    tail = _TAIL_RE.match(sql[i:])
+    if tail is None:
+        return None
+    return head.group("name"), sql[head.end() : i - 1], tail
 _WM_RE = re.compile(
     r"WATERMARK\s+FOR\s+(?P<col>\w+)\s+AS\s+\w+\s*-\s*"
     r"INTERVAL\s+'(?P<n>[\d.]+)'\s+(?P<unit>\w+)",
@@ -106,13 +132,14 @@ def _normalize_type(col_def: str) -> str:
 def rewrite_create_table(sql: str) -> str:
     """Rewrite one Flink `CREATE TABLE … WITH (…)` statement to Spark DDL;
     statements without a WITH(...) clause pass through untouched."""
-    m = _CREATE_RE.match(sql)
-    if m is None:
+    parsed = _match_create(sql)
+    if parsed is None:
         return sql
-    name = m.group("name").strip("`")
+    raw_name, body, tail = parsed
+    name = raw_name.strip("`")
     opts = {
         om.group("k").lower(): om.group("v")
-        for om in _OPT_RE.finditer(m.group("opts"))
+        for om in _OPT_RE.finditer(tail.group("opts"))
     }
     connector = opts.get("connector", "")
     if connector != "filesystem":
@@ -128,7 +155,7 @@ def rewrite_create_table(sql: str) -> str:
     fmt = opts.get("format", "parquet")
 
     cols: list[str] = []
-    for part in _split_columns(m.group("body")):
+    for part in _split_columns(body):
         wm = _WM_RE.match(part)
         if wm:
             _WATERMARKS[name.lower()] = (
@@ -161,7 +188,13 @@ def rewrite_create_table(sql: str) -> str:
         )
 
     col_list = ", ".join(cols)
+    partition_clause = ""
+    if tail.group("parts"):
+        part_cols = ", ".join(
+            c.strip(" `") for c in tail.group("parts").split(",") if c.strip()
+        )
+        partition_clause = f" PARTITIONED BY ({part_cols})"
     return (
         f"CREATE TABLE IF NOT EXISTS {name} ({col_list}) "
-        f"USING {fmt} LOCATION '{path}'"
+        f"USING {fmt}{partition_clause} LOCATION '{path}'"
     )

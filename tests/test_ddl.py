@@ -116,3 +116,37 @@ def test_ddl_end_to_end_script(spark, tmp_path):
         assert [(r["id"], r["rate"]) for r in res.collect()] == [(1, 2.0)]
     finally:
         spark.sql("DROP TABLE IF EXISTS rates_ddl")
+
+
+def test_ddl_partitioned_by(spark, tmp_path):
+    import datetime as dt
+
+    from flink_psl_spark.ddl import rewrite_create_table
+    from flink_psl_spark.sql_client import run_script
+
+    out = rewrite_create_table(
+        "CREATE TABLE pt (id BIGINT, region STRING) PARTITIONED BY (region) "
+        "WITH ('connector' = 'filesystem', 'path' = '/tmp/pt')"
+    )
+    assert "PARTITIONED BY (region)" in out and "USING parquet" in out
+    # end to end: DDL + insert + partition-pruned read
+    path = str(tmp_path / "pt_tbl")
+    spark.sql("DROP TABLE IF EXISTS pt_ddl")
+    try:
+        res = run_script(
+            spark,
+            f"""
+            CREATE TABLE pt_ddl (id BIGINT, region STRING)
+            PARTITIONED BY (region)
+            WITH ('connector' = 'filesystem', 'path' = '{path}',
+                  'format' = 'parquet');
+            INSERT INTO pt_ddl VALUES (1, 'eu'), (2, 'us'), (3, 'eu');
+            SELECT COUNT(*) AS n FROM pt_ddl WHERE region = 'eu';
+            """,
+        )
+        assert res[-1].df.first()["n"] == 2
+        import os
+
+        assert "region=eu" in os.listdir(path)  # hive-style layout
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pt_ddl")
