@@ -19,6 +19,9 @@ The rewrite keeps the semantics and drops nothing silently:
   requirement for version tables is exactly this pair),
 - Flink-only types are normalized (TIMESTAMP(3)/TIMESTAMP_LTZ(3) →
   TIMESTAMP, ROW<…> → STRUCT<…>),
+- ``c TYPE METADATA FROM 'file.…' [VIRTUAL]`` columns map to a base table
+  plus a view projecting Spark's scan-time ``_metadata`` fields under the
+  declared names (SupportsReadingMetadata parity at zero extra I/O),
 - other connectors raise with the library-level equivalent named (datagen →
   ``sources.datagen_stream``, print/blackhole → console/noop sinks, kafka →
   jar-gated ``sources.kafka_stream``) rather than creating a broken table.
@@ -89,6 +92,11 @@ _PK_RE = re.compile(
     re.IGNORECASE,
 )
 _OPT_RE = re.compile(r"'(?P<k>[^']+)'\s*=\s*'(?P<v>[^']*)'")
+_META_COL_RE = re.compile(
+    r"^\s*(?P<col>\w+)\s+(?P<type>.+?)\s+METADATA"
+    r"(?:\s+FROM\s+'(?P<key>[^']+)')?(?:\s+VIRTUAL)?\s*$",
+    re.IGNORECASE,
+)
 
 _CONNECTOR_HINTS = {
     "datagen": "use sources.datagen_stream (rate source + column synthesis)",
@@ -155,6 +163,7 @@ def rewrite_create_table(sql: str) -> str:
     fmt = opts.get("format", "parquet")
 
     cols: list[str] = []
+    meta_cols: list[tuple[str, str]] = []
     for part in _split_columns(body):
         wm = _WM_RE.match(part)
         if wm:
@@ -168,6 +177,12 @@ def rewrite_create_table(sql: str) -> str:
             _PRIMARY_KEYS[name.lower()] = [
                 c.strip(" `") for c in pk.group("cols").split(",")
             ]
+            continue
+        mc = _META_COL_RE.match(part)
+        if mc:
+            meta_cols.append(
+                (mc.group("col"), mc.group("key") or mc.group("col"))
+            )
             continue
         if re.match(r"^\s*\w+\s+AS\s+", part, re.IGNORECASE):
             raise ValueError(
@@ -194,7 +209,32 @@ def rewrite_create_table(sql: str) -> str:
             c.strip(" `") for c in tail.group("parts").split(",") if c.strip()
         )
         partition_clause = f" PARTITIONED BY ({part_cols})"
-    return (
-        f"CREATE TABLE IF NOT EXISTS {name} ({col_list}) "
-        f"USING {fmt}{partition_clause} LOCATION '{path}'"
-    )
+    if not meta_cols:
+        return (
+            f"CREATE TABLE IF NOT EXISTS {name} ({col_list}) "
+            f"USING {fmt}{partition_clause} LOCATION '{path}'"
+        )
+    # METADATA columns (SupportsReadingMetadata / `c TYPE METADATA FROM
+    # 'file.name' VIRTUAL`): the physical table lands under <name>__base and
+    # <name> becomes a view projecting Spark's scan-time _metadata fields —
+    # queries see the declared schema, metadata included, at zero extra I/O
+    from flink_psl_spark.sources import FILE_METADATA_KEYS
+
+    base = f"{name}__base"
+    projections = [c.split()[0] for c in cols]
+    for col, key in meta_cols:
+        try:
+            field = FILE_METADATA_KEYS[key]
+        except KeyError:
+            raise ValueError(
+                f"metadata key {key!r} has no file-connector mapping; one "
+                f"of {sorted(FILE_METADATA_KEYS)}"
+            ) from None
+        projections.append(f"_metadata.{field} AS {col}")
+    return [
+        f"CREATE TABLE IF NOT EXISTS {base} ({col_list}) "
+        f"USING {fmt}{partition_clause} LOCATION '{path}'",
+        f"CREATE OR REPLACE VIEW {name} AS SELECT "
+        + ", ".join(projections)
+        + f" FROM {base}",
+    ]

@@ -183,7 +183,12 @@ class SqlGatewayService:
                 else:
                     from flink_psl_spark.temporal_sql import rewrite_flink_sql
 
-                    df = self.spark.sql(rewrite_flink_sql(stmt))
+                    rewritten = rewrite_flink_sql(stmt)
+                    if isinstance(rewritten, list):
+                        for r in rewritten:
+                            df = self.spark.sql(r)
+                    else:
+                        df = self.spark.sql(rewritten)
                     op.is_query = bool(df.schema.fields)
                     op.columns = [
                         {

@@ -153,12 +153,18 @@ def run_script(
                 pass  # resetting a never-set key is a no-op, like the client
             results.append(StatementResult(stmt, "reset"))
             continue
-        # Flink SQL clause rewrites (temporal joins, window TVFs) -> standard SQL
+        # Flink SQL clause rewrites (DDL dialect, temporal joins, window
+        # TVFs) -> standard SQL; a DDL may expand to several statements
         from flink_psl_spark.temporal_sql import rewrite_flink_sql
 
-        results.append(
-            StatementResult(stmt, "query", spark.sql(rewrite_flink_sql(stmt)))
-        )
+        rewritten = rewrite_flink_sql(stmt)
+        if isinstance(rewritten, list):
+            df = None
+            for r in rewritten:
+                df = spark.sql(r)
+            results.append(StatementResult(stmt, "query", df))
+        else:
+            results.append(StatementResult(stmt, "query", spark.sql(rewritten)))
     return results
 
 

@@ -161,6 +161,8 @@ def rewrite_flink_sql(sql: str) -> str:
     from flink_psl_spark.ddl import rewrite_create_table
 
     sql = rewrite_create_table(sql)
+    if isinstance(sql, list):  # DDL expanded to (base table, metadata view)
+        return sql
     sql = rewrite_system_time_joins(sql)
     sql = rewrite_window_tvfs(sql)  # must run before the legacy rewrite --
     # the TVF form contains bare TUMBLE(/HOP( tokens the legacy regexes

@@ -150,3 +150,53 @@ def test_ddl_partitioned_by(spark, tmp_path):
         assert "region=eu" in os.listdir(path)  # hive-style layout
     finally:
         spark.sql("DROP TABLE IF EXISTS pt_ddl")
+
+
+def test_ddl_metadata_columns(spark, tmp_path, sf_dir):
+    """METADATA FROM columns map to a base table + a view projecting the
+    scan-time _metadata struct."""
+    import shutil
+
+    from flink_psl_spark.ddl import rewrite_create_table
+    from flink_psl_spark.sql_client import run_script
+
+    out = rewrite_create_table(
+        "CREATE TABLE mt (id BIGINT, src STRING METADATA FROM 'file.name' "
+        "VIRTUAL, mtime TIMESTAMP_LTZ(3) METADATA FROM "
+        "'file.modification-time') "
+        "WITH ('connector' = 'filesystem', 'path' = '/tmp/mt')"
+    )
+    assert isinstance(out, list) and len(out) == 2
+    assert "mt__base" in out[0]
+    assert "_metadata.file_name AS src" in out[1]
+    assert "_metadata.file_modification_time AS mtime" in out[1]
+    with pytest.raises(ValueError, match="no file-connector mapping"):
+        rewrite_create_table(
+            "CREATE TABLE x (id BIGINT, o STRING METADATA FROM 'k.offset') "
+            "WITH ('connector' = 'filesystem', 'path' = '/tmp/x')"
+        )
+
+    # end to end over a real file
+    path = str(tmp_path / "mt_tbl")
+    shutil.copytree(f"{sf_dir}", path, ignore=shutil.ignore_patterns("*"))
+    spark.sql("DROP TABLE IF EXISTS nat_meta__base")
+    spark.read.parquet(f"{sf_dir}/nation.parquet").write.parquet(
+        path + "/data"
+    )
+    try:
+        res = run_script(
+            spark,
+            f"""
+            CREATE TABLE nat_meta (
+              n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT,
+              src STRING METADATA FROM 'file.name' VIRTUAL
+            ) WITH ('connector' = 'filesystem', 'path' = '{path}/data',
+                    'format' = 'parquet');
+            SELECT COUNT(*) AS n, COUNT(DISTINCT src) AS files FROM nat_meta;
+            """,
+        )
+        row = res[-1].df.first()
+        assert row["n"] == 25 and row["files"] >= 1
+    finally:
+        spark.sql("DROP VIEW IF EXISTS nat_meta")
+        spark.sql("DROP TABLE IF EXISTS nat_meta__base")
