@@ -19,9 +19,10 @@ The rewrite keeps the semantics and drops nothing silently:
   requirement for version tables is exactly this pair),
 - Flink-only types are normalized (TIMESTAMP(3)/TIMESTAMP_LTZ(3) →
   TIMESTAMP, ROW<…> → STRUCT<…>),
-- ``c TYPE METADATA FROM 'file.…' [VIRTUAL]`` columns map to a base table
-  plus a view projecting Spark's scan-time ``_metadata`` fields under the
-  declared names (SupportsReadingMetadata parity at zero extra I/O),
+- ``c TYPE METADATA FROM 'file.…' [VIRTUAL]`` columns and computed columns
+  (``c AS expr``) map to a base table plus a view projecting the metadata
+  fields / expressions under the declared names (SupportsReadingMetadata +
+  computed-column parity; Catalyst inlines the view projections),
 - other connectors raise with the library-level equivalent named (datagen →
   ``sources.datagen_stream``, print/blackhole → console/noop sinks, kafka →
   jar-gated ``sources.kafka_stream``) rather than creating a broken table.
@@ -164,6 +165,7 @@ def rewrite_create_table(sql: str) -> str:
 
     cols: list[str] = []
     meta_cols: list[tuple[str, str]] = []
+    computed_cols: list[tuple[str, str]] = []
     for part in _split_columns(body):
         wm = _WM_RE.match(part)
         if wm:
@@ -184,11 +186,13 @@ def rewrite_create_table(sql: str) -> str:
                 (mc.group("col"), mc.group("key") or mc.group("col"))
             )
             continue
-        if re.match(r"^\s*\w+\s+AS\s+", part, re.IGNORECASE):
-            raise ValueError(
-                f"computed column {part.split()[0]!r} is not supported in "
-                "the DDL mapping — express it as a view over the table"
-            )
+        cc = re.match(
+            r"^\s*(?P<col>\w+)\s+AS\s+(?P<expr>.+)$", part,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if cc:
+            computed_cols.append((cc.group("col"), cc.group("expr").strip()))
+            continue
         cols.append(_normalize_type(part))
 
     if name.lower() in _PRIMARY_KEYS and name.lower() in _WATERMARKS:
@@ -209,15 +213,17 @@ def rewrite_create_table(sql: str) -> str:
             c.strip(" `") for c in tail.group("parts").split(",") if c.strip()
         )
         partition_clause = f" PARTITIONED BY ({part_cols})"
-    if not meta_cols:
+    if not meta_cols and not computed_cols:
         return (
             f"CREATE TABLE IF NOT EXISTS {name} ({col_list}) "
             f"USING {fmt}{partition_clause} LOCATION '{path}'"
         )
     # METADATA columns (SupportsReadingMetadata / `c TYPE METADATA FROM
-    # 'file.name' VIRTUAL`): the physical table lands under <name>__base and
-    # <name> becomes a view projecting Spark's scan-time _metadata fields —
-    # queries see the declared schema, metadata included, at zero extra I/O
+    # 'file.name' VIRTUAL`) and computed columns (`c AS expr`): the physical
+    # table lands under <name>__base and <name> becomes a view projecting
+    # the scan-time _metadata fields / the computed expressions under the
+    # declared names — queries see the full declared schema at zero extra
+    # I/O, and Catalyst inlines the view expressions into every plan
     from flink_psl_spark.sources import FILE_METADATA_KEYS
 
     base = f"{name}__base"
@@ -231,6 +237,8 @@ def rewrite_create_table(sql: str) -> str:
                 f"of {sorted(FILE_METADATA_KEYS)}"
             ) from None
         projections.append(f"_metadata.{field} AS {col}")
+    for col, expr in computed_cols:
+        projections.append(f"({expr}) AS {col}")
     return [
         f"CREATE TABLE IF NOT EXISTS {base} ({col_list}) "
         f"USING {fmt}{partition_clause} LOCATION '{path}'",

@@ -72,11 +72,12 @@ def test_ddl_connector_guidance():
         rewrite_create_table(
             "CREATE TABLE t (id BIGINT) WITH ('connector' = 'filesystem')"
         )
-    with pytest.raises(ValueError, match="computed column"):
-        rewrite_create_table(
-            "CREATE TABLE t (id BIGINT, d AS id * 2) "
-            "WITH ('connector' = 'filesystem', 'path' = '/tmp/x')"
-        )
+    # computed columns expand to the view form
+    out_cc = rewrite_create_table(
+        "CREATE TABLE t (id BIGINT, d AS id * 2) "
+        "WITH ('connector' = 'filesystem', 'path' = '/tmp/x')"
+    )
+    assert isinstance(out_cc, list) and "(id * 2) AS d" in out_cc[1]
     # non-WITH statements pass through
     assert rewrite_create_table("CREATE TABLE t (id BIGINT)") == (
         "CREATE TABLE t (id BIGINT)"
@@ -200,3 +201,25 @@ def test_ddl_metadata_columns(spark, tmp_path, sf_dir):
     finally:
         spark.sql("DROP VIEW IF EXISTS nat_meta")
         spark.sql("DROP TABLE IF EXISTS nat_meta__base")
+
+
+def test_ddl_computed_columns_end_to_end(spark, tmp_path):
+    from flink_psl_spark.sql_client import run_script
+
+    path = str(tmp_path / "cc_tbl")
+    spark.createDataFrame([(1,), (2,), (3,)], "id bigint").write.parquet(path)
+    spark.sql("DROP VIEW IF EXISTS cc_ddl")
+    spark.sql("DROP TABLE IF EXISTS cc_ddl__base")
+    try:
+        res = run_script(
+            spark,
+            f"""
+            CREATE TABLE cc_ddl (id BIGINT, double_id AS id * 2)
+            WITH ('connector' = 'filesystem', 'path' = '{path}');
+            SELECT SUM(double_id) AS s FROM cc_ddl;
+            """,
+        )
+        assert res[-1].df.first()["s"] == 12
+    finally:
+        spark.sql("DROP VIEW IF EXISTS cc_ddl")
+        spark.sql("DROP TABLE IF EXISTS cc_ddl__base")
