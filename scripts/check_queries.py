@@ -23,9 +23,11 @@ def main() -> int:
     spark = get_spark(master="local[8]", extra_conf={"spark.driver.memory": "8g"})
     con = duck_connection(sf_dir)
     failures = []
+    ran = 0
     for name, fn in QUERIES.items():
         if filters and not any(f in name for f in filters):
             continue
+        ran += 1
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
@@ -58,7 +60,8 @@ def main() -> int:
         print(f"{status} {name:32s} {time.time() - t0:6.1f}s  {msg[:300]}")
         if not ok:
             failures.append(name)
-    print(f"\n{len(QUERIES) - len(failures)}/{len(QUERIES)} pass")
+    scope = "" if not filters else f" (of {len(QUERIES)} registered)"
+    print(f"\n{ran - len(failures)}/{ran} pass{scope}")
     if failures:
         print("failures:", failures)
     return 1 if failures else 0
