@@ -254,3 +254,35 @@ def test_statement_set_validation(spark):
             spark,
             "EXECUTE STATEMENT SET BEGIN SELECT 1; END;",
         )
+
+
+def test_rewrites_tolerate_case_and_whitespace():
+    """Dialect rewrites are case/whitespace-insensitive and leave no Flink
+    tokens behind."""
+    from flink_psl_spark.temporal_sql import (
+        register_versioned_table,
+        rewrite_group_windows,
+        rewrite_system_time_joins,
+        rewrite_window_tvfs,
+    )
+
+    register_versioned_table("vt", time_col="ts", primary_key="k")
+    variants = [
+        "select * from f join vt for system_time as of f.ts as v on v.k = f.k",
+        "SELECT * FROM f\n  JOIN vt\n  FOR  SYSTEM_TIME  AS  OF  f.ts\n"
+        "  AS v\n  ON v.k = f.k",
+    ]
+    for v in variants:
+        out = rewrite_system_time_joins(v)
+        assert "system_time" not in out.lower()
+        assert "lead(ts)" in out.lower()
+    tvf = rewrite_window_tvfs(
+        "select * from table( tumble( table t , descriptor( ts ) , "
+        "interval '5' minute ) )"
+    )
+    assert "tumble" not in tvf.lower() and "window(ts, '5 minute')" in tvf
+    gw = rewrite_group_windows(
+        "select tumble_start(ts, interval '1' hour) from t "
+        "group by tumble(ts, interval '1' hour)"
+    )
+    assert "tumble" not in gw.lower()
