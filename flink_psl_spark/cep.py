@@ -51,7 +51,11 @@ class Step:
     # Quantified blocks bind CONSECUTIVE rows (SQL row-pattern semantics,
     # ≡ the reference's Pattern.consecutive()). The reference's default
     # relaxed-internal oneOrMore (gaps allowed between the A's) is
-    # expressible as Step.group_at_least("G", [Step.followed_by("A", p)], 1).
+    # expressible as Step.group_at_least("G", [Step.followed_by("A", p)], 1);
+    # oneOrMore().allowCombinations() (every non-contiguous subset branches,
+    # Quantifier ALLOW_COMBINATIONS) is the same composition with
+    # followed_by_any — pinned against a brute-force subset enumeration in
+    # tests/test_cep.py::test_allow_combinations_via_group_composition.
     min_times: int = 1
     max_times: int | None = 1
     greedy: bool = True

@@ -899,3 +899,41 @@ def test_cep_not_before_optional_rejected(spark):
             ],
             [Measure("n", "a", "count")],
         )
+
+
+def test_allow_combinations_via_group_composition(spark):
+    """Pattern.oneOrMore().allowCombinations() (reference Quantifier
+    ALLOW_COMBINATIONS) ≡ group_at_least(1) over a followed_by_any
+    sub-step: under NO_SKIP every non-contiguous subset of loop elements
+    branches into its own match."""
+    import itertools
+
+    from flink_psl_spark.cep import NO_SKIP, Measure, Step, match_recognize
+
+    seq = ["a", "a", "x", "a", "b"]
+    df = spark.createDataFrame(
+        [("k", i, s) for i, s in enumerate(seq)], "k string, i long, et string"
+    )
+    out = match_recognize(
+        df, "k", "i",
+        [
+            Step.group_at_least(
+                "G", [Step.followed_by_any("A", "et = 'a'")], 1
+            ),
+            Step.followed_by("B", "et = 'b'"),
+        ],
+        [
+            Measure("n", "A", "count"),
+            Measure("first_a", "A", "first", "i"),
+            Measure("last_a", "A", "last", "i"),
+        ],
+        after_match=NO_SKIP,
+    )
+    got = sorted((r["n"], r["first_a"], r["last_a"]) for r in out.collect())
+    a_pos = [i for i, s in enumerate(seq) if s == "a"]
+    want = sorted(
+        (len(c), c[0], c[-1])
+        for r in range(1, len(a_pos) + 1)
+        for c in itertools.combinations(a_pos, r)
+    )
+    assert got == want
