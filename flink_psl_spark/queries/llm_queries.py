@@ -1235,3 +1235,53 @@ def llm_token_budget_mix(spark, sf_dir):
         F.sum("__n_tokens").cast("bigint").alias("total_tokens"),
         F.max("__cum_tokens").cast("bigint").alias("max_cum"),
     )
+
+
+@query(
+    "llm_curation_pipeline",
+    # the full composed pipeline replayed stage by stage in SQL:
+    # quality bands -> exact-dedup survivors -> deterministic (shard, pos)
+    oracle="""
+    WITH kept AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS toks,
+               LEN(REGEXP_REPLACE(text, '\\s', '', 'g')) * 1.0
+                 / LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS mwl
+        FROM documents)
+      WHERE toks >= 10 AND toks <= 100000 AND mwl >= 2.0 AND mwl <= 12.0),
+    survivors AS (
+      SELECT MIN(doc_id) AS doc_id FROM kept
+      GROUP BY MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))),
+    h AS (
+      SELECT doc_id,
+             CAST('0x' || SUBSTR(MD5(CONCAT_WS('|', CAST(doc_id AS VARCHAR),
+                                               '42')), 1, 6) AS BIGINT)
+               % 8 AS shard,
+             MD5(CONCAT_WS('|', CAST(doc_id AS VARCHAR), '43')) AS ord
+      FROM survivors)
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+                - 1 AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def llm_curation_pipeline(spark, sf_dir):
+    """The composed curation pipeline a training-data user actually runs:
+    quality filtering (C4/Gopher bands) -> exact dedup (keep-min survivor
+    per fingerprint) -> deterministic training-order shuffle into shards —
+    three library operators chained, hash-checked end to end. Every stage
+    keeps its scale shape (narrow filter, fingerprint-keyed agg, per-shard
+    windows)."""
+    from flink_psl_spark.llm import deterministic_shuffle, exact_dedup
+    from flink_psl_spark.llm.text import mean_word_length, token_count
+
+    t = tables(spark, sf_dir)
+    kept = t["documents"].where(
+        token_count("text").between(10, 100000)
+        & mean_word_length("text").between(2.0, 12.0)
+    )
+    survivors = exact_dedup(kept).select("doc_id")
+    return deterministic_shuffle(
+        survivors, key_cols=["doc_id"], n_shards=8, seed=42
+    ).select("doc_id", "shard", "pos")
