@@ -332,3 +332,37 @@ def ngram_lm_scores(
         )
     )
     return out
+
+
+def bpe_pair_counts(
+    docs,
+    *,
+    text_col: str = "text",
+    top_k: int = 50,
+):
+    """Adjacent-symbol pair frequencies — the statistic the first BPE merge
+    step maximizes (public BPE algorithm: count all adjacent character
+    pairs inside words, merge the most frequent).
+
+    Corpus-wide: words explode row-locally in the scan stage, character
+    pairs explode per word (still row-local), one hash aggregation keyed by
+    the pair, then a top-k over the aggregated counts (the distinct-pair
+    space is alphabet², tiny — the sort never touches raw data).
+    Deterministic ordering: count DESC, pair ASC. Returns (pair, cnt).
+    """
+    toks = tokenize(F.col(text_col))
+    words = docs.select(F.explode(toks).alias("w")).where(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), "
+                "i -> substring(w, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(top_k)
+    )

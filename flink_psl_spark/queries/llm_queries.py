@@ -1285,3 +1285,25 @@ def llm_curation_pipeline(spark, sf_dir):
     return deterministic_shuffle(
         survivors, key_cols=["doc_id"], n_shards=8, seed=42
     ).select("doc_id", "shard", "pos")
+
+
+@query(
+    "llm_bpe_pair_counts",
+    oracle=f"""
+    WITH w AS (
+      SELECT UNNEST({_TOKS}) AS w FROM documents),
+    p AS (
+      SELECT UNNEST([SUBSTR(w, i, 2) FOR i IN RANGE(1, LEN(w))]) AS pair
+      FROM w WHERE LEN(w) >= 2)
+    SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair
+    ORDER BY cnt DESC, pair ASC LIMIT 50
+    """,
+)
+def llm_bpe_pair_counts(spark, sf_dir):
+    """BPE merge-pair statistics (the first tokenizer-training step):
+    top-50 adjacent character pairs inside corpus words, deterministic
+    tie-break; the pair space stays tiny so the top-k sort is free."""
+    from flink_psl_spark.llm.text import bpe_pair_counts
+
+    t = tables(spark, sf_dir)
+    return bpe_pair_counts(t["documents"], top_k=50)
