@@ -365,3 +365,51 @@ def lsh_cosine_topk(
         k,
         rank_col="rank",
     ).select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (public retrieval
+    recipes: for each anchor, the most similar candidates with a DIFFERENT
+    label are the informative negatives).
+
+    Same scale shape as ``cosine_topk`` — the anchor side is broadcast
+    with its label, the corpus never moves, and the label-inequality filter
+    runs before scoring so same-class pairs never rank. Returns
+    (query_id, neighbor_id, cos_sim, rank) with deterministic tie-break.
+    """
+    from flink_psl_spark.operators.ranking import top_n
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("__ql"),
+        _col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("__cl"),
+        _col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), how="cross")
+        .where(F.col("__ql") != F.col("__cl"))
+        .select(
+            "query_id", "neighbor_id", cosine("__qv", "__cv").alias("cos_sim")
+        )
+    )
+    return top_n(
+        scored,
+        "query_id",
+        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rank",
+    ).select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )

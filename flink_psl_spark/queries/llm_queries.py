@@ -1307,3 +1307,39 @@ def llm_bpe_pair_counts(spark, sf_dir):
 
     t = tables(spark, sf_dir)
     return bpe_pair_counts(t["documents"], top_k=50)
+
+
+@query(
+    "llm_hard_negatives",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, label AS ql,
+                      embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, label AS cl,
+                      embedding::DOUBLE[] AS v
+               FROM embeddings),
+         scored AS (
+           SELECT q.query_id, c.neighbor_id,
+                  LIST_COSINE_SIMILARITY(q.v, c.v) AS sim
+           FROM q CROSS JOIN c WHERE q.ql <> c.cl),
+         ranked AS (
+           SELECT query_id, neighbor_id, sim,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rank
+           FROM scored)
+    SELECT query_id, neighbor_id, ROUND(sim, 6) AS cos_sim,
+           CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def llm_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (contrastive-training data prep): for each
+    anchor embedding, the top-5 most similar vectors with a DIFFERENT
+    label — anchors broadcast, corpus never shuffles."""
+    from flink_psl_spark.llm import hard_negatives
+
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return hard_negatives(
+        emb, emb.where(F.col("vec_id") < 10), k=5
+    )
