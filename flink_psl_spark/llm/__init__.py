@@ -1,9 +1,14 @@
 """Large-scale training-data pipeline operators (SURVEY §7 M5).
 
 Beyond the reference's own surface: deduplication (exact, MinHash-LSH,
-SimHash, n-gram Jaccard), similarity search over embeddings (brute-force
-cosine top-k + LSH-bucketed ANN), text analysis (language ID, quality
-scoring, token counting, fingerprinting), and multimodal column plumbing.
+SimHash, n-gram Jaccard, segment-level with reassembly), similarity search
+over embeddings (brute-force cosine top-k, IVF, LSH-bucketed ANN,
+hard-negative mining), text analysis (language ID, quality scoring, token
+counting, fingerprinting, bigram-LM fluency, BPE pair statistics, PII
+scrubbing, benchmark decontamination), curation (Gopher repetition
+filters, chunking, sequence packing), sampling/mixing (deterministic,
+stratified, temperature-scaled, token-budget-capped, training-order
+shuffle), and multimodal column plumbing.
 
 Everything is built for 100 TB: banded LSH turns the O(n²) pair space into
 per-bucket joins, joins are self-equi-joins on band hashes (AQE-skew-safe),
