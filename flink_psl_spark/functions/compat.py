@@ -187,3 +187,20 @@ def register_sql_compat(spark: SparkSession) -> None:
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({params}) "
             f"RETURNS {ret} RETURN {body}"
         )
+
+
+def hash_code(s: Column | str) -> Column:
+    """HASH_CODE (FlinkSqlOperatorTable.java:424 — Java String.hashCode):
+    ``h = 31*h + char`` with 32-bit signed wraparound, expression-only
+    (aggregate over the character codepoints; whole-stage codegen). Exact
+    for BMP strings — ascii() yields the codepoint, which equals the UTF-16
+    unit below the surrogate range. Jobs ported from the reference that
+    partition or bucket on HASH_CODE keep identical placement."""
+    c = _col(s)
+    wrap_lo = F.lit(2147483648)
+    wrap = F.lit(4294967296)
+    return F.aggregate(
+        F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda h, code: F.pmod(h * 31 + code + wrap_lo, wrap) - wrap_lo,
+    )

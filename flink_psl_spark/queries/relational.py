@@ -989,3 +989,32 @@ def temporal_join_sql(spark, sf_dir):
     finally:
         clear_versioned_tables()
     return res
+
+
+@query(
+    "hash_code_fn",
+    # Java String.hashCode replayed in DuckDB via list_reduce with the same
+    # 32-bit signed wraparound
+    oracle="""
+    SELECT c_custkey,
+           LIST_REDUCE(
+             LIST_PREPEND(CAST(0 AS BIGINT),
+                          [CAST(UNICODE(x) AS BIGINT)
+                           FOR x IN regexp_extract_all(c_name, '.')]),
+             (h, c) -> ((h*31 + c + 2147483648) % 4294967296 + 4294967296)
+                       % 4294967296 - 2147483648) AS hc
+    FROM customer WHERE c_custkey <= 200
+    """,
+)
+def hash_code_fn(spark, sf_dir):
+    """HASH_CODE (FlinkSqlOperatorTable.java:424): Java String.hashCode as
+    a pure expression — ported jobs that bucket on it keep identical
+    placement."""
+    from flink_psl_spark.functions.compat import hash_code
+
+    t = tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .where(F.col("c_custkey") <= 200)
+        .select("c_custkey", hash_code("c_name").alias("hc"))
+    )

@@ -296,3 +296,20 @@ def test_typeof_values(spark, sf_dir):
     assert (rows[0]["t_key"], rows[0]["t_brand"], rows[0]["t_price"]) == (
         "bigint", "string", "double",
     )
+
+
+def test_hash_code_java_semantics(spark):
+    """HASH_CODE == Java String.hashCode (32-bit wraparound)."""
+    from flink_psl_spark.functions.compat import hash_code
+
+    cases = ["abc", "", "hello world", "the quick brown fox", "Ab", "zzzzzzzz"]
+
+    def java_hash(s):
+        h = 0
+        for ch in s:
+            h = (31 * h + ord(ch) + 2**31) % 2**32 - 2**31
+        return h
+
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = {r["s"]: r["hc"] for r in df.select("s", hash_code("s").alias("hc")).collect()}
+    assert got == {c: java_hash(c) for c in cases}
