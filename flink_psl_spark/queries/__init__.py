@@ -29,72 +29,80 @@ import flink_psl_spark.queries.graph_queries  # noqa: F401, E402
 import flink_psl_spark.queries.datastream_queries  # noqa: F401, E402
 
 # Driver-visibility ordering: the verify harness checks queries in
-# registration order and may truncate (rounds 1 and 2 each stopped at the
-# first 50), so the front of the dict carries the queries with the LEAST
-# prior driver evidence. Round-3 rotation: the first 50 slots are the one
-# red r2 row (llm_sequence_packing, oracle type fix) plus 49 queries that
-# have never received a driver CORRECTNESS row in r1 or r2; the remaining
-# never-checked queries follow immediately (positions 51+), and everything
-# already driver-green in r1/r2 is demoted to the tail. Rotate again each
-# round as coverage accumulates.
+# registration order and may truncate (each round checks the first 50),
+# so the front of the dict carries the queries with the LEAST prior
+# driver evidence. ROUND-4 rotation: the 50 slots hold (a) the two r1-red
+# rows whose fixes have only replica evidence (agg_collect,
+# agg_approx_distinct), (b) the SQL-parity and service surfaces, (c) the
+# DataStream bridge, connector/sink, curation, nested-codec, CEP and
+# streaming queries that have never received a driver row, and (d) the
+# queries NEW this round (match_recognize_sql_price_dip). Everything
+# driver-green in r1-r3 is demoted to the tail.
 _PRIORITY_WINDOW = [
-    # the only red r2 row — oracle cast fix must be re-proven by the driver
-    "llm_sequence_packing",
-    # graph library (15) — never driver-checked
-    "graph_pagerank", "graph_connected_components", "graph_triangle_count",
-    "graph_degree", "graph_sssp", "graph_label_propagation",
-    "graph_clustering_coefficient", "graph_jaccard_index",
-    "graph_adamic_adar", "graph_summarization", "graph_triadic_census",
-    "graph_hits", "graph_global_clustering", "graph_community_detection",
-    "graph_vertex_metrics",
-    # TPC-H tail (14) — never driver-checked
-    "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
-    "q10_returned_items", "q11_important_stock",
-    "q12_shipping_priority_class", "q13_customer_distribution",
-    "q15_top_supplier", "q16_part_supplier_count",
-    "q17_small_quantity_revenue", "q19_discounted_revenue",
-    "q20_potential_promotion", "q21_suppliers_kept_waiting",
-    "q22_prospective_customers",
-    # window functions (7) — never driver-checked
-    "wf_lag_lead", "wf_ntile_percentiles", "wf_dataframe_api",
-    "wf_topn_per_group", "wf_rank_dense_rank", "wf_running_rows_frame",
-    "wf_first_last_value",
-    # batch window TVFs (7) — never driver-checked
-    "tumble_window_agg", "hop_window_agg", "session_window_agg",
-    "session_window_dynamic_gap", "cumulate_window_agg",
-    "window_join", "window_tvf_projection",
-    # CDC formats (2) — never driver-checked
-    "cdc_canal_roundtrip", "cdc_maxwell_roundtrip",
-    # new this round: CEP after-match skip strategies (4)
-    "cep_skip_to_next_click_runs", "cep_no_skip_conversion_pairs",
-    "cep_skip_to_last_error_runs", "cep_skip_to_first_purchase_chain",
+    # ex-red r1 rows — fixed in r2, never re-proven by the driver
+    "agg_collect", "agg_approx_distinct",
+    # SQL-parity fronts + service surfaces (7)
+    "match_recognize_sql_clicks", "match_recognize_sql_skip_chain",
+    "temporal_join_sql", "window_tvf_sql", "group_window_sql",
+    "sql_client_script", "sql_gateway_rest",
+    # NEW round 4: cross-variable DEFINE references (verdict task 4)
+    "match_recognize_sql_price_dip",
+    # DataStream bridge (5)
+    "datastream_map_filter", "datastream_keyed_sum",
+    "datastream_side_output_split", "datastream_broadcast_join",
+    "datastream_iterate_countdown",
+    # connectors / sinks / sources (10)
+    "twophase_sink_roundtrip", "bucketed_join_agg",
+    "metadata_columns_read", "file_compaction_roundtrip",
+    "filesystem_partitioned_roundtrip", "jdbc_roundtrip_agg",
+    "values_inline_rows", "pysource_datagen_agg",
+    "pysource_datagen_pushdown", "async_lookup_enrich",
+    # round-3 curation operators (10)
+    "llm_segment_dedup", "llm_deterministic_shuffle",
+    "llm_temperature_mix", "llm_token_budget_mix",
+    "llm_bigram_lm_score", "llm_bpe_pair_counts", "llm_pii_scrub",
+    "llm_contamination_check", "llm_hard_negatives",
+    "llm_curation_pipeline",
+    # nested codec roundtrips (4)
+    "avro_py_nested_roundtrip", "protobuf_py_nested_roundtrip",
+    "avro_schema_evolution", "protobuf_py_map_roundtrip",
+    # CEP stragglers — hardest semantics built in r3 (4)
+    "stream_cep_no_conversion_within",
+    "cep_group_pattern_double_conversion", "cep_until_stop_condition",
+    "cep_followed_by_nearest",
+    # streaming stragglers (7)
+    "stream_current_watermark", "stream_connect_threshold_filter",
+    "stream_semi_join", "stream_interval_join_outer", "stream_rows_over",
+    "stream_dedup", "stream_hop_agg",
 ]
-# ROUND-4 ROTATION: the never-driver-checked remainder to promote into the
-# next window (everything in `middle` below — 29 carried from rounds 1-3
-# plus this round's additions: match_recognize_sql_*, *_nested_roundtrip,
-# stream_cep_no_conversion_within, cep_group_pattern_double_conversion,
-# cep_until_stop_condition, llm_pii_scrub, llm_contamination_check,
-# sql_gateway_rest, avro_schema_evolution, protobuf_py_map_roundtrip,
-# bucketed_join_agg, metadata_columns_read, llm_segment_dedup,
-# llm_deterministic_shuffle, llm_temperature_mix, llm_bigram_lm_score,
-# llm_token_budget_mix, cep_followed_by_nearest, stream_current_watermark,
-# stream_connect_threshold_filter, temporal_join_sql, window_tvf_sql,
-# group_window_sql, datastream_iterate_countdown, twophase_sink_roundtrip,
-# datastream_*, connector/compaction/sql-client rows).
-# Compute it with: [n for n in QUERIES if n not in r1|r2|r3 green rows].
+# ROUND-5 ROTATION (precomputed — apply next round): the never-checked
+# remainder fits in one window, reaching 100% driver coverage of the
+# registry.  27 queries as of round-4 start:
+#   stream_session_agg, stream_cumulate_agg, hash_code_fn, window_dedup,
+#   tumble_window_offset_agg, llm_ngram_jaccard_pairs,
+#   llm_bpe_token_count, llm_quality_score, llm_text_stats,
+#   llm_quality_filter, llm_rolling_fingerprints, agg_percentiles,
+#   agg_first_last_value, string_functions2, math_functions2,
+#   temporal_functions2, try_functions, posexplode_words,
+#   cogroup_user_summary, udtaf_top2_per_group, udf_pandas_scalar,
+#   udaf_pandas_grouped, udtf_lateral, temporal_overlaps_fn,
+#   string_functions3, typeof_fn, encode_decode_fn, array_map_row_fn
+# plus anything added during round 4 that misses the round-4 window.
+# Compute exactly with: [n for n in QUERIES if n not in r1|r2|r3|r4
+# green rows].
 
 
 def _reorder() -> None:
     ordered = [n for n in _PRIORITY_WINDOW if n in QUERIES]
     # positions 51+: everything else never driver-checked (incl. queries new
-    # this round), registration order — round 4's window rotates these in
+    # this round), registration order — round 5's window rotates these in
     driver_checked_tail = [
         n for n in QUERIES
-        if n not in ordered and n in _DRIVER_CHECKED_R1_R2
+        if n not in ordered and n in _DRIVER_CHECKED_R1_R2_R3
     ]
     middle = [
         n for n in QUERIES
-        if n not in ordered and n not in _DRIVER_CHECKED_R1_R2
+        if n not in ordered and n not in _DRIVER_CHECKED_R1_R2_R3
     ]
     snapshot = dict(QUERIES)
     QUERIES.clear()
@@ -102,10 +110,13 @@ def _reorder() -> None:
         QUERIES[n] = snapshot[n]
 
 
-# queries the driver hash-verified green in round 1 or round 2
-# (CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json minus the red row) — proven
-# surface, so they yield their slot in a truncated window
-_DRIVER_CHECKED_R1_R2 = frozenset({
+# queries the driver hash-verified green in rounds 1-3
+# (∪ CORRECTNESS_r0{1,2,3}.json latest-green rows) — proven surface, so
+# they yield their slot in a truncated window.  agg_collect and
+# agg_approx_distinct appear here for historical reasons but are
+# overridden by _PRIORITY_WINDOW (their latest driver evidence is the r1
+# red row; round 4 re-proves them).
+_DRIVER_CHECKED_R1_R2_R3 = frozenset({
     # round 1
     "calc_project_filter", "q1_pricing_summary", "q3_shipping_priority",
     "q6_forecast_revenue", "q14_promo_effect", "q18_large_volume",
@@ -142,6 +153,29 @@ _DRIVER_CHECKED_R1_R2 = frozenset({
     "stream_cep_clean_conversion", "cep_no_conversion_within",
     "cdc_debezium_roundtrip", "cdc_drop_update_before", "cdc_ogg_roundtrip",
     "avro_py_roundtrip", "protobuf_py_roundtrip", "wf_range_frame",
+    # round 3
+    "cdc_canal_roundtrip", "cdc_maxwell_roundtrip",
+    "cep_no_skip_conversion_pairs", "cep_skip_to_first_purchase_chain",
+    "cep_skip_to_last_error_runs", "cep_skip_to_next_click_runs",
+    "cumulate_window_agg", "graph_adamic_adar",
+    "graph_clustering_coefficient", "graph_community_detection",
+    "graph_connected_components", "graph_degree",
+    "graph_global_clustering", "graph_hits", "graph_jaccard_index",
+    "graph_label_propagation", "graph_pagerank", "graph_sssp",
+    "graph_summarization", "graph_triadic_census", "graph_triangle_count",
+    "graph_vertex_metrics", "hop_window_agg", "llm_sequence_packing",
+    "q10_returned_items", "q11_important_stock",
+    "q12_shipping_priority_class", "q13_customer_distribution",
+    "q15_top_supplier", "q16_part_supplier_count",
+    "q17_small_quantity_revenue", "q19_discounted_revenue",
+    "q20_potential_promotion", "q21_suppliers_kept_waiting",
+    "q22_prospective_customers", "q2_min_cost_supplier",
+    "q8_market_share", "q9_product_profit", "session_window_agg",
+    "session_window_dynamic_gap", "tumble_window_agg",
+    "wf_dataframe_api", "wf_first_last_value", "wf_lag_lead",
+    "wf_ntile_percentiles", "wf_rank_dense_rank",
+    "wf_running_rows_frame", "wf_topn_per_group", "window_join",
+    "window_tvf_projection",
 })
 
 _reorder()
