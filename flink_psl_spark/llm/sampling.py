@@ -174,6 +174,7 @@ def token_budget_mix(
     key_cols: list[str],
     seed: int = 42,
     default_budget: int | None = None,
+    order_buckets: int = 256,
 ) -> DataFrame:
     """Cap each source at a token budget (the per-domain token caps of
     public corpus recipes): documents are taken in deterministic
@@ -182,16 +183,33 @@ def token_budget_mix(
     are approximate in corpus building; truncating mid-document is a
     chunking concern, not a sampling one).
 
-    One window per source partition (ordered by the hash — a per-source
-    sort, never global) computes the running token sum; the filter is a
-    narrow comparison. Sources without a budget keep everything unless
-    ``default_budget`` is set. Output rows carry ``__cum_tokens`` (the
-    running sum inclusive of the row) for auditability.
+    Scale design — two-pass distributed prefix sum. A naive
+    ``Window.partitionBy(source)`` running sum puts an ENTIRE source in
+    one partition: with a handful of sources at 100 TB that is a
+    serialized multi-TB sort. Instead the md5 order key is range-split
+    into ``order_buckets`` ordered buckets (its leading hex digits, so
+    bucket order == sort order and md5 uniformity balances them):
+
+    1. per-(source, bucket) token totals — a tiny hash aggregate
+       (#sources x order_buckets rows);
+    2. exclusive prefix sum of bucket totals per source — a window over
+       that tiny frame only;
+    3. broadcast the bucket offsets back and run the fine running-sum
+       window INSIDE each (source, bucket) partition, adding the offset.
+
+    The widest sort is one bucket (~1/order_buckets of a source), the
+    parallel unit is sources x buckets, and the output is byte-identical
+    to the single-partition formulation (same order key, same tie-break).
+    Sources without a budget keep everything unless ``default_budget`` is
+    set. Output rows carry ``__cum_tokens`` (the running sum inclusive of
+    the row) for auditability.
     """
     from pyspark.sql import Window
 
     from flink_psl_spark.llm.text import token_count
 
+    if order_buckets <= 0:
+        raise ValueError("order_buckets must be positive")
     toks = (
         F.col(token_count_col)
         if token_count_col
@@ -202,24 +220,57 @@ def token_budget_mix(
             "|", *[F.col(c).cast("string") for c in key_cols], F.lit(str(seed))
         )
     )
-    w = (
-        Window.partitionBy(source_col)
-        .orderBy("__ord", *key_cols)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
     budget = F.lit(None).cast("bigint")
     for src, b in budgets.items():
         budget = F.when(F.col(source_col) == src, F.lit(int(b))).otherwise(budget)
     if default_budget is not None:
         budget = F.coalesce(budget, F.lit(int(default_budget)))
-    return (
+
+    # range bucket: leading 3 hex digits of the md5 order key, scaled to
+    # order_buckets contiguous ranges — all rows of bucket i sort strictly
+    # before bucket i+1 (equal __ord values share a bucket, so the
+    # key_cols tie-break stays within one partition)
+    bucket = (
+        (F.conv(F.substring("__ord", 1, 3), 16, 10).cast("bigint")
+         * order_buckets) / 4096
+    ).cast("bigint")
+    rows = (
         df.withColumn("__ord", order)
         .withColumn("__n_tokens", toks.cast("bigint"))
-        .withColumn("__cum_tokens", F.sum("__n_tokens").over(w))
+        .withColumn("__bkt", bucket)
+    )
+    # pass 1: per-(source, bucket) totals, then exclusive prefix offsets
+    # over the tiny aggregate (window frame = #buckets rows per source)
+    off_w = (
+        Window.partitionBy(source_col)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        rows.groupBy(source_col, "__bkt")
+        .agg(F.sum("__n_tokens").alias("__bkt_tokens"))
+        .withColumn(
+            "__offset",
+            F.coalesce(F.sum("__bkt_tokens").over(off_w), F.lit(0)),
+        )
+        .select(source_col, "__bkt", "__offset")
+    )
+    # pass 2: fine running sum inside each (source, bucket) partition
+    fine_w = (
+        Window.partitionBy(source_col, "__bkt")
+        .orderBy("__ord", *key_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rows.join(F.broadcast(offsets), on=[source_col, "__bkt"])
+        .withColumn(
+            "__cum_tokens",
+            F.col("__offset") + F.sum("__n_tokens").over(fine_w),
+        )
         .withColumn("__budget", budget)
         .where(
             F.col("__budget").isNull()
             | (F.col("__cum_tokens") - F.col("__n_tokens") < F.col("__budget"))
         )
-        .drop("__ord", "__budget")
+        .drop("__ord", "__budget", "__bkt", "__offset")
     )

@@ -286,3 +286,25 @@ def test_new_curation_ops_plan_shapes(spark, sf_dir):
     # bigram LM: count-joins stay equi-joins; no per-row Python
     p = _plan(QUERIES["llm_bigram_lm_score"](spark, sf_dir))
     assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+
+
+def test_token_budget_mix_bucketed_prefix_sum(spark, t):
+    """token_budget_mix must never sort a whole source in one partition:
+    the fine running-sum window partitions by (source, bucket), so the
+    widest sort is ~1/order_buckets of a source (two-pass prefix sum)."""
+    from flink_psl_spark.llm import token_budget_mix
+
+    out = token_budget_mix(
+        t["documents"], "source", {"web": 5000},
+        key_cols=["doc_id"], seed=42, default_budget=5000,
+    )
+    p = _plan(out)
+    # the fine window's required distribution includes the bucket column —
+    # i.e. there is a hash exchange keyed by (source, __bkt), and no
+    # per-source-only window partitioning survives anywhere in the plan
+    assert "hashpartitioning(source" in p and "__bkt" in p.split(
+        "hashpartitioning(source", 1
+    )[1].split(")", 1)[0], p
+    assert "SinglePartition" not in p, p
+    # offsets side is broadcast, not shuffled back at scale
+    assert "BroadcastExchange" in p, p
