@@ -79,6 +79,21 @@ class Step:
     # block extension stops BEFORE the first row satisfying this predicate
     # (the stopping row is not bound and stays available to later steps).
     until_pred: str | None = None
+    # iterative condition (reference IterativeCondition.java:61 — a DEFINE
+    # predicate that sees the partial match's history): a Python callable
+    # ``fn(get, first, last) -> bool`` evaluated per candidate row, where
+    #   get(col)            — the candidate row's value,
+    #   first(var, col, k)  — the (k+1)-th row bound to ``var`` so far,
+    #   last(var, col, k)   — the (k+1)-th-from-last row bound to ``var``;
+    # for the step's OWN variable the candidate row counts as its running
+    # last row (SQL-standard running semantics: LAST(B.price) inside
+    # DEFINE B is the current row, LAST(B.price, 1) the previous one).
+    # Unbound references return None; a TypeError from comparing None is
+    # treated as FALSE (SQL three-valued logic). ANDed with ``predicate``
+    # (the vectorized part) — keep row-local conjuncts there.
+    iter_pred: object | None = None
+    # columns the iterative condition reads (materialized per group)
+    iter_cols: tuple = ()
 
     def until(self, predicate: str) -> "Step":
         """Stop condition (Pattern.until): the quantified block stops
@@ -86,6 +101,18 @@ class Step:
         from dataclasses import replace
 
         return replace(self, until_pred=predicate)
+
+    def where_history(self, fn, cols) -> "Step":
+        """Attach an iterative condition (reference IterativeCondition):
+        ``fn(get, first, last) -> bool`` over the partial match's rows.
+        ``cols`` lists every column the callable reads."""
+        from dataclasses import replace
+
+        if self.sub is not None:
+            raise ValueError(
+                "iterative conditions apply to leaf steps, not groups"
+            )
+        return replace(self, iter_pred=fn, iter_cols=tuple(cols))
 
     @staticmethod
     def once(name: str, predicate: str) -> "Step":
@@ -297,6 +324,11 @@ def match_recognize(
     prepared = df.select(
         "*", *[F.expr(e).alias(alias) for alias, e in pexprs.values()]
     )
+    iters = {s.name: s.iter_pred for s in leaves if s.iter_pred is not None}
+    iter_cols = sorted({c for s in leaves for c in s.iter_cols})
+    missing = [c for c in iter_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"iterative-condition columns not in input: {missing}")
 
     in_schema = dict(prepared.dtypes)
     within_td = pd.Timedelta(within) if within is not None else None
@@ -316,6 +348,9 @@ def match_recognize(
             name: pdf[c].fillna(False).to_numpy(dtype=bool)
             for name, c in pred_cols.items()
         }
+        vals = (
+            {c: pdf[c].to_numpy() for c in iter_cols} if iters else None
+        )
         times = pdf[time_col] if time_col else None
         # int64-ns view for the bounded terminal-NOT scan (cheap, vectorized)
         times_ns = times.astype("int64").to_numpy() if times is not None else None
@@ -349,7 +384,7 @@ def match_recognize(
         while start < n:
             if strategy == NO_SKIP:
                 for bindings in _iter_matches_at(
-                    preds, spec, start, n, times_ns, within_ns
+                    preds, spec, start, n, times_ns, within_ns, iters, vals
                 ):
                     if not span_ok(bindings):
                         continue
@@ -362,7 +397,9 @@ def match_recognize(
                     emit(bindings)
                 start += 1
                 continue
-            bindings = _match_at(preds, spec, start, n, times_ns, within_ns)
+            bindings = _match_at(
+                preds, spec, start, n, times_ns, within_ns, iters, vals
+            )
             if bindings is None or not span_ok(bindings):
                 start += 1
                 continue
@@ -566,7 +603,9 @@ def _validate_modes(pattern) -> None:
                 )
 
 
-def _iter_matches_at(preds, spec, start, n, times=None, within_ns=None):
+def _iter_matches_at(
+    preds, spec, start, n, times=None, within_ns=None, iters=None, vals=None
+):
     """Backtracking NFA: yield every binding {step_name: [row indices]} of
     the pattern starting exactly at ``start``, in preference order (greedy
     takes first, earlier relaxed positions first) — the first yield is the
@@ -590,8 +629,50 @@ def _iter_matches_at(preds, spec, start, n, times=None, within_ns=None):
     ``times``/``within_ns`` bound a TERMINAL not_followed_by to the WITHIN
     window measured from the first bound row (the reference's only legal
     form of a trailing NOT: Pattern.notFollowedBy requires within) —
-    without them the negative scan extends to the end of the partition."""
+    without them the negative scan extends to the end of the partition.
+
+    ``iters`` maps step name -> iterative condition (Step.iter_pred) and
+    ``vals`` maps column -> numpy value array for the group; a step with an
+    iterative condition accepts a row only when BOTH its vectorized
+    predicate and ``fn(get, first, last)`` hold, the latter evaluated with
+    the partial match's bindings at extension time (reference
+    IterativeCondition.java:61)."""
     root = spec
+    iters = iters or {}
+
+    def iter_ok(name, j, acc, block):
+        """Evaluate step ``name``'s iterative condition for candidate row
+        ``j`` given bindings ``acc`` plus ``block`` (rows already taken in
+        the current quantified block of this step)."""
+        fn = iters.get(name)
+        if fn is None:
+            return True
+
+        def rows_of(var):
+            r = acc.get(var, [])
+            if var == name:
+                r = r + block + [j]
+            return r
+
+        def get(col):
+            return vals[col][j]
+
+        def first(var, col, k=0):
+            r = rows_of(var)
+            if k < 0 or k >= len(r):
+                return None
+            return vals[col][r[k]]
+
+        def last(var, col, k=0):
+            r = rows_of(var)
+            if k < 0 or k >= len(r):
+                return None
+            return vals[col][r[-1 - k]]
+
+        try:
+            return bool(fn(get, first, last))
+        except TypeError:  # comparison with None: SQL unknown -> false
+            return False
 
     def bind_at(spec_, i, q, acc, min_take, cont):
         """Bind spec_[i]'s quantified block (or group) starting exactly at
@@ -603,12 +684,19 @@ def _iter_matches_at(preds, spec, start, n, times=None, within_ns=None):
         p = preds[name]
         u = preds[until_key] if until_key else None
         lo = max(lo, min_take)
+        has_iter = name in iters
         max_take = 0
         while (
             q + max_take < n
             and p[q + max_take]
             and (hi is None or max_take < hi)
             and (u is None or not u[q + max_take])
+            and (
+                not has_iter
+                or iter_ok(
+                    name, q + max_take, acc, list(range(q, q + max_take))
+                )
+            )
         ):
             max_take += 1
         if max_take < lo:
@@ -655,7 +743,7 @@ def _iter_matches_at(preds, spec, start, n, times=None, within_ns=None):
         name, lo, hi, greedy, mode, sub, _until = spec_[i]
         if mode == "not_next":
             p = preds[name]
-            if pos < n and p[pos]:
+            if pos < n and p[pos] and iter_ok(name, pos, acc, []):
                 return
             yield from seq(spec_, i + 1, pos, acc, cont)
             return
@@ -672,12 +760,16 @@ def _iter_matches_at(preds, spec, start, n, times=None, within_ns=None):
                     anchor = min(bound) if bound else start
                     j = pos
                     while j < n and times[j] - times[anchor] <= within_ns:
-                        if p[j]:
+                        if p[j] and iter_ok(name, j, acc, []):
                             return
                         j += 1
                     yield from cont(pos, acc)
                     return
-                if p[pos:n].any():
+                if name in iters:
+                    for j in range(pos, n):
+                        if p[j] and iter_ok(name, j, acc, []):
+                            return
+                elif p[pos:n].any():
                     return
                 yield from cont(pos, acc)
                 return
@@ -695,10 +787,11 @@ def _iter_matches_at(preds, spec, start, n, times=None, within_ns=None):
             )
             for s2 in range(pos, n):
                 yield from bind_at(spec_, i + 1, s2, acc, 1, cont)
-                if p[s2]:
+                if p[s2] and iter_ok(name, s2, acc, []):
                     return  # negative event occurred before a match
                 if nxt_open is not None and any(
-                    preds[nm][s2] for nm in nxt_open
+                    preds[nm][s2] and iter_ok(nm, s2, acc, [])
+                    for nm in nxt_open
                 ):
                     return
             return
@@ -712,7 +805,8 @@ def _iter_matches_at(preds, spec, start, n, times=None, within_ns=None):
             for s2 in range(pos, n):
                 yield from bind_at(spec_, i, s2, acc, 1, cont)
                 if open_names is not None and any(
-                    preds[nm][s2] for nm in open_names
+                    preds[nm][s2] and iter_ok(nm, s2, acc, [])
+                    for nm in open_names
                 ):
                     break
             if lo == 0:  # optional relaxed step/group: skip it entirely
@@ -727,9 +821,14 @@ def _iter_matches_at(preds, spec, start, n, times=None, within_ns=None):
     yield from seq(root, 0, start, {}, root_cont)
 
 
-def _match_at(preds, spec, start, n, times=None, within_ns=None):
+def _match_at(
+    preds, spec, start, n, times=None, within_ns=None, iters=None, vals=None
+):
     """First (preferred) match of the pattern at ``start``, or None."""
-    return next(_iter_matches_at(preds, spec, start, n, times, within_ns), None)
+    return next(
+        _iter_matches_at(preds, spec, start, n, times, within_ns, iters, vals),
+        None,
+    )
 
 
 def _eval_measure(pdf: pd.DataFrame, idxs, fn: str, col: str | None):

@@ -27,9 +27,17 @@ optional reluctant ``?`` suffix; parenthesized groups with quantifiers —
 ``(A B){2}`` — compile to quantified subpatterns (reference
 GroupPattern). DEFINE conditions are Spark SQL boolean
 expressions over the input columns; ``V.col`` self-references are
-rewritten to ``col`` (cross-variable references like ``LAST(A.x)`` inside
-DEFINE are not supported — same class of restriction the reference
-documents for aggregates in DEFINE). Undefined variables default to TRUE.
+rewritten to ``col``. Pattern-variable HISTORY references are supported
+(reference IterativeCondition.java:61): ``FIRST(X.col[, offset])`` /
+``LAST(X.col[, offset])`` over any pattern variable, and bare ``X.col``
+for another variable (≡ its running LAST) — e.g. the canonical V-shape
+``DEFINE DOWN AS DOWN.price < LAST(DOWN.price, 1)``. Conjuncts with
+history references compile to per-row iterative conditions (a documented
+SQL subset: comparisons, arithmetic, AND/OR/NOT, IS [NOT] NULL, ABS,
+literals); row-local conjuncts stay vectorized JVM-side. For the step's
+own variable the candidate row is its running LAST row (offset 0), so
+``LAST(V.col, 1)`` is the previous row bound to V. Undefined variables
+default to TRUE.
 """
 
 from __future__ import annotations
@@ -267,8 +275,188 @@ def _parse_pattern(text: str, defines: dict[str, str]) -> list[Step]:
     return steps
 
 
-def _parse_defines(text: str, pattern_vars: list[str]) -> dict[str, str]:
+_FIRST_LAST_RE = re.compile(
+    r"\b(FIRST|LAST)\s*\(\s*([A-Za-z_][A-Za-z_0-9]*)\."
+    r"([A-Za-z_][A-Za-z_0-9]*)\s*(?:,\s*(\d+)\s*)?\)",
+    re.IGNORECASE,
+)
+
+
+def _split_top_level_and(text: str) -> list[str]:
+    """Split on the word AND outside parentheses/quotes."""
+    parts, depth, buf, quote, i = [], 0, [], None, 0
+    up = text.upper()
+    while i < len(text):
+        ch = text[i]
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in "'\"":
+            quote = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif (
+            depth == 0
+            and up.startswith("AND", i)
+            and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_"))
+            and (
+                i + 3 >= len(text)
+                or not (text[i + 3].isalnum() or text[i + 3] == "_")
+            )
+        ):
+            parts.append("".join(buf).strip())
+            buf = []
+            i += 3
+            continue
+        else:
+            buf.append(ch)
+        i += 1
+    tail = "".join(buf).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def _has_history_refs(cond: str, var: str, vars_upper: set[str]) -> bool:
+    """Does this DEFINE conjunct reference pattern-variable history —
+    FIRST/LAST over a pattern variable, or another variable's columns?"""
+    for m in _FIRST_LAST_RE.finditer(cond):
+        if m.group(2).upper() in vars_upper:
+            return True
+    for v in vars_upper:
+        if v != var.upper() and re.search(
+            r"\b" + v + r"\.", cond, re.IGNORECASE
+        ):
+            return True
+    return False
+
+
+_PY_KEEP = {"and", "or", "not", "is", "None", "True", "False", "in"}
+_PY_FNS = {"ABS": "abs"}
+
+
+def _sql_cond_to_python(
+    cond: str, var: str, vars_upper: set[str], columns: list[str]
+) -> tuple[str, set[str]]:
+    """Translate a DEFINE conjunct with history references into a Python
+    expression over ``get/first/last`` (the iterative-condition calling
+    convention in cep.Step.iter_pred). Documented subset: comparisons
+    (= <> < <= > >=), arithmetic, AND/OR/NOT, IS [NOT] NULL, TRUE/FALSE/
+    NULL, ABS(), string/number literals, FIRST/LAST(X.col[, offset]),
+    ``X.col`` variable references (other-variable bare refs mean
+    LAST(X.col), as in the reference), and bare input-column names."""
+    frags: list[str] = []
+    used: set[str] = set()
+
+    def stash(frag: str) -> str:
+        frags.append(frag)
+        return f"\x00{len(frags) - 1}\x00"
+
+    # string literals first (protect their content from rewriting)
+    def stash_str(m: re.Match) -> str:
+        return stash(repr(m.group(0)[1:-1].replace("''", "'")))
+
+    s = re.sub(r"'(?:[^']|'')*'", stash_str, cond)
+
+    # FIRST/LAST(X.col[, k]) over pattern variables
+    def repl_fl(m: re.Match) -> str:
+        fn, v, col, k = m.groups()
+        if v.upper() not in vars_upper:
+            raise ValueError(
+                f"{fn.upper()}({v}.{col}) in DEFINE {var}: {v!r} is not a "
+                "pattern variable"
+            )
+        used.add(col)
+        return stash(f"{fn.lower()}({v.upper()!r}, {col!r}, {int(k or 0)})")
+
+    s = _FIRST_LAST_RE.sub(repl_fl, s)
+
+    # X.col references (self -> current row, other -> running LAST)
+    def repl_ref(m: re.Match) -> str:
+        v, col = m.groups()
+        if v.upper() not in vars_upper:
+            raise ValueError(
+                f"unknown variable {v!r} in DEFINE {var} (have "
+                f"{sorted(vars_upper)})"
+            )
+        used.add(col)
+        if v.upper() == var.upper():
+            return stash(f"get({col!r})")
+        return stash(f"last({v.upper()!r}, {col!r}, 0)")
+
+    s = re.sub(
+        r"\b([A-Za-z_][A-Za-z_0-9]*)\.([A-Za-z_][A-Za-z_0-9]*)", repl_ref, s
+    )
+
+    # SQL keywords / null tests / operators
+    s = re.sub(r"\bIS\s+NOT\s+NULL\b", " is not None ", s, flags=re.IGNORECASE)
+    s = re.sub(r"\bIS\s+NULL\b", " is None ", s, flags=re.IGNORECASE)
+    s = re.sub(r"\bAND\b", " and ", s, flags=re.IGNORECASE)
+    s = re.sub(r"\bOR\b", " or ", s, flags=re.IGNORECASE)
+    s = re.sub(r"\bNOT\b", " not ", s, flags=re.IGNORECASE)
+    s = re.sub(r"\bTRUE\b", " True ", s, flags=re.IGNORECASE)
+    s = re.sub(r"\bFALSE\b", " False ", s, flags=re.IGNORECASE)
+    s = re.sub(r"\bNULL\b", " None ", s, flags=re.IGNORECASE)
+    s = s.replace("<>", "!=")
+    s = re.sub(r"(?<![<>!=])=(?!=)", "==", s)
+
+    # remaining identifiers: allowed functions, then bare input columns
+    def repl_word(m: re.Match) -> str:
+        w = m.group(0)
+        if w in _PY_KEEP:
+            return w
+        if w.upper() in _PY_FNS:
+            return _PY_FNS[w.upper()]
+        if w in columns:
+            used.add(w)
+            return stash(f"get({w!r})")
+        raise ValueError(
+            f"unsupported identifier {w!r} in iterative DEFINE {var} "
+            "(not a column, pattern variable, or supported function)"
+        )
+
+    s = re.sub(r"\b[A-Za-z_][A-Za-z_0-9]*\b", repl_word, s)
+    s = re.sub(r"\x00(\d+)\x00", lambda m: frags[int(m.group(1))], s)
+    return s, used
+
+
+def _compile_iter_define(
+    cond: str, var: str, vars_upper: set[str], columns: list[str]
+):
+    """Compile a history-referencing DEFINE conjunct into an iterative
+    condition callable ``fn(get, first, last) -> bool``."""
+    pysrc, used = _sql_cond_to_python(cond, var, vars_upper, columns)
+    fn = eval(  # noqa: S307 — restricted builtins, parser-validated source
+        compile(f"lambda get, first, last: ({pysrc})", "<define-iter>", "eval"),
+        {"__builtins__": {"abs": abs}},
+    )
+    return fn, used
+
+
+def _parse_defines(
+    text: str, pattern_vars: list[str], columns: list[str] | None = None
+) -> tuple[dict[str, str], dict]:
+    """Parse DEFINE items into (sql_defines, iter_defines).
+
+    Per variable, top-level AND conjuncts WITHOUT history references stay
+    a Spark SQL predicate (vectorized JVM-side); conjuncts WITH
+    FIRST/LAST(var.col) or cross-variable references compile into an
+    iterative condition (reference IterativeCondition.java:61) evaluated
+    against the partial match. ``columns`` (the input schema) resolves
+    bare identifiers inside iterative conjuncts; cross-variable DEFINEs
+    require it.
+    """
+    vars_upper = {v.upper() for v in pattern_vars}
     out: dict[str, str] = {}
+    iter_out: dict[str, tuple] = {}
     for item in _split_top_level(text):
         m = re.match(
             r"^([A-Za-z_][A-Za-z_0-9]*)\s+AS\s+(.+)$", item, re.IGNORECASE | re.DOTALL
@@ -276,18 +464,56 @@ def _parse_defines(text: str, pattern_vars: list[str]) -> dict[str, str]:
         if not m:
             raise ValueError(f"cannot parse DEFINE item {item!r}")
         var, cond = m.group(1), m.group(2).strip()
-        # rewrite self-references V.col -> col; reject other-variable refs
-        for v in pattern_vars:
-            ref = re.compile(r"\b" + re.escape(v) + r"\.", re.IGNORECASE)
-            if v.upper() != var.upper() and ref.search(cond):
+        sql_parts, iter_parts = [], []
+        for conj in _split_top_level_and(cond):
+            if _has_history_refs(conj, var, vars_upper):
+                iter_parts.append(conj)
+            else:
+                sql_parts.append(conj)
+        if iter_parts:
+            if columns is None:
                 raise ValueError(
-                    f"DEFINE {var} references variable {v} — cross-variable "
-                    "references in DEFINE are not supported"
+                    f"DEFINE {var} uses pattern-variable history but the "
+                    "input schema is unavailable"
                 )
-        cond = re.sub(
-            r"\b" + re.escape(var) + r"\.", "", cond, flags=re.IGNORECASE
+            pysrcs, used_all = [], set()
+            for conj in iter_parts:
+                pysrc, used = _sql_cond_to_python(
+                    conj, var, vars_upper, columns
+                )
+                pysrcs.append(f"({pysrc})")
+                used_all |= used
+            fn = eval(  # noqa: S307 — restricted builtins, parsed source
+                compile(
+                    f"lambda get, first, last: ({' and '.join(pysrcs)})",
+                    "<define-iter>",
+                    "eval",
+                ),
+                {"__builtins__": {"abs": abs}},
+            )
+            iter_out[var.upper()] = (fn, tuple(sorted(used_all)))
+        sql_cond = " AND ".join(f"({p})" for p in sql_parts) or "true"
+        # rewrite self-references V.col -> col in the vectorized part
+        sql_cond = re.sub(
+            r"\b" + re.escape(var) + r"\.", "", sql_cond, flags=re.IGNORECASE
         )
-        out[var.upper()] = cond
+        out[var.upper()] = sql_cond
+    return out, iter_out
+
+
+def _attach_iter_defines(steps: list[Step], iter_defines: dict) -> list[Step]:
+    """Attach compiled iterative conditions to their leaf steps."""
+    from dataclasses import replace
+
+    out = []
+    for s in steps:
+        if s.sub is not None:
+            out.append(replace(s, sub=_attach_iter_defines(s.sub, iter_defines)))
+        elif s.name.upper() in iter_defines:
+            fn, cols = iter_defines[s.name.upper()]
+            out.append(s.where_history(fn, cols))
+        else:
+            out.append(s)
     return out
 
 
@@ -364,11 +590,17 @@ def match_recognize_sql(df: DataFrame, sql: str) -> DataFrame:
     pat_text = sections["PATTERN"]
     skeleton = _parse_pattern(pat_text, {})
     var_names = [s.name for s in _leaf_steps(skeleton)]
-    defines = _parse_defines(sections["DEFINE"], var_names)
-    unknown = set(defines) - {v.upper() for v in var_names}
+    defines, iter_defines = _parse_defines(
+        sections["DEFINE"], var_names, df.columns
+    )
+    unknown = (set(defines) | set(iter_defines)) - {
+        v.upper() for v in var_names
+    }
     if unknown:
         raise ValueError(f"DEFINE for variables not in PATTERN: {sorted(unknown)}")
-    pattern = _parse_pattern(pat_text, defines)
+    pattern = _attach_iter_defines(
+        _parse_pattern(pat_text, defines), iter_defines
+    )
     measures = _parse_measures(sections["MEASURES"])
 
     kwargs = {}
@@ -418,11 +650,17 @@ def streaming_match_recognize_sql(
 
     skeleton = _parse_pattern(sections["PATTERN"], {})
     var_names = [s.name for s in _leaf_steps(skeleton)]
-    defines = _parse_defines(sections["DEFINE"], var_names)
-    unknown = set(defines) - {v.upper() for v in var_names}
+    defines, iter_defines = _parse_defines(
+        sections["DEFINE"], var_names, events.columns
+    )
+    unknown = (set(defines) | set(iter_defines)) - {
+        v.upper() for v in var_names
+    }
     if unknown:
         raise ValueError(f"DEFINE for variables not in PATTERN: {sorted(unknown)}")
-    pattern = _parse_pattern(sections["PATTERN"], defines)
+    pattern = _attach_iter_defines(
+        _parse_pattern(sections["PATTERN"], defines), iter_defines
+    )
     measures = _parse_measures(sections["MEASURES"])
     kwargs = {}
     if "AFTER MATCH" in sections:

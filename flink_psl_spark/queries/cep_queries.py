@@ -675,6 +675,99 @@ def match_recognize_sql_skip_chain(spark, sf_dir):
 
 
 @query(
+    "match_recognize_sql_price_dip",
+    # Exact NFA-scan replica of the V-shape pattern (DOWN{2,} UP) with
+    # iterative DEFINEs. Structure: is_down flags -> descent-run groups
+    # (run containing any row k extends to runend(grp)); a match at scan
+    # position k needs >= 2 descending rows from k and the row after the
+    # run strictly above value(k) (greedy DOWN + backtracking can never
+    # accept a shorter block: the would-be UP row is itself descending,
+    # hence below the peak). The recursive CTE replays the AFTER MATCH
+    # SKIP PAST LAST ROW scan: jump past the consumed UP row on a match,
+    # else advance one row.
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    d AS (
+      SELECT *,
+             CASE WHEN value < LAG(value)
+                    OVER (PARTITION BY user_id ORDER BY rn)
+                  THEN 0 ELSE 1 END AS brk
+      FROM ordered),
+    g AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY rn) AS grp
+      FROM d),
+    runs AS (
+      SELECT user_id, rn, value, grp,
+             MAX(rn) OVER (PARTITION BY user_id, grp) AS runend
+      FROM g),
+    cand AS (
+      SELECT r.user_id, r.rn, r.value AS peak, b.value AS bottom,
+             u.value AS rebound, r.runend,
+             (r.runend >= r.rn + 1 AND u.value IS NOT NULL
+              AND u.value > r.value) AS ok
+      FROM runs r
+      JOIN runs b ON b.user_id = r.user_id AND b.rn = r.runend
+      LEFT JOIN runs u ON u.user_id = r.user_id AND u.rn = r.runend + 1),
+    scan AS (
+      SELECT user_id, 1 AS pos FROM (SELECT DISTINCT user_id FROM events)
+      UNION ALL
+      SELECT s.user_id,
+             CAST(CASE WHEN c.ok THEN c.runend + 2 ELSE s.pos + 1 END AS BIGINT)
+      FROM scan s JOIN cand c ON c.user_id = s.user_id AND c.rn = s.pos),
+    hits AS (
+      SELECT c.user_id, c.rn, c.peak, c.bottom, c.rebound,
+             c.runend - c.rn + 1 AS n_down
+      FROM scan s JOIN cand c ON c.user_id = s.user_id AND c.rn = s.pos
+      WHERE c.ok)
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) - 1
+                AS BIGINT) AS match_seq,
+           peak AS peak_value, bottom AS bottom_value,
+           CAST(n_down AS BIGINT) AS n_down, rebound AS rebound_value
+    FROM hits
+    """,
+)
+def match_recognize_sql_price_dip(spark, sf_dir):
+    """Cross-variable DEFINE references through the SQL front-end
+    (reference IterativeCondition.java:61 — conditions over the partial
+    match's history): the canonical V-shape price dip. DOWN's condition
+    reads its own running history (``LAST(DOWN.value, 1)`` with the
+    IS NULL first-row branch); UP's condition reads another variable's
+    binding (``FIRST(DOWN.value)``)."""
+    from flink_psl_spark.match_recognize_sql import match_recognize_sql
+
+    t = tables(spark, sf_dir)
+    out = match_recognize_sql(
+        t["events"],
+        """
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES
+                FIRST(DOWN.value) AS peak_value,
+                LAST(DOWN.value) AS bottom_value,
+                COUNT(DOWN.*) AS n_down,
+                LAST(UP.value) AS rebound_value
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (DOWN{2,} UP)
+            DEFINE
+                DOWN AS LAST(DOWN.value, 1) IS NULL
+                        OR DOWN.value < LAST(DOWN.value, 1),
+                UP AS UP.value > FIRST(DOWN.value)
+        )
+        """,
+    )
+    return out.select(
+        "user_id", "match_seq", "peak_value", "bottom_value", "n_down",
+        "rebound_value",
+    )
+
+
+@query(
     "cep_group_pattern_double_conversion",
     # (click purchase){2} on the click/purchase subsequence with NO SKIP:
     # every position i whose next four rows are click,purchase,click,purchase

@@ -108,12 +108,19 @@ def streaming_match_recognize(
         )
     pexprs = _pred_exprs(leaves)
     pred_cols = {key: alias for key, (alias, _e) in pexprs.items()}
+    # iterative conditions (IterativeCondition parity with the batch
+    # matcher): their input columns ride in the state buffer. Note the
+    # buffer stores ts_col as epoch-ms int64 — an iterative condition over
+    # the time column sees ms integers here, not timestamps.
+    iters = {s.name: s.iter_pred for s in leaves if s.iter_pred is not None}
+    iter_cols = sorted({c for s in leaves for c in s.iter_cols})
     wm = events.withWatermark(ts_col, delay)
     carry_cols = sorted(
         {
             ts_col,
             *(m.col for m in measures if m.col is not None),
             *([tiebreak_col] if tiebreak_col else []),
+            *iter_cols,
         }
     )
     prepared = wm.select(
@@ -170,8 +177,13 @@ def streaming_match_recognize(
             times_arr = (
                 final[ts_col].to_numpy() if within_ms is not None else None
             )
+            vals = (
+                {c: final[c].to_numpy() for c in iter_cols} if iters else None
+            )
             while start < n:
-                b = _match_at(preds, spec, start, n, times_arr, within_ms)
+                b = _match_at(
+                    preds, spec, start, n, times_arr, within_ms, iters, vals
+                )
                 if b is not None:
                     lo = min(i for idxs in b.values() for i in idxs)
                     hi = max(i for idxs in b.values() for i in idxs)

@@ -862,10 +862,20 @@ def test_match_recognize_sql_rejections(spark):
         match_recognize_sql(
             df, base.format(pat="(A | B)", define="A AS A.et = 'a'")
         )
-    with _pytest.raises(ValueError, match="cross-variable"):
+    # cross-variable references are supported (IterativeCondition) — a
+    # bare other-variable ref means its running LAST row
+    ok = match_recognize_sql(
+        df,
+        base.format(pat="(A B)", define="A AS A.et = 'a', B AS A.et = 'a'"),
+    )
+    assert ok.count() == 1
+    # ...but unknown identifiers inside an iterative conjunct are rejected
+    with _pytest.raises(ValueError, match="unsupported identifier"):
         match_recognize_sql(
             df,
-            base.format(pat="(A B)", define="A AS A.et = 'a', B AS A.et = 'b'"),
+            base.format(
+                pat="(A B)", define="A AS A.et = 'a', B AS LAST(A.et) = nope"
+            ),
         )
     with _pytest.raises(ValueError, match="missing PARTITION BY"):
         match_recognize_sql(
@@ -936,4 +946,138 @@ def test_allow_combinations_via_group_composition(spark):
         for r in range(1, len(a_pos) + 1)
         for c in itertools.combinations(a_pos, r)
     )
+    assert got == want
+
+
+def test_where_history_library_api(spark):
+    """Iterative conditions via the library API (reference
+    IterativeCondition.java:61): DOWN extends while strictly below its own
+    previous row; UP must exceed DOWN's first row."""
+    from flink_psl_spark.cep import Measure, Step, match_recognize
+
+    rows = [
+        ("A", 1, 10.0), ("A", 2, 8.0), ("A", 3, 6.0), ("A", 4, 12.0),
+        ("A", 5, 3.0),
+        ("B", 1, 5.0), ("B", 2, 4.0), ("B", 3, 4.5),  # rebound below peak
+    ]
+    df = spark.createDataFrame(rows, "k string, seq int, v double")
+    down = Step.at_least("DOWN", "true", 2).where_history(
+        lambda get, first, last: last("DOWN", "v", 1) is None
+        or get("v") < last("DOWN", "v", 1),
+        ["v"],
+    )
+    up = Step.once("UP", "true").where_history(
+        lambda get, first, last: (
+            first("DOWN", "v") is not None and get("v") > first("DOWN", "v")
+        ),
+        ["v"],
+    )
+    out = match_recognize(
+        df, "k", "seq",
+        [down, up],
+        [
+            Measure("peak", "DOWN", "first", "v"),
+            Measure("bottom", "DOWN", "last", "v"),
+            Measure("up_v", "UP", "first", "v"),
+        ],
+    )
+    got = {(r["k"], r["peak"], r["bottom"], r["up_v"]) for r in out.collect()}
+    # A: DOWN binds 10 > 8 > 6, UP = 12 > 10 — match; B: rebound 4.5 < 5
+    assert got == {("A", 10.0, 6.0, 12.0)}
+
+
+def test_iterative_define_offsets_and_self_running_last(spark):
+    """LAST(V.col) with offset 0 inside DEFINE V is the CURRENT row
+    (running semantics); offset 1 is the previous bound row."""
+    from flink_psl_spark.match_recognize_sql import match_recognize_sql
+
+    rows = [("k", 1, 5.0), ("k", 2, 5.0), ("k", 3, 7.0)]
+    df = spark.createDataFrame(rows, "k string, seq int, v double")
+    # B AS LAST(B.v) = LAST(B.v) is trivially true only if evaluable —
+    # proves offset-0 self reference resolves to the current row
+    out = match_recognize_sql(df, """
+        MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY seq
+          MEASURES COUNT(B.*) AS n, LAST(B.v) AS lv
+          PATTERN (B{2})
+          DEFINE B AS LAST(B.v, 1) IS NULL OR LAST(B.v, 0) = LAST(B.v, 1)
+        )""")
+    got = [(r["n"], r["lv"]) for r in out.collect()]
+    assert got == [(2, 5.0)]  # rows 1,2 equal; row 3 breaks the run
+
+
+def test_iterative_define_cross_variable_arithmetic(spark):
+    """Arithmetic + comparison over another variable's binding: B must be
+    within 2 of A's value."""
+    from flink_psl_spark.match_recognize_sql import match_recognize_sql
+
+    rows = [("k", 1, 10.0), ("k", 2, 11.0), ("x", 1, 10.0), ("x", 2, 20.0)]
+    df = spark.createDataFrame(rows, "k string, seq int, v double")
+    out = match_recognize_sql(df, """
+        MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY seq
+          MEASURES FIRST(A.v) AS av, FIRST(B.v) AS bv
+          PATTERN (A B)
+          DEFINE B AS ABS(B.v - LAST(A.v)) <= 2
+        )""")
+    got = {(r["k"], r["av"], r["bv"]) for r in out.collect()}
+    assert got == {("k", 10.0, 11.0)}
+
+
+def test_iterative_define_streaming_batch_parity(spark):
+    """The price-dip pattern produces identical matches through the batch
+    and streaming matchers (iterative conditions ride the state buffer)."""
+    import datetime as dt
+    import tempfile
+
+    from flink_psl_spark.match_recognize_sql import (
+        match_recognize_sql,
+        streaming_match_recognize_sql,
+    )
+    from flink_psl_spark.streaming import run_to_memory_table
+
+    TS = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        ("k", TS(0), 10.0), ("k", TS(1), 8.0), ("k", TS(2), 6.0),
+        ("k", TS(3), 12.0), ("k", TS(4), 9.0), ("k", TS(5), 7.0),
+        ("k", TS(6), 13.0),
+        ("z", TS(0), 4.0), ("z", TS(1), 3.0), ("z", TS(2), 3.5),
+        # watermark-advancing sentinels
+        ("k", TS(59), 0.0), ("z", TS(59), 0.0),
+    ]
+    schema = "k string, ts timestamp, v double"
+    clause = """
+        MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY ts
+          MEASURES FIRST(DOWN.v) AS peak, LAST(DOWN.v) AS bottom,
+                   LAST(UP.v) AS up_v
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (DOWN{2,} UP)
+          DEFINE DOWN AS LAST(DOWN.v, 1) IS NULL OR DOWN.v < LAST(DOWN.v, 1),
+                 UP AS UP.v > FIRST(DOWN.v)
+        )"""
+    batch = match_recognize_sql(spark.createDataFrame(rows, schema), clause)
+    want = {
+        (r["k"], r["peak"], r["bottom"], r["up_v"]) for r in batch.collect()
+    }
+    # first match consumes 10>8>6 plus UP=12; scan resumes at 9: 9>7, UP=13
+    assert want == {("k", 10.0, 6.0, 12.0), ("k", 9.0, 7.0, 13.0)}
+
+    d = tempfile.mkdtemp(prefix="fps_iterdef_")
+    spark.createDataFrame(rows[:5], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{d}/src")
+    spark.createDataFrame(rows[5:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{d}/src")
+    st = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/src")
+    )
+    out = streaming_match_recognize_sql(st, clause, delay="5 minutes")
+    mem = run_to_memory_table(out, output_mode="append")
+    got = {
+        (r["k"], r["peak"], r["bottom"], r["up_v"]) for r in mem.collect()
+    }
     assert got == want
