@@ -77,6 +77,53 @@ def shingle_hashes(text: Column | str, n: int = 3) -> Column:
     )
 
 
+def _minhash_udf(num_hashes: int, seed: int = 42):
+    """Arrow-batched signature kernel: for each row's shingle-hash array,
+    the per-member minimum of a pairwise-independent linear hash family
+    g_i(h) = h * A_i + B_i over Z_2^64 (odd A_i), computed as ``num_hashes``
+    vectorized multiply-adds + ``np.minimum.reduceat`` per Arrow batch.
+    Deterministic (fixed seed). Shingle-less rows get the all-zero
+    signature: such docs band-collide with each other only, and exact
+    Jaccard verification rejects them (empty-set Jaccard is 0)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    rng = np.random.RandomState(seed)
+    mul = rng.randint(1, 2**63, size=num_hashes, dtype=np.uint64) | np.uint64(1)
+    add = rng.randint(1, 2**63, size=num_hashes, dtype=np.uint64)
+
+    def mh(sh):  # pd.Series -> pd.Series (hints omitted: the module's
+        # postponed annotations can't resolve function-local ``pd``)
+        arrs = sh.to_numpy()
+        lens = np.fromiter(
+            (0 if a is None else len(a) for a in arrs),
+            dtype=np.int64,
+            count=len(arrs),
+        )
+        empty_sig = [0] * num_hashes
+        if lens.sum() == 0:
+            return pd.Series([empty_sig for _ in arrs])
+        cat = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in arrs if a is not None and len(a)]
+        ).astype(np.uint64)
+        offs = np.zeros(len(arrs) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        starts = offs[:-1][lens > 0]
+        mins = np.empty((int((lens > 0).sum()), num_hashes), dtype=np.uint64)
+        for i in range(num_hashes):
+            mins[:, i] = np.minimum.reduceat(cat * mul[i] + add[i], starts)
+        rows = mins.view(np.int64).tolist()
+        it = iter(rows)
+        return pd.Series(
+            [next(it) if ln else empty_sig for ln in lens]
+        )
+
+    return pandas_udf(mh, T.ArrayType(T.LongType()))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -89,37 +136,29 @@ def minhash_signatures(
     """MinHash signatures: one (id, array<bigint> of length num_hashes) row
     per input row.
 
-    Canonical scalable formulation: explode shingles (row-local), hash each
-    shingle string ONCE (xxhash64), then derive the hash family as cheap
-    fixed-width hashes xxhash64(base_hash, i) under a single groupBy with
-    partial (map-side) min aggregation — the shuffle moves only
-    num_hashes longs per document. The naive alternative (num_hashes
-    expression trees over the shingle array) re-hashes every shingle string
-    num_hashes times and defeats Catalyst CSE; it measured 60× slower.
+    Row-local formulation — ZERO shuffles: shingle hashes are computed
+    JVM-side (xxhash64 over token-array slices, expression-only), then one
+    Arrow-batched numpy kernel takes the ``num_hashes`` family minima per
+    document (see ``_minhash_udf``). Earlier formulations paid more at both
+    ends: num_hashes expression trees over the shingle array defeat
+    Catalyst CSE (60× slower), and explode + num_hashes min-aggregates
+    shuffle num_hashes longs/doc AND hand Catalyst a 64-aggregate tree
+    whose analysis alone costs ~1 s of driver time per query build. The
+    numpy kernel is a handful of vectorized ops per Arrow batch and keeps
+    the whole stage embarrassingly parallel — the ideal 100 TB shape.
 
     MinHash is duplicate-insensitive (min over a multiset == min over its
-    set), so no distinct pass is needed before aggregation.
+    set), so no distinct pass is needed before the reduction.
     """
     from flink_psl_spark.parallelism import ensure_parallelism
 
-    # heavy map stage (shingle explode + hash family): under-parallel scans
-    # serialize it — fan out on the id key the groupBy below reuses
+    # heavy map stage: under-parallel scans serialize it — fan out on the
+    # id key so downstream per-id operators can reuse the exchange
     df = ensure_parallelism(df, id_col)
-    ex = df.select(
+    mh = _minhash_udf(num_hashes)
+    return df.select(
         F.col(id_col),
-        F.explode_outer(shingle_hashes(text_col, shingle_n)).alias("__h"),
-    )
-    aggs = [
-        F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__m{i}")
-        for i in range(num_hashes)
-    ]
-    return (
-        ex.groupBy(id_col)
-        .agg(*aggs)
-        .select(
-            id_col,
-            F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias(out_col),
-        )
+        mh(shingle_hashes(text_col, shingle_n)).alias(out_col),
     )
 
 

@@ -68,13 +68,17 @@ def test_interval_join_single_join(spark, t):
 
 
 def test_minhash_signature_shuffle_payload(spark, t):
-    """minhash signatures: exactly one aggregation exchange (64 longs per
-    doc cross the wire), no join in the signature stage."""
+    """minhash signatures are row-local: no aggregation exchange at all
+    (the only permissible exchange is ensure_parallelism's scan fan-out),
+    no join, and the kernel is Arrow-batched — never row-at-a-time."""
     from flink_psl_spark.llm import minhash_signatures
 
     sig = minhash_signatures(t["documents"])
-    assert _exchanges(sig) == 1
-    assert "Join" not in _plan(sig)
+    p = _plan(sig)
+    # at most ensure_parallelism's scan fan-out; no aggregation at all
+    assert _exchanges(sig) <= 1
+    assert "HashAggregate" not in p and "Join" not in p
+    assert "ArrowEvalPython" in p and "BatchEvalPython" not in p
 
 
 def test_exact_dedup_single_shuffle(spark, t):
