@@ -77,6 +77,10 @@ class Operation:
     columns: list[dict] = field(default_factory=list)
     rows: list[list] = field(default_factory=list)
     is_query: bool = False
+    # async execution (reference: operations run in the OperationManager's
+    # executor; clients poll): the worker thread and its completion latch
+    thread: object = None
+    done: threading.Event = field(default_factory=threading.Event)
 
     def page(self, token: int, page_size: int) -> tuple[list[list], bool]:
         start = token * page_size
@@ -161,55 +165,83 @@ class SqlGatewayService:
 
     # -- statements --------------------------------------------------------
     def execute_statement(self, session_handle: str, statement: str) -> str:
+        """Submit a statement and return its operation handle IMMEDIATELY
+        (reference SqlGatewayServiceImpl.executeStatement — statements run
+        asynchronously; clients poll getOperationStatus / fetchResults).
+        The worker thread tags its Spark jobs with the operation handle as
+        the job group, so cancelOperation can interrupt a running query."""
         sess = self._session(session_handle)
         op = Operation(handle=str(uuid.uuid4()))
         sess.operations[op.handle] = op
         op.status = RUNNING
-        try:
-            stmt = statement.strip().rstrip(";")
-            m = _SET_RE.match(stmt)
-            if m:
-                self._set_conf(sess, m.group("key"), m.group("val"))
-                op.columns = [{"name": "result", "logicalType": {"type": "VARCHAR"}}]
-                op.rows = [["OK"]]
-            else:
-                m = _RESET_RE.match(stmt)
+
+        def work() -> None:
+            try:
+                # job-group tag is thread-local: every job this worker
+                # submits is cancellable via cancelJobGroup(op.handle)
+                self.spark.sparkContext.setJobGroup(
+                    op.handle, statement[:200], interruptOnCancel=True
+                )
+                stmt = statement.strip().rstrip(";")
+                m = _SET_RE.match(stmt)
                 if m:
-                    self._set_conf(sess, m.group("key"), None)
+                    self._set_conf(sess, m.group("key"), m.group("val"))
                     op.columns = [
                         {"name": "result", "logicalType": {"type": "VARCHAR"}}
                     ]
                     op.rows = [["OK"]]
                 else:
-                    from flink_psl_spark.temporal_sql import rewrite_flink_sql
-
-                    rewritten = rewrite_flink_sql(stmt)
-                    if isinstance(rewritten, list):
-                        for r in rewritten:
-                            df = self.spark.sql(r)
-                    else:
-                        df = self.spark.sql(rewritten)
-                    op.is_query = bool(df.schema.fields)
-                    op.columns = [
-                        {
-                            "name": f.name,
-                            "logicalType": {"type": f.dataType.simpleString().upper()},
-                        }
-                        for f in df.schema.fields
-                    ]
-                    if op.is_query:
-                        op.rows = [
-                            [_json_value(v) for v in row] for row in df.collect()
-                        ]
-                    else:
-                        op.rows = [["OK"]]
+                    m = _RESET_RE.match(stmt)
+                    if m:
+                        self._set_conf(sess, m.group("key"), None)
                         op.columns = [
                             {"name": "result", "logicalType": {"type": "VARCHAR"}}
                         ]
-            op.status = FINISHED
-        except Exception as e:  # surfaced via operation status, like the ref
-            op.status = ERROR
-            op.error = str(e)
+                        op.rows = [["OK"]]
+                    else:
+                        from flink_psl_spark.temporal_sql import rewrite_flink_sql
+
+                        rewritten = rewrite_flink_sql(stmt)
+                        if isinstance(rewritten, list):
+                            for r in rewritten:
+                                df = self.spark.sql(r)
+                        else:
+                            df = self.spark.sql(rewritten)
+                        op.is_query = bool(df.schema.fields)
+                        op.columns = [
+                            {
+                                "name": f.name,
+                                "logicalType": {
+                                    "type": f.dataType.simpleString().upper()
+                                },
+                            }
+                            for f in df.schema.fields
+                        ]
+                        if op.is_query:
+                            op.rows = [
+                                [_json_value(v) for v in row]
+                                for row in df.collect()
+                            ]
+                        else:
+                            op.rows = [["OK"]]
+                            op.columns = [
+                                {
+                                    "name": "result",
+                                    "logicalType": {"type": "VARCHAR"},
+                                }
+                            ]
+                if op.status == RUNNING:  # a cancel may have raced us
+                    op.status = FINISHED
+            except Exception as e:  # surfaced via operation status
+                if op.status != CANCELED:
+                    op.status = ERROR
+                    op.error = str(e)
+            finally:
+                op.done.set()
+
+        t = threading.Thread(target=work, name=f"gw-op-{op.handle[:8]}", daemon=True)
+        op.thread = t
+        t.start()
         return op.handle
 
     def _operation(self, session_handle: str, op_handle: str) -> Operation:
@@ -223,9 +255,16 @@ class SqlGatewayService:
         return self._operation(session_handle, op_handle).status
 
     def cancel_operation(self, session_handle: str, op_handle: str) -> None:
+        """Cancel a non-terminal operation: flip the status AND interrupt
+        the Spark jobs it submitted (reference OperationManager.cancel —
+        the running statement's cluster job is killed, not just marked)."""
         op = self._operation(session_handle, op_handle)
         if op.status not in (FINISHED, ERROR, CLOSED):
             op.status = CANCELED
+            try:
+                self.spark.sparkContext.cancelJobGroup(op.handle)
+            except Exception:  # no jobs submitted yet — status flip suffices
+                pass
 
     def close_operation(self, session_handle: str, op_handle: str) -> None:
         sess = self._session(session_handle)
@@ -238,10 +277,27 @@ class SqlGatewayService:
         token: int,
         page_size: int = DEFAULT_PAGE_SIZE,
     ) -> dict:
-        """FetchResultsResponseBody: {results, resultType, nextResultUri}."""
+        """FetchResultsResponseBody: {results, resultType, nextResultUri}.
+
+        A still-RUNNING operation returns resultType NOT_READY with a
+        nextResultUri pointing at the SAME token (the reference's
+        FetchResults retry contract); canceled/failed operations raise."""
         op = self._operation(session_handle, op_handle)
         if op.status == ERROR:
             raise RuntimeError(op.error or "operation failed")
+        if op.status == CANCELED:
+            raise RuntimeError("operation was canceled")
+        if op.status == RUNNING:
+            return {
+                "resultType": "NOT_READY",
+                "isQueryResult": False,
+                "resultKind": "SUCCESS",
+                "results": {"columns": [], "data": []},
+                "nextResultUri": (
+                    f"/v2/sessions/{session_handle}/operations/{op_handle}"
+                    f"/result/{token}"
+                ),
+            }
         rows, has_more = op.page(token, page_size)
         body = {
             "resultType": "EOS" if not rows and not has_more else "PAYLOAD",
@@ -411,10 +467,19 @@ class GatewayClient:
     def close_session(self, handle: str) -> None:
         self._call("DELETE", f"/sessions/{handle}")
 
-    def execute(self, handle: str, statement: str) -> str:
-        return self._call(
+    def execute(self, handle: str, statement: str, *, wait: bool = True) -> str:
+        """Submit a statement; by default poll until it reaches a terminal
+        status (statements execute asynchronously server-side). Pass
+        ``wait=False`` to get the handle while the operation still runs."""
+        op = self._call(
             "POST", f"/sessions/{handle}/statements", {"statement": statement}
         )["operationHandle"]
+        if wait:
+            import time as _time
+
+            while self.status(handle, op) in (PENDING, RUNNING):
+                _time.sleep(0.02)
+        return op
 
     def status(self, handle: str, op: str) -> str:
         return self._call("GET", f"/sessions/{handle}/operations/{op}/status")[
@@ -424,13 +489,19 @@ class GatewayClient:
     def fetch_all(self, handle: str, op: str, page_size: int | None = None) -> tuple[
         list[str], list[list]
     ]:
-        """Follow nextResultUri pages until EOS; return (col_names, rows)."""
+        """Follow nextResultUri pages until EOS; return (col_names, rows).
+        NOT_READY pages (operation still running) retry the same token."""
+        import time as _time
+
         token, cols, rows = 0, [], []
         while True:
             q = f"?maxRows={page_size}" if page_size else ""
             body = self._call(
                 "GET", f"/sessions/{handle}/operations/{op}/result/{token}{q}"
             )
+            if body.get("resultType") == "NOT_READY":
+                _time.sleep(0.02)
+                continue
             res = body.get("results", {})
             if not cols:
                 cols = [c["name"] for c in res.get("columns", [])]

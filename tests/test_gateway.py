@@ -138,3 +138,65 @@ def test_concurrent_sessions_and_statements(client):
     with cf.ThreadPoolExecutor(max_workers=6) as ex:
         got = sorted(tuple(r) for r in ex.map(one, range(12)))
     assert got == [(i, i + 1) for i in range(12)]
+
+
+def test_cancel_mid_query_interrupts_jobs(client, spark):
+    """Canceling a RUNNING operation flips it to CANCELED, interrupts its
+    Spark job group, and makes result fetches fail (reference
+    OperationManager.cancel kills the statement's job, not just the
+    bookkeeping entry)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def gw_slow_ident(s):
+        time.sleep(4)
+        return s
+
+    spark.udf.register("gw_slow_ident", gw_slow_ident)
+    spark.range(64, numPartitions=32).createOrReplaceTempView("gw_slow_src")
+    h = client.open_session()
+    op = client.execute(
+        h, "SELECT SUM(gw_slow_ident(id)) AS s FROM gw_slow_src", wait=False
+    )
+    assert client.status(h, op) == "RUNNING"
+    # a fetch against a running operation is NOT_READY with a same-token
+    # retry URI — the reference's FetchResults retry contract
+    body = client._call("GET", f"/sessions/{h}/operations/{op}/result/0")
+    assert body["resultType"] == "NOT_READY"
+    assert body["nextResultUri"].endswith("/result/0")
+    t0 = time.time()
+    client._call("POST", f"/sessions/{h}/operations/{op}/cancel")
+    assert client.status(h, op) == "CANCELED"
+    assert time.time() - t0 < 3  # canceled well before the 4s sleep ends
+    with pytest.raises(HTTPError) as ei:
+        client._call("GET", f"/sessions/{h}/operations/{op}/result/0")
+    assert ei.value.code == 500
+    client.close_session(h)
+
+
+def test_pagination_not_ready_then_pages(client, spark):
+    """fetch_all transparently rides NOT_READY (async execution) and then
+    follows nextResultUri over a >1-page result."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def gw_brief_ident(s):
+        time.sleep(0.5)
+        return s
+
+    spark.udf.register("gw_brief_ident", gw_brief_ident)
+    spark.range(7, numPartitions=1).createOrReplaceTempView("gw_brief_src")
+    h = client.open_session()
+    op = client.execute(
+        h,
+        "SELECT gw_brief_ident(id) AS i FROM gw_brief_src ORDER BY i",
+        wait=False,
+    )
+    cols, rows = client.fetch_all(h, op, page_size=2)  # 4 pages: 2+2+2+1
+    assert cols == ["i"] and [r[0] for r in rows] == list(range(7))
+    assert client.status(h, op) == "FINISHED"
+    client.close_session(h)
