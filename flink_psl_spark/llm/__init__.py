@@ -16,6 +16,7 @@ and all text feature extraction is expression-only (whole-stage codegen).
 """
 
 from flink_psl_spark.llm.dedup import (  # noqa: F401
+    boilerplate_removal,
     segment_dedup,
     exact_dedup,
     minhash_signatures,
@@ -35,6 +36,7 @@ from flink_psl_spark.llm.similarity import (  # noqa: F401
     embedding_dedup,
     hard_negatives,
     lsh_cosine_topk,
+    semantic_dedup,
 )
 from flink_psl_spark.llm.sampling import (  # noqa: F401
     deterministic_sample,
@@ -48,6 +50,8 @@ from flink_psl_spark.llm.text import (  # noqa: F401
     tokenize,
     token_count,
     quality_score,
+    linear_quality_classifier,
+    quality_band,
     language_id,
     fingerprint,
 )

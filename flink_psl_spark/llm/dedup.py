@@ -519,3 +519,81 @@ def segment_dedup(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def boilerplate_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    segment_tokens: int = 8,
+    max_docs: int = 2,
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal (the repeated-paragraph filter
+    of public web-corpus recipes, e.g. CCNet's per-shard paragraph-hash
+    filter): a segment whose text occurs in MORE THAN ``max_docs`` distinct
+    documents is boilerplate (headers, footers, navigation, license
+    blurbs) and is removed from EVERY document — unlike ``segment_dedup``,
+    no copy survives.
+
+    Scale shape — three keyed shuffles, no all-pairs, no driver state:
+
+    1. segment explode is row-local in the scan stage;
+    2. distinct (segment-md5, doc) pairs then a count per md5 — the
+       hash-aggregate reuses the distinct's partitioning, so exact
+       distinct-doc counts cost ONE exchange keyed by the 16-byte hash;
+    3. the frequency verdict joins back on the md5 key (equi-join, AQE
+       skew-safe: hot boilerplate hashes are exactly the skewed ones);
+    4. reassembly is one doc-keyed aggregate, as in ``segment_dedup``.
+
+    Returns (id, n_segments, n_removed, clean_text) for every input
+    document.
+    """
+    toks = tokenize(F.col(text_col))
+    seg = df.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(segment_tokens)
+            )
+        ).alias("_s"),
+        toks.alias("_toks"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("_s"), segment_tokens)
+    seg = seg.select(
+        F.col(id_col),
+        ((F.col("_s") - 1) / segment_tokens).cast("bigint").alias("seg_no"),
+        F.array_join(piece, " ").alias("seg"),
+    ).where(F.size(piece) > 0)
+    seg = seg.withColumn("_h", F.md5("seg"))
+    freq = (
+        seg.select("_h", id_col)
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count("*").alias("_ndocs"))
+    )
+    tagged = seg.join(freq, on="_h").withColumn(
+        "_keep", F.col("_ndocs") <= max_docs
+    )
+    kept_struct = F.when(F.col("_keep"), F.struct("seg_no", "seg"))
+    rebuilt = tagged.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_segments"),
+        F.sum((~F.col("_keep")).cast("long")).cast("bigint").alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda x: x["seg"]
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        df.select(id_col)
+        .distinct()
+        .join(rebuilt, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_segments", F.lit(0)).cast("bigint").alias("n_segments"),
+            F.coalesce("n_removed", F.lit(0)).cast("bigint").alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -413,3 +413,72 @@ def hard_negatives(
     ).select(
         "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Semantic (embedding-space) dedup, SemDeDup-style: cluster the
+    corpus, then remove near-duplicates WITHIN each cluster only —
+    clustering bounds the pair space, which is the whole point at scale
+    (cross-cluster near-dups are accepted misses, as in the published
+    recipe).
+
+    Deterministic seeding keeps the operator engine-replayable: centroids
+    are the ``n_clusters`` lowest-id vectors (swap in k-means centroids
+    for tighter cells without changing the plan); each vector routes to
+    its max-cosine centroid (broadcast centroids, map-side expression
+    cosine, ties to the lower centroid id). Within a cluster, a vector is
+    dropped when a lower-id cluster-mate has cosine >= threshold.
+
+    Scale shape: centroid broadcast is n_clusters x dim doubles
+    (an index parameter); assignment is scan-stage-only; the self-join is
+    an equi-join on cluster id, so pairs are bounded per cluster and the
+    shuffle key is the cluster id. Returns survivors
+    (id, cluster_id) plus every other corpus column untouched.
+    """
+    from pyspark.sql import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("__id"),
+        _col(vec_col).cast("array<double>").alias("__v"),
+    )
+    cents = (
+        c.orderBy("__id")
+        .limit(n_clusters)
+        .select(F.col("__id").alias("__cid"), F.col("__v").alias("__cv"))
+    )
+    scored = c.join(F.broadcast(cents)).select(
+        "__id", "__v", "__cid", cosine("__v", "__cv").alias("__sim")
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.desc("__sim"), F.asc("__cid")
+    )
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("__id", "__v", F.col("__cid").alias("cluster_id"))
+    )
+    pairs = (
+        assigned.alias("l")
+        .join(
+            assigned.alias("r"),
+            (F.col("l.cluster_id") == F.col("r.cluster_id"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .where(cosine(F.col("l.__v"), F.col("r.__v")) >= threshold)
+        .select(F.col("r.__id").alias("__dup"))
+        .distinct()
+    )
+    survivors = assigned.join(
+        pairs, assigned["__id"] == pairs["__dup"], "left_anti"
+    )
+    return corpus.join(
+        survivors.select(F.col("__id").alias(id_col), "cluster_id"),
+        on=id_col,
+    )

@@ -100,6 +100,50 @@ def quality_score(text: Column | str) -> Column:
     return score.cast("double")
 
 
+#: fixed feature weights for the linear quality classifier — the shape of
+#: public fastText-style quality filters (a linear model over cheap text
+#: features), with hand-set weights so the scorer is fully deterministic
+#: and engine-portable. Swap in trained weights for production.
+QUALITY_WEIGHTS = {
+    "stopword_ratio": 2.0,
+    "punct_ratio": -1.5,
+    "mean_word_length": 0.15,
+    "log_tokens": 0.25,
+    "bias": -1.0,
+}
+
+
+def linear_quality_classifier(text: Column | str) -> Column:
+    """Linear quality score (unbounded margin, higher = better): the
+    fastText-classifier shape of public corpus quality filters as a fixed
+    dot product over cheap expression-only features. No sigmoid — the raw
+    margin keeps the arithmetic a short fixed-order chain of IEEE double
+    ops, so the score is bit-identical across engines; round(…, 6) on both
+    sides makes the comparison robust. Thresholds on the margin define the
+    keep/drop bands (see ``quality_band``).
+    """
+    w = QUALITY_WEIGHTS
+    toks = token_count(text).cast("double")
+    margin = (
+        F.lit(w["bias"])
+        + F.lit(w["stopword_ratio"]) * stopword_ratio(text)
+        + F.lit(w["punct_ratio"]) * punct_ratio(text)
+        + F.lit(w["mean_word_length"]) * mean_word_length(text)
+        + F.lit(w["log_tokens"]) * F.log(toks + F.lit(1.0))
+    )
+    return F.round(margin, 6)
+
+
+def quality_band(score: Column) -> Column:
+    """Margin → band label ('high' / 'medium' / 'low'), the bucketed form
+    downstream sampling weights key on."""
+    return (
+        F.when(score >= 0.5, F.lit("high"))
+        .when(score >= 0.0, F.lit("medium"))
+        .otherwise(F.lit("low"))
+    )
+
+
 # tiny per-language stopword profiles for the n-gram/stopword heuristic
 _LANG_PROFILES = {
     "en": EN_STOPWORDS,

@@ -1343,3 +1343,185 @@ def llm_hard_negatives(spark, sf_dir):
     return hard_negatives(
         emb, emb.where(F.col("vec_id") < 10), k=5
     )
+
+
+_SW_LIST = (
+    "['the','a','an','and','or','of','to','in','is','are','was','were',"
+    "'be','been','it','this','that','for','on','with','as','at','by',"
+    "'from','not','no']"
+)
+
+
+@query(
+    "llm_boilerplate_removal",
+    # the corpus-frequency verdict replayed in SQL: 8-token segments,
+    # distinct-doc count per segment text, remove every copy of segments
+    # in > 2 docs, reassemble by position
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    seg0 AS (
+      SELECT doc_id, w,
+             UNNEST(GENERATE_SERIES(1, GREATEST(LEN(w), 1), 8)) AS s
+      FROM d),
+    seg AS (
+      SELECT doc_id, CAST((s - 1) // 8 AS BIGINT) AS seg_no,
+             ARRAY_TO_STRING(w[s:s + 7], ' ') AS seg
+      FROM seg0 WHERE LEN(w[s:s + 7]) > 0),
+    freq AS (
+      SELECT seg, COUNT(DISTINCT doc_id) AS ndocs FROM seg GROUP BY seg),
+    tagged AS (
+      SELECT seg.doc_id, seg.seg_no, seg.seg, freq.ndocs <= 2 AS keep
+      FROM seg JOIN freq USING (seg)),
+    reb AS (
+      SELECT doc_id, COUNT(*) AS n_segments,
+             SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS n_removed,
+             COALESCE(STRING_AGG(CASE WHEN keep THEN seg END, ' '
+                                 ORDER BY seg_no), '') AS clean_text
+      FROM tagged GROUP BY doc_id)
+    SELECT d0.doc_id,
+           CAST(COALESCE(reb.n_segments, 0) AS BIGINT) AS n_segments,
+           CAST(COALESCE(reb.n_removed, 0) AS BIGINT) AS n_removed,
+           COALESCE(reb.clean_text, '') AS clean_text
+    FROM (SELECT DISTINCT doc_id FROM documents) d0
+    LEFT JOIN reb USING (doc_id)
+    """,
+)
+def llm_boilerplate_removal(spark, sf_dir):
+    """Corpus-frequency boilerplate removal (public web-corpus recipe:
+    drop repeated paragraphs/headers corpus-wide): segments occurring in
+    more than 2 distinct documents are removed from EVERY document, docs
+    reassembled from the survivors."""
+    from flink_psl_spark.llm import boilerplate_removal
+
+    t = tables(spark, sf_dir)
+    return boilerplate_removal(t["documents"], segment_tokens=8, max_docs=2)
+
+
+@query(
+    "llm_quality_classifier",
+    # the exact feature chain + fixed-weight dot product, same operation
+    # order (left-assoc additions over IEEE doubles), rounded identically
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, source,
+             LEN({_TOKS}) AS n,
+             CASE WHEN LEN({_TOKS}) > 0 THEN
+               LEN(LIST_FILTER(
+                     CASE WHEN TRIM(LOWER(text)) = '' THEN []::VARCHAR[]
+                          ELSE STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')
+                     END,
+                     x -> LIST_CONTAINS({_SW_LIST}, x)))
+                 / LEN({_TOKS}) ELSE 0.0 END AS sw,
+             CASE WHEN LEN(text) > 0 THEN
+               LEN(REGEXP_REPLACE(text, '[^.,;:!?''"()\\[\\]-]', '', 'g'))
+                 / LEN(text) ELSE 0.0 END AS pr,
+             CASE WHEN LEN({_TOKS}) > 0 THEN
+               LIST_SUM(LIST_TRANSFORM({_TOKS}, x -> LEN(x)))
+                 / LEN({_TOKS}) ELSE 0.0 END AS mwl
+      FROM documents),
+    sc AS (
+      SELECT doc_id, source,
+             ROUND(-1.0 + 2.0 * sw + -1.5 * pr + 0.15 * mwl
+                   + 0.25 * LN(CAST(n AS DOUBLE) + 1.0), 6) AS score
+      FROM f)
+    SELECT doc_id, source, score,
+           CASE WHEN score >= 0.5 THEN 'high'
+                WHEN score >= 0.0 THEN 'medium'
+                ELSE 'low' END AS band
+    FROM sc
+    """,
+)
+def llm_quality_classifier(spark, sf_dir):
+    """Linear quality classifier (fastText-filter shape, fixed public
+    weights): margin over cheap expression features + keep/drop band —
+    scan-speed, fully deterministic across engines."""
+    from flink_psl_spark.llm.text import linear_quality_classifier, quality_band
+
+    t = tables(spark, sf_dir)
+    score = linear_quality_classifier(F.col("text"))
+    return t["documents"].select(
+        "doc_id",
+        "source",
+        score.alias("score"),
+        quality_band(score).alias("band"),
+    )
+
+
+@query(
+    "llm_common_ngrams_per_source",
+    # deterministic top-5 trigram per source (count desc, gram asc)
+    oracle=f"""
+    WITH d AS (SELECT source, {_TOKS} AS w FROM documents),
+    g AS (
+      SELECT source,
+             ARRAY_TO_STRING(w[i:i+2], ' ') AS gram
+      FROM (SELECT source, w, UNNEST(GENERATE_SERIES(1, LEN(w) - 2)) AS i
+            FROM d WHERE LEN(w) >= 3)),
+    c AS (SELECT source, gram, COUNT(*) AS n FROM g GROUP BY source, gram),
+    r AS (SELECT source, gram, n,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY n DESC, gram) AS rank
+          FROM c)
+    SELECT source, gram, CAST(n AS BIGINT) AS n, CAST(rank AS INTEGER) AS rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def llm_common_ngrams_per_source(spark, sf_dir):
+    """Corpus analytics for curation reports: the 5 most frequent word
+    trigrams per source (rank-then-filter compiles to WindowGroupLimit —
+    only 5 rows per source survive the exchange)."""
+    from pyspark.sql import Window
+
+    from flink_psl_spark.llm.text import ngrams
+
+    t = tables(spark, sf_dir)
+    g = t["documents"].select(
+        "source", F.explode(ngrams(F.col("text"), 3)).alias("gram")
+    )
+    counts = g.groupBy("source", "gram").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), "gram")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("source", "gram", "n", "rank")
+    )
+
+
+@query(
+    "llm_semantic_dedup",
+    # exact replica: lowest-16-id centroids, max-cosine routing (ties to
+    # lower centroid id), within-cluster cosine >= 0.2 drop-greater-id
+    oracle="""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cid, v AS cv FROM c ORDER BY vec_id LIMIT 16),
+    routed AS (
+      SELECT vec_id, v, cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id
+               ORDER BY LIST_COSINE_SIMILARITY(v, cv) DESC, cid) AS rn
+      FROM c CROSS JOIN cents),
+    assigned AS (
+      SELECT vec_id, v, cid AS cluster_id FROM routed WHERE rn = 1),
+    dropped AS (
+      SELECT DISTINCT r.vec_id
+      FROM assigned l JOIN assigned r
+        ON l.cluster_id = r.cluster_id AND l.vec_id < r.vec_id
+      WHERE LIST_COSINE_SIMILARITY(l.v, r.v) >= 0.2)
+    SELECT e.vec_id, e.label, a.cluster_id
+    FROM embeddings e JOIN assigned a USING (vec_id)
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+)
+def llm_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup: deterministic-centroid clustering
+    bounds the pair space; near-dups (cosine >= 0.2, the fixture's
+    separation threshold) are removed within clusters, keep-lowest-id."""
+    from flink_psl_spark.llm import semantic_dedup
+
+    t = tables(spark, sf_dir)
+    return semantic_dedup(
+        t["embeddings"].select("vec_id", "embedding", "label"),
+        n_clusters=16,
+        threshold=0.2,
+    ).select("vec_id", "label", "cluster_id")

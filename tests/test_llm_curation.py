@@ -380,3 +380,54 @@ def test_token_budget_mix_semantics(spark):
     by2 = {r["source"]: r["n"] for r in
            out2.groupBy("source").agg(F.count("*").alias("n")).collect()}
     assert by2["b"] == 1  # first doc crosses a 3-token budget, included
+
+
+def test_boilerplate_removal_known_values(spark):
+    """Segments in > max_docs distinct docs vanish from EVERY doc (no
+    keep-first survivor); within-doc repeats of a rare segment survive."""
+    from flink_psl_spark.llm import boilerplate_removal
+
+    boiler = "x " * 3 + "x"  # 4 tokens -> one 4-token segment
+    rows = [
+        (1, boiler),                       # boilerplate only
+        (2, boiler + " unique two alpha"), # boilerplate + own tail
+        (3, boiler + " other tail beta"),
+        (4, "rare seg one two " + "rare seg one two"),  # repeats, 1 doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_removal(
+            df, segment_tokens=4, max_docs=2
+        ).collect()
+    }
+    # 'x x x x' occurs in docs 1,2,3 (> 2) -> removed everywhere
+    assert out[1]["n_removed"] == 1 and out[1]["clean_text"] == ""
+    assert out[2]["n_removed"] == 1 and out[2]["clean_text"] == "unique two alpha"
+    assert out[3]["n_removed"] == 1 and out[3]["clean_text"] == "other tail beta"
+    # doc 4's segment repeats only within ONE doc -> distinct-doc count 1
+    assert out[4]["n_removed"] == 0 and out[4]["n_segments"] == 2
+
+
+def test_linear_quality_classifier_monotone_features(spark):
+    """More stopwords raise the margin, punctuation noise lowers it, and
+    the band thresholds split at 0.0 / 0.5."""
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.llm import linear_quality_classifier, quality_band
+
+    rows = [
+        (1, "the cat sat on the mat and it was a good day in the sun"),
+        (2, ",,,, !!!! ;;;; (((( )))) ???? ,,,, !!!!"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["s"], r["b"])
+        for r in df.select(
+            "doc_id",
+            linear_quality_classifier(F.col("text")).alias("s"),
+            quality_band(linear_quality_classifier(F.col("text"))).alias("b"),
+        ).collect()
+    }
+    assert got[1][0] > got[2][0]
+    assert got[1][1] in ("high", "medium") and got[2][1] == "low"
