@@ -1,13 +1,16 @@
 """Large-scale training-data pipeline operators (SURVEY §7 M5).
 
 Beyond the reference's own surface: deduplication (exact, MinHash-LSH,
-SimHash, n-gram Jaccard, segment-level with reassembly), similarity search
-over embeddings (brute-force cosine top-k, IVF, LSH-bucketed ANN,
-hard-negative mining), text analysis (language ID, quality scoring, token
-counting, fingerprinting, bigram-LM fluency, BPE pair statistics, PII
-scrubbing, benchmark decontamination), curation (Gopher repetition
-filters, chunking, sequence packing), sampling/mixing (deterministic,
-stratified, temperature-scaled, token-budget-capped, training-order
+SimHash, n-gram Jaccard, segment-level with reassembly, corpus-frequency
+boilerplate removal, SemDeDup-style semantic dedup over embeddings),
+similarity search over embeddings (brute-force cosine top-k, IVF,
+LSH-bucketed ANN, hard-negative mining), text analysis (language ID,
+quality scoring, a fixed-weight linear quality classifier, token
+counting, fingerprinting, bigram-LM fluency, BPE pair statistics,
+per-source n-gram analytics, PII scrubbing, benchmark decontamination),
+curation (Gopher repetition filters, chunking, sequence packing),
+sampling/mixing (deterministic, stratified, temperature-scaled,
+token-budget-capped via two-pass distributed prefix sum, training-order
 shuffle), and multimodal column plumbing.
 
 Everything is built for 100 TB: banded LSH turns the O(n²) pair space into

@@ -77,7 +77,10 @@ _PRIORITY_WINDOW = [
 ]
 # ROUND-5 ROTATION (precomputed — apply next round): the never-checked
 # remainder fits in one window, reaching 100% driver coverage of the
-# registry.  27 queries as of round-4 start:
+# registry.  32 queries as of round-4 end: the round-4 additions
+# llm_boilerplate_removal, llm_quality_classifier,
+# llm_common_ngrams_per_source, llm_semantic_dedup, plus the 28 carried
+# from round-4 start:
 #   stream_session_agg, stream_cumulate_agg, hash_code_fn, window_dedup,
 #   tumble_window_offset_agg, llm_ngram_jaccard_pairs,
 #   llm_bpe_token_count, llm_quality_score, llm_text_stats,

@@ -289,3 +289,64 @@ def test_segment_dedup_matches_python_model(spark, texts):
                 seen.add(seg)
                 kept.append(seg)
         assert got[i] == (len(segs), len(kept), " ".join(kept)), (i, texts)
+
+
+def _brute_dips(vals: list[float]):
+    """Scan-replay of PATTERN (DOWN{2,} UP) with iterative DEFINEs
+    (DOWN strictly below its previous row, UP above DOWN's first row),
+    SKIP PAST LAST ROW — the reference model for the iterative-condition
+    NFA path."""
+    out, i, n = [], 0, len(vals)
+    while i < n:
+        j = i + 1
+        while j < n and vals[j] < vals[j - 1]:
+            j += 1
+        # DOWN block = vals[i..j-1] (>= 2 rows), UP = vals[j] > vals[i]
+        if j - i >= 2 and j < n and vals[j] > vals[i]:
+            out.append((i, j - i, vals[i], vals[j - 1], vals[j]))
+            i = j + 1
+        else:
+            i += 1
+    return out
+
+
+@given(st.lists(st.integers(0, 6), min_size=1, max_size=14))
+@settings(**_SETTINGS)
+def test_iterative_conditions_match_brute_force(spark, raw):
+    """Engine NFA with cross-variable/self-history DEFINEs agrees with a
+    sequential scan replay on arbitrary integer-valued sequences
+    (plateaus, repeats, and single-row descents included)."""
+    from flink_psl_spark.cep import Measure, Step, match_recognize
+
+    vals = [float(v) for v in raw]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)],
+        "k string, i long, v double",
+    )
+    down = Step.at_least("DOWN", "true", 2).where_history(
+        lambda get, first, last: last("DOWN", "v", 1) is None
+        or get("v") < last("DOWN", "v", 1),
+        ["v"],
+    )
+    up = Step.once("UP", "true").where_history(
+        lambda get, first, last: (
+            first("DOWN", "v") is not None and get("v") > first("DOWN", "v")
+        ),
+        ["v"],
+    )
+    out = match_recognize(
+        df, "k", "i",
+        [down, up],
+        [
+            Measure("fi", "DOWN", "first", "i"),
+            Measure("nd", "DOWN", "count"),
+            Measure("peak", "DOWN", "first", "v"),
+            Measure("bottom", "DOWN", "last", "v"),
+            Measure("upv", "UP", "first", "v"),
+        ],
+    )
+    got = sorted(
+        (r["fi"], r["nd"], r["peak"], r["bottom"], r["upv"])
+        for r in out.collect()
+    )
+    assert got == sorted(_brute_dips(vals))
