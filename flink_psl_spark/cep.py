@@ -81,10 +81,14 @@ class Step:
     until_pred: str | None = None
     # iterative condition (reference IterativeCondition.java:61 — a DEFINE
     # predicate that sees the partial match's history): a Python callable
-    # ``fn(get, first, last) -> bool`` evaluated per candidate row, where
+    # ``fn(get, first, last)`` — or ``fn(get, first, last, agg)`` — that
+    # is evaluated per candidate row, where
     #   get(col)            — the candidate row's value,
     #   first(var, col, k)  — the (k+1)-th row bound to ``var`` so far,
-    #   last(var, col, k)   — the (k+1)-th-from-last row bound to ``var``;
+    #   last(var, col, k)   — the (k+1)-th-from-last row bound to ``var``,
+    #   agg(fn, var, col)   — running 'sum'/'avg'/'min'/'max'/'count' over
+    #                         the rows bound to ``var`` so far (reference
+    #                         MatchCodeGenerator's aggregates in DEFINE);
     # for the step's OWN variable the candidate row counts as its running
     # last row (SQL-standard running semantics: LAST(B.price) inside
     # DEFINE B is the current row, LAST(B.price, 1) the previous one).
@@ -669,7 +673,33 @@ def _iter_matches_at(
                 return None
             return vals[col][r[-1 - k]]
 
+        def agg(fn_name, var, col=None):
+            """Running aggregate over the variable's rows so far
+            (reference MatchCodeGenerator: SUM/AVG/MIN/MAX/COUNT in
+            DEFINE see the partial match). COUNT of no rows is 0; other
+            aggregates of no rows are None (SQL semantics)."""
+            r = rows_of(var)
+            if fn_name == "count":
+                return len(r)
+            if not r:
+                return None
+            xs = vals[col][r]
+            if fn_name == "sum":
+                return xs.sum()
+            if fn_name == "avg":
+                return xs.sum() / len(r)
+            if fn_name == "min":
+                return xs.min()
+            if fn_name == "max":
+                return xs.max()
+            raise ValueError(f"unknown DEFINE aggregate {fn_name!r}")
+
         try:
+            # 3-arg callables predate the agg accessor; keep them working
+            if getattr(fn, "__code__", None) is not None and (
+                fn.__code__.co_argcount >= 4
+            ):
+                return bool(fn(get, first, last, agg))
             return bool(fn(get, first, last))
         except TypeError:  # comparison with None: SQL unknown -> false
             return False

@@ -29,12 +29,15 @@ GroupPattern). DEFINE conditions are Spark SQL boolean
 expressions over the input columns; ``V.col`` self-references are
 rewritten to ``col``. Pattern-variable HISTORY references are supported
 (reference IterativeCondition.java:61): ``FIRST(X.col[, offset])`` /
-``LAST(X.col[, offset])`` over any pattern variable, and bare ``X.col``
-for another variable (≡ its running LAST) — e.g. the canonical V-shape
-``DEFINE DOWN AS DOWN.price < LAST(DOWN.price, 1)``. Conjuncts with
-history references compile to per-row iterative conditions (a documented
-SQL subset: comparisons, arithmetic, AND/OR/NOT, IS [NOT] NULL, ABS,
-literals); row-local conjuncts stay vectorized JVM-side. For the step's
+``LAST(X.col[, offset])`` over any pattern variable, running aggregates
+``SUM/AVG/MIN/MAX(X.col)`` / ``COUNT(X.*)`` (reference
+MatchCodeGenerator — aggregates in DEFINE see the partial match), and
+bare ``X.col`` for another variable (≡ its running LAST) — e.g. the
+canonical V-shape ``DEFINE DOWN AS DOWN.price < LAST(DOWN.price, 1)``.
+Conjuncts with history references compile to per-row iterative
+conditions (a documented SQL subset: comparisons, arithmetic, AND/OR/
+NOT, IS [NOT] NULL, ABS, literals); row-local conjuncts stay vectorized
+JVM-side. For the step's
 own variable the candidate row is its running LAST row (offset 0), so
 ``LAST(V.col, 1)`` is the previous row bound to V. Undefined variables
 default to TRUE.
@@ -281,6 +284,14 @@ _FIRST_LAST_RE = re.compile(
     re.IGNORECASE,
 )
 
+# running aggregates in DEFINE (reference MatchCodeGenerator: SUM/AVG/
+# MIN/MAX/COUNT over a pattern variable see the partial match)
+_DEFINE_AGG_RE = re.compile(
+    r"\b(SUM|AVG|MIN|MAX|COUNT)\s*\(\s*([A-Za-z_][A-Za-z_0-9]*)\."
+    r"([A-Za-z_0-9*]+)\s*\)",
+    re.IGNORECASE,
+)
+
 
 def _split_top_level_and(text: str) -> list[str]:
     """Split on the word AND outside parentheses/quotes."""
@@ -327,8 +338,12 @@ def _split_top_level_and(text: str) -> list[str]:
 
 def _has_history_refs(cond: str, var: str, vars_upper: set[str]) -> bool:
     """Does this DEFINE conjunct reference pattern-variable history —
-    FIRST/LAST over a pattern variable, or another variable's columns?"""
+    FIRST/LAST or a running aggregate over a pattern variable, or another
+    variable's columns?"""
     for m in _FIRST_LAST_RE.finditer(cond):
+        if m.group(2).upper() in vars_upper:
+            return True
+    for m in _DEFINE_AGG_RE.finditer(cond):
         if m.group(2).upper() in vars_upper:
             return True
     for v in vars_upper:
@@ -379,6 +394,24 @@ def _sql_cond_to_python(
 
     s = _FIRST_LAST_RE.sub(repl_fl, s)
 
+    # running aggregates SUM/AVG/MIN/MAX(X.col), COUNT(X.*) / COUNT(X.col)
+    # (COUNT counts bound ROWS — the reference's COUNT(V.*) semantics)
+    def repl_agg(m: re.Match) -> str:
+        fn, v, col = m.groups()
+        if v.upper() not in vars_upper:
+            raise ValueError(
+                f"{fn.upper()}({v}.{col}) in DEFINE {var}: {v!r} is not a "
+                "pattern variable"
+            )
+        if fn.upper() == "COUNT":
+            return stash(f"agg('count', {v.upper()!r})")
+        if col == "*":
+            raise ValueError(f"{fn.upper()}({v}.*) is not a valid aggregate")
+        used.add(col)
+        return stash(f"agg({fn.lower()!r}, {v.upper()!r}, {col!r})")
+
+    s = _DEFINE_AGG_RE.sub(repl_agg, s)
+
     # X.col references (self -> current row, other -> running LAST)
     def repl_ref(m: re.Match) -> str:
         v, col = m.groups()
@@ -428,19 +461,6 @@ def _sql_cond_to_python(
     return s, used
 
 
-def _compile_iter_define(
-    cond: str, var: str, vars_upper: set[str], columns: list[str]
-):
-    """Compile a history-referencing DEFINE conjunct into an iterative
-    condition callable ``fn(get, first, last) -> bool``."""
-    pysrc, used = _sql_cond_to_python(cond, var, vars_upper, columns)
-    fn = eval(  # noqa: S307 — restricted builtins, parser-validated source
-        compile(f"lambda get, first, last: ({pysrc})", "<define-iter>", "eval"),
-        {"__builtins__": {"abs": abs}},
-    )
-    return fn, used
-
-
 def _parse_defines(
     text: str, pattern_vars: list[str], columns: list[str] | None = None
 ) -> tuple[dict[str, str], dict]:
@@ -485,7 +505,8 @@ def _parse_defines(
                 used_all |= used
             fn = eval(  # noqa: S307 — restricted builtins, parsed source
                 compile(
-                    f"lambda get, first, last: ({' and '.join(pysrcs)})",
+                    "lambda get, first, last, agg: "
+                    f"({' and '.join(pysrcs)})",
                     "<define-iter>",
                     "eval",
                 ),

@@ -1012,3 +1012,84 @@ def cep_followed_by_nearest(spark, sf_dir):
         within="30 minutes",
         time_col="ts",
     ).select("user_id", "click_id", "purchase_id")
+
+
+@query(
+    "match_recognize_sql_budget_runs",
+    # Exact scan replica of PATTERN (S{2,}) / DEFINE S AS SUM(S.cents) <=
+    # 10000: cents are positive, so the per-user prefix sum is monotone and
+    # the greedy block from pos is exactly the rows whose cumulative sum
+    # stays within cap of the pre-block prefix. The recursive CTE replays
+    # the SKIP PAST LAST ROW scan (jump past a >= 2-row block, else +1).
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    ps AS (
+      SELECT *, SUM(cents) OVER (PARTITION BY user_id ORDER BY rn) AS c
+      FROM ordered),
+    ext AS (
+      -- e = last rn of the greedy block opened at pos (NULL if even the
+      -- first row busts the cap)
+      SELECT p.user_id, p.rn AS pos,
+             (SELECT MAX(q.rn) FROM ps q
+              WHERE q.user_id = p.user_id AND q.rn >= p.rn
+                AND q.c - (p.c - p.cents) <= 10000) AS e
+      FROM ps p),
+    scan AS (
+      SELECT user_id, 1 AS pos FROM (SELECT DISTINCT user_id FROM events)
+      UNION ALL
+      SELECT s.user_id,
+             CAST(CASE WHEN x.e IS NOT NULL AND x.e >= s.pos + 1
+                       THEN x.e + 1 ELSE s.pos + 1 END AS BIGINT)
+      FROM scan s JOIN ext x ON x.user_id = s.user_id AND x.pos = s.pos),
+    hits AS (
+      SELECT s.user_id, s.pos, x.e
+      FROM scan s JOIN ext x ON x.user_id = s.user_id AND x.pos = s.pos
+      WHERE x.e IS NOT NULL AND x.e >= s.pos + 1)
+    SELECT h.user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY h.user_id ORDER BY h.pos) - 1
+                AS BIGINT) AS match_seq,
+           f.event_id AS first_event_id,
+           CAST(h.e - h.pos + 1 AS BIGINT) AS n_rows,
+           CAST(l.c - (f.c - f.cents) AS BIGINT) AS total_cents
+    FROM hits h
+    JOIN ps f ON f.user_id = h.user_id AND f.rn = h.pos
+    JOIN ps l ON l.user_id = h.user_id AND l.rn = h.e
+    """,
+)
+def match_recognize_sql_budget_runs(spark, sf_dir):
+    """Running aggregates in DEFINE (reference MatchCodeGenerator —
+    SUM over the partial match): maximal spending runs of >= 2 events
+    whose running cents total stays within a 10000-cent budget. Integer
+    cents keep the running sum exact on both engines."""
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.match_recognize_sql import match_recognize_sql
+
+    t = tables(spark, sf_dir)
+    ev = t["events"].withColumn(
+        "cents", F.round(F.col("value") * 100).cast("bigint")
+    )
+    out = match_recognize_sql(
+        ev,
+        """
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES
+                FIRST(S.event_id) AS first_event_id,
+                COUNT(S.*) AS n_rows,
+                SUM(S.cents) AS total_cents
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (S{2,})
+            DEFINE S AS SUM(S.cents) <= 10000
+        )
+        """,
+    )
+    return out.select(
+        "user_id", "match_seq", "first_event_id", "n_rows", "total_cents"
+    )

@@ -1081,3 +1081,34 @@ def test_iterative_define_streaming_batch_parity(spark):
         (r["k"], r["peak"], r["bottom"], r["up_v"]) for r in mem.collect()
     }
     assert got == want
+
+
+def test_define_running_aggregates(spark):
+    """SUM/AVG/COUNT in DEFINE see the partial match including the
+    candidate row (reference MatchCodeGenerator aggregates-in-DEFINE)."""
+    from flink_psl_spark.match_recognize_sql import match_recognize_sql
+
+    rows = [("k", i, v) for i, v in enumerate([4.0, 4.0, 4.0, 10.0, 1.0])]
+    df = spark.createDataFrame(rows, "k string, seq int, v double")
+    # budget run: block extends while running sum <= 12 -> binds 4,4,4
+    out = match_recognize_sql(df, """
+        MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY seq
+          MEASURES COUNT(S.*) AS n, SUM(S.v) AS tot
+          PATTERN (S{2,})
+          DEFINE S AS SUM(S.v) <= 12)""")
+    got = sorted((r["n"], r["tot"]) for r in out.collect())
+    # first run: 4+4+4=12 ok, +10 busts; resume at 10: 10+1=11 ok (2 rows)
+    assert got == [(2, 11.0), (3, 12.0)]
+
+    # AVG + COUNT combined: extend while running avg < 5 and <= 3 rows
+    out2 = match_recognize_sql(df, """
+        MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY seq
+          MEASURES COUNT(S.*) AS n, AVG(S.v) AS mean_v
+          PATTERN (S{2,})
+          DEFINE S AS AVG(S.v) < 5.0 AND COUNT(S.*) <= 3)""")
+    got2 = sorted((r["n"], r["mean_v"]) for r in out2.collect())
+    # 4,4,4 (avg 4) stops at count cap; 10 opens (avg 10 >= 5, refused as
+    # first row -> no >= 2-row block from 10); 1 alone can't reach 2 rows
+    assert got2 == [(3, 4.0)]
