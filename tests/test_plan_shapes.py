@@ -312,3 +312,32 @@ def test_token_budget_mix_bucketed_prefix_sum(spark, t):
     assert "SinglePartition" not in p, p
     # offsets side is broadcast, not shuffled back at scale
     assert "BroadcastExchange" in p, p
+
+
+def test_round4_curation_ops_plan_shapes(spark, sf_dir, t):
+    """Scale-shape guards for the round-4 curation operators."""
+    from flink_psl_spark.queries import QUERIES
+
+    # boilerplate removal: keyed shuffles only — no cartesian, no
+    # single-partition stage, no row-at-a-time Python
+    p = _plan(QUERIES["llm_boilerplate_removal"](spark, sf_dir))
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+    assert "SinglePartition" not in p
+
+    # quality classifier: pure expression pipeline — zero exchanges, no
+    # Python at all
+    qc = QUERIES["llm_quality_classifier"](spark, sf_dir)
+    p = _plan(qc)
+    assert _exchanges(qc) == 0
+    assert "EvalPython" not in p
+
+    # common n-grams: rank-then-filter must compile to WindowGroupLimit
+    p = _plan(QUERIES["llm_common_ngrams_per_source"](spark, sf_dir))
+    assert "WindowGroupLimit" in p and "CartesianProduct" not in p
+
+    # semantic dedup: centroids broadcast; the pair join is an equi-join
+    # keyed by cluster (SortMergeJoin or ShuffledHashJoin), never a
+    # cartesian product
+    p = _plan(QUERIES["llm_semantic_dedup"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
