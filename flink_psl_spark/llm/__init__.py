@@ -8,7 +8,8 @@ LSH-bucketed ANN, hard-negative mining), text analysis (language ID,
 quality scoring, a fixed-weight linear quality classifier, token
 counting, fingerprinting, bigram-LM fluency, BPE pair statistics,
 per-source n-gram analytics, PII scrubbing, benchmark decontamination),
-curation (Gopher repetition filters, chunking, sequence packing),
+curation (Gopher repetition filters, chunking, sequence packing,
+BPE tokenizer training/encoding, perplexity-bucketed sampling),
 sampling/mixing (deterministic, stratified, temperature-scaled,
 token-budget-capped via two-pass distributed prefix sum, training-order
 shuffle), and multimodal column plumbing.
@@ -44,10 +45,17 @@ from flink_psl_spark.llm.similarity import (  # noqa: F401
 from flink_psl_spark.llm.sampling import (  # noqa: F401
     deterministic_sample,
     deterministic_shuffle,
+    distributed_ntile,
     mix_datasets,
     stratified_sample,
     temperature_mix,
     token_budget_mix,
+)
+from flink_psl_spark.llm.bpe import (  # noqa: F401
+    bpe_encode,
+    bpe_train,
+    reference_bpe_merges,
+    word_counts,
 )
 from flink_psl_spark.llm.text import (  # noqa: F401
     tokenize,

@@ -274,3 +274,59 @@ def token_budget_mix(
         )
         .drop("__ord", "__budget", "__bkt", "__offset")
     )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    *,
+    n_tiles: int = 4,
+    out_col: str = "tile",
+    bin_col: Column | None = None,
+) -> DataFrame:
+    """Scale-safe NTILE over a global (value, tiebreak) order — WITHOUT the
+    single-partition window a naive ``Window.orderBy(...)`` would plan.
+
+    Same two-pass prefix-sum shape as ``token_budget_mix``: rows map to
+    coarse ORDERED bins (default ``floor(value)`` — any monotone binning
+    works; pass ``bin_col`` to override), per-bin counts are prefix-summed
+    into exclusive rank offsets (a tiny #bins-row window), and the fine
+    rank window runs only INSIDE each bin. The global rank is
+    offset + within-bin rank; tile = ((rank-1)*n_tiles) // total + 1 —
+    explicit integer arithmetic, reproducible in any engine (unlike SQL
+    NTILE's engine-specific remainder distribution... which this formula
+    intentionally does NOT mimic; document the formula, not the keyword).
+    """
+    from pyspark.sql import Window
+
+    if n_tiles <= 0:
+        raise ValueError("n_tiles must be positive")
+    b = bin_col if bin_col is not None else F.floor(F.col(value_col))
+    rows = df.withColumn("__bin", b.cast("bigint"))
+    off_w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        rows.groupBy("__bin")
+        .agg(F.count("*").alias("__bn"))
+        .withColumn(
+            "__off", F.coalesce(F.sum("__bn").over(off_w), F.lit(0))
+        )
+        .select("__bin", "__off")
+    )
+    total = rows.count()  # bounded driver scalar (like IVF's corpus count)
+    fine_w = Window.partitionBy("__bin").orderBy(value_col, tiebreak_col)
+    return (
+        rows.join(F.broadcast(offsets), on="__bin")
+        .withColumn("__rank", F.col("__off") + F.row_number().over(fine_w))
+        .withColumn(
+            out_col,
+            (
+                F.floor(((F.col("__rank") - 1) * n_tiles) / F.lit(total)) + 1
+            ).cast("int"),
+        )
+        .drop("__bin", "__off", "__rank")
+    )

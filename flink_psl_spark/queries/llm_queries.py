@@ -1525,3 +1525,161 @@ def llm_semantic_dedup(spark, sf_dir):
         n_clusters=16,
         threshold=0.2,
     ).select("vec_id", "label", "cluster_id")
+
+
+@query(
+    "llm_bpe_train_merges",
+    # BPE training is inherently iterative (argmax + rewrite per round) —
+    # not SQL-expressible, so the oracle-able restatement follows the ANN
+    # recall pattern: the Spark side runs BOTH the distributed trainer and
+    # the single-process reference transcription (over the same word-count
+    # table, which is vocabulary-sized and bounded) and emits per-rank
+    # agreement; the oracle is the fixed expected truth.
+    oracle="""
+    SELECT CAST(UNNEST(GENERATE_SERIES(0, 11)) AS INTEGER) AS rank,
+           TRUE AS agree
+    """,
+)
+def llm_bpe_train_merges(spark, sf_dir):
+    """Distributed BPE merge learning (12 merges): driver-loop rounds over
+    the vocabulary-sized word-count table, each round one weighted pair
+    aggregation + an Arrow-batched merge rewrite. Proven per run against
+    the reference single-process algorithm (same deterministic tiebreak)."""
+    from flink_psl_spark.llm import bpe_train, reference_bpe_merges, word_counts
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"]
+    got = bpe_train(docs, n_merges=12)
+    wc = {r["word"]: r["cnt"] for r in word_counts(docs).collect()}
+    want = reference_bpe_merges(wc, 12)
+    rows = [
+        (i, i < len(got) and i < len(want) and got[i] == want[i])
+        for i in range(12)
+    ]
+    return spark.createDataFrame(rows, "rank int, agree boolean")
+
+
+@query(
+    "llm_bpe_encode_roundtrip",
+    # encoding invariants, provable without re-deriving BPE in SQL:
+    # merges only concatenate adjacent symbols, so the token concatenation
+    # must reconstruct the word characters exactly, and the token count
+    # can never exceed the character count
+    oracle="""
+    SELECT doc_id, TRUE AS content_ok, TRUE AS compressed
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def llm_bpe_encode_roundtrip(spark, sf_dir):
+    """BPE encoding with corpus-learned merges: row-local Arrow-batched
+    encode; the emitted booleans prove content preservation (token concat
+    == stripped word chars) and compression (n_tokens <= n_chars) per
+    document."""
+    from flink_psl_spark.llm import bpe_encode, bpe_train
+    from flink_psl_spark.llm.text import tokenize
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"].where(F.col("doc_id") < 200)
+    merges = bpe_train(t["documents"], n_merges=12)
+    enc = bpe_encode(docs, merges)
+    chars = docs.select(
+        "doc_id",
+        F.concat_ws("", tokenize(F.col("text"))).alias("__chars"),
+        F.length(F.concat_ws("", tokenize(F.col("text")))).alias("__n_chars"),
+    )
+    return (
+        enc.join(chars, on="doc_id")
+        .select(
+            "doc_id",
+            (F.concat_ws("", "tokens") == F.col("__chars")).alias("content_ok"),
+            (F.col("n_tokens") <= F.col("__n_chars")).alias("compressed"),
+        )
+    )
+
+
+@query(
+    "llm_perplexity_bucket_sample",
+    # full replica: bigram-LM scores (exact quantized-integer aggregation),
+    # scale-safe quartile via explicit integer arithmetic over the global
+    # (avg_logprob, doc_id) rank, md5-threshold sampling per quartile
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    bg AS (
+      SELECT doc_id, UNNEST(w[1:LEN(w) - 1]) AS w1, UNNEST(w[2:LEN(w)]) AS w2
+      FROM d WHERE LEN(w) >= 2),
+    cnt2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+    cnt1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT w2) AS vs FROM bg),
+    sc AS (
+      SELECT bg.doc_id,
+             CAST(ROUND(LN((c12 + 1.0) / (c1 + 1.0 * vs)) * 1000000)
+                  AS BIGINT) AS s
+      FROM bg JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1) CROSS JOIN v),
+    agg AS (
+      SELECT doc_id,
+             ROUND(SUM(s) * 1.0 / COUNT(*) / 1000000, 6) AS avg_logprob
+      FROM sc GROUP BY doc_id),
+    ranked AS (
+      SELECT doc_id, avg_logprob,
+             ROW_NUMBER() OVER (ORDER BY avg_logprob, doc_id) AS rank,
+             COUNT(*) OVER () AS total
+      FROM agg),
+    tiled AS (
+      SELECT doc_id, avg_logprob,
+             CAST(((rank - 1) * 4) // total + 1 AS INTEGER) AS tile
+      FROM ranked),
+    kept AS (
+      SELECT * FROM tiled
+      WHERE CAST('0x' || SUBSTR(MD5(CONCAT_WS('|', CAST(doc_id AS VARCHAR),
+                                              '42')), 1, 6) AS BIGINT)
+            < CAST((CASE tile WHEN 1 THEN 0.25 WHEN 2 THEN 0.5
+                              WHEN 3 THEN 0.75 ELSE 1.0 END)
+                   * 16777216 AS BIGINT))
+    SELECT t.tile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(k.doc_id) AS BIGINT) AS n_kept,
+           ROUND(MIN(t.avg_logprob), 6) AS min_lp,
+           ROUND(MAX(t.avg_logprob), 6) AS max_lp
+    FROM tiled t LEFT JOIN kept k USING (doc_id)
+    GROUP BY t.tile
+    """,
+)
+def llm_perplexity_bucket_sample(spark, sf_dir):
+    """Perplexity-bucketed sampling (CCNet's head/middle/tail selection,
+    quartile form): bigram-LM fluency quartiles via the scale-safe
+    two-pass rank (no single-partition window over the corpus), then a
+    deterministic md5-threshold keep-rate per quartile — fluent buckets
+    keep more. Output: per-quartile doc/kept counts + logprob range."""
+    from flink_psl_spark.llm import distributed_ntile
+    from flink_psl_spark.llm.sampling import _HASH_BUCKETS, _bucket
+    from flink_psl_spark.llm.text import ngram_lm_scores
+    from flink_psl_spark.parallelism import ensure_parallelism
+
+    t = tables(spark, sf_dir)
+    scores = ngram_lm_scores(
+        ensure_parallelism(t["documents"], "doc_id")
+    ).where(F.col("n_bigrams") > 0)
+    tiled = distributed_ntile(
+        scores.select("doc_id", "avg_logprob"), "avg_logprob", "doc_id",
+        n_tiles=4,
+    )
+    rate = (
+        F.when(F.col("tile") == 1, 0.25)
+        .when(F.col("tile") == 2, 0.5)
+        .when(F.col("tile") == 3, 0.75)
+        .otherwise(1.0)
+    )
+    kept = F.when(
+        _bucket(["doc_id"], 42) < (rate * _HASH_BUCKETS).cast("bigint"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        tiled.withColumn("__kept", kept)
+        .groupBy("tile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("__kept").cast("bigint").alias("n_kept"),
+            F.round(F.min("avg_logprob"), 6).alias("min_lp"),
+            F.round(F.max("avg_logprob"), 6).alias("max_lp"),
+        )
+    )

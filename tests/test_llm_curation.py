@@ -431,3 +431,51 @@ def test_linear_quality_classifier_monotone_features(spark):
     }
     assert got[1][0] > got[2][0]
     assert got[1][1] in ("high", "medium") and got[2][1] == "low"
+
+
+def test_bpe_train_known_corpus(spark):
+    """Classic BPE on a tiny corpus: most frequent pair merges first,
+    ties break lexicographically, merged symbols participate in later
+    rounds."""
+    from flink_psl_spark.llm import bpe_train, reference_bpe_merges
+
+    rows = [(1, "low low low lower lowest"), (2, "new newer newest")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bpe_train(df, n_merges=5)
+    want = reference_bpe_merges(
+        {"low": 3, "lower": 1, "lowest": 1, "new": 1, "newer": 1, "newest": 1},
+        5,
+    )
+    assert got == want
+    # 'lo' appears 5 times -> it must be the first merge ('l','o')
+    assert got[0] == ("l", "o")
+
+
+def test_bpe_encode_applies_merges_in_order(spark):
+    from flink_psl_spark.llm import bpe_encode
+
+    df = spark.createDataFrame([(1, "abab abc")], "doc_id long, text string")
+    out = bpe_encode(df, [("a", "b"), ("ab", "ab")]).collect()[0]
+    # 'abab' -> [ab, ab] -> [abab]; 'abc' -> [ab, c]
+    assert out["tokens"] == ["abab", "ab", "c"]
+    assert out["n_tokens"] == 3
+
+
+def test_distributed_ntile_matches_explicit_formula(spark):
+    """Two-pass NTILE equals the explicit ((rank-1)*n)//total + 1 over the
+    global order, including with skewed bins and ties broken by id."""
+    from flink_psl_spark.llm import distributed_ntile
+
+    rows = [(i, float(v)) for i, v in enumerate([5, 1, 3, 3, 9, 0, 7, 2, 8, 4, 6])]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {
+        r["id"]: r["tile"]
+        for r in distributed_ntile(df, "v", "id", n_tiles=3).collect()
+    }
+    order = sorted(rows, key=lambda t: (t[1], t[0]))
+    total = len(order)
+    want = {
+        rid: ((rank * 3) // total) + 1
+        for rank, (rid, _) in enumerate(order)
+    }
+    assert got == want
