@@ -163,6 +163,11 @@ def rewrite_flink_sql(sql: str) -> str:
     sql = rewrite_create_table(sql)
     if isinstance(sql, list):  # DDL expanded to (base table, metadata view)
         return sql
+    # Flink's `EXPLAIN PLAN FOR <stmt>` (SqlClient / TableEnvironment
+    # explain syntax) — Spark spells it `EXPLAIN <stmt>`
+    sql = re.sub(
+        r"^\s*EXPLAIN\s+PLAN\s+FOR\b", "EXPLAIN", sql, flags=re.IGNORECASE
+    )
     sql = rewrite_system_time_joins(sql)
     sql = rewrite_window_tvfs(sql)  # must run before the legacy rewrite --
     # the TVF form contains bare TUMBLE(/HOP( tokens the legacy regexes

@@ -286,3 +286,12 @@ def test_rewrites_tolerate_case_and_whitespace():
         "group by tumble(ts, interval '1' hour)"
     )
     assert "tumble" not in gw.lower()
+
+
+def test_explain_plan_for_rewrite(spark):
+    """Flink's `EXPLAIN PLAN FOR <stmt>` runs as Spark's EXPLAIN."""
+    from flink_psl_spark.temporal_sql import rewrite_flink_sql
+
+    out = spark.sql(rewrite_flink_sql("EXPLAIN PLAN FOR SELECT 1 AS one"))
+    text = out.collect()[0][0]
+    assert "Physical Plan" in text or "Project" in text
