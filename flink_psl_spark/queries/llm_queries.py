@@ -1683,3 +1683,90 @@ def llm_perplexity_bucket_sample(spark, sf_dir):
             F.round(F.max("avg_logprob"), 6).alias("max_lp"),
         )
     )
+
+
+@query(
+    "llm_source_quality_report",
+    # the full report replayed feature-by-feature: token counts, the
+    # 4-check quality heuristic (0.25 steps -> exact mean), linear
+    # classifier bands, exact-dup counts by md5 fingerprint
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, source,
+             CAST(LEN({_TOKS}) AS BIGINT) AS toks,
+             CASE WHEN LEN({_TOKS}) > 0 THEN
+               LEN(LIST_FILTER(
+                     CASE WHEN TRIM(LOWER(text)) = '' THEN []::VARCHAR[]
+                          ELSE STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')
+                     END,
+                     x -> LIST_CONTAINS({_SW_LIST}, x)))
+                 / LEN({_TOKS}) ELSE 0.0 END AS sw,
+             CASE WHEN LEN(text) > 0 THEN
+               LEN(REGEXP_REPLACE(text, '[^.,;:!?''"()\\[\\]-]', '', 'g'))
+                 / LEN(text) ELSE 0.0 END AS pr,
+             CASE WHEN LEN({_TOKS}) > 0 THEN
+               LIST_SUM(LIST_TRANSFORM({_TOKS}, x -> LEN(x)))
+                 / LEN({_TOKS}) ELSE 0.0 END AS mwl,
+             MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) AS fp
+      FROM documents),
+    scored AS (
+      SELECT *,
+             (CASE WHEN toks >= 10 AND toks <= 100000 THEN 0.25 ELSE 0.0 END
+              + CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 0.25 ELSE 0.0 END
+              + CASE WHEN sw >= 0.05 THEN 0.25 ELSE 0.0 END
+              + CASE WHEN pr <= 0.3 THEN 0.25 ELSE 0.0 END) AS q,
+             ROUND(-1.0 + 2.0 * sw + -1.5 * pr + 0.15 * mwl
+                   + 0.25 * LN(CAST(toks AS DOUBLE) + 1.0), 6) AS margin
+      FROM f),
+    dups AS (
+      SELECT source, fp, COUNT(*) AS n FROM scored GROUP BY source, fp)
+    SELECT s.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(s.toks) AS BIGINT) AS total_tokens,
+           ROUND(SUM(s.q) / COUNT(*), 6) AS avg_quality,
+           CAST(SUM(CASE WHEN s.margin >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_high,
+           CAST(SUM(CASE WHEN s.margin >= 0.0 AND s.margin < 0.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+           CAST(SUM(CASE WHEN s.margin < 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low,
+           CAST(SUM(CASE WHEN d.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_dup_docs
+    FROM scored s JOIN dups d ON d.source = s.source AND d.fp = s.fp
+    GROUP BY s.source
+    """,
+)
+def llm_source_quality_report(spark, sf_dir):
+    """Per-source corpus curation report — the summary a data team reads
+    before fixing a mix: doc/token volumes, mean heuristic quality,
+    classifier band counts, and exact-duplicate document counts. One
+    expression-only scan + two per-source hash aggregations."""
+    from pyspark.sql import Window
+
+    from flink_psl_spark.llm.text import (
+        fingerprint,
+        linear_quality_classifier,
+        quality_band,
+        quality_score,
+        token_count,
+    )
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"].select(
+        "source",
+        token_count(F.col("text")).alias("toks"),
+        quality_score(F.col("text")).alias("q"),
+        quality_band(linear_quality_classifier(F.col("text"))).alias("band"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    w = Window.partitionBy("source", "fp")
+    tagged = docs.withColumn("__dup", F.count("*").over(w) > 1)
+    return tagged.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("total_tokens"),
+        F.round(F.sum("q") / F.count("*"), 6).alias("avg_quality"),
+        F.sum((F.col("band") == "high").cast("long")).cast("bigint").alias("n_high"),
+        F.sum((F.col("band") == "medium").cast("long")).cast("bigint").alias("n_medium"),
+        F.sum((F.col("band") == "low").cast("long")).cast("bigint").alias("n_low"),
+        F.sum(F.col("__dup").cast("long")).cast("bigint").alias("n_exact_dup_docs"),
+    )
