@@ -11,6 +11,12 @@ from flink_psl_spark.functions.compat import (  # noqa: F401
     to_base64,
     from_base64,
     json_value,
+    is_json,
+    json_exists,
+    json_query,
+    json_string,
+    json_object,
+    json_array,
     truncate,
     is_digit,
     is_alpha,

@@ -54,6 +54,75 @@ def json_value(s: Column | str, path: str) -> Column:
     return F.get_json_object(_col(s), path)
 
 
+def is_json(s: Column | str) -> Column:
+    """IS_JSON predicate (BuiltInFunctionDefinitions IS_JSON /
+    SqlJsonUtils.isJsonValue): TRUE iff the string parses as JSON.
+
+    Spark: try_parse_json (VARIANT, Spark 4) — NULL on malformed input —
+    with a NULL-input guard (IS_JSON(NULL) is FALSE in the reference,
+    unlike most predicates)."""
+    c = _col(s)
+    return F.when(c.isNull(), F.lit(False)).otherwise(
+        F.try_parse_json(c).isNotNull()
+    )
+
+
+def json_exists(s: Column | str, path: str) -> Column:
+    """JSON_EXISTS(json, path) (reference SqlJsonUtils.jsonExists, lax
+    mode): TRUE iff the path hits a value. Approximated with
+    get_json_object — a JSON null at the path reads as a miss (the
+    documented divergence; the reference's lax mode treats it as a hit)."""
+    return F.when(_col(s).isNull(), F.lit(None).cast("boolean")).otherwise(
+        F.get_json_object(_col(s), path).isNotNull()
+    )
+
+
+def json_query(s: Column | str, path: str) -> Column:
+    """JSON_QUERY(json, path) — extract a JSON OBJECT/ARRAY as JSON text
+    (reference SqlJsonUtils.jsonQuery, WITHOUT ARRAY WRAPPER default:
+    scalar hits return NULL). get_json_object returns minified JSON for
+    containers and raw text for scalars, so the scalar case is filtered
+    by shape."""
+    v = F.get_json_object(_col(s), path)
+    looks_container = v.rlike(r"^\s*[\[{]")
+    return F.when(looks_container, v)
+
+
+def json_string(v: Column) -> Column:
+    """JSON_STRING(value) — serialize any value to JSON text (reference
+    BuiltInFunctionDefinitions JSON_STRING; NULL input → NULL). Spark's
+    to_json wants container input, so the value rides through a 1-element
+    array whose brackets are stripped — strings keep their JSON quoting,
+    exactly as the reference serializes them."""
+    arr = F.to_json(F.array(v))
+    return F.when(
+        v.isNull(), F.lit(None).cast("string")
+    ).otherwise(F.regexp_extract(arr, r"^\[([\s\S]*)\]$", 1))
+
+
+def json_object(*pairs) -> Column:
+    """JSON_OBJECT('k1', v1, 'k2', v2, …) → JSON object text (reference
+    SqlJsonUtils.jsonObject, NULL ON NULL behavior). Keys must be Python
+    strings (the SQL form's KEY literals)."""
+    if len(pairs) % 2 != 0:
+        raise ValueError("json_object takes alternating key, value pairs")
+    fields = []
+    for k, v in zip(pairs[::2], pairs[1::2]):
+        if not isinstance(k, str):
+            raise ValueError("json_object keys must be literal strings")
+        fields.append(F.lit(k))
+        fields.append(v if isinstance(v, Column) else F.lit(v))
+    return F.to_json(F.create_map(*fields))
+
+
+def json_array(*values) -> Column:
+    """JSON_ARRAY(v1, v2, …) → JSON array text (reference
+    SqlJsonUtils.jsonArray, same-type elements — heterogeneous arrays need
+    JSON_STRING-serialized elements first)."""
+    cols = [v if isinstance(v, Column) else F.lit(v) for v in values]
+    return F.to_json(F.array(*cols))
+
+
 def truncate(x: Column | str, d: int = 0) -> Column:
     """TRUNCATE(x, d) — truncate toward zero to d decimal places.
 

@@ -615,3 +615,55 @@ sql_query(
     FROM lineitem WHERE l_orderkey <= 200
     """,
 )
+
+
+@query(
+    "json_functions2",
+    oracle="""
+    SELECT event_id,
+           json_valid(props)                          AS ok,
+           json_valid('{nope')                        AS bad,
+           json_extract(props, '$.k') IS NOT NULL     AS ex_k,
+           json_extract(props, '$.z') IS NOT NULL     AS ex_z,
+           CAST(json_extract(props, '$') AS VARCHAR)  AS q_root,
+           CAST(NULL AS VARCHAR)                      AS q_scalar,
+           to_json({'a': CAST(props->>'$.k' AS INT)}) AS obj,
+           to_json([CAST(props->>'$.k' AS INT),
+                    CAST(props->>'$.k' AS INT) + 1])  AS arr,
+           to_json(CAST(props->>'$.k' AS INT))        AS js_num,
+           to_json('ab')                              AS js_str
+    FROM events WHERE event_id < 300
+    """,
+)
+def json_functions2(spark, sf_dir):
+    """SQL-standard JSON surface (reference BuiltInFunctionDefinitions
+    IS_JSON / JSON_EXISTS / JSON_QUERY / JSON_OBJECT / JSON_ARRAY /
+    JSON_STRING, SqlJsonUtils.java): the full constructor/predicate/query
+    family over the events props column."""
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.functions import (
+        is_json,
+        json_array,
+        json_exists,
+        json_object,
+        json_query,
+        json_string,
+    )
+
+    t = tables(spark, sf_dir)
+    ev = t["events"].where(F.col("event_id") < 300)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select(
+        "event_id",
+        is_json("props").alias("ok"),
+        is_json(F.lit("{nope")).alias("bad"),
+        json_exists("props", "$.k").alias("ex_k"),
+        json_exists("props", "$.z").alias("ex_z"),
+        json_query("props", "$").alias("q_root"),
+        json_query("props", "$.k").alias("q_scalar"),
+        json_object("a", k).alias("obj"),
+        json_array(k, k + 1).alias("arr"),
+        json_string(k).alias("js_num"),
+        json_string(F.lit("ab")).alias("js_str"),
+    )
