@@ -667,3 +667,45 @@ def json_functions2(spark, sf_dir):
         json_string(k).alias("js_num"),
         json_string(F.lit("ab")).alias("js_str"),
     )
+
+
+# Spark-native pass-throughs of reference FlinkSqlOperatorTable names
+# (COSH/SINH/TANH/LOG2/RTRIM/SHA2/FROM_UNIXTIME/TO_DATE/TO_TIMESTAMP —
+# same spelling and semantics in Spark SQL, so no shim is needed; this
+# query PROVES the pass-through claim instead of asserting it).
+# SHA1/SHA512 also pass through but DuckDB cannot replicate them; they
+# are exercised in tests/test_operators.py instead. Hyperbolics and LOG2
+# are replayed via their EXP/LN identities and rounded on both sides.
+sql_query(
+    "passthrough_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(COSH(l_discount), 6)  AS ch,
+           ROUND(SINH(l_discount), 6)  AS sh,
+           ROUND(TANH(l_discount), 6)  AS th,
+           ROUND(LOG2(l_quantity), 6)  AS lg2,
+           RTRIM(CONCAT(l_returnflag, '  ')) AS rt,
+           SHA2(l_returnflag, 256)       AS sha,
+           FROM_UNIXTIME(l_orderkey * 3600, 'yyyy-MM-dd HH:mm:ss') AS fu,
+           TO_DATE(CAST(l_shipdate AS STRING)) AS td,
+           TO_TIMESTAMP(CONCAT(CAST(CAST(l_shipdate AS DATE) AS STRING),
+                                ' 06:30:00')) AS tts
+    FROM lineitem WHERE l_orderkey <= 300
+    """,
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND((EXP(l_discount) + EXP(-l_discount)) / 2, 6) AS ch,
+           ROUND((EXP(l_discount) - EXP(-l_discount)) / 2, 6) AS sh,
+           ROUND((EXP(l_discount) - EXP(-l_discount))
+                 / (EXP(l_discount) + EXP(-l_discount)), 6)   AS th,
+           ROUND(LN(l_quantity) / LN(2), 6)                   AS lg2,
+           RTRIM(CONCAT(l_returnflag, '  '))                    AS rt,
+           SHA256(l_returnflag)                                 AS sha,
+           STRFTIME(TO_TIMESTAMP(l_orderkey * 3600),
+                    '%Y-%m-%d %H:%M:%S')                      AS fu,
+           CAST(l_shipdate AS DATE)                           AS td,
+           CAST(CONCAT(CAST(CAST(l_shipdate AS DATE) AS VARCHAR),
+                       ' 06:30:00') AS TIMESTAMP)             AS tts
+    FROM lineitem WHERE l_orderkey <= 300
+    """,
+)

@@ -313,3 +313,17 @@ def test_hash_code_java_semantics(spark):
     df = spark.createDataFrame([(c,) for c in cases], "s string")
     got = {r["s"]: r["hc"] for r in df.select("s", hash_code("s").alias("hc")).collect()}
     assert got == {c: java_hash(c) for c in cases}
+
+
+def test_sha_family_passthrough(spark):
+    """SHA1/SHA2-384/SHA2-512 pass through as Spark built-ins (reference
+    FlinkSqlOperatorTable SHA1/SHA384/SHA512) — pinned against known
+    digests (DuckDB lacks these, so they are test-verified rather than
+    oracled)."""
+    row = spark.sql(
+        "SELECT SHA1('abc') AS s1, SHA2('abc', 384) AS s384, "
+        "SHA2('abc', 512) AS s512"
+    ).collect()[0]
+    assert row["s1"] == "a9993e364706816aba3e25717850c26c9cd0d89d"
+    assert row["s384"].startswith("cb00753f45a35e8b")
+    assert row["s512"].startswith("ddaf35a193617aba")
