@@ -1770,3 +1770,38 @@ def llm_source_quality_report(spark, sf_dir):
         F.sum((F.col("band") == "low").cast("long")).cast("bigint").alias("n_low"),
         F.sum(F.col("__dup").cast("long")).cast("bigint").alias("n_exact_dup_docs"),
     )
+
+
+@query(
+    "llm_wav_decode_stats",
+    # the Spark side round-trips GENUINE RIFF/WAVE bytes (stdlib encoder
+    # + decoder); the oracle derives the expected decoded stats
+    # analytically from the deterministic synthesis formula — integer
+    # waveform, exact integer sum of squares, correctly-rounded sqrt
+    oracle="""
+    WITH d AS (SELECT doc_id, 100 + doc_id % 400 AS n FROM documents),
+    s AS (
+      SELECT doc_id, n,
+             LIST_TRANSFORM(GENERATE_SERIES(0, n - 1),
+                            i -> (doc_id * 31 + i * 7) % 2048 - 1024) AS xs
+      FROM d)
+    SELECT doc_id AS media_id,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           ROUND(n / 8000.0, 6) AS duration_s,
+           ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(xs, x -> x * x)) * 1.0 / n), 6)
+             AS rms
+    FROM s
+    """,
+)
+def llm_wav_decode_stats(spark, sf_dir):
+    """Real audio decode branch (the WAV twin of the stdlib PNG decoder):
+    deterministic 16-bit PCM clips are written as genuine RIFF/WAVE bytes
+    and parsed back with the stdlib wave codec inside an Arrow-batched
+    mapInPandas — channels, rate, sample count, duration, integer-exact
+    RMS all proven against the analytic oracle."""
+    from flink_psl_spark.llm.multimodal import synthetic_wav_media, wav_stats
+
+    t = tables(spark, sf_dir)
+    return wav_stats(synthetic_wav_media(spark, t["documents"]))

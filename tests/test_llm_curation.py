@@ -479,3 +479,33 @@ def test_distributed_ntile_matches_explicit_formula(spark):
         for rank, (rid, _) in enumerate(order)
     }
     assert got == want
+
+
+def test_wav_roundtrip_and_stats(spark):
+    """encode_wav/decode_wav are a genuine RIFF/WAVE round-trip, and
+    wav_stats decodes real payloads distributively."""
+    import numpy as np
+
+    from flink_psl_spark.llm.multimodal import (
+        decode_wav,
+        encode_wav,
+        synthetic_wav_media,
+        wav_stats,
+    )
+
+    samples = [0, 100, -100, 32767, -32768]
+    nch, rate, back = decode_wav(encode_wav(samples, 16000))
+    assert (nch, rate) == (1, 16000)
+    assert back.tolist() == samples
+    # RIFF magic present — these are real WAV bytes, not a fake container
+    assert encode_wav(samples, 16000)[:4] == b"RIFF"
+
+    docs = spark.createDataFrame([(7, "x"), (8, "y")], "doc_id long, text string")
+    got = {
+        r["media_id"]: r
+        for r in wav_stats(synthetic_wav_media(spark, docs)).collect()
+    }
+    n7 = 100 + 7 % 400
+    xs = np.array([(7 * 31 + i * 7) % 2048 - 1024 for i in range(n7)])
+    assert got[7]["n_samples"] == n7
+    assert got[7]["rms"] == round(float(np.sqrt((xs.astype(np.int64) ** 2).sum() / n7)), 6)
