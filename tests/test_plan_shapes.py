@@ -341,3 +341,23 @@ def test_round4_curation_ops_plan_shapes(spark, sf_dir, t):
     p = _plan(QUERIES["llm_semantic_dedup"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_distributed_ntile_no_global_sort(spark, t):
+    """distributed_ntile's fine rank window partitions by the coarse bin —
+    never a single-partition sort over the whole frame (the corpus-sized
+    inputs only ever see bin-keyed exchanges; the offsets frame is the
+    tiny #bins aggregate)."""
+    from flink_psl_spark.llm import distributed_ntile
+    from pyspark.sql import functions as F
+
+    base = t["documents"].select(
+        "doc_id", (F.col("doc_id") % 97 / 7.0).alias("v")
+    )
+    out = distributed_ntile(base, "v", "doc_id", n_tiles=4)
+    p = _plan(out)
+    assert "hashpartitioning(__bin" in p, p
+    # the only SinglePartition stage allowed is the tiny per-bin offsets
+    # aggregate (#bins rows); the fine window must be bin-partitioned
+    fine = p.split("hashpartitioning(__bin", 1)[1]
+    assert "Window" in fine
