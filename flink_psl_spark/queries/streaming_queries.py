@@ -1089,3 +1089,64 @@ def stream_connect_threshold_filter(spark, sf_dir):
         "event_id long, user_id long, value double, threshold double",
     )
     return run_to_memory_table(out, output_mode="append")
+
+
+@query(
+    "stream_doc_quality_ingest",
+    # arrival-order-free streaming curation: per-(source, band) counts of
+    # streamed documents under the linear quality classifier — identical
+    # to the batch restatement
+    oracle="""
+    WITH f AS (
+      SELECT source,
+             CASE WHEN TRIM(text) = '' THEN []::VARCHAR[]
+                  ELSE STRING_SPLIT_REGEX(TRIM(text), '\\s+') END AS w,
+             text
+      FROM documents),
+    scored AS (
+      SELECT source,
+             ROUND(-1.0
+               + 2.0 * (CASE WHEN LEN(w) > 0 THEN
+                   LEN(LIST_FILTER(
+                         CASE WHEN TRIM(LOWER(text)) = '' THEN []::VARCHAR[]
+                              ELSE STRING_SPLIT_REGEX(TRIM(LOWER(text)),
+                                                      '\\s+') END,
+                         x -> LIST_CONTAINS(['the','a','an','and','or','of',
+                           'to','in','is','are','was','were','be','been',
+                           'it','this','that','for','on','with','as','at',
+                           'by','from','not','no'], x)))
+                     / LEN(w) ELSE 0.0 END)
+               + -1.5 * (CASE WHEN LEN(text) > 0 THEN
+                   LEN(REGEXP_REPLACE(text, '[^.,;:!?''"()\\[\\]-]', '', 'g'))
+                     / LEN(text) ELSE 0.0 END)
+               + 0.15 * (CASE WHEN LEN(w) > 0 THEN
+                   LIST_SUM(LIST_TRANSFORM(w, x -> LEN(x))) / LEN(w)
+                   ELSE 0.0 END)
+               + 0.25 * LN(CAST(LEN(w) AS DOUBLE) + 1.0), 6) AS margin
+      FROM f)
+    SELECT source,
+           CASE WHEN margin >= 0.5 THEN 'high'
+                WHEN margin >= 0.0 THEN 'medium'
+                ELSE 'low' END AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def stream_doc_quality_ingest(spark, sf_dir):
+    """STREAMING curation ingest: the documents table replayed as a
+    micro-batched stream, scored by the linear quality classifier
+    (expression-only — the same codegen'd margin as the batch path) and
+    aggregated per (source, band) in complete mode. Arrival order cannot
+    affect the result, so the batch restatement is an exact oracle."""
+    from flink_psl_spark.llm.text import linear_quality_classifier, quality_band
+    from flink_psl_spark.streaming import run_to_memory_table, stream_from_parquet
+
+    docs = stream_from_parquet(spark, f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        "source",
+        quality_band(linear_quality_classifier(F.col("text"))).alias("band"),
+    )
+    agg = scored.groupBy("source", "band").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    return run_to_memory_table(agg, output_mode="complete")
