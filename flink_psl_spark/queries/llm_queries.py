@@ -1805,3 +1805,118 @@ def llm_wav_decode_stats(spark, sf_dir):
 
     t = tables(spark, sf_dir)
     return wav_stats(synthetic_wav_media(spark, t["documents"]))
+
+
+@query(
+    "llm_curation_pipeline_v2",
+    # all four stages replayed in one chained SQL: linear-classifier
+    # filter -> corpus-frequency boilerplate removal (8-token segments,
+    # > 2 docs) on the kept docs -> keep-first segment dedup (16-token)
+    # on the cleaned texts -> deterministic shard/pos assignment of the
+    # docs that still carry content
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, {_TOKS} AS w, text FROM documents),
+    kept AS (
+      SELECT doc_id, text FROM f
+      WHERE ROUND(-1.0
+          + 2.0 * (CASE WHEN LEN(w) > 0 THEN
+              LEN(LIST_FILTER(
+                    CASE WHEN TRIM(LOWER(text)) = '' THEN []::VARCHAR[]
+                         ELSE STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')
+                    END,
+                    x -> LIST_CONTAINS({_SW_LIST}, x)))
+                / LEN(w) ELSE 0.0 END)
+          + -1.5 * (CASE WHEN LEN(text) > 0 THEN
+              LEN(REGEXP_REPLACE(text, '[^.,;:!?''"()\\[\\]-]', '', 'g'))
+                / LEN(text) ELSE 0.0 END)
+          + 0.15 * (CASE WHEN LEN(w) > 0 THEN
+              LIST_SUM(LIST_TRANSFORM(w, x -> LEN(x))) / LEN(w)
+              ELSE 0.0 END)
+          + 0.25 * LN(CAST(LEN(w) AS DOUBLE) + 1.0), 6) >= 0.0),
+    -- stage 2: corpus-frequency boilerplate removal over the KEPT docs
+    kw AS (SELECT doc_id,
+                  CASE WHEN TRIM(text) = '' THEN []::VARCHAR[]
+                       ELSE STRING_SPLIT_REGEX(TRIM(text), '\\s+') END AS w
+           FROM kept),
+    bseg AS (
+      SELECT doc_id, CAST((s - 1) // 8 AS BIGINT) AS seg_no,
+             ARRAY_TO_STRING(w[s:s + 7], ' ') AS seg
+      FROM (SELECT doc_id, w,
+                   UNNEST(GENERATE_SERIES(1, GREATEST(LEN(w), 1), 8)) AS s
+            FROM kw)
+      WHERE LEN(w[s:s + 7]) > 0),
+    bfreq AS (
+      SELECT seg, COUNT(DISTINCT doc_id) AS nd FROM bseg GROUP BY seg),
+    clean1 AS (
+      SELECT b.doc_id,
+             COALESCE(STRING_AGG(CASE WHEN f2.nd <= 2 THEN b.seg END, ' '
+                                 ORDER BY b.seg_no), '') AS text
+      FROM bseg b JOIN bfreq f2 USING (seg)
+      GROUP BY b.doc_id),
+    -- stage 3: keep-first segment dedup over the cleaned texts
+    cw AS (SELECT doc_id,
+                  CASE WHEN TRIM(text) = '' THEN []::VARCHAR[]
+                       ELSE STRING_SPLIT_REGEX(TRIM(text), '\\s+') END AS w
+           FROM clean1),
+    sseg AS (
+      SELECT doc_id, CAST((s - 1) // 16 AS BIGINT) AS seg_no,
+             ARRAY_TO_STRING(w[s:s + 15], ' ') AS seg
+      FROM (SELECT doc_id, w,
+                   UNNEST(GENERATE_SERIES(1, GREATEST(LEN(w), 1), 16)) AS s
+            FROM cw)
+      WHERE LEN(w[s:s + 15]) > 0),
+    sk AS (
+      SELECT doc_id, seg_no, seg,
+             ROW_NUMBER() OVER (PARTITION BY MD5(seg)
+                                ORDER BY doc_id, seg_no) AS rn
+      FROM sseg),
+    clean2 AS (
+      SELECT doc_id, COUNT(*) AS n_kept
+      FROM sk WHERE rn = 1 GROUP BY doc_id),
+    -- stage 4: deterministic shard/pos over docs that kept content
+    h AS (
+      SELECT doc_id, n_kept,
+             CAST('0x' || SUBSTR(MD5(CONCAT_WS('|', CAST(doc_id AS VARCHAR),
+                                               '42')), 1, 6) AS BIGINT)
+               % 8 AS shard,
+             MD5(CONCAT_WS('|', CAST(doc_id AS VARCHAR), '43')) AS ord
+      FROM clean2 WHERE n_kept > 0)
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+                - 1 AS BIGINT) AS pos,
+           CAST(n_kept AS BIGINT) AS n_final_segments
+    FROM h
+    """,
+)
+def llm_curation_pipeline_v2(spark, sf_dir):
+    """The round-4 end-to-end curation pipeline: linear quality
+    classifier -> corpus-frequency boilerplate removal -> keep-first
+    segment dedup -> deterministic training-order shuffle, four library
+    operators chained and hash-checked end to end. Every stage keeps its
+    scale shape (codegen'd filter; hash-keyed frequency join; md5-keyed
+    keep-first window; per-shard position windows)."""
+    from flink_psl_spark.llm import (
+        boilerplate_removal,
+        deterministic_shuffle,
+        segment_dedup,
+    )
+    from flink_psl_spark.llm.text import linear_quality_classifier
+
+    t = tables(spark, sf_dir)
+    kept = t["documents"].where(
+        linear_quality_classifier(F.col("text")) >= 0.0
+    )
+    cleaned = boilerplate_removal(
+        kept, segment_tokens=8, max_docs=2
+    ).select("doc_id", F.col("clean_text").alias("text"))
+    deduped = segment_dedup(cleaned, segment_tokens=16).where(
+        F.col("n_kept") > 0
+    )
+    return deterministic_shuffle(
+        deduped.select("doc_id", "n_kept"),
+        key_cols=["doc_id"], n_shards=8, seed=42,
+    ).select(
+        "doc_id", "shard", "pos",
+        F.col("n_kept").cast("bigint").alias("n_final_segments"),
+    )
