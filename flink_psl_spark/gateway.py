@@ -28,6 +28,7 @@ fully distributed and return only a row count here.
 from __future__ import annotations
 
 import json
+import re
 import threading
 import uuid
 from dataclasses import dataclass, field
@@ -192,12 +193,38 @@ class SqlGatewayService:
                     op.rows = [["OK"]]
                 else:
                     m = _RESET_RE.match(stmt)
+                    from flink_psl_spark.sql_client import (
+                        _group_statement_sets,
+                        split_statements,
+                    )
+
+                    is_stmt_set = bool(
+                        re.match(
+                            r"^\s*EXECUTE\s+STATEMENT\s+SET\b",
+                            stmt,
+                            re.IGNORECASE,
+                        )
+                    )
                     if m:
                         self._set_conf(sess, m.group("key"), None)
                         op.columns = [
                             {"name": "result", "logicalType": {"type": "VARCHAR"}}
                         ]
                         op.rows = [["OK"]]
+                    elif is_stmt_set:
+                        # reference SqlGateway accepts STATEMENT SET blocks
+                        # through the statements endpoint — all inner
+                        # INSERTs run under this one operation
+                        grouped = _group_statement_sets(
+                            split_statements(statement)
+                        )
+                        inner = grouped[0] if isinstance(grouped[0], list) else []
+                        for ins in inner:
+                            self.spark.sql(ins)
+                        op.columns = [
+                            {"name": "result", "logicalType": {"type": "VARCHAR"}}
+                        ]
+                        op.rows = [["OK"] for _ in inner] or [["OK"]]
                     else:
                         from flink_psl_spark.temporal_sql import rewrite_flink_sql
 

@@ -200,3 +200,33 @@ def test_pagination_not_ready_then_pages(client, spark):
     assert cols == ["i"] and [r[0] for r in rows] == list(range(7))
     assert client.status(h, op) == "FINISHED"
     client.close_session(h)
+
+
+def test_statement_set_through_gateway(client, spark, tmp_path):
+    """EXECUTE STATEMENT SET through the statements endpoint: all inner
+    INSERTs run under one operation (reference gateway statement-set
+    submission)."""
+    spark.sql(
+        "CREATE TABLE IF NOT EXISTS gw_ss_a (x INT) USING parquet "
+        f"LOCATION '{tmp_path}/a'"
+    )
+    spark.sql(
+        "CREATE TABLE IF NOT EXISTS gw_ss_b (x INT) USING parquet "
+        f"LOCATION '{tmp_path}/b'"
+    )
+    h = client.open_session()
+    op = client.execute(
+        h,
+        """EXECUTE STATEMENT SET BEGIN
+           INSERT INTO gw_ss_a SELECT 1;
+           INSERT INTO gw_ss_b SELECT 2;
+           END""",
+    )
+    assert client.status(h, op) == FINISHED
+    cols, rows = client.fetch_all(h, op)
+    assert rows == [["OK"], ["OK"]]
+    assert spark.table("gw_ss_a").collect()[0][0] == 1
+    assert spark.table("gw_ss_b").collect()[0][0] == 2
+    client.close_session(h)
+    spark.sql("DROP TABLE gw_ss_a")
+    spark.sql("DROP TABLE gw_ss_b")
