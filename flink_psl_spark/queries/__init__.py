@@ -77,20 +77,23 @@ _PRIORITY_WINDOW = [
 ]
 # ROUND-5 ROTATION (precomputed — apply next round): the never-checked
 # remainder fits in one window, reaching 100% driver coverage of the
-# registry.  32 queries as of round-4 end: the round-4 additions
-# llm_boilerplate_removal, llm_quality_classifier,
-# llm_common_ngrams_per_source, llm_semantic_dedup, plus the 28 carried
-# from round-4 start:
-#   stream_session_agg, stream_cumulate_agg, hash_code_fn, window_dedup,
-#   tumble_window_offset_agg, llm_ngram_jaccard_pairs,
-#   llm_bpe_token_count, llm_quality_score, llm_text_stats,
-#   llm_quality_filter, llm_rolling_fingerprints, agg_percentiles,
-#   agg_first_last_value, string_functions2, math_functions2,
-#   temporal_functions2, try_functions, posexplode_words,
-#   cogroup_user_summary, udtaf_top2_per_group, udf_pandas_scalar,
-#   udaf_pandas_grouped, udtf_lateral, temporal_overlaps_fn,
-#   string_functions3, typeof_fn, encode_decode_fn, array_map_row_fn
-# plus anything added during round 4 that misses the round-4 window.
+# registry.  42 queries as of round-4 end:
+#   hash_code_fn, window_dedup, tumble_window_offset_agg,
+#   llm_ngram_jaccard_pairs, llm_bpe_token_count, llm_quality_score,
+#   llm_text_stats, llm_quality_filter, llm_rolling_fingerprints,
+#   agg_percentiles, llm_boilerplate_removal, llm_quality_classifier,
+#   llm_common_ngrams_per_source, llm_semantic_dedup,
+#   llm_bpe_train_merges, llm_bpe_encode_roundtrip,
+#   llm_perplexity_bucket_sample, llm_source_quality_report,
+#   llm_wav_decode_stats, llm_curation_pipeline_v2, stream_session_agg,
+#   stream_cumulate_agg, stream_doc_quality_ingest,
+#   match_recognize_sql_budget_runs, agg_first_last_value,
+#   string_functions2, math_functions2, temporal_functions2,
+#   try_functions, posexplode_words, cogroup_user_summary,
+#   udtaf_top2_per_group, udf_pandas_scalar, udaf_pandas_grouped,
+#   udtf_lateral, temporal_overlaps_fn, string_functions3, typeof_fn,
+#   encode_decode_fn, array_map_row_fn, json_functions2,
+#   passthrough_functions
 # Compute exactly with: [n for n in QUERIES if n not in r1|r2|r3|r4
 # green rows].
 
