@@ -709,3 +709,31 @@ sql_query(
     FROM lineitem WHERE l_orderkey <= 300
     """,
 )
+
+
+@query(
+    "table_api_row_ops",
+    oracle="""
+    SELECT n_nationkey AS pk, UPPER(n_name) AS uname,
+           n_regionkey * 10 AS rk10
+    FROM nation WHERE n_regionkey <> 2
+    """,
+)
+def table_api_row_ops(spark, sf_dir):
+    """Table API row operations through the TableEnvironment facade
+    (reference Table.select/filter/addColumns/renameColumns/dropColumns —
+    the DataFrame IS the Table here, per the SURVEY design stance): scan
+    via from_path, filter, computed column add, rename, drop."""
+    from flink_psl_spark.api import TableEnvironment
+
+    t_env = TableEnvironment(spark)
+    t_env.register_fixture_tables(sf_dir)
+    tbl = t_env.from_path("nation")
+    out = (
+        tbl.filter(F.col("n_regionkey") != 2)               # Table.filter
+        .withColumn("rk10", F.col("n_regionkey") * 10)      # addColumns
+        .withColumn("uname", F.upper("n_name"))
+        .withColumnRenamed("n_nationkey", "pk")             # renameColumns
+        .drop("n_comment", "n_name", "n_regionkey")         # dropColumns
+    )
+    return out.select("pk", "uname", "rk10")
