@@ -509,3 +509,54 @@ def test_wav_roundtrip_and_stats(spark):
     xs = np.array([(7 * 31 + i * 7) % 2048 - 1024 for i in range(n7)])
     assert got[7]["n_samples"] == n7
     assert got[7]["rms"] == round(float(np.sqrt((xs.astype(np.int64) ** 2).sum() / n7)), 6)
+
+
+def test_round4_ops_degenerate_inputs(spark):
+    """Empty/blank/tiny inputs through every round-4 operator — the
+    degenerate shapes where driver-side counts and divisions hide bugs."""
+    import numpy as np
+
+    from flink_psl_spark.llm import (
+        boilerplate_removal,
+        bpe_encode,
+        bpe_train,
+        distributed_ntile,
+        semantic_dedup,
+    )
+    from flink_psl_spark.llm.multimodal import decode_wav, encode_wav
+
+    # boilerplate removal: blank and single-word docs survive untouched
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "word")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in boilerplate_removal(df).collect()}
+    assert got[1]["n_segments"] == 0 and got[1]["clean_text"] == ""
+    assert got[3]["n_segments"] == 1 and got[3]["clean_text"] == "word"
+
+    # semantic dedup: corpus smaller than n_clusters
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = semantic_dedup(emb, n_clusters=16, threshold=0.99).collect()
+    assert {r["vec_id"] for r in out} == {1, 2}  # orthogonal -> both kept
+
+    # BPE: no adjacent pairs -> no merges; encode with empty merge list
+    df1 = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assert bpe_train(df1, n_merges=3) == []
+    enc = bpe_encode(df1, []).collect()[0]
+    assert enc["tokens"] == ["a", "b", "c"]
+    blank = bpe_encode(
+        spark.createDataFrame([(9, "")], "doc_id long, text string"), []
+    ).collect()[0]
+    assert blank["tokens"] == [] and blank["n_tokens"] == 0
+
+    # distributed ntile: one row; more tiles than rows
+    one = spark.createDataFrame([(1, 5.0)], "id long, v double")
+    r = distributed_ntile(one, "v", "id", n_tiles=4).collect()[0]
+    assert r["tile"] == 1
+
+    # WAV: zero-frame clip round-trips
+    nch, rate, samples = decode_wav(encode_wav([], 8000))
+    assert (nch, rate, len(samples)) == (1, 8000, 0)
+    assert isinstance(samples, np.ndarray)
