@@ -174,6 +174,74 @@ def streaming_match_recognize(
             n, start, consumed_upto = len(final), 0, 0
             terminal_not_next = spec[-1][4] == "not_next"
             terminal_nfb = spec[-1][4] == "not_followed_by"
+            t_name, _t_lo, t_hi, t_greedy, t_mode, t_sub, _t_u = spec[-1]
+            t_leaf_names = {
+                s[0] for s in ([spec[-1]] if t_sub is None else t_sub)
+            }
+            terminal_has_iter = bool(iters) and bool(
+                t_leaf_names & set(iters)
+            )
+
+            def _one_iter_rows(entry) -> int:
+                nm, lo2, _h, _g, md, sb, _u = entry
+                if md in ("not_next", "not_followed_by"):
+                    return 0
+                if sb is None:
+                    return lo2
+                return max(lo2, 1) * sum(_one_iter_rows(x) for x in sb)
+
+            ext_rows = max(
+                1,
+                1 if t_sub is None else sum(_one_iter_rows(x) for x in t_sub),
+            )
+
+            def terminal_loop_open(b) -> bool:
+                """Cheap pre-filter: could the terminal step structurally
+                absorb more rows? False for negations, reluctant loops,
+                and bounded leaf loops already at capacity."""
+                if t_mode in ("not_next", "not_followed_by") or not t_greedy:
+                    return False
+                if t_sub is None and t_hi is not None:
+                    return len(b.get(t_name, [])) < t_hi
+                return True
+
+            def could_extend(b, attempt) -> bool:
+                """Would a favorable future row extend this match? Decided
+                by re-running the NFA from the same attempt position with
+                ``ext_rows`` virtual always-true rows appended — greedy
+                semantics then extend iff quantifier capacity remains
+                (bounded groups at max iterations correctly emit).
+                Terminal steps with iterative conditions fall back to the
+                structural answer (future row values are unknowable)."""
+                if not terminal_loop_open(b):
+                    return False
+                if terminal_has_iter:
+                    return True
+                import numpy as _np
+
+                preds_ext = {
+                    k: _np.concatenate([v, _np.ones(ext_rows, dtype=bool)])
+                    for k, v in preds.items()
+                }
+                times_ext = None
+                if times_arr is not None:
+                    times_ext = _np.concatenate(
+                        [
+                            times_arr,
+                            times_arr[-1] + _np.arange(1, ext_rows + 1),
+                        ]
+                    )
+                try:
+                    b2 = _match_at(
+                        preds_ext, spec, attempt, n + ext_rows, times_ext,
+                        within_ms, iters, vals,
+                    )
+                except IndexError:  # a mid-pattern iterative step reached
+                    return True  # the virtual region — defer conservatively
+                if b2 is None:
+                    return False
+                hi2 = max(i for idxs in b2.values() for i in idxs)
+                return hi2 >= n
             times_arr = (
                 final[ts_col].to_numpy() if within_ms is not None else None
             )
@@ -181,6 +249,7 @@ def streaming_match_recognize(
                 {c: final[c].to_numpy() for c in iter_cols} if iters else None
             )
             while start < n:
+                attempt = start
                 b = _match_at(
                     preds, spec, start, n, times_arr, within_ms, iters, vals
                 )
@@ -202,6 +271,14 @@ def streaming_match_recognize(
                         # (append-mode emission is irrevocable, so a
                         # vacuous pass here would emit matches the batch
                         # matcher rejects).
+                        break
+                    if hi + 1 == n and could_extend(b, attempt):
+                        # the greedy terminal block ran into the finalized
+                        # frontier AND a favorable future row would extend
+                        # it. Defer until a finalized row exists past the
+                        # match end, so the block's stop is
+                        # content-determined — the loop twin of the
+                        # terminal notNext deferral above.
                         break
                     if terminal_nfb and int(times_arr[lo]) + within_ms > wm_ms:
                         # the trailing notFollowedBy's window (anchored at

@@ -398,3 +398,105 @@ def test_streaming_mid_pattern_negation_matches_batch(spark, t, sf_dir):
         for r in run_to_memory_table(out).collect()
     }
     assert got == expected
+
+
+def test_streaming_define_aggregates_parity(spark):
+    """Running aggregates in DEFINE (SUM cap) produce identical matches
+    through the streaming matcher — the agg accessor rides the state
+    buffer like FIRST/LAST history refs."""
+    import tempfile as _tf
+
+    from flink_psl_spark.match_recognize_sql import (
+        match_recognize_sql,
+        streaming_match_recognize_sql,
+    )
+    from flink_psl_spark.streaming import run_to_memory_table
+
+    # TWO trailing sentinels: the second finalizes the first, so the
+    # greedy terminal block's frontier deferral resolves (a match ending
+    # at the last finalized row only emits once a finalized row exists
+    # past it)
+    rows = [
+        ("k", TS(0), 4.0), ("k", TS(1), 4.0), ("k", TS(2), 4.0),
+        ("k", TS(3), 10.0), ("k", TS(4), 1.0),
+        ("k", TS(50), 100.0), ("k", TS(59), 100.0),
+    ]
+    schema = "k string, ts timestamp, v double"
+    clause = """
+        MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY ts
+          MEASURES COUNT(S.*) AS n, SUM(S.v) AS tot
+          PATTERN (S{2,})
+          DEFINE S AS SUM(S.v) <= 12)"""
+    batch = match_recognize_sql(spark.createDataFrame(rows, schema), clause)
+    want = {(r["n"], r["tot"]) for r in batch.collect()}
+    assert want == {(3, 12.0), (2, 11.0)}
+
+    d = _tf.mkdtemp(prefix="fps_aggdef_")
+    spark.createDataFrame(rows[:3], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{d}/src")
+    spark.createDataFrame(rows[3:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{d}/src")
+    st = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/src")
+    )
+    out = streaming_match_recognize_sql(st, clause, delay="5 minutes")
+    mem = run_to_memory_table(out, output_mode="append")
+    assert {(r["n"], r["tot"]) for r in mem.collect()} == want
+
+
+def test_streaming_terminal_greedy_loop_defers_at_frontier(spark):
+    """A match whose greedy terminal block ends AT the finalized frontier
+    must not emit (a future row could extend it); it emits once a
+    finalized row exists past it."""
+    import tempfile as _tf
+
+    from flink_psl_spark.cep import Measure, Step
+    from flink_psl_spark.streaming import run_to_memory_table
+    from flink_psl_spark.streaming.cep_stream import streaming_match_recognize
+
+    schema = "k string, ts timestamp, v double"
+    pat = [
+        Step.at_least("S", "true", 2).where_history(
+            lambda get, first, last, agg: (agg("sum", "S", "v") or 0) <= 12,
+            ["v"],
+        )
+    ]
+    meas = [Measure("n", "S", "count"), Measure("tot", "S", "sum", "v")]
+
+    d = _tf.mkdtemp(prefix="fps_frontier_")
+    spark.createDataFrame(
+        [("k", TS(0), 4.0), ("k", TS(1), 4.0), ("k", TS(10), 100.0)], schema
+    ).coalesce(1).write.mode("append").parquet(f"{d}/src")
+    st = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/src")
+    )
+    out = streaming_match_recognize(
+        st, "k", "ts", pat, meas, delay="5 minutes"
+    )
+    # watermark reaches TS(5): [4,4] is finalized AND ends at the frontier
+    # -> deferred (TS(10) is not yet finalized, so the stop is unproven)
+    mem = run_to_memory_table(out, output_mode="append")
+    assert mem.count() == 0
+
+    # a later file finalizes TS(10): the block's stop is content-determined
+    spark.createDataFrame([("k", TS(20), 0.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{d}/src")
+    st2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/src")
+    )
+    out2 = streaming_match_recognize(
+        st2, "k", "ts", pat, meas, delay="5 minutes"
+    )
+    mem2 = run_to_memory_table(out2, output_mode="append")
+    got = {(r["n"], r["tot"]) for r in mem2.collect()}
+    assert got == {(2, 8.0)}
