@@ -219,8 +219,20 @@ def streaming_match_recognize(
                     return True
                 import numpy as _np
 
+                # virtual rows are maximally permissive: step predicates
+                # TRUE, until-stop conditions FALSE (an until=TRUE pad
+                # would wrongly prove "cannot extend" for until-bounded
+                # loops)
                 preds_ext = {
-                    k: _np.concatenate([v, _np.ones(ext_rows, dtype=bool)])
+                    k: _np.concatenate(
+                        [
+                            v,
+                            _np.full(
+                                ext_rows, not k.startswith("__until__"),
+                                dtype=bool,
+                            ),
+                        ]
+                    )
                     for k, v in preds.items()
                 }
                 times_ext = None
