@@ -218,7 +218,15 @@ class SqlGatewayService:
                         grouped = _group_statement_sets(
                             split_statements(statement)
                         )
-                        inner = grouped[0] if isinstance(grouped[0], list) else []
+                        if len(grouped) != 1 or not isinstance(
+                            grouped[0], list
+                        ):
+                            raise ValueError(
+                                "executeStatement accepts exactly one "
+                                "statement; submit content outside the "
+                                "STATEMENT SET block separately"
+                            )
+                        inner = grouped[0]
                         for ins in inner:
                             self.spark.sql(ins)
                         op.columns = [
