@@ -54,12 +54,17 @@ def exact_dedup(
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingle set (distinct array<string>)."""
+    """Word n-gram shingle set (distinct array<string>). Documents with
+    fewer than ``n`` tokens yield an EMPTY set — guarded explicitly:
+    Spark's ``sequence(1, 0)`` counts DOWN and its 0 index would crash
+    ``slice``."""
     toks = tokenize(text)
     k = F.size(toks) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    grams = F.when(k < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
     )
     return F.array_distinct(grams)
 
@@ -68,12 +73,15 @@ def shingle_hashes(text: Column | str, n: int = 3) -> Column:
     """Hashed word n-gram shingles (array<bigint>) — hashes each token-array
     slice directly (xxhash64 over array<string>), skipping the string
     concatenation ``shingles`` pays. Duplicates are kept: MinHash is
-    duplicate-insensitive, so no distinct pass either."""
+    duplicate-insensitive, so no distinct pass either. Sub-``n``-token
+    documents yield an empty array (same guard as ``shingles``)."""
     toks = tokenize(text)
     k = F.size(toks) - (n - 1)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
-        lambda i: F.xxhash64(F.slice(toks, i, n)),
+    return F.when(k < 1, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.xxhash64(F.slice(toks, i, n)),
+        )
     )
 
 

@@ -507,3 +507,29 @@ def test_hll_sketch_accuracy(spark, sf_dir):
     # the query emits the estimate-accuracy invariant directly (per group
     # AND for the merged union sketch)
     assert all(r["within_5pct"] for r in rows.values())
+
+
+def test_shingle_dedup_short_docs(spark):
+    """Documents shorter than the shingle size must not crash the dedup
+    family (Spark's sequence(1,0) counts DOWN into an invalid slice
+    start): they get empty shingle sets, never verify as near-dups, and
+    survive."""
+    from flink_psl_spark.llm import minhash_dedup, simhash_dedup
+    from flink_psl_spark.llm.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "one two"),
+         (4, "a b c d e"), (5, "a b c d e")],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["minhash"] for r in minhash_signatures(df).collect()}
+    assert sigs[1] == [0] * 64 and sigs[2] == [0] * 64
+    assert sigs[4] == sigs[5] != [0] * 64
+    kept = sorted(r["doc_id"] for r in minhash_dedup(df).collect())
+    assert kept == [1, 2, 3, 4]  # exact dup 5 dropped; short docs survive
+    # verified simhash configuration also keeps the short docs
+    kept_sh = sorted(
+        r["doc_id"]
+        for r in simhash_dedup(df, max_hamming=10, verify_threshold=0.8).collect()
+    )
+    assert kept_sh == [1, 2, 3, 4]
