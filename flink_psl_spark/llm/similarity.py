@@ -45,7 +45,12 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity; NULL when either vector has zero norm (real
+    corpora contain zero embeddings — padding rows, failed encodes — and
+    an unguarded division crashes the whole job under ANSI mode). NULL
+    propagates safely: threshold filters and top-k ranking exclude it."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0.0, dot(a, b) / denom)
 
 
 def cosine_topk(

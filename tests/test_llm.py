@@ -533,3 +533,25 @@ def test_shingle_dedup_short_docs(spark):
         for r in simhash_dedup(df, max_hamming=10, verify_threshold=0.8).collect()
     )
     assert kept_sh == [1, 2, 3, 4]
+
+
+def test_cosine_zero_vector_is_null_not_crash(spark):
+    """Zero-norm embeddings must not crash ANN/dedup under ANSI mode:
+    cosine is NULL for them, so they rank below any real neighbor and
+    never pass a similarity threshold."""
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.llm import cosine_topk, embedding_dedup
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.5, 0.5]), (4, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    top = cosine_topk(df, df.where(F.col("vec_id") == 2), k=3).collect()
+    ids = [r["neighbor_id"] for r in sorted(top, key=lambda r: r["rank"])]
+    assert ids[0] == 4 and 1 in ids  # exact match first; zero vec ranked last
+    assert [r["cos_sim"] for r in top if r["neighbor_id"] == 1] == [None]
+    kept = sorted(
+        r["vec_id"] for r in embedding_dedup(df, threshold=0.9, exact=True).collect()
+    )
+    assert kept == [1, 2, 3]  # dup pair (2,4) pruned; zero vec survives
