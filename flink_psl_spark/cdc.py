@@ -30,6 +30,12 @@ def parse_debezium(raw: DataFrame, value_schema: str, json_col: str = "value") -
     op mapping (DebeziumJsonDeserializationSchema.java): c/r → insert,
     u → update (we keep only the after-image ⇒ drop the implicit -U),
     d → delete.
+
+    Malformed records behave like the reference's
+    ``debezium-json.ignore-parse-errors``: unparseable JSON yields an
+    all-NULL row and unknown ops a NULL ``__op``; both are excluded by
+    ``changelog_normalize``'s op filter rather than failing the job —
+    filter ``__op IS NULL`` upstream to quarantine them instead.
     """
     env = F.from_json(
         F.col(json_col),

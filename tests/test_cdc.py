@@ -216,3 +216,26 @@ def test_upsert_restart_idempotent(spark):
     second = sorted(map(tuple, spark.read.parquet(table).collect()))
     assert first == second
     assert [(r[0], r[1]) for r in first] == [(1, "b")]
+
+
+def test_cdc_malformed_records_are_quarantined_not_fatal(spark):
+    """Unparseable JSON and unknown ops behave like the reference's
+    ignore-parse-errors mode: NULL rows / NULL __op that the normalize
+    filter excludes, never a job failure."""
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.cdc import merge_upsert, parse_debezium
+
+    rows = [
+        ('{"op":"c","after":{"id":1,"v":"x"},"before":null,"ts_ms":1}',),
+        ("{not json at all",),
+        ('{"op":"zz","after":{"id":9,"v":"y"},"ts_ms":2}',),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    parsed = parse_debezium(df, "struct<id: int, v: string>")
+    assert parsed.count() == 4  # nothing crashed
+    quarantined = parsed.where(F.col("__op").isNull())
+    assert quarantined.count() == 3
+    image = merge_upsert(None, parsed, "id", "__ts_ms")
+    assert [(r["id"], r["v"]) for r in image.collect()] == [(1, "x")]
