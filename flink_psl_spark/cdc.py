@@ -281,3 +281,38 @@ def upsert_into_partitioned_parquet(
         .outputMode("update")
         .start()
     )
+
+
+def parse_upsert(
+    raw: DataFrame,
+    key_schema: str,
+    value_schema: str,
+    *,
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """upsert-kafka FORMAT semantics, transport-free (reference
+    UpsertKafkaDynamicTableFactory / DynamicKafkaDeserializationSchema's
+    upsert mode): every record is keyed; a NULL value is a tombstone —
+    a DELETE of its key — and a non-null value upserts it.
+
+    Consumes (key, value) JSON string columns from ANY source (files, a
+    real Kafka scan when the jar is present, test fixtures), so the
+    changelog semantics are provable without a broker. Emits key fields +
+    value fields (NULL for tombstones) + ``__op`` ∈ U/D; feed the result
+    to ``changelog_normalize``/``merge_upsert`` with the key fields and a
+    version column (e.g. the Kafka offset) for the table image.
+    """
+    k = F.from_json(F.col(key_col), key_schema)
+    v = F.from_json(F.col(value_col), value_schema)
+    passthrough = [
+        c for c in raw.columns if c not in (key_col, value_col)
+    ]
+    return raw.select(
+        k.alias("__k"),
+        v.alias("__v"),
+        F.when(F.col(value_col).isNull(), F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias(ROWKIND_COL),
+        *passthrough,
+    ).select("__k.*", "__v.*", ROWKIND_COL, *passthrough)

@@ -444,3 +444,49 @@ def protobuf_py_map_roundtrip(spark, sf_dir):
         F.col("attrs")["priority"].alias("priority"),
         F.size("attrs").alias("n_attrs"),
     )
+
+
+@query(
+    "cdc_upsert_format_image",
+    # the upsert-kafka contract replayed: per key, the record with the
+    # highest offset wins; keys whose winning record is a tombstone are
+    # absent from the image
+    oracle="""
+    WITH last AS (
+      SELECT user_id, event_id, value, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_id, value AS amount
+    FROM last WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_upsert_format_image(spark, sf_dir):
+    """upsert-kafka format semantics without a broker (reference
+    UpsertKafkaDynamicTableFactory: NULL value = keyed tombstone DELETE):
+    the events table is rendered as (key-json, value-json-or-tombstone,
+    offset) records — errors become tombstones — parsed with
+    parse_upsert, and normalized to the per-key latest image."""
+    from flink_psl_spark.cdc import parse_upsert
+    from flink_psl_spark.operators.changelog import changelog_normalize
+
+    t = tables(spark, sf_dir)
+    records = t["events"].select(
+        F.to_json(F.struct("user_id")).alias("key"),
+        F.when(
+            F.col("event_type") != "error",
+            F.to_json(
+                F.struct(
+                    "event_id", F.col("value").alias("amount")
+                )
+            ),
+        ).alias("value"),
+        F.col("event_id").alias("offset"),
+    )
+    parsed = parse_upsert(
+        records,
+        "struct<user_id: bigint>",
+        "struct<event_id: bigint, amount: double>",
+    )
+    image = changelog_normalize(parsed, ["user_id"], ["offset"])
+    return image.select("user_id", "event_id", "amount")

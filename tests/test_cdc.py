@@ -239,3 +239,23 @@ def test_cdc_malformed_records_are_quarantined_not_fatal(spark):
     assert quarantined.count() == 3
     image = merge_upsert(None, parsed, "id", "__ts_ms")
     assert [(r["id"], r["v"]) for r in image.collect()] == [(1, "x")]
+
+
+def test_parse_upsert_tombstone_semantics(spark):
+    """upsert-kafka format: NULL value deletes its key; latest offset
+    wins; metadata columns pass through for versioning."""
+    from flink_psl_spark.cdc import parse_upsert
+    from flink_psl_spark.operators.changelog import changelog_normalize
+
+    rows = [
+        ('{"k":1}', '{"x":"a"}', 1),
+        ('{"k":1}', '{"x":"b"}', 2),
+        ('{"k":2}', '{"x":"c"}', 3),
+        ('{"k":2}', None, 4),          # tombstone deletes key 2
+        ('{"k":3}', None, 5),          # delete of a never-seen key
+    ]
+    df = spark.createDataFrame(rows, "key string, value string, offset long")
+    parsed = parse_upsert(df, "struct<k: bigint>", "struct<x: string>")
+    assert set(parsed.columns) == {"k", "x", "__op", "offset"}
+    image = changelog_normalize(parsed, ["k"], ["offset"])
+    assert [(r["k"], r["x"]) for r in image.orderBy("k").collect()] == [(1, "b")]
