@@ -77,7 +77,7 @@ _PRIORITY_WINDOW = [
 ]
 # ROUND-5 ROTATION (precomputed — apply next round): the never-checked
 # remainder fits in one window, reaching 100% driver coverage of the
-# registry.  44 queries as of round-4 end:
+# registry.  45 queries as of round-4 end:
 #   hash_code_fn, window_dedup, tumble_window_offset_agg,
 #   llm_ngram_jaccard_pairs, llm_bpe_token_count, llm_quality_score,
 #   llm_text_stats, llm_quality_filter, llm_rolling_fingerprints,
@@ -93,7 +93,8 @@ _PRIORITY_WINDOW = [
 #   udtaf_top2_per_group, udf_pandas_scalar, udaf_pandas_grouped,
 #   udtf_lateral, temporal_overlaps_fn, string_functions3, typeof_fn,
 #   encode_decode_fn, array_map_row_fn, json_functions2,
-#   passthrough_functions, table_api_row_ops, cdc_upsert_format_image
+#   passthrough_functions, table_api_row_ops,
+#   cdc_upsert_format_image, cumulate_tvf_sql
 # Compute exactly with: [n for n in QUERIES if n not in r1|r2|r3|r4
 # green rows].
 

@@ -352,3 +352,40 @@ def group_window_sql(spark, sf_dir):
         """,
         sf_dir=sf_dir,
     )[-1].df
+
+
+@query(
+    "cumulate_tvf_sql",
+    # same growing-window truth as cumulate_window_agg, via the SQL TVF text
+    oracle="""
+    SELECT time_bucket(INTERVAL '2 hours', ts) AS window_start,
+           we AS window_end,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM events,
+         UNNEST(generate_series(
+             time_bucket(INTERVAL '30 minutes', ts) + INTERVAL '30 minutes',
+             time_bucket(INTERVAL '2 hours', ts) + INTERVAL '2 hours',
+             INTERVAL '30 minutes')) AS t(we)
+    GROUP BY 1, 2
+    """,
+)
+def cumulate_tvf_sql(spark, sf_dir):
+    """The CUMULATE window TVF as SQL clause text (reference
+    SqlCumulateTableFunction.java:37), rewritten by the dialect layer to
+    the integer-µs slice-explode subquery — identical semantics to the
+    library operator, proven against the same oracle."""
+    from flink_psl_spark.temporal_sql import rewrite_flink_sql
+
+    for name, df in tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+    return spark.sql(
+        rewrite_flink_sql(
+            """
+            SELECT window_start, window_end, COUNT(*) AS n,
+                   ROUND(SUM(value), 2) AS total
+            FROM TABLE(CUMULATE(TABLE events, DESCRIPTOR(ts),
+                                INTERVAL '30' MINUTES, INTERVAL '2' HOURS))
+            GROUP BY window_start, window_end
+            """
+        )
+    )

@@ -124,6 +124,36 @@ _HOP_RE = re.compile(
 )
 
 
+_CUMULATE_RE = re.compile(
+    r"TABLE\s*\(\s*CUMULATE\s*\(\s*TABLE\s+(?P<tbl>[\w.]+)\s*,\s*"
+    rf"DESCRIPTOR\s*\(\s*(?P<ts>\w+)\s*\)\s*,\s*{_IVL}\s*,\s*{_IVL}\s*\)\s*\)",
+    re.IGNORECASE,
+)
+
+_IVL_US = {
+    "SECOND": 1_000_000,
+    "MINUTE": 60_000_000,
+    "HOUR": 3_600_000_000,
+    "DAY": 86_400_000_000,
+}
+
+
+def _cumulate_subquery(tbl: str, ts: str, step_us: int, max_us: int) -> str:
+    """CUMULATE TVF body: the same integer-µs slice arithmetic as
+    ``operators.windows.cumulate`` (row-local explode of growing window
+    ends), expressed in SQL."""
+    return (
+        f"(SELECT * EXCEPT (__t, __off, __e), "
+        f"TIMESTAMP_MICROS(__t - __off) AS window_start, "
+        f"TIMESTAMP_MICROS(__e) AS window_end "
+        f"FROM (SELECT *, unix_micros({ts}) AS __t, "
+        f"unix_micros({ts}) % {max_us} AS __off FROM {tbl}) "
+        f"LATERAL VIEW explode(sequence("
+        f"__t - __off + (CAST(floor(__off / {step_us}) AS BIGINT) + 1) "
+        f"* {step_us}, __t - __off + {max_us}, {step_us})) AS __e)"
+    )
+
+
 def _win_subquery(tbl: str, ts: str, size: str, slide: str | None) -> str:
     args = f"{ts}, '{size}'" + (f", '{slide}'" if slide else "")
     return (
@@ -134,10 +164,11 @@ def _win_subquery(tbl: str, ts: str, size: str, slide: str | None) -> str:
 
 
 def rewrite_window_tvfs(sql: str) -> str:
-    """Rewrite TUMBLE/HOP window-TVF calls to window()-projecting
-    subqueries. SESSION and CUMULATE TVFs are intentionally not SQL-mapped
-    (session_window is aggregation-position-only in Spark; CUMULATE is the
-    library operator `operators.windows.cumulate`)."""
+    """Rewrite TUMBLE/HOP/CUMULATE window-TVF calls to subqueries —
+    TUMBLE/HOP via window()-projection, CUMULATE via the same integer-µs
+    slice explode as `operators.windows.cumulate`. The SESSION TVF is
+    intentionally not SQL-mapped (session_window is
+    aggregation-position-only in Spark; use `operators.windows.session`)."""
 
     def tumble_repl(m: re.Match) -> str:
         size = f"{m.group(3)} {m.group(4)}"
@@ -149,8 +180,15 @@ def rewrite_window_tvfs(sql: str) -> str:
         size = f"{m.group(5)} {m.group(6)}"
         return _win_subquery(m.group("tbl"), m.group("ts"), size, slide)
 
+    def cumulate_repl(m: re.Match) -> str:
+        # Flink argument order: step first, then max size
+        step_us = int(m.group(3)) * _IVL_US[m.group(4).upper().rstrip("S")]
+        max_us = int(m.group(5)) * _IVL_US[m.group(6).upper().rstrip("S")]
+        return _cumulate_subquery(m.group("tbl"), m.group("ts"), step_us, max_us)
+
     sql = _TUMBLE_RE.sub(tumble_repl, sql)
     sql = _HOP_RE.sub(hop_repl, sql)
+    sql = _CUMULATE_RE.sub(cumulate_repl, sql)
     return sql
 
 
