@@ -18,18 +18,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _configure(spark: SparkSession) -> None:
-    """Apply the engine's session conf to a driver-provided session."""
-    conf = {
-        "spark.sql.adaptive.enabled": "true",
-        "spark.sql.adaptive.coalescePartitions.enabled": "true",
-        "spark.sql.adaptive.skewJoin.enabled": "true",
-        "spark.sql.session.timeZone": "UTC",
-        "spark.sql.execution.arrow.pyspark.enabled": "true",
-        # events.ts is parquet TIMESTAMP(NANOS): unreadable without this —
-        # the catalog converts the raw long to a µs timestamp (catalog.py)
-        "spark.sql.legacy.parquet.nanosAsLong": "true",
-    }
-    for k, v in conf.items():
+    """Apply the engine's session conf to a driver-provided session.
+
+    Shares ``RUNTIME_SQL_CONF`` with ``flink_psl_spark.session.get_spark``
+    (single source of truth — round-4 postmortem: a conf present only in
+    the builder path broke the datagen DSv2 source under the driver's
+    own session).
+    """
+    from flink_psl_spark.session import RUNTIME_SQL_CONF
+
+    for k, v in RUNTIME_SQL_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:

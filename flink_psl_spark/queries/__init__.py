@@ -31,72 +31,45 @@ import flink_psl_spark.queries.datastream_queries  # noqa: F401, E402
 # Driver-visibility ordering: the verify harness checks queries in
 # registration order and may truncate (each round checks the first 50),
 # so the front of the dict carries the queries with the LEAST prior
-# driver evidence. ROUND-4 rotation: the 50 slots hold (a) the two r1-red
-# rows whose fixes have only replica evidence (agg_collect,
-# agg_approx_distinct), (b) the SQL-parity and service surfaces, (c) the
-# DataStream bridge, connector/sink, curation, nested-codec, CEP and
-# streaming queries that have never received a driver row, and (d) the
-# queries NEW this round (match_recognize_sql_price_dip). Everything
-# driver-green in r1-r3 is demoted to the tail.
+# driver evidence. ROUND-5 rotation: exactly the 47 registry queries
+# with no green driver row after r1-r4 — the 45 never-checked plus the
+# two r4-red datagen rows (red on a conf-skew bug, fixed this round:
+# __spark_entry__._configure now shares session.RUNTIME_SQL_CONF).
+# A green r5 run reaches 100% cumulative driver coverage of the
+# registry.  Computed with: [n for n in QUERIES if n not in
+# (latest-green rows of CORRECTNESS_r01..r04)].
 _PRIORITY_WINDOW = [
-    # ex-red r1 rows — fixed in r2, never re-proven by the driver
-    "agg_collect", "agg_approx_distinct",
-    # SQL-parity fronts + service surfaces (7)
-    "match_recognize_sql_clicks", "match_recognize_sql_skip_chain",
-    "temporal_join_sql", "window_tvf_sql", "group_window_sql",
-    "sql_client_script", "sql_gateway_rest",
-    # NEW round 4: cross-variable DEFINE references (verdict task 4)
-    "match_recognize_sql_price_dip",
-    # DataStream bridge (5)
-    "datastream_map_filter", "datastream_keyed_sum",
-    "datastream_side_output_split", "datastream_broadcast_join",
-    "datastream_iterate_countdown",
-    # connectors / sinks / sources (10)
-    "twophase_sink_roundtrip", "bucketed_join_agg",
-    "metadata_columns_read", "file_compaction_roundtrip",
-    "filesystem_partitioned_roundtrip", "jdbc_roundtrip_agg",
-    "values_inline_rows", "pysource_datagen_agg",
-    "pysource_datagen_pushdown", "async_lookup_enrich",
-    # round-3 curation operators (10)
-    "llm_segment_dedup", "llm_deterministic_shuffle",
-    "llm_temperature_mix", "llm_token_budget_mix",
-    "llm_bigram_lm_score", "llm_bpe_pair_counts", "llm_pii_scrub",
-    "llm_contamination_check", "llm_hard_negatives",
-    "llm_curation_pipeline",
-    # nested codec roundtrips (4)
-    "avro_py_nested_roundtrip", "protobuf_py_nested_roundtrip",
-    "avro_schema_evolution", "protobuf_py_map_roundtrip",
-    # CEP stragglers — hardest semantics built in r3 (4)
-    "stream_cep_no_conversion_within",
-    "cep_group_pattern_double_conversion", "cep_until_stop_condition",
-    "cep_followed_by_nearest",
-    # streaming stragglers (7)
-    "stream_current_watermark", "stream_connect_threshold_filter",
-    "stream_semi_join", "stream_interval_join_outer", "stream_rows_over",
-    "stream_dedup", "stream_hop_agg",
+    # r4-red datagen rows — conf-skew fix re-proof first
+    "pysource_datagen_agg", "pysource_datagen_pushdown",
+    # newest end-to-end composition paths (verdict task 6: promote early)
+    "stream_doc_quality_ingest", "llm_curation_pipeline_v2",
+    # scale-hardened this round (verdict task 3)
+    "llm_semantic_dedup",
+    # streaming windows + SQL-dialect stragglers (6)
+    "stream_session_agg", "stream_cumulate_agg", "cumulate_tvf_sql",
+    "match_recognize_sql_budget_runs", "cdc_upsert_format_image",
+    "tumble_window_offset_agg",
+    # curation / LLM-pipeline operators built in r3/r4 (17)
+    "llm_text_stats", "llm_quality_score", "llm_quality_filter",
+    "llm_quality_classifier", "llm_ngram_jaccard_pairs",
+    "llm_rolling_fingerprints", "llm_boilerplate_removal",
+    "llm_common_ngrams_per_source", "llm_source_quality_report",
+    "llm_bpe_token_count", "llm_bpe_train_merges",
+    "llm_bpe_encode_roundtrip", "llm_perplexity_bucket_sample",
+    "llm_wav_decode_stats",
+    # batch window / agg stragglers (3)
+    "window_dedup", "agg_percentiles", "agg_first_last_value",
+    # UDx surface (6)
+    "udf_pandas_scalar", "udaf_pandas_grouped", "udtf_lateral",
+    "udtaf_top2_per_group", "cogroup_user_summary", "table_api_row_ops",
+    # scalar-function batches + pass-throughs (12)
+    "hash_code_fn", "string_functions2", "string_functions3",
+    "math_functions2", "temporal_functions2", "try_functions",
+    "temporal_overlaps_fn", "typeof_fn", "encode_decode_fn",
+    "array_map_row_fn", "json_functions2", "passthrough_functions",
+    # explode variant
+    "posexplode_words",
 ]
-# ROUND-5 ROTATION (precomputed — apply next round): the never-checked
-# remainder fits in one window, reaching 100% driver coverage of the
-# registry.  45 queries as of round-4 end:
-#   hash_code_fn, window_dedup, tumble_window_offset_agg,
-#   llm_ngram_jaccard_pairs, llm_bpe_token_count, llm_quality_score,
-#   llm_text_stats, llm_quality_filter, llm_rolling_fingerprints,
-#   agg_percentiles, llm_boilerplate_removal, llm_quality_classifier,
-#   llm_common_ngrams_per_source, llm_semantic_dedup,
-#   llm_bpe_train_merges, llm_bpe_encode_roundtrip,
-#   llm_perplexity_bucket_sample, llm_source_quality_report,
-#   llm_wav_decode_stats, llm_curation_pipeline_v2, stream_session_agg,
-#   stream_cumulate_agg, stream_doc_quality_ingest,
-#   match_recognize_sql_budget_runs, agg_first_last_value,
-#   string_functions2, math_functions2, temporal_functions2,
-#   try_functions, posexplode_words, cogroup_user_summary,
-#   udtaf_top2_per_group, udf_pandas_scalar, udaf_pandas_grouped,
-#   udtf_lateral, temporal_overlaps_fn, string_functions3, typeof_fn,
-#   encode_decode_fn, array_map_row_fn, json_functions2,
-#   passthrough_functions, table_api_row_ops,
-#   cdc_upsert_format_image, cumulate_tvf_sql
-# Compute exactly with: [n for n in QUERIES if n not in r1|r2|r3|r4
-# green rows].
 
 
 def _reorder() -> None:
@@ -105,11 +78,11 @@ def _reorder() -> None:
     # this round), registration order — round 5's window rotates these in
     driver_checked_tail = [
         n for n in QUERIES
-        if n not in ordered and n in _DRIVER_CHECKED_R1_R2_R3
+        if n not in ordered and n in _DRIVER_CHECKED
     ]
     middle = [
         n for n in QUERIES
-        if n not in ordered and n not in _DRIVER_CHECKED_R1_R2_R3
+        if n not in ordered and n not in _DRIVER_CHECKED
     ]
     snapshot = dict(QUERIES)
     QUERIES.clear()
@@ -117,13 +90,10 @@ def _reorder() -> None:
         QUERIES[n] = snapshot[n]
 
 
-# queries the driver hash-verified green in rounds 1-3
-# (∪ CORRECTNESS_r0{1,2,3}.json latest-green rows) — proven surface, so
-# they yield their slot in a truncated window.  agg_collect and
-# agg_approx_distinct appear here for historical reasons but are
-# overridden by _PRIORITY_WINDOW (their latest driver evidence is the r1
-# red row; round 4 re-proves them).
-_DRIVER_CHECKED_R1_R2_R3 = frozenset({
+# queries the driver hash-verified green in rounds 1-4
+# (∪ CORRECTNESS_r0{1..4}.json latest-green rows) — proven surface, so
+# they yield their slot in a truncated window.
+_DRIVER_CHECKED = frozenset({
     # round 1
     "calc_project_filter", "q1_pricing_summary", "q3_shipping_priority",
     "q6_forecast_revenue", "q14_promo_effect", "q18_large_volume",
@@ -183,6 +153,28 @@ _DRIVER_CHECKED_R1_R2_R3 = frozenset({
     "wf_ntile_percentiles", "wf_rank_dense_rank",
     "wf_running_rows_frame", "wf_topn_per_group", "window_join",
     "window_tvf_projection",
+    # round 4
+    "async_lookup_enrich", "avro_py_nested_roundtrip",
+    "avro_schema_evolution", "bucketed_join_agg",
+    "cep_followed_by_nearest", "cep_group_pattern_double_conversion",
+    "cep_until_stop_condition", "datastream_broadcast_join",
+    "datastream_iterate_countdown", "datastream_keyed_sum",
+    "datastream_map_filter", "datastream_side_output_split",
+    "file_compaction_roundtrip", "filesystem_partitioned_roundtrip",
+    "group_window_sql", "jdbc_roundtrip_agg", "llm_bigram_lm_score",
+    "llm_bpe_pair_counts", "llm_contamination_check",
+    "llm_curation_pipeline", "llm_deterministic_shuffle",
+    "llm_hard_negatives", "llm_pii_scrub", "llm_segment_dedup",
+    "llm_temperature_mix", "llm_token_budget_mix",
+    "match_recognize_sql_clicks", "match_recognize_sql_price_dip",
+    "match_recognize_sql_skip_chain", "metadata_columns_read",
+    "protobuf_py_map_roundtrip", "protobuf_py_nested_roundtrip",
+    "sql_client_script", "sql_gateway_rest",
+    "stream_cep_no_conversion_within", "stream_connect_threshold_filter",
+    "stream_current_watermark", "stream_dedup", "stream_hop_agg",
+    "stream_interval_join_outer", "stream_rows_over", "stream_semi_join",
+    "temporal_join_sql", "twophase_sink_roundtrip", "values_inline_rows",
+    "window_tvf_sql",
 })
 
 _reorder()

@@ -22,6 +22,36 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+#: Runtime-settable SQL confs the engine depends on.  This is the ONE
+#: source of truth shared by :func:`get_spark` (session build time) and
+#: ``__spark_entry__._configure`` (applied to a driver-provided session
+#: at runtime) — keeping them in a single dict is load-bearing: a conf
+#: added only to the builder path silently breaks under any externally
+#: created session (round-4 postmortem: the datagen DSv2 source failed
+#: under the driver because ``spark.sql.python.filterPushdown.enabled``
+#: lived only in the builder dict).
+RUNTIME_SQL_CONF: dict[str, str] = {
+    # AQE: runtime re-plan — skew-join splitting, partition coalescing,
+    # broadcast-join conversion from runtime stats. Non-negotiable at scale.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Deterministic time semantics (reference TIMESTAMP is naive; we pin UTC).
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow batching for every pandas UDF / applyInPandas hop.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python Data Source API: let custom sources absorb filters
+    # (DSv2 SupportsFilterPushDown for sources_v2.py)
+    "spark.sql.python.filterPushdown.enabled": "true",
+    # CBO so join reorder kicks in when stats exist (ANALYZE TABLE).
+    "spark.sql.cbo.enabled": "true",
+    "spark.sql.cbo.joinReorder.enabled": "true",
+    # testdata events.ts is parquet TIMESTAMP(NANOS); Spark has no ns
+    # timestamp — read as long, catalog converts to µs TimestampType
+    # (DuckDB likewise truncates ns → µs, keeping the oracle aligned).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
 
 def get_spark(
     app_name: str = "flink_psl_spark",
@@ -43,24 +73,10 @@ def get_spark(
         builder = builder.master(master)
 
     conf = {
-        # AQE: runtime re-plan — skew-join splitting, partition coalescing,
-        # broadcast-join conversion from runtime stats. Non-negotiable at scale.
-        "spark.sql.adaptive.enabled": "true",
-        "spark.sql.adaptive.coalescePartitions.enabled": "true",
-        "spark.sql.adaptive.skewJoin.enabled": "true",
+        **RUNTIME_SQL_CONF,
         "spark.sql.shuffle.partitions": str(
             shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
         ),
-        # Deterministic time semantics (reference TIMESTAMP is naive; we pin UTC).
-        "spark.sql.session.timeZone": "UTC",
-        # Arrow batching for every pandas UDF / applyInPandas hop.
-        "spark.sql.execution.arrow.pyspark.enabled": "true",
-        # Python Data Source API: let custom sources absorb filters
-        # (DSv2 SupportsFilterPushDown for sources_v2.py)
-        "spark.sql.python.filterPushdown.enabled": "true",
-        # CBO so join reorder kicks in when stats exist (ANALYZE TABLE).
-        "spark.sql.cbo.enabled": "true",
-        "spark.sql.cbo.joinReorder.enabled": "true",
         # Streaming state store: RocksDB — the reference fork's whole point is
         # a pluggable remote keyed-state backend (SURVEY §0); in Spark that is
         # spark.sql.streaming.stateStore.providerClass, and RocksDB is the
@@ -69,10 +85,6 @@ def get_spark(
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider"
         ),
-        # testdata events.ts is parquet TIMESTAMP(NANOS); Spark has no ns
-        # timestamp — read as long, catalog converts to µs TimestampType
-        # (DuckDB likewise truncates ns → µs, keeping the oracle aligned).
-        "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     }
