@@ -425,55 +425,92 @@ def semantic_dedup(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
+    target_cluster_size: int = 512,
+    max_cluster_size: int | None = None,
     threshold: float = 0.95,
 ) -> DataFrame:
     """Semantic (embedding-space) dedup, SemDeDup-style: cluster the
     corpus, then remove near-duplicates WITHIN each cluster only —
     clustering bounds the pair space, which is the whole point at scale
     (cross-cluster near-dups are accepted misses, as in the published
-    recipe).
+    recipe, which works *because* cluster count scales with the corpus).
 
-    Deterministic seeding keeps the operator engine-replayable: centroids
-    are the ``n_clusters`` lowest-id vectors (swap in k-means centroids
-    for tighter cells without changing the plan); each vector routes to
-    its max-cosine centroid (broadcast centroids, map-side expression
-    cosine, ties to the lower centroid id). Within a cluster, a vector is
-    dropped when a lower-id cluster-mate has cosine >= threshold.
+    Scale hardening (two independent guarantees):
 
-    Scale shape: centroid broadcast is n_clusters x dim doubles
-    (an index parameter); assignment is scan-stage-only; the self-join is
-    an equi-join on cluster id, so pairs are bounded per cluster and the
-    shuffle key is the cluster id. Returns survivors
-    (id, cluster_id) plus every other corpus column untouched.
+    1. **Cluster count scales with the corpus.** ``n_clusters=None``
+       (default) derives ``ceil(count / target_cluster_size)`` — a 100 TB
+       corpus gets SemDeDup-scale cluster counts instead of 16 mega-cells.
+    2. **Per-cluster pair work is HARD-capped.** However skewed the
+       routing, each cluster is split into deterministic sub-buckets of at
+       most ``max_cluster_size`` rows (rank over the hash order), and the
+       pair join keys on (cluster, sub-bucket) — worst-case pair count per
+       shuffle key is C(max_cluster_size, 2) regardless of data. Dups
+       across sub-buckets of an oversized cluster are accepted misses,
+       exactly like cross-cluster dups.
+
+    Determinism without bias: centroid seeding and sub-bucket order use
+    ``md5(id)`` — a deterministic hash sample, engine-replayable (the
+    DuckDB oracle computes the identical MD5) yet uncorrelated with
+    ingestion order, unlike lowest-id seeding which picks whatever was
+    loaded first. Each vector routes to its max-cosine centroid via a
+    map-side ``max_by`` partial aggregation (ties to the lower centroid
+    id) — no N×K shuffle. Within a sub-bucket, a vector is dropped when a
+    lower-id mate has cosine >= threshold.
+
+    Scale shape: one count job (scalar), centroid broadcast is
+    n_clusters × dim doubles (for SemDeDup-scale cluster counts swap the
+    broadcast for a coarse/fine two-level routing — plan shape otherwise
+    unchanged); assignment is scan + partial agg; the self-join is an
+    equi-join keyed by (cluster, sub-bucket) with bounded fan-out.
+    Returns survivors (id, cluster_id) plus every other corpus column.
     """
     from pyspark.sql import Window
 
     c = corpus.select(
         F.col(id_col).alias("__id"),
         _col(vec_col).cast("array<double>").alias("__v"),
+        F.md5(F.col(id_col).cast("string")).alias("__h"),
     )
+    if n_clusters is None:
+        n_rows = c.count()  # one scalar agg job — control-plane only
+        n_clusters = max(1, math.ceil(n_rows / target_cluster_size))
+    if max_cluster_size is None:
+        max_cluster_size = 4 * target_cluster_size
     cents = (
-        c.orderBy("__id")
+        c.orderBy("__h", "__id")
         .limit(n_clusters)
         .select(F.col("__id").alias("__cid"), F.col("__v").alias("__cv"))
     )
     scored = c.join(F.broadcast(cents)).select(
-        "__id", "__v", "__cid", cosine("__v", "__cv").alias("__sim")
+        "__id", "__v", "__h", "__cid", cosine("__v", "__cv").alias("__sim")
     )
-    w = Window.partitionBy("__id").orderBy(
-        F.desc("__sim"), F.asc("__cid")
+    # max-cosine routing as max_by over (sim, -cid): partial-aggregates
+    # map-side, so the exchange carries N rows, not N×K scored rows
+    routed = scored.groupBy("__id").agg(
+        F.max_by(
+            F.struct(
+                F.col("__cid").alias("cluster_id"), F.col("__v").alias("__v")
+            ),
+            F.struct(F.col("__sim"), (-F.col("__cid")).alias("__tie")),
+        ).alias("__best"),
+        F.first("__h").alias("__h"),
     )
-    assigned = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select("__id", "__v", F.col("__cid").alias("cluster_id"))
+    w = Window.partitionBy("__best.cluster_id").orderBy("__h", "__id")
+    assigned = routed.select(
+        "__id",
+        F.col("__best.__v").alias("__v"),
+        F.col("__best.cluster_id").alias("cluster_id"),
+        F.floor((F.row_number().over(w) - 1) / max_cluster_size).alias(
+            "__sub"
+        ),
     )
     pairs = (
         assigned.alias("l")
         .join(
             assigned.alias("r"),
             (F.col("l.cluster_id") == F.col("r.cluster_id"))
+            & (F.col("l.__sub") == F.col("r.__sub"))
             & (F.col("l.__id") < F.col("r.__id")),
         )
         .where(cosine(F.col("l.__v"), F.col("r.__v")) >= threshold)

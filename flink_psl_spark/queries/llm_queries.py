@@ -1489,24 +1489,39 @@ def llm_common_ngrams_per_source(spark, sf_dir):
 
 @query(
     "llm_semantic_dedup",
-    # exact replica: lowest-16-id centroids, max-cosine routing (ties to
-    # lower centroid id), within-cluster cosine >= 0.2 drop-greater-id
+    # exact replica of the scale-hardened operator: md5-hash-sampled
+    # centroids (n = ceil(count/32)), max-cosine routing (ties to lower
+    # centroid id), clusters split into sub-buckets of <= 25 rows in hash
+    # order (the per-cluster pair-count hard cap), within-sub-bucket
+    # cosine >= 0.2 drop-greater-id
     oracle="""
-    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      MD5(CAST(vec_id AS VARCHAR)) AS h
+               FROM embeddings),
+    k AS (SELECT GREATEST(1, CAST(CEIL(COUNT(*) / 32.0) AS BIGINT)) AS n
+          FROM c),
     cents AS (
-      SELECT vec_id AS cid, v AS cv FROM c ORDER BY vec_id LIMIT 16),
+      SELECT vec_id AS cid, v AS cv
+      FROM (SELECT vec_id, v,
+                   ROW_NUMBER() OVER (ORDER BY h, vec_id) AS rn FROM c)
+      WHERE rn <= (SELECT n FROM k)),
     routed AS (
-      SELECT vec_id, v, cid,
+      SELECT vec_id, v, h, cid,
              ROW_NUMBER() OVER (
                PARTITION BY vec_id
                ORDER BY LIST_COSINE_SIMILARITY(v, cv) DESC, cid) AS rn
       FROM c CROSS JOIN cents),
     assigned AS (
-      SELECT vec_id, v, cid AS cluster_id FROM routed WHERE rn = 1),
+      SELECT vec_id, v, cid AS cluster_id,
+             CAST(FLOOR((ROW_NUMBER() OVER (
+               PARTITION BY cid ORDER BY h, vec_id) - 1) / 25)
+               AS BIGINT) AS sub
+      FROM routed WHERE rn = 1),
     dropped AS (
       SELECT DISTINCT r.vec_id
       FROM assigned l JOIN assigned r
-        ON l.cluster_id = r.cluster_id AND l.vec_id < r.vec_id
+        ON l.cluster_id = r.cluster_id AND l.sub = r.sub
+       AND l.vec_id < r.vec_id
       WHERE LIST_COSINE_SIMILARITY(l.v, r.v) >= 0.2)
     SELECT e.vec_id, e.label, a.cluster_id
     FROM embeddings e JOIN assigned a USING (vec_id)
@@ -1514,15 +1529,19 @@ def llm_common_ngrams_per_source(spark, sf_dir):
     """,
 )
 def llm_semantic_dedup(spark, sf_dir):
-    """SemDeDup-style semantic dedup: deterministic-centroid clustering
-    bounds the pair space; near-dups (cosine >= 0.2, the fixture's
-    separation threshold) are removed within clusters, keep-lowest-id."""
+    """SemDeDup-style semantic dedup: hash-sampled deterministic
+    centroids with corpus-derived cluster count bound the pair space, a
+    sub-bucket hard cap (25 here, so the fixture exercises the split
+    path) bounds worst-case pair counts per shuffle key; near-dups
+    (cosine >= 0.2, the fixture's separation threshold) are removed
+    within sub-buckets, keep-lowest-id."""
     from flink_psl_spark.llm import semantic_dedup
 
     t = tables(spark, sf_dir)
     return semantic_dedup(
         t["embeddings"].select("vec_id", "embedding", "label"),
-        n_clusters=16,
+        target_cluster_size=32,
+        max_cluster_size=25,
         threshold=0.2,
     ).select("vec_id", "label", "cluster_id")
 

@@ -150,3 +150,85 @@ def test_nonequi_join_is_broadcast_nlj(spark, t):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_semantic_dedup_pair_space_bounded(spark, t):
+    """The semantic-dedup pair join must stay bounded however skewed the
+    centroid routing is: every (cluster, sub-bucket) shuffle key holds at
+    most ``max_cluster_size`` rows, so per-key pair work is capped at
+    C(cap, 2) — the r4 scale-killer was an uncapped within-cluster
+    self-join that could hold a constant fraction of the corpus.
+
+    Adversarial input: identical embeddings, so EVERY row routes to one
+    cluster; with cap=10 over 200 rows the single cluster must split into
+    20 sub-buckets (max 45 pairs each) instead of one 19,900-pair cell."""
+    from flink_psl_spark.llm import semantic_dedup
+    from flink_psl_spark.llm.similarity import cosine
+
+    n, cap = 200, 10
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0)).alias("embedding"),
+    )
+    out = semantic_dedup(
+        base, n_clusters=4, max_cluster_size=cap, threshold=0.999
+    )
+    # all-identical vectors: each sub-bucket keeps exactly its lowest id
+    # -> ceil(n / cap) survivors, one per sub-bucket of the one cluster
+    assert out.count() == n // cap
+
+    # white-box bound: replicate the operator's keying and assert no
+    # (cluster, sub-bucket) group exceeds the cap — this is the invariant
+    # that bounds the self-join fan-out at any scale
+    from pyspark.sql import Window
+
+    c = base.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.md5(F.col("vec_id").cast("string")).alias("h"),
+    )
+    cents = (
+        c.orderBy("h", "vec_id").limit(4)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    routed = (
+        c.join(F.broadcast(cents))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cid", F.struct(cosine("v", "cv"), (-F.col("cid")).alias("t"))
+            ).alias("cluster_id"),
+            F.first("h").alias("h"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy("h", "vec_id")
+    sizes = (
+        routed.withColumn(
+            "sub", F.floor((F.row_number().over(w) - 1) / cap)
+        )
+        .groupBy("cluster_id", "sub")
+        .count()
+    )
+    assert sizes.agg(F.max("count")).collect()[0][0] <= cap
+    # and the skew really happened: everything landed in one cluster
+    assert sizes.select("cluster_id").distinct().count() == 1
+
+
+def test_semantic_dedup_cluster_count_scales(spark):
+    """n_clusters=None derives ceil(count/target) — the corpus size, not a
+    constant, drives cluster count (SemDeDup works because clusters stay
+    small as the corpus grows)."""
+    from flink_psl_spark.llm import semantic_dedup
+
+    base = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("double"), F.lit(1.0), F.lit(0.5)
+        ).alias("embedding"),
+    )
+    out = semantic_dedup(base, target_cluster_size=30, threshold=1.1)
+    # threshold > 1 -> nothing dropped; distinct cluster ids <= derived 10
+    # and > 1 (the routing actually spread the corpus)
+    assert out.count() == 300
+    k = out.select("cluster_id").distinct().count()
+    assert 1 < k <= 10
