@@ -350,3 +350,103 @@ def test_iterative_conditions_match_brute_force(spark, raw):
         for r in out.collect()
     )
     assert got == sorted(_brute_dips(vals))
+
+
+@st.composite
+def cep_stream_case(draw):
+    """A value sequence + a random arrival-order permutation split into
+    1-4 files (so the streaming matcher sees out-of-order, cross-batch
+    arrivals of the SAME event-time sequence the batch matcher scans)."""
+    vals = draw(st.lists(st.integers(0, 6), min_size=3, max_size=10))
+    order = draw(st.permutations(list(range(len(vals)))))
+    n_files = draw(st.integers(1, min(4, len(vals))))
+    return vals, order, n_files
+
+
+@given(cep_stream_case())
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_streaming_cep_iterative_defines_match_batch(spark, case):
+    """Batch vs streaming MATCH_RECOGNIZE parity for ITERATIVE conditions
+    (cross-variable FIRST/LAST history refs in DEFINE) under arbitrary
+    arrival permutations and batch splits — exercises the frontier
+    deferral of greedy blocks (streaming/cep_stream.py) against the batch
+    NFA, which the brute-force test above already pins to ground truth.
+
+    Sentinels make finalization total: two trailing -1e9 rows can never
+    bind UP (UP requires v > first(DOWN)), so every legitimate match ends
+    strictly before a finalized row and must emit."""
+    import tempfile as _tf
+
+    from flink_psl_spark.cep import Measure, Step, match_recognize
+    from flink_psl_spark.streaming import run_to_memory_table
+    from flink_psl_spark.streaming.cep_stream import streaming_match_recognize
+
+    vals, order, n_files = case
+    rows = [
+        ("k", i, float(v), BASE + dt.timedelta(minutes=i))
+        for i, v in enumerate(vals)
+    ]
+    # sentinels: one UP-able high row, then two un-bindable floor rows
+    # whose arrival finalizes everything before them
+    rows += [
+        ("k", 500, 1e9, BASE + dt.timedelta(minutes=500)),
+        ("k", 1000, -1e9, BASE + dt.timedelta(minutes=1000)),
+        ("k", 1500, -1e9, BASE + dt.timedelta(minutes=1500)),
+    ]
+    schema = "k string, i long, v double, ts timestamp"
+
+    def pattern():
+        down = Step.at_least("DOWN", "true", 2).where_history(
+            lambda get, first, last: last("DOWN", "v", 1) is None
+            or get("v") < last("DOWN", "v", 1),
+            ["v"],
+        )
+        up = Step.once("UP", "true").where_history(
+            lambda get, first, last: (
+                first("DOWN", "v") is not None
+                and get("v") > first("DOWN", "v")
+            ),
+            ["v"],
+        )
+        return [down, up]
+
+    measures = [
+        Measure("fi", "DOWN", "first", "i"),
+        Measure("nd", "DOWN", "count"),
+        Measure("bottom", "DOWN", "last", "v"),
+        Measure("upv", "UP", "first", "v"),
+    ]
+
+    batch = match_recognize(
+        spark.createDataFrame(rows, schema), "k", "i", pattern(), measures
+    )
+    want = sorted(
+        (r["fi"], r["nd"], r["bottom"], r["upv"]) for r in batch.collect()
+    )
+
+    # stream the main rows in the drawn permutation across n_files files,
+    # then the sentinels in time order (they close the watermark)
+    main = [rows[j] for j in order]
+    step = max(1, -(-len(main) // n_files))
+    files = [main[o:o + step] for o in range(0, len(main), step)]
+    files += [[rows[-3]], [rows[-2]], [rows[-1]]]
+    d = _tf.mkdtemp(prefix="fps_cepprop_")
+    for chunk in files:
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{d}/src")
+    st_df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/src")
+    )
+    out = streaming_match_recognize(
+        st_df, "k", "ts", pattern(), measures,
+        delay="60 minutes", tiebreak_col="i",
+    )
+    mem = run_to_memory_table(out, output_mode="append")
+    got = sorted(
+        (r["fi"], r["nd"], r["bottom"], r["upv"]) for r in mem.collect()
+    )
+    assert got == want
