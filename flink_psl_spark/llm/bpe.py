@@ -76,6 +76,7 @@ def bpe_train(
     text_col: str = "text",
     n_merges: int = 12,
     min_pair_count: int = 2,
+    vocab_limit: int | None = None,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus; returns the ordered
     merge list [(left, right), ...] — a tokenizer artifact bounded by
@@ -85,10 +86,17 @@ def bpe_train(
     one weighted hash aggregation, a 1-row argmax collect, then a row-local
     Arrow-batched merge application. Lineage is cut with localCheckpoint
     every few rounds (the graph-loop pattern, operators/graph.py).
+
+    ``vocab_limit``: optionally train on the top-``vocab_limit`` words by
+    (count desc, word asc) — a distributed TakeOrdered, deterministic. The
+    standard cap for web-scale corpora (rare-word tails don't move merge
+    ranks), and what lets a verification replay the same table in bounded
+    memory.
     """
-    state = word_counts(docs, text_col=text_col).select(
-        "cnt", _chars_expr("word").alias("syms")
-    )
+    wc = word_counts(docs, text_col=text_col)
+    if vocab_limit is not None:
+        wc = wc.orderBy(F.desc("cnt"), F.asc("word")).limit(vocab_limit)
+    state = wc.select("cnt", _chars_expr("word").alias("syms"))
     state = state.localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
     pair_expr = F.expr(

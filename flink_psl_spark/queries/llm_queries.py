@@ -1568,8 +1568,18 @@ def llm_bpe_train_merges(spark, sf_dir):
 
     t = tables(spark, sf_dir)
     docs = t["documents"]
-    got = bpe_train(docs, n_merges=12)
-    wc = {r["word"]: r["cnt"] for r in word_counts(docs).collect()}
+    # the self-check replays the SAME top-V vocabulary through the
+    # single-process reference, so the driver-side collect is bounded by
+    # V (a parameter), never by corpus vocabulary; V=20 < the fixture's
+    # 31-word vocab so the capped path is the one being proven
+    V = 20
+    got = bpe_train(docs, n_merges=12, vocab_limit=V)
+    wc_df = (
+        word_counts(docs)
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(V)
+    )
+    wc = {r["word"]: r["cnt"] for r in wc_df.collect()}
     want = reference_bpe_merges(wc, 12)
     rows = [
         (i, i < len(got) and i < len(want) and got[i] == want[i])

@@ -7,6 +7,26 @@ config, DDL/DML/queries. Spark's engine runs the statements natively
 splitting that respects quotes/comments, SET/RESET handling against the
 session conf, and per-statement results — so a user can port a
 ``sql-client -f job.sql`` invocation directly.
+
+Statement coverage (the dialect layer's single source of truth):
+
+- **Rewritten here / in ddl.py / temporal_sql.py**: ``SET``/``RESET``,
+  ``EXECUTE STATEMENT SET BEGIN … END``, ``EXPLAIN PLAN FOR``, reference
+  DDL (``CREATE TABLE … WITH (connector=…)``), group windows
+  (``TUMBLE``/``HOP``/``SESSION``), window TVFs
+  (``TABLE(TUMBLE|HOP|CUMULATE(...))``), ``FOR SYSTEM_TIME AS OF``,
+  ``MATCH_RECOGNIZE`` (match_recognize_sql.py).
+- **Pass-through** (Spark SQL runs them natively, same syntax):
+  ``SHOW TABLES/DATABASES/FUNCTIONS/VIEWS``, ``DESCRIBE``, ``USE``,
+  ``ANALYZE TABLE``, ``CREATE/DROP VIEW``, ``INSERT``, queries.
+- **Intentionally unmapped** — cluster-process statements with no Spark
+  statement counterpart: ``SHOW JOBS`` / ``STOP JOB <id>`` (reference:
+  flink-sql-client's job lifecycle against a JobManager). Their
+  counterpart HERE is the SQL gateway's operation surface
+  (gateway.py: list operations / cancel-operation, which interrupts the
+  real Spark job group), matching how the reference's own gateway models
+  cancellation. ``SET``-only deployment keys (``execution.target`` etc.)
+  are accepted but inert, as in a library deployment.
 """
 
 from __future__ import annotations
