@@ -46,6 +46,7 @@ from flink_psl_spark.llm.sampling import (  # noqa: F401
     deterministic_sample,
     deterministic_shuffle,
     distributed_ntile,
+    importance_resample,
     mix_datasets,
     stratified_sample,
     temperature_mix,

@@ -330,3 +330,109 @@ def distributed_ntile(
         )
         .drop("__bin", "__off", "__rank")
     )
+
+
+def importance_resample(
+    docs: DataFrame,
+    target_pred: Column,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    k: int = 100,
+) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every RAW
+    document by how target-like its hashed n-gram features are, and keep
+    the top ``k``.
+
+    Recipe (the published one, re-expressed as four hash aggregations):
+    hashed uni+bigram features into ``n_buckets`` buckets; bucket
+    distributions p (docs where ``target_pred``) and q (the rest), add-1
+    smoothed; per-raw-doc importance weight = sum over its feature
+    occurrences of log p[b] - log q[b]; selection = global top-k by
+    weight. (The paper adds Gumbel noise to sample rather than argmax;
+    with a deterministic engine the noiseless top-k is the replayable
+    variant — seeded hash noise drops in via an extra ``_bucket`` term if
+    sampling-without-argmax is wanted.)
+
+    Cross-engine exactness: per-bucket log-ratios are quantized to 1e-6
+    integers BEFORE the per-doc sum (the llm_bigram_lm_score pattern), so
+    the aggregate is an addition-order-proof integer sum.
+
+    Scale shape: feature explode is map-side; the bucket tables are
+    ``n_buckets``-bounded aggregates (broadcastable by construction); the
+    per-doc score is one hash aggregation with map-side partial sums; the
+    top-k is a distributed TakeOrdered, never a global sort. No step
+    depends on corpus size beyond the two scans.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    from flink_psl_spark.llm.text import ngrams, tokenize
+
+    grams = F.concat(
+        tokenize(F.col(text_col)), ngrams(F.col(text_col), 2)
+    )
+    feats = docs.select(
+        F.col(id_col).alias("__id"),
+        target_pred.alias("__t"),
+        F.explode(grams).alias("__g"),
+    ).select(
+        "__id",
+        "__t",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("__g")), 1, 6), 16, 10).cast(
+                "bigint"
+            ),
+            F.lit(n_buckets),
+        ).alias("__b"),
+    )
+    t_cnt = (
+        feats.where("__t").groupBy("__b").agg(F.count("*").alias("__tc"))
+    )
+    r_cnt = (
+        feats.where(~F.col("__t"))
+        .groupBy("__b")
+        .agg(F.count("*").alias("__rc"))
+    )
+    t_tot = feats.where("__t").count()
+    r_tot = feats.where(~F.col("__t")).count()
+    ratio = (
+        t_cnt.join(r_cnt, on="__b", how="full")
+        .select(
+            "__b",
+            F.round(
+                (
+                    F.log(F.coalesce(F.col("__tc"), F.lit(0)) + 1.0)
+                    - F.lit(float(math.log(t_tot + n_buckets)))
+                    - F.log(F.coalesce(F.col("__rc"), F.lit(0)) + 1.0)
+                    + F.lit(float(math.log(r_tot + n_buckets)))
+                )
+                * 1000000.0
+            )
+            .cast("bigint")
+            .alias("__lr"),
+        )
+    )
+    scored = (
+        feats.where(~F.col("__t"))
+        .join(F.broadcast(ratio), on="__b")
+        .groupBy("__id")
+        .agg(
+            F.sum("__lr").alias("__score"),
+            F.count("*").alias("n_feats"),
+        )
+    )
+    topk = scored.orderBy(F.desc("__score"), F.asc("__id")).limit(k)
+    w = Window.orderBy(F.desc("__score"), F.asc("__id"))
+    return (
+        topk.withColumn("rank", F.row_number().over(w))  # k-row frame only
+        .select(
+            F.col("__id").alias(id_col),
+            F.round(F.col("__score") / 1000000.0, 6).alias("logweight"),
+            F.col("n_feats"),
+            "rank",
+        )
+    )

@@ -1949,3 +1949,60 @@ def llm_curation_pipeline_v2(spark, sf_dir):
         "doc_id", "shard", "pos",
         F.col("n_kept").cast("bigint").alias("n_final_segments"),
     )
+
+
+@query(
+    "llm_importance_resample",
+    # exact replica of the quantized DSIR recipe: hashed uni+bigram
+    # features (md5 -> 256 buckets), add-1 smoothed target/raw bucket
+    # distributions, per-raw-doc integer sum of 1e-6-quantized
+    # log-ratios, global top-100 (score desc, doc_id asc)
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source = 'src0' AS t, {{toks}} AS w
+               FROM documents),
+    uni AS (SELECT doc_id, t, UNNEST(w) AS g FROM d),
+    bi AS (
+      SELECT doc_id, t, ARRAY_TO_STRING(w[i:i+1], ' ') AS g
+      FROM (SELECT doc_id, t, w,
+                   UNNEST(GENERATE_SERIES(1, LEN(w) - 1)) AS i
+            FROM d WHERE LEN(w) >= 2)),
+    f AS (
+      SELECT doc_id, t,
+             CAST(CONCAT('0x', SUBSTR(MD5(g), 1, 6)) AS BIGINT) % 256 AS b
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+    tc AS (SELECT b, COUNT(*) AS c FROM f WHERE t GROUP BY b),
+    rc AS (SELECT b, COUNT(*) AS c FROM f WHERE NOT t GROUP BY b),
+    tt AS (SELECT COUNT(*) AS n FROM f WHERE t),
+    rt AS (SELECT COUNT(*) AS n FROM f WHERE NOT t),
+    ratio AS (
+      SELECT COALESCE(tc.b, rc.b) AS b,
+             CAST(ROUND((LN(COALESCE(tc.c, 0) + 1.0)
+                         - LN((SELECT n FROM tt) + 256.0)
+                         - LN(COALESCE(rc.c, 0) + 1.0)
+                         + LN((SELECT n FROM rt) + 256.0)) * 1000000)
+                  AS BIGINT) AS lr
+      FROM tc FULL JOIN rc ON tc.b = rc.b),
+    sc AS (SELECT f.doc_id, SUM(lr) AS score, COUNT(*) AS n_feats
+           FROM f JOIN ratio USING (b) WHERE NOT t GROUP BY f.doc_id),
+    r AS (SELECT doc_id, score, n_feats,
+                 ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+          FROM sc)
+    SELECT doc_id, ROUND(score / 1000000.0, 6) AS logweight,
+           CAST(n_feats AS BIGINT) AS n_feats, CAST(rank AS INTEGER) AS rank
+    FROM r WHERE rank <= 100
+    """.replace("{toks}", _TOKS),
+)
+def llm_importance_resample(spark, sf_dir):
+    """DSIR-style importance resampling: pick the 100 raw documents whose
+    hashed-n-gram feature distribution is most target-like (target =
+    source 'src0'). Bucket tables are parameter-bounded aggregates; the
+    selection is a distributed TakeOrdered."""
+    from flink_psl_spark.llm import importance_resample
+
+    t = tables(spark, sf_dir)
+    return importance_resample(
+        t["documents"],
+        F.col("source") == "src0",
+        n_buckets=256,
+        k=100,
+    )

@@ -560,3 +560,29 @@ def test_round4_ops_degenerate_inputs(spark):
     nch, rate, samples = decode_wav(encode_wav([], 8000))
     assert (nch, rate, len(samples)) == (1, 8000, 0)
     assert isinstance(samples, np.ndarray)
+
+
+def test_importance_resample_prefers_target_like(spark):
+    """Raw docs sharing the target's vocabulary must outrank raw docs
+    with disjoint vocabulary (the DSIR objective), and ranking is
+    deterministic (score desc, id asc)."""
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.llm import importance_resample
+
+    target = [(i, "apple banana cherry apple banana", True) for i in range(4)]
+    like = [(10 + i, "apple banana apple cherry", False) for i in range(3)]
+    unlike = [(20 + i, "xylophone quartz zebra vortex", False) for i in range(3)]
+    df = spark.createDataFrame(
+        target + like + unlike, "doc_id long, text string, is_t boolean"
+    )
+    out = importance_resample(
+        df, F.col("is_t"), n_buckets=64, k=10
+    ).collect()
+    ranks = {r["doc_id"]: r["rank"] for r in out}
+    assert set(ranks) == {10, 11, 12, 20, 21, 22}  # raw docs only
+    assert max(ranks[d] for d in (10, 11, 12)) < min(
+        ranks[d] for d in (20, 21, 22)
+    )
+    # identical text -> identical score -> id-ordered ranks
+    assert [ranks[10], ranks[11], ranks[12]] == [1, 2, 3]

@@ -361,3 +361,16 @@ def test_distributed_ntile_no_global_sort(spark, t):
     # aggregate (#bins rows); the fine window must be bin-partitioned
     fine = p.split("hashpartitioning(__bin", 1)[1]
     assert "Window" in fine
+
+
+def test_importance_resample_plan(spark, sf_dir, t):
+    """DSIR plan hygiene: the bucket log-ratio table joins BROADCAST
+    (it is n_buckets-bounded by construction), the global top-k compiles
+    to TakeOrderedAndProject (distributed partial top-k), and there is no
+    cartesian product or corpus-sized sort anywhere."""
+    from flink_psl_spark.queries import QUERIES
+
+    p = _plan(QUERIES["llm_importance_resample"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
