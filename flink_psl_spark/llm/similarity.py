@@ -429,6 +429,7 @@ def semantic_dedup(
     target_cluster_size: int = 512,
     max_cluster_size: int | None = None,
     threshold: float = 0.95,
+    two_level: bool = False,
 ) -> DataFrame:
     """Semantic (embedding-space) dedup, SemDeDup-style: cluster the
     corpus, then remove near-duplicates WITHIN each cluster only —
@@ -459,11 +460,24 @@ def semantic_dedup(
     lower-id mate has cosine >= threshold.
 
     Scale shape: one count job (scalar), centroid broadcast is
-    n_clusters × dim doubles (for SemDeDup-scale cluster counts swap the
-    broadcast for a coarse/fine two-level routing — plan shape otherwise
-    unchanged); assignment is scan + partial agg; the self-join is an
-    equi-join keyed by (cluster, sub-bucket) with bounded fan-out.
-    Returns survivors (id, cluster_id) plus every other corpus column.
+    n_clusters × dim doubles; assignment is scan + partial agg; the
+    self-join is an equi-join keyed by (cluster, sub-bucket) with bounded
+    fan-out. Returns survivors (id, cluster_id) plus every other corpus
+    column.
+
+    ``two_level=True`` — the SemDeDup-scale routing path. At ~100k
+    clusters the flat centroid broadcast (n_clusters × dim doubles) blows
+    the broadcast budget, so route IVF-style instead: broadcast only
+    ~sqrt(K) coarse centroids (a deterministic subset of the same
+    hash-sampled centroids),
+    send each vector to its max-cosine coarse cell map-side, then resolve
+    the fine centroid with an equi-join against the fine centroids OF
+    THAT CELL (the K-row centroid table shuffles by coarse cell — never
+    broadcast, never crossed with the corpus). A vector considers only
+    its cell's fine centroids — the standard IVF approximation; cluster
+    memberships shift at cell borders but every DOWNSTREAM guarantee
+    (sub-bucket cap, keep-lowest-id) is routing-independent. AQE's skew
+    join covers hot coarse cells.
     """
     from pyspark.sql import Window
 
@@ -482,20 +496,87 @@ def semantic_dedup(
         .limit(n_clusters)
         .select(F.col("__id").alias("__cid"), F.col("__v").alias("__cv"))
     )
-    scored = c.join(F.broadcast(cents)).select(
-        "__id", "__v", "__h", "__cid", cosine("__v", "__cv").alias("__sim")
-    )
-    # max-cosine routing as max_by over (sim, -cid): partial-aggregates
-    # map-side, so the exchange carries N rows, not N×K scored rows
-    routed = scored.groupBy("__id").agg(
-        F.max_by(
-            F.struct(
-                F.col("__cid").alias("cluster_id"), F.col("__v").alias("__v")
+
+    def _route(rows: DataFrame, centroids: DataFrame) -> DataFrame:
+        """max-cosine routing as max_by over (sim, -cid): partial-
+        aggregates map-side, so the exchange carries N rows, not N×K
+        scored rows."""
+        scored = rows.join(F.broadcast(centroids)).select(
+            rows["*"], "__cid", cosine("__v", "__cv").alias("__sim")
+        )
+        others = [f for f in rows.columns if f not in ("__id", "__v")]
+        return scored.groupBy("__id").agg(
+            F.max_by(
+                F.struct(
+                    F.col("__cid").alias("cluster_id"),
+                    F.col("__v").alias("__v"),
+                ),
+                F.struct(F.col("__sim"), (-F.col("__cid")).alias("__tie")),
+            ).alias("__best"),
+            *[F.first(o).alias(o) for o in others],
+        )
+
+    if not two_level:
+        routed = _route(c, cents)
+    else:
+        # coarse cells: the first ~sqrt(K) of the same hash-ordered
+        # sample (a subset of the fine centroids — no extra scan)
+        n_coarse = max(1, math.isqrt(n_clusters))
+        coarse = (
+            cents.orderBy("__cid")
+            .limit(n_coarse)
+            .select(
+                F.col("__cid").alias("__gid"), F.col("__cv").alias("__gv")
+            )
+        )
+        # fine centroids route to coarse cells once (K rows — tiny job)
+        cent_cell = (
+            cents.withColumnRenamed("__cid", "__id")
+            .withColumnRenamed("__cv", "__v")
+            .transform(
+                lambda d: _route(
+                    d,
+                    coarse.select(
+                        F.col("__gid").alias("__cid"),
+                        F.col("__gv").alias("__cv"),
+                    ),
+                )
+            )
+            .select(
+                F.col("__id").alias("__cid"),
+                F.col("__best.__v").alias("__cv"),
+                F.col("__best.cluster_id").alias("__cell"),
+            )
+        )
+        # vectors route to coarse cells map-side (broadcast is sqrt(K))
+        vec_cell = _route(
+            c,
+            coarse.select(
+                F.col("__gid").alias("__cid"), F.col("__gv").alias("__cv")
             ),
-            F.struct(F.col("__sim"), (-F.col("__cid")).alias("__tie")),
-        ).alias("__best"),
-        F.first("__h").alias("__h"),
-    )
+        ).select(
+            "__id",
+            F.col("__best.__v").alias("__v"),
+            F.col("__best.cluster_id").alias("__cell"),
+            "__h",
+        )
+        # fine resolution: equi-join on the coarse cell (keyed shuffle of
+        # the K-row centroid table — NOT a broadcast of all K), then the
+        # same max_by argmax within the cell
+        in_cell = vec_cell.join(cent_cell, on="__cell").select(
+            "__id", "__v", "__h", "__cid",
+            cosine("__v", "__cv").alias("__sim"),
+        )
+        routed = in_cell.groupBy("__id").agg(
+            F.max_by(
+                F.struct(
+                    F.col("__cid").alias("cluster_id"),
+                    F.col("__v").alias("__v"),
+                ),
+                F.struct(F.col("__sim"), (-F.col("__cid")).alias("__tie")),
+            ).alias("__best"),
+            F.first("__h").alias("__h"),
+        )
     w = Window.partitionBy("__best.cluster_id").orderBy("__h", "__id")
     assigned = routed.select(
         "__id",

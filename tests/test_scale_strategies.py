@@ -232,3 +232,38 @@ def test_semantic_dedup_cluster_count_scales(spark):
     assert out.count() == 300
     k = out.select("cluster_id").distinct().count()
     assert 1 < k <= 10
+
+
+def test_semantic_dedup_two_level_routing(spark):
+    """The IVF-style two-level path must (a) still dedup exact duplicates
+    — identical vectors route identically whatever the routing depth —
+    (b) be deterministic across runs, and (c) never broadcast the full
+    fine-centroid table (only the ~sqrt(K) coarse set is broadcast; the
+    fine resolution is an equi-join on the coarse cell)."""
+    from flink_psl_spark.llm import semantic_dedup
+
+    # 60 distinct direction groups x 5 identical copies each
+    base = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            F.cos((F.col("id") % 60).cast("double")),
+            F.sin((F.col("id") % 60).cast("double")),
+            F.lit(0.1),
+        ).alias("embedding"),
+    )
+    kw = dict(
+        n_clusters=36, max_cluster_size=50, threshold=0.9999, two_level=True
+    )
+    out = semantic_dedup(base, **kw)
+    got = sorted(r["vec_id"] for r in out.collect())
+    # each identical-copy group keeps at least its lowest id and drops
+    # every same-cluster copy; with 5 exact copies per direction, at most
+    # 60 survivors would remain if all copies co-route — and copies DO
+    # co-route (same vector -> same argmax), so exactly 60 survive
+    assert len(got) == 60
+    # determinism: a second build returns the identical survivor set
+    again = sorted(r["vec_id"] for r in semantic_dedup(base, **kw).collect())
+    assert again == got
+    # plan: the corpus-side join keyed by the coarse cell exists
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__cell" in plan
