@@ -273,3 +273,26 @@ def hash_code(s: Column | str) -> Column:
         F.lit(0).cast("bigint"),
         lambda h, code: F.pmod(h * 31 + code + wrap_lo, wrap) - wrap_lo,
     )
+
+
+def sum0(c: Column | str) -> Column:
+    """SUM0 (reference BuiltInFunctionDefinitions ``sum0`` /
+    Sum0AggFunction): SUM that yields 0, not NULL, over an empty or
+    all-NULL input — the aggregate the reference's windowed/retractable
+    plans rely on for initialized accumulators."""
+    return F.coalesce(F.sum(_col(c)), F.lit(0))
+
+
+def to_timestamp_ltz(epoch: Column | str, precision: int = 3) -> Column:
+    """TO_TIMESTAMP_LTZ(numeric, precision) (reference
+    FlinkSqlOperatorTable TO_TIMESTAMP_LTZ): epoch seconds (precision 0)
+    or milliseconds (precision 3) → local-zone timestamp. Spark's
+    TIMESTAMP type is LTZ-semantics already (session-zone rendering of an
+    absolute instant), so the mapping is timestamp_seconds /
+    timestamp_millis."""
+    e = _col(epoch).cast("long")
+    if precision == 0:
+        return F.timestamp_seconds(e)
+    if precision == 3:
+        return F.timestamp_millis(e)
+    raise ValueError("precision must be 0 (seconds) or 3 (milliseconds)")

@@ -737,3 +737,49 @@ def table_api_row_ops(spark, sf_dir):
         .drop("n_comment", "n_name", "n_regionkey")         # dropColumns
     )
     return out.select("pk", "uname", "rk10")
+
+
+# ---------------------------------------------------------------------------
+# Scalar surface, batch 4: SUM0 + TO_TIMESTAMP_LTZ (reference
+# BuiltInFunctionDefinitions sum0; FlinkSqlOperatorTable TO_TIMESTAMP_LTZ)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sum0_timestamp_ltz_fn",
+    # groups where the CASE is all-NULL prove the SUM0-vs-SUM difference
+    # (0 instead of NULL); epoch_ms replays TO_TIMESTAMP_LTZ(x, 3)
+    oracle="""
+    SELECT o_orderpriority,
+           COALESCE(SUM(CASE WHEN o_totalprice > 1000000000
+                             THEN o_totalprice END), 0) AS sum0_huge,
+           ROUND(COALESCE(SUM(CASE WHEN o_totalprice < 1000
+                                   THEN o_totalprice END), 0), 2)
+             AS sum0_small,
+           MIN(epoch_ms(o_orderkey * 1000)) AS first_ts
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def sum0_timestamp_ltz_fn(spark, sf_dir):
+    """SUM0 (empty/all-NULL input → 0, the reference's initialized
+    accumulator semantics) and TO_TIMESTAMP_LTZ (epoch millis → instant),
+    over per-priority order groups — the >1e9 arm is all-NULL in every
+    group, so plain SUM would return NULL and the oracle would not match."""
+    from flink_psl_spark.functions.compat import sum0, to_timestamp_ltz
+
+    t = tables(spark, sf_dir)
+    o = t["orders"]
+    return o.groupBy("o_orderpriority").agg(
+        sum0(
+            F.when(F.col("o_totalprice") > 1e9, F.col("o_totalprice"))
+        ).alias("sum0_huge"),
+        F.round(
+            sum0(
+                F.when(F.col("o_totalprice") < 1000, F.col("o_totalprice"))
+            ),
+            2,
+        ).alias("sum0_small"),
+        F.min(to_timestamp_ltz(F.col("o_orderkey") * 1000)).alias(
+            "first_ts"
+        ),
+    )

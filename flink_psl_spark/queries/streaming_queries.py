@@ -1150,3 +1150,48 @@ def stream_doc_quality_ingest(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_docs")
     )
     return run_to_memory_table(agg, output_mode="complete")
+
+
+@query(
+    "stream_timer_session_agg",
+    # the same gap-session islands as stream_session_agg, restricted to
+    # sessions the final watermark (max ts - 10 min delay) has finalized —
+    # exactly the rows whose event-time timer fired before the replay
+    # drained (append mode emits nothing the watermark has not proven)
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL '10 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM flagged),
+    agged AS (
+      SELECT user_id, MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL '10 minutes' AS session_end,
+             COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+      FROM sessions GROUP BY user_id, sess_id)
+    SELECT * FROM agged
+    WHERE session_end <= (SELECT MAX(ts) - INTERVAL '10 minutes' FROM events)
+    """,
+)
+def stream_timer_session_agg(spark, sf_dir):
+    """Session aggregation via REGISTERED EVENT-TIME TIMERS (reference
+    KeyedProcessFunction.onTimer / InternalTimerServiceImpl): rows buffer
+    in keyed state, one timer per key re-arms at the earliest pending
+    session end, and watermark passage fires the flush — the timer
+    machinery itself, vs stream_session_agg's native session_window."""
+    from flink_psl_spark.streaming import timer_session_agg
+
+    ev = _events_stream(spark, sf_dir)
+    out = timer_session_agg(
+        ev, "user_id", "ts", "value", gap="10 minutes", delay="10 minutes"
+    )
+    return run_to_memory_table(out, output_mode="append").withColumn(
+        "total", F.round("total", 2)
+    )

@@ -27,4 +27,5 @@ from flink_psl_spark.streaming.stateful import (  # noqa: F401
     streaming_rows_over,
     streaming_range_over,
     streaming_event_time_sort,
+    timer_session_agg,
 )

@@ -682,3 +682,130 @@ def with_current_watermark(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def _interval_ms(s: str) -> int:
+    """'10 minutes' / '30 seconds' / '2 hours' → milliseconds."""
+    n, unit = s.split()
+    mult = {
+        "second": 1000, "seconds": 1000,
+        "minute": 60_000, "minutes": 60_000,
+        "hour": 3_600_000, "hours": 3_600_000,
+    }[unit]
+    return int(n) * mult
+
+
+def timer_session_agg(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    gap: str = "10 minutes",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Event-time session aggregation driven by REGISTERED TIMERS — the
+    reference's KeyedProcessFunction pattern (buffer rows in keyed state,
+    ``registerEventTimeTimer(last_ts + gap)``, finalize in ``onTimer``
+    when the watermark passes; reference: KeyedProcessFunction.java
+    onTimer / InternalTimerServiceImpl, and the session merging of
+    EventTimeSessionWindows + EventTimeTrigger). The Spark counterpart of
+    registerEventTimeTimer/onTimer is ``setTimeoutTimestamp`` +
+    ``hasTimedOut`` under ``GroupStateTimeout.EventTimeTimeout`` — one
+    event-time timer per key, fired by watermark passage. (Spark 4's
+    ``transformWithStateInPandas`` timeMode='EventTime' +
+    handleExpiredTimer is the N-timers generalization; its Python
+    transport needs protobuf, so this operator stays on the GroupState
+    form that runs everywhere — semantics identical for the
+    one-timer-per-key pattern.)
+
+    Distinct from the native ``session_window`` agg (stream_session_agg):
+    this is the TIMER machinery itself — out-of-order rows buffer in
+    typed-array state; each batch re-arms the key's timer at the earliest
+    pending finalization point; firing sorts the buffer, splits on
+    >= gap inactivity, emits every session whose (last + gap) the
+    watermark has passed, retains the rest and re-arms. Emits
+    (key, session_start, session_end, n, total) — session_end =
+    last + gap, exactly session_window's bound.
+
+    State per key = the un-finalized tail (bounded by the watermark: rows
+    older than wm - gap always finalize on the next firing), plus one
+    timer. Scale-safe at high key cardinality: RocksDB-backed state.
+    """
+    gap_us = _interval_ms(gap) * 1000  # µs state: events carry sub-ms ts
+    src = events.select(key_col, ts_col, value_col).withWatermark(
+        ts_col, delay
+    )
+    k_dt = _dt(src, key_col)
+    out_schema = (
+        f"{key_col} {k_dt}, session_start timestamp, "
+        "session_end timestamp, n bigint, total double"
+    )
+    out_names = [key_col, "session_start", "session_end", "n", "total"]
+    state_fields = "ts_us array<bigint>, v array<double>"
+
+    def _sessions(buf: list[tuple[int, float]]):
+        """Sorted buffer → [(start_us, last_us, n, total)], gap-split
+        (break at inactivity >= gap, matching session_window merging)."""
+        out: list[tuple[int, int, int, float]] = []
+        for t, v in sorted(buf):
+            if out and t - out[-1][1] < gap_us:
+                s, last, n, tot = out[-1]
+                out[-1] = (s, t, n + 1, tot + v)
+            else:
+                out.append((t, t, 1, v))
+        return out
+
+    def fn(key, batches: Iterator[pd.DataFrame], state: GroupState):
+        buf: list[tuple[int, float]] = []
+        if state.exists:
+            ts_list, v_list = state.get
+            buf = list(zip(ts_list, v_list))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            us = pdf[ts_col].values.astype("datetime64[us]").astype("int64")
+            buf.extend(
+                (int(t), float(v)) for t, v in zip(us, pdf[value_col])
+            )
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        done, keep = [], []
+        for s, last, n, tot in _sessions(buf):
+            if last + gap_us <= wm_us:  # "onTimer": wm passed the end
+                done.append((s, last, n, tot))
+            else:
+                keep.extend((t, v) for t, v in buf if s <= t <= last)
+        if keep:
+            state.update(([t for t, _ in keep], [v for _, v in keep]))
+            # re-arm at the earliest pending finalization point
+            # (registerEventTimeTimer); must be beyond the watermark
+            nxt = min(last + gap_us for _, last, _, _ in _sessions(keep))
+            state.setTimeoutTimestamp(
+                max(nxt // 1000 + 1, wm_us // 1000 + 1)
+            )
+        else:
+            state.remove()
+        if done:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(done),
+                    "session_start": pd.to_datetime(
+                        [d[0] for d in done], unit="us"
+                    ),
+                    "session_end": pd.to_datetime(
+                        [d[1] + gap_us for d in done], unit="us"
+                    ),
+                    "n": [d[2] for d in done],
+                    "total": [d[3] for d in done],
+                }
+            )
+        else:
+            yield pd.DataFrame({c: [] for c in out_names})
+
+    return src.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_fields,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -360,3 +360,39 @@ def test_multi_source_watermarks_idleness(spark):
     assert wm_by_batch[2][0] == t0 + dt.timedelta(minutes=30) - m
     # batch 3: still only a active
     assert wm_by_batch[3][0] == t0 + dt.timedelta(minutes=40) - m
+
+
+def test_timer_session_agg_fires_and_retains(spark):
+    """Event-time timer sessions: a closed session (watermark passed
+    last+gap) emits; the tail session the watermark has not proven stays
+    in state and does NOT emit — the onTimer contract."""
+    import datetime as dt
+    import tempfile
+
+    from flink_psl_spark.streaming import run_to_memory_table, timer_session_agg
+
+    TS = lambda m, s=0: dt.datetime(2024, 1, 1, 0, m, s)  # noqa: E731
+    schema = "k string, ts timestamp, v double"
+    rows = [
+        # session 1: two rows 1 min apart
+        ("a", TS(0), 1.0), ("a", TS(1), 2.0),
+        # >= 10 min gap -> session 2 (single row)
+        ("a", TS(20), 5.0),
+        # watermark driver: max ts 50 -> wm 40 with 10-min delay
+        ("b", TS(50), 0.5),
+    ]
+    d = tempfile.mkdtemp(prefix="fps_tsess_")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{d}/src")
+    st = spark.readStream.schema(schema).parquet(f"{d}/src")
+    out = timer_session_agg(
+        st, "k", "ts", "v", gap="10 minutes", delay="10 minutes"
+    )
+    got = {
+        (r["k"], r["session_start"], r["session_end"], r["n"], r["total"])
+        for r in run_to_memory_table(out, output_mode="append").collect()
+    }
+    # sessions ending <= wm(=40): a/[0,1+10], a/[20,30]; b's tail is open
+    assert got == {
+        ("a", TS(0), TS(11), 2, 3.0),
+        ("a", TS(20), TS(30), 1, 5.0),
+    }
