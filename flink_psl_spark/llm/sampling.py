@@ -346,7 +346,7 @@ def importance_resample(
     document by how target-like its hashed n-gram features are, and keep
     the top ``k``.
 
-    Recipe (the published one, re-expressed as four hash aggregations):
+    Recipe (the published one, re-expressed as two corpus scans):
     hashed uni+bigram features into ``n_buckets`` buckets; bucket
     distributions p (docs where ``target_pred``) and q (the rest), add-1
     smoothed; per-raw-doc importance weight = sum over its feature
@@ -389,32 +389,36 @@ def importance_resample(
             F.lit(n_buckets),
         ).alias("__b"),
     )
-    t_cnt = (
-        feats.where("__t").groupBy("__b").agg(F.count("*").alias("__tc"))
-    )
-    r_cnt = (
-        feats.where(~F.col("__t"))
-        .groupBy("__b")
-        .agg(F.count("*").alias("__rc"))
-    )
-    t_tot = feats.where("__t").count()
-    r_tot = feats.where(~F.col("__t")).count()
-    ratio = (
-        t_cnt.join(r_cnt, on="__b", how="full")
-        .select(
-            "__b",
-            F.round(
-                (
-                    F.log(F.coalesce(F.col("__tc"), F.lit(0)) + 1.0)
-                    - F.lit(float(math.log(t_tot + n_buckets)))
-                    - F.log(F.coalesce(F.col("__rc"), F.lit(0)) + 1.0)
-                    + F.lit(float(math.log(r_tot + n_buckets)))
-                )
-                * 1000000.0
-            )
-            .cast("bigint")
-            .alias("__lr"),
+    # ONE aggregation yields both bucket distributions; collecting the
+    # n_buckets-bounded table (a parameter, not data-sized) gives the
+    # totals for free — the corpus is scanned exactly twice (this agg +
+    # the scoring pass), not once per distribution/total
+    cnt_rows = (
+        feats.groupBy("__b")
+        .agg(
+            F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("__tc"),
+            F.sum(F.when(~F.col("__t"), 1).otherwise(0)).alias("__rc"),
         )
+        .collect()
+    )
+    t_tot = sum(r["__tc"] for r in cnt_rows)
+    r_tot = sum(r["__rc"] for r in cnt_rows)
+    ratio = docs.sparkSession.createDataFrame(
+        [(r["__b"], r["__tc"], r["__rc"]) for r in cnt_rows],
+        "__b bigint, __tc bigint, __rc bigint",
+    ).select(
+        "__b",
+        F.round(
+            (
+                F.log(F.col("__tc") + 1.0)
+                - F.lit(float(math.log(t_tot + n_buckets)))
+                - F.log(F.col("__rc") + 1.0)
+                + F.lit(float(math.log(r_tot + n_buckets)))
+            )
+            * 1000000.0
+        )
+        .cast("bigint")
+        .alias("__lr"),
     )
     scored = (
         feats.where(~F.col("__t"))
