@@ -586,3 +586,36 @@ def test_importance_resample_prefers_target_like(spark):
     )
     # identical text -> identical score -> id-ordered ranks
     assert [ranks[10], ranks[11], ranks[12]] == [1, 2, 3]
+
+
+def test_importance_resample_degenerate_inputs(spark):
+    """Empty corpus, all-target corpus, and blank-text docs must not
+    crash the count-derived cluster/total math (div-by-zero / log(0))."""
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.llm import importance_resample
+
+    schema = "doc_id long, text string, is_t boolean"
+    empty = spark.createDataFrame([], schema)
+    assert importance_resample(empty, F.col("is_t"), k=5).count() == 0
+    all_t = spark.createDataFrame([(1, "a b", True)], schema)
+    assert importance_resample(all_t, F.col("is_t"), k=5).count() == 0
+    blanks = spark.createDataFrame(
+        [(1, "", False), (2, "  ", False), (3, "x", True)], schema
+    )
+    assert importance_resample(blanks, F.col("is_t"), k=5).count() == 0
+
+
+def test_semantic_dedup_degenerate_inputs(spark):
+    """Empty and single-row corpora through the derived-cluster-count
+    path (count()-based) — the classic place for max/ceil-of-zero bugs."""
+    from flink_psl_spark.llm import semantic_dedup
+
+    schema = "vec_id long, embedding array<double>"
+    empty = spark.createDataFrame([], schema)
+    assert semantic_dedup(empty, target_cluster_size=8).count() == 0
+    one = spark.createDataFrame([(7, [1.0, 2.0])], schema)
+    got = one.transform(
+        lambda d: semantic_dedup(d, target_cluster_size=8)
+    ).collect()
+    assert [(r["vec_id"], r["cluster_id"]) for r in got] == [(7, 7)]

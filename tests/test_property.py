@@ -450,3 +450,75 @@ def test_streaming_cep_iterative_defines_match_batch(spark, case):
         (r["fi"], r["nd"], r["bottom"], r["upv"]) for r in mem.collect()
     )
     assert got == want
+
+
+@st.composite
+def dsir_corpus(draw):
+    word = st.sampled_from(["ab", "cd", "ef", "gh", "ij"])
+    doc = st.lists(word, min_size=0, max_size=6).map(" ".join)
+    docs = draw(st.lists(doc, min_size=2, max_size=10))
+    flags = draw(
+        st.lists(st.booleans(), min_size=len(docs), max_size=len(docs))
+    )
+    return list(zip(range(len(docs)), docs, flags))
+
+
+@given(dsir_corpus(), st.integers(4, 32))
+@settings(**_SETTINGS)
+def test_importance_resample_matches_python_model(spark, rows, n_buckets):
+    """The distributed DSIR scorer agrees exactly with a single-process
+    transcription of the same recipe (md5 bucketing, add-1 smoothing,
+    1e-6-quantized log-ratios, integer score sums, (score desc, id asc)
+    ranking) — including all-target / all-raw / empty-text corners."""
+    import hashlib
+    import math as m
+
+    from flink_psl_spark.llm import importance_resample
+
+    def buckets(text):
+        toks = text.split() if text.strip() else []
+        grams = toks + [
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        ]
+        return [
+            int(hashlib.md5(g.encode()).hexdigest()[:6], 16) % n_buckets
+            for g in grams
+        ]
+
+    tc: dict[int, int] = {}
+    rc: dict[int, int] = {}
+    for _, text, is_t in rows:
+        for b in buckets(text):
+            (tc if is_t else rc)[b] = (tc if is_t else rc).get(b, 0) + 1
+    t_tot, r_tot = sum(tc.values()), sum(rc.values())
+    lr = {
+        b: round(
+            (
+                m.log(tc.get(b, 0) + 1.0)
+                - m.log(t_tot + n_buckets)
+                - m.log(rc.get(b, 0) + 1.0)
+                + m.log(r_tot + n_buckets)
+            )
+            * 1e6
+        )
+        for b in set(tc) | set(rc)
+    }
+    scores = {}
+    for i, text, is_t in rows:
+        if is_t:
+            continue
+        bs = buckets(text)
+        if bs:
+            scores[i] = (sum(lr[b] for b in bs), len(bs))
+    want = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))[:5]
+
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    got = importance_resample(
+        df, df["is_t"], n_buckets=n_buckets, k=5
+    ).collect()
+    assert [
+        (r["doc_id"], round(r["logweight"] * 1e6), r["n_feats"], r["rank"])
+        for r in sorted(got, key=lambda r: r["rank"])
+    ] == [
+        (i, s, n, rk + 1) for rk, (i, (s, n)) in enumerate(want)
+    ]
