@@ -84,3 +84,28 @@ def curation_extras(sf_dir: str = "/root/testdata/sf0.001") -> None:
     # in-container; PIL takes over transparently when installed)
     media = synthetic_media(spark, docs.limit(50))
     decode_resize_stats(media, out_w=32, out_h=32).show(3)
+
+
+def selection_extras(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    """Round-5 additions: DSIR importance resampling and scale-hardened
+    semantic dedup (derived cluster count, pair cap, two-level routing)."""
+    from flink_psl_spark.llm import importance_resample, semantic_dedup
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    t = register_tables(spark, sf_dir)
+
+    # 7. pick the 50 raw docs most similar to the src0 target distribution
+    importance_resample(
+        t["documents"], F.col("source") == "src0", n_buckets=512, k=50
+    ).show(5)
+
+    # 8. SemDeDup at scale: cluster count follows the corpus, per-cluster
+    #    pair work is hard-capped; two_level=True for ~100k-cluster runs
+    survivors = semantic_dedup(
+        t["embeddings"],
+        target_cluster_size=64,
+        max_cluster_size=128,
+        threshold=0.95,
+        two_level=True,
+    )
+    print("semantic dedup →", survivors.count())
