@@ -61,12 +61,25 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 5,
     include_self: bool = False,
+    method: str = "expr",
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
     Returns (query_id, neighbor_id, cos_sim, rank). The query side is
     broadcast — at 100 TB the corpus never moves; ties broken by neighbor
     id for determinism.
+
+    ``method``:
+
+    - ``'expr'`` — zip_with/aggregate dot products, whole-stage codegen;
+      the window sees the full corpus×queries score table (WindowGroupLimit
+      prunes to k per query before the exchange).
+    - ``'blas'`` — the wide-vector path: per-partition numpy matmul
+      (corpus batch × broadcast query matrix, one Arrow hop) that emits
+      only each partition's LOCAL top-k per query, so the exchange carries
+      partitions × queries × k rows instead of corpus × queries. Same
+      result set (double-precision dot products, same tiebreak); preferred
+      for 768-dim-class embeddings or large query sets.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -76,14 +89,19 @@ def cosine_topk(
         F.col(id_col).alias("neighbor_id"),
         _col(vec_col).cast("array<double>").alias("__cv"),
     )
-    joined = c.join(F.broadcast(q), how="cross")
-    if not include_self:
-        joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
-    scored = joined.select(
-        "query_id",
-        "neighbor_id",
-        cosine("__qv", "__cv").alias("cos_sim"),
-    )
+    if method == "blas":
+        scored = _blas_partial_topk(c, q, k, include_self)
+    elif method == "expr":
+        joined = c.join(F.broadcast(q), how="cross")
+        if not include_self:
+            joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
+        scored = joined.select(
+            "query_id",
+            "neighbor_id",
+            cosine("__qv", "__cv").alias("cos_sim"),
+        )
+    else:
+        raise ValueError("method must be 'expr' or 'blas'")
     return top_n(
         scored,
         "query_id",
@@ -91,6 +109,65 @@ def cosine_topk(
         k,
         rank_col="rank",
     ).select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+
+
+def _blas_partial_topk(
+    c: DataFrame, q: DataFrame, k: int, include_self: bool
+) -> DataFrame:
+    """Per-partition numpy top-k: one matmul per Arrow batch, emitting the
+    batch-local best k per query. NULL/zero-norm vectors score NULL in the
+    expr path — here they are simply not emitted (equivalent under top-k,
+    which never ranks NULL)."""
+    import numpy as np
+    import pandas as pd
+
+    q_dt = dict(q.dtypes)["query_id"]
+    n_dt = dict(c.dtypes)["neighbor_id"]
+    out_schema = f"query_id {q_dt}, neighbor_id {n_dt}, cos_sim double"
+    qrows = q.collect()  # query set is broadcast-small by contract
+    if not qrows:
+        return q.sparkSession.createDataFrame([], out_schema)
+    q_ids = np.array([r["query_id"] for r in qrows])
+    qm = np.array([r["__qv"] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1)
+    qn[qn == 0.0] = np.nan  # zero-norm queries rank nothing (NULL ≡ drop)
+
+    def part(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.array(list(pdf["__cv"]), dtype=np.float64)
+            ids = pdf["neighbor_id"].to_numpy()
+            cn = np.linalg.norm(cm, axis=1)
+            ok = cn != 0.0
+            if not ok.any():
+                continue
+            cm, ids, cn = cm[ok], ids[ok], cn[ok]
+            sims = (cm @ qm.T) / cn[:, None] / qn[None, :]
+            if not include_self:
+                sims[ids[:, None] == q_ids[None, :]] = np.nan
+            # batch-local top-k per query: sort by (-sim, neighbor_id)
+            out_q, out_n, out_s = [], [], []
+            for j in range(sims.shape[1]):
+                col = sims[:, j]
+                valid = ~np.isnan(col)
+                if not valid.any():
+                    continue
+                order = np.lexsort((ids[valid], -col[valid]))[:k]
+                vi = np.flatnonzero(valid)[order]
+                out_q.extend([q_ids[j]] * len(vi))
+                out_n.extend(ids[vi])
+                out_s.extend(col[vi])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": out_q,
+                        "neighbor_id": out_n,
+                        "cos_sim": out_s,
+                    }
+                )
+
+    return c.mapInPandas(part, out_schema)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:

@@ -555,3 +555,36 @@ def test_cosine_zero_vector_is_null_not_crash(spark):
         r["vec_id"] for r in embedding_dedup(df, threshold=0.9, exact=True).collect()
     )
     assert kept == [1, 2, 3]  # dup pair (2,4) pruned; zero vec survives
+
+
+def test_cosine_topk_blas_matches_expr(spark, t):
+    """The wide-vector BLAS path (per-partition matmul + local top-k)
+    returns the same neighbor sets and ranks as the expression path, with
+    dot products equal to float tolerance; the exchange carries only
+    partition-local top-k rows."""
+    from flink_psl_spark.llm import cosine_topk
+
+    emb = t["embeddings"]
+    queries = emb.where("vec_id < 5")
+    a = cosine_topk(emb, queries, k=4).collect()
+    b = cosine_topk(emb, queries, k=4, method="blas").collect()
+    ka = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"]) for r in a}
+    kb = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"]) for r in b}
+    assert ka.keys() == kb.keys()
+    for key in ka:
+        assert ka[key][0] == kb[key][0], (key, ka[key], kb[key])
+        assert abs(ka[key][1] - kb[key][1]) < 1e-6
+
+
+def test_cosine_topk_blas_zero_norm_and_empty(spark):
+    """Zero-norm corpus rows never rank (the expr path's NULL contract);
+    an empty query set yields an empty result frame."""
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.llm import cosine_topk
+
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.9, 0.1])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = cosine_topk(df, df.where("vec_id = 1"), k=5, method="blas").collect()
+    assert [r["neighbor_id"] for r in got] == [3]
+    assert cosine_topk(df, df.where("vec_id = 99"), k=5, method="blas").count() == 0
