@@ -783,3 +783,63 @@ def sum0_timestamp_ltz_fn(spark, sf_dir):
             "first_ts"
         ),
     )
+
+
+@query(
+    "pysource_stream_datagen_agg",
+    oracle="""
+    SELECT key, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM (
+      SELECT 'k' || CAST(i % 7 AS VARCHAR) AS key,
+             (i * 7 % 1000) / 10.0 AS value
+      FROM generate_series(0, 1999) t(i))
+    GROUP BY key
+    """,
+)
+def pysource_stream_datagen_agg(spark, sf_dir):
+    """STREAMING read through the custom Python data source (FLIP-27
+    unbounded mode): the row-count offset advances rowsPerBatch=700 per
+    micro-batch, so the 2000-row replay spans multiple offset commits;
+    the complete-mode aggregate must still equal the batch truth —
+    proving offset continuity (no gap, no replayed overlap) across
+    batches, not just single-snapshot reads."""
+    import tempfile
+    import time
+    import uuid
+
+    from flink_psl_spark.sources_v2 import register_python_sources
+
+    register_python_sources(spark)
+    st = (
+        spark.readStream.format("pydatagen")
+        .option("n", 2000)
+        .option("rowsPerBatch", 700)
+        .load()
+    )
+    agged = st.groupBy("key").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    # a rate-limited source needs a processing-time trigger (AvailableNow
+    # snapshots the first offset); poll until all 2000 rows are aggregated
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        agged.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="fps_pdsq_")
+        )
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            rows = spark.table(name).agg(F.sum("n")).collect()
+            if rows and rows[0][0] == 2000:
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return spark.table(name)
