@@ -1018,3 +1018,55 @@ def hash_code_fn(spark, sf_dir):
         .where(F.col("c_custkey") <= 200)
         .select("c_custkey", hash_code("c_name").alias("hc"))
     )
+
+
+@query(
+    "temporal_table_function_sql",
+    # DuckDB's native ASOF (inner) JOIN replays the temporal table
+    # function's latest-version-at-ts inner semantics
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, ts, ROUND(MAX(value), 2) AS rate
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+    SELECT p.event_id, p.user_id, d.rate
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN dim d ON p.user_id = d.user_id AND p.ts >= d.ts
+    """,
+)
+def temporal_table_function_sql(spark, sf_dir):
+    """The LEGACY temporal table function join (reference
+    TemporalTableFunction / `FROM fact, LATERAL TABLE (fn(fact.ts))` with
+    the key equality in WHERE): the dialect layer rewrites the lateral
+    call into the same validity-interval join FOR SYSTEM_TIME compiles
+    to, inner semantics."""
+    from flink_psl_spark.sql_client import run_script
+    from flink_psl_spark.temporal_sql import (
+        clear_versioned_tables,
+        register_temporal_table_function,
+    )
+
+    t = tables(spark, sf_dir)
+    t["events"].where(F.col("event_type") == "click").groupBy(
+        "user_id", "ts"
+    ).agg(F.round(F.max("value"), 2).alias("rate")).createOrReplaceTempView(
+        "click_rates_ttf_v"
+    )
+    t["events"].where(
+        F.col("event_type") == "purchase"
+    ).createOrReplaceTempView("purchases_ttf_v")
+    register_temporal_table_function(
+        "rates", "click_rates_ttf_v", time_col="ts", primary_key="user_id"
+    )
+    try:
+        res = run_script(
+            spark,
+            """
+            SELECT p.event_id, p.user_id, r.rate
+            FROM purchases_ttf_v p,
+                 LATERAL TABLE (rates(p.ts)) AS r
+            WHERE r.user_id = p.user_id;
+            """,
+        )[-1].df
+    finally:
+        clear_versioned_tables()
+    return res

@@ -47,6 +47,68 @@ def register_versioned_table(
 
 def clear_versioned_tables() -> None:
     _REGISTRY.clear()
+    _TTF_REGISTRY.clear()
+
+
+_TTF_REGISTRY: dict[str, dict] = {}
+
+
+def register_temporal_table_function(
+    fn_name: str, table: str, *, time_col: str, primary_key: list[str] | str
+) -> None:
+    """Declare a temporal table FUNCTION over a versioned table — the
+    reference's ``TemporalTableFunction`` (created via
+    ``table.createTemporalTableFunction(timeAttribute, primaryKey)`` and
+    joined with ``LATERAL TABLE (fn(o.rowtime))``). The function name
+    becomes usable in the legacy comma-join SQL form; the key equality
+    lives in WHERE, exactly as in the reference docs."""
+    pk = [primary_key] if isinstance(primary_key, str) else list(primary_key)
+    if not pk:
+        raise ValueError("primary_key must name at least one column")
+    _TTF_REGISTRY[fn_name.lower()] = {
+        "table": table,
+        "time_col": time_col,
+        "primary_key": pk,
+    }
+
+
+_TTF_RE = re.compile(
+    r",\s*LATERAL\s+TABLE\s*\(\s*(?P<fn>[A-Za-z_]\w*)\s*\(\s*"
+    r"(?P<ts>[A-Za-z_][\w.]*)\s*\)\s*\)\s*"
+    r"(?:AS\s+(?P<alias>[A-Za-z_]\w*))?",
+    re.IGNORECASE,
+)
+
+
+def rewrite_temporal_table_functions(sql: str) -> str:
+    """Rewrite ``, LATERAL TABLE (fn(fact.ts)) AS r`` (the reference's
+    temporal table function join — processTemporalJoin over a
+    TemporalTableFunction) into the same validity-interval join the
+    FOR SYSTEM_TIME form compiles to. Inner-join semantics: a fact row
+    with no version in force at its time drops, per the reference. Only
+    registered function names are rewritten — other LATERAL TABLE calls
+    (plain UDTFs) pass through untouched."""
+    if "lateral" not in sql.lower():
+        return sql
+
+    def repl(m: re.Match) -> str:
+        meta = _TTF_REGISTRY.get(m.group("fn").lower())
+        if meta is None:
+            return m.group(0)  # a plain UDTF lateral, not ours
+        alias = m.group("alias") or m.group("fn")
+        ts = m.group("ts")
+        tc = meta["time_col"]
+        pk = ", ".join(meta["primary_key"])
+        versioned = (
+            f"(SELECT *, LEAD({tc}) OVER (PARTITION BY {pk} "
+            f"ORDER BY {tc}) AS __valid_to FROM {meta['table']})"
+        )
+        return (
+            f" JOIN {versioned} AS {alias} ON {ts} >= {alias}.{tc} "
+            f"AND ({alias}.__valid_to IS NULL OR {ts} < {alias}.__valid_to)"
+        )
+
+    return _TTF_RE.sub(repl, sql)
 
 
 _TEMPORAL_RE = re.compile(
@@ -194,8 +256,9 @@ def rewrite_window_tvfs(sql: str) -> str:
 
 def rewrite_flink_sql(sql: str) -> str:
     """All Flink-SQL-to-Spark-SQL clause rewrites this engine supports:
-    FOR SYSTEM_TIME AS OF temporal joins, TUMBLE/HOP window TVFs, and the
-    legacy GROUP BY TUMBLE/HOP/SESSION group-window family."""
+    FOR SYSTEM_TIME AS OF temporal joins, LATERAL TABLE temporal table
+    functions, TUMBLE/HOP window TVFs, and the legacy GROUP BY
+    TUMBLE/HOP/SESSION group-window family."""
     from flink_psl_spark.ddl import rewrite_create_table
 
     sql = rewrite_create_table(sql)
@@ -207,6 +270,7 @@ def rewrite_flink_sql(sql: str) -> str:
         r"^\s*EXPLAIN\s+PLAN\s+FOR\b", "EXPLAIN", sql, flags=re.IGNORECASE
     )
     sql = rewrite_system_time_joins(sql)
+    sql = rewrite_temporal_table_functions(sql)
     sql = rewrite_window_tvfs(sql)  # must run before the legacy rewrite --
     # the TVF form contains bare TUMBLE(/HOP( tokens the legacy regexes
     # would otherwise half-rewrite

@@ -295,3 +295,35 @@ def test_explain_plan_for_rewrite(spark):
     out = spark.sql(rewrite_flink_sql("EXPLAIN PLAN FOR SELECT 1 AS one"))
     text = out.collect()[0][0]
     assert "Physical Plan" in text or "Project" in text
+
+
+def test_temporal_table_function_rewrite_and_passthrough():
+    """Registered temporal table functions rewrite to validity-interval
+    joins; unregistered LATERAL TABLE calls (plain UDTFs) pass through."""
+    from flink_psl_spark.temporal_sql import (
+        clear_versioned_tables,
+        register_temporal_table_function,
+        rewrite_temporal_table_functions,
+    )
+
+    register_temporal_table_function(
+        "rates", "rates_tbl", time_col="r_ts", primary_key="cur"
+    )
+    try:
+        out = rewrite_temporal_table_functions(
+            "SELECT * FROM o, LATERAL TABLE (rates(o.ts)) AS r "
+            "WHERE r.cur = o.cur"
+        )
+        assert "LEAD(r_ts) OVER (PARTITION BY cur" in out
+        assert "o.ts >= r.r_ts" in out and "__valid_to" in out
+        assert "LATERAL" not in out
+        # alias defaults to the function name
+        out2 = rewrite_temporal_table_functions(
+            "SELECT * FROM o, LATERAL TABLE (rates(o.ts))"
+        )
+        assert "AS rates ON o.ts >= rates.r_ts" in out2
+        # an unregistered UDTF lateral is untouched
+        sql = "SELECT * FROM t, LATERAL TABLE (split_fn(t.s)) AS w"
+        assert rewrite_temporal_table_functions(sql) == sql
+    finally:
+        clear_versioned_tables()
