@@ -489,3 +489,44 @@ def twophase_sink_roundtrip(spark, sf_dir):
         "o_orderkey long, o_orderstatus string, price double"
     ).json(os.path.join(out, "*.jsonl"))
     return back
+
+
+@query(
+    "jdbc_upsert_roundtrip",
+    # the upserted table state: keys 0-9 keep their original name, keys
+    # 10-24 carry the batch's updated/inserted value
+    oracle="""
+    SELECT n_nationkey,
+           CASE WHEN n_nationkey >= 10 THEN n_name || '_v2'
+                ELSE n_name END AS n_name
+    FROM nation
+    """,
+)
+def jdbc_upsert_roundtrip(spark, sf_dir):
+    """JDBC UPSERT sink (reference JdbcDynamicTableSink upsert mode):
+    distributed staging append + one set-based MERGE in the database —
+    existing keys update, new keys insert; read the merged state back."""
+    import uuid
+
+    from flink_psl_spark.sources import jdbc_table, jdbc_upsert_write
+
+    t = tables(spark, sf_dir)
+    url = f"jdbc:derby:memory:fpsu_{uuid.uuid4().hex[:8]};create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    nation = t["nation"].select("n_nationkey", "n_name")
+    (
+        nation.where(F.col("n_nationkey") < 15)
+        .write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation_upsert")
+        .option("driver", driver)
+        .mode("overwrite")
+        .save()
+    )
+    batch = nation.where(F.col("n_nationkey") >= 10).select(
+        "n_nationkey", F.concat(F.col("n_name"), F.lit("_v2")).alias("n_name")
+    )
+    jdbc_upsert_write(
+        batch, url, "nation_upsert", "n_nationkey", driver=driver
+    )
+    return jdbc_table(spark, url, "nation_upsert", driver=driver)

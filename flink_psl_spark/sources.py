@@ -174,6 +174,75 @@ def write_jdbc_table(
     w.mode(mode).save()
 
 
+def jdbc_upsert_write(
+    df: DataFrame,
+    url: str,
+    table: str,
+    primary_key: list[str] | str,
+    *,
+    driver: str | None = None,
+) -> int:
+    """UPSERT JDBC sink (reference JdbcDynamicTableSink with a PRIMARY KEY
+    → upsert mode, JdbcOutputFormat building ON-CONFLICT/MERGE row
+    statements).
+
+    Two-phase, set-based strategy instead of per-row statements: (1) the
+    DataFrame appends DISTRIBUTED into a staging table (every executor
+    writes its partitions concurrently — the scalable half); (2) ONE
+    driver-issued ``MERGE INTO target USING staging ON pk`` statement
+    upserts set-wise inside the database (the DB's own join machinery —
+    no rows ever move through the driver). Duplicate keys WITHIN the
+    batch are last-write-wins by a deterministic pre-dedup (max over
+    non-key columns ordered by key — matching the reference's
+    sink.buffer-flush dedup of changelog batches).
+
+    Returns the number of rows the MERGE touched.
+    """
+    pk = [primary_key] if isinstance(primary_key, str) else list(primary_key)
+    import uuid as _uuid
+
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    # in-batch dedup (keep one deterministic row per key)
+    others = [c for c in df.columns if c not in pk]
+    w = _W.partitionBy(*pk).orderBy(
+        *[_F.desc(c) for c in others] if others else [_F.lit(1)]
+    )
+    deduped = (
+        df.withColumn("__rn", _F.row_number().over(w))
+        .where("__rn = 1")
+        .drop("__rn")
+    )
+    stage = f"{table}_stage_{_uuid.uuid4().hex[:8]}"
+    write_jdbc_table(deduped, url, stage, driver=driver, mode="overwrite")
+
+    spark = df.sparkSession
+    jvm = spark._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    con = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = con.createStatement()
+        # Spark's JDBC writer quotes identifiers (case-preserving DDL) —
+        # the MERGE must quote them too or the DB case-folds and misses
+        qt = '"{}"'.format
+        on = " AND ".join(f"t.{qt(c)} = s.{qt(c)}" for c in pk)
+        sets = ", ".join(f"{qt(c)} = s.{qt(c)}" for c in others)
+        cols = ", ".join(qt(c) for c in df.columns)
+        vals = ", ".join(f"s.{qt(c)}" for c in df.columns)
+        merge = (
+            f"MERGE INTO {table} t USING {stage} s ON {on} "
+            + (f"WHEN MATCHED THEN UPDATE SET {sets} " if others else "")
+            + f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+        )
+        n = st.executeUpdate(merge)
+        st.executeUpdate(f"DROP TABLE {stage}")
+        return n
+    finally:
+        con.close()
+
+
 def kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,

@@ -80,3 +80,28 @@ def test_jdbc_partitioned_read(spark, t, derby_url):
     )
     assert df.rdd.getNumPartitions() == 4
     assert df.count() == t["customer"].count()
+
+
+def test_jdbc_upsert_write(spark, t, derby_url):
+    """Upsert sink: existing keys update, new keys insert, in-batch
+    duplicate keys collapse deterministically (last-write-wins dedup)."""
+    from flink_psl_spark.sources import jdbc_upsert_write, jdbc_table
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k int, v double"
+    )
+    (
+        base.write.format("jdbc").option("url", derby_url)
+        .option("dbtable", "upsert_tgt").option("driver", DRIVER)
+        .mode("overwrite").save()
+    )
+    # Spark's overwrite creates a plain table without a PK — Derby MERGE
+    # only needs the join condition, so that's fine for the semantics test
+    batch = spark.createDataFrame(
+        [(2, 99.0), (3, 30.0), (3, 25.0)], "k int, v double"
+    )
+    n = jdbc_upsert_write(batch, derby_url, "upsert_tgt", "k", driver=DRIVER)
+    assert n == 2  # one update (k=2), one insert (k=3 after dedup)
+    back = jdbc_table(spark, derby_url, "upsert_tgt", driver=DRIVER)
+    got = sorted((r["k"], r["v"]) for r in back.collect())
+    assert got == [(1, 10.0), (2, 99.0), (3, 30.0)]  # max-v dedup kept 30.0
