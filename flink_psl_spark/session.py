@@ -50,6 +50,10 @@ RUNTIME_SQL_CONF: dict[str, str] = {
     # timestamp — read as long, catalog converts to µs TimestampType
     # (DuckDB likewise truncates ns → µs, keeping the oracle aligned).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Size shuffles to the machine, not Spark's static 200 default —
+    # AQE coalesces down at runtime, so this is an upper bound; a
+    # cluster deployment overrides via extra_conf / spark-submit.
+    "spark.sql.shuffle.partitions": DEFAULT_SHUFFLE_PARTITIONS,
 }
 
 
