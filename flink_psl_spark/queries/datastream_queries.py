@@ -530,3 +530,56 @@ def jdbc_upsert_roundtrip(spark, sf_dir):
         batch, url, "nation_upsert", "n_nationkey", driver=driver
     )
     return jdbc_table(spark, url, "nation_upsert", driver=driver)
+
+
+@query(
+    "filesystem_partition_commit",
+    # committed == the watermark (max ts - 10 min) passed the hour's end
+    oracle="""
+    SELECT STRFTIME(time_bucket(INTERVAL '1 day', ts),
+                    '%Y-%m-%d') AS part,
+           time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day'
+             <= (SELECT MAX(ts) - INTERVAL '10 minutes' FROM events)
+             AS committed,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def filesystem_partition_commit(spark, sf_dir):
+    """Filesystem sink partition commit (reference
+    sink.partition-commit.trigger='partition-time' + success-file policy):
+    replay events into hour-partitioned parquet; partitions whose end the
+    watermark passed carry a _SUCCESS marker, the open tail does not."""
+    import os
+    import tempfile
+
+    from flink_psl_spark.sources import partitioned_streaming_sink
+    from flink_psl_spark.streaming import stream_from_parquet
+
+    ev = stream_from_parquet(spark, f"{sf_dir}/events.parquet", ts_col="ts")
+    out = tempfile.mkdtemp(prefix="fps_pc_q_")
+    q = partitioned_streaming_sink(
+        ev.select("event_id", "ts"),
+        out,
+        ts_col="ts",
+        partition_expr=F.date_format(
+            F.date_trunc("day", "ts"), "yyyy-MM-dd"
+        ),
+        delay="10 minutes",
+        partition_duration="1 day",
+    )
+    q.awaitTermination(240)
+    # ONE partitioned read for all counts; marker existence is a cheap
+    # driver-side directory stat per partition
+    counts = (
+        spark.read.parquet(out).groupBy("part").count().collect()
+    )
+    rows = [
+        (
+            r["part"],
+            os.path.exists(os.path.join(out, f"part={r['part']}", "_SUCCESS")),
+            r["count"],
+        )
+        for r in counts
+    ]
+    return spark.createDataFrame(rows, "part string, committed boolean, n bigint")

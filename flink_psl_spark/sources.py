@@ -464,3 +464,90 @@ def read_with_metadata(
             ) from None
         cols.append(F.col(f"_metadata.{field}").alias(out_name))
     return df.select(*cols)
+
+
+def partitioned_streaming_sink(
+    stream_df: DataFrame,
+    path: str,
+    *,
+    ts_col: str,
+    partition_expr,
+    partition_col: str = "part",
+    delay: str = "10 minutes",
+    partition_duration: str = "1 hour",
+    success_file: str = "_SUCCESS",
+) -> "object":
+    """Streaming filesystem sink with PARTITION COMMIT (reference
+    filesystem connector: ``sink.partition-commit.trigger='partition-time'``
+    + ``sink.partition-commit.policy.kind='success-file'``,
+    PartitionTimeCommitTrigger / SuccessFileCommitPolicy): rows stream
+    into ``partition_col``-partitioned parquet, and once the watermark
+    passes a partition's end time (+delay), the partition is COMMITTED by
+    dropping a success marker into its directory — the downstream signal
+    that the partition is complete and will not receive late rows.
+
+    ``partition_expr``: Column mapping ``ts_col`` to the partition value —
+    must be the floor of a ``partition_duration`` bucket (e.g.
+    ``date_trunc('hour', ts)`` cast to string), because commit time is
+    partition value + duration.
+
+    Idempotent across restarts: the marker's existence IS the commit
+    state (no driver memory needed); re-processing a batch re-checks and
+    skips. Returns the StreamingQuery (caller awaits/stops).
+    """
+    import datetime as _dt
+    import os as _os
+    import tempfile
+
+    from pyspark.sql import functions as _F
+
+    units = {"seconds": 1000, "minutes": 60000, "hours": 3600000,
+             "days": 86400000}
+
+    def _ms(spec: str) -> int:
+        n, unit = spec.split()
+        return int(n) * units[unit if unit.endswith("s") else unit + "s"]
+
+    delay_ms = _ms(delay)
+    dur_ms = _ms(partition_duration)
+
+    src = stream_df.withWatermark(ts_col, delay).withColumn(
+        partition_col, partition_expr
+    )
+
+    def commit(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.write.mode("append")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+        # watermark after this batch = max event time seen - delay;
+        # commit every partition whose end time it has passed
+        mx = batch.agg(_F.max(ts_col)).collect()[0][0]
+        if mx is None:
+            return
+        wm_ms = int(mx.timestamp() * 1000) - delay_ms
+        for d in _os.listdir(path):
+            if not d.startswith(f"{partition_col}="):
+                continue
+            val = d.split("=", 1)[1]
+            try:
+                part_start = _dt.datetime.fromisoformat(
+                    val.replace("%20", " ").replace("+", " ")
+                )
+            except ValueError:
+                continue
+            end_ms = int(part_start.timestamp() * 1000) + dur_ms
+            marker = _os.path.join(path, d, success_file)
+            if end_ms <= wm_ms and not _os.path.exists(marker):
+                open(marker, "w").close()
+
+    return (
+        src.writeStream.foreachBatch(commit)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="fps_pcommit_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -719,3 +719,50 @@ def test_sql_client_analyze_table_statistics(spark, t):
         assert col.get("max") == "4"
     finally:
         drop_table(spark, "stats_nation")
+
+
+def test_partitioned_sink_commits_on_watermark(spark, tmp_path):
+    """Partition commit (filesystem sink success-file policy): hour
+    partitions the watermark has passed get a _SUCCESS marker; the
+    still-open tail partition does not."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.sources import partitioned_streaming_sink
+
+    TS = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    rows = [
+        ("a", TS(0, 5), 1.0), ("b", TS(0, 30), 2.0),
+        ("c", TS(1, 10), 3.0),
+        ("d", TS(3, 0), 4.0),  # watermark driver: wm = 02:50
+    ]
+    src_dir = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        rows, "k string, ts timestamp, v double"
+    ).coalesce(1).write.parquet(src_dir)
+    st = spark.readStream.schema("k string, ts timestamp, v double").parquet(
+        src_dir
+    )
+    q = partitioned_streaming_sink(
+        st,
+        out,
+        ts_col="ts",
+        partition_expr=F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd-HH"),
+        delay="10 minutes",
+        partition_duration="1 hour",
+    )
+    assert q.awaitTermination(120)
+
+    def committed(part):
+        return os.path.exists(os.path.join(out, f"part={part}", "_SUCCESS"))
+
+    # hours 00 and 01 end at 01:00/02:00 <= wm 02:50 -> committed
+    assert committed("2024-01-01-00") and committed("2024-01-01-01")
+    # hour 03 ends at 04:00 > wm -> data present but NOT committed
+    assert os.path.isdir(os.path.join(out, "part=2024-01-01-03"))
+    assert not committed("2024-01-01-03")
+    # every row landed
+    assert spark.read.parquet(out).count() == 4
