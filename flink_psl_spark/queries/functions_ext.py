@@ -843,3 +843,41 @@ def pysource_stream_datagen_agg(spark, sf_dir):
         q.stop()
         q.awaitTermination(30)
     return spark.table(name)
+
+
+@query(
+    "pysource_datagen_fields",
+    # the md5-uniform 'random' kind replays exactly: h = first 6 hex
+    # digits of md5('<field>|<i>'), u = h / 16^6
+    oracle="""
+    SELECT 100 + i AS uid,
+           ROUND((CAST(CONCAT('0x', SUBSTR(MD5('score|' || i), 1, 6))
+                       AS BIGINT) / 16777216.0) * 10.0, 6) AS score,
+           'tag_' || CAST(CAST(CONCAT('0x', SUBSTR(MD5('tag|' || i), 1, 6))
+                               AS BIGINT) % 10000 AS VARCHAR) AS tag
+    FROM generate_series(0, 499) t(i)
+    """,
+)
+def pysource_datagen_fields(spark, sf_dir):
+    """Configurable datagen fields (reference DataGenTableSourceFactory
+    fields.<f>.kind = sequence|random with start/min/max/length): a
+    custom schema with a sequence bigint, an md5-uniform random double,
+    and a sized random string — deterministic, so the oracle replays the
+    exact rows."""
+    from flink_psl_spark.sources_v2 import register_python_sources
+
+    register_python_sources(spark)
+    df = (
+        spark.read.format("pydatagen")
+        .option("n", 500)
+        .option("schema", "uid bigint, score double, tag string")
+        .option("fields.uid.kind", "sequence")
+        .option("fields.uid.start", "100")
+        .option("fields.score.kind", "random")
+        .option("fields.score.min", "0")
+        .option("fields.score.max", "10")
+        .option("fields.tag.kind", "random")
+        .option("fields.tag.length", "4")
+        .load()
+    )
+    return df.select("uid", F.round("score", 6).alias("score"), "tag")

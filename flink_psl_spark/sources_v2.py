@@ -71,6 +71,7 @@ class PyDatagenBatchReader(DataSourceReader):
         self.num_partitions = int(options.get("numPartitions", 4))
         self.lo = 0  # inclusive id lower bound after pushdown
         self.hi = self.n  # exclusive upper bound after pushdown
+        self.spec = _field_spec(options)
 
     def pushFilters(self, filters: Sequence[Filter]) -> Iterator[Filter]:
         """Absorb id-range predicates into the generation bounds (DSv2
@@ -78,7 +79,13 @@ class PyDatagenBatchReader(DataSourceReader):
         evaluate post-scan."""
         for f in filters:
             col = f.attribute[0] if len(f.attribute) == 1 else None
-            if col == "id" and isinstance(getattr(f, "value", None), int):
+            # id-range absorption assumes id == row index — true only for
+            # the fixed default schema (a custom sequence may offset it)
+            if (
+                self.spec is None
+                and col == "id"
+                and isinstance(getattr(f, "value", None), int)
+            ):
                 if isinstance(f, GreaterThan):
                     self.lo = max(self.lo, f.value + 1)
                     continue
@@ -112,6 +119,12 @@ class PyDatagenBatchReader(DataSourceReader):
         return parts
 
     def read(self, partition: _RangePartition):
+        if self.spec is not None:
+            for i in range(partition.start, partition.end):
+                yield tuple(
+                    _gen_value(n, t, o, i) for n, t, o in self.spec
+                )
+            return
         for i in range(partition.start, partition.end):
             yield _row(i)
 
@@ -129,6 +142,7 @@ class PyDatagenStreamReader(DataSourceStreamReader):
         # rate-limited source would silently truncate the replay
         self.rows_per_batch = int(options.get("rowsPerBatch", 0))
         self._pos = 0
+        self.spec = _field_spec(options)
 
     def initialOffset(self):
         return {"pos": 0}
@@ -160,6 +174,12 @@ class PyDatagenStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition: _RangePartition):
+        if self.spec is not None:
+            for i in range(partition.start, partition.end):
+                yield tuple(
+                    _gen_value(n, t, o, i) for n, t, o in self.spec
+                )
+            return
         for i in range(partition.start, partition.end):
             yield _row(i)
 
@@ -170,15 +190,75 @@ class PyDatagenStreamReader(DataSourceStreamReader):
         pass
 
 
+def _field_spec(options) -> list[tuple[str, str, dict]] | None:
+    """Parse the reference datagen's per-field options into
+    [(name, sql_type, kind_opts)], or None for the fixed default schema.
+
+    Options (keys arrive lowercased from Spark):
+      schema = "a bigint, b double, c string"
+      fields.<f>.kind = sequence | random      (default: sequence for
+                                                bigint, random otherwise)
+      fields.<f>.start = <int>                 (sequence)
+      fields.<f>.min / fields.<f>.max = <num>  (random numeric)
+      fields.<f>.length = <int>                (random string length)
+    Reference: DataGenTableSourceFactory options FIELDS_KIND/START/END/
+    MIN/MAX/LENGTH (datagen connector).
+    """
+    schema = options.get("schema")
+    if not schema:
+        return None
+    out = []
+    for part in schema.split(","):
+        name, typ = part.strip().split()
+        name = name.lower()
+        kind = options.get(
+            f"fields.{name}.kind",
+            "sequence" if typ.lower() == "bigint" else "random",
+        )
+        out.append((name, typ.lower(), {
+            "kind": kind,
+            "start": int(options.get(f"fields.{name}.start", 0)),
+            "min": float(options.get(f"fields.{name}.min", 0.0)),
+            "max": float(options.get(f"fields.{name}.max", 100.0)),
+            "length": int(options.get(f"fields.{name}.length", 8)),
+        }))
+    return out
+
+
+def _gen_value(name: str, typ: str, opts: dict, i: int):
+    """Deterministic field synthesis; 'random' is an md5-derived uniform —
+    replayable and reproducible in any engine with md5 (the sampling-
+    module convention), unlike the reference's seeded RandomGenerator
+    which is JVM-private."""
+    import hashlib
+
+    if opts["kind"] == "sequence":
+        base = opts["start"] + i
+        return float(base) if typ == "double" else base
+    h = int(
+        hashlib.md5(f"{name}|{i}".encode()).hexdigest()[:6], 16
+    )  # uniform in [0, 16^6)
+    if typ == "string":
+        return f"{name}_{h % (10 ** min(opts['length'], 6))}"
+    u = h / 16**6
+    v = opts["min"] + u * (opts["max"] - opts["min"])
+    return int(v) if typ == "bigint" else v
+
+
 class PyDatagenSource(DataSource):
-    """`format("pydatagen")` — options: n, numPartitions, rowsPerBatch."""
+    """`format("pydatagen")` — options: n, numPartitions, rowsPerBatch,
+    and the reference datagen's schema + fields.<f>.kind family
+    (sequence/random per field; see _field_spec)."""
 
     @classmethod
     def name(cls) -> str:
         return "pydatagen"
 
     def schema(self) -> str:
-        return _SCHEMA
+        spec = _field_spec(self.options)
+        if spec is None:
+            return _SCHEMA
+        return ", ".join(f"{n} {t}" for n, t, _ in spec)
 
     def reader(self, schema) -> DataSourceReader:
         return PyDatagenBatchReader(self.options)

@@ -185,3 +185,30 @@ def test_jsonl_sink_abort_publishes_nothing(spark, tmp_path):
     files = os.listdir(out) if os.path.isdir(out) else []
     assert not [f for f in files if f.endswith(".jsonl")]
     assert "_SUCCESS" not in files
+
+
+def test_datagen_field_kinds(spark):
+    """schema + fields.<f>.kind options: sequence offsets, md5-uniform
+    randoms within [min,max), sized random strings — all deterministic
+    across reads."""
+    from flink_psl_spark.sources_v2 import register_python_sources
+
+    register_python_sources(spark)
+
+    def load():
+        return (
+            spark.read.format("pydatagen")
+            .option("n", 50)
+            .option("schema", "uid bigint, score double, tag string")
+            .option("fields.uid.start", "7")
+            .option("fields.score.kind", "random")
+            .option("fields.score.min", "2")
+            .option("fields.score.max", "4")
+            .load()
+        )
+
+    rows = sorted(map(tuple, load().collect()))
+    assert [r[0] for r in rows] == list(range(7, 57))
+    assert all(2.0 <= r[1] < 4.0 for r in rows)
+    assert all(r[2].startswith("tag_") for r in rows)
+    assert rows == sorted(map(tuple, load().collect()))  # deterministic
