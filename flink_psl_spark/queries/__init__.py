@@ -36,8 +36,16 @@ import flink_psl_spark.queries.datastream_queries  # noqa: F401, E402
 # two r4-red datagen rows (red on a conf-skew bug, fixed this round:
 # __spark_entry__._configure now shares session.RUNTIME_SQL_CONF).
 # A green r5 run reaches 100% cumulative driver coverage of the
-# registry.  Computed with: [n for n in QUERIES if n not in
+# 242-query r4 registry.  Computed with: [n for n in QUERIES if n not in
 # (latest-green rows of CORRECTNESS_r01..r04)].
+#
+# Queries NEW in round 5 beyond the window's three spare slots (the
+# _reorder middle places them right after the window, in registration
+# order — slots 48-50 go to temporal_table_function_sql,
+# llm_importance_resample, stream_timer_session_agg) form the ROUND-6
+# rotation seed: sum0_timestamp_ltz_fn, pysource_stream_datagen_agg,
+# pysource_datagen_fields, jdbc_upsert_roundtrip,
+# filesystem_partition_commit — plus anything red in CORRECTNESS_r05.
 _PRIORITY_WINDOW = [
     # r4-red datagen rows — conf-skew fix re-proof first
     "pysource_datagen_agg", "pysource_datagen_pushdown",
