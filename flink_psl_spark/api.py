@@ -100,6 +100,21 @@ class TableEnvironment:
         """≈ t_env.from_path('catalog.db.table') — a Table handle."""
         return self.spark.table(name)
 
+    def from_pandas(self, pdf, schema: str | None = None) -> DataFrame:
+        """≈ PyFlink t_env.from_pandas(pdf[, schema]) — Arrow-batched
+        ingestion of a driver-local pandas frame (bounded by contract:
+        inline/test data, never the corpus path)."""
+        if schema is not None:
+            return self.spark.createDataFrame(pdf, schema)
+        return self.spark.createDataFrame(pdf)
+
+    @staticmethod
+    def to_pandas(table: DataFrame):
+        """≈ PyFlink table.to_pandas() — Arrow-batched collect of a result
+        Table into pandas (driver-sized results only, as in the
+        reference)."""
+        return table.toPandas()
+
     # -- SQL ---------------------------------------------------------------
 
     def sql_query(self, sql: str) -> DataFrame:

@@ -327,3 +327,19 @@ def test_sha_family_passthrough(spark):
     assert row["s1"] == "a9993e364706816aba3e25717850c26c9cd0d89d"
     assert row["s384"].startswith("cb00753f45a35e8b")
     assert row["s512"].startswith("ddaf35a193617aba")
+
+
+def test_table_env_pandas_bridge(spark):
+    """PyFlink parity: t_env.from_pandas / table.to_pandas round-trip
+    (Arrow-batched both ways)."""
+    import pandas as pd
+
+    from flink_psl_spark.api import TableEnvironment
+
+    t_env = TableEnvironment(spark)
+    pdf = pd.DataFrame({"k": ["a", "b"], "v": [1, 2]})
+    tbl = t_env.from_pandas(pdf, "k string, v long")
+    out = t_env.to_pandas(tbl.orderBy("k"))
+    assert out.to_dict("records") == [
+        {"k": "a", "v": 1}, {"k": "b", "v": 2}
+    ]
