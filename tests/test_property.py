@@ -522,3 +522,84 @@ def test_importance_resample_matches_python_model(spark, rows, n_buckets):
     ] == [
         (i, s, n, rk + 1) for rk, (i, (s, n)) in enumerate(want)
     ]
+
+
+@st.composite
+def session_case(draw):
+    # minute offsets with duplicates allowed; random file split
+    mins = draw(st.lists(st.integers(0, 60), min_size=1, max_size=14))
+    n_files = draw(st.integers(1, 3))
+    order = draw(st.permutations(list(range(len(mins)))))
+    return mins, order, n_files
+
+
+@given(session_case())
+@settings(**_SETTINGS)
+def test_timer_session_agg_matches_model(spark, case):
+    """Timer-driven sessions equal a pure-python gap-split model over the
+    watermark-finalized prefix, for arbitrary event times, duplicates,
+    arrival permutations, and batch splits."""
+    import tempfile as _tf
+
+    from flink_psl_spark.streaming import run_to_memory_table, timer_session_agg
+
+    mins, order, n_files = case
+    GAP_MIN = 10
+    rows = [
+        ("k", BASE + dt.timedelta(minutes=m), float(i)) for i, m in enumerate(mins)
+    ]
+    # sentinel far ahead finalizes everything (wm = max ts - delay)
+    sentinel_min = max(mins) + 120
+    rows_with_sentinel = rows + [
+        ("z", BASE + dt.timedelta(minutes=sentinel_min), 0.0)
+    ]
+
+    # python model: sort by (ts, v), gap-split
+    sess, out = [], []
+    for ts, v in sorted((r[1], r[2]) for r in rows):
+        if sess and (ts - sess[-1][0]) < dt.timedelta(minutes=GAP_MIN):
+            sess.append((ts, v))
+        else:
+            if sess:
+                out.append(sess)
+            sess = [(ts, v)]
+    if sess:
+        out.append(sess)
+
+    main = [rows_with_sentinel[j] for j in order]
+    step = max(1, -(-len(main) // n_files))
+    files = [main[o:o + step] for o in range(0, len(main), step)]
+    files.append([rows_with_sentinel[-1]])  # sentinel last
+    d = _tf.mkdtemp(prefix="fps_tsprop_")
+    for chunk in files:
+        spark.createDataFrame(
+            chunk, "k string, ts timestamp, v double"
+        ).coalesce(1).write.mode("append").parquet(f"{d}/src")
+    st_df = spark.readStream.schema(
+        "k string, ts timestamp, v double"
+    ).parquet(f"{d}/src")
+    # delay = 130 min covers the worst-case arrival disorder (the
+    # sentinel may be read before late rows across file batches: nothing
+    # may drop as late); the final watermark is still max ts - delay,
+    # which the model's keep-filter mirrors
+    DELAY_MIN = 130
+    out_df = timer_session_agg(
+        st_df, "k", "ts", "v", gap="10 minutes", delay=f"{DELAY_MIN} minutes"
+    )
+    got = sorted(
+        (r["session_start"], r["session_end"], r["n"], r["total"])
+        for r in run_to_memory_table(out_df, output_mode="append").collect()
+        if r["k"] == "k"
+    )
+    wm = BASE + dt.timedelta(minutes=sentinel_min - DELAY_MIN)
+    want = sorted(
+        (
+            s[0][0],
+            s[-1][0] + dt.timedelta(minutes=GAP_MIN),
+            len(s),
+            sum(v for _, v in s),
+        )
+        for s in out
+        if s[-1][0] + dt.timedelta(minutes=GAP_MIN) <= wm
+    )
+    assert got == want
