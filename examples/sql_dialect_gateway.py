@@ -55,6 +55,25 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("temporal join via FOR SYSTEM_TIME AS OF:")
     results[-1].df.show()
 
+    # -- the LEGACY temporal table function form of the same join ---------
+    from flink_psl_spark.temporal_sql import register_temporal_table_function
+
+    register_temporal_table_function(
+        "rates_fn", "rates_ex", time_col="valid_from", primary_key="cur"
+    )
+    res_ttf = run_script(
+        spark,
+        """
+        SELECT o.id, o.cur, r.rate
+        FROM (SELECT 1 AS id, 'eur' AS cur,
+                     TIMESTAMP '2024-01-01 18:00:00' AS ts) o,
+             LATERAL TABLE (rates_fn(o.ts)) AS r
+        WHERE r.cur = o.cur;
+        """,
+    )
+    print("same join via LATERAL TABLE (temporal table function):")
+    res_ttf[-1].df.show()
+
     # -- window TVF + legacy group-window clauses over the fixture --------
     res = run_script(
         spark,
