@@ -99,7 +99,10 @@ def cosine_topk(
             "query_id",
             "neighbor_id",
             cosine("__qv", "__cv").alias("cos_sim"),
-        )
+        ).where(F.col("cos_sim").isNotNull())
+        # the NULL filter enforces the documented contract (zero-norm
+        # vectors never rank) — without it a query with fewer than k
+        # valid neighbors would pad its top-k with NULL-sim rows
     else:
         raise ValueError("method must be 'expr' or 'blas'")
     return top_n(

@@ -537,8 +537,9 @@ def test_shingle_dedup_short_docs(spark):
 
 def test_cosine_zero_vector_is_null_not_crash(spark):
     """Zero-norm embeddings must not crash ANN/dedup under ANSI mode:
-    cosine is NULL for them, so they rank below any real neighbor and
-    never pass a similarity threshold."""
+    cosine is NULL for them, so they NEVER rank (the documented contract,
+    enforced identically by the expr and BLAS paths) and never pass a
+    similarity threshold."""
     from pyspark.sql import functions as F
 
     from flink_psl_spark.llm import cosine_topk, embedding_dedup
@@ -549,8 +550,7 @@ def test_cosine_zero_vector_is_null_not_crash(spark):
     )
     top = cosine_topk(df, df.where(F.col("vec_id") == 2), k=3).collect()
     ids = [r["neighbor_id"] for r in sorted(top, key=lambda r: r["rank"])]
-    assert ids[0] == 4 and 1 in ids  # exact match first; zero vec ranked last
-    assert [r["cos_sim"] for r in top if r["neighbor_id"] == 1] == [None]
+    assert ids == [4, 3]  # exact match first; zero vec excluded, not padded
     kept = sorted(
         r["vec_id"] for r in embedding_dedup(df, threshold=0.9, exact=True).collect()
     )

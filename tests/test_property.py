@@ -603,3 +603,41 @@ def test_timer_session_agg_matches_model(spark, case):
         if s[-1][0] + dt.timedelta(minutes=GAP_MIN) <= wm
     )
     assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-4, 4, allow_nan=False, width=32),
+            min_size=3, max_size=3,
+        ),
+        min_size=2, max_size=10,
+    ),
+    st.integers(1, 4),
+)
+@settings(**_SETTINGS)
+def test_cosine_topk_blas_parity_random(spark, vecs, k):
+    """expr vs BLAS cosine top-k on arbitrary vectors (including
+    zero-norm rows): identical neighbor ids and ranks, dot products equal
+    to float tolerance."""
+    from flink_psl_spark.llm import cosine_topk
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where("vec_id < 2")
+    a = cosine_topk(df, q, k=k).collect()
+    b = cosine_topk(df, q, k=k, method="blas").collect()
+    ka = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in a)
+    kb = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in b)
+    # both paths order by (sim desc, id asc) and drop NULL/zero-norm
+    # rows, so triples must agree unless two DISTINCT sims collide within
+    # the paths' different summation orders; tolerate only that case by
+    # falling back to a per-rank sim comparison
+    if ka != kb:
+        ra = sorted(
+            (r["query_id"], r["rank"], round(r["cos_sim"], 5)) for r in a
+        )
+        rb = sorted(
+            (r["query_id"], r["rank"], round(r["cos_sim"], 5)) for r in b
+        )
+        assert ra == rb
