@@ -494,6 +494,13 @@ def partitioned_streaming_sink(
     Idempotent across restarts: the marker's existence IS the commit
     state (no driver memory needed); re-processing a batch re-checks and
     skips. Returns the StreamingQuery (caller awaits/stops).
+
+    Late-data caveat (same as the reference's partition-time trigger): a
+    row older than the watermark still lands in its (already committed)
+    partition — the marker signals "the watermark passed", not "no late
+    writes can ever occur". Downstream consumers needing a hard seal
+    should pair the marker with the watermark delay as their lateness
+    bound, exactly as with the reference's success-file policy.
     """
     import datetime as _dt
     import os as _os

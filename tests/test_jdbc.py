@@ -105,3 +105,33 @@ def test_jdbc_upsert_write(spark, t, derby_url):
     back = jdbc_table(spark, derby_url, "upsert_tgt", driver=DRIVER)
     got = sorted((r["k"], r["v"]) for r in back.collect())
     assert got == [(1, 10.0), (2, 99.0), (3, 30.0)]  # max-v dedup kept 30.0
+
+
+def test_jdbc_upsert_multi_batch_state_machine(spark, derby_url):
+    """Sequences of upsert batches behave as a keyed dict: the table state
+    after N batches equals applying each batch's last-write-wins dedup in
+    order (the reference sink's changelog-batch contract)."""
+    from flink_psl_spark.sources import jdbc_table, jdbc_upsert_write
+
+    spark.createDataFrame(
+        [(1, 1.0)], "k int, v double"
+    ).write.format("jdbc").option("url", derby_url).option(
+        "dbtable", "upsert_sm"
+    ).option("driver", DRIVER).mode("overwrite").save()
+
+    model = {1: 1.0}
+    batches = [
+        [(1, 5.0), (2, 2.0)],
+        [(2, 7.0), (2, 3.0), (4, 4.0)],  # in-batch dup: max wins
+        [(1, 0.5), (5, 5.0)],
+    ]
+    for batch in batches:
+        bdf = spark.createDataFrame(batch, "k int, v double")
+        jdbc_upsert_write(bdf, derby_url, "upsert_sm", "k", driver=DRIVER)
+        staged = {}
+        for k, v in batch:
+            staged[k] = max(staged.get(k, float("-inf")), v)
+        model.update(staged)
+        back = jdbc_table(spark, derby_url, "upsert_sm", driver=DRIVER)
+        got = {r["k"]: r["v"] for r in back.collect()}
+        assert got == model
