@@ -111,6 +111,44 @@ def rewrite_temporal_table_functions(sql: str) -> str:
     return _TTF_RE.sub(repl, sql)
 
 
+# ---------------------------------------------------------------------------
+# Query hints (reference docs/dev/table/sql/queries/hints.md — Join Hints
+# BROADCAST / SHUFFLE_HASH / SHUFFLE_MERGE / NEST_LOOP). Spark understands
+# the first two under the same names; the other two translate. The OPTIONS
+# dynamic-table hint is intentionally unmapped: our DDL tables resolve to
+# views at CREATE time, so per-query connector-option override has no
+# rebinding point — pass options at CREATE TABLE ... WITH (...) instead
+# (documented in sql_client.py's coverage note).
+# ---------------------------------------------------------------------------
+
+_JOIN_HINT_MAP = {
+    "SHUFFLE_MERGE": "MERGE",
+    "NEST_LOOP": "SHUFFLE_REPLICATE_NL",
+}
+
+_JOIN_HINT_RE = re.compile(
+    r"/\*\+\s*(?P<body>[^*]*?)\s*\*/",
+)
+
+
+def rewrite_join_hints(sql: str) -> str:
+    """Translate reference join-hint names inside ``/*+ ... */`` blocks to
+    Spark's: SHUFFLE_MERGE → MERGE, NEST_LOOP → SHUFFLE_REPLICATE_NL
+    (BROADCAST and SHUFFLE_HASH already share names)."""
+    if "/*+" not in sql:
+        return sql
+
+    def repl(m: re.Match) -> str:
+        body = m.group("body")
+        for src, dst in _JOIN_HINT_MAP.items():
+            body = re.sub(
+                rf"\b{src}\b", dst, body, flags=re.IGNORECASE
+            )
+        return f"/*+ {body} */"
+
+    return _JOIN_HINT_RE.sub(repl, sql)
+
+
 _TEMPORAL_RE = re.compile(
     r"(?P<how>LEFT\s+(?:OUTER\s+)?JOIN|INNER\s+JOIN|JOIN)\s+"
     r"(?P<tbl>[A-Za-z_][\w.]*)\s+"
@@ -257,8 +295,8 @@ def rewrite_window_tvfs(sql: str) -> str:
 def rewrite_flink_sql(sql: str) -> str:
     """All Flink-SQL-to-Spark-SQL clause rewrites this engine supports:
     FOR SYSTEM_TIME AS OF temporal joins, LATERAL TABLE temporal table
-    functions, TUMBLE/HOP window TVFs, and the legacy GROUP BY
-    TUMBLE/HOP/SESSION group-window family."""
+    functions, join-hint name translation, TUMBLE/HOP window TVFs, and
+    the legacy GROUP BY TUMBLE/HOP/SESSION group-window family."""
     from flink_psl_spark.ddl import rewrite_create_table
 
     sql = rewrite_create_table(sql)
@@ -269,6 +307,7 @@ def rewrite_flink_sql(sql: str) -> str:
     sql = re.sub(
         r"^\s*EXPLAIN\s+PLAN\s+FOR\b", "EXPLAIN", sql, flags=re.IGNORECASE
     )
+    sql = rewrite_join_hints(sql)
     sql = rewrite_system_time_joins(sql)
     sql = rewrite_temporal_table_functions(sql)
     sql = rewrite_window_tvfs(sql)  # must run before the legacy rewrite --

@@ -327,3 +327,28 @@ def test_temporal_table_function_rewrite_and_passthrough():
         assert rewrite_temporal_table_functions(sql) == sql
     finally:
         clear_versioned_tables()
+
+
+def test_join_hint_translation(spark, t):
+    """Reference join-hint names translate to Spark's and actually steer
+    the planner: SHUFFLE_MERGE forces a SortMergeJoin where broadcast
+    would otherwise win; NEST_LOOP maps to the NL strategy name."""
+    from flink_psl_spark.temporal_sql import rewrite_flink_sql, rewrite_join_hints
+
+    assert rewrite_join_hints(
+        "SELECT /*+ SHUFFLE_MERGE(n) */ * FROM a JOIN n ON a.k = n.k"
+    ) == "SELECT /*+ MERGE(n) */ * FROM a JOIN n ON a.k = n.k"
+    assert "SHUFFLE_REPLICATE_NL(x)" in rewrite_join_hints(
+        "SELECT /*+ NEST_LOOP(x) */ 1"
+    )
+    # unchanged names pass through
+    assert rewrite_join_hints("SELECT /*+ BROADCAST(d) */ 1").count(
+        "BROADCAST"
+    ) == 1
+
+    sql = rewrite_flink_sql(
+        "SELECT /*+ SHUFFLE_MERGE(nation) */ n_name, r_name "
+        "FROM nation JOIN region ON n_regionkey = r_regionkey"
+    )
+    plan = spark.sql(sql)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan[:800]
