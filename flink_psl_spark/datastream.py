@@ -224,3 +224,89 @@ class KeyedStream:
 
     def count(self) -> "DataStream":
         return self._agg("count", F.count(F.lit(1)))
+
+    def window(
+        self,
+        time_col: str,
+        *,
+        size: str | None = None,
+        slide: str | None = None,
+        gap: str | None = None,
+    ) -> "WindowedStream":
+        """KeyedStream.window(assigner) (reference KeyedStream.window:
+        TumblingEventTimeWindows / SlidingEventTimeWindows /
+        EventTimeSessionWindows): ``size`` alone → tumbling; ``size`` +
+        ``slide`` → sliding; ``gap`` → session."""
+        if gap is not None:
+            return WindowedStream(
+                self.df, self.keys, time_col, "session", {"gap": gap}
+            )
+        if size is None:
+            raise ValueError("window needs size= (tumble/slide) or gap=")
+        if slide is not None:
+            return WindowedStream(
+                self.df, self.keys, time_col, "slide",
+                {"size": size, "slide": slide},
+            )
+        return WindowedStream(
+            self.df, self.keys, time_col, "tumble", {"size": size}
+        )
+
+
+class WindowedStream:
+    """KeyedStream.window(...) result (reference WindowedStream.java):
+    apply an aggregate/reduce over (key, window) groups. Assignment
+    delegates to the operator-layer window TVFs (operators/windows.py),
+    so the plan is the same flattened window_start/window_end projection
+    the SQL path produces."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        keys: list[str],
+        time_col: str,
+        kind: str,
+        spec: dict,
+    ):
+        self._df = df
+        self._keys = keys
+        self._time_col = time_col
+        self._kind = kind
+        self._spec = spec
+
+    def _assigned(self) -> DataFrame:
+        from flink_psl_spark.operators.windows import hop, session, tumble
+
+        if self._kind == "tumble":
+            return tumble(self._df, self._time_col, self._spec["size"])
+        if self._kind == "slide":
+            return hop(
+                self._df, self._time_col,
+                self._spec["slide"], self._spec["size"],
+            )
+        if self._kind == "session":
+            return session(
+                self._df, self._time_col, self._spec["gap"],
+                partition_by=self._keys,
+            )
+        raise ValueError(f"unknown window kind {self._kind!r}")
+
+    def aggregate(self, *aggs: Column) -> "DataStream":
+        """WindowedStream.aggregate: named aggregate columns over each
+        (key, window) group; output carries keys + window bounds."""
+        out = (
+            self._assigned()
+            .groupBy(*self._keys, "window_start", "window_end")
+            .agg(*aggs)
+        )
+        return DataStream(out)
+
+    def reduce(
+        self, fn: Callable[[dict, dict], dict], order_by: str | list[str]
+    ) -> "DataStream":
+        """WindowedStream.reduce: fold each (key, window) group's rows in
+        ``order_by`` order, emit the final accumulator row per group."""
+        return KeyedStream(
+            self._assigned(),
+            [*self._keys, "window_start", "window_end"],
+        ).reduce(fn, order_by)

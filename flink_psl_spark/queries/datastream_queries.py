@@ -583,3 +583,34 @@ def filesystem_partition_commit(spark, sf_dir):
         for r in counts
     ]
     return spark.createDataFrame(rows, "part string, committed boolean, n bigint")
+
+
+@query(
+    "datastream_window_agg",
+    oracle="""
+    SELECT user_id,
+           time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+             AS window_end,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def datastream_window_agg(spark, sf_dir):
+    """KeyedStream.window(TumblingEventTimeWindows).aggregate (reference
+    WindowedStream.aggregate / AggregateFunction): the fluent DataStream
+    windowing surface over the same flattened window assignment the SQL
+    path uses."""
+    from flink_psl_spark.datastream import DataStream
+
+    t = tables(spark, sf_dir)
+    ds = DataStream(t["events"].select("user_id", "ts", "value"))
+    out = (
+        ds.key_by("user_id")
+        .window("ts", size="1 hour")
+        .aggregate(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+    )
+    return out.df

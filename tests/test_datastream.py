@@ -108,3 +108,54 @@ def test_iterate_budget_exhausted_drains(spark):
         max_iterations=3,
     )
     assert [r["value"] for r in out.execute_and_collect()] == [7]
+
+
+def test_keyed_window_kinds(spark):
+    """KeyedStream.window: tumbling aggregate, sliding row multiplication,
+    session gap merging, and windowed reduce all through the fluent API."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.datastream import DataStream
+
+    TS = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        ("a", TS(1), 1.0), ("a", TS(5), 2.0),     # tumble win 0
+        ("a", TS(11), 4.0),                        # tumble win 1
+        ("b", TS(59), 8.0),
+    ]
+    ds = DataStream(
+        spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    )
+
+    tumbled = (
+        ds.key_by("k").window("ts", size="10 minutes")
+        .aggregate(F.sum("v").alias("s")).df
+    )
+    got = {
+        (r["k"], r["window_start"].minute, r["s"]) for r in tumbled.collect()
+    }
+    assert got == {("a", 0, 3.0), ("a", 10, 4.0), ("b", 50, 8.0)}
+
+    slid = (
+        ds.key_by("k").window("ts", size="10 minutes", slide="5 minutes")
+        .aggregate(F.count("*").alias("n")).df
+    )
+    # row at minute 1 lands in windows [-5,5) and [0,10) -> 2 windows
+    assert slid.where("k = 'a'").agg(F.sum("n")).collect()[0][0] == 6
+
+    sess = (
+        ds.key_by("k").window("ts", gap="5 minutes")
+        .aggregate(F.count("*").alias("n")).df
+    )
+    assert sorted(r["n"] for r in sess.where("k = 'a'").collect()) == [1, 2]
+
+    reduced = (
+        ds.key_by("k").window("ts", size="10 minutes")
+        .reduce(lambda a, b: {**b, "v": a["v"] + b["v"]}, order_by="ts").df
+    )
+    got_r = {
+        (r["k"], r["v"]) for r in reduced.collect()
+    }
+    assert got_r == {("a", 3.0), ("a", 4.0), ("b", 8.0)}
