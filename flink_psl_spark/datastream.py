@@ -106,6 +106,23 @@ class DataStream:
         """keyBy → KeyedStream (KeyedStream.java:112)."""
         return KeyedStream(self.df, list(keys))
 
+    def window_all(
+        self,
+        time_col: str,
+        *,
+        size: str | None = None,
+        slide: str | None = None,
+        gap: str | None = None,
+    ) -> "WindowedStream":
+        """windowAll (DataStream → AllWindowedStream): the non-keyed
+        window — all rows share each window. The reference warns this is
+        parallelism-1; here the per-window aggregation still partial-
+        aggregates map-side, but the final combine per window is one
+        reducer (same caveat, documented)."""
+        return KeyedStream(self.df, []).window(
+            time_col, size=size, slide=slide, gap=gap
+        )
+
     def union(self, *others: "DataStream") -> "DataStream":
         """union (DataStream.java:227) — UNION ALL of same-schema streams."""
         out = self.df

@@ -159,3 +159,26 @@ def test_keyed_window_kinds(spark):
         (r["k"], r["v"]) for r in reduced.collect()
     }
     assert got_r == {("a", 3.0), ("a", 4.0), ("b", 8.0)}
+
+
+def test_window_all_non_keyed(spark):
+    """windowAll: one window family over ALL rows (no key)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.datastream import DataStream
+
+    TS = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    ds = DataStream(
+        spark.createDataFrame(
+            [("a", TS(1), 1.0), ("b", TS(2), 2.0), ("a", TS(15), 4.0)],
+            "k string, ts timestamp, v double",
+        )
+    )
+    out = ds.window_all("ts", size="10 minutes").aggregate(
+        F.sum("v").alias("s")
+    ).df
+    assert {
+        (r["window_start"].minute, r["s"]) for r in out.collect()
+    } == {(0, 3.0), (10, 4.0)}
