@@ -19,6 +19,7 @@ Statement coverage (the dialect layer's single source of truth):
 - **Pass-through** (Spark SQL runs them natively, same syntax):
   ``SHOW TABLES/DATABASES/FUNCTIONS/VIEWS``, ``DESCRIBE``, ``USE``,
   ``ANALYZE TABLE``, ``CREATE/DROP VIEW``, ``INSERT``, queries.
+- **Pass-through (deployment)**: ``ADD JAR`` is native Spark SQL.
 - **Intentionally unmapped** — cluster-process statements with no Spark
   statement counterpart: ``SHOW JOBS`` / ``STOP JOB <id>`` (reference:
   flink-sql-client's job lifecycle against a JobManager). Their
