@@ -53,3 +53,71 @@ def changelog_normalize(
         drop_update_before(df, op_col), keys, version_by, keep="last"
     )
     return latest.where(F.col(op_col) != "D").drop(op_col)
+
+
+def non_deterministic_expressions(df: DataFrame) -> list[str]:
+    """All non-deterministic expressions in the frame's analyzed plan —
+    the engine-level input to non-deterministic-update (NDU) analysis
+    (reference: StreamNonDeterministicUpdatePlanVisitor.java /
+    `table.optimizer.non-deterministic-update.strategy`, FLINK 1.16's
+    NDU handling for changelog pipelines).
+
+    Walks Catalyst's own per-expression ``deterministic`` flag over every
+    plan node and expression subtree, so the answer matches what Spark
+    will actually recompute differently on retry/retraction (rand, uuid,
+    shuffle, monotonically_increasing_id, ND UDFs, ...). Subquery
+    expressions' inner plans are not descended into (same scope note as
+    the reference's visitor, which treats them at the operator boundary).
+    """
+    found: set[str] = set()
+
+    def walk_expr(e) -> None:
+        try:
+            if not e.deterministic():
+                found.add(e.prettyName())
+        except Exception:
+            pass
+        ch = e.children()
+        for i in range(ch.size()):
+            walk_expr(ch.apply(i))
+
+    def walk_plan(p) -> None:
+        exprs = p.expressions()
+        for i in range(exprs.size()):
+            walk_expr(exprs.apply(i))
+        ch = p.children()
+        for i in range(ch.size()):
+            walk_plan(ch.apply(i))
+
+    walk_plan(df._jdf.queryExecution().analyzed())
+    return sorted(found)
+
+
+def assert_deterministic_updates(
+    df: DataFrame, *, strategy: str = "TRY_RESOLVE"
+) -> list[str]:
+    """NDU gate for update/upsert pipelines (reference
+    OptimizerConfigOptions `table.optimizer.non-deterministic-update
+    .strategy`): a non-deterministic column that feeds a keyed upsert or
+    retraction recomputes DIFFERENTLY when the update fires, corrupting
+    the sink's image — the reference's TRY_RESOLVE strategy fails the
+    plan with guidance rather than emit wrong retractions.
+
+    strategy='IGNORE' returns the (possibly empty) list without raising;
+    'TRY_RESOLVE' raises ValueError naming each offending expression.
+    Call before wiring a frame into merge_upsert / an upsert sink.
+    """
+    nd = non_deterministic_expressions(df)
+    if strategy.upper() == "IGNORE":
+        return nd
+    if strategy.upper() != "TRY_RESOLVE":
+        raise ValueError("strategy must be TRY_RESOLVE or IGNORE")
+    if nd:
+        raise ValueError(
+            "non-deterministic expressions feed an update pipeline: "
+            f"{nd} — materialize them before the changelog boundary "
+            "(write once, then upsert from the materialized column) or "
+            "replace with a deterministic derivation (hash of row keys), "
+            "as the reference's NDU TRY_RESOLVE strategy requires"
+        )
+    return nd

@@ -259,3 +259,34 @@ def test_parse_upsert_tombstone_semantics(spark):
     assert set(parsed.columns) == {"k", "x", "__op", "offset"}
     image = changelog_normalize(parsed, ["k"], ["offset"])
     assert [(r["k"], r["x"]) for r in image.orderBy("k").collect()] == [(1, "b")]
+
+
+def test_ndu_analysis_flags_and_gates(spark, t):
+    """Non-deterministic-update analysis (reference NDU strategy): rand /
+    uuid / monotonically_increasing_id are flagged via Catalyst's own
+    deterministic metadata; a deterministic frame passes TRY_RESOLVE."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.operators.changelog import (
+        assert_deterministic_updates,
+        non_deterministic_expressions,
+    )
+
+    clean = t["nation"].select(
+        "n_nationkey", F.md5(F.col("n_name")).alias("h")
+    )
+    assert non_deterministic_expressions(clean) == []
+    assert assert_deterministic_updates(clean) == []
+
+    dirty = t["nation"].select(
+        "n_nationkey",
+        F.rand().alias("r"),
+        F.expr("uuid()").alias("u"),
+        F.monotonically_increasing_id().alias("m"),
+    ).where(F.col("r") > 0.0)
+    nd = non_deterministic_expressions(dirty)
+    assert "rand" in nd and "uuid" in nd
+    assert assert_deterministic_updates(dirty, strategy="IGNORE") == nd
+    with pytest.raises(ValueError, match="non-deterministic"):
+        assert_deterministic_updates(dirty)
