@@ -92,17 +92,22 @@ def cosine_topk(
     if method == "blas":
         scored = _blas_partial_topk(c, q, k, include_self)
     elif method == "expr":
-        joined = c.join(F.broadcast(q), how="cross")
+        # exclude zero-norm vectors UP FRONT (the documented contract:
+        # they never rank) — filtering the inputs with a cheap exists()
+        # scan instead of cos_sim IS NOT NULL afterwards, because Catalyst
+        # pushes the latter below the projection and evaluates the full
+        # cosine twice
+        nonzero = lambda col: F.exists(F.col(col), lambda x: x != 0.0)  # noqa: E731
+        joined = c.where(nonzero("__cv")).join(
+            F.broadcast(q.where(nonzero("__qv"))), how="cross"
+        )
         if not include_self:
             joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
         scored = joined.select(
             "query_id",
             "neighbor_id",
             cosine("__qv", "__cv").alias("cos_sim"),
-        ).where(F.col("cos_sim").isNotNull())
-        # the NULL filter enforces the documented contract (zero-norm
-        # vectors never rank) — without it a query with fewer than k
-        # valid neighbors would pad its top-k with NULL-sim rows
+        )
     else:
         raise ValueError("method must be 'expr' or 'blas'")
     return top_n(
