@@ -92,15 +92,7 @@ def cosine_topk(
     if method == "blas":
         scored = _blas_partial_topk(c, q, k, include_self)
     elif method == "expr":
-        # exclude zero-norm vectors UP FRONT (the documented contract:
-        # they never rank) — filtering the inputs with a cheap exists()
-        # scan instead of cos_sim IS NOT NULL afterwards, because Catalyst
-        # pushes the latter below the projection and evaluates the full
-        # cosine twice
-        nonzero = lambda col: F.exists(F.col(col), lambda x: x != 0.0)  # noqa: E731
-        joined = c.where(nonzero("__cv")).join(
-            F.broadcast(q.where(nonzero("__qv"))), how="cross"
-        )
+        joined = c.join(F.broadcast(q), how="cross")
         if not include_self:
             joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
         scored = joined.select(
@@ -110,13 +102,27 @@ def cosine_topk(
         )
     else:
         raise ValueError("method must be 'expr' or 'blas'")
-    return top_n(
-        scored,
-        "query_id",
-        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
-        k,
-        rank_col="rank",
-    ).select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    return (
+        top_n(
+            scored,
+            "query_id",
+            [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+            k,
+            rank_col="rank",
+        )
+        # zero-norm exclusion contract (NULL cosines never rank), applied
+        # ABOVE the rank window: desc ordering already sorts NULLs last,
+        # and a non-partition-column predicate cannot be pushed below the
+        # Window — so the cosine is evaluated exactly once and NULL rows
+        # simply fall out of the k results (valid rows keep ranks 1..m)
+        .where(F.col("cos_sim").isNotNull())
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_sim", 6).alias("cos_sim"),
+            "rank",
+        )
+    )
 
 
 def _blas_partial_topk(
