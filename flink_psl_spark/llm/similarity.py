@@ -589,7 +589,7 @@ def semantic_dedup(
     )
 
     def _route(rows: DataFrame, centroids: DataFrame) -> DataFrame:
-        """max-cosine routing as max_by over (sim, -cid): partial-
+        """max-cosine routing as min_by over (-sim, cid): partial-
         aggregates map-side, so the exchange carries N rows, not N×K
         scored rows."""
         scored = rows.join(F.broadcast(centroids)).select(
@@ -597,12 +597,17 @@ def semantic_dedup(
         )
         others = [f for f in rows.columns if f not in ("__id", "__v")]
         return scored.groupBy("__id").agg(
-            F.max_by(
+            F.min_by(
                 F.struct(
                     F.col("__cid").alias("cluster_id"),
                     F.col("__v").alias("__v"),
                 ),
-                F.struct(F.col("__sim"), (-F.col("__cid")).alias("__tie")),
+                # type-agnostic argmax: min over (-sim, cid) = max sim,
+                # ties to the LOWER centroid id for ANY orderable id type
+                # (unary minus on a string id would cast to NULL)
+                F.struct(
+                    (-F.col("__sim")).alias("__negsim"), F.col("__cid")
+                ),
             ).alias("__best"),
             *[F.first(o).alias(o) for o in others],
         )
@@ -653,18 +658,23 @@ def semantic_dedup(
         )
         # fine resolution: equi-join on the coarse cell (keyed shuffle of
         # the K-row centroid table — NOT a broadcast of all K), then the
-        # same max_by argmax within the cell
+        # same min_by argmax within the cell
         in_cell = vec_cell.join(cent_cell, on="__cell").select(
             "__id", "__v", "__h", "__cid",
             cosine("__v", "__cv").alias("__sim"),
         )
         routed = in_cell.groupBy("__id").agg(
-            F.max_by(
+            F.min_by(
                 F.struct(
                     F.col("__cid").alias("cluster_id"),
                     F.col("__v").alias("__v"),
                 ),
-                F.struct(F.col("__sim"), (-F.col("__cid")).alias("__tie")),
+                # type-agnostic argmax: min over (-sim, cid) = max sim,
+                # ties to the LOWER centroid id for ANY orderable id type
+                # (unary minus on a string id would cast to NULL)
+                F.struct(
+                    (-F.col("__sim")).alias("__negsim"), F.col("__cid")
+                ),
             ).alias("__best"),
             F.first("__h").alias("__h"),
         )

@@ -65,19 +65,24 @@ def non_deterministic_expressions(df: DataFrame) -> list[str]:
     Walks Catalyst's own per-expression ``deterministic`` flag over every
     plan node and expression subtree, so the answer matches what Spark
     will actually recompute differently on retry/retraction (rand, uuid,
-    shuffle, monotonically_increasing_id, ND UDFs, ...). Subquery
+    shuffle, monotonically_increasing_id, ND UDFs, ...). Only ROOT-CAUSE
+    expressions are reported: a node that is itself non-deterministic
+    while all its children are deterministic (an ``alias`` or comparison
+    wrapping ``rand()`` inherits the flag but isn't the source). Subquery
     expressions' inner plans are not descended into (same scope note as
     the reference's visitor, which treats them at the operator boundary).
     """
     found: set[str] = set()
 
     def walk_expr(e) -> None:
+        ch = e.children()
         try:
-            if not e.deterministic():
+            if not e.deterministic() and all(
+                ch.apply(i).deterministic() for i in range(ch.size())
+            ):
                 found.add(e.prettyName())
         except Exception:
             pass
-        ch = e.children()
         for i in range(ch.size()):
             walk_expr(ch.apply(i))
 

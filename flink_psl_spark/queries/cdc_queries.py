@@ -490,3 +490,74 @@ def cdc_upsert_format_image(spark, sf_dir):
     )
     image = changelog_normalize(parsed, ["user_id"], ["offset"])
     return image.select("user_id", "event_id", "amount")
+
+
+# ---------------------------------------------------------------------------
+# NDU analysis (SURVEY §2 row 57; reference
+# StreamNonDeterministicUpdatePlanVisitor.java +
+# `table.optimizer.non-deterministic-update.strategy`)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ndu_analysis",
+    # analysis metadata, not data: the oracle is the FIXED contract the
+    # analyzer must produce over one known-clean and one known-dirty
+    # changelog pipeline (root-cause expressions only, wrapper nodes
+    # excluded by design)
+    oracle="""
+    SELECT * FROM (VALUES
+      ('clean_image', '<deterministic>', TRUE),
+      ('dirty_image', 'monotonically_increasing_id', FALSE),
+      ('dirty_image', 'rand', FALSE),
+      ('dirty_image', 'uuid', FALSE)
+    ) AS t(plan, nd_expr, try_resolve_ok)
+    """,
+)
+def ndu_analysis(spark, sf_dir):
+    """Non-deterministic-update analysis over changelog pipelines
+    (reference StreamNonDeterministicUpdatePlanVisitor, FLINK-1.16 NDU):
+    a clean keyed-upsert image plan (md5-derived column) must report no
+    ND expressions and pass TRY_RESOLVE; the same plan with rand/uuid/
+    monotonically_increasing_id columns must name each root-cause ND
+    expression and fail TRY_RESOLVE. One output row per (plan, finding).
+    """
+    from flink_psl_spark.operators.changelog import (
+        assert_deterministic_updates,
+        non_deterministic_expressions,
+        to_changelog,
+    )
+
+    t = tables(spark, sf_dir)
+
+    def image(extra_cols):
+        df = t["events"].select(
+            "user_id", "event_id", "ts",
+            F.md5(F.col("event_type")).alias("h"),
+            *extra_cols,
+        )
+        return changelog_normalize(
+            to_changelog(df, "U"), ["user_id"], ["ts", "event_id"]
+        )
+
+    clean = image([])
+    dirty = image([
+        F.rand().alias("r"),
+        F.expr("uuid()").alias("u"),
+        F.monotonically_increasing_id().alias("m"),
+    ])
+
+    rows = []
+    for name, df in [("clean_image", clean), ("dirty_image", dirty)]:
+        nd = non_deterministic_expressions(df)
+        try:
+            assert_deterministic_updates(df, strategy="TRY_RESOLVE")
+            ok = True
+        except ValueError:
+            ok = False
+        for expr_name in (nd or ["<deterministic>"]):
+            rows.append((name, expr_name, ok))
+
+    return spark.createDataFrame(
+        rows, "plan string, nd_expr string, try_resolve_ok boolean"
+    )

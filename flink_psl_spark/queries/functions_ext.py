@@ -169,24 +169,32 @@ sql_query(
     """,
 )
 
+# Output-typing discipline (tpch_suite.py "float discipline", applied here
+# after the r5 driver hash-red): TRY_TO_NUMBER yields DECIMAL(2,0), whose
+# pandas rendering differs between Spark (decimal.Decimal) and DuckDB
+# (float64) even when values are bit-identical — so cast `tn` to INT on
+# BOTH sides (TRY_TO_NUMBER itself stays in the expression, still
+# exercised) and round `td` to 6 places for stable float canonicalization.
 sql_query(
     "try_functions",
     """
     SELECT l_orderkey, l_linenumber,
-           TRY_DIVIDE(l_extendedprice, l_quantity - 25) AS td,
+           ROUND(TRY_DIVIDE(l_extendedprice, l_quantity - 25), 6) AS td,
            TRY_CAST(CONCAT('x', CAST(l_linenumber AS STRING)) AS INT) AS bad_int,
            TRY_CAST(CAST(CAST(l_quantity AS BIGINT) AS STRING) AS INT) AS ok_int,
-           TRY_TO_NUMBER(CAST(CAST(l_quantity AS BIGINT) AS STRING), '99') AS tn
+           CAST(TRY_TO_NUMBER(CAST(CAST(l_quantity AS BIGINT) AS STRING), '99')
+                AS INT) AS tn
     FROM lineitem WHERE l_orderkey <= 300
     """,
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CASE WHEN l_quantity = 25 THEN NULL
-                ELSE l_extendedprice / (l_quantity - 25) END AS td,
+           ROUND(CASE WHEN l_quantity = 25 THEN NULL
+                ELSE l_extendedprice / (l_quantity - 25) END, 6) AS td,
            TRY_CAST(CONCAT('x', CAST(l_linenumber AS VARCHAR)) AS INT) AS bad_int,
            TRY_CAST(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS INT) AS ok_int,
-           CASE WHEN l_quantity < 100
-                THEN CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(2,0)) END AS tn
+           CAST(CASE WHEN l_quantity < 100
+                THEN CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(2,0)) END
+                AS INT) AS tn
     FROM lineitem WHERE l_orderkey <= 300
     """,
 )

@@ -1547,6 +1547,92 @@ def llm_semantic_dedup(spark, sf_dir):
 
 
 @query(
+    "llm_semantic_dedup_two_level",
+    # exact replica of the IVF-style two-level routing path: the same
+    # md5-hash-sampled fine centroids (K = ceil(count/32)), but routing
+    # goes coarse-then-fine — m = isqrt(K) coarse cells (the first m fine
+    # centroids in cid order; floor(sqrt(K+0.5)) is exact integer sqrt
+    # for K < 2^52), each fine centroid and each vector max-cosine-routes
+    # to a coarse cell (ties lower gid), then the vector resolves its
+    # fine centroid among ONLY its cell's centroids (ties lower cid).
+    # Downstream (sub-bucket cap 25, within-bucket cosine >= 0.2
+    # keep-lowest-id) is identical to llm_semantic_dedup.
+    oracle="""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      MD5(CAST(vec_id AS VARCHAR)) AS h
+               FROM embeddings),
+    k AS (SELECT GREATEST(1, CAST(CEIL(COUNT(*) / 32.0) AS BIGINT)) AS n
+          FROM c),
+    cents AS (
+      SELECT vec_id AS cid, v AS cv
+      FROM (SELECT vec_id, v,
+                   ROW_NUMBER() OVER (ORDER BY h, vec_id) AS rn FROM c)
+      WHERE rn <= (SELECT n FROM k)),
+    g AS (SELECT GREATEST(1, CAST(FLOOR(SQRT((SELECT n FROM k) + 0.5))
+                                  AS BIGINT)) AS m),
+    coarse AS (
+      SELECT cid AS gid, cv AS gv
+      FROM (SELECT cid, cv, ROW_NUMBER() OVER (ORDER BY cid) AS rn
+            FROM cents)
+      WHERE rn <= (SELECT m FROM g)),
+    cent_cell AS (
+      SELECT cid, cv, gid AS cell FROM (
+        SELECT cid, cv, gid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY cid
+                 ORDER BY LIST_COSINE_SIMILARITY(cv, gv) DESC, gid) AS rn
+        FROM cents CROSS JOIN coarse) WHERE rn = 1),
+    vec_cell AS (
+      SELECT vec_id, v, h, gid AS cell FROM (
+        SELECT vec_id, v, h, gid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY LIST_COSINE_SIMILARITY(v, gv) DESC, gid) AS rn
+        FROM c CROSS JOIN coarse) WHERE rn = 1),
+    routed AS (
+      SELECT vec_id, v, h, cid FROM (
+        SELECT vc.vec_id, vc.v, vc.h, cc.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vc.vec_id
+                 ORDER BY LIST_COSINE_SIMILARITY(vc.v, cc.cv) DESC,
+                          cc.cid) AS rn
+        FROM vec_cell vc JOIN cent_cell cc ON vc.cell = cc.cell)
+      WHERE rn = 1),
+    assigned AS (
+      SELECT vec_id, v, cid AS cluster_id,
+             CAST(FLOOR((ROW_NUMBER() OVER (
+               PARTITION BY cid ORDER BY h, vec_id) - 1) / 25)
+               AS BIGINT) AS sub
+      FROM routed),
+    dropped AS (
+      SELECT DISTINCT r.vec_id
+      FROM assigned l JOIN assigned r
+        ON l.cluster_id = r.cluster_id AND l.sub = r.sub
+       AND l.vec_id < r.vec_id
+      WHERE LIST_COSINE_SIMILARITY(l.v, r.v) >= 0.2)
+    SELECT e.vec_id, e.label, a.cluster_id
+    FROM embeddings e JOIN assigned a USING (vec_id)
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+)
+def llm_semantic_dedup_two_level(spark, sf_dir):
+    """SemDeDup at 100k-cluster scale: IVF-style two-level routing
+    (broadcast only ~sqrt(K) coarse centroids; the K-row fine-centroid
+    table shuffles by coarse cell, never broadcast) feeding the same
+    sub-bucket-capped within-cluster dedup as llm_semantic_dedup."""
+    from flink_psl_spark.llm import semantic_dedup
+
+    t = tables(spark, sf_dir)
+    return semantic_dedup(
+        t["embeddings"].select("vec_id", "embedding", "label"),
+        target_cluster_size=32,
+        max_cluster_size=25,
+        threshold=0.2,
+        two_level=True,
+    ).select("vec_id", "label", "cluster_id")
+
+
+@query(
     "llm_bpe_train_merges",
     # BPE training is inherently iterative (argmax + rewrite per round) —
     # not SQL-expressible, so the oracle-able restatement follows the ANN
