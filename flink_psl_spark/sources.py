@@ -181,6 +181,8 @@ def jdbc_upsert_write(
     primary_key: list[str] | str,
     *,
     driver: str | None = None,
+    connection_properties: dict | None = None,
+    quote_table_identifiers: bool = False,
 ) -> int:
     """UPSERT JDBC sink (reference JdbcDynamicTableSink with a PRIMARY KEY
     → upsert mode, JdbcOutputFormat building ON-CONFLICT/MERGE row
@@ -195,6 +197,14 @@ def jdbc_upsert_write(
     batch are last-write-wins by a deterministic pre-dedup (max over
     non-key columns ordered by key — matching the reference's
     sink.buffer-flush dedup of changelog batches).
+
+    The staging table is dropped whether or not the MERGE succeeds (no
+    leak on failure). ``connection_properties`` (e.g. user/password) are
+    passed to the driver-side JDBC connection AND the Spark staging
+    write. Table names are case-folded by the database when unquoted —
+    the consistent default; pass ``quote_table_identifiers=True`` to
+    treat ``table`` as an exact, case-sensitive identifier (the staging
+    table's DDL is then quoted too, so DDL and MERGE agree).
 
     Returns the number of rows the MERGE touched.
     """
@@ -214,31 +224,51 @@ def jdbc_upsert_write(
         .where("__rn = 1")
         .drop("__rn")
     )
+    qt = '"{}"'.format
     stage = f"{table}_stage_{_uuid.uuid4().hex[:8]}"
-    write_jdbc_table(deduped, url, stage, driver=driver, mode="overwrite")
+    # quoted mode: the Spark writer gets the quoted name so the staging
+    # DDL preserves case exactly as the MERGE below will reference it
+    tgt_sql, stage_sql = (
+        (qt(table), qt(stage)) if quote_table_identifiers else (table, stage)
+    )
+    write_jdbc_table(
+        deduped, url, stage_sql, driver=driver, mode="overwrite",
+        **(connection_properties or {}),
+    )
 
     spark = df.sparkSession
     jvm = spark._jvm
     if driver:
         jvm.java.lang.Class.forName(driver)
-    con = jvm.java.sql.DriverManager.getConnection(url)
+    if connection_properties:
+        props = jvm.java.util.Properties()
+        for k, v in connection_properties.items():
+            props.setProperty(str(k), str(v))
+        con = jvm.java.sql.DriverManager.getConnection(url, props)
+    else:
+        con = jvm.java.sql.DriverManager.getConnection(url)
     try:
         st = con.createStatement()
-        # Spark's JDBC writer quotes identifiers (case-preserving DDL) —
-        # the MERGE must quote them too or the DB case-folds and misses
-        qt = '"{}"'.format
+        # Spark's JDBC writer quotes COLUMN identifiers (case-preserving
+        # DDL) — the MERGE must quote them too or the DB case-folds
         on = " AND ".join(f"t.{qt(c)} = s.{qt(c)}" for c in pk)
         sets = ", ".join(f"{qt(c)} = s.{qt(c)}" for c in others)
         cols = ", ".join(qt(c) for c in df.columns)
         vals = ", ".join(f"s.{qt(c)}" for c in df.columns)
         merge = (
-            f"MERGE INTO {table} t USING {stage} s ON {on} "
+            f"MERGE INTO {tgt_sql} t USING {stage_sql} s ON {on} "
             + (f"WHEN MATCHED THEN UPDATE SET {sets} " if others else "")
             + f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
         )
-        n = st.executeUpdate(merge)
-        st.executeUpdate(f"DROP TABLE {stage}")
-        return n
+        try:
+            return st.executeUpdate(merge)
+        finally:
+            # the stage must never outlive the call — drop even when the
+            # MERGE throws (nothing here is transactional)
+            try:
+                st.executeUpdate(f"DROP TABLE {stage_sql}")
+            except Exception:
+                pass
     finally:
         con.close()
 
@@ -503,8 +533,8 @@ def partitioned_streaming_sink(
     bound, exactly as with the reference's success-file policy.
     """
     import datetime as _dt
-    import os as _os
     import tempfile
+    from urllib.parse import unquote as _unquote
 
     from pyspark.sql import functions as _F
 
@@ -522,34 +552,84 @@ def partitioned_streaming_sink(
         partition_col, partition_expr
     )
 
+    handle: dict = {}  # filled with the StreamingQuery after .start()
+
+    def _engine_watermark_ms():
+        """The query's TRUE watermark (lastProgress eventTime.watermark,
+        a UTC ISO instant) — None before the first progress report."""
+        q = handle.get("query")
+        if q is None:
+            return None
+        try:
+            p = q.lastProgress
+            wm = (p.eventTime or {}).get("watermark") if p else None
+        except Exception:
+            return None
+        if not wm:
+            return None
+        inst = _dt.datetime.fromisoformat(wm.replace("Z", "+00:00"))
+        return int(inst.timestamp() * 1000)
+
+    def _part_start_ms(dirname: str, raw_val: str) -> int:
+        """Partition value -> UTC epoch ms. Values are Hive path-escaped
+        (Spark escapes ':', '=', '%', ... as %XX — e.g. a
+        date_trunc('hour') string partition renders 00%3A00%3A00), so
+        unescape BEFORE parsing, and pin the naive result to UTC (the
+        session timezone that formatted it) — naive .timestamp() would
+        read it in the driver's local zone."""
+        val = _unquote(raw_val)
+        try:
+            part_start = _dt.datetime.fromisoformat(val)
+        except ValueError as exc:
+            raise ValueError(
+                f"partition directory {dirname!r}: value {val!r} is not "
+                "an ISO timestamp/date — partition_expr must floor "
+                f"{ts_col!r} to a {partition_duration!r} bucket rendered "
+                "as an ISO string for partition-time commit"
+            ) from exc
+        if part_start.tzinfo is None:
+            part_start = part_start.replace(tzinfo=_dt.timezone.utc)
+        return int(part_start.timestamp() * 1000)
+
     def commit(batch: DataFrame, batch_id: int) -> None:
         (
             batch.write.mode("append")
             .partitionBy(partition_col)
             .parquet(path)
         )
-        # watermark after this batch = max event time seen - delay;
-        # commit every partition whose end time it has passed
-        mx = batch.agg(_F.max(ts_col)).collect()[0][0]
-        if mx is None:
+        # prefer the engine's own watermark; before the first progress
+        # report fall back to the batch proxy (max event time - delay,
+        # computed as UTC epoch ms via unix_millis — tz-independent)
+        wm_ms = _engine_watermark_ms()
+        if wm_ms is None:
+            mx = batch.agg(
+                _F.unix_millis(_F.max(ts_col)).alias("mx")
+            ).collect()[0]["mx"]
+            if mx is None:
+                return
+            wm_ms = mx - delay_ms
+        # portable commit I/O: all listing / existence / marker writes go
+        # through the Hadoop FileSystem API, so the same code commits on
+        # file://, hdfs://, s3a://, ... — no POSIX-only calls
+        sess = batch.sparkSession
+        jvm = sess._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(sess._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
             return
-        wm_ms = int(mx.timestamp() * 1000) - delay_ms
-        for d in _os.listdir(path):
-            if not d.startswith(f"{partition_col}="):
+        prefix = f"{partition_col}="
+        for st in fs.listStatus(hpath):
+            if not st.isDirectory():
                 continue
-            val = d.split("=", 1)[1]
-            try:
-                part_start = _dt.datetime.fromisoformat(
-                    val.replace("%20", " ").replace("+", " ")
-                )
-            except ValueError:
+            d = st.getPath().getName()
+            if not d.startswith(prefix):
                 continue
-            end_ms = int(part_start.timestamp() * 1000) + dur_ms
-            marker = _os.path.join(path, d, success_file)
-            if end_ms <= wm_ms and not _os.path.exists(marker):
-                open(marker, "w").close()
+            end_ms = _part_start_ms(d, d.split("=", 1)[1]) + dur_ms
+            marker = jvm.org.apache.hadoop.fs.Path(st.getPath(), success_file)
+            if end_ms <= wm_ms and not fs.exists(marker):
+                fs.create(marker, True).close()
 
-    return (
+    q = (
         src.writeStream.foreachBatch(commit)
         .option(
             "checkpointLocation",
@@ -558,3 +638,5 @@ def partitioned_streaming_sink(
         .trigger(availableNow=True)
         .start()
     )
+    handle["query"] = q
+    return q

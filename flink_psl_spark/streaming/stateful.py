@@ -685,14 +685,15 @@ def with_current_watermark(
 
 
 def _interval_ms(s: str) -> int:
-    """'10 minutes' / '30 seconds' / '2 hours' → milliseconds."""
-    n, unit = s.split()
-    mult = {
-        "second": 1000, "seconds": 1000,
-        "minute": 60_000, "minutes": 60_000,
-        "hour": 3_600_000, "hours": 3_600_000,
-    }[unit]
-    return int(n) * mult
+    """'10 minutes' / '1 day' / '500 milliseconds' → milliseconds.
+
+    Delegates to operators.windows._interval_us so every operator
+    documented as interval-equivalent parses the same unit table
+    (singular/plural, millisecond..day) and raises the same descriptive
+    ValueError on junk."""
+    from flink_psl_spark.operators.windows import _interval_us
+
+    return _interval_us(s) // 1000
 
 
 def timer_session_agg(

@@ -135,3 +135,48 @@ def test_jdbc_upsert_multi_batch_state_machine(spark, derby_url):
         back = jdbc_table(spark, derby_url, "upsert_sm", driver=DRIVER)
         got = {r["k"]: r["v"] for r in back.collect()}
         assert got == model
+
+
+def test_jdbc_upsert_drops_stage_on_merge_failure(spark, derby_url):
+    """A failing MERGE must not leak the staging table (try/finally
+    drop): force a failure by upserting into a nonexistent target, then
+    assert no *_STAGE_* tables remain in Derby's catalog."""
+    from flink_psl_spark.sources import jdbc_table, jdbc_upsert_write
+
+    batch = spark.createDataFrame([(1, 1.0)], "k int, v double")
+    with pytest.raises(Exception):
+        jdbc_upsert_write(
+            batch, derby_url, "no_such_target", "k", driver=DRIVER
+        )
+    leftovers = (
+        jdbc_table(
+            spark, derby_url,
+            "(SELECT tablename FROM sys.systables "
+            " WHERE tablename LIKE '%STAGE%') t",
+            driver=DRIVER,
+        ).collect()
+    )
+    assert leftovers == []
+
+
+def test_jdbc_upsert_quoted_mixed_case_table(spark, derby_url):
+    """quote_table_identifiers=True treats the table name as an exact
+    case-sensitive identifier (DDL and MERGE agree on quoting)."""
+    from flink_psl_spark.sources import jdbc_table, jdbc_upsert_write
+
+    (
+        spark.createDataFrame([(1, 1.0)], "k int, v double")
+        .write.format("jdbc").option("url", derby_url)
+        .option("dbtable", '"MiXed_Tgt"').option("driver", DRIVER)
+        .mode("overwrite").save()
+    )
+    batch = spark.createDataFrame([(1, 9.0), (2, 2.0)], "k int, v double")
+    n = jdbc_upsert_write(
+        batch, derby_url, "MiXed_Tgt", "k", driver=DRIVER,
+        quote_table_identifiers=True,
+    )
+    assert n == 2
+    back = jdbc_table(spark, derby_url, '"MiXed_Tgt"', driver=DRIVER)
+    assert sorted((r["k"], r["v"]) for r in back.collect()) == [
+        (1, 9.0), (2, 2.0),
+    ]

@@ -766,3 +766,70 @@ def test_partitioned_sink_commits_on_watermark(spark, tmp_path):
     assert not committed("2024-01-01-03")
     # every row landed
     assert spark.read.parquet(out).count() == 4
+
+
+def test_partitioned_sink_hive_escaped_values_and_fs_api(spark, tmp_path):
+    """Partition commit with Hive path-escaped values: the docstring's own
+    recommended partition_expr (date_trunc('hour') as string) yields
+    values with colons, which Spark escapes as %3A in directory names —
+    the committer must unescape before parsing, and all commit I/O must
+    go through the Hadoop FileSystem API (portable to hdfs/s3a)."""
+    import datetime as dt
+    import inspect
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.sources import partitioned_streaming_sink
+
+    TS = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    rows = [("a", TS(0, 5), 1.0), ("b", TS(1, 10), 2.0), ("c", TS(3, 0), 3.0)]
+    src_dir = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        rows, "k string, ts timestamp, v double"
+    ).coalesce(1).write.parquet(src_dir)
+    st = spark.readStream.schema("k string, ts timestamp, v double").parquet(
+        src_dir
+    )
+    q = partitioned_streaming_sink(
+        st,
+        out,
+        ts_col="ts",
+        # the docstring's recommended form — renders '2024-01-01 00:00:00'
+        partition_expr=F.date_trunc("hour", "ts").cast("string"),
+        delay="10 minutes",
+        partition_duration="1 hour",
+    )
+    assert q.awaitTermination(120)
+
+    def committed(hour):
+        d = f"part=2024-01-01 {hour:02d}%3A00%3A00"  # Hive-escaped ':'
+        assert os.path.isdir(os.path.join(out, d)), sorted(os.listdir(out))
+        return os.path.exists(os.path.join(out, d, "_SUCCESS"))
+
+    # wm = 03:00 - 10min = 02:50 -> hours 00, 01 committed; 03 open
+    assert committed(0) and committed(1)
+    assert not committed(3)
+    assert spark.read.parquet(out).count() == 3
+
+    # the commit path is Hadoop-FS-API only — no POSIX os.listdir/open()
+    src = inspect.getsource(partitioned_streaming_sink)
+    assert "listStatus" in src and "getFileSystem" in src
+    assert "os.listdir" not in src and "_os.listdir" not in src
+
+    # a non-ISO partition value is a loud error, not a silent skip
+    from flink_psl_spark.sources import partitioned_streaming_sink as _p  # noqa: F401
+    import pytest as _pytest
+    bad = str(tmp_path / "bad")
+    st2 = spark.readStream.schema("k string, ts timestamp, v double").parquet(
+        src_dir
+    )
+    q2 = partitioned_streaming_sink(
+        st2, bad, ts_col="ts",
+        partition_expr=F.lit("not-a-time"),
+        delay="10 minutes", partition_duration="1 hour",
+    )
+    with _pytest.raises(Exception, match="not an ISO timestamp"):
+        q2.awaitTermination(120)
+        q2.processAllAvailable()
