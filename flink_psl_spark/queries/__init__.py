@@ -31,52 +31,39 @@ import flink_psl_spark.queries.datastream_queries  # noqa: F401, E402
 # Driver-visibility ordering: the verify harness checks queries in
 # registration order and may truncate (each round checks the first 50),
 # so the front of the dict carries the queries with the LEAST prior
-# driver evidence. ROUND-5 rotation: exactly the 47 registry queries
-# with no green driver row after r1-r4 — the 45 never-checked plus the
-# two r4-red datagen rows (red on a conf-skew bug, fixed this round:
-# __spark_entry__._configure now shares session.RUNTIME_SQL_CONF).
-# A green r5 run reaches 100% cumulative driver coverage of the
-# 242-query r4 registry.  Computed with: [n for n in QUERIES if n not in
-# (latest-green rows of CORRECTNESS_r01..r04)].
-#
-# Queries NEW in round 5 beyond the window's three spare slots (the
-# _reorder middle places them right after the window, in registration
-# order — slots 48-50 go to temporal_table_function_sql,
-# llm_importance_resample, stream_timer_session_agg) form the ROUND-6
-# rotation seed: sum0_timestamp_ltz_fn, pysource_stream_datagen_agg,
-# pysource_datagen_fields, jdbc_upsert_roundtrip,
-# filesystem_partition_commit — plus anything red in CORRECTNESS_r05.
+# driver evidence. ROUND-6 rotation (the precomputed r5 seed + staleness
+# refresh): slots 1-6 are the six queries that have NEVER had a driver
+# CORRECTNESS row (new in r5, past the r5 window's truncation point);
+# slot 7 is the try_functions re-proof (the only r5 red — output-dtype
+# canonicalization, fixed this round); slots 8-9 are new-in-r6 operators
+# (NDU analysis driver query, two-level semantic dedup); slots 10-50
+# re-prove the 41 OLDEST-evidence greens (round-1 rows, four rounds
+# stale) in registration order — cumulative driver coverage stays
+# honest instead of resting on r1 hashes. The 9 r1 rows that don't fit
+# (agg_json .. q7_volume_shipping) lead the round-7 refresh.
 _PRIORITY_WINDOW = [
-    # r4-red datagen rows — conf-skew fix re-proof first
-    "pysource_datagen_agg", "pysource_datagen_pushdown",
-    # newest end-to-end composition paths (verdict task 6: promote early)
-    "stream_doc_quality_ingest", "llm_curation_pipeline_v2",
-    # scale-hardened this round (verdict task 3)
-    "llm_semantic_dedup",
-    # streaming windows + SQL-dialect stragglers (6)
-    "stream_session_agg", "stream_cumulate_agg", "cumulate_tvf_sql",
-    "match_recognize_sql_budget_runs", "cdc_upsert_format_image",
-    "tumble_window_offset_agg",
-    # curation / LLM-pipeline operators built in r3/r4 (17)
-    "llm_text_stats", "llm_quality_score", "llm_quality_filter",
-    "llm_quality_classifier", "llm_ngram_jaccard_pairs",
-    "llm_rolling_fingerprints", "llm_boilerplate_removal",
-    "llm_common_ngrams_per_source", "llm_source_quality_report",
-    "llm_bpe_token_count", "llm_bpe_train_merges",
-    "llm_bpe_encode_roundtrip", "llm_perplexity_bucket_sample",
-    "llm_wav_decode_stats",
-    # batch window / agg stragglers (3)
-    "window_dedup", "agg_percentiles", "agg_first_last_value",
-    # UDx surface (6)
-    "udf_pandas_scalar", "udaf_pandas_grouped", "udtf_lateral",
-    "udtaf_top2_per_group", "cogroup_user_summary", "table_api_row_ops",
-    # scalar-function batches + pass-throughs (12)
-    "hash_code_fn", "string_functions2", "string_functions3",
-    "math_functions2", "temporal_functions2", "try_functions",
-    "temporal_overlaps_fn", "typeof_fn", "encode_decode_fn",
-    "array_map_row_fn", "json_functions2", "passthrough_functions",
-    # explode variant
-    "posexplode_words",
+    # never driver-checked (new in r5, precomputed r6 seed)
+    "sum0_timestamp_ltz_fn", "pysource_stream_datagen_agg",
+    "pysource_datagen_fields", "jdbc_upsert_roundtrip",
+    "filesystem_partition_commit", "datastream_window_agg",
+    # the one r5 red — canonicalization fix re-proof
+    "try_functions",
+    # new in round 6
+    "ndu_analysis", "llm_semantic_dedup_two_level",
+    # r1-evidence refresh (41 oldest rows, registration order)
+    "calc_project_filter", "q1_pricing_summary", "q3_shipping_priority",
+    "q6_forecast_revenue", "q14_promo_effect", "q18_large_volume",
+    "agg_distinct", "agg_stats", "agg_rollup", "agg_cube",
+    "agg_grouping_sets", "agg_listagg", "agg_collect",
+    "agg_approx_distinct", "join_multiway_revenue", "join_left_agg",
+    "join_full_outer", "join_semi", "join_anti", "join_theta_nonequi",
+    "join_cross", "join_broadcast_dim", "setop_union_all",
+    "setop_union_distinct", "setop_intersect", "setop_except",
+    "setop_intersect_all", "setop_except_all", "subquery_scalar",
+    "subquery_in", "subquery_correlated", "orderby_limit",
+    "explode_words", "pivot_event_counts", "string_functions",
+    "math_functions", "temporal_functions", "hash_functions",
+    "json_functions", "case_conditional", "agg_multiset",
 ]
 
 
@@ -183,6 +170,27 @@ _DRIVER_CHECKED = frozenset({
     "stream_interval_join_outer", "stream_rows_over", "stream_semi_join",
     "temporal_join_sql", "twophase_sink_roundtrip", "values_inline_rows",
     "window_tvf_sql",
+    # round 5 (all green except try_functions, which is back in the window)
+    "pysource_datagen_agg", "pysource_datagen_pushdown",
+    "stream_doc_quality_ingest", "llm_curation_pipeline_v2",
+    "llm_semantic_dedup", "stream_session_agg", "stream_cumulate_agg",
+    "cumulate_tvf_sql", "match_recognize_sql_budget_runs",
+    "cdc_upsert_format_image", "tumble_window_offset_agg",
+    "llm_text_stats", "llm_quality_score", "llm_quality_filter",
+    "llm_quality_classifier", "llm_ngram_jaccard_pairs",
+    "llm_rolling_fingerprints", "llm_boilerplate_removal",
+    "llm_common_ngrams_per_source", "llm_source_quality_report",
+    "llm_bpe_token_count", "llm_bpe_train_merges",
+    "llm_bpe_encode_roundtrip", "llm_perplexity_bucket_sample",
+    "llm_wav_decode_stats", "window_dedup", "agg_percentiles",
+    "agg_first_last_value", "udf_pandas_scalar", "udaf_pandas_grouped",
+    "udtf_lateral", "udtaf_top2_per_group", "cogroup_user_summary",
+    "table_api_row_ops", "hash_code_fn", "string_functions2",
+    "string_functions3", "math_functions2", "temporal_functions2",
+    "temporal_overlaps_fn", "typeof_fn", "encode_decode_fn",
+    "array_map_row_fn", "json_functions2", "passthrough_functions",
+    "posexplode_words", "temporal_table_function_sql",
+    "llm_importance_resample", "stream_timer_session_agg",
 })
 
 _reorder()

@@ -715,10 +715,10 @@ def timer_session_agg(
     ``hasTimedOut`` under ``GroupStateTimeout.EventTimeTimeout`` — one
     event-time timer per key, fired by watermark passage. (Spark 4's
     ``transformWithStateInPandas`` timeMode='EventTime' +
-    handleExpiredTimer is the N-timers generalization; its Python
-    transport needs protobuf, so this operator stays on the GroupState
-    form that runs everywhere — semantics identical for the
-    one-timer-per-key pattern.)
+    handleExpiredTimer is the N-timers generalization — implemented as
+    :func:`timer_session_agg_tws`, protobuf-transport-gated and
+    parity-tested; this GroupState form runs everywhere and is
+    semantically identical for the one-timer-per-key pattern.)
 
     Distinct from the native ``session_window`` agg (stream_session_agg):
     this is the TIMER machinery itself — out-of-order rows buffer in
@@ -809,4 +809,150 @@ def timer_session_agg(
         stateStructType=state_fields,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def timer_session_agg_tws(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    gap: str = "10 minutes",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """N-timer generalization of :func:`timer_session_agg` on Spark 4's
+    ``transformWithStateInPandas`` (timeMode='EventTime'): ONE REGISTERED
+    TIMER PER PENDING SESSION via ``handle.registerTimer`` /
+    ``handleExpiredTimer`` — the exact shape of the reference's
+    ``registerEventTimeTimer``/``onTimer`` multi-timer service
+    (InternalTimerServiceImpl keeps a timer heap per key; GroupState
+    offers only a single timeout slot, which timer_session_agg works
+    around by re-arming at the earliest pending point).
+
+    Output schema and session semantics are identical to
+    timer_session_agg — the parity test asserts it where runnable. The
+    Python transformWithState transport requires the ``protobuf``
+    package; where absent this raises ImportError with guidance (the
+    GroupState form runs everywhere).
+    """
+    try:
+        import google.protobuf  # noqa: F401  (transformWithState transport)
+    except ImportError as exc:
+        raise ImportError(
+            "transformWithStateInPandas needs the 'protobuf' package; "
+            "use timer_session_agg (GroupState form, identical "
+            "semantics for this operator) where it is unavailable"
+        ) from exc
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = _interval_ms(gap) * 1000
+    src = events.select(key_col, ts_col, value_col).withWatermark(
+        ts_col, delay
+    )
+    k_dt = _dt(src, key_col)
+    out_schema = (
+        f"{key_col} {k_dt}, session_start timestamp, "
+        "session_end timestamp, n bigint, total double"
+    )
+    out_names = [key_col, "session_start", "session_end", "n", "total"]
+
+    def _sessions(buf):
+        out = []
+        for t, v in sorted(buf):
+            if out and t - out[-1][1] < gap_us:
+                s, last, n, tot = out[-1]
+                out[-1] = (s, t, n + 1, tot + v)
+            else:
+                out.append((t, t, 1, v))
+        return out
+
+    def _emit(key, done):
+        return pd.DataFrame(
+            {
+                key_col: [key[0]] * len(done),
+                "session_start": pd.to_datetime(
+                    [d[0] for d in done], unit="us"
+                ),
+                "session_end": pd.to_datetime(
+                    [d[1] + gap_us for d in done], unit="us"
+                ),
+                "n": [d[2] for d in done],
+                "total": [d[3] for d in done],
+            }
+        )
+
+    class SessionTimers(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._h = handle
+            self._buf = handle.getListState("buf", "t_us bigint, v double")
+
+        def _load(self):
+            return [(int(r[0]), float(r[1])) for r in self._buf.get()]
+
+        def _sync_timers(self, pending):
+            """One event-time timer per pending session end (ms)."""
+            want = {(last + gap_us) // 1000 + 1 for _, last, _, _ in pending}
+            have = set(self._h.listTimers())
+            for ts in have - want:
+                self._h.deleteTimer(ts)
+            for ts in want - have:
+                self._h.registerTimer(ts)
+
+        def _finalize(self, key, wm_us):
+            buf = self._load()
+            done, keep = [], []
+            for s, last, n, tot in _sessions(buf):
+                if last + gap_us <= wm_us:
+                    done.append((s, last, n, tot))
+                else:
+                    keep.extend((t, v) for t, v in buf if s <= t <= last)
+            if keep:
+                self._buf.put([(t, v) for t, v in keep])
+            else:
+                self._buf.clear()
+            self._sync_timers(_sessions(keep))
+            return done
+
+        def handleInputRows(self, key, rows, timerValues):
+            buf = self._load()
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                us = (
+                    pdf[ts_col].values.astype("datetime64[us]")
+                    .astype("int64")
+                )
+                buf.extend(
+                    (int(t), float(v)) for t, v in zip(us, pdf[value_col])
+                )
+            self._buf.put([(t, v) for t, v in buf])
+            wm_us = timerValues.getCurrentWatermarkInMs() * 1000
+            done = self._finalize(key, wm_us)
+            yield _emit(key, done) if done else pd.DataFrame(
+                {c: [] for c in out_names}
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            wm_us = max(
+                timerValues.getCurrentWatermarkInMs(),
+                expiredTimerInfo.getExpiryTimeInMs(),
+            ) * 1000
+            done = self._finalize(key, wm_us)
+            yield _emit(key, done) if done else pd.DataFrame(
+                {c: [] for c in out_names}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return src.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=SessionTimers(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="EventTime",
     )
