@@ -40,6 +40,9 @@ from flink_psl_spark.llm.similarity import (  # noqa: F401
     embedding_dedup,
     hard_negatives,
     lsh_cosine_topk,
+    pq_cosine_topk,
+    pq_encode,
+    pq_train_codebook,
     semantic_dedup,
 )
 from flink_psl_spark.llm.sampling import (  # noqa: F401

@@ -706,3 +706,242 @@ def semantic_dedup(
         survivors.select(F.col("__id").alias(id_col), "cluster_id"),
         on=id_col,
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ family; Jégou et al., "Product Quantization
+# for Nearest Neighbor Search", TPAMI 2011 — the standard 100 TB ANN
+# compression: m-byte codes replace dim×8-byte vectors, queries score
+# against a per-query lookup table instead of raw vectors)
+# ---------------------------------------------------------------------------
+
+
+def pq_train_codebook(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 32,
+    sample_size: int = 512,
+    n_iters: int = 8,
+):
+    """Train an m-subspace × n_codes product-quantization codebook.
+
+    Deterministic and driver-bounded: the training sample is the first
+    ``sample_size`` corpus vectors in md5(id) order (engine-replayable
+    hash sample, uncorrelated with ingestion order — same contract as
+    semantic_dedup's centroid seeding), so the collect is
+    sample_size × dim doubles — a PARAMETER, never data-scaled. Each
+    subspace runs ``n_iters`` Lloyd iterations in numpy with hash-order
+    init; empty clusters retain their previous centroid. Vectors are
+    unit-normalized before training (PQ for cosine ≡ PQ for inner
+    product on the unit sphere); zero-norm vectors are excluded.
+
+    Returns a numpy array of shape (m, n_codes, dim // m). dim must be
+    divisible by m.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(
+            _col(vec_col).cast("array<double>").alias("__v"),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.array([r["__v"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1)
+    x = x[norms > 0] / norms[norms > 0, None]
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    k = min(n_codes, len(x))
+    book = np.zeros((m, n_codes, dsub))
+    for s in range(m):
+        sub = x[:, s * dsub : (s + 1) * dsub]
+        cents = sub[:k].copy()  # hash-order init (sample is hash-ordered)
+        if k < n_codes:  # tiny corpora: repeat-pad so shapes stay fixed
+            cents = np.vstack([cents, np.tile(cents[:1], (n_codes - k, 1))])
+        for _ in range(n_iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for j in range(n_codes):
+                pts = sub[assign == j]
+                if len(pts):
+                    cents[j] = pts.mean(0)
+        book[s] = cents
+    return book
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each corpus vector as m nearest-centroid codes — the stored
+    PQ index: m small ints per vector (m bytes at n_codes<=256) instead
+    of dim doubles, a 64× compression at dim=64/m=8. One corpus scan,
+    Arrow-batched numpy per partition, codebook broadcast by closure
+    (m × n_codes × dsub doubles — parameter-sized). Zero-norm vectors
+    are dropped (they rank nothing under cosine).
+
+    Returns (id_col, code array<int>).
+    """
+    import numpy as np
+    import pandas as pd
+
+    m, n_codes, dsub = codebook.shape
+    book = codebook  # captured; ships once per executor via task closure
+    id_dt = dict(corpus.select(F.col(id_col)).dtypes)[id_col]
+
+    def enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(list(pdf["__v"]), dtype=np.float64)
+            ids = pdf[id_col].to_numpy()
+            norms = np.linalg.norm(v, axis=1)
+            ok = norms > 0
+            if not ok.any():
+                continue
+            v, ids = v[ok] / norms[ok, None], ids[ok]
+            codes = np.empty((len(v), m), dtype=np.int64)
+            for s in range(m):
+                sub = v[:, s * dsub : (s + 1) * dsub]
+                d2 = (
+                    (sub**2).sum(1)[:, None]
+                    - 2.0 * sub @ book[s].T
+                    + (book[s] ** 2).sum(1)[None, :]
+                )
+                codes[:, s] = d2.argmin(1)
+            yield pd.DataFrame({id_col: ids, "code": list(codes)})
+
+    src = corpus.select(
+        F.col(id_col), _col(vec_col).cast("array<double>").alias("__v")
+    )
+    return src.mapInPandas(enc, f"{id_col} {id_dt}, code array<bigint>")
+
+
+def pq_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 32,
+    refine: int = 4,
+    sample_size: int = 512,
+    include_self: bool = False,
+) -> DataFrame:
+    """PQ approximate cosine top-k with asymmetric-distance scoring and
+    exact re-rank — the third ANN scale path next to IVF and LSH.
+
+    Shape at 100 TB: (1) codebook training collects a hash-bounded
+    sample (parameter-sized); (2) ONE corpus scan encodes m-byte codes
+    (the stored index — persist ``pq_encode``'s frame to reuse across
+    query batches); (3) ONE scan of the CODES (not the vectors) scores
+    every query via its LUT (q_sub · codebook[s], an m × n_codes table
+    per query) and emits only each partition's local top-(k·refine)
+    candidates — the exchange carries partitions × queries × k·refine
+    id rows; (4) candidates join back to the corpus for EXACT cosine
+    re-rank (candidate set is query-bounded, the join is broadcast-able).
+    The query set is broadcast-small by contract, as in cosine_topk.
+
+    Returns (query_id, neighbor_id, cos_sim, rank) — cos_sim exact.
+    """
+    import numpy as np
+    import pandas as pd
+
+    book = pq_train_codebook(
+        corpus, id_col=id_col, vec_col=vec_col, m=m, n_codes=n_codes,
+        sample_size=sample_size,
+    )
+    dsub = book.shape[2]
+    encoded = pq_encode(corpus, book, id_col=id_col, vec_col=vec_col)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    qrows = q.collect()  # broadcast-small by contract
+    q_dt = dict(q.dtypes)["query_id"]
+    id_dt = dict(encoded.dtypes)[id_col]
+    cand_schema = f"query_id {q_dt}, neighbor_id {id_dt}"
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{cand_schema}, cos_sim double, rank int"
+        )
+    q_ids = np.array([r["query_id"] for r in qrows])
+    qm = np.array([r["__qv"] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1)
+    qn[qn == 0.0] = np.nan
+    qm = qm / qn[:, None]
+    # per-query LUT: luts[j, s, c] = q_j[sub s] · codebook[s][c]
+    luts = np.stack(
+        [qm[:, s * dsub : (s + 1) * dsub] @ book[s].T for s in range(book.shape[0])],
+        axis=1,
+    )
+    n_cand = max(k, k * refine)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.array(list(pdf["code"]), dtype=np.int64)
+            ids = pdf[id_col].to_numpy()
+            # ADC: sum LUT entries along the m subspaces → approx cosine
+            sims = luts[:, np.arange(codes.shape[1])[None, :], codes].sum(2).T
+            if not include_self:
+                sims[ids[:, None] == q_ids[None, :]] = -np.inf
+            out_q, out_n = [], []
+            for j in range(sims.shape[1]):
+                col = sims[:, j]
+                if np.isnan(col).all():
+                    continue
+                order = np.lexsort((ids, -col))[:n_cand]
+                out_q.extend([q_ids[j]] * len(order))
+                out_n.extend(ids[order])
+            if out_q:
+                yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
+
+    cands = encoded.mapInPandas(score, cand_schema)
+    # exact re-rank on the (query-bounded) candidate set
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    qdf = q.sparkSession.createDataFrame(
+        [(r["query_id"], r["__qv"]) for r in qrows],
+        f"query_id {q_dt}, __qv array<double>",
+    )
+    scored = (
+        cands.join(c, on="neighbor_id")
+        .join(F.broadcast(qdf), on="query_id")
+        .select(
+            "query_id", "neighbor_id", cosine("__qv", "__cv").alias("cos_sim")
+        )
+    )
+    return (
+        top_n(
+            scored,
+            "query_id",
+            [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+            k,
+            rank_col="rank",
+        )
+        .where(F.col("cos_sim").isNotNull())
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_sim", 6).alias("cos_sim"),
+            "rank",
+        )
+    )

@@ -39,8 +39,8 @@ import flink_psl_spark.queries.datastream_queries  # noqa: F401, E402
 # (NDU analysis driver query, two-level semantic dedup); slots 10-50
 # re-prove the 41 OLDEST-evidence greens (round-1 rows, four rounds
 # stale) in registration order — cumulative driver coverage stays
-# honest instead of resting on r1 hashes. The 9 r1 rows that don't fit
-# (agg_json .. q7_volume_shipping) lead the round-7 refresh.
+# honest instead of resting on r1 hashes. The 10 r1 rows that don't fit
+# (agg_multiset .. q7_volume_shipping) lead the round-7 refresh.
 _PRIORITY_WINDOW = [
     # never driver-checked (new in r5, precomputed r6 seed)
     "sum0_timestamp_ltz_fn", "pysource_stream_datagen_agg",
@@ -49,7 +49,7 @@ _PRIORITY_WINDOW = [
     # the one r5 red — canonicalization fix re-proof
     "try_functions",
     # new in round 6
-    "ndu_analysis", "llm_semantic_dedup_two_level",
+    "ndu_analysis", "llm_semantic_dedup_two_level", "llm_pq_ann_topk",
     # r1-evidence refresh (41 oldest rows, registration order)
     "calc_project_filter", "q1_pricing_summary", "q3_shipping_priority",
     "q6_forecast_revenue", "q14_promo_effect", "q18_large_volume",
@@ -63,7 +63,7 @@ _PRIORITY_WINDOW = [
     "subquery_in", "subquery_correlated", "orderby_limit",
     "explode_words", "pivot_event_counts", "string_functions",
     "math_functions", "temporal_functions", "hash_functions",
-    "json_functions", "case_conditional", "agg_multiset",
+    "json_functions", "case_conditional",
 ]
 
 

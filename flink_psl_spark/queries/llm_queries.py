@@ -408,6 +408,26 @@ def llm_ivf_ann_topk(spark, sf_dir):
     )
 
 
+@query("llm_pq_ann_topk", oracle=_ANN_RECALL_ORACLE)
+def llm_pq_ann_topk(spark, sf_dir):
+    """Product-quantization approximate nearest neighbors (Jégou et al.
+    2011; the faiss IVF-PQ family's compression half): m-byte codes
+    replace the vectors, queries score via per-query lookup tables
+    (asymmetric distance), candidates re-rank exactly. The third ANN
+    scale path next to IVF and LSH. Oracle-able invariant: every query
+    recovers ≥ 2/5 of its exact top-5 (measured ≥ 3/5 at sf0.001 and
+    sf0.01 with m=8, 32 codes, refine 12)."""
+    from flink_psl_spark.llm.similarity import pq_cosine_topk
+
+    return _ann_recall_check(
+        spark, sf_dir,
+        lambda emb, q: pq_cosine_topk(
+            emb, q, k=5, m=8, n_codes=32, refine=12
+        ),
+        min_hits=2,
+    )
+
+
 @query(
     "llm_rolling_fingerprints",
     oracle="""

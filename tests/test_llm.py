@@ -588,3 +588,56 @@ def test_cosine_topk_blas_zero_norm_and_empty(spark):
     got = cosine_topk(df, df.where("vec_id = 1"), k=5, method="blas").collect()
     assert [r["neighbor_id"] for r in got] == [3]
     assert cosine_topk(df, df.where("vec_id = 99"), k=5, method="blas").count() == 0
+
+
+def test_pq_codebook_and_encode(spark, t):
+    """PQ codebook: deterministic hash-sampled training, fixed shapes;
+    encoding is one code per subspace within range, zero-norm dropped."""
+    import numpy as np
+
+    from flink_psl_spark.llm import pq_encode, pq_train_codebook
+
+    emb = t["embeddings"]
+    book = pq_train_codebook(emb, m=8, n_codes=16, sample_size=128)
+    book2 = pq_train_codebook(emb, m=8, n_codes=16, sample_size=128)
+    assert book.shape == (8, 16, 8)
+    assert np.array_equal(book, book2)  # same data -> same codebook
+
+    rows = spark.createDataFrame(
+        [(1, [1.0] * 64), (2, [0.0] * 64)],
+        "vec_id bigint, embedding array<double>",
+    )
+    enc = pq_encode(rows, book).collect()
+    assert [r["vec_id"] for r in enc] == [1]  # zero-norm dropped
+    codes = enc[0]["code"]
+    assert len(codes) == 8 and all(0 <= c < 16 for c in codes)
+
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train_codebook(emb, m=7, n_codes=16, sample_size=64)
+
+
+def test_pq_recall_and_exact_rerank(spark, t):
+    """PQ ADC + exact re-rank recovers most of the exact top-5, and the
+    emitted cos_sim values are the EXACT cosines (re-rank contract):
+    every (query, neighbor) shared with the exact result agrees on
+    cos_sim to the rounded 6 places."""
+    from flink_psl_spark.llm import cosine_topk
+    from flink_psl_spark.llm.similarity import pq_cosine_topk
+
+    emb = t["embeddings"]
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in pq_cosine_topk(
+            emb, queries, k=5, m=8, n_codes=32, refine=12
+        ).collect()
+    }
+    shared = set(exact) & set(approx)
+    recall = len(shared) / len(exact)
+    assert recall >= 0.5, f"PQ recall too low: {recall}"
+    for key in shared:
+        assert exact[key] == approx[key]  # exact re-rank, same rounding
