@@ -7,7 +7,8 @@ similarity search over embeddings (brute-force cosine top-k, IVF,
 LSH-bucketed ANN, hard-negative mining), text analysis (language ID,
 quality scoring, a fixed-weight linear quality classifier, token
 counting, fingerprinting, bigram-LM fluency, BPE pair statistics,
-per-source n-gram analytics, PII scrubbing, benchmark decontamination),
+per-source n-gram analytics, PII scrubbing, benchmark decontamination —
+exact broadcast join + two-tier Bloom prefilter),
 curation (Gopher repetition filters, chunking, sequence packing,
 BPE tokenizer training/encoding, perplexity-bucketed sampling),
 sampling/mixing (deterministic, stratified, temperature-scaled,
@@ -62,6 +63,8 @@ from flink_psl_spark.llm.bpe import (  # noqa: F401
     word_counts,
 )
 from flink_psl_spark.llm.text import (  # noqa: F401
+    benchmark_contamination,
+    bloom_contamination,
     tokenize,
     token_count,
     quality_score,

@@ -410,3 +410,115 @@ def bpe_pair_counts(
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(top_k)
     )
+
+
+def _bloom_build(hashes, fpp: float):
+    """m-bit Bloom filter from int64 hashes via Kirsch–Mitzenmacher
+    double hashing: position_i = (h1 + i·h2) mod m, h2 forced odd.
+    Returns (bits uint8 array, m, k)."""
+    import math
+
+    import numpy as np
+
+    n_items = max(1, len(hashes))
+    m = int(math.ceil(-n_items * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(64, (m + 7) // 8 * 8)
+    k = max(1, round(m / n_items * math.log(2)))
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    if len(hashes):
+        h1 = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
+        h2 = (h1 * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+        for i in range(k):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+            np.bitwise_or.at(bits, pos >> np.uint64(3),
+                             np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+    return bits, m, k
+
+
+def bloom_contamination(
+    docs,
+    benchmark,
+    *,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fpp: float = 0.01,
+):
+    """Two-tier Bloom-filter decontamination — the 100 TB shape of
+    :func:`benchmark_contamination`, with IDENTICAL output.
+
+    Tier 1: the benchmark's distinct n-gram xxhash64 values build an
+    m-bit Bloom filter on the driver (the collect is benchmark-sized —
+    the eval set, small by contract; the filter itself is
+    ~1.2 bytes/gram at fpp=1%, broadcast once via task closure). Every
+    corpus doc then probes its gram hashes against the filter in ONE
+    Arrow-batched numpy kernel — the corpus never shuffles a gram, and
+    Bloom filters have NO false negatives, so every doc the probe clears
+    is exactly clean. Tier 2: only the candidate docs (true hits + the
+    fpp-bounded false positives) re-check via the exact broadcast-gram
+    join, which removes false positives — making the result provably
+    equal to the exact check while the expensive path touches only
+    ~(contamination rate + fpp) of the corpus.
+
+    Returns (id_col, n_hits, contaminated), exactly as
+    benchmark_contamination.
+    """
+    import numpy as np
+    import pandas as pd
+
+    bench_grams = (
+        benchmark.select(F.explode(ngrams(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    bhashes = [
+        r["h"] for r in bench_grams.select(F.xxhash64("gram").alias("h")).collect()
+    ]
+    bits, m, k = _bloom_build(bhashes, fpp)
+
+    def _probe_kernel(hs):
+        lens = hs.map(len).to_numpy()
+        if lens.sum() == 0:
+            return pd.Series(np.zeros(len(hs), dtype=bool))
+        flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in hs])
+        h1 = flat.astype(np.uint64)
+        h2 = (h1 * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+        member = np.ones(len(flat), dtype=bool)
+        for i in range(k):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+            member &= (
+                bits[pos >> np.uint64(3)]
+                >> (pos & np.uint64(7)).astype(np.uint8)
+            ) & np.uint8(1) > 0
+        any_hit = np.zeros(len(hs), dtype=bool)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        nz = lens > 0
+        if nz.any():
+            any_hit[nz] = np.maximum.reduceat(member, starts[nz])[: nz.sum()]
+        return pd.Series(any_hit)
+
+    _probe = F.pandas_udf(_probe_kernel, "boolean")
+
+    probed = docs.select(
+        id_col,
+        _probe(
+            F.transform(ngrams(F.col(text_col), n), lambda g: F.xxhash64(g))
+        ).alias("__cand"),
+    )
+    cand_ids = probed.where("__cand").select(id_col)
+    g = docs.join(cand_ids, id_col).select(
+        id_col, F.explode(ngrams(F.col(text_col), n)).alias("gram")
+    )
+    hits = (
+        g.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

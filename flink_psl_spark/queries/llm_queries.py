@@ -842,6 +842,46 @@ def llm_contamination_check(spark, sf_dir):
 
 
 @query(
+    "llm_bloom_decontamination",
+    # same exact-semantics oracle as llm_contamination_check: the Bloom
+    # path is two-tier (no-false-negative prefilter + exact verify of
+    # candidates), so its output is provably identical to the exact join
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    g AS (
+      SELECT doc_id, ARRAY_TO_STRING(w[i:i+4], ' ') AS gram
+      FROM d, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(w) - 4, 0))) AS t(i)),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0),
+    hits AS (
+      SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_hits
+      FROM g JOIN bench USING (gram)
+      WHERE g.doc_id % 7 <> 0
+      GROUP BY g.doc_id)
+    SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+           COALESCE(h.n_hits, 0) > 0 AS contaminated
+    FROM d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 7 <> 0
+    """,
+)
+def llm_bloom_decontamination(spark, sf_dir):
+    """Bloom-filter decontamination, the 100 TB shape: the benchmark's
+    gram hashes build a broadcast m-bit filter (Kirsch–Mitzenmacher
+    double hashing), the corpus probes it in one Arrow-batched numpy
+    kernel WITHOUT shuffling a single gram, and only the candidate docs
+    (true hits + fpp-bounded false positives) pay the exact verify join —
+    output provably identical to the exact check (Bloom filters have no
+    false negatives; tier 2 removes the false positives)."""
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.llm.text import bloom_contamination
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"].where(F.col("doc_id") % 7 != 0)
+    bench = t["documents"].where(F.col("doc_id") % 7 == 0)
+    return bloom_contamination(docs, bench, n=5, fpp=0.01)
+
+
+@query(
     "llm_repetition_stats",
     oracle=f"""
     WITH d AS (

@@ -641,3 +641,34 @@ def test_pq_recall_and_exact_rerank(spark, t):
     assert recall >= 0.5, f"PQ recall too low: {recall}"
     for key in shared:
         assert exact[key] == approx[key]  # exact re-rank, same rounding
+
+
+def test_bloom_contamination_matches_exact(spark, t):
+    """Two-tier Bloom decontamination must be BIT-identical to the exact
+    broadcast-join check (no false negatives by Bloom construction, no
+    false positives after the exact verify tier), including at an
+    aggressive fpp where tier-1 false positives certainly occur."""
+    from flink_psl_spark.llm.text import benchmark_contamination, bloom_contamination
+
+    docs_all = t["documents"]
+    docs = docs_all.where(F.col("doc_id") % 7 != 0)
+    bench = docs_all.where(F.col("doc_id") % 7 == 0)
+    exact = {tuple(r) for r in benchmark_contamination(docs, bench, n=5).collect()}
+    for fpp in (0.01, 0.5):
+        bloom = {
+            tuple(r)
+            for r in bloom_contamination(docs, bench, n=5, fpp=fpp).collect()
+        }
+        assert bloom == exact, f"fpp={fpp}"
+
+
+def test_bloom_contamination_empty_benchmark(spark, t):
+    """Degenerate input: an empty benchmark flags nothing and still
+    returns every corpus doc with n_hits=0."""
+    from flink_psl_spark.llm.text import bloom_contamination
+
+    docs = t["documents"].where(F.col("doc_id") < 50)
+    bench = t["documents"].where(F.col("doc_id") < 0)
+    out = bloom_contamination(docs, bench, n=5).collect()
+    assert len(out) == docs.count()
+    assert all(r["n_hits"] == 0 and not r["contaminated"] for r in out)
