@@ -247,7 +247,7 @@ def benchmark_contamination(
     )
     return (
         docs.select(id_col)
-        .join(hits, id_col, "left")
+        .join(F.broadcast(hits), id_col, "left")
         .select(
             id_col,
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
@@ -504,8 +504,11 @@ def bloom_contamination(
             F.transform(ngrams(F.col(text_col), n), lambda g: F.xxhash64(g))
         ).alias("__cand"),
     )
+    # both candidate ids and per-doc hits are small by construction
+    # (contamination rate + fpp of the corpus) — broadcast them rather
+    # than trusting size estimation, so the corpus never shuffles
     cand_ids = probed.where("__cand").select(id_col)
-    g = docs.join(cand_ids, id_col).select(
+    g = docs.join(F.broadcast(cand_ids), id_col).select(
         id_col, F.explode(ngrams(F.col(text_col), n)).alias("gram")
     )
     hits = (
@@ -515,7 +518,7 @@ def bloom_contamination(
     )
     return (
         docs.select(id_col)
-        .join(hits, id_col, "left")
+        .join(F.broadcast(hits), id_col, "left")
         .select(
             id_col,
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
