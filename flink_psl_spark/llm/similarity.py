@@ -922,8 +922,11 @@ def pq_cosine_topk(
         [(r["query_id"], r["__qv"]) for r in qrows],
         f"query_id {q_dt}, __qv array<double>",
     )
+    # the candidate set is partitions × queries × k·refine id pairs —
+    # bounded and small; broadcast IT (not the corpus, which the planner
+    # would otherwise pick from its size estimate at small SF)
     scored = (
-        cands.join(c, on="neighbor_id")
+        c.join(F.broadcast(cands), on="neighbor_id")
         .join(F.broadcast(qdf), on="query_id")
         .select(
             "query_id", "neighbor_id", cosine("__qv", "__cv").alias("cos_sim")
