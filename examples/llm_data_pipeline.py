@@ -53,6 +53,22 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     emb = t["embeddings"]
     cosine_topk(emb, emb.where(F.col("vec_id") < 3), k=3).show()
 
+    # 5. benchmark decontamination at scale: Bloom prefilter (no corpus
+    # shuffle) + exact verify of candidates — output identical to the
+    # exact broadcast-join check
+    from flink_psl_spark.llm import bloom_contamination
+
+    bench = t["documents"].where(F.col("doc_id") % 7 == 0)
+    corpus = t["documents"].where(F.col("doc_id") % 7 != 0)
+    bloom_contamination(corpus, bench, n=5).where("contaminated").show(3)
+
+    # 6. compressed ANN: PQ codes (m bytes/vector) + ADC scoring + exact
+    # re-rank — the stored-index path for 100 TB embedding tables
+    from flink_psl_spark.llm import pq_cosine_topk
+
+    pq_cosine_topk(emb, emb.where(F.col("vec_id") < 3), k=3, m=8,
+                   n_codes=16, refine=4).show()
+
 
 if __name__ == "__main__":
     main(*sys.argv[1:])
