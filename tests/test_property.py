@@ -641,3 +641,55 @@ def test_cosine_topk_blas_parity_random(spark, vecs, k):
             (r["query_id"], r["rank"], round(r["cos_sim"], 5)) for r in b
         )
         assert ra == rb
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter kernel (llm/text.py _bloom_build): membership invariants —
+# pure numpy, no Spark per example
+# ---------------------------------------------------------------------------
+
+
+def _bloom_member(bits, m, k, hashes):
+    import numpy as np
+
+    if not len(hashes):
+        return np.zeros(0, dtype=bool)
+    h1 = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
+    h2 = (h1 * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    member = np.ones(len(h1), dtype=bool)
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+        member &= (
+            bits[pos >> np.uint64(3)]
+            >> (pos & np.uint64(7)).astype(np.uint8)
+        ) & np.uint8(1) > 0
+    return member
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    items=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        max_size=200,
+        unique=True,
+    ),
+    probes=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        max_size=200,
+        unique=True,
+    ),
+    fpp=st.sampled_from([0.5, 0.1, 0.01]),
+)
+def test_bloom_kernel_no_false_negatives(items, probes, fpp):
+    """Every inserted hash MUST test positive (the tier-1 guarantee the
+    two-tier decontamination correctness proof rests on); non-members may
+    false-positive but at fpp=0.01 the observed rate over the random
+    probe set stays far below certainty (sanity bound 50%)."""
+    from flink_psl_spark.llm.text import _bloom_build
+
+    bits, m, k = _bloom_build(items, fpp)
+    assert _bloom_member(bits, m, k, items).all()
+    outsiders = [p for p in probes if p not in set(items)]
+    if fpp == 0.01 and len(outsiders) >= 50:
+        fp = _bloom_member(bits, m, k, outsiders).sum()
+        assert fp / len(outsiders) < 0.5
