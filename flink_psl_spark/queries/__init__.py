@@ -39,8 +39,13 @@ import flink_psl_spark.queries.datastream_queries  # noqa: F401, E402
 # (NDU analysis driver query, two-level semantic dedup); slots 10-50
 # re-prove the 41 OLDEST-evidence greens (round-1 rows, four rounds
 # stale) in registration order — cumulative driver coverage stays
-# honest instead of resting on r1 hashes. The 10 r1 rows that don't fit
-# (agg_multiset .. q7_volume_shipping) lead the round-7 refresh.
+# honest instead of resting on r1 hashes. ROUND-7 seed (precomputed):
+# the _reorder middle places new-in-r6 queries past the window —
+# llm_bloom_decontamination (position 51) — so r7's window leads with it,
+# the 10 r1 rows that didn't fit here (agg_multiset, agg_json,
+# dedup_keep_first, dedup_keep_last, changelog_normalize,
+# interval_join_batch, asof_join, q4/q5/q7), and then the oldest r2 rows
+# (now four rounds stale themselves).
 _PRIORITY_WINDOW = [
     # never driver-checked (new in r5, precomputed r6 seed)
     "sum0_timestamp_ltz_fn", "pysource_stream_datagen_agg",
