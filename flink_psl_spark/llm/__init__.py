@@ -65,6 +65,7 @@ from flink_psl_spark.llm.bpe import (  # noqa: F401
 from flink_psl_spark.llm.text import (  # noqa: F401
     benchmark_contamination,
     bloom_contamination,
+    cms_heavy_hitters,
     tokenize,
     token_count,
     quality_score,

@@ -525,3 +525,104 @@ def bloom_contamination(
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def cms_heavy_hitters(
+    docs,
+    *,
+    n: int = 2,
+    threshold: int = 50,
+    text_col: str = "text",
+    eps: float = 0.001,
+    confidence: float = 0.99,
+):
+    """Heavy-hitter n-grams via a count-min sketch prefilter — exact
+    output, sketch-bounded shuffle (Cormode & Muthukrishnan 2005).
+
+    Two-tier, same proof shape as :func:`bloom_contamination`:
+
+    1. **Sketch build** (one corpus scan): each partition accumulates a
+       depth × width count table over its gram hashes in numpy
+       (Kirsch–Mitzenmacher double hashing over the engine's xxhash64);
+       non-zero cells shuffle keyed by cell — the exchange is bounded by
+       partitions × (depth·width), NEVER by gram cardinality — and the
+       merged table (CMS tables merge by addition) collects to the
+       driver at depth·width longs, a parameter.
+    2. **Probe + exact verify** (second scan): every gram's CMS estimate
+       is computed map-side against the broadcast table; since CMS
+       errors are ONE-SIDED (estimate >= true count, always), grams
+       estimated below ``threshold`` are exactly eliminable, and only
+       the candidate grams — true heavy hitters plus an eps·N-bounded
+       overestimate fringe — shuffle into an exact count, which trims
+       the fringe. Output == the exact ``HAVING count >= threshold``
+       result, while the full-cardinality gram exchange is gone.
+
+    (Spark's builtin ``count_min_sketch`` agg produces a JVM sketch that
+    cannot be probed as a column expression, which is why the table is
+    built with a numpy kernel over the same xxhash64 the engine uses.)
+
+    Returns (gram, cnt) with exact counts, cnt >= threshold.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    depth = max(1, math.ceil(math.log(1.0 / (1.0 - confidence))))
+    width = max(8, math.ceil(math.e / eps))
+
+    grams = docs.select(F.explode(ngrams(F.col(text_col), n)).alias("gram"))
+    hashes = grams.select(F.xxhash64("gram").alias("h"))
+
+    def _positions(h1):
+        h2 = (h1 * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+        return np.stack(
+            [(h1 + np.uint64(i) * h2) % np.uint64(width) for i in range(depth)]
+        )  # depth × batch
+
+    def build(batches):
+        table = np.zeros((depth, width), dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h1 = pdf["h"].to_numpy().astype(np.uint64)
+            pos = _positions(h1)
+            for i in range(depth):
+                np.add.at(table[i], pos[i], 1)
+        cells = np.flatnonzero(table)
+        if len(cells):
+            yield pd.DataFrame(
+                {"cell": cells, "cnt": table.ravel()[cells]}
+            )
+
+    merged_rows = (
+        hashes.mapInPandas(build, "cell bigint, cnt bigint")
+        .groupBy("cell")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )  # ≤ depth·width rows — parameter-sized, not data-sized
+    table = np.zeros(depth * width, dtype=np.int64)
+    for r in merged_rows:
+        table[r["cell"]] = r["cnt"]
+    table = table.reshape(depth, width)
+
+    def _estimate_kernel(hs):
+        h1 = hs.to_numpy().astype(np.uint64)
+        if not len(h1):
+            return pd.Series(np.zeros(0, dtype=np.int64))
+        pos = _positions(h1)
+        est = table[0][pos[0]]
+        for i in range(1, depth):
+            est = np.minimum(est, table[i][pos[i]])
+        return pd.Series(est)
+
+    _estimate = F.pandas_udf(_estimate_kernel, "bigint")
+
+    candidates = grams.where(
+        _estimate(F.xxhash64("gram")) >= F.lit(threshold)
+    )
+    return (
+        candidates.groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= threshold)
+    )

@@ -882,6 +882,32 @@ def llm_bloom_decontamination(spark, sf_dir):
 
 
 @query(
+    "llm_heavy_hitter_ngrams",
+    # exact-semantics oracle: CMS errors are one-sided (estimate >= true),
+    # so the sketch prefilter + exact verify equals the plain HAVING
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    g AS (
+      SELECT ARRAY_TO_STRING(w[i:i+1], ' ') AS gram
+      FROM d, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(w) - 1, 0))) AS t(i))
+    SELECT gram, COUNT(*) AS cnt
+    FROM g GROUP BY gram HAVING COUNT(*) >= 20
+    """,
+)
+def llm_heavy_hitter_ngrams(spark, sf_dir):
+    """Heavy-hitter bigrams via a count-min-sketch prefilter (Cormode &
+    Muthukrishnan 2005): per-partition numpy CMS tables merge by cell
+    (the exchange is sketch-sized, not gram-cardinality-sized), grams
+    estimated under the threshold are exactly eliminable map-side
+    (one-sided CMS error), and only the candidate fringe pays the exact
+    count — output provably equal to the exact HAVING."""
+    from flink_psl_spark.llm.text import cms_heavy_hitters
+
+    t = tables(spark, sf_dir)
+    return cms_heavy_hitters(t["documents"], n=2, threshold=20)
+
+
+@query(
     "llm_repetition_stats",
     oracle=f"""
     WITH d AS (

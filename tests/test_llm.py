@@ -672,3 +672,38 @@ def test_bloom_contamination_empty_benchmark(spark, t):
     out = bloom_contamination(docs, bench, n=5).collect()
     assert len(out) == docs.count()
     assert all(r["n_hits"] == 0 and not r["contaminated"] for r in out)
+
+
+def test_cms_heavy_hitters_exact(spark, t):
+    """CMS-prefiltered heavy hitters must equal the exact HAVING result,
+    including with an aggressively small sketch (large eps) where the
+    overestimate fringe is certainly non-empty."""
+    from flink_psl_spark.llm.text import cms_heavy_hitters, ngrams
+
+    docs = t["documents"]
+    exact = {
+        (r["gram"], r["cnt"])
+        for r in docs.select(F.explode(ngrams(F.col("text"), 2)).alias("gram"))
+        .groupBy("gram").agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= 10).collect()
+    }
+    for eps in (0.001, 0.05):
+        got = {
+            (r["gram"], r["cnt"])
+            for r in cms_heavy_hitters(
+                docs, n=2, threshold=10, eps=eps
+            ).collect()
+        }
+        assert got == exact, f"eps={eps}"
+
+
+def test_cms_heavy_hitters_empty_and_high_threshold(spark, t):
+    """Degenerate paths: a threshold above every count returns an empty
+    frame with the right schema; an empty corpus returns empty."""
+    from flink_psl_spark.llm.text import cms_heavy_hitters
+
+    docs = t["documents"]
+    out = cms_heavy_hitters(docs, n=2, threshold=10**9)
+    assert out.columns == ["gram", "cnt"] and out.count() == 0
+    empty = cms_heavy_hitters(docs.where("doc_id < 0"), n=2, threshold=1)
+    assert empty.count() == 0
