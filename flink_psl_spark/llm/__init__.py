@@ -66,6 +66,7 @@ from flink_psl_spark.llm.text import (  # noqa: F401
     benchmark_contamination,
     bloom_contamination,
     cms_heavy_hitters,
+    heavy_keys,
     tokenize,
     token_count,
     quality_score,

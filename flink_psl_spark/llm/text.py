@@ -563,6 +563,36 @@ def cms_heavy_hitters(
 
     Returns (gram, cnt) with exact counts, cnt >= threshold.
     """
+    grams = docs.select(F.explode(ngrams(F.col(text_col), n)).alias("gram"))
+    return _cms_heavy_items(
+        grams, "gram", threshold, eps=eps, confidence=confidence
+    )
+
+
+def heavy_keys(
+    df,
+    key_col: str,
+    *,
+    threshold: int,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+):
+    """Skew diagnosis: keys occurring >= threshold times, exactly, via
+    the CMS prefilter — the cheap first step before salting a join or
+    aggregation on ``key_col`` (operators/skew.py): the full-cardinality
+    key exchange of a plain groupBy-count is replaced by a sketch-sized
+    one plus an exact count of only the candidate (hot) keys.
+
+    Returns (key_col, cnt), cnt >= threshold, exact.
+    """
+    items = df.select(F.col(key_col).cast("string").alias(key_col))
+    return _cms_heavy_items(
+        items, key_col, threshold, eps=eps, confidence=confidence
+    )
+
+
+def _cms_heavy_items(items, item_col, threshold, *, eps, confidence):
+    """Shared CMS two-tier kernel over a single-column item frame."""
     import math
 
     import numpy as np
@@ -571,8 +601,8 @@ def cms_heavy_hitters(
     depth = max(1, math.ceil(math.log(1.0 / (1.0 - confidence))))
     width = max(8, math.ceil(math.e / eps))
 
-    grams = docs.select(F.explode(ngrams(F.col(text_col), n)).alias("gram"))
-    hashes = grams.select(F.xxhash64("gram").alias("h"))
+    grams = items
+    hashes = grams.select(F.xxhash64(item_col).alias("h"))
 
     def _positions(h1):
         h2 = (h1 * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
@@ -619,10 +649,10 @@ def cms_heavy_hitters(
     _estimate = F.pandas_udf(_estimate_kernel, "bigint")
 
     candidates = grams.where(
-        _estimate(F.xxhash64("gram")) >= F.lit(threshold)
+        _estimate(F.xxhash64(item_col)) >= F.lit(threshold)
     )
     return (
-        candidates.groupBy("gram")
+        candidates.groupBy(item_col)
         .agg(F.count("*").alias("cnt"))
         .where(F.col("cnt") >= threshold)
     )

@@ -908,6 +908,26 @@ def llm_heavy_hitter_ngrams(spark, sf_dir):
 
 
 @query(
+    "skew_key_report",
+    # exact-semantics oracle (one-sided CMS error + exact verify); keys
+    # are stringified because the sketch hashes a canonical string form
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS user_id, COUNT(*) AS cnt
+    FROM events GROUP BY 1 HAVING COUNT(*) >= 70
+    """,
+)
+def skew_key_report(spark, sf_dir):
+    """Skew diagnosis (the cheap first step before salting a hot join or
+    aggregation key — operators/skew.py): keys occurring >= threshold
+    times, found via the CMS prefilter so the full-cardinality key
+    exchange never happens; output exact."""
+    from flink_psl_spark.llm.text import heavy_keys
+
+    t = tables(spark, sf_dir)
+    return heavy_keys(t["events"], "user_id", threshold=70)
+
+
+@query(
     "llm_repetition_stats",
     oracle=f"""
     WITH d AS (

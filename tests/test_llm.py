@@ -707,3 +707,21 @@ def test_cms_heavy_hitters_empty_and_high_threshold(spark, t):
     assert out.columns == ["gram", "cnt"] and out.count() == 0
     empty = cms_heavy_hitters(docs.where("doc_id < 0"), n=2, threshold=1)
     assert empty.count() == 0
+
+
+def test_heavy_keys_matches_exact_groupby(spark, t):
+    """heavy_keys (CMS skew diagnosis) must equal the exact groupBy-count
+    HAVING, on a numeric key column (stringified canonical form)."""
+    from flink_psl_spark.llm.text import heavy_keys
+
+    ev = t["events"]
+    exact = {
+        (str(r["user_id"]), r["cnt"])
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= 60).collect()
+    }
+    got = {
+        (r["user_id"], r["cnt"])
+        for r in heavy_keys(ev, "user_id", threshold=60).collect()
+    }
+    assert got == exact and len(got) > 0
