@@ -45,6 +45,8 @@ from flink_psl_spark.llm.similarity import (  # noqa: F401
     pq_encode,
     pq_train_codebook,
     semantic_dedup,
+    sq_cosine_topk,
+    sq_encode,
 )
 from flink_psl_spark.llm.sampling import (  # noqa: F401
     deterministic_sample,

@@ -725,3 +725,31 @@ def test_heavy_keys_matches_exact_groupby(spark, t):
         for r in heavy_keys(ev, "user_id", threshold=60).collect()
     }
     assert got == exact and len(got) > 0
+
+
+def test_sq_encode_and_recall(spark, t):
+    """SQ8: codes bounded to [-127, 127], zero-norm dropped, dequantized
+    search recovers the full exact top-5 on the fixture (int8 error is
+    tiny), and emitted cos_sim values are exact (re-rank contract)."""
+    from flink_psl_spark.llm import cosine_topk, sq_cosine_topk, sq_encode
+
+    emb = t["embeddings"]
+    enc = sq_encode(emb)
+    assert set(enc.columns) == {"vec_id", "scale", "code"}
+    row = enc.first()
+    assert all(-127 <= c <= 127 for c in row["code"]) and row["scale"] > 0
+    zero = spark.createDataFrame(
+        [(1, [0.0] * 4)], "vec_id bigint, embedding array<double>"
+    )
+    assert sq_encode(zero).count() == 0
+
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in sq_cosine_topk(emb, queries, k=5, refine=4).collect()
+    }
+    assert got == exact
