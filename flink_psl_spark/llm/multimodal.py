@@ -513,3 +513,59 @@ def synthetic_wav_media(spark, documents: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "media_type", "payload"])
 
     return documents.select("doc_id").mapInPandas(build, schema)
+
+
+def dhash_kernel(img: np.ndarray, *, hash_size: int = 8) -> int:
+    """Difference hash (dHash) of an H×W×3 uint8 image: grayscale →
+    nearest-neighbor resize to hash_size×(hash_size+1) → sign of the
+    horizontal gradient → hash_size² bits packed into a signed 64-bit
+    int (the classic perceptual hash for near-duplicate images; robust
+    to rescaling/re-encoding, unlike byte hashes)."""
+    gray = img.astype(np.float64).mean(axis=2)
+    ys = (np.arange(hash_size) * gray.shape[0]) // hash_size
+    xs = (np.arange(hash_size + 1) * gray.shape[1]) // (hash_size + 1)
+    small = gray[ys][:, xs]
+    bits = (small[:, 1:] > small[:, :-1]).ravel()
+    acc = np.uint64(0)
+    for b in bits:
+        acc = (acc << np.uint64(1)) | np.uint64(bool(b))
+    return int(acc.astype(np.int64))
+
+
+def image_dhash(media: DataFrame, *, hash_size: int = 8) -> DataFrame:
+    """Per-image dHash over the decode pipeline (mapInPandas — bytes move
+    once per Arrow batch). Returns (media_id, dhash bigint)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_image(payload)
+                ids.append(mid)
+                hashes.append(dhash_kernel(img, hash_size=hash_size))
+            yield pd.DataFrame({"media_id": ids, "dhash": hashes})
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, "media_id bigint, dhash bigint"
+    )
+
+
+def image_dedup(media: DataFrame, *, hash_size: int = 8) -> DataFrame:
+    """Perceptual image dedup: group by dHash, keep the lowest media_id
+    per group (images that re-encode/rescale to the same gradient
+    structure collapse together). ONE shuffle keyed by the 64-bit hash —
+    the image-side counterpart of exact text dedup; chain with a
+    hamming-banded pass (simhash-style) for near-dup tolerance.
+
+    Returns (media_id, dhash, survivor boolean, group_size bigint).
+    """
+    from pyspark.sql import Window
+
+    hashed = image_dhash(media, hash_size=hash_size)
+    w = Window.partitionBy("dhash")
+    return hashed.select(
+        "media_id",
+        "dhash",
+        (F.col("media_id") == F.min("media_id").over(w)).alias("survivor"),
+        F.count("*").over(w).alias("group_size"),
+    )

@@ -1121,6 +1121,58 @@ def llm_image_decode(spark, sf_dir):
 
 
 @query(
+    "llm_image_dhash_dedup",
+    # perceptual hashing is not SQL-expressible — bounded-agreement
+    # restatement (BPE/ANN pattern): the Spark side re-derives the dHash
+    # of a PARAMETER-bounded sample through the single-process python
+    # model and independently recomputes the survivor contract; the
+    # oracle is the fixed expected truth
+    oracle="""
+    SELECT doc_id AS media_id, TRUE AS hash_agree, TRUE AS survivor_ok
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def llm_image_dhash_dedup(spark, sf_dir):
+    """Perceptual image dedup (dHash): decode → grayscale gradient-sign
+    hash → group by hash, keep lowest media_id. Self-checks: distributed
+    dHash == python-model dHash on the bounded sample (collect is 200
+    payloads — a parameter); survivor flag == independently recomputed
+    min-id-per-group contract."""
+    from flink_psl_spark.llm.multimodal import (
+        decode_image,
+        dhash_kernel,
+        image_dedup,
+        synthetic_media,
+    )
+    from flink_psl_spark.parallelism import ensure_parallelism
+
+    t = tables(spark, sf_dir)
+    media = ensure_parallelism(synthetic_media(spark, t["documents"]))
+    out = image_dedup(media)
+
+    sample = media.where("media_id < 200").select("media_id", "payload")
+    model = spark.createDataFrame(
+        [
+            (r["media_id"], dhash_kernel(decode_image(bytes(r["payload"]))))
+            for r in sample.collect()
+        ],
+        "media_id bigint, model_dhash bigint",
+    )
+    mins = out.groupBy("dhash").agg(F.min("media_id").alias("min_id"))
+    return (
+        out.join(model, "media_id")
+        .join(mins, "dhash")
+        .select(
+            "media_id",
+            (F.col("dhash") == F.col("model_dhash")).alias("hash_agree"),
+            (F.col("survivor") == (F.col("media_id") == F.col("min_id"))).alias(
+                "survivor_ok"
+            ),
+        )
+    )
+
+
+@query(
     "llm_frame_sample",
     # codec-free frame extraction is byte arithmetic, fully replayable in
     # SQL on the ASCII fixture (byte offsets == char offsets); TRUNC

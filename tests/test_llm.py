@@ -753,3 +753,35 @@ def test_sq_encode_and_recall(spark, t):
         for r in sq_cosine_topk(emb, queries, k=5, refine=4).collect()
     }
     assert got == exact
+
+
+def test_image_dhash_dedup_semantics(spark, t):
+    """dHash dedup: identical payloads collapse (same fake decode →
+    same hash), survivor is the lowest media_id per group, and the hash
+    is invariant to nearest-neighbor rescaling of the image (the
+    perceptual property byte hashes lack)."""
+    import numpy as np
+
+    from flink_psl_spark.llm.multimodal import (
+        dhash_kernel,
+        image_dedup,
+        resize_image,
+        synthetic_media,
+    )
+
+    docs = t["documents"].where(F.col("doc_id") < 30)
+    dup = docs.where(F.col("doc_id") == 3).withColumn(
+        "doc_id", F.lit(9999).cast("bigint")
+    )
+    media = synthetic_media(spark, docs.unionByName(dup))
+    out = image_dedup(media).collect()
+    rows = {r["media_id"]: r for r in out}
+    # the injected exact duplicate shares doc 3's group; 3 survives
+    assert rows[9999]["dhash"] == rows[3]["dhash"]
+    assert rows[3]["survivor"] and not rows[9999]["survivor"]
+    assert rows[9999]["group_size"] >= 2
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(64, 48, 3), dtype=np.uint8)
+    h = dhash_kernel(img)
+    assert dhash_kernel(resize_image(img, 96, 128)) == h
