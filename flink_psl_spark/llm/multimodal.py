@@ -569,3 +569,66 @@ def image_dedup(media: DataFrame, *, hash_size: int = 8) -> DataFrame:
         (F.col("media_id") == F.min("media_id").over(w)).alias("survivor"),
         F.count("*").over(w).alias("group_size"),
     )
+
+
+def image_near_dedup(
+    media: DataFrame, *, hash_size: int = 8, max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate image removal: drop every image whose dHash is
+    within ``max_hamming`` bits of a lower-id image's hash.
+
+    Candidate generation is the same block-permutation trick as SimHash
+    text dedup (llm/dedup.py simhash_candidate_pairs): split the 64-bit
+    hash into max_hamming+1 blocks — any pair within the budget agrees
+    exactly on at least one block (pigeonhole), so the self-join keys on
+    (block index, block value) and bit_count verifies. One shuffle; no
+    all-pairs work.
+
+    Returns the surviving media rows (all input columns).
+    """
+    from flink_psl_spark.llm.dedup import hamming64
+
+    hashed = image_dhash(media, hash_size=hash_size).select(
+        F.col("media_id").alias("__id"), F.col("dhash").alias("__fp")
+    )
+    if max_hamming == 0:  # exact-hash grouping — one block IS the hash
+        dropped = (
+            hashed.alias("l")
+            .join(
+                hashed.alias("r"),
+                (F.col("l.__fp") == F.col("r.__fp"))
+                & (F.col("l.__id") < F.col("r.__id")),
+            )
+            .select(F.col("r.__id").alias("media_id"))
+            .distinct()
+        )
+        return media.join(dropped, on="media_id", how="left_anti")
+    blocks = max_hamming + 1
+    width = 64 // blocks
+    banded = hashed.select(
+        "__id",
+        "__fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("__fp"), i * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("__blk", "__bh"),
+    )
+    dropped = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.__blk") == F.col("r.__blk"))
+            & (F.col("l.__bh") == F.col("r.__bh"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .where(hamming64(F.col("l.__fp"), F.col("r.__fp")) <= max_hamming)
+        .select(F.col("r.__id").alias("media_id"))
+        .distinct()
+    )
+    return media.join(dropped, on="media_id", how="left_anti")

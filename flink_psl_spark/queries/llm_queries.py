@@ -1173,6 +1173,66 @@ def llm_image_dhash_dedup(spark, sf_dir):
 
 
 @query(
+    "llm_image_near_dedup",
+    # bounded-agreement restatement (same pattern as llm_image_dhash_dedup):
+    # the distributed banded near-dedup over the bounded corpus is compared
+    # against the brute-force python model on the same (parameter-bounded)
+    # dHash table; oracle is the fixed expected truth
+    oracle="""
+    SELECT doc_id AS media_id, TRUE AS survivor_ok
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def llm_image_near_dedup(spark, sf_dir):
+    """Near-duplicate image dedup (dHash Hamming <= 3) via the SimHash
+    block-permutation candidate join + bit_count verify — one shuffle,
+    no all-pairs. Self-check: distributed survivors == brute-force model
+    survivors over the bounded corpus (collect is 200 hashes — a
+    parameter)."""
+    from flink_psl_spark.llm.multimodal import (
+        image_dhash,
+        image_near_dedup,
+        synthetic_media,
+    )
+    from flink_psl_spark.parallelism import ensure_parallelism
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"].where(F.col("doc_id") < 200)
+    media = ensure_parallelism(synthetic_media(spark, docs))
+    max_h = 3
+    survivors = image_near_dedup(media, max_hamming=max_h).select("media_id")
+
+    hashes = {
+        r["media_id"]: r["dhash"] for r in image_dhash(media).collect()
+    }
+    model = {
+        i
+        for i in hashes
+        if not any(
+            j < i
+            and bin((hashes[i] ^ hashes[j]) & ((1 << 64) - 1)).count("1")
+            <= max_h
+            for j in hashes
+        )
+    }
+    model_df = spark.createDataFrame(
+        [(i, True) for i in model], "media_id bigint, model_survivor boolean"
+    )
+    return (
+        media.select("media_id")
+        .join(survivors.withColumn("got", F.lit(True)), "media_id", "left")
+        .join(F.broadcast(model_df), "media_id", "left")
+        .select(
+            "media_id",
+            (
+                F.coalesce("got", F.lit(False))
+                == F.coalesce("model_survivor", F.lit(False))
+            ).alias("survivor_ok"),
+        )
+    )
+
+
+@query(
     "llm_frame_sample",
     # codec-free frame extraction is byte arithmetic, fully replayable in
     # SQL on the ASCII fixture (byte offsets == char offsets); TRUNC

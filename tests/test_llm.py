@@ -785,3 +785,41 @@ def test_image_dhash_dedup_semantics(spark, t):
     img = rng.integers(0, 256, size=(64, 48, 3), dtype=np.uint8)
     h = dhash_kernel(img)
     assert dhash_kernel(resize_image(img, 96, 128)) == h
+
+
+def test_image_near_dedup_model_parity(spark, t):
+    """image_near_dedup survivors must equal the python model: an image
+    is dropped iff some lower-id image's dHash is within max_hamming
+    bits (verified over the collected bounded test corpus, including an
+    injected exact duplicate)."""
+    from flink_psl_spark.llm.multimodal import (
+        image_dhash,
+        image_near_dedup,
+        synthetic_media,
+    )
+
+    docs = t["documents"].where(F.col("doc_id") < 80)
+    dup = docs.where(F.col("doc_id") == 5).withColumn(
+        "doc_id", F.lit(8888).cast("bigint")
+    )
+    media = synthetic_media(spark, docs.unionByName(dup))
+    for max_h in (0, 3):
+        hashes = {
+            r["media_id"]: r["dhash"] for r in image_dhash(media).collect()
+        }
+        expect = {
+            i
+            for i in hashes
+            if not any(
+                j < i
+                and bin((hashes[i] ^ hashes[j]) & ((1 << 64) - 1)).count("1")
+                <= max_h
+                for j in hashes
+            )
+        }
+        got = {
+            r["media_id"]
+            for r in image_near_dedup(media, max_hamming=max_h).collect()
+        }
+        assert got == expect, f"max_hamming={max_h}"
+    assert 8888 not in got  # the injected exact duplicate never survives
