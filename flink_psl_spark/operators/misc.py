@@ -135,3 +135,49 @@ def async_lookup_with_retry(
         df, wrapped, out_schema,
         key_cols=key_cols, max_concurrency=max_concurrency,
     )
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Column profile report — the data-quality pass a pipeline runs
+    before training on a new table: per column (rows, nulls, distincts,
+    min, max) in ONE corpus scan.
+
+    All statistics compute in a single wide aggregation (one map-side
+    partial agg + one exchange of a single row per partition — the scan
+    dominates at 100 TB). min/max/distinct are computed on the column's
+    native type, then min/max render as canonical strings so the report
+    schema is column-type-independent (long format: one row per column).
+    """
+    from pyspark.sql import functions as F
+
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.count(c).alias(f"__nn_{c}"),
+            F.count_distinct(c).alias(f"__nd_{c}"),
+            F.min(c).cast("string").alias(f"__mn_{c}"),
+            F.max(c).cast("string").alias(f"__mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stacked = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"__n_{c}").alias("n_rows"),
+                        (F.col(f"__n_{c}") - F.col(f"__nn_{c}")).alias(
+                            "n_null"
+                        ),
+                        F.col(f"__nd_{c}").alias("n_distinct"),
+                        F.col(f"__mn_{c}").alias("min_value"),
+                        F.col(f"__mx_{c}").alias("max_value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    )
+    return stacked.select("p.*")

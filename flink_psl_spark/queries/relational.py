@@ -1070,3 +1070,44 @@ def temporal_table_function_sql(spark, sf_dir):
     finally:
         clear_versioned_tables()
     return res
+
+
+@query(
+    "table_profile_report",
+    # one row per profiled column; min/max as canonical strings (int and
+    # varchar columns render identically in both engines)
+    oracle="""
+    SELECT 'o_orderkey' AS column, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_orderkey) AS n_null,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+)
+def table_profile_report(spark, sf_dir):
+    """Dataset profiling (the pre-training data-quality report): per
+    column rows/nulls/distincts/min/max in ONE scan — a single wide
+    aggregation, one single-row-per-partition exchange."""
+    from flink_psl_spark.operators.misc import profile_table
+
+    t = tables(spark, sf_dir)
+    return profile_table(
+        t["orders"],
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )

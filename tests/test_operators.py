@@ -343,3 +343,25 @@ def test_table_env_pandas_bridge(spark):
     assert out.to_dict("records") == [
         {"k": "a", "v": 1}, {"k": "b", "v": 2}
     ]
+
+
+def test_profile_table_nulls_and_subset(spark, t):
+    """profile_table: null accounting, distinct counts, string-rendered
+    min/max, and column subsetting — including a column that is entirely
+    NULL."""
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.operators.misc import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "k int, s string"
+    ).withColumn("all_null", F.lit(None).cast("double"))
+    rows = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(rows) == {"k", "s", "all_null"}
+    assert rows["k"]["n_rows"] == 3 and rows["k"]["n_null"] == 0
+    assert rows["k"]["min_value"] == "1" and rows["k"]["max_value"] == "3"
+    assert rows["s"]["n_null"] == 1 and rows["s"]["n_distinct"] == 2
+    assert rows["all_null"]["n_null"] == 3
+    assert rows["all_null"]["min_value"] is None
+    only_k = profile_table(df, ["k"]).collect()
+    assert len(only_k) == 1 and only_k[0]["column"] == "k"
