@@ -632,3 +632,62 @@ def image_near_dedup(
         .distinct()
     )
     return media.join(dropped, on="media_id", how="left_anti")
+
+
+def audio_fingerprint_kernel(
+    samples: np.ndarray, *, n_windows: int = 64
+) -> int:
+    """Energy-delta audio fingerprint: split the clip into ``n_windows``
+    equal windows, compute per-window energy (integer sum of squares),
+    hash the SIGN of consecutive-window energy deltas into a 63-bit int —
+    the audio twin of the image dHash (robust to volume scaling: signs of
+    energy deltas are amplitude-ratio invariant)."""
+    n = len(samples)
+    if n == 0:
+        return 0
+    bounds = (np.arange(n_windows + 1) * n) // n_windows
+    sq = np.concatenate(([0], np.cumsum(samples.astype(np.int64) ** 2)))
+    energy = sq[bounds[1:]] - sq[bounds[:-1]]
+    bits = energy[1:] > energy[:-1]
+    acc = np.uint64(0)
+    for b in bits:
+        acc = (acc << np.uint64(1)) | np.uint64(bool(b))
+    return int(acc.astype(np.int64))
+
+
+def audio_fingerprint(media: DataFrame, *, n_windows: int = 64) -> DataFrame:
+    """Per-clip audio fingerprint over the real WAV codec (one Arrow
+    batched scan). Returns (media_id, afp bigint)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _, _, samples = decode_wav(payload)
+                ids.append(int(mid))
+                fps.append(audio_fingerprint_kernel(samples, n_windows=n_windows))
+            yield pd.DataFrame({"media_id": ids, "afp": fps})
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, "media_id bigint, afp bigint"
+    )
+
+
+def audio_dedup(media: DataFrame, *, n_windows: int = 64) -> DataFrame:
+    """Fingerprint-exact audio dedup: group by the energy-delta
+    fingerprint, keep the lowest media_id — clips that differ only in
+    overall volume collapse together (same energy-delta signs). One
+    shuffle keyed by the 63-bit fingerprint.
+
+    Returns (media_id, afp, survivor boolean, group_size bigint).
+    """
+    from pyspark.sql import Window
+
+    fp = audio_fingerprint(media, n_windows=n_windows)
+    w = Window.partitionBy("afp")
+    return fp.select(
+        "media_id",
+        "afp",
+        (F.col("media_id") == F.min("media_id").over(w)).alias("survivor"),
+        F.count("*").over(w).alias("group_size"),
+    )

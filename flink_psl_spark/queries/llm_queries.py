@@ -1233,6 +1233,59 @@ def llm_image_near_dedup(spark, sf_dir):
 
 
 @query(
+    "llm_audio_fingerprint_dedup",
+    # bounded-agreement restatement (dHash pattern): the distributed
+    # fingerprint over REAL WAV bytes is compared to the python model on
+    # a parameter-bounded sample; survivor flag re-derived independently
+    oracle="""
+    SELECT doc_id AS media_id, TRUE AS fp_agree, TRUE AS survivor_ok
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def llm_audio_fingerprint_dedup(spark, sf_dir):
+    """Audio dedup by energy-delta fingerprint (the audio twin of dHash,
+    volume-scaling invariant) over genuine RIFF/WAVE payloads decoded by
+    the stdlib codec. Self-checks: distributed fingerprint == python
+    model on the bounded sample (collect is 200 clips — a parameter);
+    survivor flag == min-id-per-group contract."""
+    from flink_psl_spark.llm.multimodal import (
+        audio_dedup,
+        audio_fingerprint_kernel,
+        decode_wav,
+        synthetic_wav_media,
+    )
+    from flink_psl_spark.parallelism import ensure_parallelism
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"].where(F.col("doc_id") < 200)
+    media = ensure_parallelism(synthetic_wav_media(spark, docs))
+    out = audio_dedup(media)
+
+    model = spark.createDataFrame(
+        [
+            (
+                r["media_id"],
+                audio_fingerprint_kernel(decode_wav(bytes(r["payload"]))[2]),
+            )
+            for r in media.select("media_id", "payload").collect()
+        ],
+        "media_id bigint, model_afp bigint",
+    )
+    mins = out.groupBy("afp").agg(F.min("media_id").alias("min_id"))
+    return (
+        out.join(F.broadcast(model), "media_id")
+        .join(F.broadcast(mins), "afp")
+        .select(
+            "media_id",
+            (F.col("afp") == F.col("model_afp")).alias("fp_agree"),
+            (F.col("survivor") == (F.col("media_id") == F.col("min_id"))).alias(
+                "survivor_ok"
+            ),
+        )
+    )
+
+
+@query(
     "llm_frame_sample",
     # codec-free frame extraction is byte arithmetic, fully replayable in
     # SQL on the ASCII fixture (byte offsets == char offsets); TRUNC

@@ -823,3 +823,34 @@ def test_image_near_dedup_model_parity(spark, t):
         }
         assert got == expect, f"max_hamming={max_h}"
     assert 8888 not in got  # the injected exact duplicate never survives
+
+
+def test_audio_fingerprint_dedup(spark, t):
+    """Audio fingerprint dedup over REAL WAV bytes: identical clips
+    collapse, the fingerprint is invariant to volume scaling (energy-
+    delta signs), and survivor is the lowest media_id per group."""
+    import numpy as np
+
+    from flink_psl_spark.llm.multimodal import (
+        audio_dedup,
+        audio_fingerprint_kernel,
+        encode_wav,
+        synthetic_wav_media,
+    )
+
+    docs = t["documents"].where(F.col("doc_id") < 40)
+    media = synthetic_wav_media(spark, docs)
+    dup = media.where(F.col("media_id") == 2).withColumn(
+        "media_id", F.lit(7777).cast("bigint")
+    )
+    out = audio_dedup(media.unionByName(dup)).collect()
+    rows = {r["media_id"]: r for r in out}
+    assert rows[7777]["afp"] == rows[2]["afp"]
+    assert rows[2]["survivor"] and not rows[7777]["survivor"]
+
+    rng = np.random.default_rng(3)
+    clip = rng.integers(-800, 800, size=4000).astype(np.int64)
+    assert audio_fingerprint_kernel(clip) == audio_fingerprint_kernel(clip * 8)
+    assert audio_fingerprint_kernel(np.array([], dtype=np.int64)) == 0
+    # encode_wav round-trip feeds the same kernel (real codec path)
+    assert isinstance(encode_wav(clip.clip(-1024, 1023).tolist()), bytes)
