@@ -691,3 +691,81 @@ def audio_dedup(media: DataFrame, *, n_windows: int = 64) -> DataFrame:
         (F.col("media_id") == F.min("media_id").over(w)).alias("survivor"),
         F.count("*").over(w).alias("group_size"),
     )
+
+
+def video_frame_hashes(
+    media: DataFrame, *, frame_len: int = 32, stride: int = 64
+) -> DataFrame:
+    """Distinct per-clip frame dHashes: sample frames (real decoder when
+    ``av`` is present, fixed-bitrate byte windows otherwise), decode each
+    frame, dHash it. Returns (media_id, frame_hash) distinct."""
+    frames = sample_frame_payloads(media, frame_len=frame_len, stride=stride)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, fb in zip(pdf["media_id"], pdf["frame_bytes"]):
+                ids.append(int(mid))
+                hashes.append(dhash_kernel(decode_image(bytes(fb))))
+            yield pd.DataFrame({"media_id": ids, "frame_hash": hashes})
+
+    return (
+        frames.select("media_id", "frame_bytes")
+        .mapInPandas(run, "media_id bigint, frame_hash bigint")
+        .distinct()
+    )
+
+
+def video_clip_dedup(
+    media: DataFrame,
+    *,
+    frame_len: int = 32,
+    stride: int = 64,
+    jaccard_threshold: float = 0.8,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Clip-level video dedup: two clips are near-duplicates when the
+    Jaccard similarity of their frame-dHash SETS reaches the threshold —
+    the shot-level containment signal frame-exact hashes can't give.
+
+    Scale shape: frame hashes shuffle once keyed by hash to find clips
+    sharing a frame (candidate pairs exist iff Jaccard > 0, so the join
+    IS the candidate generator — no all-pairs); hashes appearing in more
+    than ``max_df`` clips are dropped first (a black frame shared by
+    every clip is non-discriminative and would explode the join — the
+    standard df-cap from text retrieval). Intersections aggregate
+    per-pair, Jaccard computes from exact set sizes, and the greater id
+    of each qualifying pair drops.
+
+    Returns surviving media rows.
+    """
+    fh = video_frame_hashes(media, frame_len=frame_len, stride=stride)
+    df_count = fh.groupBy("frame_hash").agg(F.count("*").alias("__df"))
+    keep_h = df_count.where(F.col("__df") <= max_df).select("frame_hash")
+    fh = fh.join(keep_h, "frame_hash")
+    sizes = fh.groupBy("media_id").agg(F.count("*").alias("__sz"))
+    inter = (
+        fh.alias("l")
+        .join(
+            fh.alias("r"),
+            (F.col("l.frame_hash") == F.col("r.frame_hash"))
+            & (F.col("l.media_id") < F.col("r.media_id")),
+        )
+        .groupBy(
+            F.col("l.media_id").alias("a"), F.col("r.media_id").alias("b")
+        )
+        .agg(F.count("*").alias("__inter"))
+    )
+    dropped = (
+        inter.join(sizes.withColumnRenamed("media_id", "a"), "a")
+        .withColumnRenamed("__sz", "__sza")
+        .join(sizes.withColumnRenamed("media_id", "b"), "b")
+        .where(
+            F.col("__inter")
+            / (F.col("__sza") + F.col("__sz") - F.col("__inter"))
+            >= jaccard_threshold
+        )
+        .select(F.col("b").alias("media_id"))
+        .distinct()
+    )
+    return media.join(dropped, on="media_id", how="left_anti")

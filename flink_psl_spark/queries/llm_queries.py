@@ -1286,6 +1286,62 @@ def llm_audio_fingerprint_dedup(spark, sf_dir):
 
 
 @query(
+    "llm_video_clip_dedup",
+    # bounded-agreement restatement: distributed survivors vs the python
+    # Jaccard model over the bounded corpus's frame-hash sets
+    oracle="""
+    SELECT doc_id AS media_id, TRUE AS survivor_ok
+    FROM documents WHERE doc_id < 150
+    """,
+)
+def llm_video_clip_dedup(spark, sf_dir):
+    """Clip-level video dedup: Jaccard over per-clip frame-dHash sets —
+    one hash-keyed shuffle generates candidate pairs (clips sharing a
+    frame), df-capped against non-discriminative frames. Self-check:
+    survivors == the python Jaccard model over the bounded corpus
+    (collect is 150 clips' hash sets — parameter-bounded)."""
+    from flink_psl_spark.llm.multimodal import (
+        synthetic_media,
+        video_clip_dedup,
+        video_frame_hashes,
+    )
+    from flink_psl_spark.parallelism import ensure_parallelism
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"].where(F.col("doc_id") < 150)
+    media = ensure_parallelism(synthetic_media(spark, docs, media_type="video"))
+    thr = 0.8
+    survivors = video_clip_dedup(media, jaccard_threshold=thr).select("media_id")
+
+    sets: dict = {}
+    for r in video_frame_hashes(media).collect():
+        sets.setdefault(r["media_id"], set()).add(r["frame_hash"])
+    model = {
+        i
+        for i in sets
+        if not any(
+            j < i and len(sets[i] & sets[j]) / len(sets[i] | sets[j]) >= thr
+            for j in sets
+        )
+    }
+    model_df = spark.createDataFrame(
+        [(i, True) for i in model], "media_id bigint, model_survivor boolean"
+    )
+    return (
+        media.select("media_id")
+        .join(survivors.withColumn("got", F.lit(True)), "media_id", "left")
+        .join(F.broadcast(model_df), "media_id", "left")
+        .select(
+            "media_id",
+            (
+                F.coalesce("got", F.lit(False))
+                == F.coalesce("model_survivor", F.lit(False))
+            ).alias("survivor_ok"),
+        )
+    )
+
+
+@query(
     "llm_frame_sample",
     # codec-free frame extraction is byte arithmetic, fully replayable in
     # SQL on the ASCII fixture (byte offsets == char offsets); TRUNC

@@ -854,3 +854,45 @@ def test_audio_fingerprint_dedup(spark, t):
     assert audio_fingerprint_kernel(np.array([], dtype=np.int64)) == 0
     # encode_wav round-trip feeds the same kernel (real codec path)
     assert isinstance(encode_wav(clip.clip(-1024, 1023).tolist()), bytes)
+
+
+def test_video_clip_dedup_jaccard(spark, t):
+    """Clip dedup: an injected clip sharing most of a lower-id clip's
+    payload (same frames except the tail) is dropped at threshold 0.6;
+    unrelated clips survive; survivors equal the python Jaccard model."""
+    from flink_psl_spark.llm.multimodal import (
+        synthetic_media,
+        video_clip_dedup,
+        video_frame_hashes,
+    )
+
+    docs = t["documents"].where(F.col("doc_id") < 25)
+    media = synthetic_media(spark, docs, media_type="video")
+    near = (
+        media.where(F.col("media_id") == 4)
+        .withColumn("media_id", F.lit(6666).cast("bigint"))
+        .withColumn(
+            "payload",
+            F.concat(F.col("payload"), F.encode(F.lit(" tail-change"), "utf-8")),
+        )
+    )
+    allm = media.unionByName(near)
+    thr = 0.6
+    sets = {}
+    for r in video_frame_hashes(allm).collect():
+        sets.setdefault(r["media_id"], set()).add(r["frame_hash"])
+    expect = {
+        i
+        for i in sets
+        if not any(
+            j < i
+            and len(sets[i] & sets[j]) / len(sets[i] | sets[j]) >= thr
+            for j in sets
+        )
+    }
+    got = {
+        r["media_id"]
+        for r in video_clip_dedup(allm, jaccard_threshold=thr).collect()
+    }
+    assert got == expect
+    assert 6666 not in got and 4 in got  # near-dup clip dropped, original kept
