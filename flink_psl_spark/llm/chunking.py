@@ -107,3 +107,78 @@ def pack_sequences(
         (F.col("_cum") % max_len).alias("seq_offset"),
         (last_seq - first_seq + 1).cast("bigint").alias("seqs_spanned"),
     )
+
+
+def pack_sequences_bfd(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_len: int = 512,
+    partition_col: str = "source",
+    sub_shard_docs: int = 10_000,
+) -> DataFrame:
+    """No-split sequence packing by best-fit-decreasing bin packing: each
+    document lands WHOLE in exactly one bin of capacity ``max_len``
+    tokens (the packing used when cross-document attention contamination
+    must be avoided — unlike concat-and-split, no document straddles a
+    sequence boundary). Docs longer than ``max_len`` get a singleton
+    overflow bin, flagged.
+
+    Scale shape: packing is inherently sequential within a bin set, so
+    each shard splits into deterministic sub-shards of at most
+    ``sub_shard_docs`` documents (row-number in id order — the same
+    hard-cap trick as semantic dedup's sub-buckets) and BFD runs per
+    sub-shard in an Arrow-batched kernel; memory per task is bounded by
+    the sub-shard, parallelism by shards × sub-shards. Deterministic:
+    docs sort by (tokens desc, id asc), ties to the lowest bin id.
+
+    Emits (shard, sub_shard, doc_id, n_tokens, bin_id, overflow).
+    """
+    if max_len <= 0:
+        raise ValueError("max_len must be positive")
+    import pandas as pd
+
+    tc = token_count(F.col(text_col))
+    w = Window.partitionBy(partition_col).orderBy(id_col)
+    src = docs.select(
+        F.col(partition_col).alias("shard"),
+        F.col(id_col),
+        tc.alias("n_tokens"),
+        F.floor((F.row_number().over(w) - 1) / sub_shard_docs).alias(
+            "sub_shard"
+        ),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        fills: list[int] = []
+        bin_ids, overflow = [], []
+        for t in zip(pdf["n_tokens"]):
+            t = int(t[0])
+            if t > max_len:
+                bin_ids.append(len(fills))
+                fills.append(t)
+                overflow.append(True)
+                continue
+            best, best_fill = -1, -1
+            for bi, f in enumerate(fills):
+                if f + t <= max_len and f > best_fill:
+                    best, best_fill = bi, f
+            if best < 0:
+                best = len(fills)
+                fills.append(0)
+            fills[best] += t
+            bin_ids.append(best)
+            overflow.append(False)
+        pdf["bin_id"] = pd.Series(bin_ids, dtype="int64")
+        pdf["overflow"] = overflow
+        return pdf
+
+    return src.groupBy("shard", "sub_shard").applyInPandas(
+        pack,
+        "shard string, doc_id bigint, n_tokens bigint, sub_shard bigint, "
+        "bin_id bigint, overflow boolean",
+    )

@@ -899,6 +899,50 @@ def llm_bloom_decontamination(spark, sf_dir):
 
 
 @query(
+    "llm_bfd_packing",
+    # SQL-derivable facts (docs + token totals per shard) plus the
+    # capacity invariant the packer must uphold
+    oracle=f"""
+    SELECT source AS shard, COUNT(*) AS n_docs,
+           SUM(LEN({_TOKS})) AS total_tokens,
+           TRUE AS bins_ok
+    FROM documents GROUP BY source
+    """,
+)
+def llm_bfd_packing(spark, sf_dir):
+    """Best-fit-decreasing no-split sequence packing (each doc whole in
+    one bin — no cross-document attention contamination): per-shard
+    totals must match the corpus exactly (every doc packed once, token
+    mass preserved) and every bin must respect capacity except flagged
+    singleton overflows."""
+    from flink_psl_spark.llm.chunking import pack_sequences_bfd
+
+    t = tables(spark, sf_dir)
+    out = pack_sequences_bfd(t["documents"], max_len=128)
+    bins = out.groupBy("shard", "sub_shard", "bin_id").agg(
+        F.sum("n_tokens").alias("fill"),
+        F.max(F.col("overflow").cast("int")).alias("ov"),
+    )
+    bins_ok = bins.groupBy("shard").agg(
+        F.min(
+            ((F.col("fill") <= 128) | (F.col("ov") == 1)).cast("int")
+        ).alias("__ok")
+    )
+    return (
+        out.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .join(bins_ok, "shard")
+        .select(
+            "shard", "n_docs", "total_tokens",
+            (F.col("__ok") == 1).alias("bins_ok"),
+        )
+    )
+
+
+@query(
     "llm_heavy_hitter_ngrams",
     # exact-semantics oracle: CMS errors are one-sided (estimate >= true),
     # so the sketch prefilter + exact verify equals the plain HAVING

@@ -896,3 +896,38 @@ def test_video_clip_dedup_jaccard(spark, t):
     }
     assert got == expect
     assert 6666 not in got and 4 in got  # near-dup clip dropped, original kept
+
+
+def test_pack_sequences_bfd_invariants(spark, t):
+    """BFD packing: every doc exactly once, no bin over capacity (except
+    flagged singleton overflows), deterministic across runs, and at
+    least as dense as one-doc-per-bin."""
+    from flink_psl_spark.llm.chunking import pack_sequences_bfd
+
+    docs = t["documents"].where(F.col("doc_id") < 120)
+    out = pack_sequences_bfd(docs, max_len=64).collect()
+    assert len(out) == docs.count()
+    fills: dict = {}
+    for r in out:
+        key = (r["shard"], r["sub_shard"], r["bin_id"])
+        fills.setdefault(key, [0, False])
+        fills[key][0] += r["n_tokens"]
+        fills[key][1] |= r["overflow"]
+        if r["overflow"]:
+            assert r["n_tokens"] > 64
+    for (fill, has_overflow) in fills.values():
+        assert has_overflow or fill <= 64
+    n_docs_over = sum(1 for r in out if r["overflow"])
+    n_bins = len(fills)
+    assert n_bins < len(out) or n_docs_over == len(out)  # denser than 1/bin
+    again = pack_sequences_bfd(docs, max_len=64).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+    # overflow singleton: a doc longer than max_len sits alone, flagged
+    big = spark.createDataFrame(
+        [("s", 1, " ".join(["w"] * 100)), ("s", 2, "a b")],
+        "source string, doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in pack_sequences_bfd(big, max_len=10).collect()}
+    assert rows[1]["overflow"] and not rows[2]["overflow"]
+    assert rows[1]["bin_id"] != rows[2]["bin_id"]
