@@ -116,7 +116,7 @@ def pack_sequences_bfd(
     text_col: str = "text",
     max_len: int = 512,
     partition_col: str = "source",
-    sub_shard_docs: int = 10_000,
+    n_sub_shards: int = 64,
 ) -> DataFrame:
     """No-split sequence packing by best-fit-decreasing bin packing: each
     document lands WHOLE in exactly one bin of capacity ``max_len``
@@ -126,12 +126,14 @@ def pack_sequences_bfd(
     overflow bin, flagged.
 
     Scale shape: packing is inherently sequential within a bin set, so
-    each shard splits into deterministic sub-shards of at most
-    ``sub_shard_docs`` documents (row-number in id order — the same
-    hard-cap trick as semantic dedup's sub-buckets) and BFD runs per
-    sub-shard in an Arrow-batched kernel; memory per task is bounded by
-    the sub-shard, parallelism by shards × sub-shards. Deterministic:
-    docs sort by (tokens desc, id asc), ties to the lowest bin id.
+    each shard splits into ``n_sub_shards`` deterministic HASH sub-shards
+    (xxhash64 of the id — no per-shard global sort, no window; a
+    row-number split would serialize a giant shard through one task's
+    sort) and BFD runs per sub-shard in an Arrow-batched kernel; memory
+    per task is shard_size/n_sub_shards in expectation, parallelism is
+    shards × sub-shards. Size ``n_sub_shards`` so that quotient fits an
+    executor. Deterministic: docs sort by (tokens desc, id asc) inside
+    the kernel, ties to the lowest bin id.
 
     Emits (shard, sub_shard, doc_id, n_tokens, bin_id, overflow).
     """
@@ -140,12 +142,11 @@ def pack_sequences_bfd(
     import pandas as pd
 
     tc = token_count(F.col(text_col))
-    w = Window.partitionBy(partition_col).orderBy(id_col)
     src = docs.select(
         F.col(partition_col).alias("shard"),
         F.col(id_col),
         tc.alias("n_tokens"),
-        F.floor((F.row_number().over(w) - 1) / sub_shard_docs).alias(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_sub_shards)).alias(
             "sub_shard"
         ),
     )

@@ -905,7 +905,10 @@ def test_pack_sequences_bfd_invariants(spark, t):
     from flink_psl_spark.llm.chunking import pack_sequences_bfd
 
     docs = t["documents"].where(F.col("doc_id") < 120)
-    out = pack_sequences_bfd(docs, max_len=64).collect()
+    # n_sub_shards=1 so each shard packs as one bin set (the density
+    # assertion below needs real packing; the default 64 spreads this
+    # tiny fixture too thin to co-pack anything)
+    out = pack_sequences_bfd(docs, max_len=64, n_sub_shards=1).collect()
     assert len(out) == docs.count()
     fills: dict = {}
     for r in out:
@@ -920,7 +923,7 @@ def test_pack_sequences_bfd_invariants(spark, t):
     n_docs_over = sum(1 for r in out if r["overflow"])
     n_bins = len(fills)
     assert n_bins < len(out) or n_docs_over == len(out)  # denser than 1/bin
-    again = pack_sequences_bfd(docs, max_len=64).collect()
+    again = pack_sequences_bfd(docs, max_len=64, n_sub_shards=1).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
 
     # overflow singleton: a doc longer than max_len sits alone, flagged
@@ -928,6 +931,9 @@ def test_pack_sequences_bfd_invariants(spark, t):
         [("s", 1, " ".join(["w"] * 100)), ("s", 2, "a b")],
         "source string, doc_id bigint, text string",
     )
-    rows = {r["doc_id"]: r for r in pack_sequences_bfd(big, max_len=10).collect()}
+    rows = {
+        r["doc_id"]: r
+        for r in pack_sequences_bfd(big, max_len=10, n_sub_shards=1).collect()
+    }
     assert rows[1]["overflow"] and not rows[2]["overflow"]
     assert rows[1]["bin_id"] != rows[2]["bin_id"]
