@@ -460,6 +460,14 @@ def bloom_contamination(
     equal to the exact check while the expensive path touches only
     ~(contamination rate + fpp) of the corpus.
 
+    Operating envelope: the driver-side build collects the benchmark's
+    distinct gram HASHES (8 bytes each) and the broadcast filter is
+    ~1.2 bytes/gram at fpp=1% — comfortable through ~10^8 benchmark
+    grams (≈1 GB collect + ~120 MB filter). Beyond that the eval set is
+    no longer "small by contract"; fall back to
+    :func:`benchmark_contamination`'s exact broadcast join or partition
+    the benchmark and union the per-partition results.
+
     Returns (id_col, n_hits, contaminated), exactly as
     benchmark_contamination.
     """
