@@ -86,4 +86,5 @@ from flink_psl_spark.llm.repetition import (  # noqa: F401
 from flink_psl_spark.llm.chunking import (  # noqa: F401
     chunk_documents,
     pack_sequences,
+    pack_sequences_bfd,
 )

@@ -471,12 +471,29 @@ def bloom_contamination(
     Returns (id_col, n_hits, contaminated), exactly as
     benchmark_contamination.
     """
+    return make_bloom_checker(
+        benchmark, n=n, text_col=text_col, fpp=fpp
+    )(docs, id_col=id_col)
+
+
+def make_bloom_checker(
+    benchmark,
+    *,
+    n: int = 8,
+    text_col: str = "text",
+    fpp: float = 0.01,
+):
+    """Factory form of :func:`bloom_contamination`: builds the Bloom
+    filter from the benchmark ONCE and returns ``check(docs, id_col)``,
+    so a streaming pipeline can run the two-tier check per micro-batch
+    without re-collecting the benchmark each trigger."""
     import numpy as np
     import pandas as pd
 
     bench_grams = (
         benchmark.select(F.explode(ngrams(F.col(text_col), n)).alias("gram"))
         .distinct()
+        .localCheckpoint(eager=True)  # built once; reused every check
     )
     bhashes = [
         r["h"] for r in bench_grams.select(F.xxhash64("gram").alias("h")).collect()
@@ -506,33 +523,36 @@ def bloom_contamination(
 
     _probe = F.pandas_udf(_probe_kernel, "boolean")
 
-    probed = docs.select(
-        id_col,
-        _probe(
-            F.transform(ngrams(F.col(text_col), n), lambda g: F.xxhash64(g))
-        ).alias("__cand"),
-    )
-    # both candidate ids and per-doc hits are small by construction
-    # (contamination rate + fpp of the corpus) — broadcast them rather
-    # than trusting size estimation, so the corpus never shuffles
-    cand_ids = probed.where("__cand").select(id_col)
-    g = docs.join(F.broadcast(cand_ids), id_col).select(
-        id_col, F.explode(ngrams(F.col(text_col), n)).alias("gram")
-    )
-    hits = (
-        g.join(F.broadcast(bench_grams), "gram")
-        .groupBy(id_col)
-        .agg(F.count_distinct("gram").alias("n_hits"))
-    )
-    return (
-        docs.select(id_col)
-        .join(F.broadcast(hits), id_col, "left")
-        .select(
+    def check(docs, *, id_col: str = "doc_id"):
+        probed = docs.select(
             id_col,
-            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+            _probe(
+                F.transform(ngrams(F.col(text_col), n), lambda g: F.xxhash64(g))
+            ).alias("__cand"),
         )
-    )
+        # both candidate ids and per-doc hits are small by construction
+        # (contamination rate + fpp of the corpus) — broadcast them rather
+        # than trusting size estimation, so the corpus never shuffles
+        cand_ids = probed.where("__cand").select(id_col)
+        g = docs.join(F.broadcast(cand_ids), id_col).select(
+            id_col, F.explode(ngrams(F.col(text_col), n)).alias("gram")
+        )
+        hits = (
+            g.join(F.broadcast(bench_grams), "gram")
+            .groupBy(id_col)
+            .agg(F.count_distinct("gram").alias("n_hits"))
+        )
+        return (
+            docs.select(id_col)
+            .join(F.broadcast(hits), id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+            )
+        )
+
+    return check
 
 
 def cms_heavy_hitters(

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from flink_psl_spark.queries.registry import query
+from flink_psl_spark.queries.registry import query, tables
 from flink_psl_spark.streaming import (
     run_to_memory_table,
     stream_from_parquet,
@@ -1194,4 +1194,78 @@ def stream_timer_session_agg(spark, sf_dir):
     )
     return run_to_memory_table(out, output_mode="append").withColumn(
         "total", F.round("total", 2)
+    )
+
+
+@query(
+    "stream_bloom_decontaminate_ingest",
+    # the two-tier Bloom check is per-document (no cross-doc state), so
+    # micro-batch partitioning cannot change any flag — the batch-exact
+    # contamination restatement is an exact oracle for the streamed run
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             CASE WHEN TRIM(text) = '' THEN []::VARCHAR[]
+                  ELSE STRING_SPLIT_REGEX(TRIM(text), '\\s+') END AS w
+      FROM documents),
+    g AS (
+      SELECT doc_id, ARRAY_TO_STRING(w[i:i+4], ' ') AS gram
+      FROM d, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(w) - 4, 0))) AS t(i)),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0),
+    hits AS (
+      SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_hits
+      FROM g JOIN bench USING (gram)
+      WHERE g.doc_id % 7 <> 0
+      GROUP BY g.doc_id)
+    SELECT d.source, COALESCE(h.n_hits, 0) > 0 AS contaminated,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 7 <> 0
+    GROUP BY 1, 2
+    """,
+)
+def stream_bloom_decontaminate_ingest(spark, sf_dir):
+    """STREAMING decontamination ingest: the corpus replayed as a
+    micro-batched stream, each batch passed through the two-tier Bloom
+    check (filter built ONCE from the static benchmark via
+    make_bloom_checker — no per-trigger benchmark collect) and appended
+    to the quarantine report; per-(source, flag) counts after drain.
+    Per-doc semantics ⇒ arrival order and batch boundaries cannot
+    change any flag, so the batch restatement is an exact oracle."""
+    import tempfile
+
+    from flink_psl_spark.llm.text import make_bloom_checker
+    from flink_psl_spark.streaming import stream_from_parquet
+
+    t = tables(spark, sf_dir)
+    bench = t["documents"].where(F.col("doc_id") % 7 == 0)
+    check = make_bloom_checker(bench, n=5, fpp=0.01)
+
+    stream = stream_from_parquet(spark, f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") % 7 != 0
+    )
+    acc_dir = tempfile.mkdtemp(prefix="fps_bloom_ingest_")
+
+    def handle(batch, batch_id):
+        out = check(batch, id_col="doc_id")
+        (
+            out.join(batch.select("doc_id", "source"), "doc_id")
+            .write.mode("append")
+            .parquet(f"{acc_dir}/out")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="fps_bloom_ingest_ck_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    return (
+        spark.read.parquet(f"{acc_dir}/out")
+        .groupBy("source", "contaminated")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
     )
