@@ -25,3 +25,4 @@ from flink_psl_spark.operators.changelog import (  # noqa: F401
     drop_update_before,
     to_changelog,
 )
+from flink_psl_spark.operators.skew import salted_agg, salted_join  # noqa: F401

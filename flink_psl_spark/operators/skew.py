@@ -90,3 +90,77 @@ def salted_agg(
         )
         out_df = cnt if out_df is None else out_df.join(cnt, key_list)
     return out_df
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    *,
+    n_salts: int = 16,
+    hot_keys: DataFrame | None = None,
+    salt_source: str | Column | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join by selective key salting — the manual fix for
+    hot join keys where AQE's runtime skew split can't apply (stream-
+    static joins, or when one key dwarfs even a split partition).
+
+    Mechanics: rows of ``big`` whose key is hot get a deterministic salt
+    in [0, n_salts) (xxhash64 of ``salt_source``, default the key's row
+    content via all columns — any high-cardinality column works); cold
+    rows keep salt 0. ``small`` replicates ONLY its hot-key rows
+    n_salts× (cold rows once), and the join keys on (key, salt) — the
+    hot key's probe rows spread over n_salts reducers instead of one.
+
+    ``hot_keys``: one-column DataFrame of hot key values — pair with
+    :func:`flink_psl_spark.llm.text.heavy_keys`, which finds them
+    without a full-cardinality key exchange. None ⇒ salt every key
+    (uniform n_salts× replication of ``small``).
+
+    Supports how='inner'/'left'. Result equals ``big.join(small, on,
+    how)`` exactly (salting is a pure partitioning rewrite).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner' or 'left'")
+    src = (
+        F.col(salt_source)
+        if isinstance(salt_source, str)
+        else salt_source
+        if salt_source is not None
+        else F.struct(*[F.col(c) for c in big.columns])
+    )
+    # coalesce: a NULL salt_source must still join (salt 0), not drop rows
+    salt_expr = F.coalesce(
+        F.pmod(F.xxhash64(src), F.lit(n_salts)).cast("int"), F.lit(0)
+    )
+    salts = F.sequence(F.lit(0), F.lit(n_salts - 1))
+
+    if hot_keys is None:
+        b = big.withColumn("__salt", salt_expr)
+        s = small.withColumn("__salt", F.explode(salts))
+    else:
+        hot = F.broadcast(
+            hot_keys.toDF(on).select(on).distinct().withColumn(
+                "__hot", F.lit(True)
+            )
+        )
+        b = (
+            big.join(hot, on, "left")
+            .withColumn(
+                "__salt",
+                F.when(F.col("__hot"), salt_expr).otherwise(F.lit(0)),
+            )
+            .drop("__hot")
+        )
+        s = (
+            small.join(hot, on, "left")
+            .withColumn(
+                "__salt",
+                F.explode(
+                    F.when(F.col("__hot"), salts).otherwise(F.array(F.lit(0)))
+                ),
+            )
+            .drop("__hot")
+        )
+    return b.join(s, [on, "__salt"], how).drop("__salt")

@@ -1111,3 +1111,37 @@ def table_profile_report(spark, sf_dir):
         t["orders"],
         ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
     )
+
+
+@query(
+    "salted_join_skew",
+    # salting is a pure partitioning rewrite — the plain equi-join is an
+    # exact oracle (hot keys from the CMS diagnosis get n_salts-way
+    # spread, cold keys pay nothing)
+    oracle="""
+    SELECT e.user_id, e.event_id, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.user_id < 120
+    """,
+)
+def salted_join_skew(spark, sf_dir):
+    """Selective salted skew join: hot keys (found by heavy_keys — the
+    CMS diagnosis, no full-cardinality exchange) spread over n_salts
+    reducers, the small side replicates ONLY its hot rows; result is
+    exactly the plain join."""
+    from flink_psl_spark.llm.text import heavy_keys
+    from flink_psl_spark.operators.skew import salted_join
+
+    t = tables(spark, sf_dir)
+    ev = t["events"].where(F.col("user_id") < 120).select(
+        "user_id", "event_id"
+    )
+    cust = t["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    hot = heavy_keys(ev, "user_id", threshold=70).select(
+        F.col("user_id").cast("bigint").alias("user_id")
+    )
+    return salted_join(
+        ev, cust, "user_id", n_salts=8, hot_keys=hot, salt_source="event_id"
+    ).select("user_id", "event_id", "c_mktsegment")

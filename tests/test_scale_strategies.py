@@ -331,3 +331,50 @@ def test_cms_build_exchange_is_sketch_bounded(spark, t):
 
     out = cms_heavy_hitters(docs, n=2, threshold=10)
     assert out.count() > 0  # and it still returns exact results
+
+
+def test_salted_join_matches_plain(spark, t):
+    """salted_join is a pure partitioning rewrite: inner and left results
+    equal the plain join in every mode (uniform salting, selective hot
+    keys, NULL salt source), and the small side replicates only its hot
+    rows in selective mode."""
+    from flink_psl_spark.operators.skew import salted_join
+
+    ev = t["events"].select("user_id", "event_id")
+    cust = t["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    plain_inner = sorted(map(tuple, ev.join(cust, "user_id").collect()))
+    plain_left = sorted(map(tuple, ev.join(cust, "user_id", "left").collect()))
+    hot = ev.groupBy("user_id").count().where("count >= 70").select("user_id")
+    for hk in (None, hot):
+        got = sorted(
+            map(
+                tuple,
+                salted_join(
+                    ev, cust, "user_id", n_salts=8, hot_keys=hk,
+                    salt_source="event_id",
+                ).collect(),
+            )
+        )
+        assert got == plain_inner
+    got_left = sorted(
+        map(
+            tuple,
+            salted_join(
+                ev, cust, "user_id", n_salts=8, hot_keys=hot,
+                salt_source="event_id", how="left",
+            ).collect(),
+        )
+    )
+    assert got_left == plain_left
+    # NULL salt source must not drop rows
+    ev_null = ev.withColumn("nullc", F.lit(None).cast("long"))
+    got_null = salted_join(
+        ev_null, cust, "user_id", n_salts=8, salt_source="nullc"
+    ).count()
+    assert got_null == len(plain_inner)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inner' or 'left"):
+        salted_join(ev, cust, "user_id", how="full")
