@@ -62,7 +62,24 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     corpus = t["documents"].where(F.col("doc_id") % 7 != 0)
     bloom_contamination(corpus, bench, n=5).where("contaminated").show(3)
 
-    # 6. compressed ANN: PQ codes (m bytes/vector) + ADC scoring + exact
+    # 6. skew workflow: diagnose hot keys with the CMS sketch (no
+    # full-cardinality exchange), then spread exactly those keys in the
+    # join — cold keys pay nothing
+    from flink_psl_spark.llm import heavy_keys
+    from flink_psl_spark.operators import salted_join
+
+    ev = t["events"].select("user_id", "event_id")
+    hot = heavy_keys(ev, "user_id", threshold=50).select(
+        F.col("user_id").cast("bigint").alias("user_id")
+    )
+    cust = t["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    print("salted join rows:",
+          salted_join(ev, cust, "user_id", hot_keys=hot,
+                      salt_source="event_id").count())
+
+    # 7. compressed ANN: PQ codes (m bytes/vector) + ADC scoring + exact
     # re-rank — the stored-index path for 100 TB embedding tables
     from flink_psl_spark.llm import pq_cosine_topk
 
