@@ -693,3 +693,48 @@ def test_bloom_kernel_no_false_negatives(items, probes, fpp):
     if fpp == 0.01 and len(outsiders) >= 50:
         fp = _bloom_member(bits, m, k, outsiders).sum()
         assert fp / len(outsiders) < 0.5
+
+
+# ---------------------------------------------------------------------------
+# BFD packing vs pure-python model
+# ---------------------------------------------------------------------------
+
+
+def _bfd_model(docs, max_len):
+    """(id, tokens) -> {id: bin}, best-fit-decreasing, ties to lowest bin."""
+    fills = []
+    out = {}
+    for did, t in sorted(docs, key=lambda x: (-x[1], x[0])):
+        if t > max_len:
+            out[did] = len(fills)
+            fills.append(t)
+            continue
+        best, best_fill = -1, -1
+        for bi, f in enumerate(fills):
+            if f + t <= max_len and f > best_fill:
+                best, best_fill = bi, f
+        if best < 0:
+            best = len(fills)
+            fills.append(0)
+        fills[best] += t
+        out[did] = best
+    return out
+
+
+@settings(**_SETTINGS)
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=25),
+    max_len=st.integers(min_value=5, max_value=40),
+)
+def test_bfd_packing_matches_python_model(spark, sizes, max_len):
+    """Spark BFD packing (one shard, one sub-shard) must assign exactly
+    the bins of the sequential python model."""
+    from flink_psl_spark.llm.chunking import pack_sequences_bfd
+
+    rows = [("s", i, " ".join(["w"] * n)) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "source string, doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r["bin_id"]
+        for r in pack_sequences_bfd(df, max_len=max_len, n_sub_shards=1).collect()
+    }
+    assert got == _bfd_model(list(enumerate(sizes)), max_len)
