@@ -137,26 +137,36 @@ def async_lookup_with_retry(
     )
 
 
-def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    *,
+    exact_distinct: bool = False,
+) -> DataFrame:
     """Column profile report — the data-quality pass a pipeline runs
     before training on a new table: per column (rows, nulls, distincts,
     min, max) in ONE corpus scan.
 
-    All statistics compute in a single wide aggregation (one map-side
-    partial agg + one exchange of a single row per partition — the scan
-    dominates at 100 TB). min/max/distinct are computed on the column's
-    native type, then min/max render as canonical strings so the report
-    schema is column-type-independent (long format: one row per column).
+    With the default ``exact_distinct=False``, distincts use HLL
+    (approx_count_distinct): every statistic partial-aggregates
+    map-side, the exchange is one sketch row per partition, and the scan
+    dominates at 100 TB. ``exact_distinct=True`` swaps in exact
+    count_distinct — Catalyst's multi-distinct planning then Expands the
+    input (the exchange carries ~rows × profiled-columns rows), which is
+    the right trade only when exact cardinalities matter and the table
+    is modest. min/max render as canonical strings so the long-format
+    report schema is column-type-independent.
     """
     from pyspark.sql import functions as F
 
+    nd = F.count_distinct if exact_distinct else F.approx_count_distinct
     cols = columns or df.columns
     aggs = []
     for c in cols:
         aggs += [
             F.count(F.lit(1)).alias(f"__n_{c}"),
             F.count(c).alias(f"__nn_{c}"),
-            F.count_distinct(c).alias(f"__nd_{c}"),
+            nd(c).alias(f"__nd_{c}"),
             F.min(c).cast("string").alias(f"__mn_{c}"),
             F.max(c).cast("string").alias(f"__mx_{c}"),
         ]

@@ -1107,9 +1107,12 @@ def table_profile_report(spark, sf_dir):
     from flink_psl_spark.operators.misc import profile_table
 
     t = tables(spark, sf_dir)
+    # exact distincts so the DuckDB oracle matches bit-for-bit (the
+    # scale default is the HLL sketch — one sketch row per partition)
     return profile_table(
         t["orders"],
         ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+        exact_distinct=True,
     )
 
 

@@ -365,3 +365,24 @@ def test_profile_table_nulls_and_subset(spark, t):
     assert rows["all_null"]["min_value"] is None
     only_k = profile_table(df, ["k"]).collect()
     assert len(only_k) == 1 and only_k[0]["column"] == "k"
+
+
+def test_profile_table_default_plan_has_no_expand(spark, t):
+    """The default (HLL-distinct) profile must partial-aggregate map-side:
+    no Expand node, exactly one single-partition exchange after the scan —
+    the property that keeps the exchange a sketch row per partition at
+    100 TB. The exact mode may Expand (documented trade)."""
+    from flink_psl_spark.operators.misc import profile_table
+
+    approx_plan = (
+        profile_table(t["orders"], ["o_orderkey", "o_orderstatus"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" not in approx_plan
+    exact_plan = (
+        profile_table(
+            t["orders"], ["o_orderkey", "o_orderstatus"], exact_distinct=True
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" in exact_plan  # the cost the docstring documents
