@@ -102,17 +102,22 @@ def llm_minhash_dedup(spark, sf_dir):
 @query("llm_simhash_dedup", oracle=_NEARDUP_SURVIVORS_SQL)
 def llm_simhash_dedup(spark, sf_dir):
     """SimHash near-dup dedup as candidates + exact verify: 64-bit
-    fingerprint, Hamming ≤ 10 block-permutation candidate join (recall-1
-    budget on this corpus: dup pairs measure ≤ 10, nearest non-dups ≥ 12),
-    then exact 3-shingle Jaccard ≥ 0.8 verification — same sketch-for-
+    fingerprint, Hamming ≤ 13 block-permutation candidate join, then
+    exact 3-shingle Jaccard ≥ 0.8 verification — same sketch-for-
     candidates / exact-for-output shape as minhash_dedup, so the same
-    all-pairs oracle applies. The tight production setting (Hamming ≤ 3,
-    no verify) is exercised in tests/test_llm.py."""
+    all-pairs oracle applies WHEN the Hamming budget captures every true
+    pair. The budget is empirical: true dup pairs measure ≤ 10 at
+    sf0.001/sf0.01 and ≤ 13 at sf0.1 (a 13-Hamming true pair at sf0.1
+    caught the old 10 budget — simhash LSH recall is probabilistic in
+    Jaccard, which is why minhash_dedup is the primary Jaccard path);
+    13 ⇒ 14 four-bit blocks, still one equi-join shuffle. The tight
+    production setting (Hamming ≤ 3, no verify) is exercised in
+    tests/test_llm.py."""
     from flink_psl_spark.llm import simhash_dedup
 
     t = tables(spark, sf_dir)
     return simhash_dedup(
-        t["documents"], max_hamming=10, verify_threshold=0.8
+        t["documents"], max_hamming=13, verify_threshold=0.8
     ).select("doc_id", "lang", "source")
 
 
@@ -398,12 +403,15 @@ def llm_ivf_ann_topk(spark, sf_dir):
     """IVF approximate nearest neighbors: hash-sampled centroids, map-side
     cell assignment, n_probe-cell scan (the second ANN scale path).
     Oracle-able invariant: every query recovers ≥ 2/5 of its exact top-5
-    (measured ≥ 3/5 at sf0.001 and sf0.01 with probe 10/16)."""
+    (measured ≥ 3/5 at sf0.001, sf0.01 AND sf0.1 with probe 20/32 — the
+    old probe-10/16 point recalled 0/5 for one sf0.1 query: this
+    fixture's embeddings are near-random, so cell boundaries carry
+    little signal and the probe fraction must stay generous)."""
     from flink_psl_spark.llm.similarity import ivf_cosine_topk
 
     return _ann_recall_check(
         spark, sf_dir,
-        lambda emb, q: ivf_cosine_topk(emb, q, k=5, n_centroids=16, n_probe=10),
+        lambda emb, q: ivf_cosine_topk(emb, q, k=5, n_centroids=32, n_probe=20),
         min_hits=2,
     )
 
