@@ -440,3 +440,46 @@ def importance_resample(
             "rank",
         )
     )
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict,
+    *,
+    key_cols: list[str] | None = None,
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test splitting by hash ranges: each row's
+    md5 bucket lands in one of the cumulative-weight intervals, so the
+    assignment is (a) reproducible across runs/engines, (b) stable under
+    corpus growth (an existing row never changes split when new rows
+    arrive — the property randomSplit lacks), and (c) disjoint and
+    exhaustive by construction. Expression-only; the standard
+    train/val/test discipline for pretraining corpora.
+
+    ``weights``: {'train': 0.9, 'val': 0.05, 'test': 0.05} — any names,
+    must sum to ~1. Returns the input plus ``split_col``.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    keys = key_cols or list(df.columns)
+    b = _bucket(keys, seed)
+    expr = None
+    cum = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        cum += w
+        bound = int(cum * _HASH_BUCKETS)
+        cond = b < F.lit(bound)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    last = F.lit(items[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)

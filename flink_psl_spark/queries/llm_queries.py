@@ -2488,3 +2488,36 @@ def llm_importance_resample(spark, sf_dir):
         n_buckets=256,
         k=100,
     )
+
+
+@query(
+    "llm_hash_split",
+    # per-ROW exact oracle: the split assignment is pure md5-bucket
+    # arithmetic, replayable in SQL (same bucket formula as the
+    # deterministic samplers)
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             CAST('0x' || SUBSTR(MD5(CONCAT_WS('|',
+                  CAST(doc_id AS VARCHAR), '42')), 1, 6) AS BIGINT) AS bkt
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN bkt < CAST(0.8 * 16777216 AS BIGINT) THEN 'train'
+                WHEN bkt < CAST(0.9 * 16777216 AS BIGINT) THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def llm_hash_split(spark, sf_dir):
+    """Deterministic train/val/test splitting by md5-bucket ranges:
+    reproducible across engines, stable under corpus growth (a row's
+    split never changes when new rows arrive — unlike randomSplit),
+    disjoint + exhaustive by construction. Expression-only."""
+    from flink_psl_spark.llm import hash_split
+
+    t = tables(spark, sf_dir)
+    return hash_split(
+        t["documents"],
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        key_cols=["doc_id"],
+    ).select("doc_id", "split")

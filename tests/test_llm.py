@@ -937,3 +937,38 @@ def test_pack_sequences_bfd_invariants(spark, t):
     }
     assert rows[1]["overflow"] and not rows[2]["overflow"]
     assert rows[1]["bin_id"] != rows[2]["bin_id"]
+
+
+def test_hash_split_properties(spark, t):
+    """hash_split: disjoint + exhaustive, roughly proportional, stable
+    under corpus growth (existing rows keep their split), and loud on
+    bad weights."""
+    from flink_psl_spark.llm import hash_split
+
+    docs = t["documents"]
+    out = hash_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, key_cols=["doc_id"]
+    )
+    assert out.count() == docs.count()  # exhaustive, one split per row
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    n = docs.count()
+    assert 0.7 < counts["train"] / n < 0.9
+    # growth stability: the split of doc_id < 100 is identical whether
+    # computed over the subset or the full corpus
+    sub = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            docs.where(F.col("doc_id") < 100),
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+            key_cols=["doc_id"],
+        ).collect()
+    }
+    full = {
+        r["doc_id"]: r["split"]
+        for r in out.where(F.col("doc_id") < 100).collect()
+    }
+    assert sub == full
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(docs, {"a": 0.5, "b": 0.2}, key_cols=["doc_id"])
+    with pytest.raises(ValueError, match="non-empty"):
+        hash_split(docs, {}, key_cols=["doc_id"])
