@@ -51,6 +51,7 @@ from flink_psl_spark.llm.similarity import (  # noqa: F401
 from flink_psl_spark.llm.sampling import (  # noqa: F401
     deterministic_sample,
     deterministic_shuffle,
+    diversity_sample,
     hash_split,
     distributed_ntile,
     importance_resample,

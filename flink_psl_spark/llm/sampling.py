@@ -483,3 +483,78 @@ def hash_split(
     last = F.lit(items[-1][0])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def diversity_sample(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int | None = None,
+    target_cluster_size: int = 512,
+    per_cluster: int = 1,
+) -> DataFrame:
+    """Cluster-balanced (coreset-style) sampling over an embedding
+    column: cover the embedding space instead of the ingestion
+    distribution. Uniform hash sampling keeps duplicated modes
+    duplicated; routing every vector to its nearest centroid and taking
+    a fixed quota per cluster caps each semantic mode's contribution —
+    the cluster-balanced selection step of the published data-pruning
+    recipes (SemDeDup's cluster sweep; "Beyond neural scaling laws"
+    prototypicality pruning), restated as a deterministic Spark plan.
+
+    Mechanics (deliberately identical to ``semantic_dedup``'s routing so
+    the two compose into one curation pass): centroids are the first
+    ``n_clusters`` rows in md5-hash order (engine-replayable, ingestion-
+    order-free); each vector max-cosine-routes to a centroid via a
+    map-side ``min_by (-sim, cid)`` partial aggregation (ties to the
+    lower centroid id; the exchange carries N rows, not N×K); within a
+    cluster the quota keeps the first ``per_cluster`` rows in
+    (md5-hash, id) order — an unbiased deterministic within-cluster
+    subsample.
+
+    Scale shape: one count job (scalar, only when ``n_clusters`` is
+    derived), one centroid broadcast (n_clusters × dim doubles), one
+    scan + partial agg for routing, one rank-then-filter keyed by
+    cluster (compiles to WindowGroupLimit — only ``per_cluster`` rows
+    per cluster survive the exchange). Returns the sampled rows with
+    every corpus column plus ``cluster_id``.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    from flink_psl_spark.llm.similarity import cosine
+
+    c = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        F.md5(F.col(id_col).cast("string")).alias("__h"),
+    )
+    if n_clusters is None:
+        n_rows = c.count()  # one scalar agg job — control-plane only
+        n_clusters = max(1, math.ceil(n_rows / target_cluster_size))
+    cents = (
+        c.orderBy("__h", "__id")
+        .limit(n_clusters)
+        .select(F.col("__id").alias("__cid"), F.col("__v").alias("__cv"))
+    )
+    scored = c.join(F.broadcast(cents)).select(
+        "__id", "__h", "__cid", cosine("__v", "__cv").alias("__sim")
+    )
+    routed = scored.groupBy("__id").agg(
+        F.min_by(
+            F.col("__cid"),
+            # type-agnostic argmax: min over (-sim, cid) = max sim,
+            # ties to the LOWER centroid id for ANY orderable id type
+            F.struct((-F.col("__sim")).alias("__negsim"), F.col("__cid")),
+        ).alias("cluster_id"),
+        F.first("__h").alias("__h"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy("__h", "__id")
+    picked = (
+        routed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= per_cluster)
+        .select(F.col("__id").alias(id_col), "cluster_id")
+    )
+    return corpus.join(picked, on=id_col)

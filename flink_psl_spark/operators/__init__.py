@@ -23,6 +23,19 @@ from flink_psl_spark.operators.changelog import (  # noqa: F401
     ROWKIND_COL,
     changelog_normalize,
     drop_update_before,
+    snapshot_diff,
     to_changelog,
 )
 from flink_psl_spark.operators.skew import salted_agg, salted_join  # noqa: F401
+from flink_psl_spark.operators.validation import (  # noqa: F401
+    foreign_key,
+    in_range,
+    in_set,
+    matches,
+    min_rows,
+    non_negative,
+    not_null,
+    satisfies,
+    unique,
+    validate_table,
+)

@@ -55,6 +55,79 @@ def changelog_normalize(
     return latest.where(F.col(op_col) != "D").drop(op_col)
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: str | list[str],
+    *,
+    compare_cols: list[str] | None = None,
+    op_col: str = ROWKIND_COL,
+) -> DataFrame:
+    """Keyed diff of two table snapshots → a changelog of I / U / D rows
+    — the batch complement of the CDC formats: where debezium/canal/ogg
+    DELIVER a changelog, ``snapshot_diff`` DERIVES one from two full
+    images (the standard bootstrap when a source system offers only
+    periodic dumps; the emitted ``__op`` rows feed the same
+    ``changelog_normalize`` / MERGE-upsert machinery, reference RowKind
+    semantics per flink-core/.../types/RowKind.java:25).
+
+    Classification per key (null-safe on both keys and values):
+
+    - key only in ``new``  → ``I`` (after-image)
+    - key only in ``old``  → ``D`` (before-image — the row being retired)
+    - key in both, any ``compare_cols`` value differs → ``U``
+      (after-image; update-before rows carry no information a keyed
+      upsert needs — see ``drop_update_before``)
+    - unchanged keys are not emitted.
+
+    ``compare_cols`` defaults to every shared non-key column. Scale
+    shape: ONE full-outer sort-merge join keyed by ``keys`` (both sides
+    shuffle once — the minimum for a cross-partition keyed comparison);
+    the value comparison is a null-safe struct equality evaluated in the
+    join's projection, so nothing materializes beyond the changed rows.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if compare_cols is None:
+        compare_cols = [
+            c for c in new.columns if c in set(old.columns) and c not in keys
+        ]
+    # presence markers, not key-null probes: a genuinely NULL key value
+    # still classifies correctly (eqNullSafe matches NULL==NULL)
+    o = old.select(*keys, *compare_cols).withColumn(
+        "__in_o", F.lit(True)
+    ).alias("__o")
+    n = new.select(*keys, *compare_cols).withColumn(
+        "__in_n", F.lit(True)
+    ).alias("__n")
+    cond = None
+    for k in keys:
+        eq = F.col(f"__o.{k}").eqNullSafe(F.col(f"__n.{k}"))
+        cond = eq if cond is None else cond & eq
+    joined = o.join(n, on=cond, how="full_outer")
+    in_old = F.col("__o.__in_o").isNotNull()
+    in_new = F.col("__n.__in_n").isNotNull()
+    changed = ~F.struct(
+        *[F.col(f"__o.{c}") for c in compare_cols]
+    ).eqNullSafe(F.struct(*[F.col(f"__n.{c}") for c in compare_cols]))
+    op = (
+        F.when(~in_old, F.lit("I"))
+        .when(~in_new, F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    side = lambda c: F.when(  # noqa: E731 — after-image, D keeps before
+        F.col(op_col) == "D", F.col(f"__o.{c}")
+    ).otherwise(F.col(f"__n.{c}"))
+    return (
+        joined.withColumn(op_col, op)
+        .where(F.col(op_col).isNotNull())
+        .select(
+            *[side(k).alias(k) for k in keys],
+            *[side(c).alias(c) for c in compare_cols],
+            op_col,
+        )
+    )
+
+
 def non_deterministic_expressions(df: DataFrame) -> list[str]:
     """All non-deterministic expressions in the frame's analyzed plan —
     the engine-level input to non-deterministic-update (NDU) analysis

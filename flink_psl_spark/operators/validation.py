@@ -1,0 +1,211 @@
+"""Declarative data-quality constraint validation (Deequ-style).
+
+The training-data pipelines this engine targets gate every new table
+drop behind a constraint suite — the operational counterpart of
+``profile_table`` (operators/misc.py): instead of describing the data,
+``validate_table`` checks it against declared expectations and emits a
+machine-readable pass/fail report. The check vocabulary follows the
+published Deequ/Great-Expectations core set (completeness, uniqueness,
+range, set membership, pattern, referential integrity, volume); the
+implementation is pure DataFrame aggregation so Catalyst plans it.
+
+Scale shape (the design constraint):
+
+- ALL row-level checks (not_null / in_range / in_set / matches /
+  non_negative) plus min_rows fold into ONE aggregation over ONE scan —
+  conditional sums partial-aggregate map-side, the exchange carries one
+  partial row per partition regardless of how many checks are declared.
+- Each ``unique`` check is a two-level aggregation keyed by the
+  candidate key — one shuffle, the same cost as any distinct-count, and
+  unavoidable: uniqueness is a cross-partition property.
+- Each ``foreign_key`` check is a left-anti join against the DISTINCT
+  referenced keys; the distinct side is broadcast when small (dimension
+  tables — the common case), else falls back to a shuffled anti join.
+
+The report is a DataFrame (no driver collect): one row per check with
+its violation count, unioned from the per-check aggregate branches.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    """One declared constraint. ``kind`` drives planning: 'row' checks
+    fold into the shared single-scan aggregate; 'unique' / 'fk' /
+    'min_rows' plan their own branch."""
+
+    kind: str
+    name: str
+    target: str
+    predicate: Column | None = None  # row kinds: TRUE == violation
+    columns: tuple[str, ...] = ()
+    ref: DataFrame | None = None
+    ref_col: str | None = None
+    min_count: int = 0
+    broadcast_ref: bool = field(default=True)
+
+
+def not_null(col: str) -> Check:
+    """Completeness: ``col`` has no NULLs."""
+    return Check("row", "not_null", col, predicate=F.col(col).isNull())
+
+
+def in_range(col: str, lo=None, hi=None) -> Check:
+    """Bounds (inclusive). NULLs are not range violations — declare
+    ``not_null`` separately; conflating them double-counts."""
+    cond = F.lit(False)
+    if lo is not None:
+        cond = cond | (F.col(col) < F.lit(lo))
+    if hi is not None:
+        cond = cond | (F.col(col) > F.lit(hi))
+    return Check("row", "in_range", col, predicate=cond & F.col(col).isNotNull())
+
+
+def in_set(col: str, values) -> Check:
+    """Set membership. NULLs are excluded (see in_range)."""
+    return Check(
+        "row", "in_set", col,
+        predicate=(~F.col(col).isin(list(values))) & F.col(col).isNotNull(),
+    )
+
+
+def matches(col: str, pattern: str) -> Check:
+    """Regex pattern (Java regex via ``rlike``, unanchored — anchor with
+    ^...$ in the pattern when full-match semantics are wanted)."""
+    return Check(
+        "row", "matches", col,
+        predicate=(~F.col(col).rlike(pattern)) & F.col(col).isNotNull(),
+    )
+
+
+def non_negative(col: str) -> Check:
+    """Sugar: in_range(col, lo=0)."""
+    c = in_range(col, lo=0)
+    return Check("row", "non_negative", col, predicate=c.predicate)
+
+
+def satisfies(name: str, violation: Column, target: str = "*") -> Check:
+    """Escape hatch: any boolean Column where TRUE marks a violation —
+    arbitrary cross-column business rules without leaving the
+    single-scan fold."""
+    return Check("row", name, target, predicate=violation)
+
+
+def unique(*cols: str) -> Check:
+    """Candidate-key uniqueness over ``cols``. Violations = number of
+    EXTRA rows (sum of count-1 over duplicated key groups), so a clean
+    table reports 0 and each duplicate row counts once."""
+    return Check("unique", "unique", ",".join(cols), columns=tuple(cols))
+
+
+def foreign_key(
+    col: str, ref: DataFrame, ref_col: str, *, broadcast_ref: bool = True
+) -> Check:
+    """Referential integrity: every non-NULL ``col`` value exists in
+    ``ref[ref_col]``. ``broadcast_ref=False`` for reference sides too
+    large to broadcast (the anti join then shuffles both sides)."""
+    return Check(
+        "fk", "foreign_key", f"{col}->{ref_col}",
+        columns=(col,), ref=ref, ref_col=ref_col, broadcast_ref=broadcast_ref,
+    )
+
+
+def min_rows(n: int) -> Check:
+    """Volume floor: the table has at least ``n`` rows. Violations =
+    the shortfall (max(0, n - count))."""
+    return Check("min_rows", "min_rows", "*", min_count=n)
+
+
+def validate_table(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Evaluate every check and return the report frame
+    ``(check, target, violations, passed)`` — one row per declared
+    check, ``passed = (violations == 0)``.
+
+    Row-level checks and min_rows share one scan (a single aggregate
+    with one conditional sum per check); unique and foreign_key checks
+    each add one keyed branch. Everything stays a DataFrame — callers
+    gate a pipeline with ``report.where(~F.col('passed'))`` or sink the
+    report; nothing collects on the driver.
+    """
+    row_checks = [c for c in checks if c.kind == "row"]
+    vol_checks = [c for c in checks if c.kind == "min_rows"]
+    branches: list[DataFrame] = []
+
+    if row_checks or vol_checks:
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for i, c in enumerate(row_checks):
+            aggs.append(
+                F.sum(F.when(c.predicate, 1).otherwise(0))
+                .cast("bigint").alias(f"__v_{i}")
+            )
+        wide = df.agg(*aggs)
+        entries = [
+            F.struct(
+                F.lit(c.name).alias("check"),
+                F.lit(c.target).alias("target"),
+                F.col(f"__v_{i}").alias("violations"),
+            )
+            for i, c in enumerate(row_checks)
+        ] + [
+            F.struct(
+                F.lit(c.name).alias("check"),
+                F.lit(c.target).alias("target"),
+                F.greatest(
+                    F.lit(0).cast("bigint"),
+                    F.lit(c.min_count).cast("bigint") - F.col("__n"),
+                ).alias("violations"),
+            )
+            for c in vol_checks
+        ]
+        branches.append(
+            wide.select(F.explode(F.array(*entries)).alias("r")).select("r.*")
+        )
+
+    for c in checks:
+        if c.kind == "unique":
+            dup_extra = (
+                df.groupBy(*c.columns)
+                .agg(F.count(F.lit(1)).alias("__cnt"))
+                .where(F.col("__cnt") > 1)
+                .agg(
+                    F.coalesce(F.sum(F.col("__cnt") - 1), F.lit(0))
+                    .cast("bigint").alias("violations")
+                )
+            )
+            branches.append(
+                dup_extra.select(
+                    F.lit(c.name).alias("check"),
+                    F.lit(c.target).alias("target"),
+                    "violations",
+                )
+            )
+        elif c.kind == "fk":
+            ref_keys = c.ref.select(
+                F.col(c.ref_col).alias(c.columns[0])
+            ).distinct()
+            if c.broadcast_ref:
+                ref_keys = F.broadcast(ref_keys)
+            dangling = (
+                df.select(*c.columns)
+                .where(F.col(c.columns[0]).isNotNull())
+                .join(ref_keys, on=list(c.columns), how="left_anti")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("violations"))
+            )
+            branches.append(
+                dangling.select(
+                    F.lit(c.name).alias("check"),
+                    F.lit(c.target).alias("target"),
+                    "violations",
+                )
+            )
+
+    report = branches[0]
+    for b in branches[1:]:
+        report = report.unionByName(b)
+    return report.withColumn("passed", F.col("violations") == 0)

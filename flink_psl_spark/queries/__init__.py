@@ -45,7 +45,8 @@ import flink_psl_spark.queries.datastream_queries  # noqa: F401, E402
 # llm_image_near_dedup, llm_heavy_hitter_ngrams, skew_key_report,
 # table_profile_report, llm_audio_fingerprint_dedup,
 # llm_video_clip_dedup, llm_bfd_packing,
-# stream_bloom_decontaminate_ingest, salted_join_skew, llm_hash_split
+# stream_bloom_decontaminate_ingest, salted_join_skew, llm_hash_split,
+# table_validation_report, snapshot_diff_changelog, llm_diversity_sample
 # (positions 51+) — so r7's
 # window leads with them,
 # the 10 r1 rows that didn't fit here (agg_multiset, agg_json,

@@ -2521,3 +2521,55 @@ def llm_hash_split(spark, sf_dir):
         {"train": 0.8, "val": 0.1, "test": 0.1},
         key_cols=["doc_id"],
     ).select("doc_id", "split")
+
+
+@query(
+    "llm_diversity_sample",
+    # exact replica of the cluster-balanced sampler: the same
+    # md5-hash-sampled centroids and max-cosine routing as semantic
+    # dedup (ties to lower centroid id), then the first 3 rows per
+    # cluster in (md5-hash, id) order
+    oracle="""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      MD5(CAST(vec_id AS VARCHAR)) AS h
+               FROM embeddings),
+    k AS (SELECT GREATEST(1, CAST(CEIL(COUNT(*) / 32.0) AS BIGINT)) AS n
+          FROM c),
+    cents AS (
+      SELECT vec_id AS cid, v AS cv
+      FROM (SELECT vec_id, v,
+                   ROW_NUMBER() OVER (ORDER BY h, vec_id) AS rn FROM c)
+      WHERE rn <= (SELECT n FROM k)),
+    routed AS (
+      SELECT vec_id, h, cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id
+               ORDER BY LIST_COSINE_SIMILARITY(v, cv) DESC, cid) AS rn
+      FROM c CROSS JOIN cents),
+    assigned AS (
+      SELECT vec_id, h, cid AS cluster_id FROM routed WHERE rn = 1),
+    picked AS (
+      SELECT vec_id, cluster_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY cluster_id ORDER BY h, vec_id) AS rn
+      FROM assigned)
+    SELECT e.vec_id, e.label, p.cluster_id
+    FROM embeddings e JOIN picked p USING (vec_id)
+    WHERE p.rn <= 3
+    """,
+)
+def llm_diversity_sample(spark, sf_dir):
+    """Cluster-balanced (coreset-style) diversity sampling: cover the
+    embedding space, not the ingestion distribution — a fixed quota of
+    3 rows per hash-seeded cluster caps each semantic mode's
+    contribution (the cluster-sweep selection of the published
+    data-pruning recipes). Routing is the same map-side min_by partial
+    agg as semantic dedup; the quota compiles to WindowGroupLimit."""
+    from flink_psl_spark.llm import diversity_sample
+
+    t = tables(spark, sf_dir)
+    return diversity_sample(
+        t["embeddings"].select("vec_id", "embedding", "label"),
+        target_cluster_size=32,
+        per_cluster=3,
+    ).select("vec_id", "label", "cluster_id")

@@ -1148,3 +1148,152 @@ def salted_join_skew(spark, sf_dir):
     return salted_join(
         ev, cust, "user_id", n_salts=8, hot_keys=hot, salt_source="event_id"
     ).select("user_id", "event_id", "c_mktsegment")
+
+
+@query(
+    "table_validation_report",
+    # one row per declared constraint; mixes passing and failing checks
+    # so both report states are exercised
+    oracle="""
+    WITH rpt AS (
+      SELECT 'not_null' AS chk, 'o_custkey' AS target,
+             CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS violations
+      FROM orders
+      UNION ALL
+      SELECT 'in_range', 'o_totalprice',
+             CAST(COALESCE(SUM(CASE WHEN o_totalprice IS NOT NULL
+                  AND (o_totalprice < 0 OR o_totalprice > 200000)
+                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'in_set', 'o_orderstatus',
+             CAST(COALESCE(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                  AND o_orderstatus NOT IN ('O', 'F')
+                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'matches', 'o_orderpriority',
+             CAST(COALESCE(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                  AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'pricey_pending', '*',
+             CAST(COALESCE(SUM(CASE WHEN o_totalprice > 400000
+                  AND o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'min_rows', '*',
+             CAST(GREATEST(0, 1000000000 - COUNT(*)) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'unique', 'o_orderkey',
+             CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT)
+      FROM (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey)
+      WHERE cnt > 1
+      UNION ALL
+      SELECT 'foreign_key', 'o_custkey->c_custkey',
+             CAST(COUNT(*) AS BIGINT)
+      FROM orders
+      WHERE o_custkey IS NOT NULL
+        AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+    )
+    SELECT chk AS "check", target, violations,
+           violations = 0 AS passed
+    FROM rpt
+    """,
+)
+def table_validation_report(spark, sf_dir):
+    """Deequ-style declarative constraint suite: all row-level checks +
+    the volume floor fold into ONE scan (one conditional sum each,
+    map-side partials); uniqueness adds one keyed two-level agg and the
+    FK check one broadcast anti join — the minimum shuffles those
+    cross-partition properties admit."""
+    from flink_psl_spark.operators.validation import (
+        foreign_key,
+        in_range,
+        in_set,
+        matches,
+        min_rows,
+        not_null,
+        satisfies,
+        unique,
+        validate_table,
+    )
+
+    t = tables(spark, sf_dir)
+    return validate_table(
+        t["orders"],
+        [
+            not_null("o_custkey"),
+            in_range("o_totalprice", 0, 200000),
+            in_set("o_orderstatus", ["O", "F"]),
+            matches("o_orderpriority", "^[1-5]-"),
+            satisfies(
+                "pricey_pending",
+                (F.col("o_totalprice") > 400000)
+                & (F.col("o_orderstatus") == "P"),
+            ),
+            min_rows(1_000_000_000),
+            unique("o_orderkey"),
+            foreign_key("o_custkey", t["customer"], "c_custkey"),
+        ],
+    )
+
+
+@query(
+    "snapshot_diff_changelog",
+    # the simulated next-day snapshot: keys %97==0 deleted, %101==0
+    # repriced (+1.0), %103==0 re-keyed +10M as inserts; the diff must
+    # emit exactly the I/U/D rows (after-image; before-image for D)
+    oracle="""
+    WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+    n AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM o WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+      FROM o WHERE o_orderkey % 103 = 0
+    ),
+    j AS (
+      SELECT o.o_orderkey AS ok, n.o_orderkey AS nk,
+             o.o_totalprice AS op, n.o_totalprice AS np,
+             o.o_orderstatus AS os, n.o_orderstatus AS ns
+      FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT COALESCE(nk, ok) AS o_orderkey,
+           CASE WHEN nk IS NULL THEN op ELSE np END AS o_totalprice,
+           CASE WHEN nk IS NULL THEN os ELSE ns END AS o_orderstatus,
+           CASE WHEN ok IS NULL THEN 'I'
+                WHEN nk IS NULL THEN 'D'
+                WHEN op IS DISTINCT FROM np
+                  OR os IS DISTINCT FROM ns THEN 'U' END AS __op
+    FROM j
+    WHERE ok IS NULL OR nk IS NULL
+       OR op IS DISTINCT FROM np OR os IS DISTINCT FROM ns
+    """,
+)
+def snapshot_diff_changelog(spark, sf_dir):
+    """Snapshot-to-changelog bootstrap: diff two full table images into
+    I/U/D rows (RowKind semantics) with ONE full-outer sort-merge join
+    on the key; unchanged keys never leave the join projection."""
+    from flink_psl_spark.operators.changelog import snapshot_diff
+
+    t = tables(spark, sf_dir)
+    old = t["orders"].select("o_orderkey", "o_totalprice", "o_orderstatus")
+    key = F.col("o_orderkey")
+    new = old.where(key % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            key % 101 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    inserts = old.where(key % 103 == 0).withColumn(
+        "o_orderkey", key + F.lit(10_000_000)
+    )
+    return snapshot_diff(
+        old, new.unionByName(inserts), "o_orderkey"
+    )

@@ -972,3 +972,52 @@ def test_hash_split_properties(spark, t):
         hash_split(docs, {"a": 0.5, "b": 0.2}, key_cols=["doc_id"])
     with pytest.raises(ValueError, match="non-empty"):
         hash_split(docs, {}, key_cols=["doc_id"])
+
+
+def test_diversity_sample_quota_and_determinism(spark, t):
+    """Cluster-balanced sampling: at most per_cluster rows per cluster,
+    every non-empty cluster is represented (quota=1 ⇒ exactly one row
+    per distinct routed cluster), selection is deterministic across
+    runs, and every emitted row carries its full corpus payload."""
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.llm import diversity_sample
+
+    emb = t["embeddings"].select("vec_id", "embedding", "label")
+    out = diversity_sample(
+        emb, target_cluster_size=32, per_cluster=3
+    ).select("vec_id", "label", "cluster_id")
+    per = out.groupBy("cluster_id").count().collect()
+    assert per and all(r["count"] <= 3 for r in per)
+    # quota=1 keeps exactly one representative per cluster
+    one = diversity_sample(emb, target_cluster_size=32, per_cluster=1)
+    ids = sorted(r["vec_id"] for r in one.select("vec_id").collect())
+    assert len(ids) == one.select("cluster_id").distinct().count()
+    # determinism: a rerun picks the identical rows
+    rerun = diversity_sample(emb, target_cluster_size=32, per_cluster=1)
+    assert sorted(r["vec_id"] for r in rerun.select("vec_id").collect()) == ids
+    # the sample is a subset of the corpus with payload intact
+    joined = one.join(
+        t["embeddings"].select("vec_id", F.col("label").alias("l2")),
+        on="vec_id",
+    )
+    assert joined.where(F.col("label") != F.col("l2")).count() == 0
+
+
+def test_diversity_sample_plan_is_group_limited(spark, t):
+    """The per-cluster quota must compile to WindowGroupLimit (only
+    per_cluster rows per cluster survive the exchange) and the centroid
+    join must be a broadcast — the two plan properties that make the
+    sampler a scan-dominated pass at 100 TB."""
+    from flink_psl_spark.llm import diversity_sample
+
+    plan = (
+        diversity_sample(
+            t["embeddings"].select("vec_id", "embedding", "label"),
+            target_cluster_size=32,
+            per_cluster=2,
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

@@ -386,3 +386,156 @@ def test_profile_table_default_plan_has_no_expand(spark, t):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Expand" in exact_plan  # the cost the docstring documents
+
+
+# ---------------------------------------------------------------------------
+# validate_table (Deequ-style constraint suite, operators/validation.py)
+# ---------------------------------------------------------------------------
+
+
+def test_validate_table_row_checks_and_volume(spark):
+    """Row-level checks fold into one scan; NULLs are completeness
+    violations only (range/set/regex exclude them); min_rows reports the
+    shortfall."""
+    from flink_psl_spark.operators import validation as V
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "O", "1-URGENT"),
+            (2, -5.0, "X", "9-BAD"),
+            (3, None, None, None),
+            (4, 250.0, "F", "5-LOW"),
+        ],
+        "k int, price double, status string, prio string",
+    )
+    rows = {
+        (r["check"], r["target"]): r
+        for r in V.validate_table(
+            df,
+            [
+                V.not_null("price"),
+                V.in_range("price", 0, 100),
+                V.in_set("status", ["O", "F"]),
+                V.matches("prio", "^[1-5]-"),
+                V.non_negative("price"),
+                V.satisfies(
+                    "cheap_open",
+                    (F.col("status") == "O") & (F.col("price") > 5),
+                ),
+                V.min_rows(10),
+            ],
+        ).collect()
+    }
+    assert rows[("not_null", "price")]["violations"] == 1
+    # -5 below, 250 above; the NULL price is NOT a range violation
+    assert rows[("in_range", "price")]["violations"] == 2
+    assert rows[("in_set", "status")]["violations"] == 1  # 'X'; NULL exempt
+    assert rows[("matches", "prio")]["violations"] == 1  # '9-BAD'
+    assert rows[("non_negative", "price")]["violations"] == 1
+    assert rows[("cheap_open", "*")]["violations"] == 1
+    assert rows[("min_rows", "*")]["violations"] == 6  # 10 - 4
+    assert not rows[("min_rows", "*")]["passed"]
+    assert rows[("not_null", "price")]["passed"] is False
+
+
+def test_validate_table_unique_and_fk(spark):
+    """unique counts EXTRA rows per duplicated key; foreign_key counts
+    dangling non-NULL references (NULL FKs are not violations)."""
+    from flink_psl_spark.operators import validation as V
+
+    df = spark.createDataFrame(
+        [(1, 100), (1, 100), (1, 200), (2, 300), (3, None), (4, 999)],
+        "k int, ref int",
+    )
+    ref = spark.createDataFrame([(100,), (200,), (300,)], "id int")
+    rows = {
+        r["check"]: r
+        for r in V.validate_table(
+            df,
+            [
+                V.unique("k"),          # k=1 ×3 → 2 extra rows
+                V.foreign_key("ref", ref, "id"),  # 999 dangles; NULL exempt
+            ],
+        ).collect()
+    }
+    assert rows["unique"]["violations"] == 2
+    assert rows["foreign_key"]["violations"] == 1
+    assert rows["foreign_key"]["target"] == "ref->id"
+
+
+def test_validate_table_single_scan_for_row_checks(spark, t):
+    """However many row checks are declared, the row-level branch is ONE
+    aggregate over ONE scan (count the scans in the plan)."""
+    from flink_psl_spark.operators import validation as V
+
+    report = V.validate_table(
+        t["orders"],
+        [
+            V.not_null("o_custkey"),
+            V.in_range("o_totalprice", 0, 100000),
+            V.in_set("o_orderstatus", ["O", "F", "P"]),
+            V.matches("o_orderpriority", "^[1-5]-"),
+            V.min_rows(1),
+        ],
+    )
+    plan = report._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") + plan.count("Scan parquet") <= 2
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff (operators/changelog.py — snapshot → I/U/D changelog)
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_classification(spark):
+    """I for new keys, D (before-image) for removed keys, U
+    (after-image) for changed values; unchanged keys are silent;
+    NULL→value and value→NULL transitions are updates (null-safe
+    compare)."""
+    from flink_psl_spark.operators.changelog import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)],
+        "k int, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (4, "D4", None), (5, "e", 50.0)],
+        "k int, s string, v double",
+    )
+    out = {r["k"]: r for r in snapshot_diff(old, new, "k").collect()}
+    assert set(out) == {2, 3, 4, 5}
+    assert out[5]["__op"] == "I" and out[5]["s"] == "e"
+    assert out[3]["__op"] == "D" and out[3]["s"] == "c"  # before-image
+    assert out[2]["__op"] == "U" and out[2]["v"] == 20.0  # NULL→20
+    assert out[4]["__op"] == "U" and out[4]["v"] is None  # 40→NULL
+    # compare_cols subset: restricting to s makes key 2 unchanged
+    only_s = {
+        r["k"]: r
+        for r in snapshot_diff(old, new, "k", compare_cols=["s"]).collect()
+    }
+    assert set(only_s) == {3, 4, 5}
+
+
+def test_snapshot_diff_feeds_changelog_normalize(spark):
+    """The emitted changelog composes with changelog_normalize: applying
+    the diff over the old image reproduces the new image."""
+    from flink_psl_spark.operators.changelog import (
+        changelog_normalize,
+        snapshot_diff,
+        to_changelog,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k int, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, 99.0), (4, 44.0)], "k int, v double"
+    )
+    diff = snapshot_diff(old, new, "k").withColumn("seq", F.lit(1))
+    base = to_changelog(old).withColumn("seq", F.lit(0))
+    applied = changelog_normalize(
+        base.unionByName(diff), "k", ["seq"]
+    ).select("k", "v")
+    assert sorted(map(tuple, applied.collect())) == sorted(
+        map(tuple, new.collect())
+    )
