@@ -78,6 +78,8 @@ from flink_psl_spark.llm.text import (  # noqa: F401
     quality_band,
     language_id,
     fingerprint,
+    tfidf_top_terms,
+    vocab_coverage,
 )
 from flink_psl_spark.llm.repetition import (  # noqa: F401
     duplicate_segment_fraction,

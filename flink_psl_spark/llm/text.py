@@ -684,3 +684,109 @@ def _cms_heavy_items(items, item_col, threshold, *, eps, confidence):
         .agg(F.count("*").alias("cnt"))
         .where(F.col("cnt") >= threshold)
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document keyword extraction by TF-IDF: the top-``k`` terms of
+    each document under ``tf × ln(N / df)`` — the classic corpus-wide
+    salience weighting (document-frequency discounting is what separates
+    keywords from stopwords without a stopword list).
+
+    Cross-engine determinism: the score is quantized to an integer
+    (``floor(tf · ln(N/df) · 1e6)``) BEFORE ranking — the same
+    quantized-log discipline as ``importance_resample`` — so the ranking
+    never depends on sub-ulp float ordering, and ties break on the term
+    itself.
+
+    Scale shape: tokenize+explode (row-local) → (doc, term) counts
+    (shuffle 1) → per-term document frequencies over the tf table
+    (shuffle 2 — vocabulary-sized output) → tf⋈df equi-join on term
+    (co-partitioned with shuffle 2) → per-doc rank-then-filter
+    (shuffle 3, compiles to WindowGroupLimit so only k rows per doc
+    survive the exchange). N is a one-row aggregate cross-joined in —
+    no driver collect.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokenize(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_t, on="term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score_q",
+            F.floor(
+                F.col("tf")
+                * F.log(
+                    F.col("n_docs").cast("double") / F.col("doc_freq")
+                )
+                * F.lit(1000000.0)
+            ).cast("bigint"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score_q"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "doc_freq", "score_q", "rank")
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    top_v: int = 100,
+) -> DataFrame:
+    """Vocabulary coverage curve: the ``top_v`` most frequent tokens
+    with each prefix's cumulative share of ALL token occurrences — the
+    standard pre-tokenizer diagnostic (how much of the corpus does a
+    V-entry vocabulary cover; where does the Zipf tail start).
+
+    Scale shape: tokenize+explode → per-term counts (one shuffle,
+    vocabulary-sized output) → global top-``top_v`` (TakeOrdered — no
+    full sort) → running sum over the ``top_v``-row result (the only
+    single-partition window, parameter-sized by construction, never
+    corpus-sized) against the one-row total via broadcast cross join.
+    ``coverage`` rounds the exact integer ratio at 6 digits.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.explode(tokenize(F.lower(F.col(text_col)))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    top = (
+        counts.orderBy(F.desc("n"), F.asc("token"))
+        .limit(top_v)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("n"), F.asc("token"))
+            ),
+        )
+    )
+    w = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("cum_n", F.sum("n").over(w))
+        .withColumn(
+            "coverage",
+            F.round(
+                F.col("cum_n") * F.lit(1.0) / F.col("total"), 6
+            ),
+        )
+        .select("rank", "token", "n", "cum_n", "coverage")
+    )

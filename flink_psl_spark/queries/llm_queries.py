@@ -2573,3 +2573,80 @@ def llm_diversity_sample(spark, sf_dir):
         target_cluster_size=32,
         per_cluster=3,
     ).select("vec_id", "label", "cluster_id")
+
+
+# lowercased variant of the shared blank-safe tokenization
+_LTOKS = (
+    "CASE WHEN TRIM(text) = '' THEN []::VARCHAR[] "
+    "ELSE STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') END"
+)
+
+
+@query(
+    "llm_tfidf_top_terms",
+    # score quantized to an integer (floor(tf·ln(N/df)·1e6)) before
+    # ranking — the same cross-engine quantized-log discipline as
+    # importance_resample, so rank never depends on sub-ulp floats
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST({_LTOKS}) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    dfq AS (
+      SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf, d.doc_freq,
+             CAST(FLOOR(t.tf * LN(CAST(n_docs AS DOUBLE) / d.doc_freq)
+                        * 1000000.0) AS BIGINT) AS score_q
+      FROM tf t JOIN dfq d USING (term), n),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score_q DESC, term) AS rank
+      FROM scored)
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+           CAST(doc_freq AS BIGINT) AS doc_freq, score_q,
+           CAST(rank AS INTEGER) AS rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def llm_tfidf_top_terms(spark, sf_dir):
+    """Per-document TF-IDF keywords (top-3): document-frequency
+    discounting without a stopword list. Two corpus-sized shuffles +
+    one vocabulary join + a WindowGroupLimit rank — and an
+    integer-quantized score so the ranking replays exactly in any
+    engine."""
+    from flink_psl_spark.llm import tfidf_top_terms
+
+    t = tables(spark, sf_dir)
+    return tfidf_top_terms(t["documents"], k=3)
+
+
+@query(
+    "llm_vocab_coverage",
+    # coverage = ROUND(cum/total, 6) of exact integer counts — the two
+    # engines divide the same exact integers, so the double is identical
+    oracle=f"""
+    WITH tok AS (
+      SELECT UNNEST({_LTOKS}) AS token FROM documents),
+    cnt AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+    tot AS (SELECT SUM(n) AS total FROM cnt),
+    top AS (
+      SELECT token, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank
+      FROM cnt QUALIFY rank <= 100)
+    SELECT rank, token, CAST(n AS BIGINT) AS n,
+           CAST(SUM(n) OVER (ORDER BY rank) AS BIGINT) AS cum_n,
+           ROUND(SUM(n) OVER (ORDER BY rank) * 1.0 / total, 6) AS coverage
+    FROM top, tot
+    """,
+)
+def llm_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve (top-100 tokens + cumulative corpus
+    share): the pre-tokenizer Zipf diagnostic. One vocabulary-sized
+    shuffle, a TakeOrdered top-V, and a parameter-sized (never
+    corpus-sized) running-sum window."""
+    from flink_psl_spark.llm import vocab_coverage
+
+    t = tables(spark, sf_dir)
+    return vocab_coverage(t["documents"], top_v=100)

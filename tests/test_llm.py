@@ -1021,3 +1021,57 @@ def test_diversity_sample_plan_is_group_limited(spark, t):
     )
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_tfidf_top_terms_semantics(spark):
+    """TF-IDF ranks distinctive terms above ubiquitous ones: a term in
+    every document has idf=ln(1)=0 and can never outrank a unique term;
+    tf/doc_freq are exact; rank ties break on the term."""
+    from flink_psl_spark.llm import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common alpha alpha"),
+            (2, "common beta"),
+            (3, "common gamma gamma gamma"),
+        ],
+        "doc_id int, text string",
+    )
+    out = tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # every doc's #1 keyword is its unique term, never 'common'
+    for d, terms in by_doc.items():
+        top = min(terms, key=lambda r: r["rank"])
+        assert top["term"] != "common"
+        assert top["doc_freq"] == 1
+    # 'common' appears in all 3 docs → score_q == 0 (ln(3/3) == 0)
+    commons = [r for r in out if r["term"] == "common"]
+    assert commons and all(r["score_q"] == 0 for r in commons)
+    # doc 1: tf(alpha)=2, doc_freq=1, score floor(2*ln(3)*1e6)
+    import math
+
+    alpha = next(r for r in out if r["term"] == "alpha")
+    assert alpha["tf"] == 2
+    assert alpha["score_q"] == math.floor(2 * math.log(3.0) * 1e6)
+
+
+def test_vocab_coverage_curve(spark):
+    """Coverage is a cumulative share of ALL token occurrences (not just
+    the top-V), monotone in rank, and reaches 1.0 only when the
+    vocabulary covers the whole corpus."""
+    from flink_psl_spark.llm import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a b b c"), (2, "a b d")],
+        "doc_id int, text string",
+    )
+    rows = {r["rank"]: r for r in vocab_coverage(docs, top_v=3).collect()}
+    assert rows[1]["token"] == "a" and rows[1]["n"] == 5
+    assert rows[1]["coverage"] == 0.5  # 5 of 10 occurrences
+    assert rows[2]["token"] == "b" and rows[2]["cum_n"] == 8
+    # top-3 of 4 distinct tokens: coverage stays below 1.0
+    assert rows[3]["coverage"] < 1.0
+    full = {r["rank"]: r for r in vocab_coverage(docs, top_v=10).collect()}
+    assert max(full) == 4 and full[4]["coverage"] == 1.0
