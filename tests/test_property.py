@@ -738,3 +738,48 @@ def test_bfd_packing_matches_python_model(spark, sizes, max_len):
         for r in pack_sequences_bfd(df, max_len=max_len, n_sub_shards=1).collect()
     }
     assert got == _bfd_model(list(enumerate(sizes)), max_len)
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff vs a pure-python dict model (operators/changelog.py)
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def snapshot_pair(draw):
+    """Two keyed images over a small key space with NULL-able values —
+    nulls exercise the null-safe struct compare on both sides."""
+    vals = st.one_of(st.none(), st.integers(0, 3))
+    image = st.dictionaries(st.integers(0, 9), vals, max_size=8)
+    return draw(image), draw(image)
+
+
+@given(snapshot_pair())
+@settings(**_SETTINGS)
+def test_snapshot_diff_matches_dict_model(spark, pair):
+    from flink_psl_spark.operators.changelog import snapshot_diff
+
+    old_d, new_d = pair
+
+    def frame(d):
+        rows = [(k, v) for k, v in d.items()]
+        return (
+            spark.createDataFrame(rows, "k int, v int")
+            if rows
+            else spark.createDataFrame([], "k int, v int")
+        )
+
+    out = {
+        r["k"]: (r["v"], r["__op"])
+        for r in snapshot_diff(frame(old_d), frame(new_d), "k").collect()
+    }
+
+    expect = {}
+    for k in old_d.keys() | new_d.keys():
+        if k not in old_d:
+            expect[k] = (new_d[k], "I")
+        elif k not in new_d:
+            expect[k] = (old_d[k], "D")  # before-image
+        elif old_d[k] != new_d[k]:
+            expect[k] = (new_d[k], "U")  # after-image
+    assert out == expect
