@@ -37,5 +37,6 @@ from flink_psl_spark.operators.validation import (  # noqa: F401
     not_null,
     satisfies,
     unique,
+    validate_stream,
     validate_table,
 )

@@ -122,6 +122,43 @@ def min_rows(n: int) -> Check:
     return Check("min_rows", "min_rows", "*", min_count=n)
 
 
+def _fold_row_checks(
+    df: DataFrame, row_checks: list[Check], vol_checks: list[Check]
+) -> DataFrame:
+    """The shared single-scan fold: one aggregate with one conditional
+    sum per row check (+ the row count for volume floors), exploded to
+    the long report shape. Works identically on batch and streaming
+    frames — a streaming ``df`` yields a complete-mode global aggregate."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(row_checks):
+        aggs.append(
+            F.sum(F.when(c.predicate, 1).otherwise(0))
+            .cast("bigint").alias(f"__v_{i}")
+        )
+    wide = df.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(c.name).alias("check"),
+            F.lit(c.target).alias("target"),
+            F.col(f"__v_{i}").alias("violations"),
+        )
+        for i, c in enumerate(row_checks)
+    ] + [
+        F.struct(
+            F.lit(c.name).alias("check"),
+            F.lit(c.target).alias("target"),
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.lit(c.min_count).cast("bigint") - F.col("__n"),
+            ).alias("violations"),
+        )
+        for c in vol_checks
+    ]
+    return wide.select(
+        F.explode(F.array(*entries)).alias("r")
+    ).select("r.*")
+
+
 def validate_table(df: DataFrame, checks: list[Check]) -> DataFrame:
     """Evaluate every check and return the report frame
     ``(check, target, violations, passed)`` — one row per declared
@@ -138,34 +175,7 @@ def validate_table(df: DataFrame, checks: list[Check]) -> DataFrame:
     branches: list[DataFrame] = []
 
     if row_checks or vol_checks:
-        aggs = [F.count(F.lit(1)).alias("__n")]
-        for i, c in enumerate(row_checks):
-            aggs.append(
-                F.sum(F.when(c.predicate, 1).otherwise(0))
-                .cast("bigint").alias(f"__v_{i}")
-            )
-        wide = df.agg(*aggs)
-        entries = [
-            F.struct(
-                F.lit(c.name).alias("check"),
-                F.lit(c.target).alias("target"),
-                F.col(f"__v_{i}").alias("violations"),
-            )
-            for i, c in enumerate(row_checks)
-        ] + [
-            F.struct(
-                F.lit(c.name).alias("check"),
-                F.lit(c.target).alias("target"),
-                F.greatest(
-                    F.lit(0).cast("bigint"),
-                    F.lit(c.min_count).cast("bigint") - F.col("__n"),
-                ).alias("violations"),
-            )
-            for c in vol_checks
-        ]
-        branches.append(
-            wide.select(F.explode(F.array(*entries)).alias("r")).select("r.*")
-        )
+        branches.append(_fold_row_checks(df, row_checks, vol_checks))
 
     for c in checks:
         if c.kind == "unique":
@@ -209,3 +219,33 @@ def validate_table(df: DataFrame, checks: list[Check]) -> DataFrame:
     for b in branches[1:]:
         report = report.unionByName(b)
     return report.withColumn("passed", F.col("violations") == 0)
+
+
+def validate_stream(sdf: DataFrame, checks: list[Check]) -> DataFrame:
+    """Constraint monitoring ON A STREAM: the same declarative checks
+    evaluated continuously — each trigger updates the global violation
+    counts over everything ingested so far (run the returned frame in
+    complete output mode; the counters are classic streaming aggregation
+    state, one row per partition partial-merged per micro-batch).
+
+    Only row-level checks and ``min_rows`` are admissible: their
+    violation counts are associative conditional sums, so arrival order
+    and batch boundaries cannot change the result (the batch
+    ``validate_table`` over the same prefix is an exact oracle at every
+    trigger). ``unique`` / ``foreign_key`` are rejected — uniqueness
+    over an unbounded stream needs per-key state that grows with the
+    keyspace and is exactly what ``changelog_normalize`` + batch
+    validation over the materialized image is for.
+    """
+    bad = [c.kind for c in checks if c.kind not in ("row", "min_rows")]
+    if bad:
+        raise ValueError(
+            f"streaming validation supports row-level checks and min_rows "
+            f"only (got {sorted(set(bad))}); materialize the stream and "
+            "run validate_table for keyed checks"
+        )
+    row_checks = [c for c in checks if c.kind == "row"]
+    vol_checks = [c for c in checks if c.kind == "min_rows"]
+    return _fold_row_checks(sdf, row_checks, vol_checks).withColumn(
+        "passed", F.col("violations") == 0
+    )

@@ -1153,6 +1153,75 @@ def stream_doc_quality_ingest(spark, sf_dir):
 
 
 @query(
+    "stream_validation_ingest",
+    # continuous Deequ-style monitoring: global violation counters over
+    # the full replayed stream — conditional sums are associative, so
+    # the batch restatement over the same rows is an exact oracle
+    oracle="""
+    WITH rpt AS (
+      SELECT 'not_null' AS chk, 'text' AS target,
+             CAST(COUNT(*) - COUNT(text) AS BIGINT) AS violations
+      FROM documents
+      UNION ALL
+      SELECT 'in_set', 'lang',
+             CAST(COALESCE(SUM(CASE WHEN lang IS NOT NULL
+                  AND lang NOT IN ('en', 'de', 'fr', 'es')
+                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT 'in_range', 'n_chars',
+             CAST(COALESCE(SUM(CASE WHEN n_chars IS NOT NULL
+                  AND (n_chars < 1 OR n_chars > 300)
+                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT 'chars_mismatch', '*',
+             CAST(COALESCE(SUM(CASE WHEN n_chars <> LEN(text)
+                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT 'min_rows', '*',
+             CAST(GREATEST(0, 1000000 - COUNT(*)) AS BIGINT)
+      FROM documents
+    )
+    SELECT chk AS "check", target, violations, violations = 0 AS passed
+    FROM rpt
+    """,
+)
+def stream_validation_ingest(spark, sf_dir):
+    """STREAMING constraint monitoring: the documents table replayed as
+    a micro-batched stream with the Deequ-style row checks evaluated as
+    complete-mode global counters (classic streaming-agg state, partial
+    sums merged per trigger). Keyed checks are rejected by construction
+    — they belong to batch validation over a normalized image."""
+    from flink_psl_spark.operators.validation import (
+        in_range,
+        in_set,
+        min_rows,
+        not_null,
+        satisfies,
+        validate_stream,
+    )
+    from flink_psl_spark.streaming import run_to_memory_table, stream_from_parquet
+
+    docs = stream_from_parquet(spark, f"{sf_dir}/documents.parquet")
+    report = validate_stream(
+        docs,
+        [
+            not_null("text"),
+            in_set("lang", ["en", "de", "fr", "es"]),
+            in_range("n_chars", 1, 300),
+            satisfies(
+                "chars_mismatch",
+                F.col("n_chars") != F.length(F.col("text")),
+            ),
+            min_rows(1_000_000),
+        ],
+    )
+    return run_to_memory_table(report, output_mode="complete")
+
+
+@query(
     "stream_timer_session_agg",
     # the same gap-session islands as stream_session_agg, restricted to
     # sessions the final watermark (max ts - 10 min delay) has finalized —

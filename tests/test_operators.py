@@ -539,3 +539,61 @@ def test_snapshot_diff_feeds_changelog_normalize(spark):
     assert sorted(map(tuple, applied.collect())) == sorted(
         map(tuple, new.collect())
     )
+
+
+def test_validate_stream_rejects_keyed_checks(spark):
+    """Streaming validation admits only associative checks; unique/fk
+    raise with routing guidance."""
+    import pytest as _pytest
+
+    from flink_psl_spark.operators import validation as V
+
+    sdf = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    with _pytest.raises(ValueError, match="streaming validation"):
+        V.validate_stream(sdf, [V.unique("value")])
+    with _pytest.raises(ValueError, match="streaming validation"):
+        V.validate_stream(
+            sdf, [V.foreign_key("value", sdf, "value")]
+        )
+
+
+def test_validate_stream_matches_batch(spark, t):
+    """Replaying a table through validate_stream yields exactly the
+    batch validate_table report for the same row-level checks."""
+    from flink_psl_spark.operators import validation as V
+    from flink_psl_spark.streaming import (
+        run_to_memory_table,
+        stream_from_parquet,
+    )
+
+    checks = lambda: [  # noqa: E731 — Column exprs are single-use
+        V.not_null("o_custkey"),
+        V.in_range("o_totalprice", 0, 200000),
+        V.min_rows(10**9),
+    ]
+    import os
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    stream = stream_from_parquet(spark, f"{sf_dir}/orders.parquet")
+    got = sorted(
+        map(
+            tuple,
+            run_to_memory_table(
+                V.validate_stream(stream, checks()),
+                output_mode="complete",
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            V.validate_table(
+                spark.read.parquet(f"{sf_dir}/orders.parquet"), checks()
+            ).collect(),
+        )
+    )
+    assert got == want
