@@ -142,3 +142,55 @@ def selection_extras(sf_dir: str = "/root/testdata/sf0.001") -> None:
         two_level=True,
     )
     print("semantic dedup →", survivors.count())
+
+
+def governance_extras(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    """Round-6 additions: gate every table drop behind a declared
+    constraint suite, derive a changelog between two corpus snapshots,
+    pick a space-covering sample, and report keywords + vocab coverage."""
+    from flink_psl_spark.llm import (
+        diversity_sample,
+        tfidf_top_terms,
+        vocab_coverage,
+    )
+    from flink_psl_spark.operators import (
+        foreign_key,
+        in_range,
+        not_null,
+        snapshot_diff,
+        unique,
+        validate_table,
+    )
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    t = register_tables(spark, sf_dir)
+
+    # 9. validation gate before anything downstream trains on the drop:
+    #    row checks share one scan; pipeline aborts on any failed check
+    report = validate_table(
+        t["documents"],
+        [
+            not_null("text"),
+            unique("doc_id"),
+            in_range("n_chars", 1, 10_000),
+            foreign_key("doc_id", t["documents"], "doc_id"),
+        ],
+    )
+    report.show()
+    failed = report.where(~F.col("passed")).count()
+    assert failed == 0, "constraint gate failed — stop the pipeline"
+
+    # 10. yesterday's corpus vs today's: what changed, as I/U/D rows —
+    #     feed the same MERGE/upsert machinery as the CDC formats
+    today = t["documents"].where(F.col("doc_id") % 7 != 0)
+    snapshot_diff(t["documents"], today, "doc_id").groupBy("__op").count().show()
+
+    # 11. cluster-balanced selection: one representative per semantic
+    #     mode instead of a frequency-biased uniform sample
+    diversity_sample(
+        t["embeddings"], target_cluster_size=64, per_cluster=1
+    ).show(3)
+
+    # 12. corpus reports: per-doc keywords and the vocabulary Zipf curve
+    tfidf_top_terms(t["documents"], k=3).show(6)
+    vocab_coverage(t["documents"], top_v=20).show(5)
