@@ -49,6 +49,7 @@ from flink_psl_spark.llm.similarity import (  # noqa: F401
     sq_encode,
 )
 from flink_psl_spark.llm.sampling import (  # noqa: F401
+    cluster_report,
     deterministic_sample,
     deterministic_shuffle,
     diversity_sample,

@@ -558,3 +558,76 @@ def diversity_sample(
         .select(F.col("__id").alias(id_col), "cluster_id")
     )
     return corpus.join(picked, on=id_col)
+
+
+def cluster_report(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int | None = None,
+    target_cluster_size: int = 512,
+) -> DataFrame:
+    """Embedding-space cluster quality report: per cluster (same
+    hash-seeded centroids and max-cosine routing as ``semantic_dedup``
+    / ``diversity_sample``) the member count and the cohesion profile —
+    how tightly members sit around their centroid. The diagnostic a
+    curation pipeline reads before trusting cluster-bounded dedup or
+    cluster-balanced sampling: giant low-cohesion clusters mean the
+    centroid count is too small for the corpus.
+
+    Cross-engine determinism: each member's centroid similarity is
+    quantized to an integer (``floor(sim·1e6)``) BEFORE aggregation, so
+    the mean is a ratio of exact integers — float summation order
+    (engine partials vs sequential) cannot change the report.
+
+    Scale shape: identical to the samplers up to routing (broadcast
+    centroids, map-side min_by partial agg), then ONE aggregation keyed
+    by cluster — output is n_clusters rows.
+    """
+    import math
+
+    from flink_psl_spark.llm.similarity import cosine
+
+    c = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        F.md5(F.col(id_col).cast("string")).alias("__h"),
+    )
+    if n_clusters is None:
+        n_rows = c.count()  # one scalar agg job — control-plane only
+        n_clusters = max(1, math.ceil(n_rows / target_cluster_size))
+    cents = (
+        c.orderBy("__h", "__id")
+        .limit(n_clusters)
+        .select(F.col("__id").alias("__cid"), F.col("__v").alias("__cv"))
+    )
+    scored = c.join(F.broadcast(cents)).select(
+        "__id", "__cid", cosine("__v", "__cv").alias("__sim")
+    )
+    routed = scored.groupBy("__id").agg(
+        F.min_by(
+            F.struct(
+                F.col("__cid").alias("cluster_id"),
+                F.col("__sim").alias("__sim"),
+            ),
+            F.struct((-F.col("__sim")).alias("__negsim"), F.col("__cid")),
+        ).alias("__best"),
+    )
+    q = F.floor(F.col("__best.__sim") * F.lit(1000000.0)).cast("bigint")
+    return (
+        routed.select(
+            F.col("__best.cluster_id").alias("cluster_id"),
+            q.alias("__sq"),
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(
+                F.sum("__sq") * F.lit(1.0)
+                / (F.count(F.lit(1)) * F.lit(1000000.0)),
+                6,
+            ).alias("mean_sim"),
+            F.round(F.min("__sq") / F.lit(1000000.0), 6).alias("min_sim"),
+        )
+    )

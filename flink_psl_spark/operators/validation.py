@@ -249,3 +249,58 @@ def validate_stream(sdf: DataFrame, checks: list[Check]) -> DataFrame:
     return _fold_row_checks(sdf, row_checks, vol_checks).withColumn(
         "passed", F.col("violations") == 0
     )
+
+
+def detect_metric_anomalies(
+    metrics: DataFrame,
+    *,
+    metric_col: str = "metric",
+    order_col: str,
+    value_col: str = "value",
+    window: int = 5,
+    k2: int = 9,
+    min_history: int = 3,
+) -> DataFrame:
+    """Anomaly detection over a metric history — the "metrics over
+    time" half of the Deequ recipe: per metric series (ordered by
+    ``order_col``), flag points that sit more than k standard deviations
+    from the trailing-``window`` mean (``k2`` = k², default 9 ⇒ k=3).
+
+    Exact cross-engine arithmetic, no stddev() call: with integer
+    values, the trailing count/sum/sum-of-squares are exact, and
+    |x − mean| > k·std is squared into
+
+        (n·x − s1)² · (n−1)  >  k² · (n·s2 − s1²) · n
+
+    — products of exact integers, bit-identical in any engine (evaluated
+    in doubles: exact while magnitudes stay under 2⁵³, i.e. values to
+    ~1e6 over windows of thousands; rescale larger metrics first). A
+    flat history (variance 0) flags ANY deviation from the constant.
+    Points with fewer than ``min_history`` predecessors are unscored
+    (``is_anomaly`` NULL) — no baseline, no verdict.
+
+    Scale shape: one shuffle keyed by the metric name, one sequential
+    frame per series — history windows are parameter-sized.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(metric_col)
+        .orderBy(order_col)
+        .rowsBetween(-window, -1)
+    )
+    x = F.col(value_col).cast("double")
+    n = F.count(x).over(w).cast("double")
+    s1 = F.sum(x).over(w)
+    s2 = F.sum(x * x).over(w)
+    lhs = (
+        (n * x - s1) * (n * x - s1) * (n - F.lit(1.0))
+    )
+    rhs = F.lit(float(k2)) * (n * s2 - s1 * s1) * n
+    return metrics.select(
+        metric_col,
+        order_col,
+        value_col,
+        n.cast("bigint").alias("n_hist"),
+        F.when(n >= min_history, lhs > rhs).alias("is_anomaly"),
+    )

@@ -47,7 +47,8 @@ import flink_psl_spark.queries.datastream_queries  # noqa: F401, E402
 # llm_video_clip_dedup, llm_bfd_packing,
 # stream_bloom_decontaminate_ingest, salted_join_skew, llm_hash_split,
 # table_validation_report, snapshot_diff_changelog, llm_diversity_sample,
-# llm_tfidf_top_terms, llm_vocab_coverage, stream_validation_ingest
+# llm_tfidf_top_terms, llm_vocab_coverage, stream_validation_ingest,
+# metric_anomaly_report, llm_cluster_report
 # (positions 51+) — so r7's
 # window leads with them,
 # the 10 r1 rows that didn't fit here (agg_multiset, agg_json,

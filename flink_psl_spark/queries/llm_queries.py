@@ -2650,3 +2650,50 @@ def llm_vocab_coverage(spark, sf_dir):
 
     t = tables(spark, sf_dir)
     return vocab_coverage(t["documents"], top_v=100)
+
+
+@query(
+    "llm_cluster_report",
+    # same routing as semantic dedup / diversity sample; per-member
+    # centroid similarity quantized to floor(sim*1e6) BEFORE the
+    # aggregation so the mean is a ratio of exact integers
+    oracle="""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      MD5(CAST(vec_id AS VARCHAR)) AS h
+               FROM embeddings),
+    k AS (SELECT GREATEST(1, CAST(CEIL(COUNT(*) / 32.0) AS BIGINT)) AS n
+          FROM c),
+    cents AS (
+      SELECT vec_id AS cid, v AS cv
+      FROM (SELECT vec_id, v,
+                   ROW_NUMBER() OVER (ORDER BY h, vec_id) AS rn FROM c)
+      WHERE rn <= (SELECT n FROM k)),
+    routed AS (
+      SELECT vec_id, cid, LIST_COSINE_SIMILARITY(v, cv) AS sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id
+               ORDER BY LIST_COSINE_SIMILARITY(v, cv) DESC, cid) AS rn
+      FROM c CROSS JOIN cents),
+    assigned AS (
+      SELECT vec_id, cid AS cluster_id,
+             CAST(FLOOR(sim * 1000000.0) AS BIGINT) AS sq
+      FROM routed WHERE rn = 1)
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+           ROUND(SUM(sq) * 1.0 / (COUNT(*) * 1000000.0), 6) AS mean_sim,
+           ROUND(MIN(sq) / 1000000.0, 6) AS min_sim
+    FROM assigned GROUP BY cluster_id
+    """,
+)
+def llm_cluster_report(spark, sf_dir):
+    """Embedding-cluster cohesion report: per cluster the member count
+    and mean/min centroid similarity — the diagnostic read before
+    trusting cluster-bounded dedup or cluster-balanced sampling.
+    Integer-quantized similarities make the means engine-exact; output
+    is n_clusters rows from one keyed aggregation."""
+    from flink_psl_spark.llm import cluster_report
+
+    t = tables(spark, sf_dir)
+    return cluster_report(
+        t["embeddings"].select("vec_id", "embedding"),
+        target_cluster_size=32,
+    )

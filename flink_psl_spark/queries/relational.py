@@ -1297,3 +1297,48 @@ def snapshot_diff_changelog(spark, sf_dir):
     return snapshot_diff(
         old, new.unionByName(inserts), "o_orderkey"
     )
+
+
+@query(
+    "metric_anomaly_report",
+    # per-priority monthly order counts scored against their trailing
+    # 6-month window; the squared 3-sigma test is exact integer algebra
+    # evaluated in doubles (< 2^53), so both engines agree bit-for-bit
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority AS metric,
+             CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month,
+             CAST(COUNT(*) AS BIGINT) AS value
+      FROM orders GROUP BY 1, 2),
+    s AS (
+      SELECT metric, month, value,
+             CAST(COUNT(value) OVER w AS DOUBLE) AS n,
+             CAST(SUM(value) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(value * value) OVER w AS DOUBLE) AS s2
+      FROM m
+      WINDOW w AS (PARTITION BY metric ORDER BY month
+                   ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+    SELECT metric, month, value, CAST(n AS BIGINT) AS n_hist,
+           CASE WHEN n >= 3 THEN
+             (n * value - s1) * (n * value - s1) * (n - 1.0)
+               > 9.0 * (n * s2 - s1 * s1) * n
+           END AS is_anomaly
+    FROM s
+    """,
+)
+def metric_anomaly_report(spark, sf_dir):
+    """Deequ-style metric anomaly detection over time: monthly order
+    counts per priority, each point tested against its trailing window
+    with the SQUARED k-sigma inequality — exact integer algebra, no
+    cross-engine stddev. One shuffle on the series key; windows are
+    parameter-sized."""
+    from flink_psl_spark.operators.validation import detect_metric_anomalies
+
+    t = tables(spark, sf_dir)
+    m = t["orders"].groupBy(
+        F.col("o_orderpriority").alias("metric"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+    ).agg(F.count("*").cast("bigint").alias("value"))
+    return detect_metric_anomalies(
+        m, order_col="month", window=6, k2=9, min_history=3
+    )

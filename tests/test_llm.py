@@ -1075,3 +1075,23 @@ def test_vocab_coverage_curve(spark):
     assert rows[3]["coverage"] < 1.0
     full = {r["rank"]: r for r in vocab_coverage(docs, top_v=10).collect()}
     assert max(full) == 4 and full[4]["coverage"] == 1.0
+
+
+def test_cluster_report_cohesion(spark):
+    """cluster_report: counts cover the corpus, mean/min are quantized
+    ratios in [-1, 1], and a self-centroid member reports sim 1.0 when
+    its cluster is exactly itself."""
+    from flink_psl_spark.llm import cluster_report
+
+    # 4 vectors, 2 clusters (target size 2): centroids are hash-picked
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [0.1, 0.9]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    rep = cluster_report(df, target_cluster_size=2).collect()
+    assert sum(r["n_members"] for r in rep) == 4
+    for r in rep:
+        assert -1.0 <= r["min_sim"] <= r["mean_sim"] <= 1.0
+    # every member routes somewhere; centroid members sit at sim ~1
+    top = max(r["mean_sim"] for r in rep)
+    assert top > 0.9

@@ -597,3 +597,32 @@ def test_validate_stream_matches_batch(spark, t):
         )
     )
     assert got == want
+
+
+def test_detect_metric_anomalies_semantics(spark):
+    """A spike beyond 3 sigma flags; normal drift doesn't; a flat
+    history flags ANY deviation; short history is unscored (NULL)."""
+    from flink_psl_spark.operators.validation import detect_metric_anomalies
+
+    rows = (
+        # series A: stable 10s then a spike
+        [("a", i, 10) for i in range(1, 6)] + [("a", 6, 100)]
+        # series B: mild noise, no anomaly at the end
+        + [("b", 1, 10), ("b", 2, 12), ("b", 3, 8), ("b", 4, 11),
+           ("b", 5, 10)]
+    )
+    df = spark.createDataFrame(rows, "metric string, t int, value int")
+    out = {
+        (r["metric"], r["t"]): r
+        for r in detect_metric_anomalies(
+            df, order_col="t", window=5, k2=9, min_history=3
+        ).collect()
+    }
+    # flat history of 10s → the spike AND any deviation flags
+    assert out[("a", 6)]["is_anomaly"] is True
+    assert out[("a", 5)]["is_anomaly"] is False  # 10 matches the flat mean
+    assert out[("b", 5)]["is_anomaly"] is False
+    # first two points of each series: fewer than 3 predecessors
+    assert out[("a", 1)]["is_anomaly"] is None
+    assert out[("a", 2)]["is_anomaly"] is None
+    assert out[("a", 1)]["n_hist"] == 0 and out[("a", 4)]["n_hist"] == 3
