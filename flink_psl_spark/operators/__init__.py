@@ -29,6 +29,7 @@ from flink_psl_spark.operators.changelog import (  # noqa: F401
 from flink_psl_spark.operators.skew import salted_agg, salted_join  # noqa: F401
 from flink_psl_spark.operators.validation import (  # noqa: F401
     detect_metric_anomalies,
+    distribution_drift,
     foreign_key,
     in_range,
     in_set,

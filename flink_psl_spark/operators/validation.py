@@ -251,6 +251,81 @@ def validate_stream(sdf: DataFrame, checks: list[Check]) -> DataFrame:
     )
 
 
+def distribution_drift(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    *,
+    lo: float,
+    hi: float,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Population-stability (PSI) drift report between two snapshots of
+    a numeric column — the standard "did the data shift under me" gate
+    a training pipeline runs before reusing yesterday's thresholds.
+    Fixed-width buckets over [lo, hi) (outliers clamp into the edge
+    buckets), add-1-smoothed shares (every bucket defined even when
+    empty — the same Laplace discipline as ``importance_resample``), and
+    each bucket's PSI contribution ``(p−q)·ln(p/q)`` quantized to an
+    integer at 1e-9 so the report is bit-identical across engines.
+    Total PSI = sum(psi_q)/1e9; the usual read: <0.1 stable, 0.1–0.25
+    drifting, >0.25 shifted.
+
+    Fixed edges, not quantiles, on purpose: quantile edges derived from
+    one side make the comparison asymmetric and engine-dependent;
+    fixed-width buckets keep both sides exact counts.
+
+    Scale shape: one conditional-count aggregation per side keyed by
+    bucket (map-side partials; n_buckets output rows), joined onto a
+    ``range(n_buckets)`` spine, totals cross-joined as one broadcast
+    row. Nothing is corpus-sized after the scans.
+    """
+    width = (hi - lo) / n_buckets
+    spark = old.sparkSession
+
+    def bucketize(df: DataFrame, out: str) -> DataFrame:
+        b = F.least(
+            F.lit(n_buckets - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col(col).cast("double") - F.lit(float(lo)))
+                    / F.lit(float(width))
+                ).cast("int"),
+            ),
+        )
+        return (
+            df.where(F.col(col).isNotNull())
+            .select(b.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    oc = bucketize(old, "n_old")
+    nc = bucketize(new, "n_new")
+    spine = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    j = (
+        spine.join(oc, on="bucket", how="left")
+        .join(nc, on="bucket", how="left")
+        .na.fill({"n_old": 0, "n_new": 0})
+    )
+    totals = j.agg(
+        F.sum("n_old").alias("__no"), F.sum("n_new").alias("__nn")
+    )
+    p = (F.col("n_old") + F.lit(1.0)) / (F.col("__no") + F.lit(float(n_buckets)))
+    q = (F.col("n_new") + F.lit(1.0)) / (F.col("__nn") + F.lit(float(n_buckets)))
+    return (
+        j.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "psi_q",
+            F.floor((p - q) * F.log(p / q) * F.lit(1000000000.0)).cast(
+                "bigint"
+            ),
+        )
+        .select("bucket", "n_old", "n_new", "psi_q")
+    )
+
+
 def detect_metric_anomalies(
     metrics: DataFrame,
     *,

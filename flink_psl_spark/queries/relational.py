@@ -1342,3 +1342,60 @@ def metric_anomaly_report(spark, sf_dir):
     return detect_metric_anomalies(
         m, order_col="month", window=6, k2=9, min_history=3
     )
+
+
+@query(
+    "distribution_drift_report",
+    # PSI between the pre-1998 and 1998+ order-value distributions over
+    # 20 fixed-width buckets on [0, 500000); add-1-smoothed shares and
+    # the per-bucket contribution quantized at 1e-9
+    oracle="""
+    WITH ob AS (
+      SELECT LEAST(19, GREATEST(0,
+               CAST(FLOOR((o_totalprice - 0.0) / 25000.0) AS INTEGER)))
+             AS bucket
+      FROM orders
+      WHERE o_totalprice IS NOT NULL
+        AND o_orderdate < TIMESTAMP '1998-01-01'),
+    nb AS (
+      SELECT LEAST(19, GREATEST(0,
+               CAST(FLOOR((o_totalprice - 0.0) / 25000.0) AS INTEGER)))
+             AS bucket
+      FROM orders
+      WHERE o_totalprice IS NOT NULL
+        AND o_orderdate >= TIMESTAMP '1998-01-01'),
+    oc AS (SELECT bucket, COUNT(*) AS n_old FROM ob GROUP BY bucket),
+    nc AS (SELECT bucket, COUNT(*) AS n_new FROM nb GROUP BY bucket),
+    spine AS (SELECT UNNEST(RANGE(0, 20)) AS bucket),
+    j AS (
+      SELECT CAST(s.bucket AS INTEGER) AS bucket,
+             CAST(COALESCE(oc.n_old, 0) AS BIGINT) AS n_old,
+             CAST(COALESCE(nc.n_new, 0) AS BIGINT) AS n_new
+      FROM spine s
+      LEFT JOIN oc ON s.bucket = oc.bucket
+      LEFT JOIN nc ON s.bucket = nc.bucket),
+    tot AS (SELECT SUM(n_old) AS no, SUM(n_new) AS nn FROM j)
+    SELECT bucket, n_old, n_new,
+           CAST(FLOOR(((n_old + 1.0) / (no + 20.0)
+                       - (n_new + 1.0) / (nn + 20.0))
+                 * LN(((n_old + 1.0) / (no + 20.0))
+                      / ((n_new + 1.0) / (nn + 20.0)))
+                 * 1000000000.0) AS BIGINT) AS psi_q
+    FROM j, tot
+    """,
+)
+def distribution_drift_report(spark, sf_dir):
+    """Population-stability drift gate: compare the order-value
+    distribution before/after 1998 over fixed-width buckets. Two
+    conditional-count aggs + a 20-row spine join; per-bucket PSI
+    contributions are integer-quantized so both engines agree
+    bit-for-bit. Total PSI = sum(psi_q)/1e9."""
+    from flink_psl_spark.operators.validation import distribution_drift
+
+    t = tables(spark, sf_dir)
+    cut = F.lit("1998-01-01").cast("timestamp")
+    old = t["orders"].where(F.col("o_orderdate") < cut)
+    new = t["orders"].where(F.col("o_orderdate") >= cut)
+    return distribution_drift(
+        old, new, "o_totalprice", lo=0.0, hi=500000.0, n_buckets=20
+    )

@@ -626,3 +626,37 @@ def test_detect_metric_anomalies_semantics(spark):
     assert out[("a", 1)]["is_anomaly"] is None
     assert out[("a", 2)]["is_anomaly"] is None
     assert out[("a", 1)]["n_hist"] == 0 and out[("a", 4)]["n_hist"] == 3
+
+
+def test_distribution_drift_psi(spark):
+    """PSI: identical snapshots → every contribution 0 (or -1 from the
+    floor of a tiny negative); a hard shift concentrates positive mass;
+    empty buckets and outliers are clamped + smoothed, never NULL."""
+    from flink_psl_spark.operators.validation import distribution_drift
+
+    a = spark.createDataFrame([(float(v),) for v in range(100)], "x double")
+    same = distribution_drift(a, a, "x", lo=0, hi=100, n_buckets=10)
+    rows = same.collect()
+    assert len(rows) == 10
+    # identical shares: (p-q)=0 exactly → floor(0)=0
+    assert all(r["psi_q"] == 0 for r in rows)
+    assert all(r["n_old"] == r["n_new"] == 10 for r in rows)
+
+    # shifted snapshot: values move up 50 → strong positive PSI
+    b = spark.createDataFrame(
+        [(float(v) + 50,) for v in range(100)], "x double"
+    )
+    drift = distribution_drift(a, b, "x", lo=0, hi=100, n_buckets=10)
+    total = sum(r["psi_q"] for r in drift.collect()) / 1e9
+    assert total > 0.25  # the 'shifted' read of the PSI scale
+
+    # outliers clamp into edge buckets (155 → bucket 9), nulls drop
+    c = spark.createDataFrame([(155.0,), (None,), (-3.0,)], "x double")
+    edge = {
+        r["bucket"]: r
+        for r in distribution_drift(
+            c, c, "x", lo=0, hi=100, n_buckets=10
+        ).collect()
+    }
+    assert edge[9]["n_old"] == 1 and edge[0]["n_old"] == 1
+    assert sum(r["n_old"] for r in edge.values()) == 2  # NULL excluded
