@@ -605,3 +605,67 @@ def boilerplate_removal(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    max_span_df: int = 8,
+    min_shared: int = 1,
+    hashed: bool = True,
+) -> DataFrame:
+    """Cross-document verbatim-span detection — the ExactSubstr signal
+    of the published dedup recipes (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): find document pairs that share
+    long exact token spans, the duplication MinHash's bag-of-shingles
+    view underweights (one long quoted passage barely moves whole-doc
+    Jaccard but is exactly what substring dedup removes).
+
+    Mechanics: every ``k``-token shingle of every document (distinct per
+    doc), spans kept only when their document frequency is in
+    [2, ``max_span_df``] — the df cap bounds the self-join fan-out to
+    C(max_span_df, 2) pairs per span (boilerplate that appears
+    everywhere is the boilerplate_removal operator's job, not a dup
+    signal), the same discipline as the video-clip candidate join. The
+    surviving spans equi-join to pairs and aggregate to
+    ``(a, b, n_shared)`` with ``a < b``.
+
+    ``hashed=True`` (default, the scale path) shuffles 64-bit xxhash64
+    span keys instead of k-token strings — identical output barring a
+    ~2^-64 collision; ``hashed=False`` keeps string keys for
+    cross-engine replay (the oracle path).
+
+    Scale shape: explode (row-local) → distinct + df filter (one shuffle
+    keyed by span), bounded-fan-out self-join on the span key, one pair
+    aggregation. No all-pairs stage anywhere.
+    """
+    from flink_psl_spark.llm.text import ngrams
+
+    span = F.explode(ngrams(F.col(text_col), k)).alias("span")
+    spans = docs.select(F.col(id_col).alias("__id"), span).distinct()
+    if hashed:
+        spans = spans.select("__id", F.xxhash64("span").alias("span"))
+    kept = (
+        spans.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where((F.col("__df") >= 2) & (F.col("__df") <= max_span_df))
+        .select("span")
+    )
+    candidates = spans.join(kept, on="span")
+    pairs = (
+        candidates.alias("l")
+        .join(
+            candidates.alias("r"),
+            (F.col("l.span") == F.col("r.span"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .groupBy(
+            F.col("l.__id").alias("a"), F.col("r.__id").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return pairs

@@ -2653,6 +2653,41 @@ def llm_vocab_coverage(spark, sf_dir):
 
 
 @query(
+    "llm_duplicate_spans",
+    # string span keys (hashed=False) so the shingle join replays
+    # exactly in SQL; df-capped [2, 8] before the pair join
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT([array_to_string(words[i:i+7], ' ')
+                            FOR i IN RANGE(1, GREATEST(LEN(words) - 7, 0) + 1)]) AS s
+      FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words
+            FROM documents)),
+    e AS (SELECT doc_id, UNNEST(s) AS span FROM sh),
+    d AS (SELECT span FROM (SELECT span, COUNT(*) AS df FROM e GROUP BY span)
+          WHERE df BETWEEN 2 AND 8),
+    c AS (SELECT e.doc_id, e.span FROM e JOIN d USING (span))
+    SELECT l.doc_id AS a, r.doc_id AS b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM c l JOIN c r ON l.span = r.span AND l.doc_id < r.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def llm_duplicate_spans(spark, sf_dir):
+    """ExactSubstr-style duplicated-span detection: document pairs
+    sharing verbatim 8-token spans — the dup signal bag-of-shingles
+    Jaccard underweights. Span df capped at 8 before the self-join
+    (bounded fan-out per span key); one shuffle on the span, one pair
+    aggregation."""
+    from flink_psl_spark.llm import duplicate_spans
+
+    t = tables(spark, sf_dir)
+    return duplicate_spans(
+        t["documents"], k=8, max_span_df=8, hashed=False
+    )
+
+
+@query(
     "llm_cluster_report",
     # same routing as semantic dedup / diversity sample; per-member
     # centroid similarity quantized to floor(sim*1e6) BEFORE the

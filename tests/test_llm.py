@@ -1095,3 +1095,30 @@ def test_cluster_report_cohesion(spark):
     # every member routes somewhere; centroid members sit at sim ~1
     top = max(r["mean_sim"] for r in rep)
     assert top > 0.9
+
+
+def test_duplicate_spans_semantics_and_hash_parity(spark):
+    """Shared k-token spans pair the right documents; ubiquitous spans
+    (df above the cap) never pair; the hashed scale path returns the
+    identical pair set as the string-key oracle path."""
+    from flink_psl_spark.llm import duplicate_spans
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words {quote} trailing one"),
+            (2, f"other start {quote} different end"),
+            (3, "completely unrelated text with no shared span at all ok"),
+        ]
+        # a 4-token span present in EVERY doc → df=12 > cap, never pairs
+        + [(10 + i, f"common tail marker here filler{i}") for i in range(9)],
+        "doc_id int, text string",
+    )
+    pairs = duplicate_spans(
+        docs, k=8, max_span_df=4, hashed=False
+    ).collect()
+    assert {(r["a"], r["b"]) for r in pairs} == {(1, 2)}
+    # doc 1 and 2 share the 9-token quote → two overlapping 8-shingles
+    assert pairs[0]["n_shared"] == 2
+    hashed = duplicate_spans(docs, k=8, max_span_df=4, hashed=True).collect()
+    assert sorted(map(tuple, hashed)) == sorted(map(tuple, pairs))
