@@ -309,21 +309,23 @@ def distribution_drift(
         .join(nc, on="bucket", how="left")
         .na.fill({"n_old": 0, "n_new": 0})
     )
-    totals = j.agg(
-        F.sum("n_old").alias("__no"), F.sum("n_new").alias("__nn")
+    # totals via an unpartitioned window over the n_buckets-row frame —
+    # parameter-sized by construction, and ONE lineage: a separate
+    # totals aggregate + cross join would recompute both corpus scans
+    from pyspark.sql import Window
+
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    j = j.withColumn("__no", F.sum("n_old").over(w_all)).withColumn(
+        "__nn", F.sum("n_new").over(w_all)
     )
     p = (F.col("n_old") + F.lit(1.0)) / (F.col("__no") + F.lit(float(n_buckets)))
     q = (F.col("n_new") + F.lit(1.0)) / (F.col("__nn") + F.lit(float(n_buckets)))
-    return (
-        j.crossJoin(F.broadcast(totals))
-        .withColumn(
-            "psi_q",
-            F.floor((p - q) * F.log(p / q) * F.lit(1000000000.0)).cast(
-                "bigint"
-            ),
-        )
-        .select("bucket", "n_old", "n_new", "psi_q")
-    )
+    return j.withColumn(
+        "psi_q",
+        F.floor((p - q) * F.log(p / q) * F.lit(1000000000.0)).cast("bigint"),
+    ).select("bucket", "n_old", "n_new", "psi_q")
 
 
 def detect_metric_anomalies(

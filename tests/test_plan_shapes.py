@@ -374,3 +374,35 @@ def test_importance_resample_plan(spark, sf_dir, t):
     assert "BroadcastHashJoin" in p
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
+
+
+def test_distribution_drift_scans_each_side_once(spark, t):
+    """The PSI report must not recompute the corpus scans: exactly one
+    scan per snapshot side (totals come from a parameter-sized window
+    over the bucket frame, not a second aggregation branch)."""
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.operators.validation import distribution_drift
+
+    cut = F.lit("1998-01-01").cast("timestamp")
+    old = t["orders"].where(F.col("o_orderdate") < cut)
+    new = t["orders"].where(F.col("o_orderdate") >= cut)
+    plan = (
+        distribution_drift(old, new, "o_totalprice", lo=0, hi=500000)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("FileScan parquet") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_duplicate_spans_no_cartesian(spark, t):
+    """The span self-join must be an equi-join on the span key (df cap
+    bounds fan-out) — never a cartesian/broadcast-nested-loop."""
+    from flink_psl_spark.llm import duplicate_spans
+
+    plan = (
+        duplicate_spans(t["documents"], k=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
