@@ -28,9 +28,11 @@ from flink_psl_spark.operators.changelog import (  # noqa: F401
 )
 from flink_psl_spark.operators.skew import salted_agg, salted_join  # noqa: F401
 from flink_psl_spark.operators.validation import (  # noqa: F401
+    bucket_counts,
     detect_metric_anomalies,
     distribution_drift,
     foreign_key,
+    psi_report,
     in_range,
     in_set,
     matches,

@@ -280,40 +280,72 @@ def distribution_drift(
     ``range(n_buckets)`` spine, totals cross-joined as one broadcast
     row. Nothing is corpus-sized after the scans.
     """
-    width = (hi - lo) / n_buckets
-    spark = old.sparkSession
-
-    def bucketize(df: DataFrame, out: str) -> DataFrame:
-        b = F.least(
-            F.lit(n_buckets - 1),
-            F.greatest(
-                F.lit(0),
-                F.floor(
-                    (F.col(col).cast("double") - F.lit(float(lo)))
-                    / F.lit(float(width))
-                ).cast("int"),
-            ),
-        )
-        return (
-            df.where(F.col(col).isNotNull())
-            .select(b.alias("bucket"))
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias(out))
-        )
-
-    oc = bucketize(old, "n_old")
-    nc = bucketize(new, "n_new")
-    spine = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
-    j = (
-        spine.join(oc, on="bucket", how="left")
-        .join(nc, on="bucket", how="left")
-        .na.fill({"n_old": 0, "n_new": 0})
+    oc = bucket_counts(
+        old, col, lo=lo, hi=hi, n_buckets=n_buckets, out="n_old"
     )
-    # totals via an unpartitioned window over the n_buckets-row frame —
-    # parameter-sized by construction, and ONE lineage: a separate
-    # totals aggregate + cross join would recompute both corpus scans
+    nc = bucket_counts(
+        new, col, lo=lo, hi=hi, n_buckets=n_buckets, out="n_new"
+    )
+    return psi_report(oc, nc, n_buckets=n_buckets)
+
+
+def bucket_counts(
+    df: DataFrame,
+    col: str,
+    *,
+    lo: float,
+    hi: float,
+    n_buckets: int = 20,
+    out: str = "n",
+) -> DataFrame:
+    """Fixed-width bucket counts of a numeric column over [lo, hi) —
+    outliers clamp into the edge buckets, NULLs drop. Works on batch
+    AND streaming frames (a streaming input yields a complete-mode
+    global count aggregation — the live side of a drift monitor)."""
+    width = (hi - lo) / n_buckets
+    b = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                (F.col(col).cast("double") - F.lit(float(lo)))
+                / F.lit(float(width))
+            ).cast("int"),
+        ),
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias(out))
+    )
+
+
+def psi_report(
+    old_counts: DataFrame,
+    new_counts: DataFrame,
+    *,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """The PSI math over two pre-bucketed count frames
+    (``(bucket, n_old)`` / ``(bucket, n_new)``) — split out of
+    ``distribution_drift`` so a STREAMED side (complete-mode
+    ``bucket_counts`` materialized per trigger) composes with a static
+    reference. Everything here is parameter-sized: the spine is
+    ``range(n_buckets)``, totals come from an unpartitioned window over
+    the n_buckets-row frame (one lineage — a totals aggregate + cross
+    join would recompute the upstream scans)."""
     from pyspark.sql import Window
 
+    spark = old_counts.sparkSession
+    spine = spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    j = (
+        spine.join(old_counts, on="bucket", how="left")
+        .join(new_counts, on="bucket", how="left")
+        .na.fill({"n_old": 0, "n_new": 0})
+    )
     w_all = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )

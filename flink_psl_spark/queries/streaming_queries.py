@@ -1222,6 +1222,63 @@ def stream_validation_ingest(spark, sf_dir):
 
 
 @query(
+    "stream_drift_ingest",
+    # live drift monitor: streamed corpus's n_chars distribution vs the
+    # static English-reference distribution; counts are complete-mode
+    # global aggregates, so the batch restatement is exact
+    oracle="""
+    WITH ob AS (
+      SELECT LEAST(11, GREATEST(0,
+               CAST(FLOOR((n_chars - 0.0) / 50.0) AS INTEGER))) AS bucket
+      FROM documents WHERE n_chars IS NOT NULL AND lang = 'en'),
+    nb AS (
+      SELECT LEAST(11, GREATEST(0,
+               CAST(FLOOR((n_chars - 0.0) / 50.0) AS INTEGER))) AS bucket
+      FROM documents WHERE n_chars IS NOT NULL),
+    oc AS (SELECT bucket, COUNT(*) AS n_old FROM ob GROUP BY bucket),
+    nc AS (SELECT bucket, COUNT(*) AS n_new FROM nb GROUP BY bucket),
+    spine AS (SELECT UNNEST(RANGE(0, 12)) AS bucket),
+    j AS (
+      SELECT CAST(s.bucket AS INTEGER) AS bucket,
+             CAST(COALESCE(oc.n_old, 0) AS BIGINT) AS n_old,
+             CAST(COALESCE(nc.n_new, 0) AS BIGINT) AS n_new
+      FROM spine s
+      LEFT JOIN oc ON s.bucket = oc.bucket
+      LEFT JOIN nc ON s.bucket = nc.bucket),
+    tot AS (SELECT SUM(n_old) AS no, SUM(n_new) AS nn FROM j)
+    SELECT bucket, n_old, n_new,
+           CAST(FLOOR(((n_old + 1.0) / (no + 12.0)
+                       - (n_new + 1.0) / (nn + 12.0))
+                 * LN(((n_old + 1.0) / (no + 12.0))
+                      / ((n_new + 1.0) / (nn + 12.0)))
+                 * 1000000000.0) AS BIGINT) AS psi_q
+    FROM j, tot
+    """,
+)
+def stream_drift_ingest(spark, sf_dir):
+    """CONTINUOUS drift monitoring: the corpus replayed as a stream,
+    its n_chars bucket counts maintained as complete-mode streaming
+    aggregation state, compared per trigger against a static reference
+    distribution (here: the English subset) through the same quantized
+    PSI math as the batch gate. Counts are associative, so arrival
+    order cannot change the report."""
+    from flink_psl_spark.operators.validation import bucket_counts, psi_report
+    from flink_psl_spark.streaming import run_to_memory_table, stream_from_parquet
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = bucket_counts(
+        docs.where(F.col("lang") == "en"), "n_chars",
+        lo=0, hi=600, n_buckets=12, out="n_old",
+    )
+    live = stream_from_parquet(spark, f"{sf_dir}/documents.parquet")
+    live_counts = run_to_memory_table(
+        bucket_counts(live, "n_chars", lo=0, hi=600, n_buckets=12, out="n_new"),
+        output_mode="complete",
+    )
+    return psi_report(ref, live_counts, n_buckets=12)
+
+
+@query(
     "stream_timer_session_agg",
     # the same gap-session islands as stream_session_agg, restricted to
     # sessions the final watermark (max ts - 10 min delay) has finalized —
