@@ -132,8 +132,11 @@ def _fold_row_checks(
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(row_checks):
         aggs.append(
-            F.sum(F.when(c.predicate, 1).otherwise(0))
-            .cast("bigint").alias(f"__v_{i}")
+            # coalesce: SUM over an EMPTY table is NULL — an empty
+            # input has zero violations, not an unknown count
+            F.coalesce(
+                F.sum(F.when(c.predicate, 1).otherwise(0)), F.lit(0)
+            ).cast("bigint").alias(f"__v_{i}")
         )
     wide = df.agg(*aggs)
     entries = [

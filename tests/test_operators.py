@@ -660,3 +660,32 @@ def test_distribution_drift_psi(spark):
     }
     assert edge[9]["n_old"] == 1 and edge[0]["n_old"] == 1
     assert sum(r["n_old"] for r in edge.values()) == 2  # NULL excluded
+
+
+def test_validate_table_empty_input(spark):
+    """An empty table has ZERO violations on row checks (not NULL from
+    the empty SUM), fails min_rows with the full shortfall, and passes
+    unique/fk trivially."""
+    from flink_psl_spark.operators import validation as V
+
+    df = spark.createDataFrame([], "k int, ref int")
+    ref = spark.createDataFrame([(1,)], "id int")
+    rows = {
+        r["check"]: r
+        for r in V.validate_table(
+            df,
+            [
+                V.not_null("k"),
+                V.in_range("k", 0, 10),
+                V.min_rows(5),
+                V.unique("k"),
+                V.foreign_key("ref", ref, "id"),
+            ],
+        ).collect()
+    }
+    assert rows["not_null"]["violations"] == 0
+    assert rows["not_null"]["passed"] is True
+    assert rows["in_range"]["violations"] == 0
+    assert rows["min_rows"]["violations"] == 5
+    assert rows["unique"]["violations"] == 0
+    assert rows["foreign_key"]["violations"] == 0
