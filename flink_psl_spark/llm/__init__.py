@@ -23,6 +23,7 @@ and all text feature extraction is expression-only (whole-stage codegen).
 from flink_psl_spark.llm.dedup import (  # noqa: F401
     boilerplate_removal,
     duplicate_spans,
+    remove_duplicate_spans,
     segment_dedup,
     exact_dedup,
     minhash_signatures,

@@ -669,3 +669,97 @@ def duplicate_spans(
         .where(F.col("n_shared") >= min_shared)
     )
     return pairs
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    max_span_df: int = 8,
+) -> DataFrame:
+    """Substring-level dedup as a TRANSFORMATION — the action
+    counterpart of :func:`duplicate_spans` (Lee et al.'s ExactSubstr
+    recipe): every duplicated ``k``-token span is kept only in its
+    OWNER document (the lowest id containing it) and its token
+    positions are cut from every other document, which is then
+    reassembled from its surviving tokens (single-space joined —
+    whitespace is already normalized by tokenization).
+
+    Policy notes: the owner keeps ALL its occurrences of the span;
+    spans above ``max_span_df`` distinct documents are left alone —
+    corpus-wide boilerplate is :func:`boilerplate_removal`'s job, and
+    the cap bounds the coverage fan-out per span key. Documents shorter
+    than ``k`` tokens pass through untouched; a document whose every
+    token is covered comes back as the empty string (callers typically
+    filter those).
+
+    Scale shape: positional shingles explode row-locally; ownership is
+    one aggregation keyed by span; coverage is a bounded explode (k
+    positions per dropped span occurrence) then a per-doc anti join;
+    reassembly is one aggregation keyed by doc. No pair join at all —
+    unlike detection, removal never materializes document pairs.
+    """
+    from flink_psl_spark.llm.text import tokenize
+
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(tokenize(F.col(text_col))).alias("__pos", "__tok"),
+    )
+    w = tokenize(F.col(text_col))
+    count = F.size(w) - (k - 1)
+    positional = F.when(
+        count < 1, F.array().cast("array<struct<start:int,span:string>>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), count - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("start"),
+                F.concat_ws(" ", F.slice(w, i + 1, k)).alias("span"),
+            ),
+        )
+    )
+    spans = docs.select(
+        F.col(id_col).alias("__id"), F.explode(positional).alias("__s")
+    ).select("__id", F.col("__s.start").alias("__start"), F.col("__s.span").alias("__span"))
+    owners = (
+        spans.groupBy("__span")
+        .agg(
+            F.min("__id").alias("__owner"),
+            F.count_distinct("__id").alias("__df"),
+        )
+        .where((F.col("__df") >= 2) & (F.col("__df") <= max_span_df))
+        .select("__span", "__owner")
+    )
+    covered = (
+        spans.join(owners, on="__span")
+        .where(F.col("__id") != F.col("__owner"))
+        .select(
+            "__id",
+            F.explode(
+                F.sequence(F.col("__start"), F.col("__start") + (k - 1))
+            ).alias("__pos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(covered, on=["__id", "__pos"], how="left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__tok"))
+                ),
+                lambda s: s["__tok"],
+            ),
+        ).alias("__text")
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(rebuilt, docs[id_col] == rebuilt["__id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
+        )
+    )

@@ -2688,6 +2688,52 @@ def llm_duplicate_spans(spark, sf_dir):
 
 
 @query(
+    "llm_span_dedup_rewrite",
+    # the removal policy replayed in SQL: 1-based positions there,
+    # 0-based in Spark — internal only, the rebuilt text is compared
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN TRIM(text) = '' THEN []::VARCHAR[]
+                  ELSE STRING_SPLIT_REGEX(TRIM(text), '\\s+') END AS w
+      FROM documents),
+    tok AS (
+      SELECT doc_id, UNNEST(w) AS tok, GENERATE_SUBSCRIPTS(w, 1) AS pos
+      FROM d),
+    sp AS (
+      SELECT doc_id, i AS start, array_to_string(w[i:i+7], ' ') AS span
+      FROM d, UNNEST(RANGE(1, GREATEST(LEN(w) - 7, 0) + 1)) t(i)),
+    own AS (
+      SELECT span, MIN(doc_id) AS owner
+      FROM (SELECT span, doc_id FROM sp GROUP BY span, doc_id)
+      GROUP BY span HAVING COUNT(*) BETWEEN 2 AND 8),
+    cov AS (
+      SELECT DISTINCT s.doc_id, UNNEST(RANGE(s.start, s.start + 8)) AS pos
+      FROM sp s JOIN own o USING (span)
+      WHERE s.doc_id <> o.owner),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+      WHERE c.doc_id IS NULL),
+    agg AS (
+      SELECT doc_id, STRING_AGG(tok, ' ' ORDER BY pos) AS text
+      FROM kept GROUP BY doc_id)
+    SELECT d0.doc_id, COALESCE(a.text, '') AS text
+    FROM documents d0 LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def llm_span_dedup_rewrite(spark, sf_dir):
+    """ExactSubstr dedup as a rewrite: duplicated 8-token spans survive
+    only in their lowest-id owner; every other document is reassembled
+    without them. No pair join — ownership is one span-keyed agg,
+    coverage a bounded explode, reassembly one doc-keyed agg."""
+    from flink_psl_spark.llm import remove_duplicate_spans
+
+    t = tables(spark, sf_dir)
+    return remove_duplicate_spans(t["documents"], k=8, max_span_df=8)
+
+
+@query(
     "llm_cluster_report",
     # same routing as semantic dedup / diversity sample; per-member
     # centroid similarity quantized to floor(sim*1e6) BEFORE the

@@ -1122,3 +1122,36 @@ def test_duplicate_spans_semantics_and_hash_parity(spark):
     assert pairs[0]["n_shared"] == 2
     hashed = duplicate_spans(docs, k=8, max_span_df=4, hashed=True).collect()
     assert sorted(map(tuple, hashed)) == sorted(map(tuple, pairs))
+
+
+def test_remove_duplicate_spans_policy(spark):
+    """The owner (lowest id) keeps the span; every other doc loses
+    exactly the covered tokens; short docs and unique text pass
+    through; a fully-covered doc returns the empty string."""
+    from flink_psl_spark.llm import duplicate_spans, remove_duplicate_spans
+
+    quote = "q1 q2 q3 q4 q5 q6 q7 q8"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{quote} suffix stays"),
+            (2, f"prefix kept {quote}"),
+            (3, quote),          # nothing but the span → empty after cut
+            (4, "short doc"),
+            (5, "totally unique text with eight distinct tokens here ok"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_spans(docs, k=8).collect()
+    }
+    assert out[1] == f"{quote} suffix stays"  # owner untouched
+    assert out[2] == "prefix kept"
+    assert out[3] == ""
+    assert out[4] == "short doc"
+    assert out[5] == "totally unique text with eight distinct tokens here ok"
+    # post-condition: the rewrite kills the detection signal
+    rewritten = spark.createDataFrame(
+        [(k, v) for k, v in out.items()], "doc_id int, text string"
+    )
+    assert duplicate_spans(rewritten, k=8, hashed=False).count() == 0
