@@ -107,3 +107,86 @@ def cobucketed_join(
             f"{right_table}={ri['num_buckets']}"
         )
     return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
+
+
+def zorder_key(
+    cols: list,
+    *,
+    ranges: list[tuple[float, float]],
+    bits: int = 16,
+):
+    """Z-order (Morton) interleave key over N numeric columns — the
+    multi-dimensional clustering key for data-layout optimization at
+    100 TB: sort/range-partition a table by this key before writing and
+    rows close in EVERY dimension land in the same parquet row groups,
+    so min/max statistics prune scans for predicates on ANY of the
+    dimensions (single-column sort orders only prune their own column).
+
+    Each column is quantized to ``bits`` bits over its declared
+    ``(lo, hi)`` range (outliers clamp; NULLs quantize to 0 — they sort
+    first), then the bit planes interleave column-major:
+    bit i of column j lands at position ``i*N + j``. Pure integer
+    expression (≤ 64 bits total — ``bits * len(cols) <= 63`` enforced),
+    codegen-friendly, replayable in any engine.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder needs at least 2 columns")
+    if bits * n > 63:
+        raise ValueError(f"bits*cols = {bits * n} exceeds the 63-bit budget")
+    if len(ranges) != n:
+        raise ValueError("one (lo, hi) range per column required")
+    planes = []
+    for j, (c, (lo, hi)) in enumerate(zip(cols, ranges)):
+        width = (hi - lo) / (1 << bits)
+        q = F.least(
+            F.lit((1 << bits) - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(float(lo)))
+                    / F.lit(float(width))
+                ),
+            ),
+        ).cast("bigint")
+        q = F.coalesce(q, F.lit(0).cast("bigint"))
+        for i in range(bits):
+            planes.append(
+                F.shiftleft(
+                    F.shiftright(q, i).bitwiseAND(F.lit(1)), i * n + j
+                )
+            )
+    key = planes[0]
+    for p in planes[1:]:
+        key = key.bitwiseOR(p)
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list,
+    *,
+    ranges: list[tuple[float, float]],
+    bits: int = 16,
+    num_files: int = 64,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` clustered by the Z-order key: range-partition on the
+    key (``num_files`` output splits — size so each lands 128–512 MB),
+    sort within partitions, drop the helper column. Every retained
+    column's parquet min/max then prunes row groups for predicates on
+    any Z-ordered dimension."""
+    z = zorder_key(cols, ranges=ranges, bits=bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.format(fmt)
+        .mode(mode)
+        .save(path)
+    )

@@ -1399,3 +1399,83 @@ def distribution_drift_report(spark, sf_dir):
     return distribution_drift(
         old, new, "o_totalprice", lo=0.0, hi=500000.0, n_buckets=20
     )
+
+
+def _zorder_sql(cols_ranges: list, bits: int) -> str:
+    """The Morton interleave as portable SQL — generated to mirror
+    zorder_key's bit planes exactly (bit i of column j → i*N + j)."""
+    n = len(cols_ranges)
+    terms = []
+    for j, (col, lo, hi) in enumerate(cols_ranges):
+        width = (hi - lo) / (1 << bits)
+        q = (
+            f"COALESCE(LEAST({(1 << bits) - 1}, GREATEST(0, "
+            f"CAST(FLOOR(({col} - {lo:.1f}) / {width!r}) AS BIGINT))), 0)"
+        )
+        for i in range(bits):
+            terms.append(f"((({q} >> {i}) & 1) << {i * n + j})")
+    return " | ".join(terms)
+
+
+@query(
+    "zorder_clustering_report",
+    # clustering quality after a Z-order sort: 16 equal row-ranges of
+    # the z-ordered sequence, each reporting its min/max in BOTH
+    # dimensions — tight ranges in every bucket are what parquet
+    # row-group min/max pruning needs; bucket = floor((rn-1)*16/n) is
+    # exact integer math (NTILE's uneven-split rule varies by engine)
+    oracle=f"""
+    WITH z AS (
+      SELECT user_id, value,
+             {_zorder_sql([("user_id", 0.0, 256.0), ("value", 0.0, 512.0)], 8)} AS zkey,
+             event_id
+      FROM events),
+    r AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (ORDER BY zkey, event_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM z)
+    SELECT CAST(FLOOR((rn - 1) * 16 / n) AS INTEGER) AS bucket,
+           CAST(MIN(user_id) AS BIGINT) AS min_user,
+           CAST(MAX(user_id) AS BIGINT) AS max_user,
+           ROUND(MIN(value), 6) AS min_value,
+           ROUND(MAX(value), 6) AS max_value,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM r GROUP BY 1
+    """,
+)
+def zorder_clustering_report(spark, sf_dir):
+    """Z-order layout verification: after Morton-interleave sorting on
+    (user_id, value), each of 16 row-ranges stays tight in BOTH
+    dimensions — the property that lets parquet min/max statistics
+    prune scans for predicates on either column. The write-side
+    counterpart is write_zordered (range-partition + sort by the same
+    key)."""
+    from flink_psl_spark.llm.sampling import distributed_ntile
+    from flink_psl_spark.operators.bucketing import zorder_key
+
+    t = tables(spark, sf_dir)
+    z = zorder_key(
+        ["user_id", "value"], ranges=[(0.0, 256.0), (0.0, 512.0)], bits=8
+    )
+    ev = t["events"].select(
+        "user_id", "value", z.alias("zkey"), "event_id"
+    )
+    # scale-safe global rank: two-pass prefix sum over coarse z-bins —
+    # never the corpus-sized single-partition window
+    tiled = distributed_ntile(
+        ev, "zkey", "event_id", n_tiles=16, out_col="__tile",
+        bin_col=F.floor(F.col("zkey") / 4096),
+    )
+    return (
+        tiled.groupBy(
+            (F.col("__tile") - 1).cast("int").alias("bucket")
+        )
+        .agg(
+            F.min("user_id").cast("bigint").alias("min_user"),
+            F.max("user_id").cast("bigint").alias("max_user"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

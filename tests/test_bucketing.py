@@ -106,3 +106,59 @@ def test_bucket_info_and_validation(spark, t, bucketed_pair):
     finally:
         for tbl in ("bo2", "bc2", "bc8", "nb"):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_zorder_key_interleave_and_bounds(spark):
+    """Morton key: known interleave values, clamping, NULL→0, and the
+    63-bit budget / arity guards."""
+    import pytest as _pytest
+
+    from flink_psl_spark.operators.bucketing import zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 1), (255, 255), (0, 255), (None, 3), (999, -5)],
+        "x int, y int",
+    )
+    z = zorder_key(["x", "y"], ranges=[(0, 256), (0, 256)], bits=8)
+    got = [r["z"] for r in df.select(z.alias("z")).collect()]
+    #  (1,1) → 0b11 = 3; (255,255) → 65535; (0,255) → odd bit planes
+    assert got[0] == 0 and got[1] == 3 and got[2] == 65535
+    assert got[3] == 0b1010101010101010
+    assert got[4] == 0b1010  # NULL x → 0; y=3 → odd planes 1 and 3
+    assert got[5] == 0b0101010101010101  # x clamps to 255, y clamps to 0
+    with _pytest.raises(ValueError, match="63-bit"):
+        zorder_key(["x", "y"], ranges=[(0, 1), (0, 1)], bits=32)
+    with _pytest.raises(ValueError, match="at least 2"):
+        zorder_key(["x"], ranges=[(0, 1)], bits=8)
+
+
+def test_write_zordered_clusters_files(spark, t, tmp_path):
+    """A z-ordered write produces range-disjoint files in key order so
+    BOTH dimensions stay tight per file — read back and check each
+    partition's spans are narrower than the global span."""
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.operators.bucketing import write_zordered
+
+    path = str(tmp_path / "zev")
+    ev = t["events"].select("user_id", "value")
+    write_zordered(
+        ev, path, ["user_id", "value"],
+        ranges=[(0.0, 256.0), (0.0, 512.0)], bits=8, num_files=8,
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count()
+    spans = (
+        back.withColumn("__f", F.input_file_name())
+        .groupBy("__f")
+        .agg(
+            (F.max("user_id") - F.min("user_id")).alias("du"),
+            (F.max("value") - F.min("value")).alias("dv"),
+        )
+        .collect()
+    )
+    assert len(spans) >= 4
+    # average per-file span is well under the global span in both dims
+    avg_du = sum(r["du"] for r in spans) / len(spans)
+    avg_dv = sum(r["dv"] for r in spans) / len(spans)
+    assert avg_du < 150 * 0.8 and avg_dv < 490 * 0.8
