@@ -23,6 +23,7 @@ from flink_psl_spark.operators.changelog import (  # noqa: F401
     ROWKIND_COL,
     changelog_normalize,
     drop_update_before,
+    scd2_history,
     snapshot_diff,
     to_changelog,
 )

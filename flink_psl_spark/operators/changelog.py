@@ -128,6 +128,45 @@ def snapshot_diff(
     )
 
 
+def scd2_history(
+    changes: DataFrame,
+    keys: str | list[str],
+    version_ts: str,
+    *,
+    op_col: str = ROWKIND_COL,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 history from a keyed changelog:
+    every I/U event opens a version valid from its timestamp; the next
+    event on the key closes it; a D closes the open version without
+    opening one. Output adds ``valid_from``, ``valid_to`` (NULL while
+    open) and ``is_current`` — exactly the versioned-table shape the
+    temporal/as-of join layer consumes (``FOR SYSTEM_TIME AS OF``
+    probes resolve to the version whose [valid_from, valid_to) interval
+    contains the probe time), so ``snapshot_diff`` → ``scd2_history`` →
+    ``asof_join`` is the full periodic-dump-to-temporal-join pipeline.
+
+    One shuffle keyed by ``keys``; the closing timestamp is a ``lead``
+    over the per-key event order ``(version_ts, op_col, *tiebreak)`` —
+    pass a unique ``tiebreak`` (an event/LSN id) when a key can carry
+    several changes at one timestamp, else version boundaries on ties
+    are engine-arbitrary.
+    """
+    from pyspark.sql import Window
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    w = Window.partitionBy(*keys).orderBy(
+        version_ts, op_col, *(tiebreak or [])
+    )
+    closed = changes.withColumn(
+        "valid_to", F.lead(version_ts).over(w)
+    ).withColumn("valid_from", F.col(version_ts))
+    versions = closed.where(F.col(op_col) != "D")
+    return versions.withColumn(
+        "is_current", F.col("valid_to").isNull()
+    ).drop(op_col)
+
+
 def non_deterministic_expressions(df: DataFrame) -> list[str]:
     """All non-deterministic expressions in the frame's analyzed plan —
     the engine-level input to non-deterministic-update (NDU) analysis

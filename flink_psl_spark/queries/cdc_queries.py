@@ -561,3 +561,49 @@ def ndu_analysis(spark, sf_dir):
     return spark.createDataFrame(
         rows, "plan string, nd_expr string, try_resolve_ok boolean"
     )
+
+
+@query(
+    "scd2_dimension_history",
+    # events as a user-dimension changelog (signup=I, error=D, rest=U):
+    # LEAD over (ts, op, event_id) closes each version; D rows close
+    # without opening
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, ts, value, event_id,
+             CASE event_type WHEN 'signup' THEN 'I'
+                             WHEN 'error' THEN 'D'
+                             ELSE 'U' END AS op
+      FROM events),
+    c2 AS (
+      SELECT user_id, ts, value, op,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, op, event_id) AS valid_to
+      FROM ch)
+    SELECT user_id, ROUND(value, 6) AS value,
+           ts AS valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM c2 WHERE op <> 'D'
+    """,
+)
+def scd2_dimension_history(spark, sf_dir):
+    """SCD Type 2 dimension maintenance from a changelog: every I/U
+    opens a version, the key's next event closes it, D closes without
+    opening — producing exactly the versioned-table shape the
+    temporal/as-of join layer consumes. One shuffle on the key."""
+    from flink_psl_spark.operators.changelog import scd2_history
+
+    t = tables(spark, sf_dir)
+    ch = t["events"].select(
+        "user_id",
+        "ts",
+        F.round("value", 6).alias("value"),
+        "event_id",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("__op"),
+    )
+    return scd2_history(
+        ch, "user_id", "ts", tiebreak=["event_id"]
+    ).select("user_id", "value", "valid_from", "valid_to", "is_current")

@@ -290,3 +290,52 @@ def test_ndu_analysis_flags_and_gates(spark, t):
     assert assert_deterministic_updates(dirty, strategy="IGNORE") == nd
     with pytest.raises(ValueError, match="non-deterministic"):
         assert_deterministic_updates(dirty)
+
+
+def test_scd2_history_versions_and_temporal_probe(spark):
+    """SCD2: I/U open versions, the next event closes them, D closes
+    without opening; the produced intervals answer point-in-time
+    probes (the temporal-join contract)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.operators.changelog import scd2_history
+
+    TS = lambda h: dt.datetime(2024, 1, 1, h)  # noqa: E731
+    ch = spark.createDataFrame(
+        [
+            (1, TS(1), "v1", "I", 1),
+            (1, TS(3), "v2", "U", 2),
+            (1, TS(5), None, "D", 3),
+            (1, TS(7), "v3", "I", 4),   # re-insert after delete
+            (2, TS(2), "w1", "I", 5),
+        ],
+        "k int, ts timestamp, attr string, __op string, seq int",
+    )
+    hist = scd2_history(ch, "k", "ts", tiebreak=["seq"])
+    rows = sorted(
+        (r["k"], r["attr"], r["valid_from"].hour,
+         r["valid_to"].hour if r["valid_to"] else None, r["is_current"])
+        for r in hist.collect()
+    )
+    assert rows == [
+        (1, "v1", 1, 3, False),
+        (1, "v2", 3, 5, False),   # closed by the delete
+        (1, "v3", 7, None, True),
+        (2, "w1", 2, None, True),
+    ]
+    # point-in-time probe at hour 4 resolves to v2; at hour 6 (after the
+    # delete, before the re-insert) resolves to nothing
+    at4 = hist.where(
+        (F.col("k") == 1)
+        & (F.col("valid_from") <= TS(4))
+        & ((F.col("valid_to") > TS(4)) | F.col("valid_to").isNull())
+    )
+    assert [r["attr"] for r in at4.collect()] == ["v2"]
+    at6 = hist.where(
+        (F.col("k") == 1)
+        & (F.col("valid_from") <= TS(6))
+        & ((F.col("valid_to") > TS(6)) | F.col("valid_to").isNull())
+    )
+    assert at6.count() == 0
