@@ -607,3 +607,60 @@ def scd2_dimension_history(spark, sf_dir):
     return scd2_history(
         ch, "user_id", "ts", tiebreak=["event_id"]
     ).select("user_id", "value", "valid_from", "valid_to", "is_current")
+
+
+@query(
+    "stream_scd2_dimension",
+    # identical contract to the batch scd2_dimension_history: the
+    # recompute-affected-keys sink must converge to the batch history
+    # regardless of micro-batch splits
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, ts, value, event_id,
+             CASE event_type WHEN 'signup' THEN 'I'
+                             WHEN 'error' THEN 'D'
+                             ELSE 'U' END AS op
+      FROM events),
+    c2 AS (
+      SELECT user_id, ts, value, op,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, op, event_id) AS valid_to
+      FROM ch)
+    SELECT user_id, ROUND(value, 6) AS value,
+           ts AS valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM c2 WHERE op <> 'D'
+    """,
+)
+def stream_scd2_dimension(spark, sf_dir):
+    """STREAMING SCD2: the events changelog replayed as a stream into
+    the recompute-affected-keys foreachBatch sink (idempotent per-batch
+    event-store partitions — exactly-once under replay); the
+    materialized dimension must equal the batch scd2_history exactly."""
+    import tempfile
+
+    from flink_psl_spark.cdc import scd2_into_parquet
+    from flink_psl_spark.streaming import stream_from_parquet
+
+    base = tempfile.mkdtemp(prefix="fps_scd2_")
+    dim, ev_store, ckpt = f"{base}/dim", f"{base}/events", f"{base}/ckpt"
+    stream = stream_from_parquet(spark, f"{sf_dir}/events.parquet")
+    ch = stream.select(
+        "user_id",
+        "ts",
+        F.round("value", 6).alias("value"),
+        "event_id",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("__op"),
+    )
+    q = scd2_into_parquet(
+        ch, dim, "user_id", "ts",
+        checkpoint=ckpt, events_path=ev_store,
+        tiebreak=["event_id"], available_now=True,
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(dim).select(
+        "user_id", "value", "valid_from", "valid_to", "is_current"
+    )

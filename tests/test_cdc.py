@@ -339,3 +339,61 @@ def test_scd2_history_versions_and_temporal_probe(spark):
         & ((F.col("valid_to") > TS(6)) | F.col("valid_to").isNull())
     )
     assert at6.count() == 0
+
+
+def test_scd2_into_parquet_multibatch_converges(spark, tmp_path):
+    """The streaming SCD2 sink must converge to the batch scd2_history
+    even when a key's events are SPLIT ACROSS micro-batches (one input
+    file per trigger forces multiple batches here)."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.cdc import scd2_into_parquet
+    from flink_psl_spark.operators.changelog import scd2_history
+    from flink_psl_spark.streaming import stream_from_parquet
+
+    TS = lambda h: dt.datetime(2024, 1, 1, h)  # noqa: E731
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # batch 1: the LATER half of key 1's history arrives first
+    spark.createDataFrame(
+        [(1, TS(5), "v3", "U", 3), (2, TS(2), "w1", "I", 4)],
+        "k int, ts timestamp, attr string, __op string, seq int",
+    ).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        [(1, TS(1), "v1", "I", 1), (1, TS(3), "v2", "U", 2)],
+        "k int, ts timestamp, attr string, __op string, seq int",
+    ).coalesce(1).write.parquet(src + "/f2")
+
+    files = spark.read.option("recursiveFileLookup", "true").parquet(src)
+    all_events = files
+    stream = (
+        spark.readStream.schema(files.schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = scd2_into_parquet(
+        stream, str(tmp_path / "dim"), "k", "ts",
+        checkpoint=str(tmp_path / "ckpt"),
+        events_path=str(tmp_path / "store"),
+        tiebreak=["seq"], available_now=True,
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "dim"))
+            .select("k", "attr", "valid_from", "valid_to", "is_current")
+            .collect())
+    )
+    want = sorted(
+        map(tuple, scd2_history(all_events, "k", "ts", tiebreak=["seq"])
+            .select("k", "attr", "valid_from", "valid_to", "is_current")
+            .collect())
+    )
+    assert got == want
+    # key 1 history: v1[1,3) v2[3,5) v3[5,∞) — the late-arriving early
+    # events re-opened and closed correctly
+    k1 = [r for r in got if r[0] == 1]
+    assert len(k1) == 3 and k1[-1][4] is True
