@@ -194,3 +194,50 @@ def governance_extras(sf_dir: str = "/root/testdata/sf0.001") -> None:
     # 12. corpus reports: per-doc keywords and the vocabulary Zipf curve
     tfidf_top_terms(t["documents"], k=3).show(6)
     vocab_coverage(t["documents"], top_v=20).show(5)
+
+
+def monitoring_extras(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    """Round-6 monitoring + layout + history: PSI drift between
+    snapshots, metric anomalies over time, Z-order clustering, SCD2."""
+    from flink_psl_spark.operators import (
+        detect_metric_anomalies,
+        distribution_drift,
+        scd2_history,
+    )
+    from flink_psl_spark.operators.bucketing import zorder_key
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    t = register_tables(spark, sf_dir)
+
+    # 13. did the doc-length distribution shift between corpus halves?
+    a = t["documents"].where(F.col("doc_id") % 2 == 0)
+    b = t["documents"].where(F.col("doc_id") % 2 == 1)
+    drift = distribution_drift(a, b, "n_chars", lo=0, hi=600, n_buckets=12)
+    drift.agg((F.sum("psi_q") / 1e9).alias("total_psi")).show()
+
+    # 14. daily event counts, 3-sigma anomalies over a trailing week
+    daily = t["events"].groupBy(
+        F.col("event_type").alias("metric"),
+        F.date_trunc("day", "ts").alias("day"),
+    ).agg(F.count("*").alias("value"))
+    detect_metric_anomalies(daily, order_col="day", window=7).where(
+        F.col("is_anomaly")
+    ).show(3)
+
+    # 15. Z-order key for layout: rows close in BOTH dims cluster
+    t["events"].select(
+        "user_id", "value",
+        zorder_key(["user_id", "value"],
+                   ranges=[(0, 256), (0, 512)], bits=8).alias("zkey"),
+    ).orderBy("zkey").show(3)
+
+    # 16. versioned user dimension from the event changelog
+    ch = t["events"].select(
+        "user_id", "ts", "value", "event_id",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U").alias("__op"),
+    )
+    scd2_history(ch, "user_id", "ts", tiebreak=["event_id"]).where(
+        "is_current"
+    ).show(3)
