@@ -81,6 +81,7 @@ from flink_psl_spark.llm.text import (  # noqa: F401
     quality_band,
     language_id,
     fingerprint,
+    mixed_language_report,
     tfidf_top_terms,
     vocab_coverage,
 )

@@ -790,3 +790,59 @@ def vocab_coverage(
         )
         .select("rank", "token", "n", "cum_n", "coverage")
     )
+
+
+def mixed_language_report(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 20,
+    threshold: float = 0.03,
+) -> DataFrame:
+    """Within-document language mixing — the curation signal whole-doc
+    language ID misses: a document that switches language mid-stream
+    (boilerplate in one language wrapping content in another, code-
+    switching, concatenation artifacts) gets ONE dominant label from
+    :func:`language_id` yet is exactly what a monolingual training mix
+    must catch. Chunk the document into non-overlapping
+    ``chunk_tokens`` windows, language-ID each chunk with the same
+    stopword-profile heuristic, and report per document the chunk
+    count, the sorted distinct non-'und' chunk languages
+    (comma-joined), and ``is_mixed``.
+
+    Scale shape: chunking is a row-local explode in the scan stage,
+    per-chunk scoring is expression-only (codegen), and the report is
+    ONE aggregation keyed by the document id.
+    """
+    from flink_psl_spark.llm.chunking import chunk_documents
+
+    chunks = chunk_documents(
+        docs.select(F.col(id_col), F.col(text_col)),
+        chunk_tokens=chunk_tokens,
+        stride=chunk_tokens,
+        text_col=text_col,
+    )
+    per = chunks.select(
+        F.col(id_col),
+        language_id(F.col("chunk_text"), threshold).alias("__lang"),
+    )
+    return per.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.concat_ws(
+            ",",
+            F.array_sort(
+                F.collect_set(
+                    F.when(F.col("__lang") != "und", F.col("__lang"))
+                )
+            ),
+        ).alias("langs"),
+        (
+            F.size(
+                F.collect_set(
+                    F.when(F.col("__lang") != "und", F.col("__lang"))
+                )
+            )
+            > 1
+        ).alias("is_mixed"),
+    )

@@ -2688,6 +2688,75 @@ def llm_duplicate_spans(spark, sf_dir):
 
 
 @query(
+    "llm_mixed_language_report",
+    # the llm_language_id scoring CASE applied per 20-token chunk
+    # (lowercased tokens; en wins ties, then fr/de/es, strict-> rules
+    # identical to the whole-doc oracle), aggregated per doc
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_LTOKS} AS w FROM documents),
+    s AS (SELECT doc_id,
+                 w[start_token:start_token + 19] AS toks
+          FROM (SELECT doc_id, w,
+                       UNNEST(GENERATE_SERIES(1, GREATEST(LEN(w), 1), 20))
+                         AS start_token
+                FROM d)
+          WHERE LEN(w[start_token:start_token + 19]) > 0),
+    r AS (
+      SELECT doc_id,
+             CASE WHEN LEN(toks) = 0 THEN 0.0 ELSE
+               LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(['the','a','an','and',
+                 'or','of','to','in','is','are','was','were','be','been','it',
+                 'this','that','for','on','with','as','at','by','from','not',
+                 'no'], t))) * 1.0 / LEN(toks) END AS s_en,
+             CASE WHEN LEN(toks) = 0 THEN 0.0 ELSE
+               LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(['le','la','les','de',
+                 'des','un','une','et','est','dans','pour','que','qui','sur',
+                 'au','du'], t))) * 1.0 / LEN(toks) END AS s_fr,
+             CASE WHEN LEN(toks) = 0 THEN 0.0 ELSE
+               LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(['der','die','das',
+                 'und','ist','ein','eine','nicht','mit','für','von','auf',
+                 'dem','den'], t))) * 1.0 / LEN(toks) END AS s_de,
+             CASE WHEN LEN(toks) = 0 THEN 0.0 ELSE
+               LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(['el','la','los','las',
+                 'de','un','una','y','es','en','que','por','para','con',
+                 'del'], t))) * 1.0 / LEN(toks) END AS s_es
+      FROM s),
+    p AS (
+      SELECT doc_id,
+             CASE
+               WHEN s_en > 0.03 AND s_en >= s_fr AND s_en >= s_de
+                    AND s_en >= s_es THEN 'en'
+               WHEN s_fr > 0.03 AND s_fr > s_en AND s_fr >= s_de
+                    AND s_fr >= s_es THEN 'fr'
+               WHEN s_de > 0.03 AND s_de > s_en AND s_de > s_fr
+                    AND s_de >= s_es THEN 'de'
+               WHEN s_es > 0.03 AND s_es > s_en AND s_es > s_fr
+                    AND s_es > s_de THEN 'es'
+               ELSE 'und' END AS lang
+      FROM r)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(COALESCE(
+             LIST(lang) FILTER (WHERE lang <> 'und'), []))), ','), '')
+             AS langs,
+           LEN(LIST_DISTINCT(COALESCE(
+             LIST(lang) FILTER (WHERE lang <> 'und'), []))) > 1
+             AS is_mixed
+    FROM p GROUP BY doc_id
+    """,
+)
+def llm_mixed_language_report(spark, sf_dir):
+    """Within-document language mixing: language-ID every 20-token
+    chunk and flag documents whose chunks disagree — the
+    code-switching/concatenation-artifact signal whole-doc lang-ID
+    misses. Row-local chunk explode + expression scoring + one keyed
+    aggregation."""
+    from flink_psl_spark.llm.text import mixed_language_report
+
+    t = tables(spark, sf_dir)
+    return mixed_language_report(t["documents"], chunk_tokens=20)
+
+
+@query(
     "llm_span_dedup_rewrite",
     # the removal policy replayed in SQL: 1-based positions there,
     # 0-based in Spark — internal only, the rebuilt text is compared

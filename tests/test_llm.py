@@ -1155,3 +1155,30 @@ def test_remove_duplicate_spans_policy(spark):
         [(k, v) for k, v in out.items()], "doc_id int, text string"
     )
     assert duplicate_spans(rewritten, k=8, hashed=False).count() == 0
+
+
+def test_mixed_language_report_semantics(spark):
+    """A doc switching languages mid-stream flags as mixed; a
+    monolingual doc doesn't; all-und chunks give empty langs and
+    is_mixed False; empty docs emit no row (no chunks)."""
+    from flink_psl_spark.llm.text import mixed_language_report
+
+    en = "the cat is on the mat and it is a good day for the cat"
+    fr = "le chat est dans la maison et il est dans le jardin du chat"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{en} {fr}"),
+            (2, en),
+            (3, "zz xx qq ww rr tt yy uu ii oo pp aa ss dd"),  # und
+            (4, ""),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in mixed_language_report(docs, chunk_tokens=14).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["is_mixed"] is True and out[1]["langs"] == "en,fr"
+    assert out[2]["is_mixed"] is False and out[2]["langs"] == "en"
+    assert out[3]["is_mixed"] is False and out[3]["langs"] == ""
