@@ -5,7 +5,11 @@ unions, explodes) — declarative plans Catalyst can optimize — never
 driver-side loops. See each module for the reference operator it mirrors.
 """
 
-from flink_psl_spark.operators.joins import asof_join, interval_join  # noqa: F401
+from flink_psl_spark.operators.joins import (  # noqa: F401
+    asof_join,
+    fuzzy_join,
+    interval_join,
+)
 from flink_psl_spark.operators.ranking import top_n, deduplicate  # noqa: F401
 from flink_psl_spark.operators.windows import (  # noqa: F401
     tumble,

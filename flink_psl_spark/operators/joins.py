@@ -157,3 +157,53 @@ def interval_join(
     else:
         cond = cond & on
     return left.alias("__l").join(right.alias("__r"), cond, how)
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str | None = None,
+    *,
+    max_distance: int = 2,
+    how: str = "inner",
+) -> DataFrame:
+    """Approximate string join (entity resolution / fuzzy dedup): pairs
+    whose ``levenshtein(left_col, right_col) <= max_distance``, WITHOUT
+    the cartesian product a naive theta join plans.
+
+    Blocking is SOUND length-bucketing: with bucket width
+    ``max_distance + 1``, any pair within the distance bound has
+    ``|len(a) − len(b)| <= max_distance``, so their buckets differ by at
+    most 1 — the left side explodes into its bucket ± 1 (3 rows) and
+    the join is an equi-join on the bucket, then the exact distance
+    verifies. Recall is exactly 100% (unlike prefix/soundex blocking);
+    each qualifying pair appears once (the right bucket is unique, and
+    the left emits it exactly once).
+
+    Scale shape: 3× left fan-out, one equi-join keyed by bucket;
+    selectivity within a bucket comes from the distance verify. Skewed
+    buckets (many same-length strings) are AQE skew-join territory —
+    for heavy entity-resolution workloads layer a second block key
+    (e.g. a q-gram signature) on top.
+    """
+    right_col = right_col or left_col
+    kb = max_distance + 1
+    lb = F.floor(F.length(F.col(left_col)) / kb).cast("bigint")
+    rb = F.floor(F.length(F.col(right_col)) / kb).cast("bigint")
+    l3 = left.withColumn(
+        "__b", F.explode(F.array(lb - 1, lb, lb + 1))
+    )
+    r1 = right.withColumn("__b", rb)
+    out = (
+        l3.alias("__l")
+        .join(r1.alias("__r"), on="__b", how=how)
+        .where(
+            F.levenshtein(
+                F.col(f"__l.{left_col}"), F.col(f"__r.{right_col}")
+            )
+            <= max_distance
+        )
+        .drop("__b")
+    )
+    return out

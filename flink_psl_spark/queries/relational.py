@@ -1401,6 +1401,42 @@ def distribution_drift_report(spark, sf_dir):
     )
 
 
+@query(
+    "fuzzy_join_customers",
+    # the blocked join is recall-exact (sound length bucketing), so the
+    # naive theta join IS the oracle
+    oracle="""
+    SELECT l.c_custkey AS a, r.c_custkey AS b,
+           CAST(levenshtein(l.c_name, r.c_name) AS INTEGER) AS dist
+    FROM customer l JOIN customer r
+      ON l.c_custkey < r.c_custkey
+    WHERE l.c_custkey < 200 AND r.c_custkey < 200
+      AND levenshtein(l.c_name, r.c_name) <= 2
+    """,
+)
+def fuzzy_join_customers(spark, sf_dir):
+    """Entity-resolution fuzzy self-join: customer-name pairs within
+    edit distance 2, via sound length-bucket blocking (3x fan-out +
+    one equi-join on the bucket — never a cartesian; recall is exactly
+    the naive theta join's)."""
+    from flink_psl_spark.operators.joins import fuzzy_join
+
+    t = tables(spark, sf_dir)
+    c = t["customer"].where(F.col("c_custkey") < 200).select(
+        "c_custkey", "c_name"
+    )
+    l = c.select(F.col("c_custkey").alias("a"), F.col("c_name").alias("ln"))
+    r = c.select(F.col("c_custkey").alias("b"), F.col("c_name").alias("rn"))
+    return (
+        fuzzy_join(l, r, "ln", "rn", max_distance=2)
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.levenshtein("ln", "rn").cast("int").alias("dist"),
+        )
+    )
+
+
 def _zorder_sql(cols_ranges: list, bits: int) -> str:
     """The Morton interleave as portable SQL — generated to mirror
     zorder_key's bit planes exactly (bit i of column j → i*N + j)."""

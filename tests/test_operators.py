@@ -689,3 +689,47 @@ def test_validate_table_empty_input(spark):
     assert rows["min_rows"]["violations"] == 5
     assert rows["unique"]["violations"] == 0
     assert rows["foreign_key"]["violations"] == 0
+
+
+def test_fuzzy_join_recall_exact_vs_naive(spark):
+    """Length-bucket blocking is SOUND: the blocked join returns
+    exactly the naive theta join's pairs (incl. cross-bucket pairs
+    whose lengths differ by max_distance), and plans no cartesian."""
+    from flink_psl_spark.operators.joins import fuzzy_join
+
+    names = [
+        (1, "kitten"), (2, "sitting"), (3, "kitte"),
+        (4, "mitten"), (5, "completely-different-string"), (6, "a"),
+        (7, "abc"),  # len 3 vs len 1: distance 2 across buckets
+    ]
+    df = spark.createDataFrame(names, "id int, name string")
+    l = df.select(F.col("id").alias("a"), F.col("name").alias("ln"))
+    r = df.select(F.col("id").alias("b"), F.col("name").alias("rn"))
+    got = {
+        (x["a"], x["b"])
+        for x in fuzzy_join(l, r, "ln", "rn", max_distance=2)
+        .where(F.col("a") < F.col("b")).collect()
+    }
+    import itertools
+
+    def lev(s, t):
+        dp = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            prev, dp[0] = dp[0], i
+            for j, ct in enumerate(t, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (cs != ct)
+                )
+        return dp[len(t)]
+
+    want = {
+        (a, b)
+        for (a, sa), (b, sb) in itertools.combinations(names, 2)
+        if lev(sa, sb) <= 2
+    }
+    assert got == want and (6, 7) in got
+    plan = (
+        fuzzy_join(l, r, "ln", "rn", max_distance=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
