@@ -1437,6 +1437,66 @@ def fuzzy_join_customers(spark, sf_dir):
     )
 
 
+@query(
+    "fuzzy_name_dedup",
+    # fuzzy pairs → recursive-CTE transitive closure → keep the lowest
+    # id of each edit-distance cluster (exactly the Spark composition:
+    # blocked fuzzy_join + min-label connected components)
+    oracle="""
+    WITH RECURSIVE
+    c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 200),
+    pairs AS (
+      SELECT l.c_custkey AS s, r.c_custkey AS d
+      FROM c l JOIN c r ON l.c_custkey < r.c_custkey
+      WHERE levenshtein(l.c_name, r.c_name) <= 2),
+    und AS (SELECT s, d FROM pairs UNION SELECT d, s FROM pairs
+            UNION SELECT c_custkey, c_custkey FROM c),
+    walk(node, label) AS (
+      SELECT s, s FROM und
+      UNION
+      SELECT u.d, w.label FROM walk w JOIN und u ON u.s = w.node),
+    comp AS (SELECT node, MIN(label) AS component
+             FROM walk GROUP BY node)
+    SELECT c.c_custkey, c.c_name, comp.component AS cluster_id,
+           c.c_custkey = comp.component AS is_kept
+    FROM c JOIN comp ON c.c_custkey = comp.node
+    """,
+)
+def fuzzy_name_dedup(spark, sf_dir):
+    """Entity-resolution dedup end-to-end: fuzzy_join finds edit-
+    distance pairs (sound blocking, no cartesian), min-label connected
+    components clusters them, and the lowest id of each cluster is the
+    kept canonical record — the same compose-from-primitives shape as
+    the MinHash dedup pipeline, over relational entities."""
+    from flink_psl_spark.llm.clustering import connected_components
+    from flink_psl_spark.operators.joins import fuzzy_join
+
+    t = tables(spark, sf_dir)
+    c = t["customer"].where(F.col("c_custkey") < 200).select(
+        "c_custkey", "c_name"
+    )
+    l = c.select(F.col("c_custkey").alias("a"), F.col("c_name").alias("ln"))
+    r = c.select(F.col("c_custkey").alias("b"), F.col("c_name").alias("rn"))
+    pairs = (
+        fuzzy_join(l, r, "ln", "rn", max_distance=2)
+        .where(F.col("a") < F.col("b"))
+        .select(F.col("a").alias("s"), F.col("b").alias("d"))
+    )
+    # singletons participate so every record gets a cluster id
+    singles = c.select(
+        F.col("c_custkey").alias("s"), F.col("c_custkey").alias("d")
+    )
+    comp = connected_components(pairs.unionByName(singles), "s", "d")
+    return c.join(
+        comp, c["c_custkey"] == comp["node"]
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.col("component").alias("cluster_id"),
+        (F.col("c_custkey") == F.col("component")).alias("is_kept"),
+    )
+
+
 def _zorder_sql(cols_ranges: list, bits: int) -> str:
     """The Morton interleave as portable SQL — generated to mirror
     zorder_key's bit planes exactly (bit i of column j → i*N + j)."""
