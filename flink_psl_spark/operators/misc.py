@@ -191,3 +191,49 @@ def profile_table(
         ).alias("p")
     )
     return stacked.select("p.*")
+
+
+def profile_topk(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """Most-frequent values per column — the companion report to
+    ``profile_table``: for each profiled column the top-``k`` values
+    with counts (category skew, default-value pollution, and
+    enum-drift jump straight out of this view).
+
+    Single-scan shape: every column's values stack into (column, value)
+    pairs via one row-local explode (values render as canonical strings
+    so the long report is type-independent; NULLs are counted as a
+    value — their share is data-quality signal), then ONE aggregation
+    keyed by (column, value) and a rank-then-filter that compiles to
+    WindowGroupLimit — only k rows per column survive the exchange.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    cols = columns or df.columns
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    counts = stacked.groupBy("column", "value").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("column").orderBy(F.desc("n"), F.asc_nulls_first("value"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("column", "value", "n", F.col("rank").cast("int").alias("rank"))
+    )

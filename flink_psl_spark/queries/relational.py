@@ -1402,6 +1402,45 @@ def distribution_drift_report(spark, sf_dir):
 
 
 @query(
+    "table_topk_values_report",
+    # per-column top-5 values by count (ties on the rendered value,
+    # NULLs first — a NULL value IS a reportable category here)
+    oracle="""
+    WITH stacked AS (
+      SELECT 'o_orderstatus' AS "column",
+             CAST(o_orderstatus AS VARCHAR) AS value FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders),
+    counts AS (
+      SELECT "column", value, COUNT(*) AS n
+      FROM stacked GROUP BY 1, 2),
+    r AS (
+      SELECT "column", value, CAST(n AS BIGINT) AS n,
+             ROW_NUMBER() OVER (
+               PARTITION BY "column"
+               ORDER BY n DESC, value ASC NULLS FIRST) AS rank
+      FROM counts)
+    SELECT "column", value, n, CAST(rank AS INTEGER) AS rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def table_topk_values_report(spark, sf_dir):
+    """Most-frequent-values profiling: one row-local stack of the
+    profiled columns, ONE (column, value) aggregation, and a
+    WindowGroupLimit rank — category skew and default-value pollution
+    in a single scan."""
+    from flink_psl_spark.operators.misc import profile_topk
+
+    t = tables(spark, sf_dir)
+    return profile_topk(
+        t["orders"], ["o_orderstatus", "o_orderpriority", "o_custkey"], k=5
+    )
+
+
+@query(
     "fuzzy_join_customers",
     # the blocked join is recall-exact (sound length bucketing), so the
     # naive theta join IS the oracle

@@ -733,3 +733,21 @@ def test_fuzzy_join_recall_exact_vs_naive(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_profile_topk_nulls_and_ties(spark):
+    """profile_topk: NULL is a counted category (sorted first on
+    ties), values render as strings, k limits per column."""
+    from flink_psl_spark.operators.misc import profile_topk
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, None), (2, None), (3, "b")],
+        "k int, s string",
+    )
+    rows = {
+        (r["column"], r["rank"]): r for r in profile_topk(df, k=2).collect()
+    }
+    assert rows[("s", 1)]["value"] is None  # tie with 'a' → NULL first
+    assert rows[("s", 1)]["n"] == 2 and rows[("s", 2)]["value"] == "a"
+    assert rows[("k", 1)]["value"] in ("1", "2")
+    assert len([r for r in rows if r[0] == "k"]) == 2  # k=2 cap
