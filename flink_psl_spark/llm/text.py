@@ -619,24 +619,36 @@ def heavy_keys(
     )
 
 
-def _cms_heavy_items(items, item_col, threshold, *, eps, confidence):
-    """Shared CMS two-tier kernel over a single-column item frame."""
+def _cms_dims(eps: float, confidence: float) -> tuple:
     import math
-
-    import numpy as np
-    import pandas as pd
 
     depth = max(1, math.ceil(math.log(1.0 / (1.0 - confidence))))
     width = max(8, math.ceil(math.e / eps))
+    return depth, width
 
-    grams = items
-    hashes = grams.select(F.xxhash64(item_col).alias("h"))
 
-    def _positions(h1):
-        h2 = (h1 * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
-        return np.stack(
-            [(h1 + np.uint64(i) * h2) % np.uint64(width) for i in range(depth)]
-        )  # depth × batch
+def _cms_positions(h1, depth: int, width: int):
+    import numpy as np
+
+    h2 = (h1 * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    return np.stack(
+        [(h1 + np.uint64(i) * h2) % np.uint64(width) for i in range(depth)]
+    )  # depth × batch
+
+
+def cms_table(items, item_col: str, *, eps: float, confidence: float):
+    """Build the merged count-min table (depth × width numpy int64)
+    for a single-column item frame: per-partition numpy accumulation,
+    non-zero cells shuffled keyed by cell (exchange bounded by
+    partitions × depth·width, never item cardinality), merged by
+    addition, collected at parameter size. Two tables built with the
+    same (eps, confidence) are row-aligned — they share the hash
+    family — so they merge by addition and estimate inner products."""
+    import numpy as np
+    import pandas as pd
+
+    depth, width = _cms_dims(eps, confidence)
+    hashes = items.select(F.xxhash64(item_col).alias("h"))
 
     def build(batches):
         table = np.zeros((depth, width), dtype=np.int64)
@@ -644,7 +656,7 @@ def _cms_heavy_items(items, item_col, threshold, *, eps, confidence):
             if not len(pdf):
                 continue
             h1 = pdf["h"].to_numpy().astype(np.uint64)
-            pos = _positions(h1)
+            pos = _cms_positions(h1, depth, width)
             for i in range(depth):
                 np.add.at(table[i], pos[i], 1)
         cells = np.flatnonzero(table)
@@ -662,7 +674,20 @@ def _cms_heavy_items(items, item_col, threshold, *, eps, confidence):
     table = np.zeros(depth * width, dtype=np.int64)
     for r in merged_rows:
         table[r["cell"]] = r["cnt"]
-    table = table.reshape(depth, width)
+    return table.reshape(depth, width)
+
+
+def _cms_heavy_items(items, item_col, threshold, *, eps, confidence):
+    """Shared CMS two-tier kernel over a single-column item frame."""
+    import numpy as np
+    import pandas as pd
+
+    depth, width = _cms_dims(eps, confidence)
+    grams = items
+    table = cms_table(grams, item_col, eps=eps, confidence=confidence)
+
+    def _positions(h1):
+        return _cms_positions(h1, depth, width)
 
     def _estimate_kernel(hs):
         h1 = hs.to_numpy().astype(np.uint64)

@@ -237,3 +237,40 @@ def profile_topk(
         .where(F.col("rank") <= k)
         .select("column", "value", "n", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def dataset_fingerprint(
+    df: DataFrame, columns: list[str] | None = None
+) -> DataFrame:
+    """Order-independent content fingerprint of a table — the
+    reproducibility primitive a pipeline stamps next to every artifact:
+    re-running a deterministic job must reproduce the fingerprint
+    bit-for-bit, on any engine, under any partitioning or row order.
+
+    Construction: per row, md5 over the '|'-joined canonical string
+    rendering (NULLs get an explicit sentinel so ``(NULL,'a')`` and
+    ``('a',NULL)`` differ); the first 15 hex digits (60 bits) parse to
+    an integer, and the fingerprint is the SUM of row hashes modulo a
+    63-bit prime — commutative, so row order and partial-aggregation
+    order cannot matter, and exact (the sum accumulates in
+    DECIMAL(38,0): 60-bit terms stay exact past 10^18 rows).
+
+    One scan, map-side partials, a one-row result
+    ``(n_rows, fingerprint)``.
+    """
+    from pyspark.sql import functions as F
+
+    cols = columns or df.columns
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("␀")) for c in cols
+    ]
+    rh = F.conv(F.substring(F.md5(F.concat_ws("|", *parts)), 1, 15), 16, 10)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.sum(rh.cast("decimal(38,0)"))
+            % F.lit(9223372036854775783).cast("decimal(38,0)")
+        )
+        .cast("bigint")
+        .alias("fingerprint"),
+    )

@@ -164,3 +164,35 @@ def salted_join(
             .drop("__hot")
         )
     return b.join(s, [on, "__salt"], how).drop("__salt")
+
+
+def cms_join_size(
+    left,
+    right,
+    key_col: str,
+    *,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+) -> int:
+    """Estimate an inner equi-join's output cardinality WITHOUT running
+    the join — the shuffle-planning advisor for 100 TB joins (is this
+    join explosion-safe? does it need salting first?): the classic
+    count-min inner-product estimate (Cormode & Muthukrishnan 2005,
+    §4.2). Both sides build row-aligned CMS tables (one scan each,
+    sketch-bounded exchange); the estimate is
+
+        min over rows i of  dot(table_left[i], table_right[i])
+
+    — an OVERESTIMATE always (one-sided, like every CMS bound), within
+    eps · |left| · |right| of the true size with probability
+    ``confidence``. Driver cost is two parameter-sized tables.
+    """
+    import numpy as np
+
+    from flink_psl_spark.llm.text import cms_table
+
+    items_l = left.select(F.col(key_col).cast("string").alias(key_col))
+    items_r = right.select(F.col(key_col).cast("string").alias(key_col))
+    tl = cms_table(items_l, key_col, eps=eps, confidence=confidence)
+    tr = cms_table(items_r, key_col, eps=eps, confidence=confidence)
+    return int(min(np.dot(tl[i], tr[i]) for i in range(tl.shape[0])))

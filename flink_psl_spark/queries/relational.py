@@ -1402,6 +1402,67 @@ def distribution_drift_report(spark, sf_dir):
 
 
 @query(
+    "join_size_advisor",
+    # CMS inner-product estimation is hash-family-specific (engine
+    # xxhash64), so — like the ANN recall oracles — the SQL side states
+    # the exact size and the PROVABLE bound contract the estimate must
+    # satisfy (always an overestimate; within eps*|L|*|R|)
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM events e
+                 JOIN customer c ON e.user_id = c.c_custkey) AS BIGINT)
+             AS exact_size,
+           TRUE AS within_bounds
+    """,
+)
+def join_size_advisor(spark, sf_dir):
+    """Join-cardinality advisor: the CMS inner-product estimate of
+    |events ⋈ customer| from two sketch-bounded scans — never running
+    the join. The emitted contract is the paper's guarantee: the
+    estimate is an overestimate within eps·|L|·|R|."""
+    from flink_psl_spark.operators.skew import cms_join_size
+
+    t = tables(spark, sf_dir)
+    ev = t["events"].select(F.col("user_id").alias("k"))
+    cu = t["customer"].select(F.col("c_custkey").alias("k"))
+    eps = 0.0001
+    est = cms_join_size(ev, cu, "k", eps=eps)
+    exact = ev.join(cu, "k").count()
+    bound = exact + eps * ev.count() * cu.count()
+    return spark.createDataFrame(
+        [(exact, bool(exact <= est <= bound))],
+        "exact_size bigint, within_bounds boolean",
+    )
+
+
+@query(
+    "dataset_fingerprint_orders",
+    # the same md5-row-hash sum mod a 63-bit prime, replayed in SQL —
+    # commutative, so any engine/order/partitioning reproduces it
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST('0x' || SUBSTR(MD5(CONCAT_WS('|',
+                  COALESCE(CAST(o_orderkey AS VARCHAR), '␀'),
+                  COALESCE(CAST(o_custkey AS VARCHAR), '␀'),
+                  COALESCE(CAST(o_orderstatus AS VARCHAR), '␀'))),
+                1, 15) AS BIGINT) AS HUGEINT))
+              % 9223372036854775783 AS BIGINT) AS fingerprint
+    FROM orders
+    """,
+)
+def dataset_fingerprint_orders(spark, sf_dir):
+    """Order-independent dataset fingerprint (reproducibility stamp):
+    md5 row hashes summed modulo a 63-bit prime — identical across
+    engines, row orders, and partitionings; one scan, one-row
+    result."""
+    from flink_psl_spark.operators.misc import dataset_fingerprint
+
+    t = tables(spark, sf_dir)
+    return dataset_fingerprint(
+        t["orders"], ["o_orderkey", "o_custkey", "o_orderstatus"]
+    )
+
+
+@query(
     "table_topk_values_report",
     # per-column top-5 values by count (ties on the rendered value,
     # NULLs first — a NULL value IS a reportable category here)

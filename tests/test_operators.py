@@ -751,3 +751,40 @@ def test_profile_topk_nulls_and_ties(spark):
     assert rows[("s", 1)]["n"] == 2 and rows[("s", 2)]["value"] == "a"
     assert rows[("k", 1)]["value"] in ("1", "2")
     assert len([r for r in rows if r[0] == "k"]) == 2  # k=2 cap
+
+
+def test_dataset_fingerprint_invariance(spark):
+    """The fingerprint is row-order- and partitioning-independent,
+    NULL-position-sensitive, and content-sensitive."""
+    from flink_psl_spark.operators.misc import dataset_fingerprint
+
+    a = spark.createDataFrame(
+        [(1, "a"), (2, None), (None, "b")], "k int, v string"
+    )
+    b = spark.createDataFrame(
+        [(None, "b"), (1, "a"), (2, None)], "k int, v string"
+    ).repartition(7)
+    fa, fb = (
+        dataset_fingerprint(x).collect()[0] for x in (a, b)
+    )
+    assert fa["fingerprint"] == fb["fingerprint"] and fa["n_rows"] == 3
+    # (NULL,'a') vs ('a',NULL): sentinel keeps the positions distinct
+    c = spark.createDataFrame([(None, "1")], "k string, v string")
+    d = spark.createDataFrame([("1", None)], "k string, v string")
+    assert (
+        dataset_fingerprint(c).collect()[0]["fingerprint"]
+        != dataset_fingerprint(d).collect()[0]["fingerprint"]
+    )
+
+
+def test_cms_join_size_bound(spark, t):
+    """The CMS join-size estimate satisfies the paper's contract on the
+    fixture: overestimate, within eps*|L|*|R|."""
+    from flink_psl_spark.operators.skew import cms_join_size
+
+    ev = t["events"].selectExpr("user_id as k")
+    cu = t["customer"].selectExpr("c_custkey as k")
+    eps = 0.001
+    est = cms_join_size(ev, cu, "k", eps=eps)
+    exact = ev.join(cu, "k").count()
+    assert exact <= est <= exact + eps * ev.count() * cu.count()
