@@ -52,7 +52,8 @@ import flink_psl_spark.queries.datastream_queries  # noqa: F401, E402
 # llm_duplicate_spans, stream_drift_ingest, llm_span_dedup_rewrite,
 # zorder_clustering_report, scd2_dimension_history, stream_scd2_dimension,
 # llm_mixed_language_report, fuzzy_join_customers, fuzzy_name_dedup,
-# table_topk_values_report, dataset_fingerprint_orders, join_size_advisor
+# table_topk_values_report, dataset_fingerprint_orders, join_size_advisor,
+# compressed_format_roundtrip, sequence_file_roundtrip
 # (positions 51+) — so r7's
 # window leads with them,
 # the 10 r1 rows that didn't fit here (agg_multiset, agg_json,

@@ -614,3 +614,59 @@ def datastream_window_agg(spark, sf_dir):
         )
     )
     return out.df
+
+
+@query(
+    "compressed_format_roundtrip",
+    # gzip json out, read back, per-source counts — must equal the
+    # original table exactly (compression is transparent)
+    oracle="""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY source
+    """,
+)
+def compressed_format_roundtrip(spark, sf_dir):
+    """Compressed text-family sink/scan (reference flink-compress):
+    gzip-coded json part files written and read back transparently;
+    the roundtrip aggregate equals the source table."""
+    import tempfile
+
+    from flink_psl_spark.sources import read_compressed, write_compressed
+
+    t = tables(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="fps_gz_") + "/docs"
+    write_compressed(
+        t["documents"].select("doc_id", "source", "n_chars"),
+        path, fmt="json", codec="gzip",
+    )
+    back = read_compressed(spark, path, fmt="json")
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+
+
+@query(
+    "sequence_file_roundtrip",
+    # (key=doc_id, value=text) through a Hadoop SequenceFile and back —
+    # values byte-identical
+    oracle="SELECT doc_id, text FROM documents",
+)
+def sequence_file_roundtrip(spark, sf_dir):
+    """Hadoop SequenceFile sink/source (reference flink-sequence-file):
+    string-writable (key, value) pairs round-trip byte-identically; the
+    RDD drop is row-local (no DataFrame writer exists for the
+    format)."""
+    import tempfile
+
+    from flink_psl_spark.sources import read_sequence_file, write_sequence_file
+
+    t = tables(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="fps_seq_") + "/docs"
+    write_sequence_file(t["documents"], path, "doc_id", "text")
+    back = read_sequence_file(spark, path)
+    return back.select(
+        F.col("key").cast("bigint").alias("doc_id"),
+        F.col("value").alias("text"),
+    )

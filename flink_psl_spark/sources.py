@@ -640,3 +640,69 @@ def partitioned_streaming_sink(
     )
     handle["query"] = q
     return q
+
+
+def write_compressed(
+    df: DataFrame,
+    path: str,
+    *,
+    fmt: str = "json",
+    codec: str = "gzip",
+    mode: str = "overwrite",
+    **options,
+) -> None:
+    """Compressed text-family writes (reference flink-compress:
+    flink-formats/flink-compress/.../CompressWriterFactory.java —
+    hadoop-codec'd bulk writers for text formats). Spark maps the whole
+    capability to the writer's ``compression`` option: every text-family
+    sink (text/csv/json) accepts gzip/bzip2/deflate/snappy/lz4/zstd,
+    applied per part-file, splittable codecs stay scan-parallel."""
+    if fmt not in ("text", "csv", "json"):
+        raise ValueError("compressed writes are for text-family formats")
+    (
+        df.write.format(fmt)
+        .mode(mode)
+        .option("compression", codec)
+        .options(**options)
+        .save(path)
+    )
+
+
+def read_compressed(
+    spark: SparkSession,
+    path: str,
+    *,
+    fmt: str = "json",
+    schema=None,
+    **options,
+):
+    """Read back compressed text-family files — Hadoop codec discovery
+    is extension-driven, so no codec option is needed on the read."""
+    reader = spark.read.format(fmt).options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_sequence_file(
+    df: DataFrame, path: str, key_col: str, value_col: str
+) -> None:
+    """Hadoop SequenceFile sink (reference flink-sequence-file:
+    SequenceFileWriterFactory.java) — the (key, value) container format
+    of classic Hadoop pipelines. Spark's native route is the RDD
+    ``saveAsSequenceFile`` (string writables here); this is one of the
+    rare justified RDD drops — there is no DataFrame writer for the
+    format, and the conversion is a row-local map."""
+    (
+        df.select(
+            F.col(key_col).cast("string"), F.col(value_col).cast("string")
+        )
+        .rdd.map(tuple)
+        .saveAsSequenceFile(path)
+    )
+
+
+def read_sequence_file(spark: SparkSession, path: str) -> DataFrame:
+    """Read a string-keyed SequenceFile back as (key, value) strings."""
+    rdd = spark.sparkContext.sequenceFile(path)
+    return spark.createDataFrame(rdd, "key string, value string")

@@ -833,3 +833,38 @@ def test_partitioned_sink_hive_escaped_values_and_fs_api(spark, tmp_path):
     with _pytest.raises(Exception, match="not an ISO timestamp"):
         q2.awaitTermination(120)
         q2.processAllAvailable()
+
+
+def test_compressed_write_produces_gz_parts(spark, t, tmp_path):
+    """The codec actually applies (part files carry the .gz suffix) and
+    non-text formats are rejected."""
+    import glob
+
+    import pytest as _pytest
+
+    from flink_psl_spark.sources import read_compressed, write_compressed
+
+    path = str(tmp_path / "gz")
+    df = t["documents"].select("doc_id", "source")
+    write_compressed(df, path, fmt="json", codec="gzip")
+    assert glob.glob(path + "/*.json.gz")
+    assert read_compressed(spark, path, fmt="json").count() == df.count()
+    with _pytest.raises(ValueError, match="text-family"):
+        write_compressed(df, path, fmt="parquet")
+
+
+def test_sequence_file_roundtrip_bytes(spark, tmp_path):
+    """SequenceFile (key,value) round-trips exactly, including unicode
+    and empty values."""
+    from flink_psl_spark.sources import read_sequence_file, write_sequence_file
+
+    df = spark.createDataFrame(
+        [(1, "héllo"), (2, ""), (3, "tab\tsep")], "k int, v string"
+    )
+    path = str(tmp_path / "seq")
+    write_sequence_file(df, path, "k", "v")
+    got = sorted(
+        (int(r["key"]), r["value"])
+        for r in read_sequence_file(spark, path).collect()
+    )
+    assert got == [(1, "héllo"), (2, ""), (3, "tab\tsep")]
