@@ -81,7 +81,9 @@ from flink_psl_spark.llm.text import (  # noqa: F401
     quality_band,
     language_id,
     fingerprint,
+    compression_ratio,
     mixed_language_report,
+    ngram_novelty,
     tfidf_top_terms,
     vocab_coverage,
 )

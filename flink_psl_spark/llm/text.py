@@ -871,3 +871,89 @@ def mixed_language_report(
             > 1
         ).alias("is_mixed"),
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document novelty: the fraction of the document's distinct
+    word ``n``-grams that occur in NO other document — the
+    document-level originality score dedup pipelines rank by (a doc of
+    mostly corpus-shared n-grams is template/boilerplate even when no
+    single pair-wise match fires). Returns
+    ``(id, n_grams, n_novel, novelty)`` with novelty = n_novel/n_grams
+    rounded at 6 (exact integer division — cross-engine stable); docs
+    with no n-grams report 0/0/0.0.
+
+    Scale shape: distinct (doc, gram) pairs (one shuffle), gram
+    document frequencies over that table (one shuffle, vocabulary-sized
+    output), one broadcast-free equi-join back on the gram, one keyed
+    aggregation per doc.
+    """
+    grams = docs.select(
+        F.col(id_col), F.explode(ngrams(F.col(text_col), n)).alias("g")
+    ).distinct()
+    df_t = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
+    per = (
+        grams.join(df_t, on="g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.round(F.col("n_novel") * F.lit(1.0) / F.col("n_grams"), 6),
+        )
+    )
+    base = docs.select(F.col(id_col))
+    return (
+        base.join(per, on=id_col, how="left")
+        .na.fill({"n_grams": 0, "n_novel": 0, "novelty": 0.0})
+    )
+
+
+def compression_ratio(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """zlib compressibility per document — the entropy-proxy quality
+    signal of public curation recipes: machine-generated boilerplate
+    and keyword-stuffed spam compress far better than natural prose
+    (ratio ≪ natural-text band), while binary-ish noise barely
+    compresses (ratio ≈ 1). Returns ``(id, n_bytes, ratio)`` with
+    ratio = compressed/uncompressed bytes rounded at 6 (empty docs →
+    ratio 0.0).
+
+    Python is unavoidable here (no codec in the expression language),
+    so the kernel is an Arrow-batched pandas UDF — one pass, no
+    shuffle; zlib at a fixed level is bit-deterministic for a given
+    zlib build, and the registry self-check proves the distributed
+    kernel against an in-driver reference computation per run.
+    """
+    def _ratio(batch):
+        import zlib
+
+        def one(t):
+            raw = (t or "").encode("utf-8")
+            if not raw:
+                return 0.0
+            return round(len(zlib.compress(raw, level)) / len(raw), 6)
+
+        return batch.map(one)
+
+    ratio_udf = F.pandas_udf(_ratio, "double")
+    return docs.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("bigint").alias("n_bytes"),
+        ratio_udf(F.col(text_col)).alias("ratio"),
+    )

@@ -2688,6 +2688,80 @@ def llm_duplicate_spans(spark, sf_dir):
 
 
 @query(
+    "llm_compression_ratio_check",
+    # zlib is not SQL-expressible, so — the BPE-agreement pattern — the
+    # Spark side runs BOTH the distributed Arrow kernel and an
+    # in-driver reference zlib over a bounded 20-doc sample and emits
+    # per-doc agreement; the oracle is the fixed expected truth
+    oracle="""
+    SELECT doc_id, TRUE AS agree FROM documents WHERE doc_id < 20
+    """,
+)
+def llm_compression_ratio_check(spark, sf_dir):
+    """Compressibility quality signal (entropy proxy): zlib ratio per
+    document via an Arrow-batched kernel; this check proves the
+    distributed kernel bit-agrees with a single-process reference on a
+    bounded sample (V=20 — parameter-sized driver work, the BPE
+    verification pattern)."""
+    import zlib
+
+    from flink_psl_spark.llm.text import compression_ratio
+
+    t = tables(spark, sf_dir)
+    sample = t["documents"].where(F.col("doc_id") < 20)
+    got = {
+        r["doc_id"]: r["ratio"]
+        for r in compression_ratio(sample).collect()  # 20 rows, bounded
+    }
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in sample.select("doc_id", "text").collect()
+    }
+
+    def ref(tx):
+        raw = (tx or "").encode("utf-8")
+        return round(len(zlib.compress(raw, 6)) / len(raw), 6) if raw else 0.0
+
+    rows = [(d, bool(got[d] == ref(tx))) for d, tx in texts.items()]
+    return spark.createDataFrame(rows, "doc_id bigint, agree boolean")
+
+
+@query(
+    "llm_ngram_novelty",
+    # distinct (doc, 3-gram) pairs, grams unique to one doc are novel;
+    # novelty = exact integer ratio rounded at 6
+    oracle=f"""
+    WITH g AS (
+      SELECT DISTINCT doc_id,
+             UNNEST([array_to_string(w[i:i+2], ' ')
+                     FOR i IN RANGE(1, GREATEST(LEN(w) - 2, 0) + 1)]) AS gr
+      FROM (SELECT doc_id, {_TOKS} AS w FROM documents)),
+    d AS (SELECT gr, COUNT(*) AS df FROM g GROUP BY gr),
+    per AS (
+      SELECT g.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(COALESCE(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_novel
+      FROM g JOIN d USING (gr) GROUP BY g.doc_id)
+    SELECT doc_id,
+           COALESCE(n_grams, 0) AS n_grams,
+           COALESCE(n_novel, 0) AS n_novel,
+           COALESCE(ROUND(n_novel * 1.0 / n_grams, 6), 0.0) AS novelty
+    FROM documents LEFT JOIN per USING (doc_id)
+    """,
+)
+def llm_ngram_novelty(spark, sf_dir):
+    """Document originality: the fraction of a doc's distinct 3-grams
+    found in no other document — ranks template/boilerplate docs low
+    even when no pairwise dedup match fires. Two vocabulary-keyed
+    shuffles + one per-doc aggregation."""
+    from flink_psl_spark.llm.text import ngram_novelty
+
+    t = tables(spark, sf_dir)
+    return ngram_novelty(t["documents"], n=3)
+
+
+@query(
     "llm_mixed_language_report",
     # the llm_language_id scoring CASE applied per 20-token chunk
     # (lowercased tokens; en wins ties, then fr/de/es, strict-> rules

@@ -1182,3 +1182,36 @@ def test_mixed_language_report_semantics(spark):
     assert out[1]["is_mixed"] is True and out[1]["langs"] == "en,fr"
     assert out[2]["is_mixed"] is False and out[2]["langs"] == "en"
     assert out[3]["is_mixed"] is False and out[3]["langs"] == ""
+
+
+def test_ngram_novelty_and_compression_ratio(spark):
+    """Novelty: unique text scores 1.0, a clone pair scores 0.0, short
+    docs report 0/0; compression ratio separates repetitive from
+    natural text and handles empties."""
+    from flink_psl_spark.llm.text import compression_ratio, ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "the clone body is word for word identical here"),
+            (3, "the clone body is word for word identical here"),
+            (4, "xy"),
+        ],
+        "doc_id int, text string",
+    )
+    nov = {r["doc_id"]: r for r in ngram_novelty(docs, n=3).collect()}
+    assert nov[1]["novelty"] == 1.0
+    assert nov[2]["novelty"] == 0.0 and nov[3]["novelty"] == 0.0
+    assert nov[4]["n_grams"] == 0 and nov[4]["novelty"] == 0.0
+
+    rep = "spam " * 200
+    nat = (
+        "A quiet brown fox wandered across the frozen river at dawn, "
+        "pausing to listen for the distant sound of church bells."
+    )
+    cdocs = spark.createDataFrame(
+        [(1, rep), (2, nat), (3, "")], "doc_id int, text string"
+    )
+    cr = {r["doc_id"]: r["ratio"] for r in compression_ratio(cdocs).collect()}
+    assert cr[1] < 0.1 < cr[2] <= 1.1
+    assert cr[3] == 0.0
