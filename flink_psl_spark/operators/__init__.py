@@ -36,6 +36,7 @@ from flink_psl_spark.operators.validation import (  # noqa: F401
     bucket_counts,
     detect_metric_anomalies,
     distribution_drift,
+    expect_schema,
     foreign_key,
     psi_report,
     in_range,

@@ -363,6 +363,43 @@ def psi_report(
     ).select("bucket", "n_old", "n_new", "psi_q")
 
 
+def expect_schema(df: DataFrame, expected_ddl: str) -> DataFrame:
+    """Schema contract check — the handshake a pipeline runs before
+    touching a new table drop: compare the frame's actual schema against
+    a declared DDL string (``"a INT, b STRING"``) and report one row per
+    column with status ``ok`` / ``type_mismatch`` / ``missing`` (declared
+    but absent) / ``unexpected`` (present but undeclared). Column order
+    is NOT part of the contract (names bind columns); types compare on
+    Spark's canonical simpleString.
+
+    Control-plane only — the report derives from schema metadata, no
+    data is scanned; it composes with ``validate_table`` (schema gate
+    first, then content checks).
+    """
+    from pyspark.sql.types import StructType
+
+    spark = df.sparkSession
+    expected = StructType.fromDDL(expected_ddl)
+    want = {f.name: f.dataType.simpleString() for f in expected.fields}
+    have = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    rows = []
+    for name, wtype in want.items():
+        if name not in have:
+            rows.append((name, wtype, None, "missing"))
+        elif have[name] != wtype:
+            rows.append((name, wtype, have[name], "type_mismatch"))
+        else:
+            rows.append((name, wtype, have[name], "ok"))
+    for name, htype in have.items():
+        if name not in want:
+            rows.append((name, None, htype, "unexpected"))
+    return spark.createDataFrame(
+        rows,
+        "column string, expected_type string, actual_type string, "
+        "status string",
+    )
+
+
 def detect_metric_anomalies(
     metrics: DataFrame,
     *,

@@ -1402,6 +1402,37 @@ def distribution_drift_report(spark, sf_dir):
 
 
 @query(
+    "schema_contract_check",
+    # the orders fixture checked against a contract that declares one
+    # column with the wrong type and one absent column, while leaving
+    # o_orderpriority undeclared — all four statuses exercised
+    oracle="""
+    SELECT * FROM (VALUES
+      ('o_orderkey', 'bigint', 'bigint', 'ok'),
+      ('o_custkey', 'bigint', 'bigint', 'ok'),
+      ('o_orderstatus', 'int', 'string', 'type_mismatch'),
+      ('o_totalprice', 'double', 'double', 'ok'),
+      ('o_orderdate', 'timestamp_ntz', 'timestamp_ntz', 'ok'),
+      ('o_tax_rate', 'double', NULL, 'missing'),
+      ('o_orderpriority', NULL, 'string', 'unexpected')
+    ) AS t("column", expected_type, actual_type, status)
+    """,
+)
+def schema_contract_check(spark, sf_dir):
+    """Schema handshake before content validation: declared-vs-actual
+    column report (ok / type_mismatch / missing / unexpected) from
+    metadata only — no scan."""
+    from flink_psl_spark.operators.validation import expect_schema
+
+    t = tables(spark, sf_dir)
+    return expect_schema(
+        t["orders"],
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus INT, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, o_tax_rate DOUBLE",
+    )
+
+
+@query(
     "join_size_advisor",
     # CMS inner-product estimation is hash-family-specific (engine
     # xxhash64), so — like the ANN recall oracles — the SQL side states

@@ -788,3 +788,20 @@ def test_cms_join_size_bound(spark, t):
     est = cms_join_size(ev, cu, "k", eps=eps)
     exact = ev.join(cu, "k").count()
     assert exact <= est <= exact + eps * ev.count() * cu.count()
+
+
+def test_expect_schema_statuses(spark):
+    """All four statuses; order-insensitive; metadata-only."""
+    from flink_psl_spark.operators.validation import expect_schema
+
+    df = spark.createDataFrame([], "b string, a int, extra double")
+    rows = {
+        r["column"]: r["status"]
+        for r in expect_schema(df, "a INT, b INT, gone STRING").collect()
+    }
+    assert rows == {
+        "a": "ok",          # order differs from DDL — still ok
+        "b": "type_mismatch",
+        "gone": "missing",
+        "extra": "unexpected",
+    }
