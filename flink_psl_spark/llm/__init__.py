@@ -83,6 +83,7 @@ from flink_psl_spark.llm.text import (  # noqa: F401
     fingerprint,
     compression_ratio,
     mixed_language_report,
+    normalize_text,
     ngram_novelty,
     tfidf_top_terms,
     vocab_coverage,

@@ -957,3 +957,55 @@ def compression_ratio(
         F.length(F.col(text_col)).cast("bigint").alias("n_bytes"),
         ratio_udf(F.col(text_col)).alias("ratio"),
     )
+
+
+#: curly/typographic characters unified before training (the standard
+#: text-canonicalization table: quotes, dashes, ellipsis, exotic spaces)
+_CANON_CHARS = [
+    ("[\u2018\u2019\u201A\u201B]", "'"),
+    ('[\u201C\u201D\u201E\u201F]', '"'),
+    ("[\u2013\u2014\u2015]", "-"),
+    ("\u2026", "..."),
+    ("[\u00A0\u2000-\u200A\u202F\u205F\u3000]", " "),
+]
+
+#: control + zero-width characters removed outright (keep \t \n \r for
+#: the whitespace collapse to fold)
+_STRIP_CHARS = "[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\u200B-\u200D\uFEFF]"
+
+
+def normalize_text(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-text canonicalization — the first pass of every public
+    curation pipeline: Unicode NFC composition (e-acute as ONE codepoint,
+    not e + combining accent — dedup hashes and tokenizers otherwise see
+    two different strings), typographic unification (curly quotes ->
+    straight, en/em dashes -> '-', ellipsis -> '...', exotic spaces ->
+    ' '), control/zero-width removal, and whitespace collapse + trim.
+
+    NFC needs a real Unicode table, so that single step is an
+    Arrow-batched kernel (``unicodedata.normalize`` — the same table
+    DuckDB's ``nfc_normalize`` implements, which is what makes the
+    registry oracle exact); everything after is expression-only regexp
+    work. One pass, no shuffle.
+    """
+    def _nfc(batch):
+        import unicodedata
+
+        return batch.map(
+            lambda t: unicodedata.normalize("NFC", t)
+            if t is not None
+            else None
+        )
+
+    nfc_udf = F.pandas_udf(_nfc, "string")
+    out = nfc_udf(F.col(text_col))
+    for pat, rep in _CANON_CHARS:
+        out = F.regexp_replace(out, pat, rep)
+    out = F.regexp_replace(out, _STRIP_CHARS, "")
+    out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return docs.select(F.col(id_col), out.alias(text_col))

@@ -2688,6 +2688,43 @@ def llm_duplicate_spans(spark, sf_dir):
 
 
 @query(
+    "llm_text_normalize",
+    # DuckDB's nfc_normalize implements the same Unicode NFC table as
+    # python's unicodedata, so the full canonicalization chain replays
+    # exactly (char classes in \x{...} to keep the source ASCII)
+    oracle=r"""
+    SELECT doc_id,
+           TRIM(REGEXP_REPLACE(
+             REGEXP_REPLACE(
+               REGEXP_REPLACE(
+                 REGEXP_REPLACE(
+                   REGEXP_REPLACE(
+                     REGEXP_REPLACE(
+                       REGEXP_REPLACE(nfc_normalize(text),
+                         '[\x{2018}\x{2019}\x{201A}\x{201B}]', '''', 'g'),
+                       '[\x{201C}\x{201D}\x{201E}\x{201F}]', '"', 'g'),
+                     '[\x{2013}\x{2014}\x{2015}]', '-', 'g'),
+                   '\x{2026}', '...', 'g'),
+                 '[\x{00A0}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]',
+                 ' ', 'g'),
+               '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}'
+               || '\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
+             '\s+', ' ', 'g')) AS text
+    FROM documents
+    """,
+)
+def llm_text_normalize(spark, sf_dir):
+    """Training-text canonicalization: NFC composition (Arrow-batched —
+    the one step needing a Unicode table), typographic unification,
+    control/zero-width strip, whitespace collapse. One pass, no
+    shuffle; byte-compared against the SQL replay."""
+    from flink_psl_spark.llm.text import normalize_text
+
+    t = tables(spark, sf_dir)
+    return normalize_text(t["documents"])
+
+
+@query(
     "llm_compression_ratio_check",
     # zlib is not SQL-expressible, so — the BPE-agreement pattern — the
     # Spark side runs BOTH the distributed Arrow kernel and an

@@ -1215,3 +1215,22 @@ def test_ngram_novelty_and_compression_ratio(spark):
     cr = {r["doc_id"]: r["ratio"] for r in compression_ratio(cdocs).collect()}
     assert cr[1] < 0.1 < cr[2] <= 1.1
     assert cr[3] == 0.0
+
+
+def test_normalize_text_unicode_cases(spark):
+    """NFC composes combining accents; curly quotes/dashes/ellipsis
+    unify; zero-width and control chars vanish; exotic spaces fold into
+    the whitespace collapse; NULL passes through."""
+    from flink_psl_spark.llm.text import normalize_text
+
+    decomposed = "Cafe\u0301"           # e + combining acute
+    fancy = "\u201Cq\u201D \u2014 a\u2026 x\u200By\u00A0z\x07"
+    docs = spark.createDataFrame(
+        [(1, decomposed), (2, fancy), (3, "  a   b  "), (4, None)],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in normalize_text(docs).collect()}
+    assert out[1] == "Caf\u00e9"         # single composed codepoint
+    assert out[2] == '"q" - a... xy z'
+    assert out[3] == "a b"
+    assert out[4] is None
