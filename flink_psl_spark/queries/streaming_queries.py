@@ -1395,3 +1395,31 @@ def stream_bloom_decontaminate_ingest(spark, sf_dir):
         .groupBy("source", "contaminated")
         .agg(F.count("*").cast("bigint").alias("n_docs"))
     )
+
+
+@query(
+    "stream_dataset_fingerprint",
+    # the fingerprint aggregate is commutative+associative, so the
+    # streamed complete-mode value equals the batch stamp exactly
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST('0x' || SUBSTR(MD5(CONCAT_WS('|',
+                  COALESCE(CAST(doc_id AS VARCHAR), '␀'),
+                  COALESCE(CAST(source AS VARCHAR), '␀'))),
+                1, 15) AS BIGINT) AS HUGEINT))
+              % 9223372036854775783 AS BIGINT) AS fingerprint
+    FROM documents
+    """,
+)
+def stream_dataset_fingerprint(spark, sf_dir):
+    """Continuous reproducibility stamp: the order-independent dataset
+    fingerprint maintained as complete-mode streaming aggregation state
+    — at every trigger the emitted stamp equals the batch fingerprint
+    of everything ingested so far (the sum is commutative, so batch
+    splits and arrival order are invisible)."""
+    from flink_psl_spark.operators.misc import dataset_fingerprint
+    from flink_psl_spark.streaming import run_to_memory_table, stream_from_parquet
+
+    docs = stream_from_parquet(spark, f"{sf_dir}/documents.parquet")
+    fp = dataset_fingerprint(docs, ["doc_id", "source"])
+    return run_to_memory_table(fp, output_mode="complete")
