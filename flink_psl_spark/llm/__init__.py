@@ -62,6 +62,7 @@ from flink_psl_spark.llm.sampling import (  # noqa: F401
     stratified_sample,
     temperature_mix,
     token_budget_mix,
+    weighted_sample,
 )
 from flink_psl_spark.llm.bpe import (  # noqa: F401
     bpe_encode,

@@ -442,6 +442,64 @@ def importance_resample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    *,
+    by: str | None = None,
+    key_cols: list[str] | None = None,
+    seed: int = 42,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis & Spirakis 2006,
+    "Weighted random sampling with a reservoir"): each row draws a
+    deterministic uniform u from its key hash and competes with the
+    exponential key ln(u) / w; the top-``k`` rows by that key (globally,
+    or per-``by`` group) are an exact weighted sample without
+    replacement — a row's inclusion probability is proportional to its
+    weight, and the selection is replayable across runs and engines.
+
+    Cross-engine exactness: u = (_bucket + 1) / 2^24 is an
+    exactly-representable double (power-of-two denominator), so both
+    engines take LN of the identical input; the ordering key is quantized
+    to 1e-9 integers (the importance_resample discipline) and ties break
+    on the key columns, so the selected set is engine-independent.
+
+    Scale shape: global mode compiles to TakeOrderedAndProject
+    (per-partition top-k, k-row driver merge — never a global sort);
+    grouped mode is one shuffle on ``by`` with a rank window, k-bounded
+    per group. Rows with NULL or non-positive weight are excluded by
+    contract (zero weight must never be sampled; ln(u)/w is undefined
+    there). Exactly one corpus scan either way.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    keys = key_cols or [c for c in df.columns if c != weight_col]
+    w = F.col(weight_col).cast("double")
+    u = (_bucket(keys, seed) + F.lit(1)).cast("double") / F.lit(
+        float(_HASH_BUCKETS)
+    )
+    skey = F.round(F.log(u) / w * F.lit(1e9)).cast("bigint")
+    base = df.where(w.isNotNull() & (w > 0)).withColumn("__wskey", skey)
+    order = [F.desc("__wskey"), *[F.asc(c) for c in keys]]
+    if by is None:
+        # k-row frame: the window ranks only the TakeOrdered survivors
+        top = base.orderBy(*order).limit(k)
+        wspec = Window.orderBy(*order)
+    else:
+        top = base
+        wspec = Window.partitionBy(by).orderBy(*order)
+    ranked = top.withColumn(rank_col, F.row_number().over(wspec))
+    if by is not None:
+        ranked = ranked.where(F.col(rank_col) <= k)
+    return ranked.withColumn(
+        "logkey", F.round(F.col("__wskey") / F.lit(1e9), 6)
+    ).drop("__wskey")
+
+
 def hash_split(
     df: DataFrame,
     weights: dict,

@@ -589,6 +589,46 @@ def llm_stratified_sample(spark, sf_dir):
 
 
 @query(
+    "llm_weighted_sample",
+    # A-ES keys replay exactly in DuckDB: u = (md5 bucket + 1) / 2^24 is an
+    # exact double, LN(u)/n_chars quantized to 1e-9 integers, ties on doc_id
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, source, n_chars,
+             CAST(ROUND(LN((CAST('0x' || SUBSTR(
+                      MD5(CAST(doc_id AS VARCHAR) || '|42'), 1, 6)
+                    AS BIGINT) + 1) / 16777216.0)
+                  / n_chars * 1000000000.0) AS BIGINT) AS sk
+      FROM documents WHERE n_chars > 0
+    ), r AS (
+      SELECT doc_id, source, n_chars, sk,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY sk DESC, doc_id) AS rk
+      FROM s
+    )
+    SELECT doc_id, source, n_chars, CAST(rk AS INT) AS sample_rank,
+           ROUND(sk / 1000000000.0, 6) AS logkey
+    FROM r WHERE rk <= 10
+    """,
+)
+def llm_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    10 docs per source, inclusion probability proportional to length —
+    the standard length-weighted subsampling step in pretraining-mix
+    construction, deterministic and engine-replayable."""
+    from flink_psl_spark.llm import weighted_sample
+
+    t = tables(spark, sf_dir)
+    return weighted_sample(
+        t["documents"].select("doc_id", "source", "n_chars"),
+        10,
+        "n_chars",
+        by="source",
+        key_cols=["doc_id"],
+    )
+
+
+@query(
     "agg_percentiles",
     oracle="""
     SELECT l_returnflag,

@@ -974,6 +974,64 @@ def test_hash_split_properties(spark, t):
         hash_split(docs, {}, key_cols=["doc_id"])
 
 
+def test_weighted_sample_aes_properties(spark, t):
+    """A-ES weighted sampling: python-model parity (ln(u)/w top-k with
+    the same md5-derived u), per-group k bound, weight bias (heavier rows
+    overrepresented vs a uniform sample), and the non-positive-weight
+    exclusion contract."""
+    import hashlib
+    import math
+
+    from flink_psl_spark.llm import weighted_sample
+
+    docs = t["documents"].select("doc_id", "source", "n_chars")
+
+    # global mode vs a literal python model over the same rows
+    rows = docs.collect()
+
+    def model_key(doc_id, w):
+        b = int(
+            hashlib.md5(f"{doc_id}|42".encode()).hexdigest()[:6], 16
+        )
+        return round(math.log((b + 1) / 16**6) / w * 1e9)
+
+    expect = sorted(
+        ((model_key(r["doc_id"], r["n_chars"]), r["doc_id"]) for r in rows
+         if r["n_chars"] and r["n_chars"] > 0),
+        key=lambda kv: (-kv[0], kv[1]),
+    )[:25]
+    got = weighted_sample(docs, 25, "n_chars", key_cols=["doc_id"])
+    assert [r["doc_id"] for r in got.orderBy("sample_rank").collect()] == [
+        d for _, d in expect
+    ]
+
+    # grouped mode: k-bounded per group, rank dense from 1
+    per_src = weighted_sample(
+        docs, 5, "n_chars", by="source", key_cols=["doc_id"]
+    )
+    agg = per_src.groupBy("source").agg(
+        F.count("*").alias("n"), F.max("sample_rank").alias("mx")
+    )
+    assert all(r["n"] <= 5 and r["mx"] == r["n"] for r in agg.collect())
+
+    # weight bias: mean weight of the sample exceeds the corpus mean
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample_mean = got.agg(F.avg("n_chars")).first()[0]
+    assert sample_mean > corpus_mean
+
+    # zero/NULL weights are never sampled
+    spiked = docs.withColumn(
+        "w0", F.when(F.col("doc_id") % 2 == 0, F.lit(0)).otherwise(
+            F.col("n_chars")
+        )
+    )
+    z = weighted_sample(spiked, 50, "w0", key_cols=["doc_id"])
+    assert z.where(F.col("doc_id") % 2 == 0).count() == 0
+
+    with pytest.raises(ValueError, match="k must be"):
+        weighted_sample(docs, 0, "n_chars", key_cols=["doc_id"])
+
+
 def test_diversity_sample_quota_and_determinism(spark, t):
     """Cluster-balanced sampling: at most per_cluster rows per cluster,
     every non-empty cluster is represented (quota=1 ⇒ exactly one row
