@@ -37,6 +37,8 @@ from flink_psl_spark.llm.dedup import (  # noqa: F401
 from flink_psl_spark.llm.clustering import (  # noqa: F401
     connected_components,
     dedup_clusters,
+    pca_fit,
+    pca_project,
 )
 from flink_psl_spark.llm.similarity import (  # noqa: F401
     cosine_topk,

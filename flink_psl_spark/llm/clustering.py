@@ -86,3 +86,129 @@ def dedup_clusters(
     """
     cc = connected_components(pairs, a, b, max_iter=max_iter)
     return cc.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+
+
+def pca_fit(
+    vecs: DataFrame,
+    n_components: int,
+    *,
+    vec_col: str = "embedding",
+) -> dict:
+    """Fit a PCA basis over an embedding column, distributed.
+
+    The full corpus is reduced to its second-order moments — count, sum
+    vector, and d×d Gram matrix — accumulated per Arrow batch with one
+    numpy matmul, exploded to (index, value) partials, and summed by one
+    d²-key hash aggregation (map-side combined; the shuffle carries
+    O(batches × d²) tiny rows and the result is parameter-sized, never
+    corpus-sized). The driver then eigendecomposes the d×d sample
+    covariance (numpy eigh — d is an embedding dimension, so this is
+    O(d³) on 64-4096-dim inputs, microseconds) and returns the model.
+
+    Exactly ONE corpus scan; nothing data-sized ever reaches the driver.
+    Eigenvector sign is fixed deterministically (largest-|component|
+    coordinate made positive, the svd_flip convention) so downstream
+    projections are reproducible.
+
+    Returns {"mean": [d], "components": [k][d] (rows = principal axes,
+    descending eigenvalue), "eigenvalues": [k], "explained_ratio": [k],
+    "n": int, "dim": int}.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = len(
+        vecs.select(vec_col).where(F.col(vec_col).isNotNull()).first()[0]
+    )
+    if not 1 <= n_components <= d:
+        raise ValueError(f"n_components must be in [1, {d}]")
+
+    def part(batches):
+        for pdf in batches:
+            rows = [
+                v for v in pdf[vec_col] if v is not None and len(v) == d
+            ]
+            if not rows:
+                continue
+            X = np.array(rows, dtype=np.float64)
+            g = X.T @ X  # d×d batch Gram
+            vals = np.concatenate(
+                ([float(len(X))], X.sum(axis=0), g.ravel())
+            )
+            yield pd.DataFrame(
+                {"idx": np.arange(vals.size, dtype=np.int64), "val": vals}
+            )
+
+    moments = (
+        vecs.select(vec_col)
+        .mapInPandas(part, "idx bigint, val double")
+        .groupBy("idx")
+        .agg(F.sum("val").alias("val"))
+        .collect()  # d²+d+1 rows — parameter-sized by construction
+    )
+    flat = np.zeros(d * d + d + 1)
+    for r in moments:
+        flat[r["idx"]] = r["val"]
+    n = int(flat[0])
+    if n < 2:
+        raise ValueError(f"need >= 2 vectors to fit PCA, got {n}")
+    s, g = flat[1 : d + 1], flat[d + 1 :].reshape(d, d)
+    mean = s / n
+    cov = (g - np.outer(s, mean)) / (n - 1)  # sample covariance
+    eigval, eigvec = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigval)[::-1][:n_components]
+    lam = np.maximum(eigval[order], 0.0)
+    W = eigvec[:, order].T  # (k, d)
+    # svd_flip: make each axis's largest-|coordinate| positive
+    flip = np.sign(W[np.arange(len(W)), np.abs(W).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    W = W * flip[:, None]
+    total = float(np.trace(cov))
+    return {
+        "mean": mean.tolist(),
+        "components": W.tolist(),
+        "eigenvalues": lam.tolist(),
+        "explained_ratio": (lam / total).tolist() if total > 0 else
+        [0.0] * len(lam),
+        "n": n,
+        "dim": d,
+    }
+
+
+def pca_project(
+    vecs: DataFrame,
+    model: dict,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+) -> DataFrame:
+    """Project embeddings onto a fitted PCA basis: (x − mean) @ Wᵀ via one
+    vectorized numpy matmul per Arrow batch (model broadcast in the UDF
+    closure — k×d doubles, parameter-sized). Rows with NULL / wrong-dim
+    vectors are dropped (they carry no coordinates in the basis)."""
+    import numpy as np
+    import pandas as pd
+
+    W = np.array(model["components"], dtype=np.float64)
+    mean = np.array(model["mean"], dtype=np.float64)
+    d = int(model["dim"])
+    id_dt = dict(vecs.dtypes)[id_col]
+
+    def part(batches):
+        for pdf in batches:
+            ok = pdf[vec_col].map(
+                lambda v: v is not None and len(v) == d
+            )
+            if not ok.any():
+                continue
+            sub = pdf[ok]
+            X = np.array(list(sub[vec_col]), dtype=np.float64)
+            P = (X - mean) @ W.T
+            yield pd.DataFrame(
+                {id_col: sub[id_col], out_col: list(P)}
+            )
+
+    return vecs.select(id_col, vec_col).mapInPandas(
+        part, f"{id_col} {id_dt}, {out_col} array<double>"
+    )

@@ -589,6 +589,71 @@ def llm_stratified_sample(spark, sf_dir):
 
 
 @query(
+    "llm_embedding_pca",
+    # PCA needs an eigendecomposition, which SQL cannot express — the
+    # oracle-able contract is the spectral-identity self-check (the
+    # agg_hll_sketch pattern): the fitted basis is orthonormal, the
+    # projected corpus's per-component sample variance equals the
+    # eigenvalue, distinct components are uncorrelated, and eigenvalues
+    # descend. Each check is computed in Spark with explicit tolerances
+    # and must come back TRUE for every component.
+    oracle="""
+    SELECT c AS component, TRUE AS orthonormal, TRUE AS variance_matches,
+           TRUE AS decorrelated, TRUE AS explained_desc
+    FROM (VALUES (0), (1), (2), (3)) AS t(c) ORDER BY c
+    """,
+)
+def llm_embedding_pca(spark, sf_dir):
+    """Distributed PCA over the embedding corpus (moment-sketch fit: one
+    scan to a d²-sized aggregate, driver eigh, broadcast projection) —
+    the standard dimensionality-reduction step before embedding-space
+    curation (visualization, whitening, coarse ANN)."""
+    import math
+
+    from flink_psl_spark.llm import pca_fit, pca_project
+
+    k = 4
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"]
+    model = pca_fit(emb, k)
+    proj = pca_project(emb, model)
+    p = proj.select(*[F.col("proj")[i].alias(f"c{i}") for i in range(k)])
+    aggs = [F.var_samp(f"c{i}").alias(f"v{i}") for i in range(k)]
+    pairs = [(i, j) for i in range(k) for j in range(i + 1, k)]
+    aggs += [
+        F.covar_samp(f"c{i}", f"c{j}").alias(f"cv{i}_{j}")
+        for i, j in pairs
+    ]
+    st = p.agg(*aggs).first()
+    lam = model["eigenvalues"]
+    W = model["components"]
+    gram = [
+        [sum(a * b for a, b in zip(W[i], W[j])) for j in range(k)]
+        for i in range(k)
+    ]
+    rows = []
+    for i in range(k):
+        ortho = all(
+            abs(gram[i][j] - (1.0 if i == j else 0.0)) < 1e-9
+            for j in range(k)
+        )
+        var_ok = abs(st[f"v{i}"] - lam[i]) <= 1e-5 * max(lam[i], 1e-12)
+        decor = all(
+            abs(st[f"cv{a}_{b}"])
+            <= 1e-5 * math.sqrt(max(lam[a] * lam[b], 1e-24)) + 1e-9
+            for a, b in pairs
+            if i in (a, b)
+        )
+        desc = i == 0 or lam[i] <= lam[i - 1]
+        rows.append((i, ortho, var_ok, decor, desc))
+    return spark.createDataFrame(
+        rows,
+        "component int, orthonormal boolean, variance_matches boolean, "
+        "decorrelated boolean, explained_desc boolean",
+    )
+
+
+@query(
     "llm_weighted_sample",
     # A-ES keys replay exactly in DuckDB: u = (md5 bucket + 1) / 2^24 is an
     # exact double, LN(u)/n_chars quantized to 1e-9 integers, ties on doc_id

@@ -974,6 +974,68 @@ def test_hash_split_properties(spark, t):
         hash_split(docs, {}, key_cols=["doc_id"])
 
 
+def test_pca_numpy_parity_and_contracts(spark, t):
+    """Distributed PCA equals single-machine numpy PCA on the collected
+    fixture (eigenvalues and |projections| to tight tolerance), applies
+    the svd_flip sign convention, drops NULL/wrong-dim rows in
+    projection, and raises on bad n_components."""
+    import numpy as np
+
+    from flink_psl_spark.llm import pca_fit, pca_project
+
+    emb = t["embeddings"]
+    model = pca_fit(emb, 3)
+    X = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    Xc = X - X.mean(axis=0)
+    cov = Xc.T @ Xc / (len(X) - 1)
+    ev, evec = np.linalg.eigh(cov)
+    order = np.argsort(ev)[::-1][:3]
+    np.testing.assert_allclose(
+        model["eigenvalues"], ev[order], rtol=1e-8, atol=1e-12
+    )
+    Wn = evec[:, order].T
+    flip = np.sign(Wn[np.arange(3), np.abs(Wn).argmax(axis=1)])
+    np.testing.assert_allclose(
+        np.array(model["components"]), Wn * flip[:, None], rtol=1e-6,
+        atol=1e-10,
+    )
+    assert model["n"] == len(X) and model["dim"] == X.shape[1]
+    r = model["explained_ratio"]
+    assert all(0 <= x <= 1 for x in r) and r == sorted(r, reverse=True)
+
+    # projection parity on a few ids
+    proj = {
+        row["vec_id"]: np.array(row["proj"])
+        for row in pca_project(emb, model).limit(1000).collect()
+    }
+    ids = [r["vec_id"] for r in emb.select("vec_id").limit(5).collect()]
+    lookup = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.where(F.col("vec_id").isin(ids)).collect()
+    }
+    Wm = np.array(model["components"])
+    mu = np.array(model["mean"])
+    for i in ids:
+        np.testing.assert_allclose(
+            proj[i], (lookup[i] - mu) @ Wm.T, rtol=1e-6, atol=1e-9
+        )
+
+    # NULL / wrong-dim rows are dropped by projection
+    bad = spark.createDataFrame(
+        [(9001, None), (9002, [1.0, 2.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    assert pca_project(bad, model).count() == 0
+
+    with pytest.raises(ValueError, match="n_components"):
+        pca_fit(emb, 0)
+    with pytest.raises(ValueError, match="n_components"):
+        pca_fit(emb, 10_000)
+
+
 def test_weighted_sample_aes_properties(spark, t):
     """A-ES weighted sampling: python-model parity (ln(u)/w top-k with
     the same md5-derived u), per-group k bound, weight bias (heavier rows
