@@ -85,6 +85,7 @@ from flink_psl_spark.llm.text import (  # noqa: F401
     language_id,
     fingerprint,
     compression_ratio,
+    html_extract,
     mixed_language_report,
     normalize_text,
     ngram_novelty,

@@ -1009,3 +1009,108 @@ def normalize_text(
     out = F.regexp_replace(out, _STRIP_CHARS, "")
     out = F.trim(F.regexp_replace(out, r"\s+", " "))
     return docs.select(F.col(id_col), out.alias(text_col))
+
+
+def html_extract(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    out_col: str = "text",
+    max_link_density: float = 0.5,
+) -> DataFrame:
+    """Main-content extraction from raw HTML (the first step of every web
+    pretraining pipeline — trafilatura/jusText-style, reduced to the two
+    load-bearing heuristics that need no model):
+
+    1. **skip-subtree tags**: everything inside ``<script> <style> <head>
+       <nav> <header> <footer> <aside> <noscript> <template> <form>
+       <svg> <iframe>`` is chrome, never content;
+    2. **link-density pruning** (the jusText core signal): a text block
+       whose characters are mostly inside ``<a>`` anchors is a menu /
+       related-links strip even outside ``<nav>`` — dropped when anchor
+       chars / block chars > ``max_link_density``.
+
+    Surviving block-level texts (whitespace-collapsed, entities decoded
+    by the parser) are joined with newlines. Pure python-stdlib
+    ``html.parser`` per row inside one ``mapInPandas`` pass — no DOM
+    library, no JVM round-trip, embarrassingly parallel; malformed HTML
+    never raises (unclosed tags degrade to counter tracking).
+    """
+    import pandas as pd
+    from html.parser import HTMLParser
+
+    SKIP = frozenset(
+        "script style head nav header footer aside noscript template "
+        "form svg iframe".split()
+    )
+    BLOCK = frozenset(
+        "p div li ul ol h1 h2 h3 h4 h5 h6 article section table tr td "
+        "th blockquote pre br body".split()
+    )
+
+    class _Extractor(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.skip = 0
+            self.anchor = 0
+            self.buf: list = []
+            self.link_chars = 0
+            self.blocks: list = []
+
+        def _flush(self):
+            text = " ".join("".join(self.buf).split())
+            if text:
+                density = self.link_chars / len(text)
+                if density <= max_link_density:
+                    self.blocks.append(text)
+            self.buf, self.link_chars = [], 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in SKIP:
+                self.skip += 1
+            elif tag in BLOCK:
+                self._flush()
+            elif tag == "a":
+                self.anchor += 1
+
+        def handle_endtag(self, tag):
+            if tag in SKIP:
+                self.skip = max(0, self.skip - 1)
+            elif tag in BLOCK:
+                self._flush()
+            elif tag == "a":
+                self.anchor = max(0, self.anchor - 1)
+
+        def handle_data(self, data):
+            if self.skip == 0:
+                self.buf.append(data)
+                if self.anchor > 0:
+                    self.link_chars += len("".join(data.split()))
+
+    def extract_one(html):
+        if html is None:
+            return None
+        p = _Extractor()
+        try:
+            p.feed(html)
+            p.close()
+        except Exception:
+            pass  # malformed input keeps whatever parsed cleanly
+        p._flush()
+        return "\n".join(p.blocks)
+
+    id_dt = dict(docs.dtypes)[id_col]
+
+    def part(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    out_col: pdf[html_col].map(extract_one),
+                }
+            )
+
+    return docs.select(id_col, html_col).mapInPandas(
+        part, f"{id_col} {id_dt}, {out_col} string"
+    )

@@ -589,6 +589,59 @@ def llm_stratified_sample(spark, sf_dir):
 
 
 @query(
+    "llm_html_extract",
+    # exact roundtrip oracle: the query renders each document into a full
+    # HTML page (head/style/nav chrome, a pure-link menu div, 12-word
+    # <p> paragraphs, footer) and extracts the main content back — the
+    # extractor must return precisely the paragraph texts, newline-joined,
+    # which SQL reconstructs from the raw text alone
+    oracle="""
+    WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+    c AS (
+      SELECT doc_id, s, ARRAY_TO_STRING(w[s:s+11], ' ') AS chunk
+      FROM d, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(w), 1), 12)) AS t(s)
+    )
+    SELECT doc_id, STRING_AGG(chunk, CHR(10) ORDER BY s) AS text
+    FROM c GROUP BY doc_id
+    """,
+)
+def llm_html_extract(spark, sf_dir):
+    """HTML main-content extraction (trafilatura/jusText-style): strip
+    chrome subtrees (head/nav/footer/script/style), prune link-dense
+    menu blocks, keep paragraph blocks. The page is synthesized from the
+    fixture text so extraction is oracle-checked as an exact inverse."""
+    from flink_psl_spark.llm import html_extract
+
+    t = tables(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    seq = F.sequence(F.lit(1), F.greatest(F.size(w), F.lit(1)), F.lit(12))
+    paras = F.array_join(
+        F.transform(
+            seq,
+            lambda s: F.concat(
+                F.lit("<p>"),
+                F.concat_ws(" ", F.slice(w, s, 12)),
+                F.lit("</p>"),
+            ),
+        ),
+        "",
+    )
+    page = F.concat(
+        F.lit(
+            '<html><head><title>Doc</title><style>p{margin:0}</style>'
+            '</head><body><nav><a href="/">Home</a> <a href="/a">About'
+            '</a></nav><div><a href="/x">one</a> <a href="/y">two</a>'
+            "</div><article>"
+        ),
+        paras,
+        F.lit('</article><footer>(c) <a href="/tos">Terms</a></footer>'
+              "</body></html>"),
+    )
+    docs = t["documents"].select("doc_id", page.alias("html"))
+    return html_extract(docs)
+
+
+@query(
     "llm_embedding_pca",
     # PCA needs an eigendecomposition, which SQL cannot express — the
     # oracle-able contract is the spectral-identity self-check (the

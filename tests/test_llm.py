@@ -974,6 +974,47 @@ def test_hash_split_properties(spark, t):
         hash_split(docs, {}, key_cols=["doc_id"])
 
 
+def test_html_extract_heuristics(spark):
+    """html_extract: chrome subtrees dropped (even nested/unclosed),
+    link-dense blocks pruned at the density threshold, entities decoded,
+    whitespace collapsed, malformed HTML degrades gracefully, NULL in →
+    NULL out."""
+    from flink_psl_spark.llm import html_extract
+
+    cases = [
+        # chrome subtree skipped, entities decoded, whitespace collapsed
+        (1, "<body><nav>Home  About</nav><p>a &amp; b\n  c</p></body>",
+         "a & b c"),
+        # nested skip tags: everything inside head/style vanishes
+        (2, "<head><title>T</title><style>p{}</style></head><p>keep</p>",
+         "keep"),
+        # link-dense div pruned; text-dense block with one link kept
+        (3, '<div><a href="/">x</a> <a href="/">y</a></div>'
+            '<p>real prose with <a href="/">one link</a> inside</p>',
+         "real prose with one link inside"),
+        # unclosed tags: parser still yields the visible text
+        (4, "<p>first<p>second", "first\nsecond"),
+        # no markup at all is one block
+        (5, "bare text", "bare text"),
+        # NULL html
+        (6, None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, h, _ in cases], "doc_id bigint, html string"
+    )
+    got = {
+        r["doc_id"]: r["text"] for r in html_extract(df).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+    # density threshold is configurable: at 1.0 the link menu survives
+    lenient = html_extract(
+        df.where(F.col("doc_id") == 3), max_link_density=1.0
+    ).first()["text"]
+    assert lenient.startswith("x y\n")
+
+
 def test_pca_numpy_parity_and_contracts(spark, t):
     """Distributed PCA equals single-machine numpy PCA on the collected
     fixture (eigenvalues and |projections| to tight tolerance), applies
