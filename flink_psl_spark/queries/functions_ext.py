@@ -127,6 +127,46 @@ sql_query(
     """,
 )
 
+# Inverse trig + sign + CHAR_LENGTH + population variance/stddev
+# (BuiltInFunctionDefinitions: acos/asin/atan/sign/charLength/varPop/
+# stddevPop). SHA224/SHA384/SHA512 from the same surface have no DuckDB
+# counterpart — they are hashlib-parity unit tests instead
+# (tests/test_functions.py). RAND_INTEGER stays intentionally unmapped:
+# it draws from one sequential java.util.Random per operator instance,
+# which is order-dependent and non-replayable in any distributed engine
+# (Flink itself documents it non-deterministic).
+sql_query(
+    "math_functions3",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(ACOS(l_discount), 6)  AS ac,
+           ROUND(ASIN(l_discount), 6)  AS asn,
+           ROUND(ATAN(l_quantity), 6)  AS at,
+           CAST(SIGN(l_quantity - 25) AS INT) AS sg,
+           CHAR_LENGTH(REPEAT(l_returnflag,
+                               CAST(l_quantity AS INT))) AS cl,
+           ROUND(VAR_POP(l_quantity)
+                 OVER (PARTITION BY l_returnflag), 6)    AS vp,
+           ROUND(STDDEV_POP(l_quantity)
+                 OVER (PARTITION BY l_returnflag), 6)    AS sp
+    FROM lineitem WHERE l_orderkey <= 300
+    """,
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(ACOS(l_discount), 6)  AS ac,
+           ROUND(ASIN(l_discount), 6)  AS asn,
+           ROUND(ATAN(l_quantity), 6)  AS at,
+           CAST(SIGN(l_quantity - 25) AS INT) AS sg,
+           CAST(LENGTH(REPEAT(l_returnflag,
+                               CAST(l_quantity AS INT))) AS INT) AS cl,
+           ROUND(VAR_POP(l_quantity)
+                 OVER (PARTITION BY l_returnflag), 6)    AS vp,
+           ROUND(STDDEV_POP(l_quantity)
+                 OVER (PARTITION BY l_returnflag), 6)    AS sp
+    FROM lineitem WHERE l_orderkey <= 300
+    """,
+)
+
 # ---------------------------------------------------------------------------
 # Temporal surface, batch 2
 # ---------------------------------------------------------------------------

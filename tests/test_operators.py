@@ -320,13 +320,16 @@ def test_sha_family_passthrough(spark):
     FlinkSqlOperatorTable SHA1/SHA384/SHA512) — pinned against known
     digests (DuckDB lacks these, so they are test-verified rather than
     oracled)."""
+    import hashlib
+
     row = spark.sql(
-        "SELECT SHA1('abc') AS s1, SHA2('abc', 384) AS s384, "
-        "SHA2('abc', 512) AS s512"
+        "SELECT SHA1('abc') AS s1, SHA2('abc', 224) AS s224, "
+        "SHA2('abc', 384) AS s384, SHA2('abc', 512) AS s512"
     ).collect()[0]
     assert row["s1"] == "a9993e364706816aba3e25717850c26c9cd0d89d"
-    assert row["s384"].startswith("cb00753f45a35e8b")
-    assert row["s512"].startswith("ddaf35a193617aba")
+    for col, algo in (("s224", "sha224"), ("s384", "sha384"),
+                      ("s512", "sha512")):
+        assert row[col] == hashlib.new(algo, b"abc").hexdigest()
 
 
 def test_table_env_pandas_bridge(spark):
