@@ -1423,3 +1423,80 @@ def stream_dataset_fingerprint(spark, sf_dir):
     docs = stream_from_parquet(spark, f"{sf_dir}/documents.parquet")
     fp = dataset_fingerprint(docs, ["doc_id", "source"])
     return run_to_memory_table(fp, output_mode="complete")
+
+
+@query(
+    "stream_weighted_sample",
+    # the A-ES competition key is a pure row expression, so the streaming
+    # per-key top-n's final state equals the batch weighted sample — the
+    # oracle replays key derivation + ranking in SQL (llm_weighted_sample's
+    # recipe at k=3)
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, source, n_chars,
+             CAST(ROUND(LN((CAST('0x' || SUBSTR(
+                      MD5(CAST(doc_id AS VARCHAR) || '|42'), 1, 6)
+                    AS BIGINT) + 1) / 16777216.0)
+                  / n_chars * 1000000000.0) AS BIGINT) AS sk
+      FROM documents WHERE n_chars > 0
+    ), r AS (
+      SELECT doc_id, source, n_chars, sk,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY sk DESC, doc_id) AS rk
+      FROM s
+    )
+    SELECT source, CAST(rk AS INT) AS sample_rank, doc_id, n_chars,
+           ROUND(sk / 1000000000.0, 6) AS logkey
+    FROM r WHERE rk <= 3
+    """,
+)
+def stream_weighted_sample(spark, sf_dir):
+    """Streaming weighted reservoir (A-ES on a stream): the per-source
+    top-3 by ln(u)/weight is maintained as k-bounded keyed state — the
+    exponential-key competition is commutative, so the final state equals
+    the batch Efraimidis-Spirakis sample regardless of arrival order or
+    micro-batch splits."""
+    from flink_psl_spark.operators import deduplicate
+    from flink_psl_spark.streaming import (
+        keyed_top_n,
+        run_to_memory_table,
+        stream_from_parquet,
+    )
+
+    docs = stream_from_parquet(spark, f"{sf_dir}/documents.parquet")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("doc_id").cast("string"),
+                                  F.lit("42"))),
+                1, 6,
+            ),
+            16, 10,
+        ).cast("bigint") + F.lit(1)
+    ).cast("double") / F.lit(float(16 ** 6))
+    scored = (
+        docs.where(F.col("n_chars") > 0)
+        .withColumn(
+            "__wskey",
+            F.round(F.log(u) / F.col("n_chars") * F.lit(1e9)).cast("bigint"),
+        )
+    )
+    updates = keyed_top_n(
+        scored, "source", "__wskey", 3,
+        payload_cols=["doc_id", "n_chars"], descending=True,
+        tiebreak_cols=["doc_id"],
+    )
+    mem = run_to_memory_table(updates, output_mode="update")
+    latest = deduplicate(
+        mem.withColumn("__seq", F.monotonically_increasing_id()),
+        ["source", "rank"],
+        ["__seq"],
+        keep="last",
+    )
+    return latest.select(
+        "source",
+        F.col("rank").alias("sample_rank"),
+        "doc_id",
+        "n_chars",
+        F.round(F.col("__wskey") / F.lit(1e9), 6).alias("logkey"),
+    )
