@@ -182,15 +182,28 @@ def pca_project(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_col: str = "proj",
+    whiten: bool = False,
 ) -> DataFrame:
     """Project embeddings onto a fitted PCA basis: (x − mean) @ Wᵀ via one
     vectorized numpy matmul per Arrow batch (model broadcast in the UDF
     closure — k×d doubles, parameter-sized). Rows with NULL / wrong-dim
-    vectors are dropped (they carry no coordinates in the basis)."""
+    vectors are dropped (they carry no coordinates in the basis).
+
+    ``whiten=True`` rescales each axis by 1/√eigenvalue so every output
+    component has unit sample variance (PCA whitening — the usual
+    preprocessing before cosine-based embedding curation when axes carry
+    very different energies). Axes with eigenvalue 0 are left unscaled
+    (their coordinates are exactly 0 anyway)."""
     import numpy as np
     import pandas as pd
 
     W = np.array(model["components"], dtype=np.float64)
+    if whiten:
+        lam = np.array(model["eigenvalues"], dtype=np.float64)
+        scale = np.where(
+            lam > 0, 1.0 / np.sqrt(np.where(lam > 0, lam, 1.0)), 1.0
+        )
+        W = W * scale[:, None]
     mean = np.array(model["mean"], dtype=np.float64)
     d = int(model["dim"])
     id_dt = dict(vecs.dtypes)[id_col]

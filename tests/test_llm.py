@@ -1064,6 +1064,15 @@ def test_pca_numpy_parity_and_contracts(spark, t):
             proj[i], (lookup[i] - mu) @ Wm.T, rtol=1e-6, atol=1e-9
         )
 
+    # whitening: every component has unit sample variance
+    wp = pca_project(emb, model, whiten=True).select(
+        *[F.col("proj")[i].alias(f"c{i}") for i in range(3)]
+    )
+    wv = wp.agg(*[F.var_samp(f"c{i}").alias(f"v{i}") for i in range(3)]
+                ).first()
+    for i in range(3):
+        assert abs(wv[f"v{i}"] - 1.0) < 1e-6
+
     # NULL / wrong-dim rows are dropped by projection
     bad = spark.createDataFrame(
         [(9001, None), (9002, [1.0, 2.0])],
