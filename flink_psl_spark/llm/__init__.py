@@ -54,6 +54,7 @@ from flink_psl_spark.llm.similarity import (  # noqa: F401
 )
 from flink_psl_spark.llm.sampling import (  # noqa: F401
     cluster_report,
+    curriculum_schedule,
     deterministic_sample,
     deterministic_shuffle,
     diversity_sample,

@@ -689,3 +689,44 @@ def cluster_report(
             F.round(F.min("__sq") / F.lit(1000000.0), 6).alias("min_sim"),
         )
     )
+
+
+def curriculum_schedule(
+    df: DataFrame,
+    score_col: str,
+    *,
+    id_col: str,
+    n_phases: int = 4,
+    ascending: bool = True,
+    seed: int = 42,
+    phase_col: str = "phase",
+    order_col: str = "order_key",
+    bin_col: Column | None = None,
+) -> DataFrame:
+    """Curriculum ordering for training consumption (Bengio et al. 2009):
+    assign every row a difficulty ``phase`` (quantile of ``score_col`` —
+    phase 1 is the lowest scores when ``ascending``, flipped otherwise)
+    and a deterministic intra-phase shuffle key, so the corpus streams
+    easy→hard with epoch-stable within-phase shuffling.
+
+    Consumption order is ``ORDER BY (phase, order_key, id)`` — materialize
+    it with ``repartitionByRange(phase_col, order_col).
+    sortWithinPartitions(...)`` at write time (a distributed range sort,
+    the only scale-honest way to lay out a global order). Phase
+    assignment reuses ``distributed_ntile`` (two-pass prefix-sum — no
+    single-partition global window), and the shuffle key is the seeded
+    md5 bucket, so the whole schedule replays identically across engines
+    and epochs.
+    """
+    b = bin_col if bin_col is not None else F.floor(
+        F.col(score_col) * F.lit(64)
+    )
+    out = distributed_ntile(
+        df, score_col, id_col, n_tiles=n_phases, out_col=phase_col,
+        bin_col=b,
+    )
+    if not ascending:
+        out = out.withColumn(
+            phase_col, (F.lit(n_phases + 1) - F.col(phase_col)).cast("int")
+        )
+    return out.withColumn(order_col, _bucket([id_col], seed))

@@ -589,6 +589,42 @@ def llm_stratified_sample(spark, sf_dir):
 
 
 @query(
+    "llm_curriculum_schedule",
+    # the schedule replays in SQL: global difficulty rank (n_chars asc,
+    # doc_id tie-break), explicit phase arithmetic ((rk-1)*n//total + 1 —
+    # distributed_ntile's engine-independent formula), md5 order key
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rk,
+             COUNT(*) OVER () AS total
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           CAST((rk - 1) * 4 // total + 1 AS INT) AS phase,
+           CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|42'), 1, 6)
+                AS BIGINT) AS order_key
+    FROM r
+    """,
+)
+def llm_curriculum_schedule(spark, sf_dir):
+    """Curriculum ordering (easy→hard by length quantile, deterministic
+    intra-phase shuffle): 4 phases over the documents table; consumption
+    order is (phase, order_key, doc_id). Phase assignment is the two-pass
+    distributed NTILE — no single-partition global sort anywhere."""
+    from flink_psl_spark.llm import curriculum_schedule
+
+    t = tables(spark, sf_dir)
+    return curriculum_schedule(
+        t["documents"].select("doc_id", "n_chars"),
+        "n_chars",
+        id_col="doc_id",
+        n_phases=4,
+        bin_col=F.col("n_chars"),
+    ).select("doc_id", "n_chars", "phase", "order_key")
+
+
+@query(
     "llm_html_extract",
     # exact roundtrip oracle: the query renders each document into a full
     # HTML page (head/style/nav chrome, a pure-link menu div, 12-word

@@ -974,6 +974,55 @@ def test_hash_split_properties(spark, t):
         hash_split(docs, {}, key_cols=["doc_id"])
 
 
+def test_curriculum_schedule_properties(spark, t):
+    """Curriculum: phases are contiguous difficulty bands (max score of
+    phase p <= min score of phase p+1 modulo ties), near-equal sized,
+    descending flips the band order, and the order key is epoch-stable
+    (same seed → same key)."""
+    from flink_psl_spark.llm import curriculum_schedule
+
+    docs = t["documents"].select("doc_id", "n_chars")
+    out = curriculum_schedule(
+        docs, "n_chars", id_col="doc_id", n_phases=4,
+        bin_col=F.col("n_chars"),
+    )
+    n = docs.count()
+    stats = {
+        r["phase"]: r
+        for r in out.groupBy("phase")
+        .agg(F.count("*").alias("c"), F.min("n_chars").alias("lo"),
+             F.max("n_chars").alias("hi"))
+        .collect()
+    }
+    assert sorted(stats) == [1, 2, 3, 4]
+    assert all(abs(s["c"] - n / 4) <= 1 for s in stats.values())
+    for p in (1, 2, 3):
+        assert stats[p]["hi"] <= stats[p + 1]["lo"] or (
+            # a tie value may straddle the boundary
+            stats[p]["hi"] == stats[p + 1]["lo"]
+        )
+
+    flipped = curriculum_schedule(
+        docs, "n_chars", id_col="doc_id", n_phases=4, ascending=False,
+        bin_col=F.col("n_chars"),
+    )
+    hard_first = flipped.where(F.col("phase") == 1).agg(
+        F.min("n_chars")
+    ).first()[0]
+    assert hard_first >= stats[4]["lo"]
+
+    # epoch stability: two invocations agree exactly
+    a = {r["doc_id"]: r["order_key"] for r in out.collect()}
+    b = {
+        r["doc_id"]: r["order_key"]
+        for r in curriculum_schedule(
+            docs, "n_chars", id_col="doc_id", n_phases=4,
+            bin_col=F.col("n_chars"),
+        ).collect()
+    }
+    assert a == b
+
+
 def test_html_extract_heuristics(spark):
     """html_extract: chrome subtrees dropped (even nested/unclosed),
     link-dense blocks pruned at the density threshold, entities decoded,
