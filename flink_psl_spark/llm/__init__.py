@@ -37,6 +37,7 @@ from flink_psl_spark.llm.dedup import (  # noqa: F401
 from flink_psl_spark.llm.clustering import (  # noqa: F401
     connected_components,
     dedup_clusters,
+    embedding_outliers,
     pca_fit,
     pca_project,
 )

@@ -225,3 +225,36 @@ def pca_project(
     return vecs.select(id_col, vec_col).mapInPandas(
         part, f"{id_col} {id_dt}, {out_col} array<double>"
     )
+
+
+def embedding_outliers(
+    vecs: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_components: int = 8,
+    model: dict | None = None,
+) -> DataFrame:
+    """Embedding-space outlier scoring: squared Mahalanobis distance in
+    the top-``n_components`` PCA subspace (= squared L2 norm of the
+    whitened projection). The standard embedding-curation step for
+    flagging mis-embedded / out-of-distribution rows before they skew
+    clustering or ANN structures.
+
+    One extra corpus scan beyond the PCA fit (reusable via ``model``);
+    scoring is a per-batch matmul, the output one double per row. The
+    score obeys an exact algebraic identity — Σ score over the corpus =
+    k·(n−1) for sample-covariance whitening — which the registry query
+    uses as its oracle-able self-check.
+    """
+    fit = model or pca_fit(vecs, n_components, vec_col=vec_col)
+    proj = pca_project(
+        vecs, fit, id_col=id_col, vec_col=vec_col, whiten=True
+    )
+    k = len(fit["eigenvalues"])
+    score = F.aggregate(
+        F.slice("proj", 1, k),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    return proj.select(id_col, score.alias("maha_sq"))

@@ -589,6 +589,48 @@ def llm_stratified_sample(spark, sf_dir):
 
 
 @query(
+    "llm_embedding_outliers",
+    # Mahalanobis scoring needs the PCA eigenbasis, so (like
+    # llm_embedding_pca) the oracle is the algebraic self-check: for
+    # sample-covariance whitening, Σ maha² over the corpus is EXACTLY
+    # k·(n−1), and the returned outlier ranking must be monotone. Both
+    # are computed in Spark with explicit tolerances per returned row.
+    oracle="""
+    SELECT r AS rank, TRUE AS sum_identity_ok, TRUE AS monotone_ok
+    FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10)) AS t(r)
+    ORDER BY r
+    """,
+)
+def llm_embedding_outliers(spark, sf_dir):
+    """Embedding-space outlier flagging (squared Mahalanobis distance in
+    the top-8 PCA subspace): the curation step that drops mis-embedded /
+    out-of-distribution rows before clustering or ANN indexing."""
+    from flink_psl_spark.llm import embedding_outliers, pca_fit
+
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"]
+    model = pca_fit(emb, 8)
+    scores = embedding_outliers(emb, model=model)
+    k, n = len(model["eigenvalues"]), model["n"]
+    total = scores.agg(F.sum("maha_sq")).first()[0]
+    identity_ok = abs(total - k * (n - 1)) <= 1e-6 * k * (n - 1)
+    top = [
+        r["maha_sq"]
+        for r in scores.orderBy(
+            F.desc("maha_sq"), F.asc("vec_id")
+        ).limit(10).collect()
+    ]
+    rows = [
+        (i + 1, bool(identity_ok),
+         bool(i == 0 or top[i] <= top[i - 1]))
+        for i in range(len(top))
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, sum_identity_ok boolean, monotone_ok boolean"
+    )
+
+
+@query(
     "llm_curriculum_schedule",
     # the schedule replays in SQL: global difficulty rank (n_chars asc,
     # doc_id tie-break), explicit phase arithmetic ((rk-1)*n//total + 1 —

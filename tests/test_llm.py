@@ -974,6 +974,33 @@ def test_hash_split_properties(spark, t):
         hash_split(docs, {}, key_cols=["doc_id"])
 
 
+def test_embedding_outliers_numpy_parity(spark, t):
+    """maha_sq equals the numpy Mahalanobis distance in the PCA subspace
+    for every vector, and the exact sum identity Σ maha² = k(n−1) holds."""
+    import numpy as np
+
+    from flink_psl_spark.llm import embedding_outliers, pca_fit
+
+    emb = t["embeddings"]
+    k = 5
+    model = pca_fit(emb, k)
+    got = {
+        r["vec_id"]: r["maha_sq"]
+        for r in embedding_outliers(emb, model=model).collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    W = np.array(model["components"])
+    mu = np.array(model["mean"])
+    lam = np.array(model["eigenvalues"])
+    P = (X - mu) @ W.T / np.sqrt(lam)
+    want = (P * P).sum(axis=1)
+    for r, w in zip(rows, want):
+        assert abs(got[r["vec_id"]] - w) < 1e-8 * max(w, 1.0)
+    total = sum(got.values())
+    assert abs(total - k * (model["n"] - 1)) < 1e-6 * k * model["n"]
+
+
 def test_curriculum_schedule_properties(spark, t):
     """Curriculum: phases are contiguous difficulty bands (max score of
     phase p <= min score of phase p+1 modulo ties), near-equal sized,
