@@ -93,6 +93,8 @@ from flink_psl_spark.llm.text import (  # noqa: F401
     ngram_novelty,
     tfidf_top_terms,
     vocab_coverage,
+    bm25_topk,
+    assemble_conversations,
 )
 from flink_psl_spark.llm.repetition import (  # noqa: F401
     duplicate_segment_fraction,

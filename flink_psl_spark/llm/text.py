@@ -1114,3 +1114,188 @@ def html_extract(
     return docs.select(id_col, html_col).mapInPandas(
         part, f"{id_col} {id_dt}, {out_col} string"
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[str, str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 retrieval: the top-``k`` documents per query under the
+    Okapi BM25 ranking function — the standard lexical retriever used to
+    mine training data (query-conditioned corpus selection, RAG corpus
+    audits, hard-negative candidate generation).
+
+    Reference parity: the reference exposes retrieval-style scoring only
+    through its UDF surface; this is the built-in equivalent, mirroring
+    ``tfidf_top_terms``'s corpus statistics with the BM25 saturation and
+    length normalization on top.
+
+    Cross-engine determinism: every corpus statistic entering the score
+    is an EXACT integer (tf, df, dl, N, Σdl) and all constants are typed
+    double, so both engines evaluate the identical IEEE expression tree;
+    the per-(doc, term) score is quantized (``floor(s·1e6)``) before the
+    integer per-doc sum, and ranking ties break on ``id_col`` — the same
+    quantized-score discipline as ``tfidf_top_terms``.
+
+    Scale shape: the query set is parameter-sized and BROADCAST — the
+    corpus-sized token explode is immediately semi-joined down to rows
+    whose term appears in some query, so the (doc, term) tf table that
+    shuffles is ~|queries| × hits, not corpus-sized. Document lengths
+    are row-local expressions (no shuffle); N and Σdl are a one-row
+    aggregate cross-joined in (no driver collect); the final per-query
+    rank compiles to WindowGroupLimit, so only k rows per query survive
+    the last exchange.
+    """
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    qterms = spark.createDataFrame(
+        sorted(
+            {
+                (qid, term)
+                for qid, qtext in queries
+                for term in qtext.lower().split()
+            }
+        ),
+        "qid string, term string",
+    )
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokenize(F.lower(F.col(text_col)))).alias("term"),
+    )
+    # semi-join FIRST: everything downstream is query-hit-sized
+    hits = toks.join(
+        F.broadcast(qterms.select("term").distinct()), on="term", how="inner"
+    )
+    tf = hits.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    dl = docs.select(F.col(id_col), token_count(text_col).alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("doc_freq") + F.lit(0.5))
+        / (F.col("doc_freq") + F.lit(0.5))
+    )
+    score = (
+        idf
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("dl") * F.col("n_docs") / F.col("sum_dl")
+            )
+        )
+        * F.lit(1000000.0)
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), on="term")
+        .join(F.broadcast(qterms), on="term")
+        .join(dl, on=id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "qid",
+            id_col,
+            F.floor(score).cast("bigint").alias("s"),
+        )
+    )
+    agg = scored.groupBy("qid", id_col).agg(
+        F.sum("s").cast("bigint").alias("score_q")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("score_q"), F.asc(id_col)
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", id_col, "score_q", "rank")
+    )
+
+
+def assemble_conversations(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    turn_col: str = "event_type",
+    order_col: str = "event_id",
+    gap_minutes: int = 30,
+    max_turns: int = 64,
+) -> DataFrame:
+    """Assemble per-user event streams into ordered conversation
+    transcripts — the chat-log → training-document step of a dialogue
+    pipeline: sessionize by inactivity gap, then concatenate each
+    session's turns in event order into one transcript row.
+
+    Sessionization is the classic lag-and-cumulative-sum formulation
+    (a new session starts where the gap to the previous event exceeds
+    ``gap_minutes``), identical to the reference's session windows but
+    expressed relationally so it runs as two window passes + one
+    aggregate — no stateful operator needed in batch.
+
+    Scale shape: both window passes and the final aggregate partition by
+    ``user_col`` — ONE shuffle (the first exchange is reused by the
+    second window and the groupBy, which Catalyst co-partitions).
+    Transcripts are capped at ``max_turns`` turns (``slice`` after
+    ``array_agg``), so no output row is unbounded; per-user state is
+    bounded by the user's own event count, the same contract as any
+    per-key groupBy.
+    """
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy(user_col).orderBy(
+        F.asc(ts_col), F.asc(order_col)
+    )
+    gap_s = gap_minutes * 60
+    sess = (
+        events.withColumn("__prev", F.lag(ts_col).over(wo))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__prev").isNull()
+                | (
+                    F.unix_timestamp(ts_col)
+                    - F.unix_timestamp("__prev")
+                    > gap_s
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("session_n", F.sum("__new").over(wo).cast("bigint"))
+    )
+    turns = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("t"),
+                F.col(order_col).alias("o"),
+                F.col(turn_col).alias("v"),
+            )
+        )
+    )
+    return (
+        sess.groupBy(user_col, "session_n")
+        .agg(
+            F.count("*").cast("bigint").alias("n_turns"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+            F.concat_ws(
+                " ",
+                F.slice(turns, 1, max_turns).getField("v"),
+            ).alias("transcript"),
+        )
+        .select(
+            user_col, "session_n", "n_turns",
+            "first_ts", "last_ts", "transcript",
+        )
+    )

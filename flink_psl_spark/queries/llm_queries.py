@@ -3194,3 +3194,109 @@ def llm_cluster_report(spark, sf_dir):
         t["embeddings"].select("vec_id", "embedding"),
         target_cluster_size=32,
     )
+
+
+_BM25_QUERIES = [
+    ("q_exec", "spark query join window"),
+    ("q_sort", "merge sort batch"),
+    ("q_cust", "customer data filter stream"),
+]
+_BM25_VALUES = ", ".join(
+    f"('{qid}', '{term}')"
+    for qid, qtext in _BM25_QUERIES
+    for term in sorted(set(qtext.split()))
+)
+
+
+@query(
+    "llm_bm25_topk",
+    # all statistics are exact integers and all constants typed double
+    # (e-notation keeps DuckDB from parsing them as DECIMAL), so both
+    # engines evaluate the identical IEEE tree; per-(doc,term) scores
+    # quantize to ints before the per-doc sum — rank is float-proof
+    oracle=f"""
+    WITH q(qid, term) AS (VALUES {_BM25_VALUES}),
+    toks AS (
+      SELECT doc_id, UNNEST({_LTOKS}) AS term FROM documents),
+    dl AS (
+      SELECT doc_id,
+             CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END AS dl
+      FROM documents),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+    dft AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+    scored AS (
+      SELECT q.qid, tf.doc_id,
+             CAST(FLOOR(
+               LN(1e0 + (n_docs - doc_freq + 5e-1) / (doc_freq + 5e-1))
+               * (tf * 2.2e0)
+               / (tf + 1.2e0
+                  * (2.5e-1 + 7.5e-1 * dl.dl * n_docs / sum_dl))
+               * 1000000e0) AS BIGINT) AS s
+      FROM tf
+      JOIN dft USING (term)
+      JOIN q USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats),
+    ranked AS (
+      SELECT qid, doc_id, CAST(SUM(s) AS BIGINT) AS score_q,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY SUM(s) DESC, doc_id) AS rank
+      FROM scored GROUP BY qid, doc_id)
+    SELECT qid, doc_id, score_q, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def llm_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-5 per query — lexical retrieval for
+    query-conditioned corpus mining. The corpus-sized token explode is
+    broadcast-semi-joined down to query-term hits before anything
+    shuffles; N and Σdl ride a one-row broadcast; the final rank
+    compiles to WindowGroupLimit."""
+    from flink_psl_spark.llm import bm25_topk
+
+    t = tables(spark, sf_dir)
+    return bm25_topk(t["documents"], _BM25_QUERIES, k=5).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+@query(
+    "llm_conversation_assembly",
+    # lag + cumulative-sum sessionization, then an ORDER-BY string agg;
+    # EPOCH() gap math keeps both engines on exact integer seconds
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR CAST(EPOCH(ts) AS BIGINT)
+                     - CAST(EPOCH(LAG(ts) OVER w) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    g AS (
+      SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS BIGINT)
+                AS session_n
+      FROM s)
+    SELECT user_id, session_n, CAST(COUNT(*) AS BIGINT) AS n_turns,
+           MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+           STRING_AGG(event_type, ' ' ORDER BY ts, event_id)
+             AS transcript
+    FROM g GROUP BY user_id, session_n
+    """,
+)
+def llm_conversation_assembly(spark, sf_dir):
+    """Per-user conversation transcripts: 30-min-gap sessionization
+    (lag + running sum) then ordered turn concatenation — the chat-log →
+    training-document assembly step. One user-keyed shuffle shared by
+    both window passes and the aggregate; transcripts capped at
+    max_turns=64 (fixture sessions are far shorter, so the cap is
+    inactive here and the oracle needs no slice)."""
+    from flink_psl_spark.llm import assemble_conversations
+
+    t = tables(spark, sf_dir)
+    return assemble_conversations(t["events"], gap_minutes=30, max_turns=64)

@@ -1480,3 +1480,98 @@ def test_normalize_text_unicode_cases(spark):
     assert out[2] == '"q" - a... xy z'
     assert out[3] == "a b"
     assert out[4] is None
+
+
+def test_bm25_topk_semantics(spark):
+    """BM25 agrees with a hand-rolled python model on a small corpus:
+    exact integer statistics, quantized scores, ties on doc_id."""
+    import math
+
+    from flink_psl_spark.llm import bm25_topk
+
+    corpus = {
+        1: "apple banana apple",
+        2: "banana cherry",
+        3: "apple apple apple durian",
+        4: "cherry cherry banana durian",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in corpus.items()], "doc_id int, text string"
+    )
+    queries = [("qa", "apple durian"), ("qb", "banana")]
+    out = bm25_topk(docs, queries, k=3, k1=1.2, b=0.75).collect()
+
+    # python model
+    dl = {i: len(t.split()) for i, t in corpus.items()}
+    n, sum_dl = len(corpus), sum(dl.values())
+    tf = {}
+    for i, t in corpus.items():
+        for w in t.split():
+            tf[(i, w)] = tf.get((i, w), 0) + 1
+    df = {}
+    for (_i, w) in tf:
+        df[w] = df.get(w, 0) + 1
+
+    def score(i, terms):
+        s = 0
+        for w in set(terms.split()):
+            if (i, w) not in tf:
+                continue
+            idf = math.log(1.0 + (n - df[w] + 0.5) / (df[w] + 0.5))
+            t = tf[(i, w)]
+            s += math.floor(
+                idf * (t * 2.2) / (t + 1.2 * (0.25 + 0.75 * dl[i] * n / sum_dl))
+                * 1e6
+            )
+        return s
+
+    expect = {}
+    for qid, qtext in queries:
+        ranked = sorted(
+            ((score(i, qtext), i) for i in corpus if score(i, qtext) != 0),
+            key=lambda p: (-p[0], p[1]),
+        )[:3]
+        for r, (s, i) in enumerate(ranked, 1):
+            expect[(qid, i)] = (s, r)
+
+    got = {(r["qid"], r["doc_id"]): (r["score_q"], r["rank"]) for r in out}
+    assert got == expect
+
+
+def test_assemble_conversations_gap_split(spark):
+    """A gap larger than gap_minutes starts a new session; transcripts
+    concatenate turns in (ts, event_id) order and cap at max_turns."""
+    import datetime as dt
+
+    from flink_psl_spark.llm import assemble_conversations
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, uid, minutes, typ):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, typ)
+
+    events = spark.createDataFrame(
+        [
+            ev(1, 7, 0, "a"),
+            ev(2, 7, 10, "b"),
+            ev(3, 7, 20, "c"),
+            ev(4, 7, 120, "d"),   # 100-min gap -> new session
+            ev(5, 7, 125, "e"),
+            ev(6, 9, 0, "x"),
+        ],
+        "event_id int, ts timestamp, user_id int, event_type string",
+    )
+    out = {
+        (r["user_id"], r["session_n"]): r
+        for r in assemble_conversations(
+            events, gap_minutes=30, max_turns=2
+        ).collect()
+    }
+    assert set(out) == {(7, 1), (7, 2), (9, 1)}
+    s1 = out[(7, 1)]
+    assert s1["n_turns"] == 3
+    # max_turns=2 caps the transcript but not n_turns
+    assert s1["transcript"] == "a b"
+    assert out[(7, 2)]["transcript"] == "d e"
+    assert out[(7, 2)]["first_ts"] == t0 + dt.timedelta(minutes=120)
+    assert out[(9, 1)]["n_turns"] == 1
