@@ -763,3 +763,100 @@ def remove_duplicate_spans(
             F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
         )
     )
+
+
+def online_lsh_candidate_pairs(
+    stream_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """STREAMING MinHash-LSH candidate generation: near-dup candidate
+    pairs emitted continuously as documents arrive — the ingest-time half
+    of online near-dup dedup (reference counterpart: the keyed-state
+    dedup operators of StreamExecDeduplicate.java, generalized from exact
+    keys to LSH buckets).
+
+    Each micro-batch computes signatures batch-locally (the same
+    expression + Arrow kernel as the batch path — no extra state), bands
+    them, and routes (band, band_hash) groups through keyed state holding
+    the bucket's doc-id roster. A pair (a, b), a < b, is emitted the
+    moment the LATER of the two lands in a shared bucket — so the emitted
+    pair set equals the batch LSH candidate set regardless of arrival
+    order or micro-batch boundaries (the roster is an order-insensitive
+    set union; emission de-dups per bucket, a global distinct after drain
+    de-dups across buckets).
+
+    Scale guard: rosters cap at ``max_bucket`` ids, keeping the LOWEST
+    (deterministic under any arrival order once the bucket has drained
+    past the cap). A bucket past the cap means near-identical boilerplate
+    flooding one LSH cell; pairs against the lowest ids still mark every
+    later member a duplicate, which is exactly the dedup outcome — what
+    is lost is only duplicate-CLUSTER completeness, same contract as the
+    batch path's sub-bucket cap in semantic_dedup.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    import pandas as pd
+
+    if num_hashes % bands != 0:
+        raise ValueError(f"num_hashes {num_hashes} not divisible by {bands}")
+    r = num_hashes // bands
+    sig = minhash_signatures(
+        stream_docs, text_col, id_col,
+        num_hashes=num_hashes, shingle_n=shingle_n,
+    )
+    banded = sig.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.slice("minhash", b * r + 1, r))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__band", "__bh"),
+    )
+
+    def fn(key, batches, state: GroupState):
+        roster = sorted(state.get[0]) if state.exists else []
+        new_ids = sorted(
+            {
+                int(i)
+                for b in batches
+                for i in b["__id"].tolist()
+                if i not in roster
+            }
+            - set(roster)
+        )
+        out_a, out_b = [], []
+        seen = set(roster)
+        for nid in new_ids:
+            for old in roster:
+                if old != nid:
+                    lo, hi = (old, nid) if old < nid else (nid, old)
+                    out_a.append(lo)
+                    out_b.append(hi)
+            # pairs among same-batch arrivals: earlier new ids are in
+            # `seen` by the time the later one is processed
+            for other in new_ids:
+                if other >= nid:
+                    break
+                out_a.append(other)
+                out_b.append(nid)
+            seen.add(nid)
+        roster = sorted(seen)[:max_bucket]
+        state.update((roster,))
+        yield pd.DataFrame({"a": out_a, "b": out_b}, dtype="int64")
+
+    return banded.groupBy("__band", "__bh").applyInPandasWithState(
+        fn,
+        outputStructType="a bigint, b bigint",
+        stateStructType="ids array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1500,3 +1500,56 @@ def stream_weighted_sample(spark, sf_dir):
         "n_chars",
         F.round(F.col("__wskey") / F.lit(1e9), 6).alias("logkey"),
     )
+
+
+from flink_psl_spark.queries.llm_queries import _NEARDUP_SURVIVORS_SQL
+
+
+@query("stream_online_lsh_dedup", oracle=_NEARDUP_SURVIVORS_SQL)
+def stream_online_lsh_dedup(spark, sf_dir):
+    """STREAMING near-dup dedup at ingest: MinHash-LSH candidate pairs
+    emitted from keyed bucket-roster state as documents arrive
+    (online_lsh_candidate_pairs), drained to an accumulator, then
+    exact-Jaccard verified and anti-joined — the continuous-ingest
+    version of llm_minhash_dedup. Candidate emission is an
+    order-insensitive set union per bucket, so the drained pair set
+    equals the batch LSH candidate set and (with recall 1, which the
+    exact-verification oracle proves per run) the output equals the
+    all-pairs ground truth."""
+    import tempfile
+
+    from flink_psl_spark.llm import ngram_jaccard_pairs, online_lsh_candidate_pairs
+    from flink_psl_spark.streaming import stream_from_parquet
+
+    t = tables(spark, sf_dir)
+    stream = stream_from_parquet(spark, f"{sf_dir}/documents.parquet")
+    pairs = online_lsh_candidate_pairs(stream)
+    acc = tempfile.mkdtemp(prefix="fps_online_lsh_")
+    q = (
+        pairs.writeStream.format("parquet")
+        .option("path", f"{acc}/out")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="fps_online_lsh_ck_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    try:
+        cand = (
+            spark.read.parquet(f"{acc}/out")
+            .where(F.col("a").isNotNull())
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    except Exception:  # zero candidate pairs -> no parquet parts
+        cand = spark.createDataFrame([], "a bigint, b bigint")
+    verified = ngram_jaccard_pairs(
+        t["documents"], threshold=0.8, candidates=cand
+    )
+    dropped = verified.select(F.col("b").alias("doc_id")).distinct()
+    return (
+        t["documents"]
+        .join(dropped, on="doc_id", how="left_anti")
+        .select("doc_id", "lang", "source")
+    )

@@ -1575,3 +1575,53 @@ def test_assemble_conversations_gap_split(spark):
     assert out[(7, 2)]["transcript"] == "d e"
     assert out[(7, 2)]["first_ts"] == t0 + dt.timedelta(minutes=120)
     assert out[(9, 1)]["n_turns"] == 1
+
+
+def test_online_lsh_pairs_match_batch_across_batches(spark, tmp_path):
+    """The drained online candidate-pair set equals the batch LSH pair
+    set even when near-dup partners arrive in DIFFERENT micro-batches
+    (the bucket roster carries across triggers)."""
+    from flink_psl_spark.llm import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+        online_lsh_candidate_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows1 = [(1, base * 4), (3, "totally unrelated text about spark plans")]
+    rows2 = [(2, base * 4 + "tail"), (4, base * 4)]
+    schema = "doc_id bigint, text string"
+    for i, rows in enumerate([rows1, rows2]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{tmp_path}/src")
+
+    st = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp_path}/src")
+    )
+    pairs = online_lsh_candidate_pairs(st)
+    q = (
+        pairs.writeStream.format("parquet")
+        .option("path", f"{tmp_path}/out")
+        .option("checkpointLocation", f"{tmp_path}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["a"], r["b"])
+        for r in spark.read.parquet(f"{tmp_path}/out").distinct().collect()
+    }
+
+    batch = spark.createDataFrame(rows1 + rows2, schema)
+    expect = {
+        (r["a"], r["b"])
+        for r in minhash_lsh_pairs(
+            minhash_signatures(batch)
+        ).collect()
+    }
+    assert got == expect
+    # cross-batch partners (1,2), (1,4) must be present
+    assert (1, 2) in got and (1, 4) in got
