@@ -9,6 +9,7 @@ from flink_psl_spark.operators.joins import (  # noqa: F401
     asof_join,
     fuzzy_join,
     interval_join,
+    binned_interval_join,
 )
 from flink_psl_spark.operators.ranking import top_n, deduplicate  # noqa: F401
 from flink_psl_spark.operators.windows import (  # noqa: F401

@@ -1706,3 +1706,38 @@ def zorder_clustering_report(spark, sf_dir):
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+@query(
+    "interval_join_keyless",
+    oracle="""
+    SELECT p.event_id AS purchase_id, e.event_id AS error_id,
+           p.ts AS purchase_ts, e.ts AS error_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON e.ts >= p.ts - INTERVAL 1 MINUTE
+     AND e.ts <= p.ts + INTERVAL 1 MINUTE
+    """,
+)
+def interval_join_keyless(spark, sf_dir):
+    """KEYLESS interval join (global temporal correlation — every error
+    within ±1 minute of any purchase) via the binned range-join
+    rewrite: without an equi key Catalyst's only native plan is the
+    quadratic BroadcastNestedLoopJoin; binning both sides by the window
+    span turns it into a shuffle equi-join whose per-task cost is bin
+    occupancy, not table size (the 100 TB shape; plan-asserted in
+    tests/test_plan_shapes.py)."""
+    from flink_psl_spark.operators import binned_interval_join
+
+    t = tables(spark, sf_dir)
+    purchases = t["events"].where(F.col("event_type") == "purchase")
+    errors = t["events"].where(F.col("event_type") == "error")
+    joined = binned_interval_join(
+        purchases, errors, "ts", "ts", "-1 minute", "1 minute"
+    )
+    return joined.select(
+        F.col("__l.event_id").alias("purchase_id"),
+        F.col("__r.event_id").alias("error_id"),
+        F.col("__l.ts").alias("purchase_ts"),
+        F.col("__r.ts").alias("error_ts"),
+    )

@@ -406,3 +406,55 @@ def test_duplicate_spans_no_cartesian(spark, t):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_binned_interval_join_no_nested_loop(spark, t):
+    """The keyless range join plans as a shuffle equi-join on the bin id
+    — never the quadratic BroadcastNestedLoopJoin a raw range predicate
+    compiles to — and the exact range predicate survives as the join's
+    residual condition."""
+    from flink_psl_spark.operators import binned_interval_join, interval_join
+
+    purchases = t["events"].where(F.col("event_type") == "purchase")
+    errors = t["events"].where(F.col("event_type") == "error")
+
+    binned = binned_interval_join(
+        purchases, errors, "ts", "ts", "-1 minute", "1 minute"
+    )
+    plan = _plan(binned)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # equi-join on the bin id (AQE picks broadcast at test scale,
+    # shuffle variants at cluster scale — all are bin-keyed equi-joins)
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+    # exact same pair set as the unoptimized range predicate (wider
+    # window at smoke scale so the pair set is non-empty)
+    wide = binned_interval_join(
+        purchases, errors, "ts", "ts", "-1 hour", "1 hour"
+    )
+    naive = (
+        purchases.alias("__l")
+        .join(
+            errors.alias("__r"),
+            (F.col("__r.ts") >= F.col("__l.ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("__r.ts") <= F.col("__l.ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+    )
+    got = {
+        (r[0], r[1])
+        for r in wide.select(
+            F.col("__l.event_id"), F.col("__r.event_id")
+        ).collect()
+    }
+    expect = {
+        (r[0], r[1])
+        for r in naive.select(
+            F.col("__l.event_id"), F.col("__r.event_id")
+        ).collect()
+    }
+    assert got == expect and got
