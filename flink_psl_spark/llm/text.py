@@ -1257,7 +1257,9 @@ def assemble_conversations(
     wo = Window.partitionBy(user_col).orderBy(
         F.asc(ts_col), F.asc(order_col)
     )
-    gap_s = gap_minutes * 60
+    # µs-exact gap comparison (unix_timestamp would truncate to seconds
+    # and disagree with engines that round epoch fractions)
+    gap_us = gap_minutes * 60 * 1_000_000
     sess = (
         events.withColumn("__prev", F.lag(ts_col).over(wo))
         .withColumn(
@@ -1265,9 +1267,9 @@ def assemble_conversations(
             F.when(
                 F.col("__prev").isNull()
                 | (
-                    F.unix_timestamp(ts_col)
-                    - F.unix_timestamp("__prev")
-                    > gap_s
+                    F.unix_micros(F.col(ts_col))
+                    - F.unix_micros(F.col("__prev"))
+                    > gap_us
                 ),
                 F.lit(1),
             ).otherwise(F.lit(0)),

@@ -3267,13 +3267,13 @@ def llm_bm25_topk(spark, sf_dir):
 @query(
     "llm_conversation_assembly",
     # lag + cumulative-sum sessionization, then an ORDER-BY string agg;
-    # EPOCH() gap math keeps both engines on exact integer seconds
+    # EPOCH_US() gap math keeps both engines on exact integer microseconds
+    # (second-truncation vs rounding would diverge at fractional gaps)
     oracle="""
     WITH s AS (
       SELECT user_id, event_id, ts, event_type,
              CASE WHEN LAG(ts) OVER w IS NULL
-                  OR CAST(EPOCH(ts) AS BIGINT)
-                     - CAST(EPOCH(LAG(ts) OVER w) AS BIGINT) > 1800
+                  OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000
                   THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

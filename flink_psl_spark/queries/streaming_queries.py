@@ -1553,3 +1553,49 @@ def stream_online_lsh_dedup(spark, sf_dir):
         .join(dropped, on="doc_id", how="left_anti")
         .select("doc_id", "lang", "source")
     )
+
+
+@query(
+    "stream_conversation_assembly",
+    # the batch sessionize+concat restatement, restricted to sessions the
+    # final watermark (max ts - 10 min delay) has finalized (last + 30 min
+    # gap <= watermark) — exactly the transcripts whose event-time timer
+    # fired before the replay drained; µs-exact gap math on both sides
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    g AS (
+      SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS BIGINT)
+                AS session_n
+      FROM s),
+    agged AS (
+      SELECT user_id, session_n, CAST(COUNT(*) AS BIGINT) AS n_turns,
+             MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+             STRING_AGG(event_type, ' ' ORDER BY ts, event_id)
+               AS transcript
+      FROM g GROUP BY user_id, session_n)
+    SELECT * FROM agged
+    WHERE last_ts + INTERVAL 30 MINUTE
+          <= (SELECT MAX(ts) - INTERVAL 10 MINUTE FROM events)
+    """,
+)
+def stream_conversation_assembly(spark, sf_dir):
+    """STREAMING conversation assembly: per-user transcripts emitted by
+    event-time-timer session state as the log replays — the
+    continuous-ingest counterpart of llm_conversation_assembly (same
+    gap-split + ordered concat; session ordinals carried in keyed state
+    so numbering equals the batch running sum)."""
+    from flink_psl_spark.streaming import session_transcripts
+
+    ev = _events_stream(spark, sf_dir)
+    out = session_transcripts(
+        ev, "user_id", "ts", "event_type", "event_id",
+        gap="30 minutes", delay="10 minutes", max_turns=64,
+    )
+    return run_to_memory_table(out, output_mode="append")

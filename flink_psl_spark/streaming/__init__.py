@@ -28,4 +28,5 @@ from flink_psl_spark.streaming.stateful import (  # noqa: F401
     streaming_range_over,
     streaming_event_time_sort,
     timer_session_agg,
+    session_transcripts,
 )

@@ -956,3 +956,129 @@ def timer_session_agg_tws(
         outputMode="Append",
         timeMode="EventTime",
     )
+
+
+def session_transcripts(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    turn_col: str,
+    order_col: str,
+    *,
+    gap: str = "30 minutes",
+    delay: str = "10 minutes",
+    max_turns: int = 64,
+) -> DataFrame:
+    """STREAMING conversation assembly: the event-time-timer session
+    machinery of :func:`timer_session_agg`, emitting ordered TRANSCRIPTS
+    instead of numeric aggregates — the continuous-ingest counterpart of
+    ``llm.assemble_conversations`` (chat-log → training-document at
+    arrival time).
+
+    Rows buffer as (ts, order, turn) in keyed state; watermark passage
+    finalizes every gap-split session whose ``last + gap`` it has
+    passed, emitting ``(key, session_n, n_turns, first_ts, last_ts,
+    transcript)`` with turns concatenated in (ts, order) order and
+    capped at ``max_turns``. ``session_n`` is a per-key ordinal carried
+    in state: sessions finalize in start-time order per key (an earlier
+    session's end always passes the watermark first), so the numbering
+    equals the batch formulation's running-sum session id.
+
+    State per key = the un-finalized tail + one counter + one timer —
+    watermark-bounded exactly as timer_session_agg.
+    """
+    gap_us = _interval_ms(gap) * 1000
+    src = events.select(key_col, ts_col, order_col, turn_col).withWatermark(
+        ts_col, delay
+    )
+    k_dt = _dt(src, key_col)
+    out_schema = (
+        f"{key_col} {k_dt}, session_n bigint, n_turns bigint, "
+        "first_ts timestamp, last_ts timestamp, transcript string"
+    )
+    out_names = [
+        key_col, "session_n", "n_turns", "first_ts", "last_ts", "transcript"
+    ]
+    state_fields = (
+        "n_done bigint, ts_us array<bigint>, ord array<bigint>, "
+        "turn array<string>"
+    )
+
+    def _split(buf: list[tuple[int, int, str]]):
+        """Sorted buffer → list of sessions (each a list of rows)."""
+        out: list[list[tuple[int, int, str]]] = []
+        for row in sorted(buf):
+            if out and row[0] - out[-1][-1][0] <= gap_us:
+                out[-1].append(row)
+            else:
+                out.append([row])
+        return out
+
+    def fn(key, batches: Iterator[pd.DataFrame], state: GroupState):
+        n_done = 0
+        buf: list[tuple[int, int, str]] = []
+        if state.exists:
+            n_done, ts_list, ord_list, turn_list = state.get
+            buf = list(zip(ts_list, ord_list, turn_list))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            us = pdf[ts_col].values.astype("datetime64[us]").astype("int64")
+            buf.extend(
+                (int(t), int(o), str(v))
+                for t, o, v in zip(us, pdf[order_col], pdf[turn_col])
+            )
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        done, keep = [], []
+        for sess in _split(buf):
+            if sess[-1][0] + gap_us <= wm_us:
+                done.append(sess)
+            else:
+                keep.extend(sess)
+        if keep:
+            state.update(
+                (
+                    n_done + len(done),
+                    [t for t, _, _ in keep],
+                    [o for _, o, _ in keep],
+                    [v for _, _, v in keep],
+                )
+            )
+            nxt = min(s[-1][0] + gap_us for s in _split(keep))
+            state.setTimeoutTimestamp(
+                max(nxt // 1000 + 1, wm_us // 1000 + 1)
+            )
+        elif done:
+            # key may still receive rows later: keep the ordinal counter
+            state.update((n_done + len(done), [], [], []))
+            state.setTimeoutTimestamp(wm_us // 1000 + 3_600_000)
+        if done:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(done),
+                    "session_n": [
+                        n_done + i + 1 for i in range(len(done))
+                    ],
+                    "n_turns": [len(s) for s in done],
+                    "first_ts": pd.to_datetime(
+                        [s[0][0] for s in done], unit="us"
+                    ),
+                    "last_ts": pd.to_datetime(
+                        [s[-1][0] for s in done], unit="us"
+                    ),
+                    "transcript": [
+                        " ".join(v for _, _, v in s[:max_turns])
+                        for s in done
+                    ],
+                }
+            )
+        else:
+            yield pd.DataFrame({c: [] for c in out_names})
+
+    return src.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_fields,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -178,3 +178,50 @@ def test_streaming_iterate_unbounded_loop(spark):
     # every row decrements until it leaves at v = -1; each k exactly once
     assert rows == [(k, -1) for k in range(12)]
     assert not query.isActive
+
+
+def test_session_transcripts_cross_batch(spark, tmp_path):
+    """Sessions spanning micro-batches assemble into ONE transcript; the
+    per-key ordinal counts finalized sessions across batches; only
+    sessions the final watermark passed are emitted."""
+    import datetime as dt
+
+    from flink_psl_spark.streaming import session_transcripts
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    m = lambda mins: t0 + dt.timedelta(minutes=mins)
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    # batch 1: session A opens; batch 2: session A continues, then a
+    # 40-min gap opens session B, then a watermark-advancing tail row
+    b1 = [(1, m(0), 7, "a"), (2, m(5), 7, "b")]
+    b2 = [
+        (3, m(10), 7, "c"),
+        (4, m(50), 7, "d"),           # > 30 min after m(10) -> new session
+        (5, m(300), 99, "z"),         # advances wm to m(290)
+    ]
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{tmp_path}/src")
+    st = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp_path}/src")
+    )
+    out = session_transcripts(
+        st, "user_id", "ts", "event_type", "event_id",
+        gap="30 minutes", delay="10 minutes",
+    )
+    from flink_psl_spark.streaming import run_to_memory_table
+
+    got = {
+        (r["user_id"], r["session_n"]): r
+        for r in run_to_memory_table(out, output_mode="append").collect()
+    }
+    # user 7: session 1 = a b c (m0-m10), session 2 = d (m50);
+    # both finalized (wm = m290); user 99's session not finalized
+    assert set(got) == {(7, 1), (7, 2)}
+    assert got[(7, 1)]["transcript"] == "a b c"
+    assert got[(7, 1)]["n_turns"] == 3
+    assert got[(7, 2)]["transcript"] == "d"
+    assert got[(7, 2)]["first_ts"] == m(50)
