@@ -34,6 +34,7 @@ from flink_psl_spark.llm.dedup import (  # noqa: F401
     simhash_dedup,
     ngram_jaccard_pairs,
     online_lsh_candidate_pairs,
+    minhash_dedup_keep_best,
 )
 from flink_psl_spark.llm.clustering import (  # noqa: F401
     connected_components,

@@ -860,3 +860,59 @@ def online_lsh_candidate_pairs(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def minhash_dedup_keep_best(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup survivors with QUALITY-AWARE representative selection:
+    duplicate groups come from MinHash-LSH candidates + exact-Jaccard
+    verification + connected components, and each group keeps its
+    highest-``quality_col`` member (ties → lowest id) instead of
+    ``minhash_dedup``'s keep-lowest-id policy — the curation rule a real
+    training pipeline wants ("of these near-identical pages, keep the
+    longest / highest-scored one").
+
+    Scale shape on top of minhash_dedup's: the verified pair set is
+    sparse (near-dup groups), connected components iterate over it
+    (pair-sized, never corpus-sized), and representative election is one
+    rank-1 window per cluster (WindowGroupLimit). Docs in no pair pass
+    through untouched — the corpus-sized path is a single anti/semi join
+    pair.
+    """
+    from pyspark.sql import Window
+
+    from flink_psl_spark.llm.clustering import dedup_clusters
+
+    with_sig = minhash_signatures(
+        df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n
+    )
+    cand = minhash_lsh_pairs(
+        with_sig, id_col, "minhash", bands=bands, num_hashes=num_hashes
+    ).localCheckpoint(eager=True)
+    verified = ngram_jaccard_pairs(
+        df, text_col, id_col, shingle_n=shingle_n,
+        threshold=threshold, candidates=cand,
+    )
+    clusters = dedup_clusters(verified)  # (doc_id, cluster_id), pair-sized
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    reps = (
+        clusters.join(df.select(id_col, quality_col), on=id_col)
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select(id_col)
+    )
+    clustered_ids = clusters.select(id_col)
+    return df.join(clustered_ids, on=id_col, how="left_anti").unionByName(
+        df.join(reps, on=id_col, how="left_semi")
+    )

@@ -3300,3 +3300,57 @@ def llm_conversation_assembly(spark, sf_dir):
 
     t = tables(spark, sf_dir)
     return assemble_conversations(t["events"], gap_minutes=30, max_turns=64)
+
+
+@query(
+    "llm_dedup_keep_best",
+    # same hashed-shingle + size-bound pruning as _NEARDUP_SURVIVORS_SQL,
+    # then recursive-CTE connected components and a per-cluster rank by
+    # (n_chars DESC, doc_id) — keep-best instead of keep-lowest-id
+    oracle="""
+    WITH RECURSIVE
+    sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT([hash(array_to_string(words[i:i+2], ' '))
+                            FOR i IN RANGE(1, GREATEST(LEN(words) - 2, 0) + 1)]) AS s
+      FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words
+            FROM documents)),
+    sized AS (SELECT doc_id, s, LEN(s) AS n FROM sh),
+    pairs AS (
+      SELECT l.doc_id AS a, r.doc_id AS b
+      FROM sized l JOIN sized r
+        ON l.doc_id < r.doc_id
+       AND r.n * 5 >= l.n * 4 AND l.n * 5 >= r.n * 4
+      WHERE ROUND(LEN(LIST_INTERSECT(l.s, r.s)) * 1.0 /
+                  LEN(LIST_DISTINCT(LIST_CONCAT(l.s, r.s))), 6) >= 0.8),
+    und AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs),
+    walk(node, label) AS (
+      SELECT s, s FROM und
+      UNION
+      SELECT u.d, w.label FROM walk w JOIN und u ON u.s = w.node),
+    comp AS (SELECT node AS doc_id, MIN(label) AS cid FROM walk GROUP BY node),
+    reps AS (
+      SELECT doc_id FROM (
+        SELECT c.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY c.cid
+                                  ORDER BY d.n_chars DESC, c.doc_id) AS rn
+        FROM comp c JOIN documents d USING (doc_id))
+      WHERE rn = 1)
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+       OR doc_id IN (SELECT doc_id FROM reps)
+    """,
+)
+def llm_dedup_keep_best(spark, sf_dir):
+    """Near-dup dedup keeping the BEST group member (longest doc, ties
+    to lower id) — LSH candidates, exact verification, connected
+    components, rank-1 representative election. The curation policy a
+    production pipeline uses where keep-lowest-id would discard the
+    richer page."""
+    from flink_psl_spark.llm import minhash_dedup_keep_best
+
+    t = tables(spark, sf_dir)
+    return minhash_dedup_keep_best(
+        t["documents"].select("doc_id", "text", "lang", "source", "n_chars"),
+        quality_col="n_chars",
+    ).select("doc_id", "lang", "source", "n_chars")

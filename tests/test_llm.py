@@ -1625,3 +1625,23 @@ def test_online_lsh_pairs_match_batch_across_batches(spark, tmp_path):
     assert got == expect
     # cross-batch partners (1,2), (1,4) must be present
     assert (1, 2) in got and (1, 4) in got
+
+
+def test_minhash_dedup_keep_best_policy(spark):
+    """A duplicate group keeps its highest-quality member (ties to the
+    lower id), never the lowest id per se; non-duplicates pass through."""
+    from flink_psl_spark.llm import minhash_dedup_keep_best
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    docs = spark.createDataFrame(
+        [
+            (1, base, 10),            # dup group, low quality
+            (2, base + "tail", 99),   # dup group, best quality -> kept
+            (3, base, 50),
+            (9, "completely different text about query planners", 5),
+        ],
+        "doc_id bigint, text string, n_chars bigint",
+    )
+    out = minhash_dedup_keep_best(docs, quality_col="n_chars")
+    kept = {r["doc_id"] for r in out.collect()}
+    assert kept == {2, 9}
