@@ -35,6 +35,8 @@ from flink_psl_spark.llm.dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     online_lsh_candidate_pairs,
     minhash_dedup_keep_best,
+    cross_corpus_dedup,
+    shingle_containment_pairs,
 )
 from flink_psl_spark.llm.clustering import (  # noqa: F401
     connected_components,

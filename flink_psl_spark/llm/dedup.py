@@ -916,3 +916,136 @@ def minhash_dedup_keep_best(
     return df.join(clustered_ids, on=id_col, how="left_anti").unionByName(
         df.join(reps, on=id_col, how="left_semi")
     )
+
+
+def cross_corpus_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Dedup a NEW crawl against an EXISTING corpus only — no intra-crawl
+    or intra-corpus pairing: a new doc is dropped iff it is near-dup
+    (exact Jaccard >= threshold, MinHash-LSH candidates) of some corpus
+    doc. The incremental-ingest policy of every production pipeline: the
+    existing corpus is immutable, the crawl is filtered against it.
+
+    Scale shape: signatures are row-local on both sides; the band join is
+    a shuffle equi-join on (band, band_hash) between the two sides (never
+    a self-join — intra-side pairs are structurally impossible, which
+    also makes the candidate set far smaller than a pooled self-join's);
+    verification touches only candidate ids. At 100 TB the corpus side's
+    banded table is a precomputable index — recompute is this function's
+    contract, persistence is a one-line `.write` on `banded_r`.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(f"num_hashes {num_hashes} not divisible by {bands}")
+    r = num_hashes // bands
+
+    def banded(df: DataFrame, out_id: str) -> DataFrame:
+        sig = minhash_signatures(
+            df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n
+        )
+        return sig.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(F.slice("minhash", b * r + 1, r))
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("__band", "__bh"),
+        )
+
+    banded_l = banded(new_docs, "a")
+    banded_r = banded(corpus, "b")
+    cand = (
+        banded_l.join(banded_r, on=["__band", "__bh"])
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    pool = new_docs.select(id_col, text_col).unionByName(
+        corpus.select(id_col, text_col)
+    )
+    verified = ngram_jaccard_pairs(
+        pool, text_col, id_col, shingle_n=shingle_n,
+        threshold=threshold, candidates=cand,
+    )
+    dropped = verified.select(F.col("a").alias(id_col)).distinct()
+    return new_docs.join(dropped, on=id_col, how="left_anti")
+
+
+def shingle_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 4,
+    threshold: float = 0.5,
+    df_range: tuple[int, int] = (2, 8),
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: pairs where the SMALLER document's
+    shingle set is >= ``threshold`` CONTAINED in the larger one's
+    (|A∩B| / |A|, |A| <= |B|) — catches quote-inclusion / page-subset
+    duplication that symmetric Jaccard misses (a doc fully quoted inside
+    a 10× longer page has Jaccard ~0.1 but containment 1.0).
+
+    Candidates come from shared *discriminative* shingles (document
+    frequency in ``df_range`` — ubiquitous shingles are dropped BEFORE
+    the pair join, the same df-cap as duplicate-span mining), so the
+    join is bounded by rare-shingle co-occurrence, never all-pairs.
+    Containment is then verified exactly on the candidate ids only.
+    """
+    lo, hi = df_range
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(shingle_hashes(text_col, shingle_n)).alias("__s"),
+    ).where(F.size("__s") > 0)
+    e = sh.select("__id", F.explode("__s").alias("__h"))
+    rare = (
+        e.groupBy("__h")
+        .agg(F.count("*").alias("__df"))
+        .where((F.col("__df") >= lo) & (F.col("__df") <= hi))
+        .select("__h")
+    )
+    co = e.join(rare, on="__h")
+    cand = (
+        co.alias("l")
+        .join(
+            co.alias("r"),
+            (F.col("l.__h") == F.col("r.__h"))
+            & (F.col("l.__id") != F.col("r.__id")),
+        )
+        .select(F.col("l.__id").alias("a"), F.col("r.__id").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    pairs = (
+        cand.join(
+            sh.select(F.col("__id").alias("a"), F.col("__s").alias("__sa")),
+            on="a",
+        )
+        .join(
+            sh.select(F.col("__id").alias("b"), F.col("__s").alias("__sb")),
+            on="b",
+        )
+        # orient: a = the smaller shingle set (containment's denominator)
+        .where(F.size("__sa") <= F.size("__sb"))
+        .withColumn(
+            "containment",
+            F.round(
+                F.size(F.array_intersect("__sa", "__sb"))
+                / F.size("__sa"),
+                6,
+            ),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+    return pairs.select("a", "b", "containment")

@@ -3354,3 +3354,87 @@ def llm_dedup_keep_best(spark, sf_dir):
         t["documents"].select("doc_id", "text", "lang", "source", "n_chars"),
         quality_col="n_chars",
     ).select("doc_id", "lang", "source", "n_chars")
+
+
+@query(
+    "llm_cross_corpus_dedup",
+    # new crawl = doc_id % 3 == 0, existing corpus = the rest; a new doc
+    # survives iff no corpus doc is exact-Jaccard >= 0.8 similar (the
+    # candidate step is recall-1 here, so the exact restatement is the
+    # oracle — same proof shape as _NEARDUP_SURVIVORS_SQL)
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT([hash(array_to_string(words[i:i+2], ' '))
+                            FOR i IN RANGE(1, GREATEST(LEN(words) - 2, 0) + 1)]) AS s
+      FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words
+            FROM documents)),
+    sized AS (SELECT doc_id, s, LEN(s) AS n FROM sh),
+    dropped AS (
+      SELECT DISTINCT l.doc_id
+      FROM sized l JOIN sized r
+        ON l.doc_id % 3 = 0 AND r.doc_id % 3 <> 0
+       AND r.n * 5 >= l.n * 4 AND l.n * 5 >= r.n * 4
+      WHERE ROUND(LEN(LIST_INTERSECT(l.s, r.s)) * 1.0 /
+                  LEN(LIST_DISTINCT(LIST_CONCAT(l.s, r.s))), 6) >= 0.8)
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id % 3 = 0
+      AND doc_id NOT IN (SELECT doc_id FROM dropped)
+    """,
+)
+def llm_cross_corpus_dedup(spark, sf_dir):
+    """Incremental-ingest dedup: the new crawl (doc_id % 3 == 0) filtered
+    against the immutable existing corpus — LSH band join BETWEEN the two
+    sides only (intra-side pairs structurally impossible), exact-Jaccard
+    verification on candidates."""
+    from flink_psl_spark.llm import cross_corpus_dedup
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text", "lang", "source")
+    new = docs.where(F.col("doc_id") % 3 == 0)
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    return cross_corpus_dedup(new, corpus).select("doc_id", "lang", "source")
+
+
+@query(
+    "llm_containment_pairs",
+    # same df-capped candidate generation as the Spark side (pairs must
+    # share a shingle with document frequency in [2, 8]); containment is
+    # the smaller set's covered fraction, both orientations kept on size
+    # ties — identical contract both engines
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT([hash(array_to_string(words[i:i+3], ' '))
+                            FOR i IN RANGE(1, GREATEST(LEN(words) - 3, 0) + 1)]) AS s
+      FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words
+            FROM documents)),
+    sized AS (SELECT doc_id, s, LEN(s) AS n FROM sh WHERE LEN(s) > 0),
+    e AS (SELECT doc_id, UNNEST(s) AS h FROM sized),
+    rare AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM e GROUP BY h)
+             WHERE df BETWEEN 2 AND 8),
+    co AS (SELECT e.doc_id, e.h FROM e JOIN rare USING (h)),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM co l JOIN co r ON l.h = r.h AND l.doc_id <> r.doc_id)
+    SELECT c.a, c.b,
+           ROUND(LEN(LIST_INTERSECT(la.s, lb.s)) * 1.0 / la.n, 6)
+             AS containment
+    FROM cand c
+    JOIN sized la ON la.doc_id = c.a
+    JOIN sized lb ON lb.doc_id = c.b
+    WHERE la.n <= lb.n
+      AND ROUND(LEN(LIST_INTERSECT(la.s, lb.s)) * 1.0 / la.n, 6) >= 0.5
+    """,
+)
+def llm_containment_pairs(spark, sf_dir):
+    """Asymmetric near-dup pairs by shingle CONTAINMENT (|A∩B|/|A|,
+    smaller set as denominator) — quote-inclusion / page-subset
+    duplication that symmetric Jaccard misses. Candidates from shared
+    df-capped rare shingles, verified exactly."""
+    from flink_psl_spark.llm import shingle_containment_pairs
+
+    t = tables(spark, sf_dir)
+    return shingle_containment_pairs(
+        t["documents"], shingle_n=4, threshold=0.5
+    )

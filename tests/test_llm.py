@@ -1645,3 +1645,48 @@ def test_minhash_dedup_keep_best_policy(spark):
     out = minhash_dedup_keep_best(docs, quality_col="n_chars")
     kept = {r["doc_id"] for r in out.collect()}
     assert kept == {2, 9}
+
+
+def test_cross_corpus_dedup_no_intra_pairs(spark):
+    """New docs near-dup of each other but of NO corpus doc all survive
+    (no intra-crawl pairing); a new doc near-dup of a corpus doc drops."""
+    from flink_psl_spark.llm import cross_corpus_dedup
+
+    dup = "one two three four five six seven eight nine ten " * 6
+    other = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    schema = "doc_id bigint, text string"
+    new = spark.createDataFrame(
+        [(3, dup), (6, dup + "x"), (9, other)], schema
+    )
+    corpus = spark.createDataFrame(
+        [(1, other), (2, "unrelated words about physical plans only")], schema
+    )
+    kept = {r["doc_id"] for r in cross_corpus_dedup(new, corpus).collect()}
+    # 3 and 6 duplicate EACH OTHER but no corpus doc -> both survive;
+    # 9 duplicates corpus doc 1 -> dropped
+    assert kept == {3, 6}
+
+
+def test_containment_asymmetric(spark):
+    """A short doc fully quoted inside a much longer one scores
+    containment ~1.0 while its Jaccard is far below the near-dup bar."""
+    from flink_psl_spark.llm import ngram_jaccard_pairs, shingle_containment_pairs
+
+    quote = "to be or not to be that is the question " * 2
+    page = ("lots of framing prose here " * 20) + quote + (
+        "and a long discussion follows " * 20
+    )
+    docs = spark.createDataFrame(
+        [(1, quote), (2, page), (5, "independent text about shuffles")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        (r["a"], r["b"]): r["containment"]
+        for r in shingle_containment_pairs(
+            docs, shingle_n=4, threshold=0.5, df_range=(2, 8)
+        ).collect()
+    }
+    assert (1, 2) in out and out[(1, 2)] >= 0.9
+    assert all(a != 5 and b != 5 for a, b in out)
+    jac = ngram_jaccard_pairs(docs, shingle_n=4, threshold=0.5).collect()
+    assert not [r for r in jac if {r["a"], r["b"]} == {1, 2}]
