@@ -1741,3 +1741,47 @@ def interval_join_keyless(spark, sf_dir):
         F.col("__l.ts").alias("purchase_ts"),
         F.col("__r.ts").alias("error_ts"),
     )
+
+
+@query(
+    "asof_join_tolerance_forward",
+    # nearest LATER click within 15 minutes, per user; rn=1 restates the
+    # forward as-of pick ((user_id, ts) is unique in the fixture, so the
+    # nearest-ts row is unambiguous on both sides)
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM events WHERE event_type = 'click'),
+    j AS (
+      SELECT p.event_id, p.user_id, p.ts,
+             c.event_id AS r_event_id, c.value AS r_value,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts) AS rn
+      FROM p JOIN c
+        ON p.user_id = c.user_id
+       AND c.ts >= p.ts
+       AND c.ts <= p.ts + INTERVAL 15 MINUTE)
+    SELECT p.event_id, p.user_id, p.ts, j.r_value, j.r_event_id
+    FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+      ON j.event_id = p.event_id
+    """,
+)
+def asof_join_tolerance_forward(spark, sf_dir):
+    """FORWARD as-of join with a TOLERANCE bound (reference
+    TemporalRowTimeJoinOperator.java:78 generalized the same way pandas
+    merge_asof's direction/tolerance are): each purchase matches the
+    NEAREST LATER click of the same user, but only within 15 minutes —
+    beyond the bound the left row keeps NULLs (how='left')."""
+    from flink_psl_spark.operators import asof_join
+
+    t = tables(spark, sf_dir)
+    purchases = t["events"].where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = t["events"].where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        purchases, clicks, "user_id", "ts", "ts",
+        how="left", direction="forward", tolerance="15 minutes",
+    )
+    return out.select("event_id", "user_id", "ts", "r_value", "r_event_id")
