@@ -50,6 +50,7 @@ from flink_psl_spark.llm.similarity import (  # noqa: F401
     embedding_dedup,
     hard_negatives,
     lsh_cosine_topk,
+    mmr_rerank,
     pq_cosine_topk,
     pq_encode,
     pq_train_codebook,

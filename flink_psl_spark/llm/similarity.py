@@ -1080,3 +1080,83 @@ def sq_cosine_topk(
             "rank",
         )
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    pool: int = 50,
+    lam: float = 0.7,
+    include_self: bool = False,
+) -> DataFrame:
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein 1998):
+    exact cosine top-``pool`` candidates per query, then the classic
+    greedy diversity selection — pick argmax of
+    ``lam·rel(d) − (1−lam)·max_{s∈S} sim(d, s)`` until ``k`` chosen.
+    The dedup-aware retrieval step of a curation pipeline: relevance
+    alone returns near-identical neighbors; MMR trades ``1−lam`` of it
+    for coverage.
+
+    Scale shape: candidate generation is :func:`cosine_topk` (corpus
+    never moves, exchange carries pool-bounded rows); the greedy loop is
+    inherently sequential but runs PER QUERY over a parameter-sized
+    (pool × dim) group in one ``applyInPandas`` — queries parallelize,
+    and nothing driver-side touches data. Ties (equal MMR score) break
+    on neighbor id; the first pick is always the exact top-1.
+
+    Returns (query_id, neighbor_id, rel, mmr_rank) — rel = exact cosine.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cand = cosine_topk(
+        corpus, queries, id_col=id_col, vec_col=vec_col,
+        k=pool, include_self=include_self,
+    )
+    nvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _col(vec_col).cast("array<double>").alias("__nv"),
+    )
+    joined = cand.join(nvec, on="neighbor_id").select(
+        "query_id", "neighbor_id", F.col("cos_sim").alias("rel"), "__nv"
+    )
+    q_dt = dict(joined.dtypes)["query_id"]
+    n_dt = dict(joined.dtypes)["neighbor_id"]
+    out_schema = (
+        f"query_id {q_dt}, neighbor_id {n_dt}, rel double, mmr_rank int"
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["rel", "neighbor_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        v = np.array(pdf["__nv"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(v, axis=1)
+        norms[norms == 0.0] = 1.0
+        v = v / norms[:, None]
+        rel = pdf["rel"].to_numpy()
+        n = len(pdf)
+        chosen: list[int] = []
+        max_sim = np.full(n, -np.inf)
+        remaining = np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            if chosen:
+                score = lam * rel - (1.0 - lam) * max_sim
+            else:
+                score = rel.copy()
+            score[~remaining] = -np.inf
+            # ties on score -> lowest neighbor id = first in sort order
+            best = int(np.argmax(score))
+            chosen.append(best)
+            remaining[best] = False
+            sims = v @ v[best]
+            max_sim = np.maximum(max_sim, sims)
+        out = pdf.iloc[chosen][["query_id", "neighbor_id", "rel"]].copy()
+        out["mmr_rank"] = range(1, len(chosen) + 1)
+        return out
+
+    return joined.groupBy("query_id").applyInPandas(pick, out_schema)

@@ -3438,3 +3438,56 @@ def llm_containment_pairs(spark, sf_dir):
     return shingle_containment_pairs(
         t["documents"], shingle_n=4, threshold=0.5
     )
+
+
+@query(
+    "llm_mmr_rerank",
+    # greedy MMR is inherently sequential (non-SQL-expressible); the
+    # oracle-able restatement checks the selection's provable invariants
+    # per query: exactly k picks, all drawn from the exact top-pool
+    # candidate set, and the first pick IS the exact cosine top-1
+    oracle="""
+    SELECT vec_id AS query_id, TRUE AS mmr_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def llm_mmr_rerank(spark, sf_dir):
+    """Maximal-Marginal-Relevance diverse top-5 (λ=0.7 over an exact
+    top-50 pool): dedup-aware retrieval — trades 30% of raw relevance
+    for coverage so near-identical neighbors don't crowd the result.
+    Per-query greedy runs in one applyInPandas over a parameter-sized
+    group; queries parallelize."""
+    from flink_psl_spark.llm import cosine_topk, mmr_rerank
+
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"]
+    q = emb.where(F.col("vec_id") < 10)
+    picked = mmr_rerank(emb, q, k=5, pool=50, lam=0.7)
+    exact = cosine_topk(emb, q, k=50).select(
+        "query_id", "neighbor_id",
+        (F.col("rank") == 1).alias("__is_top1"),
+    )
+    checked = (
+        picked.join(exact, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("__n"),
+            F.sum(F.when(F.col("neighbor_id").isNull(), 1).otherwise(0))
+             .alias("__outside"),
+            F.max(
+                F.when(F.col("mmr_rank") == 1, F.col("__is_top1"))
+            ).alias("__first_is_top1"),
+        )
+    )
+    return (
+        q.select(F.col("vec_id").alias("query_id"))
+        .join(checked, "query_id", "left")
+        .select(
+            "query_id",
+            (
+                (F.coalesce("__n", F.lit(0)) == 5)
+                & (F.coalesce("__outside", F.lit(1)) == 0)
+                & F.coalesce("__first_is_top1", F.lit(False))
+            ).alias("mmr_ok"),
+        )
+    )

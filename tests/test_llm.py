@@ -1690,3 +1690,48 @@ def test_containment_asymmetric(spark):
     assert all(a != 5 and b != 5 for a, b in out)
     jac = ngram_jaccard_pairs(docs, shingle_n=4, threshold=0.5).collect()
     assert not [r for r in jac if {r["a"], r["b"]} == {1, 2}]
+
+
+def test_mmr_rerank_matches_python_model(spark):
+    """Distributed MMR equals a straightforward python reference on a
+    small corpus: greedy argmax of lam*rel - (1-lam)*max_sim_to_chosen,
+    ties to lower id, first pick = exact top-1."""
+    import numpy as np
+
+    from flink_psl_spark.llm import mmr_rerank
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(30, 8).round(3)
+    rows = [(i, vecs[i].tolist()) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = emb.where(F.col("vec_id") < 3)
+    got = {
+        (r["query_id"], r["mmr_rank"]): r["neighbor_id"]
+        for r in mmr_rerank(emb, q, k=4, pool=10, lam=0.6).collect()
+    }
+
+    unit = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+    sims = unit @ unit.T
+    for qi in range(3):
+        rel = sims[qi]
+        # candidate pool: top-10 by (rel desc, id asc), self included
+        pool = sorted(
+            (j for j in range(30) if j != qi),  # include_self=False
+            key=lambda j: (-rel[j], j),
+        )[:10]
+        chosen = []
+        while len(chosen) < 4:
+            best, best_score = None, None
+            for j in pool:
+                if j in chosen:
+                    continue
+                if chosen:
+                    s = 0.6 * rel[j] - 0.4 * max(sims[j][c] for c in chosen)
+                else:
+                    s = rel[j]
+                # ties: pool is (rel desc, id asc)-ordered, argmax keeps first
+                if best is None or s > best_score + 1e-12:
+                    best, best_score = j, s
+            chosen.append(best)
+        for rank, j in enumerate(chosen, 1):
+            assert got[(qi, rank)] == j, (qi, rank, got[(qi, rank)], j)
