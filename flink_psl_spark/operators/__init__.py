@@ -21,6 +21,7 @@ from flink_psl_spark.operators.windows import (  # noqa: F401
 from flink_psl_spark.operators.misc import (  # noqa: F401
     async_lookup,
     async_lookup_with_retry,
+    incremental_refresh,
     side_outputs,
     write_side_outputs,
 )

@@ -274,3 +274,47 @@ def dataset_fingerprint(
         .cast("bigint")
         .alias("fingerprint"),
     )
+
+
+def incremental_refresh(
+    old_agg: DataFrame,
+    updated_base: DataFrame,
+    changed_keys: DataFrame,
+    partition_cols: list[str],
+    agg_fn: Callable[[DataFrame], DataFrame],
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: refresh ONLY the
+    partitions a changelog touched instead of recomputing the world —
+    the batch counterpart of the reference's incremental view
+    maintenance (changelog-driven aggregate state updates), and the
+    pattern every 100 TB nightly pipeline uses for backfills.
+
+    ``old_agg`` is the previously materialized ``agg_fn`` output (one
+    row per ``partition_cols`` group), ``updated_base`` the post-change
+    base table, ``changed_keys`` the DISTINCT partition keys the
+    changelog touched (derive it from the changelog's before AND after
+    images — a row moving between partitions dirties both). The result
+    is exactly ``agg_fn(updated_base)``:
+
+    - clean partitions: their ``old_agg`` rows pass through via one
+      broadcast ANTI join against the (changelog-bounded, tiny) dirty
+      key set — the aggregate is NOT recomputed, no base-table scan
+      feeds them;
+    - dirty partitions: recomputed by ``agg_fn`` over ONLY the matching
+      base rows (broadcast SEMI join pushes the key filter to the scan).
+
+    Cost: one base scan filtered to dirty partitions + one pass over the
+    (already aggregate-sized) old result, vs a full recompute's complete
+    scan — the win is the dirty fraction, typically 1/300th of the
+    partitions on a daily-partitioned table.
+    """
+    from pyspark.sql import functions as F
+
+    dirty = changed_keys.select(*partition_cols).distinct()
+    untouched = old_agg.join(
+        F.broadcast(dirty), on=partition_cols, how="left_anti"
+    )
+    recomputed = agg_fn(
+        updated_base.join(F.broadcast(dirty), on=partition_cols, how="left_semi")
+    )
+    return untouched.unionByName(recomputed)

@@ -1785,3 +1785,60 @@ def asof_join_tolerance_forward(spark, sf_dir):
         how="left", direction="forward", tolerance="15 minutes",
     )
     return out.select("event_id", "user_id", "ts", "r_value", "r_event_id")
+
+
+@query(
+    "incremental_partition_refresh",
+    # the oracle is the FULL recompute over the post-change table — the
+    # incremental path (clean partitions pass through, dirty months
+    # recompute from a key-filtered scan) must equal it exactly
+    oracle="""
+    WITH updated AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month,
+             CASE WHEN o_orderkey % 37 = 0
+                  THEN o_totalprice + 10.0
+                  ELSE o_totalprice END AS price
+      FROM orders)
+    SELECT month, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(CAST(price AS DECIMAL(18,4))), 2) AS revenue
+    FROM updated GROUP BY month, o_orderpriority
+    """,
+)
+def incremental_partition_refresh(spark, sf_dir):
+    """Incremental materialized-aggregate maintenance: a changelog
+    reprices orders with o_orderkey % 37 == 0; only the MONTHS those
+    rows live in recompute (broadcast semi-join pushes the dirty-key
+    filter to the scan), every other month's row passes through from
+    the old materialization untouched — and the result provably equals
+    the full recompute (the oracle)."""
+    from flink_psl_spark.operators import incremental_refresh
+
+    t = tables(spark, sf_dir)
+    base = t["orders"].select(
+        "o_orderkey", "o_orderpriority",
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        F.col("o_totalprice").alias("price"),
+    )
+
+    def agg_fn(df):
+        return df.groupBy("month", "o_orderpriority").agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum(F.col("price").cast("decimal(18,4)")), 2
+            ).cast("double").alias("revenue"),
+        )
+
+    old_agg = agg_fn(base)
+    changed = base.where(F.col("o_orderkey") % 37 == 0)
+    updated = base.withColumn(
+        "price",
+        F.when(
+            F.col("o_orderkey") % 37 == 0,
+            F.col("price") + F.lit(10.0),
+        ).otherwise(F.col("price")),
+    )
+    return incremental_refresh(
+        old_agg, updated, changed.select("month"), ["month"], agg_fn
+    )

@@ -808,3 +808,38 @@ def test_expect_schema_statuses(spark):
         "gone": "missing",
         "extra": "unexpected",
     }
+
+
+def test_incremental_refresh_equals_full_recompute(spark):
+    """Incremental maintenance equals the full recompute, including a row
+    that MOVES partitions (both its before and after partitions dirty);
+    clean partitions pass through from the old materialization."""
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.operators import incremental_refresh
+
+    old_rows = [(d, k, v) for d, k, v in [
+        ("p1", 1, 10.0), ("p1", 2, 5.0), ("p2", 3, 7.0), ("p3", 4, 2.0)]]
+    base_old = spark.createDataFrame(old_rows, "part string, id int, v double")
+
+    def agg_fn(df):
+        return df.groupBy("part").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("v"), 2).alias("total"),
+        )
+
+    old_agg = agg_fn(base_old)
+    # change: id=3 moves p2 -> p1 and changes value; p3 untouched
+    base_new = spark.createDataFrame(
+        [("p1", 1, 10.0), ("p1", 2, 5.0), ("p1", 3, 9.0), ("p3", 4, 2.0)],
+        "part string, id int, v double",
+    )
+    dirty = spark.createDataFrame([("p2",), ("p1",)], "part string")
+    out = incremental_refresh(old_agg, base_new, dirty, ["part"], agg_fn)
+    got = {r["part"]: (r["n"], r["total"]) for r in out.collect()}
+    expect = {
+        r["part"]: (r["n"], r["total"]) for r in agg_fn(base_new).collect()
+    }
+    assert got == expect
+    assert got["p3"] == (1, 2.0)  # clean partition survived untouched
+    assert "p2" not in got        # emptied partition disappears
