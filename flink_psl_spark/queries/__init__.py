@@ -61,7 +61,7 @@ import flink_psl_spark.queries.datastream_queries  # noqa: F401, E402
 # llm_bm25_topk, llm_conversation_assembly, stream_online_lsh_dedup,
 # interval_join_keyless, stream_conversation_assembly, llm_dedup_keep_best,
 # llm_cross_corpus_dedup, llm_containment_pairs, asof_join_tolerance_forward,
-# llm_mmr_rerank, incremental_partition_refresh
+# llm_mmr_rerank, incremental_partition_refresh, llm_tokenizer_fertility
 # (positions 51+) — so r7's
 # window leads with them,
 # the 10 r1 rows that didn't fit here (agg_multiset, agg_json,

@@ -3491,3 +3491,53 @@ def llm_mmr_rerank(spark, sf_dir):
             ).alias("mmr_ok"),
         )
     )
+
+
+@query(
+    "llm_tokenizer_fertility",
+    # chars/piece and pieces/word from EXACT integer sums, divided once
+    # and rounded at 6 digits — engine-identical
+    oracle="""
+    WITH d AS (
+      SELECT lang,
+             LEN(REGEXP_REPLACE(text, '\\s', '', 'g')) AS n_chars_ws,
+             LEN(REGEXP_EXTRACT_ALL(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_pieces,
+             CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END
+               AS n_words
+      FROM documents)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_pieces) AS BIGINT) AS total_pieces,
+           ROUND(SUM(n_chars_ws) * 1.0 / SUM(n_pieces), 6)
+             AS chars_per_piece,
+           ROUND(SUM(n_pieces) * 1.0 / SUM(n_words), 6)
+             AS pieces_per_word
+    FROM d GROUP BY lang
+    """,
+)
+def llm_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility report per language: chars/piece and
+    pieces/word under the BPE-ish word-piece split — the metric that
+    decides whether a tokenizer under-serves a language (high fertility
+    = more pieces per word = costlier context). Row-local expressions +
+    one language-keyed aggregation; ratios divide exact integer sums."""
+    from flink_psl_spark.llm.text import bpe_ish_token_count, token_count
+
+    t = tables(spark, sf_dir)
+    d = t["documents"].select(
+        "lang",
+        F.length(F.regexp_replace("text", r"\s", "")).alias("n_chars_ws"),
+        bpe_ish_token_count("text").alias("n_pieces"),
+        token_count("text").alias("n_words"),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_pieces").cast("bigint").alias("total_pieces"),
+        F.round(
+            F.sum("n_chars_ws") * F.lit(1.0) / F.sum("n_pieces"), 6
+        ).alias("chars_per_piece"),
+        F.round(
+            F.sum("n_pieces") * F.lit(1.0) / F.sum("n_words"), 6
+        ).alias("pieces_per_word"),
+    )
