@@ -458,3 +458,20 @@ def test_binned_interval_join_no_nested_loop(spark, t):
         ).collect()
     }
     assert got == expect and got
+
+
+def test_bm25_broadcast_queries_window_group_limit(spark, t):
+    """BM25: the query-term set broadcasts (the corpus-sized token
+    explode is semi-joined down before any shuffle), the per-query rank
+    prunes via WindowGroupLimit, and the only nested-loop is the ONE-ROW
+    corpus-stats broadcast cross join."""
+    from flink_psl_spark.llm import bm25_topk
+
+    out = bm25_topk(
+        t["documents"], [("q1", "spark query"), ("q2", "merge sort")], k=5
+    )
+    p = _plan(out)
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1  # 1-row stats join only
+    assert "BroadcastHashJoin" in p
