@@ -112,3 +112,10 @@ from flink_psl_spark.llm.chunking import (  # noqa: F401
     pack_sequences,
     pack_sequences_bfd,
 )
+from flink_psl_spark.llm.sketches import (  # noqa: F401
+    kmv_distinct_estimates,
+    kmv_hash,
+    kmv_merge_batch,
+    kmv_overlap,
+    kmv_sketch,
+)

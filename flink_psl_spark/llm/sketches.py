@@ -1,0 +1,223 @@
+"""Mergeable distinct sketches: KMV (k-minimum-values / bottom-k).
+
+Corpus-overlap estimation ("how much of yesterday's crawl is already in
+the corpus?", "how similar are two sources?") needs |A|, |B|, |A∩B|,
+|A∪B| over element sets that are corpus-sized — an exact distinct join
+at 100 TB shuffles every distinct shingle. A KMV sketch answers the same
+questions from k numbers per corpus:
+
+* sketch(S) = the k smallest DISTINCT values of h(S) under a fixed
+  uniform hash; |S| ≈ (k-1) / (h_(k) / SPACE)  (the classic KMV
+  estimator; exact when |S| < k).
+* sketches MERGE losslessly: sketch(A ∪ B) = bottom-k(sketch(A) ∪
+  sketch(B)) — the basis of the streaming variant and of distributed
+  partial aggregation.
+* Jaccard: over K = sketch(A ∪ B), ρ = |{x ∈ K : x ∈ A and x ∈ B}| / |K|
+  is an unbiased estimate of J(A, B), and |A∩B| ≈ ρ · |A∪B|.
+
+Scale design: the hash is computed JVM-side; an Arrow-batched
+``mapInPandas`` kernel reduces each input partition to its partition-local
+distinct bottom-k per group BEFORE any exchange, so the shuffle carries at
+most ``partitions × groups × k`` rows regardless of corpus size (the same
+partial-top-k shape as similarity._blas_partial_topk). The final distinct
++ bottom-k runs on that parameter-sized set. Results are EXACT functions
+of the input set (independent of partitioning), so every estimate is
+engine-reproducible: the DuckDB oracle replays the identical estimator.
+
+The 48-bit hash is the md5 prefix (portable across Spark and DuckDB —
+see sampling._bucket), uniform enough for the estimator and collision-safe
+for corpus-scale element counts (2^48 space).
+
+Reference parity: Flink exposes approximate distinct counting as
+HyperLogLog-backed APPROX_COUNT_DISTINCT
+(flink-table/flink-table-planner/.../BatchPhysicalHashAggregate semantics);
+KMV extends that to set ALGEBRA (union/intersection/Jaccard), which HLL
+alone cannot answer without inclusion-exclusion error blowup.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+KMV_SPACE = 16 ** 12  # 48-bit hash space (md5 12-hex-digit prefix)
+
+
+def kmv_hash(element: Column | str) -> Column:
+    """Portable 48-bit uniform hash: first 12 hex digits of md5, as BIGINT.
+
+    Engine-reproducible — DuckDB computes the identical value with
+    ``CAST('0x' || SUBSTR(MD5(x), 1, 12) AS BIGINT)``.
+    """
+    c = F.col(element) if isinstance(element, str) else element
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+
+
+def _partial_bottom_k(k: int):
+    """mapInPandas kernel: per input partition, the distinct bottom-k
+    hashes per group. State is one bounded set per group (≤ ~2k with
+    periodic compaction), output ≤ groups × k rows per partition."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: dict[object, set] = {}
+        for pdf in batches:
+            for g, h in zip(pdf["__g"].to_numpy(), pdf["__h"].to_numpy()):
+                s = best.setdefault(g, set())
+                s.add(int(h))
+                if len(s) > 4 * k:  # compact: keep the k smallest
+                    best[g] = set(sorted(s)[:k])
+        rows = []
+        for g, s in best.items():
+            for h in sorted(s)[:k]:
+                rows.append((g, h))
+        yield pd.DataFrame(rows, columns=["__g", "__h"])
+
+    return fn
+
+
+def kmv_sketch(
+    df: DataFrame,
+    element_col: Column | str,
+    group_col: Column | str,
+    *,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group KMV sketch: ``(group, h, rank)`` with rank 1..k ascending.
+
+    Exact bottom-k of the distinct hash set per group (partition-local
+    partial bottom-k → one parameter-sized exchange → global distinct +
+    rank). Intended for a bounded number of groups (corpora/sources),
+    like the other per-corpus report operators.
+    """
+    from pyspark.sql import Window
+
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    el = df.select(
+        g.cast("string").alias("__g"), kmv_hash(element_col).alias("__h")
+    )
+    partial = el.mapInPandas(_partial_bottom_k(k), "__g string, __h long")
+    w = Window.partitionBy("__g").orderBy("__h")
+    return (
+        partial.distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__g").alias("group"),
+            F.col("__h").alias("h"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def kmv_distinct_estimates(sketch: DataFrame, *, k: int) -> DataFrame:
+    """Distinct-count estimate per group from a ``kmv_sketch`` frame:
+    exact count when the group holds < k distinct elements, else
+    ``(k-1) / (h_(k) / SPACE)``."""
+    return sketch.groupBy("group").agg(
+        F.count("*").alias("n_sketch"),
+        F.max("h").alias("theta"),
+    ).select(
+        "group",
+        "n_sketch",
+        F.when(F.col("n_sketch") < k, F.col("n_sketch").cast("double"))
+        .otherwise(
+            (F.lit(float(k - 1)) * F.lit(float(KMV_SPACE)))
+            / F.col("theta").cast("double")
+        )
+        .alias("est_distinct"),
+    )
+
+
+def kmv_overlap(
+    df: DataFrame,
+    element_col: Column | str,
+    group_col: Column | str,
+    group_a: str,
+    group_b: str,
+    *,
+    k: int = 256,
+) -> DataFrame:
+    """One-row overlap report between two corpora's element sets:
+    ``(k, est_distinct_a, est_distinct_b, est_distinct_union,
+    jaccard_est, est_intersection)``.
+
+    Estimates are deterministic functions of the two element sets (no
+    RNG, no partition sensitivity), so the DuckDB oracle reproduces them
+    bit-for-bit. Exchange cost: partitions × 2 × k rows, then driver-free
+    single-row aggregates; the one unpartitioned window (union bottom-k)
+    ranks at most 2k rows — parameter-sized, not data-sized.
+    """
+    from pyspark.sql import Window
+
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    two = df.where(g.cast("string").isin([group_a, group_b]))
+    sk = kmv_sketch(two, element_col, group_col, k=k)
+
+    per_group = kmv_distinct_estimates(sk, k=k)
+    est_a = per_group.where(F.col("group") == group_a).select(
+        F.col("est_distinct").alias("est_distinct_a")
+    )
+    est_b = per_group.where(F.col("group") == group_b).select(
+        F.col("est_distinct").alias("est_distinct_b")
+    )
+
+    # union bottom-k over the merged sketches; membership flags survive
+    # merging because any union-bottom-k element of A ranks within A's own
+    # bottom-k (A ⊆ A∪B ⇒ rank_A(h) ≤ rank_union(h) ≤ k)
+    wu = Window.orderBy("h")
+    union_k = (
+        sk.groupBy("h")
+        .agg(
+            F.max((F.col("group") == group_a).cast("int")).alias("in_a"),
+            F.max((F.col("group") == group_b).cast("int")).alias("in_b"),
+        )
+        .withColumn("urank", F.row_number().over(wu))
+        .where(F.col("urank") <= k)
+    )
+    ures = union_k.agg(
+        F.count("*").alias("n_u"),
+        F.max("h").alias("theta_u"),
+        F.sum(
+            (F.col("in_a") * F.col("in_b")).cast("bigint")
+        ).alias("matches"),
+    ).select(
+        "n_u",
+        "matches",
+        F.when(F.col("n_u") < k, F.col("n_u").cast("double"))
+        .otherwise(
+            (F.lit(float(k - 1)) * F.lit(float(KMV_SPACE)))
+            / F.col("theta_u").cast("double")
+        )
+        .alias("est_distinct_union"),
+    )
+
+    return (
+        ures.crossJoin(est_a)
+        .crossJoin(est_b)
+        .select(
+            F.lit(k).alias("k"),
+            "est_distinct_a",
+            "est_distinct_b",
+            "est_distinct_union",
+            (F.col("matches") / F.col("n_u")).alias("jaccard_est"),
+            (
+                (F.col("matches") / F.col("n_u"))
+                * F.col("est_distinct_union")
+            ).alias("est_intersection"),
+        )
+    )
+
+
+def kmv_merge_batch(
+    state_hashes: list[int], batch_hashes: list[int], *, k: int
+) -> list[int]:
+    """Lossless sketch merge for the streaming variant: bottom-k of the
+    union of an existing sketch and a new batch's hashes. Pure python on
+    two ≤k-element lists — O(k log k) per key per micro-batch."""
+    return sorted(set(state_hashes) | set(batch_hashes))[:k]

@@ -3541,3 +3541,94 @@ def llm_tokenizer_fertility(spark, sf_dir):
             F.sum("n_pieces") * F.lit(1.0) / F.sum("n_words"), 6
         ).alias("pieces_per_word"),
     )
+
+
+@query(
+    "llm_corpus_overlap_sketch",
+    # exact replica of the KMV estimator: per-corpus bottom-256 distinct
+    # 48-bit md5 shingle hashes, per-set estimate (k-1)/(h_k/16^12) (exact
+    # count when under k), union bottom-k of the merged sketches, Jaccard
+    # from match fraction inside the union sketch. Every step is a
+    # deterministic function of the element sets, so the two engines agree
+    # bit-for-bit (same doubles, same HALF_UP rounding).
+    oracle=f"""
+    WITH d AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS g,
+             {_TOKS} AS w
+      FROM documents),
+    el AS (
+      SELECT g, ARRAY_TO_STRING(w[i:i+2], ' ') AS e
+      FROM (SELECT g, w, UNNEST(GENERATE_SERIES(1, LEN(w) - 2)) AS i
+            FROM d WHERE LEN(w) >= 3)),
+    h AS (
+      SELECT DISTINCT g,
+             CAST('0x' || SUBSTR(MD5(e), 1, 12) AS BIGINT) AS h
+      FROM el),
+    sk AS (
+      SELECT g, h FROM (
+        SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rk
+        FROM h) WHERE rk <= 256),
+    pg AS (
+      SELECT g, COUNT(*) AS n, MAX(h) AS theta FROM sk GROUP BY g),
+    est AS (
+      SELECT g, CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+                     ELSE CAST(71776119061217280 AS DOUBLE) / CAST(theta AS DOUBLE)
+                END AS est
+      FROM pg),
+    u AS (
+      SELECT h, MAX(CASE WHEN g = 'even' THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN g = 'odd' THEN 1 ELSE 0 END) AS in_b
+      FROM sk GROUP BY h),
+    uk AS (
+      SELECT h, in_a, in_b FROM (
+        SELECT h, in_a, in_b, ROW_NUMBER() OVER (ORDER BY h) AS urk
+        FROM u) WHERE urk <= 256),
+    ur AS (
+      SELECT COUNT(*) AS n_u, MAX(h) AS theta_u,
+             SUM(in_a * in_b) AS matches
+      FROM uk)
+    SELECT 256 AS k,
+           ROUND((SELECT est FROM est WHERE g = 'even'), 4)
+             AS est_distinct_a,
+           ROUND((SELECT est FROM est WHERE g = 'odd'), 4)
+             AS est_distinct_b,
+           ROUND(CASE WHEN n_u < 256 THEN CAST(n_u AS DOUBLE)
+                      ELSE CAST(71776119061217280 AS DOUBLE)
+                           / CAST(theta_u AS DOUBLE)
+                 END, 4) AS est_distinct_union,
+           ROUND(CAST(matches AS DOUBLE) / n_u, 6) AS jaccard_est,
+           ROUND((CAST(matches AS DOUBLE) / n_u)
+                 * CASE WHEN n_u < 256 THEN CAST(n_u AS DOUBLE)
+                        ELSE CAST(71776119061217280 AS DOUBLE)
+                             / CAST(theta_u AS DOUBLE)
+                   END, 4) AS est_intersection
+    FROM ur
+    """,
+)
+def llm_corpus_overlap_sketch(spark, sf_dir):
+    """Corpus-overlap estimation from KMV bottom-k sketches — "how much
+    of corpus B is already in corpus A?" answered with k numbers per
+    corpus instead of an exact distinct join over every shingle. The
+    exchange carries at most partitions x corpora x k rows (partition-
+    local partial bottom-k in an Arrow kernel), so the same plan holds
+    when the shingle space is 10^12. Estimates are deterministic, hence
+    oracle-reproducible."""
+    from flink_psl_spark.llm import kmv_overlap
+    from flink_psl_spark.llm.dedup import shingles
+
+    t = tables(spark, sf_dir)
+    el = t["documents"].select(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("even"))
+        .otherwise(F.lit("odd"))
+        .alias("corpus"),
+        F.explode(shingles(F.col("text"), 3)).alias("e"),
+    )
+    out = kmv_overlap(el, "e", "corpus", "even", "odd", k=256)
+    return out.select(
+        "k",
+        F.round("est_distinct_a", 4).alias("est_distinct_a"),
+        F.round("est_distinct_b", 4).alias("est_distinct_b"),
+        F.round("est_distinct_union", 4).alias("est_distinct_union"),
+        F.round("jaccard_est", 6).alias("jaccard_est"),
+        F.round("est_intersection", 4).alias("est_intersection"),
+    )

@@ -1,0 +1,102 @@
+"""KMV bottom-k sketch: python-model parity, partition invariance, merge."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_psl_spark.llm.sketches import (
+    KMV_SPACE,
+    kmv_distinct_estimates,
+    kmv_merge_batch,
+    kmv_overlap,
+    kmv_sketch,
+)
+
+
+def _h(x) -> int:
+    return int(hashlib.md5(str(x).encode()).hexdigest()[:12], 16)
+
+
+def _model_sketch(elements, k):
+    return sorted({_h(e) for e in elements})[:k]
+
+
+def _model_estimate(elements, k):
+    sk = _model_sketch(elements, k)
+    if len(sk) < k:
+        return float(len(sk))
+    return (k - 1) * float(KMV_SPACE) / sk[-1]
+
+
+def _two_corpora(spark, n_a=500, n_b=500, shared=200):
+    # corpus a: 0..n_a-1; corpus b: shares `shared` elements with a
+    rows = [("a", f"e{i}") for i in range(n_a)] + [
+        ("b", f"e{i}") for i in range(n_a - shared, n_a - shared + n_b)
+    ]
+    return spark.createDataFrame(rows, "g string, e string"), rows
+
+
+def test_sketch_matches_python_model(spark):
+    df, rows = _two_corpora(spark)
+    got = {
+        (r["group"], r["rank"]): r["h"]
+        for r in kmv_sketch(df, "e", "g", k=64).collect()
+    }
+    for g in ("a", "b"):
+        model = _model_sketch([e for gg, e in rows if gg == g], 64)
+        assert [got[(g, i + 1)] for i in range(len(model))] == model
+
+
+def test_estimate_exact_under_k(spark):
+    df = spark.createDataFrame(
+        [("a", f"x{i}") for i in range(10)], "g string, e string"
+    )
+    sk = kmv_sketch(df, "e", "g", k=64)
+    [r] = kmv_distinct_estimates(sk, k=64).collect()
+    assert r["est_distinct"] == 10.0 and r["n_sketch"] == 10
+
+
+def test_estimate_within_relative_error(spark):
+    df, rows = _two_corpora(spark, n_a=2000, n_b=0, shared=0)
+    sk = kmv_sketch(df.where(F.col("g") == "a"), "e", "g", k=256)
+    [r] = kmv_distinct_estimates(sk, k=256).collect()
+    assert r["est_distinct"] == pytest.approx(
+        _model_estimate([e for _, e in rows], 256)
+    )
+    # KMV relative error ~ 1/sqrt(k) ≈ 6%; allow 4 sigma
+    assert abs(r["est_distinct"] - 2000) / 2000 < 0.25
+
+
+def test_overlap_matches_model_and_partitioning(spark):
+    df, rows = _two_corpora(spark)
+    out1 = kmv_overlap(df.repartition(1), "e", "g", "a", "b", k=64).collect()
+    out7 = kmv_overlap(
+        df.repartition(7, "e"), "e", "g", "a", "b", k=64
+    ).collect()
+    assert out1 == out7  # partition-layout invariant
+
+    # python model of the same estimator
+    a = {_h(e) for g, e in rows if g == "a"}
+    b = {_h(e) for g, e in rows if g == "b"}
+    union_k = sorted(a | b)[:64]
+    matches = sum(1 for h in union_k if h in a and h in b)
+    [r] = out1
+    assert r["jaccard_est"] == pytest.approx(matches / len(union_k))
+    est_union = 63 * float(KMV_SPACE) / union_k[-1]
+    assert r["est_distinct_union"] == pytest.approx(est_union)
+    assert r["est_intersection"] == pytest.approx(
+        matches / len(union_k) * est_union
+    )
+    # true J = 200/800 = 0.25 with k=64 → sigma ≈ 0.05; sanity band
+    assert 0.05 < r["jaccard_est"] < 0.5
+
+
+def test_merge_batch_equals_bottom_k_of_union():
+    s = [_h(i) for i in range(0, 50, 2)]
+    batch = [_h(i) for i in range(1, 50, 2)] + s[:5]  # overlap + new
+    merged = kmv_merge_batch(sorted(set(s))[:16], batch, k=16)
+    assert merged == sorted(set(s) | set(batch))[:16][: len(merged)]
+    assert len(merged) == 16
