@@ -453,3 +453,51 @@ def detect_metric_anomalies(
         n.cast("bigint").alias("n_hist"),
         F.when(n >= min_history, lhs > rhs).alias("is_anomaly"),
     )
+
+
+def k_anonymize(
+    df: DataFrame,
+    quasi_cols: list[str],
+    *,
+    k: int = 5,
+    sum_cols: list[str] | None = None,
+    suppressed: str = "*",
+) -> DataFrame:
+    """k-anonymity aggregation: publish per-group statistics only for
+    quasi-identifier combinations shared by at least ``k`` rows; smaller
+    groups are coalesced into ONE residual bucket whose quasi columns are
+    the ``suppressed`` token. If even that residual covers fewer than
+    ``k`` rows it is dropped entirely, so EVERY published row describes
+    ≥ k individuals — the release-gating step privacy reviews require
+    before row-count tables leave a training-data pipeline.
+
+    Plan shape: one grouped aggregation over one scan (map-side partial
+    combine), then the residual is a re-aggregation of the UNDER-k GROUP
+    ROWS (group-count-sized, not data-sized) — counts and sums compose
+    losslessly, which is why the measure vocabulary is count + sum.
+
+    Quasi columns are published as strings so the suppression token is
+    representable regardless of their source type.
+    """
+    measures = sum_cols or []
+    quasi = [F.col(c).cast("string").alias(c) for c in quasi_cols]
+    g = df.select(*quasi, *measures).groupBy(*quasi_cols).agg(
+        F.count("*").alias("n"),
+        *[F.sum(c).alias(f"sum_{c}") for c in measures],
+    )
+    kept = g.where(F.col("n") >= k)
+    residual = (
+        g.where(F.col("n") < k)
+        .groupBy()
+        .agg(
+            F.sum("n").alias("n"),
+            *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in measures],
+        )
+        .where(F.col("n") >= k)
+        .select(
+            *[F.lit(suppressed).alias(c) for c in quasi_cols],
+            "n",
+            *[F.col(f"sum_{c}") for c in measures],
+        )
+    )
+    return kept.unionByName(residual)

@@ -1842,3 +1842,38 @@ def incremental_partition_refresh(spark, sf_dir):
     return incremental_refresh(
         old_agg, updated, changed.select("month"), ["month"], agg_fn
     )
+
+
+@query(
+    "kanon_customer_release",
+    # exact replica: per-(nation, segment) counts, groups under k=10
+    # coalesced into one '*' residual bucket, residual published only if
+    # it itself covers >= 10 rows
+    oracle="""
+    WITH g AS (
+      SELECT CAST(c_nationkey AS VARCHAR) AS nation,
+             c_mktsegment AS segment, COUNT(*) AS n
+      FROM customer GROUP BY 1, 2),
+    kept AS (SELECT nation, segment, n FROM g WHERE n >= 10),
+    resid AS (
+      SELECT '*' AS nation, '*' AS segment, SUM(n) AS n
+      FROM g WHERE n < 10 HAVING SUM(n) >= 10)
+    SELECT nation, segment, CAST(n AS BIGINT) AS n FROM kept
+    UNION ALL
+    SELECT nation, segment, CAST(n AS BIGINT) AS n FROM resid
+    """,
+)
+def kanon_customer_release(spark, sf_dir):
+    """k-anonymity release gate (privacy curation): publish customer
+    counts by (nation, segment) only where the combination covers >= 10
+    customers; smaller cells merge into one suppressed '*' bucket. One
+    grouped aggregation over one scan; the residual re-aggregates group
+    rows, not data rows."""
+    from flink_psl_spark.operators.validation import k_anonymize
+
+    t = tables(spark, sf_dir)
+    c = t["customer"].select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return k_anonymize(c, ["nation", "segment"], k=10)

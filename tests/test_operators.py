@@ -843,3 +843,42 @@ def test_incremental_refresh_equals_full_recompute(spark):
     assert got == expect
     assert got["p3"] == (1, 2.0)  # clean partition survived untouched
     assert "p2" not in got        # emptied partition disappears
+
+
+class TestKAnonymize:
+    def test_suppression_and_residual(self, spark):
+        from flink_psl_spark.operators.validation import k_anonymize
+
+        rows = (
+            [("us", "a", 1)] * 5
+            + [("us", "b", 2)] * 3
+            + [("de", "a", 3)] * 2
+            + [("fr", "c", 4)] * 1
+        )
+        df = spark.createDataFrame(rows, "country string, seg string, v int")
+        out = {
+            (r["country"], r["seg"]): (r["n"], r["sum_v"])
+            for r in k_anonymize(
+                df, ["country", "seg"], k=5, sum_cols=["v"]
+            ).collect()
+        }
+        # one kept group, one residual bucket merging the three small ones
+        assert out[("us", "a")] == (5, 5)
+        assert out[("*", "*")] == (6, 3 * 2 + 2 * 3 + 4)
+        assert len(out) == 2
+
+    def test_residual_under_k_dropped(self, spark):
+        from flink_psl_spark.operators.validation import k_anonymize
+
+        df = spark.createDataFrame(
+            [("x", 1), ("y", 1), ("z", 1)], "g string, v int"
+        )
+        out = k_anonymize(df, ["g"], k=5).collect()
+        assert out == []  # even the residual covers < k rows
+
+    def test_numeric_quasi_published_as_string(self, spark):
+        from flink_psl_spark.operators.validation import k_anonymize
+
+        df = spark.createDataFrame([(7,)] * 6, "code int")
+        [r] = k_anonymize(df, ["code"], k=5).collect()
+        assert r["code"] == "7" and r["n"] == 6
