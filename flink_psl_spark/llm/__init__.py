@@ -112,6 +112,11 @@ from flink_psl_spark.llm.chunking import (  # noqa: F401
     pack_sequences,
     pack_sequences_bfd,
 )
+from flink_psl_spark.llm.classifier import (  # noqa: F401
+    hashed_feature_indices,
+    score_logreg_hashed,
+    train_logreg_hashed,
+)
 from flink_psl_spark.llm.sketches import (  # noqa: F401
     kmv_distinct_estimates,
     kmv_hash,

@@ -1,0 +1,151 @@
+"""Trained quality classifier: distributed logistic regression on hashed
+bag-of-words features.
+
+The model-based filtering step of modern corpus curation (CCNet's
+fastText LM filter, DCLM's quality classifier) trains a linear model on
+labeled documents and scores the whole corpus with it. This module
+implements the training loop Spark-first:
+
+* featurization is expression-only (portable 48-bit md5 token hash mod
+  ``dim``, distinct indices + a bias index per document) — whole-stage
+  codegen, no Python;
+* one full-batch gradient-descent iteration = ONE corpus scan: per-doc
+  margin z = Σ w[idx] via ``F.aggregate`` over the index array against a
+  broadcast weight literal, per-doc residual quantized to integer
+  micro-units, then an explode + map-side-combined integer SUM per
+  feature index — the exchange carries at most ``dim+1`` rows per
+  partition and the driver collects exactly ``dim+1`` totals
+  (parameter-sized, like importance_resample's ratio table);
+* weights live in INTEGER micro-units (1e-6): every cross-partition sum
+  is an integer sum (order-independent), so the entire K-iteration
+  training trace is a deterministic function of the dataset — the DuckDB
+  oracle replays training bit-for-bit by unrolling the same K updates in
+  SQL.
+
+At 100 TB the featurized corpus is persisted once and scanned K times;
+nothing data-sized ever reaches the driver.
+
+Reference parity: the reference has no trainer — Flink pipelines call out
+to an external model for this step (flink-ml is a separate project); here
+the canonical curation classifier is a first-class, oracle-checked
+operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_psl_spark.llm.text import tokenize
+
+MICRO = 1_000_000  # fixed-point scale for weights / residuals
+
+
+def hashed_feature_indices(
+    text: Column | str, *, dim: int = 64
+) -> Column:
+    """Sorted distinct hashed token indices (0..dim-1) plus the bias
+    index ``dim`` — array<bigint>, expression-only, engine-portable
+    (48-bit md5 prefix mod dim, same value in DuckDB)."""
+    c = F.col(text) if isinstance(text, str) else text
+    idx = F.transform(
+        tokenize(c),
+        lambda w: F.conv(F.substring(F.md5(w), 1, 12), 16, 10).cast(
+            "long"
+        )
+        % dim,
+    )
+    return F.array_sort(
+        F.array_union(F.array_distinct(idx), F.array(F.lit(dim).cast("long")))
+    )
+
+
+def _margin(idx_col: Column, w_int: list[int]) -> Column:
+    """z in micro-units: integer Σ w_int[idx] over the index array."""
+    w_lit = F.lit(w_int).cast("array<bigint>")
+    return F.aggregate(
+        idx_col,
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc + F.element_at(w_lit, (i + 1).cast("int")),
+    )
+
+
+def _prob(z_int: Column, kind: str = "fast") -> Column:
+    """Squashing function over the micro-unit margin.
+
+    ``fast`` (default) is the algebraic fast sigmoid
+    0.5 + (z/2)/(1+|z|): same shape/monotonicity as the logistic, but
+    built from +,*,/,abs only — every op is IEEE-exactly-rounded, so
+    Spark and DuckDB produce BIT-IDENTICAL probabilities (libm EXP is
+    not correctly-rounded and may differ across engines by an ulp,
+    which a fixed-point training trace would amplify). ``logistic``
+    gives the classic 1/(1+e^-z) for scoring-only use.
+    """
+    z = z_int.cast("double") / F.lit(float(MICRO))
+    if kind == "logistic":
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return F.lit(0.5) + (z / F.lit(2.0)) / (F.lit(1.0) + F.abs(z))
+
+
+def train_logreg_hashed(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    *,
+    dim: int = 64,
+    iters: int = 3,
+    lr: float = 4.0,
+) -> list[int]:
+    """Full-batch GD, ``iters`` corpus scans; returns the weight vector
+    in integer micro-units (length dim+1, last = bias).
+
+    Update rule (exactly what the SQL oracle unrolls): per doc
+    q = ROUND((sigmoid(z) - y) * 1e6); per index G = Σ q (integer);
+    w -= ROUND(lr * G / n). ROUND is half-away-from-zero in both
+    engines, so the trace is reproducible.
+    """
+    feats = df.select(
+        hashed_feature_indices(text_col, dim=dim).alias("__idx"),
+        F.col(label_col).cast("double").alias("__y"),
+    ).persist()
+    n = feats.count()
+    w = [0] * (dim + 1)
+    for _ in range(iters):
+        q = feats.select(
+            "__idx",
+            F.round(
+                (_prob(_margin(F.col("__idx"), w)) - F.col("__y"))
+                * F.lit(float(MICRO)),
+                0,
+            )
+            .cast("bigint")
+            .alias("__q"),
+        )
+        grad = (
+            q.select(F.explode("__idx").alias("__i"), "__q")
+            .groupBy("__i")
+            .agg(F.sum("__q").alias("__g"))
+            .collect()  # exactly dim+1 rows — parameter-sized
+        )
+        for r in grad:
+            g = r["__g"]
+            # ROUND half away from zero, matching SQL ROUND()
+            delta = lr * g / n
+            step = int(abs(delta) + 0.5) * (1 if delta >= 0 else -1)
+            w[r["__i"]] -= step
+    feats.unpersist()
+    return w
+
+
+def score_logreg_hashed(
+    df: DataFrame,
+    text_col: str,
+    w_int: list[int],
+    *,
+    dim: int = 64,
+    prob_col: str = "prob",
+) -> DataFrame:
+    """Score every document with the trained model — expression-only,
+    no join (the model rides along as a broadcast literal)."""
+    idx = hashed_feature_indices(text_col, dim=dim)
+    return df.withColumn(prob_col, _prob(_margin(idx, w_int)))

@@ -3632,3 +3632,109 @@ def llm_corpus_overlap_sketch(spark, sf_dir):
         F.round("jaccard_est", 6).alias("jaccard_est"),
         F.round("est_intersection", 4).alias("est_intersection"),
     )
+
+
+@query(
+    "llm_trained_quality_classifier",
+    # the oracle REPLAYS TRAINING: three unrolled full-batch GD updates in
+    # fixed-point integer micro-units over the same portable hashed
+    # features, with the algebraic fast sigmoid (only +,*,/,abs — every op
+    # IEEE-exactly-rounded, so the engines agree bit-for-bit; libm EXP
+    # would not). Scoring aggregates integer-quantized probabilities.
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, lang,
+             CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS DOUBLE)
+               AS y,
+             {_TOKS} AS w
+      FROM documents),
+    nn AS (SELECT COUNT(*) AS n FROM docs),
+    fi AS (
+      SELECT DISTINCT doc_id, y,
+             CAST('0x' || SUBSTR(MD5(t.tok), 1, 12) AS BIGINT) % 64 AS i
+      FROM docs, UNNEST(docs.w) AS t(tok)
+      UNION
+      SELECT doc_id, y, CAST(64 AS BIGINT) AS i FROM docs),
+    g1 AS (SELECT i, SUM(CAST(ROUND((0.5 - y) * 1000000) AS BIGINT)) AS g
+           FROM fi GROUP BY i),
+    w1 AS (SELECT i, -CAST(ROUND(4.0 * g / nn.n) AS BIGINT) AS wt
+           FROM g1 CROSS JOIN nn),
+    z2 AS (SELECT f.doc_id, f.y, SUM(w1.wt) AS z
+           FROM fi f JOIN w1 ON f.i = w1.i GROUP BY 1, 2),
+    q2 AS (SELECT doc_id,
+                  CAST(ROUND((0.5 + ((z / 1000000.0) / 2.0)
+                              / (1.0 + ABS(z / 1000000.0)) - y)
+                             * 1000000) AS BIGINT) AS q
+           FROM z2),
+    g2 AS (SELECT f.i, SUM(q2.q) AS g
+           FROM fi f JOIN q2 USING (doc_id) GROUP BY f.i),
+    w2 AS (SELECT w1.i, w1.wt - CAST(ROUND(4.0 * g2.g / nn.n) AS BIGINT)
+                    AS wt
+           FROM w1 JOIN g2 ON w1.i = g2.i CROSS JOIN nn),
+    z3 AS (SELECT f.doc_id, f.y, SUM(w2.wt) AS z
+           FROM fi f JOIN w2 ON f.i = w2.i GROUP BY 1, 2),
+    q3 AS (SELECT doc_id,
+                  CAST(ROUND((0.5 + ((z / 1000000.0) / 2.0)
+                              / (1.0 + ABS(z / 1000000.0)) - y)
+                             * 1000000) AS BIGINT) AS q
+           FROM z3),
+    g3 AS (SELECT f.i, SUM(q3.q) AS g
+           FROM fi f JOIN q3 USING (doc_id) GROUP BY f.i),
+    w3 AS (SELECT w2.i, w2.wt - CAST(ROUND(4.0 * g3.g / nn.n) AS BIGINT)
+                    AS wt
+           FROM w2 JOIN g3 ON w2.i = g3.i CROSS JOIN nn),
+    zf AS (SELECT f.doc_id, SUM(w3.wt) AS z
+           FROM fi f JOIN w3 ON f.i = w3.i GROUP BY 1),
+    sc AS (SELECT d.lang, zf.z,
+                  CAST(ROUND((0.5 + ((zf.z / 1000000.0) / 2.0)
+                              / (1.0 + ABS(zf.z / 1000000.0)))
+                             * 1000000) AS BIGINT) AS qp
+           FROM zf JOIN docs d USING (doc_id))
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(SUM(qp) * 1.0 / (COUNT(*) * 1000000.0), 6) AS mean_prob,
+           CAST(SUM(CASE WHEN z >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pred_en
+    FROM sc GROUP BY lang
+    """,
+)
+def llm_trained_quality_classifier(spark, sf_dir):
+    """Model-based corpus filtering with a model TRAINED IN-ENGINE
+    (CCNet/DCLM-style): 3 full-batch GD iterations of logistic regression
+    on hashed bag-of-words (dim 64 + bias), predicting lang='en'. The
+    fixed-point trace (integer weights/gradients, algebraic fast sigmoid)
+    makes distributed training byte-reproducible — the oracle unrolls the
+    identical three updates in SQL. Per iteration: one persisted-corpus
+    scan, a dim+1-row integer gradient exchange, a dim+1-row driver
+    collect."""
+    from flink_psl_spark.llm.classifier import (
+        MICRO,
+        _margin,
+        _prob,
+        hashed_feature_indices,
+        train_logreg_hashed,
+    )
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"].withColumn(
+        "__y", (F.col("lang") == "en").cast("double")
+    )
+    w = train_logreg_hashed(docs, "text", "__y", dim=64, iters=3, lr=4.0)
+    z = _margin(hashed_feature_indices("text", dim=64), w)
+    scored = docs.select("lang", z.alias("__z")).withColumn(
+        "__qp",
+        F.round(_prob(F.col("__z")) * F.lit(float(MICRO)), 0).cast(
+            "bigint"
+        ),
+    )
+    return scored.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum("__qp") * F.lit(1.0)
+            / (F.count("*") * F.lit(float(MICRO))),
+            6,
+        ).alias("mean_prob"),
+        F.sum((F.col("__z") >= 0).cast("int")).cast("bigint").alias(
+            "n_pred_en"
+        ),
+    )
