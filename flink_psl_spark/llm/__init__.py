@@ -117,6 +117,11 @@ from flink_psl_spark.llm.classifier import (  # noqa: F401
     score_logreg_hashed,
     train_logreg_hashed,
 )
+from flink_psl_spark.llm.unigram import (  # noqa: F401
+    reference_unigram_train,
+    unigram_encode,
+    unigram_train,
+)
 from flink_psl_spark.llm.sketches import (  # noqa: F401
     kmv_distinct_estimates,
     kmv_hash,

@@ -3738,3 +3738,86 @@ def llm_trained_quality_classifier(spark, sf_dir):
             "n_pred_en"
         ),
     )
+
+
+@query(
+    "llm_unigram_train_agreement",
+    # unigram-LM EM training is iterative (Viterbi E-step + prune per
+    # round) — not SQL-expressible, so (the BPE-agreement pattern) the
+    # Spark side runs BOTH the distributed trainer and the single-process
+    # reference over the same V-capped word table and emits per-rank
+    # agreement of (piece, logprob) — logprobs compared EXACTLY (identical
+    # integer counts through identical float ops); the oracle is the
+    # fixed expected truth.
+    oracle="""
+    SELECT CAST(UNNEST(GENERATE_SERIES(0, 15)) AS INTEGER) AS rank,
+           TRUE AS agree
+    """,
+)
+def llm_unigram_train_agreement(spark, sf_dir):
+    """Distributed SentencePiece-style unigram-LM training (hard-EM:
+    Arrow-batched Viterbi E-step over the vocabulary-sized word-type
+    table, inventory-bounded M-step on the driver), proven per run
+    against the single-process reference transcription."""
+    from flink_psl_spark.llm import reference_unigram_train, unigram_train
+    from flink_psl_spark.llm.bpe import word_counts
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"]
+    V = 20  # capped word-type table — driver collect bounded by V
+    got = unigram_train(
+        docs, vocab_size=24, iters=3, max_piece_len=4, seed_size=60,
+        vocab_limit=V,
+    )
+    wc = {
+        r["word"]: r["cnt"]
+        for r in word_counts(docs)
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(V)
+        .collect()
+    }
+    want = reference_unigram_train(
+        wc, vocab_size=24, iters=3, max_piece_len=4, seed_size=60
+    )
+    rows = [
+        (i, i < len(got) and i < len(want) and got[i] == want[i])
+        for i in range(16)
+    ]
+    return spark.createDataFrame(rows, "rank int, agree boolean")
+
+
+@query(
+    "llm_unigram_encode_stats",
+    # encoding invariants (the bpe_encode_roundtrip pattern): Viterbi
+    # pieces only partition the word, so the piece concatenation must
+    # reconstruct the character stream and can never out-count the chars
+    oracle="""
+    SELECT doc_id, TRUE AS content_ok, TRUE AS compressed
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def llm_unigram_encode_stats(spark, sf_dir):
+    """Unigram-LM Viterbi encoding with the corpus-learned inventory:
+    row-local Arrow map; emitted booleans prove content preservation
+    (piece concat == stripped chars) and compression (n_pieces <=
+    n_chars) per document."""
+    from flink_psl_spark.llm import unigram_encode, unigram_train
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"].where(F.col("doc_id") < 200)
+    vocab = unigram_train(
+        t["documents"], vocab_size=24, iters=2, vocab_limit=20
+    )
+    enc = unigram_encode(docs, vocab)
+    joined = enc.join(docs, "doc_id").select(
+        "doc_id",
+        (
+            F.concat_ws("", "pieces")
+            == F.concat_ws("", F.split(F.trim("text"), r"\s+"))
+        ).alias("content_ok"),
+        (
+            F.col("n_pieces")
+            <= F.length(F.regexp_replace("text", r"\s", ""))
+        ).alias("compressed"),
+    )
+    return joined
