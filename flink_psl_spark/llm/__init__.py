@@ -128,4 +128,6 @@ from flink_psl_spark.llm.sketches import (  # noqa: F401
     kmv_merge_batch,
     kmv_overlap,
     kmv_sketch,
+    overlap_from_sketches,
+    stream_kmv_sketch,
 )

@@ -153,11 +153,20 @@ def kmv_overlap(
     single-row aggregates; the one unpartitioned window (union bottom-k)
     ranks at most 2k rows — parameter-sized, not data-sized.
     """
-    from pyspark.sql import Window
-
     g = F.col(group_col) if isinstance(group_col, str) else group_col
     two = df.where(g.cast("string").isin([group_a, group_b]))
     sk = kmv_sketch(two, element_col, group_col, k=k)
+    return overlap_from_sketches(sk, group_a, group_b, k=k)
+
+
+def overlap_from_sketches(
+    sk: DataFrame, group_a: str, group_b: str, *, k: int
+) -> DataFrame:
+    """The estimator half of ``kmv_overlap``, over an already-built
+    ``(group, h, rank)`` sketch frame — shared by the batch operator and
+    the streaming variant (whose final keyed state IS this frame, since
+    sketch merge is commutative/associative/idempotent)."""
+    from pyspark.sql import Window
 
     per_group = kmv_distinct_estimates(sk, k=k)
     est_a = per_group.where(F.col("group") == group_a).select(
@@ -221,3 +230,64 @@ def kmv_merge_batch(
     union of an existing sketch and a new batch's hashes. Pure python on
     two ≤k-element lists — O(k log k) per key per micro-batch."""
     return sorted(set(state_hashes) | set(batch_hashes))[:k]
+
+
+def stream_kmv_sketch(
+    events: DataFrame,
+    group_col: str,
+    hash_col: str,
+    *,
+    k: int = 256,
+) -> DataFrame:
+    """Streaming KMV: maintain the per-group bottom-k distinct sketch as
+    keyed state over an append stream of ``(group, hash)`` rows; emits
+    the refreshed ``(group, h, rank)`` sketch whenever it changes
+    (update mode — keep the last emission per (group, rank)).
+
+    Sketch merge is commutative, associative, and idempotent, so the
+    final state equals the batch ``kmv_sketch`` of everything ingested —
+    arrival order, micro-batch splits, and replays are all invisible.
+    State per key is one ≤k integer array.
+    """
+    from typing import Any, Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    src = events.select(
+        F.col(group_col).cast("string").alias("group"),
+        F.col(hash_col).cast("long").alias("h"),
+    )
+
+    def fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        cur = list(state.get[0]) if state.exists else []
+        fresh: set[int] = set()
+        for b in batches:
+            fresh.update(int(x) for x in b["h"])
+        merged = kmv_merge_batch(cur, sorted(fresh), k=k)
+        state.update((merged,))
+        if merged != cur:
+            yield pd.DataFrame(
+                {
+                    "group": key[0],
+                    "h": merged,
+                    "rank": range(1, len(merged) + 1),
+                }
+            )
+        else:
+            yield pd.DataFrame({"group": [], "h": [], "rank": []})
+
+    return src.groupBy("group").applyInPandasWithState(
+        fn,
+        outputStructType="group string, h long, rank int",
+        stateStructType="h array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -3543,15 +3543,14 @@ def llm_tokenizer_fertility(spark, sf_dir):
     )
 
 
-@query(
-    "llm_corpus_overlap_sketch",
-    # exact replica of the KMV estimator: per-corpus bottom-256 distinct
-    # 48-bit md5 shingle hashes, per-set estimate (k-1)/(h_k/16^12) (exact
-    # count when under k), union bottom-k of the merged sketches, Jaccard
-    # from match fraction inside the union sketch. Every step is a
-    # deterministic function of the element sets, so the two engines agree
-    # bit-for-bit (same doubles, same HALF_UP rounding).
-    oracle=f"""
+# exact replica of the KMV estimator: per-corpus bottom-256 distinct
+# 48-bit md5 shingle hashes, per-set estimate (k-1)/(h_k/16^12) (exact
+# count when under k), union bottom-k of the merged sketches, Jaccard
+# from match fraction inside the union sketch. Every step is a
+# deterministic function of the element sets, so the two engines agree
+# bit-for-bit (same doubles, same HALF_UP rounding). Shared with the
+# streaming variant, whose final keyed state equals the batch sketch.
+_CORPUS_OVERLAP_ORACLE = f"""
     WITH d AS (
       SELECT CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS g,
              {_TOKS} AS w
@@ -3603,8 +3602,10 @@ def llm_tokenizer_fertility(spark, sf_dir):
                              / CAST(theta_u AS DOUBLE)
                    END, 4) AS est_intersection
     FROM ur
-    """,
-)
+"""
+
+
+@query("llm_corpus_overlap_sketch", oracle=_CORPUS_OVERLAP_ORACLE)
 def llm_corpus_overlap_sketch(spark, sf_dir):
     """Corpus-overlap estimation from KMV bottom-k sketches — "how much
     of corpus B is already in corpus A?" answered with k numbers per

@@ -1599,3 +1599,48 @@ def stream_conversation_assembly(spark, sf_dir):
         gap="30 minutes", delay="10 minutes", max_turns=64,
     )
     return run_to_memory_table(out, output_mode="append")
+
+
+from flink_psl_spark.queries.llm_queries import _CORPUS_OVERLAP_ORACLE
+
+
+@query("stream_corpus_overlap_sketch", oracle=_CORPUS_OVERLAP_ORACLE)
+def stream_corpus_overlap_sketch(spark, sf_dir):
+    """STREAMING corpus-overlap: per-corpus KMV bottom-k sketches
+    maintained as keyed state while documents arrive; the merge is
+    commutative/associative/idempotent, so the final state equals the
+    batch sketch and the downstream estimator emits the exact same
+    overlap report as llm_corpus_overlap_sketch — proven by sharing its
+    oracle. State per corpus: one <=256-element integer array."""
+    from flink_psl_spark.llm.dedup import shingles
+    from flink_psl_spark.llm.sketches import (
+        kmv_hash,
+        overlap_from_sketches,
+        stream_kmv_sketch,
+    )
+    from flink_psl_spark.operators import deduplicate
+
+    docs = stream_from_parquet(spark, f"{sf_dir}/documents.parquet")
+    el = docs.select(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("even"))
+        .otherwise(F.lit("odd"))
+        .alias("corpus"),
+        F.explode(shingles(F.col("text"), 3)).alias("e"),
+    ).select("corpus", kmv_hash(F.col("e")).alias("h"))
+    updates = stream_kmv_sketch(el, "corpus", "h", k=256)
+    mem = run_to_memory_table(updates, output_mode="update")
+    sk = deduplicate(
+        mem.withColumn("__seq", F.monotonically_increasing_id()),
+        ["group", "rank"],
+        ["__seq"],
+        keep="last",
+    ).select("group", "h", "rank")
+    out = overlap_from_sketches(sk, "even", "odd", k=256)
+    return out.select(
+        "k",
+        F.round("est_distinct_a", 4).alias("est_distinct_a"),
+        F.round("est_distinct_b", 4).alias("est_distinct_b"),
+        F.round("est_distinct_union", 4).alias("est_distinct_union"),
+        F.round("jaccard_est", 6).alias("jaccard_est"),
+        F.round("est_intersection", 4).alias("est_intersection"),
+    )

@@ -100,3 +100,44 @@ def test_merge_batch_equals_bottom_k_of_union():
     merged = kmv_merge_batch(sorted(set(s))[:16], batch, k=16)
     assert merged == sorted(set(s) | set(batch))[:16][: len(merged)]
     assert len(merged) == 16
+
+
+def test_stream_sketch_across_batches_equals_batch(spark, tmp_path):
+    from flink_psl_spark.llm.sketches import (
+        kmv_hash,
+        kmv_sketch,
+        stream_kmv_sketch,
+    )
+    from flink_psl_spark.operators import deduplicate
+    from flink_psl_spark.streaming import (
+        run_to_memory_table,
+        stream_from_parquet,
+    )
+
+    rows = [("a", f"e{i}") for i in range(300)] + [
+        ("b", f"e{i}") for i in range(150, 450)
+    ]
+    df = spark.createDataFrame(rows, "g string, e string")
+    src = str(tmp_path / "src")
+    # two files → two micro-batches with maxFilesPerTrigger=1, so the
+    # state-merge (state.exists) path is exercised
+    df.where(F.col("e") < "e3").coalesce(1).write.parquet(src)
+    df.where(~(F.col("e") < "e3")).coalesce(1).write.mode("append").parquet(
+        src
+    )
+    stream = stream_from_parquet(spark, src, max_files_per_trigger=1)
+    hashed = stream.select("g", kmv_hash(F.col("e")).alias("h"))
+    updates = stream_kmv_sketch(hashed, "g", "h", k=32)
+    mem = run_to_memory_table(updates, output_mode="update")
+    got = {
+        (r["group"], r["rank"]): r["h"]
+        for r in deduplicate(
+            mem.withColumn("__seq", F.monotonically_increasing_id()),
+            ["group", "rank"], ["__seq"], keep="last",
+        ).collect()
+    }
+    want = {
+        (r["group"], r["rank"]): r["h"]
+        for r in kmv_sketch(df, "e", "g", k=32).collect()
+    }
+    assert got == want
