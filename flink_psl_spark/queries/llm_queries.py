@@ -3635,14 +3635,13 @@ def llm_corpus_overlap_sketch(spark, sf_dir):
     )
 
 
-@query(
-    "llm_trained_quality_classifier",
-    # the oracle REPLAYS TRAINING: three unrolled full-batch GD updates in
-    # fixed-point integer micro-units over the same portable hashed
-    # features, with the algebraic fast sigmoid (only +,*,/,abs — every op
-    # IEEE-exactly-rounded, so the engines agree bit-for-bit; libm EXP
-    # would not). Scoring aggregates integer-quantized probabilities.
-    oracle=f"""
+# the oracle REPLAYS TRAINING: three unrolled full-batch GD updates in
+# fixed-point integer micro-units over the same portable hashed features,
+# with the algebraic fast sigmoid (only +,*,/,abs — every op IEEE-exactly-
+# rounded, so the engines agree bit-for-bit; libm EXP would not). Shared
+# by the batch report and the streaming scoring query (scoring is
+# row-local, so the stream equals the batch per doc).
+_LOGREG_TRAIN_CTES = f"""
     WITH docs AS (
       SELECT doc_id, lang,
              CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS DOUBLE)
@@ -3686,11 +3685,18 @@ def llm_corpus_overlap_sketch(spark, sf_dir):
            FROM w2 JOIN g3 ON w2.i = g3.i CROSS JOIN nn),
     zf AS (SELECT f.doc_id, SUM(w3.wt) AS z
            FROM fi f JOIN w3 ON f.i = w3.i GROUP BY 1),
-    sc AS (SELECT d.lang, zf.z,
+    sc AS (SELECT d.doc_id, d.lang, zf.z,
                   CAST(ROUND((0.5 + ((zf.z / 1000000.0) / 2.0)
                               / (1.0 + ABS(zf.z / 1000000.0)))
                              * 1000000) AS BIGINT) AS qp
            FROM zf JOIN docs d USING (doc_id))
+"""
+
+
+@query(
+    "llm_trained_quality_classifier",
+    oracle=_LOGREG_TRAIN_CTES
+    + """
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            ROUND(SUM(qp) * 1.0 / (COUNT(*) * 1000000.0), 6) AS mean_prob,

@@ -1644,3 +1644,61 @@ def stream_corpus_overlap_sketch(spark, sf_dir):
         F.round("jaccard_est", 6).alias("jaccard_est"),
         F.round("est_intersection", 4).alias("est_intersection"),
     )
+
+
+from flink_psl_spark.queries.llm_queries import _LOGREG_TRAIN_CTES
+
+
+@query(
+    "stream_quality_score_ingest",
+    # train offline (batch, the byte-reproducible fixed-point trace) —
+    # score online: the oracle replays training and then scores the
+    # checked window per document; scoring is a row-local expression, so
+    # the streamed scores equal the batch scores exactly
+    oracle=_LOGREG_TRAIN_CTES
+    + """
+    SELECT doc_id,
+           ROUND(qp / 1000000.0, 6) AS prob,
+           z >= 0 AS pred_en
+    FROM sc WHERE doc_id < 300
+    """,
+)
+def stream_quality_score_ingest(spark, sf_dir):
+    """Model-based quality scoring AT INGEST: the classifier is trained
+    offline on the batch corpus (3-iteration fixed-point GD), then its
+    weights ride into the stream as a broadcast literal — each arriving
+    document is scored by a pure row expression (no state, no shuffle).
+    The pattern every curation deployment uses: heavy training offline,
+    cheap inference on the ingest path."""
+    from flink_psl_spark.llm.classifier import (
+        MICRO,
+        _margin,
+        _prob,
+        hashed_feature_indices,
+        train_logreg_hashed,
+    )
+
+    t = tables(spark, sf_dir)
+    docs_batch = t["documents"].withColumn(
+        "__y", (F.col("lang") == "en").cast("double")
+    )
+    w = train_logreg_hashed(
+        docs_batch, "text", "__y", dim=64, iters=3, lr=4.0
+    )
+
+    stream = stream_from_parquet(spark, f"{sf_dir}/documents.parquet")
+    z = _margin(hashed_feature_indices("text", dim=64), w)
+    scored = (
+        stream.where(F.col("doc_id") < 300)
+        .select("doc_id", z.alias("__z"))
+        .select(
+            "doc_id",
+            F.round(
+                F.round(_prob(F.col("__z")) * F.lit(float(MICRO)), 0)
+                / F.lit(float(MICRO)),
+                6,
+            ).alias("prob"),
+            (F.col("__z") >= 0).alias("pred_en"),
+        )
+    )
+    return run_to_memory_table(scored, output_mode="append")
