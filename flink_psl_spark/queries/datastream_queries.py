@@ -670,3 +670,56 @@ def sequence_file_roundtrip(spark, sf_dir):
         F.col("key").cast("bigint").alias("doc_id"),
         F.col("value").alias("text"),
     )
+
+
+@query(
+    "file_sizing_report",
+    # the layout is deterministic: repartition(event_type) puts each type
+    # in exactly one write task and maxRecordsPerFile=1000 rolls files at
+    # 1000 rows, so n_files per type is exactly CEIL(rows/1000) — the
+    # oracle predicts the physical file inventory from the data alone
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS total_rows,
+           CAST(CEIL(COUNT(*) / 1000.0) AS BIGINT) AS n_files,
+           CAST(CEIL(COUNT(*) / 5000.0) AS BIGINT)
+             AS files_after_compaction,
+           CEIL(COUNT(*) / 1000.0) > CEIL(COUNT(*) / 5000.0)
+             AS compaction_recommended
+    FROM events GROUP BY event_type
+    """,
+)
+def file_sizing_report(spark, sf_dir):
+    """Small-files diagnosis — the operational report behind the
+    file-sink compaction operator (sources.py compact_files): write a
+    partitioned copy with a 1000-row file cap, inventory the physical
+    files per partition with input_file_name(), and recommend compaction
+    toward a 5000-row target. At 100 TB this is the report that catches
+    streaming sinks shredding tables into millions of files."""
+    import tempfile
+
+    t = tables(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="fps_sizing_")
+    (
+        t["events"]
+        .repartition("event_type")
+        .write.partitionBy("event_type")
+        .mode("overwrite")
+        .option("maxRecordsPerFile", 1000)
+        .parquet(d)
+    )
+    back = spark.read.parquet(d)
+    per_file = back.groupBy(
+        "event_type", F.input_file_name().alias("f")
+    ).agg(F.count("*").alias("rows"))
+    return per_file.groupBy("event_type").agg(
+        F.sum("rows").cast("bigint").alias("total_rows"),
+        F.count("*").cast("bigint").alias("n_files"),
+        F.ceil(F.sum("rows") / F.lit(5000.0)).cast("bigint").alias(
+            "files_after_compaction"
+        ),
+        (
+            F.count("*")
+            > F.ceil(F.sum("rows") / F.lit(5000.0))
+        ).alias("compaction_recommended"),
+    )
