@@ -318,3 +318,44 @@ def incremental_refresh(
         updated_base.join(F.broadcast(dirty), on=partition_cols, how="left_semi")
     )
     return untouched.unionByName(recomputed)
+
+
+def incremental_join_refresh(
+    old_result: DataFrame,
+    a_old: DataFrame,
+    delta_a: DataFrame,
+    b_old: DataFrame,
+    delta_b: DataFrame,
+    on: list[str],
+    *,
+    broadcast_deltas: bool = True,
+) -> DataFrame:
+    """Incremental maintenance of a materialized INNER JOIN under
+    append-only deltas — the join-side counterpart of
+    ``incremental_refresh``. Algebra:
+
+        (A ∪ dA) ⋈ (B ∪ dB)
+          = A⋈B  ∪  dA⋈(B ∪ dB)  ∪  A⋈dB
+
+    The three terms are disjoint by construction (each pairs a distinct
+    old/delta provenance), so the refreshed view is exactly the full
+    recompute — but ``old_result`` passes through WITHOUT being
+    re-joined, and every new join is delta-driven: with
+    ``broadcast_deltas`` the appended rows ship to the executors and the
+    big stored sides stream past them, no re-shuffle of A⋈B. On a daily
+    100 TB pipeline the cost is proportional to the day's arrivals, not
+    the corpus.
+
+    Updates/deletes need retraction semantics — that changelog-driven
+    form is the streaming join (streaming/core.py) fed by the CDC
+    decoders; this operator is the batch append-only fast path.
+    """
+    from pyspark.sql import functions as F
+
+    da = F.broadcast(delta_a) if broadcast_deltas else delta_a
+    db = F.broadcast(delta_b) if broadcast_deltas else delta_b
+    b_new = b_old.unionByName(delta_b)
+    fresh = da.join(b_new, on=on, how="inner").unionByName(
+        a_old.join(db, on=on, how="inner")
+    )
+    return old_result.unionByName(fresh)

@@ -1877,3 +1877,43 @@ def kanon_customer_release(spark, sf_dir):
         F.col("c_mktsegment").alias("segment"),
     )
     return k_anonymize(c, ["nation", "segment"], k=10)
+
+
+@query(
+    "incremental_join_view_refresh",
+    # the refreshed view must equal the full recompute exactly, so the
+    # oracle is simply the complete join, aggregated
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def incremental_join_view_refresh(spark, sf_dir):
+    """Materialized-join maintenance under append-only deltas: the
+    stored orders x customer view absorbs a day's appended orders AND
+    appended customers through two delta-driven broadcast joins — the
+    old result passes through unjoined. Output aggregates the refreshed
+    view; correctness = exact equality with the full recompute."""
+    from flink_psl_spark.operators.misc import incremental_join_refresh
+
+    t = tables(spark, sf_dir)
+    # shared join-key column name for the operator
+    orders = t["orders"].withColumnRenamed("o_custkey", "custkey")
+    customer = t["customer"].withColumnRenamed("c_custkey", "custkey")
+    a_old = orders.where(F.col("o_orderkey") % 11 != 0)
+    da = orders.where(F.col("o_orderkey") % 11 == 0)
+    b_old = customer.where(F.col("custkey") % 13 != 0)
+    db = customer.where(F.col("custkey") % 13 == 0)
+    old = a_old.join(b_old, on=["custkey"], how="inner")
+    refreshed = incremental_join_refresh(
+        old, a_old, da, b_old, db, on=["custkey"]
+    )
+    return refreshed.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2
+        ).cast("double").alias("revenue"),
+    )

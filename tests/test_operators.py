@@ -882,3 +882,42 @@ class TestKAnonymize:
         df = spark.createDataFrame([(7,)] * 6, "code int")
         [r] = k_anonymize(df, ["code"], k=5).collect()
         assert r["code"] == "7" and r["n"] == 6
+
+
+class TestIncrementalJoinRefresh:
+    def _split(self, spark):
+        a = spark.createDataFrame(
+            [(i, i % 4, f"a{i}") for i in range(40)], "id long, k long, pa string"
+        )
+        b = spark.createDataFrame(
+            [(j, f"b{j}") for j in range(4)], "k long, pb string"
+        )
+        a_old, da = a.where("id < 30"), a.where("id >= 30")
+        b_old, db = b.where("k < 3"), b.where("k >= 3")
+        return a, b, a_old, da, b_old, db
+
+    def test_equals_full_recompute(self, spark):
+        from flink_psl_spark.operators.misc import incremental_join_refresh
+
+        a, b, a_old, da, b_old, db = self._split(spark)
+        old = a_old.join(b_old, on=["k"], how="inner")
+        refreshed = incremental_join_refresh(
+            old, a_old, da, b_old, db, on=["k"]
+        )
+        want = sorted(map(tuple, a.join(b, on=["k"]).collect()))
+        got = sorted(map(tuple, refreshed.collect()))
+        assert got == want
+
+    def test_old_result_not_rejoined_and_deltas_broadcast(self, spark):
+        from flink_psl_spark.operators.misc import incremental_join_refresh
+
+        _, _, a_old, da, b_old, db = self._split(spark)
+        old = a_old.join(b_old, on=["k"], how="inner")
+        # pre-materialize the stored view: the refresh plan must not
+        # contain the old-side join at all
+        stored = spark.createDataFrame(old.collect(), old.schema)
+        plan = incremental_join_refresh(
+            stored, a_old, da, b_old, db, on=["k"]
+        )._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Join") == 2  # only the two delta joins
+        assert "BroadcastHashJoin" in plan
