@@ -501,3 +501,76 @@ def k_anonymize(
         )
     )
     return kept.unionByName(residual)
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    *,
+    l: int = 2,
+) -> DataFrame:
+    """l-diversity audit — k-anonymity's companion check: a group can
+    cover >= k rows yet still leak its members' sensitive attribute if
+    they all SHARE one value. Reports, per quasi-identifier group, the
+    row count, the number of distinct sensitive values, and whether the
+    group meets distinct l-diversity. One grouped aggregation (the
+    distinct count shuffles on (group, sensitive) then (group) — the
+    standard two-level distinct-agg split, skew-safe)."""
+    return df.groupBy(*[F.col(c).cast("string").alias(c) for c in quasi_cols]).agg(
+        F.count("*").alias("n"),
+        F.countDistinct(sensitive_col).alias("n_sensitive"),
+    ).withColumn("diverse", F.col("n_sensitive") >= l)
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    *,
+    epsilon: float = 1.0,
+    seed: str = "42",
+) -> DataFrame:
+    """Laplace-noised group counts (ε-DP release MECHANISM with a
+    deterministic test-mode noise source).
+
+    Noise is Laplace(1/ε) via inverse-CDF over a uniform derived from
+    md5(group || seed) — DETERMINISTIC by design so releases are
+    reproducible and engine-checkable (the DuckDB oracle replays the
+    exact noise). A production ε-DP deployment MUST swap the seeded
+    uniform for a cryptographic RNG: with a public seed the noise is
+    recomputable and the guarantee is void — this operator provides the
+    mechanism/sensitivity plumbing (unit count sensitivity 1, noise
+    scale 1/ε, post-processing-safe rounding), not the entropy. The
+    same honest-stub contract as the multimodal decode path.
+    """
+    b = 1.0 / epsilon
+    g = df.groupBy(*[F.col(c).cast("string").alias(c) for c in group_cols]).agg(
+        F.count("*").alias("n")
+    )
+    # u ∈ (0,1): 24 hex-bit md5 bucket, +0.5 to dodge the endpoints
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(c) for c in group_cols], F.lit(seed)
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(16 ** 6))
+    centered = u - F.lit(0.5)
+    noise = (
+        -F.lit(b)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return g.select(
+        *group_cols,
+        F.round(F.col("n") + noise, 4).alias("noisy_n"),
+    )

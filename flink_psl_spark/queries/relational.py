@@ -1917,3 +1917,68 @@ def incremental_join_view_refresh(spark, sf_dir):
             F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2
         ).cast("double").alias("revenue"),
     )
+
+
+@query(
+    "l_diversity_customers",
+    oracle="""
+    SELECT CAST(c_nationkey AS VARCHAR) AS nation,
+           c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0
+                                    THEN 'debt' ELSE 'credit' END)
+                AS BIGINT) AS n_sensitive,
+           COUNT(DISTINCT CASE WHEN c_acctbal < 0
+                               THEN 'debt' ELSE 'credit' END) >= 2
+             AS diverse
+    FROM customer GROUP BY 1, 2
+    """,
+)
+def l_diversity_customers(spark, sf_dir):
+    """l-diversity audit over the k-anonymity quasi-identifier: a
+    (nation, segment) cell whose members all share one account-balance
+    class leaks it even at k rows. Two-level distinct aggregation, one
+    scan."""
+    from flink_psl_spark.operators.validation import l_diversity_report
+
+    t = tables(spark, sf_dir)
+    c = t["customer"].select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .otherwise("credit")
+        .alias("bal_class"),
+    )
+    return l_diversity_report(
+        c, ["nation", "segment"], "bal_class", l=2
+    )
+
+
+@query(
+    "dp_noisy_event_counts",
+    # deterministic replay of the seeded Laplace mechanism: u from the
+    # md5 bucket (+0.5, /16^6), noise = -(1/eps)*sign(u-.5)*ln(1-2|u-.5|)
+    oracle="""
+    SELECT event_type,
+           ROUND(COUNT(*)
+             + -2.0 * SIGN(u - 0.5) * LN(1.0 - 2.0 * ABS(u - 0.5)), 4)
+             AS noisy_n
+    FROM (
+      SELECT event_type,
+             (CAST('0x' || SUBSTR(MD5(event_type || '|' || '42'), 1, 6)
+                   AS BIGINT) + 0.5) / 16777216.0 AS u
+      FROM events)
+    GROUP BY event_type, u
+    """,
+)
+def dp_noisy_event_counts(spark, sf_dir):
+    """Laplace-noised count release (epsilon = 0.5): the DP release
+    mechanism with a deterministic test-mode noise source (seeded
+    md5 inverse-CDF) so the release is reproducible and oracle-checked;
+    production swaps in a real RNG (documented in dp_noisy_counts)."""
+    from flink_psl_spark.operators.validation import dp_noisy_counts
+
+    t = tables(spark, sf_dir)
+    return dp_noisy_counts(
+        t["events"], ["event_type"], epsilon=0.5, seed="42"
+    )

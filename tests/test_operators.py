@@ -921,3 +921,35 @@ class TestIncrementalJoinRefresh:
         )._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Join") == 2  # only the two delta joins
         assert "BroadcastHashJoin" in plan
+
+
+class TestPrivacyOps:
+    def test_l_diversity_flags_homogeneous_group(self, spark):
+        from flink_psl_spark.operators.validation import l_diversity_report
+
+        df = spark.createDataFrame(
+            [("a", "x"), ("a", "x"), ("a", "x"), ("b", "x"), ("b", "y")],
+            "g string, s string",
+        )
+        out = {r["g"]: (r["n_sensitive"], r["diverse"])
+               for r in l_diversity_report(df, ["g"], "s", l=2).collect()}
+        assert out["a"] == (1, False)
+        assert out["b"] == (2, True)
+
+    def test_dp_noise_deterministic_and_seed_sensitive(self, spark):
+        from flink_psl_spark.operators.validation import dp_noisy_counts
+
+        df = spark.createDataFrame(
+            [("a",)] * 10 + [("b",)] * 20, "g string"
+        )
+        r1 = {r["g"]: r["noisy_n"]
+              for r in dp_noisy_counts(df, ["g"], epsilon=1.0).collect()}
+        r2 = {r["g"]: r["noisy_n"]
+              for r in dp_noisy_counts(df, ["g"], epsilon=1.0).collect()}
+        assert r1 == r2  # reproducible release
+        r3 = {r["g"]: r["noisy_n"]
+              for r in dp_noisy_counts(df, ["g"], epsilon=1.0,
+                                       seed="43").collect()}
+        assert r1 != r3  # seed actually feeds the noise
+        # noise is bounded-ish and centered: counts stay in a sane band
+        assert abs(r1["a"] - 10) < 20 and abs(r1["b"] - 20) < 20
