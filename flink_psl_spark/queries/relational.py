@@ -1982,3 +1982,94 @@ def dp_noisy_event_counts(spark, sf_dir):
     return dp_noisy_counts(
         t["events"], ["event_type"], epsilon=0.5, seed="42"
     )
+
+
+@query(
+    "join_key_overlap_advisor",
+    # the KMV estimator replayed over the two key sets (k=256): distinct
+    # customer keys on each side, overlap fraction = how much of the
+    # dimension the fact table actually references
+    oracle="""
+    WITH el AS (
+      SELECT 'orders' AS g, CAST(o_custkey AS VARCHAR) AS e FROM orders
+      UNION ALL
+      SELECT 'customer' AS g, CAST(c_custkey AS VARCHAR) AS e
+      FROM customer),
+    h AS (
+      SELECT DISTINCT g,
+             CAST('0x' || SUBSTR(MD5(e), 1, 12) AS BIGINT) AS h
+      FROM el),
+    sk AS (
+      SELECT g, h FROM (
+        SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rk
+        FROM h) WHERE rk <= 256),
+    pg AS (SELECT g, COUNT(*) AS n, MAX(h) AS theta FROM sk GROUP BY g),
+    est AS (
+      SELECT g, CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+                     ELSE CAST(71776119061217280 AS DOUBLE)
+                          / CAST(theta AS DOUBLE)
+                END AS est
+      FROM pg),
+    u AS (
+      SELECT h, MAX(CASE WHEN g = 'orders' THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN g = 'customer' THEN 1 ELSE 0 END) AS in_b
+      FROM sk GROUP BY h),
+    uk AS (
+      SELECT h, in_a, in_b FROM (
+        SELECT h, in_a, in_b, ROW_NUMBER() OVER (ORDER BY h) AS urk
+        FROM u) WHERE urk <= 256),
+    ur AS (
+      SELECT COUNT(*) AS n_u, MAX(h) AS theta_u,
+             SUM(in_a * in_b) AS matches
+      FROM uk)
+    SELECT 256 AS k,
+           ROUND((SELECT est FROM est WHERE g = 'orders'), 4)
+             AS est_distinct_a,
+           ROUND((SELECT est FROM est WHERE g = 'customer'), 4)
+             AS est_distinct_b,
+           ROUND(CASE WHEN n_u < 256 THEN CAST(n_u AS DOUBLE)
+                      ELSE CAST(71776119061217280 AS DOUBLE)
+                           / CAST(theta_u AS DOUBLE)
+                 END, 4) AS est_distinct_union,
+           ROUND(CAST(matches AS DOUBLE) / n_u, 6) AS jaccard_est,
+           ROUND((CAST(matches AS DOUBLE) / n_u)
+                 * CASE WHEN n_u < 256 THEN CAST(n_u AS DOUBLE)
+                        ELSE CAST(71776119061217280 AS DOUBLE)
+                             / CAST(theta_u AS DOUBLE)
+                   END, 4) AS est_intersection
+    FROM ur
+    """,
+)
+def join_key_overlap_advisor(spark, sf_dir):
+    """Join planning diagnosis from KMV sketches: estimate the distinct
+    join-key sets of both sides and their overlap BEFORE running the
+    join — low overlap predicts a mostly-dangling fact side (semi-join
+    prefilter wins), near-total overlap predicts full fan-out. The
+    sketches cost one scan per side with a parameter-sized exchange;
+    the CMS-based join_size_advisor estimates output ROWS, this one
+    estimates key-set RELATIONSHIPS — together they decide strategy."""
+    from flink_psl_spark.llm import kmv_overlap
+
+    t = tables(spark, sf_dir)
+    keys = (
+        t["orders"]
+        .select(
+            F.lit("orders").alias("side"),
+            F.col("o_custkey").cast("string").alias("key"),
+        )
+        .unionByName(
+            t["customer"].select(
+                F.lit("customer").alias("side"),
+                F.col("c_custkey").cast("string").alias("key"),
+            )
+        )
+    )
+    out = kmv_overlap(keys, "key", "side", "orders", "customer", k=256)
+    return out.select(
+        "k",
+        F.round("est_distinct_a", 4).alias("est_distinct_a"),
+        F.round("est_distinct_b", 4).alias("est_distinct_b"),
+        F.round("est_distinct_union", 4).alias("est_distinct_union"),
+        F.round("jaccard_est", 6).alias("jaccard_est"),
+        F.round("est_intersection", 4).alias("est_intersection"),
+    )
