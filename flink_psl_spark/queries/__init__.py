@@ -61,7 +61,13 @@ import flink_psl_spark.queries.datastream_queries  # noqa: F401, E402
 # llm_bm25_topk, llm_conversation_assembly, stream_online_lsh_dedup,
 # interval_join_keyless, stream_conversation_assembly, llm_dedup_keep_best,
 # llm_cross_corpus_dedup, llm_containment_pairs, asof_join_tolerance_forward,
-# llm_mmr_rerank, incremental_partition_refresh, llm_tokenizer_fertility
+# llm_mmr_rerank, incremental_partition_refresh, llm_tokenizer_fertility,
+# llm_corpus_overlap_sketch, stream_corpus_overlap_sketch,
+# kanon_customer_release, l_diversity_customers, dp_noisy_event_counts,
+# llm_trained_quality_classifier, stream_quality_score_ingest,
+# llm_unigram_train_agreement, llm_unigram_encode_stats,
+# file_sizing_report, incremental_join_view_refresh,
+# join_key_overlap_advisor
 # (positions 51+) — so r7's
 # window leads with them,
 # the 10 r1 rows that didn't fit here (agg_multiset, agg_json,
