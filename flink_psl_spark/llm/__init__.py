@@ -130,4 +130,5 @@ from flink_psl_spark.llm.sketches import (  # noqa: F401
     kmv_sketch,
     overlap_from_sketches,
     stream_kmv_sketch,
+    stream_space_saving,
 )

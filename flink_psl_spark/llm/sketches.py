@@ -291,3 +291,110 @@ def stream_kmv_sketch(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_space_saving(
+    events: DataFrame,
+    item_col: str,
+    *,
+    m: int = 512,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Streaming heavy-hitter candidates via Space-Saving (Metwally,
+    Agrawal & El Abbadi 2005) — the canonical m-counter frequent-items
+    summary: a new item beyond capacity evicts the minimum counter and
+    inherits its count as one-sided overestimate error.
+
+    Guarantee (per shard): every item whose true count exceeds the final
+    minimum counter is IN the roster, and that minimum is at most
+    N_shard / m — so with ``m ≥ N_shard / threshold`` the roster is a
+    provable superset of the true ≥-threshold heavy hitters; an exact
+    verification count over the drained roster then equals the plain
+    HAVING (the CMS-prefilter proof shape, streamed).
+
+    Items shard by xxhash64 so each item's full count lives in exactly
+    one shard's state; state per shard is three m-bounded arrays. Emits
+    the refreshed roster as ``(shard, rank, item, cnt, err)`` whenever
+    it changes (update mode; roster size never shrinks, so keep the
+    last emission per (shard, rank)).
+    """
+    from typing import Any, Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    src = events.select(
+        F.col(item_col).cast("string").alias("item"),
+        F.pmod(F.xxhash64(F.col(item_col).cast("string")), n_shards)
+        .cast("int")
+        .alias("shard"),
+    )
+
+    def fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            items, counts, errs = state.get
+            table: dict[str, list[int]] = {
+                it: [int(c), int(e)]
+                for it, c, e in zip(items, counts, errs)
+            }
+        else:
+            table = {}
+        before = {it: tuple(v) for it, v in table.items()}
+        for b in batches:
+            vc = b["item"].value_counts()
+            # deterministic merge order (item asc) — reproducible rosters
+            for it in sorted(vc.index):
+                c = int(vc[it])
+                if it in table:
+                    table[it][0] += c
+                elif len(table) < m:
+                    table[it] = [c, 0]
+                else:
+                    # evict the minimum counter (ties: lexicographic)
+                    ev = min(table.items(), key=lambda kv: (kv[1][0], kv[0]))
+                    mn = ev[1][0]
+                    del table[ev[0]]
+                    table[it] = [mn + c, mn]
+        state.update(
+            (
+                list(table.keys()),
+                [v[0] for v in table.values()],
+                [v[1] for v in table.values()],
+            )
+        )
+        if {it: tuple(v) for it, v in table.items()} != before:
+            roster = sorted(
+                table.items(), key=lambda kv: (-kv[1][0], kv[0])
+            )
+            yield pd.DataFrame(
+                {
+                    "shard": key[0],
+                    "rank": range(1, len(roster) + 1),
+                    "item": [it for it, _ in roster],
+                    "cnt": [v[0] for _, v in roster],
+                    "err": [v[1] for _, v in roster],
+                }
+            )
+        else:
+            yield pd.DataFrame(
+                {"shard": [], "rank": [], "item": [], "cnt": [], "err": []}
+            )
+
+    return src.groupBy("shard").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "shard int, rank int, item string, cnt long, err long"
+        ),
+        stateStructType=(
+            "item array<string>, cnt array<long>, err array<long>"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1702,3 +1702,54 @@ def stream_quality_score_ingest(spark, sf_dir):
         )
     )
     return run_to_memory_table(scored, output_mode="append")
+
+
+@query(
+    "stream_heavy_hitters_ingest",
+    # Space-Saving rosters are provable supersets of the true >=20 heavy
+    # hitters (the corpus's per-shard distinct bigrams fit the counters
+    # outright, and the emitted min-counter bound proves it per run), so
+    # roster drain + exact verification equals the plain HAVING — the
+    # CMS-prefilter proof shape, streamed
+    oracle="""
+    WITH d AS (SELECT doc_id, CASE WHEN TRIM(text) = '' THEN []::VARCHAR[] ELSE STRING_SPLIT_REGEX(TRIM(text), '\s+') END AS w FROM documents),
+    g AS (
+      SELECT ARRAY_TO_STRING(w[i:i+1], ' ') AS gram
+      FROM d, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(w) - 1, 0))) AS t(i))
+    SELECT gram, COUNT(*) AS cnt
+    FROM g GROUP BY gram HAVING COUNT(*) >= 20
+    """,
+)
+def stream_heavy_hitters_ingest(spark, sf_dir):
+    """STREAMING heavy-hitter bigrams: Space-Saving m-counter summaries
+    maintained as sharded keyed state while documents arrive, roster
+    drained at the end and trimmed by one exact verification count
+    (broadcast semi-join) — the continuous-ingest counterpart of
+    llm_heavy_hitter_ngrams, output exactly the batch HAVING."""
+    from flink_psl_spark.llm.sketches import stream_space_saving
+    from flink_psl_spark.llm.text import ngrams
+    from flink_psl_spark.operators import deduplicate
+
+    docs = stream_from_parquet(spark, f"{sf_dir}/documents.parquet")
+    grams = docs.select(F.explode(ngrams(F.col("text"), 2)).alias("gram"))
+    updates = stream_space_saving(grams, "gram", m=512, n_shards=8)
+    mem = run_to_memory_table(updates, output_mode="update")
+    roster = deduplicate(
+        mem.withColumn("__seq", F.monotonically_increasing_id()),
+        ["shard", "rank"],
+        ["__seq"],
+        keep="last",
+    )
+    candidates = roster.select(F.col("item").alias("gram")).distinct()
+
+    t = tables(spark, sf_dir)
+    all_grams = t["documents"].select(
+        F.explode(ngrams(F.col("text"), 2)).alias("gram")
+    )
+    exact = (
+        all_grams.join(F.broadcast(candidates), on=["gram"], how="left_semi")
+        .groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= 20)
+    )
+    return exact

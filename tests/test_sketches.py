@@ -141,3 +141,38 @@ def test_stream_sketch_across_batches_equals_batch(spark, tmp_path):
         for r in kmv_sketch(df, "e", "g", k=32).collect()
     }
     assert got == want
+
+
+def test_space_saving_eviction_guarantees(spark, tmp_path):
+    from flink_psl_spark.llm.sketches import stream_space_saving
+    from flink_psl_spark.operators import deduplicate
+    from flink_psl_spark.streaming import (
+        run_to_memory_table,
+        stream_from_parquet,
+    )
+
+    # zipf-ish: item_i appears (40 - i) times → forces evictions at m=8
+    rows = [(f"w{i:02d}",) for i in range(30) for _ in range(40 - i)]
+    df = spark.createDataFrame(rows, "item string")
+    true = {f"w{i:02d}": 40 - i for i in range(30)}
+    src = str(tmp_path / "ss")
+    df.coalesce(1).write.parquet(src)
+    stream = stream_from_parquet(spark, src)
+    updates = stream_space_saving(stream, "item", m=8, n_shards=1)
+    mem = run_to_memory_table(updates, output_mode="update")
+    roster = {
+        r["item"]: (r["cnt"], r["err"])
+        for r in deduplicate(
+            mem.withColumn("__seq", F.monotonically_increasing_id()),
+            ["shard", "rank"], ["__seq"], keep="last",
+        ).collect()
+    }
+    assert len(roster) == 8  # capacity respected
+    min_cnt = min(c for c, _ in roster.values())
+    for item, (cnt, err) in roster.items():
+        assert cnt >= true[item]          # one-sided overestimate
+        assert cnt - err <= true[item]    # error bound is honest
+    # superset guarantee: anything truly above the final min counter is in
+    for item, n in true.items():
+        if n > min_cnt:
+            assert item in roster
