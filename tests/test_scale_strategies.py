@@ -378,3 +378,56 @@ def test_salted_join_matches_plain(spark, t):
 
     with _pytest.raises(ValueError, match="inner' or 'left"):
         salted_join(ev, cust, "user_id", how="full")
+
+
+def test_kmv_sketch_exchange_is_parameter_bounded(spark, t):
+    """The KMV partial-bottom-k kernel must run BEFORE the exchange:
+    whatever the corpus size, only partition-local bottom-k rows (<=
+    partitions x groups x k) shuffle — the plan shows the Python map
+    below the first exchange, and the materialized exchange after the
+    kernel carries <= partitions x groups x k rows."""
+    from flink_psl_spark.llm.dedup import shingles
+    from flink_psl_spark.llm.sketches import kmv_sketch
+
+    el = t["documents"].repartition(6).select(
+        F.when(F.col("doc_id") % 2 == 0, "even").otherwise("odd")
+        .alias("corpus"),
+        F.explode(shingles(F.col("text"), 3)).alias("e"),
+    )
+    sk = kmv_sketch(el, "e", "corpus", k=64)
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    # the Arrow kernel (MapInPandas) sits under the exchange feeding the
+    # distinct/window, i.e. it appears AFTER (deeper than) the first
+    # Exchange in the printed top-down tree
+    assert "MapInPandas" in plan
+    assert plan.index("Exchange") < plan.index("MapInPandas"), plan[:3000]
+    # and the kernel's output is parameter-sized: 6 partitions x 2 x 64
+    from flink_psl_spark.llm.sketches import _partial_bottom_k, kmv_hash
+
+    named = el.select(
+        F.col("corpus").alias("__g"), kmv_hash(F.col("e")).alias("__h")
+    )
+    kernel_out = named.mapInPandas(
+        _partial_bottom_k(64), "__g string, __h long"
+    )
+    assert kernel_out.count() <= 6 * 2 * 64
+
+
+def test_classifier_gradient_exchange_is_dim_bounded(spark, t):
+    """One GD iteration's gradient aggregation must reduce to dim+1 rows
+    — the explode feeds a hash aggregate (map-side partial), never a
+    row-per-token exchange to the driver."""
+    from flink_psl_spark.llm.classifier import hashed_feature_indices
+
+    feats = t["documents"].select(
+        hashed_feature_indices("text", dim=32).alias("__idx"),
+        F.lit(1000000).alias("__q"),
+    )
+    grad = (
+        feats.select(F.explode("__idx").alias("__i"), "__q")
+        .groupBy("__i")
+        .agg(F.sum("__q").alias("__g"))
+    )
+    plan = grad._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan  # partial+final agg, not a raw shuffle
+    assert grad.count() <= 33
