@@ -1753,3 +1753,62 @@ def stream_heavy_hitters_ingest(spark, sf_dir):
         .where(F.col("cnt") >= 20)
     )
     return exact
+
+
+@query(
+    "stream_window_distinct_sketch",
+    # per-day KMV (k=32) replayed exactly: bottom-32 distinct user-id
+    # hashes per day, estimate 31*2^48/h_32 (exact count under 32)
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             CAST('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 12)
+                  AS BIGINT) AS h
+      FROM events),
+    sk AS (
+      SELECT day, h FROM (
+        SELECT day, h,
+               ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rk
+        FROM h) WHERE rk <= 32),
+    pg AS (SELECT day, COUNT(*) AS n, MAX(h) AS theta FROM sk GROUP BY day)
+    SELECT day, CAST(n AS BIGINT) AS n_sketch,
+           ROUND(CASE WHEN n < 32 THEN CAST(n AS DOUBLE)
+                      ELSE CAST(8725724278030336 AS DOUBLE)
+                           / CAST(theta AS DOUBLE)
+                 END, 4) AS est_distinct
+    FROM pg
+    """,
+)
+def stream_window_distinct_sketch(spark, sf_dir):
+    """Per-window approximate distinct users on a stream: a KMV sketch
+    per tumbling day maintained as one bounded array of keyed state —
+    the streaming form of windowed APPROX_COUNT_DISTINCT, but with a
+    deterministic, engine-replayable estimator instead of an opaque HLL
+    blob. State: 32 longs per day; emission: refreshed sketch on
+    change; arrival order invisible (idempotent commutative merge)."""
+    from flink_psl_spark.llm.sketches import (
+        kmv_distinct_estimates,
+        kmv_hash,
+        stream_kmv_sketch,
+    )
+    from flink_psl_spark.operators import deduplicate
+
+    ev = stream_from_parquet(spark, f"{sf_dir}/events.parquet", ts_col="ts")
+    keyed = ev.select(
+        F.to_date("ts").cast("string").alias("day"),
+        kmv_hash(F.col("user_id")).alias("h"),
+    )
+    updates = stream_kmv_sketch(keyed, "day", "h", k=32)
+    mem = run_to_memory_table(updates, output_mode="update")
+    sk = deduplicate(
+        mem.withColumn("__seq", F.monotonically_increasing_id()),
+        ["group", "rank"],
+        ["__seq"],
+        keep="last",
+    ).select("group", "h", "rank")
+    est = kmv_distinct_estimates(sk, k=32)
+    return est.select(
+        F.col("group").alias("day"),
+        F.col("n_sketch").cast("bigint").alias("n_sketch"),
+        F.round("est_distinct", 4).alias("est_distinct"),
+    )
