@@ -241,3 +241,55 @@ def monitoring_extras(sf_dir: str = "/root/testdata/sf0.001") -> None:
     scd2_history(ch, "user_id", "ts", tiebreak=["event_id"]).where(
         "is_current"
     ).show(3)
+
+
+def sketch_and_model_extras(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    """Final round-6 wave: sketch-based corpus algebra, the in-engine
+    trained quality model, the unigram tokenizer, and privacy release."""
+    from flink_psl_spark.llm import (
+        kmv_overlap,
+        score_logreg_hashed,
+        train_logreg_hashed,
+        unigram_encode,
+        unigram_train,
+    )
+    from flink_psl_spark.llm.dedup import shingles
+    from flink_psl_spark.operators.validation import (
+        dp_noisy_counts,
+        k_anonymize,
+        l_diversity_report,
+    )
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    t = register_tables(spark, sf_dir)
+    docs = t["documents"]
+
+    # 17. how much does today's crawl overlap the corpus? k numbers per
+    #     side instead of an exact distinct join over every shingle
+    el = docs.select(
+        F.when(F.col("doc_id") % 2 == 0, "corpus").otherwise("crawl")
+        .alias("side"),
+        F.explode(shingles(F.col("text"), 3)).alias("e"),
+    )
+    kmv_overlap(el, "e", "side", "corpus", "crawl", k=128).show()
+
+    # 18. train the quality/language model IN the engine (reproducible
+    #     fixed-point GD), then score the whole corpus with a broadcast
+    #     literal — the CCNet/DCLM filtering pattern
+    labeled = docs.withColumn("__y", (F.col("lang") == "en").cast("double"))
+    w = train_logreg_hashed(labeled, "text", "__y", dim=64, iters=3)
+    score_logreg_hashed(docs, "text", w, dim=64).select(
+        "doc_id", "lang", F.round("prob", 3).alias("p_en")
+    ).show(5)
+
+    # 19. the second canonical subword algorithm: unigram-LM pieces
+    vocab = unigram_train(docs, vocab_size=24, iters=2, vocab_limit=50)
+    unigram_encode(docs.limit(3), vocab).show(truncate=60)
+
+    # 20. privacy-gated release of the per-(lang, source) doc counts
+    cells = docs.select("lang", "source")
+    k_anonymize(cells, ["lang", "source"], k=10).show(5)
+    l_diversity_report(
+        docs.select("lang", "source", "n_chars"), ["lang"], "source", l=2
+    ).show(3)
+    dp_noisy_counts(cells, ["lang"], epsilon=0.5).show(3)
