@@ -67,6 +67,7 @@ from flink_psl_spark.llm.sampling import (  # noqa: F401
     hash_split,
     distributed_ntile,
     importance_resample,
+    leakage_safe_split,
     mix_datasets,
     stratified_sample,
     temperature_mix,

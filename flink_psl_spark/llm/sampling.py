@@ -730,3 +730,39 @@ def curriculum_schedule(
             phase_col, (F.lit(n_phases + 1) - F.col(phase_col)).cast("int")
         )
     return out.withColumn(order_col, _bucket([id_col], seed))
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    weights: dict,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Group-aware train/val/test splitting: near-duplicate clusters
+    (connected components of the given duplicate-pair frame) split as
+    UNITS — every member hashes on its cluster REPRESENTATIVE, so no
+    near-duplicate of a training document can leak into validation or
+    test. Plain id-hash splitting (``hash_split``) scatters the members
+    of a duplicate cluster across splits and silently inflates eval
+    scores; this is the eval-hygiene-correct discipline that pairs with
+    the near-dup detectors (minhash_lsh_pairs / ngram_jaccard_pairs).
+
+    Inherits every hash_split guarantee (reproducible, growth-stable,
+    disjoint/exhaustive) at the cluster level. Cost: the component
+    propagation over the PAIR graph (pair-bounded, not corpus-bounded)
+    + one left join of the cluster map onto the corpus.
+    """
+    from flink_psl_spark.llm.clustering import dedup_clusters
+
+    clusters = dedup_clusters(pairs).withColumnRenamed("doc_id", id_col)
+    rep = docs.join(clusters, on=[id_col], how="left").withColumn(
+        "__rep",
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).cast("string"),
+    )
+    out = hash_split(
+        rep, weights, key_cols=["__rep"], seed=seed, split_col=split_col
+    )
+    return out.drop("__rep")

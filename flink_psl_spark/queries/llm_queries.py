@@ -3828,3 +3828,68 @@ def llm_unigram_encode_stats(spark, sf_dir):
         ).alias("compressed"),
     )
     return joined
+
+
+@query(
+    "llm_leakage_safe_split",
+    # full replica: transitive closure of the exact Jaccard>=0.2 pair
+    # graph (the llm_dedup_clusters recursive CTE), cluster representative
+    # = component min (docs in no pair represent themselves), then the
+    # hash_split bucket intervals over md5(rep|44):
+    # int(0.8*16^6)=13421772, int(0.9*16^6)=15099494
+    oracle="""
+    WITH RECURSIVE
+    sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT([array_to_string(words[i:i+2], ' ')
+                            FOR i IN RANGE(1, GREATEST(LEN(words) - 2, 0) + 1)]) AS s
+      FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words
+            FROM documents WHERE doc_id < 200)),
+    pairs AS (
+      SELECT l.doc_id AS a, r.doc_id AS b
+      FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+      WHERE LEN(LIST_INTERSECT(l.s, r.s)) * 1.0 /
+            LEN(LIST_DISTINCT(LIST_CONCAT(l.s, r.s))) >= 0.2),
+    und AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs),
+    walk(node, label) AS (
+      SELECT s, s FROM und
+      UNION
+      SELECT u.d, w.label FROM walk w JOIN und u ON u.s = w.node),
+    cl AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+           FROM walk GROUP BY node),
+    r AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(cl.cluster_id, d.doc_id) AS VARCHAR) AS rep
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+      LEFT JOIN cl USING (doc_id)),
+    b AS (
+      SELECT doc_id,
+             CAST('0x' || SUBSTR(MD5(rep || '|44'), 1, 6) AS BIGINT) AS bk
+      FROM r)
+    SELECT doc_id,
+           CASE WHEN bk < 13421772 THEN 'train'
+                WHEN bk < 15099494 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def llm_leakage_safe_split(spark, sf_dir):
+    """Eval-hygiene splitting: near-duplicate clusters (connected
+    components of the exact-Jaccard pair graph) are assigned to
+    train/val/test as UNITS — every member hashes on its cluster
+    representative, so no near-duplicate of a training document lands in
+    validation or test. Plain id-hash splits scatter duplicate clusters
+    across splits and silently inflate eval scores."""
+    from flink_psl_spark.llm import ngram_jaccard_pairs
+    from flink_psl_spark.llm.sampling import leakage_safe_split
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"].where(F.col("doc_id") < 200)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2)
+    out = leakage_safe_split(
+        docs.select("doc_id"),
+        pairs,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=44,
+    )
+    return out.select("doc_id", "split")

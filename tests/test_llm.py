@@ -1735,3 +1735,24 @@ def test_mmr_rerank_matches_python_model(spark):
             chosen.append(best)
         for rank, j in enumerate(chosen, 1):
             assert got[(qi, rank)] == j, (qi, rank, got[(qi, rank)], j)
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from flink_psl_spark.llm.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(60)], "doc_id long"
+    )
+    # three clusters + singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "a long, b long",
+    )
+    out = leakage_safe_split(
+        docs, pairs, {"train": 0.6, "val": 0.2, "test": 0.2}, seed=7
+    )
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(rows) == 60  # exhaustive, singletons included
+    for cluster in ([0, 1, 2], [10, 11], [20, 21, 22, 23]):
+        assert len({rows[d] for d in cluster}) == 1  # one split per cluster
+    assert set(rows.values()) <= {"train", "val", "test"}
