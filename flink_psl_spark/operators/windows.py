@@ -160,3 +160,65 @@ def _interval_us(spec: str) -> int:
     if unit not in _UNIT_US:
         raise ValueError(f"unsupported interval unit {unit!r} in {spec!r}")
     return int(n) * _UNIT_US[unit]
+
+
+def gap_fill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    bucket: str = "hour",
+    step_expr: str = "interval 1 hour",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Time-series gap filling with last-observation-carried-forward —
+    the resampling primitive every metrics/feature pipeline needs and
+    neither engine ships whole: produce one row per ``bucket`` per key
+    from the key's first to last observation, carrying the latest value
+    across empty buckets (``filled`` marks carried rows).
+
+    Plan shape: per-key bucket grids come from ``sequence()`` over a
+    per-key min/max aggregate (grid size = time span / step, never
+    corpus-sized); actual observations reduce to one row per (key,
+    bucket) by a rank-1 window (latest by ts, then ``tiebreak_col``);
+    LOCF is one ``last(ignorenulls)`` running window per key — all
+    shuffles key-bounded, no driver involvement.
+    """
+    from pyspark.sql import Window
+
+    b = F.date_trunc(bucket, F.col(ts_col))
+    order = [F.col(ts_col).desc()] + (
+        [F.col(tiebreak_col).desc()] if tiebreak_col else []
+    )
+    w_rank = Window.partitionBy(key_col, "__bucket").orderBy(*order)
+    obs = (
+        df.withColumn("__bucket", b)
+        .withColumn("__rn", F.row_number().over(w_rank))
+        .where(F.col("__rn") == 1)
+        .select(key_col, "__bucket", F.col(value_col).alias("__v"))
+    )
+    span = df.groupBy(key_col).agg(
+        F.date_trunc(bucket, F.min(ts_col)).alias("__lo"),
+        F.date_trunc(bucket, F.max(ts_col)).alias("__hi"),
+    )
+    grid = span.select(
+        key_col,
+        F.explode(
+            F.expr(f"sequence(__lo, __hi, {step_expr})")
+        ).alias("__bucket"),
+    )
+    w_fill = (
+        Window.partitionBy(key_col)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, on=[key_col, "__bucket"], how="left")
+        .select(
+            key_col,
+            F.col("__bucket").alias("bucket"),
+            F.last("__v", ignorenulls=True).over(w_fill).alias(value_col),
+            F.col("__v").isNull().alias("filled"),
+        )
+    )

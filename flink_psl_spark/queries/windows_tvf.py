@@ -389,3 +389,54 @@ def cumulate_tvf_sql(spark, sf_dir):
             """
         )
     )
+
+
+@query(
+    "timeseries_gap_fill",
+    # exact replica: per-user hourly grid from first to last observation,
+    # latest (ts, event_id) value per bucket, LOCF via
+    # LAST_VALUE(... IGNORE NULLS) over the running window
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, value, event_id,
+             DATE_TRUNC('hour', ts) AS bucket
+      FROM events WHERE user_id < 8),
+    obs AS (
+      SELECT user_id, bucket, value FROM (
+        SELECT user_id, bucket, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM e) WHERE rn = 1),
+    span AS (
+      SELECT user_id, DATE_TRUNC('hour', MIN(ts)) AS lo,
+             DATE_TRUNC('hour', MAX(ts)) AS hi
+      FROM e GROUP BY user_id),
+    grid AS (
+      SELECT user_id, UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 1 HOUR))
+               AS bucket
+      FROM span)
+    SELECT g.user_id,
+           CAST(g.bucket AS TIMESTAMP) AS bucket,
+           LAST_VALUE(o.value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           o.value IS NULL AS filled
+    FROM grid g LEFT JOIN obs o
+      ON g.user_id = o.user_id AND g.bucket = o.bucket
+    """,
+)
+def timeseries_gap_fill(spark, sf_dir):
+    """Hourly resampling with last-observation-carried-forward over the
+    per-user event series: one row per hour per user from first to last
+    activity, empty hours carry the latest value and are marked filled
+    — the metrics/feature-pipeline primitive missing from both engines'
+    builtins."""
+    from flink_psl_spark.operators.windows import gap_fill
+
+    t = tables(spark, sf_dir)
+    ev = t["events"].where(F.col("user_id") < 8)
+    return gap_fill(
+        ev, "user_id", "ts", "value",
+        bucket="hour", step_expr="interval 1 hour",
+        tiebreak_col="event_id",
+    )

@@ -953,3 +953,38 @@ class TestPrivacyOps:
         assert r1 != r3  # seed actually feeds the noise
         # noise is bounded-ish and centered: counts stay in a sane band
         assert abs(r1["a"] - 10) < 20 and abs(r1["b"] - 20) < 20
+
+
+class TestGapFill:
+    def test_locf_fills_and_marks(self, spark):
+        from flink_psl_spark.operators.windows import gap_fill
+
+        df = spark.createDataFrame(
+            [
+                ("u", "2024-01-01 00:10:00", 1.0, 1),
+                ("u", "2024-01-01 00:50:00", 2.0, 2),  # same hour, later
+                ("u", "2024-01-01 03:05:00", 9.0, 3),  # 2 empty hours
+            ],
+            "k string, ts string, v double, eid int",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        out = {
+            str(r["bucket"]): (r["v"], r["filled"])
+            for r in gap_fill(
+                df, "k", "ts", "v", tiebreak_col="eid"
+            ).collect()
+        }
+        assert out["2024-01-01 00:00:00"] == (2.0, False)  # latest wins
+        assert out["2024-01-01 01:00:00"] == (2.0, True)   # carried
+        assert out["2024-01-01 02:00:00"] == (2.0, True)
+        assert out["2024-01-01 03:00:00"] == (9.0, False)
+        assert len(out) == 4  # contiguous grid, nothing beyond the span
+
+    def test_single_observation_key(self, spark):
+        from flink_psl_spark.operators.windows import gap_fill
+
+        df = spark.createDataFrame(
+            [("u", "2024-01-01 05:30:00", 7.0, 1)],
+            "k string, ts string, v double, eid int",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        [r] = gap_fill(df, "k", "ts", "v", tiebreak_col="eid").collect()
+        assert (r["v"], r["filled"]) == (7.0, False)
