@@ -171,6 +171,7 @@ def gap_fill(
     bucket: str = "hour",
     step_expr: str = "interval 1 hour",
     tiebreak_col: str | None = None,
+    mode: str = "locf",
 ) -> DataFrame:
     """Time-series gap filling with last-observation-carried-forward —
     the resampling primitive every metrics/feature pipeline needs and
@@ -184,6 +185,11 @@ def gap_fill(
     bucket) by a rank-1 window (latest by ts, then ``tiebreak_col``);
     LOCF is one ``last(ignorenulls)`` running window per key — all
     shuffles key-bounded, no driver involvement.
+
+    ``mode="linear"`` interpolates interior gaps between the two
+    surrounding observations instead of carrying (trailing gaps still
+    carry — there is no right endpoint); one extra mirrored
+    first(ignorenulls) window, same cost class.
     """
     from pyspark.sql import Window
 
@@ -213,12 +219,47 @@ def gap_fill(
         .orderBy("__bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        grid.join(obs, on=[key_col, "__bucket"], how="left")
-        .select(
+    joined = grid.join(obs, on=[key_col, "__bucket"], how="left")
+    prev_v = F.last("__v", ignorenulls=True).over(w_fill)
+    if mode == "locf":
+        return joined.select(
             key_col,
             F.col("__bucket").alias("bucket"),
-            F.last("__v", ignorenulls=True).over(w_fill).alias(value_col),
+            prev_v.alias(value_col),
             F.col("__v").isNull().alias("filled"),
         )
+    if mode != "linear":
+        raise ValueError(f"unknown gap-fill mode: {mode!r}")
+    w_fwd = (
+        Window.partitionBy(key_col)
+        .orderBy("__bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w_seq = Window.partitionBy(key_col).orderBy("__bucket")
+    pos = F.row_number().over(w_seq).cast("double")
+    with_ends = joined.select(
+        key_col,
+        "__bucket",
+        "__v",
+        prev_v.alias("__pv"),
+        F.first("__v", ignorenulls=True).over(w_fwd).alias("__nv"),
+        (pos - F.last(F.when(F.col("__v").isNotNull(), pos),
+                      ignorenulls=True).over(w_fill)).alias("__dl"),
+        (F.first(F.when(F.col("__v").isNotNull(), pos),
+                 ignorenulls=True).over(w_fwd) - pos).alias("__dr"),
+    )
+    interp = F.when(
+        F.col("__v").isNotNull(), F.col("__v")
+    ).when(
+        F.col("__nv").isNull(), F.col("__pv")  # trailing gap → carry
+    ).otherwise(
+        F.col("__pv")
+        + (F.col("__nv") - F.col("__pv"))
+        * (F.col("__dl") / (F.col("__dl") + F.col("__dr")))
+    )
+    return with_ends.select(
+        key_col,
+        F.col("__bucket").alias("bucket"),
+        interp.alias(value_col),
+        F.col("__v").isNull().alias("filled"),
     )

@@ -988,3 +988,27 @@ class TestGapFill:
         ).withColumn("ts", F.to_timestamp("ts"))
         [r] = gap_fill(df, "k", "ts", "v", tiebreak_col="eid").collect()
         assert (r["v"], r["filled"]) == (7.0, False)
+
+
+def test_gap_fill_linear_interpolation(spark):
+    from flink_psl_spark.operators.windows import gap_fill
+
+    df = spark.createDataFrame(
+        [
+            ("u", "2024-01-01 00:00:00", 1.0, 1),
+            ("u", "2024-01-01 03:00:00", 7.0, 2),   # gap of 2 hours
+            ("u", "2024-01-01 04:00:00", 4.0, 3),
+        ],
+        "k string, ts string, v double, eid int",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        str(r["bucket"]): r["v"]
+        for r in gap_fill(
+            df, "k", "ts", "v", tiebreak_col="eid", mode="linear"
+        ).collect()
+    }
+    assert out["2024-01-01 00:00:00"] == 1.0
+    assert out["2024-01-01 01:00:00"] == 3.0   # 1 + (7-1)*1/3
+    assert out["2024-01-01 02:00:00"] == 5.0   # 1 + (7-1)*2/3
+    assert out["2024-01-01 03:00:00"] == 7.0
+    assert out["2024-01-01 04:00:00"] == 4.0
