@@ -67,7 +67,9 @@ import flink_psl_spark.queries.datastream_queries  # noqa: F401, E402
 # llm_trained_quality_classifier, stream_quality_score_ingest,
 # llm_unigram_train_agreement, llm_unigram_encode_stats,
 # file_sizing_report, incremental_join_view_refresh,
-# join_key_overlap_advisor
+# join_key_overlap_advisor, stream_heavy_hitters_ingest,
+# stream_window_distinct_sketch, llm_leakage_safe_split,
+# timeseries_gap_fill
 # (positions 51+) — so r7's
 # window leads with them,
 # the 10 r1 rows that didn't fit here (agg_multiset, agg_json,
