@@ -35,6 +35,8 @@ HEADLINE = [
     "llm_text_stats",
     "llm_cosine_topk",
     "llm_pq_ann_topk",
+    "llm_corpus_overlap_sketch",
+    "llm_trained_quality_classifier",
     "window_join",
     "cep_clicks_then_purchase",
     "cdc_debezium_roundtrip",

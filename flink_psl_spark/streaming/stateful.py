@@ -611,8 +611,10 @@ def streaming_event_time_sort(
                 (buf[ts_col].tolist(),
                  *[buf[c].tolist() for c in pay_cols], seq)
             )
+            # 1 ms early — Spark fires strictly above the set timestamp,
+            # Flink's onTimer at wm >= t; flush re-checks ts <= wm
             state.setTimeoutTimestamp(
-                max(int(buf[ts_col].min()) // 1000 + 1, wm_us // 1000 + 1)
+                max(int(buf[ts_col].min()) // 1000 - 1, wm_us // 1000 + 1)
             )
         else:
             state.update(([], *[[] for _ in pay_cols], seq))
@@ -779,10 +781,16 @@ def timer_session_agg(
         if keep:
             state.update(([t for t, _ in keep], [v for _, v in keep]))
             # re-arm at the earliest pending finalization point
-            # (registerEventTimeTimer); must be beyond the watermark
+            # (registerEventTimeTimer), 1 ms EARLY: Spark fires event-time
+            # timeouts only when the watermark STRICTLY exceeds the set
+            # timestamp, while Flink's onTimer fires at wm >= t — arming
+            # at end-1ms keeps the boundary case (watermark landing
+            # exactly on a session end) firing, and an early fire is
+            # harmless because the flush predicate re-checks end <= wm
+            # and re-arms. Must still be beyond the current watermark.
             nxt = min(last + gap_us for _, last, _, _ in _sessions(keep))
             state.setTimeoutTimestamp(
-                max(nxt // 1000 + 1, wm_us // 1000 + 1)
+                max(nxt // 1000 - 1, wm_us // 1000 + 1)
             )
         else:
             state.remove()
@@ -896,7 +904,9 @@ def timer_session_agg_tws(
 
         def _sync_timers(self, pending):
             """One event-time timer per pending session end (ms)."""
-            want = {(last + gap_us) // 1000 + 1 for _, last, _, _ in pending}
+            # 1 ms early (the GroupState form's boundary rule): firing
+            # early is harmless, _finalize re-checks end <= wm
+            want = {(last + gap_us) // 1000 - 1 for _, last, _, _ in pending}
             have = set(self._h.listTimers())
             for ts in have - want:
                 self._h.deleteTimer(ts)
@@ -1045,8 +1055,9 @@ def session_transcripts(
                 )
             )
             nxt = min(s[-1][0] + gap_us for s in _split(keep))
+            # 1 ms early — see timer_session_agg's boundary rule
             state.setTimeoutTimestamp(
-                max(nxt // 1000 + 1, wm_us // 1000 + 1)
+                max(nxt // 1000 - 1, wm_us // 1000 + 1)
             )
         elif done:
             # key may still receive rows later: keep the ordinal counter
