@@ -1711,7 +1711,7 @@ def stream_quality_score_ingest(spark, sf_dir):
     # outright, and the emitted min-counter bound proves it per run), so
     # roster drain + exact verification equals the plain HAVING — the
     # CMS-prefilter proof shape, streamed
-    oracle="""
+    oracle=r"""
     WITH d AS (SELECT doc_id, CASE WHEN TRIM(text) = '' THEN []::VARCHAR[] ELSE STRING_SPLIT_REGEX(TRIM(text), '\s+') END AS w FROM documents),
     g AS (
       SELECT ARRAY_TO_STRING(w[i:i+1], ' ') AS gram
