@@ -75,11 +75,13 @@ def main() -> int:
         F.sum(_warm(F.col("id")))
     ).collect()
 
-    # three passes, min per query: steady-state cost (first pass absorbs the
-    # per-shape codegen/JIT; single-run attribution is ±5s noisy under GC,
-    # and n=3 separates real regressions from scheduler jitter)
+    # four passes, min per query: steady-state cost (the first pass absorbs
+    # per-shape codegen/JIT and Arrow worker spawn; measured on this host,
+    # warm-up bleed reaches into pass 2 for Arrow-heavy queries, so n=4 —
+    # min over the extra pass estimates the same steady state with less
+    # scheduler-jitter variance)
     per_query: dict[str, float] = {}
-    for _pass in range(3):
+    for _pass in range(4):
         for name in HEADLINE:
             fn = QUERIES[name]
             t0 = time.time()
@@ -97,7 +99,7 @@ def main() -> int:
                 "metric": "headline_total",
                 "value": total,
                 "unit": "sec",
-                "n": 3,
+                "n": 4,
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -61,22 +61,29 @@ def kmv_hash(element: Column | str) -> Column:
 
 def _partial_bottom_k(k: int):
     """mapInPandas kernel: per input partition, the distinct bottom-k
-    hashes per group. State is one bounded set per group (≤ ~2k with
-    periodic compaction), output ≤ groups × k rows per partition."""
+    hashes per group — fully vectorized (one numpy unique+truncate per
+    (batch, group); bottom-k of a union == bottom-k of bottom-k(A) ∪ B,
+    so state stays ≤ k longs per group). Output ≤ groups × k rows per
+    partition."""
+    import numpy as np
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        best: dict[object, set] = {}
+        best: dict[object, "np.ndarray"] = {}
         for pdf in batches:
-            for g, h in zip(pdf["__g"].to_numpy(), pdf["__h"].to_numpy()):
-                s = best.setdefault(g, set())
-                s.add(int(h))
-                if len(s) > 4 * k:  # compact: keep the k smallest
-                    best[g] = set(sorted(s)[:k])
-        rows = []
-        for g, s in best.items():
-            for h in sorted(s)[:k]:
-                rows.append((g, h))
-        yield pd.DataFrame(rows, columns=["__g", "__h"])
+            for g, sub in pdf.groupby("__g", sort=False):
+                h = sub["__h"].to_numpy(dtype=np.int64)
+                cur = best.get(g)
+                arr = np.unique(h if cur is None else np.concatenate([cur, h]))
+                best[g] = arr[:k]
+        if best:
+            gs = np.concatenate(
+                [np.repeat(g, len(a)) for g, a in best.items()]
+            )
+            hs = np.concatenate(list(best.values()))
+            yield pd.DataFrame({"__g": gs, "__h": hs})
+        else:
+            yield pd.DataFrame({"__g": pd.Series([], dtype=object),
+                                "__h": pd.Series([], dtype="int64")})
 
     return fn
 
