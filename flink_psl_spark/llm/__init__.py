@@ -130,6 +130,7 @@ from flink_psl_spark.llm.sketches import (  # noqa: F401
     kmv_overlap,
     kmv_sketch,
     overlap_from_sketches,
+    overlap_matrix,
     stream_kmv_sketch,
     stream_space_saving,
 )

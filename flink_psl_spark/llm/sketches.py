@@ -405,3 +405,73 @@ def stream_space_saving(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def overlap_matrix(
+    df: DataFrame,
+    element_col: Column | str,
+    group_col: Column | str,
+    *,
+    k: int = 256,
+) -> DataFrame:
+    """Pairwise Jaccard matrix across ALL groups from ONE sketch build:
+    ``(group_a, group_b, jaccard_est, est_intersection)`` for every
+    unordered pair — the corpus-similarity report ("which sources feed
+    me near-identical content?") at sketch cost.
+
+    The corpus is scanned ONCE (kmv_sketch); the pairwise work happens
+    on the sketch frame: pair-tagged copies (groups² × k rows — all
+    parameter-sized), a per-pair union bottom-k window, one aggregate.
+    Nothing downstream of the sketch touches data-sized frames.
+    """
+    from pyspark.sql import Window
+
+    sk = kmv_sketch(df, element_col, group_col, k=k)
+    groups = sk.select("group").distinct()
+    pairs = (
+        groups.alias("l")
+        .crossJoin(groups.alias("r"))
+        .where(F.col("l.group") < F.col("r.group"))
+        .select(
+            F.col("l.group").alias("ga"), F.col("r.group").alias("gb")
+        )
+    )
+    # tag each pair's member sketches, merge, rank the union per pair
+    tagged = sk.join(
+        F.broadcast(pairs),
+        (F.col("group") == F.col("ga")) | (F.col("group") == F.col("gb")),
+    )
+    per_pair = (
+        tagged.groupBy("ga", "gb", "h")
+        .agg(
+            F.max((F.col("group") == F.col("ga")).cast("int")).alias(
+                "in_a"
+            ),
+            F.max((F.col("group") == F.col("gb")).cast("int")).alias(
+                "in_b"
+            ),
+        )
+    )
+    w = Window.partitionBy("ga", "gb").orderBy("h")
+    union_k = per_pair.withColumn("urank", F.row_number().over(w)).where(
+        F.col("urank") <= k
+    )
+    return union_k.groupBy("ga", "gb").agg(
+        F.count("*").alias("n_u"),
+        F.max("h").alias("theta_u"),
+        F.sum((F.col("in_a") * F.col("in_b")).cast("bigint")).alias(
+            "matches"
+        ),
+    ).select(
+        F.col("ga").alias("group_a"),
+        F.col("gb").alias("group_b"),
+        (F.col("matches") / F.col("n_u")).alias("jaccard_est"),
+        (
+            (F.col("matches") / F.col("n_u"))
+            * F.when(F.col("n_u") < k, F.col("n_u").cast("double"))
+            .otherwise(
+                (F.lit(float(k - 1)) * F.lit(float(KMV_SPACE)))
+                / F.col("theta_u").cast("double")
+            )
+        ).alias("est_intersection"),
+    )

@@ -3893,3 +3893,73 @@ def llm_leakage_safe_split(spark, sf_dir):
         seed=44,
     )
     return out.select("doc_id", "split")
+
+
+@query(
+    "llm_source_similarity_matrix",
+    # pairwise KMV replay: one bottom-256 sketch per source, every
+    # unordered source pair's union bottom-k and match fraction
+    oracle=f"""
+    WITH d AS (SELECT source AS g, {_TOKS} AS w FROM documents),
+    el AS (
+      SELECT g, ARRAY_TO_STRING(w[i:i+2], ' ') AS e
+      FROM (SELECT g, w, UNNEST(GENERATE_SERIES(1, LEN(w) - 2)) AS i
+            FROM d WHERE LEN(w) >= 3)),
+    h AS (
+      SELECT DISTINCT g,
+             CAST('0x' || SUBSTR(MD5(e), 1, 12) AS BIGINT) AS h
+      FROM el),
+    sk AS (
+      SELECT g, h FROM (
+        SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rk
+        FROM h) WHERE rk <= 256),
+    gs AS (SELECT DISTINCT g FROM sk),
+    pairs AS (
+      SELECT l.g AS ga, r.g AS gb FROM gs l JOIN gs r ON l.g < r.g),
+    tag AS (
+      SELECT p.ga, p.gb, s.g, s.h
+      FROM pairs p JOIN sk s ON s.g = p.ga OR s.g = p.gb),
+    pp AS (
+      SELECT ga, gb, h,
+             MAX(CASE WHEN g = ga THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN g = gb THEN 1 ELSE 0 END) AS in_b
+      FROM tag GROUP BY ga, gb, h),
+    uk AS (
+      SELECT ga, gb, h, in_a, in_b FROM (
+        SELECT ga, gb, h, in_a, in_b,
+               ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS urk
+        FROM pp) WHERE urk <= 256),
+    ur AS (
+      SELECT ga, gb, COUNT(*) AS n_u, MAX(h) AS theta_u,
+             SUM(in_a * in_b) AS matches
+      FROM uk GROUP BY ga, gb)
+    SELECT ga AS group_a, gb AS group_b,
+           ROUND(CAST(matches AS DOUBLE) / n_u, 6) AS jaccard_est,
+           ROUND((CAST(matches AS DOUBLE) / n_u)
+                 * CASE WHEN n_u < 256 THEN CAST(n_u AS DOUBLE)
+                        ELSE CAST(71776119061217280 AS DOUBLE)
+                             / CAST(theta_u AS DOUBLE)
+                   END, 4) AS est_intersection
+    FROM ur
+    """,
+)
+def llm_source_similarity_matrix(spark, sf_dir):
+    """Corpus similarity matrix: pairwise shingle-set Jaccard estimates
+    across ALL document sources from ONE sketch build — the "which
+    sources feed me near-identical content" report at k-numbers-per-
+    source cost. Everything after the single corpus scan operates on
+    parameter-sized sketch frames (sources^2 x k rows)."""
+    from flink_psl_spark.llm.dedup import shingles
+    from flink_psl_spark.llm.sketches import overlap_matrix
+
+    t = tables(spark, sf_dir)
+    el = t["documents"].select(
+        "source", F.explode(shingles(F.col("text"), 3)).alias("e")
+    )
+    out = overlap_matrix(el, "e", "source", k=256)
+    return out.select(
+        "group_a",
+        "group_b",
+        F.round("jaccard_est", 6).alias("jaccard_est"),
+        F.round("est_intersection", 4).alias("est_intersection"),
+    )

@@ -176,3 +176,29 @@ def test_space_saving_eviction_guarantees(spark, tmp_path):
     for item, n in true.items():
         if n > min_cnt:
             assert item in roster
+
+
+def test_overlap_matrix_matches_pairwise_overlap(spark):
+    from flink_psl_spark.llm.sketches import kmv_overlap, overlap_matrix
+
+    rows = (
+        [("a", f"e{i}") for i in range(300)]
+        + [("b", f"e{i}") for i in range(200, 500)]
+        + [("c", f"e{i}") for i in range(450, 700)]
+    )
+    df = spark.createDataFrame(rows, "g string, e string")
+    mat = {
+        (r["group_a"], r["group_b"]): (
+            r["jaccard_est"], r["est_intersection"]
+        )
+        for r in overlap_matrix(df, "e", "g", k=64).collect()
+    }
+    assert set(mat) == {("a", "b"), ("a", "c"), ("b", "c")}
+    for ga, gb in mat:
+        [want] = kmv_overlap(df, "e", "g", ga, gb, k=64).collect()
+        assert mat[(ga, gb)][0] == pytest.approx(want["jaccard_est"])
+        assert mat[(ga, gb)][1] == pytest.approx(
+            want["est_intersection"]
+        )
+    # disjoint-ish pair has lower similarity than overlapping ones
+    assert mat[("a", "c")][0] <= mat[("a", "b")][0]
