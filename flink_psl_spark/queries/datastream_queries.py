@@ -723,3 +723,77 @@ def file_sizing_report(spark, sf_dir):
             > F.ceil(F.sum("rows") / F.lit(5000.0))
         ).alias("compaction_recommended"),
     )
+
+
+@query(
+    "stream_jdbc_upsert_ingest",
+    # the final database state must equal the batch aggregate: each
+    # micro-batch MERGEs its refreshed per-key counts (update mode), so
+    # replays and batch splits are invisible — upsert is idempotent on
+    # the latest value per key
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(event_id) AS BIGINT) AS first_id,
+           CAST(MAX(event_id) AS BIGINT) AS last_id
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_jdbc_upsert_ingest(spark, sf_dir):
+    """STREAMING UPSERT INTO A DATABASE — the reference's flagship
+    upsert-JDBC sink pattern (JdbcDynamicTableSink upsert mode fed by an
+    update-mode aggregation): running per-type counters maintained by
+    Structured Streaming, each micro-batch's refreshed rows MERGEd
+    set-wise into Derby via the staging+MERGE sink. The final table
+    state equals the batch aggregate exactly."""
+    import tempfile
+    import uuid
+
+    from flink_psl_spark.sources import jdbc_table, jdbc_upsert_write
+    from flink_psl_spark.streaming import stream_from_parquet
+
+    url = f"jdbc:derby:memory:fpsui_{uuid.uuid4().hex[:8]};create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    target = "evt_counts"
+
+    stream = stream_from_parquet(spark, f"{sf_dir}/events.parquet")
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("event_id").cast("bigint").alias("first_id"),
+        F.max("event_id").cast("bigint").alias("last_id"),
+    )
+
+    # pre-create the empty target (MERGE needs an existing table)
+    # Derby maps StringType to CLOB, which cannot be a MERGE key —
+    # both the target and the sink's staging table pin VARCHAR
+    key_ddl = "event_type VARCHAR(64)"
+    empty = spark.createDataFrame(
+        [], "event_type string, n bigint, first_id bigint, last_id bigint"
+    )
+    (
+        empty.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", target)
+        .option("driver", driver)
+        .option("createTableColumnTypes", key_ddl)
+        .mode("overwrite")
+        .save()
+    )
+
+    def sink(bdf, _bid):
+        if bdf.take(1):
+            jdbc_upsert_write(
+                bdf, url, target, "event_type", driver=driver,
+                create_column_types=key_ddl,
+            )
+
+    ckpt = tempfile.mkdtemp(prefix="fps_jdbc_stream_")
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return jdbc_table(spark, url, target, driver=driver)

@@ -183,6 +183,7 @@ def jdbc_upsert_write(
     driver: str | None = None,
     connection_properties: dict | None = None,
     quote_table_identifiers: bool = False,
+    create_column_types: str | None = None,
 ) -> int:
     """UPSERT JDBC sink (reference JdbcDynamicTableSink with a PRIMARY KEY
     → upsert mode, JdbcOutputFormat building ON-CONFLICT/MERGE row
@@ -231,9 +232,16 @@ def jdbc_upsert_write(
     tgt_sql, stage_sql = (
         (qt(table), qt(stage)) if quote_table_identifiers else (table, stage)
     )
+    stage_opts = dict(connection_properties or {})
+    if create_column_types:
+        # databases that map StringType to a non-comparable LOB (Derby:
+        # CLOB) cannot MERGE on a string key — callers pass explicit
+        # DDL types ("event_type VARCHAR(64)") applied to the staging
+        # table here and expected on the pre-created target
+        stage_opts["createTableColumnTypes"] = create_column_types
     write_jdbc_table(
         deduped, url, stage_sql, driver=driver, mode="overwrite",
-        **(connection_properties or {}),
+        **stage_opts,
     )
 
     spark = df.sparkSession

@@ -180,3 +180,31 @@ def test_jdbc_upsert_quoted_mixed_case_table(spark, derby_url):
     assert sorted((r["k"], r["v"]) for r in back.collect()) == [
         (1, 9.0), (2, 2.0),
     ]
+
+
+def test_upsert_with_string_key_column_types(spark):
+    """String MERGE keys need explicit VARCHAR DDL on Derby (StringType
+    maps to CLOB, which is not comparable): create_column_types pins the
+    staging table's DDL; the pre-created target uses the same types."""
+    import uuid
+
+    from flink_psl_spark.sources import jdbc_table, jdbc_upsert_write
+
+    url = f"jdbc:derby:memory:fpsk_{uuid.uuid4().hex[:8]};create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    ddl = "k VARCHAR(32)"
+    base = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    (
+        base.write.format("jdbc").option("url", url)
+        .option("dbtable", "skey").option("driver", driver)
+        .option("createTableColumnTypes", ddl).mode("overwrite").save()
+    )
+    batch = spark.createDataFrame([("b", 20), ("c", 30)], "k string, v int")
+    jdbc_upsert_write(
+        batch, url, "skey", "k", driver=driver, create_column_types=ddl
+    )
+    got = {
+        r["K"] if "K" in r else r["k"]: r["V"] if "V" in r else r["v"]
+        for r in jdbc_table(spark, url, "skey", driver=driver).collect()
+    }
+    assert got == {"a": 1, "b": 20, "c": 30}
