@@ -69,7 +69,8 @@ import flink_psl_spark.queries.datastream_queries  # noqa: F401, E402
 # file_sizing_report, incremental_join_view_refresh,
 # join_key_overlap_advisor, stream_heavy_hitters_ingest,
 # stream_window_distinct_sketch, llm_leakage_safe_split,
-# timeseries_gap_fill, llm_source_similarity_matrix
+# timeseries_gap_fill, llm_source_similarity_matrix,
+# stream_jdbc_upsert_ingest, hybrid_backfill_union
 # (positions 51+) — so r7's
 # window leads with them,
 # the 10 r1 rows that didn't fit here (agg_multiset, agg_json,

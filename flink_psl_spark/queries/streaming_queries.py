@@ -1812,3 +1812,50 @@ def stream_window_distinct_sketch(spark, sf_dir):
         F.col("n_sketch").cast("bigint").alias("n_sketch"),
         F.round("est_distinct", 4).alias("est_distinct"),
     )
+
+
+@query(
+    "hybrid_backfill_union",
+    # the bootstrap invariant: batch history ∪ streamed tail, deduped on
+    # the primary key, must equal the full table — the oracle aggregates
+    # the whole table directly
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids
+    FROM events GROUP BY event_type
+    """,
+)
+def hybrid_backfill_union(spark, sf_dir):
+    """Kappa-style pipeline bootstrap: serve history from BATCH while
+    the STREAM catches up, with an overlap region deduplicated on the
+    primary key — the standard cutover pattern when a streaming pipeline
+    is pointed at an existing corpus. History = events with
+    event_id < 60% cutoff (batch read); the stream replays everything
+    FROM 40% (a deliberate 20% overlap); union + keyed dedup must equal
+    the full table exactly."""
+    from flink_psl_spark.operators import deduplicate
+
+    t = tables(spark, sf_dir)
+    ev = t["events"]
+    hi = ev.agg(F.max("event_id")).first()[0]
+    cut_hist, cut_stream = int(hi * 0.6), int(hi * 0.4)
+
+    history = ev.where(F.col("event_id") < cut_hist)
+
+    stream = stream_from_parquet(spark, f"{sf_dir}/events.parquet")
+    tail_updates = stream.where(F.col("event_id") >= cut_stream)
+    tail = run_to_memory_table(tail_updates, output_mode="append")
+
+    combined = deduplicate(
+        history.select("event_id", "event_type").unionByName(
+            tail.select("event_id", "event_type")
+        ),
+        ["event_id"],
+        ["event_type"],
+        keep="first",
+    )
+    return combined.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.countDistinct("event_id").cast("bigint").alias("n_ids"),
+    )
