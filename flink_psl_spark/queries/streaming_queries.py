@@ -1859,3 +1859,57 @@ def hybrid_backfill_union(spark, sf_dir):
         F.count("*").cast("bigint").alias("n"),
         F.countDistinct("event_id").cast("bigint").alias("n_ids"),
     )
+
+
+@query(
+    "stream_timeseries_gap_fill",
+    # the streamed LOCF grid: per user, hourly buckets from the first
+    # observation to the last watermark-finalized bucket (wm = global
+    # max ts - 1s; bucket final iff end <= wm), value = latest
+    # observation by (ts, value) before the bucket end, filled = no
+    # observation inside the bucket
+    oracle="""
+    WITH e AS (SELECT user_id, ts, value FROM events WHERE user_id < 8),
+    wm AS (SELECT MAX(ts) - INTERVAL 1 SECOND AS w FROM events),
+    span AS (
+      SELECT user_id, DATE_TRUNC('hour', MIN(ts)) AS lo
+      FROM e GROUP BY user_id),
+    grid AS (
+      SELECT s.user_id,
+             UNNEST(GENERATE_SERIES(
+               s.lo,
+               DATE_TRUNC('hour', (SELECT w FROM wm) - INTERVAL 1 HOUR),
+               INTERVAL 1 HOUR)) AS bucket
+      FROM span s),
+    val AS (
+      SELECT g.user_id, g.bucket, e.value,
+             ROW_NUMBER() OVER (
+               PARTITION BY g.user_id, g.bucket
+               ORDER BY e.ts DESC, e.value DESC) AS rn
+      FROM grid g JOIN e ON e.user_id = g.user_id
+                        AND e.ts < g.bucket + INTERVAL 1 HOUR),
+    carry AS (SELECT user_id, bucket, value FROM val WHERE rn = 1),
+    obs_in AS (
+      SELECT DISTINCT user_id, DATE_TRUNC('hour', ts) AS bucket FROM e)
+    SELECT c.user_id, CAST(c.bucket AS TIMESTAMP) AS bucket, c.value,
+           (o.bucket IS NULL) AS filled
+    FROM carry c LEFT JOIN obs_in o
+      ON c.user_id = o.user_id AND c.bucket = o.bucket
+    """,
+)
+def stream_timeseries_gap_fill(spark, sf_dir):
+    """CONTINUOUS LOCF resampling: per-user hourly buckets emitted as
+    the watermark finalizes them, latest value carried across empty
+    hours — and, unlike the batch grid, carried PAST the key's last
+    observation while other keys keep the watermark moving (a live
+    metric stays defined between samples). Event-time timers flush
+    carried buckets for keys receiving no data."""
+    from flink_psl_spark.streaming import stream_gap_fill
+
+    ev = stream_from_parquet(spark, f"{sf_dir}/events.parquet", ts_col="ts")
+    keyed = ev.where(F.col("user_id") < 8).select("user_id", "ts", "value")
+    out = stream_gap_fill(
+        keyed, "user_id", "ts", "value",
+        bucket_ms=3_600_000, delay="1 second",
+    )
+    return run_to_memory_table(out, output_mode="append")

@@ -1093,3 +1093,119 @@ def session_transcripts(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_gap_fill(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    bucket_ms: int = 3_600_000,
+    delay: str = "1 second",
+) -> DataFrame:
+    """STREAMING last-observation-carried-forward resampling — the
+    continuous form of operators.windows.gap_fill: per key, emit one
+    append-mode row per ``bucket_ms`` bucket as soon as the watermark
+    finalizes it (bucket end <= wm), carrying the latest value across
+    empty buckets and marking carried rows ``filled``.
+
+    Unlike the batch operator (whose grid stops at the last
+    observation), the stream keeps emitting carried buckets while the
+    watermark advances — a live metric stays defined between samples,
+    which is exactly why pipelines run the streaming form.
+
+    State per key: the carry value, the last emitted bucket, and the
+    not-yet-finalized observation tail (watermark-bounded). Event-time
+    timers re-arm at the next bucket end (1 ms early, the repo's timer
+    boundary rule) so carried buckets flush even when the key itself
+    receives no further data.
+    """
+    gap_us = bucket_ms * 1000
+    src = events.select(key_col, ts_col, value_col).withWatermark(
+        ts_col, delay
+    )
+    k_dt = _dt(src, key_col)
+    out_schema = (
+        f"{key_col} {k_dt}, bucket timestamp, "
+        f"{value_col} double, filled boolean"
+    )
+    out_names = [key_col, "bucket", value_col, "filled"]
+    state_fields = (
+        "last_bucket_us bigint, carry double, "
+        "ts_us array<bigint>, v array<double>"
+    )
+
+    def fn(key, batches: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            last_us, carry, ts_list, v_list = state.get
+            buf = sorted(zip(ts_list, v_list))
+        else:
+            last_us, carry, buf = -1, None, []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            us = pdf[ts_col].values.astype("datetime64[us]").astype("int64")
+            buf.extend(
+                (int(t), float(v)) for t, v in zip(us, pdf[value_col])
+            )
+        buf.sort()
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        rows = []
+        if buf or last_us >= 0:
+            start = (
+                last_us + gap_us
+                if last_us >= 0
+                else (buf[0][0] // gap_us) * gap_us
+            )
+            b = start
+            i = 0
+            while b + gap_us <= wm_us:
+                observed = False
+                while i < len(buf) and buf[i][0] < b + gap_us:
+                    carry = buf[i][1]
+                    if buf[i][0] >= b:
+                        observed = True
+                    i += 1
+                if carry is not None:
+                    rows.append((b, carry, not observed))
+                    last_us = b
+                b += gap_us
+            buf = buf[i:]
+        state.update(
+            (
+                last_us,
+                carry,
+                [t for t, _ in buf],
+                [v for _, v in buf],
+            )
+        )
+        if last_us >= 0 or buf:
+            nxt = (last_us + 2 * gap_us) if last_us >= 0 else (
+                (buf[0][0] // gap_us) * gap_us + gap_us
+            )
+            # 1 ms early — see timer_session_agg's boundary rule
+            state.setTimeoutTimestamp(
+                max(nxt // 1000 - 1, wm_us // 1000 + 1)
+            )
+        if rows:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(rows),
+                    "bucket": pd.to_datetime(
+                        [r[0] for r in rows], unit="us"
+                    ),
+                    value_col: [r[1] for r in rows],
+                    "filled": [r[2] for r in rows],
+                }
+            )
+        else:
+            yield pd.DataFrame({c: [] for c in out_names})
+
+    return src.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_fields,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -460,3 +460,39 @@ def test_timer_session_agg_tws_gating_or_parity(spark):
         ("a", TS(0), TS(11), 2, 3.0),
         ("a", TS(20), TS(30), 1, 5.0),
     }
+
+
+def test_stream_gap_fill_carries_past_last_observation(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.streaming import (
+        run_to_memory_table,
+        stream_from_parquet,
+        stream_gap_fill,
+    )
+
+    rows = [
+        ("u", "2024-01-01 00:15:00", 1.0),
+        ("u", "2024-01-01 03:10:00", 7.0),
+        ("z", "2024-01-01 10:00:00", 0.0),  # watermark driver
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v double")
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    src = str(tmp_path / "gf")
+    # two files → the cross-batch timer/carry path runs
+    df.where("k = 'u'").coalesce(1).write.parquet(src)
+    df.where("k = 'z'").coalesce(1).write.mode("append").parquet(src)
+    stream = stream_from_parquet(spark, src, max_files_per_trigger=1)
+    out = stream_gap_fill(stream, "k", "ts", "v", delay="1 second")
+    got = {
+        (r["k"], str(r["bucket"])): (r["v"], r["filled"])
+        for r in run_to_memory_table(out, output_mode="append").collect()
+    }
+    # wm = 10:00:00 - 1s → u's buckets 00..08 are final; z's 10:00 is not
+    assert len(got) == 9 and all(k == "u" for k, _ in got)
+    assert got[("u", "2024-01-01 00:00:00")] == (1.0, False)
+    assert got[("u", "2024-01-01 01:00:00")] == (1.0, True)
+    assert got[("u", "2024-01-01 03:00:00")] == (7.0, False)
+    # carried PAST u's last observation while z advances the watermark
+    for h in (4, 5, 6, 7, 8):
+        assert got[("u", f"2024-01-01 0{h}:00:00")] == (7.0, True)
