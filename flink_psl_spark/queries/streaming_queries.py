@@ -1864,13 +1864,14 @@ def hybrid_backfill_union(spark, sf_dir):
 @query(
     "stream_timeseries_gap_fill",
     # the streamed LOCF grid: per user, hourly buckets from the first
-    # observation to the last watermark-finalized bucket (wm = global
-    # max ts - 1s; bucket final iff end <= wm), value = latest
+    # observation to the last watermark-finalized bucket (wm = max ts of
+    # the FILTERED stream - 1s, matching the post-filter withWatermark;
+    # bucket final iff end <= wm), value = latest
     # observation by (ts, value) before the bucket end, filled = no
     # observation inside the bucket
     oracle="""
     WITH e AS (SELECT user_id, ts, value FROM events WHERE user_id < 8),
-    wm AS (SELECT MAX(ts) - INTERVAL 1 SECOND AS w FROM events),
+    wm AS (SELECT MAX(ts) - INTERVAL 1 SECOND AS w FROM e),
     span AS (
       SELECT user_id, DATE_TRUNC('hour', MIN(ts)) AS lo
       FROM e GROUP BY user_id),
