@@ -574,3 +574,67 @@ def dp_noisy_counts(
         *group_cols,
         F.round(F.col("n") + noise, 4).alias("noisy_n"),
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    col: str,
+    quantiles: list[float],
+    *,
+    lo: float,
+    hi: float,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Mergeable histogram quantiles — the quantile member of the sketch
+    suite (distinct: KMV, frequency: CMS/Space-Saving, membership:
+    Bloom): one fixed-width bucket-count aggregation (mergeable by
+    addition, streaming-safe), then each requested quantile resolves to
+    the upper edge of the first bucket whose cumulative count reaches
+    q·N — deterministic, so the estimate replays exactly in SQL, unlike
+    an opaque approx_percentile blob. Error bound: one bucket width.
+
+    Returns ``(q, est_value, bucket, cum_n, total_n)``; the
+    cumulative window runs over n_buckets rows, parameter-sized.
+    """
+    from pyspark.sql import Window
+
+    width = (hi - lo) / n_buckets
+    counts = bucket_counts(df, col, lo=lo, hi=hi, n_buckets=n_buckets)
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.select(
+        "bucket",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("n").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total_n"),
+    )
+    qdf = df.sparkSession.createDataFrame(
+        [(float(q),) for q in quantiles], "q double"
+    )
+    hit = (
+        cum.crossJoin(F.broadcast(qdf))
+        .where(
+            F.col("cum_n")
+            >= F.col("q") * F.col("total_n")
+        )
+        .groupBy("q")
+        .agg(
+            F.min("bucket").alias("bucket"),
+            F.max("total_n").alias("total_n"),
+        )
+        .join(cum.select("bucket", "cum_n"), on="bucket")
+    )
+    return hit.select(
+        "q",
+        (
+            F.lit(float(lo))
+            + (F.col("bucket") + 1) * F.lit(float(width))
+        ).alias("est_value"),
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("cum_n").cast("bigint").alias("cum_n"),
+        F.col("total_n").cast("bigint").alias("total_n"),
+    )

@@ -2073,3 +2073,45 @@ def join_key_overlap_advisor(spark, sf_dir):
         F.round("jaccard_est", 6).alias("jaccard_est"),
         F.round("est_intersection", 4).alias("est_intersection"),
     )
+
+
+@query(
+    "histogram_quantiles_report",
+    # exact replay of the histogram estimator: 256 fixed-width buckets
+    # over [0, 512), quantile = upper edge of the first bucket whose
+    # cumulative count reaches q*N
+    oracle="""
+    WITH src AS (
+      SELECT LEAST(255, GREATEST(0,
+               CAST(FLOOR(CAST(value AS DOUBLE) / 2.0) AS INT)))
+               AS bucket
+      FROM events WHERE value IS NOT NULL),
+    c AS (SELECT bucket, COUNT(*) AS n FROM src GROUP BY bucket),
+    cum AS (
+      SELECT bucket, SUM(n) OVER (ORDER BY bucket) AS cum_n,
+             SUM(n) OVER () AS total_n
+      FROM c),
+    qs AS (SELECT UNNEST([0.5, 0.9, 0.99]) AS q),
+    hit AS (
+      SELECT q, MIN(bucket) AS bucket, MAX(total_n) AS total_n
+      FROM cum, qs WHERE cum_n >= q * total_n GROUP BY q)
+    SELECT h.q, (h.bucket + 1) * 2.0 AS est_value,
+           CAST(h.bucket AS INT) AS bucket,
+           CAST(c2.cum_n AS BIGINT) AS cum_n,
+           CAST(h.total_n AS BIGINT) AS total_n
+    FROM hit h JOIN cum c2 ON h.bucket = c2.bucket
+    """,
+)
+def histogram_quantiles_report(spark, sf_dir):
+    """Mergeable-histogram quantile estimates (p50/p90/p99 of the event
+    value): one fixed-width bucket aggregation + an n_buckets-row
+    cumulative window — deterministic and engine-replayable, unlike an
+    opaque approx_percentile sketch blob, with error bounded by one
+    bucket width. The quantile member of the sketch suite."""
+    from flink_psl_spark.operators.validation import histogram_quantiles
+
+    t = tables(spark, sf_dir)
+    return histogram_quantiles(
+        t["events"], "value", [0.5, 0.9, 0.99],
+        lo=0.0, hi=512.0, n_buckets=256,
+    )

@@ -1012,3 +1012,22 @@ def test_gap_fill_linear_interpolation(spark):
     assert out["2024-01-01 02:00:00"] == 5.0   # 1 + (7-1)*2/3
     assert out["2024-01-01 03:00:00"] == 7.0
     assert out["2024-01-01 04:00:00"] == 4.0
+
+
+def test_histogram_quantiles_bounds_exact_rank(spark):
+    from flink_psl_spark.operators.validation import histogram_quantiles
+
+    vals = list(range(1000))  # uniform 0..999
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    out = {
+        r["q"]: (r["est_value"], r["cum_n"], r["total_n"])
+        for r in histogram_quantiles(
+            df, "x", [0.5, 0.99], lo=0.0, hi=1000.0, n_buckets=100
+        ).collect()
+    }
+    # one-bucket-width (10.0) error bound around the true quantile
+    est50, cum50, total = out[0.5]
+    assert abs(est50 - 500.0) <= 10.0 and total == 1000
+    assert cum50 >= 0.5 * total
+    est99, cum99, _ = out[0.99]
+    assert abs(est99 - 990.0) <= 10.0 and cum99 >= 0.99 * 1000
