@@ -2075,12 +2075,12 @@ def join_key_overlap_advisor(spark, sf_dir):
     )
 
 
-@query(
-    "histogram_quantiles_report",
-    # exact replay of the histogram estimator: 256 fixed-width buckets
-    # over [0, 512), quantile = upper edge of the first bucket whose
-    # cumulative count reaches q*N
-    oracle="""
+# exact replay of the histogram estimator: 256 fixed-width buckets
+# over [0, 512), quantile = upper edge of the first bucket whose
+# cumulative count reaches q*N. Shared with the streaming variant —
+# bucket counts are a complete-mode aggregate, so the final streamed
+# counts equal the batch counts exactly.
+_HISTOGRAM_QUANTILES_ORACLE = """
     WITH src AS (
       SELECT LEAST(255, GREATEST(0,
                CAST(FLOOR(CAST(value AS DOUBLE) / 2.0) AS INT)))
@@ -2100,8 +2100,10 @@ def join_key_overlap_advisor(spark, sf_dir):
            CAST(c2.cum_n AS BIGINT) AS cum_n,
            CAST(h.total_n AS BIGINT) AS total_n
     FROM hit h JOIN cum c2 ON h.bucket = c2.bucket
-    """,
-)
+"""
+
+
+@query("histogram_quantiles_report", oracle=_HISTOGRAM_QUANTILES_ORACLE)
 def histogram_quantiles_report(spark, sf_dir):
     """Mergeable-histogram quantile estimates (p50/p90/p99 of the event
     value): one fixed-width bucket aggregation + an n_buckets-row

@@ -1914,3 +1914,64 @@ def stream_timeseries_gap_fill(spark, sf_dir):
         bucket_ms=3_600_000, delay="1 second",
     )
     return run_to_memory_table(out, output_mode="append")
+
+
+from flink_psl_spark.queries.relational import _HISTOGRAM_QUANTILES_ORACLE
+
+
+@query("stream_histogram_quantiles", oracle=_HISTOGRAM_QUANTILES_ORACLE)
+def stream_histogram_quantiles(spark, sf_dir):
+    """STREAMING quantiles: the mergeable fixed-width histogram
+    maintained as complete-mode count state while events arrive; the
+    final counts equal the batch histogram exactly (counts are
+    commutative), so resolving quantiles over the materialized buckets
+    reproduces the batch report — proven by sharing its oracle."""
+    from flink_psl_spark.operators import deduplicate
+    from flink_psl_spark.operators.validation import bucket_counts
+
+    ev = stream_from_parquet(spark, f"{sf_dir}/events.parquet")
+    counts = bucket_counts(ev, "value", lo=0.0, hi=512.0, n_buckets=256)
+    mem = run_to_memory_table(counts, output_mode="complete")
+    final = deduplicate(
+        mem.withColumn("__seq", F.monotonically_increasing_id()),
+        ["bucket"],
+        ["__seq"],
+        keep="last",
+    ).select("bucket", "n")
+
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = final.select(
+        "bucket",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("n")
+        .over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("total_n"),
+    )
+    qdf = spark.createDataFrame(
+        [(0.5,), (0.9,), (0.99,)], "q double"
+    )
+    hit = (
+        cum.crossJoin(F.broadcast(qdf))
+        .where(F.col("cum_n") >= F.col("q") * F.col("total_n"))
+        .groupBy("q")
+        .agg(
+            F.min("bucket").alias("bucket"),
+            F.max("total_n").alias("total_n"),
+        )
+        .join(cum.select("bucket", "cum_n"), on="bucket")
+    )
+    return hit.select(
+        "q",
+        ((F.col("bucket") + 1) * F.lit(2.0)).alias("est_value"),
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("cum_n").cast("bigint").alias("cum_n"),
+        F.col("total_n").cast("bigint").alias("total_n"),
+    )
