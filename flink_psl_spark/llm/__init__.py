@@ -40,6 +40,8 @@ from flink_psl_spark.llm.dedup import (  # noqa: F401
 )
 from flink_psl_spark.llm.clustering import (  # noqa: F401
     connected_components,
+    kmeans_fit,
+    reference_kmeans,
     dedup_clusters,
     embedding_outliers,
     pca_fit,

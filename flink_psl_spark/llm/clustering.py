@@ -258,3 +258,180 @@ def embedding_outliers(
         lambda acc, x: acc + x * x,
     )
     return proj.select(id_col, score.alias("maha_sq"))
+
+
+def _kmeans_assign_kernel(cents_q, micro):
+    """Vectorized nearest-centroid assignment over quantized centroids:
+    float64 squared-L2 against the broadcast K x d matrix, ties to the
+    lower centroid index. Identical arithmetic in the distributed path
+    and the single-process reference, so assignments agree exactly."""
+    import numpy as np
+
+    C = np.asarray(cents_q, dtype=np.float64) / micro  # K x d
+
+    def assign(M):  # n x d float64 -> n int32
+        d2 = (
+            (M * M).sum(axis=1, keepdims=True)
+            - 2.0 * (M @ C.T)
+            + (C * C).sum(axis=1)
+        )
+        return d2.argmin(axis=1)  # argmin takes the FIRST minimum — the
+        # lower centroid index — on exact ties
+
+    return assign
+
+
+def kmeans_fit(
+    vecs: DataFrame,
+    k: int,
+    *,
+    iters: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    micro: int = 1_000_000,
+) -> list[list[int]]:
+    """Distributed Lloyd's K-means with a BYTE-REPRODUCIBLE trace —
+    the clustering trainer behind curation steps (SemDeDup routing,
+    diversity sampling, IVF coarse quantizers), here as a first-class
+    iterative operator like bpe_train / train_logreg_hashed.
+
+    Determinism recipe (the classifier's fixed-point contract):
+    centroids live in integer micro-units; the E-step is one vectorized
+    float64 argmin per Arrow batch against the broadcast K x d matrix
+    (ties to the lower index); the M-step sums QUANTIZED coordinates —
+    integer sums are order/partition independent — and re-quantizes
+    round-half-away(sum/count). Init = the K md5-smallest ids' vectors
+    (engine-replayable hash sampling, the semantic-dedup precedent).
+
+    Per iteration: one corpus scan; the exchange and the driver collect
+    carry K x d integer rows (parameter-sized). Empty clusters keep
+    their previous centroid.
+
+    Returns the K x d integer-micro-unit centroid matrix.
+    """
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    src = vecs.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).persist()
+    try:
+        seed_rows = (
+            src.withColumn(
+                "__h", F.md5(F.col("__id").cast("string"))
+            )
+            .orderBy("__h", "__id")
+            .limit(k)
+            .collect()
+        )  # K rows — parameter-sized
+        cents = [
+            [int(round(float(x) * micro)) for x in r["__v"]]
+            for r in sorted(seed_rows, key=lambda r: r["__id"])
+        ]
+
+        import pandas as pd
+
+        for _ in range(iters):
+            assign = _kmeans_assign_kernel(cents, micro)
+
+            def estep(batches, _assign=assign):
+                for pdf in batches:
+                    M = np.stack(
+                        pdf["__v"].apply(
+                            lambda a: np.asarray(a, dtype=np.float64)
+                        )
+                    )
+                    cid = _assign(M)
+                    Q = np.rint(M * micro).astype(np.int64)  # n x d
+                    out = []
+                    for c in np.unique(cid):
+                        sub = Q[cid == c]
+                        s = sub.sum(axis=0)
+                        for dim, val in enumerate(s):
+                            out.append((int(c), dim, int(val), len(sub)))
+                    yield pd.DataFrame(
+                        out, columns=["cid", "dim", "qsum", "n"]
+                    )
+
+            parts = src.mapInPandas(
+                estep, "cid int, dim int, qsum long, n long"
+            )
+            agg = (
+                parts.groupBy("cid", "dim")
+                .agg(
+                    F.sum("qsum").alias("qsum"),
+                    # n repeats per dim within a partition's partial row
+                    # set; summing it per dim double-counts across dims,
+                    # so divide by the dim fan-out implicitly: take the
+                    # per-dim sum of n only where dim == 0
+                    F.sum(F.when(F.col("dim") == 0, F.col("n"))).alias(
+                        "n0"
+                    ),
+                )
+                .collect()
+            )  # K x d rows — parameter-sized
+            counts = {
+                r["cid"]: r["n0"] for r in agg if r["n0"] is not None
+            }
+            sums: dict[tuple[int, int], int] = {
+                (r["cid"], r["dim"]): r["qsum"] for r in agg
+            }
+            new = []
+            for c in range(k):
+                n = counts.get(c, 0)
+                if n:
+                    row = []
+                    for dim in range(len(cents[0])):
+                        s = sums[(c, dim)]
+                        q = s / n
+                        row.append(
+                            int(abs(q) + 0.5) * (1 if q >= 0 else -1)
+                        )
+                    new.append(row)
+                else:
+                    new.append(cents[c])  # empty cluster: keep
+            cents = new
+        return cents
+    finally:
+        src.unpersist()
+
+
+def reference_kmeans(
+    rows: list[tuple[int, list[float]]],
+    k: int,
+    *,
+    iters: int = 4,
+    micro: int = 1_000_000,
+) -> list[list[int]]:
+    """Single-process reference transcription of ``kmeans_fit`` (same
+    init, assignment arithmetic, quantized M-step) — the ground truth
+    the distributed path is checked against, mirroring
+    reference_bpe_merges / the classifier's python model."""
+    import hashlib
+
+    import numpy as np
+
+    seeds = sorted(rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]))[:k]
+    cents = [
+        [int(round(float(x) * micro)) for x in v]
+        for _, v in sorted(seeds, key=lambda r: r[0])
+    ]
+    M = np.stack([np.asarray(v, dtype=np.float64) for _, v in rows])
+    Q = np.rint(M * micro).astype(np.int64)
+    for _ in range(iters):
+        assign = _kmeans_assign_kernel(cents, micro)
+        cid = assign(M)
+        new = []
+        for c in range(k):
+            sub = Q[cid == c]
+            if len(sub):
+                row = []
+                for s in sub.sum(axis=0):
+                    q = s / len(sub)
+                    row.append(int(abs(q) + 0.5) * (1 if q >= 0 else -1))
+                new.append(row)
+            else:
+                new.append(cents[c])
+        cents = new
+    return cents

@@ -3963,3 +3963,37 @@ def llm_source_similarity_matrix(spark, sf_dir):
         F.round("jaccard_est", 6).alias("jaccard_est"),
         F.round("est_intersection", 4).alias("est_intersection"),
     )
+
+
+@query(
+    "llm_kmeans_train_agreement",
+    # iterative Lloyd's training is not SQL-expressible — the
+    # BPE/unigram agreement pattern: the distributed trainer and the
+    # single-process reference run over the same bounded slice
+    # (vec_id < 500 at any scale) and must produce bit-identical
+    # integer centroid matrices; the oracle is the fixed truth.
+    oracle="""
+    SELECT CAST(UNNEST(GENERATE_SERIES(0, 7)) AS INTEGER) AS cid,
+           TRUE AS agree
+    """,
+)
+def llm_kmeans_train_agreement(spark, sf_dir):
+    """Distributed Lloyd's K-means (k=8, 4 iterations) with the
+    fixed-point determinism contract: quantized integer M-step sums
+    (order/partition independent), vectorized float64 argmin E-step
+    against broadcast centroids, md5-sampled init — proven per run
+    bit-identical to the single-process reference. The clustering
+    trainer behind SemDeDup routing, diversity sampling, and IVF
+    coarse quantizers."""
+    from flink_psl_spark.llm.clustering import kmeans_fit, reference_kmeans
+
+    t = tables(spark, sf_dir)
+    vecs = t["embeddings"].where(F.col("vec_id") < 500)
+    got = kmeans_fit(vecs, 8, iters=4)
+    rows = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in vecs.select("vec_id", "embedding").collect()
+    ]  # bounded by the fixed vec_id < 500 slice at any SF
+    want = reference_kmeans(rows, 8, iters=4)
+    out = [(c, got[c] == want[c]) for c in range(8)]
+    return spark.createDataFrame(out, "cid int, agree boolean")

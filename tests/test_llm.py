@@ -1756,3 +1756,25 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     for cluster in ([0, 1, 2], [10, 11], [20, 21, 22, 23]):
         assert len({rows[d] for d in cluster}) == 1  # one split per cluster
     assert set(rows.values()) <= {"train", "val", "test"}
+
+
+def test_kmeans_distributed_matches_reference(spark, t):
+    from flink_psl_spark.llm.clustering import kmeans_fit, reference_kmeans
+
+    vecs = t["embeddings"].where(F.col("vec_id") < 300)
+    got = kmeans_fit(vecs, 6, iters=3)
+    rows = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in vecs.select("vec_id", "embedding").collect()
+    ]
+    want = reference_kmeans(rows, 6, iters=3)
+    assert got == want  # integer centroids, bit-exact
+
+
+def test_kmeans_partition_invariance(spark, t):
+    from flink_psl_spark.llm.clustering import kmeans_fit
+
+    vecs = t["embeddings"].where(F.col("vec_id") < 200)
+    c1 = kmeans_fit(vecs.repartition(1), 4, iters=2)
+    c7 = kmeans_fit(vecs.repartition(7), 4, iters=2)
+    assert c1 == c7
