@@ -164,10 +164,19 @@ def minhash_signatures(
     # id key so downstream per-id operators can reuse the exchange
     df = ensure_parallelism(df, id_col)
     mh = _minhash_udf(num_hashes)
-    return df.select(
-        F.col(id_col),
-        mh(shingle_hashes(text_col, shingle_n)).alias(out_col),
+    # project tokens FIRST: an expression tree referenced inside the
+    # shingle transform lambda is re-evaluated per element (see
+    # shingle_strings — 7x on the corpus-overlap scan)
+    toks = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("__tk"))
+    t = F.col("__tk")
+    k = F.size(t) - (shingle_n - 1)
+    hashes = F.when(k < 1, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.xxhash64(F.slice(t, i, shingle_n)),
+        )
     )
+    return toks.select(F.col(id_col), mh(hashes).alias(out_col))
 
 
 def minhash_lsh_pairs(
@@ -1049,3 +1058,23 @@ def shingle_containment_pairs(
         .where(F.col("containment") >= threshold)
     )
     return pairs.select("a", "b", "containment")
+
+
+def shingle_strings(tokens_col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingle strings from an ALREADY-PROJECTED token-array
+    column. Project the tokens first (``.select(tokenize(text).alias(
+    "tk"))``) and shingle the bound column: an expression tree (like the
+    tokenizer's split) referenced inside a ``transform`` lambda is
+    re-evaluated PER ELEMENT by codegen — measured 7x on the
+    corpus-overlap scan. Duplicates are kept; set-semantics consumers
+    (KMV, global DISTINCT) dedup globally anyway — the per-doc
+    ``array_distinct`` pass is ``shingles``'s contract, not this one's.
+    """
+    t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    k = F.size(t) - (n - 1)
+    return F.when(k < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        )
+    )

@@ -163,6 +163,10 @@ def kmv_overlap(
     g = F.col(group_col) if isinstance(group_col, str) else group_col
     two = df.where(g.cast("string").isin([group_a, group_b]))
     sk = kmv_sketch(two, element_col, group_col, k=k)
+    # the estimator reads the sketch in two branches (per-group
+    # estimates + union bottom-k); materialize the ≤ 2k-row frame once
+    # so the corpus scan + kernel run ONCE, not per branch
+    sk = sk.localCheckpoint(eager=True)
     return overlap_from_sketches(sk, group_a, group_b, k=k)
 
 
@@ -426,7 +430,10 @@ def overlap_matrix(
     """
     from pyspark.sql import Window
 
-    sk = kmv_sketch(df, element_col, group_col, k=k)
+    # materialized once: the pair expansion reads the sketch three ways
+    sk = kmv_sketch(df, element_col, group_col, k=k).localCheckpoint(
+        eager=True
+    )
     groups = sk.select("group").distinct()
     pairs = (
         groups.alias("l")

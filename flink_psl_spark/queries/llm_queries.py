@@ -3615,14 +3615,18 @@ def llm_corpus_overlap_sketch(spark, sf_dir):
     when the shingle space is 10^12. Estimates are deterministic, hence
     oracle-reproducible."""
     from flink_psl_spark.llm import kmv_overlap
-    from flink_psl_spark.llm.dedup import shingles
+    from flink_psl_spark.llm.dedup import shingle_strings
+    from flink_psl_spark.llm.text import tokenize
 
     t = tables(spark, sf_dir)
+    # project tokens FIRST — see shingle_strings (7x on this scan)
     el = t["documents"].select(
         F.when(F.col("doc_id") % 2 == 0, F.lit("even"))
         .otherwise(F.lit("odd"))
         .alias("corpus"),
-        F.explode(shingles(F.col("text"), 3)).alias("e"),
+        tokenize(F.col("text")).alias("__tk"),
+    ).select(
+        "corpus", F.explode(shingle_strings("__tk", 3)).alias("e")
     )
     out = kmv_overlap(el, "e", "corpus", "even", "odd", k=256)
     return out.select(
@@ -3949,13 +3953,14 @@ def llm_source_similarity_matrix(spark, sf_dir):
     sources feed me near-identical content" report at k-numbers-per-
     source cost. Everything after the single corpus scan operates on
     parameter-sized sketch frames (sources^2 x k rows)."""
-    from flink_psl_spark.llm.dedup import shingles
+    from flink_psl_spark.llm.dedup import shingle_strings
     from flink_psl_spark.llm.sketches import overlap_matrix
+    from flink_psl_spark.llm.text import tokenize
 
     t = tables(spark, sf_dir)
     el = t["documents"].select(
-        "source", F.explode(shingles(F.col("text"), 3)).alias("e")
-    )
+        "source", tokenize(F.col("text")).alias("__tk")
+    ).select("source", F.explode(shingle_strings("__tk", 3)).alias("e"))
     out = overlap_matrix(el, "e", "source", k=256)
     return out.select(
         "group_a",

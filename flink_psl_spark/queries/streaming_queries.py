@@ -1612,12 +1612,13 @@ def stream_corpus_overlap_sketch(spark, sf_dir):
     batch sketch and the downstream estimator emits the exact same
     overlap report as llm_corpus_overlap_sketch — proven by sharing its
     oracle. State per corpus: one <=256-element integer array."""
-    from flink_psl_spark.llm.dedup import shingles
+    from flink_psl_spark.llm.dedup import shingle_strings
     from flink_psl_spark.llm.sketches import (
         kmv_hash,
         overlap_from_sketches,
         stream_kmv_sketch,
     )
+    from flink_psl_spark.llm.text import tokenize
     from flink_psl_spark.operators import deduplicate
 
     docs = stream_from_parquet(spark, f"{sf_dir}/documents.parquet")
@@ -1625,7 +1626,9 @@ def stream_corpus_overlap_sketch(spark, sf_dir):
         F.when(F.col("doc_id") % 2 == 0, F.lit("even"))
         .otherwise(F.lit("odd"))
         .alias("corpus"),
-        F.explode(shingles(F.col("text"), 3)).alias("e"),
+        tokenize(F.col("text")).alias("__tk"),
+    ).select(
+        "corpus", F.explode(shingle_strings("__tk", 3)).alias("e")
     ).select("corpus", kmv_hash(F.col("e")).alias("h"))
     updates = stream_kmv_sketch(el, "corpus", "h", k=256)
     mem = run_to_memory_table(updates, output_mode="update")
