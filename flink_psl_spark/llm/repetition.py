@@ -73,13 +73,17 @@ def duplicate_token_fraction(text: Column | str) -> Column:
 def word_ngrams(text: Column | str, n: int) -> Column:
     """Word n-grams as space-joined strings → array<string> (empty when the
     document has fewer than ``n`` tokens)."""
-    toks = tokenize(text)
-    m = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), m - (n - 1)),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
-    return F.when(m >= n, grams).otherwise(F.array().cast("array<string>"))
+    from flink_psl_spark.llm.text import bind_once
+
+    def grams(tk):
+        m = F.size(tk)
+        g = F.transform(
+            F.sequence(F.lit(1), m - (n - 1)),
+            lambda i: F.array_join(F.slice(tk, i, n), " "),
+        )
+        return F.when(m >= n, g).otherwise(F.array().cast("array<string>"))
+
+    return bind_once(tokenize(text), grams)
 
 
 def ngram_repetition_stats(

@@ -28,6 +28,17 @@ def tokenize(text: Column | str) -> Column:
     )
 
 
+def bind_once(col: Column, fn) -> Column:
+    """Evaluate ``col`` ONCE and hand it to ``fn`` as a bound lambda
+    variable. An expression tree referenced inside a higher-order-
+    function lambda is re-evaluated PER ELEMENT by codegen — the
+    tokenizer inside an n-gram ``transform`` re-ran per gram, a
+    measured 5-7x on shingle/n-gram scans. Wrapping in a one-element
+    array binds the value to a lambda variable, which codegen
+    evaluates exactly once."""
+    return F.transform(F.array(col), fn)[0]
+
+
 def token_count(text: Column | str) -> Column:
     """Whitespace token count (BIGINT)."""
     return F.size(tokenize(text)).cast("bigint")
@@ -181,14 +192,17 @@ def ngrams(text: Column | str, n: int) -> Column:
     Empty array when the document has fewer than ``n`` tokens (guarded —
     Spark's ``sequence(1, 0)`` would otherwise count DOWN).
     """
-    toks = tokenize(text)
-    count = F.size(toks) - (n - 1)
-    return F.when(count < 1, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    def grams(tk):
+        count = F.size(tk) - (n - 1)
+        return F.when(count < 1, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+            )
         )
-    )
+
+    # tokens bound once — see bind_once (5-7x on n-gram scans)
+    return bind_once(tokenize(text), grams)
 
 
 #: (label, regex, replacement) — applied in order; email first so its local
@@ -524,11 +538,25 @@ def make_bloom_checker(
     _probe = F.pandas_udf(_probe_kernel, "boolean")
 
     def check(docs, *, id_col: str = "doc_id"):
-        probed = docs.select(
-            id_col,
-            _probe(
-                F.transform(ngrams(F.col(text_col), n), lambda g: F.xxhash64(g))
-            ).alias("__cand"),
+        # project the TOKEN column first and build gram hashes from the
+        # bound attribute: the bound-ngrams composite
+        # (transform(array(...))[0]) inside a pandas-UDF argument defeats
+        # Catalyst's Python-UDF extraction (INTERNAL_ERROR: cannot
+        # generate code); an attribute referenced several times survives
+        # CollapseProject, keeping the UDF argument extraction-safe
+        toked = docs.select(id_col, tokenize(F.col(text_col)).alias("__tk"))
+        t = F.col("__tk")
+        cnt = F.size(t) - (n - 1)
+        gram_hashes = F.when(
+            cnt < 1, F.array().cast("array<bigint>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i, n))),
+            )
+        )
+        probed = toked.select(
+            id_col, _probe(gram_hashes).alias("__cand")
         )
         # both candidate ids and per-doc hits are small by construction
         # (contamination rate + fpp of the corpus) — broadcast them rather
