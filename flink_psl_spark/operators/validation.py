@@ -638,3 +638,45 @@ def histogram_quantiles(
         F.col("cum_n").cast("bigint").alias("cum_n"),
         F.col("total_n").cast("bigint").alias("total_n"),
     )
+
+
+def delete_sweep(
+    df: DataFrame,
+    requests: DataFrame,
+    key_cols: list[str],
+    *,
+    broadcast_requests: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Right-to-be-forgotten sweep: purge every row matching a delete
+    request and emit the audit trail — returns ``(purged, audit)``.
+
+    ``purged`` is the corpus minus matching rows (one anti join;
+    requests broadcast — deletion lists are tiny next to a corpus);
+    ``audit`` has one row PER REQUEST with the number of rows it
+    matched (left join + count, so unmatched requests audit as 0 —
+    the compliance-relevant case: a request that silently matches
+    nothing needs review, not silence).
+
+    Composes with the changelog layer: feed ``audit`` keys as '-D'
+    __op rows to propagate the deletion through downstream
+    materializations (scd2_history closes version intervals; the
+    upsert sinks MERGE the tombstones).
+    """
+    req = requests.select(*key_cols).distinct()
+    reqb = F.broadcast(req) if broadcast_requests else req
+    purged = df.join(reqb, on=key_cols, how="left_anti")
+    audit = (
+        req.join(
+            df.select(*key_cols).withColumn("__hit", F.lit(1)),
+            on=key_cols,
+            how="left",
+        )
+        .groupBy(*key_cols)
+        .agg(
+            F.coalesce(F.sum("__hit"), F.lit(0))
+            .cast("bigint")
+            .alias("rows_deleted")
+        )
+        .withColumn("matched", F.col("rows_deleted") > 0)
+    )
+    return purged, audit

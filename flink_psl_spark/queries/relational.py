@@ -2117,3 +2117,53 @@ def histogram_quantiles_report(spark, sf_dir):
         t["events"], "value", [0.5, 0.9, 0.99],
         lo=0.0, hi=512.0, n_buckets=256,
     )
+
+
+@query(
+    "gdpr_delete_sweep",
+    # audit per request (every 97th doc id + two ids past the corpus
+    # end, which must audit as matched=false), plus one summary row for
+    # the purged corpus
+    oracle="""
+    WITH req AS (
+      SELECT UNNEST(GENERATE_SERIES(0, 7000, 97)) AS doc_id),
+    audit AS (
+      SELECT r.doc_id,
+             CAST(COUNT(d.doc_id) AS BIGINT) AS rows_deleted,
+             COUNT(d.doc_id) > 0 AS matched
+      FROM req r LEFT JOIN documents d ON d.doc_id = r.doc_id
+      GROUP BY r.doc_id)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, rows_deleted, matched
+    FROM audit
+    UNION ALL
+    SELECT -1 AS doc_id,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM req))
+             AS rows_deleted,
+           TRUE AS matched
+    """,
+)
+def gdpr_delete_sweep(spark, sf_dir):
+    """Right-to-be-forgotten sweep over the corpus: purge requested
+    doc_ids (broadcast anti join — the corpus never shuffles), audit
+    one row per request with its match count (unmatched requests
+    surface as matched=false for compliance review), and stamp the
+    surviving row count as a summary row (doc_id = -1)."""
+    from flink_psl_spark.operators.validation import delete_sweep
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"]
+    requests = spark.range(0, 7001, 97).select(
+        F.col("id").alias("doc_id")
+    )
+    purged, audit = delete_sweep(docs, requests, ["doc_id"])
+    summary = purged.agg(
+        F.lit(-1).cast("bigint").alias("doc_id"),
+        F.count("*").cast("bigint").alias("rows_deleted"),
+        F.lit(True).alias("matched"),
+    )
+    return audit.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "rows_deleted",
+        "matched",
+    ).unionByName(summary)

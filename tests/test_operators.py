@@ -1031,3 +1031,16 @@ def test_histogram_quantiles_bounds_exact_rank(spark):
     assert cum50 >= 0.5 * total
     est99, cum99, _ = out[0.99]
     assert abs(est99 - 990.0) <= 10.0 and cum99 >= 0.99 * 1000
+
+
+def test_delete_sweep_purges_and_audits(spark):
+    from flink_psl_spark.operators.validation import delete_sweep
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")], "k long, v string"
+    )
+    req = spark.createDataFrame([(1,), (9,)], "k long")
+    purged, audit = delete_sweep(df, req, ["k"])
+    assert sorted(r["k"] for r in purged.collect()) == [2, 3]
+    got = {r["k"]: (r["rows_deleted"], r["matched"]) for r in audit.collect()}
+    assert got == {1: (2, True), 9: (0, False)}  # silent no-op surfaces
