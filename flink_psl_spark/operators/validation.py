@@ -680,3 +680,49 @@ def delete_sweep(
         .withColumn("matched", F.col("rows_deleted") > 0)
     )
     return purged, audit
+
+
+def migrate_to_contract(
+    df: DataFrame,
+    target_ddl: str,
+    *,
+    defaults: dict | None = None,
+    strict_casts: bool = True,
+) -> DataFrame:
+    """Reshape a frame to a declared contract (``"a INT, b STRING"``):
+    columns reorder by contract order, undeclared columns drop, missing
+    columns materialize from ``defaults`` (NULL otherwise), and
+    type-mismatched columns cast — ``try_cast`` under ``strict_casts``
+    =False (uncastable values become NULL instead of failing the job),
+    plain ``cast`` otherwise (fail fast, the schema-gate default).
+
+    The write-side companion of ``expect_schema``: the read gate
+    REPORTS drift, this applies the declared shape so a conforming
+    frame reaches the sink. Expression-only — one projection, no
+    shuffle, no data scan beyond the projected columns.
+    """
+    from pyspark.sql.types import StructType
+
+    target = StructType.fromDDL(target_ddl)
+    have = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    defaults = defaults or {}
+    cols = []
+    for f in target.fields:
+        want = f.dataType.simpleString()
+        if f.name not in have:
+            cols.append(
+                F.lit(defaults.get(f.name)).cast(f.dataType).alias(f.name)
+            )
+        elif have[f.name] != want:
+            src = F.col(f.name)
+            casted = (
+                src.cast(f.dataType)
+                if strict_casts
+                else F.expr(
+                    f"try_cast(`{f.name}` AS {f.dataType.simpleString()})"
+                )
+            )
+            cols.append(casted.alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)

@@ -2167,3 +2167,42 @@ def gdpr_delete_sweep(spark, sf_dir):
         "rows_deleted",
         "matched",
     ).unionByName(summary)
+
+
+@query(
+    "schema_contract_migration",
+    # the migrated frame: events reshaped to the contract — event_id
+    # renamed is NOT part of migration (names bind), value cast to
+    # string, a missing column materialized from its default, junk
+    # (props) dropped; aggregate the result for a compact proof
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT CAST(value AS VARCHAR)) AS BIGINT)
+             AS n_value_strs,
+           MIN(region) AS region
+    FROM (SELECT event_type, CAST(value AS VARCHAR) AS value,
+                 'unassigned' AS region
+          FROM events)
+    GROUP BY event_type
+    """,
+)
+def schema_contract_migration(spark, sf_dir):
+    """Write-side schema-contract enforcement: reshape events to the
+    declared contract (value retyped to string, a new region column
+    materialized from its default, undeclared columns dropped, contract
+    column order) with one expression-only projection, then aggregate
+    the conforming frame."""
+    from flink_psl_spark.operators.validation import migrate_to_contract
+
+    t = tables(spark, sf_dir)
+    out = migrate_to_contract(
+        t["events"],
+        "event_type string, value string, region string",
+        defaults={"region": "unassigned"},
+    )
+    return out.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.countDistinct("value").cast("bigint").alias("n_value_strs"),
+        F.min("region").alias("region"),
+    )

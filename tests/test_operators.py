@@ -1044,3 +1044,21 @@ def test_delete_sweep_purges_and_audits(spark):
     assert sorted(r["k"] for r in purged.collect()) == [2, 3]
     got = {r["k"]: (r["rows_deleted"], r["matched"]) for r in audit.collect()}
     assert got == {1: (2, True), 9: (0, False)}  # silent no-op surfaces
+
+
+def test_migrate_to_contract_shapes_and_casts(spark):
+    from flink_psl_spark.operators.validation import migrate_to_contract
+
+    df = spark.createDataFrame(
+        [("1", 2.0, "x"), ("oops", 3.0, "y")],
+        "a string, b double, junk string",
+    )
+    out = migrate_to_contract(
+        df, "a int, b double, c string",
+        defaults={"c": "dflt"}, strict_casts=False,
+    )
+    assert [f.name for f in out.schema.fields] == ["a", "b", "c"]
+    rows = sorted(out.collect(), key=lambda r: str(r["a"]))
+    assert (rows[0]["a"], rows[0]["c"]) == (1, "dflt")
+    assert rows[1]["a"] is None  # uncastable -> NULL under try_cast
+    assert "junk" not in out.columns
