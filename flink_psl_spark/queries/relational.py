@@ -2169,13 +2169,12 @@ def gdpr_delete_sweep(spark, sf_dir):
     ).unionByName(summary)
 
 
-@query(
-    "schema_contract_migration",
-    # the migrated frame: events reshaped to the contract — event_id
-    # renamed is NOT part of migration (names bind), value cast to
-    # string, a missing column materialized from its default, junk
-    # (props) dropped; aggregate the result for a compact proof
-    oracle="""
+# the migrated frame: events reshaped to the contract — value cast to
+# string, a missing column materialized from its default, undeclared
+# columns dropped; aggregate the result for a compact proof. Shared with
+# the streaming variant (migration is expression-only, so the streamed
+# frame equals the batch one).
+_CONTRACT_MIGRATION_ORACLE = """
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(COUNT(DISTINCT CAST(value AS VARCHAR)) AS BIGINT)
@@ -2185,8 +2184,10 @@ def gdpr_delete_sweep(spark, sf_dir):
                  'unassigned' AS region
           FROM events)
     GROUP BY event_type
-    """,
-)
+"""
+
+
+@query("schema_contract_migration", oracle=_CONTRACT_MIGRATION_ORACLE)
 def schema_contract_migration(spark, sf_dir):
     """Write-side schema-contract enforcement: reshape events to the
     declared contract (value retyped to string, a new region column

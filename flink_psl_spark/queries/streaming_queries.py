@@ -1978,3 +1978,45 @@ def stream_histogram_quantiles(spark, sf_dir):
         F.col("cum_n").cast("bigint").alias("cum_n"),
         F.col("total_n").cast("bigint").alias("total_n"),
     )
+
+
+from flink_psl_spark.queries.relational import _CONTRACT_MIGRATION_ORACLE
+
+
+@query("stream_contract_migration_ingest", oracle=_CONTRACT_MIGRATION_ORACLE)
+def stream_contract_migration_ingest(spark, sf_dir):
+    """Schema-contract enforcement AT INGEST: arriving events reshape to
+    the declared contract by the same expression-only projection as the
+    batch gate (contract order, defaults, try-safe casts), then feed a
+    complete-mode aggregate — conforming data reaches the sink from the
+    first micro-batch, proven by sharing the batch oracle."""
+    from flink_psl_spark.operators import deduplicate
+    from flink_psl_spark.operators.validation import migrate_to_contract
+
+    ev = stream_from_parquet(spark, f"{sf_dir}/events.parquet")
+    out = migrate_to_contract(
+        ev,
+        "event_type string, value string, region string",
+        defaults={"region": "unassigned"},
+    )
+    # exact distinct on a stream needs two stateful levels; keep the
+    # (type, value) counts as complete-mode state and distinct on the
+    # materialized rows instead
+    mem = run_to_memory_table(
+        out.groupBy("event_type", "value").agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("region").alias("region"),
+        ),
+        output_mode="complete",
+    )
+    final = deduplicate(
+        mem.withColumn("__seq", F.monotonically_increasing_id()),
+        ["event_type", "value"],
+        ["__seq"],
+        keep="last",
+    )
+    return final.groupBy("event_type").agg(
+        F.sum("n_rows").cast("bigint").alias("n"),
+        F.countDistinct("value").cast("bigint").alias("n_value_strs"),
+        F.min("region").alias("region"),
+    )
