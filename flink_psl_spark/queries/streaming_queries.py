@@ -2020,3 +2020,37 @@ def stream_contract_migration_ingest(spark, sf_dir):
         F.countDistinct("value").cast("bigint").alias("n_value_strs"),
         F.min("region").alias("region"),
     )
+
+
+@query(
+    "stream_exact_window_distinct",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def stream_exact_window_distinct(spark, sf_dir):
+    """EXACT per-window distinct users on a stream via CHAINED stateful
+    operators — streaming dedup state feeding streaming aggregation
+    state in one query (the reference chains DeduplicateFunction into
+    GroupAggFunction the same way): dropDuplicates on (day, user) then
+    a complete-mode per-day count. The exact complement of the KMV
+    estimate in stream_window_distinct_sketch; state here is one row
+    per distinct (day, user) — choose by cardinality."""
+    from flink_psl_spark.operators import deduplicate
+
+    ev = stream_from_parquet(spark, f"{sf_dir}/events.parquet", ts_col="ts")
+    dd = ev.select(
+        F.to_date("ts").cast("string").alias("day"), "user_id"
+    ).dropDuplicates(["day", "user_id"])
+    agg = dd.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+    mem = run_to_memory_table(agg, output_mode="complete")
+    return deduplicate(
+        mem.withColumn("__seq", F.monotonically_increasing_id()),
+        ["day"],
+        ["__seq"],
+        keep="last",
+    ).select("day", "n_users")
