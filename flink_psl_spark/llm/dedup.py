@@ -782,62 +782,19 @@ def remove_duplicate_spans(
     )
 
 
-def online_lsh_candidate_pairs(
-    stream_docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    *,
-    num_hashes: int = 64,
-    bands: int = 16,
-    shingle_n: int = 3,
-    max_bucket: int = 64,
+def online_band_candidate_pairs(
+    banded: DataFrame, *, max_bucket: int = 64
 ) -> DataFrame:
-    """STREAMING MinHash-LSH candidate generation: near-dup candidate
-    pairs emitted continuously as documents arrive — the ingest-time half
-    of online near-dup dedup (reference counterpart: the keyed-state
-    dedup operators of StreamExecDeduplicate.java, generalized from exact
-    keys to LSH buckets).
-
-    Each micro-batch computes signatures batch-locally (the same
-    expression + Arrow kernel as the batch path — no extra state), bands
-    them, and routes (band, band_hash) groups through keyed state holding
-    the bucket's doc-id roster. A pair (a, b), a < b, is emitted the
-    moment the LATER of the two lands in a shared bucket — so the emitted
-    pair set equals the batch LSH candidate set regardless of arrival
-    order or micro-batch boundaries (the roster is an order-insensitive
-    set union; emission de-dups per bucket, a global distinct after drain
-    de-dups across buckets).
-
-    Scale guard: rosters cap at ``max_bucket`` ids, keeping the LOWEST
-    (deterministic under any arrival order once the bucket has drained
-    past the cap). A bucket past the cap means near-identical boilerplate
-    flooding one LSH cell; pairs against the lowest ids still mark every
-    later member a duplicate, which is exactly the dedup outcome — what
-    is lost is only duplicate-CLUSTER completeness, same contract as the
-    batch path's sub-bucket cap in semantic_dedup.
-    """
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
+    """Keyed bucket-roster state over ANY banded stream
+    ``(__id bigint, __band, __bh)`` → append stream of candidate id
+    pairs (a < b), emitted the moment the later member lands in a
+    shared bucket. The state core shared by the streaming MinHash-LSH
+    text path and the streaming dHash image path — the pair set equals
+    the batch band join under any arrival order or batch split (roster
+    = order-insensitive set union, capped at ``max_bucket`` lowest
+    ids; see online_lsh_candidate_pairs for the cap contract)."""
     import pandas as pd
-
-    if num_hashes % bands != 0:
-        raise ValueError(f"num_hashes {num_hashes} not divisible by {bands}")
-    r = num_hashes // bands
-    sig = minhash_signatures(
-        stream_docs, text_col, id_col,
-        num_hashes=num_hashes, shingle_n=shingle_n,
-    )
-    banded = sig.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(F.slice("minhash", b * r + 1, r))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("__band", "__bh"),
-    )
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def fn(key, batches, state: GroupState):
         roster = sorted(state.get[0]) if state.exists else []
@@ -877,6 +834,62 @@ def online_lsh_candidate_pairs(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def online_lsh_candidate_pairs(
+    stream_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """STREAMING MinHash-LSH candidate generation: near-dup candidate
+    pairs emitted continuously as documents arrive — the ingest-time half
+    of online near-dup dedup (reference counterpart: the keyed-state
+    dedup operators of StreamExecDeduplicate.java, generalized from exact
+    keys to LSH buckets).
+
+    Each micro-batch computes signatures batch-locally (the same
+    expression + Arrow kernel as the batch path — no extra state), bands
+    them, and routes (band, band_hash) groups through keyed state holding
+    the bucket's doc-id roster. A pair (a, b), a < b, is emitted the
+    moment the LATER of the two lands in a shared bucket — so the emitted
+    pair set equals the batch LSH candidate set regardless of arrival
+    order or micro-batch boundaries (the roster is an order-insensitive
+    set union; emission de-dups per bucket, a global distinct after drain
+    de-dups across buckets).
+
+    Scale guard: rosters cap at ``max_bucket`` ids, keeping the LOWEST
+    (deterministic under any arrival order once the bucket has drained
+    past the cap). A bucket past the cap means near-identical boilerplate
+    flooding one LSH cell; pairs against the lowest ids still mark every
+    later member a duplicate, which is exactly the dedup outcome — what
+    is lost is only duplicate-CLUSTER completeness, same contract as the
+    batch path's sub-bucket cap in semantic_dedup.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(f"num_hashes {num_hashes} not divisible by {bands}")
+    r = num_hashes // bands
+    sig = minhash_signatures(
+        stream_docs, text_col, id_col,
+        num_hashes=num_hashes, shingle_n=shingle_n,
+    )
+    banded = sig.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.slice("minhash", b * r + 1, r))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__band", "__bh"),
+    )
+
+    return online_band_candidate_pairs(banded, max_bucket=max_bucket)
 
 
 def minhash_dedup_keep_best(

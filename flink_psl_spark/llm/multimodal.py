@@ -769,3 +769,39 @@ def video_clip_dedup(
         .distinct()
     )
     return media.join(dropped, on="media_id", how="left_anti")
+
+
+def stream_image_candidate_pairs(
+    media_stream: DataFrame,
+    *,
+    hash_size: int = 8,
+    max_hamming: int = 3,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """STREAMING near-dup image candidates: dHash per arriving image
+    (the same Arrow decode kernel as the batch path — no extra state),
+    Hamming block-permutation banding (max_hamming+1 blocks, pigeonhole
+    guarantees a shared block within budget), then the shared keyed
+    bucket-roster state (dedup.online_band_candidate_pairs) emits each
+    candidate pair the moment its later member arrives. Drain + exact
+    Hamming verification equals the batch image_near_dedup pair set —
+    the image half of the online-LSH ingest contract."""
+    from flink_psl_spark.llm.dedup import online_band_candidate_pairs
+
+    blocks = max_hamming + 1
+    width = 64 // blocks
+    hashed = image_dhash(media_stream, hash_size=hash_size)
+    banded = hashed.select(
+        F.col("media_id").alias("__id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(
+                        F.col("dhash"), i * width
+                    ).bitwiseAND(F.lit((1 << width) - 1))
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("__band", "__bh"),
+    )
+    return online_band_candidate_pairs(banded, max_bucket=max_bucket)

@@ -2054,3 +2054,87 @@ def stream_exact_window_distinct(spark, sf_dir):
         ["__seq"],
         keep="last",
     ).select("day", "n_users")
+
+
+@query(
+    "stream_image_dedup_ingest",
+    # bounded-agreement restatement (the llm_image_near_dedup pattern):
+    # streamed candidate pairs + exact Hamming verify must reproduce the
+    # brute-force survivor set over the bounded corpus
+    oracle="""
+    SELECT doc_id AS media_id, TRUE AS survivor_ok
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def stream_image_dedup_ingest(spark, sf_dir):
+    """STREAMING image dedup at ingest: perceptual dHash per arriving
+    image, Hamming-banded keyed roster state emitting candidate pairs
+    continuously, drained pairs exact-Hamming-verified — survivors equal
+    the brute-force model over the bounded corpus, proven per run."""
+    from flink_psl_spark.llm.dedup import hamming64
+    from flink_psl_spark.llm.multimodal import (
+        image_dhash,
+        stream_image_candidate_pairs,
+        synthetic_media,
+    )
+
+    max_h = 3
+    docs_stream = stream_from_parquet(
+        spark, f"{sf_dir}/documents.parquet"
+    ).where(F.col("doc_id") < 200)
+    media_stream = synthetic_media(spark, docs_stream)
+    pairs = stream_image_candidate_pairs(media_stream, max_hamming=max_h)
+    drained = run_to_memory_table(pairs, output_mode="append").distinct()
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"].where(F.col("doc_id") < 200)
+    media = synthetic_media(spark, docs)
+    fp = image_dhash(media).select(
+        F.col("media_id"), F.col("dhash")
+    ).localCheckpoint(eager=True)  # 200 rows — parameter-sized
+    verified = (
+        drained.join(
+            fp.select(
+                F.col("media_id").alias("a"), F.col("dhash").alias("__fa")
+            ),
+            "a",
+        )
+        .join(
+            fp.select(
+                F.col("media_id").alias("b"), F.col("dhash").alias("__fb")
+            ),
+            "b",
+        )
+        .where(hamming64(F.col("__fa"), F.col("__fb")) <= max_h)
+    )
+    dropped = verified.select(F.col("b").alias("media_id")).distinct()
+    survivors = media.select("media_id").join(
+        dropped, "media_id", "left_anti"
+    )
+
+    hashes = {r["media_id"]: r["dhash"] for r in fp.collect()}
+    model = {
+        i
+        for i in hashes
+        if not any(
+            j < i
+            and bin((hashes[i] ^ hashes[j]) & ((1 << 64) - 1)).count("1")
+            <= max_h
+            for j in hashes
+        )
+    }
+    model_df = spark.createDataFrame(
+        [(i, True) for i in model], "media_id bigint, model_survivor boolean"
+    )
+    return (
+        media.select("media_id")
+        .join(survivors.withColumn("got", F.lit(True)), "media_id", "left")
+        .join(F.broadcast(model_df), "media_id", "left")
+        .select(
+            "media_id",
+            (
+                F.coalesce("got", F.lit(False))
+                == F.coalesce("model_survivor", F.lit(False))
+            ).alias("survivor_ok"),
+        )
+    )
