@@ -392,6 +392,118 @@ def ngram_lm_scores(
     return out
 
 
+def kneser_ney_scores(
+    docs,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+    ref=None,
+):
+    """Interpolated Kneser–Ney bigram fluency scores — the smoothing the
+    CCNet/KenLM perplexity filter actually uses (vs. the add-alpha model in
+    :func:`ngram_lm_scores`, which over-penalizes rare-but-valid
+    continuations).
+
+    Model (trained on ``ref``, default the scored corpus itself)::
+
+        P(w2|w1) = max(c(w1,w2) - D, 0) / c(w1)
+                   + D * N1+(w1,*) / c(w1) * Pcont(w2)
+        Pcont(w2) = N1+(*,w2) / T          (continuation probability)
+
+    where ``N1+(w1,*)`` = distinct continuations of w1, ``N1+(*,w2)`` =
+    distinct contexts preceding w2, and ``T`` = distinct bigram types.
+    Unseen contexts back off to ``Pcont``; fully-unseen words floor at
+    ``1/(T+1)`` (both paths only fire when ``ref`` differs from ``docs``).
+
+    Determinism: the probability expression is written with one fixed
+    operation order (identical IEEE doubles on any engine), and per-bigram
+    log-probs are quantized to 1e-6 integers BEFORE the per-document sum —
+    addition-order-proof across partitions and engines.
+
+    Scale shape: three hash aggregations over the bigram stream (pair
+    counts, per-context counts+distincts, per-word distinct contexts), one
+    scalar type count (bounded driver value), then two count-joins and a
+    doc-keyed aggregate — the same shuffle shape as any two-column groupBy;
+    no driver data path, no UDFs.
+
+    Reference: the add-alpha scorer above; Kneser & Ney 1995 / Chen &
+    Goodman 1998 (public smoothing literature).
+    """
+    src = ref if ref is not None else docs
+
+    def bigrams(df, with_id: bool):
+        w = tokenize(F.col(text_col))
+        cols = [F.col(id_col)] if with_id else []
+        pairs = F.expr(
+            "transform(sequence(1, greatest(size(_w), 2) - 1), "
+            "i -> struct(_w[i-1] as w1, _w[i] as w2))"
+        )
+        return (
+            df.select(*cols, w.alias("_w"))
+            .where(F.size("_w") >= 2)
+            .select(*cols, F.explode(pairs).alias("_p"))
+            .select(*cols, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+        )
+
+    model_bg = bigrams(src, with_id=False)
+    # pair counts + (per context) token count, distinct-continuation count
+    cnt2 = model_bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = model_bg.groupBy("w1").agg(
+        F.count("*").alias("c1"),
+        F.countDistinct("w2").alias("n1f"),
+    )
+    cont = model_bg.groupBy("w2").agg(F.countDistinct("w1").alias("n1b"))
+    # distinct bigram types — one scalar, bounded driver collect
+    types = model_bg.select("w1", "w2").distinct().count()
+
+    d = float(discount)
+    t_f = float(types)
+    p_cont = F.coalesce(
+        F.col("n1b") / F.lit(t_f), F.lit(1.0 / (t_f + 1.0))
+    )
+    p_seen = (
+        F.greatest(F.coalesce("c12", F.lit(0)) - F.lit(d), F.lit(0.0))
+        / F.col("c1")
+        + F.lit(d) * F.col("n1f") / F.col("c1") * p_cont
+    )
+    prob = F.when(F.col("c1").isNotNull(), p_seen).otherwise(p_cont)
+
+    scored = (
+        bigrams(docs, with_id=True)
+        .join(cnt2, on=["w1", "w2"], how="left")
+        .join(ctx, on="w1", how="left")
+        .join(cont, on="w2", how="left")
+        .select(
+            id_col,
+            F.round(F.log(prob) * 1e6).cast("bigint").alias("_s"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("_s").alias("_sum"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round(F.col("_sum") / F.col("n_bigrams") / 1e6, 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .distinct()
+        .join(scored, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            "avg_logprob",
+            F.round(F.exp(-F.col("avg_logprob")), 4).alias("ppl_proxy"),
+        )
+    )
+
+
 def bpe_pair_counts(
     docs,
     *,

@@ -1827,6 +1827,56 @@ def llm_bigram_lm_score(spark, sf_dir):
 
 
 @query(
+    "llm_kneser_ney_score",
+    # interpolated Kneser-Ney replayed count-for-count: the probability
+    # expression uses ONE fixed operation order on both engines and each
+    # bigram's log-prob is quantized to a 1e-6 integer before the per-doc
+    # sum, so the aggregate is addition-order-proof (same discipline as
+    # the add-1 bigram oracle above)
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    bg AS (
+      SELECT doc_id, UNNEST(w[1:LEN(w) - 1]) AS w1, UNNEST(w[2:LEN(w)]) AS w2
+      FROM d WHERE LEN(w) >= 2),
+    cnt2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+    ctx AS (SELECT w1, COUNT(*) AS c1, COUNT(DISTINCT w2) AS n1f
+            FROM bg GROUP BY w1),
+    cont AS (SELECT w2, COUNT(DISTINCT w1) AS n1b FROM bg GROUP BY w2),
+    tt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t
+           FROM (SELECT DISTINCT w1, w2 FROM bg)),
+    sc AS (
+      SELECT bg.doc_id,
+             CAST(ROUND(LN(
+               GREATEST(c12 - 0.75, 0.0) / c1
+               + 0.75 * n1f / c1 * (n1b / t)
+             ) * 1000000) AS BIGINT) AS s
+      FROM bg JOIN cnt2 USING (w1, w2) JOIN ctx USING (w1)
+              JOIN cont USING (w2) CROSS JOIN tt),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             ROUND(SUM(s) * 1.0 / COUNT(*) / 1000000, 6) AS avg_logprob
+      FROM sc GROUP BY doc_id)
+    SELECT d0.doc_id,
+           CAST(COALESCE(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           agg.avg_logprob,
+           ROUND(EXP(-agg.avg_logprob), 4) AS ppl_proxy
+    FROM (SELECT DISTINCT doc_id FROM documents) d0
+    LEFT JOIN agg USING (doc_id)
+    """,
+)
+def llm_kneser_ney_score(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram fluency scoring — the smoothing the
+    CCNet/KenLM perplexity filter actually uses (distinct-continuation
+    backoff instead of add-alpha): avg log-prob + perplexity proxy per
+    document, trained on the scored corpus itself."""
+    from flink_psl_spark.llm.text import kneser_ney_scores
+    from flink_psl_spark.parallelism import ensure_parallelism
+
+    t = tables(spark, sf_dir)
+    return kneser_ney_scores(ensure_parallelism(t["documents"], "doc_id"))
+
+
+@query(
     "llm_token_budget_mix",
     # the per-source hash-ordered running sum is replayed exactly: a doc is
     # kept while the budget line hasn't been crossed BEFORE it

@@ -2207,3 +2207,66 @@ def schema_contract_migration(spark, sf_dir):
         F.countDistinct("value").cast("bigint").alias("n_value_strs"),
         F.min("region").alias("region"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTEs (WITH RECURSIVE, new in Spark 4) — the declarative SQL
+# analogue of the reference's bounded iterations
+# (flink-streaming-java/.../api/datastream/IterativeStream.java:57 and the
+# driver-loop form in datastream.py:120). Each recursion step is one join
+# against the ranked anchor table; Spark executes the loop as iterative
+# stages with the per-level frontier as the only growing state, so at
+# 100 TB the cost is (max chain depth) joins on the chain key — the same
+# shape the reference's iteration feedback edge pays. Depth is bounded
+# (spark.sql.cteRecursionLevelLimit defaults to 100; chains here are <=25).
+# One SQL text runs verbatim on both engines.
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "recursive_cte_order_chain",
+    """
+    WITH RECURSIVE ranked AS (
+      SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    chain (o_custkey, o_orderkey, step, cum) AS (
+      SELECT o_custkey, o_orderkey, 1, ROUND(price, 2)
+      FROM ranked WHERE rn = 1
+      UNION ALL
+      -- identical op order each level => identical doubles on both engines
+      SELECT r.o_custkey, r.o_orderkey, c.step + 1, ROUND(c.cum + r.price, 2)
+      FROM chain c JOIN ranked r
+        ON r.o_custkey = c.o_custkey AND r.rn = c.step + 1
+    )
+    SELECT o_custkey, o_orderkey, CAST(step AS INT) AS step,
+           ROUND(cum, 2) AS cum_spend
+    FROM chain
+    """,
+)
+
+sql_query(
+    "recursive_cte_event_paths",
+    """
+    WITH RECURSIVE ev AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    paths (user_id, path, depth) AS (
+      SELECT user_id, event_type, 1 FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, p.path || '>' || e.event_type, p.depth + 1
+      FROM paths p JOIN ev e
+        ON e.user_id = p.user_id AND e.rn = p.depth + 1
+      WHERE p.depth < 5
+    )
+    SELECT CAST(depth AS INT) AS depth, path,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM paths
+    GROUP BY depth, path
+    HAVING COUNT(*) >= 5
+    """,
+)

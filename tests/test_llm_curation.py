@@ -356,6 +356,43 @@ def test_bigram_lm_scores_known_model(spark):
     assert got[0]["avg_logprob"] == lp_floor
 
 
+def test_kneser_ney_scores_known_model(spark):
+    import math
+
+    from flink_psl_spark.llm.text import kneser_ney_scores
+
+    # corpus: "a b" x2, "a c", "b c", "z" (no bigram)
+    df = _docs(
+        spark,
+        [(0, "s", "a b"), (1, "s", "a b"), (2, "s", "a c"),
+         (3, "s", "b c"), (4, "s", "z")],
+    )
+    rows = {r["doc_id"]: r for r in kneser_ney_scores(df).collect()}
+    # model: c(a,b)=2 c(a,c)=1 c(b,c)=1; c(a)=3 c(b)=1; N1+(a,*)=2
+    # N1+(b,*)=1; N1+(*,b)=1 N1+(*,c)=2; T=3 types
+    d = 0.75
+
+    def lp(c12, c1, n1f, n1b, t=3.0):
+        p = max(c12 - d, 0.0) / c1 + d * n1f / c1 * (n1b / t)
+        return round(round(math.log(p) * 1e6) / 1e6, 6)
+
+    lp_ab = lp(2, 3, 2, 1)   # P(b|a) = 1.25/3 + 0.5/3
+    lp_ac = lp(1, 3, 2, 2)   # P(c|a)
+    lp_bc = lp(1, 1, 1, 2)   # P(c|b) = 0.25 + 0.5
+    assert rows[0]["n_bigrams"] == 1 and rows[0]["avg_logprob"] == lp_ab
+    assert rows[2]["avg_logprob"] == lp_ac
+    assert rows[3]["avg_logprob"] == lp_bc
+    assert rows[4]["n_bigrams"] == 0 and rows[4]["avg_logprob"] is None
+    assert rows[3]["ppl_proxy"] == round(math.exp(-lp_bc), 4)
+    # KN mass given a seen context sums to 1 when trained on itself
+    assert abs(math.exp(lp_ab) + math.exp(lp_ac) - 1.0) < 1e-5
+    # unseen context under a separate reference corpus -> continuation floor
+    ref = _docs(spark, [(10, "s", "x y")])
+    got = {r["doc_id"]: r for r in kneser_ney_scores(df, ref=ref).collect()}
+    lp_floor = round(round(math.log(1.0 / (1.0 + 1.0)) * 1e6) / 1e6, 6)
+    assert got[0]["avg_logprob"] == lp_floor
+
+
 def test_token_budget_mix_semantics(spark):
     from flink_psl_spark.llm import token_budget_mix
 
