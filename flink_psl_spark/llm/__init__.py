@@ -125,6 +125,12 @@ from flink_psl_spark.llm.unigram import (  # noqa: F401
     unigram_encode,
     unigram_train,
 )
+from flink_psl_spark.llm.wordpiece import (  # noqa: F401
+    reference_wordpiece_train,
+    wordpiece_alphabet,
+    wordpiece_encode,
+    wordpiece_train,
+)
 from flink_psl_spark.llm.sketches import (  # noqa: F401
     kmv_distinct_estimates,
     kmv_hash,

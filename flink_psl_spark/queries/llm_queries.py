@@ -3885,6 +3885,94 @@ def llm_unigram_encode_stats(spark, sf_dir):
 
 
 @query(
+    "llm_wordpiece_train_agreement",
+    # WordPiece training is iterative (per-round likelihood-scored argmax
+    # + merge rewrite) — not SQL-expressible, so (the BPE/unigram
+    # agreement pattern) the Spark side runs BOTH the distributed trainer
+    # and the single-process reference over the same V-capped word table
+    # and emits per-rank agreement of the merged pieces; the quantized-
+    # rational score makes the comparison exact integer math. The oracle
+    # is the fixed expected truth.
+    oracle="""
+    SELECT CAST(UNNEST(GENERATE_SERIES(0, 11)) AS INTEGER) AS rank,
+           TRUE AS agree
+    """,
+)
+def llm_wordpiece_train_agreement(spark, sf_dir):
+    """Distributed WordPiece training (per-round pair/symbol hash aggs on
+    the vocabulary-sized word table, likelihood score count(ab)/(count(a)
+    *count(b)) compared as a quantized rational), proven per run against
+    the single-process reference transcription."""
+    from flink_psl_spark.llm import reference_wordpiece_train, wordpiece_train
+    from flink_psl_spark.llm.bpe import word_counts
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"]
+    V = 20  # capped word-type table — driver collect bounded by V
+    got = wordpiece_train(docs, n_merges=12, vocab_limit=V)
+    wc = {
+        r["word"]: r["cnt"]
+        for r in word_counts(docs)
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(V)
+        .collect()
+    }
+    want = reference_wordpiece_train(wc, 12)
+    rows = [
+        (i, i < len(got) and i < len(want) and got[i] == want[i])
+        for i in range(12)
+    ]
+    return spark.createDataFrame(rows, "rank int, agree boolean")
+
+
+@query(
+    "llm_wordpiece_encode_stats",
+    # encoding invariants (the unigram/bpe roundtrip pattern): greedy
+    # longest-match pieces partition each word, so stripping the ##
+    # continuation prefix and concatenating must reconstruct the char
+    # stream; with the corpus alphabet in the vocab nothing falls to
+    # [UNK]; piece count can never exceed the char count
+    oracle="""
+    SELECT doc_id, TRUE AS content_ok, TRUE AS no_unk, TRUE AS compressed
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def llm_wordpiece_encode_stats(spark, sf_dir):
+    """WordPiece greedy longest-match encoding with the corpus-learned
+    merges over the full corpus alphabet: row-local Arrow map; emitted
+    booleans prove content preservation (##-stripped piece concat ==
+    stripped chars), zero [UNK] fallbacks, and compression (n_pieces <=
+    n_chars) per document."""
+    from flink_psl_spark.llm import (
+        wordpiece_alphabet,
+        wordpiece_encode,
+        wordpiece_train,
+    )
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"].where(F.col("doc_id") < 200)
+    merges = wordpiece_train(t["documents"], n_merges=8, vocab_limit=20)
+    vocab = wordpiece_alphabet(t["documents"]) + merges
+    enc = wordpiece_encode(docs, vocab)
+    return enc.join(docs, "doc_id").select(
+        "doc_id",
+        (
+            F.expr(
+                "concat_ws('', transform(pieces, "
+                "p -> CASE WHEN substring(p, 1, 2) = '##' "
+                "THEN substring(p, 3) ELSE p END))"
+            )
+            == F.concat_ws("", F.split(F.trim("text"), r"\s+"))
+        ).alias("content_ok"),
+        (F.col("n_unk") == F.lit(0)).alias("no_unk"),
+        (
+            F.col("n_pieces")
+            <= F.length(F.regexp_replace("text", r"\s", ""))
+        ).alias("compressed"),
+    )
+
+
+@query(
     "llm_leakage_safe_split",
     # full replica: transitive closure of the exact Jaccard>=0.2 pair
     # graph (the llm_dedup_clusters recursive CTE), cluster representative
