@@ -71,6 +71,7 @@ from flink_psl_spark.llm.sampling import (  # noqa: F401
     importance_resample,
     leakage_safe_split,
     mix_datasets,
+    preference_pairs,
     stratified_sample,
     temperature_mix,
     token_budget_mix,

@@ -766,3 +766,78 @@ def leakage_safe_split(
         rep, weights, key_cols=["__rep"], seed=seed, split_col=split_col
     )
     return out.drop("__rep")
+
+
+def preference_pairs(
+    docs,
+    *,
+    group_col: str = "source",
+    score_col,
+    id_col: str = "doc_id",
+    k: int = 10,
+    min_margin: float = 0.25,
+):
+    """Assemble (chosen, rejected) preference pairs for reward-model /
+    DPO-style training: within each ``group_col`` bucket, the i-th BEST
+    document by ``score_col`` is paired with the i-th WORST (i <= k),
+    keeping only pairs whose score margin reaches ``min_margin`` — the
+    standard quality-contrast recipe when no human preference labels
+    exist.
+
+    Determinism: both rankings tie-break on ``id_col`` ascending, so the
+    pairing is a pure function of (scores, ids) on any engine or
+    partitioning.
+
+    Scale shape: two rank windows partitioned by the group key (one
+    shuffle each, k-bounded output per group after the rank filter) and
+    one k-row-per-group self-join on (group, rank) — at 100 TB the join
+    input is already cut to 2k rows per group by the WindowGroupLimit
+    pushdown, so the exchange carries pairs, not the corpus.
+
+    Output: (group, pair_rank, chosen_id, rejected_id, chosen_score,
+    rejected_score, margin).
+    """
+    from pyspark.sql import Window
+
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    base = docs.select(
+        F.col(group_col).alias("__g"),
+        F.col(id_col).alias("__id"),
+        score.alias("__s"),
+    )
+    w_best = Window.partitionBy("__g").orderBy(
+        F.desc("__s"), F.asc("__id")
+    )
+    w_worst = Window.partitionBy("__g").orderBy(
+        F.asc("__s"), F.asc("__id")
+    )
+    best = (
+        base.withColumn("__r", F.row_number().over(w_best))
+        .where(F.col("__r") <= k)
+        .select("__g", "__r", F.col("__id").alias("chosen_id"),
+                F.col("__s").alias("chosen_score"))
+    )
+    worst = (
+        base.withColumn("__r", F.row_number().over(w_worst))
+        .where(F.col("__r") <= k)
+        .select("__g", "__r", F.col("__id").alias("rejected_id"),
+                F.col("__s").alias("rejected_score"))
+    )
+    return (
+        best.join(worst, on=["__g", "__r"])
+        .where(
+            (F.col("chosen_id") != F.col("rejected_id"))
+            & (F.col("chosen_score") - F.col("rejected_score")
+               >= F.lit(float(min_margin)))
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__r").cast("int").alias("pair_rank"),
+            "chosen_id",
+            "rejected_id",
+            "chosen_score",
+            "rejected_score",
+            (F.col("chosen_score") - F.col("rejected_score"))
+            .alias("margin"),
+        )
+    )

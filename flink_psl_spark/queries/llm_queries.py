@@ -667,6 +667,70 @@ def llm_curriculum_schedule(spark, sf_dir):
 
 
 @query(
+    "llm_preference_pairs",
+    # full replica: the quality-score CTE (the llm_quality_score oracle)
+    # plus two deterministic rank windows and the (group, rank) pair join;
+    # scores are exact quarter sums so the margin compare is exact
+    oracle="""
+    WITH f AS (
+      SELECT source, doc_id,
+             LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS toks,
+             LEN(REGEXP_REPLACE(text, '\\s', '', 'g')) * 1.0
+               / LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS mwl,
+             LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'),
+                 x -> LIST_CONTAINS(['the','a','an','and','or','of','to','in',
+                     'is','are','was','were','be','been','it','this','that',
+                     'for','on','with','as','at','by','from','not','no'], x)))
+               * 1.0 / LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS sw,
+             LEN(REGEXP_REPLACE(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) * 1.0
+               / LEN(text) AS pr
+      FROM documents),
+    q AS (
+      SELECT source, doc_id,
+             CAST(CASE WHEN toks BETWEEN 10 AND 100000 THEN 0.25 ELSE 0 END
+                + CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0 END
+                + CASE WHEN sw >= 0.05 THEN 0.25 ELSE 0 END
+                + CASE WHEN pr <= 0.3 THEN 0.25 ELSE 0 END AS DOUBLE) AS s
+      FROM f),
+    b AS (
+      SELECT source, doc_id, s,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY s DESC, doc_id ASC) AS r
+      FROM q),
+    w AS (
+      SELECT source, doc_id, s,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY s ASC, doc_id ASC) AS r
+      FROM q)
+    SELECT b.source, CAST(b.r AS INT) AS pair_rank,
+           b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+           b.s AS chosen_score, w.s AS rejected_score,
+           b.s - w.s AS margin
+    FROM b JOIN w ON b.source = w.source AND b.r = w.r
+    WHERE b.r <= 10 AND w.r <= 10
+      AND b.doc_id != w.doc_id AND b.s - w.s >= 0.25
+    """,
+)
+def llm_preference_pairs(spark, sf_dir):
+    """Preference-pair assembly for reward-model / DPO-style training:
+    per source, the i-th best document by the Gopher-band quality score is
+    paired with the i-th worst (i <= 10), kept when the score margin
+    reaches 0.25 — the quality-contrast recipe when no human labels
+    exist. Two k-bounded rank windows + one (group, rank) pair join."""
+    from flink_psl_spark.llm import preference_pairs
+    from flink_psl_spark.llm.text import quality_score
+
+    t = tables(spark, sf_dir)
+    return preference_pairs(
+        t["documents"],
+        group_col="source",
+        score_col=quality_score("text"),
+        k=10,
+        min_margin=0.25,
+    )
+
+
+@query(
     "llm_html_extract",
     # exact roundtrip oracle: the query renders each document into a full
     # HTML page (head/style/nav chrome, a pure-link menu div, 12-word

@@ -393,6 +393,35 @@ def test_kneser_ney_scores_known_model(spark):
     assert got[0]["avg_logprob"] == lp_floor
 
 
+def test_preference_pairs_semantics(spark):
+    from flink_psl_spark.llm import preference_pairs
+
+    # one group: scores 1.0, 0.9, 0.5, 0.1, 0.0 (ids 0..4)
+    df = spark.createDataFrame(
+        [(0, "s", 1.0), (1, "s", 0.9), (2, "s", 0.5), (3, "s", 0.1),
+         (4, "s", 0.0)],
+        "doc_id int, source string, q double",
+    )
+    out = preference_pairs(
+        df, group_col="source", score_col="q", k=2, min_margin=0.25
+    ).collect()
+    got = {(r["pair_rank"], r["chosen_id"], r["rejected_id"]) for r in out}
+    # rank1: best 0 (1.0) vs worst 4 (0.0); rank2: 1 (0.9) vs 3 (0.1)
+    assert got == {(1, 0, 4), (2, 1, 3)}
+    assert all(r["margin"] >= 0.25 for r in out)
+    # margin gate: a flat group yields no pairs (self-pair also excluded)
+    flat = spark.createDataFrame(
+        [(0, "s", 0.5), (1, "s", 0.5), (2, "s", 0.5)],
+        "doc_id int, source string, q double",
+    )
+    assert (
+        preference_pairs(
+            flat, group_col="source", score_col="q", k=3, min_margin=0.25
+        ).count()
+        == 0
+    )
+
+
 def test_token_budget_mix_semantics(spark):
     from flink_psl_spark.llm import token_budget_mix
 

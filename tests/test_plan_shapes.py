@@ -475,3 +475,19 @@ def test_bm25_broadcast_queries_window_group_limit(spark, t):
     assert "CartesianProduct" not in p
     assert p.count("BroadcastNestedLoopJoin") <= 1  # 1-row stats join only
     assert "BroadcastHashJoin" in p
+
+
+def test_preference_pairs_window_group_limit(spark, t):
+    """preference_pairs: both rank-then-filter windows must compile to
+    WindowGroupLimit (k-bounded before the pair join) and the pair join
+    stays a hash join — no cartesian anywhere."""
+    from flink_psl_spark.llm import preference_pairs
+    from flink_psl_spark.llm.text import quality_score
+
+    out = preference_pairs(
+        t["documents"], group_col="source",
+        score_col=quality_score("text"), k=10, min_margin=0.25,
+    )
+    p = _plan(out)
+    assert p.count("WindowGroupLimit") >= 2
+    assert "CartesianProduct" not in p
