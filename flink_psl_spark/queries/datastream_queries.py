@@ -673,6 +673,48 @@ def sequence_file_roundtrip(spark, sf_dir):
 
 
 @query(
+    "xml_format_roundtrip",
+    # documents projected to clean columns, through XML part files and
+    # back (schema re-asserted on read — XML infers strings); per-source
+    # aggregate equals the original table exactly
+    oracle="""
+    SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY source, lang
+    """,
+)
+def xml_format_roundtrip(spark, sf_dir):
+    """XML file format (built into Spark 4; rounds out the format wall —
+    the reference ships csv/json/avro/parquet/orc/protobuf under
+    flink-formats/ but never grew an XML one): row-tagged part files
+    written and read back with an explicit schema, roundtrip aggregate
+    equals the source table. Scan parallelism is per-file, so at scale
+    the writer's partitioning controls reader fan-out."""
+    import tempfile
+
+    t = tables(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="fps_xml_") + "/docs"
+    (
+        t["documents"]
+        .select("doc_id", "source", "lang", "n_chars")
+        .write.format("xml")
+        .option("rootTag", "documents")
+        .option("rowTag", "document")
+        .save(path)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "document")
+        .schema("doc_id bigint, source string, lang string, n_chars bigint")
+        .load(path)
+    )
+    return back.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+
+
+@query(
     "file_sizing_report",
     # the layout is deterministic: repartition(event_type) puts each type
     # in exactly one write task and maxRecordsPerFile=1000 rolls files at
