@@ -104,6 +104,7 @@ from flink_psl_spark.llm.text import (  # noqa: F401
     vocab_coverage,
     bm25_topk,
     assemble_conversations,
+    sft_loss_mask,
 )
 from flink_psl_spark.llm.repetition import (  # noqa: F401
     duplicate_segment_fraction,

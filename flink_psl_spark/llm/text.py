@@ -1441,3 +1441,91 @@ def assemble_conversations(
             "first_ts", "last_ts", "transcript",
         )
     )
+
+
+def sft_loss_mask(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    turn_col: str = "event_type",
+    order_col: str = "event_id",
+    gap_minutes: int = 30,
+    user_tag: str = "<u>",
+    assistant_tag: str = "<a>",
+) -> DataFrame:
+    """Loss-mask span layout for SFT training — the step after
+    :func:`assemble_conversations`: render each session's turns as
+    ``tag + content`` segments (odd turns = user, even = assistant) and
+    emit the 0-indexed ``[mask_start, mask_end)`` character span of every
+    ASSISTANT segment's content (tag excluded) in the rendered string —
+    exactly the char ranges a trainer unmasks for the loss.
+
+    The spans are computed arithmetically (per-turn segment lengths + one
+    running sum), never by materializing the rendered string — at 100 TB
+    the render can stay virtual while the mask table ships to the
+    tokenizer.
+
+    Scale shape: the same single user-keyed exchange as the assembly
+    operator — the sessionization windows and the per-session turn window
+    all cluster on ``user_col`` (hash(user) co-locates every
+    (user, session) group), so Catalyst reuses one shuffle end to end.
+
+    Output: (user, session_n, turn_idx, mask_start, mask_end, render_len)
+    — ``render_len`` is the session's total rendered length, the bound a
+    packing stage needs.
+    """
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy(user_col).orderBy(
+        F.asc(ts_col), F.asc(order_col)
+    )
+    gap_us = gap_minutes * 60 * 1_000_000
+    sess = (
+        events.withColumn("__prev", F.lag(ts_col).over(wo))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__prev").isNull()
+                | (
+                    F.unix_micros(F.col(ts_col))
+                    - F.unix_micros(F.col("__prev"))
+                    > gap_us
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("session_n", F.sum("__new").over(wo).cast("bigint"))
+    )
+    ws = Window.partitionBy(user_col, "session_n").orderBy(
+        F.asc(ts_col), F.asc(order_col)
+    )
+    w_all = Window.partitionBy(user_col, "session_n")
+    u_len, a_len = len(user_tag), len(assistant_tag)
+    turns = (
+        sess.withColumn("__turn", F.row_number().over(ws))
+        .withColumn(
+            "__tag_len",
+            F.when(F.col("__turn") % 2 == 1, F.lit(u_len)).otherwise(
+                F.lit(a_len)
+            ),
+        )
+        .withColumn(
+            "__seg", F.col("__tag_len") + F.length(F.col(turn_col))
+        )
+        .withColumn("__cum", F.sum("__seg").over(ws))
+        .withColumn("render_len", F.sum("__seg").over(w_all).cast("bigint"))
+    )
+    return (
+        turns.where(F.col("__turn") % 2 == 0)
+        .select(
+            F.col(user_col),
+            "session_n",
+            F.col("__turn").cast("int").alias("turn_idx"),
+            (F.col("__cum") - F.col("__seg") + F.col("__tag_len"))
+            .cast("bigint")
+            .alias("mask_start"),
+            F.col("__cum").cast("bigint").alias("mask_end"),
+            "render_len",
+        )
+    )

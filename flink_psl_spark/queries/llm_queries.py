@@ -3417,6 +3417,53 @@ def llm_conversation_assembly(spark, sf_dir):
 
 
 @query(
+    "llm_sft_loss_mask",
+    # pure integer arithmetic replica: the assembly oracle's
+    # sessionization CTE, then per-session turn numbering, segment
+    # lengths (3-char role tags + content), a running sum, and the
+    # assistant-content span [cum - seg + tag, cum)
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    g AS (
+      SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS BIGINT)
+                AS session_n
+      FROM s),
+    t AS (
+      SELECT user_id, session_n,
+             ROW_NUMBER() OVER w3 AS turn_idx,
+             3 + LEN(event_type) AS seg,
+             SUM(3 + LEN(event_type)) OVER w3 AS cum,
+             SUM(3 + LEN(event_type)) OVER (
+               PARTITION BY user_id, session_n) AS render_len
+      FROM g
+      WINDOW w3 AS (PARTITION BY user_id, session_n ORDER BY ts, event_id))
+    SELECT user_id, session_n, CAST(turn_idx AS INT) AS turn_idx,
+           CAST(cum - seg + 3 AS BIGINT) AS mask_start,
+           CAST(cum AS BIGINT) AS mask_end,
+           CAST(render_len AS BIGINT) AS render_len
+    FROM t WHERE turn_idx % 2 = 0
+    """,
+)
+def llm_sft_loss_mask(spark, sf_dir):
+    """SFT loss-mask layout: sessionize the chat log (the conversation-
+    assembly windows), render each turn virtually as a 3-char role tag +
+    content (odd = user, even = assistant), and emit every assistant
+    segment's 0-indexed content span in the rendered string — computed
+    arithmetically from one running sum, the render never materializes."""
+    from flink_psl_spark.llm import sft_loss_mask
+
+    t = tables(spark, sf_dir)
+    return sft_loss_mask(t["events"], gap_minutes=30)
+
+
+@query(
     "llm_dedup_keep_best",
     # same hashed-shingle + size-bound pruning as _NEARDUP_SURVIVORS_SQL,
     # then recursive-CTE connected components and a per-cluster rank by

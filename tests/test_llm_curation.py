@@ -393,6 +393,45 @@ def test_kneser_ney_scores_known_model(spark):
     assert got[0]["avg_logprob"] == lp_floor
 
 
+def test_sft_loss_mask_spans_index_the_render(spark):
+    import datetime as dt
+
+    from flink_psl_spark.llm import sft_loss_mask
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    # one user, two sessions (40-min gap): [hello, hi there] and
+    # [question, answer, follow, up2]
+    rows = [
+        (1, base, 7, "hello"),
+        (2, base + dt.timedelta(minutes=1), 7, "hi there"),
+        (3, base + dt.timedelta(minutes=41), 7, "question"),
+        (4, base + dt.timedelta(minutes=42), 7, "answer"),
+        (5, base + dt.timedelta(minutes=43), 7, "follow"),
+        (6, base + dt.timedelta(minutes=44), 7, "up2"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id int, ts timestamp, user_id int, event_type string"
+    )
+    out = sft_loss_mask(df, gap_minutes=30).collect()
+    by_sess: dict = {}
+    for r in out:
+        by_sess.setdefault(r["session_n"], []).append(r)
+    # rebuild each session's render in python and index it with the spans
+    sessions = {1: ["hello", "hi there"],
+                2: ["question", "answer", "follow", "up2"]}
+    for sn, turns in sessions.items():
+        render = "".join(
+            ("<u>" if i % 2 == 0 else "<a>") + c for i, c in enumerate(turns)
+        )
+        spans = sorted(by_sess[sn], key=lambda r: r["turn_idx"])
+        assert [r["render_len"] for r in spans] == [len(render)] * len(spans)
+        got = [render[r["mask_start"]:r["mask_end"]] for r in spans]
+        assert got == turns[1::2]  # assistant contents, in order
+        assert [r["turn_idx"] for r in spans] == list(
+            range(2, len(turns) + 1, 2)
+        )
+
+
 def test_preference_pairs_semantics(spark):
     from flink_psl_spark.llm import preference_pairs
 
