@@ -16,6 +16,8 @@ from flink_psl_spark.operators.windows import (  # noqa: F401
     tumble,
     hop,
     cumulate,
+    ewma_anomaly,
+    gap_fill,
     session,
 )
 from flink_psl_spark.operators.misc import (  # noqa: F401

@@ -263,3 +263,91 @@ def gap_fill(
         interp.alias(value_col),
         F.col("__v").isNull().alias("filled"),
     )
+
+
+def ewma_anomaly(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    bucket: str = "hour",
+    alpha: float = 0.25,
+    threshold: float,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Exponentially-weighted smoothing + residual anomaly flags over a
+    per-key time series — the sequential-recurrence operator
+    (``s_t = alpha*x_t + (1-alpha)*s_{t-1}``) the engine's window
+    functions cannot express (each output depends on the previous
+    OUTPUT, not a frame of inputs).
+
+    The recurrence runs in one ``applyInPandas`` per key: each key's
+    bucketed series sorts locally and replays the recurrence in plain
+    float64 — row-local per key, the only shuffle is the per-key
+    aggregate's. Series length per key = time span / bucket (a bounded
+    grid, not the event count), so state per task stays small at any
+    corpus scale.
+
+    Determinism: the bucketed input ``x`` is an exact DECIMAL(18,2) sum
+    (order-proof) cast back to double, and every recurrence step is the
+    same fixed IEEE op order any engine replays bit-identically (use an
+    ``alpha`` with an exact binary representation — 0.25, 0.5 — when a
+    cross-engine replica must match exactly).
+
+    Output: (key, bucket_ts, x, smoothed, residual, anomaly) where
+    ``residual = x_t - s_{t-1}`` (0.0 for the first bucket) and
+    ``anomaly = |residual| > threshold``.
+    """
+    import pandas as pd
+
+    xagg = (
+        df.groupBy(
+            F.col(key_col).alias("__k"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("__b"),
+        )
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("__x")
+        )
+    )
+    a = float(alpha)
+    thr = float(threshold)
+
+    def replay(pdf):
+        pdf = pdf.sort_values("__b").reset_index(drop=True)
+        s_prev = None
+        sm, res, flag = [], [], []
+        for x in pdf["__x"]:
+            if s_prev is None:
+                s, r = x, 0.0
+            else:
+                s = a * x + (1 - a) * s_prev
+                r = x - s_prev
+            sm.append(s)
+            res.append(r)
+            flag.append(abs(r) > thr)
+            s_prev = s
+        pdf["__s"] = sm
+        pdf["__r"] = res
+        pdf["__f"] = flag
+        return pdf
+
+    out = xagg.groupBy("__k").applyInPandas(
+        replay,
+        schema=(
+            "__k "
+            + dict(df.dtypes)[key_col]
+            + ", __b timestamp, __x double, __s double, __r double,"
+            " __f boolean"
+        ),
+    )
+    return out.select(
+        F.col("__k").alias(key_col),
+        F.col("__b").alias("bucket_ts"),
+        F.round("__x", 2).alias("x"),
+        F.round("__s", 6).alias("smoothed"),
+        F.round("__r", 6).alias("residual"),
+        F.col("__f").alias("anomaly"),
+    )

@@ -440,3 +440,46 @@ def timeseries_gap_fill(spark, sf_dir):
         bucket="hour", step_expr="interval 1 hour",
         tiebreak_col="event_id",
     )
+
+
+@query(
+    "timeseries_ewma_anomaly",
+    # the recurrence replayed exactly: order-proof DECIMAL hourly sums as
+    # input, then a recursive CTE stepping s_t = 0.25*x_t + (1-0.25)*s_{t-1}
+    # in the same IEEE op order the pandas kernel uses (0.25/0.75 are exact
+    # binary, so (1 - 0.25) agrees bit-for-bit on both engines); daily
+    # buckets keep the oracle recursion ~30 levels deep
+    oracle="""
+    WITH RECURSIVE h AS (
+      SELECT event_type AS k, DATE_TRUNC('day', ts) AS b,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+      FROM events GROUP BY event_type, DATE_TRUNC('day', ts)),
+    n AS (
+      SELECT k, b, x,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY b) AS rn
+      FROM h),
+    r (k, rn, b, x, s, res) AS (
+      SELECT k, rn, b, x, x, CAST(0.0 AS DOUBLE) FROM n WHERE rn = 1
+      UNION ALL
+      SELECT n.k, n.rn, n.b, n.x,
+             0.25 * n.x + (1 - 0.25) * r.s,
+             n.x - r.s
+      FROM r JOIN n ON n.k = r.k AND n.rn = r.rn + 1)
+    SELECT k AS event_type, CAST(b AS TIMESTAMP) AS bucket_ts,
+           ROUND(x, 2) AS x, ROUND(s, 6) AS smoothed,
+           ROUND(res, 6) AS residual, ABS(res) > 1200.0 AS anomaly
+    FROM r
+    """,
+)
+def timeseries_ewma_anomaly(spark, sf_dir):
+    """EWMA smoothing + residual anomaly flags per event type over the
+    daily value series — the sequential recurrence (each output depends
+    on the previous OUTPUT) that window frames cannot express, run as
+    one applyInPandas replay per key over the bounded bucket grid."""
+    from flink_psl_spark.operators.windows import ewma_anomaly
+
+    t = tables(spark, sf_dir)
+    return ewma_anomaly(
+        t["events"], "event_type", "ts", "value",
+        bucket="day", alpha=0.25, threshold=1200.0,
+    )

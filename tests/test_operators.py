@@ -1062,3 +1062,49 @@ def test_migrate_to_contract_shapes_and_casts(spark):
     assert (rows[0]["a"], rows[0]["c"]) == (1, "dflt")
     assert rows[1]["a"] is None  # uncastable -> NULL under try_cast
     assert "junk" not in out.columns
+
+
+def test_ewma_anomaly_recurrence(spark):
+    import datetime as dt
+
+    from flink_psl_spark.operators.windows import ewma_anomaly
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # key 'a': hourly values 100, 100, 500 (spike), 100
+    rows = [
+        (1, base, "a", 100.0),
+        (2, base + dt.timedelta(hours=1), "a", 100.0),
+        (3, base + dt.timedelta(hours=2), "a", 500.0),
+        (4, base + dt.timedelta(hours=3), "a", 100.0),
+        # two events in one bucket sum before smoothing
+        (5, base, "b", 40.0),
+        (6, base + dt.timedelta(minutes=30), "b", 60.0),
+        (7, base + dt.timedelta(hours=1), "b", 100.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id int, ts timestamp, k string, value double"
+    )
+    out = ewma_anomaly(
+        df, "k", "ts", "value", bucket="hour", alpha=0.25, threshold=300.0
+    )
+    got = {
+        (r["k"], r["bucket_ts"].hour): r
+        for r in out.collect()
+    }
+    # python replay of the same recurrence
+    a = 0.25
+    s1 = 100.0
+    s2 = a * 100.0 + (1 - a) * s1          # 100
+    s3 = a * 500.0 + (1 - a) * s2          # 200
+    s4 = a * 100.0 + (1 - a) * s3          # 175
+    assert got[("a", 0)]["smoothed"] == round(s1, 6)
+    assert got[("a", 0)]["residual"] == 0.0
+    assert not got[("a", 0)]["anomaly"]
+    assert got[("a", 2)]["smoothed"] == round(s3, 6)
+    assert got[("a", 2)]["residual"] == round(500.0 - s2, 6)  # 400
+    assert got[("a", 2)]["anomaly"]
+    assert got[("a", 3)]["residual"] == round(100.0 - s3, 6)  # -100
+    assert not got[("a", 3)]["anomaly"]
+    assert got[("a", 3)]["smoothed"] == round(s4, 6)
+    # bucket pre-aggregation: b hour0 = 40+60 = 100
+    assert got[("b", 0)]["x"] == 100.0 and got[("b", 1)]["residual"] == 0.0
