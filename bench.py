@@ -75,13 +75,22 @@ def main() -> int:
         F.sum(_warm(F.col("id")))
     ).collect()
 
-    # four passes, min per query: steady-state cost (the first pass absorbs
-    # per-shape codegen/JIT and Arrow worker spawn; measured on this host,
-    # warm-up bleed reaches into pass 2 for Arrow-heavy queries, so n=4 —
-    # min over the extra pass estimates the same steady state with less
-    # scheduler-jitter variance)
+    # host calibration: a fixed JVM-side compute, identical every round —
+    # cross-round totals can only be compared through this number (rounds
+    # run on different hosts/neighbors; a uniform per-query drift with a
+    # matching calib drift is the environment, not a code regression)
+    calib = min(
+        _timed(lambda: spark.range(200_000_000).selectExpr(
+            "sum(id * 2 + 1)").collect())
+        for _ in range(3)
+    )
+
+    # five passes, min per query: steady-state cost (the first pass absorbs
+    # per-shape codegen/JIT and Arrow worker spawn; warm-up bleed reaches
+    # into pass 2 for Arrow-heavy queries; min over the extra passes
+    # estimates the same steady state with less scheduler-jitter variance)
     per_query: dict[str, float] = {}
-    for _pass in range(4):
+    for _pass in range(5):
         for name in HEADLINE:
             fn = QUERIES[name]
             t0 = time.time()
@@ -99,13 +108,20 @@ def main() -> int:
                 "metric": "headline_total",
                 "value": total,
                 "unit": "sec",
-                "n": 4,
+                "n": 5,
+                "calib_sec": calib,
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
     )
     return 0
+
+
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return round(time.time() - t0, 3)
 
 
 if __name__ == "__main__":

@@ -293,3 +293,37 @@ def sketch_and_model_extras(sf_dir: str = "/root/testdata/sf0.001") -> None:
         docs.select("lang", "source", "n_chars"), ["lang"], "source", l=2
     ).show(3)
     dp_noisy_counts(cells, ["lang"], epsilon=0.5).show(3)
+
+
+def posttrain_extras(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    """Round-6 closers: KN fluency scoring, the WordPiece tokenizer,
+    preference pairs for reward modeling, and SFT loss-mask layout."""
+    from flink_psl_spark.llm import (
+        preference_pairs,
+        sft_loss_mask,
+        wordpiece_alphabet,
+        wordpiece_encode,
+        wordpiece_train,
+    )
+    from flink_psl_spark.llm.text import kneser_ney_scores, quality_score
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    t = register_tables(spark, sf_dir)
+    docs = t["documents"]
+
+    # 21. Kneser-Ney fluency (the KenLM-filter smoothing, in-engine)
+    kneser_ney_scores(docs).orderBy("ppl_proxy").show(3)
+
+    # 22. the third canonical subword algorithm: WordPiece pieces
+    merges = wordpiece_train(docs, n_merges=8, vocab_limit=50)
+    vocab = wordpiece_alphabet(docs) + merges
+    wordpiece_encode(docs.limit(3), vocab).show(truncate=60)
+
+    # 23. reward-model pairs: per-source best-vs-worst with a margin gate
+    preference_pairs(
+        docs, group_col="source", score_col=quality_score("text"),
+        k=3, min_margin=0.25,
+    ).show(5)
+
+    # 24. SFT mask spans over the chat log — the render stays virtual
+    sft_loss_mask(t["events"], gap_minutes=30).show(5)

@@ -2138,3 +2138,62 @@ def stream_image_dedup_ingest(spark, sf_dir):
             ).alias("survivor_ok"),
         )
     )
+
+
+@query(
+    "stream_ewma_anomaly",
+    # the batch EWMA oracle restricted to WATERMARK-FINALIZED buckets
+    # (bucket end <= max ts - 1s): integer-cent bucket sums equal the
+    # DECIMAL(18,2) aggregate exactly, the recurrence replays in the
+    # same IEEE op order, and x stays the raw decimal->double value on
+    # both sides (no re-rounding drift)
+    oracle="""
+    WITH RECURSIVE wm AS (
+      SELECT MAX(ts) - INTERVAL 1 SECOND AS w FROM events),
+    h AS (
+      SELECT event_type AS k, DATE_TRUNC('day', ts) AS b,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2),
+    f AS (SELECT k, b, x FROM h
+          WHERE b + INTERVAL 1 DAY <= (SELECT w FROM wm)),
+    n AS (
+      SELECT k, b, x,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY b) AS rn
+      FROM f),
+    r (k, rn, b, x, s, res) AS (
+      SELECT k, rn, b, x, x, CAST(0.0 AS DOUBLE) FROM n WHERE rn = 1
+      UNION ALL
+      SELECT n.k, n.rn, n.b, n.x,
+             0.25 * n.x + (1 - 0.25) * r.s,
+             n.x - r.s
+      FROM r JOIN n ON n.k = r.k AND n.rn = r.rn + 1)
+    SELECT k AS event_type, CAST(b AS TIMESTAMP) AS bucket_ts, x,
+           ROUND(s, 6) AS smoothed, ROUND(res, 6) AS residual,
+           ABS(res) > 1200.0 AS anomaly
+    FROM r
+    """,
+)
+def stream_ewma_anomaly(spark, sf_dir):
+    """CONTINUOUS EWMA anomaly monitoring: per event type, daily bucket
+    sums accumulate as integer-cent keyed state and the recurrence
+    advances as the watermark finalizes each bucket — one carried
+    double per key is the whole model. The online form of the batch
+    timeseries_ewma_anomaly operator."""
+    from flink_psl_spark.streaming import (
+        stream_ewma_anomaly as ewma_stream,
+    )
+
+    ev = stream_from_parquet(spark, f"{sf_dir}/events.parquet", ts_col="ts")
+    out = ewma_stream(
+        ev.select("event_type", "ts", "value"),
+        "event_type", "ts", "value",
+        bucket_ms=86_400_000, alpha=0.25, threshold=1200.0,
+        delay="1 second",
+    )
+    mem = run_to_memory_table(out, output_mode="append")
+    return mem.select(
+        "event_type", "bucket_ts", "x",
+        F.round("smoothed", 6).alias("smoothed"),
+        F.round("residual", 6).alias("residual"),
+        "anomaly",
+    )

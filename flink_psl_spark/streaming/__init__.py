@@ -27,6 +27,7 @@ from flink_psl_spark.streaming.stateful import (  # noqa: F401
     streaming_rows_over,
     streaming_range_over,
     streaming_event_time_sort,
+    stream_ewma_anomaly,
     stream_gap_fill,
     timer_session_agg,
     session_transcripts,

@@ -1209,3 +1209,109 @@ def stream_gap_fill(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_ewma_anomaly(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    bucket_ms: int = 86_400_000,
+    alpha: float = 0.25,
+    threshold: float,
+    delay: str = "1 second",
+) -> DataFrame:
+    """STREAMING EWMA smoothing + anomaly flags — the continuous form of
+    operators.windows.ewma_anomaly: per key, bucket sums accumulate in
+    state and the recurrence ``s_t = alpha*x_t + (1-alpha)*s_{t-1}``
+    advances over each bucket AS THE WATERMARK FINALIZES IT (bucket end
+    <= wm), emitting one append-mode row per observed bucket. The
+    previous smoothed value is the only carried scalar, so this is the
+    online metrics-monitoring loop: state per key = one double + the
+    un-finalized bucket tail.
+
+    Determinism: bucket sums accumulate as integer cents (exact,
+    order-proof — equal to the batch DECIMAL(18,2) sum) and the
+    recurrence uses the same fixed IEEE op order as the batch kernel,
+    so finalized rows match the batch operator bit-for-bit.
+
+    Event-time timers re-arm at the next pending bucket's end (1 ms
+    early, the repo's timer boundary rule) so buffered buckets flush
+    even when the key receives no further data.
+    """
+    bucket_us = bucket_ms * 1000
+    a = float(alpha)
+    thr = float(threshold)
+    src = events.select(key_col, ts_col, value_col).withWatermark(
+        ts_col, delay
+    )
+    k_dt = _dt(src, key_col)
+    out_schema = (
+        f"{key_col} {k_dt}, bucket_ts timestamp, x double, "
+        "smoothed double, residual double, anomaly boolean"
+    )
+    out_names = [key_col, "bucket_ts", "x", "smoothed", "residual", "anomaly"]
+    state_fields = (
+        "has_s boolean, s double, b_us array<bigint>, cents array<bigint>"
+    )
+
+    def fn(key, batches: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            has_s, s_prev, b_list, c_list = state.get
+            pend = dict(zip(b_list, c_list))
+        else:
+            has_s, s_prev, pend = False, 0.0, {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            us = pdf[ts_col].values.astype("datetime64[us]").astype("int64")
+            for t, v in zip(us, pdf[value_col]):
+                b = (int(t) // bucket_us) * bucket_us
+                pend[b] = pend.get(b, 0) + int(round(float(v) * 100))
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        rows = []
+        for b in sorted(k for k in pend if k + bucket_us <= wm_us):
+            x = pend.pop(b) / 100.0
+            if not has_s:
+                s, res = x, 0.0
+                has_s = True
+            else:
+                s = a * x + (1 - a) * s_prev
+                res = x - s_prev
+            rows.append((b, x, s, res, abs(res) > thr))
+            s_prev = s
+        state.update(
+            (has_s, s_prev, list(pend.keys()), list(pend.values()))
+        )
+        if pend:
+            nxt = min(pend) + bucket_us
+            # 1 ms early — see timer_session_agg's boundary rule
+            state.setTimeoutTimestamp(
+                max(nxt // 1000 - 1, wm_us // 1000 + 1)
+            )
+        if rows:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(rows),
+                    "bucket_ts": pd.to_datetime(
+                        [r[0] for r in rows], unit="us"
+                    ),
+                    "x": [r[1] for r in rows],
+                    # raw doubles — the caller rounds via F.round so the
+                    # rounding path matches the batch operator's exactly
+                    "smoothed": [r[2] for r in rows],
+                    "residual": [r[3] for r in rows],
+                    "anomaly": [r[4] for r in rows],
+                }
+            )
+        else:
+            yield pd.DataFrame({c: [] for c in out_names})
+
+    return src.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_fields,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

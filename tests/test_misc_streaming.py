@@ -496,3 +496,62 @@ def test_stream_gap_fill_carries_past_last_observation(spark, tmp_path):
     # carried PAST u's last observation while z advances the watermark
     for h in (4, 5, 6, 7, 8):
         assert got[("u", f"2024-01-01 0{h}:00:00")] == (7.0, True)
+
+
+def test_stream_ewma_matches_batch_on_finalized_buckets(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.operators.windows import ewma_anomaly
+    from flink_psl_spark.streaming import (
+        run_to_memory_table,
+        stream_from_parquet,
+        stream_ewma_anomaly,
+    )
+
+    rows = [
+        ("a", "2024-01-01 10:00:00", 100.0),
+        ("a", "2024-01-01 11:00:00", 50.5),   # same day: sums to 150.5
+        ("a", "2024-01-02 09:00:00", 400.0),
+        ("a", "2024-01-03 09:00:00", 80.0),
+        ("z", "2024-01-05 00:00:00", 1.0),    # watermark driver
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v double")
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    src = str(tmp_path / "ewma")
+    # two files -> the cross-batch state/timer path runs
+    df.where("k = 'a'").coalesce(1).write.parquet(src)
+    df.where("k = 'z'").coalesce(1).write.mode("append").parquet(src)
+    stream = stream_from_parquet(spark, src, max_files_per_trigger=1)
+    out = stream_ewma_anomaly(
+        stream, "k", "ts", "v",
+        bucket_ms=86_400_000, alpha=0.25, threshold=200.0,
+    )
+    got = {
+        (r["k"], str(r["bucket_ts"])): (
+            r["x"], round(r["smoothed"], 6), round(r["residual"], 6),
+            r["anomaly"],
+        )
+        for r in run_to_memory_table(out, output_mode="append").collect()
+    }
+    # wm = 01-05 - 1s: a's three day-buckets final, z's partial day is not
+    assert set(got) == {
+        ("a", "2024-01-01 00:00:00"),
+        ("a", "2024-01-02 00:00:00"),
+        ("a", "2024-01-03 00:00:00"),
+    }
+    # the batch operator on the same finalized subset agrees bit-for-bit
+    batch = ewma_anomaly(
+        df.where("k = 'a'"), "k", "ts", "v",
+        bucket="day", alpha=0.25, threshold=200.0,
+    )
+    want = {
+        (r["k"], str(r["bucket_ts"])): (
+            r["x"], r["smoothed"], r["residual"], r["anomaly"]
+        )
+        for r in batch.collect()
+    }
+    assert got == want
+    # the known recurrence: s1=150.5; s2=.25*400+.75*150.5; res2=249.5>200
+    assert got[("a", "2024-01-02 00:00:00")][2] == 249.5
+    assert got[("a", "2024-01-02 00:00:00")][3] is True
+    assert not got[("a", "2024-01-03 00:00:00")][3]
