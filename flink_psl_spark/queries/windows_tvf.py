@@ -483,3 +483,52 @@ def timeseries_ewma_anomaly(spark, sf_dir):
         t["events"], "event_type", "ts", "value",
         bucket="day", alpha=0.25, threshold=1200.0,
     )
+
+
+@query(
+    "session_tvf_sql",
+    # same gaps-and-islands truth as session_window_agg, via the 1.17+
+    # SESSION TVF clause text
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL '10 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM flagged)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '10 minutes' AS session_end,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM sessions
+    GROUP BY user_id, sess_id
+    """,
+)
+def session_tvf_sql(spark, sf_dir):
+    """The SESSION window TVF as SQL clause text — the Flink 1.17+ form
+    (FLINK-24024; the 1.16 reference ships only TUMBLE/HOP/CUMULATE
+    TVFs, so this is forward dialect parity). The rewrite layer turns it
+    into a gaps-and-islands subquery; proven against the same oracle as
+    the native session_window aggregation."""
+    from flink_psl_spark.temporal_sql import rewrite_flink_sql
+
+    for name, df in tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+    return spark.sql(
+        rewrite_flink_sql(
+            """
+            SELECT user_id, window_start AS session_start,
+                   window_end AS session_end,
+                   COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+            FROM TABLE(SESSION(TABLE events PARTITION BY user_id,
+                               DESCRIPTOR(ts), INTERVAL '10' MINUTES))
+            GROUP BY user_id, window_start, window_end
+            """
+        )
+    )

@@ -230,6 +230,16 @@ _CUMULATE_RE = re.compile(
     re.IGNORECASE,
 )
 
+# SESSION TVF (Flink 1.17+ syntax — the reference line is 1.16, so this is
+# forward parity: SqlSessionTableFunction landed in FLINK-24024):
+# TABLE(SESSION(TABLE t [PARTITION BY k], DESCRIPTOR(ts), gap))
+_SESSION_RE = re.compile(
+    r"TABLE\s*\(\s*SESSION\s*\(\s*TABLE\s+(?P<tbl>[\w.]+)"
+    r"(?:\s+PARTITION\s+BY\s+(?P<pk>\w+))?\s*,\s*"
+    rf"DESCRIPTOR\s*\(\s*(?P<ts>\w+)\s*\)\s*,\s*{_IVL}\s*\)\s*\)",
+    re.IGNORECASE,
+)
+
 _IVL_US = {
     "SECOND": 1_000_000,
     "MINUTE": 60_000_000,
@@ -263,12 +273,34 @@ def _win_subquery(tbl: str, ts: str, size: str, slide: str | None) -> str:
     )
 
 
+def _session_subquery(tbl: str, ts: str, pk: str | None, ivl: str) -> str:
+    """SESSION TVF body: gaps-and-islands in pure SQL — a new session
+    starts where the gap to the previous row reaches the interval; every
+    row then projects its session's MIN(ts) / MAX(ts)+gap as
+    window_start / window_end (the same assignment Spark's
+    aggregation-position-only ``session_window`` produces). RANGE-framed
+    running sum keeps tied timestamps in one session deterministically."""
+    part = f"PARTITION BY {pk} " if pk else ""
+    sid_part = f"PARTITION BY {pk}, __sid" if pk else "PARTITION BY __sid"
+    return (
+        f"(SELECT * EXCEPT (__sid), "
+        f"MIN({ts}) OVER ({sid_part}) AS window_start, "
+        f"MAX({ts}) OVER ({sid_part}) + {ivl} AS window_end "
+        f"FROM (SELECT * EXCEPT (__new), "
+        f"SUM(__new) OVER ({part}ORDER BY {ts}) AS __sid "
+        f"FROM (SELECT *, CASE WHEN "
+        f"LAG({ts}) OVER ({part}ORDER BY {ts}) IS NULL "
+        f"OR {ts} - LAG({ts}) OVER ({part}ORDER BY {ts}) >= {ivl} "
+        f"THEN 1 ELSE 0 END AS __new FROM {tbl})))"
+    )
+
+
 def rewrite_window_tvfs(sql: str) -> str:
-    """Rewrite TUMBLE/HOP/CUMULATE window-TVF calls to subqueries —
-    TUMBLE/HOP via window()-projection, CUMULATE via the same integer-µs
-    slice explode as `operators.windows.cumulate`. The SESSION TVF is
-    intentionally not SQL-mapped (session_window is
-    aggregation-position-only in Spark; use `operators.windows.session`)."""
+    """Rewrite TUMBLE/HOP/CUMULATE/SESSION window-TVF calls to
+    subqueries — TUMBLE/HOP via window()-projection, CUMULATE via the
+    same integer-µs slice explode as `operators.windows.cumulate`,
+    SESSION (the Flink 1.17+ TVF form, FLINK-24024) via a
+    gaps-and-islands subquery equivalent to ``session_window``."""
 
     def tumble_repl(m: re.Match) -> str:
         size = f"{m.group(3)} {m.group(4)}"
@@ -286,9 +318,17 @@ def rewrite_window_tvfs(sql: str) -> str:
         max_us = int(m.group(5)) * _IVL_US[m.group(6).upper().rstrip("S")]
         return _cumulate_subquery(m.group("tbl"), m.group("ts"), step_us, max_us)
 
+    def session_repl(m: re.Match) -> str:
+        n, unit = m.groups()[-2:]  # _IVL's captures are the last two
+        ivl = f"INTERVAL '{n}' {unit.upper().rstrip('S')}"
+        return _session_subquery(
+            m.group("tbl"), m.group("ts"), m.group("pk"), ivl
+        )
+
     sql = _TUMBLE_RE.sub(tumble_repl, sql)
     sql = _HOP_RE.sub(hop_repl, sql)
     sql = _CUMULATE_RE.sub(cumulate_repl, sql)
+    sql = _SESSION_RE.sub(session_repl, sql)
     return sql
 
 

@@ -352,3 +352,45 @@ def test_join_hint_translation(spark, t):
     )
     plan = spark.sql(sql)._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan, plan[:800]
+
+
+def test_session_tvf_rewrite_matches_session_window(spark, t):
+    """SESSION TVF (1.17+ form) rewrites to gaps-and-islands SQL whose
+    per-session bounds equal Spark's native session_window exactly."""
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.temporal_sql import rewrite_flink_sql
+
+    t["events"].createOrReplaceTempView("events")
+    got = spark.sql(
+        rewrite_flink_sql(
+            """
+            SELECT user_id, window_start, window_end, COUNT(*) AS n
+            FROM TABLE(SESSION(TABLE events PARTITION BY user_id,
+                               DESCRIPTOR(ts), INTERVAL '10' MINUTES))
+            GROUP BY user_id, window_start, window_end
+            """
+        )
+    )
+    want = (
+        t["events"]
+        .groupBy(F.session_window("ts", "10 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("window_start"),
+            F.col("session_window.end").alias("window_end"),
+            "n",
+        )
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # keyless form sessionizes the whole stream
+    keyless = spark.sql(
+        rewrite_flink_sql(
+            "SELECT window_start, COUNT(*) AS n FROM TABLE(SESSION("
+            "TABLE events, DESCRIPTOR(ts), INTERVAL '10' MINUTES)) "
+            "GROUP BY window_start"
+        )
+    )
+    assert keyless.count() >= 1
