@@ -117,6 +117,7 @@ def pack_sequences_bfd(
     max_len: int = 512,
     partition_col: str = "source",
     n_sub_shards: int = 64,
+    length_col: str | None = None,
 ) -> DataFrame:
     """No-split sequence packing by best-fit-decreasing bin packing: each
     document lands WHOLE in exactly one bin of capacity ``max_len``
@@ -141,7 +142,13 @@ def pack_sequences_bfd(
         raise ValueError("max_len must be positive")
     import pandas as pd
 
-    tc = token_count(F.col(text_col))
+    # length_col: pack by a precomputed size (e.g. a rendered-session
+    # length) instead of tokenizing text_col
+    tc = (
+        F.col(length_col).cast("bigint")
+        if length_col is not None
+        else token_count(F.col(text_col))
+    )
     src = docs.select(
         F.col(partition_col).alias("shard"),
         F.col(id_col),

@@ -4251,3 +4251,93 @@ def llm_kmeans_train_agreement(spark, sf_dir):
     want = reference_kmeans(rows, 8, iters=4)
     out = [(c, got[c] == want[c]) for c in range(8)]
     return spark.createDataFrame(out, "cid int, agree boolean")
+
+
+@query(
+    "llm_sft_pipeline",
+    # the composed SFT-prep truth: sessionization (the loss-mask CTE),
+    # trainable sessions (>= 2 turns, so an assistant span exists),
+    # per-user session counts + exact rendered mass; packing adds only
+    # the capacity invariant (every session packed once is already
+    # proven by the exact totals)
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    g AS (
+      SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS BIGINT)
+                AS session_n
+      FROM s),
+    sess AS (
+      SELECT user_id, session_n,
+             COUNT(*) AS n_turns,
+             SUM(3 + LEN(event_type)) AS render_len
+      FROM g GROUP BY user_id, session_n)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(render_len) AS BIGINT) AS total_render,
+           TRUE AS bins_ok
+    FROM sess WHERE n_turns >= 2
+    GROUP BY user_id
+    """,
+)
+def llm_sft_pipeline(spark, sf_dir):
+    """The composed SFT data-prep pipeline: sessionize the chat log, lay
+    out loss-mask spans (llm_sft_loss_mask), then bin-pack the trainable
+    sessions whole into 512-char training sequences (no session straddles
+    a boundary — the BFD packer on the rendered length). Per-user session
+    counts and rendered mass are proven exactly; bins respect capacity
+    except flagged singleton overflows."""
+    from flink_psl_spark.llm import sft_loss_mask
+    from flink_psl_spark.llm.chunking import pack_sequences_bfd
+
+    t = tables(spark, sf_dir)
+    sessions = (
+        sft_loss_mask(t["events"], gap_minutes=30)
+        .select("user_id", "session_n", "render_len")
+        .distinct()
+    )
+    packed = pack_sequences_bfd(
+        sessions.select(
+            F.lit("all").alias("source"),
+            (F.col("user_id").cast("bigint") * 1_000_000
+             + F.col("session_n")).alias("doc_id"),
+            "render_len",
+        ),
+        max_len=512,
+        length_col="render_len",
+        n_sub_shards=8,
+    )
+    bins_ok = (
+        packed.groupBy("sub_shard", "bin_id")
+        .agg(
+            F.sum("n_tokens").alias("fill"),
+            F.max(F.col("overflow").cast("int")).alias("ov"),
+        )
+        .agg(
+            F.min(
+                ((F.col("fill") <= 512) | (F.col("ov") == 1)).cast("int")
+            ).alias("__ok")
+        )
+    )
+    return (
+        packed.select(
+            F.floor(F.col("doc_id") / 1_000_000).cast("int").alias("user_id"),
+            "n_tokens",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_tokens").alias("total_render"),
+        )
+        .crossJoin(F.broadcast(bins_ok))
+        .select(
+            "user_id", "n_sessions", "total_render",
+            (F.col("__ok") == 1).alias("bins_ok"),
+        )
+    )
