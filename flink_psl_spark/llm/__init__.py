@@ -119,6 +119,7 @@ from flink_psl_spark.llm.chunking import (  # noqa: F401
 )
 from flink_psl_spark.llm.classifier import (  # noqa: F401
     hashed_feature_indices,
+    naive_bayes_langid,
     score_logreg_hashed,
     train_logreg_hashed,
 )

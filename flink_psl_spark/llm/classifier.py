@@ -149,3 +149,96 @@ def score_logreg_hashed(
     no join (the model rides along as a broadcast literal)."""
     idx = hashed_feature_indices(text_col, dim=dim)
     return df.withColumn(prob_col, _prob(_margin(idx, w_int)))
+
+
+def naive_bayes_langid(
+    docs: DataFrame,
+    *,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multinomial Naive Bayes language identification, trained and
+    scored in-engine on the labeled corpus itself — the counting
+    classifier whose ENTIRE train+score path is exact relational algebra
+    (unlike the gradient-descent logreg above, whose oracle must replay
+    the GD trace): priors and add-1-smoothed per-language token
+    likelihoods are hash aggregations, scoring is one token->model join,
+    prediction is a per-document rank-1 window over the |labels| rows.
+
+    Determinism: per-token log-likelihoods and the log-prior quantize to
+    1e-6 integers BEFORE the sum (the bigram-LM discipline), so scores
+    are exact integers; argmax ties break to the lexicographically
+    smallest label.
+
+    Scale shape: the model is vocabulary x |labels| rows (hash aggs); the
+    scoring join shuffles on the token key; the label cross join is a
+    broadcast of |labels| rows; the vocabulary size is the one scalar
+    driver value (the bigram-LM pattern). No UDFs anywhere.
+
+    Output: (id, pred, actual, correct) — documents with zero tokens are
+    not scored.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.col(label_col).alias("__actual"),
+        F.explode(tokenize(F.col(text_col))).alias("w"),
+    )
+    langs = docs.groupBy(F.col(label_col).alias("__l")).agg(
+        F.count("*").alias("__nd")
+    )
+    d_total = float(docs.count())
+    cw = toks.groupBy(
+        F.col("__actual").alias("__l"), "w"
+    ).agg(F.count("*").alias("__c"))
+    cl = toks.groupBy(F.col("__actual").alias("__l")).agg(
+        F.count("*").alias("__ct")
+    )
+    vocab = float(toks.select("w").distinct().count())
+
+    scored = (
+        toks.crossJoin(F.broadcast(langs.select("__l")))
+        .join(cw, on=["__l", "w"], how="left")
+        .join(F.broadcast(cl), on="__l")
+        .select(
+            id_col,
+            "__l",
+            F.round(
+                F.log(
+                    (F.coalesce("__c", F.lit(0)) + F.lit(1.0))
+                    / (F.col("__ct") + F.lit(1.0) * F.lit(vocab))
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("__q"),
+        )
+        .groupBy(id_col, "__l")
+        .agg(F.sum("__q").alias("__lik"))
+        .join(F.broadcast(langs), on="__l")
+        .select(
+            id_col,
+            "__l",
+            (
+                F.col("__lik")
+                + F.round(
+                    F.log(F.col("__nd") * F.lit(1.0) / F.lit(d_total)) * 1e6
+                ).cast("bigint")
+            ).alias("__score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("__score"), F.asc("__l")
+    )
+    pred = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(id_col, F.col("__l").alias("pred"))
+    )
+    return pred.join(
+        docs.select(id_col, F.col(label_col).alias("actual")), on=id_col
+    ).select(
+        id_col, "pred", "actual", (F.col("pred") == F.col("actual")).alias("correct")
+    )

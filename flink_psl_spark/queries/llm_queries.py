@@ -4341,3 +4341,52 @@ def llm_sft_pipeline(spark, sf_dir):
             (F.col("__ok") == 1).alias("bins_ok"),
         )
     )
+
+
+@query(
+    "llm_naive_bayes_langid",
+    # the whole train+score path is exact relational algebra: priors and
+    # add-1 token likelihoods replayed count-for-count, per-token logs
+    # quantized to 1e-6 integers before the sum, argmax ties to the
+    # lexicographically smallest label
+    oracle=f"""
+    WITH d AS (SELECT doc_id, lang AS actual, {_TOKS} AS w FROM documents),
+    tk AS (SELECT doc_id, actual, UNNEST(w) AS w FROM d),
+    langs AS (SELECT lang AS l, COUNT(*) AS nd FROM documents GROUP BY lang),
+    dd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS d_total FROM documents),
+    cw AS (SELECT actual AS l, w, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+    cl AS (SELECT actual AS l, COUNT(*) AS ct FROM tk GROUP BY 1),
+    vv AS (SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v FROM tk),
+    sc AS (
+      SELECT tk.doc_id, langs.l,
+             CAST(ROUND(LN((COALESCE(cw.c, 0) + 1.0)
+                           / (cl.ct + 1.0 * vv.v)) * 1000000)
+                  AS BIGINT) AS q
+      FROM tk CROSS JOIN langs
+      LEFT JOIN cw ON cw.l = langs.l AND cw.w = tk.w
+      JOIN cl ON cl.l = langs.l CROSS JOIN vv),
+    tot AS (
+      SELECT sc.doc_id, sc.l,
+             SUM(q) + CAST(ROUND(LN(langs.nd * 1.0 / dd.d_total)
+                                 * 1000000) AS BIGINT) AS score
+      FROM sc JOIN langs ON langs.l = sc.l CROSS JOIN dd
+      GROUP BY sc.doc_id, sc.l, langs.nd, dd.d_total),
+    rk AS (
+      SELECT doc_id, l,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, l ASC) AS rn
+      FROM tot)
+    SELECT r.doc_id, r.l AS pred, dx.lang AS actual,
+           (r.l = dx.lang) AS correct
+    FROM rk r JOIN documents dx USING (doc_id) WHERE rn = 1
+    """,
+)
+def llm_naive_bayes_langid(spark, sf_dir):
+    """Multinomial Naive Bayes language ID trained and scored in-engine —
+    the counting classifier whose whole train+score path is exact
+    relational algebra (hash-agg priors/likelihoods, one token->model
+    join, rank-1 argmax), quantized-integer scores."""
+    from flink_psl_spark.llm import naive_bayes_langid
+
+    t = tables(spark, sf_dir)
+    return naive_bayes_langid(t["documents"])

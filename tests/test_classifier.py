@@ -92,3 +92,47 @@ def test_bias_index_always_present(spark):
     ).collect()
     assert all(r["i"][-1] == 16 for r in out)
     assert out[0]["i"] == [16]  # empty text → bias only
+
+
+def test_naive_bayes_langid_known_model(spark):
+    import math
+
+    from flink_psl_spark.llm import naive_bayes_langid
+
+    # en: "the cat", "the dog"; fr: "le chat" — plus an ambiguous doc
+    # whose shared token must fall to the prior-heavier language
+    df = spark.createDataFrame(
+        [(0, "en", "the cat"), (1, "en", "the dog"), (2, "fr", "le chat"),
+         (3, "fr", "le cat")],
+        "doc_id int, lang string, text string",
+    )
+    rows = {r["doc_id"]: r for r in naive_bayes_langid(df).collect()}
+    assert rows[0]["pred"] == "en" and rows[0]["correct"]
+    assert rows[2]["pred"] == "fr" and rows[2]["correct"]
+    # replay doc 3 ("le cat") by hand: V=6 distinct tokens
+    def q(p):
+        return round(math.log(p) * 1e6)
+
+    # en: ct=4; c(le)=0, c(cat)=1; prior 2/4
+    s_en = q(1 / (4 + 6)) + q(2 / (4 + 6)) + q(2 / 4)
+    # fr: ct=4; c(le)=2, c(cat)=1; prior 2/4
+    s_fr = q(3 / (4 + 6)) + q(2 / (4 + 6)) + q(2 / 4)
+    assert s_fr > s_en and rows[3]["pred"] == "fr"
+
+
+def test_naive_bayes_langid_separable_corpus(spark):
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.llm import naive_bayes_langid
+
+    # disjoint vocabularies -> self-scored accuracy must be perfect
+    # (the fixture corpus's lang labels are independent of its synthetic
+    # text, so accuracy there is prior-dominated by construction)
+    rows = []
+    for i in range(40):
+        rows.append((i, "en", f"the quick dog w{i % 7} runs"))
+        rows.append((100 + i, "fr", f"le chien rapide m{i % 7} court"))
+    df = spark.createDataFrame(rows, "doc_id int, lang string, text string")
+    out = naive_bayes_langid(df)
+    acc = out.agg(F.avg(F.col("correct").cast("double"))).collect()[0][0]
+    assert acc == 1.0
