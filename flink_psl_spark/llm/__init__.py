@@ -49,6 +49,7 @@ from flink_psl_spark.llm.clustering import (  # noqa: F401
 )
 from flink_psl_spark.llm.similarity import (  # noqa: F401
     cosine_topk,
+    hybrid_rrf_topk,
     embedding_dedup,
     hard_negatives,
     lsh_cosine_topk,

@@ -1160,3 +1160,100 @@ def mmr_rerank(
         return out
 
     return joined.groupBy("query_id").applyInPandas(pick, out_schema)
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    *,
+    n_queries: int = 10,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    k_each: int = 20,
+    k: int = 5,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid more-like-this retrieval by reciprocal-rank fusion: fuse
+    the semantic ranking (exact embedding cosine over ``emb``) with the
+    lexical ranking (exact 3-gram Jaccard over ``docs``) for the query
+    entities ``id < n_queries`` — the standard two-signal retrieval
+    recipe (RRF, Cormack et al.) when neither signal alone is trusted.
+
+    Each list contributes ``round(1e9 / (rrf_k + rank))`` for its top
+    ``k_each``; scores are QUANTIZED INTEGERS (both the Jaccard rank key
+    — intersection*1e6 div union — and the fusion terms), so the whole
+    pipeline is engine-exact. Ties break to the lower neighbor id.
+
+    Scale shape: the semantic side is :func:`cosine_topk` (corpus never
+    shuffles, queries broadcast); the lexical side broadcasts the
+    n_queries shingle sets against one corpus scan; fusion joins two
+    k_each-bounded lists. Output: (query_id, neighbor_id, rrf_q, rank).
+    """
+    from pyspark.sql import Window
+
+    from flink_psl_spark.llm.dedup import shingles
+
+    # semantic list
+    cos = cosine_topk(
+        emb,
+        emb.where(F.col(vec_id_col) < n_queries),
+        id_col=vec_id_col,
+        vec_col=vec_col,
+        k=k_each,
+    ).select("query_id", "neighbor_id", F.col("rank").alias("__rc"))
+
+    # lexical list — exact 3-gram Jaccard, integer-quantized rank key
+    sh = docs.select(F.col(id_col), shingles(F.col(text_col), 3).alias("s"))
+    qs = sh.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("s").alias("qs")
+    )
+    jp = (
+        sh.crossJoin(F.broadcast(qs))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.expr(
+                "(CAST(size(array_intersect(s, qs)) AS BIGINT) * 1000000)"
+                " div CAST(size(array_union(s, qs)) AS BIGINT)"
+            ).alias("__jq"),
+        )
+        .where(F.col("__jq") > 0)
+    )
+    wj = Window.partitionBy("query_id").orderBy(
+        F.desc("__jq"), F.asc("neighbor_id")
+    )
+    jac = (
+        jp.withColumn("__rj", F.row_number().over(wj))
+        .where(F.col("__rj") <= k_each)
+        .select("query_id", "neighbor_id", "__rj")
+    )
+
+    def rrf(rank_col: str) -> F.Column:
+        return F.coalesce(
+            F.round(F.lit(1e9) / (F.lit(float(rrf_k)) + F.col(rank_col)))
+            .cast("bigint"),
+            F.lit(0).cast("bigint"),
+        )
+
+    fused = (
+        cos.join(jac, on=["query_id", "neighbor_id"], how="full_outer")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (rrf("__rc") + rrf("__rj")).alias("rrf_q"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_q"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rrf_q",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -4390,3 +4390,72 @@ def llm_naive_bayes_langid(spark, sf_dir):
 
     t = tables(spark, sf_dir)
     return naive_bayes_langid(t["documents"])
+
+
+@query(
+    "llm_hybrid_rrf_topk",
+    # both lists replayed exactly (the cosine oracle + the 3-shingle
+    # Jaccard with an integer-quantized rank key), then quantized-integer
+    # reciprocal-rank fusion round(1e9/(60+rank)) — engine-exact end to
+    # end; ties to the lower neighbor id
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v
+          FROM embeddings),
+    cscored AS (
+      SELECT q.query_id, c.neighbor_id,
+             LIST_COSINE_SIMILARITY(q.v, c.v) AS sim
+      FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id),
+    crank AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rc
+      FROM cscored),
+    ctop AS (SELECT * FROM crank WHERE rc <= 20),
+    sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT([array_to_string(words[i:i+2], ' ')
+                            FOR i IN RANGE(1, GREATEST(LEN(words) - 2, 0) + 1)]) AS s
+      FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words
+            FROM documents)),
+    jp AS (
+      SELECT qs.doc_id AS query_id, cs.doc_id AS neighbor_id,
+             (LEN(LIST_INTERSECT(cs.s, qs.s)) * 1000000)
+               // LEN(LIST_DISTINCT(LIST_CONCAT(cs.s, qs.s))) AS jq
+      FROM sh cs JOIN sh qs
+        ON qs.doc_id < 10 AND cs.doc_id <> qs.doc_id
+      WHERE LEN(LIST_INTERSECT(cs.s, qs.s)) > 0),
+    jrank AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY jq DESC, neighbor_id) AS rj
+      FROM jp WHERE jq > 0),
+    jtop AS (SELECT * FROM jrank WHERE rj <= 20),
+    fused AS (
+      SELECT COALESCE(ct.query_id, jt.query_id) AS query_id,
+             COALESCE(ct.neighbor_id, jt.neighbor_id) AS neighbor_id,
+             COALESCE(CAST(ROUND(1e9 / (60e0 + rc)) AS BIGINT), 0)
+               + COALESCE(CAST(ROUND(1e9 / (60e0 + rj)) AS BIGINT), 0)
+               AS rrf_q
+      FROM ctop ct FULL JOIN jtop jt
+        ON ct.query_id = jt.query_id AND ct.neighbor_id = jt.neighbor_id),
+    final AS (
+      SELECT query_id, neighbor_id, rrf_q,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY rrf_q DESC, neighbor_id) AS rank
+      FROM fused)
+    SELECT query_id, neighbor_id, rrf_q, CAST(rank AS INT) AS rank
+    FROM final WHERE rank <= 5
+    """,
+)
+def llm_hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid more-like-this retrieval: reciprocal-rank fusion of the
+    exact embedding-cosine ranking and the exact 3-gram Jaccard ranking
+    for 10 query entities — quantized-integer fusion scores, top-5 per
+    query. The two-signal recipe when neither semantic nor lexical alone
+    is trusted."""
+    from flink_psl_spark.llm import hybrid_rrf_topk
+
+    t = tables(spark, sf_dir)
+    return hybrid_rrf_topk(t["documents"], t["embeddings"], n_queries=10)
