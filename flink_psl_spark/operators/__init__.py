@@ -32,6 +32,7 @@ from flink_psl_spark.operators.changelog import (  # noqa: F401
     changelog_normalize,
     drop_update_before,
     scd2_history,
+    retract_rows,
     snapshot_diff,
     to_changelog,
 )

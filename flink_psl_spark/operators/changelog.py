@@ -238,3 +238,57 @@ def assert_deterministic_updates(
             "as the reference's NDU TRY_RESOLVE strategy requires"
         )
     return nd
+
+
+def retract_rows(
+    old: DataFrame,
+    new: DataFrame,
+    keys: str | list[str],
+    *,
+    compare_cols: list[str] | None = None,
+    sign_col: str = "__sign",
+) -> DataFrame:
+    """The RETRACT-stream form of :func:`snapshot_diff`: emit signed
+    rows (+1 inserts / after-images, -1 deletes / before-images) — an
+    update materializes as the UPDATE_BEFORE(-1)/UPDATE_AFTER(+1) PAIR
+    the reference's retract mode carries (RowKind.java:25 -U/+U; what
+    ``drop_update_before`` strips for upsert sinks). This is the input
+    shape that lets ANY distributive aggregate advance incrementally:
+    ``agg(new) = agg(old) + agg(sign-weighted retract rows)``.
+
+    Unchanged keys emit nothing. Scale shape: the same single
+    full-outer keyed join as ``snapshot_diff``; the ± expansion is a
+    row-local union of two projections of that join.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if compare_cols is None:
+        compare_cols = [
+            c for c in new.columns if c in set(old.columns) and c not in keys
+        ]
+    o = old.select(*keys, *compare_cols).withColumn(
+        "__in_o", F.lit(True)
+    ).alias("__o")
+    n = new.select(*keys, *compare_cols).withColumn(
+        "__in_n", F.lit(True)
+    ).alias("__n")
+    cond = None
+    for k in keys:
+        eq = F.col(f"__o.{k}").eqNullSafe(F.col(f"__n.{k}"))
+        cond = eq if cond is None else cond & eq
+    joined = o.join(n, on=cond, how="full_outer")
+    in_old = F.col("__o.__in_o").isNotNull()
+    in_new = F.col("__n.__in_n").isNotNull()
+    changed = ~F.struct(
+        *[F.col(f"__o.{c}") for c in compare_cols]
+    ).eqNullSafe(F.struct(*[F.col(f"__n.{c}") for c in compare_cols]))
+    minus = joined.where(in_old & (~in_new | changed)).select(
+        *[F.col(f"__o.{k}").alias(k) for k in keys],
+        *[F.col(f"__o.{c}").alias(c) for c in compare_cols],
+        F.lit(-1).cast("int").alias(sign_col),
+    )
+    plus = joined.where(in_new & (~in_old | changed)).select(
+        *[F.col(f"__n.{k}").alias(k) for k in keys],
+        *[F.col(f"__n.{c}").alias(c) for c in compare_cols],
+        F.lit(1).cast("int").alias(sign_col),
+    )
+    return minus.unionByName(plus)

@@ -80,7 +80,8 @@ import flink_psl_spark.queries.datastream_queries  # noqa: F401, E402
 # llm_wordpiece_train_agreement, llm_wordpiece_encode_stats,
 # llm_preference_pairs, xml_format_roundtrip, llm_sft_loss_mask,
 # timeseries_ewma_anomaly, stream_ewma_anomaly, session_tvf_sql,
-# llm_sft_pipeline, llm_naive_bayes_langid, llm_hybrid_rrf_topk
+# llm_sft_pipeline, llm_naive_bayes_langid, llm_hybrid_rrf_topk,
+# incremental_agg_retract_apply
 # (positions 51+) — so r7's
 # window leads with them,
 # the 10 r1 rows that didn't fit here (agg_multiset, agg_json,

@@ -664,3 +664,95 @@ def stream_scd2_dimension(spark, sf_dir):
     return spark.read.parquet(dim).select(
         "user_id", "value", "valid_from", "valid_to", "is_current"
     )
+
+
+@query(
+    "incremental_agg_retract_apply",
+    # the oracle recomputes the NEW snapshot's aggregate from scratch;
+    # the query must reach the same numbers by applying signed retract
+    # deltas (+I/-D/-UB/+UA) to the OLD snapshot's materialized
+    # aggregate — integer-cent money keeps delta-vs-recompute exact
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders),
+    b AS (
+      SELECT o_orderkey, o_custkey,
+             cents + CASE WHEN o_custkey % 7 = 0 THEN 1000 ELSE 0 END
+               AS cents
+      FROM o WHERE o_custkey % 11 <> 3
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, cents
+      FROM o WHERE o_orderkey % 13 = 0)
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM b GROUP BY o_custkey
+    """,
+)
+def incremental_agg_retract_apply(spark, sf_dir):
+    """Retract-mode incremental aggregation (reference RowKind -U/+U
+    semantics): a deterministic mutation of the orders snapshot (deletes,
+    price updates, inserts) flows as SIGNED retract rows into per-key
+    count/sum deltas, which merge into the OLD materialized aggregate —
+    no rescan of the base. The oracle recomputes the new snapshot from
+    scratch; equality proves agg(new) = agg(old) + agg(deltas)."""
+    from flink_psl_spark.operators import retract_rows
+
+    t = tables(spark, sf_dir)
+    o = t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    new = (
+        o.where(F.col("o_custkey") % 11 != 3)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (
+                F.col("cents")
+                + F.when(F.col("o_custkey") % 7 == 0, 1000).otherwise(0)
+            ).alias("cents"),
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 13 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                "o_custkey",
+                "cents",
+            )
+        )
+    )
+    base_agg = o.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+    deltas = (
+        retract_rows(o, new, "o_orderkey")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("__sign").cast("bigint").alias("dn"),
+            F.sum(F.col("__sign") * F.col("cents"))
+            .cast("bigint")
+            .alias("dc"),
+        )
+    )
+    return (
+        base_agg.join(deltas, on="o_custkey", how="full_outer")
+        .select(
+            "o_custkey",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+            .cast("bigint")
+            .alias("n"),
+            (
+                F.coalesce("total_cents", F.lit(0))
+                + F.coalesce("dc", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .where(F.col("n") > 0)
+    )

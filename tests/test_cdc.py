@@ -397,3 +397,35 @@ def test_scd2_into_parquet_multibatch_converges(spark, tmp_path):
     # events re-opened and closed correctly
     k1 = [r for r in got if r[0] == 1]
     assert len(k1) == 3 and k1[-1][4] is True
+
+
+def test_retract_rows_expands_updates_to_pairs(spark):
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.operators import retract_rows
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k int, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, 25.0), (4, 40.0)], "k int, v double"
+    )
+    rows = {
+        (r["k"], r["v"], r["__sign"])
+        for r in retract_rows(old, new, "k").collect()
+    }
+    # unchanged key 1 emits nothing; update k=2 is the -UB/+UA pair;
+    # delete k=3 is -1 before-image; insert k=4 is +1 after-image
+    assert rows == {
+        (2, 20.0, -1), (2, 25.0, 1), (3, 30.0, -1), (4, 40.0, 1),
+    }
+    # distributive aggregates advance by the signed deltas exactly
+    delta = (
+        retract_rows(old, new, "k")
+        .agg(
+            F.sum("__sign").alias("dn"),
+            F.sum(F.col("__sign") * F.col("v")).alias("dv"),
+        )
+        .collect()[0]
+    )
+    assert delta["dn"] == 0 and delta["dv"] == 15.0
