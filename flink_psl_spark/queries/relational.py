@@ -2270,3 +2270,124 @@ sql_query(
     HAVING COUNT(*) >= 5
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Classic warehouse analytics compositions — RFM segmentation and
+# market-basket association rules (support / confidence / lift), the
+# two mining workloads every retail deployment of the reference runs as
+# plain SQL pipelines.
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "market_basket_lift",
+    # one self-join inside the order key (pairs bounded by basket size),
+    # quantized-integer confidence/lift via FLOOR of exact-double ratios
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM items),
+    ip AS (SELECT p, COUNT(*) AS c FROM items GROUP BY p),
+    pairs AS (
+      SELECT a.p AS p1, b.p AS p2, COUNT(*) AS c_ab
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+      HAVING COUNT(*) >= 3)
+    SELECT p1, p2, CAST(c_ab AS BIGINT) AS c_ab,
+           CAST(FLOOR(c_ab * 1.0 * n_orders * 1000000 / (ca.c * cb.c))
+                AS BIGINT) AS lift_q,
+           CAST(FLOOR(c_ab * 1000000.0 / ca.c) AS BIGINT) AS conf_q
+    FROM pairs
+    JOIN ip ca ON ca.p = pairs.p1
+    JOIN ip cb ON cb.p = pairs.p2
+    CROSS JOIN n
+    """,
+)
+
+
+@query(
+    "rfm_customer_segments",
+    # the distributed-NTILE formula replayed literally: global rank over
+    # (value ASC, custkey ASC), tile = ((rank-1)*4)//total + 1, score =
+    # 5 - tile (1 = best); integer-cent monetary keeps sums exact
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey),
+    tot AS (SELECT COUNT(*) AS t FROM m),
+    s AS (
+      SELECT m.*,
+             ROW_NUMBER() OVER (ORDER BY last_order, o_custkey) AS rr,
+             ROW_NUMBER() OVER (ORDER BY frequency, o_custkey) AS rf,
+             ROW_NUMBER() OVER (ORDER BY monetary_cents, o_custkey) AS rm
+      FROM m),
+    sc AS (
+      SELECT o_custkey, last_order, frequency, monetary_cents,
+             5 - CAST(((rr - 1) * 4) // t + 1 AS INT) AS r_score,
+             5 - CAST(((rf - 1) * 4) // t + 1 AS INT) AS f_score,
+             5 - CAST(((rm - 1) * 4) // t + 1 AS INT) AS m_score
+      FROM s CROSS JOIN tot)
+    SELECT *,
+           CASE WHEN r_score = 1 AND f_score = 1 THEN 'champion'
+                WHEN r_score = 1 THEN 'recent'
+                WHEN f_score = 1 THEN 'loyal'
+                WHEN r_score = 4 AND f_score = 4 THEN 'at_risk'
+                ELSE 'regular' END AS segment
+    FROM sc
+    """,
+)
+def rfm_customer_segments(spark, sf_dir):
+    """RFM customer segmentation (recency / frequency / monetary
+    quartiles, score 1 = best) — quartiles via the scale-safe two-pass
+    distributed NTILE (no single-partition global sort; the oracle
+    replays its explicit ((rank-1)*4)//total + 1 formula), integer-cent
+    money, deterministic custkey tie-breaks."""
+    from flink_psl_spark.llm.sampling import distributed_ntile
+
+    t = tables(spark, sf_dir)
+    m = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+        .withColumn(
+            "__epoch",
+            F.datediff("last_order", F.lit("1970-01-01").cast("date")),
+        )
+    )
+    r = distributed_ntile(
+        m, "__epoch", "o_custkey", n_tiles=4, out_col="__rt",
+        bin_col=F.floor(F.col("__epoch") / 32),
+    )
+    r = distributed_ntile(
+        r, "frequency", "o_custkey", n_tiles=4, out_col="__ft",
+    )
+    r = distributed_ntile(
+        r, "monetary_cents", "o_custkey", n_tiles=4, out_col="__mt",
+        bin_col=F.floor(F.col("monetary_cents") / 1_000_000),
+    )
+    scored = r.select(
+        "o_custkey", "last_order", "frequency", "monetary_cents",
+        (F.lit(5) - F.col("__rt")).cast("int").alias("r_score"),
+        (F.lit(5) - F.col("__ft")).cast("int").alias("f_score"),
+        (F.lit(5) - F.col("__mt")).cast("int").alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.when((F.col("r_score") == 1) & (F.col("f_score") == 1),
+               F.lit("champion"))
+        .when(F.col("r_score") == 1, F.lit("recent"))
+        .when(F.col("f_score") == 1, F.lit("loyal"))
+        .when((F.col("r_score") == 4) & (F.col("f_score") == 4),
+              F.lit("at_risk"))
+        .otherwise(F.lit("regular")),
+    )
