@@ -2391,3 +2391,76 @@ def rfm_customer_segments(spark, sf_dir):
               F.lit("at_risk"))
         .otherwise(F.lit("regular")),
     )
+
+
+sql_query(
+    "funnel_conversion_report",
+    # strictly-ordered funnel (first view -> first later click -> first
+    # later purchase per user); quantized-integer conversion rates
+    """
+    WITH v AS (SELECT user_id, MIN(ts) AS t0 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t1
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t0
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t1
+          GROUP BY e.user_id),
+    n AS (SELECT (SELECT COUNT(*) FROM v) AS n_view,
+                 (SELECT COUNT(*) FROM c) AS n_click,
+                 (SELECT COUNT(*) FROM p) AS n_purchase)
+    SELECT CAST(n_view AS BIGINT) AS n_view,
+           CAST(n_click AS BIGINT) AS n_click,
+           CAST(n_purchase AS BIGINT) AS n_purchase,
+           CAST(FLOOR(n_click * 1000000.0 / n_view) AS BIGINT)
+             AS view_to_click_q,
+           CAST(FLOOR(n_purchase * 1000000.0 / n_click) AS BIGINT)
+             AS click_to_purchase_q
+    FROM n
+    """,
+)
+
+
+@query(
+    "cohort_retention_matrix",
+    # week index = floor(days-since-Monday-epoch / 7); cohort = each
+    # user's first active week; matrix cell = distinct users of cohort
+    # cw active at offset (w - cw)
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             (CAST(ts AS DATE) - DATE '1970-01-05') // 7 AS w
+      FROM events),
+    co AS (SELECT user_id, MIN(w) AS cw FROM uw GROUP BY user_id)
+    SELECT CAST(co.cw AS BIGINT) AS cohort_week,
+           CAST(uw.w - co.cw AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT uw.user_id) AS BIGINT) AS n_users
+    FROM uw JOIN co USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_matrix(spark, sf_dir):
+    """Cohort retention: users grouped by first-active ISO week, counted
+    in each subsequent week offset — the product-analytics matrix every
+    warehouse computes. Two hash aggregations and one user-keyed join;
+    week indices are explicit integer arithmetic (Monday epoch), so both
+    engines agree exactly."""
+    t = tables(spark, sf_dir)
+    wk = F.floor(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-05").cast("date")
+        )
+        / 7
+    ).cast("bigint")
+    uw = t["events"].select("user_id", wk.alias("w")).distinct()
+    co = uw.groupBy("user_id").agg(F.min("w").alias("cw"))
+    return (
+        uw.join(co, on="user_id")
+        .groupBy(
+            F.col("cw").alias("cohort_week"),
+            (F.col("w") - F.col("cw")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )
