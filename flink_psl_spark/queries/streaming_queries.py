@@ -2197,3 +2197,60 @@ def stream_ewma_anomaly(spark, sf_dir):
         F.round("residual", 6).alias("residual"),
         "anomaly",
     )
+
+
+@query(
+    "stream_sft_loss_mask",
+    # the batch loss-mask CTE restricted to WATERMARK-FINALIZED sessions
+    # (last turn + gap <= max ts - 1s): spans and session ordinals are
+    # pure integer arithmetic, so finalized rows equal the batch layout
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    g AS (
+      SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS BIGINT)
+                AS session_n
+      FROM s),
+    wm AS (SELECT MAX(ts) - INTERVAL 1 SECOND AS w FROM events),
+    fin AS (
+      SELECT user_id, session_n FROM g
+      GROUP BY user_id, session_n
+      HAVING EPOCH_US(MAX(ts)) + 1800000000 <= EPOCH_US((SELECT w FROM wm))),
+    t AS (
+      SELECT g.user_id, g.session_n,
+             ROW_NUMBER() OVER w3 AS turn_idx,
+             3 + LEN(event_type) AS seg,
+             SUM(3 + LEN(event_type)) OVER w3 AS cum,
+             SUM(3 + LEN(event_type)) OVER (
+               PARTITION BY g.user_id, g.session_n) AS render_len
+      FROM g JOIN fin ON fin.user_id = g.user_id
+                     AND fin.session_n = g.session_n
+      WINDOW w3 AS (PARTITION BY g.user_id, g.session_n
+                    ORDER BY ts, event_id))
+    SELECT user_id, session_n, CAST(turn_idx AS INT) AS turn_idx,
+           CAST(cum - seg + 3 AS BIGINT) AS mask_start,
+           CAST(cum AS BIGINT) AS mask_end,
+           CAST(render_len AS BIGINT) AS render_len
+    FROM t WHERE turn_idx % 2 = 0
+    """,
+)
+def stream_sft_loss_mask(spark, sf_dir):
+    """CONTINUOUS SFT loss-mask layout: sessions buffer as keyed state
+    and every watermark-finalized session emits its assistant-segment
+    character spans — the streaming counterpart of llm_sft_loss_mask,
+    bit-equal to the batch layout on finalized sessions."""
+    from flink_psl_spark.streaming import stream_sft_loss_mask as op
+
+    ev = stream_from_parquet(spark, f"{sf_dir}/events.parquet", ts_col="ts")
+    out = op(
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        "user_id", "ts", "event_type", "event_id",
+        gap="30 minutes", delay="1 second",
+    )
+    return run_to_memory_table(out, output_mode="append")

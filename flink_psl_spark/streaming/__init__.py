@@ -28,6 +28,7 @@ from flink_psl_spark.streaming.stateful import (  # noqa: F401
     streaming_range_over,
     streaming_event_time_sort,
     stream_ewma_anomaly,
+    stream_sft_loss_mask,
     stream_gap_fill,
     timer_session_agg,
     session_transcripts,

@@ -1315,3 +1315,134 @@ def stream_ewma_anomaly(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_sft_loss_mask(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    turn_col: str,
+    order_col: str,
+    *,
+    gap: str = "30 minutes",
+    delay: str = "10 minutes",
+    user_tag: str = "<u>",
+    assistant_tag: str = "<a>",
+) -> DataFrame:
+    """STREAMING SFT loss-mask layout — the continuous-ingest counterpart
+    of ``llm.sft_loss_mask``: the session machinery of
+    :func:`session_transcripts`, emitting each watermark-finalized
+    session's ASSISTANT-segment character spans (odd turns = user, even
+    = assistant; tag + content rendering, render never materialized).
+
+    Spans are plain integer arithmetic over the finalized session's
+    ordered turns, so finalized rows equal the batch operator's exactly.
+    State per key = the un-finalized tail + one ordinal + one timer.
+    """
+    gap_us = _interval_ms(gap) * 1000
+    u_len, a_len = len(user_tag), len(assistant_tag)
+    src = events.select(key_col, ts_col, order_col, turn_col).withWatermark(
+        ts_col, delay
+    )
+    k_dt = _dt(src, key_col)
+    out_schema = (
+        f"{key_col} {k_dt}, session_n bigint, turn_idx int, "
+        "mask_start bigint, mask_end bigint, render_len bigint"
+    )
+    out_names = [
+        key_col, "session_n", "turn_idx",
+        "mask_start", "mask_end", "render_len",
+    ]
+    state_fields = (
+        "n_done bigint, ts_us array<bigint>, ord array<bigint>, "
+        "turn array<string>"
+    )
+
+    def _split(buf):
+        out = []
+        for row in sorted(buf):
+            if out and row[0] - out[-1][-1][0] <= gap_us:
+                out[-1].append(row)
+            else:
+                out.append([row])
+        return out
+
+    def fn(key, batches: Iterator[pd.DataFrame], state: GroupState):
+        n_done = 0
+        buf: list[tuple[int, int, str]] = []
+        if state.exists:
+            n_done, ts_list, ord_list, turn_list = state.get
+            buf = list(zip(ts_list, ord_list, turn_list))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            us = pdf[ts_col].values.astype("datetime64[us]").astype("int64")
+            buf.extend(
+                (int(t), int(o), str(v))
+                for t, o, v in zip(us, pdf[order_col], pdf[turn_col])
+            )
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        done, keep = [], []
+        for sess in _split(buf):
+            if sess[-1][0] + gap_us <= wm_us:
+                done.append(sess)
+            else:
+                keep.extend(sess)
+        if keep:
+            state.update(
+                (
+                    n_done + len(done),
+                    [t for t, _, _ in keep],
+                    [o for _, o, _ in keep],
+                    [v for _, _, v in keep],
+                )
+            )
+            nxt = min(s[-1][0] + gap_us for s in _split(keep))
+            # 1 ms early — see timer_session_agg's boundary rule
+            state.setTimeoutTimestamp(
+                max(nxt // 1000 - 1, wm_us // 1000 + 1)
+            )
+        elif done:
+            state.update((n_done + len(done), [], [], []))
+            state.setTimeoutTimestamp(wm_us // 1000 + 3_600_000)
+        rows = []
+        for i, sess in enumerate(done):
+            render_len = sum(
+                (u_len if j % 2 == 0 else a_len) + len(v)
+                for j, (_, _, v) in enumerate(sess)
+            )
+            cum = 0
+            for j, (_, _, v) in enumerate(sess):
+                tag = u_len if j % 2 == 0 else a_len
+                seg = tag + len(v)
+                if j % 2 == 1:  # assistant turn (1-based even index)
+                    rows.append(
+                        (
+                            n_done + i + 1, j + 1,
+                            cum + tag, cum + seg, render_len,
+                        )
+                    )
+                cum += seg
+        if rows:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(rows),
+                    "session_n": [r[0] for r in rows],
+                    "turn_idx": pd.Series(
+                        [r[1] for r in rows], dtype="int32"
+                    ),
+                    "mask_start": [r[2] for r in rows],
+                    "mask_end": [r[3] for r in rows],
+                    "render_len": [r[4] for r in rows],
+                }
+            )
+        else:
+            yield pd.DataFrame({c: [] for c in out_names})
+
+    return src.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_fields,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
