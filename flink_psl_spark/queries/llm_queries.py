@@ -4459,3 +4459,112 @@ def llm_hybrid_rrf_topk(spark, sf_dir):
 
     t = tables(spark, sf_dir)
     return hybrid_rrf_topk(t["documents"], t["embeddings"], n_queries=10)
+
+
+@query(
+    "llm_dataset_card",
+    # ONE corpus scan computes every card metric; each is exact integer
+    # arithmetic (token counts, md5 fingerprints, quarter-point quality
+    # scores scaled x4, quantized ratios), unpivoted to (metric, value)
+    oracle=f"""
+    WITH agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(LEN({_TOKS})) AS BIGINT) AS total_tokens,
+             CAST(COUNT(DISTINCT MD5(LOWER(TRIM(
+               REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))) AS BIGINT)
+               AS n_distinct,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_en,
+             CAST(SUM(
+               CASE WHEN LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))
+                         BETWEEN 10 AND 100000 THEN 1 ELSE 0 END
+             + CASE WHEN LEN(REGEXP_REPLACE(text, '\\s', '', 'g')) * 1.0
+                         / LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))
+                         BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END
+             + CASE WHEN LEN(LIST_FILTER(
+                       STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'),
+                       x -> LIST_CONTAINS(['the','a','an','and','or','of',
+                           'to','in','is','are','was','were','be','been',
+                           'it','this','that','for','on','with','as','at',
+                           'by','from','not','no'], x))) * 1.0
+                         / LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))
+                         >= 0.05 THEN 1 ELSE 0 END
+             + CASE WHEN LEN(REGEXP_REPLACE(text,
+                         '[^.,;:!?''"()\\[\\]-]', '', 'g')) * 1.0
+                         / LEN(text) <= 0.3 THEN 1 ELSE 0 END
+             ) AS BIGINT) AS quality_quarters
+      FROM documents)
+    SELECT 'n_docs' AS metric, n_docs AS value FROM agg
+    UNION ALL SELECT 'total_tokens', total_tokens FROM agg
+    UNION ALL SELECT 'n_langs', n_langs FROM agg
+    UNION ALL SELECT 'dup_rate_q',
+      CAST(FLOOR((n_docs - n_distinct) * 1000000.0 / n_docs) AS BIGINT)
+      FROM agg
+    UNION ALL SELECT 'pct_english_q',
+      CAST(FLOOR(n_en * 1000000.0 / n_docs) AS BIGINT) FROM agg
+    UNION ALL SELECT 'mean_quality_q',
+      CAST(FLOOR(quality_quarters * 1000000.0 / (4 * n_docs)) AS BIGINT)
+      FROM agg
+    """,
+)
+def llm_dataset_card(spark, sf_dir):
+    """Dataset card — the one-table summary a corpus release ships:
+    document/token counts, exact-duplicate rate, language spread, share
+    of English, mean Gopher-band quality — ONE corpus scan, every metric
+    exact integer arithmetic, unpivoted to (metric, value)."""
+    from flink_psl_spark.llm.text import quality_score, token_count
+
+    t = tables(spark, sf_dir)
+    fp = F.md5(
+        F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    )
+    agg = t["documents"].agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(token_count("text")).cast("bigint").alias("total_tokens"),
+        F.countDistinct(fp).cast("bigint").alias("n_distinct"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum((F.col("lang") == "en").cast("int"))
+        .cast("bigint")
+        .alias("n_en"),
+        F.sum((quality_score("text") * 4).cast("bigint"))
+        .cast("bigint")
+        .alias("quality_quarters"),
+    )
+    rows = [
+        ("n_docs", F.col("n_docs")),
+        ("total_tokens", F.col("total_tokens")),
+        ("n_langs", F.col("n_langs")),
+        (
+            "dup_rate_q",
+            F.floor(
+                (F.col("n_docs") - F.col("n_distinct"))
+                * 1000000.0
+                / F.col("n_docs")
+            ).cast("bigint"),
+        ),
+        (
+            "pct_english_q",
+            F.floor(F.col("n_en") * 1000000.0 / F.col("n_docs"))
+            .cast("bigint"),
+        ),
+        (
+            "mean_quality_q",
+            F.floor(
+                F.col("quality_quarters")
+                * 1000000.0
+                / (4 * F.col("n_docs"))
+            ).cast("bigint"),
+        ),
+    ]
+    card = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(name).alias("metric"), v.alias("value"))
+                    for name, v in rows
+                ]
+            )
+        ).alias("kv")
+    )
+    return card.select("kv.metric", "kv.value")
