@@ -2464,3 +2464,21 @@ def cohort_retention_matrix(spark, sf_dir):
         )
         .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
     )
+
+
+sql_query(
+    "timeseries_seasonality_report",
+    # hour-of-day profile per event type + an exact integer uniformity
+    # statistic: SUM((24c - n)^2) over the 24 buckets (the chi-square
+    # numerator scaled by 24^2 — zero iff perfectly flat)
+    """
+    WITH h AS (
+      SELECT event_type, CAST(HOUR(ts) AS INT) AS hod, COUNT(*) AS c
+      FROM events GROUP BY event_type, CAST(HOUR(ts) AS INT)),
+    t AS (SELECT event_type, SUM(c) AS n FROM h GROUP BY event_type)
+    SELECT h.event_type, hod, CAST(c AS BIGINT) AS n_events,
+           CAST(SUM((24 * c - n) * (24 * c - n))
+                OVER (PARTITION BY h.event_type) AS BIGINT) AS dev2_total
+    FROM h JOIN t ON t.event_type = h.event_type
+    """,
+)
