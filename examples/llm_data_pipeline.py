@@ -327,3 +327,25 @@ def posttrain_extras(sf_dir: str = "/root/testdata/sf0.001") -> None:
 
     # 24. SFT mask spans over the chat log — the render stays virtual
     sft_loss_mask(t["events"], gap_minutes=30).show(5)
+
+
+def release_extras(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    """Final round-6 wave: classifier, hybrid retrieval, release card."""
+    from flink_psl_spark.llm import (
+        hybrid_rrf_topk,
+        naive_bayes_langid,
+    )
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    t = register_tables(spark, sf_dir)
+    docs = t["documents"]
+
+    # 25. counting classifier — train+score is pure relational algebra
+    naive_bayes_langid(docs).groupBy("pred").count().show()
+
+    # 26. two-signal retrieval: fuse cosine and 3-gram Jaccard ranks
+    hybrid_rrf_topk(docs, t["embeddings"], n_queries=5).show(10)
+
+    # 27. the one-table release card
+    from flink_psl_spark.queries import QUERIES  # registry composition
+    QUERIES["llm_dataset_card"](spark, sf_dir).show()
