@@ -491,3 +491,26 @@ def test_preference_pairs_window_group_limit(spark, t):
     p = _plan(out)
     assert p.count("WindowGroupLimit") >= 2
     assert "CartesianProduct" not in p
+
+
+def test_market_basket_no_cartesian(spark, t):
+    """Basket pair mining joins inside the order key — never a cartesian."""
+    from flink_psl_spark.queries import QUERIES
+
+    out = QUERIES["market_basket_lift"](spark, "/root/testdata/sf0.001")
+    p = _plan(out)
+    assert "CartesianProduct" not in p
+
+
+def test_hybrid_rrf_broadcast_and_window_limits(spark, t):
+    """Hybrid RRF: query shingle sets broadcast; both rank-then-filter
+    windows prune via WindowGroupLimit; no cartesian."""
+    from flink_psl_spark.llm import hybrid_rrf_topk
+
+    out = hybrid_rrf_topk(
+        t["documents"], t["embeddings"], n_queries=5, k_each=10, k=3
+    )
+    p = _plan(out)
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "WindowGroupLimit" in p
