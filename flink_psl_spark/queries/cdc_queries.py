@@ -756,3 +756,96 @@ def incremental_agg_retract_apply(spark, sf_dir):
         )
         .where(F.col("n") > 0)
     )
+
+
+@query(
+    "stream_retract_agg_ingest",
+    # same truth as incremental_agg_retract_apply: the oracle recomputes
+    # the NEW snapshot's aggregate; the stream must reach it by summing
+    # SIGNED rows (base inserts + retract deltas) across micro-batches
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders),
+    b AS (
+      SELECT o_orderkey, o_custkey,
+             cents + CASE WHEN o_custkey % 7 = 0 THEN 1000 ELSE 0 END
+               AS cents
+      FROM o WHERE o_custkey % 11 <> 3
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, cents
+      FROM o WHERE o_orderkey % 13 = 0)
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM b GROUP BY o_custkey
+    """,
+)
+def stream_retract_agg_ingest(spark, sf_dir):
+    """STREAMING changelog aggregation (the reference's retract-mode
+    GroupAggFunction): the base snapshot as +1 inserts plus the
+    -UB/+UA/-D/+I retract deltas stream through an update-mode keyed
+    SUM-of-signed-rows across multiple micro-batches; the final per-key
+    state equals a from-scratch recompute of the new snapshot. Signed
+    sums are commutative integers, so replay order is irrelevant —
+    exactly why the reference carries retractions."""
+    import tempfile
+
+    from flink_psl_spark.operators import deduplicate, retract_rows
+    from flink_psl_spark.streaming import (
+        run_to_memory_table,
+        stream_from_parquet,
+    )
+
+    t = tables(spark, sf_dir)
+    o = t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    new = (
+        o.where(F.col("o_custkey") % 11 != 3)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (
+                F.col("cents")
+                + F.when(F.col("o_custkey") % 7 == 0, 1000).otherwise(0)
+            ).alias("cents"),
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 13 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                "o_custkey",
+                "cents",
+            )
+        )
+    )
+    signed = o.select(
+        "o_custkey", "cents", F.lit(1).cast("int").alias("__sign")
+    ).unionByName(
+        retract_rows(o, new, "o_orderkey").select(
+            "o_custkey", "cents", "__sign"
+        )
+    )
+    path = tempfile.mkdtemp(prefix="fps_retract_") + "/log"
+    # 4 part files -> 4 micro-batches exercise cross-batch accumulation
+    signed.repartition(4).write.parquet(path)
+    stream = stream_from_parquet(spark, path, max_files_per_trigger=1)
+    agg = stream.groupBy("o_custkey").agg(
+        F.sum("__sign").cast("bigint").alias("n"),
+        F.sum(F.col("__sign") * F.col("cents"))
+        .cast("bigint")
+        .alias("total_cents"),
+    )
+    mem = run_to_memory_table(agg, output_mode="update")
+    final = deduplicate(
+        mem.withColumn("__seq", F.monotonically_increasing_id()),
+        ["o_custkey"],
+        ["__seq"],
+        keep="last",
+    ).select("o_custkey", "n", "total_cents")
+    return final.where(F.col("n") > 0)
