@@ -839,3 +839,62 @@ def stream_jdbc_upsert_ingest(spark, sf_dir):
     )
     q.awaitTermination(300)
     return jdbc_table(spark, url, target, driver=driver)
+
+
+@query(
+    "json_corrupt_channel_ingest",
+    # corruption is deterministic (every doc_id % 50 == 0 line is
+    # truncated mid-record), so the good/bad split and the parsed
+    # aggregate are exactly derivable from the base table
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN doc_id % 50 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_parsed,
+           CAST(SUM(CASE WHEN doc_id % 50 <> 0 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS parsed_chars
+    FROM documents
+    """,
+)
+def json_corrupt_channel_ingest(spark, sf_dir):
+    """Malformed-record channeling on JSON ingest (the reference's
+    format error-handling knobs, e.g. json.ignore-parse-errors —
+    JsonRowDataDeserializationSchema): render the documents table to
+    JSON lines, deterministically truncate every 50th record, read back
+    PERMISSIVE with a corrupt-record column, and report the good/bad
+    split plus the parsed aggregate. At scale this is the dead-letter
+    accounting every ingest pipeline runs; nothing leaves the JVM."""
+    import tempfile
+
+    t = tables(spark, sf_dir)
+    line = F.to_json(F.struct("doc_id", "source", "n_chars"))
+    lines = t["documents"].select(
+        F.when(
+            F.col("doc_id") % 50 == 0,
+            # truncate mid-record -> unparseable
+            F.substring(line, 1, 9),
+        )
+        .otherwise(line)
+        .alias("value")
+    )
+    path = tempfile.mkdtemp(prefix="fps_badjson_") + "/lines"
+    lines.write.text(path)
+    back = (
+        spark.read.schema(
+            "doc_id bigint, source string, n_chars bigint, _bad string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(path)
+    )
+    return back.agg(
+        F.sum(F.col("_bad").isNotNull().cast("int"))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.sum(F.col("_bad").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_parsed"),
+        F.sum(F.when(F.col("_bad").isNull(), F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("parsed_chars"),
+    )
