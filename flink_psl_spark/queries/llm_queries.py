@@ -4568,3 +4568,105 @@ def llm_dataset_card(spark, sf_dir):
         ).alias("kv")
     )
     return card.select("kv.metric", "kv.value")
+
+
+@query(
+    "llm_span_corruption",
+    # the mask choice is a pure hash of (doc_id, position), so both
+    # engines derive the identical corruption; long strings compare by
+    # md5 fingerprint to keep the result rows small
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    m AS (
+      SELECT doc_id, w,
+             [CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|' ||
+                                      CAST(i AS VARCHAR)), 1, 6) AS BIGINT)
+              % 5 = 0
+              FOR i IN RANGE(1, LEN(w) + 1)] AS flags
+      FROM d),
+    r AS (
+      SELECT doc_id,
+             CAST(LEN(LIST_FILTER(flags, x -> x)) AS BIGINT) AS n_masked,
+             MD5(ARRAY_TO_STRING(
+               [CASE WHEN flags[i] THEN '<X>' ELSE w[i] END
+                FOR i IN RANGE(1, LEN(w) + 1)], ' ')) AS corrupted_fp,
+             MD5(COALESCE(ARRAY_TO_STRING(
+               [w[i] FOR i IN RANGE(1, LEN(w) + 1) IF flags[i]], ' '), ''))
+               AS target_fp
+      FROM m)
+    SELECT doc_id, n_masked, corrupted_fp, target_fp FROM r
+    """,
+)
+def llm_span_corruption(spark, sf_dir):
+    """Denoising-objective data prep (T5-style span corruption): every
+    token position hashes deterministically to masked-or-kept (~20%),
+    the corrupted input replaces masked tokens with a sentinel, and the
+    target collects the removed tokens — all expression-only; the mask
+    is a pure (doc, position) hash, so shards, retries, and engines
+    derive the identical corruption."""
+    from flink_psl_spark.llm.text import bind_once, tokenize
+
+    t = tables(spark, sf_dir)
+
+    def mk(tk):
+        flags = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(tk), F.lit(1))),
+            lambda i: (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                F.col("doc_id").cast("string"),
+                                i.cast("string"),
+                            )
+                        ),
+                        1,
+                        6,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 5
+                == 0
+            ),
+        )
+        return F.struct(tk.alias("w"), flags.alias("flags"))
+
+    m = t["documents"].select(
+        "doc_id", bind_once(tokenize(F.col("text")), mk).alias("m")
+    )
+    w, flags = F.col("m.w"), F.col("m.flags")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w), F.lit(1)))
+    corrupted = F.transform(
+        idx,
+        lambda i: F.when(F.element_at(flags, i), F.lit("<X>")).otherwise(
+            F.element_at(w, i)
+        ),
+    )
+    target = F.filter(
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(w, i).alias("t"),
+                F.element_at(flags, i).alias("f"),
+            ),
+        ),
+        lambda s: s["f"],
+    )
+    empty = F.size(w) == 0  # guard the greatest(...,1) phantom index
+    return m.select(
+        "doc_id",
+        F.when(empty, F.lit(0))
+        .otherwise(F.size(F.filter(flags, lambda x: x)))
+        .cast("bigint")
+        .alias("n_masked"),
+        F.md5(
+            F.when(empty, F.lit("")).otherwise(F.concat_ws(" ", corrupted))
+        ).alias("corrupted_fp"),
+        F.md5(
+            F.when(empty, F.lit("")).otherwise(
+                F.concat_ws(" ", F.transform(target, lambda s: s["t"]))
+            )
+        ).alias("target_fp"),
+    )
