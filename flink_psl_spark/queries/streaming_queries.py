@@ -2254,3 +2254,68 @@ def stream_sft_loss_mask(spark, sf_dir):
         gap="30 minutes", delay="1 second",
     )
     return run_to_memory_table(out, output_mode="append")
+
+
+@query(
+    "stream_json_corrupt_ingest",
+    # same deterministic corruption as the batch channel — the stream's
+    # final complete-mode counters equal the batch split exactly
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN doc_id % 50 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_parsed,
+           CAST(SUM(CASE WHEN doc_id % 50 <> 0 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS parsed_chars
+    FROM documents
+    """,
+)
+def stream_json_corrupt_ingest(spark, sf_dir):
+    """CONTINUOUS dead-letter accounting: the corrupt-record channel on
+    a JSON stream — malformed lines land in the _bad column and the
+    running good/bad counters aggregate in complete mode; the final
+    counters equal the batch split."""
+    import tempfile
+
+    from flink_psl_spark.operators import deduplicate
+
+    t = tables(spark, sf_dir)
+    line = F.to_json(F.struct("doc_id", "source", "n_chars"))
+    lines = t["documents"].select(
+        F.when(F.col("doc_id") % 50 == 0, F.substring(line, 1, 9))
+        .otherwise(line)
+        .alias("value")
+    )
+    path = tempfile.mkdtemp(prefix="fps_badjson_s_") + "/lines"
+    lines.repartition(3).write.text(path)
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, source string, n_chars bigint, _bad string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .option("maxFilesPerTrigger", 1)
+        .json(path)
+    )
+    agg = stream.agg(
+        F.sum(F.col("_bad").isNotNull().cast("int"))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.sum(F.col("_bad").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_parsed"),
+        F.sum(F.when(F.col("_bad").isNull(), F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("parsed_chars"),
+    )
+    mem = run_to_memory_table(agg, output_mode="complete")
+    return (
+        deduplicate(
+            mem.withColumn("__seq", F.monotonically_increasing_id())
+            .withColumn("__k", F.lit(1)),
+            ["__k"],
+            ["__seq"],
+            keep="last",
+        )
+        .select("n_corrupt", "n_parsed", "parsed_chars")
+    )
