@@ -783,3 +783,53 @@ def test_snapshot_diff_matches_dict_model(spark, pair):
         elif old_d[k] != new_d[k]:
             expect[k] = (new_d[k], "U")  # after-image
     assert out == expect
+
+
+@given(doc_corpus())
+@settings(**_SETTINGS)
+def test_kneser_ney_matches_python_model(spark, rows):
+    """kneser_ney_scores vs a pure-python interpolated-KN model: same
+    bigram counts and quantized log-prob sums for arbitrary corpora."""
+    import math
+
+    from flink_psl_spark.llm.text import kneser_ney_scores
+
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in kneser_ney_scores(df).collect()
+    }
+    per_doc, bgs = {}, []
+    for doc_id, _, text in rows:
+        ws = text.split()
+        doc_bg = [(ws[i], ws[i + 1]) for i in range(len(ws) - 1)]
+        per_doc[doc_id] = doc_bg
+        bgs.extend(doc_bg)
+    c12: dict = {}
+    c1: dict = {}
+    n1f: dict = {}
+    n1b: dict = {}
+    for a, b in bgs:
+        c12[(a, b)] = c12.get((a, b), 0) + 1
+        c1[a] = c1.get(a, 0) + 1
+    for a, b in set(bgs):
+        n1f[a] = n1f.get(a, 0) + 1
+        n1b[b] = n1b.get(b, 0) + 1
+    t = float(len(set(bgs)))
+    d = 0.75
+    for doc_id, doc_bg in per_doc.items():
+        if not doc_bg:
+            assert got[doc_id] == (0, None)
+            continue
+        s = 0
+        for a, b in doc_bg:
+            p = (
+                max(c12[(a, b)] - d, 0.0) / c1[a]
+                + d * n1f[a] / c1[a] * (n1b[b] / t)
+            )
+            s += round(math.log(p) * 1e6)
+        n, avg = got[doc_id]
+        assert n == len(doc_bg)
+        assert abs(avg - s / n / 1e6) < 1e-6
