@@ -59,5 +59,41 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     run_to_memory_table(matches, output_mode="append").show(6)
 
 
+def monitoring_extras(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    """Round-6 closers: the online EWMA monitor and continuous SFT masks."""
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark import get_spark
+    from flink_psl_spark.streaming import (
+        run_to_memory_table,
+        stream_ewma_anomaly,
+        stream_from_parquet,
+        stream_sft_loss_mask,
+    )
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    ev = stream_from_parquet(spark, f"{sf_dir}/events.parquet", ts_col="ts")
+
+    # EWMA recurrence as keyed state: anomalies flag as the watermark
+    # finalizes each daily bucket
+    out = stream_ewma_anomaly(
+        ev.select("event_type", "ts", "value"),
+        "event_type", "ts", "value",
+        bucket_ms=86_400_000, alpha=0.25, threshold=120.0,
+        delay="1 second",
+    )
+    run_to_memory_table(out, output_mode="append").orderBy(
+        F.desc("anomaly"), "bucket_ts"
+    ).show(6)
+
+    # SFT loss-mask spans emitted as sessions close
+    masks = stream_sft_loss_mask(
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        "user_id", "ts", "event_type", "event_id",
+        gap="30 minutes", delay="1 second",
+    )
+    run_to_memory_table(masks, output_mode="append").show(6)
+
+
 if __name__ == "__main__":
     main(*sys.argv[1:])
