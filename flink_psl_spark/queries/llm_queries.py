@@ -4670,3 +4670,81 @@ def llm_span_corruption(spark, sf_dir):
             )
         ).alias("target_fp"),
     )
+
+
+@query(
+    "llm_fim_transform",
+    # both cut points are pure (doc, salt) hashes, so prefix/middle/
+    # suffix and the PSM rendering derive identically on both engines;
+    # long strings compare by md5 fingerprint
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, LEN(text) AS n,
+             CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|1'),
+                                 1, 6) AS BIGINT) AS h1,
+             CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|2'),
+                                 1, 6) AS BIGINT) AS h2
+      FROM documents),
+    c AS (
+      SELECT doc_id, text, n, h1 % (n + 1) AS a,
+             h1 % (n + 1) + h2 % (n - h1 % (n + 1) + 1) AS b
+      FROM d)
+    SELECT doc_id,
+           CAST(a AS BIGINT) AS n_prefix,
+           CAST(b - a AS BIGINT) AS n_middle,
+           CAST(n - b AS BIGINT) AS n_suffix,
+           MD5('[PRE]' || SUBSTR(text, 1, a)
+               || '[SUF]' || SUBSTR(text, b + 1, n - b)
+               || '[MID]' || SUBSTR(text, a + 1, b - a)) AS psm_fp
+    FROM c
+    """,
+)
+def llm_fim_transform(spark, sf_dir):
+    """Fill-in-the-middle data prep (the FIM transformation code models
+    train on): two hash-derived cut points split each document into
+    prefix/middle/suffix and the sample renders in PSM order
+    ([PRE] prefix [SUF] suffix [MID] middle) — expression-only, the
+    cuts a pure (doc, salt) hash, so shards and engines derive the
+    identical sample."""
+    t = tables(spark, sf_dir)
+    d = t["documents"].select(
+        "doc_id",
+        "text",
+        F.length("text").alias("n"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|1"))),
+                1, 6,
+            ),
+            16, 10,
+        ).cast("bigint").alias("h1"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|2"))),
+                1, 6,
+            ),
+            16, 10,
+        ).cast("bigint").alias("h2"),
+    )
+    c = d.select(
+        "doc_id", "text", "n", "h2",
+        (F.col("h1") % (F.col("n") + 1)).alias("a"),
+    ).withColumn(
+        "b", F.col("a") + F.col("h2") % (F.col("n") - F.col("a") + 1)
+    )
+    return c.select(
+        "doc_id",
+        F.col("a").cast("bigint").alias("n_prefix"),
+        (F.col("b") - F.col("a")).cast("bigint").alias("n_middle"),
+        (F.col("n") - F.col("b")).cast("bigint").alias("n_suffix"),
+        F.md5(
+            F.concat(
+                F.lit("[PRE]"),
+                F.expr("substring(text, 1, a)"),
+                F.lit("[SUF]"),
+                F.expr("substring(text, b + 1, n - b)"),
+                F.lit("[MID]"),
+                F.expr("substring(text, a + 1, b - a)"),
+            )
+        ).alias("psm_fp"),
+    )
