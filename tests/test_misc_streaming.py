@@ -555,3 +555,82 @@ def test_stream_ewma_matches_batch_on_finalized_buckets(spark, tmp_path):
     assert got[("a", "2024-01-02 00:00:00")][2] == 249.5
     assert got[("a", "2024-01-02 00:00:00")][3] is True
     assert not got[("a", "2024-01-03 00:00:00")][3]
+
+
+def test_stream_ewma_restart_recovers_state(spark, tmp_path):
+    """Stop/restart from the checkpoint: the carried smoothed value and
+    the watermark survive, so a bucket finalized AFTER the restart
+    continues the recurrence instead of restarting it."""
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.operators.windows import ewma_anomaly
+    from flink_psl_spark.streaming import stream_ewma_anomaly
+
+    schema = "k string, ts string, v double"
+    src, out, ck = (
+        str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+
+    def write(rows):
+        df = spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema("k string, ts timestamp, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream_ewma_anomaly(
+                stream, "k", "ts", "v",
+                bucket_ms=86_400_000, alpha=0.25, threshold=200.0,
+                delay="1 second",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # phase 1: a's days 1-2, watermark driven to day 3
+    write([("a", "2024-01-01 10:00:00", 100.0),
+           ("a", "2024-01-02 10:00:00", 400.0)])
+    write([("z", "2024-01-03 00:00:01", 1.0)])
+    run()
+    n_phase1 = spark.read.parquet(out).where("k = 'a'").count()
+    assert n_phase1 == 2  # days 1 and 2 finalized before the restart
+
+    # phase 2 (restart from ck): a's days 3-4, watermark to day 6 —
+    # day 3's residual must continue from the RECOVERED smoothed value
+    write([("a", "2024-01-03 10:00:00", 80.0),
+           ("a", "2024-01-04 10:00:00", 90.0)])
+    write([("z", "2024-01-06 00:00:01", 1.0)])
+    run()
+
+    got = {
+        str(r["bucket_ts"]): (r["x"], r["smoothed"], r["residual"])
+        for r in spark.read.parquet(out).where("k = 'a'").collect()
+    }
+    batch = {
+        str(r["bucket_ts"]): (r["x"], r["smoothed"], r["residual"])
+        for r in ewma_anomaly(
+            spark.createDataFrame(
+                [("a", "2024-01-01 10:00:00", 100.0),
+                 ("a", "2024-01-02 10:00:00", 400.0),
+                 ("a", "2024-01-03 10:00:00", 80.0),
+                 ("a", "2024-01-04 10:00:00", 90.0)],
+                schema,
+            ).withColumn("ts", F.to_timestamp("ts")),
+            "k", "ts", "v",
+            bucket="day", alpha=0.25, threshold=200.0,
+        ).collect()
+    }
+    assert len(got) == 4 and got == batch
+    # the restart-crossing bucket: s2 = .25*400 + .75*100 = 175;
+    # res(day3) = 80 - 175 = -95 — only correct if state was recovered
+    assert got["2024-01-03 00:00:00"][2] == -95.0
