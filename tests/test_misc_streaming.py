@@ -634,3 +634,71 @@ def test_stream_ewma_restart_recovers_state(spark, tmp_path):
     # the restart-crossing bucket: s2 = .25*400 + .75*100 = 175;
     # res(day3) = 80 - 175 = -95 — only correct if state was recovered
     assert got["2024-01-03 00:00:00"][2] == -95.0
+
+
+def test_stream_sft_mask_restart_recovers_sessions(spark, tmp_path):
+    """An UNFINISHED session buffered at shutdown must finalize correctly
+    after a checkpoint restart, with the per-key session ordinal intact."""
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.streaming import stream_sft_loss_mask
+
+    schema = "u int, ts string, eid int, et string"
+    src, out, ck = (
+        str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+
+    def write(rows):
+        df = spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "u int, ts timestamp, eid int, et string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream_sft_loss_mask(
+                stream, "u", "ts", "et", "eid",
+                gap="30 minutes", delay="1 second",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # phase 1: session 1 completes (watermark passes it); session 2's
+    # first turn arrives but stays buffered at shutdown
+    write([(7, "2024-01-01 10:00:00", 1, "hello"),
+           (7, "2024-01-01 10:01:00", 2, "hi")])
+    write([(7, "2024-01-01 12:00:00", 3, "question"),
+           (9, "2024-01-01 12:01:00", 99, "wm")])
+    run()
+    p1 = spark.read.parquet(out).where("u = 7").collect()
+    assert [(r["session_n"], r["turn_idx"]) for r in p1] == [(1, 2)]
+
+    # phase 2 (restart): session 2's reply arrives (NEWER than the
+    # persisted watermark), then the watermark closes the session — the
+    # buffered first turn and the ordinal must have been recovered
+    write([(7, "2024-01-01 12:05:00", 4, "answer"),
+           (9, "2024-01-01 14:00:00", 100, "wm")])
+    run()
+    got = {
+        (r["session_n"], r["turn_idx"]): (r["mask_start"], r["mask_end"],
+                                          r["render_len"])
+        for r in spark.read.parquet(out).where("u = 7").collect()
+    }
+    assert got == {
+        # session 1: "<u>hello<a>hi" -> "hi" spans [11, 13)
+        (1, 2): (11, 13, 13),
+        # session 2: "<u>question<a>answer" -> "answer" spans [14, 20)
+        (2, 2): (14, 20, 20),
+    }
