@@ -2319,3 +2319,75 @@ def stream_json_corrupt_ingest(spark, sf_dir):
         )
         .select("n_corrupt", "n_parsed", "parsed_chars")
     )
+
+
+@query(
+    "stream_multi_sink_fanout",
+    # both sinks fed from ONE pass over the stream; the verification
+    # union is exactly derivable from the base table
+    oracle="""
+    SELECT 'counts' AS sink, event_type AS k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'alerts' AS sink, event_type AS k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events WHERE value > 9.5 GROUP BY event_type
+    """,
+)
+def stream_multi_sink_fanout(spark, sf_dir):
+    """Multi-sink fan-out from one stream — the streaming form of the
+    reference's EXECUTE STATEMENT SET (one source pass feeding several
+    INSERT INTO targets): each micro-batch persists BOTH the per-type
+    counters and the filtered alert rows from a single foreachBatch
+    (per-batch work shared; the batch df is reused for both writes).
+    The verification re-reads both sinks and must equal the base table's
+    split exactly — no rows duplicated or dropped across sinks."""
+    import tempfile
+
+    ev = stream_from_parquet(spark, f"{sf_dir}/events.parquet", ts_col="ts")
+    d = tempfile.mkdtemp(prefix="fps_fanout_")
+    counts_dir, alerts_dir = f"{d}/counts", f"{d}/alerts"
+
+    def write_both(batch_df, batch_id):
+        batch_df.persist()
+        try:
+            (
+                batch_df.groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .write.mode("append")
+                .parquet(counts_dir)
+            )
+            (
+                batch_df.where(F.col("value") > 9.5)
+                .select("event_type", "event_id")
+                .write.mode("append")
+                .parquet(alerts_dir)
+            )
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        ev.writeStream.foreachBatch(write_both)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="fps_fanout_ck_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    counts = (
+        spark.read.parquet(counts_dir)
+        .groupBy("event_type")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+        .select(F.lit("counts").alias("sink"),
+                F.col("event_type").alias("k"), "n")
+    )
+    alerts = (
+        spark.read.parquet(alerts_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.lit("alerts").alias("sink"),
+                F.col("event_type").alias("k"), "n")
+    )
+    return counts.unionByName(alerts)
