@@ -849,3 +849,77 @@ def stream_retract_agg_ingest(spark, sf_dir):
         keep="last",
     ).select("o_custkey", "n", "total_cents")
     return final.where(F.col("n") > 0)
+
+
+@query(
+    "scd2_temporal_join",
+    # the dimensional-model composition: the scd2 oracle's history CTE,
+    # then each purchase matched to the version whose
+    # [valid_from, valid_to) interval contains its timestamp
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, ts, value, event_id,
+             CASE event_type WHEN 'signup' THEN 'I'
+                             WHEN 'error' THEN 'D'
+                             ELSE 'U' END AS op
+      FROM events),
+    c2 AS (
+      SELECT user_id, ts, value, op,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, op, event_id) AS valid_to
+      FROM ch),
+    hist AS (
+      SELECT user_id, ROUND(value, 6) AS dim_value,
+             ts AS valid_from, valid_to
+      FROM c2 WHERE op <> 'D')
+    SELECT p.event_id, p.user_id, h.dim_value,
+           h.valid_from, h.valid_to
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    JOIN hist h
+      ON h.user_id = p.user_id
+     AND p.ts >= h.valid_from
+     AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+    """,
+)
+def scd2_temporal_join(spark, sf_dir):
+    """The dimensional-model composition end to end: maintain the SCD2
+    user dimension from the changelog, then join every purchase to the
+    version valid at its event time ([valid_from, valid_to) containment)
+    — the fact-to-versioned-dimension pattern the reference's
+    FOR SYSTEM_TIME AS OF serves. One user-keyed equi-join with a range
+    residual; versions tile each key's timeline, so the match is
+    unique."""
+    from flink_psl_spark.operators.changelog import scd2_history
+
+    t = tables(spark, sf_dir)
+    ch = t["events"].select(
+        "user_id",
+        "ts",
+        F.round("value", 6).alias("value"),
+        "event_id",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("__op"),
+    )
+    hist = scd2_history(ch, "user_id", "ts", tiebreak=["event_id"]).select(
+        F.col("user_id").alias("h_user"),
+        F.col("value").alias("dim_value"),
+        "valid_from",
+        "valid_to",
+    )
+    p = (
+        t["events"]
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    return (
+        p.join(
+            hist,
+            (F.col("user_id") == F.col("h_user"))
+            & (F.col("ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        )
+        .select("event_id", "user_id", "dim_value", "valid_from", "valid_to")
+    )
