@@ -2482,3 +2482,28 @@ sql_query(
     FROM h JOIN t ON t.event_type = h.event_type
     """,
 )
+
+
+sql_query(
+    "yoy_revenue_growth",
+    # per-segment year-over-year growth in quantized integer parts-per-
+    # million; integer-cent revenue keeps sums exact, LAG gives NULL
+    # growth for each segment's first year
+    """
+    WITH r AS (
+      SELECT c_mktsegment AS segment,
+             CAST(YEAR(o_orderdate) AS INT) AS yr,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, CAST(YEAR(o_orderdate) AS INT)),
+    g AS (
+      SELECT segment, yr, rev_cents,
+             LAG(rev_cents) OVER (PARTITION BY segment ORDER BY yr) AS prev
+      FROM r)
+    SELECT segment, yr, rev_cents,
+           CAST(FLOOR((rev_cents - prev) * 1000000.0 / prev) AS BIGINT)
+             AS growth_q
+    FROM g
+    """,
+)
