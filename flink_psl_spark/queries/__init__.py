@@ -87,7 +87,8 @@ import flink_psl_spark.queries.datastream_queries  # noqa: F401, E402
 # timeseries_seasonality_report, stream_retract_agg_ingest,
 # json_corrupt_channel_ingest, llm_span_corruption,
 # stream_json_corrupt_ingest, llm_fim_transform,
-# stream_multi_sink_fanout, scd2_temporal_join, yoy_revenue_growth
+# stream_multi_sink_fanout, scd2_temporal_join, yoy_revenue_growth,
+# pareto_abc_classification
 # (positions 51+) — so r7's
 # window leads with them,
 # the 10 r1 rows that didn't fit here (agg_multiset, agg_json,

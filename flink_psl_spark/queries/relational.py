@@ -2507,3 +2507,32 @@ sql_query(
     FROM g
     """,
 )
+
+
+sql_query(
+    "pareto_abc_classification",
+    # ABC inventory classes per part type: A while the PRIOR cumulative
+    # share is under 80%, B under 95%, else C — all comparisons exact
+    # integer cross-multiplications over integer-cent revenue; windows
+    # shuffle on the type key, never globally
+    """
+    WITH r AS (
+      SELECT p_type, l_partkey,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_type, l_partkey),
+    w AS (
+      SELECT p_type, l_partkey, rev_cents,
+             SUM(rev_cents) OVER (
+               PARTITION BY p_type ORDER BY rev_cents DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(rev_cents) OVER (PARTITION BY p_type) AS tot
+      FROM r)
+    SELECT p_type, l_partkey, rev_cents,
+           CASE WHEN (cum - rev_cents) * 5 < tot * 4 THEN 'A'
+                WHEN (cum - rev_cents) * 20 < tot * 19 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM w
+    """,
+)
