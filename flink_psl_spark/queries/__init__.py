@@ -31,93 +31,82 @@ import flink_psl_spark.queries.datastream_queries  # noqa: F401, E402
 # Driver-visibility ordering: the verify harness checks queries in
 # registration order and may truncate (each round checks the first 50),
 # so the front of the dict carries the queries with the LEAST prior
-# driver evidence. ROUND-6 rotation (the precomputed r5 seed + staleness
-# refresh): slots 1-6 are the six queries that have NEVER had a driver
-# CORRECTNESS row (new in r5, past the r5 window's truncation point);
-# slot 7 is the try_functions re-proof (the only r5 red — output-dtype
-# canonicalization, fixed this round); slots 8-9 are new-in-r6 operators
-# (NDU analysis driver query, two-level semantic dedup); slots 10-50
-# re-prove the 41 OLDEST-evidence greens (round-1 rows, four rounds
-# stale) in registration order — cumulative driver coverage stays
-# honest instead of resting on r1 hashes. ROUND-7 seed (precomputed):
-# the _reorder middle places new-in-r6 queries past the window —
-# llm_bloom_decontamination, llm_sq_ann_topk, llm_image_dhash_dedup,
-# llm_image_near_dedup, llm_heavy_hitter_ngrams, skew_key_report,
-# table_profile_report, llm_audio_fingerprint_dedup,
-# llm_video_clip_dedup, llm_bfd_packing,
-# stream_bloom_decontaminate_ingest, salted_join_skew, llm_hash_split,
-# table_validation_report, snapshot_diff_changelog, llm_diversity_sample,
-# llm_tfidf_top_terms, llm_vocab_coverage, stream_validation_ingest,
-# metric_anomaly_report, llm_cluster_report, distribution_drift_report,
-# llm_duplicate_spans, stream_drift_ingest, llm_span_dedup_rewrite,
-# zorder_clustering_report, scd2_dimension_history, stream_scd2_dimension,
+# driver evidence. ROUND-7 rotation: round 6 left 119 registered queries
+# with no driver CORRECTNESS row (all green in the builder's sf0.01
+# replica + sf0.1 full-registry runs; see VERDICT.md round 6, task 1).
+# This window is the curated first 50 of that backlog — engine-side
+# SURVEY §2 rows first (window TVF SESSION, recursive CTEs, keyless
+# interval join, forward as-of, retract application, format roundtrips,
+# multi-sink fan-out, streaming JDBC upsert, changelog snapshot-diff,
+# skew tooling, SCD2, exact window distinct, online/multimodal dedup at
+# ingest, incremental refresh), then the sketch family (row 42), the
+# in-engine training family, multimodal dedup, and the privacy suite.
+# The remaining 69 never-checked queries follow in registration order
+# (the _reorder middle) and form the precomputed ROUND-8 seed:
+# llm_bloom_decontamination (already windowed below — r8 takes the
+# middle's actual survivors), table_profile_report, llm_bfd_packing,
+# stream_bloom_decontaminate_ingest, llm_hash_split,
+# table_validation_report, llm_diversity_sample, llm_tfidf_top_terms,
+# llm_vocab_coverage, stream_validation_ingest, metric_anomaly_report,
+# llm_cluster_report, distribution_drift_report, llm_duplicate_spans,
+# stream_drift_ingest, llm_span_dedup_rewrite, zorder_clustering_report,
 # llm_mixed_language_report, fuzzy_join_customers, fuzzy_name_dedup,
-# table_topk_values_report, dataset_fingerprint_orders, join_size_advisor,
-# compressed_format_roundtrip, sequence_file_roundtrip,
-# llm_ngram_novelty, llm_compression_ratio_check, schema_contract_check,
-# llm_text_normalize, stream_dataset_fingerprint, llm_weighted_sample,
-# llm_embedding_pca, llm_html_extract, math_functions3,
-# stream_weighted_sample, llm_curriculum_schedule, llm_embedding_outliers,
-# llm_bm25_topk, llm_conversation_assembly, stream_online_lsh_dedup,
-# interval_join_keyless, stream_conversation_assembly, llm_dedup_keep_best,
-# llm_cross_corpus_dedup, llm_containment_pairs, asof_join_tolerance_forward,
-# llm_mmr_rerank, incremental_partition_refresh, llm_tokenizer_fertility,
-# llm_corpus_overlap_sketch, stream_corpus_overlap_sketch,
-# kanon_customer_release, l_diversity_customers, dp_noisy_event_counts,
-# llm_trained_quality_classifier, stream_quality_score_ingest,
-# llm_unigram_train_agreement, llm_unigram_encode_stats,
-# file_sizing_report, incremental_join_view_refresh,
-# join_key_overlap_advisor, stream_heavy_hitters_ingest,
-# stream_window_distinct_sketch, llm_leakage_safe_split,
-# timeseries_gap_fill, llm_source_similarity_matrix,
-# stream_jdbc_upsert_ingest, hybrid_backfill_union,
-# stream_timeseries_gap_fill, histogram_quantiles_report,
-# stream_histogram_quantiles, llm_kmeans_train_agreement,
+# table_topk_values_report, dataset_fingerprint_orders,
+# join_size_advisor, llm_ngram_novelty, llm_compression_ratio_check,
+# schema_contract_check, llm_text_normalize, stream_dataset_fingerprint,
+# llm_weighted_sample, llm_embedding_pca, llm_html_extract,
+# stream_weighted_sample, llm_curriculum_schedule,
+# llm_embedding_outliers, llm_bm25_topk, llm_conversation_assembly,
+# stream_conversation_assembly, llm_dedup_keep_best,
+# llm_cross_corpus_dedup, llm_containment_pairs, llm_mmr_rerank,
+# llm_tokenizer_fertility, stream_quality_score_ingest,
+# llm_leakage_safe_split, timeseries_gap_fill,
+# llm_source_similarity_matrix, stream_timeseries_gap_fill,
+# histogram_quantiles_report, stream_histogram_quantiles,
 # gdpr_delete_sweep, schema_contract_migration,
-# stream_contract_migration_ingest, stream_exact_window_distinct,
-# stream_image_dedup_ingest, llm_kneser_ney_score,
-# recursive_cte_order_chain, recursive_cte_event_paths,
-# llm_wordpiece_train_agreement, llm_wordpiece_encode_stats,
-# llm_preference_pairs, xml_format_roundtrip, llm_sft_loss_mask,
-# timeseries_ewma_anomaly, stream_ewma_anomaly, session_tvf_sql,
-# llm_sft_pipeline, llm_naive_bayes_langid, llm_hybrid_rrf_topk,
-# incremental_agg_retract_apply, market_basket_lift,
+# stream_contract_migration_ingest, llm_preference_pairs,
+# llm_sft_loss_mask, timeseries_ewma_anomaly, stream_ewma_anomaly,
+# llm_sft_pipeline, llm_hybrid_rrf_topk, market_basket_lift,
 # rfm_customer_segments, funnel_conversion_report,
 # cohort_retention_matrix, stream_sft_loss_mask, llm_dataset_card,
-# timeseries_seasonality_report, stream_retract_agg_ingest,
-# json_corrupt_channel_ingest, llm_span_corruption,
-# stream_json_corrupt_ingest, llm_fim_transform,
-# stream_multi_sink_fanout, scd2_temporal_join, yoy_revenue_growth,
-# pareto_abc_classification
-# (positions 51+) — so r7's
-# window leads with them,
-# the 10 r1 rows that didn't fit here (agg_multiset, agg_json,
-# dedup_keep_first, dedup_keep_last, changelog_normalize,
-# interval_join_batch, asof_join, q4/q5/q7), and then the oldest r2 rows
-# (now four rounds stale themselves).
+# timeseries_seasonality_report, llm_span_corruption,
+# llm_fim_transform, yoy_revenue_growth, pareto_abc_classification
+# — followed by the driver-checked tail (oldest r2 rows first candidates
+# for a staleness refresh once the backlog drains).
 _PRIORITY_WINDOW = [
-    # never driver-checked (new in r5, precomputed r6 seed)
-    "sum0_timestamp_ltz_fn", "pysource_stream_datagen_agg",
-    "pysource_datagen_fields", "jdbc_upsert_roundtrip",
-    "filesystem_partition_commit", "datastream_window_agg",
-    # the one r5 red — canonicalization fix re-proof
-    "try_functions",
-    # new in round 6
-    "ndu_analysis", "llm_semantic_dedup_two_level", "llm_pq_ann_topk",
-    # r1-evidence refresh (41 oldest rows, registration order)
-    "calc_project_filter", "q1_pricing_summary", "q3_shipping_priority",
-    "q6_forecast_revenue", "q14_promo_effect", "q18_large_volume",
-    "agg_distinct", "agg_stats", "agg_rollup", "agg_cube",
-    "agg_grouping_sets", "agg_listagg", "agg_collect",
-    "agg_approx_distinct", "join_multiway_revenue", "join_left_agg",
-    "join_full_outer", "join_semi", "join_anti", "join_theta_nonequi",
-    "join_cross", "join_broadcast_dim", "setop_union_all",
-    "setop_union_distinct", "setop_intersect", "setop_except",
-    "setop_intersect_all", "setop_except_all", "subquery_scalar",
-    "subquery_in", "subquery_correlated", "orderby_limit",
-    "explode_words", "pivot_event_counts", "string_functions",
-    "math_functions", "temporal_functions", "hash_functions",
-    "json_functions", "case_conditional",
+    # engine-side SURVEY §2 rows (rows 40/59/27/29/56/10/14/7/60/55/35)
+    "session_tvf_sql", "recursive_cte_order_chain",
+    "recursive_cte_event_paths", "interval_join_keyless",
+    "asof_join_tolerance_forward", "incremental_agg_retract_apply",
+    "stream_retract_agg_ingest", "compressed_format_roundtrip",
+    "sequence_file_roundtrip", "xml_format_roundtrip",
+    "json_corrupt_channel_ingest", "stream_json_corrupt_ingest",
+    "stream_multi_sink_fanout", "stream_jdbc_upsert_ingest",
+    "math_functions3", "snapshot_diff_changelog", "salted_join_skew",
+    "skew_key_report",
+    # SCD2 / file sizing / exact-distinct chain / ingest-time dedup /
+    # incremental refresh (rows 29/13/52+33/55)
+    "scd2_temporal_join", "scd2_dimension_history",
+    "stream_scd2_dimension", "file_sizing_report",
+    "stream_exact_window_distinct", "stream_online_lsh_dedup",
+    "stream_image_dedup_ingest", "hybrid_backfill_union",
+    "incremental_partition_refresh", "incremental_join_view_refresh",
+    # sketch family (row 42)
+    "llm_corpus_overlap_sketch", "stream_corpus_overlap_sketch",
+    "join_key_overlap_advisor", "stream_heavy_hitters_ingest",
+    "stream_window_distinct_sketch",
+    # in-engine training family
+    "llm_trained_quality_classifier", "llm_sq_ann_topk",
+    "llm_unigram_train_agreement", "llm_unigram_encode_stats",
+    "llm_wordpiece_train_agreement", "llm_wordpiece_encode_stats",
+    "llm_kmeans_train_agreement", "llm_kneser_ney_score",
+    "llm_naive_bayes_langid", "llm_heavy_hitter_ngrams",
+    # decontamination + multimodal dedup
+    "llm_bloom_decontamination", "llm_image_dhash_dedup",
+    "llm_image_near_dedup", "llm_audio_fingerprint_dedup",
+    "llm_video_clip_dedup",
+    # privacy suite
+    "kanon_customer_release", "l_diversity_customers",
 ]
 
 
@@ -139,10 +128,17 @@ def _reorder() -> None:
         QUERIES[n] = snapshot[n]
 
 
-# queries the driver hash-verified green in rounds 1-4
-# (∪ CORRECTNESS_r0{1..4}.json latest-green rows) — proven surface, so
+# queries the driver hash-verified green in rounds 1-6
+# (∪ CORRECTNESS_r0{1..6}.json latest-green rows) — proven surface, so
 # they yield their slot in a truncated window.
 _DRIVER_CHECKED = frozenset({
+    # round 6 (50/50 green; the 40 r1-refresh rows are already listed
+    # under round 1 below — these are the 10 first-time rows)
+    "sum0_timestamp_ltz_fn", "pysource_stream_datagen_agg",
+    "pysource_datagen_fields", "jdbc_upsert_roundtrip",
+    "filesystem_partition_commit", "datastream_window_agg",
+    "try_functions", "ndu_analysis", "llm_semantic_dedup_two_level",
+    "llm_pq_ann_topk",
     # round 1
     "calc_project_filter", "q1_pricing_summary", "q3_shipping_priority",
     "q6_forecast_revenue", "q14_promo_effect", "q18_large_volume",
