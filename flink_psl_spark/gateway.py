@@ -234,14 +234,22 @@ class SqlGatewayService:
                         ]
                         op.rows = [["OK"] for _ in inner] or [["OK"]]
                     else:
+                        from flink_psl_spark.plans import maybe_plan_statement
                         from flink_psl_spark.temporal_sql import rewrite_flink_sql
 
-                        rewritten = rewrite_flink_sql(stmt)
-                        if isinstance(rewritten, list):
-                            for r in rewritten:
-                                df = self.spark.sql(r)
+                        # EXPLAIN (detail flags) / COMPILE PLAN / EXECUTE
+                        # PLAN run through the plan-statement dialect, as
+                        # on the reference gateway's statement endpoint
+                        handled = maybe_plan_statement(self.spark, stmt)
+                        if handled is not None:
+                            df = handled[1]
                         else:
-                            df = self.spark.sql(rewritten)
+                            rewritten = rewrite_flink_sql(stmt)
+                            if isinstance(rewritten, list):
+                                for r in rewritten:
+                                    df = self.spark.sql(r)
+                            else:
+                                df = self.spark.sql(rewritten)
                         op.is_query = bool(df.schema.fields)
                         op.columns = [
                             {

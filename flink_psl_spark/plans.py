@@ -1,0 +1,367 @@
+"""EXPLAIN dialect + compiled-plan surface — the reference's plan
+introspection statements on Spark SQL.
+
+Reference: the EXPLAIN statement with detail flags
+(flink-table/flink-table-api-java/src/main/java/org/apache/flink/table/api/
+ExplainDetail.java — ESTIMATED_COST, CHANGELOG_MODE, PLAN_ADVICE,
+JSON_EXECUTION_PLAN), whose output is the section triple "== Abstract
+Syntax Tree ==" / "== Optimized Physical Plan ==" / "== Optimized
+Execution Plan ==" (PlannerBase.explain), and the compiled-plan surface:
+``COMPILE PLAN 'f' FOR <dml>`` serializes the ExecNode graph as JSON
+(flink-table-planner ExecNodeGraph.java:29, CompiledPlan.java) which
+``EXECUTE PLAN 'f'`` restores; plan snapshots are the reference's
+golden-file test discipline (TableTestBase.scala:92).
+
+Spark-first mapping — Catalyst owns planning, so:
+
+- The three sections are Catalyst's own phases, read from Spark's native
+  EXPLAIN output without executing the statement (safe for INSERT too):
+  analyzed logical plan (the AST), optimized logical plan, and the
+  formatted physical plan.
+- ``ESTIMATED_COST`` maps to Spark's cost mode (optimized plan annotated
+  with Statistics — sizeInBytes/rowCount, Catalyst's own estimates).
+- ``CHANGELOG_MODE`` annotates plan nodes with their changelog mode.
+  SQL statements plan as batch here (update/retract pipelines go through
+  the changelog operators and Structured Streaming, not ``spark.sql``),
+  so every node is insert-only ``[I]`` — annotated truthfully rather
+  than inferred speculatively.
+- ``PLAN_ADVICE`` (FLINK-28743's advisor) runs engine-side plan checks:
+  non-deterministic expressions feeding the plan (the reference's NDU
+  advice, via :func:`operators.changelog.non_deterministic_expressions`),
+  cartesian/nested-loop joins, and scans whose pushable filters did not
+  reach the source.
+- The JSON "compiled plan" is a *plan signature*: the operator tree with
+  per-run identifiers (expression IDs, plan IDs, paths) stripped. Spark
+  deliberately has no deserialize-a-physical-plan execution path — plans
+  are re-derived from SQL at run time, which is what enables AQE — so
+  ``EXECUTE PLAN`` re-plans the stored statement through Catalyst and
+  FAILS if the stored signature no longer matches the current parse
+  (the same drift gate the reference's plan-restore compatibility tests
+  enforce).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+PLAN_FORMAT_VERSION = 1
+
+#: the reference's ExplainDetail values
+EXPLAIN_DETAILS = frozenset(
+    {"ESTIMATED_COST", "CHANGELOG_MODE", "PLAN_ADVICE", "JSON_EXECUTION_PLAN"}
+)
+#: Spark's native explain modes — statements using them pass through to
+#: ``spark.sql`` untouched so Spark-dialect EXPLAIN keeps working
+_SPARK_MODES = frozenset({"EXTENDED", "CODEGEN", "COST", "FORMATTED"})
+
+_EXPLAIN_RE = re.compile(r"^\s*EXPLAIN\s+(?P<rest>.+)$", re.IGNORECASE | re.DOTALL)
+_COMPILE_RE = re.compile(
+    r"^\s*COMPILE\s+(?P<and_exec>AND\s+EXECUTE\s+)?PLAN\s+"
+    r"'(?P<path>[^']+)'\s+FOR\s+(?P<stmt>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_EXECUTE_RE = re.compile(
+    r"^\s*EXECUTE\s+PLAN\s+'(?P<path>[^']+)'\s*$", re.IGNORECASE
+)
+
+
+# ---------------------------------------------------------------------------
+# plan signatures (the compiled-plan payload + golden-snapshot unit)
+# ---------------------------------------------------------------------------
+
+def _walk_jvm_tree(node) -> dict:
+    """TreeNode → {"op": nodeName, "children": [...]} — names only, no
+    per-run IDs, so the signature is stable across sessions."""
+    children = node.children()
+    kids = [_walk_jvm_tree(children.apply(i)) for i in range(children.size())]
+    out: dict = {"op": node.nodeName()}
+    if kids:
+        out["children"] = kids
+    return out
+
+
+def plan_signature(df: DataFrame, phase: str = "optimized") -> dict:
+    """Signature of a DataFrame's plan at a Catalyst phase
+    (``analyzed`` | ``optimized`` | ``physical``).
+
+    The golden-snapshot unit for the engine's custom rewrites (temporal
+    join, window TVFs, dedup recognition) — assert the operator tree, not
+    brittle full plan text (reference: TableTestBase.scala:92 snapshots).
+    """
+    qe = df._jdf.queryExecution()
+    if phase == "analyzed":
+        plan = qe.analyzed()
+    elif phase == "optimized":
+        plan = qe.optimizedPlan()
+    elif phase == "physical":
+        plan = qe.executedPlan()
+    else:
+        raise ValueError("phase must be analyzed | optimized | physical")
+    return _walk_jvm_tree(plan)
+
+
+def signature_rows(sig: dict) -> list[tuple[int, int, str]]:
+    """Flatten a signature to (position, depth, op) rows in pre-order —
+    the SQL-comparable form used by the registered plan-shape query."""
+    rows: list[tuple[int, int, str]] = []
+
+    def rec(node: dict, depth: int) -> None:
+        rows.append((len(rows), depth, node["op"]))
+        for child in node.get("children", []):
+            rec(child, depth + 1)
+
+    rec(sig, 0)
+    return rows
+
+
+def statement_signature(spark: SparkSession, sql: str) -> dict:
+    """Signature of a statement's PARSED plan — pure parse, never runs
+    the statement, so it is safe for INSERT/DML (the compiled-plan
+    payload; drift in it means the statement no longer plans the same)."""
+    parsed = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+    return _walk_jvm_tree(parsed)
+
+
+# ---------------------------------------------------------------------------
+# EXPLAIN
+# ---------------------------------------------------------------------------
+
+def parse_explain(stmt: str) -> tuple[list[str], str] | None:
+    """Split an EXPLAIN statement into (details, inner statement).
+
+    Returns None when the statement is not an EXPLAIN, or is a
+    Spark-native-mode EXPLAIN (``EXPLAIN FORMATTED|EXTENDED|CODEGEN|COST``)
+    that should pass through to ``spark.sql`` untouched. Accepts the
+    reference's three spellings: ``EXPLAIN <stmt>``,
+    ``EXPLAIN PLAN FOR <stmt>``, ``EXPLAIN detail[, detail] <stmt>``
+    (parenthesized detail lists too).
+    """
+    m = _EXPLAIN_RE.match(stmt)
+    if not m:
+        return None
+    rest = m.group("rest").strip()
+    first = re.match(r"^(\w+)", rest)
+    if first and first.group(1).upper() in _SPARK_MODES:
+        return None  # Spark-dialect EXPLAIN — native passthrough
+    details: list[str] = []
+    if rest.startswith("("):
+        close = rest.index(")")
+        details = [
+            d.strip().upper() for d in rest[1:close].split(",") if d.strip()
+        ]
+        rest = rest[close + 1 :].strip()
+        bad = [d for d in details if d not in EXPLAIN_DETAILS]
+        if bad:
+            raise ValueError(
+                f"unknown EXPLAIN detail(s) {bad}; supported: "
+                f"{sorted(EXPLAIN_DETAILS)}"
+            )
+    else:
+        while True:
+            tok = re.match(r"^([A-Za-z_]+)\s*,?\s*", rest)
+            if not tok or tok.group(1).upper() not in EXPLAIN_DETAILS:
+                break
+            details.append(tok.group(1).upper())
+            rest = rest[tok.end() :]
+    rest = re.sub(r"^PLAN\s+FOR\s+", "", rest, flags=re.IGNORECASE)
+    return details, rest.strip()
+
+
+def _spark_explain_text(spark: SparkSession, mode: str, sql: str) -> str:
+    """One Spark EXPLAIN invocation — plans only, never executes the
+    statement (Spark's ExplainCommand wraps DML without running it)."""
+    return spark.sql(f"EXPLAIN {mode} {sql}").collect()[0][0]
+
+
+def _section(text: str, header: str) -> str:
+    """Extract one ``== header ==`` section from EXPLAIN EXTENDED output."""
+    pattern = rf"== {re.escape(header)} ==\n(.*?)(?=\n== |\Z)"
+    m = re.search(pattern, text, re.DOTALL)
+    return m.group(1).strip("\n") if m else ""
+
+
+def _annotate_changelog_mode(plan_text: str) -> str:
+    """Suffix every plan node line with its changelog mode. Batch SQL
+    plans are insert-only by construction — update/retract pipelines run
+    through operators/changelog.py + Structured Streaming, not here."""
+    out = []
+    for line in plan_text.splitlines():
+        stripped = line.rstrip()
+        if stripped and not stripped.startswith("=="):
+            out.append(f"{stripped}, changelogMode=[I]")
+        else:
+            out.append(stripped)
+    return "\n".join(out)
+
+
+def _plan_advice(spark: SparkSession, sql: str, physical: str) -> list[str]:
+    """Engine-side plan checks (the reference's PLAN_ADVICE advisor,
+    FLINK-28743): NDU expressions, cartesian joins, unpushed filters."""
+    advice: list[str] = []
+    is_dml = bool(re.match(r"^\s*INSERT\b", sql, re.IGNORECASE))
+    if not is_dml:
+        from flink_psl_spark.operators.changelog import (
+            non_deterministic_expressions,
+        )
+
+        nd = non_deterministic_expressions(spark.sql(sql))
+        for expr in nd:
+            advice.append(
+                f"warning: non-deterministic expression '{expr}' — "
+                "materialize it before any changelog/upsert boundary "
+                "(the reference's NDU advice)"
+            )
+    if "CartesianProduct" in physical or "BroadcastNestedLoopJoin" in physical:
+        advice.append(
+            "warning: plan contains a cartesian / nested-loop join — add an "
+            "equi-join condition or a bin-keyed range rewrite "
+            "(operators.joins.interval_join)"
+        )
+    if re.search(r"PushedFilters: \[\]", physical) and re.search(
+        r"\bFilter\b", physical
+    ):
+        advice.append(
+            "info: a scan has no pushed filters while the plan filters "
+            "above it — check the predicate is pushdown-eligible "
+            "(no UDF/cast on the scan column)"
+        )
+    return advice
+
+
+def explain_statement(
+    spark: SparkSession, statement: str, details: list[str] | None = None
+) -> str:
+    """Produce the reference's multi-section EXPLAIN text for a statement
+    (already split from the EXPLAIN keyword; Flink-dialect clauses are
+    rewritten first so EXPLAIN sees the same plan the statement runs)."""
+    from flink_psl_spark.temporal_sql import rewrite_flink_sql
+
+    details = [d.upper() for d in (details or [])]
+    rewritten = rewrite_flink_sql(statement)
+    if isinstance(rewritten, list):
+        raise ValueError(
+            "EXPLAIN of a DDL that expands to multiple statements is not "
+            "supported — run the DDL, then EXPLAIN queries against it"
+        )
+    extended = _spark_explain_text(spark, "EXTENDED", rewritten)
+    optimized = _section(extended, "Optimized Logical Plan")
+    if "CHANGELOG_MODE" in details:
+        optimized = _annotate_changelog_mode(optimized)
+    physical = _spark_explain_text(spark, "FORMATTED", rewritten)
+    sections = [
+        ("Abstract Syntax Tree", _section(extended, "Analyzed Logical Plan")),
+        ("Optimized Logical Plan", optimized),
+    ]
+    if "ESTIMATED_COST" in details:
+        cost = _spark_explain_text(spark, "COST", rewritten)
+        sections.append(
+            ("Estimated Cost", _section(cost, "Optimized Logical Plan"))
+        )
+    sections.append(("Physical Execution Plan", physical.strip("\n")))
+    if "PLAN_ADVICE" in details:
+        items = _plan_advice(spark, rewritten, physical)
+        body = (
+            "\n".join(f"advice[{i + 1}]: {a}" for i, a in enumerate(items))
+            if items
+            else "no available advice"
+        )
+        sections.append(("Plan Advice", body))
+    if "JSON_EXECUTION_PLAN" in details:
+        sections.append(
+            (
+                "JSON Execution Plan",
+                json.dumps(statement_signature(spark, rewritten), indent=2),
+            )
+        )
+    return "\n\n".join(f"== {h} ==\n{b}" for h, b in sections)
+
+
+# ---------------------------------------------------------------------------
+# COMPILE PLAN / EXECUTE PLAN
+# ---------------------------------------------------------------------------
+
+def compile_plan(spark: SparkSession, path: str, statement: str) -> dict:
+    """``COMPILE PLAN 'path' FOR <stmt>``: persist the statement with its
+    plan signature WITHOUT executing it. Refuses to overwrite an existing
+    file unless ``table.plan.force-recompile`` is true (the reference's
+    config key)."""
+    force = (
+        spark.conf.get("table.plan.force-recompile", "false").lower() == "true"
+    )
+    if os.path.exists(path) and not force:
+        raise ValueError(
+            f"plan file '{path}' already exists — SET "
+            "'table.plan.force-recompile' = 'true' to overwrite, as in the "
+            "reference"
+        )
+    from flink_psl_spark.temporal_sql import rewrite_flink_sql
+
+    rewritten = rewrite_flink_sql(statement)
+    stmts = rewritten if isinstance(rewritten, list) else [rewritten]
+    payload = {
+        "flinkPslSparkPlanVersion": PLAN_FORMAT_VERSION,
+        "statement": statement,
+        "rewritten": stmts,
+        "signatures": [statement_signature(spark, s) for s in stmts],
+    }
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=2)
+    return payload
+
+
+def execute_plan(spark: SparkSession, path: str) -> DataFrame:
+    """``EXECUTE PLAN 'path'``: re-plan the stored statement through
+    Catalyst and run it; fail on signature drift (the statement no longer
+    parses to the tree it was compiled with — the reference's restore
+    compatibility gate)."""
+    with open(path) as f:
+        payload = json.load(f)
+    if payload.get("flinkPslSparkPlanVersion") != PLAN_FORMAT_VERSION:
+        raise ValueError(
+            f"plan file '{path}' has unsupported version "
+            f"{payload.get('flinkPslSparkPlanVersion')}"
+        )
+    df = None
+    for sql, stored in zip(payload["rewritten"], payload["signatures"]):
+        current = statement_signature(spark, sql)
+        if current != stored:
+            raise ValueError(
+                f"compiled plan '{path}' no longer matches the current "
+                "planner output for its statement — recompile with "
+                "COMPILE PLAN after reviewing the change"
+            )
+        df = spark.sql(sql)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# statement dispatch (SQL client + gateway share this)
+# ---------------------------------------------------------------------------
+
+def maybe_plan_statement(
+    spark: SparkSession, stmt: str
+) -> tuple[str, DataFrame] | None:
+    """Handle EXPLAIN / COMPILE PLAN / EXECUTE PLAN statements; return
+    (kind, result DataFrame) or None for statements this module does not
+    own (including Spark-native-mode EXPLAIN, which passes through)."""
+    m = _EXECUTE_RE.match(stmt)
+    if m:
+        df = execute_plan(spark, m.group("path"))
+        ok = spark.createDataFrame([("OK",)], "result string")
+        return "execute_plan", (df if df is not None and df.schema.fields else ok)
+    m = _COMPILE_RE.match(stmt)
+    if m:
+        compile_plan(spark, m.group("path"), m.group("stmt"))
+        if m.group("and_exec"):
+            execute_plan(spark, m.group("path"))
+        return "compile_plan", spark.createDataFrame([("OK",)], "result string")
+    parsed = parse_explain(stmt)
+    if parsed is not None:
+        details, inner = parsed
+        text = explain_statement(spark, inner, details)
+        return "explain", spark.createDataFrame([(text,)], "plan string")
+    return None

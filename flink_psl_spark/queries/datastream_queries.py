@@ -307,6 +307,48 @@ def sql_client_script(spark, sf_dir):
 
 
 @query(
+    "explain_plan_shape",
+    # the optimized-plan operator tree for the fixed statement, flattened
+    # to (pos, depth, op) pre-order rows — plan shape is schema-driven,
+    # so the expected tree is a constant
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, 0, 'Aggregate'),
+      (1, 1, 'Project'),
+      (2, 2, 'Filter'),
+      (3, 3, 'LogicalRelation')) AS t(pos, depth, op)
+    """,
+)
+def explain_plan_shape(spark, sf_dir):
+    """The EXPLAIN statement surface (reference ExplainDetail.java /
+    PlannerBase.explain sections; compiled-plan snapshots
+    ExecNodeGraph.java:29): run ``EXPLAIN PLAN FOR`` through the script
+    client, assert the reference's section triple is present, and return
+    the statement's optimized-plan signature rows (plans.plan_signature —
+    the golden-snapshot unit). Pushdown sanity lives in the shape itself:
+    Filter sits directly on the relation, below the aggregate."""
+    from flink_psl_spark.plans import plan_signature, signature_rows
+    from flink_psl_spark.sql_client import run_script
+
+    stmt = (
+        "SELECT o_orderpriority, count(*) AS n FROM orders "
+        "WHERE o_totalprice > 100 GROUP BY o_orderpriority"
+    )
+    text = run_script(spark, f"EXPLAIN PLAN FOR {stmt};", sf_dir=sf_dir)[
+        -1
+    ].df.collect()[0][0]
+    for header in (
+        "== Abstract Syntax Tree ==",
+        "== Optimized Logical Plan ==",
+        "== Physical Execution Plan ==",
+    ):
+        if header not in text:
+            raise AssertionError(f"EXPLAIN output missing section {header}")
+    rows = signature_rows(plan_signature(spark.sql(stmt), "optimized"))
+    return spark.createDataFrame(rows, "pos int, depth int, op string")
+
+
+@query(
     "sql_gateway_rest",
     # what the gateway executed and paged back over HTTP
     oracle="""

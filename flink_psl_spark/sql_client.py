@@ -10,8 +10,11 @@ session conf, and per-statement results — so a user can port a
 
 Statement coverage (the dialect layer's single source of truth):
 
-- **Rewritten here / in ddl.py / temporal_sql.py**: ``SET``/``RESET``,
-  ``EXECUTE STATEMENT SET BEGIN … END``, ``EXPLAIN PLAN FOR``, reference
+- **Rewritten here / in ddl.py / temporal_sql.py / plans.py**:
+  ``SET``/``RESET``, ``EXECUTE STATEMENT SET BEGIN … END``,
+  ``EXPLAIN [(ESTIMATED_COST|CHANGELOG_MODE|PLAN_ADVICE|``
+  ``JSON_EXECUTION_PLAN)] [PLAN FOR]``, ``COMPILE [AND EXECUTE] PLAN …
+  FOR …`` / ``EXECUTE PLAN …`` (plans.py), reference
   DDL (``CREATE TABLE … WITH (connector=…)``), group windows
   (``TUMBLE``/``HOP``/``SESSION``), window TVFs
   (``TABLE(TUMBLE|HOP|CUMULATE(...))``), ``FOR SYSTEM_TIME AS OF``,
@@ -160,6 +163,15 @@ def run_script(
             results.append(
                 StatementResult("; ".join(stmt), "statement_set")
             )
+            continue
+        # EXPLAIN (with the reference's detail flags) / COMPILE PLAN /
+        # EXECUTE PLAN — plans.py owns the plan-statement dialect
+        from flink_psl_spark.plans import maybe_plan_statement
+
+        handled = maybe_plan_statement(spark, stmt)
+        if handled is not None:
+            kind, df = handled
+            results.append(StatementResult(stmt, kind, df))
             continue
         m = _SET_RE.match(stmt)
         if m:

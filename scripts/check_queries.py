@@ -1,10 +1,15 @@
 """Run every registered query against its DuckDB oracle — dev loop helper.
 
-Usage: python scripts/check_queries.py [sf_dir] [name_filter...]
+Usage: python scripts/check_queries.py [--json-out FILE] [sf_dir] [name_filter...]
+
+--json-out writes {name: {pass, seconds, detail}} so a full-registry run
+can be committed as a scale-robustness artifact (SCALECHECK_r{N}.json)
+instead of living only in session logs.
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 import traceback
@@ -18,11 +23,17 @@ from _oracle import duck_connection, compare
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    filters = sys.argv[2:]
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json-out":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    filters = argv[1:]
     spark = get_spark(master="local[8]", extra_conf={"spark.driver.memory": "8g"})
     con = duck_connection(sf_dir)
     failures = []
+    report: dict[str, dict] = {}
     ran = 0
     for name, fn in QUERIES.items():
         if filters and not any(f in name for f in filters):
@@ -57,13 +68,28 @@ def main() -> int:
             ok, msg = False, f"EXC {type(e).__name__}: {e}"
             traceback.print_exc()
         status = "PASS" if ok else "FAIL"
-        print(f"{status} {name:32s} {time.time() - t0:6.1f}s  {msg[:300]}")
+        secs = time.time() - t0
+        print(f"{status} {name:32s} {secs:6.1f}s  {msg[:300]}", flush=True)
+        report[name] = {"pass": ok, "seconds": round(secs, 2), "detail": msg[:300]}
         if not ok:
             failures.append(name)
     scope = "" if not filters else f" (of {len(QUERIES)} registered)"
     print(f"\n{ran - len(failures)}/{ran} pass{scope}")
     if failures:
         print("failures:", failures)
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "pass": ran - len(failures),
+                    "ran": ran,
+                    "queries": report,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 

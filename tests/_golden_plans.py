@@ -1,0 +1,85 @@
+"""Golden-plan snapshot definitions — shared by the updater script
+(scripts/update_golden_plans.py) and the snapshot test (tests/test_plans.py).
+
+The reference snapshots every custom planner rewrite as a golden file
+(TableTestBase.scala:92 — 222 XML plan snapshots under
+flink-table-planner/src/test/resources). Here the snapshot unit is the
+OPTIMIZED-LOGICAL plan signature (flink_psl_spark.plans.plan_signature):
+operator names + tree shape only, no expression IDs or paths, so the
+files are stable across sessions and data scales while still failing
+loudly if a dialect rewrite or a Spark upgrade changes the plan.
+"""
+
+from __future__ import annotations
+
+import os
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden_plans")
+
+#: Flink-dialect statements, one per custom rewrite under snapshot:
+#: window TVFs (TUMBLE + SESSION forms), the dedup-recognition pattern
+#: (ROW_NUMBER()=1 → window group limit), and the FOR SYSTEM_TIME AS OF
+#: temporal join.
+STATEMENTS: dict[str, str] = {
+    "window_tvf_tumble": """
+        SELECT window_start, COUNT(*) AS n
+        FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        GROUP BY window_start
+    """,
+    "session_tvf": """
+        SELECT user_id, window_start, COUNT(*) AS n
+        FROM TABLE(SESSION(TABLE events PARTITION BY user_id,
+                           DESCRIPTOR(ts), INTERVAL '10' MINUTES))
+        GROUP BY user_id, window_start
+    """,
+    "dedup_keep_last": """
+        SELECT user_id, ts FROM (
+          SELECT user_id, ts,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+          FROM events)
+        WHERE rn = 1
+    """,
+    "temporal_join": """
+        SELECT p.event_id, d.rate
+        FROM gp_purchases p
+        LEFT JOIN gp_click_rates FOR SYSTEM_TIME AS OF p.ts AS d
+          ON d.user_id = p.user_id
+    """,
+}
+
+
+def golden_signature(spark, sf_dir: str, name: str) -> dict:
+    """Build the named statement's optimized-plan signature over the
+    fixture views (plan shape is schema-driven — data-scale independent)."""
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.plans import plan_signature
+    from flink_psl_spark.queries.registry import tables
+    from flink_psl_spark.temporal_sql import (
+        clear_versioned_tables,
+        register_versioned_table,
+        rewrite_flink_sql,
+    )
+
+    for tname, df in tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(tname)
+    if name == "temporal_join":
+        events = spark.table("events")
+        events.where(F.col("event_type") == "click").groupBy(
+            "user_id", "ts"
+        ).agg(F.round(F.max("value"), 2).alias("rate")).createOrReplaceTempView(
+            "gp_click_rates"
+        )
+        events.where(F.col("event_type") == "purchase").createOrReplaceTempView(
+            "gp_purchases"
+        )
+        register_versioned_table(
+            "gp_click_rates", time_col="ts", primary_key="user_id"
+        )
+        try:
+            df = spark.sql(rewrite_flink_sql(STATEMENTS[name]))
+        finally:
+            clear_versioned_tables()
+    else:
+        df = spark.sql(rewrite_flink_sql(STATEMENTS[name]))
+    return plan_signature(df, "optimized")

@@ -1,0 +1,296 @@
+"""EXPLAIN dialect + compiled-plan surface (plans.py) and golden-plan
+snapshots — the reference's plan introspection statements
+(ExplainDetail.java; ExecNodeGraph.java:29 compiled plans;
+TableTestBase.scala:92 golden files)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from flink_psl_spark.plans import (
+    EXPLAIN_DETAILS,
+    parse_explain,
+    plan_signature,
+    signature_rows,
+    statement_signature,
+)
+from flink_psl_spark.sql_client import run_script
+from tests._golden_plans import GOLDEN_DIR, STATEMENTS, golden_signature
+
+
+# -- parse_explain -----------------------------------------------------------
+
+def test_parse_explain_plain():
+    assert parse_explain("EXPLAIN SELECT 1") == ([], "SELECT 1")
+
+
+def test_parse_explain_plan_for():
+    assert parse_explain("EXPLAIN PLAN FOR SELECT 1") == ([], "SELECT 1")
+
+
+def test_parse_explain_parenthesized_details():
+    details, inner = parse_explain(
+        "EXPLAIN (ESTIMATED_COST, CHANGELOG_MODE) SELECT 1"
+    )
+    assert details == ["ESTIMATED_COST", "CHANGELOG_MODE"]
+    assert inner == "SELECT 1"
+
+
+def test_parse_explain_bare_details():
+    details, inner = parse_explain(
+        "EXPLAIN PLAN_ADVICE, JSON_EXECUTION_PLAN SELECT 1"
+    )
+    assert details == ["PLAN_ADVICE", "JSON_EXECUTION_PLAN"]
+    assert inner == "SELECT 1"
+
+
+def test_parse_explain_spark_native_passthrough():
+    # Spark-dialect EXPLAIN keeps its native behavior
+    for mode in ("FORMATTED", "EXTENDED", "COST", "CODEGEN"):
+        assert parse_explain(f"EXPLAIN {mode} SELECT 1") is None
+
+
+def test_parse_explain_unknown_detail_raises():
+    with pytest.raises(ValueError, match="unknown EXPLAIN detail"):
+        parse_explain("EXPLAIN (NOT_A_DETAIL) SELECT 1")
+
+
+def test_parse_explain_non_explain_returns_none():
+    assert parse_explain("SELECT 1") is None
+    assert parse_explain("EXPLAINED_TABLE_SCAN") is None
+
+
+# -- EXPLAIN through the script client --------------------------------------
+
+def test_explain_sections(spark, sf_dir):
+    res = run_script(
+        spark,
+        "EXPLAIN SELECT o_orderpriority, count(*) AS n FROM orders "
+        "WHERE o_totalprice > 100 GROUP BY o_orderpriority;",
+        sf_dir=sf_dir,
+    )
+    assert res[0].kind == "explain"
+    text = res[0].df.collect()[0][0]
+    for header in (
+        "== Abstract Syntax Tree ==",
+        "== Optimized Logical Plan ==",
+        "== Physical Execution Plan ==",
+    ):
+        assert header in text
+    assert "Aggregate" in text
+
+
+def test_explain_details_sections(spark, sf_dir):
+    res = run_script(
+        spark,
+        "EXPLAIN (ESTIMATED_COST, CHANGELOG_MODE, PLAN_ADVICE, "
+        "JSON_EXECUTION_PLAN) SELECT c_custkey FROM customer;",
+        sf_dir=sf_dir,
+    )
+    text = res[0].df.collect()[0][0]
+    assert "== Estimated Cost ==" in text
+    assert "Statistics(" in text  # Catalyst's own size/rowcount estimates
+    assert "changelogMode=[I]" in text  # batch SQL plans are insert-only
+    assert "== Plan Advice ==" in text
+    assert "== JSON Execution Plan ==" in text
+
+
+def test_explain_plan_advice_flags_ndu(spark, sf_dir):
+    """The reference's NDU advice: a non-deterministic expression in the
+    plan is reported (StreamNonDeterministicUpdatePlanVisitor.java)."""
+    res = run_script(
+        spark,
+        "EXPLAIN (PLAN_ADVICE) SELECT c_custkey, rand() AS r FROM customer;",
+        sf_dir=sf_dir,
+    )
+    text = res[0].df.collect()[0][0]
+    assert "non-deterministic expression 'rand'" in text
+
+
+def test_explain_plan_advice_clean_query(spark, sf_dir):
+    res = run_script(
+        spark,
+        "EXPLAIN (PLAN_ADVICE) SELECT c_custkey FROM customer "
+        "WHERE c_acctbal > 0;",
+        sf_dir=sf_dir,
+    )
+    text = res[0].df.collect()[0][0]
+    assert "no available advice" in text
+
+
+def test_explain_of_flink_dialect_statement(spark, sf_dir):
+    """EXPLAIN rewrites the inner statement first — the window TVF clause
+    never reaches Spark's parser."""
+    res = run_script(
+        spark,
+        "EXPLAIN PLAN FOR SELECT window_start, count(*) AS n "
+        "FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR)) "
+        "GROUP BY window_start;",
+        sf_dir=sf_dir,
+    )
+    text = res[0].df.collect()[0][0]
+    assert "== Physical Execution Plan ==" in text
+    assert "TUMBLE" not in text
+
+
+def test_explain_does_not_execute_insert(spark, tmp_path):
+    """EXPLAIN of DML plans without running it (Spark's ExplainCommand)."""
+    spark.sql(
+        f"CREATE TABLE plans_noexec (a INT) USING parquet "
+        f"LOCATION '{tmp_path}/plans_noexec'"
+    )
+    try:
+        res = run_script(
+            spark, "EXPLAIN INSERT INTO plans_noexec SELECT 7;"
+        )
+        assert "InsertInto" in res[0].df.collect()[0][0]
+        assert spark.table("plans_noexec").count() == 0
+    finally:
+        spark.sql("DROP TABLE plans_noexec")
+
+
+def test_spark_native_explain_still_works(spark):
+    res = run_script(spark, "EXPLAIN FORMATTED SELECT 1 AS one;")
+    assert res[0].kind == "query"
+    assert "Physical Plan" in res[0].df.collect()[0][0]
+
+
+# -- COMPILE PLAN / EXECUTE PLAN ---------------------------------------------
+
+def test_compile_and_execute_plan(spark, sf_dir, tmp_path):
+    path = tmp_path / "q.json"
+    res = run_script(
+        spark,
+        f"COMPILE PLAN '{path}' FOR SELECT count(*) AS n FROM customer;\n"
+        f"EXECUTE PLAN '{path}';",
+        sf_dir=sf_dir,
+    )
+    assert [r.kind for r in res] == ["compile_plan", "execute_plan"]
+    payload = json.loads(path.read_text())
+    assert payload["flinkPslSparkPlanVersion"] == 1
+    # parse-phase tree: aggregation is still a Project over the relation
+    # (analysis, not parsing, resolves it to Aggregate)
+    assert payload["signatures"][0]["op"] == "Project"
+    [row] = res[1].df.collect()
+    assert row["n"] == spark.table("customer").count()
+
+
+def test_compile_plan_refuses_overwrite(spark, sf_dir, tmp_path):
+    path = tmp_path / "q.json"
+    run_script(
+        spark, f"COMPILE PLAN '{path}' FOR SELECT 1 AS one;", sf_dir=sf_dir
+    )
+    with pytest.raises(ValueError, match="force-recompile"):
+        run_script(spark, f"COMPILE PLAN '{path}' FOR SELECT 2 AS two;")
+    # the reference's table.plan.force-recompile unlocks overwrite
+    try:
+        run_script(
+            spark,
+            "SET 'table.plan.force-recompile' = 'true';\n"
+            f"COMPILE PLAN '{path}' FOR SELECT 2 AS two;",
+        )
+    finally:
+        spark.conf.unset("table.plan.force-recompile")
+    assert "2 AS two" in json.loads(path.read_text())["statement"]
+
+
+def test_execute_plan_detects_drift(spark, sf_dir, tmp_path):
+    """Restore-compatibility gate: a stored signature that no longer
+    matches the current parse fails instead of silently replanning."""
+    path = tmp_path / "q.json"
+    run_script(
+        spark, f"COMPILE PLAN '{path}' FOR SELECT 1 AS one;", sf_dir=sf_dir
+    )
+    payload = json.loads(path.read_text())
+    payload["signatures"][0]["op"] = "Tampered"
+    path.write_text(json.dumps(payload))
+    with pytest.raises(ValueError, match="no longer matches"):
+        run_script(spark, f"EXECUTE PLAN '{path}';")
+
+
+def test_compile_and_execute_one_statement(spark, sf_dir, tmp_path):
+    path = tmp_path / "q.json"
+    res = run_script(
+        spark,
+        f"COMPILE AND EXECUTE PLAN '{path}' FOR SELECT 1 AS one;",
+        sf_dir=sf_dir,
+    )
+    assert res[0].kind == "compile_plan"
+    assert path.exists()
+
+
+def test_compile_plan_for_insert_does_not_execute(spark, tmp_path):
+    spark.sql(
+        f"CREATE TABLE plans_cp (a INT) USING parquet "
+        f"LOCATION '{tmp_path}/plans_cp'"
+    )
+    try:
+        path = tmp_path / "ins.json"
+        run_script(
+            spark, f"COMPILE PLAN '{path}' FOR INSERT INTO plans_cp SELECT 3;"
+        )
+        assert spark.table("plans_cp").count() == 0
+        run_script(spark, f"EXECUTE PLAN '{path}';")
+        assert spark.table("plans_cp").collect()[0][0] == 3
+    finally:
+        spark.sql("DROP TABLE plans_cp")
+
+
+# -- gateway -----------------------------------------------------------------
+
+def test_gateway_explain_statement(spark, t):
+    from flink_psl_spark.gateway import GatewayClient, SqlGateway
+
+    t["customer"].createOrReplaceTempView("customer")
+    gw = SqlGateway(spark).start()
+    try:
+        client = GatewayClient(gw.url)
+        sess = client.open_session()
+        op = client.execute(
+            sess, "EXPLAIN (PLAN_ADVICE) SELECT c_custkey FROM customer"
+        )
+        cols, rows = client.fetch_all(sess, op)
+        assert cols == ["plan"]
+        assert "== Plan Advice ==" in rows[0][0]
+        client.close_session(sess)
+    finally:
+        gw.stop()
+
+
+# -- signatures + golden snapshots -------------------------------------------
+
+def test_signature_rows_preorder(spark):
+    sig = plan_signature(
+        spark.range(10).selectExpr("id").where("id > 3"), "optimized"
+    )
+    rows = signature_rows(sig)
+    assert [r[0] for r in rows] == list(range(len(rows)))
+    assert rows[0][1] == 0  # root depth
+
+
+def test_statement_signature_is_parse_only(spark):
+    sig = statement_signature(spark, "SELECT a FROM not_a_real_table")
+    # pure parse: unresolved relations are fine (nothing is analyzed/run)
+    ops = json.dumps(sig)
+    assert "UnresolvedRelation" in ops
+
+
+def test_explain_details_constant_matches_reference():
+    assert EXPLAIN_DETAILS == {
+        "ESTIMATED_COST",
+        "CHANGELOG_MODE",
+        "PLAN_ADVICE",
+        "JSON_EXECUTION_PLAN",
+    }
+
+
+@pytest.mark.parametrize("name", sorted(STATEMENTS))
+def test_golden_plan_snapshot(spark, sf_dir, name):
+    """Each custom rewrite's optimized plan matches its committed golden
+    snapshot (regenerate intentionally via scripts/update_golden_plans.py)."""
+    with open(os.path.join(GOLDEN_DIR, f"{name}.json")) as f:
+        expected = json.load(f)
+    assert golden_signature(spark, sf_dir, name) == expected
