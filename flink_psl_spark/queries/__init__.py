@@ -41,38 +41,38 @@ import flink_psl_spark.queries.datastream_queries  # noqa: F401, E402
 # skew tooling, SCD2, exact window distinct, online/multimodal dedup at
 # ingest, incremental refresh), then the sketch family (row 42), the
 # in-engine training family, multimodal dedup, and the privacy suite.
-# The remaining 69 never-checked queries follow in registration order
-# (the _reorder middle) and form the precomputed ROUND-8 seed:
-# llm_bloom_decontamination (already windowed below — r8 takes the
-# middle's actual survivors), table_profile_report, llm_bfd_packing,
-# stream_bloom_decontaminate_ingest, llm_hash_split,
-# table_validation_report, llm_diversity_sample, llm_tfidf_top_terms,
-# llm_vocab_coverage, stream_validation_ingest, metric_anomaly_report,
-# llm_cluster_report, distribution_drift_report, llm_duplicate_spans,
-# stream_drift_ingest, llm_span_dedup_rewrite, zorder_clustering_report,
-# llm_mixed_language_report, fuzzy_join_customers, fuzzy_name_dedup,
-# table_topk_values_report, dataset_fingerprint_orders,
-# join_size_advisor, llm_ngram_novelty, llm_compression_ratio_check,
-# schema_contract_check, llm_text_normalize, stream_dataset_fingerprint,
-# llm_weighted_sample, llm_embedding_pca, llm_html_extract,
-# stream_weighted_sample, llm_curriculum_schedule,
-# llm_embedding_outliers, llm_bm25_topk, llm_conversation_assembly,
-# stream_conversation_assembly, llm_dedup_keep_best,
-# llm_cross_corpus_dedup, llm_containment_pairs, llm_mmr_rerank,
-# llm_tokenizer_fertility, stream_quality_score_ingest,
-# llm_leakage_safe_split, timeseries_gap_fill,
-# llm_source_similarity_matrix, stream_timeseries_gap_fill,
-# histogram_quantiles_report, stream_histogram_quantiles,
-# gdpr_delete_sweep, schema_contract_migration,
-# stream_contract_migration_ingest, llm_preference_pairs,
-# llm_sft_loss_mask, timeseries_ewma_anomaly, stream_ewma_anomaly,
-# llm_sft_pipeline, llm_hybrid_rrf_topk, market_basket_lift,
-# rfm_customer_segments, funnel_conversion_report,
-# cohort_retention_matrix, stream_sft_loss_mask, llm_dataset_card,
-# timeseries_seasonality_report, llm_span_corruption,
-# llm_fim_transform, yoy_revenue_growth, pareto_abc_classification
-# — followed by the driver-checked tail (oldest r2 rows first candidates
-# for a staleness refresh once the backlog drains).
+# The remaining 70 never-checked queries follow in REGISTRATION order
+# (the _reorder middle — relational-module reports, then llm, then
+# streaming) and form the precomputed ROUND-8 seed:
+# table_profile_report, table_validation_report, metric_anomaly_report,
+# distribution_drift_report, schema_contract_check, join_size_advisor,
+# dataset_fingerprint_orders, table_topk_values_report,
+# fuzzy_join_customers, fuzzy_name_dedup, zorder_clustering_report,
+# dp_noisy_event_counts, histogram_quantiles_report, gdpr_delete_sweep,
+# schema_contract_migration, market_basket_lift, rfm_customer_segments,
+# funnel_conversion_report, cohort_retention_matrix,
+# timeseries_seasonality_report, yoy_revenue_growth,
+# pareto_abc_classification, timeseries_gap_fill,
+# timeseries_ewma_anomaly, llm_embedding_outliers,
+# llm_curriculum_schedule, llm_preference_pairs, llm_html_extract,
+# llm_embedding_pca, llm_weighted_sample, llm_bfd_packing,
+# llm_hash_split, llm_diversity_sample, llm_tfidf_top_terms,
+# llm_vocab_coverage, llm_duplicate_spans, llm_text_normalize,
+# llm_compression_ratio_check, llm_ngram_novelty,
+# llm_mixed_language_report, llm_span_dedup_rewrite, llm_cluster_report,
+# llm_bm25_topk, llm_conversation_assembly, llm_sft_loss_mask,
+# llm_dedup_keep_best, llm_cross_corpus_dedup, llm_containment_pairs,
+# llm_mmr_rerank, llm_tokenizer_fertility (first 50 → the r8 window),
+# then llm_leakage_safe_split, llm_source_similarity_matrix,
+# llm_sft_pipeline, llm_hybrid_rrf_topk, llm_dataset_card,
+# llm_span_corruption, llm_fim_transform, stream_validation_ingest,
+# stream_drift_ingest, stream_bloom_decontaminate_ingest,
+# stream_dataset_fingerprint, stream_weighted_sample,
+# stream_conversation_assembly, stream_quality_score_ingest,
+# stream_timeseries_gap_fill, stream_histogram_quantiles,
+# stream_contract_migration_ingest, stream_ewma_anomaly,
+# stream_sft_loss_mask, explain_plan_shape (new in r7) — the r9 window's
+# 20, leaving 30 slots for staleness re-proofs of the oldest r2 rows.
 _PRIORITY_WINDOW = [
     # engine-side SURVEY §2 rows (rows 40/59/27/29/56/10/14/7/60/55/35)
     "session_tvf_sql", "recursive_cte_order_chain",
