@@ -84,6 +84,12 @@ def main() -> int:
                     "sf_dir": sf_dir,
                     "pass": ran - len(failures),
                     "ran": ran,
+                    "note": (
+                        "seconds = Spark query + DuckDB oracle + compare; "
+                        "oracle dominates for all-pairs ground-truth checks "
+                        "(e.g. llm_dedup_keep_best: 321 s total, 16 s Spark "
+                        "at sf0.1) — use bench.py for engine-only timings"
+                    ),
                     "queries": report,
                 },
                 f,
