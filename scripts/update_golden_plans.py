@@ -17,14 +17,14 @@ sys.path.insert(0, ".")
 sys.path.insert(0, "tests")
 
 from flink_psl_spark import get_spark
-from _golden_plans import GOLDEN_DIR, STATEMENTS, golden_signature
+from _golden_plans import ALL_GOLDEN, GOLDEN_DIR, golden_signature
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark(master="local[4]")
     os.makedirs(GOLDEN_DIR, exist_ok=True)
-    for name in STATEMENTS:
+    for name in ALL_GOLDEN:
         sig = golden_signature(spark, sf_dir, name)
         path = os.path.join(GOLDEN_DIR, f"{name}.json")
         with open(path, "w") as f:

@@ -48,9 +48,72 @@ STATEMENTS: dict[str, str] = {
 }
 
 
+def _build_interval_join_binned(spark, t):
+    """The keyless range-join rewrite (operators/joins.py:212) — bin-keyed
+    equi-join replacing Catalyst's nested-loop cartesian."""
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.operators.joins import binned_interval_join
+
+    clicks = t["events"].where(F.col("event_type") == "click")
+    purchases = t["events"].where(F.col("event_type") == "purchase")
+    return binned_interval_join(
+        clicks, purchases, "ts", "ts", "0 seconds", "10 minutes"
+    )
+
+
+def _build_asof_join_backward(spark, t):
+    """The as-of / event-time temporal join (operators/joins.py:29)."""
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.operators.joins import asof_join
+
+    clicks = t["events"].where(F.col("event_type") == "click")
+    purchases = t["events"].where(F.col("event_type") == "purchase")
+    return asof_join(
+        purchases, clicks, on="user_id", left_time="ts", right_time="ts"
+    )
+
+
+def _build_salted_agg(spark, t):
+    """The two-stage skew-salted aggregation (operators/skew.py:32)."""
+    from flink_psl_spark.operators.skew import salted_agg
+
+    return salted_agg(
+        t["events"], "user_id", {"n": ("count", "event_id"), "sv": ("sum", "value")}
+    )
+
+
+def _build_cumulate(spark, t):
+    """CUMULATE slices exploded row-locally (operators/windows.py)."""
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.operators import cumulate
+
+    return (
+        cumulate(t["events"], "ts", "30 minutes", "2 hours")
+        .groupBy("window_start", "window_end")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+#: DataFrame-level custom operators under snapshot (the reference's
+#: IntervalJoinTest.xml / TemporalJoinTest.xml / agg-test analogues)
+BUILDERS = {
+    "interval_join_binned": _build_interval_join_binned,
+    "asof_join_backward": _build_asof_join_backward,
+    "salted_agg": _build_salted_agg,
+    "cumulate_slices": _build_cumulate,
+}
+
+#: every snapshot name (SQL statements + DataFrame builders)
+ALL_GOLDEN = sorted([*STATEMENTS, *BUILDERS])
+
+
 def golden_signature(spark, sf_dir: str, name: str) -> dict:
-    """Build the named statement's optimized-plan signature over the
-    fixture views (plan shape is schema-driven — data-scale independent)."""
+    """Build the named statement's/operator's optimized-plan signature over
+    the fixture tables (plan shape is schema-driven — data-scale
+    independent)."""
     from pyspark.sql import functions as F
 
     from flink_psl_spark.plans import plan_signature
@@ -61,6 +124,10 @@ def golden_signature(spark, sf_dir: str, name: str) -> dict:
         rewrite_flink_sql,
     )
 
+    if name in BUILDERS:
+        return plan_signature(
+            BUILDERS[name](spark, tables(spark, sf_dir)), "optimized"
+        )
     for tname, df in tables(spark, sf_dir).items():
         df.createOrReplaceTempView(tname)
     if name == "temporal_join":

@@ -18,7 +18,7 @@ from flink_psl_spark.plans import (
     statement_signature,
 )
 from flink_psl_spark.sql_client import run_script
-from tests._golden_plans import GOLDEN_DIR, STATEMENTS, golden_signature
+from tests._golden_plans import ALL_GOLDEN, GOLDEN_DIR, golden_signature
 
 
 # -- parse_explain -----------------------------------------------------------
@@ -287,7 +287,7 @@ def test_explain_details_constant_matches_reference():
     }
 
 
-@pytest.mark.parametrize("name", sorted(STATEMENTS))
+@pytest.mark.parametrize("name", ALL_GOLDEN)
 def test_golden_plan_snapshot(spark, sf_dir, name):
     """Each custom rewrite's optimized plan matches its committed golden
     snapshot (regenerate intentionally via scripts/update_golden_plans.py)."""
