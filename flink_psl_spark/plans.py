@@ -237,10 +237,30 @@ def explain_statement(
 ) -> str:
     """Produce the reference's multi-section EXPLAIN text for a statement
     (already split from the EXPLAIN keyword; Flink-dialect clauses are
-    rewritten first so EXPLAIN sees the same plan the statement runs)."""
+    rewritten first so EXPLAIN sees the same plan the statement runs).
+
+    ``EXPLAIN [details] STATEMENT SET BEGIN …; END`` explains every inner
+    INSERT, one report per statement (the reference explains the fused
+    job; Spark plans per action, so the reports are per-INSERT)."""
     from flink_psl_spark.temporal_sql import rewrite_flink_sql
 
     details = [d.upper() for d in (details or [])]
+    if re.match(
+        r"^\s*(?:EXECUTE\s+)?STATEMENT\s+SET\s+BEGIN\b", statement, re.IGNORECASE
+    ):
+        from flink_psl_spark.sql_client import (
+            _group_statement_sets,
+            split_statements,
+        )
+
+        grouped = _group_statement_sets(split_statements(statement))
+        if len(grouped) != 1 or not isinstance(grouped[0], list):
+            raise ValueError("EXPLAIN accepts exactly one STATEMENT SET block")
+        return "\n\n".join(
+            f"-- statement {i + 1} --\n"
+            + explain_statement(spark, inner, details)
+            for i, inner in enumerate(grouped[0])
+        )
     rewritten = rewrite_flink_sql(statement)
     if isinstance(rewritten, list):
         raise ValueError(

@@ -94,7 +94,8 @@ class StatementResult:
 
 
 _STMT_SET_OPEN = re.compile(
-    r"^(?:EXECUTE\s+)?STATEMENT\s+SET\s+BEGIN\b(?P<first>.*)$",
+    r"^(?P<explain>EXPLAIN\s+(?:\([^)]*\)\s*)?(?:PLAN\s+FOR\s+)?)?"
+    r"(?:EXECUTE\s+)?STATEMENT\s+SET\s+BEGIN\b(?P<first>.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -103,7 +104,9 @@ def _group_statement_sets(stmts: list[str]) -> list[str | list[str]]:
     """Reassemble `EXECUTE STATEMENT SET BEGIN …; …; END` blocks that the
     ';' splitter separated (reference: the client's statement-set mode —
     multiple INSERTs submitted as one job). A grouped entry is the list of
-    inner statements."""
+    inner statements. An `EXPLAIN [(details)] [EXECUTE] STATEMENT SET …`
+    block is reassembled back into ONE statement string so the plan
+    dispatcher (plans.explain_statement) sees the whole block."""
     out: list[str | list[str]] = []
     i = 0
     while i < len(stmts):
@@ -112,6 +115,7 @@ def _group_statement_sets(stmts: list[str]) -> list[str | list[str]]:
             out.append(stmts[i])
             i += 1
             continue
+        explain_prefix = m.group("explain") or ""
         inner: list[str] = []
         first = m.group("first").strip()
         if first:
@@ -129,7 +133,15 @@ def _group_statement_sets(stmts: list[str]) -> list[str | list[str]]:
                     "only INSERT statements are allowed inside a STATEMENT "
                     f"SET (got {s.split()[0]!r}), as in the reference"
                 )
-        out.append(inner)
+        if explain_prefix:
+            out.append(
+                explain_prefix
+                + "STATEMENT SET BEGIN "
+                + "; ".join(inner)
+                + "; END"
+            )
+        else:
+            out.append(inner)
     return out
 
 

@@ -152,6 +152,44 @@ def test_explain_does_not_execute_insert(spark, tmp_path):
         spark.sql("DROP TABLE plans_noexec")
 
 
+def test_explain_statement_set(spark, tmp_path):
+    """EXPLAIN of a STATEMENT SET block: one report per inner INSERT,
+    nothing executed (the reference explains the fused job; Spark plans
+    per action, so reports are per-INSERT)."""
+    for name in ("ss_a", "ss_b"):
+        spark.sql(
+            f"CREATE TABLE {name} (a INT) USING parquet "
+            f"LOCATION '{tmp_path}/{name}'"
+        )
+    try:
+        res = run_script(
+            spark,
+            "EXPLAIN (PLAN_ADVICE) EXECUTE STATEMENT SET BEGIN\n"
+            "INSERT INTO ss_a SELECT 1;\n"
+            "INSERT INTO ss_b SELECT 2;\n"
+            "END;",
+        )
+        assert res[0].kind == "explain"
+        text = res[0].df.collect()[0][0]
+        assert "-- statement 1 --" in text and "-- statement 2 --" in text
+        assert text.count("== Physical Execution Plan ==") == 2
+        assert spark.table("ss_a").count() == 0
+        assert spark.table("ss_b").count() == 0
+        # without the EXPLAIN prefix the same block still executes
+        run_script(
+            spark,
+            "EXECUTE STATEMENT SET BEGIN\n"
+            "INSERT INTO ss_a SELECT 1;\n"
+            "INSERT INTO ss_b SELECT 2;\n"
+            "END;",
+        )
+        assert spark.table("ss_a").count() == 1
+        assert spark.table("ss_b").count() == 1
+    finally:
+        for name in ("ss_a", "ss_b"):
+            spark.sql(f"DROP TABLE {name}")
+
+
 def test_spark_native_explain_still_works(spark):
     res = run_script(spark, "EXPLAIN FORMATTED SELECT 1 AS one;")
     assert res[0].kind == "query"
