@@ -149,6 +149,8 @@ def parse_explain(stmt: str) -> tuple[list[str], str] | None:
         return None  # Spark-dialect EXPLAIN — native passthrough
     details: list[str] = []
     if rest.startswith("("):
+        if ")" not in rest:
+            raise ValueError("EXPLAIN detail list is missing its ')'")
         close = rest.index(")")
         details = [
             d.strip().upper() for d in rest[1:close].split(",") if d.strip()
@@ -202,8 +204,13 @@ def _plan_advice(spark: SparkSession, sql: str, physical: str) -> list[str]:
     """Engine-side plan checks (the reference's PLAN_ADVICE advisor,
     FLINK-28743): NDU expressions, cartesian joins, unpushed filters."""
     advice: list[str] = []
-    is_dml = bool(re.match(r"^\s*INSERT\b", sql, re.IGNORECASE))
-    if not is_dml:
+    # NDU analysis needs an analyzed DataFrame; build one ONLY for pure
+    # queries — spark.sql() of a command (CREATE VIEW, INSERT, …) would
+    # execute it, and EXPLAIN must never run its statement
+    is_query = bool(
+        re.match(r"^\s*(SELECT|WITH|VALUES|TABLE)\b", sql, re.IGNORECASE)
+    )
+    if is_query:
         from flink_psl_spark.operators.changelog import (
             non_deterministic_expressions,
         )

@@ -190,6 +190,25 @@ def test_explain_statement_set(spark, tmp_path):
             spark.sql(f"DROP TABLE {name}")
 
 
+def test_explain_plan_advice_never_executes_commands(spark):
+    """PLAN_ADVICE of a command must not run it — the NDU probe only
+    analyzes pure queries."""
+    res = run_script(
+        spark,
+        "EXPLAIN (PLAN_ADVICE) CREATE OR REPLACE TEMP VIEW plans_adv_v AS "
+        "SELECT rand() AS r;",
+    )
+    assert "== Plan Advice ==" in res[0].df.collect()[0][0]
+    assert "plans_adv_v" not in [
+        t.name for t in spark.catalog.listTables()
+    ]
+
+
+def test_parse_explain_unclosed_details_raises():
+    with pytest.raises(ValueError, match="missing its"):
+        parse_explain("EXPLAIN (ESTIMATED_COST SELECT 1")
+
+
 def test_spark_native_explain_still_works(spark):
     res = run_script(spark, "EXPLAIN FORMATTED SELECT 1 AS one;")
     assert res[0].kind == "query"
