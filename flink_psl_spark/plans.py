@@ -152,16 +152,18 @@ def parse_explain(stmt: str) -> tuple[list[str], str] | None:
         if ")" not in rest:
             raise ValueError("EXPLAIN detail list is missing its ')'")
         close = rest.index(")")
-        details = [
-            d.strip().upper() for d in rest[1:close].split(",") if d.strip()
-        ]
-        rest = rest[close + 1 :].strip()
-        bad = [d for d in details if d not in EXPLAIN_DETAILS]
-        if bad:
-            raise ValueError(
-                f"unknown EXPLAIN detail(s) {bad}; supported: "
-                f"{sorted(EXPLAIN_DETAILS)}"
-            )
+        tokens = [d.strip() for d in rest[1:close].split(",") if d.strip()]
+        # a paren group is a detail list only when it reads as one —
+        # `EXPLAIN (SELECT 1)` is a parenthesized query, not details
+        if tokens and all(re.fullmatch(r"\w+", t) for t in tokens):
+            details = [t.upper() for t in tokens]
+            rest = rest[close + 1 :].strip()
+            bad = [d for d in details if d not in EXPLAIN_DETAILS]
+            if bad:
+                raise ValueError(
+                    f"unknown EXPLAIN detail(s) {bad}; supported: "
+                    f"{sorted(EXPLAIN_DETAILS)}"
+                )
     else:
         while True:
             tok = re.match(r"^([A-Za-z_]+)\s*,?\s*", rest)
@@ -352,6 +354,12 @@ def execute_plan(spark: SparkSession, path: str) -> DataFrame:
             f"plan file '{path}' has unsupported version "
             f"{payload.get('flinkPslSparkPlanVersion')}"
         )
+    if len(payload.get("signatures", [])) != len(payload.get("rewritten", [])):
+        raise ValueError(
+            f"compiled plan '{path}' is corrupt: "
+            f"{len(payload.get('rewritten', []))} statement(s) but "
+            f"{len(payload.get('signatures', []))} signature(s)"
+        )
     df = None
     for sql, stored in zip(payload["rewritten"], payload["signatures"]):
         current = statement_signature(spark, sql)
@@ -383,9 +391,13 @@ def maybe_plan_statement(
     m = _COMPILE_RE.match(stmt)
     if m:
         compile_plan(spark, m.group("path"), m.group("stmt"))
+        ok = spark.createDataFrame([("OK",)], "result string")
         if m.group("and_exec"):
-            execute_plan(spark, m.group("path"))
-        return "compile_plan", spark.createDataFrame([("OK",)], "result string")
+            df = execute_plan(spark, m.group("path"))
+            return "compile_plan", (
+                df if df is not None and df.schema.fields else ok
+            )
+        return "compile_plan", ok
     parsed = parse_explain(stmt)
     if parsed is not None:
         details, inner = parsed

@@ -94,7 +94,11 @@ class StatementResult:
 
 
 _STMT_SET_OPEN = re.compile(
-    r"^(?P<explain>EXPLAIN\s+(?:\([^)]*\)\s*)?(?:PLAN\s+FOR\s+)?)?"
+    # the EXPLAIN prefix admits both detail spellings — parenthesized
+    # `(A, B)` and bare `A, B` keyword lists (plans.parse_explain's set)
+    r"^(?P<explain>EXPLAIN\s+(?:\([^)]*\)\s*"
+    r"|(?:(?:ESTIMATED_COST|CHANGELOG_MODE|PLAN_ADVICE|JSON_EXECUTION_PLAN)"
+    r"\s*,?\s*)+)?(?:PLAN\s+FOR\s+)?)?"
     r"(?:EXECUTE\s+)?STATEMENT\s+SET\s+BEGIN\b(?P<first>.*)$",
     re.IGNORECASE | re.DOTALL,
 )

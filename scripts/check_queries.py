@@ -26,6 +26,9 @@ def main() -> int:
     argv = sys.argv[1:]
     json_out = None
     if argv and argv[0] == "--json-out":
+        if len(argv) < 2:
+            print(__doc__.strip())
+            return 2
         json_out = argv[1]
         argv = argv[2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"

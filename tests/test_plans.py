@@ -277,6 +277,52 @@ def test_compile_and_execute_one_statement(spark, sf_dir, tmp_path):
     )
     assert res[0].kind == "compile_plan"
     assert path.exists()
+    # the executed statement's result comes back, same as EXECUTE PLAN
+    assert res[0].df.collect()[0]["one"] == 1
+
+
+def test_execute_plan_rejects_truncated_signatures(spark, sf_dir, tmp_path):
+    """zip-truncation guard: fewer signatures than statements must fail,
+    not silently skip the drift check and the statements."""
+    path = tmp_path / "q.json"
+    run_script(
+        spark, f"COMPILE PLAN '{path}' FOR SELECT 1 AS one;", sf_dir=sf_dir
+    )
+    payload = json.loads(path.read_text())
+    payload["signatures"] = []
+    path.write_text(json.dumps(payload))
+    with pytest.raises(ValueError, match="corrupt"):
+        run_script(spark, f"EXECUTE PLAN '{path}';")
+
+
+def test_explain_parenthesized_query_not_details(spark):
+    """`EXPLAIN (SELECT 1)` is a parenthesized query, not a detail list —
+    it must keep working (Spark accepts it natively)."""
+    assert parse_explain("EXPLAIN (SELECT 1)") == ([], "(SELECT 1)")
+    res = run_script(spark, "EXPLAIN (SELECT 1);")
+    assert "== Physical Execution Plan ==" in res[0].df.collect()[0][0]
+
+
+def test_explain_statement_set_bare_details(spark, tmp_path):
+    """The bare-detail spelling groups the block too (it previously died
+    with a misleading 'missing its END')."""
+    spark.sql(
+        f"CREATE TABLE ss_bare (a INT) USING parquet "
+        f"LOCATION '{tmp_path}/ss_bare'"
+    )
+    try:
+        res = run_script(
+            spark,
+            "EXPLAIN PLAN_ADVICE EXECUTE STATEMENT SET BEGIN\n"
+            "INSERT INTO ss_bare SELECT 1;\n"
+            "INSERT INTO ss_bare SELECT 2;\n"
+            "END;",
+        )
+        text = res[0].df.collect()[0][0]
+        assert "-- statement 2 --" in text
+        assert spark.table("ss_bare").count() == 0
+    finally:
+        spark.sql("DROP TABLE ss_bare")
 
 
 def test_compile_plan_for_insert_does_not_execute(spark, tmp_path):
