@@ -1,0 +1,55 @@
+"""Invariants of the driver-visibility rotation (queries/__init__.py).
+
+The round driver verifies the FIRST 50 registry entries each round, so
+the ordering machinery is itself correctness-critical: a typo'd window
+name or a stale checked-set entry silently burns verification slots.
+"""
+
+from __future__ import annotations
+
+import flink_psl_spark.queries as q
+
+
+def test_window_names_all_registered():
+    missing = [n for n in q._PRIORITY_WINDOW if n not in q.QUERIES]
+    assert missing == [], f"window names not in registry: {missing}"
+
+
+def test_window_is_exactly_the_first_fifty():
+    assert len(q._PRIORITY_WINDOW) == 50
+    assert list(q.QUERIES)[:50] == q._PRIORITY_WINDOW
+
+
+def test_window_has_no_duplicates():
+    assert len(set(q._PRIORITY_WINDOW)) == len(q._PRIORITY_WINDOW)
+
+
+def test_window_spends_no_slot_on_verified_queries():
+    """Every slot goes to a query with no prior driver evidence — the
+    backlog-draining contract of the round-7 verdict."""
+    wasted = [n for n in q._PRIORITY_WINDOW if n in q._DRIVER_CHECKED]
+    assert wasted == [], f"window slots wasted on driver-checked rows: {wasted}"
+
+
+def test_checked_set_names_all_registered():
+    """A renamed/removed query must leave the checked set too, or the
+    reorder quietly mis-partitions."""
+    stale = [n for n in q._DRIVER_CHECKED if n not in q.QUERIES]
+    assert stale == [], f"checked-set names not in registry: {stale}"
+
+
+def test_middle_is_never_checked_then_tail_is_checked():
+    """Ordering contract: positions 51+ lead with every remaining
+    never-checked query (registration order), then the checked tail."""
+    names = list(q.QUERIES)
+    rest = names[50:]
+    never = [n for n in rest if n not in q._DRIVER_CHECKED]
+    assert rest[: len(never)] == never
+
+
+def test_every_query_has_an_oracle_or_is_rows_only():
+    """Every registered query either carries a DuckDB oracle or is an
+    intentional rows-only entry (non-SQL-expressible)."""
+    no_oracle = [n for n in q.QUERIES if n not in q.ORACLES]
+    # rows-only entries are allowed but must stay rare and deliberate
+    assert len(no_oracle) == 0, f"queries without oracles: {no_oracle}"
