@@ -202,9 +202,51 @@ def _annotate_changelog_mode(plan_text: str) -> str:
     return "\n".join(out)
 
 
+_DEFAULT_BROADCAST_BYTES = 10 * 1024 * 1024
+
+
+def _broadcast_threshold_bytes(spark: SparkSession) -> int:
+    """spark.sql.autoBroadcastJoinThreshold in bytes; -1 = disabled."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    ).strip().lower()
+    m = re.fullmatch(r"(-?\d+)\s*(b|k|kb|m|mb|g|gb)?", raw)
+    if not m:
+        return _DEFAULT_BROADCAST_BYTES
+    n = int(m.group(1))
+    unit = {"k": 1 << 10, "kb": 1 << 10, "m": 1 << 20, "mb": 1 << 20,
+            "g": 1 << 30, "gb": 1 << 30}.get(m.group(2) or "b", 1)
+    return n * unit
+
+
+def _join_side_size_estimates(df: DataFrame) -> list[list[int]]:
+    """Catalyst's sizeInBytes estimate per side of every logical join."""
+    out: list[list[int]] = []
+
+    def rec(node) -> None:
+        children = node.children()
+        if node.nodeName() == "Join":
+            sizes = []
+            for i in range(children.size()):
+                try:
+                    raw = children.apply(i).stats().sizeInBytes()
+                    # py4j hands scala.BigInt back as a Python int already
+                    sizes.append(int(raw) if isinstance(raw, int) else int(str(raw)))
+                except Exception:
+                    pass
+            if len(sizes) == 2:
+                out.append(sizes)
+        for i in range(children.size()):
+            rec(children.apply(i))
+
+    rec(df._jdf.queryExecution().optimizedPlan())
+    return out
+
+
 def _plan_advice(spark: SparkSession, sql: str, physical: str) -> list[str]:
     """Engine-side plan checks (the reference's PLAN_ADVICE advisor,
-    FLINK-28743): NDU expressions, cartesian joins, unpushed filters."""
+    FLINK-28743): NDU expressions, cartesian joins, unpushed filters,
+    shuffled joins whose smallest side is broadcast-sized."""
     advice: list[str] = []
     # NDU analysis needs an analyzed DataFrame; build one ONLY for pure
     # queries — spark.sql() of a command (CREATE VIEW, INSERT, …) would
@@ -238,6 +280,22 @@ def _plan_advice(spark: SparkSession, sql: str, physical: str) -> list[str]:
             "above it — check the predicate is pushdown-eligible "
             "(no UDF/cast on the scan column)"
         )
+    if is_query and (
+        "SortMergeJoin" in physical or "ShuffledHashJoin" in physical
+    ):
+        threshold = _broadcast_threshold_bytes(spark)
+        bar = threshold if threshold > 0 else _DEFAULT_BROADCAST_BYTES
+        for sizes in _join_side_size_estimates(spark.sql(sql)):
+            small = min(sizes)
+            if small <= 4 * bar:
+                advice.append(
+                    "info: a shuffled join's smallest side is estimated at "
+                    f"~{small} bytes (autoBroadcastJoinThreshold is "
+                    f"{threshold}) — consider a broadcast() hint or raising "
+                    "the threshold; if the estimate is stale, ANALYZE TABLE "
+                    "refreshes it"
+                )
+                break  # one advice item covers the pattern
     return advice
 
 

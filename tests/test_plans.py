@@ -190,6 +190,23 @@ def test_explain_statement_set(spark, tmp_path):
             spark.sql(f"DROP TABLE {name}")
 
 
+def test_explain_plan_advice_broadcast_candidate(spark, sf_dir):
+    """A shuffled join whose smallest side fits broadcast is flagged."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        res = run_script(
+            spark,
+            "EXPLAIN (PLAN_ADVICE) SELECT o.o_orderkey, n.n_name "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey;",
+            sf_dir=sf_dir,
+        )
+        text = res[0].df.collect()[0][0]
+        assert "shuffled join's smallest side" in text
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
 def test_explain_plan_advice_never_executes_commands(spark):
     """PLAN_ADVICE of a command must not run it — the NDU probe only
     analyzes pure queries."""
@@ -361,6 +378,26 @@ def test_gateway_explain_statement(spark, t):
         client.close_session(sess)
     finally:
         gw.stop()
+
+
+def test_parse_explain_property_roundtrip():
+    """Every combination of detail subset × spelling (parenthesized/bare)
+    × optional PLAN FOR parses to exactly (details, inner statement)."""
+    from itertools import combinations
+
+    inner = "SELECT a FROM t WHERE b > 1"
+    all_details = sorted(EXPLAIN_DETAILS)
+    for r in range(len(all_details) + 1):
+        for combo in combinations(all_details, r):
+            for plan_for in ("", "PLAN FOR "):
+                spellings = [f"({', '.join(combo)}) " if combo else ""]
+                if combo:
+                    spellings.append(", ".join(combo) + " ")
+                for spelled in spellings:
+                    stmt = f"EXPLAIN {spelled}{plan_for}{inner}"
+                    details, rest = parse_explain(stmt)
+                    assert details == list(combo), stmt
+                    assert rest == inner, stmt
 
 
 # -- signatures + golden snapshots -------------------------------------------
