@@ -102,6 +102,11 @@ def main() -> int:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(per_query.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else None
+    guards = adjudicate(
+        per_query, calib, os.path.dirname(os.path.abspath(__file__)),
+        sf=sf_val,
+    )
     print(
         json.dumps(
             {
@@ -111,6 +116,7 @@ def main() -> int:
                 "n": 5,
                 "calib_sec": calib,
                 "queries": per_query,
+                "guards": guards,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
@@ -122,6 +128,116 @@ def _timed(fn) -> float:
     t0 = time.time()
     fn()
     return round(time.time() - t0, 3)
+
+
+# --- self-adjudicating guards -------------------------------------------
+#
+# Cross-round totals drift ±30% with the host (each round runs on a fresh
+# container); the adjudication rules used to live in session logs and had
+# to be re-litigated by hand every round. They are encoded here instead so
+# every BENCH_r{N}.json carries its own verdicts:
+#
+#   * vs_prev: per-query ratio against the previous committed BENCH file,
+#     normalized through calib_sec (JVM-compute probe, measured fresh each
+#     run) — ratio_norm = (cur/calib_cur) / (prev/calib_prev). The
+#     regression bar is 1.3x per query.
+#   * pins: absolute calib-normalized budgets for queries with a history
+#     of creep, expressed at the round-6 reference calib (0.172):
+#     norm_sec = sec * (CALIB_REF / calib_cur). Pin values carried from
+#     the round-6/7 verdicts; stream_interval_join's pin is 1.3x its r6
+#     record (3.141 s), the explicit carry-forward guard from VERDICT r7.
+
+CALIB_REF = 0.172  # round-6 host class; pins are quoted at this calib
+
+PINNED_GUARDS = {
+    "llm_trained_quality_classifier": 2.6,
+    "llm_pq_ann_topk": 2.2,
+    "llm_corpus_overlap_sketch": 2.1,
+    "llm_minhash_dedup": 2.5,
+    "stream_interval_join": round(3.141 * 1.3, 3),
+}
+
+VS_PREV_BAR = 1.3
+
+
+def _latest_prev_bench(repo_dir: str) -> tuple[str, dict] | None:
+    """Newest committed BENCH_r{N}.json (driver wrapper or raw line)."""
+    import glob
+    import re
+
+    best: tuple[int, str] | None = None
+    for path in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            n = int(m.group(1))
+            if best is None or n > best[0]:
+                best = (n, path)
+    if best is None:
+        return None
+    with open(best[1]) as f:
+        data = json.load(f)
+    parsed = data.get("parsed", data)  # driver wraps the raw line
+    if not isinstance(parsed, dict) or "queries" not in parsed:
+        return None
+    return os.path.basename(best[1]), parsed
+
+
+def adjudicate(per_query: dict[str, float], calib: float,
+               repo_dir: str, sf: float | str | None = None) -> dict:
+    """Build the guards block: vs-prev ratios + pinned budgets, verdicts
+    included, so the artifact settles drift arguments without session
+    logs. Pins and the previous-round artifact are quoted at sf0.1 (the
+    driver's scale); a run at any other sf still reports the numbers but
+    its verdicts are non-binding ("sf_mismatch": true, "pass": null)."""
+    guards: dict = {
+        "calib_ref": CALIB_REF,
+        "vs_prev_bar": VS_PREV_BAR,
+        "vs_prev": {},
+        "vs_prev_fail": [],
+        "pins": {},
+        "pins_fail": [],
+    }
+    prev = _latest_prev_bench(repo_dir)
+    if prev is not None:
+        prev_name, prev_parsed = prev
+        prev_calib = prev_parsed.get("calib_sec") or CALIB_REF
+        guards["prev_bench"] = prev_name
+        guards["prev_calib_sec"] = prev_calib
+        for name, sec in per_query.items():
+            prev_sec = prev_parsed["queries"].get(name)
+            if not prev_sec:
+                continue
+            ratio = (sec / calib) / (prev_sec / prev_calib)
+            ok = ratio <= VS_PREV_BAR
+            guards["vs_prev"][name] = {
+                "ratio_norm": round(ratio, 3),
+                "pass": ok,
+            }
+            if not ok:
+                guards["vs_prev_fail"].append(name)
+    else:
+        guards["prev_bench"] = None
+    for name, limit in PINNED_GUARDS.items():
+        sec = per_query.get(name)
+        if sec is None:
+            continue
+        norm = sec * (CALIB_REF / calib)
+        ok = norm <= limit
+        guards["pins"][name] = {
+            "limit": limit,
+            "norm_sec": round(norm, 3),
+            "pass": ok,
+        }
+        if not ok:
+            guards["pins_fail"].append(name)
+    guards["sf_mismatch"] = sf is not None and float(sf) != 0.1
+    if guards["sf_mismatch"]:
+        guards["pass"] = None
+    else:
+        guards["pass"] = (
+            not guards["vs_prev_fail"] and not guards["pins_fail"]
+        )
+    return guards
 
 
 if __name__ == "__main__":

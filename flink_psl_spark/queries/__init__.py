@@ -31,39 +31,18 @@ import flink_psl_spark.queries.datastream_queries  # noqa: F401, E402
 # Driver-visibility ordering: the verify harness checks queries in
 # registration order and may truncate (each round checks the first 50),
 # so the front of the dict carries the queries with the LEAST prior
-# driver evidence. ROUND-7 rotation: round 6 left 119 registered queries
-# with no driver CORRECTNESS row (all green in the builder's sf0.01
-# replica + sf0.1 full-registry runs; see VERDICT.md round 6, task 1).
-# This window is the curated first 50 of that backlog — engine-side
-# SURVEY §2 rows first (window TVF SESSION, recursive CTEs, keyless
-# interval join, forward as-of, retract application, format roundtrips,
-# multi-sink fan-out, streaming JDBC upsert, changelog snapshot-diff,
-# skew tooling, SCD2, exact window distinct, online/multimodal dedup at
-# ingest, incremental refresh), then the sketch family (row 42), the
-# in-engine training family, multimodal dedup, and the privacy suite.
-# The remaining 70 never-checked queries follow in REGISTRATION order
-# (the _reorder middle — relational-module reports, then llm, then
-# streaming) and form the precomputed ROUND-8 seed:
-# table_profile_report, table_validation_report, metric_anomaly_report,
-# distribution_drift_report, schema_contract_check, join_size_advisor,
-# dataset_fingerprint_orders, table_topk_values_report,
-# fuzzy_join_customers, fuzzy_name_dedup, zorder_clustering_report,
-# dp_noisy_event_counts, histogram_quantiles_report, gdpr_delete_sweep,
-# schema_contract_migration, market_basket_lift, rfm_customer_segments,
-# funnel_conversion_report, cohort_retention_matrix,
-# timeseries_seasonality_report, yoy_revenue_growth,
-# pareto_abc_classification, timeseries_gap_fill,
-# timeseries_ewma_anomaly, llm_embedding_outliers,
-# llm_curriculum_schedule, llm_preference_pairs, llm_html_extract,
-# llm_embedding_pca, llm_weighted_sample, llm_bfd_packing,
-# llm_hash_split, llm_diversity_sample, llm_tfidf_top_terms,
-# llm_vocab_coverage, llm_duplicate_spans, llm_text_normalize,
-# llm_compression_ratio_check, llm_ngram_novelty,
-# llm_mixed_language_report, llm_span_dedup_rewrite, llm_cluster_report,
-# llm_bm25_topk, llm_conversation_assembly, llm_sft_loss_mask,
-# llm_dedup_keep_best, llm_cross_corpus_dedup, llm_containment_pairs,
-# llm_mmr_rerank, llm_tokenizer_fertility (first 50 → the r8 window),
-# then llm_leakage_safe_split, llm_source_similarity_matrix,
+# driver evidence. ROUND-8 rotation: rounds 1-7 accumulated driver
+# CORRECTNESS rows for 304 of the 374 registered queries (all green at
+# latest check); this window is the first 50 of the 70 never-checked
+# remainder, in registration order (the precomputed r8 seed from the
+# round-7 verdict): the analytics/reports wave first (table profiling,
+# validation, drift, anomaly, advisors, privacy releases, retail
+# analytics, timeseries), then the llm curation wave (sampling,
+# packing, splits, TF-IDF/BM25, span/cross-corpus/containment dedup,
+# reranking, tokenizer metrics).
+#
+# ROUND-9 seed (precomputed): the 20 remaining never-checked queries —
+# llm_leakage_safe_split, llm_source_similarity_matrix,
 # llm_sft_pipeline, llm_hybrid_rrf_topk, llm_dataset_card,
 # llm_span_corruption, llm_fim_transform, stream_validation_ingest,
 # stream_drift_ingest, stream_bloom_decontaminate_ingest,
@@ -71,42 +50,48 @@ import flink_psl_spark.queries.datastream_queries  # noqa: F401, E402
 # stream_conversation_assembly, stream_quality_score_ingest,
 # stream_timeseries_gap_fill, stream_histogram_quantiles,
 # stream_contract_migration_ingest, stream_ewma_anomaly,
-# stream_sft_loss_mask, explain_plan_shape (new in r7) — the r9 window's
-# 20, leaving 30 slots for staleness re-proofs of the oldest r2 rows.
+# stream_sft_loss_mask, explain_plan_shape —
+# plus 30 STALENESS RE-PROOFS of the oldest driver rows (last checked
+# round 2, five-plus rounds ago), ordered by age×risk with stateful
+# streaming first, then CEP originals, then the cdc/format trio:
+# stream_keyed_top3, stream_running_agg, stream_early_fire_agg,
+# stream_count_window, stream_count_window_evict,
+# stream_count_window_delta_evict, stream_event_time_sort,
+# stream_range_over, stream_window_topn, stream_tumble_agg,
+# stream_interval_join, stream_lookup_join, stream_anti_join,
+# stream_asof_enrich, stream_allowed_lateness_agg,
+# cep_clicks_then_purchase, stream_cep_clicks_then_purchase,
+# cep_error_burst, cep_unconverted_clicks,
+# cep_session_no_logout_purchase, stream_cep_clean_conversion,
+# cep_no_conversion_within, cdc_debezium_roundtrip,
+# cdc_drop_update_before, cdc_ogg_roundtrip, avro_py_roundtrip,
+# protobuf_py_roundtrip, wf_range_frame, llm_minhash_dedup,
+# llm_simhash_dedup.
 _PRIORITY_WINDOW = [
-    # engine-side SURVEY §2 rows (rows 40/59/27/29/56/10/14/7/60/55/35)
-    "session_tvf_sql", "recursive_cte_order_chain",
-    "recursive_cte_event_paths", "interval_join_keyless",
-    "asof_join_tolerance_forward", "incremental_agg_retract_apply",
-    "stream_retract_agg_ingest", "compressed_format_roundtrip",
-    "sequence_file_roundtrip", "xml_format_roundtrip",
-    "json_corrupt_channel_ingest", "stream_json_corrupt_ingest",
-    "stream_multi_sink_fanout", "stream_jdbc_upsert_ingest",
-    "math_functions3", "snapshot_diff_changelog", "salted_join_skew",
-    "skew_key_report",
-    # SCD2 / file sizing / exact-distinct chain / ingest-time dedup /
-    # incremental refresh (rows 29/13/52+33/55)
-    "scd2_temporal_join", "scd2_dimension_history",
-    "stream_scd2_dimension", "file_sizing_report",
-    "stream_exact_window_distinct", "stream_online_lsh_dedup",
-    "stream_image_dedup_ingest", "hybrid_backfill_union",
-    "incremental_partition_refresh", "incremental_join_view_refresh",
-    # sketch family (row 42)
-    "llm_corpus_overlap_sketch", "stream_corpus_overlap_sketch",
-    "join_key_overlap_advisor", "stream_heavy_hitters_ingest",
-    "stream_window_distinct_sketch",
-    # in-engine training family
-    "llm_trained_quality_classifier", "llm_sq_ann_topk",
-    "llm_unigram_train_agreement", "llm_unigram_encode_stats",
-    "llm_wordpiece_train_agreement", "llm_wordpiece_encode_stats",
-    "llm_kmeans_train_agreement", "llm_kneser_ney_score",
-    "llm_naive_bayes_langid", "llm_heavy_hitter_ngrams",
-    # decontamination + multimodal dedup
-    "llm_bloom_decontamination", "llm_image_dhash_dedup",
-    "llm_image_near_dedup", "llm_audio_fingerprint_dedup",
-    "llm_video_clip_dedup",
-    # privacy suite
-    "kanon_customer_release", "l_diversity_customers",
+    # analytics / reports wave (relational module registration order)
+    "table_profile_report", "table_validation_report",
+    "metric_anomaly_report", "distribution_drift_report",
+    "schema_contract_check", "join_size_advisor",
+    "dataset_fingerprint_orders", "table_topk_values_report",
+    "fuzzy_join_customers", "fuzzy_name_dedup",
+    "zorder_clustering_report", "dp_noisy_event_counts",
+    "histogram_quantiles_report", "gdpr_delete_sweep",
+    "schema_contract_migration", "market_basket_lift",
+    "rfm_customer_segments", "funnel_conversion_report",
+    "cohort_retention_matrix", "timeseries_seasonality_report",
+    "yoy_revenue_growth", "pareto_abc_classification",
+    "timeseries_gap_fill", "timeseries_ewma_anomaly",
+    # llm curation wave (llm module registration order)
+    "llm_embedding_outliers", "llm_curriculum_schedule",
+    "llm_preference_pairs", "llm_html_extract", "llm_embedding_pca",
+    "llm_weighted_sample", "llm_bfd_packing", "llm_hash_split",
+    "llm_diversity_sample", "llm_tfidf_top_terms", "llm_vocab_coverage",
+    "llm_duplicate_spans", "llm_text_normalize",
+    "llm_compression_ratio_check", "llm_ngram_novelty",
+    "llm_mixed_language_report", "llm_span_dedup_rewrite",
+    "llm_cluster_report", "llm_bm25_topk", "llm_conversation_assembly",
+    "llm_sft_loss_mask", "llm_dedup_keep_best", "llm_cross_corpus_dedup",
+    "llm_containment_pairs", "llm_mmr_rerank", "llm_tokenizer_fertility",
 ]
 
 
@@ -132,6 +117,31 @@ def _reorder() -> None:
 # (∪ CORRECTNESS_r0{1..6}.json latest-green rows) — proven surface, so
 # they yield their slot in a truncated window.
 _DRIVER_CHECKED = frozenset({
+    # round 7 (50/50 green — CORRECTNESS_r07.json)
+    "session_tvf_sql", "recursive_cte_order_chain",
+    "recursive_cte_event_paths", "interval_join_keyless",
+    "asof_join_tolerance_forward", "incremental_agg_retract_apply",
+    "stream_retract_agg_ingest", "compressed_format_roundtrip",
+    "sequence_file_roundtrip", "xml_format_roundtrip",
+    "json_corrupt_channel_ingest", "stream_json_corrupt_ingest",
+    "stream_multi_sink_fanout", "stream_jdbc_upsert_ingest",
+    "math_functions3", "snapshot_diff_changelog", "salted_join_skew",
+    "skew_key_report", "scd2_temporal_join", "scd2_dimension_history",
+    "stream_scd2_dimension", "file_sizing_report",
+    "stream_exact_window_distinct", "stream_online_lsh_dedup",
+    "stream_image_dedup_ingest", "hybrid_backfill_union",
+    "incremental_partition_refresh", "incremental_join_view_refresh",
+    "llm_corpus_overlap_sketch", "stream_corpus_overlap_sketch",
+    "join_key_overlap_advisor", "stream_heavy_hitters_ingest",
+    "stream_window_distinct_sketch", "llm_trained_quality_classifier",
+    "llm_sq_ann_topk", "llm_unigram_train_agreement",
+    "llm_unigram_encode_stats", "llm_wordpiece_train_agreement",
+    "llm_wordpiece_encode_stats", "llm_kmeans_train_agreement",
+    "llm_kneser_ney_score", "llm_naive_bayes_langid",
+    "llm_heavy_hitter_ngrams", "llm_bloom_decontamination",
+    "llm_image_dhash_dedup", "llm_image_near_dedup",
+    "llm_audio_fingerprint_dedup", "llm_video_clip_dedup",
+    "kanon_customer_release", "l_diversity_customers",
     # round 6 (50/50 green; the 40 r1-refresh rows are already listed
     # under round 1 below — these are the 10 first-time rows)
     "sum0_timestamp_ltz_fn", "pysource_stream_datagen_agg",

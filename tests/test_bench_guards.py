@@ -1,0 +1,112 @@
+"""Self-adjudicating bench guards (bench.py: adjudicate).
+
+Round-to-round bench totals drift ±30% with the host; the adjudication
+rules (calib normalization, the 1.3x vs-prev bar, the pinned budgets)
+used to live in session logs. These tests pin the encoded rules by
+replaying the round-7 driver artifact, whose drift analysis the round-7
+VERDICT worked out by hand.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def r07():
+    with open(os.path.join(REPO, "BENCH_r07.json")) as f:
+        return json.load(f)["parsed"]
+
+
+def test_replaying_prev_round_gives_unit_ratios(r07):
+    """A run identical to the newest committed BENCH must adjudicate to
+    ratio 1.0 everywhere (the normalization cancels its own calib)."""
+    g = bench.adjudicate(r07["queries"], r07["calib_sec"], REPO)
+    assert g["prev_bench"].startswith("BENCH_r")
+    assert g["vs_prev"], "no overlap with previous bench queries"
+    assert all(
+        abs(v["ratio_norm"] - 1.0) < 1e-9 for v in g["vs_prev"].values()
+    )
+    assert g["vs_prev_fail"] == []
+
+
+def test_pins_reproduce_round7_verdict(r07):
+    """The round-7 VERDICT hand-adjudicated the driver run: pq-ann and
+    minhash over their r6 pins, stream_interval_join past 1.3x of its r6
+    record, the classifier and overlap sketch within budget."""
+    g = bench.adjudicate(r07["queries"], r07["calib_sec"], REPO)
+    assert set(g["pins_fail"]) == {
+        "llm_pq_ann_topk",
+        "llm_minhash_dedup",
+        "stream_interval_join",
+    }
+    assert g["pins"]["llm_trained_quality_classifier"]["pass"]
+    assert g["pins"]["llm_corpus_overlap_sketch"]["pass"]
+    assert g["pass"] is False
+
+
+def test_uniform_host_drift_passes():
+    """A uniform 1.5x slowdown WITH a matching calib drift is the
+    environment, not a regression — every ratio must stay 1.0."""
+    with open(os.path.join(REPO, "BENCH_r07.json")) as f:
+        prev = json.load(f)["parsed"]
+    slowed = {k: v * 1.5 for k, v in prev["queries"].items()}
+    g = bench.adjudicate(slowed, prev["calib_sec"] * 1.5, REPO)
+    assert all(
+        abs(v["ratio_norm"] - 1.0) < 1e-6 for v in g["vs_prev"].values()
+    )
+    assert g["vs_prev_fail"] == []
+
+
+def test_single_query_regression_fails():
+    """One query 2x slower at the same calib must fail exactly that
+    query's vs-prev verdict."""
+    with open(os.path.join(REPO, "BENCH_r07.json")) as f:
+        prev = json.load(f)["parsed"]
+    cur = dict(prev["queries"])
+    cur["q1_pricing_summary"] = cur["q1_pricing_summary"] * 2
+    g = bench.adjudicate(cur, prev["calib_sec"], REPO)
+    assert g["vs_prev_fail"] == ["q1_pricing_summary"]
+    assert g["vs_prev"]["q1_pricing_summary"]["pass"] is False
+
+
+def test_no_prev_bench_is_not_an_error(tmp_path):
+    """First round in a fresh repo: no BENCH files — pins still run,
+    vs-prev is empty, no crash."""
+    g = bench.adjudicate({"llm_pq_ann_topk": 1.0}, bench.CALIB_REF,
+                         str(tmp_path))
+    assert g["prev_bench"] is None
+    assert g["vs_prev"] == {}
+    assert g["pins"]["llm_pq_ann_topk"]["pass"]
+    assert g["pass"] is True
+
+
+def test_sf_mismatch_makes_verdicts_non_binding(r07):
+    """Pins and the prev artifact are quoted at sf0.1; a quick sf0.01
+    iteration run must not emit binding verdicts."""
+    g = bench.adjudicate(r07["queries"], r07["calib_sec"], REPO, sf=0.01)
+    assert g["sf_mismatch"] is True
+    assert g["pass"] is None
+    g01 = bench.adjudicate(r07["queries"], r07["calib_sec"], REPO, sf=0.1)
+    assert g01["sf_mismatch"] is False
+    assert g01["pass"] is False  # replays the r7 pin failures
+
+
+def test_pinned_guards_cover_verdict_names():
+    """The four round-6 pins plus the round-7 carry-forward guard."""
+    assert set(bench.PINNED_GUARDS) == {
+        "llm_trained_quality_classifier",
+        "llm_pq_ann_topk",
+        "llm_corpus_overlap_sketch",
+        "llm_minhash_dedup",
+        "stream_interval_join",
+    }
