@@ -14,17 +14,30 @@ golden-file test discipline (TableTestBase.scala:92).
 
 Spark-first mapping — Catalyst owns planning, so:
 
-- The three sections are Catalyst's own phases, read from Spark's native
-  EXPLAIN output without executing the statement (safe for INSERT too):
-  analyzed logical plan (the AST), optimized logical plan, and the
-  formatted physical plan.
+- The sections carry the REFERENCE'S header names so tooling ported from
+  it parses unchanged (StreamPlanner.scala:99-130): "== Abstract Syntax
+  Tree ==" is Spark's analyzed logical plan, "== Optimized Physical
+  Plan ==" is Spark's optimized logical plan (Catalyst's last
+  engine-owned phase — the analogue of the reference's planned tree),
+  "== Optimized Execution Plan ==" is Spark's formatted physical plan,
+  and the ``JSON_EXECUTION_PLAN`` detail lands under "== Physical
+  Execution Plan ==" exactly as upstream's JSON-execution-plan section
+  does. All are read from Spark's native EXPLAIN output without
+  executing the statement (safe for INSERT too). Two sections are
+  deliberate Spark-first EXTENSIONS with no upstream header:
+  "== Estimated Cost ==" (upstream inlines cost into the physical plan;
+  Spark's cost mode is a separate rendering) and "== Plan Advice ==" (a
+  1.17 detail; this fork's ExplainDetail.java predates it).
 - ``ESTIMATED_COST`` maps to Spark's cost mode (optimized plan annotated
   with Statistics — sizeInBytes/rowCount, Catalyst's own estimates).
-- ``CHANGELOG_MODE`` annotates plan nodes with their changelog mode.
-  SQL statements plan as batch here (update/retract pipelines go through
-  the changelog operators and Structured Streaming, not ``spark.sql``),
-  so every node is insert-only ``[I]`` — annotated truthfully rather
-  than inferred speculatively.
+- ``CHANGELOG_MODE`` annotates plan nodes with their changelog mode,
+  sourced from the engine's OWN changelog convention
+  (operators/changelog.py): a node whose output carries the ``__op``
+  row-kind column is an upsert changelog ``[I,UA,D]``, one carrying the
+  ``__sign`` retraction column is a retract stream ``[I,UB,UA]``, and
+  everything else is insert-only ``[I]`` (mirroring
+  FlinkChangelogModeInferenceProgram.scala:43's labels). Plain batch
+  SQL therefore still annotates ``[I]`` truthfully.
 - ``PLAN_ADVICE`` (FLINK-28743's advisor) runs engine-side plan checks:
   non-deterministic expressions feeding the plan (the reference's NDU
   advice, via :func:`operators.changelog.non_deterministic_expressions`),
@@ -35,9 +48,13 @@ Spark-first mapping — Catalyst owns planning, so:
   deliberately has no deserialize-a-physical-plan execution path — plans
   are re-derived from SQL at run time, which is what enables AQE — so
   ``EXECUTE PLAN`` re-plans the stored statement through Catalyst and
-  FAILS if the stored signature no longer matches the current parse
-  (the same drift gate the reference's plan-restore compatibility tests
-  enforce).
+  FAILS on drift at three depths: the Flink-dialect rewrite of the
+  original statement no longer produces the stored SQL (rewrite-layer
+  drift), the stored SQL no longer parses to the stored tree
+  (parser/tampering drift), or — for pure queries — the ANALYZED plan's
+  operator tree or result schema changed (catalog/schema drift: a
+  REPLACEd table, a changed column type — the gate the reference's
+  plan-restore compatibility tests enforce around ExecNodeGraph.java:29).
 """
 
 from __future__ import annotations
@@ -126,6 +143,29 @@ def statement_signature(spark: SparkSession, sql: str) -> dict:
     return _walk_jvm_tree(parsed)
 
 
+_QUERY_RE = re.compile(r"^\s*(SELECT|WITH|VALUES|TABLE)\b", re.IGNORECASE)
+
+
+def analyzed_signature(spark: SparkSession, sql: str) -> dict | None:
+    """Signature of a pure query's ANALYZED plan: the resolved operator
+    tree plus the result schema (catalog string). This is the layer at
+    which catalog state binds, so it moves when a referenced table is
+    REPLACEd with a different shape, a column changes type, or a view
+    definition changes — the drift the reference's plan-restore gate
+    catches by pinning the planned ExecNode graph (ExecNodeGraph.java:29,
+    CompiledPlan.java). Returns None for non-query statements:
+    ``spark.sql`` of a command would EXECUTE it, and signing must never
+    run the statement (those keep the parse-level gate only)."""
+    if not _QUERY_RE.match(sql):
+        return None
+    qe = spark.sql(sql)._jdf.queryExecution()
+    analyzed = qe.analyzed()
+    return {
+        "tree": _walk_jvm_tree(analyzed),
+        "schema": analyzed.schema().catalogString(),
+    }
+
+
 # ---------------------------------------------------------------------------
 # EXPLAIN
 # ---------------------------------------------------------------------------
@@ -188,18 +228,54 @@ def _section(text: str, header: str) -> str:
     return m.group(1).strip("\n") if m else ""
 
 
+#: column-name conventions that define a frame's changelog mode
+#: (operators/changelog.py: ROWKIND_COL ``__op``, retract ``__sign``)
+_MODE_BY_MARKER = (
+    ("__sign", "[I,UB,UA]"),  # retract stream: ± update-before/after pairs
+    ("__op", "[I,UA,D]"),  # upsert changelog: I / U(after-image) / D
+)
+
+
+def _line_changelog_mode(line: str) -> str:
+    """Changelog mode of one optimized-plan text line, read from the
+    attributes the node outputs: Catalyst prints attributes as
+    ``name#id``, so a node carrying the engine's ``__op`` row-kind
+    column is an upsert changelog and ``__sign`` a retract stream
+    (the ``__op``-as-data design, SURVEY §7 M4 — labels mirror
+    FlinkChangelogModeInferenceProgram.scala:43)."""
+    for marker, mode in _MODE_BY_MARKER:
+        if re.search(rf"\b{marker}#\d+", line):
+            return mode
+    return "[I]"
+
+
 def _annotate_changelog_mode(plan_text: str) -> str:
-    """Suffix every plan node line with its changelog mode. Batch SQL
-    plans are insert-only by construction — update/retract pipelines run
-    through operators/changelog.py + Structured Streaming, not here."""
+    """Suffix every plan node line with its changelog mode, sourced from
+    the changelog-convention columns in the node's output (see
+    :func:`_line_changelog_mode`). A plan with no changelog columns —
+    plain batch SQL — truthfully annotates ``[I]`` everywhere."""
     out = []
     for line in plan_text.splitlines():
         stripped = line.rstrip()
         if stripped and not stripped.startswith("=="):
-            out.append(f"{stripped}, changelogMode=[I]")
+            out.append(
+                f"{stripped}, changelogMode={_line_changelog_mode(stripped)}"
+            )
         else:
             out.append(stripped)
     return "\n".join(out)
+
+
+def changelog_mode(df: DataFrame) -> str:
+    """The changelog mode a frame's rows carry under the engine's
+    ``__op``/``__sign`` convention (operators/changelog.py): the
+    programmatic complement of ``EXPLAIN CHANGELOG_MODE`` for pipelines
+    built with the DataFrame operators rather than SQL text."""
+    cols = set(df.columns)
+    for marker, mode in _MODE_BY_MARKER:
+        if marker in cols:
+            return mode
+    return "[I]"
 
 
 _DEFAULT_BROADCAST_BYTES = 10 * 1024 * 1024
@@ -334,6 +410,15 @@ def explain_statement(
             "EXPLAIN of a DDL that expands to multiple statements is not "
             "supported — run the DDL, then EXPLAIN queries against it"
         )
+    # section headers are the REFERENCE'S (StreamPlanner.scala:99-130):
+    # its "Optimized Physical Plan" holds the planner-owned optimized
+    # tree (Spark: the optimized logical plan — Catalyst's last
+    # engine-owned phase), its "Optimized Execution Plan" the runnable
+    # form (Spark: the formatted physical plan), and its "Physical
+    # Execution Plan" is the JSON-execution-plan section emitted only
+    # with the JSON_EXECUTION_PLAN detail. The _section() reads below
+    # parse SPARK's native EXTENDED/COST output, whose own header names
+    # are unrelated to ours.
     extended = _spark_explain_text(spark, "EXTENDED", rewritten)
     optimized = _section(extended, "Optimized Logical Plan")
     if "CHANGELOG_MODE" in details:
@@ -341,14 +426,14 @@ def explain_statement(
     physical = _spark_explain_text(spark, "FORMATTED", rewritten)
     sections = [
         ("Abstract Syntax Tree", _section(extended, "Analyzed Logical Plan")),
-        ("Optimized Logical Plan", optimized),
+        ("Optimized Physical Plan", optimized),
     ]
     if "ESTIMATED_COST" in details:
         cost = _spark_explain_text(spark, "COST", rewritten)
         sections.append(
             ("Estimated Cost", _section(cost, "Optimized Logical Plan"))
         )
-    sections.append(("Physical Execution Plan", physical.strip("\n")))
+    sections.append(("Optimized Execution Plan", physical.strip("\n")))
     if "PLAN_ADVICE" in details:
         items = _plan_advice(spark, rewritten, physical)
         body = (
@@ -360,7 +445,7 @@ def explain_statement(
     if "JSON_EXECUTION_PLAN" in details:
         sections.append(
             (
-                "JSON Execution Plan",
+                "Physical Execution Plan",
                 json.dumps(statement_signature(spark, rewritten), indent=2),
             )
         )
@@ -394,6 +479,9 @@ def compile_plan(spark: SparkSession, path: str, statement: str) -> dict:
         "statement": statement,
         "rewritten": stmts,
         "signatures": [statement_signature(spark, s) for s in stmts],
+        # analyzed-phase signatures pin catalog state for pure queries
+        # (None for commands/DML — signing must never execute them)
+        "analyzed_signatures": [analyzed_signature(spark, s) for s in stmts],
     }
     with open(path, "w") as f:
         json.dump(payload, f, indent=2)
@@ -402,9 +490,20 @@ def compile_plan(spark: SparkSession, path: str, statement: str) -> dict:
 
 def execute_plan(spark: SparkSession, path: str) -> DataFrame:
     """``EXECUTE PLAN 'path'``: re-plan the stored statement through
-    Catalyst and run it; fail on signature drift (the statement no longer
-    parses to the tree it was compiled with — the reference's restore
-    compatibility gate)."""
+    Catalyst and run it; fail on drift at three depths (the reference's
+    restore compatibility gate, ExecNodeGraph.java:29):
+
+    1. rewrite drift — ``rewrite_flink_sql`` of the original statement no
+       longer produces the stored rewritten SQL (the dialect layer
+       changed since compile time);
+    2. parse drift — the stored SQL no longer parses to the stored tree
+       (a Spark parser upgrade, or the file was tampered with);
+    3. catalog/schema drift (pure queries only) — the ANALYZED operator
+       tree or result schema changed: a referenced table was REPLACEd
+       with a different shape, a column type changed, a view was
+       redefined. Commands/DML carry no analyzed signature (signing
+       would execute them) and are gated at depths 1-2 only.
+    """
     with open(path) as f:
         payload = json.load(f)
     if payload.get("flinkPslSparkPlanVersion") != PLAN_FORMAT_VERSION:
@@ -418,15 +517,45 @@ def execute_plan(spark: SparkSession, path: str) -> DataFrame:
             f"{len(payload.get('rewritten', []))} statement(s) but "
             f"{len(payload.get('signatures', []))} signature(s)"
         )
+    if "statement" in payload:
+        from flink_psl_spark.temporal_sql import rewrite_flink_sql
+
+        recur = rewrite_flink_sql(payload["statement"])
+        recur_list = recur if isinstance(recur, list) else [recur]
+        if recur_list != payload["rewritten"]:
+            raise ValueError(
+                f"compiled plan '{path}' has rewrite-layer drift: the "
+                "Flink-dialect rewrite of its statement no longer "
+                "produces the SQL it was compiled with — recompile with "
+                "COMPILE PLAN after reviewing the rewrite change"
+            )
+    # plans compiled before analyzed signatures existed verify at
+    # parse depth only (their list is all-None)
+    analyzed_stored = payload.get(
+        "analyzed_signatures", [None] * len(payload["rewritten"])
+    )
     df = None
-    for sql, stored in zip(payload["rewritten"], payload["signatures"]):
+    for sql, stored, a_stored in zip(
+        payload["rewritten"], payload["signatures"], analyzed_stored
+    ):
         current = statement_signature(spark, sql)
         if current != stored:
             raise ValueError(
-                f"compiled plan '{path}' no longer matches the current "
-                "planner output for its statement — recompile with "
-                "COMPILE PLAN after reviewing the change"
+                f"compiled plan '{path}' has parse-level drift: its "
+                "stored statement no longer parses to the tree it was "
+                "compiled with (parser upgrade or file tampering) — "
+                "recompile with COMPILE PLAN after reviewing the change"
             )
+        if a_stored is not None:
+            a_current = analyzed_signature(spark, sql)
+            if a_current != a_stored:
+                raise ValueError(
+                    f"compiled plan '{path}' has catalog/schema drift: a "
+                    "table or view the query reads was replaced or "
+                    "changed shape since compile time (stored schema "
+                    f"{a_stored.get('schema')!r}) — recompile with "
+                    "COMPILE PLAN after reviewing the catalog change"
+                )
         df = spark.sql(sql)
     return df
 

@@ -339,8 +339,8 @@ def explain_plan_shape(spark, sf_dir):
     ].df.collect()[0][0]
     for header in (
         "== Abstract Syntax Tree ==",
-        "== Optimized Logical Plan ==",
-        "== Physical Execution Plan ==",
+        "== Optimized Physical Plan ==",
+        "== Optimized Execution Plan ==",
     ):
         if header not in text:
             raise AssertionError(f"EXPLAIN output missing section {header}")

@@ -93,11 +93,14 @@ class StatementResult:
     df: DataFrame | None = None
 
 
+from flink_psl_spark.plans import EXPLAIN_DETAILS as _EXPLAIN_DETAILS  # noqa: E402
+
 _STMT_SET_OPEN = re.compile(
     # the EXPLAIN prefix admits both detail spellings — parenthesized
-    # `(A, B)` and bare `A, B` keyword lists (plans.parse_explain's set)
+    # `(A, B)` and bare `A, B` keyword lists; the bare alternation is
+    # built from plans.EXPLAIN_DETAILS so the two stay in sync
     r"^(?P<explain>EXPLAIN\s+(?:\([^)]*\)\s*"
-    r"|(?:(?:ESTIMATED_COST|CHANGELOG_MODE|PLAN_ADVICE|JSON_EXECUTION_PLAN)"
+    r"|(?:(?:" + "|".join(sorted(_EXPLAIN_DETAILS)) + r")"
     r"\s*,?\s*)+)?(?:PLAN\s+FOR\s+)?)?"
     r"(?:EXECUTE\s+)?STATEMENT\s+SET\s+BEGIN\b(?P<first>.*)$",
     re.IGNORECASE | re.DOTALL,

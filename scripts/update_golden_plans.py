@@ -13,8 +13,10 @@ import json
 import os
 import sys
 
-sys.path.insert(0, ".")
-sys.path.insert(0, "tests")
+# anchor to the repo root so the updater works from any CWD
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tests"))
 
 from flink_psl_spark import get_spark
 from _golden_plans import ALL_GOLDEN, GOLDEN_DIR, golden_signature

@@ -76,8 +76,8 @@ def test_explain_sections(spark, sf_dir):
     text = res[0].df.collect()[0][0]
     for header in (
         "== Abstract Syntax Tree ==",
-        "== Optimized Logical Plan ==",
-        "== Physical Execution Plan ==",
+        "== Optimized Physical Plan ==",
+        "== Optimized Execution Plan ==",
     ):
         assert header in text
     assert "Aggregate" in text
@@ -95,7 +95,7 @@ def test_explain_details_sections(spark, sf_dir):
     assert "Statistics(" in text  # Catalyst's own size/rowcount estimates
     assert "changelogMode=[I]" in text  # batch SQL plans are insert-only
     assert "== Plan Advice ==" in text
-    assert "== JSON Execution Plan ==" in text
+    assert "== Physical Execution Plan ==" in text
 
 
 def test_explain_plan_advice_flags_ndu(spark, sf_dir):
@@ -132,7 +132,7 @@ def test_explain_of_flink_dialect_statement(spark, sf_dir):
         sf_dir=sf_dir,
     )
     text = res[0].df.collect()[0][0]
-    assert "== Physical Execution Plan ==" in text
+    assert "== Optimized Execution Plan ==" in text
     assert "TUMBLE" not in text
 
 
@@ -172,7 +172,7 @@ def test_explain_statement_set(spark, tmp_path):
         assert res[0].kind == "explain"
         text = res[0].df.collect()[0][0]
         assert "-- statement 1 --" in text and "-- statement 2 --" in text
-        assert text.count("== Physical Execution Plan ==") == 2
+        assert text.count("== Optimized Execution Plan ==") == 2
         assert spark.table("ss_a").count() == 0
         assert spark.table("ss_b").count() == 0
         # without the EXPLAIN prefix the same block still executes
@@ -281,7 +281,7 @@ def test_execute_plan_detects_drift(spark, sf_dir, tmp_path):
     payload = json.loads(path.read_text())
     payload["signatures"][0]["op"] = "Tampered"
     path.write_text(json.dumps(payload))
-    with pytest.raises(ValueError, match="no longer matches"):
+    with pytest.raises(ValueError, match="parse-level drift"):
         run_script(spark, f"EXECUTE PLAN '{path}';")
 
 
@@ -317,7 +317,7 @@ def test_explain_parenthesized_query_not_details(spark):
     it must keep working (Spark accepts it natively)."""
     assert parse_explain("EXPLAIN (SELECT 1)") == ([], "(SELECT 1)")
     res = run_script(spark, "EXPLAIN (SELECT 1);")
-    assert "== Physical Execution Plan ==" in res[0].df.collect()[0][0]
+    assert "== Optimized Execution Plan ==" in res[0].df.collect()[0][0]
 
 
 def test_explain_statement_set_bare_details(spark, tmp_path):
@@ -434,3 +434,162 @@ def test_golden_plan_snapshot(spark, sf_dir, name):
     with open(os.path.join(GOLDEN_DIR, f"{name}.json")) as f:
         expected = json.load(f)
     assert golden_signature(spark, sf_dir, name) == expected
+
+
+# -- analyzed-phase drift gate (catalog/schema drift) ------------------------
+
+def test_compile_plan_stores_analyzed_signature(spark, sf_dir, tmp_path):
+    """Pure queries pin both the parse tree and the analyzed tree+schema;
+    the analyzed layer is where catalog state binds."""
+    path = tmp_path / "q.json"
+    run_script(
+        spark,
+        f"COMPILE PLAN '{path}' FOR SELECT count(*) AS n FROM customer;",
+        sf_dir=sf_dir,
+    )
+    payload = json.loads(path.read_text())
+    [a] = payload["analyzed_signatures"]
+    assert a["schema"] == "struct<n:bigint>"
+    assert a["tree"]["op"] == "Aggregate"  # analysis resolves the agg
+
+
+def test_execute_plan_detects_schema_drift(spark, tmp_path):
+    """The reference-style restore gate: a table REPLACEd with a
+    different schema must fail EXECUTE PLAN (ExecNodeGraph.java:29's
+    restore-compatibility discipline), not silently re-plan."""
+    spark.sql("CREATE OR REPLACE TEMP VIEW drift_v AS SELECT 1 AS a")
+    path = tmp_path / "q.json"
+    run_script(spark, f"COMPILE PLAN '{path}' FOR SELECT a FROM drift_v;")
+    # same statement still parses identically — only the catalog changed
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW drift_v AS "
+        "SELECT CAST(2.5 AS DOUBLE) AS a"
+    )
+    with pytest.raises(ValueError, match="catalog/schema drift"):
+        run_script(spark, f"EXECUTE PLAN '{path}';")
+    spark.catalog.dropTempView("drift_v")
+
+
+def test_execute_plan_detects_view_redefinition(spark, tmp_path):
+    """A view redefined to a different operator shape (same output
+    schema) is caught by the analyzed TREE component of the signature."""
+    spark.sql("CREATE OR REPLACE TEMP VIEW drift_w AS SELECT 1 AS a")
+    path = tmp_path / "w.json"
+    run_script(spark, f"COMPILE PLAN '{path}' FOR SELECT a FROM drift_w;")
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW drift_w AS "
+        "SELECT a FROM (SELECT 1 AS a) WHERE a > 0"
+    )
+    with pytest.raises(ValueError, match="catalog/schema drift"):
+        run_script(spark, f"EXECUTE PLAN '{path}';")
+    spark.catalog.dropTempView("drift_w")
+
+
+def test_execute_plan_unchanged_catalog_still_runs(spark, sf_dir, tmp_path):
+    """The deeper gate must not false-positive: compile then execute with
+    an untouched catalog succeeds."""
+    path = tmp_path / "q.json"
+    res = run_script(
+        spark,
+        f"COMPILE PLAN '{path}' FOR SELECT count(*) AS n FROM customer;\n"
+        f"EXECUTE PLAN '{path}';",
+        sf_dir=sf_dir,
+    )
+    assert res[1].df.collect()[0]["n"] == spark.table("customer").count()
+
+
+def test_execute_plan_detects_rewrite_drift(spark, sf_dir, tmp_path):
+    """The dialect layer is re-run at execute time: stored rewritten SQL
+    that rewrite_flink_sql no longer produces fails the gate (rewrite
+    fixes invalidate compiled plans instead of silently not applying)."""
+    path = tmp_path / "q.json"
+    run_script(
+        spark, f"COMPILE PLAN '{path}' FOR SELECT 1 AS one;", sf_dir=sf_dir
+    )
+    payload = json.loads(path.read_text())
+    payload["rewritten"] = ["SELECT 2 AS one"]
+    path.write_text(json.dumps(payload))
+    with pytest.raises(ValueError, match="rewrite-layer drift"):
+        run_script(spark, f"EXECUTE PLAN '{path}';")
+
+
+def test_execute_plan_accepts_pre_analyzed_format(spark, sf_dir, tmp_path):
+    """Plan files compiled before analyzed signatures existed (no
+    'analyzed_signatures' key) still execute — gated at parse depth."""
+    path = tmp_path / "q.json"
+    run_script(
+        spark, f"COMPILE PLAN '{path}' FOR SELECT 1 AS one;", sf_dir=sf_dir
+    )
+    payload = json.loads(path.read_text())
+    del payload["analyzed_signatures"]
+    path.write_text(json.dumps(payload))
+    res = run_script(spark, f"EXECUTE PLAN '{path}';")
+    assert res[0].df.collect()[0]["one"] == 1
+
+
+def test_compile_plan_insert_has_no_analyzed_signature(spark, tmp_path):
+    """Commands/DML must not be analyzed at compile time (spark.sql of an
+    INSERT executes it) — their analyzed signature is stored as None."""
+    spark.sql("DROP TABLE IF EXISTS cp_sink")
+    spark.sql("CREATE TABLE cp_sink (x INT) USING parquet")
+    try:
+        path = tmp_path / "ins.json"
+        run_script(
+            spark, f"COMPILE PLAN '{path}' FOR INSERT INTO cp_sink SELECT 7;"
+        )
+        payload = json.loads(path.read_text())
+        assert payload["analyzed_signatures"] == [None]
+        assert spark.table("cp_sink").count() == 0  # compile never ran it
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cp_sink")
+
+
+# -- CHANGELOG_MODE sourced from the __op/__sign convention ------------------
+
+def test_changelog_mode_annotates_retract_pipeline(spark, sf_dir):
+    """A retract pipeline (operators/changelog.retract_rows → __sign)
+    explains with retract modes on the nodes that carry the sign column,
+    and insert-only [I] below them — sourced from the plan's own
+    attributes, mirroring FlinkChangelogModeInferenceProgram.scala:43."""
+    from flink_psl_spark.operators.changelog import retract_rows
+
+    old = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+    new = spark.createDataFrame([(1, 11), (3, 30)], "k int, v int")
+    retract_rows(old, new, "k").createOrReplaceTempView("retr_v")
+    res = run_script(
+        spark, "EXPLAIN CHANGELOG_MODE SELECT * FROM retr_v;", sf_dir=sf_dir
+    )
+    text = res[0].df.collect()[0][0]
+    assert "changelogMode=[I,UB,UA]" in text
+    assert "changelogMode=[I]" in text  # the base relations stay insert-only
+    spark.catalog.dropTempView("retr_v")
+
+
+def test_changelog_mode_annotates_upsert_pipeline(spark, sf_dir):
+    """An __op changelog (snapshot_diff's I/U/D rows) explains as an
+    upsert stream [I,UA,D]."""
+    from flink_psl_spark.operators.changelog import snapshot_diff
+
+    old = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+    new = spark.createDataFrame([(1, 11), (3, 30)], "k int, v int")
+    snapshot_diff(old, new, "k").createOrReplaceTempView("diff_v")
+    res = run_script(
+        spark, "EXPLAIN CHANGELOG_MODE SELECT * FROM diff_v;", sf_dir=sf_dir
+    )
+    text = res[0].df.collect()[0][0]
+    assert "changelogMode=[I,UA,D]" in text
+    spark.catalog.dropTempView("diff_v")
+
+
+def test_changelog_mode_helper():
+    """plans.changelog_mode: the programmatic mode of a frame under the
+    engine's changelog convention."""
+    from flink_psl_spark.plans import changelog_mode
+
+    class _Frame:  # duck-typed: changelog_mode only reads .columns
+        def __init__(self, columns):
+            self.columns = columns
+
+    assert changelog_mode(_Frame(["k", "v"])) == "[I]"
+    assert changelog_mode(_Frame(["k", "v", "__op"])) == "[I,UA,D]"
+    assert changelog_mode(_Frame(["k", "v", "__sign"])) == "[I,UB,UA]"
