@@ -230,6 +230,27 @@ def adjudicate(per_query: dict[str, float], calib: float,
         }
         if not ok:
             guards["pins_fail"].append(name)
+    # baseline ratio: total over the query subset shared with BENCH_r01
+    # (the reference publishes no wall-times — BASELINE.md — so the r1
+    # measurement is the standing bar; r1 predates calib_sec, so the
+    # ratio is raw seconds). This is the judge's bench_vs_baseline
+    # number, self-reported.
+    r1_path = os.path.join(repo_dir, "BENCH_r01.json")
+    if os.path.exists(r1_path):
+        with open(r1_path) as f:
+            r1 = json.load(f)
+        r1 = r1.get("parsed", r1)
+        shared = sorted(set(per_query) & set(r1.get("queries", {})))
+        if shared:
+            cur_total = sum(per_query[n] for n in shared)
+            r1_total = sum(r1["queries"][n] for n in shared)
+            guards["baseline"] = {
+                "file": "BENCH_r01.json",
+                "n_shared": len(shared),
+                "shared_total_sec": round(cur_total, 3),
+                "r1_total_sec": round(r1_total, 3),
+                "ratio": round(cur_total / r1_total, 3),
+            }
     guards["sf_mismatch"] = sf is not None and float(sf) != 0.1
     if guards["sf_mismatch"]:
         guards["pass"] = None

@@ -90,6 +90,20 @@ def test_no_prev_bench_is_not_an_error(tmp_path):
     assert g["pass"] is True
 
 
+def test_baseline_block_reports_comparable_subset(r07):
+    """The artifact self-reports the judge's bench_vs_baseline number:
+    the total over the 24 queries shared with BENCH_r01, raw seconds
+    (r1 predates calib_sec)."""
+    g = bench.adjudicate(r07["queries"], r07["calib_sec"], REPO, sf=0.1)
+    b = g["baseline"]
+    assert b["file"] == "BENCH_r01.json"
+    assert b["n_shared"] == 24
+    # replaying the r7 driver artifact: its verdict worked this out as
+    # 26.66 s = 0.85x of the 31.54 s r1 bar
+    assert abs(b["shared_total_sec"] - 26.66) < 0.02
+    assert abs(b["ratio"] - 0.845) < 0.005
+
+
 def test_sf_mismatch_makes_verdicts_non_binding(r07):
     """Pins and the prev artifact are quoted at sf0.1; a quick sf0.01
     iteration run must not emit binding verdicts."""
