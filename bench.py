@@ -100,9 +100,9 @@ def main() -> int:
             if name not in per_query or elapsed < per_query[name]:
                 per_query[name] = elapsed
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    raw_sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(raw_sf) if raw_sf.replace(".", "").isdigit() else None
     total = round(sum(per_query.values()), 3)
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else None
     guards = adjudicate(
         per_query, calib, os.path.dirname(os.path.abspath(__file__)),
         sf=sf_val,
@@ -117,7 +117,7 @@ def main() -> int:
                 "calib_sec": calib,
                 "queries": per_query,
                 "guards": guards,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val if sf_val is not None else raw_sf,
             }
         )
     )
@@ -161,25 +161,27 @@ VS_PREV_BAR = 1.3
 
 
 def _latest_prev_bench(repo_dir: str) -> tuple[str, dict] | None:
-    """Newest committed BENCH_r{N}.json (driver wrapper or raw line)."""
+    """Newest PARSEABLE committed BENCH_r{N}.json (driver wrapper or raw
+    line) — a malformed newest file (e.g. a failed run committed anyway)
+    falls back to the next-newest instead of disabling the guard."""
     import glob
     import re
 
-    best: tuple[int, str] | None = None
+    candidates: list[tuple[int, str]] = []
     for path in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if m:
-            n = int(m.group(1))
-            if best is None or n > best[0]:
-                best = (n, path)
-    if best is None:
-        return None
-    with open(best[1]) as f:
-        data = json.load(f)
-    parsed = data.get("parsed", data)  # driver wraps the raw line
-    if not isinstance(parsed, dict) or "queries" not in parsed:
-        return None
-    return os.path.basename(best[1]), parsed
+            candidates.append((int(m.group(1)), path))
+    for _, path in sorted(candidates, reverse=True):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        parsed = data.get("parsed", data)  # driver wraps the raw line
+        if isinstance(parsed, dict) and "queries" in parsed:
+            return os.path.basename(path), parsed
+    return None
 
 
 def adjudicate(per_query: dict[str, float], calib: float,
@@ -251,7 +253,9 @@ def adjudicate(per_query: dict[str, float], calib: float,
                 "r1_total_sec": round(r1_total, 3),
                 "ratio": round(cur_total / r1_total, 3),
             }
-    guards["sf_mismatch"] = sf is not None and float(sf) != 0.1
+    # unknown scale is a mismatch too — binding verdicts only at the
+    # driver's sf0.1
+    guards["sf_mismatch"] = sf is None or float(sf) != 0.1
     if guards["sf_mismatch"]:
         guards["pass"] = None
     else:

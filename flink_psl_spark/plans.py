@@ -146,6 +146,41 @@ def statement_signature(spark: SparkSession, sql: str) -> dict:
 _QUERY_RE = re.compile(r"^\s*(SELECT|WITH|VALUES|TABLE)\b", re.IGNORECASE)
 
 
+def is_pure_query(spark: SparkSession, sql: str) -> bool:
+    """True only when ``spark.sql(sql)`` is guaranteed lazy (a pure
+    query), decided from the PARSE tree, never by running anything.
+
+    The keyword prefix alone is not safe — ``WITH c AS (...) INSERT
+    INTO t ...`` starts like a query but parses to an
+    InsertIntoStatement that ``spark.sql`` executes eagerly. So after
+    the cheap prefix test, walk the parse-only tree and reject any
+    command/DML node (Spark names them *Statement / *Command /
+    *Table — InsertIntoStatement, MergeIntoTable, DeleteFromTable,
+    UpdateTable); pure-query parse trees contain relational ops only
+    (Project, UnresolvedWith, GlobalLimit, ...)."""
+    if not _QUERY_RE.match(sql):
+        return False
+    def clean(node: dict) -> bool:
+        op = node["op"]
+        if (
+            op.endswith("Statement")
+            or op.endswith("Command")
+            or op in ("MergeIntoTable", "DeleteFromTable", "UpdateTable")
+        ):
+            return False
+        return all(clean(c) for c in node.get("children", []))
+    return clean(statement_signature(spark, sql))
+
+
+def _analyzed_signature_of(df: DataFrame) -> dict:
+    """The analyzed-phase payload of an already-built (lazy) frame."""
+    analyzed = df._jdf.queryExecution().analyzed()
+    return {
+        "tree": _walk_jvm_tree(analyzed),
+        "schema": analyzed.schema().catalogString(),
+    }
+
+
 def analyzed_signature(spark: SparkSession, sql: str) -> dict | None:
     """Signature of a pure query's ANALYZED plan: the resolved operator
     tree plus the result schema (catalog string). This is the layer at
@@ -153,17 +188,14 @@ def analyzed_signature(spark: SparkSession, sql: str) -> dict | None:
     REPLACEd with a different shape, a column changes type, or a view
     definition changes — the drift the reference's plan-restore gate
     catches by pinning the planned ExecNode graph (ExecNodeGraph.java:29,
-    CompiledPlan.java). Returns None for non-query statements:
-    ``spark.sql`` of a command would EXECUTE it, and signing must never
-    run the statement (those keep the parse-level gate only)."""
-    if not _QUERY_RE.match(sql):
+    CompiledPlan.java). Returns None for anything that is not a pure
+    query (per :func:`is_pure_query`, a parse-tree test — not a prefix
+    test, so ``WITH ... INSERT`` is excluded too): ``spark.sql`` of a
+    command would EXECUTE it, and signing must never run the statement
+    (those keep the parse-level gate only)."""
+    if not is_pure_query(spark, sql):
         return None
-    qe = spark.sql(sql)._jdf.queryExecution()
-    analyzed = qe.analyzed()
-    return {
-        "tree": _walk_jvm_tree(analyzed),
-        "schema": analyzed.schema().catalogString(),
-    }
+    return _analyzed_signature_of(spark.sql(sql))
 
 
 # ---------------------------------------------------------------------------
@@ -325,11 +357,10 @@ def _plan_advice(spark: SparkSession, sql: str, physical: str) -> list[str]:
     shuffled joins whose smallest side is broadcast-sized."""
     advice: list[str] = []
     # NDU analysis needs an analyzed DataFrame; build one ONLY for pure
-    # queries — spark.sql() of a command (CREATE VIEW, INSERT, …) would
-    # execute it, and EXPLAIN must never run its statement
-    is_query = bool(
-        re.match(r"^\s*(SELECT|WITH|VALUES|TABLE)\b", sql, re.IGNORECASE)
-    )
+    # queries — spark.sql() of a command (CREATE VIEW, INSERT,
+    # WITH…INSERT, …) would execute it, and EXPLAIN must never run its
+    # statement (shared parse-tree predicate, not a prefix test)
+    is_query = is_pure_query(spark, sql)
     if is_query:
         from flink_psl_spark.operators.changelog import (
             non_deterministic_expressions,
@@ -530,10 +561,17 @@ def execute_plan(spark: SparkSession, path: str) -> DataFrame:
                 "COMPILE PLAN after reviewing the rewrite change"
             )
     # plans compiled before analyzed signatures existed verify at
-    # parse depth only (their list is all-None)
+    # parse depth only (their list is all-None); a PRESENT list must
+    # line up — zip truncation would silently skip statements
     analyzed_stored = payload.get(
         "analyzed_signatures", [None] * len(payload["rewritten"])
     )
+    if len(analyzed_stored) != len(payload["rewritten"]):
+        raise ValueError(
+            f"compiled plan '{path}' is corrupt: "
+            f"{len(payload['rewritten'])} statement(s) but "
+            f"{len(analyzed_stored)} analyzed signature(s)"
+        )
     df = None
     for sql, stored, a_stored in zip(
         payload["rewritten"], payload["signatures"], analyzed_stored
@@ -547,8 +585,10 @@ def execute_plan(spark: SparkSession, path: str) -> DataFrame:
                 "recompile with COMPILE PLAN after reviewing the change"
             )
         if a_stored is not None:
-            a_current = analyzed_signature(spark, sql)
-            if a_current != a_stored:
+            # pure query: building the frame is lazy; analyze ONCE and
+            # reuse it as the execution frame
+            df = spark.sql(sql)
+            if _analyzed_signature_of(df) != a_stored:
                 raise ValueError(
                     f"compiled plan '{path}' has catalog/schema drift: a "
                     "table or view the query reads was replaced or "
@@ -556,7 +596,8 @@ def execute_plan(spark: SparkSession, path: str) -> DataFrame:
                     f"{a_stored.get('schema')!r}) — recompile with "
                     "COMPILE PLAN after reviewing the catalog change"
                 )
-        df = spark.sql(sql)
+        else:
+            df = spark.sql(sql)
     return df
 
 

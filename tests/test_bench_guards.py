@@ -5,12 +5,17 @@ rules (calib normalization, the 1.3x vs-prev bar, the pinned budgets)
 used to live in session logs. These tests pin the encoded rules by
 replaying the round-7 driver artifact, whose drift analysis the round-7
 VERDICT worked out by hand.
+
+The artifacts are copied into a tmp dir so the tests stay frozen on the
+r07-vs-r01 pair — adjudicating against the live repo would flip the
+"previous bench" every time a new round's BENCH_r{N}.json is committed.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 
 import pytest
@@ -22,16 +27,26 @@ import bench  # noqa: E402
 
 
 @pytest.fixture(scope="module")
+def guard_repo(tmp_path_factory):
+    """A dir whose newest bench is pinned to BENCH_r07.json."""
+    d = tmp_path_factory.mktemp("guard_repo")
+    for name in ("BENCH_r01.json", "BENCH_r07.json"):
+        shutil.copy(os.path.join(REPO, name), d / name)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
 def r07():
     with open(os.path.join(REPO, "BENCH_r07.json")) as f:
         return json.load(f)["parsed"]
 
 
-def test_replaying_prev_round_gives_unit_ratios(r07):
+def test_replaying_prev_round_gives_unit_ratios(r07, guard_repo):
     """A run identical to the newest committed BENCH must adjudicate to
     ratio 1.0 everywhere (the normalization cancels its own calib)."""
-    g = bench.adjudicate(r07["queries"], r07["calib_sec"], REPO)
-    assert g["prev_bench"].startswith("BENCH_r")
+    g = bench.adjudicate(r07["queries"], r07["calib_sec"], guard_repo,
+                         sf=0.1)
+    assert g["prev_bench"] == "BENCH_r07.json"
     assert g["vs_prev"], "no overlap with previous bench queries"
     assert all(
         abs(v["ratio_norm"] - 1.0) < 1e-9 for v in g["vs_prev"].values()
@@ -39,11 +54,12 @@ def test_replaying_prev_round_gives_unit_ratios(r07):
     assert g["vs_prev_fail"] == []
 
 
-def test_pins_reproduce_round7_verdict(r07):
+def test_pins_reproduce_round7_verdict(r07, guard_repo):
     """The round-7 VERDICT hand-adjudicated the driver run: pq-ann and
     minhash over their r6 pins, stream_interval_join past 1.3x of its r6
     record, the classifier and overlap sketch within budget."""
-    g = bench.adjudicate(r07["queries"], r07["calib_sec"], REPO)
+    g = bench.adjudicate(r07["queries"], r07["calib_sec"], guard_repo,
+                         sf=0.1)
     assert set(g["pins_fail"]) == {
         "llm_pq_ann_topk",
         "llm_minhash_dedup",
@@ -54,27 +70,24 @@ def test_pins_reproduce_round7_verdict(r07):
     assert g["pass"] is False
 
 
-def test_uniform_host_drift_passes():
+def test_uniform_host_drift_passes(r07, guard_repo):
     """A uniform 1.5x slowdown WITH a matching calib drift is the
     environment, not a regression — every ratio must stay 1.0."""
-    with open(os.path.join(REPO, "BENCH_r07.json")) as f:
-        prev = json.load(f)["parsed"]
-    slowed = {k: v * 1.5 for k, v in prev["queries"].items()}
-    g = bench.adjudicate(slowed, prev["calib_sec"] * 1.5, REPO)
+    slowed = {k: v * 1.5 for k, v in r07["queries"].items()}
+    g = bench.adjudicate(slowed, r07["calib_sec"] * 1.5, guard_repo,
+                         sf=0.1)
     assert all(
         abs(v["ratio_norm"] - 1.0) < 1e-6 for v in g["vs_prev"].values()
     )
     assert g["vs_prev_fail"] == []
 
 
-def test_single_query_regression_fails():
+def test_single_query_regression_fails(r07, guard_repo):
     """One query 2x slower at the same calib must fail exactly that
     query's vs-prev verdict."""
-    with open(os.path.join(REPO, "BENCH_r07.json")) as f:
-        prev = json.load(f)["parsed"]
-    cur = dict(prev["queries"])
+    cur = dict(r07["queries"])
     cur["q1_pricing_summary"] = cur["q1_pricing_summary"] * 2
-    g = bench.adjudicate(cur, prev["calib_sec"], REPO)
+    g = bench.adjudicate(cur, r07["calib_sec"], guard_repo, sf=0.1)
     assert g["vs_prev_fail"] == ["q1_pricing_summary"]
     assert g["vs_prev"]["q1_pricing_summary"]["pass"] is False
 
@@ -83,18 +96,32 @@ def test_no_prev_bench_is_not_an_error(tmp_path):
     """First round in a fresh repo: no BENCH files — pins still run,
     vs-prev is empty, no crash."""
     g = bench.adjudicate({"llm_pq_ann_topk": 1.0}, bench.CALIB_REF,
-                         str(tmp_path))
+                         str(tmp_path), sf=0.1)
     assert g["prev_bench"] is None
     assert g["vs_prev"] == {}
     assert g["pins"]["llm_pq_ann_topk"]["pass"]
     assert g["pass"] is True
 
 
-def test_baseline_block_reports_comparable_subset(r07):
+def test_malformed_newest_bench_falls_back(r07, guard_repo, tmp_path):
+    """A truncated newest BENCH file must not silently disable the
+    vs-prev guard — the next-newest parseable file is used."""
+    d = tmp_path / "repo"
+    d.mkdir()
+    for name in ("BENCH_r01.json", "BENCH_r07.json"):
+        shutil.copy(os.path.join(REPO, name), d / name)
+    (d / "BENCH_r99.json").write_text("{not json")
+    g = bench.adjudicate(r07["queries"], r07["calib_sec"], str(d), sf=0.1)
+    assert g["prev_bench"] == "BENCH_r07.json"
+    assert g["vs_prev"]
+
+
+def test_baseline_block_reports_comparable_subset(r07, guard_repo):
     """The artifact self-reports the judge's bench_vs_baseline number:
     the total over the 24 queries shared with BENCH_r01, raw seconds
     (r1 predates calib_sec)."""
-    g = bench.adjudicate(r07["queries"], r07["calib_sec"], REPO, sf=0.1)
+    g = bench.adjudicate(r07["queries"], r07["calib_sec"], guard_repo,
+                         sf=0.1)
     b = g["baseline"]
     assert b["file"] == "BENCH_r01.json"
     assert b["n_shared"] == 24
@@ -104,13 +131,17 @@ def test_baseline_block_reports_comparable_subset(r07):
     assert abs(b["ratio"] - 0.845) < 0.005
 
 
-def test_sf_mismatch_makes_verdicts_non_binding(r07):
+def test_sf_mismatch_makes_verdicts_non_binding(r07, guard_repo):
     """Pins and the prev artifact are quoted at sf0.1; a quick sf0.01
-    iteration run must not emit binding verdicts."""
-    g = bench.adjudicate(r07["queries"], r07["calib_sec"], REPO, sf=0.01)
-    assert g["sf_mismatch"] is True
-    assert g["pass"] is None
-    g01 = bench.adjudicate(r07["queries"], r07["calib_sec"], REPO, sf=0.1)
+    iteration run — or an unparseable scale — must not emit binding
+    verdicts."""
+    for sf in (0.01, None):
+        g = bench.adjudicate(r07["queries"], r07["calib_sec"], guard_repo,
+                             sf=sf)
+        assert g["sf_mismatch"] is True
+        assert g["pass"] is None
+    g01 = bench.adjudicate(r07["queries"], r07["calib_sec"], guard_repo,
+                           sf=0.1)
     assert g01["sf_mismatch"] is False
     assert g01["pass"] is False  # replays the r7 pin failures
 

@@ -593,3 +593,51 @@ def test_changelog_mode_helper():
     assert changelog_mode(_Frame(["k", "v"])) == "[I]"
     assert changelog_mode(_Frame(["k", "v", "__op"])) == "[I,UA,D]"
     assert changelog_mode(_Frame(["k", "v", "__sign"])) == "[I,UB,UA]"
+
+
+def test_with_insert_is_not_a_pure_query(spark, tmp_path):
+    """'WITH c AS (...) INSERT ...' starts like a query but parses to
+    DML — signing or advising it must NEVER execute it (the prefix-only
+    check did; the parse-tree predicate must not)."""
+    from flink_psl_spark.plans import analyzed_signature, is_pure_query
+
+    spark.sql("DROP TABLE IF EXISTS wi_sink")
+    spark.sql("CREATE TABLE wi_sink (x INT) USING parquet")
+    try:
+        stmt = (
+            "WITH c AS (SELECT 5 AS x) INSERT INTO wi_sink "
+            "SELECT x FROM c"
+        )
+        assert not is_pure_query(spark, stmt)
+        assert is_pure_query(spark, "WITH c AS (SELECT 5 AS x) "
+                                    "SELECT x FROM c")
+        # compile signs without running it
+        assert analyzed_signature(spark, stmt) is None
+        path = tmp_path / "wi.json"
+        run_script(spark, f"COMPILE PLAN '{path}' FOR {stmt};")
+        assert spark.table("wi_sink").count() == 0
+        assert json.loads(path.read_text())["analyzed_signatures"] == [None]
+        # EXPLAIN PLAN_ADVICE plans without running it either
+        run_script(spark, f"EXPLAIN (PLAN_ADVICE) {stmt};")
+        assert spark.table("wi_sink").count() == 0
+        # EXECUTE PLAN is what actually runs it — exactly once
+        run_script(spark, f"EXECUTE PLAN '{path}';")
+        assert spark.table("wi_sink").count() == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS wi_sink")
+
+
+def test_execute_plan_rejects_truncated_analyzed_signatures(
+    spark, sf_dir, tmp_path
+):
+    """A present-but-short analyzed_signatures list is corrupt — zip
+    truncation must not skip statements or their drift checks."""
+    path = tmp_path / "q.json"
+    run_script(
+        spark, f"COMPILE PLAN '{path}' FOR SELECT 1 AS one;", sf_dir=sf_dir
+    )
+    payload = json.loads(path.read_text())
+    payload["analyzed_signatures"] = []
+    path.write_text(json.dumps(payload))
+    with pytest.raises(ValueError, match="corrupt"):
+        run_script(spark, f"EXECUTE PLAN '{path}';")
