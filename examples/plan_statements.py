@@ -77,7 +77,33 @@ def main() -> None:
     )
     results[-1].df.show()
 
-    # 5. Golden-plan signatures for your own regression files
+    # 5. The restore gate is catalog-aware for pure queries: replace a
+    #    table the compiled plan reads with a different shape and
+    #    EXECUTE PLAN refuses to run (recompile to accept the change)
+    spark.sql("CREATE OR REPLACE TEMP VIEW dim AS SELECT 1 AS id")
+    drift_file = os.path.join(tempfile.mkdtemp(), "dim_q.json")
+    run_script(spark, f"COMPILE PLAN '{drift_file}' FOR SELECT id FROM dim;")
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW dim AS SELECT CAST(1 AS BIGINT) AS id"
+    )
+    try:
+        run_script(spark, f"EXECUTE PLAN '{drift_file}';")
+    except ValueError as e:
+        print(f"drift gate: {e}\n")
+
+    # 6. CHANGELOG_MODE reads the engine's __op/__sign convention: a
+    #    retract pipeline explains with retract modes, not a blanket [I]
+    from flink_psl_spark.operators.changelog import retract_rows
+
+    old = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+    new = spark.createDataFrame([(1, 11), (3, 30)], "k int, v int")
+    retract_rows(old, new, "k").createOrReplaceTempView("retr")
+    [res] = run_script(spark, "EXPLAIN CHANGELOG_MODE SELECT * FROM retr;")
+    text = res.df.collect()[0][0]
+    start = text.index("== Optimized Physical Plan ==")
+    print(text[start : start + 400], "...\n")
+
+    # 7. Golden-plan signatures for your own regression files
     from flink_psl_spark.plans import plan_signature
 
     df = spark.table("orders").where("o_totalprice > 100").groupBy(

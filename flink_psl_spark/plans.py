@@ -281,18 +281,67 @@ def _line_changelog_mode(line: str) -> str:
     return "[I]"
 
 
-def _annotate_changelog_mode(plan_text: str) -> str:
+def _node_output_modes(plan) -> list[str]:
+    """Changelog mode per plan node in pre-order, from each node's OUTPUT
+    attribute names (node.output() — exact, unlike the printed line,
+    which omits attributes for pass-through nodes like Union)."""
+    modes: list[str] = []
+
+    def rec(node) -> None:
+        names = set()
+        out = node.output()
+        for i in range(out.size()):
+            names.add(out.apply(i).name())
+        mode = "[I]"
+        for marker, m in _MODE_BY_MARKER:
+            if marker in names:
+                mode = m
+                break
+        modes.append(mode)
+        children = node.children()
+        for i in range(children.size()):
+            rec(children.apply(i))
+
+    rec(plan)
+    return modes
+
+
+def _annotate_changelog_mode(plan_text: str, plan=None) -> str:
     """Suffix every plan node line with its changelog mode, sourced from
-    the changelog-convention columns in the node's output (see
+    the changelog-convention columns in the node's output. When the JVM
+    plan is supplied (pure queries) the mode comes from each node's
+    output attributes in pre-order — exact even for pass-through nodes
+    whose printed line omits attributes (Union); otherwise it falls back
+    to the attributes visible on the line (see
     :func:`_line_changelog_mode`). A plan with no changelog columns —
     plain batch SQL — truthfully annotates ``[I]`` everywhere."""
+    node_modes: list[str] | None = None
+    lines = plan_text.splitlines()
+    node_lines = [
+        i for i, ln in enumerate(lines)
+        if ln.rstrip() and not ln.startswith("==")
+    ]
+    if plan is not None:
+        try:
+            modes = _node_output_modes(plan)
+            # treeString prints one line per node in pre-order; a count
+            # mismatch (wrapped lines, subquery sections) → fall back
+            if len(modes) == len(node_lines):
+                node_modes = modes
+        except Exception:
+            node_modes = None
     out = []
-    for line in plan_text.splitlines():
+    k = 0
+    for i, line in enumerate(lines):
         stripped = line.rstrip()
-        if stripped and not stripped.startswith("=="):
-            out.append(
-                f"{stripped}, changelogMode={_line_changelog_mode(stripped)}"
+        if i in set(node_lines):
+            mode = (
+                node_modes[k]
+                if node_modes is not None
+                else _line_changelog_mode(stripped)
             )
+            out.append(f"{stripped}, changelogMode={mode}")
+            k += 1
         else:
             out.append(stripped)
     return "\n".join(out)
@@ -453,7 +502,14 @@ def explain_statement(
     extended = _spark_explain_text(spark, "EXTENDED", rewritten)
     optimized = _section(extended, "Optimized Logical Plan")
     if "CHANGELOG_MODE" in details:
-        optimized = _annotate_changelog_mode(optimized)
+        # pure queries: per-node output attributes (exact); commands
+        # cannot be rebuilt without executing → line-text fallback
+        jplan = (
+            spark.sql(rewritten)._jdf.queryExecution().optimizedPlan()
+            if is_pure_query(spark, rewritten)
+            else None
+        )
+        optimized = _annotate_changelog_mode(optimized, jplan)
     physical = _spark_explain_text(spark, "FORMATTED", rewritten)
     sections = [
         ("Abstract Syntax Tree", _section(extended, "Analyzed Logical Plan")),
