@@ -1,10 +1,18 @@
 """Run every registered query against its DuckDB oracle — dev loop helper.
 
-Usage: python scripts/check_queries.py [--json-out FILE] [sf_dir] [name_filter...]
+Usage: python scripts/check_queries.py [--json-out FILE] [--driver-style]
+                                       [sf_dir] [name_filter...]
 
 --json-out writes {name: {pass, seconds, detail}} so a full-registry run
 can be committed as a scale-robustness artifact (SCALECHECK_r{N}.json)
 instead of living only in session logs.
+
+--driver-style replays the round driver's exact path: a BARE
+SparkSession (no get_spark — only __spark_entry__._configure's runtime
+conf applies) and the __spark_entry__.queries() wrappers. Run it from
+the repo root (Python workers resolve the package through the driver's
+cwd). Conf present only in the builder path passes the default mode and
+fails this one — the round-4 postmortem class.
 """
 
 from __future__ import annotations
@@ -14,8 +22,11 @@ import sys
 import time
 import traceback
 
-sys.path.insert(0, ".")
-sys.path.insert(0, "tests")
+import os
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tests"))
 
 from flink_psl_spark import get_spark
 from flink_psl_spark.queries import QUERIES, ORACLES
@@ -25,6 +36,10 @@ from _oracle import duck_connection, compare
 def main() -> int:
     argv = sys.argv[1:]
     json_out = None
+    driver_style = False
+    if "--driver-style" in argv:
+        driver_style = True
+        argv = [a for a in argv if a != "--driver-style"]
     if argv and argv[0] == "--json-out":
         if len(argv) < 2:
             print(__doc__.strip())
@@ -33,12 +48,31 @@ def main() -> int:
         argv = argv[2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     filters = argv[1:]
-    spark = get_spark(master="local[8]", extra_conf={"spark.driver.memory": "8g"})
+    if driver_style:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.driver.memory", "8g")
+            .appName("check_queries_driver_style")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(
+            master="local[8]", extra_conf={"spark.driver.memory": "8g"}
+        )
+    if driver_style:
+        import __spark_entry__ as _entry
+
+        qmap = _entry.queries()  # _configure-wrapped, driver order
+    else:
+        qmap = QUERIES
     con = duck_connection(sf_dir)
     failures = []
     report: dict[str, dict] = {}
     ran = 0
-    for name, fn in QUERIES.items():
+    for name, fn in qmap.items():
         if filters and not any(f in name for f in filters):
             continue
         ran += 1
