@@ -833,3 +833,135 @@ def test_kneser_ney_matches_python_model(spark, rows):
         n, avg = got[doc_id]
         assert n == len(doc_bg)
         assert abs(avg - s / n / 1e6) < 1e-6
+
+
+@given(snapshot_pair())
+@settings(**_SETTINGS)
+def test_retract_algebra_reconciles_aggregates(spark, pair):
+    """The RowKind retract algebra (RowKind.java:25 -U/+U pairs): for ANY
+    pair of images, agg(new) == agg(old) + agg(sign-weighted retract
+    rows) for every distributive aggregate — the invariant that lets
+    incremental_agg_retract_apply advance aggregates without recompute."""
+    from flink_psl_spark.operators.changelog import retract_rows
+
+    old_d, new_d = pair
+
+    def frame(d):
+        rows = [(k, v) for k, v in d.items()]
+        return (
+            spark.createDataFrame(rows, "k int, v int")
+            if rows
+            else spark.createDataFrame([], "k int, v int")
+        )
+
+    deltas = retract_rows(frame(old_d), frame(new_d), "k").collect()
+    # pure-python ledger: sum and count advance by the signed rows
+    def s(d):
+        return sum(v for v in d.values() if v is not None)
+    def c(d):
+        return sum(1 for v in d.values() if v is not None)
+    d_sum = sum(r["__sign"] * (r["v"] or 0) for r in deltas)
+    d_cnt = sum(r["__sign"] for r in deltas if r["v"] is not None)
+    assert s(old_d) + d_sum == s(new_d)
+    assert c(old_d) + d_cnt == c(new_d)
+    # and every update materializes as a -1/+1 pair on the same key
+    by_key: dict[int, list[int]] = {}
+    for r in deltas:
+        by_key.setdefault(r["k"], []).append(r["__sign"])
+    for k, signs in by_key.items():
+        in_old, in_new = k in old_d, k in new_d
+        if in_old and in_new:
+            assert sorted(signs) == [-1, 1]  # update-before / update-after
+        else:
+            assert signs == [1] if not in_old else signs == [-1]
+
+
+@given(snapshot_pair())
+@settings(**_SETTINGS)
+def test_snapshot_diff_apply_roundtrip(spark, pair):
+    """Applying a snapshot_diff changelog onto the old image through
+    changelog_normalize reproduces the new image exactly — the CDC
+    bootstrap contract (derive a changelog from dumps, then upsert)."""
+    import pyspark.sql.functions as F
+
+    from flink_psl_spark.operators.changelog import (
+        changelog_normalize,
+        snapshot_diff,
+        to_changelog,
+    )
+
+    old_d, new_d = pair
+
+    def frame(d):
+        rows = [(k, v) for k, v in d.items()]
+        return (
+            spark.createDataFrame(rows, "k int, v int")
+            if rows
+            else spark.createDataFrame([], "k int, v int")
+        )
+
+    old, new = frame(old_d), frame(new_d)
+    diff = snapshot_diff(old, new, "k")
+    # replay: baseline image at version 0, changelog rows at version 1
+    log = (
+        to_changelog(old).withColumn("ver", F.lit(0))
+        .unionByName(diff.withColumn("ver", F.lit(1)))
+    )
+    applied = {
+        r["k"]: r["v"]
+        for r in changelog_normalize(log, "k", ["ver"]).drop("ver").collect()
+    }
+    assert applied == new_d
+
+
+@st.composite
+def scd2_events(draw):
+    """Per-key I/U/D event sequences at strictly increasing times."""
+    n = draw(st.integers(1, 10))
+    events = []
+    alive: set[str] = set()
+    for t in range(n):
+        key = draw(st.sampled_from(["a", "b"]))
+        if key in alive:
+            op = draw(st.sampled_from(["U", "D"]))
+            if op == "D":
+                alive.discard(key)
+        else:
+            op = "I"
+            alive.add(key)
+        events.append((key, t, draw(st.integers(0, 5)), op))
+    return events
+
+
+@given(scd2_events())
+@settings(**_SETTINGS)
+def test_scd2_history_versions_partition_time(spark, events):
+    """SCD2 invariants for any event sequence: per key, versions are
+    non-overlapping and contiguous ([valid_from, valid_to) chains), a D
+    closes without opening, and exactly the keys whose last event is not
+    D have one open (is_current) version."""
+    from flink_psl_spark.operators.changelog import scd2_history
+
+    df = spark.createDataFrame(
+        [(k, BASE + dt.timedelta(minutes=t), v, op) for k, t, v, op in events],
+        "k string, ts timestamp, v int, __op string",
+    )
+    hist = scd2_history(df, "k", "ts").collect()
+    by_key: dict[str, list] = {}
+    for r in hist:
+        by_key.setdefault(r["k"], []).append(r)
+    last_op = {}
+    for k, t, v, op in events:
+        last_op[k] = op
+    for k, rows in by_key.items():
+        rows.sort(key=lambda r: r["valid_from"])
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to"] is not None and a["valid_to"] <= b["valid_from"]
+        open_rows = [r for r in rows if r["valid_to"] is None]
+        if last_op[k] == "D":
+            assert open_rows == []
+        else:
+            assert len(open_rows) == 1 and open_rows[0]["is_current"]
+    # every non-D event opens exactly one version
+    expected_versions = sum(1 for _, _, _, op in events if op != "D")
+    assert len(hist) == expected_versions
