@@ -256,9 +256,14 @@ def retract_rows(
     shape that lets ANY distributive aggregate advance incrementally:
     ``agg(new) = agg(old) + agg(sign-weighted retract rows)``.
 
-    Unchanged keys emit nothing. Scale shape: the same single
-    full-outer keyed join as ``snapshot_diff``; the ± expansion is a
-    row-local union of two projections of that join.
+    Unchanged keys emit nothing. Scale shape: ONE full-outer keyed join
+    (identical to ``snapshot_diff``); the ± expansion is a row-local
+    ``explode`` of the signed row(s) each joined key produces. A union
+    of two projections of the join would look equivalent but is not:
+    Catalyst plans each union branch as an independent subtree, so the
+    join (and both input scans/shuffles) would execute TWICE — the
+    single-join shape is pinned by the ``retract_rows`` golden-plan
+    snapshot (tests/golden_plans/).
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     if compare_cols is None:
@@ -281,14 +286,21 @@ def retract_rows(
     changed = ~F.struct(
         *[F.col(f"__o.{c}") for c in compare_cols]
     ).eqNullSafe(F.struct(*[F.col(f"__n.{c}") for c in compare_cols]))
-    minus = joined.where(in_old & (~in_new | changed)).select(
-        *[F.col(f"__o.{k}").alias(k) for k in keys],
-        *[F.col(f"__o.{c}").alias(c) for c in compare_cols],
-        F.lit(-1).cast("int").alias(sign_col),
+
+    def signed(side: str, sign: int):
+        return F.struct(
+            *[F.col(f"{side}.{k}").alias(k) for k in keys],
+            *[F.col(f"{side}.{c}").alias(c) for c in compare_cols],
+            F.lit(sign).cast("int").alias(sign_col),
+        )
+
+    minus, plus = signed("__o", -1), signed("__n", 1)
+    rows = (
+        F.when(~in_old, F.array(plus))  # insert → +after-image
+        .when(~in_new, F.array(minus))  # delete → -before-image
+        .when(changed, F.array(minus, plus))  # update → -U/+U pair
+        # unchanged key → empty array of the same struct type: explode
+        # emits nothing for it
+        .otherwise(F.slice(F.array(plus), 1, 0))
     )
-    plus = joined.where(in_new & (~in_old | changed)).select(
-        *[F.col(f"__n.{k}").alias(k) for k in keys],
-        *[F.col(f"__n.{c}").alias(c) for c in compare_cols],
-        F.lit(1).cast("int").alias(sign_col),
-    )
-    return minus.unionByName(plus)
+    return joined.select(F.explode(rows).alias("__r")).select("__r.*")

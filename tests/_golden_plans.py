@@ -97,6 +97,50 @@ def _build_cumulate(spark, t):
     )
 
 
+def _changelog_images(spark, t):
+    """Two keyed snapshots of the same shape for the diff operators."""
+    from pyspark.sql import functions as F
+
+    ev = t["events"]
+    old = ev.where(F.col("event_type") == "click").groupBy("user_id").agg(
+        F.round(F.sum("value"), 2).alias("v")
+    )
+    new = ev.where(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.round(F.sum("value"), 2).alias("v")
+    )
+    return old, new
+
+
+def _build_snapshot_diff(spark, t):
+    """snapshot_diff's ONE full-outer keyed join (operators/changelog.py:58)
+    — the plan must stay a single join, no extra exchanges/aggregates."""
+    from flink_psl_spark.operators.changelog import snapshot_diff
+
+    old, new = _changelog_images(spark, t)
+    return snapshot_diff(old, new, "user_id")
+
+
+def _build_retract_rows(spark, t):
+    """retract_rows = the same single join + a row-local ± expansion
+    (operators/changelog.py:243) — signed pairs must not add a shuffle."""
+    from flink_psl_spark.operators.changelog import retract_rows
+
+    old, new = _changelog_images(spark, t)
+    return retract_rows(old, new, "user_id")
+
+
+def _build_scd2_history(spark, t):
+    """scd2_history's one window pass (operators/changelog.py:131)."""
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.operators.changelog import scd2_history, to_changelog
+
+    changes = to_changelog(
+        t["events"].select("user_id", "ts", "value"), "U"
+    ).withColumn("__op", F.when(F.col("value") < 0, "D").otherwise("U"))
+    return scd2_history(changes, "user_id", "ts")
+
+
 #: DataFrame-level custom operators under snapshot (the reference's
 #: IntervalJoinTest.xml / TemporalJoinTest.xml / agg-test analogues)
 BUILDERS = {
@@ -104,6 +148,9 @@ BUILDERS = {
     "asof_join_backward": _build_asof_join_backward,
     "salted_agg": _build_salted_agg,
     "cumulate_slices": _build_cumulate,
+    "snapshot_diff": _build_snapshot_diff,
+    "retract_rows": _build_retract_rows,
+    "scd2_history": _build_scd2_history,
 }
 
 #: every snapshot name (SQL statements + DataFrame builders)

@@ -646,20 +646,28 @@ def test_execute_plan_rejects_truncated_analyzed_signatures(
 def test_changelog_mode_pass_through_nodes_use_output_attrs(spark, sf_dir):
     """A pass-through node whose printed line omits attributes (Union)
     still annotates the mode of its OUTPUT — sourced from the JVM node,
-    not the line text."""
-    from flink_psl_spark.operators.changelog import retract_rows
+    not the line text. (retract_rows itself no longer plans a Union —
+    its single-join shape is golden-snapshotted — so build one.)"""
+    import pyspark.sql.functions as F
 
-    old = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
-    new = spark.createDataFrame([(1, 11), (3, 30)], "k int, v int")
-    retract_rows(old, new, "k").createOrReplaceTempView("retr_u")
+    minus = spark.createDataFrame([(1, 10)], "k int, v int").withColumn(
+        "__sign", F.lit(-1)
+    )
+    plus = spark.createDataFrame([(1, 11)], "k int, v int").withColumn(
+        "__sign", F.lit(1)
+    )
+    minus.unionByName(plus).createOrReplaceTempView("retr_u")
     res = run_script(
         spark, "EXPLAIN CHANGELOG_MODE SELECT * FROM retr_u;", sf_dir=sf_dir
     )
     text = res[0].df.collect()[0][0]
-    # the retract frame is a Union of the +/- sides: its root line
-    # carries the retract mode even though treeString hides its attrs
+    # only the Optimized Physical Plan section carries the annotations
+    start = text.index("== Optimized Physical Plan ==")
+    end = text.index("== Optimized Execution Plan ==")
     union_lines = [
-        ln for ln in text.splitlines() if ln.lstrip().startswith("Union")
+        ln
+        for ln in text[start:end].splitlines()
+        if ln.lstrip().startswith("Union")
     ]
     assert union_lines and all(
         "changelogMode=[I,UB,UA]" in ln for ln in union_lines
