@@ -37,11 +37,15 @@ def connected_components(
     AQE-coalesced. Every dedup-shaped graph (diameter ~2-3) converges in
     2-4 rounds.
     """
-    und = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-        .distinct()
+    # symmetrize in ONE pass (row-local explode of the (s,d)/(d,s)
+    # pair) — a union of two selects would plan the edge source twice
+    both = F.explode(
+        F.array(
+            F.struct(F.col(src).alias("s"), F.col(dst).alias("d")),
+            F.struct(F.col(dst).alias("s"), F.col(src).alias("d")),
+        )
     )
+    und = edges.select(both.alias("__e")).select("__e.*").distinct()
     und = und.localCheckpoint(eager=True)
     labels = (
         und.select(F.col("s").alias("node"))

@@ -915,8 +915,10 @@ def minhash_dedup_keep_best(
     sparse (near-dup groups), connected components iterate over it
     (pair-sized, never corpus-sized), and representative election is one
     rank-1 window per cluster (WindowGroupLimit). Docs in no pair pass
-    through untouched — the corpus-sized path is a single anti/semi join
-    pair.
+    through untouched — the corpus-sized path is ONE scan with one
+    broadcast left join against the pair-sized verdict marker (an
+    anti ∪ semi union of two joins on df would scan the corpus twice:
+    union branches plan as independent subtrees).
     """
     from pyspark.sql import Window
 
@@ -942,9 +944,19 @@ def minhash_dedup_keep_best(
         .where(F.col("__rk") == 1)
         .select(id_col)
     )
-    clustered_ids = clusters.select(id_col)
-    return df.join(clustered_ids, on=id_col, how="left_anti").unionByName(
-        df.join(reps, on=id_col, how="left_semi")
+    # per-clustered-id verdict (pair-sized): keep only representatives;
+    # ids absent from the marker were never in a duplicate group
+    marker = (
+        clusters.select(id_col)
+        .join(reps.withColumn("__keep", F.lit(True)), on=id_col, how="left")
+        .select(
+            id_col, F.coalesce("__keep", F.lit(False)).alias("__keep")
+        )
+    )
+    return (
+        df.join(F.broadcast(marker), on=id_col, how="left")
+        .where(F.col("__keep").isNull() | F.col("__keep"))
+        .select(*df.columns)
     )
 
 

@@ -22,10 +22,22 @@ from pyspark.sql import functions as F
 
 
 def undirect(edges: DataFrame, src: str = "s", dst: str = "d") -> DataFrame:
-    """Symmetrize + dedup an edge list → columns (s, d)."""
+    """Symmetrize + dedup an edge list → columns (s, d).
+
+    Both directions come from ONE pass — a row-local explode of the
+    (s,d)/(d,s) pair — rather than a union of two selects, which would
+    plan the edge source twice (union branches are independent
+    subtrees; at 16 consuming algorithms the duplicated scan compounds).
+    """
+    both = F.explode(
+        F.array(
+            F.struct(F.col(src).alias("s"), F.col(dst).alias("d")),
+            F.struct(F.col(dst).alias("s"), F.col(src).alias("d")),
+        )
+    )
     return (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        edges.select(both.alias("__e"))
+        .select("__e.*")
         .where(F.col("s") != F.col("d"))
         .distinct()
     )

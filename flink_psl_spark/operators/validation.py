@@ -472,9 +472,13 @@ def k_anonymize(
     before row-count tables leave a training-data pipeline.
 
     Plan shape: one grouped aggregation over one scan (map-side partial
-    combine), then the residual is a re-aggregation of the UNDER-k GROUP
-    ROWS (group-count-sized, not data-sized) — counts and sums compose
-    losslessly, which is why the measure vocabulary is count + sum.
+    combine), then ONE group-count-sized re-aggregation that keeps ≥k
+    groups under their own keys and folds under-k groups into the
+    suppressed bucket — counts and sums compose losslessly, which is
+    why the measure vocabulary is count + sum. (A kept ∪ residual union
+    of two filters of the first aggregate would plan that aggregate —
+    and its full scan — twice: Catalyst treats union branches as
+    independent subtrees, the same duplication retract_rows had.)
 
     Quasi columns are published as strings so the suppression token is
     representable regardless of their source type.
@@ -485,22 +489,23 @@ def k_anonymize(
         F.count("*").alias("n"),
         *[F.sum(c).alias(f"sum_{c}") for c in measures],
     )
-    kept = g.where(F.col("n") >= k)
-    residual = (
-        g.where(F.col("n") < k)
-        .groupBy()
+    under_k = F.col("n") < k
+    relabeled = g.select(
+        *[
+            F.when(under_k, F.lit(suppressed)).otherwise(F.col(c)).alias(c)
+            for c in quasi_cols
+        ],
+        "n",
+        *[F.col(f"sum_{c}") for c in measures],
+    )
+    return (
+        relabeled.groupBy(*quasi_cols)
         .agg(
             F.sum("n").alias("n"),
             *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in measures],
         )
         .where(F.col("n") >= k)
-        .select(
-            *[F.lit(suppressed).alias(c) for c in quasi_cols],
-            "n",
-            *[F.col(f"sum_{c}") for c in measures],
-        )
     )
-    return kept.unionByName(residual)
 
 
 def l_diversity_report(
