@@ -72,20 +72,39 @@ def pagerank(
     Degree-zero isolates can't occur (nodes exist only via edges); dangling
     nodes can't occur either (symmetrized graph ⇒ outdeg = deg ≥ 1), so no
     dangling-mass redistribution term is needed.
+
+    The scatter weight ``1/deg(s)`` is loop-invariant, so it is joined into
+    the checkpointed edge list ONCE (per-edge contribution is then
+    ``rank * w`` — the oracle mirrors this exact op order), and the
+    node-sized node set is materialized once instead of re-running its
+    distinct inside every iteration's plan. Each iteration therefore
+    shuffles edges once (the gather by destination) — the node-sized
+    rank/contrib joins broadcast when they fit, and both sides arrive
+    hash-partitioned on the key when they don't.
     """
-    und = undirect(edges, src, dst).localCheckpoint(eager=True)
-    deg = und.groupBy(F.col("s").alias("dnode")).agg(F.count("*").alias("deg"))
-    nodes = und.select(F.col("s").alias("node")).distinct()
+    und = undirect(edges, src, dst)
+    deg = und.groupBy(F.col("s").alias("dnode")).agg(
+        (1.0 / F.count("*")).alias("w")
+    )
+    und_w = (
+        und.join(deg, und["s"] == F.col("dnode"))
+        .select("s", "d", "w")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        und_w.select(F.col("s").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n = nodes.count()
     if n == 0:  # empty graph: no nodes, no ranks (avoid 1/0 below)
         return nodes.withColumn("rank", F.lit(0.0))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iters):
         contribs = (
-            und.join(ranks, und["s"] == ranks["node"])
-            .join(deg, und["s"] == F.col("dnode"))
-            .groupBy(und["d"].alias("cnode"))
-            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+            und_w.join(ranks, und_w["s"] == ranks["node"])
+            .groupBy(und_w["d"].alias("cnode"))
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
         )
         ranks = (
             nodes.join(contribs, nodes["node"] == F.col("cnode"), "left")

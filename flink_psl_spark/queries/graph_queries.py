@@ -80,7 +80,7 @@ _PR_ITER = """
     r{k} AS (
       SELECT n.node,
              0.15 / (SELECT c FROM nn)
-               + 0.85 * COALESCE(SUM(r.rank / g.dg), 0.0) AS rank
+               + 0.85 * COALESCE(SUM(r.rank * g.w), 0.0) AS rank
       FROM nodes n
       LEFT JOIN und e ON e.d = n.node
       LEFT JOIN r{p} r ON r.node = e.s
@@ -94,7 +94,7 @@ _PR_ITER = """
     oracle=f"""
     WITH edges AS ({_EDGES_SQL}),
     und AS (SELECT s, d FROM edges UNION SELECT d AS s, s AS d FROM edges),
-    deg AS (SELECT s AS node, COUNT(*) AS dg FROM und GROUP BY s),
+    deg AS (SELECT s AS node, 1.0 / COUNT(*) AS w FROM und GROUP BY s),
     nodes AS (SELECT DISTINCT s AS node FROM und),
     nn AS (SELECT COUNT(*) AS c FROM nodes),
     r0 AS (SELECT node, 1.0 / (SELECT c FROM nn) AS rank FROM nodes),

@@ -1,0 +1,60 @@
+"""Unit tests for the registry-wide plan-audit gate (scripts/plan_audit.py).
+
+The sweep itself runs once per round over the full registry
+(PLANAUDIT_r{N}.json); these tests pin the classifier logic and keep the
+whitelist honest — every exemption must say what the bounded side is.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+
+import plan_audit
+
+
+def test_flags_row_at_a_time_python():
+    flags, _ = plan_audit.audit_plan("+- BatchEvalPython [f(x)]\n +- FileScan parquet")
+    assert flags == ["BatchEvalPython"]
+
+
+def test_arrow_udf_is_clean():
+    flags, info = plan_audit.audit_plan(
+        "+- ArrowEvalPython [k(x)]\n +- Exchange hashpartitioning(id, 32)\n"
+        " +- FileScan parquet"
+    )
+    assert flags == []
+    assert info["arrow_eval"] == 1 and info["exchanges"] == 1
+
+
+def test_flags_cartesian_and_bnlj():
+    flags, _ = plan_audit.audit_plan(
+        "CartesianProduct\n+- BroadcastNestedLoopJoin BuildRight, Cross"
+    )
+    assert flags == ["CartesianProduct", "BroadcastNestedLoopJoin"]
+
+
+def test_materialized_detection():
+    # memory-sink scan / createDataFrame result: no distributed plan left
+    assert plan_audit.is_materialized("LocalTableScan [a, b]")
+    assert plan_audit.is_materialized("Scan ExistingRDD[a, b]")
+    # a real scan is not materialized, even when a local relation is unioned in
+    assert not plan_audit.is_materialized(
+        "Union\n+- LocalTableScan [a]\n+- FileScan parquet [a]"
+    )
+
+
+def test_whitelist_reasons_name_the_bound():
+    """Every exemption must state why the nested-loop/cartesian side stays
+    bounded at 100 TB — 'it is fine' is not a reason."""
+    bound_words = (
+        "scalar", "1 row", "one row", "parameter", "bounded", "broadcast",
+        "enum", "codebook", "quantile", "query set", "sketch", "k rows",
+    )
+    for name, reason in plan_audit.WHITELIST.items():
+        assert any(w in reason.lower() for w in bound_words), (
+            name,
+            reason,
+        )
