@@ -40,6 +40,9 @@ RUNTIME_SQL_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Arrow batching for every pandas UDF / applyInPandas hop.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python UDTFs too: ArrowEvalPythonUDTF instead of row-at-a-time
+    # BatchEvalPythonUDTF (same rows, vectorized transfer).
+    "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
     # Python Data Source API: let custom sources absorb filters
     # (DSv2 SupportsFilterPushDown for sources_v2.py)
     "spark.sql.python.filterPushdown.enabled": "true",

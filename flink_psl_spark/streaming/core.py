@@ -53,6 +53,28 @@ def stream_from_parquet(
     return df
 
 
+# Executed plans of the last micro-batch of each completed replay, appended
+# by run_to_memory_table — the streaming analogue of df.queryExecution for
+# the plan-audit gate (scripts/plan_audit.py): a replay's RETURNED DataFrame
+# is only the memory-sink scan, so the distributed plan evidence lives here.
+# Bounded ring (newest last) so long sessions don't accumulate plan text.
+STREAM_PLANS: list[str] = []
+_STREAM_PLANS_MAX = 256
+
+
+def _capture_stream_plan(q) -> None:
+    """Record the last micro-batch's executed plan (best-effort: a stream
+    that saw zero batches has no lastExecution)."""
+    try:
+        # StreamingQueryWrapper -> MicroBatchExecution -> IncrementalExecution
+        ex = q._jsq.streamingQuery().lastExecution()
+        if ex is not None:
+            STREAM_PLANS.append(ex.executedPlan().toString())
+            del STREAM_PLANS[:-_STREAM_PLANS_MAX]
+    except Exception:
+        pass
+
+
 def run_to_memory_table(
     stream_df: DataFrame,
     *,
@@ -110,6 +132,7 @@ def run_to_memory_table(
                     f"streaming query {name} exceeded {timeout_sec}s"
                 )
         finally:
+            _capture_stream_plan(q)
             if q.isActive:
                 q.stop()
     finally:

@@ -46,6 +46,29 @@ def test_materialized_detection():
     )
 
 
+def test_stream_plan_capture(spark, sf_dir):
+    """run_to_memory_table records the last micro-batch's executed plan so
+    the audit can sweep streaming pipelines (their returned DF is only the
+    memory-sink scan)."""
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.streaming import core as sc
+    from flink_psl_spark.streaming import run_to_memory_table, stream_from_parquet
+
+    before = len(sc.STREAM_PLANS)
+    ev = stream_from_parquet(spark, sf_dir + "/events.parquet", ts_col="ts")
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    run_to_memory_table(agg, output_mode="complete")
+    new = sc.STREAM_PLANS[before:]
+    assert len(new) == 1
+    assert "StateStoreSave" in new[0]
+    assert "BatchEvalPython" not in new[0]
+
+
 def test_whitelist_reasons_name_the_bound():
     """Every exemption must state why the nested-loop/cartesian side stays
     bounded at 100 TB — 'it is fine' is not a reason."""
