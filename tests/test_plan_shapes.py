@@ -514,3 +514,45 @@ def test_hybrid_rrf_broadcast_and_window_limits(spark, t):
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
     assert "WindowGroupLimit" in p
+
+
+# -- streaming micro-batch plan shapes (via streaming.core.STREAM_PLANS) -----
+
+
+def _stream_plan(name, spark, sf_dir="/root/testdata/sf0.001"):
+    """Run a registry streaming query and return its last micro-batch plan."""
+    from flink_psl_spark.queries import QUERIES
+    from flink_psl_spark.streaming import core as sc
+
+    before = len(sc.STREAM_PLANS)
+    QUERIES[name](spark, sf_dir)
+    new = sc.STREAM_PLANS[before:]
+    assert new, f"{name} captured no streaming plan"
+    return new[-1]
+
+
+def test_stream_tumble_agg_plan(spark, t):
+    """Windowed streaming agg: stateful (StateStoreSave) with a partial
+    aggregate BELOW the state exchange (map-side combine before shuffle),
+    and no Python in the micro-batch."""
+    p = _stream_plan("stream_tumble_agg", spark)
+    assert "StateStoreSave" in p
+    assert p.count("HashAggregate") >= 2  # partial + final around the state
+    assert "EvalPython" not in p
+
+
+def test_stream_interval_join_plan(spark, t):
+    """Stream-stream interval join runs as the native watermarked symmetric
+    hash join (range-bounded state), not a nested-loop or batch join."""
+    p = _stream_plan("stream_interval_join", spark)
+    assert "StreamingSymmetricHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_stream_keyed_top3_plan(spark, t):
+    """Custom stateful Top-N: one keyed state operator
+    (FlatMapGroupsInPandasWithState), Arrow-batched, single key exchange."""
+    p = _stream_plan("stream_keyed_top3", spark)
+    assert "FlatMapGroupsInPandasWithState" in p
+    assert "BatchEvalPython" not in p
+    assert p.count("Exchange hashpartitioning") == 1
