@@ -128,7 +128,11 @@ def triangle_count(edges: DataFrame, src: str = "s", dst: str = "d") -> DataFram
     list by vertex (degree-ordered orientation would further bound skew at
     scale — the fixture graphs are near-uniform so plain id order is used).
     """
-    e = undirect(edges, src, dst).where(F.col("s") < F.col("d"))
+    e = (
+        undirect(edges, src, dst)
+        .where(F.col("s") < F.col("d"))
+        .localCheckpoint(eager=True)  # referenced by all three join legs
+    )
     e1 = e.select(F.col("s").alias("a"), F.col("d").alias("b"))
     e2 = e.select(F.col("s").alias("b2"), F.col("d").alias("c"))
     e3 = e.select(F.col("s").alias("a3"), F.col("d").alias("c3"))
@@ -238,7 +242,9 @@ def local_clustering_coefficient(
     self-join (edges by shared endpoint) + one closing-edge semi-join —
     the standard triangle-local shape, everything partial-aggregated.
     """
-    und = undirect(edges, src, dst)
+    # four consumers (degree, both wedge legs, closing edge): symmetrize
+    # and dedup ONCE — re-deriving und is a full edge shuffle per subtree
+    und = undirect(edges, src, dst).localCheckpoint(eager=True)
     deg = und.groupBy(F.col("s").alias("node")).agg(F.count("*").alias("degree"))
     # wedges centered at u: neighbor pair (v, w), v < w
     e1 = und.select(F.col("s").alias("u"), F.col("d").alias("v"))
@@ -274,7 +280,7 @@ def jaccard_index(edges: DataFrame, src: str = "s", dst: str = "d") -> DataFrame
     materialize — never the O(n²) pair space), counts folded per pair, then
     a node-sized degree join.
     """
-    und = undirect(edges, src, dst)
+    und = undirect(edges, src, dst).localCheckpoint(eager=True)
     deg = und.groupBy(F.col("s").alias("node")).agg(F.count("*").alias("degree"))
     e1 = und.select(F.col("d").alias("a"), F.col("s").alias("w"))
     e2 = und.select(F.col("d").alias("b"), F.col("s").alias("w2"))
@@ -309,7 +315,7 @@ def adamic_adar(edges: DataFrame, src: str = "s", dst: str = "d") -> DataFrame:
     neighbor: each wedge contributes 1/ln(deg(center)). A common neighbor
     always has degree ≥ 2, so ln() never hits zero.
     """
-    und = undirect(edges, src, dst)
+    und = undirect(edges, src, dst).localCheckpoint(eager=True)
     deg = und.groupBy(F.col("s").alias("w")).agg(F.count("*").alias("degree"))
     weighted = deg.select("w", (1.0 / F.log(F.col("degree"))).alias("inv_log"))
     e1 = und.select(F.col("d").alias("a"), F.col("s").alias("w"))
@@ -363,7 +369,7 @@ def triadic_census(edges: DataFrame, src: str = "s", dst: str = "d") -> DataFram
       triangle = t, wedge = w − 3t, one_edge = m·(n−2) − 2(w − 3t) − 3t·? …
     derived exactly as in the reference's formula-based census.
     """
-    und = undirect(edges, src, dst)
+    und = undirect(edges, src, dst).localCheckpoint(eager=True)
     deg = und.groupBy("s").agg(F.count("*").alias("deg"))
     stats = deg.agg(
         F.count("*").alias("n"),
