@@ -303,7 +303,14 @@ def distributed_ntile(
     if n_tiles <= 0:
         raise ValueError("n_tiles must be positive")
     b = bin_col if bin_col is not None else F.floor(F.col(value_col))
-    rows = df.withColumn("__bin", b.cast("bigint"))
+    # three consumers (bin counts, total, fine pass) — materialize the
+    # input once; callers pass the narrow projection they need, and an
+    # unmaterialized triple reference re-plans the (often expensive)
+    # upstream score/aggregate subtree per consumer, compounding when
+    # ntile passes are chained (RFM chains three).
+    rows = df.withColumn("__bin", b.cast("bigint")).localCheckpoint(
+        eager=True
+    )
     off_w = (
         Window.partitionBy(F.lit(1))
         .orderBy("__bin")

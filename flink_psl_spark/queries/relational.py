@@ -2364,6 +2364,8 @@ def rfm_customer_segments(spark, sf_dir):
             F.datediff("last_order", F.lit("1970-01-01").cast("date")),
         )
     )
+    # chained ntile passes don't compound: distributed_ntile materializes
+    # its input once per pass (see its docstring)
     r = distributed_ntile(
         m, "__epoch", "o_custkey", n_tiles=4, out_col="__rt",
         bin_col=F.floor(F.col("__epoch") / 32),
