@@ -424,10 +424,14 @@ def hits(
     two shuffles (edges by dst for authority, by src for hub) over a
     node-sized score table.
     """
+    # the directed edge list is joined twice per round and the node set
+    # three times — materialize both once (same discipline as pagerank)
+    edges = edges.select(src, dst).localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     scores = nodes.select(
         "node",
