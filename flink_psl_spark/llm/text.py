@@ -343,11 +343,18 @@ def ngram_lm_scores(
             .select(*cols, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
         )
 
+    # ONE corpus-sized bigram aggregation; the context counts and the
+    # vocabulary both derive from the pair-type table (c1 = Σ c12 per w1,
+    # vocab = distinct w2 among pair types), so re-tokenizing the corpus
+    # per model statistic is never planned. The pair table is
+    # vocabulary²-bounded — orders of magnitude below the bigram stream.
     model_bg = bigrams(src, with_id=False)
-    cnt2 = model_bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    cnt1 = model_bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    cnt2 = model_bg.groupBy("w1", "w2").agg(
+        F.count("*").alias("c12")
+    ).localCheckpoint(eager=True)
+    cnt1 = cnt2.groupBy("w1").agg(F.sum("c12").alias("c1"))
     # vocabulary of continuations — one scalar, bounded driver collect
-    vocab = model_bg.select("w2").distinct().count()
+    vocab = cnt2.select("w2").distinct().count()
 
     scored = (
         bigrams(docs, with_id=True)
@@ -446,16 +453,22 @@ def kneser_ney_scores(
             .select(*cols, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
         )
 
+    # ONE corpus-sized bigram aggregation (the pair-type table); every
+    # other model statistic derives from it: c1 = Σ c12 per context,
+    # N1+(w1,*) = pair-type rows per w1, N1+(*,w2) = pair-type rows per
+    # w2, T = pair-type row count. Four corpus re-tokenizations collapse
+    # into three aggregates over a vocabulary²-bounded table.
     model_bg = bigrams(src, with_id=False)
-    # pair counts + (per context) token count, distinct-continuation count
-    cnt2 = model_bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    ctx = model_bg.groupBy("w1").agg(
-        F.count("*").alias("c1"),
-        F.countDistinct("w2").alias("n1f"),
+    cnt2 = model_bg.groupBy("w1", "w2").agg(
+        F.count("*").alias("c12")
+    ).localCheckpoint(eager=True)
+    ctx = cnt2.groupBy("w1").agg(
+        F.sum("c12").alias("c1"),
+        F.count("*").alias("n1f"),
     )
-    cont = model_bg.groupBy("w2").agg(F.countDistinct("w1").alias("n1b"))
+    cont = cnt2.groupBy("w2").agg(F.count("*").alias("n1b"))
     # distinct bigram types — one scalar, bounded driver collect
-    types = model_bg.select("w1", "w2").distinct().count()
+    types = cnt2.count()
 
     d = float(discount)
     t_f = float(types)

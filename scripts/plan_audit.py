@@ -132,6 +132,9 @@ def audit_plan(plan: str) -> tuple[list[str], dict[str, int]]:
         "arrow_eval": plan.count("ArrowEvalPython"),
         "sort_merge_joins": plan.count("SortMergeJoin"),
         "broadcast_hash_joins": plan.count("BroadcastHashJoin"),
+        # >3 scans of file sources in one plan usually means a duplicated
+        # subtree that should be checkpointed once (informational)
+        "file_scans": plan.count("FileScan"),
     }
     return flags, info
 
