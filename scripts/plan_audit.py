@@ -104,6 +104,20 @@ WHITELIST: dict[str, str] = {
         "BNLJ build side is the broadcast language set (enum-sized by "
         "schema contract — llm/classifier.py:202)"
     ),
+    "graph_hits": _SCALAR_REASON + " (final max-score normalizer)",
+    "llm_corpus_overlap_sketch": _SCALAR_REASON
+    + " (one-row KMV estimates, llm/sketches.py:221)",
+    "join_key_overlap_advisor": _SCALAR_REASON
+    + " (one-row KMV estimates, llm/sketches.py:221)",
+    "stream_histogram_quantiles": (
+        "BNLJ build side is the broadcast quantile grid (n_quantiles "
+        "rows — queries/streaming_queries.py:1965)"
+    ),
+    "llm_source_similarity_matrix": (
+        "BNLJ is the source-pair matrix: per-source KMV sketches crossed "
+        "with themselves (enum-sized sources by schema contract, "
+        "llm/sketches.py:440); sketch size k bounds each cell"
+    ),
     # intentionally unbounded operators, bounded by the query's inputs
     "join_cross": (
         "the CROSS JOIN operator itself (SURVEY row 24); exercised over "
@@ -142,9 +156,16 @@ def audit_plan(plan: str) -> tuple[list[str], dict[str, int]]:
 def is_materialized(plan: str) -> bool:
     """True when the returned DF is a driver-local relation (memory-sink
     table or createDataFrame result) — the pipeline already ran during
-    construction, so there is no distributed plan left to audit."""
-    local = ("LocalTableScan" in plan) or ("Scan ExistingRDD" in plan)
-    return local and "FileScan" not in plan
+    construction, so there is no distributed plan left to audit.
+
+    ``Scan ExistingRDD`` is NOT driver-local: checkpointed lineage
+    (graph loops, ntile inputs) scans a distributed RDD, and everything
+    planned above it must still be swept."""
+    return (
+        "LocalTableScan" in plan
+        and "FileScan" not in plan
+        and "Scan ExistingRDD" not in plan
+    )
 
 
 def main() -> int:
@@ -209,6 +230,13 @@ def main() -> int:
         else:
             flags, info = audit_plan(plan)
             bucket = "clean"
+            # a batch result whose build ALSO ran streams (e.g. reads back
+            # a streaming sink's files): sweep those micro-batch plans too
+            for sp in stream_plans:
+                f2, _ = audit_plan(sp)
+                flags.extend(x for x in f2 if x not in flags)
+            if stream_plans:
+                info["stream_queries"] = len(stream_plans)
         if flags and name in WHITELIST:
             buckets["whitelisted"] += 1
             report[name] = {

@@ -39,7 +39,9 @@ def test_flags_cartesian_and_bnlj():
 def test_materialized_detection():
     # memory-sink scan / createDataFrame result: no distributed plan left
     assert plan_audit.is_materialized("LocalTableScan [a, b]")
-    assert plan_audit.is_materialized("Scan ExistingRDD[a, b]")
+    # checkpointed lineage is a DISTRIBUTED scan — the plan above it must
+    # still be audited (graph loops return these)
+    assert not plan_audit.is_materialized("Scan ExistingRDD[a, b]")
     # a real scan is not materialized, even when a local relation is unioned in
     assert not plan_audit.is_materialized(
         "Union\n+- LocalTableScan [a]\n+- FileScan parquet [a]"
