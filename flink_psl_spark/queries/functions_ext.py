@@ -888,6 +888,12 @@ def pysource_stream_datagen_agg(spark, sf_dir):
                 break
             time.sleep(0.3)
     finally:
+        # record the last micro-batch's plan for the plan-audit sweep (the
+        # one registry stream driven by a polling loop instead of
+        # run_to_memory_table)
+        from flink_psl_spark.streaming.core import _capture_stream_plan
+
+        _capture_stream_plan(q)
         q.stop()
         q.awaitTermination(30)
     return spark.table(name)
