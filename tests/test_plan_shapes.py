@@ -556,3 +556,42 @@ def test_stream_keyed_top3_plan(spark, t):
     assert "FlatMapGroupsInPandasWithState" in p
     assert "BatchEvalPython" not in p
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_rfm_chained_ntiles_do_not_compound(spark, t):
+    """Three chained ntile passes over the materialized customer aggregate:
+    the orders aggregation must not be re-planned per pass (18 exchanges
+    before distributed_ntile checkpointed its input; 4 after)."""
+    from flink_psl_spark.queries import QUERIES
+
+    out = QUERIES["rfm_customer_segments"](spark, "/root/testdata/sf0.001")
+    assert _exchanges(out) <= 4
+
+
+def test_kneser_ney_single_scoring_scan(spark, t):
+    """LM model statistics derive from the checkpointed pair-type table:
+    the final plan re-reads the corpus exactly once (scoring); the model
+    side is checkpointed lineage, not repeated tokenization."""
+    from flink_psl_spark.llm.text import kneser_ney_scores
+
+    out = kneser_ney_scores(t["documents"])
+    p = _plan(out)
+    # scoring tokenization + the narrow id-only outer-join scan — the
+    # model side must contribute no further corpus scans
+    assert p.count("FileScan") == 2
+    assert "Scan ExistingRDD" in p
+
+
+def test_pagerank_iteration_single_shuffle(spark, t):
+    """One PageRank iteration = one gather exchange: the rank/contrib
+    joins ride broadcast or co-partitioning, the 1/deg weight is pre-joined
+    into the checkpointed edge list (never re-joined per iteration)."""
+    from flink_psl_spark.operators.graph import pagerank
+
+    ranks = pagerank(t["events"].selectExpr("user_id as s", "event_id as d")
+                     .limit(500), iters=1)
+    p = _plan(ranks)
+    # final ranks plan: node-join + gather agg over checkpointed lineage —
+    # no FileScan (edges materialized once), at most 2 hash exchanges
+    assert "FileScan" not in p
+    assert _exchanges(ranks) <= 2
