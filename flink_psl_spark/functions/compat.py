@@ -84,7 +84,7 @@ def json_query(s: Column | str, path: str) -> Column:
     containers and raw text for scalars, so the scalar case is filtered
     by shape."""
     v = F.get_json_object(_col(s), path)
-    looks_container = v.rlike(r"^\s*[\[{]")
+    looks_container = v.rlike(r"^[ \t\n\f\r]*[\[{]")
     return F.when(looks_container, v)
 
 

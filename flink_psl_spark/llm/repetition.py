@@ -28,9 +28,15 @@ def _col(c: Column | str) -> Column:
 
 
 def segments(text: Column | str, delim: str = r"\n") -> Column:
-    """Split into trimmed, non-empty segments (lines by default)."""
+    """Split into trimmed, non-empty segments (lines by default).
+
+    Per-segment trim uses the pinned whitespace set (llm.text.pinned_trim)
+    so the DuckDB oracle's LIST_TRANSFORM(s -> TRIM(s, …)) replays exactly —
+    bare TRIM disagrees across engines on Unicode spaces."""
+    from flink_psl_spark.llm.text import pinned_trim
+
     parts = F.split(_col(text), delim)
-    trimmed = F.transform(parts, F.trim)
+    trimmed = F.transform(parts, pinned_trim)
     return F.filter(trimmed, lambda s: s != "")
 
 

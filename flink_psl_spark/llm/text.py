@@ -16,13 +16,35 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
-_WS = r"\s+"
+# Cross-engine whitespace contract: Java-regex \s is [ \t\n\x0B\f\r] while
+# RE2/DuckDB \s is [ \t\n\f\r] — they provably disagree on \x0B (vertical
+# tab), so every token count derived from a bare \s+ can diverge from the
+# DuckDB oracles on adversarial whitespace. We pin the EXPLICIT common-subset
+# class on both sides (the same "RE2 ∩ Java-regex common subset" discipline
+# the PII-scrub oracle documents). tests/test_llm_curation.py property-tests
+# the contract over \x0B, NBSP and Unicode spaces.
+WS_CLASS = r"[ \t\n\f\r]"
+_WS = WS_CLASS + "+"
+
+# The same pin applies to TRIM: Spark's trim strips ASCII space only while
+# DuckDB's strips full Unicode whitespace (NBSP, ideographic space, …) — a
+# lone NBSP document is 0 tokens in DuckDB but 1 in Spark under bare TRIM.
+# Both sides trim the explicit char set instead (Spark btrim / DuckDB
+# TRIM(x, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13))).
+WS_CHARS = " \t\n\f\r"
+
+
+def pinned_trim(text: Column | str) -> Column:
+    """Both-ends trim of exactly the pinned whitespace set (cross-engine
+    deterministic, unlike F.trim/DuckDB TRIM which disagree on Unicode
+    spaces)."""
+    return F.btrim(_col(text), F.lit(WS_CHARS))
 
 
 def tokenize(text: Column | str) -> Column:
     """Whitespace tokenization → array<string> (empty array for blank or
     NULL text, so token counts and downstream running sums stay non-null)."""
-    t = F.trim(F.coalesce(_col(text), F.lit("")))
+    t = pinned_trim(F.coalesce(_col(text), F.lit("")))
     return F.when(t == "", F.array().cast("array<string>")).otherwise(
         F.split(t, _WS)
     )
@@ -52,7 +74,7 @@ def bpe_ish_token_count(text: Column | str) -> Column:
     real tokenizer can't run in the engine.
     """
     pieces = F.regexp_extract_all(
-        _col(text), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+        _col(text), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]"), F.lit(0)
     )
     return F.size(pieces).cast("bigint")
 
@@ -297,7 +319,7 @@ def fingerprint(text: Column | str) -> Column:
     md5 over whitespace-normalized, lowercased text — the canonical
     content-defined document ID for exact dedup joins across runs.
     """
-    norm = F.lower(F.trim(F.regexp_replace(_col(text), _WS, " ")))
+    norm = F.lower(pinned_trim(F.regexp_replace(_col(text), _WS, " ")))
     return F.md5(norm)
 
 
@@ -1160,7 +1182,7 @@ def normalize_text(
     for pat, rep in _CANON_CHARS:
         out = F.regexp_replace(out, pat, rep)
     out = F.regexp_replace(out, _STRIP_CHARS, "")
-    out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    out = pinned_trim(F.regexp_replace(out, _WS, " "))
     return docs.select(F.col(id_col), out.alias(text_col))
 
 

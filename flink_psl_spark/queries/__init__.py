@@ -31,68 +31,67 @@ import flink_psl_spark.queries.datastream_queries  # noqa: F401, E402
 # Driver-visibility ordering: the verify harness checks queries in
 # registration order and may truncate (each round checks the first 50),
 # so the front of the dict carries the queries with the LEAST prior
-# driver evidence. ROUND-8 rotation: rounds 1-7 accumulated driver
-# CORRECTNESS rows for 304 of the 374 registered queries (all green at
-# latest check); this window is the first 50 of the 70 never-checked
-# remainder, in registration order (the precomputed r8 seed from the
-# round-7 verdict): the analytics/reports wave first (table profiling,
-# validation, drift, anomaly, advisors, privacy releases, retail
-# analytics, timeseries), then the llm curation wave (sampling,
-# packing, splits, TF-IDF/BM25, span/cross-corpus/containment dedup,
-# reranking, tokenizer metrics).
+# driver evidence.
 #
-# ROUND-9 seed (precomputed): the 20 remaining never-checked queries —
-# llm_leakage_safe_split, llm_source_similarity_matrix,
-# llm_sft_pipeline, llm_hybrid_rrf_topk, llm_dataset_card,
-# llm_span_corruption, llm_fim_transform, stream_validation_ingest,
-# stream_drift_ingest, stream_bloom_decontaminate_ingest,
-# stream_dataset_fingerprint, stream_weighted_sample,
-# stream_conversation_assembly, stream_quality_score_ingest,
-# stream_timeseries_gap_fill, stream_histogram_quantiles,
-# stream_contract_migration_ingest, stream_ewma_anomaly,
-# stream_sft_loss_mask, explain_plan_shape —
-# plus 30 STALENESS RE-PROOFS of the oldest driver rows (last checked
-# round 2, five-plus rounds ago), ordered by age×risk with stateful
-# streaming first, then CEP originals, then the cdc/format trio:
-# stream_keyed_top3, stream_running_agg, stream_early_fire_agg,
-# stream_count_window, stream_count_window_evict,
-# stream_count_window_delta_evict, stream_event_time_sort,
-# stream_range_over, stream_window_topn, stream_tumble_agg,
-# stream_interval_join, stream_lookup_join, stream_anti_join,
-# stream_asof_enrich, stream_allowed_lateness_agg,
-# cep_clicks_then_purchase, stream_cep_clicks_then_purchase,
-# cep_error_burst, cep_unconverted_clicks,
-# cep_session_no_logout_purchase, stream_cep_clean_conversion,
-# cep_no_conversion_within, cdc_debezium_roundtrip,
-# cdc_drop_update_before, cdc_ogg_roundtrip, avro_py_roundtrip,
-# protobuf_py_roundtrip, wf_range_frame, llm_minhash_dedup,
-# llm_simhash_dedup.
+# ROUND-9 rotation (the precomputed seed from the round-8 verdict,
+# executed verbatim plus one swap): position 1 is llm_bfd_packing — the
+# round-8 red row, re-proven after pinning the cross-engine whitespace
+# contract (Java \s vs RE2 \s diverge on \x0B; llm/text.py WS_CLASS) —
+# then the 20 never-checked queries (finishing the registry: every
+# registered query will then have a driver CORRECTNESS row), then 29 of
+# the 30 seeded STALENESS RE-PROOFS of the oldest driver rows (last
+# checked round 2), ordered by age×risk: stateful streaming first, then
+# CEP originals, then the cdc/format trio. The one dropped seed entry
+# (to keep the window at 50 with the bfd re-proof swapped in, per the
+# verdict's 'drop one young re-proof' instruction) is llm_simhash_dedup
+# — youngest-risk of the 30: rows-only check, replica-green this round.
 _PRIORITY_WINDOW = [
-    # analytics / reports wave (relational module registration order)
-    "table_profile_report", "table_validation_report",
-    "metric_anomaly_report", "distribution_drift_report",
-    "schema_contract_check", "join_size_advisor",
-    "dataset_fingerprint_orders", "table_topk_values_report",
-    "fuzzy_join_customers", "fuzzy_name_dedup",
-    "zorder_clustering_report", "dp_noisy_event_counts",
-    "histogram_quantiles_report", "gdpr_delete_sweep",
-    "schema_contract_migration", "market_basket_lift",
-    "rfm_customer_segments", "funnel_conversion_report",
-    "cohort_retention_matrix", "timeseries_seasonality_report",
-    "yoy_revenue_growth", "pareto_abc_classification",
-    "timeseries_gap_fill", "timeseries_ewma_anomaly",
-    # llm curation wave (llm module registration order)
-    "llm_embedding_outliers", "llm_curriculum_schedule",
-    "llm_preference_pairs", "llm_html_extract", "llm_embedding_pca",
-    "llm_weighted_sample", "llm_bfd_packing", "llm_hash_split",
-    "llm_diversity_sample", "llm_tfidf_top_terms", "llm_vocab_coverage",
-    "llm_duplicate_spans", "llm_text_normalize",
-    "llm_compression_ratio_check", "llm_ngram_novelty",
-    "llm_mixed_language_report", "llm_span_dedup_rewrite",
-    "llm_cluster_report", "llm_bm25_topk", "llm_conversation_assembly",
-    "llm_sft_loss_mask", "llm_dedup_keep_best", "llm_cross_corpus_dedup",
-    "llm_containment_pairs", "llm_mmr_rerank", "llm_tokenizer_fertility",
+    # 1) the round-8 red row, re-proof after the tokenization pin
+    "llm_bfd_packing",
+    # 2) the 20 never-checked queries (registry completion)
+    "llm_leakage_safe_split", "llm_source_similarity_matrix",
+    "llm_sft_pipeline", "llm_hybrid_rrf_topk", "llm_dataset_card",
+    "llm_span_corruption", "llm_fim_transform", "stream_validation_ingest",
+    "stream_drift_ingest", "stream_bloom_decontaminate_ingest",
+    "stream_dataset_fingerprint", "stream_weighted_sample",
+    "stream_conversation_assembly", "stream_quality_score_ingest",
+    "stream_timeseries_gap_fill", "stream_histogram_quantiles",
+    "stream_contract_migration_ingest", "stream_ewma_anomaly",
+    "stream_sft_loss_mask", "explain_plan_shape",
+    # 3) staleness re-proofs (oldest driver rows, age×risk order)
+    "stream_keyed_top3", "stream_running_agg", "stream_early_fire_agg",
+    "stream_count_window", "stream_count_window_evict",
+    "stream_count_window_delta_evict", "stream_event_time_sort",
+    "stream_range_over", "stream_window_topn", "stream_tumble_agg",
+    "stream_interval_join", "stream_lookup_join", "stream_anti_join",
+    "stream_asof_enrich", "stream_allowed_lateness_agg",
+    "cep_clicks_then_purchase", "stream_cep_clicks_then_purchase",
+    "cep_error_burst", "cep_unconverted_clicks",
+    "cep_session_no_logout_purchase", "stream_cep_clean_conversion",
+    "cep_no_conversion_within", "cdc_debezium_roundtrip",
+    "cdc_drop_update_before", "cdc_ogg_roundtrip", "avro_py_roundtrip",
+    "protobuf_py_roundtrip", "wf_range_frame", "llm_minhash_dedup",
 ]
+
+# Window slots deliberately spent on queries that already have a driver
+# row: the re-proof set (staleness refresh of round-2-era rows plus the
+# round-8 red row). Every other slot must go to a never-checked query —
+# tests/test_registry_rotation.py enforces the partition.
+_REPROOFS = frozenset({
+    "llm_bfd_packing",
+    "stream_keyed_top3", "stream_running_agg", "stream_early_fire_agg",
+    "stream_count_window", "stream_count_window_evict",
+    "stream_count_window_delta_evict", "stream_event_time_sort",
+    "stream_range_over", "stream_window_topn", "stream_tumble_agg",
+    "stream_interval_join", "stream_lookup_join", "stream_anti_join",
+    "stream_asof_enrich", "stream_allowed_lateness_agg",
+    "cep_clicks_then_purchase", "stream_cep_clicks_then_purchase",
+    "cep_error_burst", "cep_unconverted_clicks",
+    "cep_session_no_logout_purchase", "stream_cep_clean_conversion",
+    "cep_no_conversion_within", "cdc_debezium_roundtrip",
+    "cdc_drop_update_before", "cdc_ogg_roundtrip", "avro_py_roundtrip",
+    "protobuf_py_roundtrip", "wf_range_frame", "llm_minhash_dedup",
+})
 
 
 def _reorder() -> None:
@@ -117,6 +116,29 @@ def _reorder() -> None:
 # (∪ CORRECTNESS_r0{1..6}.json latest-green rows) — proven surface, so
 # they yield their slot in a truncated window.
 _DRIVER_CHECKED = frozenset({
+    # round 8 (49/50 green — CORRECTNESS_r08.json; llm_bfd_packing
+    # excluded: red row, re-proven via the r9 window's slot 1)
+    "table_profile_report", "table_validation_report",
+    "metric_anomaly_report", "distribution_drift_report",
+    "schema_contract_check", "join_size_advisor",
+    "dataset_fingerprint_orders", "table_topk_values_report",
+    "fuzzy_join_customers", "fuzzy_name_dedup", "zorder_clustering_report",
+    "dp_noisy_event_counts", "histogram_quantiles_report",
+    "gdpr_delete_sweep", "schema_contract_migration", "market_basket_lift",
+    "rfm_customer_segments", "funnel_conversion_report",
+    "cohort_retention_matrix", "timeseries_seasonality_report",
+    "yoy_revenue_growth", "pareto_abc_classification",
+    "timeseries_gap_fill", "timeseries_ewma_anomaly",
+    "llm_embedding_outliers", "llm_curriculum_schedule",
+    "llm_preference_pairs", "llm_html_extract", "llm_embedding_pca",
+    "llm_weighted_sample", "llm_hash_split", "llm_diversity_sample",
+    "llm_tfidf_top_terms", "llm_vocab_coverage", "llm_duplicate_spans",
+    "llm_text_normalize", "llm_compression_ratio_check",
+    "llm_ngram_novelty", "llm_mixed_language_report",
+    "llm_span_dedup_rewrite", "llm_cluster_report", "llm_bm25_topk",
+    "llm_conversation_assembly", "llm_sft_loss_mask",
+    "llm_dedup_keep_best", "llm_cross_corpus_dedup",
+    "llm_containment_pairs", "llm_mmr_rerank", "llm_tokenizer_fertility",
     # round 7 (50/50 green — CORRECTNESS_r07.json)
     "session_tvf_sql", "recursive_cte_order_chain",
     "recursive_cte_event_paths", "interval_join_keyless",

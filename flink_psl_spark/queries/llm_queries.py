@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from flink_psl_spark.llm.text import pinned_trim
 from flink_psl_spark.queries.registry import query, tables
 
 
@@ -19,7 +20,7 @@ from flink_psl_spark.queries.registry import query, tables
     oracle="""
     SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
     FROM documents
-    GROUP BY MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))
+    GROUP BY MD5(LOWER(TRIM(REGEXP_REPLACE(text, '[ \\t\\n\\f\\r]+', ' ', 'g'), ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13))))
     """,
 )
 def llm_exact_dedup(spark, sf_dir):
@@ -37,7 +38,7 @@ def llm_exact_dedup(spark, sf_dir):
       SELECT doc_id,
              LIST_DISTINCT([array_to_string(words[i:i+2], ' ')
                             FOR i IN RANGE(1, GREATEST(LEN(words) - 2, 0) + 1)]) AS s
-      FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words
+      FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)), '[ \\t\\n\\f\\r]+') AS words
             FROM documents WHERE doc_id < 200))
     SELECT l.doc_id AS a, r.doc_id AS b,
            ROUND(LEN(LIST_INTERSECT(l.s, r.s)) * 1.0 /
@@ -71,7 +72,7 @@ _NEARDUP_SURVIVORS_SQL = """
       SELECT doc_id,
              LIST_DISTINCT([hash(array_to_string(words[i:i+2], ' '))
                             FOR i IN RANGE(1, GREATEST(LEN(words) - 2, 0) + 1)]) AS s
-      FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words
+      FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)), '[ \\t\\n\\f\\r]+') AS words
             FROM documents)),
     sized AS (SELECT doc_id, s, LEN(s) AS n FROM sh),
     dropped AS (
@@ -129,7 +130,7 @@ def llm_simhash_dedup(spark, sf_dir):
       SELECT doc_id,
              LIST_DISTINCT([array_to_string(words[i:i+2], ' ')
                             FOR i IN RANGE(1, GREATEST(LEN(words) - 2, 0) + 1)]) AS s
-      FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words
+      FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)), '[ \\t\\n\\f\\r]+') AS words
             FROM documents WHERE doc_id < 200)),
     pairs AS (
       SELECT l.doc_id AS a, r.doc_id AS b
@@ -162,7 +163,7 @@ def llm_dedup_clusters(spark, sf_dir):
     oracle="""
     SELECT doc_id,
            CAST(LEN(REGEXP_EXTRACT_ALL(text,
-                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_pieces
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]')) AS BIGINT) AS n_pieces
     FROM documents
     """,
 )
@@ -181,14 +182,14 @@ def llm_bpe_token_count(spark, sf_dir):
     oracle="""
     WITH f AS (
       SELECT doc_id,
-             LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS toks,
-             LEN(REGEXP_REPLACE(text, '\\s', '', 'g')) * 1.0
-               / LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS mwl,
-             LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'),
+             LEN(STRING_SPLIT_REGEX(TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)), '[ \\t\\n\\f\\r]+')) AS toks,
+             LEN(REGEXP_REPLACE(text, '[ \\t\\n\\f\\r]', '', 'g')) * 1.0
+               / LEN(STRING_SPLIT_REGEX(TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)), '[ \\t\\n\\f\\r]+')) AS mwl,
+             LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13))), '[ \\t\\n\\f\\r]+'),
                  x -> LIST_CONTAINS(['the','a','an','and','or','of','to','in',
                      'is','are','was','were','be','been','it','this','that',
                      'for','on','with','as','at','by','from','not','no'], x)))
-               * 1.0 / LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS sw,
+               * 1.0 / LEN(STRING_SPLIT_REGEX(TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)), '[ \\t\\n\\f\\r]+')) AS sw,
              LEN(REGEXP_REPLACE(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) * 1.0
                / LEN(text) AS pr
       FROM documents)
@@ -212,16 +213,16 @@ def llm_quality_score(spark, sf_dir):
     "llm_text_stats",
     oracle="""
     SELECT doc_id,
-           CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens,
-           MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) AS fp,
+           CAST(LEN(STRING_SPLIT_REGEX(TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)), '[ \\t\\n\\f\\r]+')) AS BIGINT) AS n_tokens,
+           MD5(LOWER(TRIM(REGEXP_REPLACE(text, '[ \\t\\n\\f\\r]+', ' ', 'g'), ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)))) AS fp,
            ROUND(LEN(REGEXP_REPLACE(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) * 1.0
                  / LEN(text), 6) AS punct_ratio,
-           ROUND(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'),
+           ROUND(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13))), '[ \\t\\n\\f\\r]+'),
                  x -> LIST_CONTAINS(['the','a','an','and','or','of','to','in','is',
                                      'are','was','were','be','been','it','this',
                                      'that','for','on','with','as','at','by',
                                      'from','not','no'], x))) * 1.0
-                 / LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')), 6) AS stop_ratio
+                 / LEN(STRING_SPLIT_REGEX(TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)), '[ \\t\\n\\f\\r]+')), 6) AS stop_ratio
     FROM documents
     """,
 )
@@ -254,7 +255,7 @@ def llm_text_stats(spark, sf_dir):
     oracle="""
     WITH sc AS (
       SELECT lang,
-             STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS toks
+             STRING_SPLIT_REGEX(LOWER(TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13))), '[ \\t\\n\\f\\r]+') AS toks
       FROM documents),
     r AS (
       SELECT lang,
@@ -310,9 +311,9 @@ def llm_language_id(spark, sf_dir):
     oracle="""
     WITH feats AS (
       SELECT doc_id,
-             LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS toks,
-             LEN(REGEXP_REPLACE(text, '\\s', '', 'g')) * 1.0
-               / LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS mwl
+             LEN(STRING_SPLIT_REGEX(TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)), '[ \\t\\n\\f\\r]+')) AS toks,
+             LEN(REGEXP_REPLACE(text, '[ \\t\\n\\f\\r]', '', 'g')) * 1.0
+               / LEN(STRING_SPLIT_REGEX(TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)), '[ \\t\\n\\f\\r]+')) AS mwl
       FROM documents)
     SELECT doc_id FROM feats
     WHERE toks >= 10 AND toks <= 100000 AND mwl >= 2.0 AND mwl <= 12.0
@@ -457,7 +458,7 @@ def llm_sq_ann_topk(spark, sf_dir):
     "llm_rolling_fingerprints",
     oracle="""
     SELECT doc_id, norm[1:16] AS prefix16 FROM (
-      SELECT doc_id, LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')) AS norm
+      SELECT doc_id, LOWER(REGEXP_REPLACE(text, '[ \\t\\n\\f\\r]+', ' ', 'g')) AS norm
       FROM documents WHERE doc_id < 100)
     """,
 )
@@ -475,7 +476,7 @@ def llm_rolling_fingerprints(spark, sf_dir):
         "doc_id",
         rolling_fingerprints("text").alias("fp"),
         F.substring(
-            F.lower(F.regexp_replace("text", r"\s+", " ")), 1, 16
+            F.lower(F.regexp_replace("text", r"[ \t\n\f\r]+", " ")), 1, 16
         ).alias("prefix16"),
     )
     return sketched.where(F.size("fp") > 0).select("doc_id", "prefix16")
@@ -674,14 +675,14 @@ def llm_curriculum_schedule(spark, sf_dir):
     oracle="""
     WITH f AS (
       SELECT source, doc_id,
-             LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS toks,
-             LEN(REGEXP_REPLACE(text, '\\s', '', 'g')) * 1.0
-               / LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS mwl,
-             LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'),
+             LEN(STRING_SPLIT_REGEX(TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)), '[ \\t\\n\\f\\r]+')) AS toks,
+             LEN(REGEXP_REPLACE(text, '[ \\t\\n\\f\\r]', '', 'g')) * 1.0
+               / LEN(STRING_SPLIT_REGEX(TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)), '[ \\t\\n\\f\\r]+')) AS mwl,
+             LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13))), '[ \\t\\n\\f\\r]+'),
                  x -> LIST_CONTAINS(['the','a','an','and','or','of','to','in',
                      'is','are','was','were','be','been','it','this','that',
                      'for','on','with','as','at','by','from','not','no'], x)))
-               * 1.0 / LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS sw,
+               * 1.0 / LEN(STRING_SPLIT_REGEX(TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)), '[ \\t\\n\\f\\r]+')) AS sw,
              LEN(REGEXP_REPLACE(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) * 1.0
                / LEN(text) AS pr
       FROM documents),
@@ -1062,8 +1063,8 @@ def llm_multimodal_stats(spark, sf_dir):
 # blank-safe tokenization shared by the curation oracles (Spark's tokenize()
 # returns [] for blank text; DuckDB's split of '' returns [''])
 _TOKS = (
-    "CASE WHEN TRIM(text) = '' THEN []::VARCHAR[] "
-    "ELSE STRING_SPLIT_REGEX(TRIM(text), '\\s+') END"
+    "CASE WHEN TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)) = '' THEN []::VARCHAR[] "
+    "ELSE STRING_SPLIT_REGEX(TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)), '[ \\t\\n\\f\\r]+') END"
 )
 
 
@@ -1302,7 +1303,7 @@ def skew_key_report(spark, sf_dir):
     WITH d AS (
       SELECT doc_id, {_TOKS} AS w,
              LIST_FILTER(LIST_TRANSFORM(STRING_SPLIT(text, chr(10)),
-                                        s -> TRIM(s)), s -> s <> '') AS segs
+                                        s -> TRIM(s, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13))), s -> s <> '') AS segs
       FROM documents)
     SELECT doc_id,
            ROUND(CASE WHEN LEN(w) > 0
@@ -1991,14 +1992,14 @@ def llm_token_budget_mix(spark, sf_dir):
     WITH kept AS (
       SELECT doc_id, text FROM (
         SELECT doc_id, text,
-               LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS toks,
-               LEN(REGEXP_REPLACE(text, '\\s', '', 'g')) * 1.0
-                 / LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS mwl
+               LEN(STRING_SPLIT_REGEX(TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)), '[ \\t\\n\\f\\r]+')) AS toks,
+               LEN(REGEXP_REPLACE(text, '[ \\t\\n\\f\\r]', '', 'g')) * 1.0
+                 / LEN(STRING_SPLIT_REGEX(TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)), '[ \\t\\n\\f\\r]+')) AS mwl
         FROM documents)
       WHERE toks >= 10 AND toks <= 100000 AND mwl >= 2.0 AND mwl <= 12.0),
     survivors AS (
       SELECT MIN(doc_id) AS doc_id FROM kept
-      GROUP BY MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))),
+      GROUP BY MD5(LOWER(TRIM(REGEXP_REPLACE(text, '[ \\t\\n\\f\\r]+', ' ', 'g'), ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13))))),
     h AS (
       SELECT doc_id,
              CAST('0x' || SUBSTR(MD5(CONCAT_WS('|', CAST(doc_id AS VARCHAR),
@@ -2153,8 +2154,8 @@ def llm_boilerplate_removal(spark, sf_dir):
              LEN({_TOKS}) AS n,
              CASE WHEN LEN({_TOKS}) > 0 THEN
                LEN(LIST_FILTER(
-                     CASE WHEN TRIM(LOWER(text)) = '' THEN []::VARCHAR[]
-                          ELSE STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')
+                     CASE WHEN TRIM(LOWER(text), ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)) = '' THEN []::VARCHAR[]
+                          ELSE STRING_SPLIT_REGEX(TRIM(LOWER(text), ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)), '[ \\t\\n\\f\\r]+')
                      END,
                      x -> LIST_CONTAINS({_SW_LIST}, x)))
                  / LEN({_TOKS}) ELSE 0.0 END AS sw,
@@ -2557,8 +2558,8 @@ def llm_perplexity_bucket_sample(spark, sf_dir):
              CAST(LEN({_TOKS}) AS BIGINT) AS toks,
              CASE WHEN LEN({_TOKS}) > 0 THEN
                LEN(LIST_FILTER(
-                     CASE WHEN TRIM(LOWER(text)) = '' THEN []::VARCHAR[]
-                          ELSE STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')
+                     CASE WHEN TRIM(LOWER(text), ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)) = '' THEN []::VARCHAR[]
+                          ELSE STRING_SPLIT_REGEX(TRIM(LOWER(text), ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)), '[ \\t\\n\\f\\r]+')
                      END,
                      x -> LIST_CONTAINS({_SW_LIST}, x)))
                  / LEN({_TOKS}) ELSE 0.0 END AS sw,
@@ -2568,7 +2569,7 @@ def llm_perplexity_bucket_sample(spark, sf_dir):
              CASE WHEN LEN({_TOKS}) > 0 THEN
                LIST_SUM(LIST_TRANSFORM({_TOKS}, x -> LEN(x)))
                  / LEN({_TOKS}) ELSE 0.0 END AS mwl,
-             MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) AS fp
+             MD5(LOWER(TRIM(REGEXP_REPLACE(text, '[ \\t\\n\\f\\r]+', ' ', 'g'), ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)))) AS fp
       FROM documents),
     scored AS (
       SELECT *,
@@ -2683,8 +2684,8 @@ def llm_wav_decode_stats(spark, sf_dir):
       WHERE ROUND(-1.0
           + 2.0 * (CASE WHEN LEN(w) > 0 THEN
               LEN(LIST_FILTER(
-                    CASE WHEN TRIM(LOWER(text)) = '' THEN []::VARCHAR[]
-                         ELSE STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')
+                    CASE WHEN TRIM(LOWER(text), ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)) = '' THEN []::VARCHAR[]
+                         ELSE STRING_SPLIT_REGEX(TRIM(LOWER(text), ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)), '[ \\t\\n\\f\\r]+')
                     END,
                     x -> LIST_CONTAINS({_SW_LIST}, x)))
                 / LEN(w) ELSE 0.0 END)
@@ -2697,8 +2698,8 @@ def llm_wav_decode_stats(spark, sf_dir):
           + 0.25 * LN(CAST(LEN(w) AS DOUBLE) + 1.0), 6) >= 0.0),
     -- stage 2: corpus-frequency boilerplate removal over the KEPT docs
     kw AS (SELECT doc_id,
-                  CASE WHEN TRIM(text) = '' THEN []::VARCHAR[]
-                       ELSE STRING_SPLIT_REGEX(TRIM(text), '\\s+') END AS w
+                  CASE WHEN TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)) = '' THEN []::VARCHAR[]
+                       ELSE STRING_SPLIT_REGEX(TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)), '[ \\t\\n\\f\\r]+') END AS w
            FROM kept),
     bseg AS (
       SELECT doc_id, CAST((s - 1) // 8 AS BIGINT) AS seg_no,
@@ -2717,8 +2718,8 @@ def llm_wav_decode_stats(spark, sf_dir):
       GROUP BY b.doc_id),
     -- stage 3: keep-first segment dedup over the cleaned texts
     cw AS (SELECT doc_id,
-                  CASE WHEN TRIM(text) = '' THEN []::VARCHAR[]
-                       ELSE STRING_SPLIT_REGEX(TRIM(text), '\\s+') END AS w
+                  CASE WHEN TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)) = '' THEN []::VARCHAR[]
+                       ELSE STRING_SPLIT_REGEX(TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)), '[ \\t\\n\\f\\r]+') END AS w
            FROM clean1),
     sseg AS (
       SELECT doc_id, CAST((s - 1) // 16 AS BIGINT) AS seg_no,
@@ -2927,8 +2928,8 @@ def llm_diversity_sample(spark, sf_dir):
 
 # lowercased variant of the shared blank-safe tokenization
 _LTOKS = (
-    "CASE WHEN TRIM(text) = '' THEN []::VARCHAR[] "
-    "ELSE STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') END"
+    "CASE WHEN TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)) = '' THEN []::VARCHAR[] "
+    "ELSE STRING_SPLIT_REGEX(LOWER(TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13))), '[ \\t\\n\\f\\r]+') END"
 )
 
 
@@ -3011,7 +3012,7 @@ def llm_vocab_coverage(spark, sf_dir):
       SELECT doc_id,
              LIST_DISTINCT([array_to_string(words[i:i+7], ' ')
                             FOR i IN RANGE(1, GREATEST(LEN(words) - 7, 0) + 1)]) AS s
-      FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words
+      FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)), '[ \\t\\n\\f\\r]+') AS words
             FROM documents)),
     e AS (SELECT doc_id, UNNEST(s) AS span FROM sh),
     d AS (SELECT span FROM (SELECT span, COUNT(*) AS df FROM e GROUP BY span)
@@ -3059,7 +3060,8 @@ def llm_duplicate_spans(spark, sf_dir):
                  ' ', 'g'),
                '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}'
                || '\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
-             '\s+', ' ', 'g')) AS text
+             '[ \t\n\f\r]+', ' ', 'g'),
+           ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)) AS text
     FROM documents
     """,
 )
@@ -3224,8 +3226,8 @@ def llm_mixed_language_report(spark, sf_dir):
     oracle="""
     WITH d AS (
       SELECT doc_id,
-             CASE WHEN TRIM(text) = '' THEN []::VARCHAR[]
-                  ELSE STRING_SPLIT_REGEX(TRIM(text), '\\s+') END AS w
+             CASE WHEN TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)) = '' THEN []::VARCHAR[]
+                  ELSE STRING_SPLIT_REGEX(TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)), '[ \\t\\n\\f\\r]+') END AS w
       FROM documents),
     tok AS (
       SELECT doc_id, UNNEST(w) AS tok, GENERATE_SUBSCRIPTS(w, 1) AS pos
@@ -3334,8 +3336,8 @@ _BM25_VALUES = ", ".join(
       SELECT doc_id, UNNEST({_LTOKS}) AS term FROM documents),
     dl AS (
       SELECT doc_id,
-             CASE WHEN TRIM(text) = '' THEN 0
-                  ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END AS dl
+             CASE WHEN TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)) = '' THEN 0
+                  ELSE LEN(STRING_SPLIT_REGEX(TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)), '[ \\t\\n\\f\\r]+')) END AS dl
       FROM documents),
     stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
     tf AS (
@@ -3474,7 +3476,7 @@ def llm_sft_loss_mask(spark, sf_dir):
       SELECT doc_id,
              LIST_DISTINCT([hash(array_to_string(words[i:i+2], ' '))
                             FOR i IN RANGE(1, GREATEST(LEN(words) - 2, 0) + 1)]) AS s
-      FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words
+      FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)), '[ \\t\\n\\f\\r]+') AS words
             FROM documents)),
     sized AS (SELECT doc_id, s, LEN(s) AS n FROM sh),
     pairs AS (
@@ -3528,7 +3530,7 @@ def llm_dedup_keep_best(spark, sf_dir):
       SELECT doc_id,
              LIST_DISTINCT([hash(array_to_string(words[i:i+2], ' '))
                             FOR i IN RANGE(1, GREATEST(LEN(words) - 2, 0) + 1)]) AS s
-      FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words
+      FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)), '[ \\t\\n\\f\\r]+') AS words
             FROM documents)),
     sized AS (SELECT doc_id, s, LEN(s) AS n FROM sh),
     dropped AS (
@@ -3568,7 +3570,7 @@ def llm_cross_corpus_dedup(spark, sf_dir):
       SELECT doc_id,
              LIST_DISTINCT([hash(array_to_string(words[i:i+3], ' '))
                             FOR i IN RANGE(1, GREATEST(LEN(words) - 3, 0) + 1)]) AS s
-      FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words
+      FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)), '[ \\t\\n\\f\\r]+') AS words
             FROM documents)),
     sized AS (SELECT doc_id, s, LEN(s) AS n FROM sh WHERE LEN(s) > 0),
     e AS (SELECT doc_id, UNNEST(s) AS h FROM sized),
@@ -3661,11 +3663,11 @@ def llm_mmr_rerank(spark, sf_dir):
     oracle="""
     WITH d AS (
       SELECT lang,
-             LEN(REGEXP_REPLACE(text, '\\s', '', 'g')) AS n_chars_ws,
+             LEN(REGEXP_REPLACE(text, '[ \\t\\n\\f\\r]', '', 'g')) AS n_chars_ws,
              LEN(REGEXP_EXTRACT_ALL(text,
-                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_pieces,
-             CASE WHEN TRIM(text) = '' THEN 0
-                  ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]')) AS n_pieces,
+             CASE WHEN TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)) = '' THEN 0
+                  ELSE LEN(STRING_SPLIT_REGEX(TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)), '[ \\t\\n\\f\\r]+')) END
                AS n_words
       FROM documents)
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -3688,7 +3690,7 @@ def llm_tokenizer_fertility(spark, sf_dir):
     t = tables(spark, sf_dir)
     d = t["documents"].select(
         "lang",
-        F.length(F.regexp_replace("text", r"\s", "")).alias("n_chars_ws"),
+        F.length(F.regexp_replace("text", r"[ \t\n\f\r]", "")).alias("n_chars_ws"),
         bpe_ish_token_count("text").alias("n_pieces"),
         token_count("text").alias("n_words"),
     )
@@ -3985,11 +3987,11 @@ def llm_unigram_encode_stats(spark, sf_dir):
         "doc_id",
         (
             F.concat_ws("", "pieces")
-            == F.concat_ws("", F.split(F.trim("text"), r"\s+"))
+            == F.concat_ws("", F.split(pinned_trim("text"), r"[ \t\n\f\r]+"))
         ).alias("content_ok"),
         (
             F.col("n_pieces")
-            <= F.length(F.regexp_replace("text", r"\s", ""))
+            <= F.length(F.regexp_replace("text", r"[ \t\n\f\r]", ""))
         ).alias("compressed"),
     )
     return joined
@@ -4073,12 +4075,12 @@ def llm_wordpiece_encode_stats(spark, sf_dir):
                 "p -> CASE WHEN substring(p, 1, 2) = '##' "
                 "THEN substring(p, 3) ELSE p END))"
             )
-            == F.concat_ws("", F.split(F.trim("text"), r"\s+"))
+            == F.concat_ws("", F.split(pinned_trim("text"), r"[ \t\n\f\r]+"))
         ).alias("content_ok"),
         (F.col("n_unk") == F.lit(0)).alias("no_unk"),
         (
             F.col("n_pieces")
-            <= F.length(F.regexp_replace("text", r"\s", ""))
+            <= F.length(F.regexp_replace("text", r"[ \t\n\f\r]", ""))
         ).alias("compressed"),
     )
 
@@ -4096,7 +4098,7 @@ def llm_wordpiece_encode_stats(spark, sf_dir):
       SELECT doc_id,
              LIST_DISTINCT([array_to_string(words[i:i+2], ' ')
                             FOR i IN RANGE(1, GREATEST(LEN(words) - 2, 0) + 1)]) AS s
-      FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words
+      FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)), '[ \\t\\n\\f\\r]+') AS words
             FROM documents WHERE doc_id < 200)),
     pairs AS (
       SELECT l.doc_id AS a, r.doc_id AS b
@@ -4417,7 +4419,7 @@ def llm_naive_bayes_langid(spark, sf_dir):
       SELECT doc_id,
              LIST_DISTINCT([array_to_string(words[i:i+2], ' ')
                             FOR i IN RANGE(1, GREATEST(LEN(words) - 2, 0) + 1)]) AS s
-      FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words
+      FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)), '[ \\t\\n\\f\\r]+') AS words
             FROM documents)),
     jp AS (
       SELECT qs.doc_id AS query_id, cs.doc_id AS neighbor_id,
@@ -4471,24 +4473,25 @@ def llm_hybrid_rrf_topk(spark, sf_dir):
       SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM(LEN({_TOKS})) AS BIGINT) AS total_tokens,
              CAST(COUNT(DISTINCT MD5(LOWER(TRIM(
-               REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))) AS BIGINT)
+               REGEXP_REPLACE(text, '[ \\t\\n\\f\\r]+', ' ', 'g'),
+               ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13))))) AS BIGINT)
                AS n_distinct,
              CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
              CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
                AS n_en,
              CAST(SUM(
-               CASE WHEN LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))
+               CASE WHEN LEN(STRING_SPLIT_REGEX(TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)), '[ \\t\\n\\f\\r]+'))
                          BETWEEN 10 AND 100000 THEN 1 ELSE 0 END
-             + CASE WHEN LEN(REGEXP_REPLACE(text, '\\s', '', 'g')) * 1.0
-                         / LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))
+             + CASE WHEN LEN(REGEXP_REPLACE(text, '[ \\t\\n\\f\\r]', '', 'g')) * 1.0
+                         / LEN(STRING_SPLIT_REGEX(TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)), '[ \\t\\n\\f\\r]+'))
                          BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END
              + CASE WHEN LEN(LIST_FILTER(
-                       STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'),
+                       STRING_SPLIT_REGEX(LOWER(TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13))), '[ \\t\\n\\f\\r]+'),
                        x -> LIST_CONTAINS(['the','a','an','and','or','of',
                            'to','in','is','are','was','were','be','been',
                            'it','this','that','for','on','with','as','at',
                            'by','from','not','no'], x))) * 1.0
-                         / LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))
+                         / LEN(STRING_SPLIT_REGEX(TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)), '[ \\t\\n\\f\\r]+'))
                          >= 0.05 THEN 1 ELSE 0 END
              + CASE WHEN LEN(REGEXP_REPLACE(text,
                          '[^.,;:!?''"()\\[\\]-]', '', 'g')) * 1.0
@@ -4517,7 +4520,7 @@ def llm_dataset_card(spark, sf_dir):
 
     t = tables(spark, sf_dir)
     fp = F.md5(
-        F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+        F.lower(pinned_trim(F.regexp_replace("text", r"[ \t\n\f\r]+", " ")))
     )
     agg = t["documents"].agg(
         F.count("*").cast("bigint").alias("n_docs"),

@@ -1099,8 +1099,8 @@ def stream_connect_threshold_filter(spark, sf_dir):
     oracle="""
     WITH f AS (
       SELECT source,
-             CASE WHEN TRIM(text) = '' THEN []::VARCHAR[]
-                  ELSE STRING_SPLIT_REGEX(TRIM(text), '\\s+') END AS w,
+             CASE WHEN TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)) = '' THEN []::VARCHAR[]
+                  ELSE STRING_SPLIT_REGEX(TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)), '[ \\t\\n\\f\\r]+') END AS w,
              text
       FROM documents),
     scored AS (
@@ -1108,9 +1108,9 @@ def stream_connect_threshold_filter(spark, sf_dir):
              ROUND(-1.0
                + 2.0 * (CASE WHEN LEN(w) > 0 THEN
                    LEN(LIST_FILTER(
-                         CASE WHEN TRIM(LOWER(text)) = '' THEN []::VARCHAR[]
-                              ELSE STRING_SPLIT_REGEX(TRIM(LOWER(text)),
-                                                      '\\s+') END,
+                         CASE WHEN TRIM(LOWER(text), ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)) = '' THEN []::VARCHAR[]
+                              ELSE STRING_SPLIT_REGEX(TRIM(LOWER(text), ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)),
+                                                      '[ \\t\\n\\f\\r]+') END,
                          x -> LIST_CONTAINS(['the','a','an','and','or','of',
                            'to','in','is','are','was','were','be','been',
                            'it','this','that','for','on','with','as','at',
@@ -1331,8 +1331,8 @@ def stream_timer_session_agg(spark, sf_dir):
     oracle="""
     WITH d AS (
       SELECT doc_id, source,
-             CASE WHEN TRIM(text) = '' THEN []::VARCHAR[]
-                  ELSE STRING_SPLIT_REGEX(TRIM(text), '\\s+') END AS w
+             CASE WHEN TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)) = '' THEN []::VARCHAR[]
+                  ELSE STRING_SPLIT_REGEX(TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)), '[ \\t\\n\\f\\r]+') END AS w
       FROM documents),
     g AS (
       SELECT doc_id, ARRAY_TO_STRING(w[i:i+4], ' ') AS gram
@@ -1715,7 +1715,7 @@ def stream_quality_score_ingest(spark, sf_dir):
     # roster drain + exact verification equals the plain HAVING — the
     # CMS-prefilter proof shape, streamed
     oracle=r"""
-    WITH d AS (SELECT doc_id, CASE WHEN TRIM(text) = '' THEN []::VARCHAR[] ELSE STRING_SPLIT_REGEX(TRIM(text), '\s+') END AS w FROM documents),
+    WITH d AS (SELECT doc_id, CASE WHEN TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)) = '' THEN []::VARCHAR[] ELSE STRING_SPLIT_REGEX(TRIM(text, ' ' || CHR(9) || CHR(10) || CHR(12) || CHR(13)), '[ \t\n\f\r]+') END AS w FROM documents),
     g AS (
       SELECT ARRAY_TO_STRING(w[i:i+1], ' ') AS gram
       FROM d, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(w) - 1, 0))) AS t(i))

@@ -131,6 +131,24 @@ WHITELIST: dict[str, str] = {
     ),
 }
 
+# Per-entry allowed flags: a whitelist entry exempts ONLY the specific
+# operator its reason justifies, not the query wholesale — a whitelisted
+# BNLJ site that later regresses into BatchEvalPython or CartesianProduct
+# must still FLAG (the gate's whole purpose). Every current entry is a
+# bounded-broadcast BNLJ site.
+WHITELIST_FLAGS: dict[str, frozenset] = {
+    name: frozenset({"BroadcastNestedLoopJoin"}) for name in WHITELIST
+}
+
+
+def is_whitelisted(name: str, flags: list) -> bool:
+    """True only when EVERY flag on this query is individually exempted
+    for it — flags outside the entry's allowed set still gate."""
+    allowed = WHITELIST_FLAGS.get(name, frozenset())
+    return bool(flags) and name in WHITELIST and all(
+        f in allowed for f in flags
+    )
+
 
 def audit_plan(plan: str) -> tuple[list[str], dict[str, int]]:
     """Return (flags, info_counts) for one executed-plan text."""
@@ -147,8 +165,9 @@ def audit_plan(plan: str) -> tuple[list[str], dict[str, int]]:
         "sort_merge_joins": plan.count("SortMergeJoin"),
         "broadcast_hash_joins": plan.count("BroadcastHashJoin"),
         # >3 scans of file sources in one plan usually means a duplicated
-        # subtree that should be checkpointed once (informational)
-        "file_scans": plan.count("FileScan"),
+        # subtree that should be checkpointed once (informational).
+        # BatchScan = DSv2 sources (sources_v2.py) — distributed scans too.
+        "file_scans": plan.count("FileScan") + plan.count("BatchScan"),
     }
     return flags, info
 
@@ -160,11 +179,15 @@ def is_materialized(plan: str) -> bool:
 
     ``Scan ExistingRDD`` is NOT driver-local: checkpointed lineage
     (graph loops, ntile inputs) scans a distributed RDD, and everything
-    planned above it must still be swept."""
+    planned above it must still be swept. Ditto ``BatchScan`` (DSv2
+    Python sources) and python-runner scans — a plan unioning a
+    LocalTableScan with any of those still has distributed work."""
     return (
         "LocalTableScan" in plan
         and "FileScan" not in plan
         and "Scan ExistingRDD" not in plan
+        and "BatchScan" not in plan
+        and "Scan org.apache.spark.sql.execution.python" not in plan
     )
 
 
@@ -196,7 +219,10 @@ def main() -> int:
         if filters and not any(f in name for f in filters):
             continue
         t0 = time.time()
-        n_stream_before = len(stream_core.STREAM_PLANS)
+        # Snapshot-and-clear instead of index slicing: the ring trims to
+        # 256 entries on append (streaming/core.py), so saved indices can
+        # shift mid-audit in long sessions and misattribute plans.
+        stream_core.STREAM_PLANS.clear()
         try:
             df = fn(spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
@@ -208,7 +234,7 @@ def main() -> int:
             print(f"ERROR {name}", flush=True)
             continue
         secs = time.time() - t0
-        stream_plans = stream_core.STREAM_PLANS[n_stream_before:]
+        stream_plans = list(stream_core.STREAM_PLANS)
         if is_materialized(plan):
             if stream_plans:
                 # memory-sink replay: audit each replay's last micro-batch
@@ -237,11 +263,13 @@ def main() -> int:
                 flags.extend(x for x in f2 if x not in flags)
             if stream_plans:
                 info["stream_queries"] = len(stream_plans)
-        if flags and name in WHITELIST:
+        if is_whitelisted(name, flags):
+            allowed = WHITELIST_FLAGS[name]
             buckets["whitelisted"] += 1
             report[name] = {
                 "bucket": "whitelisted",
                 "flags": flags,
+                "allowed_flags": sorted(allowed),
                 "reason": WHITELIST[name],
                 **info,
             }
@@ -265,6 +293,9 @@ def main() -> int:
                     "summary": buckets,
                     "flagged": flagged,
                     "whitelist": WHITELIST,
+                    "whitelist_flags": {
+                        k: sorted(v) for k, v in WHITELIST_FLAGS.items()
+                    },
                     "note": (
                         "streaming = last-micro-batch executed plan(s) of "
                         "the build's memory-sink replays audited; "

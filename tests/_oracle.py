@@ -62,5 +62,21 @@ def compare(spark_df, con, oracle_sql: str) -> tuple[bool, str]:
     dk = rows_key(d_rows, [c.lower() for c in d_cols])
     if sk != dk:
         diff = [(a, b) for a, b in zip(sk, dk) if a != b][:3]
-        return False, f"values differ; first diffs: {diff}"
+        bad_cols = _diverging_columns(sk, dk, sorted(c.lower() for c in s_cols))
+        return False, (
+            f"values differ in columns {bad_cols}; first diffs: {diff}"
+        )
     return True, "ok"
+
+
+def _diverging_columns(sk, dk, sorted_cols):
+    """Name the columns whose multiset of values differs — localizes a
+    mismatch to the offending expression instead of a row-level diff
+    (the round-8 llm_bfd_packing forensics cost a session without this)."""
+    bad = []
+    for i, col in enumerate(sorted_cols):
+        if sorted(r[i] for r in sk) != sorted(r[i] for r in dk):
+            bad.append(col)
+    # per-column multisets can all match while row TUPLES differ
+    # (misaligned associations) — report that explicitly
+    return bad or ["<row association only>"]

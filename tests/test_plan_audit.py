@@ -83,3 +83,44 @@ def test_whitelist_reasons_name_the_bound():
             name,
             reason,
         )
+
+
+def test_materialized_detection_dsv2_batchscan():
+    """DSv2 Python sources plan as BatchScan — distributed work, not a
+    driver-local relation, even when unioned with a LocalTableScan."""
+    assert not plan_audit.is_materialized(
+        "Union\n+- LocalTableScan [a]\n+- BatchScan class DatagenBatch [a]"
+    )
+    assert not plan_audit.is_materialized(
+        "Union\n+- LocalTableScan [a]\n"
+        "+- Scan org.apache.spark.sql.execution.python [a]"
+    )
+
+
+def test_batchscan_counts_as_file_scan():
+    _, info = plan_audit.audit_plan(
+        "FileScan parquet [a]\n+- BatchScan class DatagenBatch [a]"
+    )
+    assert info["file_scans"] == 2
+
+
+def test_whitelist_exempts_only_allowed_flags():
+    """A whitelisted BNLJ site that regresses into BatchEvalPython or
+    CartesianProduct must still gate — the exemption is per-flag, not
+    per-query."""
+    name = "llm_cosine_topk"  # any current entry; all are BNLJ-only
+    assert name in plan_audit.WHITELIST
+    assert plan_audit.is_whitelisted(name, ["BroadcastNestedLoopJoin"])
+    assert not plan_audit.is_whitelisted(
+        name, ["BroadcastNestedLoopJoin", "BatchEvalPython"]
+    )
+    assert not plan_audit.is_whitelisted(name, ["CartesianProduct"])
+    assert not plan_audit.is_whitelisted(name, [])
+    assert not plan_audit.is_whitelisted(
+        "not_whitelisted_query", ["BroadcastNestedLoopJoin"]
+    )
+
+
+def test_every_whitelist_entry_has_allowed_flags():
+    for name in plan_audit.WHITELIST:
+        assert plan_audit.WHITELIST_FLAGS.get(name), name

@@ -965,3 +965,88 @@ def test_scd2_history_versions_partition_time(spark, events):
     # every non-D event opens exactly one version
     expected_versions = sum(1 for _, _, _, op in events if op != "D")
     assert len(hist) == expected_versions
+
+
+# ---------------------------------------------------------------------------
+# cross-engine tokenization contract (Java regex vs DuckDB/RE2)
+# ---------------------------------------------------------------------------
+# Java \s is [ \t\n\x0B\f\r]; RE2 \s is [ \t\n\f\r] — they disagree on \x0B
+# (vertical tab), which made llm_bfd_packing's corpus-exact total_tokens the
+# round-8 red row. Both tokenize() (llm/text.py) and the shared oracle _TOKS
+# (queries/llm_queries.py) are now pinned to the explicit common-subset class
+# [ \t\n\f\r]; these tests prove the two engines agree token-for-token on
+# every whitespace the pin must survive: \x0B, NBSP, Unicode spaces,
+# line/paragraph separators, zero-width space, ideographic space.
+
+_EXOTIC_WS = [
+    " ", "\t", "\n", "\r", "\f",
+    "\x0b",      # vertical tab — the Java-vs-RE2 divergence
+    "\xa0",      # NBSP (neither engine splits: ASCII-only \s in both)
+    " ",    # em space
+    " ",    # line separator
+    "　",    # ideographic space
+    "​",    # zero-width space
+]
+
+_ws_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("abXY9.") + _EXOTIC_WS),
+        min_size=0,
+        max_size=24,
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+def _duck_token_counts(texts):
+    import duckdb
+    import pandas as pd
+
+    from flink_psl_spark.queries.llm_queries import _TOKS
+
+    con = duckdb.connect()
+    docs = pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}
+    )
+    con.register("documents", docs)
+    rows = con.sql(
+        f"SELECT doc_id, LEN({_TOKS}) AS n FROM documents ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    return [int(n) for _, n in rows]
+
+
+def _spark_token_counts(spark, texts):
+    from flink_psl_spark.llm.text import token_count
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    rows = (
+        df.select("doc_id", token_count("text").alias("n"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    return [int(r["n"]) for r in rows]
+
+
+def test_tokenization_contract_vertical_tab_probe(spark):
+    """The exact round-8 divergence: a \\x0B inside a token must not split
+    in either engine (pre-pin: Spark said 5 tokens, DuckDB said 4)."""
+    texts = [
+        "alpha beta\x0bgamma delta epsilon",
+        "\x0b",
+        " \x0b ",
+        "a\x0b\x0bb c",
+        "tab\tmix\x0bend",
+    ]
+    assert _spark_token_counts(spark, texts) == _duck_token_counts(texts)
+
+
+@given(_ws_texts)
+@settings(**_SETTINGS)
+def test_tokenization_contract_property(spark, texts):
+    """Spark token_count == DuckDB LEN(_TOKS) on arbitrary mixes of words
+    and exotic whitespace — the invariant every token-count oracle rests on."""
+    assert _spark_token_counts(spark, texts) == _duck_token_counts(texts)

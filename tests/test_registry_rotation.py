@@ -24,11 +24,20 @@ def test_window_has_no_duplicates():
     assert len(set(q._PRIORITY_WINDOW)) == len(q._PRIORITY_WINDOW)
 
 
-def test_window_spends_no_slot_on_verified_queries():
-    """Every slot goes to a query with no prior driver evidence — the
-    backlog-draining contract of the round-7 verdict."""
-    wasted = [n for n in q._PRIORITY_WINDOW if n in q._DRIVER_CHECKED]
+def test_window_spends_slots_only_on_unverified_or_seeded_reproofs():
+    """Every slot goes to a query with no prior driver evidence OR to an
+    explicitly seeded re-proof (the round-8 verdict's staleness-refresh
+    set + the red-row re-proof) — accidental re-checks still fail."""
+    wasted = [
+        n for n in q._PRIORITY_WINDOW
+        if n in q._DRIVER_CHECKED and n not in q._REPROOFS
+    ]
     assert wasted == [], f"window slots wasted on driver-checked rows: {wasted}"
+
+
+def test_reproof_names_all_registered():
+    stale = [n for n in q._REPROOFS if n not in q.QUERIES]
+    assert stale == [], f"re-proof names not in registry: {stale}"
 
 
 def test_checked_set_names_all_registered():
