@@ -73,6 +73,31 @@ _PRIORITY_WINDOW = [
     "protobuf_py_roundtrip", "wf_range_frame", "llm_minhash_dedup",
 ]
 
+# ROUND-10 seed (precomputed; after r9 lands, never-checked = 0 and
+# every window becomes a staleness rotation): the 50 OLDEST driver rows
+# by latest-check round, risk-ordered within each age bucket —
+# all 10 r1-era rows (agg_multiset, agg_json, dedup_keep_first,
+# dedup_keep_last, changelog_normalize, interval_join_batch, asof_join,
+# q4_order_priority, q5_local_supplier_volume, q7_volume_shipping),
+# all 20 r2-era rows (llm_exact_dedup, llm_simhash_dedup,
+# llm_dedup_clusters, llm_language_id, llm_cosine_topk,
+# llm_ivf_ann_topk, llm_lsh_ann_topk, llm_embedding_dedup,
+# salted_agg_skew, llm_stratified_sample, agg_hll_sketch,
+# llm_multimodal_features, llm_dataset_mix, llm_multimodal_stats,
+# llm_repetition_stats, llm_repetition_filter, llm_doc_chunking,
+# llm_image_decode, llm_frame_sample, llm_audio_stats),
+# then 20 of the r3 bucket by risk — token-contract and stateful
+# shapes first: llm_sequence_packing, cep_skip_to_next_click_runs,
+# cep_no_skip_conversion_pairs, cep_skip_to_last_error_runs,
+# cep_skip_to_first_purchase_chain, cdc_canal_roundtrip,
+# cdc_maxwell_roundtrip, tumble_window_agg, hop_window_agg,
+# cumulate_window_agg, session_window_agg, window_join,
+# window_tvf_projection, session_window_dynamic_gap, graph_pagerank,
+# graph_connected_components, graph_sssp, wf_topn_per_group,
+# wf_ntile_percentiles, wf_running_rows_frame.
+# (Remaining r3 rows — the TPC-H tail and the rest of wf_*/graph_* —
+# roll into the r11 window.)
+#
 # Window slots deliberately spent on queries that already have a driver
 # row: the re-proof set (staleness refresh of round-2-era rows plus the
 # round-8 red row). Every other slot must go to a never-checked query —

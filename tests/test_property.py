@@ -1050,3 +1050,93 @@ def test_tokenization_contract_property(spark, texts):
     """Spark token_count == DuckDB LEN(_TOKS) on arbitrary mixes of words
     and exotic whitespace — the invariant every token-count oracle rests on."""
     assert _spark_token_counts(spark, texts) == _duck_token_counts(texts)
+
+
+def _duck_token_arrays(texts):
+    import duckdb
+    import pandas as pd
+
+    from flink_psl_spark.queries.llm_queries import _TOKS
+
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    rows = con.sql(
+        f"SELECT doc_id, {_TOKS} AS w FROM documents ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    return [list(w) for _, w in rows]
+
+
+def _spark_token_arrays(spark, texts):
+    from flink_psl_spark.llm.text import tokenize
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    rows = (
+        df.select("doc_id", tokenize("text").alias("w"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    return [list(r["w"]) for r in rows]
+
+
+@given(_ws_texts)
+@settings(**_SETTINGS)
+def test_tokenization_contract_full_arrays(spark, texts):
+    """Stronger than counts: the token ARRAYS must be identical — every
+    n-gram, shingle and segment oracle consumes the tokens themselves."""
+    assert _spark_token_arrays(spark, texts) == _duck_token_arrays(texts)
+
+
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]"
+
+
+def test_bpe_ish_contract_exotic_whitespace(spark):
+    """The second shared tokenizer (bpe_ish_token_count vs the
+    REGEXP_EXTRACT_ALL oracles at llm_queries n_pieces sites): piece
+    LISTS must agree cross-engine, including on \\x0B — which is now a
+    piece in BOTH engines (it is outside the pinned whitespace class)."""
+    import duckdb
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    texts = [
+        "hello world42!",
+        "a\x0bb",          # \x0B is a (weird) punctuation piece, not a split
+        "tab\tsep 9.5%",
+        "\xa0nbsp\xa0",     # NBSP pieces survive on both sides
+        "",
+        "mixedCASE123...",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got_spark = [
+        list(r["p"])
+        for r in df.select(
+            "doc_id",
+            F.regexp_extract_all(
+                "text", F.lit(_BPE_PATTERN), F.lit(0)
+            ).alias("p"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got_duck = [
+        list(w)
+        for _, w in con.sql(
+            "SELECT doc_id, REGEXP_EXTRACT_ALL(text, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]') AS p "
+            "FROM documents ORDER BY doc_id"
+        ).fetchall()
+    ]
+    con.close()
+    assert got_spark == got_duck
