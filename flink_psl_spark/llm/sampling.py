@@ -589,7 +589,10 @@ def diversity_sample(
 
     from pyspark.sql import Window
 
-    from flink_psl_spark.llm.similarity import cosine
+    from flink_psl_spark.llm.similarity import (
+        cosine_with_norms,
+        l2_norm,
+    )
 
     c = corpus.select(
         F.col(id_col).alias("__id"),
@@ -604,8 +607,13 @@ def diversity_sample(
         .limit(n_clusters)
         .select(F.col("__id").alias("__cid"), F.col("__v").alias("__cv"))
     )
-    scored = c.join(F.broadcast(cents)).select(
-        "__id", "__h", "__cid", cosine("__v", "__cv").alias("__sim")
+    scored = (
+        c.withColumn("__n", l2_norm("__v"))
+        .join(F.broadcast(cents.withColumn("__ctn", l2_norm("__cv"))))
+        .select(
+            "__id", "__h", "__cid",
+            cosine_with_norms("__v", "__cv", "__n", "__ctn").alias("__sim"),
+        )
     )
     routed = scored.groupBy("__id").agg(
         F.min_by(
@@ -652,7 +660,10 @@ def cluster_report(
     """
     import math
 
-    from flink_psl_spark.llm.similarity import cosine
+    from flink_psl_spark.llm.similarity import (
+        cosine_with_norms,
+        l2_norm,
+    )
 
     c = corpus.select(
         F.col(id_col).alias("__id"),
@@ -667,8 +678,13 @@ def cluster_report(
         .limit(n_clusters)
         .select(F.col("__id").alias("__cid"), F.col("__v").alias("__cv"))
     )
-    scored = c.join(F.broadcast(cents)).select(
-        "__id", "__cid", cosine("__v", "__cv").alias("__sim")
+    scored = (
+        c.withColumn("__n", l2_norm("__v"))
+        .join(F.broadcast(cents.withColumn("__ctn", l2_norm("__cv"))))
+        .select(
+            "__id", "__cid",
+            cosine_with_norms("__v", "__cv", "__n", "__ctn").alias("__sim"),
+        )
     )
     routed = scored.groupBy("__id").agg(
         F.min_by(

@@ -53,6 +53,22 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return F.when(denom != 0.0, dot(a, b) / denom)
 
 
+def cosine_with_norms(
+    a: Column | str, b: Column | str, na: Column | str, nb: Column | str
+) -> Column:
+    """cosine() with the per-row L2 norms precomputed as columns.
+
+    Inside a pair join, ``cosine(l.v, r.v)`` makes codegen re-derive BOTH
+    norms per PAIR (four array aggregations per candidate — the dominant
+    cost of the exact dedup/top-k paths: O(pairs x dim) x 5 instead of
+    x 1). Precomputing ``__n = l2_norm(v)`` once per ROW below the join
+    leaves one zip_with dot per pair. The arithmetic form is unchanged
+    (dot / (na * nb), same IEEE op order), so results are bit-identical
+    to cosine() — the oracle hash comparison is unaffected."""
+    denom = _col(na) * _col(nb)
+    return F.when(denom != 0.0, dot(a, b) / denom)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -92,13 +108,17 @@ def cosine_topk(
     if method == "blas":
         scored = _blas_partial_topk(c, q, k, include_self)
     elif method == "expr":
-        joined = c.join(F.broadcast(q), how="cross")
+        # norms once per row (queries: once per query; corpus: once per
+        # corpus row) — not per corpus×queries pair
+        joined = c.withColumn("__cn", l2_norm("__cv")).join(
+            F.broadcast(q.withColumn("__qn", l2_norm("__qv"))), how="cross"
+        )
         if not include_self:
             joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
         scored = joined.select(
             "query_id",
             "neighbor_id",
-            cosine("__qv", "__cv").alias("cos_sim"),
+            cosine_with_norms("__qv", "__cv", "__qn", "__cn").alias("cos_sim"),
         )
     else:
         raise ValueError("method must be 'expr' or 'blas'")
@@ -320,15 +340,16 @@ def ivf_cosine_topk(
 
     cell = c.withColumn(
         "__cent_id", F.element_at(_cells_udf(1)("__cv"), 1)
-    )
+    ).withColumn("__cn", l2_norm("__cv"))  # norm once per corpus row
 
-    # probe: each query scans its n_probe nearest cells
+    # probe: each query scans its n_probe nearest cells (norm computed
+    # before the probe explode — once per query, not per probe/candidate)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _col(vec_col).cast("array<double>").alias("__qv"),
-    )
+    ).withColumn("__qn", l2_norm("__qv"))
     probes = q.select(
-        "query_id", "__qv",
+        "query_id", "__qv", "__qn",
         F.explode(_cells_udf(n_probe)("__qv")).alias("__cent_id"),
     )
     from flink_psl_spark.operators.ranking import top_n
@@ -337,7 +358,8 @@ def ivf_cosine_topk(
     if not include_self:
         cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
     scored = cand.select(
-        "query_id", "neighbor_id", cosine("__qv", "__cv").alias("cos_sim")
+        "query_id", "neighbor_id",
+        cosine_with_norms("__qv", "__cv", "__qn", "__cn").alias("cos_sim"),
     )
     return top_n(
         scored,
@@ -370,14 +392,17 @@ def embedding_dedup(
     c = corpus.select(
         F.col(id_col).alias("__id"),
         _col(vec_col).cast("array<double>").alias("__v"),
-    )
+    ).withColumn("__n", l2_norm("__v"))  # once per ROW, not per pair
     if exact:
         pairs = (
             c.alias("l")
             .join(c.alias("r"), F.col("l.__id") < F.col("r.__id"))
             .select(
                 F.col("r.__id").alias("__dup"),
-                cosine(F.col("l.__v"), F.col("r.__v")).alias("__sim"),
+                cosine_with_norms(
+                    F.col("l.__v"), F.col("r.__v"),
+                    F.col("l.__n"), F.col("r.__n"),
+                ).alias("__sim"),
             )
         )
     else:
@@ -388,6 +413,7 @@ def embedding_dedup(
         banded = c.select(
             "__id",
             "__v",
+            "__n",
             F.posexplode(lsh_buckets("__v", tables)).alias("__tbl", "__bkt"),
         )
         pairs = (
@@ -400,7 +426,10 @@ def embedding_dedup(
             )
             .select(
                 F.col("r.__id").alias("__dup"),
-                cosine(F.col("l.__v"), F.col("r.__v")).alias("__sim"),
+                cosine_with_norms(
+                    F.col("l.__v"), F.col("r.__v"),
+                    F.col("l.__n"), F.col("r.__n"),
+                ).alias("__sim"),
             )
         )
     dropped = (
@@ -435,24 +464,36 @@ def lsh_cosine_topk(
         _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
     ]
 
-    def with_buckets(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(id_alias),
-            _col(vec_col).cast("array<double>").alias(vec_alias),
-            F.posexplode(lsh_buckets(vec_col, tables)).alias("__tbl", "__bkt"),
+    def with_buckets(df: DataFrame, id_alias: str, vec_alias: str,
+                     norm_alias: str) -> DataFrame:
+        # norm computed once per ROW, below the per-table explode (the
+        # Generate carries the value as an attribute — posexplode
+        # duplicates the result, never the computation)
+        return (
+            df.select(
+                F.col(id_col).alias(id_alias),
+                _col(vec_col).cast("array<double>").alias(vec_alias),
+                lsh_buckets(vec_col, tables).alias("__bkts"),
+            )
+            .withColumn(norm_alias, l2_norm(vec_alias))
+            .select(
+                id_alias, vec_alias, norm_alias,
+                F.posexplode("__bkts").alias("__tbl", "__bkt"),
+            )
         )
 
-    cq = with_buckets(queries, "query_id", "__qv")
-    cc = with_buckets(corpus, "neighbor_id", "__cv")
+    cq = with_buckets(queries, "query_id", "__qv", "__qn")
+    cc = with_buckets(corpus, "neighbor_id", "__cv", "__cn")
     cand = (
         cc.join(cq, on=["__tbl", "__bkt"])
-        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .select("query_id", "neighbor_id", "__qv", "__cv", "__qn", "__cn")
         .distinct()
     )
     if not include_self:
         cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
     scored = cand.select(
-        "query_id", "neighbor_id", cosine("__qv", "__cv").alias("cos_sim")
+        "query_id", "neighbor_id",
+        cosine_with_norms("__qv", "__cv", "__qn", "__cn").alias("cos_sim"),
     )
     return top_n(
         scored,
@@ -494,10 +535,12 @@ def hard_negatives(
         _col(vec_col).cast("array<double>").alias("__cv"),
     )
     scored = (
-        c.join(F.broadcast(q), how="cross")
+        c.withColumn("__cn", l2_norm("__cv"))
+        .join(F.broadcast(q.withColumn("__qn", l2_norm("__qv"))), how="cross")
         .where(F.col("__ql") != F.col("__cl"))
         .select(
-            "query_id", "neighbor_id", cosine("__qv", "__cv").alias("cos_sim")
+            "query_id", "neighbor_id",
+            cosine_with_norms("__qv", "__cv", "__qn", "__cn").alias("cos_sim"),
         )
     )
     return top_n(
@@ -592,8 +635,12 @@ def semantic_dedup(
         """max-cosine routing as min_by over (-sim, cid): partial-
         aggregates map-side, so the exchange carries N rows, not N×K
         scored rows."""
-        scored = rows.join(F.broadcast(centroids)).select(
-            rows["*"], "__cid", cosine("__v", "__cv").alias("__sim")
+        rowsn = rows.withColumn("__rn", l2_norm("__v"))
+        centsn = centroids.withColumn("__ctn", l2_norm("__cv"))
+        scored = rowsn.join(F.broadcast(centsn)).select(
+            *[F.col(f) for f in rows.columns],
+            "__cid",
+            cosine_with_norms("__v", "__cv", "__rn", "__ctn").alias("__sim"),
         )
         others = [f for f in rows.columns if f not in ("__id", "__v")]
         return scored.groupBy("__id").agg(
@@ -658,10 +705,15 @@ def semantic_dedup(
         )
         # fine resolution: equi-join on the coarse cell (keyed shuffle of
         # the K-row centroid table — NOT a broadcast of all K), then the
-        # same min_by argmax within the cell
-        in_cell = vec_cell.join(cent_cell, on="__cell").select(
-            "__id", "__v", "__h", "__cid",
-            cosine("__v", "__cv").alias("__sim"),
+        # same min_by argmax within the cell (norms once per row/centroid,
+        # not per row×in-cell-centroid pair)
+        in_cell = (
+            vec_cell.withColumn("__vn", l2_norm("__v"))
+            .join(cent_cell.withColumn("__ccn", l2_norm("__cv")), on="__cell")
+            .select(
+                "__id", "__v", "__h", "__cid",
+                cosine_with_norms("__v", "__cv", "__vn", "__ccn").alias("__sim"),
+            )
         )
         routed = in_cell.groupBy("__id").agg(
             F.min_by(
@@ -686,7 +738,7 @@ def semantic_dedup(
         F.floor((F.row_number().over(w) - 1) / max_cluster_size).alias(
             "__sub"
         ),
-    )
+    ).withColumn("__n", l2_norm("__v"))  # once per row, not per in-cluster pair
     pairs = (
         assigned.alias("l")
         .join(
@@ -695,7 +747,12 @@ def semantic_dedup(
             & (F.col("l.__sub") == F.col("r.__sub"))
             & (F.col("l.__id") < F.col("r.__id")),
         )
-        .where(cosine(F.col("l.__v"), F.col("r.__v")) >= threshold)
+        .where(
+            cosine_with_norms(
+                F.col("l.__v"), F.col("r.__v"), F.col("l.__n"), F.col("r.__n")
+            )
+            >= threshold
+        )
         .select(F.col("r.__id").alias("__dup"))
         .distinct()
     )
@@ -926,10 +983,13 @@ def pq_cosine_topk(
     # bounded and small; broadcast IT (not the corpus, which the planner
     # would otherwise pick from its size estimate at small SF)
     scored = (
-        c.join(F.broadcast(cands), on="neighbor_id")
-        .join(F.broadcast(qdf), on="query_id")
+        c.withColumn("__cn", l2_norm("__cv"))
+        .join(F.broadcast(cands), on="neighbor_id")
+        .join(F.broadcast(qdf.withColumn("__qn", l2_norm("__qv"))),
+              on="query_id")
         .select(
-            "query_id", "neighbor_id", cosine("__qv", "__cv").alias("cos_sim")
+            "query_id", "neighbor_id",
+            cosine_with_norms("__qv", "__cv", "__qn", "__cn").alias("cos_sim"),
         )
     )
     return (
@@ -1058,10 +1118,13 @@ def sq_cosine_topk(
         f"query_id {q_dt}, __qv array<double>",
     )
     scored = (
-        c.join(F.broadcast(cands), on="neighbor_id")
-        .join(F.broadcast(qdf), on="query_id")
+        c.withColumn("__cn", l2_norm("__cv"))
+        .join(F.broadcast(cands), on="neighbor_id")
+        .join(F.broadcast(qdf.withColumn("__qn", l2_norm("__qv"))),
+              on="query_id")
         .select(
-            "query_id", "neighbor_id", cosine("__qv", "__cv").alias("cos_sim")
+            "query_id", "neighbor_id",
+            cosine_with_norms("__qv", "__cv", "__qn", "__cn").alias("cos_sim"),
         )
     )
     return (
