@@ -595,3 +595,29 @@ def test_pagerank_iteration_single_shuffle(spark, t):
     # no FileScan (edges materialized once), at most 2 hash exchanges
     assert "FileScan" not in p
     assert _exchanges(ranks) <= 2
+
+
+def test_embedding_dedup_norms_not_recomputed_per_pair(spark, t):
+    """Exact all-pairs embedding dedup scores each pair with ONE zip_with
+    dot product; the two L2 norms are row-level Project expressions below
+    the join (2 SQRTs total in the plan), never re-derived inside the
+    per-pair condition (the pre-fix plan carried 4+ SQRT(aggregate(...))
+    per pair — a 3x wall-clock regression at sf0.1)."""
+    from flink_psl_spark.queries import QUERIES
+
+    out = QUERIES["llm_embedding_dedup"](spark, "/root/testdata/sf0.001")
+    p = _plan(out)
+    assert p.count("zip_with") == 1
+    assert p.count("SQRT") <= 2
+
+
+def test_cosine_topk_norms_not_recomputed_per_pair(spark, t):
+    """Brute-force cosine top-k: query and corpus norms are computed once
+    per row below the broadcast cross join — one zip_with dot per pair."""
+    from flink_psl_spark.llm import cosine_topk
+
+    emb = t["embeddings"]
+    out = cosine_topk(emb, emb.limit(3), k=2)
+    p = _plan(out)
+    assert p.count("zip_with") == 1
+    assert p.count("SQRT") <= 2
