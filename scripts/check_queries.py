@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.join(_REPO, "tests"))
 
 from flink_psl_spark import get_spark
 from flink_psl_spark.queries import QUERIES, ORACLES
-from _oracle import duck_connection, compare
+from _oracle import duck_connection, compare, LAST_TIMINGS
 
 
 def main() -> int:
@@ -96,18 +96,30 @@ def main() -> int:
                 print(f"FAIL {name:32s} non-scalar result columns: {bad_cols}")
                 failures.append(name)
                 continue
+            timings = {}
             if name in ORACLES:
+                LAST_TIMINGS.update(spark_sec=None, oracle_sec=None)
                 ok, msg = compare(df, con, ORACLES[name])
+                timings = dict(LAST_TIMINGS)
             else:
+                ts = time.time()
                 n = df.count()
+                timings = {"spark_sec": round(time.time() - ts, 2)}
                 ok, msg = n >= 0, f"rows-only: {n} rows"
         except Exception as e:
             ok, msg = False, f"EXC {type(e).__name__}: {e}"
+            timings = {}
             traceback.print_exc()
         status = "PASS" if ok else "FAIL"
         secs = time.time() - t0
         print(f"{status} {name:32s} {secs:6.1f}s  {msg[:300]}", flush=True)
-        report[name] = {"pass": ok, "seconds": round(secs, 2), "detail": msg[:300]}
+        report[name] = {
+            "pass": ok,
+            "seconds": round(secs, 2),
+            "detail": msg[:300],
+            # engine-vs-oracle attribution: a slow row names its culprit
+            **{k: v for k, v in timings.items() if v is not None},
+        }
         if not ok:
             failures.append(name)
     scope = "" if not filters else f" (of {len(QUERIES)} registered)"

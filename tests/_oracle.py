@@ -46,12 +46,24 @@ def rows_key(rows, colnames):
     return sorted(out)
 
 
+# wall seconds of the two sides of the LAST compare() call — lets the
+# check harness attribute a slow row to the engine or to the oracle
+# without changing compare()'s signature
+LAST_TIMINGS: dict = {"spark_sec": None, "oracle_sec": None}
+
+
 def compare(spark_df, con, oracle_sql: str) -> tuple[bool, str]:
+    import time as _time
+
     s_cols = spark_df.columns
+    t0 = _time.time()
     s_rows = [tuple(r) for r in spark_df.collect()]
+    LAST_TIMINGS["spark_sec"] = round(_time.time() - t0, 2)
+    t0 = _time.time()
     rel = con.sql(oracle_sql)
     d_cols = rel.columns
     d_rows = rel.fetchall()
+    LAST_TIMINGS["oracle_sec"] = round(_time.time() - t0, 2)
     if sorted(s_cols) != sorted(c.lower() for c in d_cols) and sorted(
         c.lower() for c in s_cols
     ) != sorted(c.lower() for c in d_cols):

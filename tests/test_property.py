@@ -1140,3 +1140,96 @@ def test_bpe_ish_contract_exotic_whitespace(spark):
     ]
     con.close()
     assert got_spark == got_duck
+
+
+# ---------------------------------------------------------------------------
+# PII-scrub chain contract (Java regex vs RE2) — same discipline as the
+# tokenization pin: the three patterns live in the documented common
+# subset; this proves the CHAIN (ordering included) replays identically.
+# ---------------------------------------------------------------------------
+
+_PII_FRAGMENTS = [
+    "plain words here",
+    "user.name+tag@sub.example.co",
+    "bad@@double.at",
+    "10.0.300.5",          # out-of-range octet — still the \d{1,3} shape
+    "1.2.3.4",
+    "255.255.255.255.255",  # 5 octets — boundary behavior
+    "+1-555-0100 433",
+    "12345678901",
+    "+-+-",
+    "a_b@c.de",             # 2-char TLD boundary
+    "x@y.z",                # 1-char TLD — must NOT match {2,}
+    "19.9.9.9rock",         # trailing word chars defeat \b
+    " 7.7.7.7 ",
+    "tel:081-2345-6789",
+    "\x0bemail@vt.example\x0b",  # exotic whitespace around PII
+]
+
+_pii_texts = st.lists(
+    st.lists(st.sampled_from(_PII_FRAGMENTS), min_size=0, max_size=6).map(
+        " ".join
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _spark_scrub(spark, texts):
+    from pyspark.sql import functions as F
+
+    from flink_psl_spark.llm.text import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    counts = pii_counts(F.col("text"))
+    rows = (
+        df.select(
+            "doc_id",
+            counts["email"].alias("e"),
+            counts["ipv4"].alias("i"),
+            counts["phone"].alias("p"),
+            scrub_pii(F.col("text")).alias("s"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    return [(r["e"], r["i"], r["p"], r["s"]) for r in rows]
+
+
+def _duck_scrub(texts):
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register(
+        "docs", pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ip = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    phone = r"\+?\d[\d\- ]{7,}\d"
+    rows = con.sql(
+        f"""
+        SELECT doc_id,
+               LEN(REGEXP_EXTRACT_ALL(text, '{email}')) AS e,
+               LEN(REGEXP_EXTRACT_ALL(text, '{ip}')) AS i,
+               LEN(REGEXP_EXTRACT_ALL(text, '{phone}')) AS p,
+               REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+                 '{email}', '<EMAIL>', 'g'),
+                 '{ip}', '<IP>', 'g'),
+                 '{phone}', '<PHONE>', 'g') AS s
+        FROM docs ORDER BY doc_id
+        """
+    ).fetchall()
+    con.close()
+    return [(int(e), int(i), int(p), s) for _, e, i, p, s in rows]
+
+
+@given(_pii_texts)
+@settings(**_SETTINGS)
+def test_pii_scrub_contract_property(spark, texts):
+    """Counts AND scrubbed text agree cross-engine over adversarial PII
+    shapes (boundary TLDs, 5-octet runs, \\b-defeating suffixes, exotic
+    whitespace) — the llm_pii_scrub oracle's standing assumption."""
+    assert _spark_scrub(spark, texts) == _duck_scrub(texts)
