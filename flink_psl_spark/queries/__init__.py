@@ -96,7 +96,11 @@ _PRIORITY_WINDOW = [
 # graph_connected_components, graph_sssp, wf_topn_per_group,
 # wf_ntile_percentiles, wf_running_rows_frame.
 # (Remaining r3 rows — the TPC-H tail and the rest of wf_*/graph_* —
-# roll into the r11 window.)
+# roll into the r11 window.) Swap-in candidates if slots free up:
+# queries whose IMPLEMENTATION changed in round 9 on top of older
+# driver rows — recursive_cte_order_chain / recursive_cte_event_paths
+# (r7 rows; rank hoisted out of the UnionLoop) — the similarity-family
+# changes are bit-identical by construction and carry r8/r9 rows.
 #
 # Window slots deliberately spent on queries that already have a driver
 # row: the re-proof set (staleness refresh of round-2-era rows plus the

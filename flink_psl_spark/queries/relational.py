@@ -2219,12 +2219,14 @@ def schema_contract_migration(spark, sf_dir):
 # 100 TB the cost is (max chain depth) joins on the chain key — the same
 # shape the reference's iteration feedback edge pays. Depth is bounded
 # (spark.sql.cteRecursionLevelLimit defaults to 100; chains here are <=25).
-# One SQL text runs verbatim on both engines.
+# One SQL text runs verbatim on both engines (event_paths); the order
+# chain hoists its loop-invariant rank on the Spark side — see docstring.
 # ---------------------------------------------------------------------------
 
-sql_query(
+
+@query(
     "recursive_cte_order_chain",
-    """
+    oracle="""
     WITH RECURSIVE ranked AS (
       SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
              ROW_NUMBER() OVER (PARTITION BY o_custkey
@@ -2245,10 +2247,58 @@ sql_query(
     FROM chain
     """,
 )
+def recursive_cte_order_chain(spark, sf_dir):
+    """WITH RECURSIVE over Spark's native UnionLoop, with the rank CTE
+    HOISTED: UnionLoop re-executes the recursive member once per level,
+    so an inlined `ranked` CTE re-ran the full window rank over orders
+    every iteration (iterations = longest order chain — ~11 s at sf0.1,
+    scan×levels at 100 TB). The rank is loop-invariant; materializing it
+    once (localCheckpoint, same idiom as the graph iterators) makes each
+    level a join against frozen lineage. Arithmetic is unchanged:
+    identical ROUND(cum + price, 2) fold order on both engines."""
+    from pyspark.sql import Window
 
-sql_query(
+    t = tables(spark, sf_dir)
+    ranked = (
+        t["orders"]
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+            "o_orderdate",
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("o_custkey").orderBy(
+                    "o_orderdate", "o_orderkey"
+                )
+            ),
+        )
+        .select("o_custkey", "o_orderkey", "price", "rn")
+        .localCheckpoint(eager=True)
+    )
+    ranked.createOrReplaceTempView("__ranked_orders_chain")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain (o_custkey, o_orderkey, step, cum) AS (
+          SELECT o_custkey, o_orderkey, 1, ROUND(price, 2)
+          FROM __ranked_orders_chain WHERE rn = 1
+          UNION ALL
+          SELECT r.o_custkey, r.o_orderkey, c.step + 1,
+                 ROUND(c.cum + r.price, 2)
+          FROM chain c JOIN __ranked_orders_chain r
+            ON r.o_custkey = c.o_custkey AND r.rn = c.step + 1
+        )
+        SELECT o_custkey, o_orderkey, CAST(step AS INT) AS step,
+               ROUND(cum, 2) AS cum_spend
+        FROM chain
+        """
+    )
+
+@query(
     "recursive_cte_event_paths",
-    """
+    oracle="""
     WITH RECURSIVE ev AS (
       SELECT user_id, event_type,
              ROW_NUMBER() OVER (PARTITION BY user_id
@@ -2270,6 +2320,47 @@ sql_query(
     HAVING COUNT(*) >= 5
     """,
 )
+def recursive_cte_event_paths(spark, sf_dir):
+    """Event-path enumeration via WITH RECURSIVE, rank CTE hoisted: the
+    inlined `ev` CTE re-ranked the FULL events table on every UnionLoop
+    level (5 levels = 5 scans+windows of the fact table — the dominant
+    cost at 100 TB). The per-user event rank is loop-invariant; each
+    level only needs rows with rn <= 5, so the materialized view also
+    pre-filters to the probe depth. String/packing arithmetic unchanged."""
+    from pyspark.sql import Window
+
+    t = tables(spark, sf_dir)
+    ev = (
+        t["events"]
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ),
+        )
+        .where(F.col("rn") <= 5)  # recursion probes rn = depth+1 <= 5
+        .select("user_id", "event_type", "rn")
+        .localCheckpoint(eager=True)
+    )
+    ev.createOrReplaceTempView("__ranked_event_paths")
+    return spark.sql(
+        """
+        WITH RECURSIVE paths (user_id, path, depth) AS (
+          SELECT user_id, event_type, 1
+          FROM __ranked_event_paths WHERE rn = 1
+          UNION ALL
+          SELECT e.user_id, p.path || '>' || e.event_type, p.depth + 1
+          FROM paths p JOIN __ranked_event_paths e
+            ON e.user_id = p.user_id AND e.rn = p.depth + 1
+          WHERE p.depth < 5
+        )
+        SELECT CAST(depth AS INT) AS depth, path,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM paths
+        GROUP BY depth, path
+        HAVING COUNT(*) >= 5
+        """
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -621,3 +621,19 @@ def test_cosine_topk_norms_not_recomputed_per_pair(spark, t):
     p = _plan(out)
     assert p.count("zip_with") == 1
     assert p.count("SQRT") <= 2
+
+
+def test_recursive_cte_rank_hoisted_out_of_loop(spark, t):
+    """UnionLoop re-executes the recursive member per level, so the rank
+    CTE must be materialized lineage (Scan ExistingRDD), not an inlined
+    Window that would re-rank the fact table every iteration."""
+    from flink_psl_spark.queries import QUERIES
+
+    for name in ("recursive_cte_order_chain", "recursive_cte_event_paths"):
+        out = QUERIES[name](spark, "/root/testdata/sf0.001")
+        p = _plan(out)
+        assert "UnionLoop" in p, name          # still the native recursion
+        # rank frozen outside the loop (UnionLoop prints its members in
+        # logical form — LogicalRDD — rather than Scan ExistingRDD)
+        assert "LogicalRDD" in p or "Scan ExistingRDD" in p, name
+        assert "Window" not in p, name         # no per-level re-rank
