@@ -718,25 +718,32 @@ def remove_duplicate_spans(
     reassembly is one aggregation keyed by doc. No pair join at all —
     unlike detection, removal never materializes document pairs.
     """
-    from flink_psl_spark.llm.text import tokenize
+    from flink_psl_spark.llm.text import bind_once, tokenize
 
     toks = docs.select(
         F.col(id_col).alias("__id"),
         F.posexplode(tokenize(F.col(text_col))).alias("__pos", "__tok"),
     )
-    w = tokenize(F.col(text_col))
-    count = F.size(w) - (k - 1)
-    positional = F.when(
-        count < 1, F.array().cast("array<struct<start:int,span:string>>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), count - 1),
-            lambda i: F.struct(
-                i.cast("int").alias("start"),
-                F.concat_ws(" ", F.slice(w, i + 1, k)).alias("span"),
-            ),
+
+    def _positional(w):
+        # w is a BOUND lambda variable (bind_once): referencing the raw
+        # tokenize() tree here would re-tokenize the document once per
+        # span position (the measured 5-7x n-gram-scan trap ngrams()
+        # already guards against)
+        count = F.size(w) - (k - 1)
+        return F.when(
+            count < 1, F.array().cast("array<struct<start:int,span:string>>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), count - 1),
+                lambda i: F.struct(
+                    i.cast("int").alias("start"),
+                    F.concat_ws(" ", F.slice(w, i + 1, k)).alias("span"),
+                ),
+            )
         )
-    )
+
+    positional = bind_once(tokenize(F.col(text_col)), _positional)
     spans = docs.select(
         F.col(id_col).alias("__id"), F.explode(positional).alias("__s")
     ).select("__id", F.col("__s.start").alias("__start"), F.col("__s.span").alias("__span"))

@@ -306,11 +306,20 @@ def rolling_fingerprints(
     offsets with the hash computed per window via aggregate — stays in
     codegen, no Python.
     """
-    t = F.lower(F.regexp_replace(_col(text), _WS, " "))
-    n = F.length(t)
-    starts = F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(1)))
-    hashes = F.transform(starts, lambda i: F.xxhash64(F.substring(t, i, window)))
-    return F.slice(F.array_sort(hashes), 1, keep)
+    def _fp(t):
+        # t is bind_once-bound: referencing the raw normalize tree inside
+        # the transform lambda would re-run lower+regexp_replace once per
+        # character offset (O(n^2) normalization)
+        n = F.length(t)
+        starts = F.sequence(
+            F.lit(1), F.greatest(n - (window - 1), F.lit(1))
+        )
+        hashes = F.transform(
+            starts, lambda i: F.xxhash64(F.substring(t, i, window))
+        )
+        return F.slice(F.array_sort(hashes), 1, keep)
+
+    return bind_once(F.lower(F.regexp_replace(_col(text), _WS, " ")), _fp)
 
 
 def fingerprint(text: Column | str) -> Column:
