@@ -194,18 +194,39 @@ def language_id(text: Column | str, threshold: float = 0.03) -> Column:
     heuristic when fastText/CLD can't ship with the engine; swap in a pandas
     UDF classifier for production accuracy.
     """
-    toks = tokenize(F.lower(_col(text)))
-    n = F.size(toks)
-    best_lang = F.lit("und")
-    best_score = F.lit(threshold).cast("double")
-    for lang, words in _LANG_PROFILES.items():
-        sw = F.array(*[F.lit(w) for w in words])
-        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-        score = F.when(n > 0, hits / n).otherwise(F.lit(0.0)).cast("double")
-        take = score > best_score
-        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(take, score).otherwise(best_score)
-    return best_lang
+    def _best(toks):
+        # toks is bind_once-bound (tokenized once per row, not once per
+        # score reference). Scores land in ONE array and the argmax is a
+        # single array_max over (score, -dict_rank) structs — the old
+        # running-best WHEN fold nested every previous language's score
+        # tree into the next comparison, growing the expression ~2^k in
+        # the language count (the plan for 4 languages carried the
+        # tokenizer dozens of times). Semantics preserved exactly:
+        # strict score > threshold, ties to the earliest profile.
+        n = F.size(toks)
+        entries = []
+        for i, (lang, words) in enumerate(_LANG_PROFILES.items()):
+            sw = F.array(*[F.lit(w) for w in words])
+            hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+            score = (
+                F.when(n > 0, hits / n).otherwise(F.lit(0.0)).cast("double")
+            )
+            entries.append(
+                F.struct(
+                    score.alias("s"),
+                    F.lit(-i).alias("r"),
+                    F.lit(lang).alias("l"),
+                )
+            )
+        best = F.array_max(
+            F.filter(
+                F.array(*entries),
+                lambda e: e["s"] > F.lit(threshold).cast("double"),
+            )
+        )
+        return F.when(best.isNull(), F.lit("und")).otherwise(best["l"])
+
+    return bind_once(tokenize(F.lower(_col(text))), _best)
 
 
 def ngrams(text: Column | str, n: int) -> Column:
