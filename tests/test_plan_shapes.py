@@ -637,3 +637,16 @@ def test_recursive_cte_rank_hoisted_out_of_loop(spark, t):
         # logical form — LogicalRDD — rather than Scan ExistingRDD)
         assert "LogicalRDD" in p or "Scan ExistingRDD" in p, name
         assert "Window" not in p, name         # no per-level re-rank
+
+
+def test_language_id_plan_is_linear_in_profiles(spark, t):
+    """language_id tokenizes ONCE (bind_once) and argmaxes over a score
+    array — the old running-best WHEN fold embedded the tokenizer in the
+    plan dozens of times (expression size ~2^k in the profile count)."""
+    from flink_psl_spark.queries import QUERIES
+
+    out = QUERIES["llm_language_id"](spark, "/root/testdata/sf0.001")
+    p = _plan(out)
+    assert p.count("split(") == 1      # one tokenization in the whole plan
+    assert "array_max" in p            # the linear argmax form
+    assert len(p) < 20_000             # pre-fix plans were ~100x this
