@@ -62,3 +62,29 @@ def test_every_query_has_an_oracle_or_is_rows_only():
     no_oracle = [n for n in q.QUERIES if n not in q.ORACLES]
     # rows-only entries are allowed but must stay rare and deliberate
     assert len(no_oracle) == 0, f"queries without oracles: {no_oracle}"
+
+
+def test_whitespace_contract_stays_pinned():
+    """Textual tripwire for the cross-engine whitespace pin: the Spark
+    tokenizer's class and the DuckDB oracle's _TOKS must both carry the
+    explicit common-subset class — a bare \\s reintroduced on either side
+    resurrects the round-8 llm_bfd_packing divergence (\\x0B)."""
+    from flink_psl_spark.llm.text import WS_CLASS, _WS
+    from flink_psl_spark.queries.llm_queries import _TOKS
+
+    assert WS_CLASS == r"[ \t\n\f\r]"
+    assert _WS == r"[ \t\n\f\r]+"
+    assert r"[ \t\n\f\r]+" in _TOKS
+    assert r"\s" not in _TOKS
+
+
+def test_no_bare_whitespace_class_in_oracles():
+    """No oracle SQL may use the regex \\s class — RE2 and Java disagree
+    on \\x0B; every whitespace class must be spelled explicitly."""
+    from flink_psl_spark.queries import ORACLES
+
+    offenders = [
+        name for name, sql in ORACLES.items()
+        if "\\s" in sql or r"\s" in sql
+    ]
+    assert offenders == [], offenders
