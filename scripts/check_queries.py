@@ -135,9 +135,11 @@ def main() -> int:
                     "ran": ran,
                     "note": (
                         "seconds = Spark query + DuckDB oracle + compare; "
+                        "per-row spark_sec/oracle_sec attribute the split — "
                         "oracle dominates for all-pairs ground-truth checks "
-                        "(e.g. llm_dedup_keep_best: 321 s total, 16 s Spark "
-                        "at sf0.1) — use bench.py for engine-only timings"
+                        "(llm_dedup_keep_best at sf0.1: 232 s oracle, "
+                        "0.4 s Spark); use bench.py for steady-state "
+                        "engine timings"
                     ),
                     "queries": report,
                 },
