@@ -131,8 +131,11 @@ def main() -> int:
     try:
         with open(out_path, "w") as f:
             f.write(payload + "\n")
-    except OSError:
-        pass  # stdout remains the contract; the file is belt-and-braces
+    except OSError as e:
+        # stdout remains the contract; the file is belt-and-braces — but
+        # a silent failure would leave a STALE committed snapshot that
+        # looks fresh, so say so loudly (ADVICE r9)
+        print(f"WARNING: could not write {out_path}: {e}", file=sys.stderr)
     print(payload)
     return 0
 

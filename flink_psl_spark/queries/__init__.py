@@ -33,93 +33,110 @@ import flink_psl_spark.queries.datastream_queries  # noqa: F401, E402
 # so the front of the dict carries the queries with the LEAST prior
 # driver evidence.
 #
-# ROUND-9 rotation (the precomputed seed from the round-8 verdict,
-# executed verbatim plus one swap): position 1 is llm_bfd_packing — the
-# round-8 red row, re-proven after pinning the cross-engine whitespace
-# contract (Java \s vs RE2 \s diverge on \x0B; llm/text.py WS_CLASS) —
-# then the 20 never-checked queries (finishing the registry: every
-# registered query will then have a driver CORRECTNESS row), then 29 of
-# the 30 seeded STALENESS RE-PROOFS of the oldest driver rows (last
-# checked round 2), ordered by age×risk: stateful streaming first, then
-# CEP originals, then the cdc/format trio. The one dropped seed entry
-# (to keep the window at 50 with the bfd re-proof swapped in, per the
-# verdict's 'drop one young re-proof' instruction) is llm_simhash_dedup
-# — youngest-risk of the 30: rows-only check, replica-green this round.
+# ROUND-10 rotation (the precomputed seed from the round-9 verdict,
+# executed with the verdict's two ordered swap-ins): position 1 is
+# llm_bfd_packing — the r8/r9 red row, re-proven after the oracle-type
+# fix (its SUM was the registry's ONLY uncast integral SUM → DuckDB
+# HUGEINT, which the driver's hasher normalizes differently than the
+# local fetchall() replica; now CAST AS BIGINT, and a registry-wide
+# portable-type tripwire guards the class). Positions 2-3 are the
+# judge-ordered bisect canaries (llm_bfd_token_mass = tokenization +
+# grouping only; llm_bfd_capacity = packer invariant only) so a
+# still-red bfd row bisects mechanically from the same artifact. Then
+# the precomputed staleness seed: all 10 r1-era rows, all 20 r2-era
+# rows, and the 17 highest-risk r3-era rows (token-contract and
+# stateful shapes first). The 3 seed entries dropped to make room for
+# the canaries + bfd are the lowest-risk tail of the r3 bucket
+# (wf_topn_per_group, wf_ntile_percentiles, wf_running_rows_frame —
+# pure window-function queries, replica-green every round); they lead
+# the r11 seed below.
 _PRIORITY_WINDOW = [
-    # 1) the round-8 red row, re-proof after the tokenization pin
+    # 1) the r8/r9 red row, re-proof after the HUGEINT oracle-type fix
     "llm_bfd_packing",
-    # 2) the 20 never-checked queries (registry completion)
-    "llm_leakage_safe_split", "llm_source_similarity_matrix",
-    "llm_sft_pipeline", "llm_hybrid_rrf_topk", "llm_dataset_card",
-    "llm_span_corruption", "llm_fim_transform", "stream_validation_ingest",
-    "stream_drift_ingest", "stream_bloom_decontaminate_ingest",
-    "stream_dataset_fingerprint", "stream_weighted_sample",
-    "stream_conversation_assembly", "stream_quality_score_ingest",
-    "stream_timeseries_gap_fill", "stream_histogram_quantiles",
-    "stream_contract_migration_ingest", "stream_ewma_anomaly",
-    "stream_sft_loss_mask", "explain_plan_shape",
-    # 3) staleness re-proofs (oldest driver rows, age×risk order)
-    "stream_keyed_top3", "stream_running_agg", "stream_early_fire_agg",
-    "stream_count_window", "stream_count_window_evict",
-    "stream_count_window_delta_evict", "stream_event_time_sort",
-    "stream_range_over", "stream_window_topn", "stream_tumble_agg",
-    "stream_interval_join", "stream_lookup_join", "stream_anti_join",
-    "stream_asof_enrich", "stream_allowed_lateness_agg",
-    "cep_clicks_then_purchase", "stream_cep_clicks_then_purchase",
-    "cep_error_burst", "cep_unconverted_clicks",
-    "cep_session_no_logout_purchase", "stream_cep_clean_conversion",
-    "cep_no_conversion_within", "cdc_debezium_roundtrip",
-    "cdc_drop_update_before", "cdc_ogg_roundtrip", "avro_py_roundtrip",
-    "protobuf_py_roundtrip", "wf_range_frame", "llm_minhash_dedup",
+    # 2) bisect canaries (never-checked; judge-ordered insurance)
+    "llm_bfd_token_mass", "llm_bfd_capacity",
+    # 3) staleness re-proofs: the 10 r1-era rows (risk order)
+    "agg_multiset", "agg_json", "dedup_keep_first", "dedup_keep_last",
+    "changelog_normalize", "interval_join_batch", "asof_join",
+    "q4_order_priority", "q5_local_supplier_volume", "q7_volume_shipping",
+    # 4) staleness re-proofs: the 20 r2-era rows (risk order)
+    "llm_exact_dedup", "llm_simhash_dedup", "llm_dedup_clusters",
+    "llm_language_id", "llm_cosine_topk", "llm_ivf_ann_topk",
+    "llm_lsh_ann_topk", "llm_embedding_dedup", "salted_agg_skew",
+    "llm_stratified_sample", "agg_hll_sketch", "llm_multimodal_features",
+    "llm_dataset_mix", "llm_multimodal_stats", "llm_repetition_stats",
+    "llm_repetition_filter", "llm_doc_chunking", "llm_image_decode",
+    "llm_frame_sample", "llm_audio_stats",
+    # 5) staleness re-proofs: 17 highest-risk r3-era rows
+    "llm_sequence_packing", "cep_skip_to_next_click_runs",
+    "cep_no_skip_conversion_pairs", "cep_skip_to_last_error_runs",
+    "cep_skip_to_first_purchase_chain", "cdc_canal_roundtrip",
+    "cdc_maxwell_roundtrip", "tumble_window_agg", "hop_window_agg",
+    "cumulate_window_agg", "session_window_agg", "window_join",
+    "window_tvf_projection", "session_window_dynamic_gap",
+    "graph_pagerank", "graph_connected_components", "graph_sssp",
 ]
 
-# ROUND-10 seed (precomputed; after r9 lands, never-checked = 0 and
-# every window becomes a staleness rotation): the 50 OLDEST driver rows
-# by latest-check round, risk-ordered within each age bucket —
-# all 10 r1-era rows (agg_multiset, agg_json, dedup_keep_first,
-# dedup_keep_last, changelog_normalize, interval_join_batch, asof_join,
-# q4_order_priority, q5_local_supplier_volume, q7_volume_shipping),
-# all 20 r2-era rows (llm_exact_dedup, llm_simhash_dedup,
-# llm_dedup_clusters, llm_language_id, llm_cosine_topk,
-# llm_ivf_ann_topk, llm_lsh_ann_topk, llm_embedding_dedup,
-# salted_agg_skew, llm_stratified_sample, agg_hll_sketch,
-# llm_multimodal_features, llm_dataset_mix, llm_multimodal_stats,
-# llm_repetition_stats, llm_repetition_filter, llm_doc_chunking,
-# llm_image_decode, llm_frame_sample, llm_audio_stats),
-# then 20 of the r3 bucket by risk — token-contract and stateful
-# shapes first: llm_sequence_packing, cep_skip_to_next_click_runs,
-# cep_no_skip_conversion_pairs, cep_skip_to_last_error_runs,
-# cep_skip_to_first_purchase_chain, cdc_canal_roundtrip,
-# cdc_maxwell_roundtrip, tumble_window_agg, hop_window_agg,
-# cumulate_window_agg, session_window_agg, window_join,
-# window_tvf_projection, session_window_dynamic_gap, graph_pagerank,
-# graph_connected_components, graph_sssp, wf_topn_per_group,
-# wf_ntile_percentiles, wf_running_rows_frame.
-# (Remaining r3 rows — the TPC-H tail and the rest of wf_*/graph_* —
-# roll into the r11 window.) Swap-in candidates if slots free up:
-# queries whose IMPLEMENTATION changed in round 9 on top of older
-# driver rows — recursive_cte_order_chain / recursive_cte_event_paths
-# (r7 rows; rank hoisted out of the UnionLoop) — the similarity-family
-# changes are bit-identical by construction and carry r8/r9 rows.
+# ROUND-11 seed (precomputed, exactly 50): the oldest remaining driver
+# rows — the full r3 residue, the two implementation-changed r7 rows,
+# then the highest-risk r4 rows.
+# 1) the 35 r3-era rows left after the r10 window, risk-ordered —
+#    the 2 r7-row swap-ins FIRST since their implementation changed in
+#    r9 (rank hoisted out of the UnionLoop): recursive_cte_order_chain,
+#    recursive_cte_event_paths; then the 12 remaining graph rows
+#    (iterative state shapes): graph_adamic_adar,
+#    graph_clustering_coefficient, graph_community_detection,
+#    graph_degree, graph_global_clustering, graph_hits,
+#    graph_jaccard_index, graph_label_propagation, graph_summarization,
+#    graph_triadic_census, graph_triangle_count, graph_vertex_metrics;
+#    then the 7 wf rows incl. the 3 displaced this round:
+#    wf_topn_per_group, wf_ntile_percentiles, wf_running_rows_frame,
+#    wf_dataframe_api, wf_first_last_value, wf_lag_lead,
+#    wf_rank_dense_rank; then the 14-query TPC-H tail:
+#    q2_min_cost_supplier, q8_market_share, q9_product_profit,
+#    q10_returned_items, q11_important_stock,
+#    q12_shipping_priority_class, q13_customer_distribution,
+#    q15_top_supplier, q16_part_supplier_count,
+#    q17_small_quantity_revenue, q19_discounted_revenue,
+#    q20_potential_promotion, q21_suppliers_kept_waiting,
+#    q22_prospective_customers.
+# 2) 15 r4-era rows by risk (CEP/MATCH_RECOGNIZE + stateful streaming
+#    first): cep_followed_by_nearest,
+#    cep_group_pattern_double_conversion, cep_until_stop_condition,
+#    match_recognize_sql_clicks, match_recognize_sql_price_dip,
+#    match_recognize_sql_skip_chain, stream_cep_no_conversion_within,
+#    stream_dedup, stream_hop_agg, stream_rows_over, stream_semi_join,
+#    stream_interval_join_outer, stream_current_watermark,
+#    stream_connect_threshold_filter, async_lookup_enrich.
+# If the r10 bfd row is STILL red, bfd + both canaries take positions
+# 1-3 of r11 instead and the last 3 r4 rows above roll to r12.
 #
 # Window slots deliberately spent on queries that already have a driver
-# row: the re-proof set (staleness refresh of round-2-era rows plus the
-# round-8 red row). Every other slot must go to a never-checked query —
+# row: the re-proof set (staleness refresh of the oldest rows plus the
+# red-row re-proof). Every other slot must go to a never-checked query —
 # tests/test_registry_rotation.py enforces the partition.
 _REPROOFS = frozenset({
     "llm_bfd_packing",
-    "stream_keyed_top3", "stream_running_agg", "stream_early_fire_agg",
-    "stream_count_window", "stream_count_window_evict",
-    "stream_count_window_delta_evict", "stream_event_time_sort",
-    "stream_range_over", "stream_window_topn", "stream_tumble_agg",
-    "stream_interval_join", "stream_lookup_join", "stream_anti_join",
-    "stream_asof_enrich", "stream_allowed_lateness_agg",
-    "cep_clicks_then_purchase", "stream_cep_clicks_then_purchase",
-    "cep_error_burst", "cep_unconverted_clicks",
-    "cep_session_no_logout_purchase", "stream_cep_clean_conversion",
-    "cep_no_conversion_within", "cdc_debezium_roundtrip",
-    "cdc_drop_update_before", "cdc_ogg_roundtrip", "avro_py_roundtrip",
-    "protobuf_py_roundtrip", "wf_range_frame", "llm_minhash_dedup",
+    # r1-era
+    "agg_multiset", "agg_json", "dedup_keep_first", "dedup_keep_last",
+    "changelog_normalize", "interval_join_batch", "asof_join",
+    "q4_order_priority", "q5_local_supplier_volume", "q7_volume_shipping",
+    # r2-era
+    "llm_exact_dedup", "llm_simhash_dedup", "llm_dedup_clusters",
+    "llm_language_id", "llm_cosine_topk", "llm_ivf_ann_topk",
+    "llm_lsh_ann_topk", "llm_embedding_dedup", "salted_agg_skew",
+    "llm_stratified_sample", "agg_hll_sketch", "llm_multimodal_features",
+    "llm_dataset_mix", "llm_multimodal_stats", "llm_repetition_stats",
+    "llm_repetition_filter", "llm_doc_chunking", "llm_image_decode",
+    "llm_frame_sample", "llm_audio_stats",
+    # r3-era
+    "llm_sequence_packing", "cep_skip_to_next_click_runs",
+    "cep_no_skip_conversion_pairs", "cep_skip_to_last_error_runs",
+    "cep_skip_to_first_purchase_chain", "cdc_canal_roundtrip",
+    "cdc_maxwell_roundtrip", "tumble_window_agg", "hop_window_agg",
+    "cumulate_window_agg", "session_window_agg", "window_join",
+    "window_tvf_projection", "session_window_dynamic_gap",
+    "graph_pagerank", "graph_connected_components", "graph_sssp",
 })
 
 
@@ -141,10 +158,23 @@ def _reorder() -> None:
         QUERIES[n] = snapshot[n]
 
 
-# queries the driver hash-verified green in rounds 1-6
-# (∪ CORRECTNESS_r0{1..6}.json latest-green rows) — proven surface, so
+# queries the driver hash-verified green in rounds 1-9
+# (∪ CORRECTNESS_r0{1..9}.json latest-green rows) — proven surface, so
 # they yield their slot in a truncated window.
 _DRIVER_CHECKED = frozenset({
+    # round 9 (49/50 green — CORRECTNESS_r09.json; the 20 first-time
+    # rows. llm_bfd_packing excluded again: red row both r8+r9, now
+    # re-proven via the r10 window's slot 1 after the HUGEINT fix;
+    # the 29 r9 staleness re-proofs are already listed under round 2)
+    "llm_leakage_safe_split", "llm_source_similarity_matrix",
+    "llm_sft_pipeline", "llm_hybrid_rrf_topk", "llm_dataset_card",
+    "llm_span_corruption", "llm_fim_transform", "stream_validation_ingest",
+    "stream_drift_ingest", "stream_bloom_decontaminate_ingest",
+    "stream_dataset_fingerprint", "stream_weighted_sample",
+    "stream_conversation_assembly", "stream_quality_score_ingest",
+    "stream_timeseries_gap_fill", "stream_histogram_quantiles",
+    "stream_contract_migration_ingest", "stream_ewma_anomaly",
+    "stream_sft_loss_mask", "explain_plan_shape",
     # round 8 (49/50 green — CORRECTNESS_r08.json; llm_bfd_packing
     # excluded: red row, re-proven via the r9 window's slot 1)
     "table_profile_report", "table_validation_report",

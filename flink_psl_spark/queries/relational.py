@@ -2223,6 +2223,25 @@ def schema_contract_migration(spark, sf_dir):
 # chain hoists its loop-invariant rank on the Spark side — see docstring.
 # ---------------------------------------------------------------------------
 
+_HOIST_SEQ = 0
+
+
+def _hoisted_view(df, tag: str) -> str:
+    """Materialize a loop-invariant DataFrame (localCheckpoint) and
+    register it under a UNIQUE temp-view name, returning the name.
+
+    Unique names make concurrent invocations safe (a fixed name would
+    let one caller's view clobber another's — ADVICE r9). The
+    checkpointed blocks stay pinned until the returned query's
+    DataFrame is GC'd; that is the intended lifetime — the recursion
+    joins the frozen lineage on every level, and the blocks are small
+    (a ranked projection, not the fact table)."""
+    global _HOIST_SEQ
+    _HOIST_SEQ += 1
+    name = f"__hoist_{tag}_{_HOIST_SEQ}"
+    df.localCheckpoint(eager=True).createOrReplaceTempView(name)
+    return name
+
 
 @query(
     "recursive_cte_order_chain",
@@ -2276,18 +2295,17 @@ def recursive_cte_order_chain(spark, sf_dir):
             ),
         )
         .select("o_custkey", "o_orderkey", "price", "rn")
-        .localCheckpoint(eager=True)
     )
-    ranked.createOrReplaceTempView("__ranked_orders_chain")
+    view = _hoisted_view(ranked, "ranked_orders_chain")
     return spark.sql(
-        """
+        f"""
         WITH RECURSIVE chain (o_custkey, o_orderkey, step, cum) AS (
           SELECT o_custkey, o_orderkey, 1, ROUND(price, 2)
-          FROM __ranked_orders_chain WHERE rn = 1
+          FROM {view} WHERE rn = 1
           UNION ALL
           SELECT r.o_custkey, r.o_orderkey, c.step + 1,
                  ROUND(c.cum + r.price, 2)
-          FROM chain c JOIN __ranked_orders_chain r
+          FROM chain c JOIN {view} r
             ON r.o_custkey = c.o_custkey AND r.rn = c.step + 1
         )
         SELECT o_custkey, o_orderkey, CAST(step AS INT) AS step,
@@ -2340,17 +2358,16 @@ def recursive_cte_event_paths(spark, sf_dir):
         )
         .where(F.col("rn") <= 5)  # recursion probes rn = depth+1 <= 5
         .select("user_id", "event_type", "rn")
-        .localCheckpoint(eager=True)
     )
-    ev.createOrReplaceTempView("__ranked_event_paths")
+    view = _hoisted_view(ev, "ranked_event_paths")
     return spark.sql(
-        """
+        f"""
         WITH RECURSIVE paths (user_id, path, depth) AS (
           SELECT user_id, event_type, 1
-          FROM __ranked_event_paths WHERE rn = 1
+          FROM {view} WHERE rn = 1
           UNION ALL
           SELECT e.user_id, p.path || '>' || e.event_type, p.depth + 1
-          FROM paths p JOIN __ranked_event_paths e
+          FROM paths p JOIN {view} e
             ON e.user_id = p.user_id AND e.rn = p.depth + 1
           WHERE p.depth < 5
         )

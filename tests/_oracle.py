@@ -46,6 +46,33 @@ def rows_key(rows, colnames):
     return sorted(out)
 
 
+# DuckDB output types the driver's hasher provably normalizes the same
+# way this replica does (each carries driver-green CORRECTNESS rows).
+# HUGEINT — DuckDB's default result type for an integral SUM — provably
+# does NOT (the r8/r9 llm_bfd_packing red rows: the registry's only
+# HUGEINT-emitting oracle was its only ever-red row). fetchall() masks
+# the raw type (HUGEINT → Python int), so compare() checks the
+# relation's DECLARED schema before fetching.
+_PORTABLE_TYPES = frozenset({
+    "BOOLEAN", "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "FLOAT", "DOUBLE", "VARCHAR", "DATE", "TIMESTAMP", "JSON",
+})
+
+
+def non_portable_types(types) -> list[str]:
+    """Names of DuckDB result types outside the portable allowlist
+    (HUGEINT, UBIGINT, INTERVAL, BLOB, nested types, …)."""
+    bad = []
+    for t in types:
+        s = str(t)
+        if s in _PORTABLE_TYPES:
+            continue
+        if s.startswith("DECIMAL(") and s.endswith(")"):
+            continue
+        bad.append(s)
+    return bad
+
+
 # wall seconds of the two sides of the LAST compare() call — lets the
 # check harness attribute a slow row to the engine or to the oracle
 # without changing compare()'s signature
@@ -61,6 +88,13 @@ def compare(spark_df, con, oracle_sql: str) -> tuple[bool, str]:
     LAST_TIMINGS["spark_sec"] = round(_time.time() - t0, 2)
     t0 = _time.time()
     rel = con.sql(oracle_sql)
+    bad_types = non_portable_types(rel.types)
+    if bad_types:
+        return False, (
+            f"oracle emits non-portable DuckDB types {bad_types} — "
+            "fetchall() would mask these locally but the driver's hasher "
+            "sees the raw type (r8/r9 llm_bfd_packing); CAST in the oracle"
+        )
     d_cols = rel.columns
     d_rows = rel.fetchall()
     LAST_TIMINGS["oracle_sec"] = round(_time.time() - t0, 2)
@@ -85,6 +119,10 @@ def _diverging_columns(sk, dk, sorted_cols):
     """Name the columns whose multiset of values differs — localizes a
     mismatch to the offending expression instead of a row-level diff
     (the round-8 llm_bfd_packing forensics cost a session without this)."""
+    if len(set(sorted_cols)) != len(sorted_cols):
+        # duplicate (case-folded) names would misattribute values to
+        # columns by index — fall back to positional labels
+        sorted_cols = [f"col#{i}" for i in range(len(sorted_cols))]
     bad = []
     for i, col in enumerate(sorted_cols):
         if sorted(r[i] for r in sk) != sorted(r[i] for r in dk):

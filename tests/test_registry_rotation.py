@@ -85,6 +85,53 @@ def test_no_bare_whitespace_class_in_oracles():
 
     offenders = [
         name for name, sql in ORACLES.items()
-        if "\\s" in sql or r"\s" in sql
+        if "\\s" in sql or "\\S" in sql
     ]
     assert offenders == [], offenders
+    # \b (word boundary) is engine-portable for ASCII subjects and is
+    # used only by the driver-green llm_pii_scrub (r4) — any NEW use
+    # must be consciously allowlisted here
+    boundary = [
+        name for name, sql in ORACLES.items()
+        if "\\b" in sql and name != "llm_pii_scrub"
+    ]
+    assert boundary == [], boundary
+
+
+def test_oracle_output_types_are_portable(sf_dir):
+    """Registry-wide type tripwire (the class fix behind the r8/r9
+    llm_bfd_packing red rows): every oracle's DECLARED DuckDB output
+    schema must contain only types the driver's hasher provably
+    normalizes like the local replica. DuckDB types an integral SUM as
+    HUGEINT (int128) unless CAST — the local fetchall() masks that
+    (Python int either way) but the driver's hasher does not, so only
+    the driver ever failed. Types-only: binds each relation, executes
+    nothing."""
+    from _oracle import duck_connection, non_portable_types
+
+    import flink_psl_spark.queries as q
+
+    con = duck_connection(sf_dir)
+    offenders = {}
+    for name, sql in q.ORACLES.items():
+        bad = non_portable_types(con.sql(sql).types)
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}, (
+        f"oracles emitting non-portable DuckDB types (CAST them): {offenders}"
+    )
+
+
+def test_type_tripwire_catches_hugeint():
+    """Prove the tripwire actually fires: an uncast integral SUM — the
+    exact shape of the r8/r9 red row — must be flagged as HUGEINT."""
+    import duckdb
+
+    from _oracle import non_portable_types
+
+    rel = duckdb.connect().sql("SELECT SUM(x) AS s FROM (SELECT 1 AS x) t")
+    assert non_portable_types(rel.types) == ["HUGEINT"]
+    ok = duckdb.connect().sql(
+        "SELECT CAST(SUM(x) AS BIGINT) AS s FROM (SELECT 1 AS x) t"
+    )
+    assert non_portable_types(ok.types) == []
