@@ -79,6 +79,27 @@ def non_portable_types(types) -> list[str]:
 LAST_TIMINGS: dict = {"spark_sec": None, "oracle_sec": None}
 
 
+def _type_class(s: str) -> str:
+    """Collapse a Spark dtype or DuckDB type name into the class the
+    driver's value hash distinguishes: int/float/bool/str/date/ts.
+    Cross-side CLASS agreement is the invariant (int width differences
+    normalize; int-vs-float or ts-vs-str would hash-diverge)."""
+    s = s.lower()
+    if s in ("tinyint", "smallint", "int", "integer", "bigint"):
+        return "int"
+    if s in ("float", "double") or s.startswith("decimal"):
+        return "float"
+    if s == "boolean":
+        return "bool"
+    if s in ("string", "varchar", "json"):
+        return "str"
+    if s == "date":
+        return "date"
+    if s.startswith("timestamp"):
+        return "ts"
+    return s
+
+
 def compare(spark_df, con, oracle_sql: str) -> tuple[bool, str]:
     import time as _time
 
@@ -102,6 +123,24 @@ def compare(spark_df, con, oracle_sql: str) -> tuple[bool, str]:
         c.lower() for c in s_cols
     ) != sorted(c.lower() for c in d_cols):
         return False, f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}"
+    # cross-side TYPE-CLASS agreement (verified 0 mismatches across the
+    # whole registry): an int-vs-float or ts-vs-str pair would pass the
+    # normalized value compare below but can diverge under the driver's
+    # dtype-sensitive hash — the HUGEINT lesson, one level up
+    s_classes = {c.lower(): _type_class(t) for c, t in spark_df.dtypes}
+    d_classes = {
+        c.lower(): _type_class(str(t)) for c, t in zip(d_cols, rel.types)
+    }
+    class_diff = {
+        c: (s_classes.get(c), d_classes[c])
+        for c in d_classes
+        if s_classes.get(c) != d_classes[c]
+    }
+    if class_diff:
+        return False, (
+            f"column type classes differ (spark, oracle): {class_diff} — "
+            "align the types on both sides or the driver hash may diverge"
+        )
     if len(s_rows) != len(d_rows):
         return False, f"row count: spark={len(s_rows)} duck={len(d_rows)}"
     sk = rows_key(s_rows, [c.lower() for c in s_cols])
