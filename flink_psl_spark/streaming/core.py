@@ -80,6 +80,7 @@ def run_to_memory_table(
     *,
     output_mode: str = "append",
     timeout_sec: int = 300,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion (AvailableNow) into a memory
     sink; return the materialized batch DataFrame.
@@ -98,7 +99,11 @@ def run_to_memory_table(
     state commit; unlike batch (AQE) nothing resizes streaming shuffles to
     the workload, so the replay pins a small partition count
     ($SPARK_GRAFT_STREAM_PARTITIONS, default 8 — measured 2.6× on the
-    interval join vs 32). Production pipelines size shuffle partitions to
+    interval join vs 32). ``shuffle_partitions`` overrides per query:
+    JVM-native state-heavy replays (stream-stream joins) measure another
+    ~30% faster and less variable at 4, while Python-stateful operators
+    (applyInPandas) want the worker parallelism of 8 — so the knob is
+    per-call, not global. Production pipelines size shuffle partitions to
     their cluster before starting the query (the count is then fixed by the
     checkpoint).
     """
@@ -115,7 +120,10 @@ def run_to_memory_table(
     part_key = "spark.sql.shuffle.partitions"
     prev_parts = spark.conf.get(part_key, None)
     spark.conf.set(
-        part_key, os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+        part_key,
+        str(shuffle_partitions)
+        if shuffle_partitions is not None
+        else os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"),
     )
     try:
         q = (
