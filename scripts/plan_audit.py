@@ -81,13 +81,9 @@ WHITELIST: dict[str, str] = {
     # centroid-broadcast cluster routing
     "llm_semantic_dedup": _CENTROID_REASON,
     "llm_semantic_dedup_two_level": _CENTROID_REASON,
-    "llm_embedding_dedup": (
-        "exact all-pairs verification configuration (exact=True — the "
-        "SQL-oracle-checkable form): the BNLJ build side is the corpus "
-        "itself, fixture-bounded; the 100 TB path is the LSH-banded "
-        "default (exact=False, one equi-join shuffle), exercised in "
-        "tests/test_llm.py (llm/similarity.py:362)"
-    ),
+    # (llm_embedding_dedup left the whitelist in round 10: its exact
+    # all-pairs form is now tile-blocked matmuls over one n x n_blocks
+    # shuffle — no BNLJ remains; llm/similarity.py _tiled_exact_dups)
     "llm_cluster_report": _CENTROID_REASON,
     "llm_diversity_sample": _CENTROID_REASON,
     # one-row / parameter-sized crossJoin sides
