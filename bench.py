@@ -107,18 +107,17 @@ def main() -> int:
         per_query, calib, os.path.dirname(os.path.abspath(__file__)),
         sf=sf_val,
     )
-    payload = json.dumps(
-        {
-            "metric": "headline_total",
-            "value": total,
-            "unit": "sec",
-            "n": 5,
-            "calib_sec": calib,
-            "queries": per_query,
-            "guards": guards,
-            "sf": sf_val if sf_val is not None else raw_sf,
-        }
-    )
+    payload_dict = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "n": 5,
+        "calib_sec": calib,
+        "queries": per_query,
+        "guards": guards,
+        "sf": sf_val if sf_val is not None else raw_sf,
+    }
+    payload = json.dumps(payload_dict)
     # The driver captures a stdout TAIL, which truncated BENCH_r08 mid-JSON
     # (parsed: null). Persist the full artifact to a sibling file too —
     # same pattern as check_queries --json-out — so the committed
@@ -142,12 +141,7 @@ def main() -> int:
     # (metric/value/queries/sf) survive. Full guards detail lives in the
     # committed snapshot file above.
     slim = {
-        "metric": "headline_total",
-        "value": total,
-        "unit": "sec",
-        "n": 5,
-        "calib_sec": calib,
-        "queries": per_query,
+        **payload_dict,  # derived, so the two copies can't drift
         "guards": {
             "pass": guards.get("pass"),
             "vs_prev_fail": guards.get("vs_prev_fail"),
@@ -155,7 +149,6 @@ def main() -> int:
             "baseline_ratio": (guards.get("baseline") or {}).get("ratio"),
             "detail": "see BENCH_LOCAL.json",
         },
-        "sf": sf_val if sf_val is not None else raw_sf,
     }
     print(json.dumps(slim))
     return 0

@@ -408,7 +408,14 @@ def _tiled_exact_dups(
 
     def tile(key, pdf):
         ti, tj = key
-        mask_i = (pdf["__blk"] == ti).to_numpy()
+        # NULL-cosine contract of the expression form: a NULL vector, or
+        # a pair of DIFFERENT lengths, yields NULL sim and never drops
+        # either side — so only same-length non-NULL groups are scored
+        # (a ragged np.array would otherwise crash the task).
+        pdf = pdf[pdf["__v"].notna()]
+        if not len(pdf):
+            return pd.DataFrame({"__dup": []})
+        lens = pdf["__v"].map(len)
 
         def mat(sub):
             m = np.array(list(sub["__v"]), dtype=np.float64)
@@ -417,24 +424,29 @@ def _tiled_exact_dups(
             nrm[nrm == 0.0] = np.nan  # zero-norm: NaN sim, never dropped
             return m, ids, nrm
 
-        if ti == tj:
-            m, ids, nrm = mat(pdf)
-            sims = (m @ m.T) / nrm[:, None] / nrm[None, :]
-            qual = (sims >= threshold) & (ids[:, None] < ids[None, :])
-            dups = ids[qual.any(axis=0)]
-        else:
-            a = pdf[mask_i]
-            b = pdf[~mask_i]
-            if not len(a) or not len(b):
-                return pd.DataFrame({"__dup": []})
-            ma, ia, na_ = mat(a)
-            mb, ib, nb_ = mat(b)
-            sims = (ma @ mb.T) / na_[:, None] / nb_[None, :]
-            qual = sims >= threshold
-            dup_b = ib[(qual & (ia[:, None] < ib[None, :])).any(axis=0)]
-            dup_a = ia[(qual & (ib[None, :] < ia[:, None])).any(axis=1)]
-            dups = np.concatenate([dup_a, dup_b])
-        return pd.DataFrame({"__dup": np.unique(dups)})
+        out = []
+        for _len in lens.unique():
+            sub = pdf[lens == _len]
+            mask_i = (sub["__blk"] == ti).to_numpy()
+            if ti == tj:
+                m, ids, nrm = mat(sub)
+                sims = (m @ m.T) / nrm[:, None] / nrm[None, :]
+                qual = (sims >= threshold) & (ids[:, None] < ids[None, :])
+                out.append(ids[qual.any(axis=0)])
+            else:
+                a = sub[mask_i]
+                b = sub[~mask_i]
+                if not len(a) or not len(b):
+                    continue
+                ma, ia, na_ = mat(a)
+                mb, ib, nb_ = mat(b)
+                sims = (ma @ mb.T) / na_[:, None] / nb_[None, :]
+                qual = sims >= threshold
+                out.append(ib[(qual & (ia[:, None] < ib[None, :])).any(axis=0)])
+                out.append(ia[(qual & (ib[None, :] < ia[:, None])).any(axis=1)])
+        if not out:
+            return pd.DataFrame({"__dup": []})
+        return pd.DataFrame({"__dup": np.unique(np.concatenate(out))})
 
     return tiles.groupBy("__ti", "__tj").applyInPandas(
         tile, schema=f"__dup {id_dt}"

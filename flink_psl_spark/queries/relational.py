@@ -2223,23 +2223,35 @@ def schema_contract_migration(spark, sf_dir):
 # chain hoists its loop-invariant rank on the Spark side — see docstring.
 # ---------------------------------------------------------------------------
 
-_HOIST_SEQ = 0
+# last registered view name per tag — dropped on the NEXT invocation so
+# repeated harness sweeps don't accumulate catalog-pinned checkpoints
+_HOIST_LAST: dict = {}
 
 
 def _hoisted_view(df, tag: str) -> str:
     """Materialize a loop-invariant DataFrame (localCheckpoint) and
     register it under a UNIQUE temp-view name, returning the name.
 
-    Unique names make concurrent invocations safe (a fixed name would
-    let one caller's view clobber another's — ADVICE r9). The
-    checkpointed blocks stay pinned until the returned query's
-    DataFrame is GC'd; that is the intended lifetime — the recursion
-    joins the frozen lineage on every level, and the blocks are small
-    (a ranked projection, not the fact table)."""
-    global _HOIST_SEQ
-    _HOIST_SEQ += 1
-    name = f"__hoist_{tag}_{_HOIST_SEQ}"
+    Unique uuid names make concurrent invocations safe (a fixed name
+    would let one caller's view clobber another's — ADVICE r9; a
+    counter would race on +=). spark.sql() analyzes eagerly, so the
+    PREVIOUS invocation's view can be dropped here without affecting a
+    DataFrame already built on it — that bounds catalog-pinned
+    checkpoints to one per tag while the blocks themselves free when
+    the old DataFrame is GC'd. The blocks are small (a ranked
+    projection, not the fact table)."""
+    import uuid
+
+    spark = df.sparkSession
+    prev = _HOIST_LAST.get(tag)
+    if prev is not None:
+        try:
+            spark.catalog.dropTempView(prev)
+        except Exception:
+            pass
+    name = f"__hoist_{tag}_{uuid.uuid4().hex[:12]}"
     df.localCheckpoint(eager=True).createOrReplaceTempView(name)
+    _HOIST_LAST[tag] = name
     return name
 
 

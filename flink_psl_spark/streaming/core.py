@@ -119,11 +119,14 @@ def run_to_memory_table(
     )
     part_key = "spark.sql.shuffle.partitions"
     prev_parts = spark.conf.get(part_key, None)
+    # precedence: an explicitly SET env knob wins (the documented user
+    # override), then the per-call pin, then the default
+    env_parts = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
     spark.conf.set(
         part_key,
-        str(shuffle_partitions)
-        if shuffle_partitions is not None
-        else os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"),
+        env_parts
+        if env_parts is not None
+        else (str(shuffle_partitions) if shuffle_partitions is not None else "8"),
     )
     try:
         q = (

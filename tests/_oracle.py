@@ -103,6 +103,10 @@ def _type_class(s: str) -> str:
 def compare(spark_df, con, oracle_sql: str) -> tuple[bool, str]:
     import time as _time
 
+    # reset BOTH timings up front: an early return (e.g. the type gate)
+    # must not leave the previous row's value to be misattributed
+    LAST_TIMINGS["spark_sec"] = None
+    LAST_TIMINGS["oracle_sec"] = None
     s_cols = spark_df.columns
     t0 = _time.time()
     s_rows = [tuple(r) for r in spark_df.collect()]
