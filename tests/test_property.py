@@ -5,6 +5,7 @@ window model for CUMULATE, a brute-force matcher for the CEP NFA."""
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 import pandas as pd
 import pytest
@@ -14,7 +15,10 @@ from hypothesis import strategies as st
 BASE = dt.datetime(2024, 1, 1)
 
 _SETTINGS = dict(
-    max_examples=12,  # each example runs Spark jobs — keep the count sane
+    # each example runs Spark jobs — keep the default sane; raise via
+    # SPARK_GRAFT_HYPOTHESIS_EXAMPLES for a deep soak of the
+    # cross-engine contracts (e.g. 100+ before a round lands)
+    max_examples=int(os.environ.get("SPARK_GRAFT_HYPOTHESIS_EXAMPLES", "12")),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
