@@ -33,111 +33,87 @@ import flink_psl_spark.queries.datastream_queries  # noqa: F401, E402
 # so the front of the dict carries the queries with the LEAST prior
 # driver evidence.
 #
-# ROUND-10 rotation (the precomputed seed from the round-9 verdict,
-# executed with the verdict's two ordered swap-ins): position 1 is
-# llm_bfd_packing — the r8/r9 red row, re-proven after the oracle-type
-# fix (its SUM was the registry's ONLY uncast integral SUM → DuckDB
-# HUGEINT, which the driver's hasher normalizes differently than the
-# local fetchall() replica; now CAST AS BIGINT, and a registry-wide
-# portable-type tripwire guards the class). Positions 2-3 are the
-# judge-ordered bisect canaries (llm_bfd_token_mass = tokenization +
-# grouping only; llm_bfd_capacity = packer invariant only) so a
-# still-red bfd row bisects mechanically from the same artifact. Then
-# the precomputed staleness seed: all 10 r1-era rows, all 20 r2-era
-# rows, and the 17 highest-risk r3-era rows (token-contract and
-# stateful shapes first). The 3 seed entries dropped to make room for
-# the canaries + bfd are the lowest-risk tail of the r3 bucket
-# (wf_topn_per_group, wf_ntile_percentiles, wf_running_rows_frame —
-# pure window-function queries, replica-green every round); they lead
-# the r11 seed below.
+# ROUND-11 rotation (the precomputed seed from the round-10 verdict,
+# executed verbatim — CORRECTNESS_r10 was 50/50 green, so the bfd
+# contingency does not apply): the oldest remaining driver rows.
+# Positions 1-2 are the two implementation-changed rows FIRST — their
+# hoist machinery changed again in r10 (`_hoisted_view`: unique-uuid
+# names + previous-view cleanup) while their newest driver row is r7.
+# Then the r3-era residue (12 graph rows — iterative state shapes —
+# then 7 window-function rows, then the 14-query TPC-H tail), then the
+# 15 highest-risk r4-era rows (CEP/MATCH_RECOGNIZE + stateful
+# streaming first). After this window lands green, no row older than
+# r4 remains anywhere in the registry.
 _PRIORITY_WINDOW = [
-    # 1) the r8/r9 red row, re-proof after the HUGEINT oracle-type fix
-    "llm_bfd_packing",
-    # 2) bisect canaries (never-checked; judge-ordered insurance)
-    "llm_bfd_token_mass", "llm_bfd_capacity",
-    # 3) staleness re-proofs: the 10 r1-era rows (risk order)
-    "agg_multiset", "agg_json", "dedup_keep_first", "dedup_keep_last",
-    "changelog_normalize", "interval_join_batch", "asof_join",
-    "q4_order_priority", "q5_local_supplier_volume", "q7_volume_shipping",
-    # 4) staleness re-proofs: the 20 r2-era rows (risk order)
-    "llm_exact_dedup", "llm_simhash_dedup", "llm_dedup_clusters",
-    "llm_language_id", "llm_cosine_topk", "llm_ivf_ann_topk",
-    "llm_lsh_ann_topk", "llm_embedding_dedup", "salted_agg_skew",
-    "llm_stratified_sample", "agg_hll_sketch", "llm_multimodal_features",
-    "llm_dataset_mix", "llm_multimodal_stats", "llm_repetition_stats",
-    "llm_repetition_filter", "llm_doc_chunking", "llm_image_decode",
-    "llm_frame_sample", "llm_audio_stats",
-    # 5) staleness re-proofs: 17 highest-risk r3-era rows
-    "llm_sequence_packing", "cep_skip_to_next_click_runs",
-    "cep_no_skip_conversion_pairs", "cep_skip_to_last_error_runs",
-    "cep_skip_to_first_purchase_chain", "cdc_canal_roundtrip",
-    "cdc_maxwell_roundtrip", "tumble_window_agg", "hop_window_agg",
-    "cumulate_window_agg", "session_window_agg", "window_join",
-    "window_tvf_projection", "session_window_dynamic_gap",
-    "graph_pagerank", "graph_connected_components", "graph_sssp",
+    # 1) implementation-changed r7 rows (hoist machinery touched in r10)
+    "recursive_cte_order_chain", "recursive_cte_event_paths",
+    # 2) r3-era residue: the 12 remaining graph rows (iterative state)
+    "graph_adamic_adar", "graph_clustering_coefficient",
+    "graph_community_detection", "graph_degree", "graph_global_clustering",
+    "graph_hits", "graph_jaccard_index", "graph_label_propagation",
+    "graph_summarization", "graph_triadic_census", "graph_triangle_count",
+    "graph_vertex_metrics",
+    # 3) r3-era residue: the 7 wf rows (incl. the 3 displaced in r10)
+    "wf_topn_per_group", "wf_ntile_percentiles", "wf_running_rows_frame",
+    "wf_dataframe_api", "wf_first_last_value", "wf_lag_lead",
+    "wf_rank_dense_rank",
+    # 4) r3-era residue: the 14-query TPC-H tail
+    "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
+    "q10_returned_items", "q11_important_stock",
+    "q12_shipping_priority_class", "q13_customer_distribution",
+    "q15_top_supplier", "q16_part_supplier_count",
+    "q17_small_quantity_revenue", "q19_discounted_revenue",
+    "q20_potential_promotion", "q21_suppliers_kept_waiting",
+    "q22_prospective_customers",
+    # 5) 15 r4-era rows by risk (CEP + stateful streaming first)
+    "cep_followed_by_nearest", "cep_group_pattern_double_conversion",
+    "cep_until_stop_condition", "match_recognize_sql_clicks",
+    "match_recognize_sql_price_dip", "match_recognize_sql_skip_chain",
+    "stream_cep_no_conversion_within", "stream_dedup", "stream_hop_agg",
+    "stream_rows_over", "stream_semi_join", "stream_interval_join_outer",
+    "stream_current_watermark", "stream_connect_threshold_filter",
+    "async_lookup_enrich",
 ]
 
-# ROUND-11 seed (precomputed, exactly 50): the oldest remaining driver
-# rows — the full r3 residue, the two implementation-changed r7 rows,
-# then the highest-risk r4 rows.
-# 1) the 35 r3-era rows left after the r10 window, risk-ordered —
-#    the 2 r7-row swap-ins FIRST since their implementation changed in
-#    r9 (rank hoisted out of the UnionLoop): recursive_cte_order_chain,
-#    recursive_cte_event_paths; then the 12 remaining graph rows
-#    (iterative state shapes): graph_adamic_adar,
-#    graph_clustering_coefficient, graph_community_detection,
-#    graph_degree, graph_global_clustering, graph_hits,
-#    graph_jaccard_index, graph_label_propagation, graph_summarization,
-#    graph_triadic_census, graph_triangle_count, graph_vertex_metrics;
-#    then the 7 wf rows incl. the 3 displaced this round:
-#    wf_topn_per_group, wf_ntile_percentiles, wf_running_rows_frame,
-#    wf_dataframe_api, wf_first_last_value, wf_lag_lead,
-#    wf_rank_dense_rank; then the 14-query TPC-H tail:
-#    q2_min_cost_supplier, q8_market_share, q9_product_profit,
-#    q10_returned_items, q11_important_stock,
-#    q12_shipping_priority_class, q13_customer_distribution,
-#    q15_top_supplier, q16_part_supplier_count,
-#    q17_small_quantity_revenue, q19_discounted_revenue,
-#    q20_potential_promotion, q21_suppliers_kept_waiting,
-#    q22_prospective_customers.
-# 2) 15 r4-era rows by risk (CEP/MATCH_RECOGNIZE + stateful streaming
-#    first): cep_followed_by_nearest,
-#    cep_group_pattern_double_conversion, cep_until_stop_condition,
-#    match_recognize_sql_clicks, match_recognize_sql_price_dip,
-#    match_recognize_sql_skip_chain, stream_cep_no_conversion_within,
-#    stream_dedup, stream_hop_agg, stream_rows_over, stream_semi_join,
-#    stream_interval_join_outer, stream_current_watermark,
-#    stream_connect_threshold_filter, async_lookup_enrich.
-# If the r10 bfd row is STILL red, bfd + both canaries take positions
-# 1-3 of r11 instead and the last 3 r4 rows above roll to r12.
+# ROUND-12 seed (precomputed, exactly 50): the oldest rows remaining
+# after the r11 window — the r4-era residue, then the highest-risk
+# r5-era rows.
+# 1) the 31 r4-era rows left after the r11 window, risk-ordered
+#    (format/connector roundtrips and DataStream state shapes first):
+#    twophase_sink_roundtrip, avro_schema_evolution,
+#    avro_py_nested_roundtrip, protobuf_py_nested_roundtrip,
+#    protobuf_py_map_roundtrip, cdc-adjacent temporal_join_sql,
+#    group_window_sql, window_tvf_sql, datastream_iterate_countdown,
+#    datastream_broadcast_join, datastream_side_output_split,
+#    datastream_keyed_sum, datastream_map_filter, llm_segment_dedup,
+#    llm_contamination_check, llm_pii_scrub, llm_curation_pipeline,
+#    llm_deterministic_shuffle, llm_token_budget_mix,
+#    llm_temperature_mix, llm_hard_negatives, llm_bigram_lm_score,
+#    llm_bpe_pair_counts, bucketed_join_agg, jdbc_roundtrip_agg,
+#    file_compaction_roundtrip, filesystem_partitioned_roundtrip,
+#    metadata_columns_read, sql_client_script, sql_gateway_rest,
+#    values_inline_rows.
+# 2) 19 r5-era rows by risk (stateful streaming + token contracts
+#    first): stream_timer_session_agg, stream_session_agg,
+#    stream_cumulate_agg, stream_doc_quality_ingest,
+#    match_recognize_sql_budget_runs, cdc_upsert_format_image,
+#    cumulate_tvf_sql, tumble_window_offset_agg, llm_bpe_train_merges,
+#    llm_bpe_encode_roundtrip, llm_bpe_token_count, llm_text_stats,
+#    llm_quality_score, llm_quality_filter, llm_quality_classifier,
+#    llm_ngram_jaccard_pairs, llm_rolling_fingerprints,
+#    llm_semantic_dedup, llm_curation_pipeline_v2.
+# If any r11 row comes back red, it takes position 1 of r12 (with its
+# family's bisect canaries if it has them) and the seed's tail rolls
+# to r13.
 #
 # Window slots deliberately spent on queries that already have a driver
 # row: the re-proof set (staleness refresh of the oldest rows plus the
 # red-row re-proof). Every other slot must go to a never-checked query —
-# tests/test_registry_rotation.py enforces the partition.
-_REPROOFS = frozenset({
-    "llm_bfd_packing",
-    # r1-era
-    "agg_multiset", "agg_json", "dedup_keep_first", "dedup_keep_last",
-    "changelog_normalize", "interval_join_batch", "asof_join",
-    "q4_order_priority", "q5_local_supplier_volume", "q7_volume_shipping",
-    # r2-era
-    "llm_exact_dedup", "llm_simhash_dedup", "llm_dedup_clusters",
-    "llm_language_id", "llm_cosine_topk", "llm_ivf_ann_topk",
-    "llm_lsh_ann_topk", "llm_embedding_dedup", "salted_agg_skew",
-    "llm_stratified_sample", "agg_hll_sketch", "llm_multimodal_features",
-    "llm_dataset_mix", "llm_multimodal_stats", "llm_repetition_stats",
-    "llm_repetition_filter", "llm_doc_chunking", "llm_image_decode",
-    "llm_frame_sample", "llm_audio_stats",
-    # r3-era
-    "llm_sequence_packing", "cep_skip_to_next_click_runs",
-    "cep_no_skip_conversion_pairs", "cep_skip_to_last_error_runs",
-    "cep_skip_to_first_purchase_chain", "cdc_canal_roundtrip",
-    "cdc_maxwell_roundtrip", "tumble_window_agg", "hop_window_agg",
-    "cumulate_window_agg", "session_window_agg", "window_join",
-    "window_tvf_projection", "session_window_dynamic_gap",
-    "graph_pagerank", "graph_connected_components", "graph_sssp",
-})
+# tests/test_registry_rotation.py enforces the partition. The r11
+# window is ENTIRELY re-proofs: every never-checked query has been
+# checked by r10 (the registry is frozen at 376 and evidence-complete),
+# so staleness refresh is the only remaining driver-slot currency.
+_REPROOFS = frozenset(_PRIORITY_WINDOW)
 
 
 def _reorder() -> None:
@@ -158,10 +134,16 @@ def _reorder() -> None:
         QUERIES[n] = snapshot[n]
 
 
-# queries the driver hash-verified green in rounds 1-9
-# (∪ CORRECTNESS_r0{1..9}.json latest-green rows) — proven surface, so
+# queries the driver hash-verified green in rounds 1-10
+# (∪ CORRECTNESS_r{01..10}.json latest-green rows) — proven surface, so
 # they yield their slot in a truncated window.
 _DRIVER_CHECKED = frozenset({
+    # round 10 (50/50 green — CORRECTNESS_r10.json, the registry's first
+    # fully-green round; the 47 staleness re-proofs are already listed
+    # under rounds 1-3 — these are the 3 first-time/red-row-cleared rows:
+    # llm_bfd_packing green after the HUGEINT oracle CAST, plus the two
+    # bisect canaries)
+    "llm_bfd_packing", "llm_bfd_token_mass", "llm_bfd_capacity",
     # round 9 (49/50 green — CORRECTNESS_r09.json; the 20 first-time
     # rows. llm_bfd_packing excluded again: red row both r8+r9, now
     # re-proven via the r10 window's slot 1 after the HUGEINT fix;
