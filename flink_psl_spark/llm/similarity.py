@@ -514,8 +514,14 @@ def embedding_dedup(
                 ).alias("__sim"),
             )
         )
+    # NaN guard (ADVICE r10): Spark SQL orders NaN above every double, so a
+    # bare `__sim >= threshold` would DROP a row whose sim is NaN (a vector
+    # containing NaN elements, or the zero-norm 0/0 case) — while numpy's
+    # `sims >= threshold` in the tiled exact path is False and KEEPS it.
+    # isnan(NULL) is false in Spark, so the NULL contract (NULL sim never
+    # drops: NULL & x filters out) is unchanged.
     dropped = (
-        pairs.where(F.col("__sim") >= threshold)
+        pairs.where(~F.isnan("__sim") & (F.col("__sim") >= threshold))
         .select(F.col("__dup").alias(id_col))
         .distinct()
     )

@@ -11,6 +11,8 @@ flip the value hash.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import functions as F
 
 from flink_psl_spark.queries.registry import query, sql_query, tables
@@ -2223,9 +2225,16 @@ def schema_contract_migration(spark, sf_dir):
 # chain hoists its loop-invariant rank on the Spark side — see docstring.
 # ---------------------------------------------------------------------------
 
-# last registered view name per tag — dropped on the NEXT invocation so
-# repeated harness sweeps don't accumulate catalog-pinned checkpoints
+# last registered view name per (thread, tag) — dropped on the SAME
+# thread's next invocation so repeated harness sweeps don't accumulate
+# catalog-pinned checkpoints. Keyed by thread so one caller can never
+# drop a view another caller registered but has not yet analyzed
+# (ADVICE r10: a global per-tag key let caller B drop caller A's fresh
+# view in the window between A's return and A's spark.sql analysis);
+# the lock makes the read-modify-write atomic so no name is ever
+# overwritten without being dropped (a lost name = a leaked checkpoint).
 _HOIST_LAST: dict = {}
+_HOIST_LOCK = threading.Lock()
 
 
 def _hoisted_view(df, tag: str) -> str:
@@ -2234,16 +2243,18 @@ def _hoisted_view(df, tag: str) -> str:
 
     Unique uuid names make concurrent invocations safe (a fixed name
     would let one caller's view clobber another's — ADVICE r9; a
-    counter would race on +=). spark.sql() analyzes eagerly, so the
-    PREVIOUS invocation's view can be dropped here without affecting a
+    counter would race on +=). spark.sql() analyzes eagerly, so THIS
+    thread's previous view can be dropped here without affecting a
     DataFrame already built on it — that bounds catalog-pinned
-    checkpoints to one per tag while the blocks themselves free when
-    the old DataFrame is GC'd. The blocks are small (a ranked
-    projection, not the fact table)."""
+    checkpoints to one per (thread, tag) while the blocks themselves
+    free when the old DataFrame is GC'd. The blocks are small (a
+    ranked projection, not the fact table)."""
     import uuid
 
     spark = df.sparkSession
-    prev = _HOIST_LAST.get(tag)
+    key = (threading.get_ident(), tag)
+    with _HOIST_LOCK:
+        prev = _HOIST_LAST.pop(key, None)
     if prev is not None:
         try:
             spark.catalog.dropTempView(prev)
@@ -2251,7 +2262,8 @@ def _hoisted_view(df, tag: str) -> str:
             pass
     name = f"__hoist_{tag}_{uuid.uuid4().hex[:12]}"
     df.localCheckpoint(eager=True).createOrReplaceTempView(name)
-    _HOIST_LAST[tag] = name
+    with _HOIST_LOCK:
+        _HOIST_LAST[key] = name
     return name
 
 

@@ -96,3 +96,35 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "GreaterThan(l_quantity" in plan
     assert "ReadSchema" in plan
+
+
+def test_hoisted_view_is_per_thread_safe(spark):
+    """_hoisted_view must never drop a view another thread registered
+    but has not yet analyzed (ADVICE r10): the drop set is keyed by
+    (thread, tag), so B's invocation leaves A's fresh view resolvable,
+    while A's own next invocation still reaps A's previous view."""
+    import threading
+
+    from flink_psl_spark.queries.relational import _hoisted_view
+
+    df = spark.range(3)
+    tag = "hoist_thread_test"
+    name_a1 = _hoisted_view(df, tag)
+
+    names_b = []
+
+    def other():
+        names_b.append(_hoisted_view(df, tag))
+
+    th = threading.Thread(target=other)
+    th.start()
+    th.join()
+    # B's call (same tag, different thread) must NOT have dropped A's view
+    assert spark.sql(f"SELECT COUNT(*) AS n FROM {name_a1}").first()["n"] == 3
+    # A's own next call reaps only A's previous view...
+    name_a2 = _hoisted_view(df, tag)
+    assert not spark.catalog.tableExists(name_a1)
+    # ...and leaves B's view alone (one live view per (thread, tag))
+    assert spark.sql(f"SELECT COUNT(*) AS n FROM {names_b[0]}").first()["n"] == 3
+    for n in (name_a2, names_b[0]):
+        spark.catalog.dropTempView(n)

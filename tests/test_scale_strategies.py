@@ -104,6 +104,36 @@ def test_embedding_dedup_lsh_vs_exact(spark, t):
     assert missed / max(len(exact), 1) < 0.25, f"LSH missed too many: {missed}"
 
 
+def test_embedding_dedup_nan_vector_kept_on_both_paths(spark):
+    """NaN-element vectors score a NaN cosine against everything; NaN
+    never passes the threshold on EITHER path (ADVICE r10: Spark orders
+    NaN above every double, so the expr path's bare `>= threshold` used
+    to drop the higher-id row of a NaN pair while the tiled numpy path
+    kept it, breaking exact ⊆ LSH on NaN-bearing corpora)."""
+    from flink_psl_spark.llm import embedding_dedup
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),            # exact dup of 1 → dropped
+        (3, [float("nan"), 1.0]),   # NaN-bearing → NaN sims → kept
+        (4, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = sorted(
+        r["vec_id"] for r in embedding_dedup(df, threshold=0.9, exact=True).collect()
+    )
+    # every table probes every pair here (2 planes, 8 tables, 2-dim) so
+    # the LSH candidate set contains the dup pair with certainty
+    approx = sorted(
+        r["vec_id"]
+        for r in embedding_dedup(
+            df, threshold=0.9, n_planes=2, n_tables=8
+        ).collect()
+    )
+    assert exact == [1, 3, 4]
+    assert approx == [1, 3, 4]
+
+
 def test_aqe_session_settings(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
