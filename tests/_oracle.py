@@ -73,6 +73,32 @@ def non_portable_types(types) -> list[str]:
     return bad
 
 
+# Spark output dtypes with driver-green evidence: the exact dtype
+# surface of the 376-query registry at the r10 full-green round
+# (measured by sweeping every QUERIES entry's df.dtypes). The symmetric
+# Spark-side arm of the oracle-type tripwire (VERDICT r10 §next-5): a
+# stray decimal(38,18) from an uncast Spark aggregate would class as
+# "float" on both sides — invisible to the cross-side CLASS gate — yet
+# hash-diverge under the driver's dtype-sensitive hasher exactly the
+# way HUGEINT did on the DuckDB side. Widening this set is a conscious
+# act, not an accident.
+_PORTABLE_SPARK_DTYPES = frozenset({
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "boolean", "string", "date", "timestamp", "timestamp_ntz",
+})
+
+
+def non_portable_spark_dtypes(dtypes) -> list[str]:
+    """Spark dtypes (from df.dtypes pairs or plain strings) outside the
+    driver-proven allowlist (decimal(p,s), binary, interval, nested…)."""
+    bad = []
+    for t in dtypes:
+        s = t[1] if isinstance(t, tuple) else str(t)
+        if s not in _PORTABLE_SPARK_DTYPES:
+            bad.append(s)
+    return bad
+
+
 # wall seconds of the two sides of the LAST compare() call — lets the
 # check harness attribute a slow row to the engine or to the oracle
 # without changing compare()'s signature
@@ -108,6 +134,13 @@ def compare(spark_df, con, oracle_sql: str) -> tuple[bool, str]:
     LAST_TIMINGS["spark_sec"] = None
     LAST_TIMINGS["oracle_sec"] = None
     s_cols = spark_df.columns
+    bad_spark = non_portable_spark_dtypes(spark_df.dtypes)
+    if bad_spark:
+        return False, (
+            f"query emits non-portable Spark dtypes {bad_spark} — outside "
+            "the driver-proven surface (the HUGEINT lesson, Spark side); "
+            "CAST in the query or consciously widen _PORTABLE_SPARK_DTYPES"
+        )
     t0 = _time.time()
     s_rows = [tuple(r) for r in spark_df.collect()]
     LAST_TIMINGS["spark_sec"] = round(_time.time() - t0, 2)

@@ -43,3 +43,41 @@ def test_match_still_ok(spark):
         df, _duck(), "SELECT * FROM (VALUES (1, 'a')) t(id, k)"
     )
     assert ok and detail == "ok"
+
+
+def test_spark_type_tripwire_catches_decimal(spark):
+    """Spark-side arm of the portable-type tripwire: a decimal(p,s)
+    output column (the classic uncast-Spark-aggregate shape) classes as
+    "float" on both sides — invisible to the CLASS gate — but sits
+    outside the driver-proven dtype surface, so compare() must refuse
+    it BEFORE fetching values; CASTing to double clears it."""
+    from _oracle import non_portable_spark_dtypes
+
+    bad = spark.sql("SELECT CAST(1.5 AS DECIMAL(38,18)) AS x")
+    assert non_portable_spark_dtypes(bad.dtypes) == ["decimal(38,18)"]
+    ok_df = spark.sql("SELECT CAST(1.5 AS DOUBLE) AS x")
+    assert non_portable_spark_dtypes(ok_df.dtypes) == []
+
+    ok, detail = compare(bad, _duck(), "SELECT 1.5::DOUBLE AS x")
+    assert not ok
+    assert "non-portable Spark dtypes" in detail, detail
+    ok, detail = compare(ok_df, _duck(), "SELECT 1.5::DOUBLE AS x")
+    assert ok, detail
+
+
+def test_spark_type_allowlist_matches_registry_surface():
+    """The allowlist IS the measured r10 dtype surface of the full
+    376-query registry (all driver-green) plus the three narrower
+    numeric widths the hasher provably normalizes with their wider
+    class peers — shrinking it below the measured surface would
+    red-flag green queries; widening it must be a conscious edit."""
+    from _oracle import _PORTABLE_SPARK_DTYPES
+
+    measured_r10_surface = {
+        "bigint", "boolean", "date", "double", "int", "string",
+        "timestamp", "timestamp_ntz",
+    }
+    assert measured_r10_surface <= _PORTABLE_SPARK_DTYPES
+    assert _PORTABLE_SPARK_DTYPES - measured_r10_surface == {
+        "tinyint", "smallint", "float",
+    }
