@@ -155,3 +155,47 @@ def test_pinned_guards_cover_verdict_names():
         "llm_minhash_dedup",
         "stream_interval_join",
     }
+
+
+def test_path_dependent_host_drift_cancels(r07, guard_repo):
+    """The r10 phantom-drift scenario: every query 1.2x slower while the
+    calib probe (pure JVM sum) barely moves — one scalar calib prints
+    +20% on untouched code, the median-of-ratios normalizer cancels it."""
+    slowed = {k: v * 1.2 for k, v in r07["queries"].items()}
+    g = bench.adjudicate(slowed, r07["calib_sec"] * 1.02, guard_repo,
+                         sf=0.1)
+    assert g["host_factor_source"] == "median_of_ratios"
+    assert abs(g["host_factor"] - 1.2) < 1e-6
+    assert all(
+        abs(v["ratio_norm"] - 1.0) < 1e-6 for v in g["vs_prev"].values()
+    )
+    assert g["vs_prev_fail"] == []
+
+
+def test_regression_on_top_of_host_drift_still_fails(r07, guard_repo):
+    """A real 2x regression must still fail when stacked on a uniform
+    1.2x host drift (the median absorbs only the common factor)."""
+    cur = {k: v * 1.2 for k, v in r07["queries"].items()}
+    cur["q1_pricing_summary"] *= 2
+    g = bench.adjudicate(cur, r07["calib_sec"], guard_repo, sf=0.1)
+    assert g["vs_prev_fail"] == ["q1_pricing_summary"]
+    assert abs(g["vs_prev"]["q1_pricing_summary"]["ratio_norm"] - 2.0) < 1e-6
+
+
+def test_thin_overlap_falls_back_to_calib(r07, tmp_path):
+    """With <5 shared queries a median over the ratios would erase the
+    regression it exists to catch — calib normalization takes over."""
+    d = tmp_path / "repo"
+    d.mkdir()
+    prev = {
+        "parsed": {
+            "calib_sec": 0.2,
+            "queries": {"a": 1.0, "b": 1.0, "c": 1.0},
+        }
+    }
+    (d / "BENCH_r01.json").write_text(json.dumps(prev))
+    g = bench.adjudicate(
+        {"a": 2.0, "b": 1.0, "c": 1.0}, 0.2, str(d), sf=0.1
+    )
+    assert g["host_factor_source"] == "calib"
+    assert g["vs_prev_fail"] == ["a"]
