@@ -2321,13 +2321,21 @@ def recursive_cte_order_chain(spark, sf_dir):
         .select("o_custkey", "o_orderkey", "price", "rn")
     )
     view = _hoisted_view(ranked, "ranked_orders_chain")
+    # SHUFFLE_HASH on the frozen ranked side: hash join keyed on
+    # o_custkey with no per-level sort — the shape a keyed iteration
+    # pays at any scale (r11 A/B at sf0.1: ~10% under the unhinted
+    # sort-merge baseline). The 2x-faster local alternative —
+    # broadcasting the FRONTIER — is rejected: the level-1 frontier is
+    # every customer with an order, unbounded at 100 TB
+    # (ARCHITECTURE.md "UnionLoop recursion" note).
     return spark.sql(
         f"""
         WITH RECURSIVE chain (o_custkey, o_orderkey, step, cum) AS (
           SELECT o_custkey, o_orderkey, 1, ROUND(price, 2)
           FROM {view} WHERE rn = 1
           UNION ALL
-          SELECT r.o_custkey, r.o_orderkey, c.step + 1,
+          SELECT /*+ SHUFFLE_HASH(r) */
+                 r.o_custkey, r.o_orderkey, c.step + 1,
                  ROUND(c.cum + r.price, 2)
           FROM chain c JOIN {view} r
             ON r.o_custkey = c.o_custkey AND r.rn = c.step + 1
