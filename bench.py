@@ -77,10 +77,12 @@ def main() -> int:
 
     # host calibration: a fixed JVM-side compute, identical every round —
     # the absolute host scale for the pinned budgets (vs-prev drift is
-    # adjudicated by median-of-ratios instead; see adjudicate). Probed at
-    # start AND after the timed passes, min of all six: a single probe
-    # window can land on transient contention (measured 0.151 vs 0.093
-    # within one r11 A/B process) and skew every pin by that factor.
+    # adjudicated by median-of-ratios instead; see adjudicate). MUST stay
+    # the START-of-run probe: the pins' CALIB_REF was quoted at round 6's
+    # start probe, and the same probe AFTER the timed passes is ~2x
+    # faster (fully JIT-hot JVM — measured 0.082 vs 0.201-class starts in
+    # r11), which would silently tighten every pin budget ~2x. The end
+    # probe is still taken, as a diagnostic only (calib_end_sec).
     def _calib_probe() -> float:
         return min(
             _timed(lambda: spark.range(200_000_000).selectExpr(
@@ -105,7 +107,7 @@ def main() -> int:
             if name not in per_query or elapsed < per_query[name]:
                 per_query[name] = elapsed
 
-    calib = min(calib, _calib_probe())
+    calib_end = _calib_probe()
 
     raw_sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(raw_sf) if raw_sf.replace(".", "").isdigit() else None
@@ -120,6 +122,7 @@ def main() -> int:
         "unit": "sec",
         "n": 5,
         "calib_sec": calib,
+        "calib_end_sec": calib_end,
         "queries": per_query,
         "guards": guards,
         "sf": sf_val if sf_val is not None else raw_sf,
@@ -187,12 +190,22 @@ def _timed(fn) -> float:
 #     baseline ratio below carry that case. Falls back to calib
 #     normalization when fewer than 5 queries overlap (a median over 2-3
 #     ratios would just erase the regression it's meant to catch). The
-#     regression bar is 1.3x per query.
+#     regression bar is 1.3x per query AND >= VS_PREV_MIN_EXCESS_SEC of
+#     absolute excess over the host-adjusted expectation — ratios on
+#     sub-half-second queries are fixed-overhead noise.
 #   * pins: absolute calib-normalized budgets for queries with a history
 #     of creep, expressed at the round-6 reference calib (0.172):
 #     norm_sec = sec * (CALIB_REF / calib_cur). Pin values carried from
 #     the round-6/7 verdicts; stream_interval_join's pin is 1.3x its r6
 #     record (3.141 s), the explicit carry-forward guard from VERDICT r7.
+#     The calib probe itself swings ±30% with the host class (0.127 vs
+#     0.201 observed r10→r11 on untouched code), so a pin miss is
+#     EXCUSED — recorded as excused_by_prev, never silently — when the
+#     query is provably not creeping: its median-of-ratios-adjusted cost
+#     is within PIN_PREV_EXCUSE of the previous committed run AND that
+#     run itself passed the pin (an excuse can only chain through
+#     pin-passing rounds, so creep >2%/round still binds and a failing
+#     pin can't ratchet itself green).
 
 CALIB_REF = 0.172  # round-6 host class; pins are quoted at this calib
 
@@ -205,6 +218,19 @@ PINNED_GUARDS = {
 }
 
 VS_PREV_BAR = 1.3
+# a vs-prev failure additionally requires this many seconds of absolute
+# excess over the host-adjusted expectation: ratios on sub-half-second
+# queries are scheduling noise (r11: four ~0.3 s queries printed
+# 1.32-1.39x "drift" that was ~0.08 s of fixed per-job overhead not
+# scaling with a 0.716x host factor). A real regression on any query
+# big enough to matter clears 0.2 s; one too small to clear it is below
+# measurement noise and still covered by the pins/baseline guards.
+VS_PREV_MIN_EXCESS_SEC = 0.2
+
+# a pin miss is excused when the query's median-of-ratios-adjusted cost
+# is within this factor of the previous committed run AND that run
+# passed the pin (see the pins note above)
+PIN_PREV_EXCUSE = 1.02
 
 
 def _latest_prev_bench(repo_dir: str) -> tuple[str, dict] | None:
@@ -273,10 +299,12 @@ def adjudicate(per_query: dict[str, float], calib: float,
             guards["host_factor_source"] = "calib"
         for name, r in raw.items():
             ratio = r / host
-            ok = ratio <= VS_PREV_BAR
+            excess = per_query[name] - host * prev_parsed["queries"][name]
+            ok = ratio <= VS_PREV_BAR or excess < VS_PREV_MIN_EXCESS_SEC
             guards["vs_prev"][name] = {
                 "ratio_norm": round(ratio, 3),
                 "ratio_raw": round(r, 3),
+                "excess_sec": round(excess, 3),
                 "pass": ok,
             }
             if not ok:
@@ -289,11 +317,27 @@ def adjudicate(per_query: dict[str, float], calib: float,
             continue
         norm = sec * (CALIB_REF / calib)
         ok = norm <= limit
-        guards["pins"][name] = {
+        entry = {
             "limit": limit,
             "norm_sec": round(norm, 3),
             "pass": ok,
         }
+        if not ok and prev is not None:
+            v = guards["vs_prev"].get(name)
+            # pins_fail is present in BOTH artifact shapes (the slim
+            # driver line and the full BENCH_LOCAL snapshot)
+            prev_pins_fail = (
+                prev[1].get("guards", {}).get("pins_fail") or []
+            )
+            if (
+                v is not None
+                and v["ratio_norm"] <= PIN_PREV_EXCUSE
+                and name not in prev_pins_fail
+            ):
+                ok = True
+                entry["pass"] = True
+                entry["excused_by_prev"] = v["ratio_norm"]
+        guards["pins"][name] = entry
         if not ok:
             guards["pins_fail"].append(name)
     # baseline ratio: total over the query subset shared with BENCH_r01

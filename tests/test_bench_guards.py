@@ -54,20 +54,58 @@ def test_replaying_prev_round_gives_unit_ratios(r07, guard_repo):
     assert g["vs_prev_fail"] == []
 
 
-def test_pins_reproduce_round7_verdict(r07, guard_repo):
-    """The round-7 VERDICT hand-adjudicated the driver run: pq-ann and
-    minhash over their r6 pins, stream_interval_join past 1.3x of its r6
-    record, the classifier and overlap sketch within budget."""
-    g = bench.adjudicate(r07["queries"], r07["calib_sec"], guard_repo,
+@pytest.fixture(scope="module")
+def creep_repo(tmp_path_factory):
+    """A dir whose newest bench is BENCH_r06.json — replaying the r07
+    run against it reproduces the round-7 creep adjudication."""
+    d = tmp_path_factory.mktemp("creep_repo")
+    for name in ("BENCH_r01.json", "BENCH_r06.json"):
+        shutil.copy(os.path.join(REPO, name), d / name)
+    return str(d)
+
+
+def test_pins_reproduce_round7_verdict(r07, creep_repo):
+    """Replaying the r7 driver run against its true predecessor (r6):
+    pq-ann and stream_interval_join creep for real (their r7-vs-r6
+    host-adjusted ratios are 1.10 and 1.33 — past the excuse band), the
+    classifier and overlap sketch are within budget outright. The r7
+    hand-verdict ALSO failed llm_minhash_dedup, but by the r11
+    median-of-ratios analysis that was the calib phantom (raw 1.226x on
+    a 1.244x-slower host, host-adjusted 0.985): the excuse rule now
+    records it excused_by_prev rather than failed — the documented
+    reinterpretation, not a loosened gate (creep >2%/round still
+    binds)."""
+    g = bench.adjudicate(r07["queries"], r07["calib_sec"], creep_repo,
                          sf=0.1)
+    assert g["prev_bench"] == "BENCH_r06.json"
     assert set(g["pins_fail"]) == {
         "llm_pq_ann_topk",
-        "llm_minhash_dedup",
         "stream_interval_join",
     }
+    mh = g["pins"]["llm_minhash_dedup"]
+    assert mh["pass"] is True
+    assert 0.9 < mh["excused_by_prev"] <= bench.PIN_PREV_EXCUSE
     assert g["pins"]["llm_trained_quality_classifier"]["pass"]
     assert g["pins"]["llm_corpus_overlap_sketch"]["pass"]
     assert g["pass"] is False
+
+
+def test_pin_excuse_requires_prev_round_to_have_passed(r07, tmp_path):
+    """A failing pin must not ratchet itself green: if the previous
+    committed artifact already failed the pin, an unchanged (ratio 1.0)
+    run stays failed."""
+    d = tmp_path / "repo"
+    d.mkdir()
+    prev = dict(r07)
+    prev = {
+        "calib_sec": r07["calib_sec"],
+        "queries": dict(r07["queries"]),
+        "guards": {"pins_fail": ["llm_minhash_dedup"]},
+    }
+    (d / "BENCH_r07.json").write_text(json.dumps({"parsed": prev}))
+    g = bench.adjudicate(r07["queries"], r07["calib_sec"], str(d), sf=0.1)
+    assert "llm_minhash_dedup" in g["pins_fail"]
+    assert "excused_by_prev" not in g["pins"]["llm_minhash_dedup"]
 
 
 def test_uniform_host_drift_passes(r07, guard_repo):
@@ -131,19 +169,19 @@ def test_baseline_block_reports_comparable_subset(r07, guard_repo):
     assert abs(b["ratio"] - 0.845) < 0.005
 
 
-def test_sf_mismatch_makes_verdicts_non_binding(r07, guard_repo):
+def test_sf_mismatch_makes_verdicts_non_binding(r07, creep_repo):
     """Pins and the prev artifact are quoted at sf0.1; a quick sf0.01
     iteration run — or an unparseable scale — must not emit binding
     verdicts."""
     for sf in (0.01, None):
-        g = bench.adjudicate(r07["queries"], r07["calib_sec"], guard_repo,
+        g = bench.adjudicate(r07["queries"], r07["calib_sec"], creep_repo,
                              sf=sf)
         assert g["sf_mismatch"] is True
         assert g["pass"] is None
-    g01 = bench.adjudicate(r07["queries"], r07["calib_sec"], guard_repo,
+    g01 = bench.adjudicate(r07["queries"], r07["calib_sec"], creep_repo,
                            sf=0.1)
     assert g01["sf_mismatch"] is False
-    assert g01["pass"] is False  # replays the r7 pin failures
+    assert g01["pass"] is False  # replays the r7-vs-r6 creep failures
 
 
 def test_pinned_guards_cover_verdict_names():
@@ -199,3 +237,17 @@ def test_thin_overlap_falls_back_to_calib(r07, tmp_path):
     )
     assert g["host_factor_source"] == "calib"
     assert g["vs_prev_fail"] == ["a"]
+
+
+def test_tiny_query_blip_below_noise_floor_is_excused(r07, guard_repo):
+    """A 1.4x ratio on a ~0.4 s query is ~0.18 s of scheduling noise,
+    not a regression — the absolute-excess floor must excuse it while
+    still reporting the ratio."""
+    cur = dict(r07["queries"])
+    cur["q1_pricing_summary"] = round(cur["q1_pricing_summary"] * 1.4, 3)
+    g = bench.adjudicate(cur, r07["calib_sec"], guard_repo, sf=0.1)
+    entry = g["vs_prev"]["q1_pricing_summary"]
+    assert entry["ratio_norm"] > bench.VS_PREV_BAR
+    assert entry["excess_sec"] < bench.VS_PREV_MIN_EXCESS_SEC
+    assert entry["pass"] is True
+    assert g["vs_prev_fail"] == []
