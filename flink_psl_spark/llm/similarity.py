@@ -264,10 +264,39 @@ def lsh_buckets(vec: Column | str, tables: list[list[list[float]]]) -> Column:
     weights = 1 << np.arange(n_planes, dtype="int64")
 
     def _buckets(s):
-        v = np.array(s.tolist(), dtype="float64")  # batch × dim
-        bits = (v @ mat) >= 0
-        b = bits.reshape(len(v), n_tables, n_planes) @ weights
-        return pd.Series(list(b.astype("int32")))
+        vals = s.tolist()
+        dim = mat.shape[0]
+        try:
+            v = np.array(vals, dtype="float64")  # batch × dim
+            if v.ndim == 2 and v.shape[1] == dim:
+                bits = (v @ mat) >= 0
+                b = bits.reshape(len(v), n_tables, n_planes) @ weights
+                return pd.Series(list(b.astype("int32")))
+        except (ValueError, TypeError):
+            pass
+        # Malformed-row fallback (r11): a NULL / ragged / null-element
+        # vector must not kill the task — the dedup contract scores such
+        # rows NULL against everything, so their bucket only affects
+        # candidate generation. They collapse to the all-zero signature,
+        # the same bucket the expression form's NULL bit convention
+        # produces (NULL dot → bit 0 per plane). Clean batches never
+        # reach this path, so the hot loop stays one BLAS matmul.
+        zero = np.zeros(n_tables, dtype="int32")
+        out = []
+        for val in vals:
+            try:
+                a = np.asarray(val, dtype="float64")
+                ok = a.ndim == 1 and a.shape[0] == dim
+            except (ValueError, TypeError):
+                ok = False
+            if ok:
+                bits = (a @ mat) >= 0
+                out.append(
+                    (bits.reshape(n_tables, n_planes) @ weights).astype("int32")
+                )
+            else:
+                out.append(zero)
+        return pd.Series(out)
 
     return F.pandas_udf(_buckets, "array<int>")(_col(vec).cast("array<double>"))
 
@@ -488,7 +517,13 @@ def embedding_dedup(
         )
         return corpus.join(dropped, on=id_col, how="left_anti")
     else:
-        dim = len(corpus.select(vec_col).first()[0])
+        # hyperplane dim from the first NON-NULL vector: a NULL-leading
+        # (or all-NULL / empty) corpus has nothing scorable — nothing
+        # can be dropped, so return it unchanged instead of crashing
+        first = c.where(F.col("__v").isNotNull()).select(F.size("__v")).first()
+        if first is None:
+            return corpus
+        dim = first[0]
         tables = [
             _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
         ]

@@ -461,3 +461,41 @@ def test_classifier_gradient_exchange_is_dim_bounded(spark, t):
     plan = grad._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" in plan  # partial+final agg, not a raw shuffle
     assert grad.count() <= 33
+
+
+def test_embedding_dedup_degenerate_inputs(spark):
+    """Edge probes for the tiled exact kernel (r10 code): empty corpus,
+    single row, all-NULL vectors, and a corpus whose every vector is
+    NULL-or-ragged must all return their survivors without a task
+    crash, on both the exact and LSH paths."""
+    from flink_psl_spark.llm import embedding_dedup
+
+    schema = "vec_id long, embedding array<double>"
+    empty = spark.createDataFrame([], schema)
+    assert embedding_dedup(empty, exact=True).count() == 0
+    assert embedding_dedup(empty).count() == 0  # LSH: no scorable dim
+
+    single = spark.createDataFrame([(1, [1.0, 2.0])], schema)
+    assert [r["vec_id"] for r in embedding_dedup(single, exact=True).collect()] == [1]
+    assert [r["vec_id"] for r in embedding_dedup(single).collect()] == [1]
+
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None), (3, [1.0, 0.0])], schema
+    )
+    # NULL vectors never score, so nothing is dropped — and a
+    # NULL-LEADING corpus must not crash the LSH dim derivation
+    assert embedding_dedup(nulls, exact=True).count() == 3
+    assert embedding_dedup(nulls).count() == 3
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0, 0.0]), (3, [1.0, 0.0])], schema
+    )
+    # different lengths pair to NULL sim (never dropped); the identical
+    # same-length pair (1,3) drops the higher id on both paths
+    exact = sorted(r["vec_id"] for r in embedding_dedup(ragged, threshold=0.9, exact=True).collect())
+    assert exact == [1, 2]
+    approx = sorted(
+        r["vec_id"]
+        for r in embedding_dedup(ragged, threshold=0.9, n_planes=2, n_tables=8).collect()
+    )
+    assert approx == [1, 2]
