@@ -48,9 +48,18 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity; NULL when either vector has zero norm (real
     corpora contain zero embeddings — padding rows, failed encodes — and
     an unguarded division crashes the whole job under ANSI mode). NULL
-    propagates safely: threshold filters and top-k ranking exclude it."""
+    propagates safely: threshold filters and top-k ranking exclude it.
+
+    NaN sims are normalized to NULL too (r11): Spark orders NaN ABOVE
+    every double, so a NaN-element vector would otherwise rank FIRST in
+    every desc-ordered top-k and pass every `>= threshold` filter — the
+    opposite of "excluded". nanvl makes NaN follow the same NULL
+    contract the numpy kernels implement via isnan masks."""
     denom = l2_norm(a) * l2_norm(b)
-    return F.when(denom != 0.0, dot(a, b) / denom)
+    return F.nanvl(
+        F.when(denom != 0.0, dot(a, b) / denom),
+        F.lit(None).cast("double"),
+    )
 
 
 def cosine_with_norms(
@@ -64,9 +73,13 @@ def cosine_with_norms(
     x 1). Precomputing ``__n = l2_norm(v)`` once per ROW below the join
     leaves one zip_with dot per pair. The arithmetic form is unchanged
     (dot / (na * nb), same IEEE op order), so results are bit-identical
-    to cosine() — the oracle hash comparison is unaffected."""
+    to cosine() — the oracle hash comparison is unaffected. NaN → NULL
+    like cosine() (see its docstring: NaN would rank first, not last)."""
     denom = _col(na) * _col(nb)
-    return F.when(denom != 0.0, dot(a, b) / denom)
+    return F.nanvl(
+        F.when(denom != 0.0, dot(a, b) / denom),
+        F.lit(None).cast("double"),
+    )
 
 
 def cosine_topk(
@@ -145,53 +158,102 @@ def cosine_topk(
     )
 
 
+def _safe_matrix(vals, dim):
+    """(rows × ``dim``) float64 matrix + the positional indices of the
+    rows that are well-formed (non-NULL, exactly ``dim`` wide, fully
+    numeric). Clean batches take one vectorized conversion; only a batch
+    carrying malformed rows (NULL / ragged / null elements) pays the
+    per-row fallback — the hot path costs nothing extra and a single bad
+    row can no longer kill a task (r11; a 1000-executor job must not die
+    on one failed encode). Excluded rows score NULL in the expression
+    path, so dropping them from the matmul is the same contract."""
+    import numpy as np
+
+    try:
+        m = np.array(list(vals), dtype="float64")
+        if m.ndim == 2 and m.shape[1] == dim:
+            return m, np.arange(m.shape[0])
+    except (ValueError, TypeError):
+        pass
+    rows, idx = [], []
+    for i, v in enumerate(vals):
+        try:
+            a = np.asarray(v, dtype="float64")
+        except (ValueError, TypeError):
+            continue
+        if a.ndim == 1 and a.shape[0] == dim:
+            rows.append(a)
+            idx.append(i)
+    if rows:
+        return np.stack(rows), np.array(idx, dtype="int64")
+    return (
+        np.empty((0, dim), dtype="float64"),
+        np.array([], dtype="int64"),
+    )
+
+
 def _blas_partial_topk(
     c: DataFrame, q: DataFrame, k: int, include_self: bool
 ) -> DataFrame:
     """Per-partition numpy top-k: one matmul per Arrow batch, emitting the
-    batch-local best k per query. NULL/zero-norm vectors score NULL in the
-    expr path — here they are simply not emitted (equivalent under top-k,
-    which never ranks NULL)."""
+    batch-local best k per query. NULL/zero-norm/malformed vectors score
+    NULL in the expr path — here they are simply not emitted (equivalent
+    under top-k, which never ranks NULL). Queries are grouped by vector
+    dim (one matmul per group; a clean query set is one group), so a
+    mismatched-length pair — NULL sim in the expr path — is never formed."""
     import numpy as np
     import pandas as pd
 
     q_dt = dict(q.dtypes)["query_id"]
     n_dt = dict(c.dtypes)["neighbor_id"]
     out_schema = f"query_id {q_dt}, neighbor_id {n_dt}, cos_sim double"
-    qrows = q.collect()  # query set is broadcast-small by contract
-    if not qrows:
+    qrows = [r for r in q.collect() if r["__qv"] is not None]
+    by_dim: dict = {}
+    for r in qrows:
+        by_dim.setdefault(len(r["__qv"]), []).append(r)
+    gmats = []
+    for dim, rows in sorted(by_dim.items()):
+        qm, sel = _safe_matrix([r["__qv"] for r in rows], dim)
+        if not len(sel):
+            continue
+        q_ids = np.array([rows[i]["query_id"] for i in sel])
+        qn = np.linalg.norm(qm, axis=1)
+        qn[qn == 0.0] = np.nan  # zero-norm queries rank nothing
+        gmats.append((dim, q_ids, qm, qn))
+    if not gmats:
         return q.sparkSession.createDataFrame([], out_schema)
-    q_ids = np.array([r["query_id"] for r in qrows])
-    qm = np.array([r["__qv"] for r in qrows], dtype=np.float64)
-    qn = np.linalg.norm(qm, axis=1)
-    qn[qn == 0.0] = np.nan  # zero-norm queries rank nothing (NULL ≡ drop)
 
     def part(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            cm = np.array(list(pdf["__cv"]), dtype=np.float64)
-            ids = pdf["neighbor_id"].to_numpy()
-            cn = np.linalg.norm(cm, axis=1)
-            ok = cn != 0.0
-            if not ok.any():
-                continue
-            cm, ids, cn = cm[ok], ids[ok], cn[ok]
-            sims = (cm @ qm.T) / cn[:, None] / qn[None, :]
-            if not include_self:
-                sims[ids[:, None] == q_ids[None, :]] = np.nan
-            # batch-local top-k per query: sort by (-sim, neighbor_id)
+            all_vals = list(pdf["__cv"])
+            all_ids = pdf["neighbor_id"].to_numpy()
             out_q, out_n, out_s = [], [], []
-            for j in range(sims.shape[1]):
-                col = sims[:, j]
-                valid = ~np.isnan(col)
-                if not valid.any():
+            for dim, q_ids, qm, qn in gmats:
+                cm, sel = _safe_matrix(all_vals, dim)
+                if not len(sel):
                     continue
-                order = np.lexsort((ids[valid], -col[valid]))[:k]
-                vi = np.flatnonzero(valid)[order]
-                out_q.extend([q_ids[j]] * len(vi))
-                out_n.extend(ids[vi])
-                out_s.extend(col[vi])
+                ids = all_ids[sel]
+                cn = np.linalg.norm(cm, axis=1)
+                ok = cn != 0.0
+                if not ok.any():
+                    continue
+                cm, ids, cn = cm[ok], ids[ok], cn[ok]
+                sims = (cm @ qm.T) / cn[:, None] / qn[None, :]
+                if not include_self:
+                    sims[ids[:, None] == q_ids[None, :]] = np.nan
+                # batch-local top-k per query: sort by (-sim, neighbor_id)
+                for j in range(sims.shape[1]):
+                    col = sims[:, j]
+                    valid = ~np.isnan(col)
+                    if not valid.any():
+                        continue
+                    order = np.lexsort((ids[valid], -col[valid]))[:k]
+                    vi = np.flatnonzero(valid)[order]
+                    out_q.extend([q_ids[j]] * len(vi))
+                    out_n.extend(ids[vi])
+                    out_s.extend(col[vi])
             if out_q:
                 yield pd.DataFrame(
                     {
@@ -334,6 +396,9 @@ def ivf_cosine_topk(
     stride = max(1, n // n_centroids)
     cents = (
         corpus.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0)
+        # a NULL embedding is not a centroid candidate (r11: one sampled
+        # malformed row must not break index build)
+        .where(_col(vec_col).isNotNull())
         .orderBy(id_col)
         .limit(n_centroids)
         .select(
@@ -351,19 +416,41 @@ def ivf_cosine_topk(
     import pandas as pd
 
     crows = cents.orderBy("__cent_id").collect()
-    cent_ids = np.array([r["__cent_id"] for r in crows], dtype="int64")
-    cmat = np.array([r["__centv"] for r in crows], dtype="float64")
+    # index dim = the first centroid candidate's width; ragged candidates
+    # are just discarded samples (_safe_matrix), and an index with no
+    # usable centroid (empty / all-malformed corpus) has no candidates
+    cvecs = [r["__centv"] for r in crows]
+    dim0 = next((len(v) for v in cvecs if v is not None), None)
+    if dim0 is not None:
+        cmat, sel = _safe_matrix(cvecs, dim0)
+        cent_ids = np.array(
+            [crows[i]["__cent_id"] for i in sel], dtype="int64"
+        )
+    if dim0 is None or not len(cent_ids):
+        q_dt = dict(queries.dtypes)[id_col]
+        n_dt = dict(corpus.dtypes)[id_col]
+        return corpus.sparkSession.createDataFrame(
+            [],
+            f"query_id {q_dt}, neighbor_id {n_dt}, cos_sim double, rank int",
+        )
     # cosine ordering per fixed v == dot ordering against unit centroids
     cmat = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-300)
 
     def _cells_udf(n: int) -> Column:
         def _cells(s):
-            v = np.array(s.tolist(), dtype="float64")
-            sims = v @ cmat.T  # batch × n_centroids
+            vals = s.tolist()
+            v, sel = _safe_matrix(vals, cmat.shape[1])
+            sims = v @ cmat.T  # well-formed rows × n_centroids
             # ties broken by centroid id asc (matches the expression form's
             # [__sim desc, __cent_id asc] ordering); lexsort is stable
             order = np.lexsort((np.broadcast_to(cent_ids, sims.shape), -sims))
-            return pd.Series(list(cent_ids[order[:, :n]]))
+            picked = cent_ids[order[:, :n]]
+            # malformed rows route nowhere: NULL cell list → element_at /
+            # explode yield no candidate rows for them
+            out = [None] * len(vals)
+            for pos, row in zip(sel, picked):
+                out[pos] = row
+            return pd.Series(out)
 
         return F.pandas_udf(_cells, "array<bigint>")
 
@@ -918,8 +1005,9 @@ def pq_train_codebook(
     unit-normalized before training (PQ for cosine ≡ PQ for inner
     product on the unit sphere); zero-norm vectors are excluded.
 
-    Returns a numpy array of shape (m, n_codes, dim // m). dim must be
-    divisible by m.
+    Returns a numpy array of shape (m, n_codes, dim // m), or None when
+    the sample holds no trainable vector (empty / all-NULL / all
+    zero-norm corpus). dim must be divisible by m.
     """
     import numpy as np
 
@@ -932,10 +1020,18 @@ def pq_train_codebook(
         .limit(sample_size)
         .collect()
     )
-    x = np.array([r["__v"] for r in rows], dtype=np.float64)
+    # malformed sampled vectors (NULL/ragged/null elements) are just
+    # discarded sample candidates (r11); a sample with NOTHING trainable
+    # returns None — the index has no scorable content
+    vecs = [r["__v"] for r in rows]
+    dim = next((len(v) for v in vecs if v is not None), None)
+    if dim is None:
+        return None
+    x, _ = _safe_matrix(vecs, dim)
     norms = np.linalg.norm(x, axis=1)
     x = x[norms > 0] / norms[norms > 0, None]
-    dim = x.shape[1]
+    if not len(x):
+        return None
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     dsub = dim // m
@@ -981,11 +1077,16 @@ def pq_encode(
     id_dt = dict(corpus.select(F.col(id_col)).dtypes)[id_col]
 
     def enc(batches):
+        dim = m * dsub
         for pdf in batches:
             if not len(pdf):
                 continue
-            v = np.array(list(pdf["__v"]), dtype=np.float64)
-            ids = pdf[id_col].to_numpy()
+            # malformed rows are not encodable → not indexed (they rank
+            # nothing under cosine, like zero-norm)
+            v, sel = _safe_matrix(list(pdf["__v"]), dim)
+            if not len(sel):
+                continue
+            ids = pdf[id_col].to_numpy()[sel]
             norms = np.linalg.norm(v, axis=1)
             ok = norms > 0
             if not ok.any():
@@ -1044,23 +1145,29 @@ def pq_cosine_topk(
         corpus, id_col=id_col, vec_col=vec_col, m=m, n_codes=n_codes,
         sample_size=sample_size,
     )
-    dsub = book.shape[2]
-    encoded = pq_encode(corpus, book, id_col=id_col, vec_col=vec_col)
-
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _col(vec_col).cast("array<double>").alias("__qv"),
     )
-    qrows = q.collect()  # broadcast-small by contract
     q_dt = dict(q.dtypes)["query_id"]
-    id_dt = dict(encoded.dtypes)[id_col]
+    id_dt = dict(corpus.select(F.col(id_col)).dtypes)[id_col]
     cand_schema = f"query_id {q_dt}, neighbor_id {id_dt}"
-    if not qrows:
+    if book is None:  # nothing trainable in the corpus → no candidates
         return corpus.sparkSession.createDataFrame(
             [], f"{cand_schema}, cos_sim double, rank int"
         )
-    q_ids = np.array([r["query_id"] for r in qrows])
-    qm = np.array([r["__qv"] for r in qrows], dtype=np.float64)
+    dsub = book.shape[2]
+    encoded = pq_encode(corpus, book, id_col=id_col, vec_col=vec_col)
+
+    qrows = q.collect()  # broadcast-small by contract
+    # LUT scoring needs the index dim; other-dim / malformed queries
+    # score NULL against every indexed row in the expr form → no results
+    qm, sel = _safe_matrix([r["__qv"] for r in qrows], book.shape[0] * dsub)
+    if not len(sel):
+        return corpus.sparkSession.createDataFrame(
+            [], f"{cand_schema}, cos_sim double, rank int"
+        )
+    q_ids = np.array([qrows[i]["query_id"] for i in sel])
     qn = np.linalg.norm(qm, axis=1)
     qn[qn == 0.0] = np.nan
     qm = qm / qn[:, None]
@@ -1154,7 +1261,12 @@ def sq_encode(
     scale = (mx / F.lit(127.0)).alias("scale")
     return (
         corpus.select(F.col(id_col), v.alias("__v"), scale)
-        .where(F.col("scale") > 0)
+        # NaN guard (r11): Spark evaluates NaN > 0 as TRUE (NaN orders
+        # above every double), so a NaN-element vector used to pass this
+        # filter and kill the job at the ANSI NaN→INT cast below. Like
+        # zero-norm and NULL vectors, NaN-bearing vectors are not
+        # scorable — they drop from the index.
+        .where((F.col("scale") > 0) & ~F.isnan("scale"))
         .select(
             id_col,
             "scale",
@@ -1201,33 +1313,54 @@ def sq_cosine_topk(
         return corpus.sparkSession.createDataFrame(
             [], f"{cand_schema}, cos_sim double, rank int"
         )
-    q_ids = np.array([r["query_id"] for r in qrows])
-    qm = np.array([r["__qv"] for r in qrows], dtype=np.float64)
-    qn = np.linalg.norm(qm, axis=1)
-    qn[qn == 0.0] = np.nan
-    qm = qm / qn[:, None]
+    # queries grouped by dim, malformed dropped (they score NULL against
+    # everything in the expr form); SQ code rows participate only in
+    # their own dim's group — same discipline as _blas_partial_topk
+    by_dim: dict = {}
+    for r in qrows:
+        if r["__qv"] is not None:
+            by_dim.setdefault(len(r["__qv"]), []).append(r)
+    gq = []
+    for dim, rows in sorted(by_dim.items()):
+        qm, sel = _safe_matrix([r["__qv"] for r in rows], dim)
+        if not len(sel):
+            continue
+        q_ids = np.array([rows[i]["query_id"] for i in sel])
+        qn = np.linalg.norm(qm, axis=1)
+        qn[qn == 0.0] = np.nan
+        gq.append((dim, q_ids, qm / qn[:, None]))
+    if not gq:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{cand_schema}, cos_sim double, rank int"
+        )
     n_cand = max(k, k * refine)
 
     def score(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            codes = np.array(list(pdf["code"]), dtype=np.float64)
-            deq = codes * pdf["scale"].to_numpy()[:, None]
-            ids = pdf[id_col].to_numpy()
-            nrm = np.linalg.norm(deq, axis=1)
-            nrm[nrm == 0.0] = np.nan
-            sims = (deq / nrm[:, None]) @ qm.T
-            if not include_self:
-                sims[ids[:, None] == q_ids[None, :]] = -np.inf
+            vals = list(pdf["code"])
+            scales = pdf["scale"].to_numpy()
+            all_ids = pdf[id_col].to_numpy()
             out_q, out_n = [], []
-            for j in range(sims.shape[1]):
-                col = sims[:, j]
-                if np.isnan(col).all():
+            for dim, q_ids, qm in gq:
+                codes, sel = _safe_matrix(vals, dim)
+                if not len(sel):
                     continue
-                order = np.lexsort((ids, -col))[:n_cand]
-                out_q.extend([q_ids[j]] * len(order))
-                out_n.extend(ids[order])
+                deq = codes * scales[sel][:, None]
+                ids = all_ids[sel]
+                nrm = np.linalg.norm(deq, axis=1)
+                nrm[nrm == 0.0] = np.nan
+                sims = (deq / nrm[:, None]) @ qm.T
+                if not include_self:
+                    sims[ids[:, None] == q_ids[None, :]] = -np.inf
+                for j in range(sims.shape[1]):
+                    col = sims[:, j]
+                    if np.isnan(col).all():
+                        continue
+                    order = np.lexsort((ids, -col))[:n_cand]
+                    out_q.extend([q_ids[j]] * len(order))
+                    out_n.extend(ids[order])
             if out_q:
                 yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
 

@@ -1778,3 +1778,54 @@ def test_kmeans_partition_invariance(spark, t):
     c1 = kmeans_fit(vecs.repartition(1), 4, iters=2)
     c7 = kmeans_fit(vecs.repartition(7), 4, iters=2)
     assert c1 == c7
+
+
+def test_ann_paths_tolerate_malformed_vectors(spark):
+    """100 TB robustness contract (r11): one malformed corpus row — NULL,
+    ragged, null-element, or NaN-bearing — must not kill a job or
+    outrank valid neighbors on ANY ANN path. All six paths (expr, BLAS,
+    LSH, IVF, PQ, SQ) must return the same ranking for this corpus: the
+    NaN vector is excluded (NaN cosine is normalized to NULL — Spark
+    would otherwise sort it FIRST under desc), the NULL/ragged rows are
+    unscorable, and valid rows keep ranks 1..k."""
+    from flink_psl_spark.llm import (
+        cosine_topk,
+        lsh_cosine_topk,
+        pq_cosine_topk,
+        sq_cosine_topk,
+    )
+    from flink_psl_spark.llm.similarity import ivf_cosine_topk
+
+    schema = "vec_id long, embedding array<double>"
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5, 0.2]) for i in range(1, 20)]
+        + [(30, None), (31, [1.0]), (32, [float("nan"), 1.0, 0.5, 0.2])],
+        schema,
+    )
+    q = spark.createDataFrame([(100, [1.0, 1.0, 0.5, 0.2])], schema)
+    paths = {
+        "expr": lambda: cosine_topk(corpus, q, k=3),
+        "blas": lambda: cosine_topk(corpus, q, k=3, method="blas"),
+        "lsh": lambda: lsh_cosine_topk(corpus, q, k=3, n_planes=2, n_tables=8),
+        "ivf": lambda: ivf_cosine_topk(corpus, q, k=3, n_centroids=4, n_probe=4),
+        "pq": lambda: pq_cosine_topk(corpus, q, k=3, m=2, n_codes=8),
+        "sq": lambda: sq_cosine_topk(corpus, q, k=3),
+    }
+    want = [(1, 1), (2, 2), (3, 3)]  # (rank, neighbor_id): ids 1,2,3
+    for name, fn in paths.items():
+        got = sorted((r["rank"], r["neighbor_id"]) for r in fn().collect())
+        assert got == want, f"{name}: {got}"
+
+    # degenerate corpora: empty and all-malformed yield empty results
+    empty = spark.createDataFrame([], schema)
+    allbad = spark.createDataFrame([(1, None), (2, None)], schema)
+    for name, fn in {
+        "blas_empty": lambda: cosine_topk(empty, q, k=3, method="blas"),
+        "ivf_empty": lambda: ivf_cosine_topk(empty, q, k=3),
+        "pq_empty": lambda: pq_cosine_topk(empty, q, k=3, m=2, n_codes=4),
+        "sq_empty": lambda: sq_cosine_topk(empty, q, k=3),
+        "ivf_allbad": lambda: ivf_cosine_topk(allbad, q, k=3),
+        "pq_allbad": lambda: pq_cosine_topk(allbad, q, k=3, m=2, n_codes=4),
+        "sq_allbad": lambda: sq_cosine_topk(allbad, q, k=3),
+    }.items():
+        assert fn().count() == 0, name
