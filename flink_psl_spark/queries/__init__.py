@@ -33,83 +33,74 @@ import flink_psl_spark.queries.datastream_queries  # noqa: F401, E402
 # so the front of the dict carries the queries with the LEAST prior
 # driver evidence.
 #
-# ROUND-11 rotation (the precomputed seed from the round-10 verdict,
-# executed verbatim — CORRECTNESS_r10 was 50/50 green, so the bfd
+# ROUND-12 rotation (the precomputed seed from the round-11 verdict,
+# executed verbatim — CORRECTNESS_r11 was 50/50 green, so the red-row
 # contingency does not apply): the oldest remaining driver rows.
-# Positions 1-2 are the two implementation-changed rows FIRST — their
-# hoist machinery changed again in r10 (`_hoisted_view`: unique-uuid
-# names + previous-view cleanup) while their newest driver row is r7.
-# Then the r3-era residue (12 graph rows — iterative state shapes —
-# then 7 window-function rows, then the 14-query TPC-H tail), then the
-# 15 highest-risk r4-era rows (CEP/MATCH_RECOGNIZE + stateful
-# streaming first). After this window lands green, no row older than
-# r4 remains anywhere in the registry.
+# First the 31 r4-era rows left after the r11 window, risk-ordered
+# (format/connector roundtrips and DataStream state shapes first),
+# then the 19 highest-risk r5-era rows (stateful streaming + token
+# contracts first). After this window lands green, no row older than
+# r5 remains anywhere in the registry.
 _PRIORITY_WINDOW = [
-    # 1) implementation-changed r7 rows (hoist machinery touched in r10)
-    "recursive_cte_order_chain", "recursive_cte_event_paths",
-    # 2) r3-era residue: the 12 remaining graph rows (iterative state)
-    "graph_adamic_adar", "graph_clustering_coefficient",
-    "graph_community_detection", "graph_degree", "graph_global_clustering",
-    "graph_hits", "graph_jaccard_index", "graph_label_propagation",
-    "graph_summarization", "graph_triadic_census", "graph_triangle_count",
-    "graph_vertex_metrics",
-    # 3) r3-era residue: the 7 wf rows (incl. the 3 displaced in r10)
-    "wf_topn_per_group", "wf_ntile_percentiles", "wf_running_rows_frame",
-    "wf_dataframe_api", "wf_first_last_value", "wf_lag_lead",
-    "wf_rank_dense_rank",
-    # 4) r3-era residue: the 14-query TPC-H tail
-    "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
-    "q10_returned_items", "q11_important_stock",
-    "q12_shipping_priority_class", "q13_customer_distribution",
-    "q15_top_supplier", "q16_part_supplier_count",
-    "q17_small_quantity_revenue", "q19_discounted_revenue",
-    "q20_potential_promotion", "q21_suppliers_kept_waiting",
-    "q22_prospective_customers",
-    # 5) 15 r4-era rows by risk (CEP + stateful streaming first)
-    "cep_followed_by_nearest", "cep_group_pattern_double_conversion",
-    "cep_until_stop_condition", "match_recognize_sql_clicks",
-    "match_recognize_sql_price_dip", "match_recognize_sql_skip_chain",
-    "stream_cep_no_conversion_within", "stream_dedup", "stream_hop_agg",
-    "stream_rows_over", "stream_semi_join", "stream_interval_join_outer",
-    "stream_current_watermark", "stream_connect_threshold_filter",
-    "async_lookup_enrich",
+    # 1) r4-era residue: format/connector roundtrips + DataStream state
+    "twophase_sink_roundtrip", "avro_schema_evolution",
+    "avro_py_nested_roundtrip", "protobuf_py_nested_roundtrip",
+    "protobuf_py_map_roundtrip", "temporal_join_sql",
+    "group_window_sql", "window_tvf_sql", "datastream_iterate_countdown",
+    "datastream_broadcast_join", "datastream_side_output_split",
+    "datastream_keyed_sum", "datastream_map_filter", "llm_segment_dedup",
+    "llm_contamination_check", "llm_pii_scrub", "llm_curation_pipeline",
+    "llm_deterministic_shuffle", "llm_token_budget_mix",
+    "llm_temperature_mix", "llm_hard_negatives", "llm_bigram_lm_score",
+    "llm_bpe_pair_counts", "bucketed_join_agg", "jdbc_roundtrip_agg",
+    "file_compaction_roundtrip", "filesystem_partitioned_roundtrip",
+    "metadata_columns_read", "sql_client_script", "sql_gateway_rest",
+    "values_inline_rows",
+    # 2) 19 r5-era rows by risk (stateful streaming + token contracts)
+    "stream_timer_session_agg", "stream_session_agg",
+    "stream_cumulate_agg", "stream_doc_quality_ingest",
+    "match_recognize_sql_budget_runs", "cdc_upsert_format_image",
+    "cumulate_tvf_sql", "tumble_window_offset_agg", "llm_bpe_train_merges",
+    "llm_bpe_encode_roundtrip", "llm_bpe_token_count", "llm_text_stats",
+    "llm_quality_score", "llm_quality_filter", "llm_quality_classifier",
+    "llm_ngram_jaccard_pairs", "llm_rolling_fingerprints",
+    "llm_semantic_dedup", "llm_curation_pipeline_v2",
 ]
 
-# ROUND-12 seed (precomputed, exactly 50): the oldest rows remaining
-# after the r11 window — the r4-era residue, then the highest-risk
-# r5-era rows.
-# 1) the 31 r4-era rows left after the r11 window, risk-ordered
-#    (format/connector roundtrips and DataStream state shapes first):
-#    twophase_sink_roundtrip, avro_schema_evolution,
-#    avro_py_nested_roundtrip, protobuf_py_nested_roundtrip,
-#    protobuf_py_map_roundtrip, cdc-adjacent temporal_join_sql,
-#    group_window_sql, window_tvf_sql, datastream_iterate_countdown,
-#    datastream_broadcast_join, datastream_side_output_split,
-#    datastream_keyed_sum, datastream_map_filter, llm_segment_dedup,
-#    llm_contamination_check, llm_pii_scrub, llm_curation_pipeline,
-#    llm_deterministic_shuffle, llm_token_budget_mix,
-#    llm_temperature_mix, llm_hard_negatives, llm_bigram_lm_score,
-#    llm_bpe_pair_counts, bucketed_join_agg, jdbc_roundtrip_agg,
-#    file_compaction_roundtrip, filesystem_partitioned_roundtrip,
-#    metadata_columns_read, sql_client_script, sql_gateway_rest,
-#    values_inline_rows.
-# 2) 19 r5-era rows by risk (stateful streaming + token contracts
-#    first): stream_timer_session_agg, stream_session_agg,
-#    stream_cumulate_agg, stream_doc_quality_ingest,
-#    match_recognize_sql_budget_runs, cdc_upsert_format_image,
-#    cumulate_tvf_sql, tumble_window_offset_agg, llm_bpe_train_merges,
-#    llm_bpe_encode_roundtrip, llm_bpe_token_count, llm_text_stats,
-#    llm_quality_score, llm_quality_filter, llm_quality_classifier,
-#    llm_ngram_jaccard_pairs, llm_rolling_fingerprints,
-#    llm_semantic_dedup, llm_curation_pipeline_v2.
-# If any r11 row comes back red, it takes position 1 of r12 (with its
+# ROUND-13 seed (precomputed, exactly 50): the oldest rows remaining
+# after the r12 window — the r5-era residue, then the oldest r6 rows.
+# 1) the 33 r5-era rows left after the r12 window, risk-ordered
+#    (DSv2 source state + windowed dedup first):
+#    pysource_datagen_agg, pysource_datagen_pushdown, window_dedup,
+#    temporal_table_function_sql, udf_pandas_scalar,
+#    udaf_pandas_grouped, udtf_lateral, udtaf_top2_per_group,
+#    cogroup_user_summary, table_api_row_ops, llm_importance_resample,
+#    llm_perplexity_bucket_sample, llm_boilerplate_removal,
+#    llm_common_ngrams_per_source, llm_source_quality_report,
+#    llm_wav_decode_stats, agg_percentiles, agg_first_last_value,
+#    hash_code_fn, string_functions2, string_functions3,
+#    math_functions2, temporal_functions2, temporal_overlaps_fn,
+#    typeof_fn, encode_decode_fn, array_map_row_fn, json_functions2,
+#    passthrough_functions, posexplode_words, plus the two
+#    implementation-sensitive re-proofs stream_timer_session_agg
+#    contingencies if red (else roll forward), rounded out by
+#    llm_semantic_dedup_two_level, llm_pq_ann_topk (r6 ANN heads).
+# 2) 17 r6-era rows by risk: sum0_timestamp_ltz_fn,
+#    pysource_stream_datagen_agg, pysource_datagen_fields,
+#    jdbc_upsert_roundtrip, filesystem_partition_commit,
+#    datastream_window_agg, try_functions, ndu_analysis, then the
+#    r6-refreshed relational heads (calc_project_filter,
+#    q1_pricing_summary, q3_shipping_priority, q6_forecast_revenue,
+#    q14_promo_effect, q18_large_volume, agg_distinct, agg_stats,
+#    agg_rollup).
+# If any r12 row comes back red, it takes position 1 of r13 (with its
 # family's bisect canaries if it has them) and the seed's tail rolls
-# to r13.
+# to r14.
 #
 # Window slots deliberately spent on queries that already have a driver
 # row: the re-proof set (staleness refresh of the oldest rows plus the
 # red-row re-proof). Every other slot must go to a never-checked query —
-# tests/test_registry_rotation.py enforces the partition. The r11
+# tests/test_registry_rotation.py enforces the partition. The r12
 # window is ENTIRELY re-proofs: every never-checked query has been
 # checked by r10 (the registry is frozen at 376 and evidence-complete),
 # so staleness refresh is the only remaining driver-slot currency.
