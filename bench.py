@@ -203,9 +203,11 @@ def _timed(fn) -> float:
 #     EXCUSED — recorded as excused_by_prev, never silently — when the
 #     query is provably not creeping: its median-of-ratios-adjusted cost
 #     is within PIN_PREV_EXCUSE of the previous committed run AND that
-#     run itself passed the pin (an excuse can only chain through
-#     pin-passing rounds, so creep >2%/round still binds and a failing
-#     pin can't ratchet itself green).
+#     run's MEASURED norm_sec was itself within the limit (not merely
+#     recorded pass=true — an excused round's norm_sec is over the
+#     limit by definition, so excuses cannot chain: after one excused
+#     round the pin must genuinely pass or fail; r11 ADVICE showed the
+#     old pins_fail-keyed check let 2%/round creep ratchet forever).
 
 CALIB_REF = 0.172  # round-6 host class; pins are quoted at this calib
 
@@ -324,19 +326,31 @@ def adjudicate(per_query: dict[str, float], calib: float,
         }
         if not ok and prev is not None:
             v = guards["vs_prev"].get(name)
-            # pins_fail is present in BOTH artifact shapes (the slim
-            # driver line and the full BENCH_LOCAL snapshot)
-            prev_pins_fail = (
-                prev[1].get("guards", {}).get("pins_fail") or []
+            # The excuse is anchored to the previous round's MEASURED
+            # normalized cost, not its recorded pass flag: an excused
+            # round records pass=true but its norm_sec was over the
+            # limit (that is why it needed the excuse), so the chain is
+            # capped at one consecutive excused round by construction —
+            # after an excuse the pin must genuinely pass or fail.
+            # (Pre-r12 this keyed on prev pins_fail, which an excused
+            # round never enters, so 2%/round creep could chain
+            # excuses forever — ADVICE r11.)
+            prev_sec = prev[1]["queries"].get(name)
+            prev_calib = prev[1].get("calib_sec") or CALIB_REF
+            prev_norm = (
+                prev_sec * (CALIB_REF / prev_calib)
+                if prev_sec is not None else None
             )
             if (
                 v is not None
                 and v["ratio_norm"] <= PIN_PREV_EXCUSE
-                and name not in prev_pins_fail
+                and prev_norm is not None
+                and prev_norm <= limit
             ):
                 ok = True
                 entry["pass"] = True
                 entry["excused_by_prev"] = v["ratio_norm"]
+                entry["prev_norm_sec"] = round(prev_norm, 3)
         guards["pins"][name] = entry
         if not ok:
             guards["pins_fail"].append(name)

@@ -239,6 +239,68 @@ def test_thin_overlap_falls_back_to_calib(r07, tmp_path):
     assert g["vs_prev_fail"] == ["a"]
 
 
+def test_pin_excuses_cannot_chain_through_excused_rounds(r07, tmp_path):
+    """The r11 ADVICE scenario: slow creep (<2%/round) excused every
+    round ratchets a pin arbitrarily over budget if the excuse keys on
+    the recorded pass flag (an excused round records pass=true and never
+    enters pins_fail). The excuse is now anchored to the previous
+    round's MEASURED norm_sec: a prev round whose own norm was over the
+    limit — i.e. an excused round — cannot seed another excuse, so the
+    chain is capped at one round."""
+    d = tmp_path / "repo"
+    d.mkdir()
+    limit = bench.PINNED_GUARDS["llm_minhash_dedup"]
+    # prev round: norm 1% over the limit, recorded pass=true with an
+    # excuse (exactly what an excused round commits), empty pins_fail
+    prev_sec = limit * 1.01 * (1.0 / (bench.CALIB_REF / bench.CALIB_REF))
+    filler = {f"f{i}": 1.0 for i in range(6)}
+    prev = {
+        "calib_sec": bench.CALIB_REF,
+        "queries": {"llm_minhash_dedup": prev_sec, **filler},
+        "guards": {
+            "pins_fail": [],
+            "pins": {"llm_minhash_dedup": {
+                "pass": True, "excused_by_prev": 1.01,
+                "norm_sec": round(prev_sec, 3),
+            }},
+        },
+    }
+    (d / "BENCH_r07.json").write_text(json.dumps({"parsed": prev}))
+    cur = {"llm_minhash_dedup": prev_sec * 1.019, **filler}
+    g = bench.adjudicate(cur, bench.CALIB_REF, str(d), sf=0.1)
+    entry = g["pins"]["llm_minhash_dedup"]
+    assert entry["pass"] is False, (
+        "a 1.9%-creep round after an excused round must bind"
+    )
+    assert "llm_minhash_dedup" in g["pins_fail"]
+    assert "excused_by_prev" not in entry
+
+
+def test_pin_excuse_still_granted_after_genuine_pass(r07, tmp_path):
+    """The legitimate excuse path survives: prev round's measured norm
+    within the limit + current ratio inside the excuse band → excused,
+    even on a host whose calib swings the scalar normalization."""
+    d = tmp_path / "repo"
+    d.mkdir()
+    limit = bench.PINNED_GUARDS["llm_minhash_dedup"]
+    filler = {f"f{i}": 1.0 for i in range(6)}
+    prev_sec = limit * 0.99  # genuinely under budget at CALIB_REF
+    prev = {
+        "calib_sec": bench.CALIB_REF,
+        "queries": {"llm_minhash_dedup": prev_sec, **filler},
+    }
+    (d / "BENCH_r07.json").write_text(json.dumps({"parsed": prev}))
+    # current: same true cost, but the calib probe came back 10% low,
+    # inflating norm_sec past the limit — the classic phantom miss
+    cur = {"llm_minhash_dedup": prev_sec * 1.01, **filler}
+    g = bench.adjudicate(cur, bench.CALIB_REF * 0.9, str(d), sf=0.1)
+    entry = g["pins"]["llm_minhash_dedup"]
+    assert entry["pass"] is True
+    assert entry["excused_by_prev"] == pytest.approx(1.01, abs=1e-6)
+    assert entry["prev_norm_sec"] == pytest.approx(prev_sec, abs=1e-3)
+    assert g["pins_fail"] == []
+
+
 def test_tiny_query_blip_below_noise_floor_is_excused(r07, guard_repo):
     """A 1.4x ratio on a ~0.4 s query is ~0.18 s of scheduling noise,
     not a regression — the absolute-excess floor must excuse it while
