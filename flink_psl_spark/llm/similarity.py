@@ -329,21 +329,36 @@ def lsh_buckets(vec: Column | str, tables: list[list[list[float]]]) -> Column:
         vals = s.tolist()
         dim = mat.shape[0]
         try:
-            v = np.array(vals, dtype="float64")  # batch × dim
+            v = np.array(vals, dtype="float64")  # batch × dim; nulls → nan
             if v.ndim == 2 and v.shape[1] == dim:
                 bits = (v @ mat) >= 0
                 b = bits.reshape(len(v), n_tables, n_planes) @ weights
-                return pd.Series(list(b.astype("int32")))
+                sigs = b.astype("int32")
+                # non-finite vectors (null elements arrive as nan, plus
+                # literal NaN/inf floats) are unscorable — every sim they
+                # produce is NULL — so they must not share a bucket:
+                # NaN dots compare False on every plane, funnelling them
+                # all into signature 0 of every table (same O(bad²)
+                # blowup as the ragged case below)
+                good = np.isfinite(v).all(axis=1)
+                if good.all():
+                    return pd.Series(list(sigs))
+                return pd.Series(
+                    [sig if g else None for sig, g in zip(sigs, good)]
+                )
         except (ValueError, TypeError):
             pass
-        # Malformed-row fallback (r11): a NULL / ragged / null-element
-        # vector must not kill the task — the dedup contract scores such
-        # rows NULL against everything, so their bucket only affects
-        # candidate generation. They collapse to the all-zero signature,
-        # the same bucket the expression form's NULL bit convention
-        # produces (NULL dot → bit 0 per plane). Clean batches never
-        # reach this path, so the hot loop stays one BLAS matmul.
-        zero = np.zeros(n_tables, dtype="int32")
+        # Malformed-row fallback (r11, tightened r12): a NULL / ragged /
+        # null-element vector must not kill the task. Such rows bucket to
+        # a NULL signature: posexplode of NULL emits no banded rows, so
+        # they generate ZERO candidate pairs — still never dropped (the
+        # dedup contract) and never ranked (the exact path filters NULL
+        # sims the same way). The r11 all-zero-signature fallback instead
+        # paired every bad row with every other bad row and with legit
+        # zero-signature rows — an O(bad²) candidate blowup yielding only
+        # NULL sims, on precisely the many-failed-encodes corpora this
+        # path exists for (ADVICE r11). Clean batches never reach this
+        # loop, so the hot path stays one BLAS matmul.
         out = []
         for val in vals:
             try:
@@ -351,13 +366,13 @@ def lsh_buckets(vec: Column | str, tables: list[list[list[float]]]) -> Column:
                 ok = a.ndim == 1 and a.shape[0] == dim
             except (ValueError, TypeError):
                 ok = False
-            if ok:
+            if ok and np.isfinite(a).all():
                 bits = (a @ mat) >= 0
                 out.append(
                     (bits.reshape(n_tables, n_planes) @ weights).astype("int32")
                 )
             else:
-                out.append(zero)
+                out.append(None)
         return pd.Series(out)
 
     return F.pandas_udf(_buckets, "array<int>")(_col(vec).cast("array<double>"))
@@ -669,7 +684,31 @@ def lsh_cosine_topk(
     top-k over candidates only. The join is an equi-join on (table, bucket):
     a single shuffle whose width is the candidate set, not the corpus.
     """
-    dim = len(corpus.select(vec_col).first()[0])
+    # hyperplane dim from the first NON-NULL corpus vector (mirrors
+    # embedding_dedup, ADVICE r11): a bare first() is nondeterministic on
+    # distributed data and crashed on an empty corpus or a NULL-leading
+    # one. With no scorable corpus vector there are no neighbors for any
+    # query — return the empty result with the contract schema.
+    first = (
+        corpus.where(_col(vec_col).isNotNull())
+        .select(F.size(_col(vec_col).cast("array<double>")))
+        .first()
+    )
+    if first is None:
+        return (
+            queries.select(F.col(id_col).alias("query_id"))
+            .limit(0)
+            .crossJoin(
+                corpus.select(F.col(id_col).alias("neighbor_id")).limit(0)
+            )
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.lit(None).cast("double").alias("cos_sim"),
+                F.lit(None).cast("int").alias("rank"),
+            )
+        )
+    dim = first[0]
     tables = [
         _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
     ]

@@ -1827,5 +1827,49 @@ def test_ann_paths_tolerate_malformed_vectors(spark):
         "ivf_allbad": lambda: ivf_cosine_topk(allbad, q, k=3),
         "pq_allbad": lambda: pq_cosine_topk(allbad, q, k=3, m=2, n_codes=4),
         "sq_allbad": lambda: sq_cosine_topk(allbad, q, k=3),
+        # lsh derived its hyperplane dim via a bare first() until r12 —
+        # TypeError on an empty corpus, and first() is nondeterministic
+        # so a NULL-leading corpus could crash it too (ADVICE r11)
+        "lsh_empty": lambda: lsh_cosine_topk(empty, q, k=3, n_planes=2),
+        "lsh_allbad": lambda: lsh_cosine_topk(allbad, q, k=3, n_planes=2),
     }.items():
         assert fn().count() == 0, name
+
+
+def test_lsh_malformed_rows_generate_no_candidate_pairs(spark):
+    """Malformed vectors must bucket to a NULL signature — posexplode
+    emits no banded rows, so they create ZERO candidate pairs. The r11
+    fallback bucketed every bad row to the all-zero signature in all
+    tables, an O(bad^2) candidate-join blowup of NULL-sim pairs on
+    many-failed-encodes corpora (ADVICE r11)."""
+    import pandas as pd
+
+    from flink_psl_spark.llm.similarity import _hyperplanes, lsh_buckets
+    from flink_psl_spark.llm import embedding_dedup
+
+    tables = [_hyperplanes(4, 2, 42 + 1000 * t) for t in range(3)]
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, None), (3, [1.0]),
+         (4, [None, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r["vec_id"]: r["b"]
+        for r in df.select(
+            "vec_id", lsh_buckets("embedding", tables).alias("b")
+        ).collect()
+    }
+    assert rows[1] is not None and len(rows[1]) == 3
+    assert rows[2] is None and rows[3] is None and rows[4] is None
+
+    # end-to-end: a corpus that is mostly malformed still dedups the
+    # valid twins and keeps every malformed row (never-dropped contract)
+    bad = [(100 + i, None) for i in range(50)]
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0, 0.0])] + bad,
+        "vec_id long, embedding array<double>",
+    )
+    out = embedding_dedup(corpus, threshold=0.99, n_planes=2, n_tables=4)
+    kept = {r["vec_id"] for r in out.collect()}
+    assert 1 in kept and 2 not in kept
+    assert all(100 + i in kept for i in range(50))
