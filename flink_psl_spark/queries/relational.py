@@ -2225,14 +2225,19 @@ def schema_contract_migration(spark, sf_dir):
 # chain hoists its loop-invariant rank on the Spark side — see docstring.
 # ---------------------------------------------------------------------------
 
-# last registered view name per (thread, tag) — dropped on the SAME
-# thread's next invocation so repeated harness sweeps don't accumulate
-# catalog-pinned checkpoints. Keyed by thread so one caller can never
-# drop a view another caller registered but has not yet analyzed
-# (ADVICE r10: a global per-tag key let caller B drop caller A's fresh
-# view in the window between A's return and A's spark.sql analysis);
-# the lock makes the read-modify-write atomic so no name is ever
-# overwritten without being dropped (a lost name = a leaked checkpoint).
+# last registered (owning Thread, view name) per (thread ident, tag) —
+# dropped on the SAME thread's next invocation so repeated harness
+# sweeps don't accumulate catalog-pinned checkpoints. Keyed by thread so
+# one caller can never drop a view another caller registered but has not
+# yet analyzed (ADVICE r10: a global per-tag key let caller B drop
+# caller A's fresh view in the window between A's return and A's
+# spark.sql analysis); the lock makes the read-modify-write atomic so no
+# name is ever overwritten without being dropped (a lost name = a leaked
+# checkpoint). The OWNING Thread object is stored alongside the name
+# (ADVICE r11): idents are recycled, so a bare-ident key could hand a
+# dead caller's reap slot to an unrelated live caller, and a thread that
+# exits without re-invoking used to leak its view forever — dead
+# threads' entries are now reaped opportunistically on every call.
 _HOIST_LAST: dict = {}
 _HOIST_LOCK = threading.Lock()
 
@@ -2247,15 +2252,28 @@ def _hoisted_view(df, tag: str) -> str:
     thread's previous view can be dropped here without affecting a
     DataFrame already built on it — that bounds catalog-pinned
     checkpoints to one per (thread, tag) while the blocks themselves
-    free when the old DataFrame is GC'd. The blocks are small (a
-    ranked projection, not the fact table)."""
+    free when the old DataFrame is GC'd. Dead threads' views are
+    equally safe to reap: the registering call analyzed its spark.sql
+    before returning, so a thread that is no longer alive has no
+    pending analysis. The blocks are small (a ranked projection, not
+    the fact table)."""
     import uuid
 
     spark = df.sparkSession
-    key = (threading.get_ident(), tag)
+    cur = threading.current_thread()
+    key = (cur.ident, tag)
     with _HOIST_LOCK:
-        prev = _HOIST_LAST.pop(key, None)
-    if prev is not None:
+        # this thread's previous view, plus every entry whose owning
+        # thread has exited (a live different thread can never share
+        # our ident, so a key match with a foreign Thread object means
+        # the ident was recycled from a dead owner — reap, don't drop
+        # a live caller's view)
+        stale = [
+            k for k, (th, _) in _HOIST_LAST.items()
+            if k == key or not th.is_alive()
+        ]
+        reap = [_HOIST_LAST.pop(k)[1] for k in stale]
+    for prev in reap:
         try:
             spark.catalog.dropTempView(prev)
         except Exception:
@@ -2263,7 +2281,7 @@ def _hoisted_view(df, tag: str) -> str:
     name = f"__hoist_{tag}_{uuid.uuid4().hex[:12]}"
     df.localCheckpoint(eager=True).createOrReplaceTempView(name)
     with _HOIST_LOCK:
-        _HOIST_LAST[key] = name
+        _HOIST_LAST[key] = (cur, name)
     return name
 
 

@@ -99,10 +99,14 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
 
 
 def test_hoisted_view_is_per_thread_safe(spark):
-    """_hoisted_view must never drop a view another thread registered
-    but has not yet analyzed (ADVICE r10): the drop set is keyed by
-    (thread, tag), so B's invocation leaves A's fresh view resolvable,
-    while A's own next invocation still reaps A's previous view."""
+    """_hoisted_view must never drop a view another LIVE thread
+    registered but has not yet analyzed (ADVICE r10): the drop set is
+    keyed by (thread, tag), so B's invocation leaves A's fresh view
+    resolvable, while A's own next invocation still reaps A's previous
+    view. Once B exits without re-invoking, its orphaned view is reaped
+    by the next call on any thread (ADVICE r11: the old ident-keyed map
+    leaked one catalog-pinned checkpoint per exited thread, and a
+    recycled ident handed a dead caller's slot to an unrelated one)."""
     import threading
 
     from flink_psl_spark.queries.relational import _hoisted_view
@@ -112,19 +116,29 @@ def test_hoisted_view_is_per_thread_safe(spark):
     name_a1 = _hoisted_view(df, tag)
 
     names_b = []
+    registered = threading.Event()
+    release = threading.Event()
 
     def other():
         names_b.append(_hoisted_view(df, tag))
+        registered.set()
+        release.wait(30)
 
     th = threading.Thread(target=other)
     th.start()
-    th.join()
+    assert registered.wait(30)
     # B's call (same tag, different thread) must NOT have dropped A's view
     assert spark.sql(f"SELECT COUNT(*) AS n FROM {name_a1}").first()["n"] == 3
     # A's own next call reaps only A's previous view...
     name_a2 = _hoisted_view(df, tag)
     assert not spark.catalog.tableExists(name_a1)
-    # ...and leaves B's view alone (one live view per (thread, tag))
+    # ...and leaves the still-LIVE B's view alone
     assert spark.sql(f"SELECT COUNT(*) AS n FROM {names_b[0]}").first()["n"] == 3
-    for n in (name_a2, names_b[0]):
-        spark.catalog.dropTempView(n)
+    release.set()
+    th.join()
+    # B exited without re-invoking: the next call reaps B's orphan (and
+    # A's previous view, as always)
+    name_a3 = _hoisted_view(df, tag)
+    assert not spark.catalog.tableExists(name_a2)
+    assert not spark.catalog.tableExists(names_b[0])
+    spark.catalog.dropTempView(name_a3)
