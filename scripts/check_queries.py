@@ -69,6 +69,23 @@ def main() -> int:
     else:
         qmap = QUERIES
     con = duck_connection(sf_dir)
+    # Untimed session warm-up (VERDICT r11): the first checked row used
+    # to absorb the whole JVM/Arrow-worker/codegen cold start — the
+    # position-1 query printed ~2x its warm cost (r10: llm_bfd_packing
+    # 6.1 s; r11: recursive_cte_order_chain 13.88 s vs a 4.5 s warm
+    # A/B), distorting exactly the round-over-round trend the artifact
+    # exists to support. One aggregate (codegen + shuffle machinery),
+    # one Arrow-batched pandas op (Python worker spawn), one parquet
+    # scan (datasource + footer paths) retire those one-time costs.
+    spark.range(1_000_000).selectExpr("id % 7 AS k", "id") \
+        .groupBy("k").sum("id").collect()
+    spark.range(10_000).mapInPandas(
+        lambda it: (b for b in it), "id long"
+    ).count()
+    try:
+        spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    except Exception:
+        pass
     failures = []
     report: dict[str, dict] = {}
     ran = 0
