@@ -447,6 +447,26 @@ def decode_wav(payload: bytes):
     return nch, rate, np.frombuffer(data, dtype=np.int16)
 
 
+def try_decode_wav(payload):
+    """``decode_wav`` with the degenerate-input contract (r12): returns
+    None for ANY unparseable payload — NULL, zero-byte, truncated RIFF,
+    non-WAV bytes, zero/negative header rate — instead of raising. At
+    100 TB one malformed clip is a certainty, and pre-r12 it killed the
+    whole task (the same defect class the r11 sweep fixed in the ANN
+    kernels). Callers map None to NULL output columns: malformed rows
+    are never dropped and never crash, and a NULL fingerprint never
+    joins a dedup group."""
+    if payload is None:
+        return None
+    try:
+        nch, rate, samples = decode_wav(payload)
+    except Exception:
+        return None
+    if nch <= 0 or rate <= 0:
+        return None
+    return nch, rate, samples
+
+
 def wav_stats(media: DataFrame) -> DataFrame:
     """Decode REAL WAV payloads (stdlib codec) and emit per-clip stats:
     channel count, sample rate, sample count, duration, integer-exact RMS.
@@ -471,7 +491,12 @@ def wav_stats(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                nch, rate, samples = decode_wav(payload)
+                dec = try_decode_wav(payload)
+                if dec is None:
+                    # malformed clip: NULL stats, row kept (r12 contract)
+                    rows.append((int(mid), None, None, None, None, None))
+                    continue
+                nch, rate, samples = dec
                 n = int(len(samples))
                 # integer sum of squares -> exact across engines
                 ssq = int((samples.astype(np.int64) ** 2).sum())
@@ -663,10 +688,16 @@ def audio_fingerprint(media: DataFrame, *, n_windows: int = 64) -> DataFrame:
         for pdf in batches:
             ids, fps = [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                _, _, samples = decode_wav(payload)
+                dec = try_decode_wav(payload)
                 ids.append(int(mid))
-                fps.append(audio_fingerprint_kernel(samples, n_windows=n_windows))
-            yield pd.DataFrame({"media_id": ids, "afp": fps})
+                fps.append(
+                    audio_fingerprint_kernel(dec[2], n_windows=n_windows)
+                    if dec is not None
+                    else None  # malformed clip → NULL fingerprint (r12)
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "afp": pd.array(fps, dtype="Int64")}
+            )
 
     return media.select("media_id", "payload").mapInPandas(
         run, "media_id bigint, afp bigint"
@@ -685,11 +716,20 @@ def audio_dedup(media: DataFrame, *, n_windows: int = 64) -> DataFrame:
 
     fp = audio_fingerprint(media, n_windows=n_windows)
     w = Window.partitionBy("afp")
+    # NULL fingerprints (undecodable clips, r12 contract) are unscorable:
+    # each is its own singleton survivor — Window.partitionBy groups all
+    # NULL keys into ONE partition, which would otherwise mark every
+    # malformed clip a duplicate of the lowest-id one
+    bad = F.col("afp").isNull()
     return fp.select(
         "media_id",
         "afp",
-        (F.col("media_id") == F.min("media_id").over(w)).alias("survivor"),
-        F.count("*").over(w).alias("group_size"),
+        F.when(bad, F.lit(True))
+        .otherwise(F.col("media_id") == F.min("media_id").over(w))
+        .alias("survivor"),
+        F.when(bad, F.lit(1).cast("bigint"))
+        .otherwise(F.count("*").over(w))
+        .alias("group_size"),
     )
 
 

@@ -856,6 +856,82 @@ def test_audio_fingerprint_dedup(spark, t):
     assert isinstance(encode_wav(clip.clip(-1024, 1023).tolist()), bytes)
 
 
+def test_multimodal_paths_tolerate_malformed_payloads(spark):
+    """100 TB robustness contract for the multimodal codecs (r12, the
+    multimodal leg of the r11 ANN degenerate-input sweep): a NULL,
+    zero-byte, truncated, garbage, or zero-rate-header payload must not
+    kill a task on ANY codec path. Audio: malformed clips emit NULL
+    stats / NULL fingerprints and are singleton survivors in dedup
+    (a NULL fingerprint must never join a dedup group — partitionBy
+    groups NULL keys together). Image: every byte string decodes via
+    the deterministic fallback, so the pipeline is total already —
+    asserted here so a future codec swap keeps the contract."""
+    import numpy as np
+
+    from flink_psl_spark.llm.multimodal import (
+        audio_dedup,
+        audio_fingerprint,
+        decode_resize_stats,
+        encode_wav,
+        image_dedup,
+        try_decode_wav,
+        wav_stats,
+    )
+
+    good = encode_wav([(i * 7) % 512 - 256 for i in range(300)], 8000)
+    truncated_header = good[:20]  # cut inside the fmt chunk
+    zero_rate = bytearray(good)
+    zero_rate[24:28] = b"\x00\x00\x00\x00"  # fmt-chunk sample rate = 0
+    payloads = [
+        (1, good),
+        (2, None),
+        (3, b""),
+        (4, truncated_header),
+        (5, b"not a riff header at all"),
+        (6, bytes(zero_rate)),
+    ]
+    # kernel-level contract first
+    assert try_decode_wav(good) is not None
+    for _, p in payloads[1:]:
+        assert try_decode_wav(p) is None, p
+    # a payload cut inside the DATA chunk keeps a valid header — the
+    # stdlib reader (like most real decoders) returns the partial
+    # samples; the contract is only that it never crashes
+    partial = try_decode_wav(good[: len(good) // 2])
+    assert partial is not None and 0 < len(partial[2]) < 300
+
+    media = spark.createDataFrame(
+        [(i, "audio", p) for i, p in payloads],
+        "media_id long, media_type string, payload binary",
+    )
+    stats = {r["media_id"]: r for r in wav_stats(media).collect()}
+    assert len(stats) == 6  # every clip kept, malformed included
+    assert stats[1]["n_samples"] == 300 and stats[1]["sample_rate"] == 8000
+    for mid in (2, 3, 4, 5, 6):
+        assert stats[mid]["n_samples"] is None, mid
+        assert stats[mid]["rms"] is None, mid
+
+    fps = {r["media_id"]: r["afp"] for r in audio_fingerprint(media).collect()}
+    assert fps[1] is not None
+    assert all(fps[m] is None for m in (2, 3, 4, 5, 6))
+
+    dd = {r["media_id"]: r for r in audio_dedup(media).collect()}
+    for mid in (2, 3, 4, 5, 6):
+        assert dd[mid]["survivor"] is True, mid
+        assert dd[mid]["group_size"] == 1, mid
+    assert dd[1]["survivor"] is True
+
+    # image paths: same degenerate payloads (plus a truncated PNG) flow
+    # through decode → resize → stats and dhash dedup without error
+    png_head = b"\x89PNG\r\n\x1a\n" + b"\x00" * 10
+    imgs = spark.createDataFrame(
+        [(i, "image", p) for i, p in payloads] + [(7, "image", png_head)],
+        "media_id long, media_type string, payload binary",
+    )
+    assert decode_resize_stats(imgs, out_w=4, out_h=4).count() == 7
+    assert image_dedup(imgs).count() == 7
+
+
 def test_video_clip_dedup_jaccard(spark, t):
     """Clip dedup: an injected clip sharing most of a lower-id clip's
     payload (same frames except the tail) is dropped at threshold 0.6;
