@@ -876,7 +876,10 @@ def _eval_measure(pdf: pd.DataFrame, idxs, fn: str, col: str | None):
     if fn == "max":
         return vals.max()
     if fn == "sum":
-        return vals.sum()
+        # SQL SUM over zero non-NULL values is NULL; pandas' skipna sum
+        # of an all-NA series is 0 (r12 degenerate sweep — the only
+        # aggregate where the two models disagree on all-NULL input)
+        return None if vals.isna().all() else vals.sum()
     if fn == "avg":
         return vals.mean()
     raise ValueError(f"unknown measure fn {fn}")

@@ -1112,3 +1112,65 @@ def test_define_running_aggregates(spark):
     # 4,4,4 (avg 4) stops at count cap; 10 opens (avg 10 >= 5, refused as
     # first row -> no >= 2-row block from 10); 1 alone can't reach 2 rows
     assert got2 == [(3, 4.0)]
+
+
+def test_match_recognize_degenerate_inputs(spark):
+    """Degenerate-input sweep, CEP leg (r12; the ANN sweep's method
+    applied here): empty input, empty partitions after filtering,
+    all-NULL measure columns, NULL partition keys, and NULL event times
+    under WITHIN must never kill a task. Contracts: SQL aggregate NULL
+    semantics on all-NULL measures (SUM/MIN/MAX/AVG → NULL, COUNT → n,
+    FIRST/LAST → the row's NULL); a NULL partition key forms its own
+    group (like groupBy); a NULL time under WITHIN compares UNKNOWN, so
+    spans touching it never qualify."""
+    pat = [Step("a", "et = 'x'"), Step("b", "et = 'y'")]
+    meas = [
+        Measure("n", "a", "count", None),
+        Measure("s", "a", "sum", "v"),
+        Measure("f", "a", "first", "v"),
+        Measure("mn", "a", "min", "v"),
+        Measure("av", "a", "avg", "v"),
+    ]
+    schema = "u string, ts timestamp, et string, v double"
+
+    # empty input → empty result, schema intact
+    empty = spark.createDataFrame([], schema)
+    out = match_recognize(empty, "u", "ts", pat, meas)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "u", "match_seq", "n", "s", "f", "mn", "av"]
+
+    # all-NULL double measure column: SUM must be NULL, not pandas' 0.0
+    rows = [("k1", TS(i), et, None) for i, et in enumerate(["x", "y"])]
+    got = match_recognize(
+        spark.createDataFrame(rows, schema), "u", "ts", pat, meas
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n"] == 1
+    assert r["s"] is None and r["f"] is None
+    assert r["mn"] is None and r["av"] is None
+
+    # all-NULL string measure column survives min/max/first
+    rows = [("k1", TS(i), et, None) for i, et in enumerate(["x", "y"])]
+    meas_s = [Measure("f", "a", "first", "sv"), Measure("mx", "b", "max", "sv")]
+    got = match_recognize(
+        spark.createDataFrame(rows, "u string, ts timestamp, et string, sv string"),
+        "u", "ts", pat, meas_s,
+    ).collect()
+    assert len(got) == 1 and got[0]["f"] is None and got[0]["mx"] is None
+
+    # NULL partition key forms its own group
+    rows = [(None, TS(0), "x", 1.0), (None, TS(1), "y", 2.0)]
+    got = match_recognize(
+        spark.createDataFrame(rows, schema), "u", "ts", pat, meas
+    ).collect()
+    assert len(got) == 1 and got[0]["u"] is None and got[0]["s"] == 1.0
+
+    # NULL event time under WITHIN: the span is UNKNOWN → no match, no crash
+    rows = [("k1", None, "x", 1.0), ("k1", TS(1), "y", 2.0)]
+    got = match_recognize(
+        spark.createDataFrame(rows, schema), "u", "ts", pat, meas,
+        within="10 minutes", time_col="ts",
+    ).collect()
+    assert got == []
