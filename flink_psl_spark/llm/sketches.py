@@ -70,7 +70,10 @@ def _partial_bottom_k(k: int):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         best: dict[object, "np.ndarray"] = {}
         for pdf in batches:
-            for g, sub in pdf.groupby("__g", sort=False):
+            # dropna=False: a NULL group forms a group like GROUP BY
+            # (string col → label None, a stable dict key); NULL hashes
+            # are filtered upstream in kmv_sketch (r12)
+            for g, sub in pdf.groupby("__g", sort=False, dropna=False):
                 h = sub["__h"].to_numpy(dtype=np.int64)
                 cur = best.get(g)
                 arr = np.unique(h if cur is None else np.concatenate([cur, h]))
@@ -108,6 +111,11 @@ def kmv_sketch(
     el = df.select(
         g.cast("string").alias("__g"), kmv_hash(element_col).alias("__h")
     )
+    # NULL elements hash to NULL (md5(NULL)) and are not elements —
+    # COUNT(DISTINCT) semantics ignore them. Pre-r12 a NULL hash reached
+    # the kernel as NaN and to_numpy(int64) killed the task (r12
+    # degenerate sweep — same crash class as the ANN/audio fixes).
+    el = el.where(F.col("__h").isNotNull())
     partial = el.mapInPandas(_partial_bottom_k(k), "__g string, __h long")
     w = Window.partitionBy("__g").orderBy("__h")
     return (
@@ -281,7 +289,9 @@ def stream_kmv_sketch(
         cur = list(state.get[0]) if state.exists else []
         fresh: set[int] = set()
         for b in batches:
-            fresh.update(int(x) for x in b["h"])
+            # NULL hashes (NULL elements) are not elements; they arrive
+            # as NaN and int(NaN) raised pre-r12
+            fresh.update(int(x) for x in b["h"].dropna())
         merged = kmv_merge_batch(cur, sorted(fresh), k=k)
         state.update((merged,))
         if merged != cur:

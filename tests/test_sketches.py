@@ -202,3 +202,68 @@ def test_overlap_matrix_matches_pairwise_overlap(spark):
         )
     # disjoint-ish pair has lower similarity than overlapping ones
     assert mat[("a", "c")][0] <= mat[("a", "b")][0]
+
+
+def test_sketches_degenerate_inputs(spark, tmp_path):
+    """Degenerate-input sweep, sketch leg (r12): empty corpora, NULL
+    elements, NULL groups, and missing overlap groups must never kill a
+    task. Contracts: a NULL element is not an element (COUNT DISTINCT
+    semantics — pre-r12 its NULL md5 hash reached the numpy kernel as
+    NaN and to_numpy(int64) crashed the task); a NULL group forms a
+    group like GROUP BY; overlap against an absent group is empty, not
+    an error."""
+    from flink_psl_spark.llm.sketches import stream_kmv_sketch
+
+    # empty input → empty sketch / empty estimates
+    empty = spark.createDataFrame([], "g string, e string")
+    assert kmv_sketch(empty, "e", "g", k=16).count() == 0
+    assert kmv_distinct_estimates(
+        kmv_sketch(empty, "e", "g", k=16), k=16
+    ).count() == 0
+
+    # NULL elements ignored, NULL group kept as its own group
+    rows = [("a", "x"), ("a", None), (None, "x"), (None, None), ("a", "y")]
+    df = spark.createDataFrame(rows, "g string, e string")
+    sk = kmv_sketch(df, "e", "g", k=16)
+    got = {(r["group"], r["rank"]): r["h"] for r in sk.collect()}
+    assert [got[("a", i + 1)] for i in range(2)] == _model_sketch(
+        ["x", "y"], 16
+    )
+    assert [got[(None, 1)]] == _model_sketch(["x"], 16)
+    assert len(got) == 3
+
+    # singleton sketch estimates exactly
+    [r] = kmv_distinct_estimates(
+        kmv_sketch(
+            spark.createDataFrame([("a", "only")], "g string, e string"),
+            "e", "g", k=16,
+        ), k=16,
+    ).collect()
+    assert r["est_distinct"] == 1.0
+
+    # overlap where one / both groups are absent → empty result, no crash
+    one = spark.createDataFrame([("a", f"e{i}") for i in range(5)],
+                                "g string, e string")
+    assert kmv_overlap(one, "e", "g", "a", "missing", k=16).count() == 0
+    assert kmv_overlap(one, "e", "g", "nope", "missing", k=16).count() == 0
+
+    # streaming KMV over a batch containing NULL hashes (pre-r12:
+    # int(NaN) ValueError inside the state fn)
+    from flink_psl_spark.llm.sketches import kmv_hash
+    from flink_psl_spark.streaming import (
+        run_to_memory_table,
+        stream_from_parquet,
+    )
+
+    src = str(tmp_path / "null_src")
+    spark.createDataFrame(
+        [("a", "x"), ("a", None), (None, "z")], "g string, e string"
+    ).coalesce(1).write.parquet(src)
+    stream = stream_from_parquet(spark, src)
+    hashed = stream.select("g", kmv_hash(F.col("e")).alias("h"))
+    mem = run_to_memory_table(
+        stream_kmv_sketch(hashed, "g", "h", k=8), output_mode="update"
+    )
+    got = {(r["group"], r["rank"]): r["h"] for r in mem.collect()}
+    assert [got[("a", 1)]] == _model_sketch(["x"], 8)
+    assert [got[(None, 1)]] == _model_sketch(["z"], 8)
