@@ -68,11 +68,12 @@ _PRIORITY_WINDOW = [
 ]
 
 # ROUND-13 seed (precomputed, exactly 50): the oldest rows remaining
-# after the r12 window — the r5-era residue, then the oldest r6 rows.
-# 1) the 33 r5-era rows left after the r12 window, risk-ordered
-#    (DSv2 source state + windowed dedup first):
-#    pysource_datagen_agg, pysource_datagen_pushdown, window_dedup,
-#    temporal_table_function_sql, udf_pandas_scalar,
+# after the r12 window — computed this round from the union of
+# CORRECTNESS_r{01..11} latest-green rows + the r12 window. After r12,
+# exactly 30 r5-era rows remain (everything else is r6+).
+# 1) the 30 r5-era rows, risk-ordered (DSv2 source state + UD*F
+#    surfaces first): pysource_datagen_agg, pysource_datagen_pushdown,
+#    window_dedup, temporal_table_function_sql, udf_pandas_scalar,
 #    udaf_pandas_grouped, udtf_lateral, udtaf_top2_per_group,
 #    cogroup_user_summary, table_api_row_ops, llm_importance_resample,
 #    llm_perplexity_bucket_sample, llm_boilerplate_removal,
@@ -81,18 +82,14 @@ _PRIORITY_WINDOW = [
 #    hash_code_fn, string_functions2, string_functions3,
 #    math_functions2, temporal_functions2, temporal_overlaps_fn,
 #    typeof_fn, encode_decode_fn, array_map_row_fn, json_functions2,
-#    passthrough_functions, posexplode_words, plus the two
-#    implementation-sensitive re-proofs stream_timer_session_agg
-#    contingencies if red (else roll forward), rounded out by
-#    llm_semantic_dedup_two_level, llm_pq_ann_topk (r6 ANN heads).
-# 2) 17 r6-era rows by risk: sum0_timestamp_ltz_fn,
-#    pysource_stream_datagen_agg, pysource_datagen_fields,
-#    jdbc_upsert_roundtrip, filesystem_partition_commit,
-#    datastream_window_agg, try_functions, ndu_analysis, then the
-#    r6-refreshed relational heads (calc_project_filter,
-#    q1_pricing_summary, q3_shipping_priority, q6_forecast_revenue,
-#    q14_promo_effect, q18_large_volume, agg_distinct, agg_stats,
-#    agg_rollup).
+#    passthrough_functions, posexplode_words.
+# 2) the 20 oldest r6-era rows (registration order; the r6 refresh of
+#    the r1 relational heads): calc_project_filter, q1_pricing_summary,
+#    q3_shipping_priority, q6_forecast_revenue, q14_promo_effect,
+#    q18_large_volume, agg_distinct, agg_stats, agg_rollup, agg_cube,
+#    agg_grouping_sets, agg_listagg, agg_collect, agg_approx_distinct,
+#    join_multiway_revenue, join_left_agg, join_full_outer, join_semi,
+#    join_anti, join_theta_nonequi.
 # If any r12 row comes back red, it takes position 1 of r13 (with its
 # family's bisect canaries if it has them) and the seed's tail rolls
 # to r14.
