@@ -121,9 +121,17 @@ def pca_fit(
     import numpy as np
     import pandas as pd
 
-    d = len(
-        vecs.select(vec_col).where(F.col(vec_col).isNotNull()).first()[0]
+    # dim from the first NON-NULL vector (the embedding_dedup idiom); an
+    # empty / all-NULL corpus fails fast with a clear error instead of
+    # the pre-r12 'NoneType is not subscriptable' task-side crash
+    first = (
+        vecs.where(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("d"))
+        .first()
     )
+    if first is None:
+        raise ValueError("pca_fit: no non-NULL vectors to fit")
+    d = first["d"]
     if not 1 <= n_components <= d:
         raise ValueError(f"n_components must be in [1, {d}]")
 
@@ -135,6 +143,11 @@ def pca_fit(
             if not rows:
                 continue
             X = np.array(rows, dtype=np.float64)
+            # null elements arrive as nan; NaN/inf vectors would poison
+            # the moment sums — skip them like the wrong-length rows
+            X = X[np.isfinite(X).all(axis=1)]
+            if not len(X):
+                continue
             g = X.T @ X  # d×d batch Gram
             vals = np.concatenate(
                 ([float(len(X))], X.sum(axis=0), g.ravel())
@@ -317,9 +330,33 @@ def kmeans_fit(
 
     from pyspark.sql import functions as F
 
-    src = vecs.select(
+    # Degenerate-input contract (r12): NULL / null-element / non-finite
+    # vectors are not trainable points — exclude them BEFORE seeding and
+    # assignment (pre-r12 they crashed the seed loop or np.stack). The
+    # model dimension is the vector length of the md5-smallest valid id
+    # (the same deterministic ordering seeding uses), and ragged rows of
+    # any other length are excluded too; reference_kmeans applies the
+    # identical rule, keeping the parity tests exact.
+    valid = vecs.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
-    ).persist()
+    ).where(
+        F.col("__v").isNotNull()
+        & (F.size("__v") > 0)
+        & ~F.expr(
+            "exists(__v, x -> x is null or isnan(x)"
+            " or abs(x) = double('Infinity'))"
+        )
+    )
+    drow = (
+        valid.withColumn("__h", F.md5(F.col("__id").cast("string")))
+        .orderBy("__h", "__id")
+        .select(F.size("__v").alias("d"))
+        .first()
+    )
+    if drow is None:
+        raise ValueError("kmeans_fit: no valid (non-NULL, finite) vectors")
+    d = drow["d"]
+    src = valid.where(F.size("__v") == d).persist()
     try:
         seed_rows = (
             src.withColumn(
@@ -329,6 +366,11 @@ def kmeans_fit(
             .limit(k)
             .collect()
         )  # K rows — parameter-sized
+        if len(seed_rows) < k:
+            raise ValueError(
+                f"kmeans_fit: k={k} exceeds the {len(seed_rows)} valid "
+                f"{d}-dim vectors available"
+            )
         cents = [
             [int(round(float(x) * micro)) for x in r["__v"]]
             for r in sorted(seed_rows, key=lambda r: r["__id"])
@@ -416,7 +458,30 @@ def reference_kmeans(
 
     import numpy as np
 
-    seeds = sorted(rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]))[:k]
+    def _finite(v) -> bool:
+        if v is None or not len(v):
+            return False
+        a = np.asarray(
+            [float("nan") if x is None else x for x in v], dtype=np.float64
+        )
+        return bool(np.isfinite(a).all())
+
+    # identical degenerate-input rule to kmeans_fit (r12): only finite
+    # vectors of the md5-smallest valid row's dimension participate
+    valid = sorted(
+        (r for r in rows if _finite(r[1])),
+        key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]),
+    )
+    if not valid:
+        raise ValueError("reference_kmeans: no valid vectors")
+    d = len(valid[0][1])
+    valid = [r for r in valid if len(r[1]) == d]
+    if len(valid) < k:
+        raise ValueError(
+            f"reference_kmeans: k={k} exceeds {len(valid)} valid vectors"
+        )
+    rows = valid
+    seeds = rows[:k]  # already md5-ordered
     cents = [
         [int(round(float(x) * micro)) for x in v]
         for _, v in sorted(seeds, key=lambda r: r[0])

@@ -1856,6 +1856,59 @@ def test_kmeans_partition_invariance(spark, t):
     assert c1 == c7
 
 
+def test_trainers_degenerate_inputs(spark):
+    """Degenerate-input sweep, trainer leg (r12): empty / all-NULL /
+    undersized corpora fail FAST with a clear driver-side ValueError
+    (pre-r12: NoneType subscripts and np.stack shape crashes inside
+    tasks); malformed rows (NULL, null-element → NaN, ragged, non-
+    finite) are excluded from fitting with exact distributed/reference
+    parity; logreg tolerates empty and all-NULL text outright."""
+    import pytest as _pytest
+
+    from flink_psl_spark.llm.classifier import train_logreg_hashed
+    from flink_psl_spark.llm.clustering import (
+        kmeans_fit,
+        pca_fit,
+        reference_kmeans,
+    )
+
+    schema = "vec_id long, embedding array<double>"
+    empty = spark.createDataFrame([], schema)
+    allnull = spark.createDataFrame([(1, None), (2, None)], schema)
+    tiny = spark.createDataFrame([(1, [1.0, 2.0])], schema)
+
+    with _pytest.raises(ValueError, match="no non-NULL vectors"):
+        pca_fit(empty, 1)
+    with _pytest.raises(ValueError, match="no non-NULL vectors"):
+        pca_fit(allnull, 1)
+    with _pytest.raises(ValueError, match="no valid"):
+        kmeans_fit(empty, 2, iters=1)
+    with _pytest.raises(ValueError, match="no valid"):
+        kmeans_fit(allnull, 2, iters=1)
+    with _pytest.raises(ValueError, match="k=3 exceeds"):
+        kmeans_fit(tiny, 3, iters=1)
+
+    rows = [(1, [1.0, 2.0]), (2, None), (3, [0.5, 1.0]), (4, [3.0]),
+            (5, [float("nan"), 1.0]), (6, [2.0, 4.0])]
+    mixed = spark.createDataFrame(rows, schema)
+    assert kmeans_fit(mixed, 2, iters=2) == reference_kmeans(
+        rows, 2, iters=2
+    )
+    assert pca_fit(mixed, 1)["n"] == 3  # the three clean 2-dim vectors
+
+    doc_schema = "doc_id long, text string, label int"
+    w = train_logreg_hashed(
+        spark.createDataFrame([], doc_schema), "text", "label",
+        dim=8, iters=1,
+    )
+    assert len(w) == 9
+    w = train_logreg_hashed(
+        spark.createDataFrame([(1, None, 0), (2, None, 1)], doc_schema),
+        "text", "label", dim=8, iters=1,
+    )
+    assert len(w) == 9
+
+
 def test_ann_paths_tolerate_malformed_vectors(spark):
     """100 TB robustness contract (r11): one malformed corpus row — NULL,
     ragged, null-element, or NaN-bearing — must not kill a job or
