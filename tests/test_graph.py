@@ -190,3 +190,40 @@ def test_community_detection_two_cliques(spark):
     got_b = {r["node"]: r["label"] for r in community_detection(bridged, iters=3).collect()}
     assert got_b[1] == got_b[2] == got_b[3]
     assert got_b[11] == got_b[12]
+
+
+def test_graph_ops_degenerate_graphs(spark):
+    """Degenerate-input sweep, graph leg (r12): every graph operator
+    must be total on the empty graph, a pure-self-loop graph, and a
+    single-edge graph (probed exhaustively this round — all clean; this
+    test keeps it that way). Self-loops are excluded from neighborhood
+    metrics by the undirect() s<d contract, so the self-loop graph
+    behaves as edgeless for degrees/triangles/coefficients."""
+    import flink_psl_spark.operators.graph as G
+
+    empty = spark.createDataFrame([], "s long, d long")
+    selfloop = spark.createDataFrame([(1, 1), (2, 2)], "s long, d long")
+    single = spark.createDataFrame([(1, 2)], "s long, d long")
+
+    fns = {
+        "degrees": lambda e: G.degrees(e),
+        "pagerank": lambda e: G.pagerank(e, iters=2),
+        "triangle_count": lambda e: G.triangle_count(e),
+        "sssp": lambda e: G.sssp(e, 1),
+        "label_propagation": lambda e: G.label_propagation(e, iters=2),
+        "clustering_coeff": lambda e: G.local_clustering_coefficient(e),
+        "jaccard_index": lambda e: G.jaccard_index(e),
+        "adamic_adar": lambda e: G.adamic_adar(e),
+        "triadic_census": lambda e: G.triadic_census(e),
+        "hits": lambda e: G.hits(e, iters=2),
+        "community_detection": lambda e: G.community_detection(e, iters=2),
+    }
+    for gname, g in (("empty", empty), ("selfloop", selfloop),
+                     ("single", single)):
+        for fname, fn in fns.items():
+            out = fn(g)
+            assert out.count() >= 0, (gname, fname)
+    # spot semantics: a single edge is a 2-vertex graph with one
+    # degree-1 endpoint each and no triangles
+    degs = {r["node"]: r["degree"] for r in G.degrees(single).collect()}
+    assert degs == {1: 1, 2: 1}
