@@ -108,14 +108,17 @@ def kmv_sketch(
     from pyspark.sql import Window
 
     g = F.col(group_col) if isinstance(group_col, str) else group_col
-    el = df.select(
-        g.cast("string").alias("__g"), kmv_hash(element_col).alias("__h")
-    )
+    e = F.col(element_col) if isinstance(element_col, str) else element_col
     # NULL elements hash to NULL (md5(NULL)) and are not elements —
     # COUNT(DISTINCT) semantics ignore them. Pre-r12 a NULL hash reached
     # the kernel as NaN and to_numpy(int64) killed the task (r12
     # degenerate sweep — same crash class as the ANN/audio fixes).
-    el = el.where(F.col("__h").isNotNull())
+    # Filter the RAW element (NULL element ⇔ NULL hash), not the
+    # computed __h: a filter on the aliased hash gets pushed below the
+    # projection by substitution and evaluates md5+conv twice per row.
+    el = df.where(e.isNotNull()).select(
+        g.cast("string").alias("__g"), kmv_hash(element_col).alias("__h")
+    )
     partial = el.mapInPandas(_partial_bottom_k(k), "__g string, __h long")
     w = Window.partitionBy("__g").orderBy("__h")
     return (
