@@ -225,3 +225,52 @@ def test_session_transcripts_cross_batch(spark, tmp_path):
     assert got[(7, 1)]["n_turns"] == 3
     assert got[(7, 2)]["transcript"] == "d"
     assert got[(7, 2)]["first_ts"] == m(50)
+
+
+def test_stateful_ops_tolerate_null_keys_and_values(spark, tmp_path):
+    """Degenerate-input sweep, streaming-stateful leg (r12): NULL keys
+    must form their own state group (like groupBy) and NULL order/value
+    cells must rank/aggregate with batch NULL semantics — no task
+    crashes. Probed across keyed_top_n / keyed_running_agg /
+    keyed_count_window / streaming_rows_over this round; pinned here on
+    the two canonical shapes."""
+    import datetime as dt
+
+    from flink_psl_spark.streaming import (
+        run_to_memory_table,
+        stream_from_parquet,
+    )
+    from flink_psl_spark.streaming.stateful import (
+        keyed_running_agg,
+        keyed_top_n,
+    )
+
+    rows = [
+        ("a", 3.0, dt.datetime(2024, 1, 1, 0, 0)),
+        (None, 5.0, dt.datetime(2024, 1, 1, 0, 1)),
+        ("a", None, dt.datetime(2024, 1, 1, 0, 2)),
+        (None, None, dt.datetime(2024, 1, 1, 0, 3)),
+        ("b", 1.0, dt.datetime(2024, 1, 1, 0, 4)),
+        ("a", 7.0, dt.datetime(2024, 1, 1, 0, 5)),
+    ]
+    src = str(tmp_path / "null_keys_src")
+    spark.createDataFrame(
+        rows, "k string, v double, ts timestamp"
+    ).coalesce(1).write.parquet(src)
+
+    out = run_to_memory_table(
+        keyed_top_n(stream_from_parquet(spark, src), "k", "v", 2),
+        output_mode="update",
+    )
+    got = {(r["k"], r["rank"]): r["v"] for r in out.collect()}
+    # NULL key forms its own group; NULL order values sort last (batch
+    # desc NULLS LAST semantics) but stay visible
+    assert got[("a", 1)] == 7.0 and got[("a", 2)] == 3.0
+    assert got[(None, 1)] == 5.0 and got[(None, 2)] is None
+    assert got[("b", 1)] == 1.0
+
+    agg = run_to_memory_table(
+        keyed_running_agg(stream_from_parquet(spark, src), "k", "v"),
+        output_mode="update",
+    )
+    assert agg.count() == 3  # one refreshed row per key incl. NULL
