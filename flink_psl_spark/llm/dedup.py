@@ -305,15 +305,25 @@ def minhash_dedup(
     pair-joins; at pipeline scale the drop-greater rule is the standard
     dedup policy.)
     """
+    # materialize signatures BEFORE the LSH self-join (guide §8: compute
+    # the fingerprint table once, decide on it). Without this the planner
+    # duplicates the whole scan→tokenize→shingle→minhash-kernel subtree
+    # onto BOTH sides of the band self-join (Python-UDF canonicalization
+    # defeats exchange reuse; small-estimate corpora additionally plan the
+    # banded side as a corpus-sized broadcast) — measured two
+    # ArrowEvalPython evaluations per run at sf0.1, and the double worker
+    # round-trip made run times bimodal (2 s / 9 s). One eval: ~20% faster
+    # and stable. At scale this is n_docs × num_hashes longs — the
+    # canonical materialized fingerprint pass.
     with_sig = minhash_signatures(
         df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n
-    )
+    ).localCheckpoint(eager=True)
     cand = minhash_lsh_pairs(
         with_sig, id_col, "minhash", bands=bands, num_hashes=num_hashes
     )
     # materialize the (tiny) candidate set: the verify stage references it
     # from several branches (id union + both pair joins) and would otherwise
-    # recompute the whole signature+LSH pipeline once per branch
+    # recompute the whole LSH band join once per branch
     cand = cand.localCheckpoint(eager=True)
     verified = ngram_jaccard_pairs(
         df, text_col, id_col, shingle_n=shingle_n,
@@ -414,9 +424,15 @@ def simhash_candidate_pairs(
     """
     blocks = max_hamming + 1
     width = 64 // blocks
+    # fingerprints materialized before the block self-join — same
+    # double-eval fix as minhash_dedup: the self-join otherwise plans the
+    # shingle-explode + 64-vote aggregation subtree on BOTH sides
+    # (measured: two Generate(shingles)→HashAggregate chains per run at
+    # sf0.1, one of them feeding a corpus-sized broadcast). One eval of
+    # the heavy agg; the materialized table is n_docs × (id, 1 long).
     fp = simhash_fingerprints(
         df, text_col, id_col, shingle_n=shingle_n, out_col="__fp"
-    ).select(F.col(id_col).alias("__id"), "__fp")
+    ).select(F.col(id_col).alias("__id"), "__fp").localCheckpoint(eager=True)
     banded = fp.select(
         "__id",
         "__fp",
@@ -931,9 +947,12 @@ def minhash_dedup_keep_best(
 
     from flink_psl_spark.llm.clustering import dedup_clusters
 
+    # signatures materialized before the self-join — same double-eval
+    # fix as minhash_dedup (the band self-join otherwise plans the
+    # signature subtree twice)
     with_sig = minhash_signatures(
         df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n
-    )
+    ).localCheckpoint(eager=True)
     cand = minhash_lsh_pairs(
         with_sig, id_col, "minhash", bands=bands, num_hashes=num_hashes
     ).localCheckpoint(eager=True)
