@@ -95,6 +95,7 @@ def train_logreg_hashed(
     dim: int = 64,
     iters: int = 3,
     lr: float = 4.0,
+    feats: DataFrame | None = None,
 ) -> list[int]:
     """Full-batch GD, ``iters`` corpus scans; returns the weight vector
     in integer micro-units (length dim+1, last = bias).
@@ -103,11 +104,22 @@ def train_logreg_hashed(
     q = ROUND((sigmoid(z) - y) * 1e6); per index G = Σ q (integer);
     w -= ROUND(lr * G / n). ROUND is half-away-from-zero in both
     engines, so the trace is reproducible.
+
+    ``feats``: an already-materialized featurized corpus carrying at
+    least ``__idx`` (hashed_feature_indices of ``text_col``) and ``__y``
+    (the double label). When the caller also needs to SCORE the corpus,
+    featurizing once and sharing the table removes a second full
+    tokenize+hash pass over the data (one corpus featurization instead
+    of two); the caller owns its lifecycle (persist/checkpoint).
     """
-    feats = df.select(
-        hashed_feature_indices(text_col, dim=dim).alias("__idx"),
-        F.col(label_col).cast("double").alias("__y"),
-    ).persist()
+    if feats is None:
+        feats = df.select(
+            hashed_feature_indices(text_col, dim=dim).alias("__idx"),
+            F.col(label_col).cast("double").alias("__y"),
+        ).persist()
+        owns_feats = True
+    else:
+        owns_feats = False
     n = feats.count()
     w = [0] * (dim + 1)
     for _ in range(iters):
@@ -133,7 +145,8 @@ def train_logreg_hashed(
             delta = lr * g / n
             step = int(abs(delta) + 0.5) * (1 if delta >= 0 else -1)
             w[r["__i"]] -= step
-    feats.unpersist()
+    if owns_feats:
+        feats.unpersist()
     return w
 
 

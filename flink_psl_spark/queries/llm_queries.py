@@ -3971,9 +3971,20 @@ def llm_trained_quality_classifier(spark, sf_dir):
     docs = t["documents"].withColumn(
         "__y", (F.col("lang") == "en").cast("double")
     )
-    w = train_logreg_hashed(docs, "text", "__y", dim=64, iters=3, lr=4.0)
-    z = _margin(hashed_feature_indices("text", dim=64), w)
-    scored = docs.select("lang", z.alias("__z")).withColumn(
+    # featurize ONCE (tokenize + md5 is the expensive pass) and share the
+    # materialized feature table between training and scoring — the old
+    # shape re-featurized the whole corpus for the scoring pass (2 full
+    # featurizations -> 1). lang rides along so scoring needs no join.
+    feats = docs.select(
+        hashed_feature_indices("text", dim=64).alias("__idx"),
+        F.col("__y"),
+        F.col("lang"),
+    ).localCheckpoint(eager=True)
+    w = train_logreg_hashed(
+        docs, "text", "__y", dim=64, iters=3, lr=4.0, feats=feats
+    )
+    z = _margin(F.col("__idx"), w)
+    scored = feats.select("lang", z.alias("__z")).withColumn(
         "__qp",
         F.round(_prob(F.col("__z")) * F.lit(float(MICRO)), 0).cast(
             "bigint"
