@@ -100,23 +100,30 @@ def pagerank(
     if n == 0:  # empty graph: no nodes, no ranks (avoid 1/0 below)
         return nodes.withColumn("rank", F.lit(0.0))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(iters):
+    for i in range(iters):
         contribs = (
             und_w.join(ranks, und_w["s"] == ranks["node"])
             .groupBy(und_w["d"].alias("cnode"))
             .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
         )
-        ranks = (
-            nodes.join(contribs, nodes["node"] == F.col("cnode"), "left")
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(
+            contribs, nodes["node"] == F.col("cnode"), "left"
+        ).select(
+            "node",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+            ).alias("rank"),
         )
+        # ranks feeds the next iteration exactly ONCE (the contribs join),
+        # so lineage is linear — no per-iteration materialization needed.
+        # The old eager checkpoint per round turned each iteration into
+        # its own job + AQE re-plan (~31 driver round trips at iters=3,
+        # over half the query's wall time); one lazy plan executes all
+        # rounds in a single DAG. Checkpoint every 8 rounds only to keep
+        # the plan bounded for large ``iters``.
+        if (i + 1) % 8 == 0 and (i + 1) < iters:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
@@ -202,34 +209,35 @@ def label_propagation(
     count aggregation, one argmax per node via ``max_by`` over the
     (count, -label) struct.
     """
-    und = undirect(edges, src, dst)
-    und.persist()
-    try:
-        labels = (
-            und.select(F.col("s").alias("node"))
-            .distinct()
-            .withColumn("label", F.col("node"))
-            .localCheckpoint(eager=True)
+    # localCheckpoint, not persist: the returned labels now execute
+    # LAZILY (see the loop note), i.e. after this function returns —
+    # a persist/unpersist pair would already be released by then, while
+    # checkpoint blocks live until the RDD is GC'd
+    und = undirect(edges, src, dst).localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for i in range(iters):
+        counts = (
+            und.join(labels, und["d"] == labels["node"])
+            .select(und["s"].alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("c"))
         )
-        for _ in range(iters):
-            counts = (
-                und.join(labels, und["d"] == labels["node"])
-                .select(und["s"].alias("node"), "label")
-                .groupBy("node", "label")
-                .agg(F.count("*").alias("c"))
-            )
-            labels = (
-                counts.groupBy("node")
-                .agg(
-                    F.max_by(
-                        "label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))
-                    ).alias("label")
-                )
-                .localCheckpoint(eager=True)
-            )
-        return labels
-    finally:
-        und.unpersist()
+        labels = counts.groupBy("node").agg(
+            F.max_by(
+                "label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+            ).alias("label")
+        )
+        # labels feeds the next round exactly once — linear lineage,
+        # same single-DAG argument as pagerank; bound the plan for
+        # large ``iters`` only
+        if (i + 1) % 8 == 0 and (i + 1) < iters:
+            labels = labels.localCheckpoint(eager=True)
+    return labels
 
 
 def local_clustering_coefficient(
