@@ -49,8 +49,15 @@ def stream_tumble_agg(spark, sf_dir):
         aggs=[F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")],
     )
     # JVM-native windowed state: 4 partitions measured ~30% faster than 8
-    # at sf0.1 (same per-partition state-commit argument as the interval join)
-    return run_to_memory_table(agg, output_mode="complete", shuffle_partitions=4)
+    # at sf0.1 (same per-partition state-commit argument as the interval join).
+    # complete mode re-emits full state every batch, so the trailing
+    # no-data batch adds nothing — skip it (run_to_memory_table note)
+    return run_to_memory_table(
+        agg,
+        output_mode="complete",
+        shuffle_partitions=4,
+        final_nodata_batch=False,
+    )
 
 
 @query(
@@ -100,8 +107,15 @@ def stream_interval_join(spark, sf_dir):
         & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 10 MINUTES")),
     ).select("user_id", F.col("event_id").alias("click_id"), "purchase_id")
     # JVM-native two-sided state: 4 partitions measured ~30% faster and
-    # less variable than 8 at sf0.1 (per-partition state commit dominates)
-    return run_to_memory_table(joined, output_mode="append", shuffle_partitions=4)
+    # less variable than 8 at sf0.1 (per-partition state commit dominates).
+    # inner join output is emitted eagerly on match — the trailing
+    # no-data batch only evicts state, so skip it (2.8 -> 1.7 s)
+    return run_to_memory_table(
+        joined,
+        output_mode="append",
+        shuffle_partitions=4,
+        final_nodata_batch=False,
+    )
 
 
 @query(
@@ -629,7 +643,11 @@ def stream_keyed_top3(spark, sf_dir):
         ev, "user_id", "value", 3, payload_cols=["event_id"],
         descending=True, tiebreak_cols=["event_id"],
     )
-    mem = run_to_memory_table(updates, output_mode="update")
+    # update-mode emission on arrival, NoTimeout state — the trailing
+    # no-data batch contributes nothing; skip it
+    mem = run_to_memory_table(
+        updates, output_mode="update", final_nodata_batch=False
+    )
     # the memory sink accumulates every update; the operator's contract is
     # "latest emission per key wins" — materialize that view
     return deduplicate(
