@@ -1196,7 +1196,6 @@ def pq_cosine_topk(
             [], f"{cand_schema}, cos_sim double, rank int"
         )
     dsub = book.shape[2]
-    encoded = pq_encode(corpus, book, id_col=id_col, vec_col=vec_col)
 
     qrows = q.collect()  # broadcast-small by contract
     # LUT scoring needs the index dim; other-dim / malformed queries
@@ -1216,13 +1215,38 @@ def pq_cosine_topk(
         axis=1,
     )
     n_cand = max(k, k * refine)
+    m_sub = book.shape[0]
 
-    def score(batches):
+    # encode + ADC-score FUSED in one Arrow kernel: the encode and score
+    # stages were two chained mapInPandas nodes, i.e. two JVM↔Python
+    # round trips per corpus batch (each with its own worker handshake)
+    # for rows that are produced and consumed in the same task. The
+    # numeric path is byte-identical to pq_encode followed by the old
+    # score kernel (same per-batch rows, same op order); pq_encode
+    # remains the public stored-index operator.
+    def enc_score(batches):
+        dim = m_sub * dsub
         for pdf in batches:
             if not len(pdf):
                 continue
-            codes = np.array(list(pdf["code"]), dtype=np.int64)
-            ids = pdf[id_col].to_numpy()
+            v, sel = _safe_matrix(list(pdf["__v"]), dim)
+            if not len(sel):
+                continue
+            ids = pdf[id_col].to_numpy()[sel]
+            norms = np.linalg.norm(v, axis=1)
+            ok = norms > 0
+            if not ok.any():
+                continue
+            v, ids = v[ok] / norms[ok, None], ids[ok]
+            codes = np.empty((len(v), m_sub), dtype=np.int64)
+            for s in range(m_sub):
+                sub = v[:, s * dsub : (s + 1) * dsub]
+                d2 = (
+                    (sub**2).sum(1)[:, None]
+                    - 2.0 * sub @ book[s].T
+                    + (book[s] ** 2).sum(1)[None, :]
+                )
+                codes[:, s] = d2.argmin(1)
             # ADC: sum LUT entries along the m subspaces → approx cosine
             sims = luts[:, np.arange(codes.shape[1])[None, :], codes].sum(2).T
             if not include_self:
@@ -1238,7 +1262,10 @@ def pq_cosine_topk(
             if out_q:
                 yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
 
-    cands = encoded.mapInPandas(score, cand_schema)
+    src = corpus.select(
+        F.col(id_col), _col(vec_col).cast("array<double>").alias("__v")
+    )
+    cands = src.mapInPandas(enc_score, cand_schema)
     # exact re-rank on the (query-bounded) candidate set
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
