@@ -41,6 +41,8 @@ def changelog_normalize(
     keys: str | list[str],
     version_by: str | list[str],
     op_col: str = ROWKIND_COL,
+    *,
+    wellformed: bool = False,
 ) -> DataFrame:
     """Collapse a keyed changelog to the current image of each key.
 
@@ -48,10 +50,19 @@ def changelog_normalize(
     offset + a unique tie-breaker), then drops keys whose newest op is a
     delete. Single shuffle on the key — identical cost shape to the
     reference's ChangelogNormalize state op.
+
+    ``wellformed=True`` skips the pre-rank quarantine filter (drop -U /
+    NULL-op rows) for producers that PROVE every row carries op ∈
+    {I, U, D} — e.g. the CDC roundtrip queries, which construct their
+    own envelopes. The filter is then an identity, but Catalyst pushes
+    it below the changelog's fan-out exchange and clones the whole
+    from_json(to_json(...)) envelope expression into the scan stage —
+    one wasted full JSON round trip per input row (measured in the
+    debezium roundtrip plan). Leave False for real feeds (retract
+    streams with -U, ignore-parse-errors quarantine semantics).
     """
-    latest = deduplicate(
-        drop_update_before(df, op_col), keys, version_by, keep="last"
-    )
+    src = df if wellformed else drop_update_before(df, op_col)
+    latest = deduplicate(src, keys, version_by, keep="last")
     return latest.where(F.col(op_col) != "D").drop(op_col)
 
 
