@@ -256,8 +256,17 @@ def ngram_jaccard_pairs(
             .distinct()
         )
         base = df.join(ids, df[id_col] == F.col("__cid"), "left_semi")
+    # HASHED shingle sets, not strings: xxhash64 over the token slice is
+    # injective on whitespace-free tokens barring a ~2^-64 collision, so
+    # |A∩B| / |A∪B| is unchanged (the DuckDB ground-truth oracle makes
+    # the same move), while the verify join shuffles 8-byte longs
+    # instead of ~20-byte shingle strings and compares longs in
+    # array_intersect/array_union — narrower exchange, cheaper set ops
+    # (guide: shuffle fewer bytes / narrower types). Also skips the
+    # per-shingle array_join concat that string shingles pay.
     docs = base.select(
-        F.col(id_col).alias("__id"), shingles(text_col, shingle_n).alias("__sh")
+        F.col(id_col).alias("__id"),
+        F.array_distinct(shingle_hashes(text_col, shingle_n)).alias("__sh"),
     )
     if candidates is None:
         pairs = (
