@@ -325,14 +325,31 @@ def match_recognize(
     # the python hop — python sees only bools. Groups carry no predicate.
     pexprs = _pred_exprs(leaves)
     pred_cols = {key: alias for key, (alias, _e) in pexprs.items()}
-    prepared = df.select(
-        "*", *[F.expr(e).alias(alias) for alias, e in pexprs.values()]
-    )
     iters = {s.name: s.iter_pred for s in leaves if s.iter_pred is not None}
     iter_cols = sorted({c for s in leaves for c in s.iter_cols})
     missing = [c for c in iter_cols if c not in df.columns]
     if missing:
         raise ValueError(f"iterative-condition columns not in input: {missing}")
+    # project ONLY what the NFA kernel reads — keys, order, measure
+    # sources, iterative-condition columns, the within clock — plus the
+    # precomputed predicate bools. Raw predicate inputs (e.g. the
+    # event_type string the bools were derived from) stay out of the
+    # key exchange and the Arrow hop (guide §4: Spark can't see which
+    # columns an opaque function touches; an unpruned '*' ships and
+    # shuffles them all).
+    needed: list[str] = []
+    for c in (
+        keys
+        + order
+        + [m.col for m in measures if m.col is not None]
+        + iter_cols
+        + ([time_col] if time_col else [])
+    ):
+        if c not in needed:
+            needed.append(c)
+    prepared = df.select(
+        *needed, *[F.expr(e).alias(alias) for alias, e in pexprs.values()]
+    )
 
     in_schema = dict(prepared.dtypes)
     within_td = pd.Timedelta(within) if within is not None else None
