@@ -629,11 +629,22 @@ def embedding_dedup(
         tables = [
             _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
         ]
-        banded = c.withColumn("__n", l2_norm("__v")).select(
+        # signatures materialized BEFORE the bucket self-join — the same
+        # double-eval fix as minhash_dedup: Python-UDF canonicalization
+        # defeats exchange reuse, so the self-join otherwise plans the
+        # scan→lsh_buckets kernel subtree on BOTH sides. Checkpoint the
+        # PRE-explode frame: one copy of each vector (the explode would
+        # multiply the stored vectors n_tables×), explode stays row-local.
+        sig = (
+            c.withColumn("__n", l2_norm("__v"))
+            .withColumn("__sigs", lsh_buckets("__v", tables))
+            .localCheckpoint(eager=True)
+        )
+        banded = sig.select(
             "__id",
             "__v",
             "__n",  # once per ROW, not per candidate pair
-            F.posexplode(lsh_buckets("__v", tables)).alias("__tbl", "__bkt"),
+            F.posexplode("__sigs").alias("__tbl", "__bkt"),
         )
         pairs = (
             banded.alias("l")
