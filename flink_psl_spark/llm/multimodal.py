@@ -613,9 +613,14 @@ def image_near_dedup(
     """
     from flink_psl_spark.llm.dedup import hamming64
 
+    # hashes materialized before the block self-join — same double-eval
+    # fix as the text LSH paths: the self-join otherwise plans the
+    # image-decode + dHash Arrow kernel on BOTH sides (Python-UDF
+    # canonicalization defeats exchange reuse), decoding every image
+    # twice. The materialized frame is n_media × (id, one long).
     hashed = image_dhash(media, hash_size=hash_size).select(
         F.col("media_id").alias("__id"), F.col("dhash").alias("__fp")
-    )
+    ).localCheckpoint(eager=True)
     if max_hamming == 0:  # exact-hash grouping — one block IS the hash
         dropped = (
             hashed.alias("l")
@@ -779,7 +784,14 @@ def video_clip_dedup(
 
     Returns surviving media rows.
     """
-    fh = video_frame_hashes(media, frame_len=frame_len, stride=stride)
+    # frame hashes materialized once: fh feeds the df-cap count, the
+    # cap join, the per-clip sizes, AND both sides of the candidate
+    # self-join — without the checkpoint each reference re-plans the
+    # frame-decode + dHash Arrow kernel (no exchange reuse across a
+    # Python node). The frame is clips × frames × (id, one long).
+    fh = video_frame_hashes(
+        media, frame_len=frame_len, stride=stride
+    ).localCheckpoint(eager=True)
     df_count = fh.groupBy("frame_hash").agg(F.count("*").alias("__df"))
     keep_h = df_count.where(F.col("__df") <= max_df).select("frame_hash")
     fh = fh.join(keep_h, "frame_hash")
