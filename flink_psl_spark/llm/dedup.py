@@ -622,7 +622,14 @@ def boilerplate_removal(
         .groupBy("_h")
         .agg(F.count("*").alias("_ndocs"))
     )
-    tagged = seg.join(freq, on="_h").withColumn(
+    # MERGE hint: both sides of the verdict join are data-sized (segments
+    # and distinct-segment frequencies), but the segment side's file-based
+    # estimate sits under the broadcast threshold at small SF, so the
+    # planner BROADCAST the corpus-sized segment table (18 MiB build,
+    # 1.8 s collect = ~38% of the stage at sf0.1) — a shape that breaks
+    # outright at scale. Sort-merge is the scale-correct strategy and
+    # measured ~40% faster locally (4.3 -> 2.6 s for the stage).
+    tagged = seg.join(freq.hint("merge"), on="_h").withColumn(
         "_keep", F.col("_ndocs") <= max_docs
     )
     kept_struct = F.when(F.col("_keep"), F.struct("seg_no", "seg"))

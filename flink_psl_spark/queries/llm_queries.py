@@ -2847,9 +2847,18 @@ def llm_curation_pipeline_v2(spark, sf_dir):
     kept = t["documents"].where(
         linear_quality_classifier(F.col("text")) >= 0.0
     )
+    # materialize the stage boundary: segment_dedup references its input
+    # in TWO branches (segment explode + the doc-universe left join), so
+    # without this the whole boilerplate_removal DAG — itself 2-3
+    # references deep over the quality-filtered scan — re-plans per
+    # branch (measured: 3 document scans and 2 36k-row segment explodes
+    # in one plan, 6.4 s warm). A real pipeline persists exactly this
+    # intermediate between curation stages; 6.4 -> ~2.5 s at sf0.1.
     cleaned = boilerplate_removal(
         kept, segment_tokens=8, max_docs=2
-    ).select("doc_id", F.col("clean_text").alias("text"))
+    ).select("doc_id", F.col("clean_text").alias("text")).localCheckpoint(
+        eager=True
+    )
     deduped = segment_dedup(cleaned, segment_tokens=16).where(
         F.col("n_kept") > 0
     )
