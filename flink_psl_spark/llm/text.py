@@ -737,8 +737,16 @@ def make_bloom_checker(
         )
         # both candidate ids and per-doc hits are small by construction
         # (contamination rate + fpp of the corpus) — broadcast them rather
-        # than trusting size estimation, so the corpus never shuffles
-        cand_ids = probed.where("__cand").select(id_col)
+        # than trusting size estimation, so the corpus never shuffles.
+        # The candidate frame is MATERIALIZED first: broadcast builds run
+        # on a separate exchange thread, and the Arrow probe kernel
+        # executing inside that thread measured ~5x slower than the same
+        # probe as a normal action (fresh Python-worker handshakes per
+        # build); checkpointing runs the probe once on the warm pool and
+        # the broadcast build becomes a trivial scan.
+        cand_ids = probed.where("__cand").select(id_col).localCheckpoint(
+            eager=True
+        )
         g = docs.join(F.broadcast(cand_ids), id_col).select(
             id_col, F.explode(ngrams(F.col(text_col), n)).alias("gram")
         )
