@@ -1589,7 +1589,7 @@ def hybrid_rrf_topk(
     """
     from pyspark.sql import Window
 
-    from flink_psl_spark.llm.dedup import shingles
+    from flink_psl_spark.llm.dedup import shingle_hashes
 
     # semantic list
     cos = cosine_topk(
@@ -1600,8 +1600,15 @@ def hybrid_rrf_topk(
         k=k_each,
     ).select("query_id", "neighbor_id", F.col("rank").alias("__rc"))
 
-    # lexical list — exact 3-gram Jaccard, integer-quantized rank key
-    sh = docs.select(F.col(id_col), shingles(F.col(text_col), 3).alias("s"))
+    # lexical list — exact 3-gram Jaccard, integer-quantized rank key.
+    # HASHED shingle sets (same move as ngram_jaccard_pairs): xxhash64
+    # over the token slice is injective barring ~2^-64 collisions, so
+    # the set sizes — and hence the quantized rank key — are unchanged,
+    # while the 50k-pair intersect/union compares longs, not strings.
+    sh = docs.select(
+        F.col(id_col),
+        F.array_distinct(shingle_hashes(F.col(text_col), 3)).alias("s"),
+    )
     qs = sh.where(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col("s").alias("qs")
     )
