@@ -824,6 +824,7 @@ def semantic_dedup(
     max_cluster_size: int | None = None,
     threshold: float = 0.95,
     two_level: bool = False,
+    materialize_assignments: bool = True,
 ) -> DataFrame:
     """Semantic (embedding-space) dedup, SemDeDup-style: cluster the
     corpus, then remove near-duplicates WITHIN each cluster only —
@@ -991,6 +992,13 @@ def semantic_dedup(
             F.first("__h").alias("__h"),
         )
     w = Window.partitionBy("__best.cluster_id").orderBy("__h", "__id")
+    # assignments materialized before the in-cluster self-join — same
+    # double-eval shape as the LSH dedups: the self-join (and the
+    # survivors reference below) otherwise re-plans the whole
+    # centroid-assignment pipeline (corpus × centroid scoring + argmin
+    # aggregation) once per reference — the executed plan showed TWO
+    # 126k-row assignment subtrees per run at sf0.1. Stored rows:
+    # corpus × (id, vector, cluster, sub, norm).
     assigned = routed.select(
         "__id",
         F.col("__best.__v").alias("__v"),
@@ -998,7 +1006,13 @@ def semantic_dedup(
         F.floor((F.row_number().over(w) - 1) / max_cluster_size).alias(
             "__sub"
         ),
-    ).withColumn("__n", l2_norm("__v"))  # once per row, not per in-cluster pair
+    ).withColumn(
+        "__n", l2_norm("__v")  # once per row, not per in-cluster pair
+    )
+    if materialize_assignments:
+        # (``materialize_assignments=False`` keeps the fully lazy plan —
+        # used by the plan-shape test to pin the coarse-cell equi-join.)
+        assigned = assigned.localCheckpoint(eager=True)
     pairs = (
         assigned.alias("l")
         .join(

@@ -294,9 +294,18 @@ def test_semantic_dedup_two_level_routing(spark):
     # determinism: a second build returns the identical survivor set
     again = sorted(r["vec_id"] for r in semantic_dedup(base, **kw).collect())
     assert again == got
-    # plan: the corpus-side join keyed by the coarse cell exists
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    # plan: the corpus-side join keyed by the coarse cell exists. The
+    # default path materializes assignments before the in-cluster self
+    # join (r12: the self-join otherwise re-planned the whole assignment
+    # pipeline per reference), which hides the upstream operators from
+    # the returned plan — pin the shape on the fully lazy variant.
+    lazy = semantic_dedup(base, materialize_assignments=False, **kw)
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
     assert "__cell" in plan
+    # and the default (materialized) path scans the assignment table
+    # instead of recomputing it per branch
+    plan_default = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan_default
 
 
 def test_pq_exchange_carries_ids_only(spark, t):
