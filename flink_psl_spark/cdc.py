@@ -34,8 +34,14 @@ def parse_debezium(raw: DataFrame, value_schema: str, json_col: str = "value") -
     Malformed records behave like the reference's
     ``debezium-json.ignore-parse-errors``: unparseable JSON yields an
     all-NULL row and unknown ops a NULL ``__op``; both are excluded by
-    ``changelog_normalize``'s op filter rather than failing the job —
-    filter ``__op IS NULL`` upstream to quarantine them instead.
+    ``changelog_normalize``'s DEFAULT op filter rather than failing the
+    job — filter ``__op IS NULL`` upstream to quarantine them instead.
+    Do NOT combine a parse_* feed with
+    ``changelog_normalize(wellformed=True)``: that flag skips the op
+    filter, so a NULL-op row that wins the version rank silently
+    deletes its key instead of being quarantined. ``wellformed`` is for
+    producers that PROVE op ∈ {I, U, D} on every row (self-constructed
+    envelopes), never for ignore-parse-errors inputs.
     """
     env = F.from_json(
         F.col(json_col),

@@ -32,6 +32,7 @@ from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from flink_psl_spark.materialize import materialize
 
 
 class DataStream:
@@ -161,7 +162,7 @@ class DataStream:
         cur = self.df
         emitted: DataFrame | None = None
         for _ in range(max_iterations):
-            stepped = body(DataStream(cur)).df.localCheckpoint(eager=True)
+            stepped = body(DataStream(cur)).df.transform(materialize)
             out = stepped.where(~fb)
             emitted = out if emitted is None else emitted.unionByName(out)
             cur = stepped.where(fb)

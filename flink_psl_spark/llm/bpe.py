@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flink_psl_spark.llm.text import tokenize
+from flink_psl_spark.materialize import materialize
 
 
 def word_counts(
@@ -97,7 +98,7 @@ def bpe_train(
     if vocab_limit is not None:
         wc = wc.orderBy(F.desc("cnt"), F.asc("word")).limit(vocab_limit)
     state = wc.select("cnt", _chars_expr("word").alias("syms"))
-    state = state.localCheckpoint(eager=True)
+    state = state.transform(materialize)
     merges: list[tuple[str, str]] = []
     pair_expr = F.expr(
         "transform(sequence(1, greatest(size(syms), 2) - 1), "
@@ -119,7 +120,7 @@ def bpe_train(
         merges.append((a, b))
         state = state.select("cnt", _merge_udf(a, b)("syms").alias("syms"))
         if (round_no + 1) % 4 == 0:
-            state = state.localCheckpoint(eager=True)
+            state = state.transform(materialize)
     return merges
 
 

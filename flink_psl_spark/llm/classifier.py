@@ -106,8 +106,11 @@ def train_logreg_hashed(
     engines, so the trace is reproducible.
 
     ``feats``: an already-materialized featurized corpus carrying at
-    least ``__idx`` (hashed_feature_indices of ``text_col``) and ``__y``
-    (the double label). When the caller also needs to SCORE the corpus,
+    least ``__idx`` (hashed_feature_indices of ``text_col``, hashed at
+    THIS SAME ``dim`` — a table hashed at a different dim trains wrong
+    weights or fails inside the gradient loop) and ``__y`` (the double
+    label). When ``feats`` is given, ``df``/``text_col``/``label_col``
+    are ignored. When the caller also needs to SCORE the corpus,
     featurizing once and sharing the table removes a second full
     tokenize+hash pass over the data (one corpus featurization instead
     of two); the caller owns its lifecycle (persist/checkpoint).
@@ -119,6 +122,13 @@ def train_logreg_hashed(
         ).persist()
         owns_feats = True
     else:
+        missing = {"__idx", "__y"} - set(feats.columns)
+        if missing:
+            raise ValueError(
+                "train_logreg_hashed: feats= must carry columns __idx "
+                f"and __y (missing {sorted(missing)}); build it with "
+                f"hashed_feature_indices(text_col, dim={dim})"
+            )
         owns_feats = False
     n = feats.count()
     w = [0] * (dim + 1)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from flink_psl_spark.materialize import materialize
 
 
 def connected_components(
@@ -46,12 +47,12 @@ def connected_components(
         )
     )
     und = edges.select(both.alias("__e")).select("__e.*").distinct()
-    und = und.localCheckpoint(eager=True)
+    und = und.transform(materialize)
     labels = (
         und.select(F.col("s").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -69,7 +70,7 @@ def connected_components(
                 (F.col("nmin") < F.col("label")).alias("__changed"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = new_labels.transform(materialize)
         changed = new_labels.where(F.col("__changed")).limit(1).count()
         labels = new_labels.drop("__changed")
         if changed == 0:
@@ -347,25 +348,34 @@ def kmeans_fit(
             " or abs(x) = double('Infinity'))"
         )
     )
-    drow = (
+    # ONE bottom-k pass derives the dimension AND (usually) the seeds:
+    # the md5-smallest valid row defines d, and when all k probe rows
+    # share that length they are exactly the bottom-k of the same-dim
+    # subset (any same-dim row outside the probe hashes larger). The
+    # dedicated dim pass (a second full scan + md5 of the corpus for one
+    # scalar) only runs as a FALLBACK on ragged corpora where another
+    # length intrudes into the probe. Same deterministic rule either way.
+    probe_rows = (
         valid.withColumn("__h", F.md5(F.col("__id").cast("string")))
         .orderBy("__h", "__id")
-        .select(F.size("__v").alias("d"))
-        .first()
-    )
-    if drow is None:
+        .limit(k)
+        .collect()
+    )  # ≤ K rows — parameter-sized
+    if not probe_rows:
         raise ValueError("kmeans_fit: no valid (non-NULL, finite) vectors")
-    d = drow["d"]
+    d = len(probe_rows[0]["__v"])
     src = valid.where(F.size("__v") == d).persist()
     try:
-        seed_rows = (
-            src.withColumn(
-                "__h", F.md5(F.col("__id").cast("string"))
-            )
-            .orderBy("__h", "__id")
-            .limit(k)
-            .collect()
-        )  # K rows — parameter-sized
+        seed_rows = [r for r in probe_rows if len(r["__v"]) == d]
+        if len(seed_rows) < k:
+            seed_rows = (
+                src.withColumn(
+                    "__h", F.md5(F.col("__id").cast("string"))
+                )
+                .orderBy("__h", "__id")
+                .limit(k)
+                .collect()
+            )  # ragged corpus: re-take bottom-k over same-dim rows only
         if len(seed_rows) < k:
             raise ValueError(
                 f"kmeans_fit: k={k} exceeds the {len(seed_rows)} valid "

@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from flink_psl_spark.llm.text import tokenize
+from flink_psl_spark.materialize import materialize
 
 
 def _col(c: Column | str) -> Column:
@@ -326,14 +327,14 @@ def minhash_dedup(
     # canonical materialized fingerprint pass.
     with_sig = minhash_signatures(
         df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     cand = minhash_lsh_pairs(
         with_sig, id_col, "minhash", bands=bands, num_hashes=num_hashes
     )
     # materialize the (tiny) candidate set: the verify stage references it
     # from several branches (id union + both pair joins) and would otherwise
     # recompute the whole LSH band join once per branch
-    cand = cand.localCheckpoint(eager=True)
+    cand = cand.transform(materialize)
     verified = ngram_jaccard_pairs(
         df, text_col, id_col, shingle_n=shingle_n,
         threshold=threshold, candidates=cand,
@@ -441,7 +442,7 @@ def simhash_candidate_pairs(
     # the heavy agg; the materialized table is n_docs × (id, 1 long).
     fp = simhash_fingerprints(
         df, text_col, id_col, shingle_n=shingle_n, out_col="__fp"
-    ).select(F.col(id_col).alias("__id"), "__fp").localCheckpoint(eager=True)
+    ).select(F.col(id_col).alias("__id"), "__fp").transform(materialize)
     banded = fp.select(
         "__id",
         "__fp",
@@ -492,7 +493,7 @@ def simhash_dedup(
         df, text_col, id_col, max_hamming=max_hamming, shingle_n=shingle_n
     )
     if verify_threshold is not None:
-        cand = cand.localCheckpoint(eager=True)
+        cand = cand.transform(materialize)
         cand = ngram_jaccard_pairs(
             df, text_col, id_col, shingle_n=verify_shingle_n,
             threshold=verify_threshold, candidates=cand,
@@ -968,10 +969,10 @@ def minhash_dedup_keep_best(
     # signature subtree twice)
     with_sig = minhash_signatures(
         df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     cand = minhash_lsh_pairs(
         with_sig, id_col, "minhash", bands=bands, num_hashes=num_hashes
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     verified = ngram_jaccard_pairs(
         df, text_col, id_col, shingle_n=shingle_n,
         threshold=threshold, candidates=cand,
@@ -1053,7 +1054,7 @@ def cross_corpus_dedup(
         banded_l.join(banded_r, on=["__band", "__bh"])
         .select("a", "b")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     pool = new_docs.select(id_col, text_col).unionByName(
         corpus.select(id_col, text_col)
@@ -1109,7 +1110,7 @@ def shingle_containment_pairs(
         )
         .select(F.col("l.__id").alias("a"), F.col("r.__id").alias("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     pairs = (
         cand.join(

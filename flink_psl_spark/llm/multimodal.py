@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from flink_psl_spark.materialize import materialize
 
 try:  # real image codec
     from PIL import Image as _PILImage
@@ -620,7 +621,7 @@ def image_near_dedup(
     # twice. The materialized frame is n_media × (id, one long).
     hashed = image_dhash(media, hash_size=hash_size).select(
         F.col("media_id").alias("__id"), F.col("dhash").alias("__fp")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     if max_hamming == 0:  # exact-hash grouping — one block IS the hash
         dropped = (
             hashed.alias("l")
@@ -791,7 +792,7 @@ def video_clip_dedup(
     # Python node). The frame is clips × frames × (id, one long).
     fh = video_frame_hashes(
         media, frame_len=frame_len, stride=stride
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     df_count = fh.groupBy("frame_hash").agg(F.count("*").alias("__df"))
     keep_h = df_count.where(F.col("__df") <= max_df).select("frame_hash")
     fh = fh.join(keep_h, "frame_hash")

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from flink_psl_spark.materialize import materialize
 
 _HASH_BUCKETS = 16**6  # bucket = first 6 hex digits of md5 → [0, 16^6)
 
@@ -308,9 +309,7 @@ def distributed_ntile(
     # unmaterialized triple reference re-plans the (often expensive)
     # upstream score/aggregate subtree per consumer, compounding when
     # ntile passes are chained (RFM chains three).
-    rows = df.withColumn("__bin", b.cast("bigint")).localCheckpoint(
-        eager=True
-    )
+    rows = df.withColumn("__bin", b.cast("bigint")).transform(materialize)
     off_w = (
         Window.partitionBy(F.lit(1))
         .orderBy("__bin")
@@ -402,7 +401,7 @@ def importance_resample(
     # reference re-ran it (measured 3.2 -> 2.1 s at sf0.1 with the
     # checkpoint; results identical). The stored rows are narrow
     # (id, bool, bucket) — the DSIR featurize-once design.
-    feats = feats.localCheckpoint(eager=True)
+    feats = feats.transform(materialize)
     # ONE aggregation yields both bucket distributions; collecting the
     # n_buckets-bounded table (a parameter, not data-sized) gives the
     # totals for free — the corpus is scanned exactly twice (this agg +

@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from flink_psl_spark.operators.ranking import top_n
+from flink_psl_spark.materialize import materialize
 
 
 def _col(c: Column | str) -> Column:
@@ -638,7 +639,7 @@ def embedding_dedup(
         sig = (
             c.withColumn("__n", l2_norm("__v"))
             .withColumn("__sigs", lsh_buckets("__v", tables))
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         banded = sig.select(
             "__id",
@@ -873,6 +874,17 @@ def semantic_dedup(
     memberships shift at cell borders but every DOWNSTREAM guarantee
     (sub-bucket cap, keep-lowest-id) is routing-independent. AQE's skew
     join covers hot coarse cells.
+
+    ``materialize_assignments=True`` (default) makes CONSTRUCTION of the
+    returned DataFrame eager: the cluster assignments run as jobs inside
+    this call (``materialize`` — locally a ``localCheckpoint``, storing
+    corpus × (id, vector, cluster, sub, norm) in executor blocks that
+    are not fault-tolerant under the default backend; see
+    flink_psl_spark.materialize for the reliable-checkpoint switch).
+    Results are identical either way — the flag exists because the
+    in-cluster pair join otherwise re-plans the whole assignment
+    pipeline once per reference (measured: two corpus-sized assignment
+    subtrees per run). ``False`` keeps construction fully lazy.
     """
     from pyspark.sql import Window
 
@@ -1012,7 +1024,7 @@ def semantic_dedup(
     if materialize_assignments:
         # (``materialize_assignments=False`` keeps the fully lazy plan —
         # used by the plan-shape test to pin the coarse-cell equi-join.)
-        assigned = assigned.localCheckpoint(eager=True)
+        assigned = assigned.transform(materialize)
     pairs = (
         assigned.alias("l")
         .join(

@@ -43,6 +43,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from flink_psl_spark.materialize import materialize
 
 KMV_SPACE = 16 ** 12  # 48-bit hash space (md5 12-hex-digit prefix)
 
@@ -177,7 +178,7 @@ def kmv_overlap(
     # the estimator reads the sketch in two branches (per-group
     # estimates + union bottom-k); materialize the ≤ 2k-row frame once
     # so the corpus scan + kernel run ONCE, not per branch
-    sk = sk.localCheckpoint(eager=True)
+    sk = sk.transform(materialize)
     return overlap_from_sketches(sk, group_a, group_b, k=k)
 
 
@@ -444,9 +445,7 @@ def overlap_matrix(
     from pyspark.sql import Window
 
     # materialized once: the pair expansion reads the sketch three ways
-    sk = kmv_sketch(df, element_col, group_col, k=k).localCheckpoint(
-        eager=True
-    )
+    sk = kmv_sketch(df, element_col, group_col, k=k).transform(materialize)
     groups = sk.select("group").distinct()
     pairs = (
         groups.alias("l")

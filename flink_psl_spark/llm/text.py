@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from flink_psl_spark.materialize import materialize
 
 
 def _col(c: Column | str) -> Column:
@@ -403,7 +404,7 @@ def ngram_lm_scores(
     model_bg = bigrams(src, with_id=False)
     cnt2 = model_bg.groupBy("w1", "w2").agg(
         F.count("*").alias("c12")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     cnt1 = cnt2.groupBy("w1").agg(F.sum("c12").alias("c1"))
     # vocabulary of continuations — one scalar, bounded driver collect
     vocab = cnt2.select("w2").distinct().count()
@@ -513,7 +514,7 @@ def kneser_ney_scores(
     model_bg = bigrams(src, with_id=False)
     cnt2 = model_bg.groupBy("w1", "w2").agg(
         F.count("*").alias("c12")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     ctx = cnt2.groupBy("w1").agg(
         F.sum("c12").alias("c1"),
         F.count("*").alias("n1f"),
@@ -684,7 +685,7 @@ def make_bloom_checker(
     bench_grams = (
         benchmark.select(F.explode(ngrams(F.col(text_col), n)).alias("gram"))
         .distinct()
-        .localCheckpoint(eager=True)  # built once; reused every check
+        .transform(materialize)  # built once; reused every check
     )
     bhashes = [
         r["h"] for r in bench_grams.select(F.xxhash64("gram").alias("h")).collect()
@@ -744,9 +745,7 @@ def make_bloom_checker(
         # probe as a normal action (fresh Python-worker handshakes per
         # build); checkpointing runs the probe once on the warm pool and
         # the broadcast build becomes a trivial scan.
-        cand_ids = probed.where("__cand").select(id_col).localCheckpoint(
-            eager=True
-        )
+        cand_ids = probed.where("__cand").select(id_col).transform(materialize)
         g = docs.join(F.broadcast(cand_ids), id_col).select(
             id_col, F.explode(ngrams(F.col(text_col), n)).alias("gram")
         )

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flink_psl_spark.llm.bpe import word_counts
+from flink_psl_spark.materialize import materialize
 
 # quantization grain for the rational score — 12 digits keeps every
 # realistic (c_ab, c_a*c_b) pair distinguishable while staying far inside
@@ -96,7 +97,7 @@ def wordpiece_train(
     if vocab_limit is not None:
         wc = wc.orderBy(F.desc("cnt"), F.asc("word")).limit(vocab_limit)
     state = wc.select("cnt", _syms_expr("word").alias("syms"))
-    state = state.localCheckpoint(eager=True)
+    state = state.transform(materialize)
     pieces: list[str] = []
     pair_expr = F.expr(
         "transform(sequence(1, greatest(size(syms), 2) - 1), "
@@ -143,7 +144,7 @@ def wordpiece_train(
         pieces.append(_join_piece(a, b))
         state = state.select("cnt", _merge_udf(a, b)("syms").alias("syms"))
         if (round_no + 1) % 4 == 0:
-            state = state.localCheckpoint(eager=True)
+            state = state.transform(materialize)
     return pieces
 
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from flink_psl_spark.materialize import materialize
 
 
 def undirect(edges: DataFrame, src: str = "s", dst: str = "d") -> DataFrame:
@@ -89,12 +90,12 @@ def pagerank(
     und_w = (
         und.join(deg, und["s"] == F.col("dnode"))
         .select("s", "d", "w")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     nodes = (
         und_w.select(F.col("s").alias("node"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     n = nodes.count()
     if n == 0:  # empty graph: no nodes, no ranks (avoid 1/0 below)
@@ -123,7 +124,7 @@ def pagerank(
         # rounds in a single DAG. Checkpoint every 8 rounds only to keep
         # the plan bounded for large ``iters``.
         if (i + 1) % 8 == 0 and (i + 1) < iters:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.transform(materialize)
     return ranks
 
 
@@ -138,7 +139,7 @@ def triangle_count(edges: DataFrame, src: str = "s", dst: str = "d") -> DataFram
     e = (
         undirect(edges, src, dst)
         .where(F.col("s") < F.col("d"))
-        .localCheckpoint(eager=True)  # referenced by all three join legs
+        .transform(materialize)  # referenced by all three join legs
     )
     e1 = e.select(F.col("s").alias("a"), F.col("d").alias("b"))
     e2 = e.select(F.col("s").alias("b2"), F.col("d").alias("c"))
@@ -179,7 +180,7 @@ def sssp(
             .where(F.col("s") == src_node)
             .distinct()
             .withColumn("dist", F.lit(0).cast("bigint"))
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         for _ in range(iters):
             relaxed = (
@@ -190,7 +191,7 @@ def sssp(
                 dist.unionByName(relaxed)
                 .groupBy("node")
                 .agg(F.min("dist").alias("dist"))
-                .localCheckpoint(eager=True)
+                .transform(materialize)
             )
         return dist
     finally:
@@ -213,12 +214,12 @@ def label_propagation(
     # LAZILY (see the loop note), i.e. after this function returns —
     # a persist/unpersist pair would already be released by then, while
     # checkpoint blocks live until the RDD is GC'd
-    und = undirect(edges, src, dst).localCheckpoint(eager=True)
+    und = undirect(edges, src, dst).transform(materialize)
     labels = (
         und.select(F.col("s").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     for i in range(iters):
         counts = (
@@ -236,7 +237,7 @@ def label_propagation(
         # same single-DAG argument as pagerank; bound the plan for
         # large ``iters`` only
         if (i + 1) % 8 == 0 and (i + 1) < iters:
-            labels = labels.localCheckpoint(eager=True)
+            labels = labels.transform(materialize)
     return labels
 
 
@@ -252,7 +253,7 @@ def local_clustering_coefficient(
     """
     # four consumers (degree, both wedge legs, closing edge): symmetrize
     # and dedup ONCE — re-deriving und is a full edge shuffle per subtree
-    und = undirect(edges, src, dst).localCheckpoint(eager=True)
+    und = undirect(edges, src, dst).transform(materialize)
     deg = und.groupBy(F.col("s").alias("node")).agg(F.count("*").alias("degree"))
     # wedges centered at u: neighbor pair (v, w), v < w
     e1 = und.select(F.col("s").alias("u"), F.col("d").alias("v"))
@@ -288,7 +289,7 @@ def jaccard_index(edges: DataFrame, src: str = "s", dst: str = "d") -> DataFrame
     materialize — never the O(n²) pair space), counts folded per pair, then
     a node-sized degree join.
     """
-    und = undirect(edges, src, dst).localCheckpoint(eager=True)
+    und = undirect(edges, src, dst).transform(materialize)
     deg = und.groupBy(F.col("s").alias("node")).agg(F.count("*").alias("degree"))
     e1 = und.select(F.col("d").alias("a"), F.col("s").alias("w"))
     e2 = und.select(F.col("d").alias("b"), F.col("s").alias("w2"))
@@ -323,7 +324,7 @@ def adamic_adar(edges: DataFrame, src: str = "s", dst: str = "d") -> DataFrame:
     neighbor: each wedge contributes 1/ln(deg(center)). A common neighbor
     always has degree ≥ 2, so ln() never hits zero.
     """
-    und = undirect(edges, src, dst).localCheckpoint(eager=True)
+    und = undirect(edges, src, dst).transform(materialize)
     deg = und.groupBy(F.col("s").alias("w")).agg(F.count("*").alias("degree"))
     weighted = deg.select("w", (1.0 / F.log(F.col("degree"))).alias("inv_log"))
     e1 = und.select(F.col("d").alias("a"), F.col("s").alias("w"))
@@ -377,7 +378,7 @@ def triadic_census(edges: DataFrame, src: str = "s", dst: str = "d") -> DataFram
       triangle = t, wedge = w − 3t, one_edge = m·(n−2) − 2(w − 3t) − 3t·? …
     derived exactly as in the reference's formula-based census.
     """
-    und = undirect(edges, src, dst).localCheckpoint(eager=True)
+    und = undirect(edges, src, dst).transform(materialize)
     deg = und.groupBy("s").agg(F.count("*").alias("deg"))
     stats = deg.agg(
         F.count("*").alias("n"),
@@ -434,18 +435,18 @@ def hits(
     """
     # the directed edge list is joined twice per round and the node set
     # three times — materialize both once (same discipline as pagerank)
-    edges = edges.select(src, dst).localCheckpoint(eager=True)
+    edges = edges.select(src, dst).transform(materialize)
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     scores = nodes.select(
         "node",
         F.lit(1).cast("bigint").alias("hub"),
         F.lit(1).cast("bigint").alias("auth"),
-    ).localCheckpoint(eager=True)
+    )
     for _ in range(iters):
         # authority(v) = Σ hub(u) over edges u→v
         auth = (
@@ -453,8 +454,17 @@ def hits(
             .groupBy(edges[dst].alias("node"))
             .agg(F.sum("hub").alias("auth"))
         )
-        auth_full = nodes.join(auth, "node", "left").select(
-            "node", F.coalesce("auth", F.lit(0)).alias("auth")
+        # auth_full has TWO consumers per round (the hub join and the
+        # round's score table), so IT is the round's materialization
+        # point — the old per-round checkpoint sat on ``scores`` instead,
+        # leaving auth_full lazily duplicated: the edges⋈scores shuffle +
+        # aggregation executed twice per round (pagerank lesson applied;
+        # ``scores`` itself feeds the next round exactly once and stays
+        # lazy).
+        auth_full = (
+            nodes.join(auth, "node", "left")
+            .select("node", F.coalesce("auth", F.lit(0)).alias("auth"))
+            .transform(materialize)
         )
         # hub(u) = Σ authority(v) over edges u→v (fresh authorities)
         hub = (
@@ -470,8 +480,11 @@ def hits(
                 F.coalesce("hub", F.lit(0)).alias("hub"),
                 F.coalesce("auth", F.lit(0)).alias("auth"),
             )
-            .localCheckpoint(eager=True)
         )
+    # the final score table is read twice (max-normalization + the
+    # result projection) — one materialization instead of re-running
+    # the last round's hub join per reference
+    scores = scores.transform(materialize)
     mx = scores.agg(
         F.max("hub").alias("mh"), F.max("auth").alias("ma")
     )
@@ -512,7 +525,7 @@ def community_detection(
                 F.col("node").alias("label"),
                 F.lit(1.0).alias("score"),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         for step in range(1, iters + 1):
             msgs = und.join(state, und["d"] == state["node"]).select(
@@ -540,7 +553,7 @@ def community_detection(
                         ).otherwise(0.0)
                     ).alias("score"),
                 )
-                .localCheckpoint(eager=True)
+                .transform(materialize)
             )
         return state.select("node", "label", F.round("score", 6).alias("score"))
     finally:

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from flink_psl_spark.llm.text import pinned_trim
 from flink_psl_spark.queries.registry import query, tables
+from flink_psl_spark.materialize import materialize
 
 
 @query(
@@ -2856,9 +2857,7 @@ def llm_curation_pipeline_v2(spark, sf_dir):
     # intermediate between curation stages; 6.4 -> ~2.5 s at sf0.1.
     cleaned = boilerplate_removal(
         kept, segment_tokens=8, max_docs=2
-    ).select("doc_id", F.col("clean_text").alias("text")).localCheckpoint(
-        eager=True
-    )
+    ).select("doc_id", F.col("clean_text").alias("text")).transform(materialize)
     deduped = segment_dedup(cleaned, segment_tokens=16).where(
         F.col("n_kept") > 0
     )
@@ -3988,7 +3987,7 @@ def llm_trained_quality_classifier(spark, sf_dir):
         hashed_feature_indices("text", dim=64).alias("__idx"),
         F.col("__y"),
         F.col("lang"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     w = train_logreg_hashed(
         docs, "text", "__y", dim=64, iters=3, lr=4.0, feats=feats
     )

@@ -16,6 +16,7 @@ import threading
 from pyspark.sql import functions as F
 
 from flink_psl_spark.queries.registry import query, sql_query, tables
+from flink_psl_spark.materialize import materialize
 
 # ---------------------------------------------------------------------------
 # Calc (fused project+filter) — reference StreamExecCalc.java:49
@@ -2279,7 +2280,7 @@ def _hoisted_view(df, tag: str) -> str:
         except Exception:
             pass
     name = f"__hoist_{tag}_{uuid.uuid4().hex[:12]}"
-    df.localCheckpoint(eager=True).createOrReplaceTempView(name)
+    df.transform(materialize).createOrReplaceTempView(name)
     with _HOIST_LOCK:
         _HOIST_LAST[key] = (cur, name)
     return name

@@ -1562,7 +1562,7 @@ def stream_online_lsh_dedup(spark, sf_dir):
             spark.read.parquet(f"{acc}/out")
             .where(F.col("a").isNotNull())
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
     except Exception:  # zero candidate pairs -> no parquet parts
         cand = spark.createDataFrame([], "a bigint, b bigint")
@@ -2003,6 +2003,7 @@ def stream_histogram_quantiles(spark, sf_dir):
 
 
 from flink_psl_spark.queries.relational import _CONTRACT_MIGRATION_ORACLE
+from flink_psl_spark.materialize import materialize
 
 
 @query("stream_contract_migration_ingest", oracle=_CONTRACT_MIGRATION_ORACLE)
@@ -2113,7 +2114,7 @@ def stream_image_dedup_ingest(spark, sf_dir):
     media = synthetic_media(spark, docs)
     fp = image_dhash(media).select(
         F.col("media_id"), F.col("dhash")
-    ).localCheckpoint(eager=True)  # 200 rows — parameter-sized
+    ).transform(materialize)  # 200 rows — parameter-sized
     verified = (
         drained.join(
             fp.select(

@@ -65,6 +65,11 @@ RUNTIME_SQL_CONF: dict[str, str] = {
     # build/probe sides. 3x makes the estimate honest for this codec:
     # q5 flips to the scale-correct SMJ on lineitem⋈orders,
     # join_multiway_revenue 0.92 -> 0.52 s, q8 0.65 -> 0.45 s at sf0.1.
+    # Session-global trade-off: every FILE-scan estimate is inflated 3x,
+    # so a genuinely small dim table estimated between threshold/3 and
+    # threshold loses its automatic broadcast — per-query
+    # F.broadcast()/BROADCAST hints are the escape hatch for dims that
+    # should still broadcast.
     "spark.sql.sources.fileCompressionFactor": "3.0",
 }
 
