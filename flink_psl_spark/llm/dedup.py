@@ -762,24 +762,35 @@ def remove_duplicate_spans(
         # w is a BOUND lambda variable (bind_once): referencing the raw
         # tokenize() tree here would re-tokenize the document once per
         # span position (the measured 5-7x n-gram-scan trap ngrams()
-        # already guards against)
+        # already guards against). The span travels as its xxhash64 —
+        # ownership/coverage only need span IDENTITY, so the group/join
+        # key is 8 bytes instead of a k-token string (the r12 hashed-
+        # shingle move; collisions between distinct spans are ~2^-64).
         count = F.size(w) - (k - 1)
         return F.when(
-            count < 1, F.array().cast("array<struct<start:int,span:string>>")
+            count < 1, F.array().cast("array<struct<start:int,span:bigint>>")
         ).otherwise(
             F.transform(
                 F.sequence(F.lit(0), count - 1),
                 lambda i: F.struct(
                     i.cast("int").alias("start"),
-                    F.concat_ws(" ", F.slice(w, i + 1, k)).alias("span"),
+                    F.xxhash64(
+                        F.concat_ws(" ", F.slice(w, i + 1, k))
+                    ).alias("span"),
                 ),
             )
         )
 
     positional = bind_once(tokenize(F.col(text_col)), _positional)
+    # the span table has TWO consumers (the ownership aggregate and the
+    # coverage join) — materialize the narrow (id, start, hash) frame
+    # once so the tokenize + span explode runs ONCE, not per consumer
+    # (the executed plan carried two full Generate subtrees before)
     spans = docs.select(
         F.col(id_col).alias("__id"), F.explode(positional).alias("__s")
-    ).select("__id", F.col("__s.start").alias("__start"), F.col("__s.span").alias("__span"))
+    ).select(
+        "__id", F.col("__s.start").alias("__start"), F.col("__s.span").alias("__span")
+    ).transform(materialize)
     owners = (
         spans.groupBy("__span")
         .agg(

@@ -713,7 +713,18 @@ def make_bloom_checker(
             any_hit[nz] = np.maximum.reduceat(member, starts[nz])[: nz.sum()]
         return pd.Series(any_hit)
 
-    _probe = F.pandas_udf(_probe_kernel, "boolean")
+    # asNondeterministic (guide §4.4): the probe feeds a FILTER
+    # (where("__cand")), and for a deterministic UDF the optimizer then
+    # collapses the __tk token projection INTO the UDF argument — the
+    # tokenize subtree is inlined at every reference and re-evaluated
+    # PER transform-lambda ELEMENT (the 5-7x n-gram re-tokenize trap),
+    # measured 5.3 s vs 1.0 s on the sf0.1 probe stage (the cost showed
+    # up as "time to initialize Python workers": the writer thread
+    # evaluates the argument batch before Python sees any data). The
+    # ND mark keeps the codegen'd child Project(__tk) below the Python
+    # node; the probe is pure, so blocking reorder/duplication loses no
+    # correctness.
+    _probe = F.pandas_udf(_probe_kernel, "boolean").asNondeterministic()
 
     def check(docs, *, id_col: str = "doc_id"):
         # project the TOKEN column first and build gram hashes from the
@@ -911,7 +922,11 @@ def _cms_heavy_items(items, item_col, threshold, *, eps, confidence):
             est = np.minimum(est, table[i][pos[i]])
         return pd.Series(est)
 
-    _estimate = F.pandas_udf(_estimate_kernel, "bigint")
+    # ND for the same reason as make_bloom_checker's probe: the estimate
+    # feeds a filter, and a deterministic UDF there invites the optimizer
+    # to duplicate the eval / inline the argument (guide §4.4). Pure
+    # kernel — ND only pins it in place.
+    _estimate = F.pandas_udf(_estimate_kernel, "bigint").asNondeterministic()
 
     candidates = grams.where(
         _estimate(F.xxhash64(item_col)) >= F.lit(threshold)

@@ -289,25 +289,41 @@ def posexplode_words(spark, sf_dir):
 def cogroup_user_summary(spark, sf_dir):
     """co-group (reference DataStream.coGroup:720 / CoGroupedStreams):
     both keyed sides of a key visit one function together — Spark's
-    ``cogroup(...).applyInPandas`` two-DataFrame form."""
+    ``cogroup(...).applyInPandas`` two-DataFrame form.
+
+    The key exchanges are pinned at ``defaultParallelism``: the stage's
+    cost is per-GROUP Python round trips (one function call + Arrow
+    ser/deser per key), not bytes, but AQE coalesces by BYTES — at
+    sf0.1 it folded the ~500 KiB shuffle into one partition and ran all
+    1500 group calls serially on one core (measured 4.5 s of Python
+    time in one task; ~0.5 s once spread). An explicit keyed
+    repartition is exempt from AQE coalescing, and defaultParallelism
+    is the right floor at any scale for a python-call-bound stage."""
     t = tables(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
     clicks = t["events"].where(F.col("event_type") == "click").select(
         "user_id", "value"
-    )
+    ).repartition(par, "user_id")
     purchases = t["events"].where(F.col("event_type") == "purchase").select(
         "user_id", "value"
-    )
+    ).repartition(par, "user_id")
 
     def summarize(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        uid = left["user_id"].iloc[0] if len(left) else right["user_id"].iloc[0]
+        # dict-of-tuples construction: ~1.4x cheaper per group than the
+        # list-of-dict form, and this function runs once per key
+        uid = left["user_id"].iat[0] if len(left) else right["user_id"].iat[0]
         return pd.DataFrame(
-            [{
-                "user_id": uid,
-                "n_clicks": len(left),
-                "click_v": round(float(left["value"].sum()), 3) if len(left) else 0.0,
-                "n_purch": len(right),
-                "purch_v": round(float(right["value"].sum()), 3) if len(right) else 0.0,
-            }]
+            {
+                "user_id": (uid,),
+                "n_clicks": (len(left),),
+                "click_v": (
+                    round(float(left["value"].sum()), 3) if len(left) else 0.0,
+                ),
+                "n_purch": (len(right),),
+                "purch_v": (
+                    round(float(right["value"].sum()), 3) if len(right) else 0.0,
+                ),
+            }
         )
 
     return (

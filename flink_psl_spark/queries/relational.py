@@ -2340,20 +2340,27 @@ def recursive_cte_order_chain(spark, sf_dir):
         .select("o_custkey", "o_orderkey", "price", "rn")
     )
     view = _hoisted_view(ranked, "ranked_orders_chain")
-    # SHUFFLE_HASH on the frozen ranked side: hash join keyed on
-    # o_custkey with no per-level sort — the shape a keyed iteration
-    # pays at any scale (r11 A/B at sf0.1: ~10% under the unhinted
-    # sort-merge baseline). The 2x-faster local alternative —
-    # broadcasting the FRONTIER — is rejected: the level-1 frontier is
-    # every customer with an order, unbounded at 100 TB
-    # (ARCHITECTURE.md "UnionLoop recursion" note).
+    # SHUFFLE_HASH with the FRONTIER (c) as build side: the r12 profile
+    # showed SHUFFLE_HASH(r) rebuilding a ranked-table hash map (150k
+    # rows, 38 MiB, ~60 ms) at EVERY UnionLoop level to probe a frontier
+    # of 59 → 2 rows. The frontier is a strict subset of the customers
+    # in ranked, so building it is always the smaller (memory-safer)
+    # side, and the big frozen view streams past as the probe — r13 A/B
+    # at sf0.1: 5.8-6.4 s → 5.0-5.6 s, identical checksum. Broadcasting
+    # the frontier stays rejected (level-1 frontier is every customer —
+    # unbounded at 100 TB; a shuffled-hash build is per-partition).
+    # Per-level floor note: the ranked side re-exchanges each level
+    # because the join key is COMPOSITE (o_custkey, rn = step+1) — a
+    # checkpoint partitioned by o_custkey alone cannot satisfy it, and
+    # pinning partitions (repartition before the checkpoint) measured
+    # 2x SLOWER locally (32 fixed tasks x ~40 levels vs AQE-coalesced).
     return spark.sql(
         f"""
         WITH RECURSIVE chain (o_custkey, o_orderkey, step, cum) AS (
           SELECT o_custkey, o_orderkey, 1, ROUND(price, 2)
           FROM {view} WHERE rn = 1
           UNION ALL
-          SELECT /*+ SHUFFLE_HASH(r) */
+          SELECT /*+ SHUFFLE_HASH(c) */
                  r.o_custkey, r.o_orderkey, c.step + 1,
                  ROUND(c.cum + r.price, 2)
           FROM chain c JOIN {view} r
