@@ -48,6 +48,18 @@ HEADLINE = [
     "stream_tumble_agg",
     "stream_interval_join",
     "stream_keyed_top3",
+    # ADDED r13 (additions only — no existing entry removed/renamed): the
+    # most expensive non-headline paths, optimized this round; in the bench
+    # so their cost is driver-measured from now on. The adjudication
+    # guards skip queries absent from the previous committed artifact, so
+    # these gain vs-prev verdicts from r14 onward.
+    "llm_bloom_decontamination",
+    "llm_span_dedup_rewrite",
+    "cogroup_user_summary",
+    "async_lookup_enrich",
+    "recursive_cte_order_chain",
+    "graph_hits",
+    "llm_semantic_dedup",
 ]
 
 

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from flink_psl_spark.llm.text import tokenize
 from flink_psl_spark.materialize import materialize
+from flink_psl_spark.parallelism import ensure_parallelism
 
 
 def _col(c: Column | str) -> Column:
@@ -335,6 +336,13 @@ def minhash_dedup(
     # from several branches (id union + both pair joins) and would otherwise
     # recompute the whole LSH band join once per branch
     cand = cand.transform(materialize)
+    # fan the checkpointed candidates out: the LSH join's output exchange
+    # is AQE-coalesced by BYTES (pairs are 16 B rows), but the verify
+    # stage that inherits this partitioning does per-pair array set ops —
+    # compute-dense, not byte-dense. At sf1 the whole verify ran ~2-4
+    # wide; at real scale the candidate set is big enough that this is a
+    # no-op (ensure_parallelism only fans out under-parallel frames).
+    cand = ensure_parallelism(cand)
     verified = ngram_jaccard_pairs(
         df, text_col, id_col, shingle_n=shingle_n,
         threshold=threshold, candidates=cand,
@@ -494,6 +502,9 @@ def simhash_dedup(
     )
     if verify_threshold is not None:
         cand = cand.transform(materialize)
+        cand = ensure_parallelism(cand)  # see minhash_dedup: the verify
+        # stage is compute-dense and must not inherit a byte-coalesced
+        # candidate partitioning
         cand = ngram_jaccard_pairs(
             df, text_col, id_col, shingle_n=verify_shingle_n,
             threshold=verify_threshold, candidates=cand,
@@ -984,6 +995,7 @@ def minhash_dedup_keep_best(
     cand = minhash_lsh_pairs(
         with_sig, id_col, "minhash", bands=bands, num_hashes=num_hashes
     ).transform(materialize)
+    cand = ensure_parallelism(cand)  # see minhash_dedup
     verified = ngram_jaccard_pairs(
         df, text_col, id_col, shingle_n=shingle_n,
         threshold=threshold, candidates=cand,

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from flink_psl_spark.operators.ranking import top_n
 from flink_psl_spark.materialize import materialize
+from flink_psl_spark.parallelism import ensure_parallelism
 
 
 def _col(c: Column | str) -> Column:
@@ -893,6 +894,13 @@ def semantic_dedup(
         _col(vec_col).cast("array<double>").alias("__v"),
         F.md5(F.col(id_col).cast("string")).alias("__h"),
     )
+    # routing does K cosines per row in the SCAN stage (broadcast
+    # centroids + map-side argmax), so an under-parallel scan serializes
+    # the most compute-dense pass of the operator (embedding tables are
+    # byte-small relative to their arithmetic). Keyed on __id so the
+    # routing argmax aggregation reuses the exchange. No-op on
+    # well-partitioned inputs (real-scale scans).
+    c = ensure_parallelism(c, "__id")
     if n_clusters is None:
         n_rows = c.count()  # one scalar agg job — control-plane only
         n_clusters = max(1, math.ceil(n_rows / target_cluster_size))
@@ -1025,6 +1033,18 @@ def semantic_dedup(
         # (``materialize_assignments=False`` keeps the fully lazy plan —
         # used by the plan-shape test to pin the coarse-cell equi-join.)
         assigned = assigned.transform(materialize)
+        # fan the checkpointed assignments out on the pair-join key: the
+        # assignment exchange is AQE-coalesced by BYTES (rows are small),
+        # but the in-cluster pair join inheriting that partitioning does
+        # C(cluster, 2) cosine evaluations per key — compute-dense, not
+        # byte-dense (at sf1 the 17M-pair stage ran ~2 tasks wide;
+        # whole-query effective parallelism 7.4 on 32 cores). An explicit
+        # keyed repartition is exempt from AQE coalescing; both self-join
+        # sides derive from this frame, so the join stays co-partitioned.
+        # At real scale the exchange is byte-big and this matches the
+        # planner's own choice.
+        par = assigned.sparkSession.sparkContext.defaultParallelism
+        assigned = assigned.repartition(par, "cluster_id", "__sub")
     pairs = (
         assigned.alias("l")
         .join(

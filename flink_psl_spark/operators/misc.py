@@ -100,16 +100,13 @@ def async_lookup(
     is handed to threads; with rows ≫ max_concurrency × chunk the I/O
     overlap is the same.
 
-    A batch (non-streaming) under-parallel input is fanned out to the
-    cluster's default parallelism first (``ensure_parallelism``): the
-    stage is Python-call-bound, so a single-file scan must not serialize
-    every lookup on one core.
+    Partitioning is the CALLER's: this operator preserves the input's
+    partition layout (per-partition order is part of its contract), so
+    an under-parallel scan serializes every lookup on one core — fan the
+    input out first (``parallelism.ensure_parallelism``) when its
+    partition order carries no meaning.
     """
     key_cols = key_cols or list(df.columns)
-    if not df.isStreaming:
-        from flink_psl_spark.parallelism import ensure_parallelism
-
-        df = ensure_parallelism(df)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         with ThreadPoolExecutor(max_workers=max_concurrency) as pool:

@@ -227,11 +227,16 @@ def datastream_broadcast_join(spark, sf_dir):
 )
 def async_lookup_enrich(spark, sf_dir):
     """Async I/O enrichment (reference AsyncDataStream.orderedWait:165):
-    thread-pooled per-row lookups inside one Arrow batch hop."""
+    thread-pooled per-row lookups inside one Arrow batch hop. The scan
+    is fanned out first: the lookup stage is Python-call-bound and the
+    events table arrives as one input split, which would serialize
+    every call on one core (async_lookup itself preserves the caller's
+    partition layout — per-partition order is its contract)."""
     from flink_psl_spark.operators.misc import async_lookup
+    from flink_psl_spark.parallelism import ensure_parallelism
 
     t = tables(spark, sf_dir)
-    src = t["events"].select("event_id", "user_id")
+    src = ensure_parallelism(t["events"].select("event_id", "user_id"))
 
     def lookup(row):
         return {"enriched": row["user_id"] * 3 + 1}

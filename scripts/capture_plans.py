@@ -16,7 +16,9 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(_REPO, "plans", "r12")
+OUT_DIR = os.environ.get(
+    "PLANS_OUT_DIR", os.path.join(_REPO, "plans", "r13")
+)
 
 
 def main() -> int:

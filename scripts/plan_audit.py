@@ -154,6 +154,8 @@ def is_whitelisted(name: str, flags: list) -> bool:
 
 def audit_plan(plan: str) -> tuple[list[str], dict[str, int]]:
     """Return (flags, info_counts) for one executed-plan text."""
+    import re
+
     flags = []
     if "BatchEvalPython" in plan:
         flags.append("BatchEvalPython")
@@ -161,6 +163,17 @@ def audit_plan(plan: str) -> tuple[list[str], dict[str, int]]:
         flags.append("CartesianProduct")
     if "BroadcastNestedLoopJoin" in plan:
         flags.append("BroadcastNestedLoopJoin")
+    # r13 bug class: a Python-eval node whose ARGUMENT carries 2+ inlined
+    # tokenize subtrees — the optimizer collapsed the token projection
+    # into the UDF arg (filter-on-UDF-result shape), so tokenize
+    # re-evaluates per lambda element in the writer thread (measured 8x
+    # on the bloom probe; fixed with asNondeterministic). Informational
+    # counter — nonzero values deserve a look.
+    inlined = 0
+    for m in re.finditer(r"(?:ArrowEvalPython|BatchEvalPython) \[(.*)", plan):
+        n = m.group(1).count("split(trim(")
+        if n >= 2:
+            inlined += 1
     info = {
         "exchanges": plan.count("Exchange hashpartitioning"),
         "arrow_eval": plan.count("ArrowEvalPython"),
@@ -171,6 +184,8 @@ def audit_plan(plan: str) -> tuple[list[str], dict[str, int]]:
         # BatchScan = DSv2 sources (sources_v2.py) — distributed scans too.
         "file_scans": plan.count("FileScan") + plan.count("BatchScan"),
     }
+    if inlined:
+        info["py_arg_inlined_tokenize"] = inlined
     return flags, info
 
 
