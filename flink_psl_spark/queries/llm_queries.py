@@ -1202,8 +1202,15 @@ def llm_bloom_decontamination(spark, sf_dir):
 
     from flink_psl_spark.llm.text import bloom_contamination
 
+    from flink_psl_spark.parallelism import ensure_parallelism
+
     t = tables(spark, sf_dir)
-    docs = t["documents"].where(F.col("doc_id") % 7 != 0)
+    # fan the corpus side out: the Arrow probe kernel runs at scan
+    # parallelism (r13 scan-floor class); the benchmark side stays as-is
+    # (it reduces to a driver-built filter)
+    docs = ensure_parallelism(
+        t["documents"], "doc_id"
+    ).where(F.col("doc_id") % 7 != 0)
     bench = t["documents"].where(F.col("doc_id") % 7 == 0)
     return bloom_contamination(docs, bench, n=5, fpp=0.01)
 
@@ -2917,10 +2924,14 @@ def llm_importance_resample(spark, sf_dir):
     source 'src0'). Bucket tables are parameter-bounded aggregates; the
     selection is a distributed TakeOrdered."""
     from flink_psl_spark.llm import importance_resample
+    from flink_psl_spark.parallelism import ensure_parallelism
 
     t = tables(spark, sf_dir)
+    # fan the scan out: the featurize explode (tokenize + per-gram md5,
+    # the dominant CPU) runs in the scan stage, and the single-file
+    # documents scan is one input split (r13 scan-floor class)
     return importance_resample(
-        t["documents"],
+        ensure_parallelism(t["documents"], "doc_id"),
         F.col("source") == "src0",
         n_buckets=256,
         k=100,
@@ -3346,9 +3357,14 @@ def llm_span_dedup_rewrite(spark, sf_dir):
     without them. No pair join — ownership is one span-keyed agg,
     coverage a bounded explode, reassembly one doc-keyed agg."""
     from flink_psl_spark.llm import remove_duplicate_spans
+    from flink_psl_spark.parallelism import ensure_parallelism
 
     t = tables(spark, sf_dir)
-    return remove_duplicate_spans(t["documents"], k=8, max_span_df=8)
+    # fan the scan out: tokenize + the positional span explode run in
+    # the scan stage twice (toks + the span table) — r13 scan-floor class
+    return remove_duplicate_spans(
+        ensure_parallelism(t["documents"], "doc_id"), k=8, max_span_df=8
+    )
 
 
 @query(
@@ -3866,10 +3882,16 @@ def llm_corpus_overlap_sketch(spark, sf_dir):
     from flink_psl_spark.llm import kmv_overlap
     from flink_psl_spark.llm.dedup import shingle_strings
     from flink_psl_spark.llm.text import tokenize
+    from flink_psl_spark.parallelism import ensure_parallelism
 
     t = tables(spark, sf_dir)
-    # project tokens FIRST — see shingle_strings (7x on this scan)
-    el = t["documents"].select(
+    # fan the scan out FIRST: tokenize + shingle explode + the md5 sketch
+    # hash + the partial-bottom-k kernel all run in the scan stage (the
+    # kernel deliberately has no exchange below it), so a single-split
+    # documents scan serializes the whole sketch build on one core (r13
+    # scan-floor class); then project tokens — see shingle_strings (7x
+    # on this scan)
+    el = ensure_parallelism(t["documents"], "doc_id").select(
         F.when(F.col("doc_id") % 2 == 0, F.lit("even"))
         .otherwise(F.lit("odd"))
         .alias("corpus"),
@@ -3983,7 +4005,15 @@ def llm_trained_quality_classifier(spark, sf_dir):
     # materialized feature table between training and scoring — the old
     # shape re-featurized the whole corpus for the scoring pass (2 full
     # featurizations -> 1). lang rides along so scoring needs no join.
-    feats = docs.select(
+    # Fan the scan out first: featurization is compute-dense and the
+    # single-file documents scan is one input split, AND the checkpoint
+    # preserves that layout — so all three gradient iterations + scoring
+    # would otherwise aggregate from one partition (r13 scan-floor class).
+    from flink_psl_spark.parallelism import ensure_parallelism
+
+    feats = ensure_parallelism(
+        docs.select("text", "__y", "lang")  # fan RAW rows out, featurize after
+    ).select(
         hashed_feature_indices("text", dim=64).alias("__idx"),
         F.col("__y"),
         F.col("lang"),
